@@ -1,0 +1,312 @@
+"""Aggregation — SURVEY §2 C23–C34 (pandas groupby/pivot_table/describe).
+
+All double sums go through decimal (see corpus/_util.py) so Spark's
+partial+final hash aggregation over N partitions agrees bit-for-bit with the
+single-node oracle. Map-side partial aggregation is what makes these scale:
+the shuffle carries one row per (partition × group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import davg, dsum, registry, tables
+
+QUERIES, ORACLE, q = registry()
+
+
+@q(
+    "c23_groupby_agg",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+              CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def c23(spark, sf_dir):
+    """C23/C24: TPC-H-Q1-style pricing summary — the flagship query.
+
+    filter → groupBy → multi-agg; the filter pushes to the parquet scan and
+    the agg is partial+final (one shuffle of ~6 groups, not 6M rows).
+    """
+    li = tables(spark, sf_dir)("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "c24_multi_agg",
+    """SELECT o_orderpriority,
+              count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+              min(o_totalprice) AS lo,
+              max(o_totalprice) AS hi,
+              count(DISTINCT o_orderstatus) AS n_status
+       FROM orders GROUP BY o_orderpriority""",
+)
+def c24(spark, sf_dir):
+    """C24: multi-expression agg with aliases; min/max on doubles are exact."""
+    return (
+        tables(spark, sf_dir)("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        )
+    )
+
+
+@q(
+    "c25_count_distinct",
+    """SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS n_parts,
+              count(DISTINCT l_suppkey) AS n_supps,
+              count(DISTINCT l_orderkey) AS n_orders
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def c25(spark, sf_dir):
+    """C25: exact count distinct (expand + two-phase agg under the hood)."""
+    return (
+        tables(spark, sf_dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q("c26_approx_count_distinct")  # rows-only: HLL estimates are engine-specific
+def c26(spark, sf_dir):
+    """C26: approx_count_distinct (HyperLogLog++) — the scale path for
+    cardinality: fixed-size sketch, single shuffle, no expand."""
+    return (
+        tables(spark, sf_dir)("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@q(
+    "c27_global_agg",
+    """SELECT count(*) AS n_rows,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+              strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+              count(DISTINCT l_orderkey) AS n_orders
+       FROM lineitem""",
+)
+def c27(spark, sf_dir):
+    """C27: global aggregate, no grouping keys."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@q(
+    "c28_stats_moments",
+    """SELECT l_returnflag,
+              round(stddev_samp(l_quantity), 6) AS sd_qty,
+              round(var_samp(l_quantity), 6) AS var_qty,
+              round(stddev_pop(l_discount), 8) AS sd_disc,
+              round(
+                avg((l_quantity - m.mu) ** 3) / (avg((l_quantity - m.mu) ** 2) ** 1.5),
+                6) AS skew_qty,
+              round(
+                avg((l_quantity - m.mu) ** 4) / (avg((l_quantity - m.mu) ** 2) ** 2) - 3,
+                6) AS kurt_qty
+       FROM lineitem,
+            (SELECT l_returnflag AS rf, avg(l_quantity) AS mu
+             FROM lineitem GROUP BY 1) m
+       WHERE l_returnflag = m.rf
+       GROUP BY l_returnflag""",
+)
+def c28(spark, sf_dir):
+    """C28: describe-style moments. Spark's skewness/kurtosis are the
+    population formulas (m3/m2^1.5, m4/m2^2−3); DuckDB's builtins are the
+    bias-corrected sample versions, so the oracle computes the population
+    formulas from explicit central moments. Rounded: moment accumulation
+    order differs across engines at ~1e-12."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_discount"), 8).alias("sd_disc"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )
+
+
+@q(
+    "c29_quantiles",
+    """SELECT l_linestatus,
+              round(median(l_quantity), 6) AS med_qty,
+              round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+              round(quantile_cont(l_quantity, 0.90), 6) AS q90,
+              round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
+       FROM lineitem GROUP BY l_linestatus""",
+)
+def c29(spark, sf_dir):
+    """C29: exact quantiles/median (pandas `quantile`). Spark F.percentile and
+    DuckDB quantile_cont share the (n−1)p linear-interpolation definition.
+    percentile_approx is the 100TB-scale variant (see c29b)."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("q25"),
+        F.round(F.percentile("l_quantity", 0.90), 6).alias("q90"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("med_price"),
+    )
+
+
+@q("c29b_approx_quantiles")  # rows-only: sketch-based, engine-specific
+def c29b(spark, sf_dir):
+    """C29 scale path: percentile_approx (KLL-style sketch, mergeable across
+    partitions — constant memory at any data size)."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("exact_median_price"),
+    )
+
+
+@q(
+    "c30_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+              COALESCE(l_linestatus, 'ALL') AS ls,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def c30(spark, sf_dir):
+    """C30: rollup — subtotal hierarchy (pivot_table margins)."""
+    li = tables(spark, sf_dir)("lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@q(
+    "c30b_cube",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+              COALESCE(o_orderpriority, 'ALL') AS pri,
+              count(*) AS n
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def c30b(spark, sf_dir):
+    """C30: cube — all grouping-set combinations."""
+    o = tables(spark, sf_dir)("orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            "n",
+        )
+    )
+
+
+@q(
+    "c31_pivot",
+    """SELECT l_returnflag,
+              CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+              CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def c31(spark, sf_dir):
+    """C31: pivot (pandas `pivot_table`) with explicit value list — the
+    explicit list avoids the extra distinct-values job at scale."""
+    li = tables(spark, sf_dir)("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+    )
+
+
+@q(
+    "c32_unpivot",
+    """SELECT p_partkey, metric, value FROM (
+         SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+       )""",
+)
+def c32(spark, sf_dir):
+    """C32: unpivot/melt — wide → long."""
+    p = tables(spark, sf_dir)("part")
+    return p.select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@q(
+    "c33_collect_list",
+    """SELECT o_custkey,
+              string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+              count(*) AS n
+       FROM orders GROUP BY o_custkey""",
+)
+def c33(spark, sf_dir):
+    """C33: collect per group (groupby.apply(list)) — sorted & joined to a
+    string so the result is deterministic and hash-comparable."""
+    o = tables(spark, sf_dir)("orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "c34_first_last",
+    """SELECT o_custkey,
+              arg_max(o_orderstatus, o_orderkey) AS last_status,
+              arg_min(o_totalprice, o_orderkey) AS first_price,
+              max(o_orderkey) AS last_key
+       FROM orders GROUP BY o_custkey""",
+)
+def c34(spark, sf_dir):
+    """C34: first/last per group via min_by/max_by over a unique ordering key
+    (o_orderkey) — tie-free, hence deterministic."""
+    o = tables(spark, sf_dir)("orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+        F.max("o_orderkey").alias("last_key"),
+    )

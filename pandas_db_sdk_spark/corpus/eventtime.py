@@ -1,0 +1,174 @@
+"""Event-time windowing — SURVEY §2 C55–C60, batch-first.
+
+Same `F.window`/`F.session_window` expressions run unchanged under
+Structured Streaming (pandas_db_sdk_spark.streaming wires readStream +
+watermark around them; tests assert batch/stream parity). The DuckDB oracle
+can only check the batch semantics, which is exactly why batch-first.
+
+Spark tumbling/sliding windows align to the Unix epoch; oracles reproduce
+that with integer epoch-µs bucket math (exact — no float time arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ._util import registry, tables
+
+QUERIES, ORACLE, q = registry()
+
+US_5MIN = 300_000_000
+US_10MIN = 600_000_000
+US_30MIN = 1_800_000_000
+
+
+@q(
+    "c55_tumbling_window",
+    f"""SELECT (epoch_us(ts) // {US_5MIN}) * {US_5MIN} AS window_start_us,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY 1, 2""",
+)
+def c55(spark, sf_dir):
+    """C55: tumbling 5-minute window per event type."""
+    e = tables(spark, sf_dir)("events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "c56_sliding_window",
+    f"""WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+            assigned AS (
+              SELECT (us // {US_5MIN}) * {US_5MIN} - k * {US_5MIN} AS window_start_us, value
+              FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            )
+        SELECT window_start_us, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM assigned GROUP BY 1""",
+)
+def c56(spark, sf_dir):
+    """C56: sliding window, 10-minute width, 5-minute slide — every event
+    lands in exactly two windows; the oracle reproduces the assignment with
+    explicit bucket arithmetic."""
+    e = tables(spark, sf_dir)("events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(F.unix_micros(F.col("window.start")).alias("window_start_us"), "n", "total")
+    )
+
+
+@q(
+    "c57_session_window",
+    f"""WITH ordered AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+          FROM events),
+        flagged AS (
+          SELECT user_id, us,
+                 CASE WHEN prev_us IS NULL OR us - prev_us >= {US_30MIN} THEN 1 ELSE 0 END AS new_s
+          FROM ordered),
+        sessions AS (
+          SELECT user_id, us,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged)
+        SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id""",
+)
+def c57(spark, sf_dir):
+    """C57: session windows (30-min gap) per user. Spark sessions are
+    half-open [start, last+gap): an event at exactly prev+gap starts a new
+    session — the oracle's gaps-and-islands uses `>=` to match."""
+    e = tables(spark, sf_dir)("events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "c58_late_data_window",
+    f"""WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+        SELECT (epoch_us(ts) // {US_5MIN}) * {US_5MIN} AS window_start_us,
+               count(*) AS n
+        FROM events, mx
+        WHERE epoch_us(ts) >= mx.max_us - {US_10MIN}
+        GROUP BY 1""",
+)
+def c58(spark, sf_dir):
+    """C58: watermark semantics, batch-checkable core: keep only events within
+    the watermark horizon (10 min) of max event time, then window. The true
+    streaming path (withWatermark + readStream) runs in
+    pandas_db_sdk_spark.streaming with a batch-parity test."""
+    e = tables(spark, sf_dir)("events")
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    return (
+        e.join(F.broadcast(mx))
+        .filter(F.unix_micros("ts") >= F.col("max_us") - US_10MIN)
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("window.start")).alias("window_start_us"), "n")
+    )
+
+
+@q(
+    "c59_dedup_by_key",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                row_number() OVER (PARTITION BY event_id ORDER BY epoch_us(ts)) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def c59(spark, sf_dir):
+    """C59: dedup by event id (streaming dropDuplicates analogue; with a
+    watermark in the streaming path so state is bounded)."""
+    e = tables(spark, sf_dir)("events")
+    return e.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+
+
+@q(
+    "c60_stateful_running_max",
+    """SELECT event_id, user_id,
+              max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) AS running_max,
+              CASE WHEN value >= max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                                  ROWS UNBOUNDED PRECEDING)
+                   THEN 1 ELSE 0 END AS is_new_peak
+       FROM events""",
+)
+def c60(spark, sf_dir):
+    """C60: stateful per-key processing — running max + new-peak flag per
+    user, the batch-checkable twin of the streaming state op implemented with
+    applyInPandasWithState in pandas_db_sdk_spark.streaming.stateful."""
+    e = tables(spark, sf_dir)("events")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    rmax = F.max("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        rmax.alias("running_max"),
+        F.when(F.col("value") >= rmax, 1).otherwise(0).alias("is_new_peak"),
+    )

@@ -1,0 +1,305 @@
+"""LLM-data-pipeline operators — SURVEY §2 Tier D (north star).
+
+Queries over `documents` (500×SF rows of tokenizable text) and `embeddings`
+(64-dim float vectors with cluster-ish labels). Implementations live in
+pandas_db_sdk_spark.{dedup,similarity,text,multimodal}; this module binds
+them to oracle-checkable result shapes. Algorithmic ops whose internals are
+engine-specific (MinHash banding, SimHash, hyperplane LSH) are rows-only
+here and property-tested in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import dedup, multimodal, similarity, text
+from ._util import registry, tables
+
+QUERIES, ORACLE, q = registry()
+
+
+@q(
+    "d01_exact_dedup",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         FROM documents) WHERE rn = 1""",
+)
+def d01(spark, sf_dir):
+    """D1: exact dedup by content hash, keep lowest doc_id per text."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.exact_dedup(d, "text", "doc_id").select("doc_id", "lang")
+
+
+@q("d02_minhash_lsh")  # rows-only: banding internals are engine-specific
+def d02(spark, sf_dir):
+    """D2: MinHash-LSH near-dup candidate pairs (verified Jaccard >= 0.5).
+    Property test in tests/test_dedup.py proves exact dups always collide."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+@q("d02b_simhash")  # rows-only: bit-vote signature is hash-family-specific
+def d02b(spark, sf_dir):
+    """D2: SimHash near-dup pairs (Hamming <= 3 on 64-bit signatures,
+    4×16-bit band blocking — no crossJoin)."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@q(
+    "d02c_ngram_jaccard",
+    """WITH g AS (
+         SELECT doc_id,
+                list_distinct([text[i:i+2] FOR i IN range(1, greatest(length(text)-2, 1) + 1)]) AS grams
+         FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                    len(list_distinct(list_concat(a.grams, b.grams))), 6) AS ngram_jaccard
+       FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
+)
+def d02c(spark, sf_dir):
+    """D2: character-3-gram Jaccard over consecutive-id pairs (bounded,
+    oracle-checkable pairing of the set arithmetic used for near-dedup)."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.ngram_jaccard_consecutive(d, "doc_id", "text", n=3)
+
+
+@q(
+    "d03_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     round(
+                       list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+              FROM q CROSS JOIN embeddings c)
+       SELECT query_id, neighbor_id, cos, rank FROM (
+         SELECT query_id, neighbor_id, cos,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+         FROM scored)
+       WHERE rank <= 5""",
+)
+def d03(spark, sf_dir):
+    """D3: brute-force cosine top-5 for 8 query vectors — exact baseline;
+    the LSH variant (d03b) is the scale path."""
+    e = tables(spark, sf_dir)("embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_bruteforce(queries, e, "vec_id", "vec_id", "embedding", k=5)
+
+
+@q("d03b_ann_lsh")  # rows-only: hyperplane bucketing is hash-family-specific
+def d03b(spark, sf_dir):
+    """D3 scale path: hyperplane-LSH approximate top-k (recall measured
+    against the exact baseline in tests/test_similarity.py)."""
+    e = tables(spark, sf_dir)("embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_lsh(
+        queries, e, "vec_id", "vec_id", "embedding", k=5, n_planes=10, n_tables=6
+    )
+
+
+@q(
+    "d03c_embedding_near_dup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(
+                list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+       FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9""",
+)
+def d03c(spark, sf_dir):
+    """D2/D3: embedding-cosine near-duplicate pairs, blocked by label (the
+    blocking column is the pluggable part — an LSH bucket at scale)."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.near_dup_pairs_by_cosine(e, "vec_id", "embedding", "label", 0.9)
+
+
+@q(
+    "d04_vector_ops",
+    """SELECT vec_id,
+              round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+              round(list_sum(embedding::DOUBLE[]), 6) AS v_sum,
+              len(embedding) AS dim
+       FROM embeddings""",
+)
+def d04(spark, sf_dir):
+    """D4: vector norms/sums via array HOFs (all JVM-side)."""
+    e = tables(spark, sf_dir)("embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(similarity.l2_norm(emb), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 6
+        ).alias("v_sum"),
+        F.size(emb).alias("dim"),
+    )
+
+
+@q(
+    "d05_tfidf",
+    """WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+       dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+       SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+              round(tf.tf * (ln((n.n + 1)::DOUBLE / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+       FROM tf JOIN dfreq USING (token) CROSS JOIN n""",
+)
+def d05(spark, sf_dir):
+    """D5: TF-IDF (smoothed idf), document frequency broadcast-joined."""
+    d = tables(spark, sf_dir)("documents")
+    return text.tf_idf(d, "doc_id", "text", min_df=2)
+
+
+@q(
+    "d06_facet_stats",
+    """SELECT lang, source, count(*) AS n_docs,
+              CAST(sum(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(n_chars) AS avg_chars,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       FROM documents GROUP BY lang, source""",
+)
+def d06(spark, sf_dir):
+    """D6: language/source facet stats."""
+    d = tables(spark, sf_dir)("documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double") / F.count("n_chars")).alias(
+            "avg_chars"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@q(
+    "d07_multimodal",
+    """SELECT doc_id,
+              octet_length(encode(text)) AS n_bytes,
+              sha256(text) AS payload_sha,
+              'text/plain' AS modality
+       FROM documents""",
+)
+def d07(spark, sf_dir):
+    """D7: multimodal column plumbing — binary payload + typed metadata
+    struct; output flattened to scalars for the oracle. The decoder path
+    (mapInPandas, deterministic fake) is exercised in tests/."""
+    d = tables(spark, sf_dir)("documents")
+    m = multimodal.attach_binary_payload(d, "text")
+    return m.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("payload_sha"),
+        F.col("media_meta.modality").alias("modality"),
+    )
+
+
+@q(
+    "d08_char_stats",
+    """SELECT lang,
+              count(*) AS n_docs,
+              CAST(sum(CAST(length(text) AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_len,
+              CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent
+       FROM documents GROUP BY lang""",
+)
+def d08(spark, sf_dir):
+    """D8: text length/char stats + n_chars consistency validation."""
+    d = tables(spark, sf_dir)("documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.length("text").cast("decimal(18,4)")).cast("double") / F.count("*")).alias(
+            "avg_len"
+        ),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)).alias(
+            "n_consistent"
+        ),
+    )
+
+
+@q(
+    "d09_language_id",
+    """WITH toks AS (
+         SELECT doc_id, lang,
+                list_transform(string_split(text, ' '), t -> lower(t)) AS tk
+         FROM documents)
+       SELECT doc_id, lang AS actual_lang,
+              round(len(list_filter(tk, t -> t IN ('the','and','of','to','a','in','is','that','for','it')))::DOUBLE
+                    / greatest(len(tk), 1), 6) AS score_en
+       FROM toks""",
+)
+def d09(spark, sf_dir):
+    """North-star language ID: stopword-hit scoring (en score oracle-checked;
+    full argmax across 4 lexicons returned by text.language_id, tested in
+    tests/test_text.py)."""
+    d = tables(spark, sf_dir)("documents")
+    scored = text.language_id(d, "text")
+    return scored.select("doc_id", F.col("lang").alias("actual_lang"), "score_en")
+
+
+@q(
+    "d10_quality_score",
+    """WITH t AS (
+         SELECT doc_id, text,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                len(list_filter(string_split(text, ' '),
+                    w -> lower(w) IN ('the','and','of','to','a','in','is','that','for','it'))) AS n_stop
+         FROM documents)
+       SELECT doc_id,
+              n_words,
+              round(n_chars::DOUBLE / greatest(n_words, 1), 6) AS avg_word_len,
+              round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+              round(n_stop::DOUBLE / greatest(n_words, 1), 6) AS stopword_ratio,
+              round(
+                (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END) +
+                (CASE WHEN n_chars::DOUBLE / greatest(n_words, 1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END) +
+                (CASE WHEN n_punct::DOUBLE / greatest(n_chars, 1) < 0.2 THEN 0.2 ELSE 0.0 END) +
+                (CASE WHEN n_stop::DOUBLE / greatest(n_words, 1) > 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+       FROM t""",
+)
+def d10(spark, sf_dir):
+    """North-star quality scoring (C4/Gopher-style signals)."""
+    d = tables(spark, sf_dir)("documents")
+    return text.quality_score(d, "text").select(
+        "doc_id", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+@q(
+    "d11_token_count",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_words,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens
+       FROM documents""",
+)
+def d11(spark, sf_dir):
+    """North-star token counting: whitespace + BPE-ish regex pieces."""
+    d = tables(spark, sf_dir)("documents")
+    return text.token_counts(d, "text").select("doc_id", "n_words", "n_bpeish_tokens")
+
+
+@q(
+    "d12_fingerprint",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+       SELECT doc_id,
+              list_min([md5(array_to_string(tk[i:i+4], ' '))
+                        FOR i IN range(1, greatest(len(tk) - 4, 1) + 1)]) AS fingerprint,
+              greatest(len(tk) - 4, 1) AS n_shingles
+       FROM tok""",
+)
+def d12(spark, sf_dir):
+    """North-star document fingerprinting: min-md5 over rolling 5-word
+    shingles (winnowing-lite) — stable under content moves, no shuffle."""
+    d = tables(spark, sf_dir)("documents")
+    return text.fingerprint(d, "doc_id", "text", shingle=5)

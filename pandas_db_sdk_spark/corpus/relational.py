@@ -1,0 +1,479 @@
+"""Sources/sinks, projection/filter, joins — SURVEY §2 C1–C22.
+
+This is the relational core the reference presupposes (its SDK returns whole
+pandas frames for client-side querying, ``client.py:176``); here every op is
+a distributed Spark plan with pushdown/pruning/broadcast handled by Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._util import artifacts_dir, dsum, registry, tables
+
+QUERIES, ORACLE, q = registry()
+
+
+# --------------------------------------------------------------- sources / sinks
+
+
+@q(
+    "c01_scan_parquet",
+    "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
+)
+def c01(spark, sf_dir):
+    """C1: parquet scan with column pruning — ReadSchema carries 3 of 11 cols."""
+    return tables(spark, sf_dir)("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@q("c02_scan_csv", "SELECT * FROM nation")
+def c02(spark, sf_dir):
+    """C2: csv.gz round trip — the reference's storage format (README.md:20).
+
+    Writes `nation` as gzip CSV (engine export fidelity), reads it back with
+    an explicit schema (no inference pass — one job, not two).
+    """
+    t = tables(spark, sf_dir)
+    path = os.path.join(artifacts_dir(), "nation_csv")
+    t("nation").write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@q(
+    "c03_write_partitioned",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+       FROM orders GROUP BY 1""",
+)
+def c03(spark, sf_dir):
+    """C3: partitioned write (reference Date partition keys, README.md:191-198)
+    then a partition-pruned read-back aggregation."""
+    t = tables(spark, sf_dir)
+    path = os.path.join(artifacts_dir(), "orders_by_year")
+    (
+        t("orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total")
+    )
+
+
+@q(
+    "c04_ingest_pandas",
+    """SELECT grp, CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total, count(*) AS n
+       FROM (VALUES ('a', 1.5), ('a', 2.25), ('b', 3.0), ('b', -1.75), ('c', 0.5))
+            AS t(grp, val)
+       GROUP BY grp""",
+)
+def c04(spark, sf_dir):
+    """C4: pandas → engine ingest via Arrow (`client.py:99` analogue)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"grp": ["a", "a", "b", "b", "c"], "val": [1.5, 2.25, 3.0, -1.75, 0.5]}
+    )
+    df = spark.createDataFrame(pdf)
+    return df.groupBy("grp").agg(dsum("val").alias("total"), F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------- projection / filter
+
+
+@q("c05_select", "SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def c05(spark, sf_dir):
+    """C5: column select/reorder (pandas `df[[...]]`)."""
+    return tables(spark, sf_dir)("customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@q(
+    "c06_computed_column",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+       FROM lineitem""",
+)
+def c06(spark, sf_dir):
+    """C6: computed columns (pandas `assign`). Per-row IEEE double arithmetic
+    is bit-identical across engines — no rounding needed."""
+    li = tables(spark, sf_dir)("lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (1 + F.col("l_tax"))).alias("charged"),
+    )
+
+
+@q(
+    "c07_rename",
+    "SELECT c_custkey AS customer_id, c_name AS customer_name FROM customer",
+)
+def c07(spark, sf_dir):
+    """C7: rename (pandas `rename`)."""
+    return (
+        tables(spark, sf_dir)("customer")
+        .select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "customer_id")
+        .withColumnRenamed("c_name", "customer_name")
+    )
+
+
+@q("c08_drop", "SELECT p_partkey, p_brand, p_type, p_size FROM part")
+def c08(spark, sf_dir):
+    """C8: drop columns (pandas `drop`)."""
+    return tables(spark, sf_dir)("part").drop("p_name", "p_retailprice")
+
+
+@q(
+    "c09_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+       FROM lineitem
+       WHERE l_quantity BETWEEN 10 AND 20
+         AND l_returnflag IN ('A', 'R')
+         AND l_shipdate >= TIMESTAMP '1997-01-01'
+         AND NOT (l_discount < 0.02)
+         AND l_tax IS NOT NULL""",
+)
+def c09(spark, sf_dir):
+    """C9: row filters — comparison, boolean algebra, isin, between, null test.
+    All predicates push to the parquet scan (PushedFilters in the plan)."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & ~(F.col("l_discount") < 0.02)
+        & F.col("l_tax").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@q(
+    "c10_distinct",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def c10(spark, sf_dir):
+    """C10: distinct rows (pandas `drop_duplicates`)."""
+    return tables(spark, sf_dir)("orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@q(
+    "c11_null_handling",
+    """SELECT c_custkey,
+              COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_filled,
+              CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END IS NULL AS was_null
+       FROM customer""",
+)
+def c11(spark, sf_dir):
+    """C11: fillna/isnull (pandas `fillna`/`isna`). The synthetic tables carry
+    no nulls, so nulls are manufactured from negative balances first."""
+    c = tables(spark, sf_dir)("customer")
+    nulled = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(nulled, F.lit(0.0)).alias("bal_filled"),
+        nulled.isNull().alias("was_null"),
+    )
+
+
+@q(
+    "c12_cast",
+    """SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
+              CAST(l_quantity AS INTEGER) AS qty_int,
+              CAST(l_linenumber AS BIGINT) AS line_long,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
+       FROM lineitem""",
+)
+def c12(spark, sf_dir):
+    """C12: type casts (pandas `astype`)."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("long").alias("line_long"),
+        # decimal → string at the boundary: pandas renders Spark decimals as
+        # Decimal objects but DuckDB decimals as floats, so the comparable
+        # form is the canonical string.
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
+    )
+
+
+@q(
+    "c13_case_when",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice >= 300000 THEN 'large'
+                   WHEN o_totalprice >= 100000 THEN 'medium'
+                   ELSE 'small' END AS size_class
+       FROM orders""",
+)
+def c13(spark, sf_dir):
+    """C13: conditional expression (np.where / CASE WHEN)."""
+    o = tables(spark, sf_dir)("orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+# --------------------------------------------------------------- joins
+
+
+@q(
+    "c14_join_inner",
+    """SELECT c_mktsegment,
+              count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def c14(spark, sf_dir):
+    """C14: inner equi-join. Catalyst/AQE picks broadcast for the small side."""
+    t = tables(spark, sf_dir)
+    return (
+        t("orders")
+        .join(t("customer"), F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@q(
+    "c15_join_left",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey""",
+)
+def c15(spark, sf_dir):
+    """C15: left outer join — customers with zero orders kept (NULL-safe count)."""
+    t = tables(spark, sf_dir)
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"), dsum("o_totalprice").alias("spend"))
+    )
+
+
+@q(
+    "c15b_join_full",
+    """WITH big_cust AS (SELECT o_custkey, count(*) AS n
+                         FROM orders GROUP BY o_custkey HAVING count(*) > 12)
+       SELECT c.c_custkey, b.o_custkey AS big_key,
+              c.c_custkey IS NULL AS left_missing,
+              b.o_custkey IS NULL AS right_missing
+       FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 0) c
+       FULL JOIN big_cust b ON c.c_custkey = b.o_custkey""",
+)
+def c15b(spark, sf_dir):
+    """C15: full outer join with unmatched rows on both sides."""
+    t = tables(spark, sf_dir)
+    left = t("customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    right = (
+        t("orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 12)
+        .select("o_custkey")
+    )
+    j = left.join(right, left.c_custkey == right.o_custkey, "outer")
+    return j.select(
+        "c_custkey",
+        F.col("o_custkey").alias("big_key"),
+        F.col("c_custkey").isNull().alias("left_missing"),
+        F.col("o_custkey").isNull().alias("right_missing"),
+    )
+
+
+@q(
+    "c16_join_multikey",
+    """WITH dim AS (SELECT o_orderstatus, o_orderpriority, count(*) AS grp_n
+                    FROM orders GROUP BY 1, 2)
+       SELECT o.o_orderstatus, o.o_orderpriority,
+              count(*) AS n, max(dim.grp_n) AS dim_n
+       FROM orders o
+       JOIN dim ON o.o_orderstatus = dim.o_orderstatus
+                AND o.o_orderpriority = dim.o_orderpriority
+       GROUP BY 1, 2""",
+)
+def c16(spark, sf_dir):
+    """C16: multi-key equi-join (compound ON)."""
+    o = tables(spark, sf_dir)("orders")
+    dim = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("grp_n"))
+    return (
+        o.join(dim, ["o_orderstatus", "o_orderpriority"])
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.max("grp_n").alias("dim_n"))
+    )
+
+
+@q(
+    "c17_semi_join",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""",
+)
+def c17(spark, sf_dir):
+    """C17: left semi join (the pandas `isin` idiom, distributed)."""
+    t = tables(spark, sf_dir)
+    big = t("orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        t("customer")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@q(
+    "c18_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def c18(spark, sf_dir):
+    """C18: left anti join — customers with no orders."""
+    t = tables(spark, sf_dir)
+    return (
+        t("customer")
+        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@q(
+    "c19_cross_join",
+    """SELECT r1.r_name AS from_region, r2.r_name AS to_region
+       FROM region r1 CROSS JOIN region r2 WHERE r1.r_regionkey <> r2.r_regionkey""",
+)
+def c19(spark, sf_dir):
+    """C19: cross join (tiny × tiny only — never the scale path)."""
+    r = tables(spark, sf_dir)("region")
+    r1 = r.select(F.col("r_regionkey").alias("k1"), F.col("r_name").alias("from_region"))
+    r2 = r.select(F.col("r_regionkey").alias("k2"), F.col("r_name").alias("to_region"))
+    return (
+        r1.crossJoin(r2).filter(F.col("k1") != F.col("k2")).select("from_region", "to_region")
+    )
+
+
+@q(
+    "c20_range_join",
+    """WITH bands AS (
+         SELECT * FROM (VALUES ('tiny', 0.0, 50000.0), ('mid', 50000.0, 200000.0),
+                               ('big', 200000.0, 1000000.0)) AS t(band, lo, hi))
+       SELECT band, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+       FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY band""",
+)
+def c20(spark, sf_dir):
+    """C20: theta/range join — broadcast nested loop against a tiny band table.
+    At scale the band table is always the broadcast side."""
+    o = tables(spark, sf_dir)("orders")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("big", 200000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        o.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@q(
+    "c21_asof_join",
+    """SELECT p.event_id, p.user_id, p.value AS purchase_value,
+              s.ts_us AS signup_ts_us, s.value AS signup_value
+       FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+             FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN
+            (SELECT user_id, value, epoch_us(ts) AS ts_us
+             FROM events WHERE event_type = 'signup') s
+       ON p.user_id = s.user_id AND p.ts_us >= s.ts_us""",
+)
+def c21(spark, sf_dir):
+    """C21: as-of join (pandas `merge_asof`) — each purchase matched to the
+    latest signup at-or-before it, per user.
+
+    Scale-path implementation: NO range join, NO per-key blowup. Union both
+    sides, one window `last(ignorenulls)` ordered by event time — a single
+    shuffle on user_id regardless of per-user event counts.
+    """
+    e = tables(spark, sf_dir)("events").withColumn("ts_us", F.unix_micros("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", "ts_us"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", "value", "ts_us")
+
+    from pyspark.sql import Window as W
+
+    unioned = purchases.withColumn("side", F.lit(1)).unionByName(
+        signups.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "value",
+            "ts_us",
+            F.lit(0).alias("side"),
+        )
+    )
+    # signups sort before purchases at equal ts (side 0 < 1) → ties are matched,
+    # same as DuckDB's `ON p.ts >= s.ts`.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s_ts = F.when(F.col("side") == 0, F.col("ts_us"))
+    s_val = F.when(F.col("side") == 0, F.col("value"))
+    enriched = unioned.withColumn("signup_ts_us", F.last(s_ts, ignorenulls=True).over(w)).withColumn(
+        "signup_value", F.last(s_val, ignorenulls=True).over(w)
+    )
+    return enriched.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        "signup_ts_us",
+        "signup_value",
+    )
+
+
+@q(
+    "c22_broadcast_join",
+    """SELECT p_brand, count(*) AS n_items,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS volume
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand""",
+)
+def c22(spark, sf_dir):
+    """C22: explicit broadcast-hint join — `part` ships to every executor, the
+    100×-bigger lineitem never shuffles."""
+    t = tables(spark, sf_dir)
+    return (
+        t("lineitem")
+        .join(F.broadcast(t("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("volume"))
+    )

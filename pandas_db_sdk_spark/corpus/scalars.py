@@ -1,0 +1,228 @@
+"""Scalar function surface — SURVEY §2 C48–C54 (pandas .str/.dt/ufuncs/json).
+
+All JVM-side built-ins (whole-stage codegen — no Python in the row path).
+Regex patterns are kept to the dialect intersection of Java regex and RE2 so
+the DuckDB oracle agrees. libm-backed functions (exp/ln/pow) are rounded to
+6 dp: implementations may differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import registry, tables
+
+QUERIES, ORACLE, q = registry()
+
+
+@q(
+    "c48_string_fns",
+    """SELECT c_custkey,
+              upper(c_name) AS up,
+              lower(c_mktsegment) AS lo,
+              substring(c_name, 1, 8) AS sub8,
+              length(c_name) AS len,
+              concat_ws('|', c_mktsegment, c_name) AS joined,
+              trim('  ' || c_name || ' ') AS trimmed,
+              lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+              regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+              regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+              starts_with(c_name, 'Customer') AS is_cust,
+              contains(c_mktsegment, 'MACH') AS has_mach,
+              replace(c_mktsegment, 'A', '@') AS replaced,
+              split_part(c_name, '#', 2) AS after_hash
+       FROM customer""",
+)
+def c48(spark, sf_dir):
+    """C48: string family — upper/lower/substr/length/concat/trim/pad/regex/
+    predicates/split."""
+    c = tables(spark, sf_dir)("customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.length("c_name").alias("len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.startswith("c_name", F.lit("Customer")).alias("is_cust"),
+        F.contains("c_mktsegment", F.lit("MACH")).alias("has_mach"),
+        F.replace("c_mktsegment", F.lit("A"), F.lit("@")).alias("replaced"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("after_hash"),
+    )
+
+
+@q(
+    "c49_date_fns",
+    """SELECT o_orderkey,
+              year(o_orderdate) AS yr,
+              month(o_orderdate) AS mo,
+              day(o_orderdate) AS dy,
+              CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+              dayofweek(o_orderdate) + 1 AS dow,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+              strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+              date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+              strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+              strftime(o_orderdate, '%Y-%m-%d') AS iso
+       FROM orders""",
+)
+def c49(spark, sf_dir):
+    """C49: date/time family. Session TZ pinned to UTC so timestamp→date is
+    engine-independent. Spark dayofweek is 1=Sunday; DuckDB's is 0=Sunday —
+    oracle adds 1."""
+    o = tables(spark, sf_dir)("orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso"),
+    )
+
+
+@q(
+    "c50_math_fns",
+    """SELECT l_orderkey, l_linenumber,
+              abs(l_discount - 0.05) AS a,
+              round(l_extendedprice, 1) AS r1,
+              CAST(floor(l_quantity / 7) AS BIGINT) AS fl,
+              CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ce,
+              round(sqrt(l_extendedprice), 6) AS sq,
+              round(pow(l_quantity, 2), 6) AS p2,
+              round(exp(l_discount), 6) AS ex,
+              round(ln(l_extendedprice), 6) AS lg,
+              CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+              greatest(l_quantity, 25.0) AS gt,
+              least(l_tax, 0.04) AS lt,
+              l_linenumber % 3 AS md
+       FROM lineitem""",
+)
+def c50(spark, sf_dir):
+    """C50: math family (numpy-ufunc analogues)."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("a"),
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.floor(F.col("l_quantity") / 7).alias("fl"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("ce"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("gt"),
+        F.least("l_tax", F.lit(0.04)).alias("lt"),
+        (F.col("l_linenumber") % 3).alias("md"),
+    )
+
+
+@q(
+    "c51_array_fns",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+       SELECT doc_id,
+              len(tokens) AS n_tokens,
+              len(list_distinct(tokens)) AS n_unique,
+              list_contains(tokens, 'data') AS has_data,
+              array_to_string(tokens[1:3], ' ') AS first3,
+              list_sort(tokens)[1] AS min_token,
+              len(list_filter(tokens, t -> length(t) > 5)) AS n_long,
+              CAST(len(list_filter(tokens, t -> t IS NOT NULL)) AS INTEGER) AS n_nonnull
+       FROM tok""",
+)
+def c51(spark, sf_dir):
+    """C51: array higher-order functions over tokenized text — size, distinct,
+    contains, slice, sort, filter. All JVM-side HOFs (no UDF)."""
+    d = tables(spark, sf_dir)("documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.element_at(F.array_sort(toks), 1).alias("min_token"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.when(t.isNotNull(), 1).otherwise(0)
+        ).alias("n_nonnull"),
+    )
+
+
+@q(
+    "c52_map_struct",
+    """SELECT c_custkey,
+              c_name AS s_name,          -- struct_pack(...).name ≡ identity
+              c_acctbal AS s_bal,        -- struct_pack(...).bal  ≡ identity
+              c_mktsegment AS m_seg,     -- map lookup of the packed value
+              'a,b' AS m_keys            -- sorted keys of the 2-entry map
+       FROM customer""",
+)
+def c52(spark, sf_dir):
+    """C52: struct/map create + field access; complex values reduced to
+    scalars at the output boundary so hashes are comparable."""
+    c = tables(spark, sf_dir)("customer")
+    st = F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal"))
+    mp = F.create_map(F.lit("segment"), F.col("c_mktsegment"))
+    mp2 = F.create_map(F.lit("a"), F.col("c_acctbal"), F.lit("b"), F.lit(0.0))
+    return c.select(
+        "c_custkey",
+        st.getField("name").alias("s_name"),
+        st.getField("bal").alias("s_bal"),
+        mp.getItem("segment").alias("m_seg"),
+        F.array_join(F.map_keys(mp2), ",").alias("m_keys"),
+    )
+
+
+@q(
+    "c53_json",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+              json_extract_string(props, '$.k') AS k_str
+       FROM events""",
+)
+def c53(spark, sf_dir):
+    """C53: JSON column handling (`events.props`, the reference's JSON-records
+    wire format, client.py:114) — schema'd from_json plus path extraction."""
+    from pyspark.sql import types as T
+
+    e = tables(spark, sf_dir)("events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return e.select(
+        "event_id",
+        F.from_json("props", schema).getField("k").alias("k_path"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+@q(
+    "c54_hash",
+    """SELECT doc_id,
+              sha256(text) AS sha_hex,
+              md5(text) AS md5_hex,
+              length(sha256(text)) AS sha_len
+       FROM documents""",
+)
+def c54(spark, sf_dir):
+    """C54: content hashing (the reference's chunk-id/uuid analogue,
+    README.md:197) — sha2/md5 agree across engines; xxhash64/uuid are
+    engine-specific so they live in the dedup ops (rows-only)."""
+    d = tables(spark, sf_dir)("documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha_hex"),
+        F.md5("text").alias("md5_hex"),
+        F.length(F.sha2("text", 256)).alias("sha_len"),
+    )

@@ -1,0 +1,138 @@
+"""Sort / limit / sample / set operations — SURVEY §2 C41–C47.
+
+Limits are always paired with a total order (unique tiebreak) — an unordered
+LIMIT is nondeterministic on any engine, and at scale Spark turns
+ORDER BY + LIMIT into TakeOrderedAndProject (no full sort, no single-node
+shuffle of the whole table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import registry, tables
+
+QUERIES, ORACLE, q = registry()
+
+
+@q(
+    "c41_sort",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+       FROM orders
+       ORDER BY o_orderstatus DESC, o_totalprice ASC, o_orderkey
+       LIMIT 500""",
+)
+def c41(spark, sf_dir):
+    """C41: multi-key sort (desc/asc mix); LIMIT makes ordering observable
+    under the driver's order-insensitive hash."""
+    o = tables(spark, sf_dir)("orders")
+    return (
+        o.orderBy(
+            F.col("o_orderstatus").desc_nulls_last(),
+            F.col("o_totalprice").asc_nulls_first(),
+            "o_orderkey",
+        )
+        .limit(500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@q(
+    "c42_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50",
+)
+def c42(spark, sf_dir):
+    """C42: limit/head over a deterministic order."""
+    o = tables(spark, sf_dir)("orders")
+    return o.orderBy("o_orderkey").limit(50).select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "c43_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def c43(spark, sf_dir):
+    """C43: global top-k (pandas `nlargest`) — TakeOrderedAndProject: each
+    partition keeps k rows, driver merges k·p rows, never the full table."""
+    o = tables(spark, sf_dir)("orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@q("c44_sample")  # rows-only: sampling algorithms differ across engines
+def c44(spark, sf_dir):
+    """C44: Bernoulli sample with a fixed seed (reproducible within Spark)."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@q(
+    "c45_union_all",
+    """SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 10000""",
+)
+def c45(spark, sf_dir):
+    """C45: union all by name (pandas `concat`)."""
+    o = tables(spark, sf_dir)("orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 10000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+@q(
+    "c46_union_distinct",
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+       UNION
+       SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""",
+)
+def c46(spark, sf_dir):
+    """C46: union distinct."""
+    t = tables(spark, sf_dir)
+    a = t("customer").filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = t("orders").filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@q(
+    "c47_intersect",
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+       INTERSECT
+       SELECT o_custkey FROM orders""",
+)
+def c47(spark, sf_dir):
+    """C47: intersect (distinct semantics)."""
+    t = tables(spark, sf_dir)
+    a = t("customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = t("orders").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@q(
+    "c47b_except",
+    """SELECT c_custkey AS custkey FROM customer
+       EXCEPT
+       SELECT o_custkey FROM orders WHERE o_totalprice > 100000""",
+)
+def c47b(spark, sf_dir):
+    """C47: except (distinct semantics)."""
+    t = tables(spark, sf_dir)
+    a = t("customer").select(F.col("c_custkey").alias("custkey"))
+    b = t("orders").filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)  # subtract == EXCEPT DISTINCT

@@ -1,0 +1,216 @@
+"""Deduplication operators — SURVEY §2 D1/D2 (north-star LLM-pipeline ops).
+
+Every operator is DataFrame→DataFrame, built from JVM-side primitives
+(higher-order functions + hash functions + groupBy), so the same code runs
+on local[32] and a 1000-executor cluster:
+
+* exact dedup — hash-groupBy, one shuffle on the content hash;
+* MinHash-LSH near-dedup — shingle → minhash signature → band buckets →
+  bucket-local self-join. The band groupBy replaces the O(n²) crossJoin:
+  candidate generation cost is Σ bucket² over real buckets, not n².
+* SimHash — 64-bit signatures, 4×16-bit band blocking, Hamming verify.
+* n-gram Jaccard — token/char shingle set overlap for candidate pairs.
+
+No Python in the hot path: xxhash64 / transform / aggregate / array_* are
+all codegen'd Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
+    """D1: keep the first row (by order_col) of each exact-content group.
+
+    sha2 group key instead of raw content: the shuffle carries 32 bytes per
+    row, not the document text — at 100 TB that's the difference between
+    shuffling hashes and shuffling the corpus.
+    """
+    w = Window.partitionBy(F.sha2(F.col(content_col), 256)).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _shingles(tokens, size: int):
+    """Word shingles as a codegen'd HOF: sequence over start offsets →
+    slice+join. Returns array<string> (distinct)."""
+    n = F.size(tokens)
+    starts = F.sequence(F.lit(1), F.greatest(n - size + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(tokens, i, size), " "))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 64, shingle: int = 3) -> DataFrame:
+    """Add `__shingles` and `__minhash` (array<long>, length n_hashes).
+
+    Hash family: xxhash64(seed_i, shingle) via n_hashes seed literals — one
+    pass over the shingle array per seed, all inside whole-stage codegen.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    sh = _shingles(tokens, shingle)
+    out = df.withColumn("__shingles", sh)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col("__shingles"), lambda s: F.xxhash64(seed, s))
+        ),
+    )
+    return out.withColumn("__minhash", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """D2: near-duplicate candidate pairs via MinHash + LSH banding, verified
+    with exact Jaccard on the shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signature(df, text_col, n_hashes, shingle).select(
+        F.col(id_col).alias("__id"), "__shingles", "__minhash"
+    )
+    # band key = hash of the band's signature slice → (band_idx, key) buckets
+    band_entries = sig.select(
+        "__id",
+        "__shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(b, F.array_join(F.slice("__minhash", b * rows + 1, rows), ",")),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    left = band_entries.select(
+        F.col("band_idx"), F.col("band_key"), F.col("__id").alias("id_a"), F.col("__shingles").alias("sh_a")
+    )
+    right = band_entries.select(
+        F.col("band_idx"), F.col("band_key"), F.col("__id").alias("id_b"), F.col("__shingles").alias("sh_b")
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """D2: 64-bit SimHash per document, built from token xxhash64 bit votes.
+
+    Explode tokens → per-bit ±1 vote sums → sign → reassemble. The explode +
+    groupBy is one shuffle keyed by id; per-bit sums are plain aggregates.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("__id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"__v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """D2: near-dup pairs whose SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit signature into 4 16-bit bands; by pigeonhole,
+    any pair within Hamming<=3 shares at least one exact band — so the join
+    is 4 equi-joins on band keys, never a crossJoin.
+    """
+    sig = simhash(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    left = bands.select("band_idx", "band_key", F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    right = bands.select("band_idx", "band_key", F.col("__id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def char_ngrams(col, n: int = 3):
+    """Distinct character n-grams of a string column, as a codegen'd HOF."""
+    c = F.col(col) if isinstance(col, str) else col
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: F.substr(c, i, F.lit(n))))
+
+
+def ngram_jaccard_consecutive(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """D2: character-n-gram Jaccard between consecutive ids (id, id+1) — a
+    bounded, oracle-checkable pairing exercising the n-gram set arithmetic."""
+    a = df.select(F.col(id_col).alias("id_a"), char_ngrams(text_col, n).alias("g_a"))
+    b = df.select(
+        (F.col(id_col) - 1).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        char_ngrams(text_col, n).alias("g_b"),
+    )
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    return j.select("id_a", "id_b", F.round(inter / union, 6).alias("ngram_jaccard"))
+
+
+def token_jaccard_consecutive(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """D2: token-set Jaccard between consecutive ids (id, id+1) — a bounded,
+    oracle-checkable pairing that exercises the set arithmetic."""
+    toks = df.select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("t_a"),
+    )
+    toks_b = df.select(
+        (F.col(id_col) - 1).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("t_b"),
+    )
+    j = toks.join(toks_b, "id_a")
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
+    union = F.size(F.array_union("t_a", "t_b")).cast("double")
+    return j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))

@@ -1,0 +1,257 @@
+"""DataFrameEngine — the reference's storage semantics, Spark-native.
+
+Reference surface being re-expressed (``/root/reference/src/pandas_db_sdk/client.py``):
+
+* ``load_dataframe(df, name, columns_keys, external_key, keep_last)``
+  (``client.py:66-137``)  →  :meth:`DataFrameEngine.save`
+* ``get_dataframe(name, external_key, use_last)`` (``client.py:139-183``)
+  →  :meth:`DataFrameEngine.load`
+* ``list_dataframes(prefix)`` (``client.py:185-215``)
+  →  :meth:`DataFrameEngine.list_datasets`
+
+Documented service semantics re-expressed (reference ``README.md``):
+
+* Date partition keys → Hive-style ``<col>=<date>/`` dirs (``README.md:191-198``);
+  Catalyst partition-prunes reads for free.
+* ID range buckets ``from_X_to_Y`` → derived bucket partition column
+  (``README.md:200-207``).
+* ``external_key='NOW'`` timestamp versioning + ``last_key.txt`` latest
+  pointer (``README.md:209-218``) → a ``__version`` partition column + the
+  manifest's ``latest`` field (atomic JSON rename — the pointer-file analogue).
+* ``keep_last=True`` retention (``README.md:85-88``) → stale version dirs
+  removed after a successful commit.
+* 100K-row chunking + gzip CSV (``README.md:20-21``) → parquet+snappy with
+  ``maxRecordsPerFile`` (columnar, splittable — strictly better at scale).
+
+Scale posture: data files are written/read only by Spark tasks (never the
+driver); the manifest holds *metadata only* (names, versions, schemas), so
+it stays KB-sized even when the data is 100 TB. Version/partition filters
+become partition-pruning predicates, so ``load`` of one version touches
+only that version's files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VERSION_COL = "__version"
+KEY_TYPES = ("Date", "ID")
+DEFAULT_ID_BUCKET_WIDTH = 1000
+
+
+class DatasetNotFound(KeyError):
+    pass
+
+
+class DataFrameEngine:
+    """Named-DataFrame warehouse over parquet + a JSON manifest catalog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        id_bucket_width: int = DEFAULT_ID_BUCKET_WIDTH,
+        clock=None,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.id_bucket_width = id_bucket_width
+        # Injectable clock so 'NOW' versioning is testable (reference stamps
+        # server-side per README.md:81-83).
+        self._clock = clock or (lambda: int(time.time() * 1000))
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ---------------------------------------------------------------- manifest
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.warehouse, "_manifest.json")
+
+    def _read_manifest(self) -> Dict[str, Any]:
+        if not os.path.exists(self._manifest_path):
+            return {"datasets": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: Dict[str, Any]) -> None:
+        # Atomic replace = the engine's `last_key.txt` (README.md:217): readers
+        # always see a complete catalog, never a torn write.
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    # ---------------------------------------------------------------- save
+
+    def save(
+        self,
+        df: DataFrame,
+        dataframe_name: str,
+        columns_keys: Optional[Dict[str, str]] = None,
+        external_key: str = "NOW",
+        keep_last: bool = False,
+    ) -> Dict[str, Any]:
+        """Store a DataFrame as a named, partitioned, versioned dataset.
+
+        Mirrors ``load_dataframe`` validation (``client.py:99-110``): input
+        must be a DataFrame, name non-empty, key types in {Date, ID}, key
+        columns present in the schema.
+        """
+        if not isinstance(df, DataFrame):
+            raise TypeError("df must be a pyspark.sql.DataFrame")
+        if not dataframe_name or not isinstance(dataframe_name, str):
+            raise ValueError("dataframe_name must be a non-empty string")
+        columns_keys = dict(columns_keys or {})
+        # A dataset's physical layout is fixed at creation (the reference's
+        # storage dirs imply the same, README.md:189-218): appends inherit the
+        # stored keys; a conflicting layout is an error, not a corrupt mix of
+        # partition trees.
+        existing = self._read_manifest()["datasets"].get(dataframe_name)
+        if existing is not None:
+            if not columns_keys:
+                columns_keys = dict(existing["columns_keys"])
+            elif columns_keys != existing["columns_keys"]:
+                raise ValueError(
+                    f"dataset {dataframe_name!r} was created with partition keys "
+                    f"{existing['columns_keys']}; cannot append with {columns_keys}"
+                )
+        for col, key_type in columns_keys.items():
+            if key_type not in KEY_TYPES:
+                raise ValueError(f"key type for {col!r} must be one of {KEY_TYPES}")
+            if col not in df.columns:
+                raise ValueError(f"partition column {col!r} not in DataFrame")
+
+        version = str(self._clock()) if external_key == "NOW" else external_key
+
+        out = df
+        partition_cols = []
+        for col, key_type in columns_keys.items():
+            if key_type == "Date":
+                pcol = f"__p_{col}"
+                out = out.withColumn(pcol, F.date_format(F.col(col).cast("timestamp"), "yyyy-MM-dd"))
+            else:  # ID → range buckets, README.md:200-207
+                pcol = f"__p_{col}"
+                w = self.id_bucket_width
+                lo = (F.floor(F.col(col).cast("long") / w) * w).cast("long")
+                out = out.withColumn(
+                    pcol, F.concat(F.lit("from_"), lo, F.lit("_to_"), lo + w)
+                )
+            partition_cols.append(pcol)
+        out = out.withColumn(VERSION_COL, F.lit(version))
+        partition_cols.append(VERSION_COL)
+
+        path = self._dataset_path(dataframe_name)
+        (
+            out.write.mode("append")
+            .option("maxRecordsPerFile", 100_000)  # chunking analogue, README.md:21
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+
+        manifest = self._read_manifest()
+        ds = manifest["datasets"].setdefault(
+            dataframe_name,
+            {
+                "path": path,
+                "columns_keys": columns_keys,
+                "versions": [],
+                "schema": df.schema.json(),
+            },
+        )
+        ds["columns_keys"] = columns_keys
+        ds["schema"] = df.schema.json()
+        if version not in ds["versions"]:
+            ds["versions"].append(version)
+        ds["latest"] = version
+
+        if keep_last:
+            # Retention pruning (README.md:85-88): drop superseded version dirs.
+            stale = [v for v in ds["versions"] if v != version]
+            for v in stale:
+                self._delete_version_dirs(path, v)
+            ds["versions"] = [version]
+
+        self._write_manifest(manifest)
+        return {
+            "dataframe_name": dataframe_name,
+            "version": version,
+            "partition_columns": partition_cols,
+            "path": path,
+            "rows": None,  # no driver-side count: counting 100 TB to report a number is waste
+        }
+
+    # ---------------------------------------------------------------- load
+
+    def load(
+        self,
+        dataframe_name: str,
+        external_key: Optional[str] = None,
+        use_last: bool = False,
+        drop_internal: bool = True,
+    ) -> DataFrame:
+        """Retrieve a dataset, optionally pinned to one version.
+
+        Version selection mirrors ``get_dataframe`` params
+        (``client.py:160-165``); the filter lands on a partition column so
+        Catalyst prunes to that version's files only.
+        """
+        ds = self._dataset_entry(dataframe_name)
+        df = self.spark.read.parquet(ds["path"])
+        if use_last:
+            external_key = ds.get("latest")
+        if external_key is not None:
+            df = df.filter(F.col(VERSION_COL) == F.lit(str(external_key)))
+        if drop_internal:
+            internal = [c for c in df.columns if c.startswith("__p_") or c == VERSION_COL]
+            df = df.drop(*internal)
+        return df
+
+    # ---------------------------------------------------------------- list
+
+    def list_datasets(self, prefix: Optional[str] = None) -> Dict[str, Any]:
+        """Catalog listing with prefix filter (``client.py:185-215``)."""
+        manifest = self._read_manifest()
+        names = sorted(manifest["datasets"])
+        if prefix:
+            names = [n for n in names if n.startswith(prefix)]
+        return {
+            "dataframes": {
+                n: {
+                    "versions": manifest["datasets"][n]["versions"],
+                    "latest": manifest["datasets"][n].get("latest"),
+                    "columns_keys": manifest["datasets"][n]["columns_keys"],
+                }
+                for n in names
+            },
+            "count": len(names),
+        }
+
+    # ---------------------------------------------------------------- helpers
+
+    def _dataset_entry(self, name: str) -> Dict[str, Any]:
+        manifest = self._read_manifest()
+        try:
+            return manifest["datasets"][name]
+        except KeyError:
+            raise DatasetNotFound(name) from None
+
+    def _dataset_path(self, name: str) -> str:
+        # 'a/b/c' hierarchical names (README.md:66-72) map to nested dirs.
+        safe = name.strip("/")
+        return os.path.join(self.warehouse, safe)
+
+    def _delete_version_dirs(self, root: str, version: str) -> None:
+        target = f"{VERSION_COL}={version}"
+        for dirpath, dirnames, _ in os.walk(root):
+            for d in list(dirnames):
+                if d == target:
+                    shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
+                    dirnames.remove(d)

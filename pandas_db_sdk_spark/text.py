@@ -1,0 +1,144 @@
+"""Text analysis operators — SURVEY §2 D5/D8 + north-star text ops.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), TF-IDF, and rolling-hash fingerprinting —
+all as composable DataFrame→DataFrame functions using only codegen'd
+built-ins (split/explode/regexp/array HOFs). No Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lexicons for the n-gram/stopword heuristic.
+# Deliberately small: the point is the distributed scoring shape, not lexicon
+# quality (swap in real profiles for production).
+LANG_LEXICONS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "ein", "auf", "ist"],
+}
+
+# BPE-ish tokenization: word pieces, numbers, or any single non-space symbol.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+ENGLISH_STOPWORDS = LANG_LEXICONS["en"]
+
+
+def tokens(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """D5/north-star token counting: whitespace words + BPE-ish regex pieces."""
+    c = F.col(text_col)
+    return df.withColumn("n_words", F.size(tokens(c))).withColumn(
+        "n_bpeish_tokens", F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """North-star language ID: score = fraction of tokens hitting each
+    language's lexicon; predict the argmax (ties broken by language code).
+
+    One pass, no shuffle: per-row array intersection against broadcast-free
+    literal arrays.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    out = df
+    for lang, lex in LANG_LEXICONS.items():
+        hits = F.size(
+            F.filter(toks, lambda t: t.isin(*lex))  # noqa: B023
+        )
+        out = out.withColumn(
+            f"score_{lang}",
+            F.round(hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6),
+        )
+    scores = F.array(
+        *[
+            F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("l"))
+            for lang in sorted(LANG_LEXICONS)
+        ]
+    )
+    # array_max on struct: ordered by (score, lang) — deterministic tie-break.
+    best = F.array_max(scores)
+    return out.withColumn("predicted_lang", best.getField("l"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """North-star quality scoring: length, punctuation ratio, stopword ratio,
+    mean word length → a [0,1]-ish composite. Heuristics follow the common
+    C4/Gopher-style signals, expressed as plain columns."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c)
+    n_words = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit("[^A-Za-z0-9\\s]"), 0))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*ENGLISH_STOPWORDS)))
+    avg_word_len = n_chars.cast("double") / F.greatest(n_words, F.lit(1))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+    score = (
+        F.when((n_words >= 10) & (n_words <= 10000), 0.4).otherwise(0.0)
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 12), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.1).otherwise(0.0)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("avg_word_len", F.round(avg_word_len, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 2))
+    )
+
+
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
+) -> DataFrame:
+    """D5: TF-IDF over whitespace tokens.
+
+    Two shuffles total: (doc, term) counts, then a broadcast-joined document
+    frequency (the term dictionary is tiny relative to the corpus). idf uses
+    the smoothed ln((N+1)/(df+1)) + 1 form.
+    """
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).withColumn("__one", F.lit(1))
+    terms = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(n_docs), "__one")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1)) + 1.0),
+                6,
+            ),
+        )
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle: int = 5
+) -> DataFrame:
+    """North-star document fingerprinting (winnowing-lite): the minimum hash
+    over rolling word shingles — one stable 32-hex fingerprint per document,
+    computed entirely with HOFs (no shuffle at all)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - shingle + 1, F.lit(1)))
+    hashes = F.transform(starts, lambda i: F.md5(F.array_join(F.slice(toks, i, shingle), " ")))
+    return df.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(hashes).alias("n_shingles"),
+    )
