@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+The headline set spans the engine's load-bearing paths: scan+agg, broadcast
+join, shuffle join, window top-k, count-distinct, event-time windows, as-of
+join, exact + MinHash dedup, vector top-k, TF-IDF. Each timing includes plan
++ execution to a driver-side action that materializes the full result
+(count on large outputs, collect on small aggregates) — the same work a
+user's query would do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pandas_db_sdk_spark import get_spark
+    from pandas_db_sdk_spark.corpus import all_queries
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    headline = [
+        ("q1_pricing_summary", "c23_groupby_agg"),
+        ("q2_broadcast_join", "c22_broadcast_join"),
+        ("q3_shuffle_join_agg", "c15_join_left"),
+        ("q4_window_topk", "c40_topk_per_group"),
+        ("q5_count_distinct", "c25_count_distinct"),
+        ("q6_tumbling_window", "c55_tumbling_window"),
+        ("q7_asof_join", "c21_asof_join"),
+        ("q8_exact_dedup", "d01_exact_dedup"),
+        ("q9_minhash_lsh", "d02_minhash_lsh"),
+        ("q10_cosine_topk", "d03_cosine_topk"),
+        ("q11_tfidf", "d05_tfidf"),
+        ("q12_quality_tokens", "d10_quality_score"),
+    ]
+
+    # Warm the JVM / parquet footers so q1 doesn't pay session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for label, name in headline:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[label] = round(time.perf_counter() - t0, 3)
+        print(f"# {label} ({name}): {n} rows in {timings[label]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
