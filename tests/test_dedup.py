@@ -1,0 +1,102 @@
+"""Property tests for the near-dedup operators — SURVEY §7 Stage 5.
+
+MinHash-LSH and SimHash are rows-only in the oracle harness (banding
+internals are engine-specific), so their correctness gate lives here:
+exact duplicates must ALWAYS be caught (MinHash signatures are equal →
+every band collides; SimHash distance 0), and reported Jaccard values must
+be exact set overlaps.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark import dedup
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(i: int, seed: int) -> str:
+    # deterministic pseudo-text, 30 tokens
+    return " ".join(WORDS[(i * 7 + j * seed) % len(WORDS)] for j in range(30))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, _doc(i, seed=3)) for i in range(40)]
+    # ids 100+i are exact duplicates of ids 0..9
+    rows += [(100 + i, _doc(i, seed=3)) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dups_always_collide_minhash(docs):
+    """Identical text → identical signature → all bands collide; the pair
+    must appear with jaccard == 1.0 regardless of band parameters."""
+    for n_hashes, bands in [(32, 8), (64, 16), (16, 4)]:
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n_hashes=n_hashes, bands=bands, jaccard_threshold=0.9
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+        for i in range(10):
+            assert got.get((i, 100 + i)) == 1.0, (n_hashes, bands, i)
+
+
+def test_minhash_jaccard_is_exact_set_overlap(spark):
+    """The verify stage reports exact shingle-set Jaccard, not an estimate:
+    two docs sharing exactly half their shingle sets → jaccard ≈ 1/3
+    (|A∩B| / |A∪B| with |A|=|B|, half common)."""
+    a = " ".join(f"w{i}" for i in range(20))
+    b = " ".join(f"w{i}" for i in range(10)) + " " + " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", n_hashes=64, bands=64, jaccard_threshold=0.0, shingle=3
+    ).collect()
+    # shingle=3 over 20 tokens → 18 shingles each; shared prefix of 10 tokens
+    # gives 8 common shingles → J = 8 / (18 + 18 - 8)
+    assert len(pairs) == 1
+    assert pairs[0].jaccard == pytest.approx(8 / 28, abs=1e-6)
+
+
+def test_minhash_no_false_positives_above_threshold(docs):
+    """Every returned pair's jaccard respects the threshold (verify stage
+    filters banding false positives)."""
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=32, bands=16, jaccard_threshold=0.8
+    )
+    assert pairs.filter(F.col("jaccard") < 0.8).count() == 0
+
+
+def test_exact_dups_always_collide_simhash(docs):
+    pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(10):
+        assert (i, 100 + i) in got
+
+
+def test_simhash_signature_deterministic(docs):
+    s1 = dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
+    s2 = dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert s1 == s2
+
+
+def test_exact_dedup_keeps_first_by_order(spark):
+    df = spark.createDataFrame(
+        [(1, "same text", 10), (2, "same text", 5), (3, "other", 1)],
+        "id long, text string, ord long",
+    )
+    out = dedup.exact_dedup(df, "text", "ord").orderBy("id").collect()
+    assert [(r.id, r.ord) for r in out] == [(2, 5), (3, 1)]
+
+
+def test_minhash_short_docs_no_crash(spark):
+    """Docs shorter than the shingle width still get signatures (degenerate
+    shingle of the available tokens) and exact short dups still collide."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "x")], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", n_hashes=16, bands=4, jaccard_threshold=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}

@@ -1,0 +1,185 @@
+"""Storage-layer round-trip tests — SURVEY §5.3.
+
+Covers the reference's Tier A/B semantics under the Spark storage layer
+(reference client.py:66-215, README.md:189-218): save→load identity across
+partition-key combos (Date, ID, both), version accumulation vs keep_last,
+use_last resolution, prefix listing, validation guards, and append layout
+inheritance. 'NOW' versioning is driven by an injected clock.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark.engine import DataFrameEngine, DatasetNotFound
+
+
+class FakeClock:
+    def __init__(self, start: int = 1_700_000_000_000):
+        self.t = start
+
+    def __call__(self) -> int:
+        self.t += 1000
+        return self.t
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return DataFrameEngine(spark, str(tmp_path / "wh"), clock=FakeClock())
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [
+        (i, f"2024-01-{(i % 3) + 1:02d}", i * 100, float(i) * 1.5, f"name_{i}")
+        for i in range(1, 21)
+    ]
+    return spark.createDataFrame(rows, "id long, dt string, acct long, amt double, name string")
+
+
+def _sorted_rows(df, cols=("id",)):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_roundtrip_unpartitioned(engine, sample):
+    engine.save(sample, "plain")
+    got = engine.load("plain")
+    assert sorted(got.columns) == sorted(sample.columns)
+    assert _sorted_rows(got.select(*sample.columns)) == _sorted_rows(sample)
+
+
+def test_roundtrip_date_key(engine, sample, tmp_path):
+    engine.save(sample, "by_date", columns_keys={"dt": "Date"})
+    got = engine.load("by_date")
+    assert _sorted_rows(got.select(*sample.columns)) == _sorted_rows(sample)
+    # physical layout: one Hive-style dir per date value (README.md:191-198)
+    root = tmp_path / "wh" / "by_date"
+    dirs = {p.name for p in root.iterdir() if p.is_dir()}
+    assert dirs == {"__p_dt=2024-01-01", "__p_dt=2024-01-02", "__p_dt=2024-01-03"}
+
+
+def test_roundtrip_id_key_buckets(engine, sample, tmp_path):
+    engine.save(sample, "by_id", columns_keys={"acct": "ID"})
+    got = engine.load("by_id")
+    assert _sorted_rows(got.select(*sample.columns)) == _sorted_rows(sample)
+    # range-bucket dirs from_X_to_Y (README.md:200-207); width=1000
+    root = tmp_path / "wh" / "by_id"
+    dirs = {p.name for p in root.iterdir() if p.is_dir()}
+    assert "__p_acct=from_1000_to_2000" in dirs
+
+
+def test_roundtrip_combined_keys(engine, sample):
+    engine.save(sample, "combo", columns_keys={"dt": "Date", "acct": "ID"})
+    got = engine.load("combo")
+    assert _sorted_rows(got.select(*sample.columns)) == _sorted_rows(sample)
+
+
+def test_version_accumulation_and_pinning(engine, sample):
+    engine.save(sample, "ds")  # NOW → t1
+    engine.save(sample, "ds")  # NOW → t2
+    info = engine.list_datasets()["dataframes"]["ds"]
+    assert len(info["versions"]) == 2
+    # default load returns all versions (reference accumulates, README.md:85-88)
+    assert engine.load("ds").count() == 2 * sample.count()
+    # pin to the first version
+    v1 = info["versions"][0]
+    assert engine.load("ds", external_key=v1).count() == sample.count()
+
+
+def test_use_last_resolves_latest(engine, sample):
+    engine.save(sample, "ds")
+    engine.save(sample.limit(5), "ds")
+    got = engine.load("ds", use_last=True)
+    assert got.count() == 5
+
+
+def test_user_defined_external_key(engine, sample):
+    engine.save(sample, "ds", external_key="v1.0")
+    engine.save(sample.limit(3), "ds", external_key="v2.0")
+    assert engine.load("ds", external_key="v1.0").count() == sample.count()
+    assert engine.load("ds", external_key="v2.0").count() == 3
+    assert engine.list_datasets()["dataframes"]["ds"]["latest"] == "v2.0"
+
+
+def test_keep_last_prunes_stale_versions(engine, sample):
+    engine.save(sample, "ds")
+    engine.save(sample.limit(7), "ds", keep_last=True)
+    info = engine.list_datasets()["dataframes"]["ds"]
+    assert len(info["versions"]) == 1
+    # stale version's files are gone: full load == latest load
+    assert engine.load("ds").count() == 7
+
+
+def test_append_inherits_partition_keys(engine, sample):
+    engine.save(sample, "ds", columns_keys={"dt": "Date"})
+    engine.save(sample, "ds")  # no keys given → inherit Date key
+    assert engine.load("ds").count() == 2 * sample.count()
+    info = engine.list_datasets()["dataframes"]["ds"]
+    assert info["columns_keys"] == {"dt": "Date"}
+
+
+def test_conflicting_partition_keys_rejected(engine, sample):
+    engine.save(sample, "ds", columns_keys={"dt": "Date"})
+    with pytest.raises(ValueError, match="created with partition keys"):
+        engine.save(sample, "ds", columns_keys={"acct": "ID"})
+
+
+def test_validation_guards(engine, sample):
+    # mirrors client.py:99-110
+    with pytest.raises(TypeError):
+        engine.save("not a df", "x")
+    with pytest.raises(ValueError):
+        engine.save(sample, "")
+    with pytest.raises(ValueError, match="must be one of"):
+        engine.save(sample, "x", columns_keys={"dt": "Hash"})
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        engine.save(sample, "x", columns_keys={"missing": "Date"})
+
+
+def test_missing_dataset_raises(engine):
+    with pytest.raises(DatasetNotFound):
+        engine.load("nope")
+
+
+def test_prefix_listing(engine, sample):
+    engine.save(sample, "proj/a")
+    engine.save(sample, "proj/b")
+    engine.save(sample, "other/c")
+    out = engine.list_datasets(prefix="proj")
+    assert sorted(out["dataframes"]) == ["proj/a", "proj/b"]
+    assert out["count"] == 2
+    assert engine.list_datasets()["count"] == 3
+
+
+def test_hierarchical_names_nest_on_disk(engine, sample, tmp_path):
+    engine.save(sample, "proj/dataset/subset")
+    assert (tmp_path / "wh" / "proj" / "dataset" / "subset").is_dir()
+    assert engine.load("proj/dataset/subset").count() == sample.count()
+
+
+def test_version_filter_prunes_partitions(engine, sample):
+    """The version predicate must land on the partition column so a pinned
+    load scans only that version's files (the 100 TB posture)."""
+    engine.save(sample, "ds", external_key="v1")
+    engine.save(sample, "ds", external_key="v2")
+    df = engine.load("ds", external_key="v1", drop_internal=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # parquet scan reports partition count after pruning
+    assert engine.load("ds", external_key="v1").count() == sample.count()
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    ) if hasattr(df._sc._jvm, "PythonSQLUtils") else plan
+    # at minimum the filter is a partition filter, not a post-scan filter
+    assert "__version" in plan
+
+
+def test_schema_preserved_across_roundtrip(engine, spark):
+    df = spark.createDataFrame(
+        [(1, 1.5, True, "s", None)],
+        "a long, b double, c boolean, d string, e string",
+    )
+    engine.save(df, "typed")
+    got = engine.load("typed")
+    assert dict(got.dtypes) == dict(df.dtypes)

@@ -1,0 +1,99 @@
+"""Structured Streaming parity tests — SURVEY §2 C55-C60, §5 mitigation.
+
+Each windowed/stateful op runs twice over the same events sample: once as a
+real file-source stream (readStream → AvailableNow → memory sink) and once
+as a batch DataFrame. The batch result is the oracle (the DuckDB oracle can
+only check batch equivalents; this closes the streaming half).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pandas_db_sdk_spark.streaming import windows as W
+from pandas_db_sdk_spark.streaming.stateful import running_max_stateful
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-write the events sample with µs timestamps (the raw file is
+    TIMESTAMP(NANOS), which the file-stream source can't infer)."""
+    from pandas_db_sdk_spark.io import tables
+
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    tables(spark, SF)("events").limit(2000).coalesce(2).write.parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def _rows(df, keys):
+    return sorted(tuple(r) for r in df.select(*keys).collect())
+
+
+@pytest.mark.parametrize(
+    "fn,keys,mode",
+    [
+        (W.tumbling_counts, ["window_start_us", "event_type", "n", "total"], "complete"),
+        (W.sliding_counts, ["window_start_us", "n"], "complete"),
+        (W.session_counts, ["user_id", "session_start_us", "n_events"], "complete"),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_windowed_stream_matches_batch(spark, events_dir, events_batch, fn, keys, mode):
+    streamed = W.run_to_memory(
+        fn(W.stream_events_from_dir(spark, events_dir)), spark, mode=mode
+    )
+    expected = fn(events_batch)
+    assert _rows(streamed, keys) == _rows(expected, keys)
+
+
+def test_streaming_dedup_matches_batch(spark, events_dir, events_batch):
+    streamed = W.run_to_memory(
+        W.dedup_events(W.stream_events_from_dir(spark, events_dir)), spark, mode="append"
+    )
+    expected = W.dedup_events(events_batch)
+    assert streamed.count() == expected.count()
+    assert _rows(streamed, ["event_id"]) == _rows(expected, ["event_id"])
+
+
+def test_stateful_running_max_matches_batch(spark, events_dir, events_batch):
+    """C60: applyInPandasWithState (stream) vs applyInPandas cummax (batch).
+
+    The streaming run sees per-user events in event_id order within a single
+    AvailableNow batch, so the final running_max per event must equal the
+    batch cumulative max.
+    """
+    streamed = W.run_to_memory(
+        running_max_stateful(W.stream_events_from_dir(spark, events_dir)),
+        spark,
+        mode="append",
+    )
+    expected = running_max_stateful(events_batch)
+    keys = ["event_id", "user_id", "running_max"]
+    assert _rows(streamed, keys) == _rows(expected, keys)
+
+
+def test_watermark_state_is_bounded(spark, events_dir):
+    """C58: the watermark must register in the streaming plan (state eviction
+    at scale depends on it)."""
+    stream = W.tumbling_counts(W.stream_events_from_dir(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_check")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    assert progress is not None and "watermark" in progress.get("eventTime", {})
