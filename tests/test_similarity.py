@@ -1,0 +1,107 @@
+"""Similarity-search tests — SURVEY §2 D3/D4.
+
+The ANN path is rows-only in the oracle harness (hyperplane bucketing is
+hash-family-specific), so its gate lives here: recall measured against the
+exact brute-force baseline, determinism, and self-retrieval.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark import similarity
+from pandas_db_sdk_spark.io import tables
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return tables(spark, SF)("embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, emb):
+    out = similarity.cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding", k=5
+    )
+    return {(r.query_id, r.neighbor_id) for r in out.collect()}
+
+
+def test_bruteforce_self_is_top1(spark, emb):
+    out = similarity.cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding", k=5
+    )
+    top1 = {r.query_id: r.neighbor_id for r in out.filter(F.col("rank") == 1).collect()}
+    assert top1 == {i: i for i in range(8)}  # cos(v, v) == 1 is always rank 1
+
+
+def test_lsh_recall_vs_exact(spark, emb, exact_topk):
+    """Multi-table hyperplane LSH must always recover the query itself
+    (identical vectors collide in every table), and recall must rise with
+    more tables.
+
+    Absolute recall floor is set by the data: these synthetic embeddings are
+    near-uniform, so true top-5 neighbors sit at low cosine where hyperplane
+    collision probability (1-θ/π)^planes is inherently small — the hard case
+    for LSH. (At the operator's intended near-dup regime, cos ≥ 0.95, the
+    same math gives >99% recall per 6 tables.)"""
+
+    def run(n_tables):
+        ann = similarity.cosine_topk_lsh(
+            emb.filter(F.col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
+            k=5, n_planes=6, n_tables=n_tables,
+        )
+        return {(r.query_id, r.neighbor_id) for r in ann.collect()}
+
+    got = run(12)
+    for i in range(8):
+        assert (i, i) in got
+    recall12 = len(got & exact_topk) / len(exact_topk)
+    recall2 = len(run(2) & exact_topk) / len(exact_topk)
+    assert recall12 >= 0.3, f"ANN recall {recall12:.2f} below floor"
+    assert recall12 >= recall2, "recall must not degrade with more tables"
+
+
+def test_lsh_deterministic(spark, emb):
+    kw = dict(k=3, n_planes=10, n_tables=4)
+    a = similarity.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < 4), emb, "vec_id", "vec_id", "embedding", **kw
+    ).orderBy("query_id", "rank").collect()
+    b = similarity.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < 4), emb, "vec_id", "vec_id", "embedding", **kw
+    ).orderBy("query_id", "rank").collect()
+    assert a == b
+
+
+def test_dot_and_norm_match_numpy(spark):
+    import numpy as np
+
+    va = [1.0, -2.0, 3.5, 0.25]
+    vb = [0.5, 4.0, -1.0, 2.0]
+    df = spark.createDataFrame([(va, vb)], "a array<double>, b array<double>")
+    row = df.select(
+        similarity.dot(F.col("a"), F.col("b")).alias("d"),
+        similarity.l2_norm(F.col("a")).alias("na"),
+        similarity.cosine(F.col("a"), F.col("b")).alias("cos"),
+    ).first()
+    a, b = np.array(va), np.array(vb)
+    assert row.d == pytest.approx(float(a @ b))
+    assert row.na == pytest.approx(float(np.linalg.norm(a)))
+    assert row.cos == pytest.approx(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
+
+
+def test_near_dup_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x", [1.0, 0.0]),
+            (2, "x", [1.0, 0.001]),   # near-dup of 1, same block
+            (3, "x", [0.0, 1.0]),     # same block, orthogonal
+            (4, "y", [1.0, 0.0]),     # identical to 1 but different block → unseen
+        ],
+        "id long, blk string, v array<double>",
+    )
+    out = similarity.near_dup_pairs_by_cosine(df, "id", "v", "blk", threshold=0.99)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
