@@ -1,0 +1,84 @@
+"""Multimodal-column tests — SURVEY §2 D7 north-star.
+
+Binary payloads + typed metadata structs, Arrow-batched decode plumbing
+(deterministic fake decoder), the explicitly-marked real-decoder stub, and
+frame-sampling index arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark import multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100), (3, "")], "doc_id long, text string"
+    )
+
+
+def test_payload_and_metadata(spark, docs):
+    out = multimodal.attach_binary_payload(docs)
+    assert dict(out.dtypes)["payload"] == "binary"
+    rows = {r.doc_id: r for r in out.collect()}
+    m = rows[1].media_meta
+    assert m.modality == "text/plain"
+    assert m.n_bytes == len(b"hello world")
+    assert m.sha256 == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_payload_survives_parquet_roundtrip(spark, docs, tmp_path):
+    """BinaryType + metadata struct must round-trip parquet unchanged —
+    the storage contract for media columns."""
+    out = multimodal.attach_binary_payload(docs)
+    p = str(tmp_path / "media")
+    out.write.parquet(p)
+    back = spark.read.parquet(p)
+    a = {r.doc_id: (bytes(r.payload), r.media_meta.sha256) for r in out.collect()}
+    b = {r.doc_id: (bytes(r.payload), r.media_meta.sha256) for r in back.collect()}
+    assert a == b
+
+
+def test_decode_features_deterministic(spark, docs):
+    out = multimodal.decode_features(multimodal.attach_binary_payload(docs))
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint", "n_bytes": "bigint", "features": "array<double>"
+    }
+    r1 = {r.doc_id: r for r in out.collect()}
+    r2 = {r.doc_id: r for r in multimodal.decode_features(
+        multimodal.attach_binary_payload(docs)).collect()}
+    for k in r1:
+        assert len(r1[k].features) == multimodal.FEATURE_DIM
+        assert r1[k].features == r2[k].features
+    assert r1[2].n_bytes == 100
+    # 100 'x' bytes → every bucket mean is ord('x')
+    assert r1[2].features == [float(ord("x"))] * multimodal.FEATURE_DIM
+
+
+def test_decode_real_is_marked_stub(spark, docs):
+    with pytest.raises(NotImplementedError, match="codecs unavailable"):
+        multimodal.decode_real(multimodal.attach_binary_payload(docs))
+
+
+def test_frame_sample_indices(spark):
+    # 64-byte payload → 4 fake frames; every_n=2 → indices 0, 2
+    df = spark.createDataFrame([(1, b"\x00" * 64)], "doc_id long, payload binary")
+    out = multimodal.frame_sample_plan(df, every_n=2)
+    assert [r.frame_idx for r in out.orderBy("frame_idx").collect()] == [0, 2]
+
+
+def test_media_column_pruned_when_untouched(spark, docs, tmp_path):
+    """Queries that don't reference the payload must not read it from
+    parquet — the property that makes heavy media columns viable at 100 TB."""
+    p = str(tmp_path / "media2")
+    multimodal.attach_binary_payload(docs).write.parquet(p)
+    df = spark.read.parquet(p).select("doc_id", F.col("media_meta.n_bytes"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "payload" not in schema

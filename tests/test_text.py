@@ -1,0 +1,98 @@
+"""Text-analysis operator tests — SURVEY §2 D5/D8 north-star ops.
+
+The oracle harness checks these over the documents table; here we pin exact
+semantics on constructed inputs: known token counts, known language argmax
+with deterministic tie-break, hand-computed TF-IDF, fingerprint stability.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark import text
+
+
+def test_token_counts_exact(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "id long, text string")
+    row = text.token_counts(df).first()
+    assert row.n_words == 4  # whitespace split
+    # BPE-ish: Hello , world ! 42 times → 6 pieces
+    assert row.n_bpeish_tokens == 6
+
+
+def test_language_id_argmax_and_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro y la casa de un gato"),
+            (3, "der Hund und die Katze von dem Haus ist"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in text.language_id(df).collect()}
+    assert rows[1].predicted_lang == "en"
+    assert rows[2].predicted_lang == "es"
+    assert rows[3].predicted_lang == "de"
+    # en doc: hits are the/and/the/of/the = 5 of 8 tokens
+    assert rows[1].score_en == pytest.approx(5 / 8)
+
+
+def test_language_id_tie_breaks_deterministically(spark):
+    """Zero hits everywhere → all scores 0.0 → argmax falls back to the
+    lexicographically greatest language code (struct max on (s, l))."""
+    df = spark.createDataFrame([(1, "zzz qqq xxx")], "id long, text string")
+    row = text.language_id(df).first()
+    assert row.predicted_lang == sorted(text.LANG_LEXICONS)[-1]
+
+
+def test_quality_score_components(spark):
+    good = " ".join(["the quick brown fox jumps over the lazy dog again"] * 2)  # 20 words
+    short = "too short"
+    df = spark.createDataFrame([(1, good), (2, short)], "id long, text string")
+    rows = {r.id: r for r in text.quality_score(df).collect()}
+    # good doc: length ok (0.4) + word len ok (0.3) + punct 0 (0.2) + stopwords (0.1)
+    assert rows[1].quality_score == 1.0
+    assert rows[2].quality_score < 1.0
+    assert rows[2].n_words == 2
+
+
+def test_tf_idf_matches_hand_computation(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "d d")], "doc_id long, text string"
+    )
+    out = text.tf_idf(df, min_df=2).collect()
+    got = {(r.doc_id, r.token): (r.tf, r.df, r.tfidf) for r in out}
+    # only 'a' appears in >= 2 docs
+    assert set(got) == {(1, "a"), (2, "a")}
+    idf = math.log((3 + 1) / (2 + 1)) + 1.0
+    assert got[(1, "a")][0] == 2
+    assert got[(1, "a")][2] == pytest.approx(round(2 * idf, 6))
+    assert got[(2, "a")][2] == pytest.approx(round(1 * idf, 6))
+
+
+def test_fingerprint_stable_and_discriminative(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),
+            (2, "one two three four five six seven"),  # identical text
+            (3, "totally different content here entirely now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.fingerprint(df).collect()}
+    assert rows[1].fingerprint == rows[2].fingerprint
+    assert rows[1].fingerprint != rows[3].fingerprint
+    # 7 tokens, shingle=5 → 3 rolling shingles
+    assert rows[1].n_shingles == 3
+
+
+def test_fingerprint_no_shuffle(spark):
+    """Fingerprinting is per-row arithmetic — its plan must contain no
+    Exchange at all."""
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = text.fingerprint(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
