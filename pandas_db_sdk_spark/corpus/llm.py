@@ -103,6 +103,18 @@ def d03b(spark, sf_dir):
     )
 
 
+@q("d03d_ann_ivf")  # rows-only: k-means cell layout is init-specific
+def d03d(spark, sf_dir):
+    """D3 scale path #2: IVF approximate top-k — coarse k-means cells,
+    multi-probe, exact rerank. With n_probes == n_centroids it equals the
+    brute-force baseline exactly (pinned in tests/test_similarity.py)."""
+    e = tables(spark, sf_dir)("embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_ivf(
+        queries, e, "vec_id", "vec_id", "embedding", k=5, n_centroids=16, n_probes=4
+    )
+
+
 @q(
     "d03c_embedding_near_dup",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

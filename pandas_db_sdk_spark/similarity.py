@@ -158,6 +158,130 @@ def cosine_topk_lsh(
     )
 
 
+def _kmeans_centroids(
+    corpus: DataFrame, vec_col: str, n_centroids: int, max_iter: int, seed: int
+):
+    """Coarse k-means quantizer trained distributed (Lloyd's iterations).
+
+    Assignment is one numpy matmul per Arrow batch; the mean update is a
+    posexplode → groupBy(cid, pos) partial aggregate, so each iteration is
+    one map-side-combined shuffle of (n_centroids × dim) cells — never a
+    driver-side pass over the data. Only the centroid matrix itself
+    (n_centroids × dim doubles) ever lands on the driver; that's the IVF
+    contract (the coarse quantizer is small by definition).
+
+    Deterministic: init picks the n_centroids rows with the smallest
+    xxhash64(seed, vec) — a seeded pseudo-random sample with no RNG state.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    v = F.col(vec_col).cast("array<double>")
+    init = (
+        corpus.select(v.alias("v"))
+        .withColumn("__r", F.xxhash64(F.lit(seed), F.col("v")))
+        .orderBy("__r")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r.v) for r in init])
+
+    for _ in range(max_iter):
+        cmat = centroids  # close over this iteration's matrix
+
+        @pandas_udf("int")
+        def assign(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy())
+            # squared euclidean via the expansion trick; one matmul per batch
+            d = (mat * mat).sum(1)[:, None] - 2 * (mat @ cmat.T) + (cmat * cmat).sum(1)[None, :]
+            return pd.Series(d.argmin(1).astype("int32"))
+
+        cells = (
+            corpus.select(assign(v).alias("cid"), F.posexplode(v).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cid: dict = {}
+        for r in cells:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.s / r.n
+        for cid, dims in by_cid.items():
+            for pos, mean in dims.items():
+                new[cid, pos] = mean
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    return centroids
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """D3 scale path #2: IVF — coarse k-means cells, probe the n_probes
+    nearest cells per query, exact cosine rerank inside probed cells.
+
+    Complements the hyperplane-LSH tier: IVF adapts to the data's actual
+    density (cells follow clusters), so it wins when the corpus is
+    clustered; LSH needs no training pass. With n_probes == n_centroids the
+    search is exhaustive and exactly equals the brute-force baseline (the
+    property tests/test_similarity.py pins).
+
+    The probed join is an equi-join on cell id — at 100 TB the corpus side
+    is partitioned by cid (an inverted file), queries touch only their
+    probed cells, and nothing is ever a crossJoin.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    centroids = _kmeans_centroids(corpus, vec_col, n_centroids, max_iter, seed)
+    n_probes = min(n_probes, len(centroids))
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d = (mat * mat).sum(1)[:, None] - 2 * (mat @ centroids.T) + (centroids * centroids).sum(1)[None, :]
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probes_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d = (mat * mat).sum(1)[:, None] - 2 * (mat @ centroids.T) + (centroids * centroids).sum(1)[None, :]
+        order = np.argsort(d, 1)[:, :n_probes].astype("int32")
+        return pd.Series(list(order))
+
+    v = F.col(vec_col).cast("array<double>")
+    inverted = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        v.alias("__cv"),
+        l2_norm(v).alias("__cn"),
+        cell_of(v).alias("__cell"),
+    )
+    probed = queries.select(
+        F.col(query_id).alias("query_id"),
+        v.alias("__qv"),
+        l2_norm(v).alias("__qn"),
+        F.explode(probes_of(v)).alias("__cell"),
+    )
+    scored = probed.join(inverted, "__cell").withColumn(
+        "cos",
+        F.round(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def near_dup_pairs_by_cosine(
     df: DataFrame,
     id_col: str,

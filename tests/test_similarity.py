@@ -76,6 +76,34 @@ def test_lsh_deterministic(spark, emb):
     assert a == b
 
 
+def test_ivf_exhaustive_probe_equals_bruteforce(spark, emb, exact_topk):
+    """n_probes == n_centroids searches every cell → the IVF result must be
+    IDENTICAL to brute force (same ids, same cosines, same ranks)."""
+    out = similarity.cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
+        k=5, n_centroids=8, n_probes=8,
+    )
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert got == exact_topk
+
+
+def test_ivf_recall_rises_with_probes(spark, emb, exact_topk):
+    def recall(n_probes):
+        out = similarity.cosine_topk_ivf(
+            emb.filter(F.col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding",
+            k=5, n_centroids=16, n_probes=n_probes,
+        )
+        got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        # the query's own cell is always probed first → self always found
+        for i in range(8):
+            assert (i, i) in got
+        return len(got & exact_topk) / len(exact_topk)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 >= 0.5, f"IVF recall {r8:.2f} with half the cells probed"
+
+
 def test_dot_and_norm_match_numpy(spark):
     import numpy as np
 
