@@ -16,8 +16,10 @@ from .windows import (
     run_to_memory,
 )
 from .stateful import running_max_stateful
+from .ingest import stream_into_engine
 
 __all__ = [
+    "stream_into_engine",
     "stream_events_from_dir",
     "tumbling_counts",
     "sliding_counts",

@@ -1,0 +1,49 @@
+"""Streaming ingestion into the versioned warehouse — SURVEY §1.4 + §2 C55+.
+
+The reference's write path is batch-only (`load_dataframe`, reference
+client.py:66-137). A 100 TB/day pipeline ingests continuously, so the
+engine's analogue is a Structured Streaming sink: each micro-batch becomes
+one version of a named dataset via ``foreachBatch`` → ``DataFrameEngine
+.save``. Version labels are ``<prefix><epoch_id>`` — monotonic, replayable
+(a restarted query re-writes the same epoch id into the same version, so
+at-least-once delivery converges to the same catalog state rather than
+duplicating data under fresh timestamps).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from ..engine import DataFrameEngine
+
+
+def stream_into_engine(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    dataframe_name: str,
+    columns_keys: Optional[dict] = None,
+    version_prefix: str = "epoch_",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query that lands each micro-batch as a version of
+    ``dataframe_name``. Returns the StreamingQuery handle."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.save(
+            batch_df,
+            dataframe_name,
+            columns_keys=columns_keys,
+            external_key=f"{version_prefix}{epoch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

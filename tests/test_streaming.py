@@ -83,6 +83,30 @@ def test_stateful_running_max_matches_batch(spark, events_dir, events_batch):
     assert _rows(streamed, keys) == _rows(expected, keys)
 
 
+def test_stream_into_engine_versions_microbatches(spark, events_dir, events_batch, tmp_path):
+    """Streaming ingestion lands every micro-batch as a version of a named
+    dataset; the union of versions equals the source, and version labels are
+    epoch-derived (replay-safe)."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import stream_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    q = stream_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "streamed/events",
+        columns_keys={"ts": "Date"},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    info = eng.list_datasets()["dataframes"]["streamed/events"]
+    assert len(info["versions"]) >= 1
+    assert all(v.startswith("epoch_") for v in info["versions"])
+    got = eng.load("streamed/events")
+    assert got.count() == events_batch.count()
+    assert _rows(got, ["event_id"]) == _rows(events_batch, ["event_id"])
+
+
 def test_watermark_state_is_bounded(spark, events_dir):
     """C58: the watermark must register in the streaming plan (state eviction
     at scale depends on it)."""
