@@ -105,8 +105,18 @@ class DataFrameEngine:
         must be a DataFrame, name non-empty, key types in {Date, ID}, key
         columns present in the schema.
         """
+        try:
+            import pandas as pd
+
+            if isinstance(df, pd.DataFrame):
+                # The reference's contract takes a pandas frame directly
+                # (client.py:99); ingest via Arrow — the distributed upgrade
+                # of its JSON-records wire (client.py:114).
+                df = self.spark.createDataFrame(df)
+        except ImportError:
+            pass
         if not isinstance(df, DataFrame):
-            raise TypeError("df must be a pyspark.sql.DataFrame")
+            raise TypeError("df must be a pyspark.sql.DataFrame or pandas.DataFrame")
         if not dataframe_name or not isinstance(dataframe_name, str):
             raise ValueError("dataframe_name must be a non-empty string")
         columns_keys = dict(columns_keys or {})

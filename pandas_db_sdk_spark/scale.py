@@ -1,0 +1,81 @@
+"""Explicit skew-mitigation operators — the 100 TB toolbox.
+
+AQE's skew-join splitting handles most runtime skew automatically
+(session.py turns it on), but two patterns still need the query author:
+a *salted aggregation* when one group key carries a disproportionate share
+of rows, and a *salted join* when a skewed fact key meets a small-but-not-
+broadcastable dimension. Both are pure DataFrame compositions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over salted keys.
+
+    Phase 1 groups by (keys…, salt) so a hot key's rows spread over n_salts
+    reducers; phase 2 merges the partials by the real keys. Supported aggs
+    (value per output column name): ("sum", col), ("count",), ("min", col),
+    ("max", col) — the merge of each is itself (sum of sums, sum of counts,
+    min of mins, max of maxes), which is what makes two-phase legal.
+
+    Spark's partial aggregation already does this *within* a partition; the
+    salt extends it *across* reducers, which matters when one key exceeds a
+    single reducer's share — at 1000 executors a key holding 1% of 100 TB
+    is 1 TB on one reducer without it.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id(), F.lit(n_salts)))
+    phase1 = []
+    merge = []
+    for out_name, spec in aggs.items():
+        op = spec[0]
+        if op == "sum":
+            phase1.append(F.sum(spec[1]).alias(out_name))
+            merge.append(F.sum(out_name).alias(out_name))
+        elif op == "count":
+            phase1.append(F.count("*").alias(out_name))
+            merge.append(F.sum(out_name).alias(out_name))
+        elif op == "min":
+            phase1.append(F.min(spec[1]).alias(out_name))
+            merge.append(F.min(out_name).alias(out_name))
+        elif op == "max":
+            phase1.append(F.max(spec[1]).alias(out_name))
+            merge.append(F.max(out_name).alias(out_name))
+        else:
+            raise ValueError(f"unsupported two-phase agg {op!r}")
+    partial = salted.groupBy(*keys, "__salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*merge)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact side salted and the dimension side replicated.
+
+    Each fact row gets a random-ish salt (deterministic: hash of all its
+    columns), each dim row is exploded n_salts times, and the join key
+    becomes (key, salt) — a hot fact key now lands on n_salts reducers
+    instead of one. Use when the dim is too big to broadcast but small
+    enough to replicate n_salts×; otherwise prefer AQE's skew handling.
+    """
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(n_salts)).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [on, "__salt"], how).drop("__salt")

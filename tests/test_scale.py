@@ -1,0 +1,84 @@
+"""Skew-mitigation operator tests + pandas ingest parity.
+
+salted_agg / salted_join must be RESULT-equivalent to their plain
+counterparts (the salt is purely physical); engine.save must accept a
+pandas DataFrame directly (the reference's contract, client.py:99).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark import scale
+from pandas_db_sdk_spark.engine import DataFrameEngine
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 'hot' holds 90% of rows
+    hot = spark.range(900).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    rest = spark.range(100).select(
+        F.concat(F.lit("k"), (F.col("id") % 10)).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(rest)
+
+
+def test_salted_agg_equals_plain(spark, skewed):
+    plain = {
+        (r.k,): (r.s, r.n, r.mn, r.mx)
+        for r in skewed.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.k,): (r.s, r.n, r.mn, r.mx)
+        for r in scale.salted_agg(
+            skewed, ["k"],
+            {"s": ("sum", "v"), "n": ("count",), "mn": ("min", "v"), "mx": ("max", "v")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_spreads_hot_key(spark, skewed):
+    """Phase 1 must produce multiple partials for the hot key."""
+    salted = skewed.repartition(8).withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(8))
+    )
+    partials = (
+        salted.groupBy("k", "__salt").count().filter(F.col("k") == "hot").count()
+    )
+    assert partials > 1
+
+
+def test_salted_join_equals_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(10)], "k string, label string"
+    )
+    plain = sorted((r.k, r.v, r.label) for r in skewed.join(dim, "k").collect())
+    salted = sorted(
+        (r.k, r.v, r.label) for r in scale.salted_join(skewed, dim, "k", n_salts=4).collect()
+    )
+    assert salted == plain
+
+
+def test_salted_join_unsupported_rows_preserved(spark, skewed):
+    """Left join keeps unmatched fact rows exactly once."""
+    dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+    out = scale.salted_join(skewed, dim, "k", n_salts=4, how="left")
+    assert out.count() == skewed.count()
+    assert out.filter(F.col("label").isNull()).count() == 100
+
+
+def test_engine_save_accepts_pandas(spark, tmp_path):
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    pdf = pd.DataFrame({"id": [1, 2, 3], "x": [0.5, 1.5, 2.5], "d": ["2024-01-01"] * 3})
+    eng.save(pdf, "from_pandas", columns_keys={"d": "Date"})
+    got = eng.load("from_pandas")
+    assert got.count() == 3
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
