@@ -69,12 +69,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for label, name in headline:
+        # settle the JVM between queries: GC pauses from the previous
+        # query's garbage shouldn't be billed to this one
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         n = queries[name](spark, sf_dir).count()
         cold[label] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[label] = round(time.perf_counter() - t0, 3)
+        warms = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            warms.append(time.perf_counter() - t0)
+        timings[label] = round(min(warms), 3)
         print(
             f"# {label} ({name}): {n} rows, warm {timings[label]}s (cold {cold[label]}s)",
             file=sys.stderr,
