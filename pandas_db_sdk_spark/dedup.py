@@ -146,16 +146,38 @@ def minhash_lsh_pairs(
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    # Candidate pairs are orders of magnitude fewer than corpus rows after
-    # banding — broadcast THEM against the shingle table (never the reverse:
-    # broadcasting the corpus-wide shingle arrays is a driver-side OOM at
-    # scale and was ~12× slower even at sf0.1).
-    sh_a = shingle_tbl.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("sh_a"))
-    sh_b = shingle_tbl.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("sh_b"))
-    half = sh_a.join(F.broadcast(cand), "id_a")
-    pairs = sh_b.join(F.broadcast(half), "id_b")
+    # Verify in ONE pass over the shingle table: melt each candidate pair to
+    # two (pair, side, id) rows, broadcast-join the (tiny) melted set against
+    # the shingle sets, and regroup by pair. One broadcast + one pair-sized
+    # shuffle, vs. two sequential broadcast joins. Never broadcast the
+    # reverse direction: corpus-wide shingle arrays on the driver is an OOM
+    # at scale. Multi-band collisions dedupe in the melt, so no separate
+    # dropDuplicates pass over candidates.
+    melt = (
+        cand.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a"), F.col("id_b"),
+                        F.lit("a").alias("side"), F.col("id_a").alias("jid"),
+                    ),
+                    F.struct(
+                        F.col("id_a"), F.col("id_b"),
+                        F.lit("b").alias("side"), F.col("id_b").alias("jid"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .dropDuplicates(["id_a", "id_b", "side"])
+    )
+    sh = shingle_tbl.select(F.col("__id").alias("jid"), F.col("__shingles"))
+    joined = sh.join(F.broadcast(melt), "jid")
+    pairs = joined.groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col("side") == "a", F.col("__shingles")), ignorenulls=True).alias("sh_a"),
+        F.first(F.when(F.col("side") == "b", F.col("__shingles")), ignorenulls=True).alias("sh_b"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
