@@ -53,6 +53,25 @@ def c02(spark, sf_dir):
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
+@q("c02b_scan_json", "SELECT * FROM nation")
+def c02b(spark, sf_dir):
+    """C2: JSON-lines round trip — the reference's wire format
+    (client.py:114 serializes frames as JSON records). Explicit schema on
+    read: no inference pass, and types survive exactly (the upgrade over the
+    reference, which lets JSON degrade them — SURVEY §1.3)."""
+    t = tables(spark, sf_dir)
+    path = os.path.join(artifacts_dir(), "nation_json")
+    t("nation").write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
 @q(
     "c03_write_partitioned",
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

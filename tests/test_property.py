@@ -1,0 +1,84 @@
+"""Property-based differential tests — engine vs pandas on random frames.
+
+The reference's contract is "whatever pandas computes" (SURVEY §0 [C]);
+hypothesis generates adversarial small frames (duplicate keys, NULLs,
+empty groups, negative values) and the engine must agree with pandas on
+the relational core. Example counts are kept small: each example pays a
+Spark job, and the goal is shrunk counterexamples, not volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+KEYS = st.sampled_from(["a", "b", "c", None])
+VALS = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+ROWS = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=30)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _spark_df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+@given(rows=ROWS)
+@SETTINGS
+def test_groupby_sum_count_matches_pandas(spark, rows):
+    sdf = _spark_df(spark, rows)
+    got = {
+        r.k: (r.s, r.n)
+        for r in sdf.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    exp = {}
+    for k, grp in pdf.groupby("k", dropna=False):
+        key = None if pd.isna(k) else k
+        exp[key] = (int(grp["v"].sum()), len(grp))
+    assert got == exp
+
+
+@given(rows=ROWS, threshold=VALS)
+@SETTINGS
+def test_filter_distinct_matches_pandas(spark, rows, threshold):
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731 — None-safe sort
+    sdf = _spark_df(spark, rows)
+    got = sorted(
+        ((r.k, r.v)
+         for r in sdf.filter(F.col("v") > threshold).select("k", "v").distinct().collect()),
+        key=key,
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    exp = sorted(
+        ((None if pd.isna(k) else k, int(v))
+         for k, v in pdf[pdf["v"] > threshold][["k", "v"]]
+         .drop_duplicates()
+         .itertuples(index=False)),
+        key=key,
+    )
+    assert got == exp
+
+
+@given(left=ROWS, right=ROWS)
+@SETTINGS
+def test_inner_join_multiplicity_matches_pandas(spark, left, right):
+    """Join on key: result multiplicity must equal pandas merge (NULL keys
+    never match, duplicates multiply)."""
+    l = _spark_df(spark, left).withColumnRenamed("v", "lv")
+    r = _spark_df(spark, right).withColumnRenamed("v", "rv")
+    got = sorted((x.k, x.lv, x.rv) for x in l.join(r, "k").collect())
+    lp = pd.DataFrame(left, columns=["k", "lv"])
+    rp = pd.DataFrame(right, columns=["k", "rv"])
+    merged = lp.dropna(subset=["k"]).merge(rp.dropna(subset=["k"]), on="k")
+    exp = sorted((k, int(a), int(b)) for k, a, b in merged.itertuples(index=False))
+    assert got == exp
