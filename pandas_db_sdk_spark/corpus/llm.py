@@ -41,6 +41,16 @@ def d02(spark, sf_dir):
     )
 
 
+@q("d02d_dedup_corpus")  # rows-only: cluster layout depends on LSH internals
+def d02d(spark, sf_dir):
+    """D2 end-to-end: MinHash pairs → connected components → keep the min-id
+    canonical per cluster (transitivity pinned in tests/test_dedup.py)."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.dedup_corpus_minhash(
+        d, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+    ).select("doc_id", "lang", "source")
+
+
 @q("d02b_simhash")  # rows-only: bit-vote signature is hash-family-specific
 def d02b(spark, sf_dir):
     """D2: SimHash near-dup pairs (Hamming <= 3 on 64-bit signatures,

@@ -187,6 +187,88 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster ids transitively connected by pairs: returns (id, cluster)
+    where cluster is the minimum id in the component.
+
+    Iterative min-label propagation as pure DataFrame joins: each round,
+    every vertex takes the min of its own label and its neighbors' labels.
+    Rounds needed = component diameter — near-dup clusters are shallow
+    (duplicates of duplicates), so this converges in a handful of rounds;
+    max_iter bounds pathological chains. Each round localCheckpoints the
+    label table: lineage stays O(1) instead of growing a join tree per
+    iteration (the classic iterative-algorithm failure mode on Spark), and
+    convergence is checked with one tiny count per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "cluster")
+        )
+        new = (
+            labels.select("id", "cluster")
+            .union(neigh)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") < F.col("o.cluster"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_corpus_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    shingle: int = 3,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs → transitive clusters →
+    keep one canonical document (min id) per cluster.
+
+    The anti-join removes only non-canonical members of clusters;
+    singletons never enter the pair/cluster computation at all, so the
+    heavy stages scale with the number of near-duplicates, not the corpus.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold, shingle=shingle,
+    )
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """D2: 64-bit SimHash per document, built from token xxhash64 bit votes.
 

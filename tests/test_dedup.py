@@ -19,8 +19,10 @@ WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
 
 
 def _doc(i: int, seed: int) -> str:
-    # deterministic pseudo-text, 30 tokens
-    return " ".join(WORDS[(i * 7 + j * seed) % len(WORDS)] for j in range(30))
+    # deterministic pseudo-text, 30 tokens; the doc-unique prefix token keeps
+    # different ids from colliding by modular accident
+    body = " ".join(WORDS[(i * 7 + j * seed) % len(WORDS)] for j in range(27))
+    return f"doc{i} marker{i} uniq{i} " + body
 
 
 @pytest.fixture(scope="module")
@@ -66,6 +68,32 @@ def test_minhash_no_false_positives_above_threshold(docs):
         docs, "doc_id", "text", n_hashes=32, bands=16, jaccard_threshold=0.8
     )
     assert pairs.filter(F.col("jaccard") < 0.8).count() == 0
+
+
+def test_connected_components_transitive(spark):
+    """a-b and b-c chain into one cluster labelled by the min id; disjoint
+    pairs stay separate; convergence handles a long path."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (5, 4), (6, 5), (7, 6), (8, 7)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.cluster for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    # path 4-5-6-7-8 (diameter 4) all collapse to 4
+    assert comp[4] == comp[5] == comp[6] == comp[7] == comp[8] == 4
+
+
+def test_dedup_corpus_keeps_one_per_cluster(spark, docs):
+    """End-to-end: each exact-dup pair loses its higher id; all unique docs
+    survive."""
+    out = dedup.dedup_corpus_minhash(
+        docs, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.9
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    for i in range(10):
+        assert i in kept and (100 + i) not in kept  # canonical = min id
+    assert {i for i in range(10, 40)} <= kept  # uniques untouched
 
 
 def test_exact_dups_always_collide_simhash(docs):
