@@ -198,6 +198,61 @@ class DataFrameEngine:
             "rows": None,  # no driver-side count: counting 100 TB to report a number is waste
         }
 
+    # ---------------------------------------------------------------- bucketed
+
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        dataframe_name: str,
+        bucket_by: str,
+        n_buckets: int = 32,
+        sort_by: Optional[str] = None,
+        mode: str = "overwrite",
+    ) -> Dict[str, Any]:
+        """Store a dataset hash-bucketed on a join key.
+
+        Two datasets bucketed on the same key with the same bucket count
+        join WITHOUT a shuffle (Spark reads bucket i of both sides into the
+        same task) — the engine's co-located-join path for repeated big-big
+        joins where neither side broadcasts. Bucket metadata lives in the
+        session catalog; on a cluster that's the metastore, so the layout
+        outlives sessions (the local in-memory catalog forgets it, the
+        parquet files remain).
+        """
+        table = self._bucket_table_name(dataframe_name)
+        path = self._dataset_path(dataframe_name) + "__bucketed"
+        writer = (
+            df.write.mode(mode)
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(n_buckets, bucket_by)
+        )
+        if sort_by:
+            writer = writer.sortBy(sort_by)
+        writer.saveAsTable(table)
+
+        manifest = self._read_manifest()
+        manifest["datasets"][dataframe_name + "__bucketed"] = {
+            "path": path,
+            "columns_keys": {},
+            "versions": [],
+            "schema": df.schema.json(),
+            "bucket_by": bucket_by,
+            "n_buckets": n_buckets,
+            "table": table,
+        }
+        self._write_manifest(manifest)
+        return {"dataframe_name": dataframe_name, "table": table, "path": path,
+                "bucket_by": bucket_by, "n_buckets": n_buckets}
+
+    def load_bucketed(self, dataframe_name: str) -> DataFrame:
+        """Load a bucketed dataset through the catalog (keeps the bucket
+        spec visible to the planner, which is what elides the shuffle)."""
+        return self.spark.table(self._bucket_table_name(dataframe_name))
+
+    def _bucket_table_name(self, name: str) -> str:
+        return "bkt_" + name.strip("/").replace("/", "_")
+
     # ---------------------------------------------------------------- load
 
     def load(

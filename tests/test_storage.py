@@ -175,6 +175,37 @@ def test_version_filter_prunes_partitions(engine, sample):
     assert "__version" in plan
 
 
+def test_bucketed_join_elides_shuffle(engine, spark):
+    """Two datasets bucketed on the same key/count must sort-merge join with
+    NO Exchange — the co-located join path for repeated big-big joins."""
+    facts = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+    )
+    dims = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+    )
+    engine.save_bucketed(facts, "bj/facts", bucket_by="k", n_buckets=8, sort_by="k")
+    engine.save_bucketed(dims, "bj/dims", bucket_by="k", n_buckets=8, sort_by="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = engine.load_bucketed("bj/facts").join(engine.load_bucketed("bj/dims"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_roundtrip_values(engine, spark):
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    engine.save_bucketed(df, "bkt_vals", bucket_by="k", n_buckets=4)
+    got = engine.load_bucketed("bkt_vals")
+    assert sorted((r.k, r.v) for r in got.collect()) == sorted(
+        (r.k, r.v) for r in df.collect()
+    )
+
+
 def test_schema_preserved_across_roundtrip(engine, spark):
     df = spark.createDataFrame(
         [(1, 1.5, True, "s", None)],
