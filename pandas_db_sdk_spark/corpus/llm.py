@@ -325,3 +325,70 @@ def d12(spark, sf_dir):
     shingles (winnowing-lite) — stable under content moves, no shuffle."""
     d = tables(spark, sf_dir)("documents")
     return text.fingerprint(d, "doc_id", "text", shingle=5)
+
+
+@q(
+    "d13_repetition_ratio",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          g AS (SELECT doc_id,
+                       [array_to_string(tk[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(tk) - 2, 1) + 1)] AS grams
+                FROM tok)
+       SELECT doc_id,
+              round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+                    greatest(len(grams), 1), 6) AS repetition_ratio
+       FROM g""",
+)
+def d13(spark, sf_dir):
+    """North-star repetition signal (Gopher-style): fraction of 3-word
+    shingles that repeat within the document. Per-row HOFs, no shuffle."""
+    d = tables(spark, sf_dir)("documents")
+    return text.repetition_ratio(d, "text", shingle=3).select(
+        "doc_id", "repetition_ratio"
+    )
+
+
+@q(
+    "d14_pii_flags",
+    """SELECT doc_id,
+              len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(text,
+                  '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) AS n_phones,
+              len(regexp_extract_all(text,
+                  '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4s,
+              (len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+               OR len(regexp_extract_all(text,
+                  '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) > 0
+               OR len(regexp_extract_all(text,
+                  '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) > 0) AS has_pii
+       FROM documents""",
+)
+def d14(spark, sf_dir):
+    """North-star PII gating signal: per-document pattern counts
+    (emails/phones/IPv4) + a combined flag. One scan, no Python."""
+    d = tables(spark, sf_dir)("documents")
+    return text.pii_flags(d, "text").select(
+        "doc_id", "n_emails", "n_phones", "n_ipv4s", "has_pii"
+    )
+
+
+@q("d15_stratified_sample")  # rows-only: Bernoulli sampling is engine-specific
+def d15(spark, sf_dir):
+    """North-star stratified sampling: per-language fractions via sampleBy —
+    the coin flip evaluates in the scan, nothing shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    return text.stratified_sample(
+        d, "lang", {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25}, seed=7
+    ).select("doc_id", "lang")
+
+
+@q("d03e_dedup_by_embedding")  # rows-only: cluster layout is blocking-specific
+def d03e(spark, sf_dir):
+    """D2/D3 end-to-end: embedding-cosine near-dup clusters (blocked by
+    label) reduced to min-id canonicals; the embedding twin of d02d."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.dedup_corpus_by_embedding(
+        e, "vec_id", "embedding", "label", threshold=0.95
+    ).select("vec_id", "label")

@@ -282,6 +282,26 @@ def cosine_topk_ivf(
     )
 
 
+def dedup_corpus_by_embedding(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """D2/D3 end-to-end: embedding-cosine near-dup pairs (within blocks) →
+    transitive clusters → keep the min-id canonical per cluster. The
+    embedding twin of dedup.dedup_corpus_minhash."""
+    from .dedup import connected_components
+
+    pairs = near_dup_pairs_by_cosine(df, id_col, vec_col, block_col, threshold)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def near_dup_pairs_by_cosine(
     df: DataFrame,
     id_col: str,

@@ -127,6 +127,54 @@ def tf_idf(
     )
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text", shingle: int = 3) -> DataFrame:
+    """Gopher-style repetition signal: fraction of word shingles that are
+    duplicates of an earlier shingle in the same document
+    (1 − distinct/total). High values flag boilerplate/spam. Pure per-row
+    HOF arithmetic — no shuffle."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - shingle + 1, F.lit(1)))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, shingle), " "))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.withColumn(
+        "repetition_ratio",
+        F.round(1.0 - distinct.cast("double") / F.greatest(total, F.lit(1)), 6),
+    )
+
+
+# deliberately simple, auditable patterns; swap for validated ones in prod
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4s": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII-pattern counts (emails/phones/IPv4) — the filter
+    signal a training-data pipeline gates on. regexp_extract_all per
+    pattern: one scan of the column, no Python."""
+    c = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{name}", F.size(F.regexp_extract_all(c, F.lit(pat), 0)))
+    any_pii = None
+    for name in PII_PATTERNS:
+        flag = F.col(f"n_{name}") > 0
+        any_pii = flag if any_pii is None else (any_pii | flag)
+    return out.withColumn("has_pii", any_pii)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 7
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (pandas `groupby.sample` analogue) —
+    `sampleBy` pushes the coin flip into the scan; nothing shuffles."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle: int = 5
 ) -> DataFrame:

@@ -121,6 +121,23 @@ def test_dot_and_norm_match_numpy(spark):
     assert row.cos == pytest.approx(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
 
 
+def test_dedup_corpus_by_embedding(spark):
+    """Transitive near-dup chain (1~2, 2~3) collapses to the min id; the
+    distinct-block twin survives."""
+    df = spark.createDataFrame(
+        [
+            (1, "x", [1.0, 0.0]),
+            (2, "x", [1.0, 0.02]),
+            (3, "x", [1.0, 0.04]),   # ~dup of 2 (and transitively of 1)
+            (7, "x", [0.0, 1.0]),    # orthogonal — survives
+            (9, "y", [1.0, 0.0]),    # identical direction, other block — survives
+        ],
+        "id long, blk string, v array<double>",
+    )
+    out = similarity.dedup_corpus_by_embedding(df, "id", "v", "blk", threshold=0.999)
+    assert {r.id for r in out.collect()} == {1, 7, 9}
+
+
 def test_near_dup_pairs_blocked(spark):
     df = spark.createDataFrame(
         [

@@ -74,6 +74,47 @@ def test_tf_idf_matches_hand_computation(spark):
     assert got[(2, "a")][2] == pytest.approx(round(1 * idf, 6))
 
 
+def test_repetition_ratio_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),      # all shingles identical
+            (2, "one two three four five six seven"),  # all shingles distinct
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r.repetition_ratio for r in text.repetition_ratio(df).collect()}
+    # 6 tokens → 4 shingles, 1 distinct → 3/4 repeated
+    assert rows[1] == pytest.approx(0.75)
+    assert rows[2] == 0.0
+
+
+def test_pii_flags_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or bob@test.org"),
+            (2, "server at 10.0.0.1 answered"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in text.pii_flags(df).collect()}
+    assert rows[1].n_emails == 2 and rows[1].has_pii
+    assert rows[2].n_ipv4s == 1 and rows[2].has_pii
+    assert rows[3].n_phones >= 1 and rows[3].has_pii
+    assert rows[4].has_pii is False
+
+
+def test_stratified_sample_respects_strata(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "es") for i in range(400)], "id long, lang string"
+    )
+    out = text.stratified_sample(df, "lang", {"en": 1.0}, seed=7)
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # unlisted strata default to fraction 0
+    assert out.count() == 200  # fraction 1.0 keeps every row of the stratum
+
+
 def test_fingerprint_stable_and_discriminative(spark):
     df = spark.createDataFrame(
         [
