@@ -172,3 +172,55 @@ def c60(spark, sf_dir):
         rmax.alias("running_max"),
         F.when(F.col("value") >= rmax, 1).otherwise(0).alias("is_new_peak"),
     )
+
+
+US_15MIN = 900_000_000
+
+
+@q(
+    "c66_resample",
+    f"""SELECT (epoch_us(ts) // {US_15MIN}) * {US_15MIN} AS bucket_start_us,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2""",
+)
+def c66(spark, sf_dir):
+    """C66 (pandas `resample('15min').agg`): event-time bucketing via the
+    timeseries.resample operator; bucket start exported as epoch-µs for
+    exact integer comparison."""
+    from .. import timeseries as TS
+    from ._util import dsum
+
+    e = tables(spark, sf_dir)("events")
+    out = TS.resample(
+        e, "ts", "15 minutes", keys=["event_type"],
+        aggs={"n": F.count("*"), "total": dsum("value")},
+    )
+    return out.select(
+        F.unix_micros("bucket_start").alias("bucket_start_us"), "event_type", "n", "total"
+    )
+
+
+@q(
+    "c67_ffill",
+    """SELECT event_id, user_id,
+              last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+       FROM (SELECT event_id, user_id,
+                    CASE WHEN value < 50 THEN NULL ELSE value END AS v
+             FROM events)""",
+)
+def c67(spark, sf_dir):
+    """C67 (pandas `groupby().ffill()`): forward fill per user over a
+    sparsified value column, ordered by event_id."""
+    from .. import timeseries as TS
+
+    e = tables(spark, sf_dir)("events").select(
+        "event_id", "user_id",
+        F.when(F.col("value") >= 50, F.col("value")).alias("v"),
+    )
+    return TS.ffill(e, ["v"], "event_id", keys=["user_id"]).select(
+        "event_id", "user_id", F.col("v").alias("v_filled")
+    )

@@ -1,0 +1,154 @@
+"""Time-series operators — the reference's time-series use case
+(reference README.md:92-101: date-keyed tables), given the pandas surface
+users actually reach for: resample, forward/backward fill, and a general
+as-of join (`merge_asof`).
+
+All window-based: one shuffle on the series key, then ordered in-partition
+passes — per-key series length never limits scale, key cardinality does
+(the right axis: billions of short series parallelize perfectly).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    every: str,
+    keys: Sequence[str] = (),
+    aggs: Optional[dict] = None,
+) -> DataFrame:
+    """pandas `resample(every).agg(...)`: bucket event time with
+    `date_trunc`-style windows and aggregate per (keys…, bucket).
+
+    `every` is a Spark window duration ('5 minutes', '1 hour', '1 day').
+    Emits `bucket_start` (timestamp). Buckets with no rows are absent, as
+    in a grouped aggregation (use ffill after a calendar join if a dense
+    axis is needed).
+    """
+    aggs = aggs or {"n": F.count("*")}
+    exprs = [v.alias(k) for k, v in aggs.items()]
+    return (
+        df.groupBy(*keys, F.window(ts_col, every).alias("__w"))
+        .agg(*exprs)
+        .withColumn("bucket_start", F.col("__w.start"))
+        .drop("__w")
+    )
+
+
+def ffill(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """pandas `groupby(keys).ffill()`: replace NULLs with the last non-null
+    value at-or-before the row, per key, ordered by order_col."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def bfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """pandas `groupby(keys).bfill()`: the mirrored window (first non-null
+    at-or-after the row)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance: Optional[int] = None,
+    right_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """pandas `merge_asof`: for each left row, the nearest right row at-or-
+    before (`backward`) or at-or-after (`forward`) it on `on`, per `by`
+    group, optionally within `tolerance` (same units as `on`).
+
+    Implemented as union + one ordered window pass — a single shuffle on
+    the `by` keys, no range join, no per-key row blowup (SURVEY §7 names
+    this the hard part of C21; this is the scale-shaped answer).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = list(by)
+    right_cols = list(
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c != on and c not in by]
+    )
+
+    l = left.withColumn("__side", F.lit(1))
+    r = right.select(
+        *by, F.col(on), *[F.col(c) for c in right_cols]
+    ).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_cols:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
+    unioned = l.select(r.columns).unionByName(r)
+
+    # right rows sort before left at equal `on` so exact matches are taken,
+    # in both directions (mirrors merge_asof's allow_exact_matches=True)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
+
+    matched_on = pick(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True).over(w)
+    out = unioned.withColumn("__m_on", matched_on)
+    for c in right_cols:
+        out = out.withColumn(
+            c, pick(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w)
+        )
+    out = out.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        gap = (
+            (F.col(on) - F.col("__m_on"))
+            if direction == "backward"
+            else (F.col("__m_on") - F.col(on))
+        )
+        within = F.col("__m_on").isNotNull() & (gap <= tolerance)
+        for c in right_cols:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+        out = out.withColumn("__m_on", F.when(within, F.col("__m_on")))
+    return out.drop("__side").withColumnRenamed("__m_on", f"{on}_right")

@@ -1,0 +1,112 @@
+"""Time-series operator tests: resample/ffill/bfill/asof_join vs pandas.
+
+pandas IS the semantics contract here (merge_asof, groupby().ffill()), so
+the assertions are direct pandas comparisons on constructed series.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark import timeseries as ts
+
+
+def test_resample_counts_and_sums(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:01:00", 1.0),
+            ("a", "2024-01-01 00:04:59", 2.0),
+            ("a", "2024-01-01 00:05:00", 4.0),
+            ("b", "2024-01-01 00:00:00", 8.0),
+        ],
+        "k string, t string, v double",
+    ).withColumn("t", F.to_timestamp("t"))
+    out = ts.resample(
+        df, "t", "5 minutes", keys=["k"],
+        aggs={"n": F.count("*"), "s": F.sum("v")},
+    )
+    got = {(r.k, str(r.bucket_start)): (r.n, r.s) for r in out.collect()}
+    assert got == {
+        ("a", "2024-01-01 00:00:00"): (2, 3.0),
+        ("a", "2024-01-01 00:05:00"): (1, 4.0),
+        ("b", "2024-01-01 00:00:00"): (1, 8.0),
+    }
+
+
+def test_ffill_bfill_match_pandas(spark):
+    rows = [
+        ("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None), ("a", 5, 20.0),
+        ("b", 1, None), ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"]).sort_values(["k", "t"])
+
+    got_f = {(r.k, r.t): r.v for r in ts.ffill(df, ["v"], "t", keys=["k"]).collect()}
+    exp_f = {
+        (k, t): (None if pd.isna(v) else v)
+        for k, t, v in pdf.assign(v=pdf.groupby("k")["v"].ffill()).itertuples(index=False)
+    }
+    assert got_f == exp_f
+
+    got_b = {(r.k, r.t): r.v for r in ts.bfill(df, ["v"], "t", keys=["k"]).collect()}
+    exp_b = {
+        (k, t): (None if pd.isna(v) else v)
+        for k, t, v in pdf.assign(v=pdf.groupby("k")["v"].bfill()).itertuples(index=False)
+    }
+    assert got_b == exp_b
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("a", 35, "L3"), ("b", 5, "L4")],
+        "k string, t long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 18, 2.0), ("a", 30, 3.0), ("b", 50, 4.0)],
+        "k string, t long, rv double",
+    )
+    lp = pd.DataFrame([("a", 10, "L1"), ("a", 20, "L2"), ("a", 35, "L3"), ("b", 5, "L4")],
+                      columns=["k", "t", "lbl"])
+    rp = pd.DataFrame([("a", 10, 1.0), ("a", 18, 2.0), ("a", 30, 3.0), ("b", 50, 4.0)],
+                      columns=["k", "t", "rv"])
+    return left, right, lp, rp
+
+
+def _expected_asof(lp, rp, direction, tolerance=None):
+    kw = {"tolerance": tolerance} if tolerance is not None else {}
+    m = pd.merge_asof(
+        lp.sort_values("t"), rp.sort_values("t"), on="t", by="k",
+        direction=direction, **kw,
+    )
+    return {
+        (r.k, r.t): (None if pd.isna(r.rv) else r.rv) for r in m.itertuples(index=False)
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_merge_asof(spark, asof_frames, direction):
+    left, right, lp, rp = asof_frames
+    out = ts.asof_join(left, right, on="t", by=["k"], direction=direction)
+    got = {(r.k, r.t): r.rv for r in out.collect()}
+    assert got == _expected_asof(lp, rp, direction)
+
+
+def test_asof_join_tolerance(spark, asof_frames):
+    left, right, lp, rp = asof_frames
+    out = ts.asof_join(left, right, on="t", by=["k"], direction="backward", tolerance=3)
+    got = {(r.k, r.t): r.rv for r in out.collect()}
+    assert got == _expected_asof(lp, rp, "backward", tolerance=3)
+
+
+def test_asof_join_exact_match_taken(spark, asof_frames):
+    """allow_exact_matches semantics: a right row AT the left timestamp is
+    matched, in both directions."""
+    left, right, lp, rp = asof_frames
+    for direction in ("backward", "forward"):
+        out = ts.asof_join(left, right, on="t", by=["k"], direction=direction)
+        got = {(r.k, r.t): r.rv for r in out.collect()}
+        assert got[("a", 10)] == 1.0
