@@ -101,20 +101,26 @@ def tf_idf(
 ) -> DataFrame:
     """D5: TF-IDF over whitespace tokens.
 
-    Two shuffles total: (doc, term) counts, then a broadcast-joined document
-    frequency (the term dictionary is tiny relative to the corpus). idf uses
-    the smoothed ln((N+1)/(df+1)) + 1 form.
+    One pass over the corpus text: the (doc, term) count table is persisted
+    (MEMORY_AND_DISK — spills, never OOMs) because both the document-
+    frequency aggregate and the final scoring read it; without the persist
+    the tokenize+explode runs twice. df and N fold into ONE broadcast dim
+    (dfreq × n_docs), so scoring is a single broadcast join. idf uses the
+    smoothed ln((N+1)/(df+1)) + 1 form.
     """
-    n_docs = df.select(F.countDistinct(id_col).alias("n")).withColumn("__one", F.lit(1))
+    from pyspark import StorageLevel
+
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
     terms = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
     )
-    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    dim = dfreq.crossJoin(n_docs)
     return (
-        tf.join(F.broadcast(dfreq), "token")
-        .withColumn("__one", F.lit(1))
-        .join(F.broadcast(n_docs), "__one")
+        tf.join(F.broadcast(dim), "token")
         .withColumn(
             "tfidf",
             F.round(
