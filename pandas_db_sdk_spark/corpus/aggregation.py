@@ -310,3 +310,97 @@ def c34(spark, sf_dir):
         F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
         F.max("o_orderkey").alias("last_key"),
     )
+
+
+@q(
+    "c24b_filtered_agg",
+    """SELECT l_returnflag,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+                   FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_hi_disc,
+              count(*) FILTER (WHERE l_linestatus = 'F') AS n_finished,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                   FILTER (WHERE l_quantity >= 25) AS DOUBLE) AS price_bulk
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def c24b(spark, sf_dir):
+    """C24 variant: conditional/filtered aggregation (pandas
+    ``groupby().agg(lambda)`` with masks; SQL ``FILTER (WHERE ...)``).
+    Spark expresses the filter as sum(when(cond, x)) — same partial-agg
+    shape, one pass, no extra shuffle."""
+    li = tables(spark, sf_dir)("lineitem")
+    dec = "decimal(18,4)"
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast(dec)))
+        .cast("double")
+        .alias("qty_hi_disc"),
+        F.count(F.when(F.col("l_linestatus") == "F", F.lit(1))).alias("n_finished"),
+        F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice").cast(dec)))
+        .cast("double")
+        .alias("price_bulk"),
+    )
+
+
+@q(
+    "c28b_corr_covar",
+    """SELECT l_returnflag,
+              round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+              round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_s,
+              round(covar_pop(l_quantity, l_discount), 6) AS cov_p
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def c28b(spark, sf_dir):
+    """C28 variant: bivariate statistics (pandas ``corr``/``cov``). Spark's
+    corr/covar use a mergeable one-pass co-moment formula (partial-aggregable
+    at 100 TB); rounded because float accumulation order differs per engine."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_s"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("cov_p"),
+    )
+
+
+@q(
+    "c30c_grouping_sets",
+    """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+              coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nat,
+              count(*) AS n,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+       FROM customer
+       GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))""",
+)
+def c30c(spark, sf_dir):
+    """C30 variant: explicit GROUPING SETS (disjoint aggregation levels in
+    one pass — Spark expands then partially aggregates; cheaper than two
+    scans + union at scale)."""
+    tables(spark, sf_dir)("customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+                  coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nat,
+                  count(*) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+           FROM customer_gs
+           GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))"""
+    )
+
+
+@q(
+    "c33b_string_agg",
+    """SELECT o_custkey,
+              string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq,
+              count(*) AS n
+       FROM orders GROUP BY o_custkey""",
+)
+def c33b(spark, sf_dir):
+    """C33 variant: ordered string aggregation (pandas
+    ``groupby.apply(','.join)``; SQL listagg/string_agg ORDER BY). Collected
+    as (key, value) structs, array_sort gives the deterministic order — the
+    unique o_orderkey makes the sort total."""
+    o = tables(spark, sf_dir)("orders")
+    pairs = F.array_sort(F.collect_list(F.struct("o_orderkey", "o_orderstatus")))
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(pairs, lambda s: s.getField("o_orderstatus")), ","
+        ).alias("status_seq"),
+        F.count("*").alias("n"),
+    )

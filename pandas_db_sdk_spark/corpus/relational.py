@@ -496,3 +496,47 @@ def c22(spark, sf_dir):
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_items"), dsum("l_extendedprice").alias("volume"))
     )
+
+
+@q(
+    "c15c_join_right",
+    """SELECT o.o_orderkey, c.c_custkey, c.c_name
+       FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def c15c(spark, sf_dir):
+    """C15 variant: right outer join — every customer survives, orderless
+    customers carry NULL o_orderkey. Spark flips this to a left join at
+    planning; with AQE the small build side broadcasts."""
+    t = tables(spark, sf_dir)
+    return (
+        t("orders")
+        .join(t("customer"), F.col("o_custkey") == F.col("c_custkey"), "right")
+        .select("o_orderkey", "c_custkey", "c_name")
+    )
+
+
+@q(
+    "c20b_scalar_subquery",
+    """SELECT c_custkey, c_nationkey, c_acctbal
+       FROM customer c
+       WHERE c_acctbal > (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(c_acctbal)
+           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""",
+)
+def c20b(spark, sf_dir):
+    """C20 variant: correlated scalar subquery (customers above their
+    nation's average balance). De-correlated by hand into agg + broadcast
+    join — the exact rewrite Catalyst applies to the SQL form; the per-nation
+    aggregate is tiny at any scale, so the join never shuffles the fact
+    side. Decimal-sum/count division keeps the threshold bit-identical."""
+    c = tables(spark, sf_dir)("customer")
+    nation_avg = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+         / F.count("c_acctbal")).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )

@@ -226,3 +226,32 @@ def c54(spark, sf_dir):
         F.md5("text").alias("md5_hex"),
         F.length(F.sha2("text", 256)).alias("sha_len"),
     )
+
+
+@q(
+    "c48b_regex_parts",
+    """SELECT p_partkey,
+              array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words,
+              split_part(p_type, ' ', 1) AS first_word,
+              reverse(p_brand) AS rbrand,
+              repeat(p_brand, 2) AS brand2,
+              left(p_name, 5) AS name5,
+              right(p_name, 3) AS name_tail
+       FROM part""",
+)
+def c48b(spark, sf_dir):
+    """C48 variant: regexp_extract_all / split_part / reverse / repeat /
+    left / right (pandas ``.str.findall``/``.str.split`` family). All
+    JVM built-ins — stays inside whole-stage codegen."""
+    p = tables(spark, sf_dir)("part")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0), "|").alias(
+            "words"
+        ),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("first_word"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.left("p_name", F.lit(5)).alias("name5"),
+        F.right("p_name", F.lit(3)).alias("name_tail"),
+    )

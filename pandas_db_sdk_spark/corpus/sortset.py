@@ -136,3 +136,33 @@ def c47b(spark, sf_dir):
         F.col("o_custkey").alias("custkey")
     )
     return a.subtract(b)  # subtract == EXCEPT DISTINCT
+
+
+@q(
+    "c47c_except_all",
+    """SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+       EXCEPT ALL
+       SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0""",
+)
+def c47c(spark, sf_dir):
+    """C47 variant: EXCEPT ALL (bag semantics — multiplicities subtract,
+    unlike the distinct-set c47b). Spark plans a left-anti-style hash
+    aggregate on counts; fully partial-aggregable."""
+    o = tables(spark, sf_dir)("orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderstatus", "o_orderpriority")
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderstatus", "o_orderpriority")
+    return a.exceptAll(b)
+
+
+@q(
+    "c47d_intersect_all",
+    """SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+       INTERSECT ALL
+       SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0""",
+)
+def c47d(spark, sf_dir):
+    """C47 variant: INTERSECT ALL (bag semantics — min of multiplicities)."""
+    o = tables(spark, sf_dir)("orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderstatus", "o_orderpriority")
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderstatus", "o_orderpriority")
+    return a.intersectAll(b)

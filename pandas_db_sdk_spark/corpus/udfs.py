@@ -148,3 +148,36 @@ def c65(spark, sf_dir):
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("n"))
     )
+
+
+@q(
+    "c65b_python_udtf",
+    """SELECT doc_id, word FROM (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents WHERE doc_id % 50 = 0)
+       WHERE word <> ''""",
+)
+def c65b(spark, sf_dir):
+    """C65 variant: real Python UDTF (Spark ≥3.5) applied via LATERAL —
+    1 row → N rows with arbitrary Python per row. The declarative equivalent
+    (explode(split())) is c65; this proves the imperative escape hatch
+    computes the same table. Rows are pre-filtered (doc_id % 50) before the
+    UDTF so the Python boundary sees 2% of the table — the filter stays
+    JVM-side and prunes at the scan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string")
+    class SplitWords:
+        def eval(self, text):
+            if text:
+                for w in text.split(" "):
+                    if w:
+                        yield (w,)
+
+    spark.udtf.register("corpus_split_words", SplitWords)
+    d = tables(spark, sf_dir)("documents").filter(F.col("doc_id") % 50 == 0)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """SELECT d.doc_id, t.word
+           FROM docs_for_udtf d, LATERAL corpus_split_words(d.text) t"""
+    )

@@ -160,3 +160,36 @@ def c40(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+@q(
+    "c35b_value_windows",
+    """SELECT o_orderkey, o_custkey,
+              first_value(o_orderstatus) OVER w AS first_status,
+              last_value(o_orderstatus)  OVER w AS last_status,
+              nth_value(o_orderstatus, 2) OVER w AS second_status,
+              round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 8) AS cd
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def c35b(spark, sf_dir):
+    """C35 variant: value window functions (first/last/nth_value, cume_dist).
+    The frame is pinned to the full partition explicitly — last_value under
+    the default frame is the current row on every engine, a classic
+    cross-engine trap this query documents by avoiding."""
+    o = tables(spark, sf_dir)("orders")
+    wfull = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    wcd = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderstatus").over(wfull).alias("first_status"),
+        F.last("o_orderstatus").over(wfull).alias("last_status"),
+        F.nth_value("o_orderstatus", 2).over(wfull).alias("second_status"),
+        F.round(F.cume_dist().over(wcd), 8).alias("cd"),
+    )
