@@ -112,3 +112,26 @@ def test_entry_flagship_stays_codegen(spark, queries):
     plan = plan_of(df)
     assert "isFinalPlan=true" in plan
     assert "*(" in plan, "no whole-stage-codegen spans in final plan"
+
+
+def test_scalar_subquery_decorrelates_to_broadcast(spark, queries):
+    """c20b's per-nation average is tiny at any scale — it must broadcast,
+    never shuffle the customer side."""
+    plan = plan_of(queries["c20b_scalar_subquery"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filtered_agg_has_partial_aggregation(spark, queries):
+    """Conditional aggregates must still combine map-side."""
+    plan = plan_of(queries["c24b_filtered_agg"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bag_setops_are_hash_joins(spark, queries):
+    """EXCEPT/INTERSECT ALL must plan as hash joins/aggregates on the key
+    columns — never a nested-loop."""
+    for name in ("c47c_except_all", "c47d_intersect_all"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

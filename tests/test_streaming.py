@@ -121,3 +121,18 @@ def test_watermark_state_is_bounded(spark, events_dir):
     q.awaitTermination()
     progress = q.lastProgress
     assert progress is not None and "watermark" in progress.get("eventTime", {})
+
+
+def test_transform_with_state_ema_matches_batch(spark, events_dir, events_batch):
+    """Spark 4 transformWithStateInPandas (StatefulProcessor + ValueState)
+    vs the batch applyInPandas recurrence: per-user EMA must agree exactly
+    (same float op order: events arrive in one AvailableNow batch, sorted by
+    event_id inside the processor)."""
+    from pandas_db_sdk_spark.streaming.stateful import ema_stateful
+
+    streamed = W.run_to_memory(
+        ema_stateful(W.stream_events_from_dir(spark, events_dir)), spark, mode="append"
+    )
+    expected = ema_stateful(events_batch)
+    keys = ["event_id", "user_id", "ema"]
+    assert _rows(streamed, keys) == _rows(expected, keys)
