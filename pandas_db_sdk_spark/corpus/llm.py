@@ -392,3 +392,34 @@ def d03e(spark, sf_dir):
     return similarity.dedup_corpus_by_embedding(
         e, "vec_id", "embedding", "label", threshold=0.95
     ).select("vec_id", "label")
+
+
+@q(
+    "d16_incremental_dedup",
+    """SELECT d.doc_id, d.n_chars FROM documents d
+       WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+           SELECT 1 FROM documents c
+           WHERE c.doc_id % 2 = 0 AND c.text = d.text)""",
+)
+def d16(spark, sf_dir):
+    """D1 incremental: dedup an incoming batch (odd doc_ids) against the
+    already-ingested corpus (even doc_ids) — anti-join on content sha2, the
+    shape a production ingest runs per batch. Oracle states it as NOT EXISTS
+    on text equality (identical result barring sha256 collisions)."""
+    d = tables(spark, sf_dir)("documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_exact_dedup(new, corpus, "text").select("doc_id", "n_chars")
+
+
+@q("d17_sequence_packing")  # rows-only: bin layout is packing-order-specific
+def d17(spark, sf_dir):
+    """North-star sequence packing: documents → fixed token-budget bins
+    (first-fit-decreasing inside hash-salted groups; see packing.py).
+    Invariants (every doc exactly once, bin sums <= budget) are asserted in
+    tests/test_packing.py."""
+    from .. import packing
+
+    d = tables(spark, sf_dir)("documents")
+    toks = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    return packing.pack_greedy(toks, "doc_id", "n_tokens", budget=512)

@@ -540,3 +540,44 @@ def c20b(spark, sf_dir):
         .filter(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", "c_nationkey", "c_acctbal")
     )
+
+
+@q("c01b_scan_orc", "SELECT * FROM nation")
+def c01b(spark, sf_dir):
+    """C1/C2 variant: ORC round trip — the second columnar format Spark
+    ships a vectorized reader for (pushdown + pruning work the same as
+    parquet). Written from `nation`, read back with its own schema."""
+    t = tables(spark, sf_dir)
+    path = os.path.join(artifacts_dir(), "nation_orc")
+    t("nation").write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@q(
+    "c02c_export_jsonl_shards",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def c02c(spark, sf_dir):
+    """C2/C3 variant: sharded JSON-lines export — the sink a training job
+    consumes (one shard per task, `maxRecordsPerFile` bounds shard size,
+    matching the reference's 100K-row chunking, README.md:21). Read back
+    with an explicit schema to prove lossless round trip for JSON-safe
+    types."""
+    t = tables(spark, sf_dir)
+    path = os.path.join(artifacts_dir(), "documents_jsonl")
+    (
+        t("documents")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100_000)
+        .json(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)

@@ -369,3 +369,82 @@ def token_jaccard_consecutive(df: DataFrame, id_col: str, text_col: str) -> Data
     inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
     union = F.size(F.array_union("t_a", "t_b")).cast("double")
     return j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+
+
+# ------------------------------------------------------------ incremental
+
+def incremental_exact_dedup(new_df: DataFrame, corpus_df: DataFrame, content_col: str) -> DataFrame:
+    """Keep only rows of ``new_df`` whose content does not already exist in
+    ``corpus_df`` — the production shape of dedup: every incoming batch is
+    checked against everything previously ingested, without re-deduping the
+    whole corpus.
+
+    Anti-join on sha2(content): the shuffle carries 32-byte hashes, never
+    document text, and the corpus side reduces to distinct hashes first —
+    at 100 TB the join input is the hash set, not the corpus.
+    """
+    h = F.sha2(F.col(content_col), 256)
+    seen = corpus_df.select(h.alias("__h")).distinct()
+    return new_df.withColumn("__h", h).join(seen, "__h", "left_anti").drop("__h")
+
+
+def incremental_dedup_minhash(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup incremental dedup: drop new docs whose Jaccard similarity to
+    ANY existing corpus doc reaches the threshold. Same MinHash-LSH machinery
+    as minhash_lsh_pairs, but the band join is new×corpus instead of
+    corpus×corpus — candidate generation scales with the batch, not the
+    corpus squared. Returns the surviving rows of ``new_df``.
+    """
+    rows = n_hashes // bands
+
+    def prep(df, prefix):
+        spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        agg = minhash_signatures_with_sets(spread, id_col, text_col, n_hashes, shingle).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        band_keys = F.array(
+            *[
+                F.xxhash64(F.lit(b), *[F.col(f"__mh{b * rows + r}") for r in range(rows)])
+                for b in range(bands)
+            ]
+        )
+        bands_tbl = agg.select(
+            F.col("__id").alias(f"{prefix}_id"),
+            F.posexplode(band_keys).alias("band_idx", "band_key"),
+        )
+        sh_tbl = agg.select(
+            F.col("__id").alias(f"{prefix}_id"), F.col("__shset").alias(f"{prefix}_sh")
+        )
+        return bands_tbl, sh_tbl
+
+    new_bands, new_sh = prep(new_df, "new")
+    cor_bands, cor_sh = prep(corpus_df, "cor")
+    cand = (
+        new_bands.join(cor_bands, ["band_idx", "band_key"])
+        .select("new_id", "cor_id")
+        .dropDuplicates(["new_id", "cor_id"])
+    )
+    verified = (
+        cand.join(new_sh, "new_id")
+        .join(cor_sh, "cor_id")
+        .withColumn(
+            "__j",
+            F.size(F.array_intersect("new_sh", "cor_sh")).cast("double")
+            / F.size(F.array_union("new_sh", "cor_sh")).cast("double"),
+        )
+        .filter(F.col("__j") >= jaccard_threshold)
+        .select(F.col("new_id").alias("__dup_id"))
+        .distinct()
+    )
+    return new_df.join(
+        verified, F.col(id_col) == F.col("__dup_id"), "left_anti"
+    )

@@ -1,0 +1,71 @@
+"""Sequence packing — a training-data pipeline staple: group documents into
+fixed token-budget bins (one bin ≈ one training sequence) with minimal
+padding waste.
+
+Distributed shape: documents are hash-salted into independent packing groups
+(one per task), and each group packs locally with first-fit-decreasing in a
+single applyInPandas. No global state, no driver collect — throughput scales
+linearly with executors, and the only shuffle is the groupBy on the salt.
+Cross-group packing loses a little density versus a global packer, but a
+global packer is inherently sequential; FFD within a few thousand docs per
+group is within a few percent of optimal bin count in practice.
+
+Determinism: the group salt is xxhash64(id) (stable), and within a group
+docs are processed in (tokens desc, id) order — same input, same bins,
+any cluster size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT_SUFFIX = "pack_group int, bin_idx int"
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Assign every row a (pack_group, bin_idx) such that the token sum of
+    each bin is <= budget; rows larger than the budget get a singleton bin.
+
+    Returns (id_col, tokens_col, pack_group, bin_idx).
+    """
+    if n_groups is None:
+        n_groups = df.sparkSession.sparkContext.defaultParallelism * 4
+
+    schema = f"{id_col} long, {tokens_col} long, {OUT_SUFFIX}"
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([tokens_col, id_col], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per bin
+        assigned = []
+        for t in pdf[tokens_col]:
+            t = int(t)
+            for i, rem in enumerate(bins):
+                if t <= rem:
+                    bins[i] = rem - t
+                    assigned.append(i)
+                    break
+            else:
+                # new bin; oversized docs occupy one bin alone (capacity < 0
+                # ensures nothing joins them)
+                bins.append(budget - t)
+                assigned.append(len(bins) - 1)
+        out = pdf[[id_col, tokens_col]].copy()
+        out[id_col] = out[id_col].astype("int64")
+        out[tokens_col] = out[tokens_col].astype("int64")
+        out["pack_group"] = int(pdf["__grp"].iloc[0])
+        out["bin_idx"] = pd.Series(assigned, index=pdf.index, dtype="int32")
+        return out
+
+    salted = df.select(id_col, tokens_col).withColumn(
+        "__grp", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+    )
+    return salted.groupBy("__grp").applyInPandas(pack_group, schema)
