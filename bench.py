@@ -52,6 +52,8 @@ def main() -> None:
         ("q10_cosine_topk", "d03_cosine_topk"),
         ("q11_tfidf", "d05_tfidf"),
         ("q12_quality_tokens", "d10_quality_score"),
+        ("q13_sequence_packing", "d17_sequence_packing"),
+        ("q14_incremental_dedup", "d16_incremental_dedup"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay

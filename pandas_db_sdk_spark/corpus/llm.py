@@ -423,3 +423,25 @@ def d17(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     toks = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
     return packing.pack_greedy(toks, "doc_id", "n_tokens", budget=512)
+
+
+@q(
+    "d05b_stopword_filter",
+    """SELECT doc_id,
+              CAST(len(list_filter(string_split(text, ' '),
+                       x -> x NOT IN ('the','and','of','to','in','is'))) AS BIGINT) AS n_kept,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_total
+       FROM documents""",
+)
+def d05b(spark, sf_dir):
+    """D5: stopword filtering — array HOF filter inside codegen, no explode
+    and no Python; the shuffle-free shape token cleanup should take at
+    100 TB (explode-then-antijoin would multiply the row count ×tokens)."""
+    d = tables(spark, sf_dir)("documents")
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(toks, lambda t: ~t.isin("the", "and", "of", "to", "in", "is"))
+    return d.select(
+        "doc_id",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.size(toks).cast("long").alias("n_total"),
+    )
