@@ -17,9 +17,29 @@ Determinism discipline (SURVEY §7 "hash-match discipline"):
   declared rows-only (no ORACLE entry).
 """
 
-from . import relational, aggregation, windows, sortset, scalars, eventtime, udfs, llm
+from . import (
+    aggregation,
+    composite,
+    eventtime,
+    llm,
+    relational,
+    scalars,
+    sortset,
+    udfs,
+    windows,
+)
 
-_MODULES = (relational, aggregation, windows, sortset, scalars, eventtime, udfs, llm)
+_MODULES = (
+    relational,
+    aggregation,
+    windows,
+    sortset,
+    scalars,
+    eventtime,
+    udfs,
+    llm,
+    composite,
+)
 
 
 def all_queries():

@@ -135,3 +135,18 @@ def test_bag_setops_are_hash_joins(spark, queries):
         plan = plan_of(queries[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_composite_queries_compose_cleanly(spark, queries):
+    """TPC-H-shaped composites: selective filters must reach the scans,
+    dims must broadcast, and nothing may degenerate to a nested loop."""
+    for name in (
+        "x01_shipping_priority",
+        "x02_local_supplier_volume",
+        "x03_returned_items",
+    ):
+        plan = plan_of(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "PushedFilters: [" in plan, name
