@@ -177,7 +177,7 @@ class DataFrameEngine:
             },
         )
         ds["columns_keys"] = columns_keys
-        ds["schema"] = df.schema.json()
+        ds["schema"] = self._merge_schema(ds["schema"], df.schema).json()
         if version not in ds["versions"]:
             ds["versions"].append(version)
         ds["latest"] = version
@@ -269,7 +269,7 @@ class DataFrameEngine:
         Catalyst prunes to that version's files only.
         """
         ds = self._dataset_entry(dataframe_name)
-        df = self.spark.read.parquet(ds["path"])
+        df = self.spark.read.schema(self._full_schema(ds)).parquet(ds["path"])
         if use_last:
             external_key = ds.get("latest")
         if external_key is not None:
@@ -299,7 +299,61 @@ class DataFrameEngine:
             "count": len(names),
         }
 
+    # ---------------------------------------------------------------- delete
+
+    def delete_dataset(self, dataframe_name: str) -> Dict[str, Any]:
+        """Drop a dataset: remove its data directory and catalog entry.
+
+        An extension beyond the reference (its SDK has no deletion method,
+        SURVEY §2.5) — without it a versioned warehouse can only grow.
+        Manifest is updated AFTER the data is gone, so a crash mid-delete
+        leaves a listed-but-shrinking dataset, never a dangling catalog
+        entry pointing at nothing.
+        """
+        ds = self._dataset_entry(dataframe_name)
+        shutil.rmtree(ds["path"], ignore_errors=True)
+        manifest = self._read_manifest()
+        manifest["datasets"].pop(dataframe_name, None)
+        self._write_manifest(manifest)
+        return {"dataframe_name": dataframe_name, "deleted": True}
+
     # ---------------------------------------------------------------- helpers
+
+    def _merge_schema(self, stored_json: str, new_schema) -> "T.StructType":
+        """Schema evolution on append: union of fields by name. A re-typed
+        column is a hard error (silent coercion corrupts data at scale);
+        a new column is fine — old files simply lack it and read as NULL.
+        """
+        from pyspark.sql import types as T
+
+        merged = T.StructType.fromJson(json.loads(stored_json))
+        have = {f.name: f for f in merged.fields}
+        for f in new_schema.fields:
+            old = have.get(f.name)
+            if old is None:
+                merged = merged.add(f.name, f.dataType, True)
+            elif old.dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on column {f.name!r}: stored "
+                    f"{old.dataType.simpleString()}, appended {f.dataType.simpleString()}"
+                )
+        return merged
+
+    def _full_schema(self, ds: Dict[str, Any]) -> "T.StructType":
+        """Manifest schema + typed partition columns. Passing this explicit
+        schema to the reader (instead of mergeSchema=true) means NO parquet
+        footer sweep at plan time — at 100 TB that's millions of files —
+        and appended columns surface as NULL for pre-evolution versions.
+        Partition columns are pinned to string so numeric-looking version
+        labels or date dirs never get re-inferred as longs.
+        """
+        from pyspark.sql import types as T
+
+        full = T.StructType.fromJson(json.loads(ds["schema"]))
+        for col in ds["columns_keys"]:
+            full = full.add(f"__p_{col}", T.StringType(), True)
+        full = full.add(VERSION_COL, T.StringType(), True)
+        return full
 
     def _dataset_entry(self, name: str) -> Dict[str, Any]:
         manifest = self._read_manifest()

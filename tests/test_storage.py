@@ -214,3 +214,49 @@ def test_schema_preserved_across_roundtrip(engine, spark):
     engine.save(df, "typed")
     got = engine.load("typed")
     assert dict(got.dtypes) == dict(df.dtypes)
+
+
+def test_schema_evolution_append_new_column(engine, spark):
+    """Appending a version with an extra column evolves the dataset schema:
+    old versions read the new column as NULL, column types stay put."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.range(5).select(F.col("id"), (F.col("id") * 2.0).alias("val"))
+    v2 = spark.range(5, 10).select(
+        F.col("id"), (F.col("id") * 2.0).alias("val"), F.lit("en").alias("lang")
+    )
+    engine.save(v1, "evolve", external_key="v1")
+    engine.save(v2, "evolve", external_key="v2")
+    full = engine.load("evolve")
+    assert set(full.columns) == {"id", "val", "lang"}
+    assert full.count() == 10
+    old = engine.load("evolve", external_key="v1")
+    assert old.filter(old.lang.isNull()).count() == 5
+    new = engine.load("evolve", external_key="v2")
+    assert new.filter(new.lang == "en").count() == 5
+
+
+def test_schema_evolution_rejects_retyped_column(engine, spark):
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    engine.save(spark.range(3).select(F.col("id"), F.lit(1.0).alias("x")), "retype")
+    with _pytest.raises(ValueError, match="schema conflict"):
+        engine.save(spark.range(3).select(F.col("id"), F.lit("s").alias("x")), "retype")
+
+
+def test_delete_dataset_removes_data_and_listing(engine, spark, tmp_path):
+    import os
+
+    engine.save(spark.range(10), "doomed")
+    path = engine._dataset_entry("doomed")["path"]
+    assert os.path.exists(path)
+    out = engine.delete_dataset("doomed")
+    assert out["deleted"] is True
+    assert not os.path.exists(path)
+    assert "doomed" not in engine.list_datasets()["dataframes"]
+    import pytest as _pytest
+    from pandas_db_sdk_spark.engine import DatasetNotFound
+
+    with _pytest.raises(DatasetNotFound):
+        engine.load("doomed")
