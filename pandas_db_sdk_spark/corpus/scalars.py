@@ -255,3 +255,104 @@ def c48b(spark, sf_dir):
         F.left("p_name", F.lit(5)).alias("name5"),
         F.right("p_name", F.lit(3)).alias("name_tail"),
     )
+
+
+@q(
+    "c48c_fuzzy_strings",
+    """SELECT p_partkey,
+              levenshtein(p_brand, 'Brand#11') AS lev,
+              printf('%s-%04d', p_brand, p_size) AS tag,
+              translate(p_name, 'aeiou', 'AEIOU') AS shouted,
+              strpos(p_name, 'a') AS first_a,
+              ord(p_brand) AS first_cp
+       FROM part""",
+)
+def c48c(spark, sf_dir):
+    """C48 variant: edit distance (the scalar primitive under fuzzy matching
+    and spell-variant dedup), printf-style formatting, translate, instr,
+    ascii — all JVM built-ins."""
+    p = tables(spark, sf_dir)("part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev"),
+        F.format_string("%s-%04d", F.col("p_brand"), F.col("p_size")).alias("tag"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("shouted"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.ascii("p_brand").alias("first_cp"),
+    )
+
+
+@q(
+    "c49b_date_series",
+    """SELECT o_orderkey, strftime(m, '%Y-%m-%d') AS month_start
+       FROM (SELECT o_orderkey,
+                    unnest(generate_series(date_trunc('month', o_orderdate),
+                                           date_trunc('month', o_orderdate) + INTERVAL 2 MONTH,
+                                           INTERVAL 1 MONTH)) AS m
+             FROM orders)""",
+)
+def c49b(spark, sf_dir):
+    """C49/C51 variant: per-row date series generation + explode (pandas
+    `date_range` per row) — the calendar-spine primitive behind resampling
+    and gap-filling, fully codegen'd (sequence is a JVM HOF)."""
+    o = tables(spark, sf_dir)("orders")
+    start = F.date_trunc("month", F.col("o_orderdate"))
+    series = F.sequence(start, F.add_months(start, 2), F.expr("interval 1 month"))
+    return o.select(
+        "o_orderkey",
+        F.explode(series).alias("m"),
+    ).select("o_orderkey", F.date_format("m", "yyyy-MM-dd").alias("month_start"))
+
+
+@q(
+    "c50b_bitwise",
+    """SELECT o_orderkey,
+              o_orderkey & 255 AS low_byte,
+              o_orderkey | 4096 AS with_flag,
+              xor(o_orderkey, 255) AS flipped,
+              o_orderkey << 2 AS shl,
+              o_orderkey >> 3 AS shr
+       FROM orders""",
+)
+def c50b(spark, sf_dir):
+    """C50 variant: bitwise family (mask/flag/shift — the substrate of
+    bitmap-style encodings like SimHash, dedup.py)."""
+    o = tables(spark, sf_dir)("orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(255)).alias("flipped"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+    )
+
+
+@q(
+    "c51b_array_setops",
+    """SELECT doc_id,
+              coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS inter,
+              coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS uni,
+              coalesce(array_to_string(list_sort(list_distinct(
+                  list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS diff
+       FROM (SELECT doc_id,
+                    list_slice(string_split(text, ' '), 1, 6) AS a,
+                    list_slice(string_split(text, ' '), 4, 12) AS b
+             FROM documents)""",
+)
+def c51b(spark, sf_dir):
+    """C51 variant: array set algebra (intersect/union/except) over token
+    slices — normalized by distinct+sort on both engines so bag-order
+    differences can't leak into the hash."""
+    d = tables(spark, sf_dir)("documents")
+    toks = F.split(F.col("text"), " ")
+    a = F.slice(toks, 1, 6)
+    b = F.slice(toks, 4, 9)  # elements 4..12 inclusive → length 9
+    norm = lambda c: F.array_join(F.array_sort(F.array_distinct(c)), ",")
+    return d.select(
+        "doc_id",
+        norm(F.array_intersect(a, b)).alias("inter"),
+        norm(F.array_union(a, b)).alias("uni"),
+        norm(F.array_except(a, b)).alias("diff"),
+    )
