@@ -279,6 +279,22 @@ class DataFrameEngine:
             df = df.drop(*internal)
         return df
 
+    def load_pandas(
+        self,
+        dataframe_name: str,
+        external_key: Optional[str] = None,
+        use_last: bool = False,
+    ):
+        """Retrieve a dataset as a pandas-on-Spark frame
+        (``pyspark.pandas.DataFrame``) — the distributed drop-in for the
+        reference's contract of handing the user a pandas object to query
+        client-side (``client.py:176``, "Pandas-Native" ``README.md:11``).
+        Same pandas idioms (boolean masks, ``groupby().agg``, ``merge``,
+        ``sort_values``), but every operation compiles to the same Catalyst
+        plans as the DataFrame API — nothing is collected to one machine.
+        """
+        return self.load(dataframe_name, external_key, use_last).pandas_api()
+
     # ---------------------------------------------------------------- list
 
     def list_datasets(self, prefix: Optional[str] = None) -> Dict[str, Any]:

@@ -260,3 +260,37 @@ def test_delete_dataset_removes_data_and_listing(engine, spark, tmp_path):
 
     with _pytest.raises(DatasetNotFound):
         engine.load("doomed")
+
+
+def test_load_pandas_api_runs_pandas_idioms_distributed(engine, spark):
+    """The pandas-on-Spark exit: reference users keep their pandas code, the
+    engine keeps the execution distributed (same Catalyst plans)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    engine.save(df, "ps/demo")
+    psdf = engine.load_pandas("ps/demo")
+    # pandas idioms: mask filter, groupby-agg, sort
+    out = (
+        psdf[psdf["val"] > 30.0]
+        .groupby("grp")
+        .agg({"val": "sum", "id": "count"})
+        .sort_index()
+    )
+    expected = (
+        engine.load("ps/demo")
+        .filter(F.col("val") > 30.0)
+        .groupBy("grp")
+        .agg(F.sum("val").alias("val"), F.count("id").alias("id"))
+        .orderBy("grp")
+        .collect()
+    )
+    got = out.reset_index().to_pandas().sort_values("grp").reset_index(drop=True)
+    for i, row in enumerate(expected):
+        assert got["grp"][i] == row["grp"]
+        assert abs(got["val"][i] - row["val"]) < 1e-9
+        assert got["id"][i] == row["id"]
