@@ -150,3 +150,32 @@ def test_composite_queries_compose_cleanly(spark, queries):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "PushedFilters: [" in plan, name
+
+
+# Shuffle budgets: the number of Exchange nodes each load-bearing query is
+# ALLOWED — one per semantic re-key (agg, join, window), nothing incidental.
+# A regression here means a new plan shuffles data it doesn't need to, which
+# is exactly the failure that turns a 100 TB job from hours into days.
+SHUFFLE_BUDGET = {
+    "c09_filter": 0,           # scan+filter: no movement
+    "c23_groupby_agg": 1,      # one re-key for the final agg (partial is map-side)
+    "c25_count_distinct": 2,   # expand + final
+    "c35_ranking": 1,          # one window re-key
+    "c40_topk_per_group": 1,   # window re-key; limit pushed into sort
+    "c41_sort": 0,             # TakeOrdered path at this shape (limit present)
+    "c21_asof_join": 1,        # union trick: single re-key, no range explosion
+    "c22_broadcast_join": 2,   # fact re-key for agg + broadcast exchange
+    "d01_exact_dedup": 1,      # hash re-key on content hash
+    "d02_minhash_lsh": 7,      # signature agg + band join pair + verify regroup
+    "d05_tfidf": 7,            # term counts + df join + norm
+    "d17_sequence_packing": 1, # salt re-key only
+    "x01_shipping_priority": 3,
+    "x03_returned_items": 4,
+}
+
+
+def test_shuffle_budget_not_exceeded(spark, queries):
+    for name, budget in SHUFFLE_BUDGET.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = plan.count("Exchange")
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
