@@ -315,6 +315,51 @@ class DataFrameEngine:
             "count": len(names),
         }
 
+    # ---------------------------------------------------------------- compact
+
+    def compact(
+        self,
+        dataframe_name: str,
+        target_rows_per_file: int = 1_000_000,
+    ) -> Dict[str, Any]:
+        """Rewrite a dataset's many small files into few large ones —
+        the maintenance op every streaming-ingested table needs (each
+        micro-batch version lands its own files; a day of 1-minute batches
+        is 1440× too many files, and at 100 TB file listing alone starts to
+        dominate planning).
+
+        Rewrites ALL versions in one pass, preserving the partition/version
+        dirs (reads with internal columns, writes partitioned by them into a
+        fresh directory, then atomically swaps the manifest path). The old
+        directory is removed only after the manifest points at the new one,
+        so a crash leaves a readable dataset at every step.
+        """
+        ds = self._dataset_entry(dataframe_name)
+        old_path = ds["path"]
+        df = self.load(dataframe_name, drop_internal=False)
+        partition_cols = [f"__p_{c}" for c in ds["columns_keys"]] + [VERSION_COL]
+        new_path = old_path.rstrip("/") + f".compact.{uuid.uuid4().hex[:8]}"
+        (
+            # repartition on the partition columns: all rows of one partition
+            # dir land in one task → one output file (maxRecordsPerFile still
+            # splits genuinely large partitions). Without this, the write
+            # inherits one task per small input file and compacts nothing.
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .partitionBy(*partition_cols)
+            .parquet(new_path)
+        )
+        manifest = self._read_manifest()
+        manifest["datasets"][dataframe_name]["path"] = new_path
+        self._write_manifest(manifest)
+        shutil.rmtree(old_path, ignore_errors=True)
+        return {
+            "dataframe_name": dataframe_name,
+            "path": new_path,
+            "target_rows_per_file": target_rows_per_file,
+        }
+
     # ---------------------------------------------------------------- delete
 
     def delete_dataset(self, dataframe_name: str) -> Dict[str, Any]:

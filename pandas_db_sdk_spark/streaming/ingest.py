@@ -27,15 +27,39 @@ def stream_into_engine(
     version_prefix: str = "epoch_",
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
+    dedup_on: Optional[str] = None,
 ):
     """Start a streaming query that lands each micro-batch as a version of
-    ``dataframe_name``. Returns the StreamingQuery handle."""
+    ``dataframe_name``. Returns the StreamingQuery handle.
+
+    ``dedup_on=<content column>``: before landing, each micro-batch is
+    deduped (a) within itself — first row per content hash — and (b) against
+    everything already ingested into the dataset, via the same anti-join on
+    32-byte sha2 hashes that :func:`dedup.incremental_exact_dedup` uses.
+    This is the streaming twin of per-batch corpus dedup: duplicates across
+    micro-batches (retries, overlapping sources) land exactly once, and the
+    check scales as a hash-set join, never a text comparison.
+    """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        out = batch_df
+        if dedup_on is not None:
+            from .. import dedup as _dedup
+            from ..engine import DatasetNotFound
+
+            out = _dedup.exact_dedup(out, dedup_on, out.columns[0])
+            try:
+                existing = engine.load(dataframe_name)
+            except DatasetNotFound:
+                existing = None  # first batch: nothing ingested yet
+            if existing is not None:
+                out = _dedup.incremental_exact_dedup(out, existing, dedup_on)
+            if out.isEmpty():
+                return
         engine.save(
-            batch_df,
+            out,
             dataframe_name,
             columns_keys=columns_keys,
             external_key=f"{version_prefix}{epoch_id}",

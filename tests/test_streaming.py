@@ -136,3 +136,61 @@ def test_transform_with_state_ema_matches_batch(spark, events_dir, events_batch)
     expected = ema_stateful(events_batch)
     keys = ["event_id", "user_id", "ema"]
     assert _rows(streamed, keys) == _rows(expected, keys)
+
+
+def test_stream_ingest_dedups_across_microbatches(spark, events_dir, events_batch, tmp_path):
+    """dedup_on: duplicate content across micro-batches lands exactly once.
+    The events sample is streamed twice into the same dataset (two separate
+    queries = disjoint epoch versions); the second pass must add nothing."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import stream_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    for attempt in ("a", "b"):
+        q = stream_into_engine(
+            W.stream_events_from_dir(spark, events_dir),
+            eng,
+            "dedup/events",
+            checkpoint_dir=str(tmp_path / f"ckpt_{attempt}"),
+            version_prefix=f"{attempt}_",
+            dedup_on="props",
+        )
+        q.awaitTermination()
+    got = eng.load("dedup/events")
+    expected = events_batch.select("props").distinct().count()
+    assert got.count() == expected
+    assert got.select("props").distinct().count() == expected
+
+
+def test_compact_reduces_file_count_preserves_data(spark, events_dir, events_batch, tmp_path):
+    """Streaming ingest creates per-epoch small files; compact() must merge
+    them per partition dir without changing a single row."""
+    import glob
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import stream_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    q = stream_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "compactme",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    # fragment further: second copy under another version
+    eng.save(spark.read.parquet(events_dir), "compactme", external_key="extra")
+    path = eng._dataset_entry("compactme")["path"]
+    before_files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    before = sorted(tuple(r) for r in eng.load("compactme").collect())
+    out = eng.compact("compactme")
+    after_files = glob.glob(f"{out['path']}/**/*.parquet", recursive=True)
+    after = sorted(tuple(r) for r in eng.load("compactme").collect())
+    assert after == before
+    assert len(after_files) <= len(before_files)
+    # one file per version dir (two versions here)
+    assert len(after_files) == len(
+        set(eng._dataset_entry("compactme")["versions"])
+    )
+    # version pinning still prunes after the swap
+    assert eng.load("compactme", external_key="extra").count() == events_batch.count()
