@@ -175,6 +175,10 @@ SHUFFLE_BUDGET = {
 
 
 def test_shuffle_budget_not_exceeded(spark, queries):
+    # Budgets describe the FRESH plan; a persisted table left by an earlier
+    # test swaps InMemoryRelation into matching subtrees and shifts Exchange
+    # counts either way.
+    spark.catalog.clearCache()
     for name, budget in SHUFFLE_BUDGET.items():
         plan = plan_of(queries[name](spark, SF))
         got = plan.count("Exchange")
