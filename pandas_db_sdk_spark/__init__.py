@@ -24,6 +24,7 @@ cluster unchanged.
 
 from .session import get_spark
 from .engine import DataFrameEngine
+from .client import DataFrameClient
 
-__all__ = ["get_spark", "DataFrameEngine", "__version__"]
+__all__ = ["get_spark", "DataFrameEngine", "DataFrameClient", "__version__"]
 __version__ = "0.1.0"
