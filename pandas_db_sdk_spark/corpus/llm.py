@@ -445,3 +445,17 @@ def d05b(spark, sf_dir):
         F.size(kept).cast("long").alias("n_kept"),
         F.size(toks).cast("long").alias("n_total"),
     )
+
+
+@q("d18_prep_pipeline")  # rows-only: MinHash internals + bin layout
+def d18(spark, sf_dir):
+    """North-star composition: the full training-data prep pipeline
+    (quality filter → exact dedup → MinHash near-dedup → token counts →
+    sequence packing) as ONE DataFrame program — see pipeline.py.
+    Invariants asserted in tests/test_packing.py."""
+    from .. import pipeline
+
+    d = tables(spark, sf_dir)("documents")
+    return pipeline.prepare_corpus(d).select(
+        "doc_id", "n_tokens", "pack_group", "bin_idx", "quality_score"
+    )

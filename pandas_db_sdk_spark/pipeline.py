@@ -1,0 +1,59 @@
+"""End-to-end training-data preparation — the north-star ops composed.
+
+One DataFrame program: quality filter → exact dedup → MinHash near-dedup →
+token counting → sequence packing. Every stage is a DataFrame→DataFrame
+operator from this package, so the whole pipeline is ONE lazy plan per
+materialization boundary: Catalyst fuses the quality columns into the scan,
+the dedup stages shuffle hashes (never text), and packing adds exactly one
+salt shuffle. Nothing touches the driver.
+
+This is the shape a 100 TB corpus actually runs: the same composition, with
+the same movement guarantees, on a cluster — stage costs scale with the
+corpus, candidate generation with the near-dup density, packing with the
+survivor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, packing, text
+
+
+def prepare_corpus(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.9,
+    token_budget: int = 512,
+) -> DataFrame:
+    """documents → packed training sequences.
+
+    Returns (id_col, n_tokens, pack_group, bin_idx, quality_score): one row
+    per surviving document, assigned to a token-budget bin.
+    """
+    scored = text.quality_score(documents, text_col).filter(
+        F.col("quality_score") >= min_quality
+    )
+    # exact first: removes the mass of literal copies for ~one hash shuffle,
+    # so the (more expensive) MinHash stage sees only distinct text
+    exact = dedup.exact_dedup(scored, text_col, id_col)
+    pairs = dedup.minhash_lsh_pairs(
+        exact, id_col, text_col, jaccard_threshold=jaccard_threshold
+    )
+    # survivors: drop the higher id of every near-dup pair (min-id canonical)
+    losers = pairs.select(F.col("id_b").alias("__loser")).distinct()
+    survivors = exact.join(
+        losers, F.col(id_col) == F.col("__loser"), "left_anti"
+    )
+    toks = survivors.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        "quality_score",
+    )
+    packed = packing.pack_greedy(
+        toks.select(id_col, "n_tokens"), id_col, "n_tokens", token_budget
+    )
+    return packed.join(toks.select(id_col, "quality_score"), id_col)

@@ -81,3 +81,30 @@ def test_incremental_minhash_catches_exact_dups_and_keeps_novel(spark):
     # exact-level check: any dropped novel doc must be a real near-dup, so
     # just require some survivors
     assert len(ids) > 0
+
+
+def test_prep_pipeline_invariants(spark):
+    """d18: survivors are unique, content-distinct, quality-filtered, and
+    every survivor is packed exactly once within budget."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark import pipeline
+    from pandas_db_sdk_spark.io import tables
+
+    d = tables(spark, SF)("documents")
+    out = pipeline.prepare_corpus(d, min_quality=0.5, token_budget=BUDGET)
+    n = out.count()
+    assert 0 < n <= d.count()
+    assert out.select("doc_id").distinct().count() == n
+    # no two survivors share identical text (exact dedup held)
+    joined = out.join(d, "doc_id")
+    assert joined.select("text").distinct().count() == n
+    # quality floor held
+    assert out.filter(F.col("quality_score") < 0.5).count() == 0
+    # bins respect the budget except singletons
+    over = (
+        out.groupBy("pack_group", "bin_idx")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("c"))
+        .filter((F.col("t") > BUDGET) & (F.col("c") > 1))
+    )
+    assert over.count() == 0
