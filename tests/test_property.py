@@ -82,3 +82,49 @@ def test_inner_join_multiplicity_matches_pandas(spark, left, right):
     merged = lp.dropna(subset=["k"]).merge(rp.dropna(subset=["k"]), on="k")
     exp = sorted((k, int(a), int(b)) for k, a, b in merged.itertuples(index=False))
     assert got == exp
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=20), min_size=1, max_size=25
+)
+
+
+@given(texts=TEXTS)
+@SETTINGS
+def test_exact_dedup_keeps_first_per_content(spark, texts):
+    """dedup.exact_dedup: one survivor per distinct content, and it's the
+    minimum order key — against a brute-force dict oracle."""
+    from pandas_db_sdk_spark import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "id long, txt string")
+    got = sorted((r.id, r.txt) for r in dedup.exact_dedup(sdf, "txt", "id").collect())
+    first = {}
+    for i, t in rows:
+        first.setdefault(t, i)
+    exp = sorted((i, t) for t, i in first.items())
+    assert got == exp
+
+
+TOKENS = st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30)
+
+
+@given(sizes=TOKENS)
+@SETTINGS
+def test_pack_greedy_invariants_random_sizes(spark, sizes):
+    """packing.pack_greedy: every doc exactly once; multi-doc bins within
+    budget; oversized docs isolated — for arbitrary token distributions."""
+    from collections import defaultdict
+
+    from pandas_db_sdk_spark import packing
+
+    budget = 32
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    sdf = spark.createDataFrame(rows, "id long, toks long")
+    out = packing.pack_greedy(sdf, "id", "toks", budget, n_groups=3).collect()
+    assert sorted(r.id for r in out) == [i for i, _ in rows]
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r.pack_group, r.bin_idx)].append(r.toks)
+    for members in bins.values():
+        assert sum(members) <= budget or len(members) == 1
