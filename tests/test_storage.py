@@ -294,3 +294,65 @@ def test_load_pandas_api_runs_pandas_idioms_distributed(engine, spark):
         assert got["grp"][i] == row["grp"]
         assert abs(got["val"][i] - row["val"]) < 1e-9
         assert got["id"][i] == row["id"]
+
+
+def test_reference_layout_roundtrip(engine, spark, tmp_path):
+    """migrate.py: export a Date-keyed dataset as the reference's
+    `name/<col>/<value>/chunk_uuid.csv.gz` tree (README.md:189-198), then
+    import the tree back — same rows, layout byte-compatible (gzip CSV,
+    uuid chunk names, one dir per date)."""
+    import glob
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark import migrate
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, 100.0), ("2024-01-01", 2, 200.0), ("2024-01-02", 3, 300.0)],
+        "date string, id long, value double",
+    )
+    engine.save(df, "mig/out", columns_keys={"date": "Date"})
+    dest = str(tmp_path / "reftree")
+    out = migrate.export_reference_layout(engine, "mig/out", dest)
+    assert out["partitions"] == 2 and out["chunks"] >= 2
+    chunks = glob.glob(f"{dest}/date/*/chunk_*.csv.gz")
+    assert len(chunks) == out["chunks"]
+    with gzip.open(chunks[0], "rt") as f:  # gzip CSV with header (README.md:20)
+        assert "id" in f.readline()
+    assert {os.path.basename(os.path.dirname(c)) for c in chunks} == {
+        "2024-01-01",
+        "2024-01-02",
+    }
+    back = migrate.import_reference_layout(spark, dest)
+    assert back.count() == 3
+    got = sorted(
+        (r["date"], r["id"], r["value"])
+        for r in back.select(F.col("date").cast("string"), "id", "value").collect()
+    )
+    assert got == [("2024-01-01", 1, 100.0), ("2024-01-01", 2, 200.0), ("2024-01-02", 3, 300.0)]
+
+
+def test_reference_layout_import_external_tree(spark, tmp_path):
+    """Import a hand-built reference tree (as a reference user's bucket
+    would look) where chunks do NOT carry the partition column — the value
+    must be re-derived from the directory (README.md:191-198)."""
+    import gzip
+    import os
+
+    from pandas_db_sdk_spark import migrate
+
+    root = tmp_path / "extern" / "mydata"
+    for day, rows in [("2024-01-01", [(1, 10.5)]), ("2024-01-02", [(2, 20.5), (3, 30.5)])]:
+        d = root / "event_date" / day
+        os.makedirs(d)
+        with gzip.open(d / "chunk_abc.csv.gz", "wt") as f:
+            f.write("id,value\n")
+            for i, v in rows:
+                f.write(f"{i},{v}\n")
+    got = migrate.import_reference_layout(spark, str(root))
+    assert got.count() == 3
+    assert set(got.columns) == {"id", "value", "event_date"}
+    rows = sorted((r.event_date, r.id) for r in got.collect())
+    assert rows == [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-02", 3)]
