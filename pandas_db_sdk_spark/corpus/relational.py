@@ -581,3 +581,46 @@ def c02c(spark, sf_dir):
         ]
     )
     return spark.read.schema(schema).json(path)
+
+
+@q(
+    "c21b_asof_tolerance",
+    """WITH p AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'purchase'),
+            s AS (SELECT user_id, value AS signup_value, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'signup'),
+            j AS (SELECT p.event_id, p.user_id, p.value AS purchase_value, p.ts_us,
+                         s.ts_us AS m_ts, s.signup_value
+                  FROM p ASOF LEFT JOIN s
+                  ON p.user_id = s.user_id AND p.ts_us >= s.ts_us)
+       SELECT event_id, user_id, purchase_value, ts_us,
+              CASE WHEN ts_us - m_ts <= 3600000000 THEN m_ts END AS ts_us_right,
+              CASE WHEN ts_us - m_ts <= 3600000000 THEN signup_value END AS signup_value
+       FROM j""",
+)
+def c21b(spark, sf_dir):
+    """C21 variant: merge_asof with tolerance (pandas
+    ``merge_asof(tolerance=...)``) via the generalized
+    ``timeseries.asof_join`` — matches beyond 1 hour are nulled, exact-match
+    ties taken. Same single-shuffle union+window plan as c21; the tolerance
+    is a post-window projection, costing nothing extra."""
+    from .. import timeseries
+
+    e = tables(spark, sf_dir)("events").withColumn("ts_us", F.unix_micros("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").alias("purchase_value"), "ts_us"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("value").alias("signup_value"), "ts_us"
+    )
+    out = timeseries.asof_join(
+        purchases,
+        signups,
+        on="ts_us",
+        by=["user_id"],
+        direction="backward",
+        tolerance=3_600_000_000,  # 1 hour in µs
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_value", "ts_us", "ts_us_right", "signup_value"
+    )
