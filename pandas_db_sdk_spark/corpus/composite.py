@@ -161,3 +161,53 @@ def x03(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@q(
+    "x04_large_volume_customers",
+    """WITH big AS (
+         SELECT l_orderkey
+         FROM lineitem GROUP BY l_orderkey
+         HAVING sum(l_quantity) > 150)
+       SELECT c.c_custkey, c.c_name, o.o_orderkey,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+              o.o_totalprice,
+              CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       JOIN big b ON b.l_orderkey = o.o_orderkey
+       GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+       ORDER BY o.o_totalprice DESC, o.o_orderkey
+       LIMIT 25""",
+)
+def x04(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery (orders above a
+    quantity threshold) semi-filtering a 3-way join, re-aggregated, top-25.
+    The `big` aggregate reduces lineitem to qualifying orderkeys BEFORE the
+    wide join — at scale this is the difference between joining 100 TB of
+    lineitem twice and joining it against a thin key set once."""
+    t = tables(spark, sf_dir)
+    l = t("lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(REV_DEC)).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    o = t("orders")
+    return (
+        t("customer")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l.select("l_orderkey", "l_quantity"), F.col("o_orderkey") == l.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "__bk"), F.col("o_orderkey") == F.col("__bk"), "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(REV_DEC)).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
