@@ -356,3 +356,32 @@ def c51b(spark, sf_dir):
         norm(F.array_union(a, b)).alias("uni"),
         norm(F.array_except(a, b)).alias("diff"),
     )
+
+
+@q(
+    "c52b_map_ops",
+    """SELECT c_custkey,
+              MAP {'seg': c_mktsegment, 'nm': c_name}['seg'][1] AS seg_val,
+              array_to_string(list_sort(map_keys(
+                  map_concat(MAP {'seg': c_mktsegment}, MAP {'nm': c_name}))), ',') AS ks,
+              CAST(cardinality(MAP {'seg': c_mktsegment, 'nm': c_name}) AS BIGINT) AS n_entries
+       FROM customer""",
+)
+def c52b(spark, sf_dir):
+    """C52 variant: map construction / lookup / key listing / concat /
+    cardinality (pandas dict-column idioms). Values exit as scalars and
+    sorted key strings so the hash is engine-neutral."""
+    c = tables(spark, sf_dir)("customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"), F.lit("nm"), F.col("c_name")
+    )
+    mc = F.map_concat(
+        F.create_map(F.lit("seg"), F.col("c_mktsegment")),
+        F.create_map(F.lit("nm"), F.col("c_name")),
+    )
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg_val"),
+        F.array_join(F.array_sort(F.map_keys(mc)), ",").alias("ks"),
+        F.size(m).cast("long").alias("n_entries"),
+    )
