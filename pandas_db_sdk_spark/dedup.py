@@ -104,11 +104,22 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     shingle: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """D2: near-duplicate candidate pairs via MinHash + LSH banding, verified
     with exact Jaccard on the shingle sets.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``max_bucket_size``: drop band buckets holding more than this many docs
+    before the self-join. Candidate pairs are quadratic in bucket size — one
+    degenerate bucket (boilerplate shingles, or a giant duplicate cluster
+    that should have been exact-deduped first, see pipeline.prepare_corpus)
+    can dominate the whole job at corpus scale. Capping bounds the worst
+    bucket at cap², at the cost of missing pairs whose ONLY collision is a
+    super-cap bucket — with 16 bands a true near-dup pair collides in many
+    bands, so a generous cap (10³–10⁴) loses ~nothing. Default None keeps
+    exact recall for the oracle corpus.
     """
     rows = n_hashes // bands
     # Small inputs often arrive as one parquet split; signature work is
@@ -140,6 +151,14 @@ def minhash_lsh_pairs(
     band_entries = agg.select(
         "__id", F.posexplode(band_keys).alias("band_idx", "band_key")
     )
+    if max_bucket_size is not None:
+        # one window count over the banding shuffle key — no extra shuffle
+        wb = Window.partitionBy("band_idx", "band_key")
+        band_entries = (
+            band_entries.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     left = band_entries.select("band_idx", "band_key", F.col("__id").alias("id_a"))
     right = band_entries.select("band_idx", "band_key", F.col("__id").alias("id_b"))
     cand = (

@@ -128,3 +128,32 @@ def test_minhash_short_docs_no_crash(spark):
         df, "doc_id", "text", n_hashes=16, bands=4, jaccard_threshold=0.9
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_lsh_bucket_cap_bounds_degenerate_clusters(spark):
+    """max_bucket_size: a giant duplicate cluster (the quadratic blowup
+    case) is suppressed by a small cap, while pair-finding on the normal
+    corpus is unchanged by a generous cap."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark import dedup
+    from pandas_db_sdk_spark.io import tables
+
+    d = tables(spark, "/root/testdata/sf0.001")("documents").limit(100)
+    base = dedup.minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.8)
+    capped = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", jaccard_threshold=0.8, max_bucket_size=1000
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(base) == rows(capped)  # generous cap: identical output
+
+    # degenerate corpus: ONE text duplicated 60 times → every band bucket
+    # holds all 60 ids; cap=10 suppresses the 60²-pair explosion entirely
+    one = d.limit(1).select("text")
+    cluster = one.crossJoin(spark.range(60).withColumnRenamed("id", "doc_id"))
+    boom = dedup.minhash_lsh_pairs(cluster, "doc_id", "text", jaccard_threshold=0.8)
+    quiet = dedup.minhash_lsh_pairs(
+        cluster, "doc_id", "text", jaccard_threshold=0.8, max_bucket_size=10
+    )
+    assert boom.count() == 60 * 59 / 2
+    assert quiet.count() == 0
