@@ -40,8 +40,15 @@ def prepare_corpus(
     # exact first: removes the mass of literal copies for ~one hash shuffle,
     # so the (more expensive) MinHash stage sees only distinct text
     exact = dedup.exact_dedup(scored, text_col, id_col)
+    # exact dedup already removed literal-copy clusters, so any remaining
+    # super-sized band bucket is boilerplate shingles — cap it (see
+    # minhash_lsh_pairs docstring) instead of paying bucket² candidates
     pairs = dedup.minhash_lsh_pairs(
-        exact, id_col, text_col, jaccard_threshold=jaccard_threshold
+        exact,
+        id_col,
+        text_col,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=10_000,
     )
     # survivors: drop the higher id of every near-dup pair (min-id canonical)
     losers = pairs.select(F.col("id_b").alias("__loser")).distinct()
