@@ -314,7 +314,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """D2: near-dup pairs whose SimHash Hamming distance <= max_hamming.
 
@@ -335,6 +336,13 @@ def simhash_near_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_idx", "band_key")
+        bands = (
+            bands.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     left = bands.select("band_idx", "band_key", F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a"))
     right = bands.select("band_idx", "band_key", F.col("__id").alias("id_b"), F.col("simhash").alias("sig_b"))
     pairs = (
@@ -416,6 +424,7 @@ def incremental_dedup_minhash(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     shingle: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup incremental dedup: drop new docs whose Jaccard similarity to
     ANY existing corpus doc reaches the threshold. Same MinHash-LSH machinery
@@ -447,6 +456,13 @@ def incremental_dedup_minhash(
 
     new_bands, new_sh = prep(new_df, "new")
     cor_bands, cor_sh = prep(corpus_df, "cor")
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_idx", "band_key")
+        cor_bands = (
+            cor_bands.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     cand = (
         new_bands.join(cor_bands, ["band_idx", "band_key"])
         .select("new_id", "cor_id")
