@@ -274,6 +274,14 @@ class DataFrameEngine:
             external_key = ds.get("latest")
         if external_key is not None:
             df = df.filter(F.col(VERSION_COL) == F.lit(str(external_key)))
+        else:
+            # read-committed: only manifest-listed versions are visible, so
+            # files from a save that crashed before its manifest commit (or
+            # pruned by keep_last but not yet deleted) never leak into reads.
+            # Still a partition-column predicate → pruning, not a file scan.
+            df = df.filter(
+                F.col(VERSION_COL).isin([str(v) for v in ds["versions"]])
+            )
         if drop_internal:
             internal = [c for c in df.columns if c.startswith("__p_") or c == VERSION_COL]
             df = df.drop(*internal)

@@ -356,3 +356,16 @@ def test_reference_layout_import_external_tree(spark, tmp_path):
     assert set(got.columns) == {"id", "value", "event_date"}
     rows = sorted((r.event_date, r.id) for r in got.collect())
     assert rows == [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-02", 3)]
+
+
+def test_load_is_read_committed(engine, spark, tmp_path):
+    """Files from a save that died before its manifest commit must be
+    invisible: load() returns only manifest-listed versions."""
+    engine.save(spark.range(5), "rc", external_key="good")
+    path = engine._dataset_entry("rc")["path"]
+    # simulate the torn save: data lands, manifest never updated
+    spark.range(100, 103).withColumn("__version", __import__("pyspark").sql.functions.lit("torn")) \
+        .write.mode("append").partitionBy("__version").parquet(path)
+    got = engine.load("rc")
+    assert got.count() == 5
+    assert engine.load("rc", external_key="good").count() == 5
