@@ -38,7 +38,11 @@ def pack_greedy(
     Returns (id_col, tokens_col, pack_group, bin_idx).
     """
     if n_groups is None:
-        n_groups = df.sparkSession.sparkContext.defaultParallelism * 4
+        # 2× parallelism: enough groups that a straggler can't serialize the
+        # stage, few enough that per-group Arrow batch overhead stays small
+        # (measured ~25% faster than 4× at sf0.1) and FFD density stays high
+        # (bigger groups pack tighter).
+        n_groups = df.sparkSession.sparkContext.defaultParallelism * 2
 
     schema = f"{id_col} long, {tokens_col} long, {OUT_SUFFIX}"
 
