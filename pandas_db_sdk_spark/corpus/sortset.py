@@ -166,3 +166,40 @@ def c47d(spark, sf_dir):
     a = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderstatus", "o_orderpriority")
     b = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderstatus", "o_orderpriority")
     return a.intersectAll(b)
+
+
+@q(
+    "c45b_union_missing_columns",
+    """SELECT * FROM (
+         SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 100 = 0
+         UNION ALL BY NAME
+         SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 100 = 1)""",
+)
+def c45b(spark, sf_dir):
+    """C45 variant: union by name with missing columns (pandas `concat` of
+    heterogeneous frames) — absent columns NULL-pad per side."""
+    o = tables(spark, sf_dir)("orders")
+    a = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderkey") % 100 == 1).select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@q(
+    "c42b_offset_pagination",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 50 OFFSET 100""",
+)
+def c42b(spark, sf_dir):
+    """C42 variant: LIMIT/OFFSET pagination over a total order (page 3 of a
+    leaderboard). Spark plans offset+limit as a single top-(offset+limit)
+    with the prefix dropped — no full sort."""
+    o = tables(spark, sf_dir)("orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
