@@ -41,15 +41,56 @@ _MODULES = (
     composite,
 )
 
+# Names already hash-verified by the driver in CORRECTNESS_r01.json.  The
+# driver's per-round correctness file caps at ~50 entries, so declaration
+# order decides which queries get a driver row.  Rotate: queries with no
+# driver row yet come FIRST; the r01-green set rides the tail.  (VERDICT.md
+# round-1 item #1.)
+_R01_VERIFIED = frozenset(
+    """c01_scan_parquet c02_scan_csv c02b_scan_json c03_write_partitioned
+    c04_ingest_pandas c05_select c06_computed_column c07_rename c08_drop
+    c09_filter c10_distinct c11_null_handling c12_cast c13_case_when
+    c14_join_inner c15_join_left c15b_join_full c16_join_multikey
+    c17_semi_join c18_anti_join c19_cross_join c20_range_join c21_asof_join
+    c22_broadcast_join c15c_join_right c20b_scalar_subquery c01b_scan_orc
+    c02c_export_jsonl_shards c21b_asof_tolerance c23_groupby_agg
+    c24_multi_agg c25_count_distinct c26_approx_count_distinct c27_global_agg
+    c28_stats_moments c29_quantiles c29b_approx_quantiles c30_rollup
+    c30b_cube c31_pivot c32_unpivot c33_collect_list c34_first_last
+    c24b_filtered_agg c28b_corr_covar c30c_grouping_sets c33b_string_agg
+    c35_ranking c36_lag_lead c37_cumsum""".split()
+)
 
-def all_queries():
+
+def _merged(attr):
     out = {}
     for m in _MODULES:
-        overlap = set(out) & set(m.QUERIES)
+        entries = getattr(m, attr)
+        overlap = set(out) & set(entries)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(m.QUERIES)
+        out.update(entries)
     return out
+
+
+# Within the unchecked block, lead with the D-tier LLM-pipeline ops and the
+# TPC-H composites (VERDICT: "getting D-tier rows into CORRECTNESS_r02.json
+# is the top next-round item") in case the driver's entry cap is ~50.
+_PRIORITY_MODULES = (llm, composite, udfs, eventtime)
+
+
+def all_queries():
+    out = _merged("QUERIES")
+    priority_names = [n for m in _PRIORITY_MODULES for n in m.QUERIES]
+    rank = {n: i for i, n in enumerate(priority_names)}
+
+    def key(name):
+        if name in _R01_VERIFIED:
+            return (2, 0)
+        return (0, rank[name]) if name in rank else (1, 0)
+
+    names = sorted(out, key=lambda n: (key(n),))
+    return {n: out[n] for n in names}
 
 
 def all_oracles():
