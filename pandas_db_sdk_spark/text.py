@@ -97,16 +97,26 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def tf_idf(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 2
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """D5: TF-IDF over whitespace tokens.
 
     One pass over the corpus text: the (doc, term) count table is persisted
     (MEMORY_AND_DISK — spills, never OOMs) because both the document-
     frequency aggregate and the final scoring read it; without the persist
-    the tokenize+explode runs twice. df and N fold into ONE broadcast dim
-    (dfreq × n_docs), so scoring is a single broadcast join. idf uses the
-    smoothed ln((N+1)/(df+1)) + 1 form.
+    the tokenize+explode runs twice. df and N fold into ONE dim table
+    (dfreq × n_docs); the scoring join carries NO broadcast hint — at 100 TB
+    the post-``min_df`` vocabulary is 10^8–10^9 terms, far past broadcast
+    limits, so we let AQE pick the strategy (it still broadcasts when the
+    dim is genuinely small, and falls back to a shuffled hash join on
+    ``token`` otherwise). For a guaranteed-broadcastable dim, pass
+    ``max_vocab``: the vocabulary is capped to the top-N terms by document
+    frequency (ties broken by token, deterministic) and everything rarer is
+    dropped from the output. idf uses the smoothed ln((N+1)/(df+1)) + 1 form.
     """
     from pyspark import StorageLevel
 
@@ -118,9 +128,15 @@ def tf_idf(
         StorageLevel.MEMORY_AND_DISK
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    if max_vocab is not None:
+        dfreq = (
+            dfreq.orderBy(F.col("df").desc(), F.col("token"))
+            .limit(max_vocab)
+        )
     dim = dfreq.crossJoin(n_docs)
+    dim = F.broadcast(dim) if max_vocab is not None else dim
     return (
-        tf.join(F.broadcast(dim), "token")
+        tf.join(dim, "token")
         .withColumn(
             "tfidf",
             F.round(

@@ -128,6 +128,25 @@ def test_filtered_agg_has_partial_aggregation(spark, queries):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_tfidf_no_mandatory_broadcast_of_vocabulary(spark, queries):
+    """The TF-IDF term dictionary is unbounded at 100 TB (10^8–10^9 terms
+    post-min_df), so the scoring join must NOT carry a broadcast hint — the
+    strategy is left to the cost model / AQE, which degrades gracefully to a
+    shuffled hash join when the vocab is big. Only the explicitly-capped
+    ``max_vocab`` variant may hint."""
+    from pandas_db_sdk_spark import text
+    from pandas_db_sdk_spark.io import tables
+
+    df = queries["d05_tfidf"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed, "unbounded vocab side carries a broadcast hint"
+
+    docs = tables(spark, SF)("documents")
+    capped = text.tf_idf(docs, min_df=2, max_vocab=100)
+    analyzed = capped._jdf.queryExecution().analyzed().toString()
+    assert "Hint" in analyzed, "capped vocab should broadcast explicitly"
+
+
 def test_bag_setops_are_hash_joins(spark, queries):
     """EXCEPT/INTERSECT ALL must plan as hash joins/aggregates on the key
     columns — never a nested-loop."""
