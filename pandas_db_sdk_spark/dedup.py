@@ -319,10 +319,25 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """D2: near-dup pairs whose SimHash Hamming distance <= max_hamming.
 
-    Blocking: split the 64-bit signature into 4 16-bit bands; by pigeonhole,
-    any pair within Hamming<=3 shares at least one exact band — so the join
-    is 4 equi-joins on band keys, never a crossJoin.
+    Blocking: split the 64-bit signature into ``max_hamming + 1`` bands; by
+    pigeonhole, a pair within the distance bound differs in at most
+    ``max_hamming`` bits, which can dirty at most ``max_hamming`` bands — at
+    least one band matches exactly, so the candidate join is band-count
+    equi-joins on band keys, never a crossJoin. Band count derives from the
+    bound (a fixed 4-band split silently loses recall for max_hamming >= 4);
+    beyond 7 the bands get narrower than 8 bits and bucket collision rates
+    explode, so that's a hard error rather than a silent slowdown.
     """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range: need 0 <= h <= 7 "
+            "(h+1 bands over 64 bits; narrower bands degenerate to "
+            "near-full-corpus buckets)"
+        )
+    n_bands = max_hamming + 1
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sig = simhash(df, id_col, text_col)
     bands = sig.select(
         F.col(id_col).alias("__id"),
@@ -330,8 +345,14 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    # width==64 (max_hamming=0, one band): the mask would
+                    # overflow int64; the band IS the signature.
+                    F.col("simhash")
+                    if widths[i] == 64
+                    else F.shiftright("simhash", offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
+                    )
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_key"),

@@ -32,12 +32,18 @@ only that version's files.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import time
 import uuid
 from typing import Any, Dict, Optional
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: degrade to unlocked (single-writer) mode
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,6 +95,29 @@ class DataFrameEngine:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path)
 
+    @contextlib.contextmanager
+    def _manifest_lock(self):
+        """Exclusive advisory lock serializing manifest read-modify-write.
+
+        The reference is a multi-user service (README.md:23-26, DynamoDB
+        metadata README.md:234), so concurrent ``save()`` calls are part of
+        the contract: without this, two writers read the same manifest and
+        the second replace silently drops the first one's version entry.
+        Data writes happen OUTSIDE the lock (a commit is ms; a 100 TB write
+        is hours) — only the catalog update serializes. On an object-store
+        deployment the analogue is a conditional put / DynamoDB CAS.
+        """
+        if fcntl is None:
+            yield
+            return
+        lock_path = os.path.join(self.warehouse, "_manifest.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
     # ---------------------------------------------------------------- save
 
     def save(
@@ -98,12 +127,19 @@ class DataFrameEngine:
         columns_keys: Optional[Dict[str, str]] = None,
         external_key: str = "NOW",
         keep_last: bool = False,
+        overwrite_version: bool = False,
     ) -> Dict[str, Any]:
         """Store a DataFrame as a named, partitioned, versioned dataset.
 
         Mirrors ``load_dataframe`` validation (``client.py:99-110``): input
         must be a DataFrame, name non-empty, key types in {Date, ID}, key
         columns present in the schema.
+
+        ``overwrite_version=True`` makes a save under an already-present
+        version label REPLACE that version instead of appending to it —
+        the idempotent-replay contract streaming epochs need (a foreachBatch
+        retry after a crash re-lands the same epoch label; append semantics
+        would duplicate every row of the partial first attempt).
         """
         try:
             import pandas as pd
@@ -158,7 +194,15 @@ class DataFrameEngine:
         out = out.withColumn(VERSION_COL, F.lit(version))
         partition_cols.append(VERSION_COL)
 
-        path = self._dataset_path(dataframe_name)
+        # Appends follow the manifest's path (compact() relocates datasets);
+        # only a brand-new dataset gets a freshly derived directory.
+        path = existing["path"] if existing is not None else self._dataset_path(dataframe_name)
+        if overwrite_version:
+            # Remove any files a previous (possibly crashed) attempt left
+            # under this version label, so the rewrite below is the ONLY
+            # copy — replay-idempotent regardless of where the first
+            # attempt died.
+            self._delete_version_dirs(path, version)
         (
             out.write.mode("append")
             .option("maxRecordsPerFile", 100_000)  # chunking analogue, README.md:21
@@ -166,30 +210,38 @@ class DataFrameEngine:
             .parquet(path)
         )
 
-        manifest = self._read_manifest()
-        ds = manifest["datasets"].setdefault(
-            dataframe_name,
-            {
-                "path": path,
-                "columns_keys": columns_keys,
-                "versions": [],
-                "schema": df.schema.json(),
-            },
-        )
-        ds["columns_keys"] = columns_keys
-        ds["schema"] = self._merge_schema(ds["schema"], df.schema).json()
-        if version not in ds["versions"]:
-            ds["versions"].append(version)
-        ds["latest"] = version
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            ds = manifest["datasets"].setdefault(
+                dataframe_name,
+                {
+                    "path": path,
+                    "columns_keys": columns_keys,
+                    "versions": [],
+                    "schema": df.schema.json(),
+                },
+            )
+            if ds["columns_keys"] != columns_keys and ds["versions"]:
+                # A concurrent writer created the dataset with a different
+                # layout between our optimistic check and this commit.
+                raise ValueError(
+                    f"dataset {dataframe_name!r} was concurrently created with "
+                    f"partition keys {ds['columns_keys']}; cannot commit {columns_keys}"
+                )
+            ds["columns_keys"] = columns_keys
+            ds["schema"] = self._merge_schema(ds["schema"], df.schema).json()
+            if version not in ds["versions"]:
+                ds["versions"].append(version)
+            ds["latest"] = version
 
-        if keep_last:
-            # Retention pruning (README.md:85-88): drop superseded version dirs.
-            stale = [v for v in ds["versions"] if v != version]
-            for v in stale:
-                self._delete_version_dirs(path, v)
-            ds["versions"] = [version]
+            if keep_last:
+                # Retention pruning (README.md:85-88): drop superseded version dirs.
+                stale = [v for v in ds["versions"] if v != version]
+                for v in stale:
+                    self._delete_version_dirs(path, v)
+                ds["versions"] = [version]
 
-        self._write_manifest(manifest)
+            self._write_manifest(manifest)
         return {
             "dataframe_name": dataframe_name,
             "version": version,
@@ -220,7 +272,7 @@ class DataFrameEngine:
         parquet files remain).
         """
         table = self._bucket_table_name(dataframe_name)
-        path = self._dataset_path(dataframe_name) + "__bucketed"
+        path = os.path.join(os.path.dirname(self._dataset_path(dataframe_name)), "__bucketed")
         writer = (
             df.write.mode(mode)
             .format("parquet")
@@ -231,17 +283,18 @@ class DataFrameEngine:
             writer = writer.sortBy(sort_by)
         writer.saveAsTable(table)
 
-        manifest = self._read_manifest()
-        manifest["datasets"][dataframe_name + "__bucketed"] = {
-            "path": path,
-            "columns_keys": {},
-            "versions": [],
-            "schema": df.schema.json(),
-            "bucket_by": bucket_by,
-            "n_buckets": n_buckets,
-            "table": table,
-        }
-        self._write_manifest(manifest)
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            manifest["datasets"][dataframe_name + "__bucketed"] = {
+                "path": path,
+                "columns_keys": {},
+                "versions": [],
+                "schema": df.schema.json(),
+                "bucket_by": bucket_by,
+                "n_buckets": n_buckets,
+                "table": table,
+            }
+            self._write_manifest(manifest)
         return {"dataframe_name": dataframe_name, "table": table, "path": path,
                 "bucket_by": bucket_by, "n_buckets": n_buckets}
 
@@ -358,9 +411,10 @@ class DataFrameEngine:
             .partitionBy(*partition_cols)
             .parquet(new_path)
         )
-        manifest = self._read_manifest()
-        manifest["datasets"][dataframe_name]["path"] = new_path
-        self._write_manifest(manifest)
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            manifest["datasets"][dataframe_name]["path"] = new_path
+            self._write_manifest(manifest)
         shutil.rmtree(old_path, ignore_errors=True)
         return {
             "dataframe_name": dataframe_name,
@@ -381,9 +435,20 @@ class DataFrameEngine:
         """
         ds = self._dataset_entry(dataframe_name)
         shutil.rmtree(ds["path"], ignore_errors=True)
-        manifest = self._read_manifest()
-        manifest["datasets"].pop(dataframe_name, None)
-        self._write_manifest(manifest)
+        # Prune now-empty name directories up to (never including) the
+        # warehouse root; a nested sibling like 'a/b' keeps 'a/' alive.
+        parent = os.path.dirname(ds["path"])
+        root = os.path.realpath(self.warehouse)
+        while os.path.realpath(parent) != root:
+            try:
+                os.rmdir(parent)
+            except OSError:
+                break
+            parent = os.path.dirname(parent)
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            manifest["datasets"].pop(dataframe_name, None)
+            self._write_manifest(manifest)
         return {"dataframe_name": dataframe_name, "deleted": True}
 
     # ---------------------------------------------------------------- helpers
@@ -432,9 +497,28 @@ class DataFrameEngine:
             raise DatasetNotFound(name) from None
 
     def _dataset_path(self, name: str) -> str:
-        # 'a/b/c' hierarchical names (README.md:66-72) map to nested dirs.
-        safe = name.strip("/")
-        return os.path.join(self.warehouse, safe)
+        """'a/b/c' hierarchical names (README.md:66-72) map to nested dirs,
+        with the data itself under a ``__data`` leaf.
+
+        The leaf matters twice: (1) a dataset named ``a`` and a dataset
+        named ``a/b`` coexist — ``a``'s scan reads ``a/__data`` and never
+        sweeps ``a/b``'s files into its partition discovery; (2) traversal
+        names cannot escape the warehouse — ``.``/``..`` segments are
+        rejected outright and the resolved path is verified to stay under
+        the warehouse root (``delete_dataset`` rmtree's this path, so an
+        unchecked ``../../etc`` would be an arbitrary-delete primitive).
+        """
+        segments = [s for s in name.strip("/").split("/") if s]
+        if not segments:
+            raise ValueError(f"invalid dataset name {name!r}: empty")
+        if any(s in (".", "..") for s in segments):
+            raise ValueError(f"invalid dataset name {name!r}: '.'/'..' segments")
+        path = os.path.join(self.warehouse, *segments, "__data")
+        root = os.path.realpath(self.warehouse)
+        resolved = os.path.realpath(path)
+        if os.path.commonpath([root, resolved]) != root:
+            raise ValueError(f"dataset name {name!r} escapes the warehouse root")
+        return path
 
     def _delete_version_dirs(self, root: str, version: str) -> None:
         target = f"{VERSION_COL}={version}"

@@ -24,6 +24,7 @@ import glob
 import gzip
 import os
 import shutil
+import urllib.parse
 import uuid
 from typing import Dict, Optional
 
@@ -117,8 +118,17 @@ def export_reference_layout(
     out_root = os.path.join(dest, col)
     os.makedirs(out_root, exist_ok=True)
     n_chunks = 0
+    n_null_skipped = 0
     for d in sorted(glob.glob(os.path.join(staging, f"{pcol}=*"))):
-        value = os.path.basename(d).split("=", 1)[1]
+        raw = os.path.basename(d).split("=", 1)[1]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            # NULL partition sentinel: the reference's <value> dirs have no
+            # null representation — skip (and report) rather than invent one.
+            n_null_skipped += 1
+            continue
+        # Spark percent-escapes special chars in partition dir names; the
+        # reference stores raw values, so unescape before building its path.
+        value = urllib.parse.unquote(raw)
         vdir = os.path.join(out_root, value)
         os.makedirs(vdir, exist_ok=True)
         for f_ in sorted(glob.glob(os.path.join(d, "part-*.csv.gz"))):
@@ -127,7 +137,11 @@ def export_reference_layout(
             )
             n_chunks += 1
     shutil.rmtree(staging, ignore_errors=True)
-    return {"chunks": n_chunks, "partitions": len(os.listdir(out_root))}
+    return {
+        "chunks": n_chunks,
+        "partitions": len(os.listdir(out_root)),
+        "null_partitions_skipped": n_null_skipped,
+    }
 
 
 def _read_chunk_header(path: str) -> str:

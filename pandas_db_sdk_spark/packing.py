@@ -44,7 +44,10 @@ def pack_greedy(
         # (bigger groups pack tighter).
         n_groups = df.sparkSession.sparkContext.defaultParallelism * 2
 
-    schema = f"{id_col} long, {tokens_col} long, {OUT_SUFFIX}"
+    # id type follows the input schema — dedup stages commonly emit string
+    # ids (uuid/sha), and forcing int64 here would crash them at runtime.
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {tokens_col} long, {OUT_SUFFIX}"
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([tokens_col, id_col], ascending=[False, True])
@@ -63,7 +66,6 @@ def pack_greedy(
                 bins.append(budget - t)
                 assigned.append(len(bins) - 1)
         out = pdf[[id_col, tokens_col]].copy()
-        out[id_col] = out[id_col].astype("int64")
         out[tokens_col] = out[tokens_col].astype("int64")
         out["pack_group"] = int(pdf["__grp"].iloc[0])
         out["bin_idx"] = pd.Series(assigned, index=pdf.index, dtype="int32")

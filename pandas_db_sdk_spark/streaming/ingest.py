@@ -63,6 +63,11 @@ def stream_into_engine(
             dataframe_name,
             columns_keys=columns_keys,
             external_key=f"{version_prefix}{epoch_id}",
+            # foreachBatch is at-least-once: a crash between the data write
+            # and the checkpoint commit re-runs this epoch. Replacing the
+            # version's partitions (instead of appending) makes the retry
+            # converge to exactly one copy of the batch.
+            overwrite_version=True,
         )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")

@@ -157,3 +157,30 @@ def test_lsh_bucket_cap_bounds_degenerate_clusters(spark):
     )
     assert boom.count() == 60 * 59 / 2
     assert quiet.count() == 0
+
+
+def test_simhash_bands_derive_from_max_hamming(docs):
+    """For every bound h, the banded candidate join must find EXACTLY the
+    pairs whose signature Hamming distance <= h (pigeonhole guarantee:
+    h+1 bands). A fixed 4-band split would lose pairs at h >= 4."""
+    sigs = {r[0]: r[1] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    ids = sorted(sigs)
+    for h in (0, 3, 4, 6):
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= h
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=h).collect()
+        }
+        assert got == want, f"max_hamming={h}: got {len(got)}, want {len(want)}"
+
+
+def test_simhash_max_hamming_out_of_range_rejected(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)

@@ -108,3 +108,22 @@ def test_prep_pipeline_invariants(spark):
         .filter((F.col("t") > BUDGET) & (F.col("c") > 1))
     )
     assert over.count() == 0
+
+
+def test_packing_string_ids(spark):
+    """Dedup stages emit string ids (uuid/sha); packing must honour the
+    input id type instead of forcing int64."""
+    toks = _tokens(spark).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "n_tokens"
+    )
+    packed = packing.pack_greedy(toks, "doc_id", "n_tokens", BUDGET)
+    assert dict(packed.dtypes)["doc_id"] == "string"
+    assert packed.count() == toks.count()
+    over = (
+        packed.filter(F.col("n_tokens") <= BUDGET)
+        .groupBy("pack_group", "bin_idx")
+        .agg(F.sum("n_tokens").alias("s"))
+        .filter(F.col("s") > BUDGET)
+        .count()
+    )
+    assert over == 0

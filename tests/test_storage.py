@@ -55,7 +55,7 @@ def test_roundtrip_date_key(engine, sample, tmp_path):
     got = engine.load("by_date")
     assert _sorted_rows(got.select(*sample.columns)) == _sorted_rows(sample)
     # physical layout: one Hive-style dir per date value (README.md:191-198)
-    root = tmp_path / "wh" / "by_date"
+    root = tmp_path / "wh" / "by_date" / "__data"
     dirs = {p.name for p in root.iterdir() if p.is_dir()}
     assert dirs == {"__p_dt=2024-01-01", "__p_dt=2024-01-02", "__p_dt=2024-01-03"}
 
@@ -65,7 +65,7 @@ def test_roundtrip_id_key_buckets(engine, sample, tmp_path):
     got = engine.load("by_id")
     assert _sorted_rows(got.select(*sample.columns)) == _sorted_rows(sample)
     # range-bucket dirs from_X_to_Y (README.md:200-207); width=1000
-    root = tmp_path / "wh" / "by_id"
+    root = tmp_path / "wh" / "by_id" / "__data"
     dirs = {p.name for p in root.iterdir() if p.is_dir()}
     assert "__p_acct=from_1000_to_2000" in dirs
 
@@ -155,7 +155,7 @@ def test_prefix_listing(engine, sample):
 
 def test_hierarchical_names_nest_on_disk(engine, sample, tmp_path):
     engine.save(sample, "proj/dataset/subset")
-    assert (tmp_path / "wh" / "proj" / "dataset" / "subset").is_dir()
+    assert (tmp_path / "wh" / "proj" / "dataset" / "subset" / "__data").is_dir()
     assert engine.load("proj/dataset/subset").count() == sample.count()
 
 
@@ -369,3 +369,76 @@ def test_load_is_read_committed(engine, spark, tmp_path):
     got = engine.load("rc")
     assert got.count() == 5
     assert engine.load("rc", external_key="good").count() == 5
+
+
+def test_concurrent_writers_both_versions_survive(engine, spark):
+    """Two simultaneous save() calls on the same dataset must not lose
+    either writer's version entry (manifest read-modify-write is serialized
+    by the flock in _manifest_lock; the reference is a multi-user service,
+    README.md:23-26)."""
+    import threading
+
+    df = spark.range(50)
+    errs = []
+
+    def writer(label):
+        try:
+            engine.save(df, "race", external_key=label)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(f"v{i}",)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    versions = set(engine.list_datasets()["dataframes"]["race"]["versions"])
+    assert versions == {"v0", "v1", "v2", "v3"}
+    for v in versions:
+        assert engine.load("race", external_key=v).count() == 50
+
+
+def test_traversal_names_rejected(engine, spark):
+    """'..' segments would turn delete_dataset into an arbitrary rmtree."""
+    for bad in ("../escape", "a/../../b", ".", "..", "a/./b", ""):
+        with pytest.raises(ValueError):
+            engine.save(spark.range(3), bad)
+
+
+def test_prefix_nested_datasets_coexist(engine, spark):
+    """'a' and 'a/b' are distinct datasets: the __data leaf keeps b's files
+    out of a's partition discovery (reference encourages hierarchical names,
+    README.md:66-72)."""
+    engine.save(spark.range(10).withColumn("src", F.lit("a")), "pfx")
+    engine.save(spark.range(7).withColumn("src", F.lit("ab")), "pfx/child")
+    assert engine.load("pfx").count() == 10
+    assert engine.load("pfx/child").count() == 7
+    # deleting the parent dataset leaves the nested one intact
+    engine.delete_dataset("pfx")
+    assert engine.load("pfx/child").count() == 7
+    with pytest.raises(DatasetNotFound):
+        engine.load("pfx")
+
+
+def test_overwrite_version_is_replay_idempotent(engine, spark):
+    """A retried epoch save (same version label) must replace, not append —
+    the foreachBatch at-least-once crash-replay contract."""
+    engine.save(spark.range(20), "replay", external_key="epoch_0", overwrite_version=True)
+    # the retry: same label, same logical batch
+    engine.save(spark.range(20), "replay", external_key="epoch_0", overwrite_version=True)
+    assert engine.load("replay").count() == 20
+    # plain append semantics still available for non-streaming use
+    engine.save(spark.range(20), "replay2", external_key="k")
+    engine.save(spark.range(20), "replay2", external_key="k")
+    assert engine.load("replay2").count() == 40
+
+
+def test_append_after_compact_lands_in_relocated_dir(engine, spark):
+    """compact() moves the dataset directory; a later append must follow the
+    manifest path, not resurrect the deleted original dir."""
+    engine.save(spark.range(10), "cmp", external_key="v1")
+    engine.compact("cmp")
+    engine.save(spark.range(5), "cmp", external_key="v2")
+    assert engine.load("cmp").count() == 15
+    assert engine.load("cmp", external_key="v2").count() == 5
