@@ -173,17 +173,29 @@ def _kmeans_centroids(
     Deterministic: init picks the n_centroids rows with the smallest
     xxhash64(seed, vec) — a seeded pseudo-random sample with no RNG state.
     """
+    from pyspark import StorageLevel
     from pyspark.sql.pandas.functions import pandas_udf
 
     v = F.col(vec_col).cast("array<double>")
+    # The training loop reads the vectors max_iter+1 times (init sample +
+    # one assignment pass per Lloyd iteration); persist the projected column
+    # so that's one corpus scan total, not one per iteration.
+    vecs = corpus.select(v.alias("v")).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _lloyd(vecs, n_centroids, max_iter, seed, pandas_udf)
+    finally:
+        vecs.unpersist()
+
+
+def _lloyd(vecs: DataFrame, n_centroids: int, max_iter: int, seed: int, pandas_udf):
     init = (
-        corpus.select(v.alias("v"))
-        .withColumn("__r", F.xxhash64(F.lit(seed), F.col("v")))
+        vecs.withColumn("__r", F.xxhash64(F.lit(seed), F.col("v")))
         .orderBy("__r")
         .limit(n_centroids)
         .collect()
     )
     centroids = np.stack([np.asarray(r.v) for r in init])
+    v = F.col("v")
 
     for _ in range(max_iter):
         cmat = centroids  # close over this iteration's matrix
@@ -196,7 +208,7 @@ def _kmeans_centroids(
             return pd.Series(d.argmin(1).astype("int32"))
 
         cells = (
-            corpus.select(assign(v).alias("cid"), F.posexplode(v).alias("pos", "x"))
+            vecs.select(assign(v).alias("cid"), F.posexplode(v).alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
             .collect()

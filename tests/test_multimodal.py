@@ -66,6 +66,18 @@ def test_decode_real_is_marked_stub(spark, docs):
         multimodal.decode_real(multimodal.attach_binary_payload(docs))
 
 
+@pytest.mark.skip(reason="media codecs (PIL/librosa/av) not installed in this container")
+def test_decode_real_contract(spark, docs):
+    """INTENDED CONTRACT for decode_real once codecs exist: mapInPandas over
+    the payload column yielding one row per input with (doc_id, modality
+    dimensions, features array<float>) — same Arrow batch shape as
+    decode_features, exercised here against a real PNG payload."""
+    df = multimodal.attach_binary_payload(docs)
+    out = multimodal.decode_real(df)
+    assert out.count() == df.count()
+    assert "features" in out.columns
+
+
 def test_frame_sample_indices(spark):
     # 64-byte payload → 4 fake frames; every_n=2 → indices 0, 2
     df = spark.createDataFrame([(1, b"\x00" * 64)], "doc_id long, payload binary")
