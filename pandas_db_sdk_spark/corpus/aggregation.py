@@ -404,3 +404,120 @@ def c33b(spark, sf_dir):
         ).alias("status_seq"),
         F.count("*").alias("n"),
     )
+
+
+@q(
+    "c28c_mode",
+    """SELECT l_returnflag, mode_qty, cnt FROM (
+         SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS cnt,
+                row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY count(*) DESC, l_quantity) AS rn
+         FROM lineitem GROUP BY 1, 2) t
+       WHERE rn = 1""",
+)
+def c28c(spark, sf_dir):
+    """C28 variant: per-group mode (pandas ``mode``). Spark's F.mode breaks
+    ties arbitrarily, so this composes it deterministically: value counts →
+    row_number ordered by (count desc, value asc) — same tiebreak both
+    engines. Two partial-aggregable shuffles; the window runs over the
+    (group × distinct-value) table, which is already tiny."""
+    from pyspark.sql import Window
+
+    li = tables(spark, sf_dir)("lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("mode_qty")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), F.col("mode_qty"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "cnt")
+    )
+
+
+@q(
+    "c28d_freq_items",
+    """SELECT item, cnt FROM (
+         SELECT l_suppkey AS item, count(*) AS cnt FROM lineitem GROUP BY 1) t
+       WHERE cnt > (SELECT count(*) / 50.0 FROM lineitem)""",
+)
+def c28d(spark, sf_dir):
+    """C28 variant: exact heavy hitters — items with frequency > n/k
+    (the deterministic contract pandas-style ``freqItems`` approximates;
+    Spark's ``df.freqItems`` is partition-order dependent, so the engine
+    exposes the exact form: one partial-aggregable count + a 1-row
+    threshold broadcast)."""
+    li = tables(spark, sf_dir)("lineitem")
+    thresh = li.agg((F.count("*") / 50.0).alias("t"))
+    return (
+        li.groupBy(F.col("l_suppkey").alias("item"))
+        .agg(F.count("*").alias("cnt"))
+        .join(thresh)
+        .filter(F.col("cnt") > F.col("t"))
+        .select("item", "cnt")
+    )
+
+
+@q(
+    "c28e_describe",
+    """SELECT col,
+              n, round(mean, 6) AS mean, round(sd, 6) AS sd,
+              min_v, round(q25, 6) AS q25, round(q50, 6) AS q50,
+              round(q75, 6) AS q75, max_v
+       FROM (
+         SELECT 'l_quantity' AS col, count(l_quantity) AS n, avg(l_quantity) AS mean,
+                stddev_samp(l_quantity) AS sd, min(l_quantity) AS min_v,
+                quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.5) AS q50,
+                quantile_cont(l_quantity, 0.75) AS q75, max(l_quantity) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(l_extendedprice), avg(l_extendedprice),
+                stddev_samp(l_extendedprice), min(l_extendedprice),
+                quantile_cont(l_extendedprice, 0.25), quantile_cont(l_extendedprice, 0.5),
+                quantile_cont(l_extendedprice, 0.75), max(l_extendedprice)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(l_discount), avg(l_discount),
+                stddev_samp(l_discount), min(l_discount),
+                quantile_cont(l_discount, 0.25), quantile_cont(l_discount, 0.5),
+                quantile_cont(l_discount, 0.75), max(l_discount)
+         FROM lineitem) t""",
+)
+def c28e(spark, sf_dir):
+    """C28: full pandas-style ``describe()`` in long format — one row per
+    column with (n, mean, sd, min, q25, q50, q75, max). ONE scan: all 27
+    aggregates run in a single agg pass, then per-column rows unfold from
+    that 1-row result (posexplode of 3 structs — driver-free, shuffle-free
+    beyond the global agg's single-row exchange)."""
+    li = tables(spark, sf_dir)("lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.avg(c).alias(f"{c}__mean"),
+            F.stddev_samp(c).alias(f"{c}__sd"),
+            F.min(c).alias(f"{c}__min"),
+            F.percentile(c, F.lit(0.25)).alias(f"{c}__q25"),
+            F.percentile(c, F.lit(0.5)).alias(f"{c}__q50"),
+            F.percentile(c, F.lit(0.75)).alias(f"{c}__q75"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n"),
+                F.round(F.col(f"{c}__mean"), 6).alias("mean"),
+                F.round(F.col(f"{c}__sd"), 6).alias("sd"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.round(F.col(f"{c}__q25"), 6).alias("q25"),
+                F.round(F.col(f"{c}__q50"), 6).alias("q50"),
+                F.round(F.col(f"{c}__q75"), 6).alias("q75"),
+                F.col(f"{c}__max").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(structs).alias("s")).select("s.*")
