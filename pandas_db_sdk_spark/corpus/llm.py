@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .. import dedup, multimodal, similarity, text
+from .. import dedup, multimodal, packing, similarity, text
 from ._util import registry, tables
 
 QUERIES, ORACLE, q = registry()
@@ -459,3 +459,92 @@ def d18(spark, sf_dir):
     return pipeline.prepare_corpus(d).select(
         "doc_id", "n_tokens", "pack_group", "bin_idx", "quality_score"
     )
+
+
+_DUCK_GRAMS = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - {m}, 1) + 1)) AS i
+            FROM toks),
+    grams AS (
+        SELECT doc_id, array_to_string(list_slice(t, i, i + {m}), ' ') AS g
+        FROM idx
+    )
+"""
+
+
+@q(
+    "d19_decontaminate",
+    """WITH """ + _DUCK_GRAMS.format(m=4) + """,
+       bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       cont AS (SELECT DISTINCT doc_id FROM grams
+                WHERE g IN (SELECT g FROM bench))
+       SELECT d.doc_id, d.lang,
+              CAST(c.doc_id IS NOT NULL AS INT) AS is_contaminated
+       FROM documents d LEFT JOIN cont c USING (doc_id)""",
+)
+def d19(spark, sf_dir):
+    """D19 (ext): benchmark decontamination — flag documents sharing any
+    word 5-gram with the benchmark set (every 50th doc stands in for an
+    eval suite). The benchmark gram-hash set broadcasts (eval suites are
+    bounded); corpus grams stream through the semi-join as 8-byte hashes."""
+    d = tables(spark, sf_dir)("documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return text.decontaminate(d, bench, "doc_id", "text", n=5).select(
+        "doc_id", "lang", F.col("is_contaminated").cast("int").alias("is_contaminated")
+    )
+
+
+@q(
+    "d20_top_ngrams",
+    """WITH """ + _DUCK_GRAMS.format(m=2) + """
+       SELECT g AS ngram, count(*) AS cnt FROM grams
+       GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20""",
+)
+def d20(spark, sf_dir):
+    """D20 (ext): corpus-wide top-k word trigrams (the n-gram census behind
+    boilerplate detection). Deterministic: ties broken by gram text; TopK
+    plans as TakeOrderedAndProject (k-row driver merge, no global sort)."""
+    d = tables(spark, sf_dir)("documents")
+    return text.top_ngrams(d, "text", n=3, k=20)
+
+
+@q(
+    "d21_unigram_logprob",
+    """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       counts AS (SELECT token, count(*) AS cnt FROM terms GROUP BY 1),
+       tot AS (SELECT sum(cnt) AS total FROM counts),
+       lm AS (SELECT token, ln(CAST(cnt AS DOUBLE)) - ln(CAST(total AS DOUBLE)) AS logp
+              FROM counts, tot)
+       SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logprob
+       FROM terms JOIN lm USING (token) GROUP BY doc_id""",
+)
+def d21(spark, sf_dir):
+    """D21 (ext): unigram-LM average log-probability per document — the
+    cheap perplexity-proxy quality filter, LM trained on the corpus in the
+    same job. Vocabulary join carries no broadcast hint (unbounded at
+    scale; AQE decides)."""
+    d = tables(spark, sf_dir)("documents")
+    return text.unigram_logprob(d, "doc_id", "text")
+
+
+@q(
+    "d22_shard_assign",
+    """WITH h AS (
+           SELECT doc_id, lang,
+                  ((doc_id % 1000003) * 2654435761) % 2147483647 AS hh
+           FROM documents)
+       SELECT doc_id, lang,
+              CAST(hh % 8 AS INT) AS shard,
+              CAST(row_number() OVER (
+                  PARTITION BY hh % 8
+                  ORDER BY (hh * 48271) % 2147483647, doc_id) AS INT) AS shard_pos
+       FROM h""",
+)
+def d22(spark, sf_dir):
+    """D22 (ext): deterministic global shuffle + shard assignment for
+    training-data layout (multiplicative hashing in pure int64 arithmetic —
+    reproducible across engines and re-runs). One window shuffle."""
+    d = tables(spark, sf_dir)("documents")
+    return packing.shard_assign(d.select("doc_id", "lang"), "doc_id", 8)

@@ -19,10 +19,40 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 OUT_SUFFIX = "pack_group int, bin_idx int"
+
+# Multiplicative-hash constants for shard_assign: pure int64 arithmetic so
+# the same expression is computable (and bit-identical) in any SQL engine —
+# no engine-specific hash function in the contract.
+_SHARD_P = 1_000_003
+_SHARD_A = 2_654_435_761  # Knuth's 2^32 / phi
+
+
+def shard_assign(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data layout:
+    every row gets (shard, shard_pos) where ``shard`` spreads ids via a
+    multiplicative hash (decorrelated from id order, so consecutive ids
+    never land in one shard-run) and ``shard_pos`` is a stable total order
+    within the shard (re-hashed, tie-broken by id).
+
+    One shuffle (the shard_pos window re-key). Writing the result
+    partitioned by ``shard`` yields the randomized, evenly-sized training
+    shards a data loader consumes; determinism means re-runs produce
+    byte-identical shards (resumable pipelines).
+    """
+    h = F.pmod((F.col(id_col).cast("long") % _SHARD_P) * _SHARD_A, F.lit(2**31 - 1))
+    w = Window.partitionBy("shard").orderBy(F.pmod(F.col("__h") * 48271, F.lit(2**31 - 1)), id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("__h")
+    )
 
 
 def pack_greedy(

@@ -149,6 +149,94 @@ def tf_idf(
     )
 
 
+def word_ngrams(col, n: int):
+    """All (overlapping, order-preserving) word n-grams of a text column as
+    an array of strings — codegen'd HOFs, no Python. Documents shorter than
+    n words yield one degenerate gram of the available words."""
+    toks = tokens(col)
+    m = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(m - n + 1, F.lit(1)))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene op: flag every
+    corpus document sharing ANY word n-gram with the benchmark/eval set
+    (the n-gram-overlap rule used for eval contamination checks).
+
+    Scale shape: the benchmark side is a fixed eval suite — bounded and
+    small by definition — so its distinct gram-hash set broadcasts; the
+    corpus side streams through a broadcast LEFT SEMI probe per gram with
+    no shuffle of corpus text at all (grams travel as 8-byte xxhash64
+    keys). Returns the corpus with an ``is_contaminated`` flag.
+    """
+    grams = word_ngrams(text_col, n)
+    bench_hashes = (
+        benchmark.select(F.explode(grams).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_hashes), "gh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return corpus.join(contaminated, id_col, "left").fillna(
+        False, subset=["is_contaminated"]
+    )
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count (deterministic:
+    ties broken by gram text). One explode → partial+final count → TopK
+    (TakeOrderedAndProject — a k-sized driver merge, never a global sort)."""
+    return (
+        df.select(F.explode(word_ngrams(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-proxy quality score: average unigram log-probability per
+    document, with the unigram LM trained on the corpus itself in the same
+    job (the cheap first-pass LM filter of training-data pipelines).
+
+    Two aggregates over one exploded (doc, token) table: token counts and
+    the corpus total; the scoring join is on ``token`` with NO broadcast
+    hint (vocabulary is unbounded at 100 TB — AQE broadcasts only when the
+    vocab is actually small; see tf_idf).
+    """
+    terms = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+    counts = terms.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    lm = counts.crossJoin(total).select(
+        "token", (F.log(F.col("cnt").cast("double")) - F.log(F.col("total").cast("double"))).alias("logp")
+    )
+    return (
+        terms.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def repetition_ratio(df: DataFrame, text_col: str = "text", shingle: int = 3) -> DataFrame:
     """Gopher-style repetition signal: fraction of word shingles that are
     duplicates of an earlier shingle in the same document

@@ -127,3 +127,25 @@ def test_packing_string_ids(spark):
         .count()
     )
     assert over == 0
+
+
+def test_shard_assign_deterministic_balanced_total_order(spark):
+    df = _tokens(spark).select("doc_id")
+    a = packing.shard_assign(df, "doc_id", 8).collect()
+    b = packing.shard_assign(df, "doc_id", 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    from collections import Counter
+    sizes = Counter(r.shard for r in a)
+    n = len(a)
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 2 * n / 8  # multiplicative hash spreads ids
+    # shard_pos is a total order 1..size within each shard
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for s, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # decorrelated from id order: consecutive ids don't share a shard run
+    first = {r.doc_id: r.shard for r in a}
+    runs = sum(1 for i in sorted(first)[1:] if first[i] == first[i - 1])
+    assert runs < n / 4

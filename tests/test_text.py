@@ -137,3 +137,43 @@ def test_fingerprint_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     plan = text.fingerprint(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now okay then"),
+            (3, "prefix padding quick brown fox jumps over suffix pad"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx quick brown fox jumps over yy")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.is_contaminated for r in
+           text.decontaminate(corpus, bench, n=5).collect()}
+    assert out[1] is True      # shares the 5-gram "quick brown fox jumps over"
+    assert out[2] is False
+    assert out[3] is True
+
+
+def test_top_ngrams_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c b c")], "doc_id long, text string"
+    )
+    got = [(r.ngram, r.cnt) for r in text.top_ngrams(df, n=2, k=3).collect()]
+    # counts: "a b"=2 ("a b" at pos1,? -> doc1 grams: a b, b a, a b => a b x2, b a x1)
+    # doc2: b c, c b, b c => b c x2, c b x1; top3 sorted by (cnt desc, gram)
+    assert got == [("a b", 2), ("b c", 2), ("b a", 1)]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    [r] = text.unigram_logprob(df).collect()
+    # p(a)=2/3, p(b)=1/3; avg over tokens [a,a,b]
+    want = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
+    assert r.n_tokens == 3
+    assert abs(r.avg_logprob - round(want, 6)) < 1e-9
