@@ -211,3 +211,164 @@ def x04(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
     )
+
+
+@q(
+    "x05_late_shipments",
+    """SELECT o.o_orderpriority,
+              CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS late_items,
+              count(*) AS total_items
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY o.o_orderpriority
+       ORDER BY o.o_orderpriority""",
+)
+def x05(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → lateness, fixture has no shipmode):
+    order-vs-ship date lag classified per priority class. One fact×fact
+    join re-key + conditional partial+final agg; the date filter pushes to
+    the orders scan and prunes the join's build side."""
+    t = tables(spark, sf_dir)
+    o = t("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = t("lineitem")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).alias("late_items"),
+            F.count("*").alias("total_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "x06_promo_revenue",
+    """SELECT round(
+              100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                             * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+              / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+              6) AS promo_pct
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l.l_shipdate < TIMESTAMP '1997-07-01'""",
+)
+def x06(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share over a ship-date window. part
+    broadcasts (dimension), the filter pushes into the lineitem scan, and
+    both conditional sums ride one partial+final agg — a single pass over
+    the qualifying rows."""
+    t = tables(spark, sf_dir)
+    l = t("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+        F.lit(0).cast(REV_DEC)
+    )
+    return (
+        l.join(F.broadcast(t("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_revenue()).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@q(
+    "x07_disjunctive_revenue",
+    """SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                  AS revenue,
+              count(*) AS n_items
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+              AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+          OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 25 AND 50
+              AND l.l_quantity >= 20 AND l.l_quantity <= 50)""",
+)
+def x07(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate spanning both
+    join sides. Catalyst CNF-converts the OR so the part-only conjuncts
+    (brand ∈ {...}, size range) still prune the broadcast build side, and
+    the quantity bounds still push to the lineitem scan."""
+    t = tables(spark, sf_dir)
+    l = t("lineitem")
+    p = t("part")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(25, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@q(
+    "x08_supplier_part_counts",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       SELECT p.p_brand, p.p_type, p.p_size,
+              count(DISTINCT ps.l_suppkey) AS supplier_cnt
+       FROM ps
+       JOIN part p ON p.p_partkey = ps.l_partkey
+       WHERE p.p_brand <> 'Brand#1'
+         AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+       GROUP BY p.p_brand, p.p_type, p.p_size
+       ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+       LIMIT 30""",
+)
+def x08(spark, sf_dir):
+    """TPC-H Q16 shape: distinct part-supplier relation (distilled from
+    lineitem — the fixture has no partsupp), an anti-join excluding
+    complained-about suppliers, per-(brand,type,size) distinct-supplier
+    counts, deterministic top-30. The anti-join side is tiny (negative-
+    balance suppliers) and broadcasts."""
+    t = tables(spark, sf_dir)
+    ps = t("lineitem").select("l_partkey", "l_suppkey").distinct()
+    bad = t("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(t("part").filter(F.col("p_brand") != "Brand#1")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(30)
+    )

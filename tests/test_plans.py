@@ -163,12 +163,20 @@ def test_composite_queries_compose_cleanly(spark, queries):
         "x01_shipping_priority",
         "x02_local_supplier_volume",
         "x03_returned_items",
+        "x06_promo_revenue",
+        "x07_disjunctive_revenue",
+        "x08_supplier_part_counts",
     ):
         plan = plan_of(queries[name](spark, SF))
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "PushedFilters: [" in plan, name
+    # x05 is fact×fact (no dim side): partial+final agg, no nested loop
+    plan = plan_of(queries["x05_late_shipments"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 # Shuffle budgets: the number of Exchange nodes each load-bearing query is
