@@ -224,3 +224,78 @@ def c67(spark, sf_dir):
     return TS.ffill(e, ["v"], "event_id", keys=["user_id"]).select(
         "event_id", "user_id", F.col("v").alias("v_filled")
     )
+
+
+@q(
+    "c58b_interval_join",
+    f"""WITH v AS (SELECT user_id, epoch_us(ts) AS v_us, event_id AS view_id
+                   FROM events WHERE event_type = 'view'),
+            c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+                  FROM events WHERE event_type = 'click')
+        SELECT v.user_id, view_id, click_id,
+               v_us AS view_ts_us, c_us AS click_ts_us
+        FROM v JOIN c ON v.user_id = c.user_id
+                     AND v.v_us <= c.c_us
+                     AND c.c_us <= v.v_us + {US_30MIN}""",
+)
+def c58b(spark, sf_dir):
+    """C58 variant: event-time interval join (view→click attribution within
+    30 minutes) — the batch semantics of the stream-stream interval join
+    (`streaming.windows.interval_join`; stream/batch parity pinned in
+    tests/test_streaming.py). The time bound makes the join state finite
+    under streaming and keeps the batch plan an equi-join on user_id with a
+    range residual, never a pure range explosion."""
+    from ..streaming.windows import interval_join
+
+    e = tables(spark, sf_dir)("events")
+    return interval_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+        tolerance="30 minutes",
+    )
+
+
+@q(
+    "c68_interpolate",
+    """SELECT event_id, user_id,
+              round(CASE
+                WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                WHEN pv IS NULL THEN NULL
+                WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                     + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                       * (t - pt) / (nt - pt)
+              END, 6) AS v_interp
+       FROM (
+         SELECT event_id, user_id, v, CAST(epoch_us(ts) AS DOUBLE) AS t,
+                last_value(v IGNORE NULLS) OVER wp AS pv,
+                first_value(v IGNORE NULLS) OVER wn AS nv,
+                last_value(CASE WHEN v IS NOT NULL
+                                THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+                    OVER wp AS pt,
+                first_value(CASE WHEN v IS NOT NULL
+                                 THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS)
+                    OVER wn AS nt
+         FROM (SELECT event_id, user_id, ts,
+                      CASE WHEN value < 50 THEN NULL ELSE value END AS v
+               FROM events)
+         WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""",
+)
+def c68(spark, sf_dir):
+    """C68 (pandas `interpolate(method='index')`): time-weighted linear
+    interpolation of a sparsified value column per user (timeseries.
+    interpolate_linear) — nulls between known points take the linear value,
+    trailing nulls carry forward, leading nulls stay null."""
+    from .. import timeseries as TS
+
+    e = tables(spark, sf_dir)("events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("value") >= 50, F.col("value")).alias("v"),
+    )
+    out = TS.interpolate_linear(
+        e, "v", "ts", keys=["user_id"], out_col="v_interp", tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "v_interp")

@@ -84,3 +84,47 @@ def run_to_memory(result: DataFrame, spark: SparkSession, mode: str = "complete"
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    tolerance: str = "30 minutes",
+    view_watermark: str = "1 hour",
+    click_watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each click with the same user's
+    views in the preceding ``tolerance`` window (attribution's core shape).
+
+    Streaming semantics: BOTH sides carry watermarks and the join condition
+    bounds event time on both sides, so Spark can size the join state
+    buffer — each side retains only watermark+tolerance of history, the
+    property that keeps a continuous 100 TB/day join's state finite. The
+    identical expressions run on batch DataFrames for the parity oracle.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", view_watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", click_watermark)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return v.join(c, cond).select(
+        F.col("c_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )

@@ -152,3 +152,49 @@ def asof_join(
             out = out.withColumn(c, F.when(within, F.col(c)))
         out = out.withColumn("__m_on", F.when(within, F.col("__m_on")))
     return out.drop("__side").withColumnRenamed("__m_on", f"{on}_right")
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    keys: Sequence[str] = (),
+    out_col: Optional[str] = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """pandas ``interpolate(method='index')`` per key: nulls between two
+    known points take the time-weighted linear value; trailing nulls carry
+    the last known value; leading nulls stay null (pandas' default
+    limit_direction='forward' behavior).
+
+    Two ordered window passes over one per-key shuffle — the neighbor
+    scan pattern: last-known (value, time) forward, first-known backward,
+    then pure per-row arithmetic. No Python, no extra shuffle beyond the
+    key re-partition. Pass ``tiebreak`` columns (e.g. a unique id) to make
+    neighbor choice deterministic when timestamps repeat within a key.
+    """
+    out_col = out_col or f"{value_col}_interp"
+    v, t = F.col(value_col), F.col(ts_col).cast("double")
+    order = [ts_col, *tiebreak]
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wp)
+    next_v = F.first(v, ignorenulls=True).over(wn)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wn)
+    frac = (t - prev_t) / (next_t - prev_t)
+    interp = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(prev_v.isNull(), F.lit(None).cast("double"))  # leading gap
+        .when(next_v.isNull(), prev_v.cast("double"))       # trailing gap
+        .otherwise(prev_v.cast("double") + (next_v.cast("double") - prev_v.cast("double")) * frac)
+    )
+    return df.withColumn(out_col, F.round(interp, 6))

@@ -194,3 +194,23 @@ def test_compact_reduces_file_count_preserves_data(spark, events_dir, events_bat
     )
     # version pinning still prunes after the swap
     assert eng.load("compactme", external_key="extra").count() == events_batch.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, events_batch):
+    """Stream-stream interval join (view→click attribution) must equal the
+    batch join over the same data; watermarks + two-sided time bounds keep
+    the streaming state finite."""
+    from pyspark.sql import functions as F
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    sv, sc = split(W.stream_events_from_dir(spark, events_dir))
+    streamed = W.run_to_memory(W.interval_join(sv, sc), spark, mode="append")
+    bv, bc = split(events_batch)
+    expected = W.interval_join(bv, bc)
+    assert expected.count() > 0
+    assert _rows(streamed, ["view_id", "click_id"]) == _rows(expected, ["view_id", "click_id"])

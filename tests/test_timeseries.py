@@ -110,3 +110,24 @@ def test_asof_join_exact_match_taken(spark, asof_frames):
         out = ts.asof_join(left, right, on="t", by=["k"], direction=direction)
         got = {(r.k, r.t): r.rv for r in out.collect()}
         assert got[("a", 10)] == 1.0
+
+
+def test_interpolate_linear_hand_computed(spark):
+    from pandas_db_sdk_spark import timeseries as TS
+    from pyspark.sql import functions as F
+
+    rows = [
+        # key, t, v — leading null, interior gap, trailing null
+        ("a", 0, None), ("a", 10, 1.0), ("a", 15, None), ("a", 30, 5.0), ("a", 40, None),
+        ("b", 0, 2.0), ("b", 4, None), ("b", 8, None), ("b", 10, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {(r.k, r.t): r.v_interp for r in
+           TS.interpolate_linear(df, "v", "t", keys=["k"]).collect()}
+    assert out[("a", 0)] is None                     # leading stays null
+    assert out[("a", 10)] == 1.0
+    assert out[("a", 15)] == 1.0 + (5.0 - 1.0) * (15 - 10) / (30 - 10)
+    assert out[("a", 30)] == 5.0
+    assert out[("a", 40)] == 5.0                     # trailing carries last
+    assert out[("b", 4)] == 2.0 + 5.0 * 4 / 10
+    assert out[("b", 8)] == 2.0 + 5.0 * 8 / 10
