@@ -125,6 +125,19 @@ def d03d(spark, sf_dir):
     )
 
 
+@q("d03f_ann_pq")  # rows-only: PQ codebook layout is init-specific
+def d03f(spark, sf_dir):
+    """D3 scale path #3: product-quantization top-k — per-subspace k-means
+    codebooks, m-byte codes per vector, JVM-only ADC scoring via a
+    broadcast lookup-table join (recall vs brute force pinned in
+    tests/test_similarity.py)."""
+    e = tables(spark, sf_dir)("embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    books = similarity.pq_train(e, "embedding", m_subspaces=8, n_codes=16)
+    codes = similarity.pq_encode(e, books, "vec_id", "embedding")
+    return similarity.pq_topk(queries, codes, books, "vec_id", k=5)
+
+
 @q(
     "d03c_embedding_near_dup",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -150,3 +150,31 @@ def test_near_dup_pairs_blocked(spark):
     )
     out = similarity.near_dup_pairs_by_cosine(df, "id", "v", "blk", threshold=0.99)
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
+def test_pq_recall_and_self_retrieval(spark, emb, exact_topk):
+    """PQ-ADC top-k: the query's own vector quantizes to its own codes, so
+    self-retrieval is exact (approx distance 0); recall@5 vs brute force
+    must clear the coarse-quantizer floor on random vectors."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = similarity.pq_train(emb, "embedding", m_subspaces=8, n_codes=16)
+    codes = similarity.pq_encode(emb, books, "vec_id", "embedding")
+    out = similarity.pq_topk(queries, codes, books, "vec_id", k=5)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == set(range(8))
+    top1 = {r.query_id: r.neighbor_id for r in rows if r.rn == 1}
+    assert top1 == {i: i for i in range(8)}  # own codes → distance 0
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(got & exact_topk) / len(exact_topk)
+    assert recall >= 0.3, recall  # random-vector worst case; see SCALE.md
+
+
+def test_pq_codes_deterministic(spark, emb):
+    books1 = similarity.pq_train(emb, "embedding", m_subspaces=8, n_codes=16)
+    books2 = similarity.pq_train(emb, "embedding", m_subspaces=8, n_codes=16)
+    import numpy as np
+    for a, b in zip(books1, books2):
+        assert np.array_equal(a, b)
+    c1 = similarity.pq_encode(emb, books1, "vec_id").orderBy("neighbor_id").collect()
+    c2 = similarity.pq_encode(emb, books2, "vec_id").orderBy("neighbor_id").collect()
+    assert [list(r.codes) for r in c1] == [list(r.codes) for r in c2]
