@@ -521,3 +521,41 @@ def c28e(spark, sf_dir):
         ]
     )
     return one.select(F.explode(structs).alias("s")).select("s.*")
+
+
+@q(
+    "c29c_winsorize",
+    """WITH q AS (SELECT l_returnflag AS rf,
+                         quantile_cont(l_extendedprice, 0.05) AS lo,
+                         quantile_cont(l_extendedprice, 0.95) AS hi
+                  FROM lineitem GROUP BY 1)
+       SELECT l_orderkey, l_linenumber, l_returnflag,
+              round(least(greatest(l_extendedprice, lo), hi), 6) AS price_winsor,
+              CAST(l_extendedprice < lo OR l_extendedprice > hi AS INT) AS clipped
+       FROM lineitem JOIN q ON l_returnflag = q.rf""",
+)
+def c29c(spark, sf_dir):
+    """C29 variant: per-group winsorization (pandas `clip` at the 5th/95th
+    percentile) — the outlier-capping step of feature pipelines. The
+    per-group quantile table is structurally tiny (one row per group) and
+    broadcasts; clipping is per-row arithmetic on the scan."""
+    li = tables(spark, sf_dir)("lineitem")
+    qs = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(qs), li.l_returnflag == qs.rf)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")), 6
+            ).alias("price_winsor"),
+            (
+                (F.col("l_extendedprice") < F.col("lo"))
+                | (F.col("l_extendedprice") > F.col("hi"))
+            ).cast("int").alias("clipped"),
+        )
+    )

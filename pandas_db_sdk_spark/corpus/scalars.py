@@ -385,3 +385,31 @@ def c52b(spark, sf_dir):
         F.array_join(F.array_sort(F.map_keys(mc)), ",").alias("ks"),
         F.size(m).cast("long").alias("n_entries"),
     )
+
+
+@q(
+    "c50c_bucketize",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice < 0 THEN 0
+                   WHEN o_totalprice >= 500000 THEN 21
+                   ELSE 1 + CAST(floor(o_totalprice / 25000.0) AS BIGINT)
+              END AS price_bucket,
+              CASE WHEN o_totalprice < 100000 THEN 'low'
+                   WHEN o_totalprice < 300000 THEN 'mid'
+                   ELSE 'high' END AS price_band
+       FROM orders""",
+)
+def c50c(spark, sf_dir):
+    """C50 variant: pandas `cut` — fixed-width binning via width_bucket
+    plus labeled bands; pure per-row arithmetic on the scan."""
+    o = tables(spark, sf_dir)("orders")
+    return o.select(
+        "o_orderkey",
+        F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20)).alias(
+            "price_bucket"
+        ),
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+    )

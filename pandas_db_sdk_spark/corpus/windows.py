@@ -193,3 +193,40 @@ def c35b(spark, sf_dir):
         F.nth_value("o_orderstatus", 2).over(wfull).alias("second_status"),
         F.round(F.cume_dist().over(wcd), 8).alias("cd"),
     )
+
+
+@q(
+    "c37b_cummax_pct_change",
+    """SELECT o_custkey, o_orderkey,
+              max(o_totalprice) OVER w AS running_max,
+              min(o_totalprice) OVER w AS running_min,
+              round(CASE WHEN lag(o_totalprice) OVER
+                              (PARTITION BY o_custkey ORDER BY o_orderkey) IS NULL
+                         THEN NULL
+                         ELSE o_totalprice
+                              / lag(o_totalprice) OVER
+                                (PARTITION BY o_custkey ORDER BY o_orderkey) - 1
+                    END, 6) AS pct_change
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS UNBOUNDED PRECEDING)""",
+)
+def c37b(spark, sf_dir):
+    """C37 variant: pandas `cummax`/`cummin`/`pct_change` — running
+    extremes (exact on doubles) and per-row relative change, same single
+    window re-key as c37."""
+    o = tables(spark, sf_dir)("orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wl = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    prev = F.lag("o_totalprice").over(wl)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.max("o_totalprice").over(w).alias("running_max"),
+        F.min("o_totalprice").over(w).alias("running_min"),
+        F.round(F.col("o_totalprice") / prev - 1, 6).alias("pct_change"),
+    )
