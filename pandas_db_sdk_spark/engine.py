@@ -191,23 +191,30 @@ class DataFrameEngine:
                     pcol, F.concat(F.lit("from_"), lo, F.lit("_to_"), lo + w)
                 )
             partition_cols.append(pcol)
-        out = out.withColumn(VERSION_COL, F.lit(version))
-        partition_cols.append(VERSION_COL)
-
         # Appends follow the manifest's path (compact() relocates datasets);
         # only a brand-new dataset gets a freshly derived directory.
         path = existing["path"] if existing is not None else self._dataset_path(dataframe_name)
+        # Each version writes into its OWN `__version=<v>/` directory
+        # (version is the OUTERMOST partition level). This is what makes
+        # concurrent save() calls safe: the Hadoop committer stages under
+        # `<output root>/_temporary/0`, so two jobs sharing one root race on
+        # cleanup and lose each other's files — distinct per-version roots
+        # mean distinct staging dirs. It also turns version retention and
+        # pruned reads into single top-level directory ops. The __version
+        # column itself is never stored in files; partition discovery
+        # derives it from the dir name (schema pinned by _full_schema).
+        version_dir = os.path.join(path, f"{VERSION_COL}={version}")
         if overwrite_version:
             # Remove any files a previous (possibly crashed) attempt left
             # under this version label, so the rewrite below is the ONLY
             # copy — replay-idempotent regardless of where the first
             # attempt died.
-            self._delete_version_dirs(path, version)
+            shutil.rmtree(version_dir, ignore_errors=True)
         (
             out.write.mode("append")
             .option("maxRecordsPerFile", 100_000)  # chunking analogue, README.md:21
             .partitionBy(*partition_cols)
-            .parquet(path)
+            .parquet(version_dir)
         )
 
         with self._manifest_lock():
@@ -314,16 +321,29 @@ class DataFrameEngine:
         external_key: Optional[str] = None,
         use_last: bool = False,
         drop_internal: bool = True,
+        as_of: Optional[int] = None,
     ) -> DataFrame:
         """Retrieve a dataset, optionally pinned to one version.
 
         Version selection mirrors ``get_dataframe`` params
         (``client.py:160-165``); the filter lands on a partition column so
         Catalyst prunes to that version's files only.
+
+        ``as_of=<epoch millis>``: time travel over 'NOW'-stamped versions —
+        loads the newest version whose stamp is <= the given instant (the
+        engine's analogue of table-format time travel; version labels are
+        the reference's server-side timestamps, ``README.md:81-83``).
         """
         ds = self._dataset_entry(dataframe_name)
         df = self.spark.read.schema(self._full_schema(ds)).parquet(ds["path"])
-        if use_last:
+        if as_of is not None:
+            stamped = [v for v in ds["versions"] if str(v).isdigit() and int(v) <= as_of]
+            if not stamped:
+                raise DatasetNotFound(
+                    f"{dataframe_name!r} has no 'NOW'-stamped version at or before {as_of}"
+                )
+            external_key = max(stamped, key=int)
+        elif use_last:
             external_key = ds.get("latest")
         if external_key is not None:
             df = df.filter(F.col(VERSION_COL) == F.lit(str(external_key)))
@@ -398,7 +418,9 @@ class DataFrameEngine:
         ds = self._dataset_entry(dataframe_name)
         old_path = ds["path"]
         df = self.load(dataframe_name, drop_internal=False)
-        partition_cols = [f"__p_{c}" for c in ds["columns_keys"]] + [VERSION_COL]
+        # version OUTERMOST — must match save()'s per-version-dir layout so
+        # post-compaction appends keep one consistent partition ordering
+        partition_cols = [VERSION_COL] + [f"__p_{c}" for c in ds["columns_keys"]]
         new_path = old_path.rstrip("/") + f".compact.{uuid.uuid4().hex[:8]}"
         (
             # repartition on the partition columns: all rows of one partition

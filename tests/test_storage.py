@@ -54,9 +54,11 @@ def test_roundtrip_date_key(engine, sample, tmp_path):
     engine.save(sample, "by_date", columns_keys={"dt": "Date"})
     got = engine.load("by_date")
     assert _sorted_rows(got.select(*sample.columns)) == _sorted_rows(sample)
-    # physical layout: one Hive-style dir per date value (README.md:191-198)
+    # physical layout: version dir outermost (concurrent-writer isolation),
+    # one Hive-style dir per date value inside (README.md:191-198)
     root = tmp_path / "wh" / "by_date" / "__data"
-    dirs = {p.name for p in root.iterdir() if p.is_dir()}
+    [vdir] = [p for p in root.iterdir() if p.name.startswith("__version=")]
+    dirs = {p.name for p in vdir.iterdir() if p.is_dir()}
     assert dirs == {"__p_dt=2024-01-01", "__p_dt=2024-01-02", "__p_dt=2024-01-03"}
 
 
@@ -66,7 +68,8 @@ def test_roundtrip_id_key_buckets(engine, sample, tmp_path):
     assert _sorted_rows(got.select(*sample.columns)) == _sorted_rows(sample)
     # range-bucket dirs from_X_to_Y (README.md:200-207); width=1000
     root = tmp_path / "wh" / "by_id" / "__data"
-    dirs = {p.name for p in root.iterdir() if p.is_dir()}
+    [vdir] = [p for p in root.iterdir() if p.name.startswith("__version=")]
+    dirs = {p.name for p in vdir.iterdir() if p.is_dir()}
     assert "__p_acct=from_1000_to_2000" in dirs
 
 
@@ -442,3 +445,15 @@ def test_append_after_compact_lands_in_relocated_dir(engine, spark):
     engine.save(spark.range(5), "cmp", external_key="v2")
     assert engine.load("cmp").count() == 15
     assert engine.load("cmp", external_key="v2").count() == 5
+
+
+def test_as_of_time_travel(engine, spark):
+    """load(as_of=t) resolves the newest NOW-stamped version <= t."""
+    engine.save(spark.range(10), "tt")          # clock → t1
+    engine.save(spark.range(20), "tt")          # clock → t2
+    v1, v2 = engine.list_datasets()["dataframes"]["tt"]["versions"]
+    assert engine.load("tt", as_of=int(v1)).count() == 10
+    assert engine.load("tt", as_of=int(v1) + 1).count() == 10
+    assert engine.load("tt", as_of=int(v2)).count() == 20
+    with pytest.raises(DatasetNotFound):
+        engine.load("tt", as_of=int(v1) - 1)
