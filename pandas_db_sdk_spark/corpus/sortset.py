@@ -203,3 +203,28 @@ def c42b(spark, sf_dir):
         .offset(100)
         .limit(50)
     )
+
+
+@q(
+    "c41b_global_row_index",
+    """SELECT o_orderkey, o_custkey,
+              row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS row_index
+       FROM orders""",
+)
+def c41b(spark, sf_dir):
+    """C41 variant: deterministic global row numbering without the
+    single-task global window (scale.global_row_index: range partition ->
+    local rank -> tiny offset table; the only converging data is one count
+    row per partition). Oracle states the semantics as the naive
+    OVER (ORDER BY ...); the engine computes identical numbers with
+    bounded per-task state."""
+    from ..scale import global_row_index
+
+    o = tables(spark, sf_dir)("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = global_row_index(
+        o,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        index_col="row_index",
+        n_partitions=8,
+    )
+    return out.select("o_orderkey", "o_custkey", "row_index")

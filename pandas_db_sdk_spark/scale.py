@@ -79,3 +79,56 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return f.join(d, [on, "__salt"], how).drop("__salt")
+
+
+def global_row_index(
+    df: DataFrame,
+    order_by: Sequence[str],
+    index_col: str = "row_index",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic 1-based global row number in ``order_by`` order WITHOUT
+    a single-partition window (pandas ``reset_index`` / ``RANK()`` over the
+    whole table).
+
+    A bare ``row_number().OVER (ORDER BY …)`` funnels the entire dataset
+    through ONE task — the classic 100 TB cliff. This does it in three
+    bounded steps: range-repartition on the order keys (each partition owns
+    a contiguous key range), rank within partitions, then add per-partition
+    offsets computed from a partition-count table that is `n_partitions`
+    rows — the only data that ever converges. Requires ``order_by`` to be a
+    total order (include a unique tiebreak column) for a deterministic
+    result.
+    """
+    from pyspark.sql import Window
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Column
+
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+    # persist pins ONE range-partitioner sampling: the rank branch and the
+    # offset branch below both read this materialization. Without it each
+    # action re-samples boundaries independently and partition assignments
+    # diverge between the two branches — indexes duplicate/skip. (Repeated
+    # invocations dedupe through Spark's CacheManager plan matching.)
+    ranged = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = ranged.withColumn("__rn", F.row_number().over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .count()
+        .withColumn("__offset", F.coalesce(F.sum("count").over(w_off), F.lit(0)))
+        .select("__pid", "__offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn(index_col, (F.col("__rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__rn", "__offset")
+    )

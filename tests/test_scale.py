@@ -82,3 +82,18 @@ def test_engine_save_accepts_pandas(spark, tmp_path):
     got = eng.load("from_pandas")
     assert got.count() == 3
     assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+
+
+def test_global_row_index_is_dense_and_ordered(spark):
+    from pandas_db_sdk_spark.scale import global_row_index
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), F.pmod(F.col("id") * 7919, F.lit(10_000)).alias("v")
+    )
+    out = global_row_index(df, [F.col("v").desc(), F.col("k")], n_partitions=8)
+    rows = [(r.row_index, r.v, r.k) for r in out.collect()]
+    assert sorted(r[0] for r in rows) == list(range(1, 10_001))  # dense, no dups
+    by_index = sorted(rows)
+    for (i1, v1, k1), (i2, v2, k2) in zip(by_index, by_index[1:]):
+        assert (v1, -k1) >= (v2, -k2) or v1 > v2 or (v1 == v2 and k1 < k2)
