@@ -28,15 +28,27 @@ def prepare_corpus(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.9,
     token_budget: int = 512,
+    benchmark: DataFrame | None = None,
+    decontaminate_ngram: int = 5,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """documents → packed training sequences.
 
     Returns (id_col, n_tokens, pack_group, bin_idx, quality_score): one row
-    per surviving document, assigned to a token-budget bin.
+    per surviving document, assigned to a token-budget bin. Pass
+    ``benchmark`` to drop documents sharing any ``decontaminate_ngram``-gram
+    with the eval set before dedup (broadcast gram-hash semi-join — the
+    hygiene gate belongs before the expensive stages). Pass ``n_shards`` to
+    append deterministic (shard, shard_pos) training-layout columns to the
+    output.
     """
     scored = text.quality_score(documents, text_col).filter(
         F.col("quality_score") >= min_quality
     )
+    if benchmark is not None:
+        scored = text.decontaminate(
+            scored, benchmark, id_col, text_col, n=decontaminate_ngram
+        ).filter(~F.col("is_contaminated")).drop("is_contaminated")
     # exact first: removes the mass of literal copies for ~one hash shuffle,
     # so the (more expensive) MinHash stage sees only distinct text
     exact = dedup.exact_dedup(scored, text_col, id_col)
@@ -63,4 +75,7 @@ def prepare_corpus(
     packed = packing.pack_greedy(
         toks.select(id_col, "n_tokens"), id_col, "n_tokens", token_budget
     )
-    return packed.join(toks.select(id_col, "quality_score"), id_col)
+    out = packed.join(toks.select(id_col, "quality_score"), id_col)
+    if n_shards is not None:
+        out = packing.shard_assign(out, id_col, n_shards)
+    return out

@@ -149,3 +149,22 @@ def test_shard_assign_deterministic_balanced_total_order(spark):
     first = {r.doc_id: r.shard for r in a}
     runs = sum(1 for i in sorted(first)[1:] if first[i] == first[i - 1])
     assert runs < n / 4
+
+
+def test_prep_pipeline_with_decontamination_and_shards(spark):
+    from pandas_db_sdk_spark import pipeline
+    from pandas_db_sdk_spark.io import tables
+
+    docs = tables(spark, SF)("documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    out = pipeline.prepare_corpus(
+        docs, min_quality=0.0, benchmark=bench, n_shards=4
+    )
+    rows = out.collect()
+    assert rows, "pipeline produced no sequences"
+    cols = set(out.columns)
+    assert {"shard", "shard_pos", "pack_group", "bin_idx"} <= cols
+    # benchmark docs overlap themselves -> must be gone
+    surviving = {r.doc_id for r in rows}
+    assert not any(d % 100 == 0 for d in surviving)
+    assert {r.shard for r in rows} <= set(range(4))
