@@ -413,3 +413,27 @@ def c50c(spark, sf_dir):
         .otherwise("high")
         .alias("price_band"),
     )
+
+
+@q(
+    "c53b_variant",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+              json_extract_string(props, '$.k') AS k_str,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+       FROM events""",
+)
+def c53b(spark, sf_dir):
+    """C53 variant: Spark 4 VariantType — parse the JSON column ONCE into a
+    variant (binary semi-structured encoding) and extract typed paths from
+    it. At scale this beats per-path get_json_object (which re-parses the
+    string for every path) and keeps shredded access open to future
+    pushdown."""
+    e = tables(spark, sf_dir)("events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_num"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        (F.variant_get(v, "$.k", "long") % 10).alias("k_mod"),
+    )

@@ -181,3 +181,39 @@ def c65b(spark, sf_dir):
         """SELECT d.doc_id, t.word
            FROM docs_for_udtf d, LATERAL corpus_split_words(d.text) t"""
     )
+
+
+@q(
+    "c64b_map_in_arrow",
+    """SELECT doc_id, n_chars, n_chars * 2 AS doubled,
+              CAST(n_chars % 7 AS BIGINT) AS bucket
+       FROM documents""",
+)
+def c64b(spark, sf_dir):
+    """C64 variant: mapInArrow — the zero-copy batch escape hatch. The
+    transform runs pyarrow.compute kernels directly on Arrow RecordBatches
+    (no pandas conversion at all), the cheapest Python path Spark offers;
+    use it when the logic is columnar kernels rather than pandas idioms."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def double_chars(batches):
+        for batch in batches:
+            n = batch.column("n_chars")
+            seven = pa.scalar(7, n.type)
+            # arrow has no mod kernel: n - (n // 7) * 7 (divide on ints truncates)
+            mod = pc.subtract(n, pc.multiply(pc.divide(n, seven), seven))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    n,
+                    pc.multiply(n, pa.scalar(2, n.type)),
+                    pc.cast(mod, pa.int64()),
+                ],
+                ["doc_id", "n_chars", "doubled", "bucket"],
+            )
+
+    d = tables(spark, sf_dir)("documents").select("doc_id", "n_chars")
+    return d.mapInArrow(
+        double_chars, "doc_id long, n_chars long, doubled long, bucket long"
+    )

@@ -198,6 +198,16 @@ SHUFFLE_BUDGET = {
     "d17_sequence_packing": 1, # salt re-key only
     "x01_shipping_priority": 3,
     "x03_returned_items": 4,
+    "d19_decontaminate": 4,    # bench gram distinct + corpus distinct + flag join
+    "d20_top_ngrams": 1,       # one count re-key; top-k is TakeOrdered
+    "d21_unigram_logprob": 6,  # token counts + total + lm join + per-doc agg
+    "d22_shard_assign": 1,     # the shard_pos window re-key only
+    "x05_late_shipments": 3,
+    "x06_promo_revenue": 2,
+    "x07_disjunctive_revenue": 2,
+    "x08_supplier_part_counts": 5,
+    "c58b_interval_join": 1,   # user-key re-key; time bound is a residual
+    "c68_interpolate": 1,      # one per-key re-key, both window passes ride it
 }
 
 
