@@ -457,3 +457,34 @@ def test_as_of_time_travel(engine, spark):
     assert engine.load("tt", as_of=int(v2)).count() == 20
     with pytest.raises(DatasetNotFound):
         engine.load("tt", as_of=int(v1) - 1)
+
+
+def test_ref_layout_datasource_reads_chunk_tree(engine, spark, tmp_path):
+    """The pandas_db_ref DataSource reads the reference's chunk-tree layout
+    partition-parallel, injects the partition column, and prunes by value."""
+    from pandas_db_sdk_spark import migrate, refsource
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", float(i)) for i in range(1, 31)],
+        "id long, dt string, amt double",
+    )
+    engine.save(df, "refsrc", columns_keys={"dt": "Date"})
+    dest = str(tmp_path / "reftree")
+    migrate.export_reference_layout(engine, "refsrc", dest)
+
+    refsource.register(spark)
+    got = spark.read.format("pandas_db_ref").option("path", dest).load()
+    assert got.count() == 30
+    assert "dt" in got.columns
+    assert {r.dt for r in got.select("dt").distinct().collect()} == {
+        "2024-01-01", "2024-01-02", "2024-01-03"
+    }
+    assert got.filter(got.id == 7).first().amt == 7.0
+    # partition pruning via option: only that value's chunks become tasks
+    one = (
+        spark.read.format("pandas_db_ref")
+        .option("path", dest)
+        .option("partition_value", "2024-01-02")
+        .load()
+    )
+    assert one.count() == df.filter(df.dt == "2024-01-02").count()
