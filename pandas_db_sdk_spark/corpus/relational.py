@@ -624,3 +624,44 @@ def c21b(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "purchase_value", "ts_us", "ts_us_right", "signup_value"
     )
+
+
+@q(
+    "c02d_ref_chunk_source",
+    """SELECT c_mktsegment, count(*) AS n,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+       FROM customer GROUP BY c_mktsegment""",
+)
+def c02d(spark, sf_dir):
+    """C2 variant: the reference's chunk-tree layout
+    (<name>/<col>/<value>/chunk_<uuid>.csv.gz, reference README.md:189-218)
+    read back through the `pandas_db_ref` Spark 4 Python DataSource — one
+    task per chunk, partition column from the dir name. The tree is built
+    from the customer table so the aggregate is oracle-checkable."""
+    import gzip
+    import shutil as _sh
+    import uuid as _uuid
+
+    from .. import refsource
+
+    t = tables(spark, sf_dir)
+    root = os.path.join(artifacts_dir(), "ref_chunk_tree")
+    _sh.rmtree(root, ignore_errors=True)
+    pdf = t("customer").select("c_custkey", "c_mktsegment", "c_acctbal").toPandas()
+    for seg, g in pdf.groupby("c_mktsegment"):
+        vdir = os.path.join(root, "c_mktsegment", str(seg))
+        os.makedirs(vdir, exist_ok=True)
+        # two chunks per value dir: exercises multi-chunk partitions
+        half = len(g) // 2 or 1
+        for part in (g.iloc[:half], g.iloc[half:]):
+            if part.empty:
+                continue
+            p = os.path.join(vdir, f"chunk_{_uuid.uuid4().hex}.csv.gz")
+            with gzip.open(p, "wt") as f:
+                part.to_csv(f, index=False)
+
+    refsource.register(spark)
+    back = spark.read.format("pandas_db_ref").option("path", root).load()
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("c_acctbal").alias("bal")
+    )
