@@ -1,0 +1,62 @@
+"""Data-quality checks — declarative expectations over DataFrames.
+
+The reference trusts its inputs (client-side pandas, no validation beyond
+parameter checks, reference ``client.py:99-110``); a 100 TB ingest cannot.
+``check`` evaluates a set of row-level rules in ONE aggregate pass (each
+rule a conditional count riding the same partial+final hash aggregation —
+no per-rule scans) and returns one row per rule; ``assert_valid`` raises if
+any rule has violations, for pipeline gating.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Evaluate named row-level expectations.
+
+    ``rules`` maps rule name → boolean Column that should be TRUE for every
+    row (NULL counts as a violation — an unevaluable expectation is not a
+    pass). Returns (rule, n_rows, n_violations, pass_rate) — one scan total
+    regardless of rule count.
+    """
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [F.count("*").alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(cond, 0).otherwise(1)).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v_{name}").alias("n_violations"),
+                F.round(
+                    1.0 - F.col(f"__v_{name}") / F.greatest(F.col("__n"), F.lit(1)), 6
+                ).alias("pass_rate"),
+            )
+            for name in rules
+        ]
+    )
+    return one.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def assert_valid(df: DataFrame, rules: Mapping[str, Column]) -> None:
+    """Raise ValueError listing failing rules (pipeline gate)."""
+    failing = [
+        (r.rule, r.n_violations)
+        for r in check(df, rules).collect()
+        if r.n_violations > 0
+    ]
+    if failing:
+        raise ValueError(
+            "data-quality violations: "
+            + ", ".join(f"{name} ({n} rows)" for name, n in failing)
+        )

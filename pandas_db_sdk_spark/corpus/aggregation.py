@@ -559,3 +559,35 @@ def c29c(spark, sf_dir):
             ).cast("int").alias("clipped"),
         )
     )
+
+
+@q(
+    "c28f_histogram",
+    """SELECT bucket, count(*) AS n,
+              round(min(o_totalprice), 2) AS lo,
+              round(max(o_totalprice), 2) AS hi
+       FROM (SELECT o_totalprice,
+                    CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 600000 THEN 13
+                         ELSE 1 + CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+                    END AS bucket
+             FROM orders)
+       GROUP BY bucket""",
+)
+def c28f(spark, sf_dir):
+    """C28 variant: fixed-width histogram (pandas `value_counts(bins=...)`
+    / numpy `histogram`) — width_bucket + one partial+final count, the
+    one-pass distributed histogram."""
+    o = tables(spark, sf_dir)("orders")
+    return (
+        o.select(
+            "o_totalprice",
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

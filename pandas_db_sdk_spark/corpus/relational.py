@@ -665,3 +665,68 @@ def c02d(spark, sf_dir):
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), dsum("c_acctbal").alias("bal")
     )
+
+
+@q(
+    "c16b_nullsafe_join",
+    """WITH l AS (SELECT c_custkey,
+                         CASE WHEN c_custkey % 7 = 0 THEN NULL
+                              ELSE c_mktsegment END AS seg
+                  FROM customer),
+            r AS (SELECT DISTINCT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                                       ELSE c_mktsegment END AS seg
+                  FROM customer)
+       SELECT l.c_custkey, l.seg
+       FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg""",
+)
+def c16b(spark, sf_dir):
+    """C16 variant: null-safe equality join (`<=>` / IS NOT DISTINCT FROM —
+    pandas merges NaN keys to NaN keys). Stays a hash-joinable equi-key:
+    Catalyst treats null-safe equality as a join key, never a nested
+    loop."""
+    c = tables(spark, sf_dir)("customer")
+    left = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    right = c.select(
+        F.when(F.col("c_custkey") % 11 == 0, None).otherwise(F.col("c_mktsegment")).alias("seg")
+    ).distinct()
+    return left.join(right, left["seg"].eqNullSafe(right["seg"])).select(
+        left["c_custkey"], left["seg"]
+    )
+
+
+@q(
+    "c69_data_checks",
+    """WITH base AS (SELECT count(*) AS n,
+                CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+                CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+                CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_ship,
+                CAST(sum(CASE WHEN l_extendedprice >= l_quantity THEN 0 ELSE 1 END) AS BIGINT) AS v_price
+         FROM lineitem)
+       SELECT 'qty_positive' AS rule, n AS n_rows, v_qty AS n_violations,
+              round(1.0 - v_qty / greatest(n, 1), 6) AS pass_rate FROM base
+       UNION ALL
+       SELECT 'discount_range', n, v_disc, round(1.0 - v_disc / greatest(n, 1), 6) FROM base
+       UNION ALL
+       SELECT 'shipdate_set', n, v_ship, round(1.0 - v_ship / greatest(n, 1), 6) FROM base
+       UNION ALL
+       SELECT 'price_ge_qty', n, v_price, round(1.0 - v_price / greatest(n, 1), 6) FROM base""",
+)
+def c69(spark, sf_dir):
+    """C69 (ext): declarative data-quality checks — N expectations evaluated
+    as conditional counts in ONE aggregate pass (`checks.check`); the
+    ingest gate a 100 TB pipeline runs before committing a version."""
+    from ..checks import check
+
+    li = tables(spark, sf_dir)("lineitem")
+    return check(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "discount_range": F.col("l_discount").between(0, 0.1),
+            "shipdate_set": F.col("l_shipdate").isNotNull(),
+            "price_ge_qty": F.col("l_extendedprice") >= F.col("l_quantity"),
+        },
+    )

@@ -488,3 +488,19 @@ def test_ref_layout_datasource_reads_chunk_tree(engine, spark, tmp_path):
         .load()
     )
     assert one.count() == df.filter(df.dt == "2024-01-02").count()
+
+
+def test_checks_one_pass_and_assert_gate(spark):
+    from pandas_db_sdk_spark import checks
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    out = {r.rule: (r.n_violations, r.pass_rate) for r in checks.check(
+        df, {"v_positive": F.col("v") > 0, "id_set": F.col("id").isNotNull()}
+    ).collect()}
+    assert out["v_positive"] == (2, 0.333333)  # -1 fails, NULL counts as violation
+    assert out["id_set"] == (0, 1.0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="v_positive"):
+        checks.assert_valid(df, {"v_positive": F.col("v") > 0})
