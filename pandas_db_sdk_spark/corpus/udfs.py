@@ -217,3 +217,53 @@ def c64b(spark, sf_dir):
     return d.mapInArrow(
         double_chars, "doc_id long, n_chars long, doubled long, bucket long"
     )
+
+
+@q(
+    "c62b_cogroup_in_pandas",
+    """SELECT seg, n_customers, n_orders,
+              round(CAST(bal AS DOUBLE) / greatest(n_customers, 1), 6) AS avg_bal
+       FROM (
+         SELECT c.c_mktsegment AS seg,
+                count(DISTINCT c.c_custkey) AS n_customers,
+                CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal,
+                COALESCE(o.n_orders, 0) AS n_orders
+         FROM customer c
+         LEFT JOIN (
+             SELECT c2.c_mktsegment AS seg2, count(*) AS n_orders
+             FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+             GROUP BY 1) o ON o.seg2 = c.c_mktsegment
+         GROUP BY c.c_mktsegment, o.n_orders)""",
+)
+def c62b(spark, sf_dir):
+    """C62 variant: cogrouped applyInPandas — pandas-side merge of TWO
+    grouped relations per key (`groupBy().cogroup().applyInPandas`), the
+    two-sided escape hatch. Each side arrives as its own pandas frame per
+    key; Spark co-partitions both groupings in one exchange pair. The
+    aggregate arithmetic runs in pandas to exercise the path; dedup-sum
+    uses decimal so hash-compare holds."""
+    t = tables(spark, sf_dir)
+    cust = t("customer").select("c_mktsegment", "c_custkey", F.col("c_acctbal").cast("decimal(18,4)").alias("bal"))
+    orders = (
+        t("orders")
+        .join(t("customer").select("c_custkey", "c_mktsegment"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey")
+    )
+
+    def merge(key, cdf: pd.DataFrame, odf: pd.DataFrame) -> pd.DataFrame:
+        n_cust = cdf["c_custkey"].nunique()
+        bal = float(cdf["bal"].sum()) if len(cdf) else 0.0
+        return pd.DataFrame(
+            {
+                "seg": [key[0]],
+                "n_customers": [n_cust],
+                "n_orders": [len(odf)],
+                "avg_bal": [round(bal / max(n_cust, 1), 6)],
+            }
+        )
+
+    return (
+        cust.groupBy("c_mktsegment")
+        .cogroup(orders.groupBy("c_mktsegment"))
+        .applyInPandas(merge, "seg string, n_customers long, n_orders long, avg_bal double")
+    )
