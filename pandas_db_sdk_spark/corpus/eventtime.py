@@ -264,7 +264,7 @@ def c58b(spark, sf_dir):
                 WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
                 ELSE CAST(pv AS DOUBLE)
                      + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
-                       * (t - pt) / (nt - pt)
+                       * ((t - pt) / (nt - pt))
               END, 6) AS v_interp
        FROM (
          SELECT event_id, user_id, v, CAST(epoch_us(ts) AS DOUBLE) AS t,
@@ -292,10 +292,15 @@ def c68(spark, sf_dir):
     from .. import timeseries as TS
 
     e = tables(spark, sf_dir)("events").select(
-        "event_id", "user_id", "ts",
+        "event_id", "user_id",
+        # integer epoch-µs time axis: both engines then interpolate on
+        # IDENTICAL doubles (timestamp.cast(double) would be seconds here
+        # vs µs in the oracle — same math, different last-ulp → round-6
+        # boundary flips at scale)
+        F.unix_micros("ts").alias("ts_us"),
         F.when(F.col("value") >= 50, F.col("value")).alias("v"),
     )
     out = TS.interpolate_linear(
-        e, "v", "ts", keys=["user_id"], out_col="v_interp", tiebreak=["event_id"]
+        e, "v", "ts_us", keys=["user_id"], out_col="v_interp", tiebreak=["event_id"]
     )
     return out.select("event_id", "user_id", "v_interp")
