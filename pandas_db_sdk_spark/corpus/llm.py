@@ -133,7 +133,11 @@ def d03f(spark, sf_dir):
     tests/test_similarity.py)."""
     e = tables(spark, sf_dir)("embeddings")
     queries = e.filter(F.col("vec_id") < 8)
-    books = similarity.pq_train(e, "embedding", m_subspaces=8, n_codes=16)
+    # max_iter=2: training is the INGEST-time step of PQ (run once per
+    # corpus build); the query binding demonstrates the full train→encode→
+    # ADC path without paying full convergence on every invocation. Recall
+    # properties are pinned with default iterations in tests/.
+    books = similarity.pq_train(e, "embedding", m_subspaces=8, n_codes=16, max_iter=2)
     codes = similarity.pq_encode(e, books, "vec_id", "embedding")
     return similarity.pq_topk(queries, codes, books, "vec_id", k=5)
 

@@ -368,18 +368,79 @@ def pq_train(
     even IVF's probed cells are too much float traffic — PQ codes are
     m bytes per vector instead of D floats (32× smaller at D=64, m=8).
     """
+    from pyspark import StorageLevel
+    from pyspark.sql.pandas.functions import pandas_udf
+
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub = dim // m_subspaces
+    m = m_subspaces
     v = F.col(vec_col).cast("array<double>")
-    books = []
-    for s in range(m_subspaces):
-        sl = corpus.select(F.slice(v, s * sub + 1, sub).alias(vec_col))
-        books.append(
-            _kmeans_centroids(sl, vec_col, n_codes, max_iter, seed + s)
+    # ALL subspaces train in the SAME Lloyd loop: one assignment pass and
+    # one (subspace, code, pos) update aggregation per iteration instead of
+    # m separate k-means runs — the per-iteration job count is constant in
+    # m (a naive per-subspace loop was 8× slower wall-clock at sf0.1, pure
+    # job-scheduling overhead). One corpus scan total via persist.
+    vecs = corpus.select(v.alias("v")).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = (
+            vecs.withColumn("__r", F.xxhash64(F.lit(seed), F.col("v")))
+            .orderBy("__r")
+            .limit(n_codes)
+            .collect()
         )
-    return books
+        full = np.stack([np.asarray(r.v) for r in init])  # (n_codes, dim)
+        books = np.stack(
+            [full[:, s * sub : (s + 1) * sub] for s in range(m)]
+        )  # (m, n_codes, sub)
+
+        for _ in range(max_iter):
+            cur = books  # close over this iteration's codebooks
+
+            def assign_and_partial(batches):
+                # assignment AND the mean-update partial aggregation in one
+                # worker pass: each batch emits at most m × n_codes × sub
+                # (sum, n) cells — the map-side combine that keeps the
+                # shuffle O(cells), never O(rows × dim)
+                for pdf in batches:
+                    mat = np.stack(pdf["v"].to_numpy())
+                    sums = np.zeros((m, n_codes, sub))
+                    cnts = np.zeros((m, n_codes), dtype=np.int64)
+                    for si in range(m):
+                        x = mat[:, si * sub : (si + 1) * sub]
+                        cb = cur[si]
+                        d = (x * x).sum(1)[:, None] - 2 * (x @ cb.T) + (cb * cb).sum(1)[None, :]
+                        codes = d.argmin(1)
+                        np.add.at(sums[si], codes, x)
+                        np.add.at(cnts[si], codes, 1)
+                    si_idx, c_idx = np.nonzero(cnts)
+                    rows = {
+                        "s": np.repeat(si_idx, sub).astype("int32"),
+                        "cid": np.repeat(c_idx, sub).astype("int32"),
+                        "sp": np.tile(np.arange(sub, dtype="int32"), len(si_idx)),
+                        "sum": sums[si_idx, c_idx].ravel(),
+                        "n": np.repeat(cnts[si_idx, c_idx], sub),
+                    }
+                    yield pd.DataFrame(rows)
+
+            cells = (
+                vecs.mapInPandas(
+                    assign_and_partial, "s int, cid int, sp int, sum double, n long"
+                )
+                .groupBy("s", "cid", "sp")
+                .agg(F.sum("sum").alias("sum"), F.sum("n").alias("n"))
+                .collect()
+            )
+            new = books.copy()
+            for r in cells:
+                new[r.s, r.cid, r.sp] = r.sum / r.n
+            if np.allclose(new, books):
+                break
+            books = new
+    finally:
+        vecs.unpersist()
+    return [books[s] for s in range(m)]
 
 
 def pq_encode(
