@@ -730,3 +730,34 @@ def c69(spark, sf_dir):
             "price_ge_qty": F.col("l_extendedprice") >= F.col("l_quantity"),
         },
     )
+
+
+@q(
+    "c14b_bucketed_join",
+    """SELECT o_orderpriority,
+              count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o_orderpriority""",
+)
+def c14b(spark, sf_dir):
+    """C14 variant: shuffle-free co-located join over hash-BUCKETED tables
+    (`DataFrameEngine.save_bucketed`) — both sides bucketed on the join key
+    with the same bucket count, so Spark reads bucket i of each side into
+    one task and the join needs NO exchange on either side (asserted in
+    tests/test_storage.py::test_bucketed_join_elides_shuffle). The
+    repeated-big-big-join path where neither side broadcasts."""
+    from ..engine import DataFrameEngine
+
+    t = tables(spark, sf_dir)
+    eng = DataFrameEngine(spark, os.path.join(artifacts_dir(), "bucket_wh"))
+    eng.save_bucketed(t("orders"), "bkq/orders", bucket_by="o_custkey", n_buckets=8, sort_by="o_custkey")
+    eng.save_bucketed(t("customer"), "bkq/customer", bucket_by="c_custkey", n_buckets=8, sort_by="c_custkey")
+    o = eng.load_bucketed("bkq/orders")
+    c = eng.load_bucketed("bkq/customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+    )

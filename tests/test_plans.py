@@ -206,6 +206,8 @@ SHUFFLE_BUDGET = {
     "x06_promo_revenue": 2,
     "x07_disjunctive_revenue": 2,
     "x08_supplier_part_counts": 5,
+    "c14b_bucketed_join": 1,   # ONLY the agg re-key; the join itself reads
+                               # co-located buckets with zero exchanges
     "c58b_interval_join": 1,   # user-key re-key; time bound is a residual
     "c68_interpolate": 1,      # one per-key re-key, both window passes ride it
 }
