@@ -128,3 +128,78 @@ def test_pack_greedy_invariants_random_sizes(spark, sizes):
         bins[(r.pack_group, r.bin_idx)].append(r.toks)
     for members in bins.values():
         assert sum(members) <= budget or len(members) == 1
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.one_of(st.none(), st.floats(-100, 100, allow_nan=False))),
+        min_size=1, max_size=25,
+    )
+)
+@SETTINGS
+def test_interpolate_matches_pandas(spark, rows):
+    """timeseries.interpolate_linear == pandas interpolate(method='index',
+    limit_direction='forward') on random sparse series (single key)."""
+    from pandas_db_sdk_spark import timeseries as TS
+
+    # unique integer time axis
+    uniq = {}
+    for t, v in rows:
+        uniq[t] = v
+    data = sorted(uniq.items())
+    sdf = spark.createDataFrame([("k", t, v) for t, v in data], "k string, t long, v double")
+    got = {r.t: r.v_interp for r in TS.interpolate_linear(sdf, "v", "t", keys=["k"]).collect()}
+    ser = pd.Series([v for _, v in data], index=[t for t, _ in data], dtype="float64")
+    exp = ser.interpolate(method="index", limit_direction="forward")
+    for t, _ in data:
+        e = exp[t]
+        g = got[t]
+        if pd.isna(e):
+            assert g is None, (t, g)
+        else:
+            assert g is not None and abs(g - round(float(e), 6)) < 1e-6, (t, g, e)
+
+
+@given(
+    docs=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12),
+    n=st.integers(2, 4),
+)
+@SETTINGS
+def test_decontaminate_matches_python_ngram_overlap(spark, docs, n):
+    """text.decontaminate flags exactly the docs sharing a word n-gram with
+    the benchmark set (python-set oracle on random text)."""
+    from pandas_db_sdk_spark import text as T
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = sdf.filter(F.col("doc_id") % 3 == 0)
+
+    def grams(s):
+        toks = s.split(" ")
+        m = len(toks)
+        upper = max(m - n + 1, 1)
+        return {" ".join(toks[i:i + n]) for i in range(upper)}
+
+    bench_grams = set()
+    for i, d in rows:
+        if i % 3 == 0:
+            bench_grams |= grams(d)
+    exp = {i: bool(grams(d) & bench_grams) for i, d in rows}
+    got = {r.doc_id: r.is_contaminated for r in T.decontaminate(sdf, bench, n=n).collect()}
+    assert got == exp
+
+
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True))
+@SETTINGS
+def test_shard_assign_total_and_deterministic(spark, ids):
+    from pandas_db_sdk_spark import packing
+
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = packing.shard_assign(sdf, "doc_id", 4).collect()
+    assert len(out) == len(ids)
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
