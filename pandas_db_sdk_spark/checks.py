@@ -48,6 +48,34 @@ def check(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     return one.select(F.explode(structs).alias("s")).select("s.*")
 
 
+def attach_checks(df: DataFrame, rules: Mapping[str, Column]):
+    """Piggyback the expectations on the NEXT action over ``df`` — zero
+    extra passes.
+
+    Returns ``(observed_df, results)`` where ``results()`` yields
+    {rule: n_violations} after any action has executed ``observed_df``
+    (write, count, collect). Built on ``Dataframe.observe``: the counters
+    ride the job that materializes the data, so a 100 TB ingest validates
+    itself for free instead of paying a second full scan — use
+    :func:`check` when a standalone report is wanted, this when the data
+    is about to be written anyway.
+    """
+    from pyspark.sql import Observation
+
+    if not rules:
+        raise ValueError("no rules given")
+    obs = Observation()
+    aggs = [
+        F.sum(F.when(cond, 0).otherwise(1)).alias(name) for name, cond in rules.items()
+    ]
+    observed = df.observe(obs, *aggs)
+
+    def results() -> dict:
+        return dict(obs.get)
+
+    return observed, results
+
+
 def assert_valid(df: DataFrame, rules: Mapping[str, Column]) -> None:
     """Raise ValueError listing failing rules (pipeline gate)."""
     failing = [

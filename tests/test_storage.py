@@ -504,3 +504,18 @@ def test_checks_one_pass_and_assert_gate(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="v_positive"):
         checks.assert_valid(df, {"v_positive": F.col("v") > 0})
+
+
+def test_attach_checks_rides_the_write_job(engine, spark, tmp_path):
+    """Observation-based checks: violation counts come out of the SAME job
+    that writes the data — no second scan."""
+    from pandas_db_sdk_spark import checks
+
+    df = spark.createDataFrame([(1, 5.0), (2, -2.0), (3, 7.0)], "id long, v double")
+    observed, results = checks.attach_checks(
+        df, {"v_positive": F.col("v") > 0, "id_set": F.col("id").isNotNull()}
+    )
+    engine.save(observed, "observed_ds")
+    got = results()
+    assert got == {"v_positive": 1, "id_set": 0}
+    assert engine.load("observed_ds").count() == 3
