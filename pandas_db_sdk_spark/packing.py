@@ -44,6 +44,12 @@ def shard_assign(
     partitioned by ``shard`` yields the randomized, evenly-sized training
     shards a data loader consumes; determinism means re-runs produce
     byte-identical shards (resumable pipelines).
+
+    Scale contract: each shard's position sort runs in ONE task (sort
+    spills, but parallelism is bounded by n_shards) — pick n_shards so a
+    shard is task-sized (the usual 1–10 GB training-shard convention).
+    For giant shards, compose :func:`pandas_db_sdk_spark.scale.
+    global_row_index` per shard instead.
     """
     h = F.pmod((F.col(id_col).cast("long") % _SHARD_P) * _SHARD_A, F.lit(2**31 - 1))
     w = Window.partitionBy("shard").orderBy(F.pmod(F.col("__h") * 48271, F.lit(2**31 - 1)), id_col)

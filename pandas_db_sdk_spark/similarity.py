@@ -493,7 +493,12 @@ def pq_topk(
     partial+final sum per (query, corpus) pair and a per-query top-k
     window. No vector floats move at query time, no Python in the scoring
     path; the scan side is the m-byte code table, 32× narrower than the
-    embeddings."""
+    embeddings.
+
+    Contract: the QUERY set is small (same tier contract as brute force —
+    it is collected to build the LUT, Q × m × n_codes rows). For a large
+    query batch, build the LUT distributed (crossJoin queries × a literal
+    codebook table) and drop the broadcast hint."""
     books = [np.asarray(b) for b in codebooks]
     m = len(books)
     sub = books[0].shape[1]
