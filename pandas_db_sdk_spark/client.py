@@ -47,8 +47,12 @@ class DataFrameClient:
         spark: Optional[SparkSession] = None,
     ):
         """``api_url`` → warehouse root (dir path or Hadoop-FS URI).
-        ``auth_token``/``region`` accepted for signature compatibility
-        (``client.py:45-64``) and unused."""
+        ``auth_token``, when given, is the caller's identity and selects a
+        per-user scope (the reference service isolates each user's datasets
+        by their auth identity, reference ``README.md:23-26``); the token is
+        hashed before it touches any path, never stored. ``region`` is
+        accepted for signature compatibility (``client.py:45-64``) and
+        unused."""
         self.api_url = api_url.rstrip("/")
         self.region = region
         if spark is None:
@@ -56,6 +60,11 @@ class DataFrameClient:
 
             spark = get_spark("pandas-db-client")
         self._engine = DataFrameEngine(spark, self.api_url)
+        if auth_token:
+            import hashlib
+
+            principal = hashlib.sha256(auth_token.encode()).hexdigest()[:16]
+            self._engine = self._engine.scoped(principal)
 
     # ------------------------------------------------------------- load
 

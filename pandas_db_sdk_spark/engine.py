@@ -473,6 +473,27 @@ class DataFrameEngine:
             self._write_manifest(manifest)
         return {"dataframe_name": dataframe_name, "deleted": True}
 
+    # ---------------------------------------------------------------- scoping
+
+    def scoped(self, principal: str) -> "DataFrameEngine":
+        """Per-user isolation (reference B9: the service keeps each user's
+        datasets in their own bucket prefix, README.md:23-26): returns an
+        engine rooted at ``<warehouse>/__users/<principal>/`` with its own
+        manifest — names, versions, and data of different principals can
+        never collide, and ``list_datasets`` only sees the caller's scope.
+        """
+        if not principal or not isinstance(principal, str):
+            raise ValueError("principal must be a non-empty string")
+        import re
+
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", principal)
+        return DataFrameEngine(
+            self.spark,
+            os.path.join(self.warehouse, "__users", safe),
+            self.id_bucket_width,
+            self._clock,
+        )
+
     # ---------------------------------------------------------------- helpers
 
     def _merge_schema(self, stored_json: str, new_schema) -> "T.StructType":

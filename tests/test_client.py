@@ -106,3 +106,30 @@ def test_distributed_exits(client):
     assert sdf.count() == 2 and not isinstance(sdf, pd.DataFrame)
     psdf = client.get_dataframe_pandas_api("big/one")
     assert float(psdf["value"].sum()) == 300.0
+
+
+def test_per_user_isolation(spark, tmp_path):
+    """B9: different auth identities see disjoint catalogs; the same
+    identity shares one (reference service semantics, README.md:23-26)."""
+    import pandas as pd
+    from pandas_db_sdk_spark.client import DataFrameClient
+    from pandas_db_sdk_spark.engine import DatasetNotFound
+
+    wh = str(tmp_path / "wh")
+    alice = DataFrameClient(api_url=wh, auth_token="alice-token", spark=spark)
+    bob = DataFrameClient(api_url=wh, auth_token="bob-token", spark=spark)
+    alice2 = DataFrameClient(api_url=wh, auth_token="alice-token", spark=spark)
+
+    alice.load_dataframe(pd.DataFrame({"x": [1, 2, 3]}), "shared-name")
+    bob.load_dataframe(pd.DataFrame({"x": [10]}), "shared-name")
+
+    assert len(alice.get_dataframe("shared-name")) == 3
+    assert len(bob.get_dataframe("shared-name")) == 1
+    assert len(alice2.get_dataframe("shared-name")) == 3  # same identity → same data
+    assert alice.list_dataframes()["count"] == 1
+    assert bob.list_dataframes()["count"] == 1
+    # raw token never appears on disk
+    import os
+    for root, dirs, files in os.walk(wh):
+        for name in dirs + files:
+            assert "alice-token" not in name and "bob-token" not in name
