@@ -61,6 +61,29 @@ _R01_VERIFIED = frozenset(
     c35_ranking c36_lag_lead c37_cumsum""".split()
 )
 
+# Names driver-checked in CORRECTNESS_r02.json (round-2 window: D tier,
+# TPC-H composites, UDF surface, event-time windows).
+_R02_VERIFIED = frozenset(
+    """d01_exact_dedup d02_minhash_lsh d02d_dedup_corpus d02b_simhash
+    d02c_ngram_jaccard d03_cosine_topk d03b_ann_lsh d03d_ann_ivf
+    d03f_ann_pq d03c_embedding_near_dup d04_vector_ops d05_tfidf
+    d06_facet_stats d07_multimodal d08_char_stats d09_language_id
+    d10_quality_score d11_token_count d12_fingerprint d13_repetition_ratio
+    d14_pii_flags d16_incremental_dedup d17_sequence_packing
+    d05b_stopword_filter d18_prep_pipeline d19_decontaminate d20_top_ngrams
+    d21_unigram_logprob d22_shard_assign x01_shipping_priority
+    x02_local_supplier_volume x03_returned_items x04_large_volume_customers
+    x05_late_shipments x06_promo_revenue x07_disjunctive_revenue
+    x08_supplier_part_counts c61_pandas_udf_scalar c62_apply_in_pandas
+    c63_grouped_agg_udaf c64_map_in_pandas c65_table_function
+    c65b_python_udtf c64b_map_in_arrow c62b_cogroup_in_pandas
+    c55_tumbling_window c56_sliding_window c57_session_window""".split()
+)
+
+# Checked in r02 as rows-only, but upgraded to real oracles in round 3 —
+# keep them inside the driver window so the upgrade gets certified.
+_RECHECK = frozenset({"d03e_dedup_by_embedding", "d15_stratified_sample"})
+
 
 def _merged(attr):
     out = {}
@@ -73,23 +96,25 @@ def _merged(attr):
     return out
 
 
-# Within the unchecked block, lead with the D-tier LLM-pipeline ops and the
-# TPC-H composites (VERDICT: "getting D-tier rows into CORRECTNESS_r02.json
-# is the top next-round item") in case the driver's entry cap is ~50.
-_PRIORITY_MODULES = (llm, composite, udfs, eventtime)
-
-
 def all_queries():
+    """Declaration order = driver-certification priority (the driver's
+    per-round correctness file caps at ~50 rows). Round-3 rotation
+    (VERDICT round-2 item #1): the 49 queries with no driver row in either
+    round come FIRST, then the two oracle-upgraded re-checks, then the two
+    already-certified windows ride the tail. Within each group, original
+    module order is preserved (stable sort)."""
     out = _merged("QUERIES")
-    priority_names = [n for m in _PRIORITY_MODULES for n in m.QUERIES]
-    rank = {n: i for i, n in enumerate(priority_names)}
 
     def key(name):
+        if name in _RECHECK:
+            return 1
+        if name in _R02_VERIFIED:
+            return 2
         if name in _R01_VERIFIED:
-            return (2, 0)
-        return (0, rank[name]) if name in rank else (1, 0)
+            return 3
+        return 0
 
-    names = sorted(out, key=lambda n: (key(n),))
+    names = sorted(out, key=key)
     return {n: out[n] for n in names}
 
 
