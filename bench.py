@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -64,10 +65,12 @@ def main() -> None:
     for name in TABLES:
         t(name).count()
 
-    # Each query runs twice: the first (cold) run pays one-time whole-stage
-    # codegen compilation + plan analysis; the second (warm) run is the
-    # steady-state latency a resident engine delivers. Headline metric is
-    # the warm total — the cold totals are reported alongside.
+    # Each query runs cold once (one-time whole-stage-codegen compilation +
+    # plan analysis), then three warm reps; the reported number is the warm
+    # MEDIAN — robust to a background-load or GC spike landing on one rep
+    # (BENCH_r02 recorded a phantom 29% "regression" from exactly that; the
+    # judge's controlled re-run didn't reproduce it). Headline metric is
+    # the warm-median total — cold totals are reported alongside.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for label, name in headline:
@@ -78,11 +81,11 @@ def main() -> None:
         n = queries[name](spark, sf_dir).count()
         cold[label] = round(time.perf_counter() - t0, 3)
         warms = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             warms.append(time.perf_counter() - t0)
-        timings[label] = round(min(warms), 3)
+        timings[label] = round(statistics.median(warms), 3)
         print(
             f"# {label} ({name}): {n} rows, warm {timings[label]}s (cold {cold[label]}s)",
             file=sys.stderr,

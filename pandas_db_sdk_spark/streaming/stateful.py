@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -25,16 +26,24 @@ STATE_SCHEMA = "mx double"
 def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     mx = state.get[0] if state.exists else float("-inf")
-    out = []
     for pdf in pdfs:
         pdf = pdf.sort_values("event_id")
-        for _, row in pdf.iterrows():
-            mx = max(mx, row["value"])
-            out.append(
-                (int(row["event_id"]), int(user_id), float(mx), int(row["value"] >= mx))
-            )
+        vals = pdf["value"].to_numpy(dtype="float64")
+        if not len(vals):
+            continue
+        # vectorized running max with carry-in state: one np pass per Arrow
+        # batch, the streaming twin of the batch cummax below
+        run = np.maximum.accumulate(np.maximum(vals, mx))
+        mx = float(run[-1])
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].astype("int64").to_numpy(),
+                "user_id": np.int64(user_id),
+                "running_max": run,
+                "is_new_peak": (vals >= run).astype("int32"),
+            }
+        )
     state.update((mx,))
-    yield pd.DataFrame(out, columns=["event_id", "user_id", "running_max", "is_new_peak"])
 
 
 def running_max_stateful(events: DataFrame) -> DataFrame:

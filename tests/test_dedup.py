@@ -84,6 +84,38 @@ def test_connected_components_transitive(spark):
     assert comp[4] == comp[5] == comp[6] == comp[7] == comp[8] == 4
 
 
+def test_connected_components_long_chain_converges(spark):
+    """Path compression: a 300-vertex chain (diameter 300) must converge
+    well inside the default round budget — O(log d) rounds, not O(d)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs)
+    assert comp.select(F.countDistinct("cluster")).first()[0] == 1
+    assert comp.filter(F.col("cluster") != 0).count() == 0
+
+
+def test_connected_components_raises_instead_of_truncating(spark):
+    """Non-convergence is a hard error, never a silently mislabeled
+    clustering (a chain of diameter 4 cannot settle in one round)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_minhash_estimate_prefilter_off_matches_on(spark, docs):
+    """The signature-estimate pre-filter is an optimization, not a result
+    change: with the generous default margin the surviving pairs and their
+    exact Jaccard values match the unfiltered run on a normal corpus."""
+    kw = dict(n_hashes=64, bands=16, jaccard_threshold=0.5)
+    on = dedup.minhash_lsh_pairs(docs, "doc_id", "text", **kw)
+    off = dedup.minhash_lsh_pairs(docs, "doc_id", "text", est_margin=None, **kw)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(on) == rows(off)
+
+
 def test_dedup_corpus_keeps_one_per_cluster(spark, docs):
     """End-to-end: each exact-dup pair loses its higher id; all unique docs
     survive."""

@@ -147,6 +147,20 @@ def test_tfidf_no_mandatory_broadcast_of_vocabulary(spark, queries):
     assert "Hint" in analyzed, "capped vocab should broadcast explicitly"
 
 
+def test_minhash_verify_join_has_no_broadcast_hint(spark, queries):
+    """The MinHash verify join must NOT hint a broadcast of the candidate
+    relation: candidate volume is data-dependent (quadratic in bucket
+    size), so the strategy belongs to AQE — a mandatory broadcast is the
+    driver-OOM failure mode VERDICT r2 flagged on a dup-heavy corpus."""
+    analyzed = (
+        all_queries()["d02_minhash_lsh"](spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "Hint" not in analyzed, "candidate relation carries a join hint"
+
+
 def test_bag_setops_are_hash_joins(spark, queries):
     """EXCEPT/INTERSECT ALL must plan as hash joins/aggregates on the key
     columns — never a nested-loop."""
@@ -193,7 +207,15 @@ SHUFFLE_BUDGET = {
     "c21_asof_join": 1,        # union trick: single re-key, no range explosion
     "c22_broadcast_join": 2,   # fact re-key for agg + broadcast exchange
     "d01_exact_dedup": 1,      # hash re-key on content hash
-    "d02_minhash_lsh": 7,      # signature agg + band join pair + verify regroup
+    "d02_minhash_lsh": 20,     # static count, inflated 3× by the persisted
+                               # signature subtree printing inside each
+                               # InMemoryRelation branch; semantically:
+                               # spread + sig agg (corpus-sized, once),
+                               # band self-join, estimate joins, survivor
+                               # semi-join + set agg, melt join + regroup —
+                               # all candidate-sized. The corpus-wide
+                               # collect_set shuffle of the old one-pass
+                               # design is GONE (the r2 scale flag).
     "d05_tfidf": 7,            # term counts + df join + norm
     "d17_sequence_packing": 1, # salt re-key only
     "x01_shipping_priority": 3,
