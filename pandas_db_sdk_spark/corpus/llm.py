@@ -151,15 +151,21 @@ def d03f(spark, sf_dir):
                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
        FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id < b.vec_id
-       WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9""",
+       WHERE round(
+                list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.35""",
 )
 def d03c(spark, sf_dir):
     """D2/D3: embedding-cosine near-duplicate pairs, blocked by label (the
-    blocking column is the pluggable part — an LSH bucket at scale)."""
+    blocking column is the pluggable part — an LSH bucket at scale).
+    Threshold 0.35 sits below the testdata's max within-block cosine (~0.5)
+    so the check exercises real pairs (26 at sf0.01) — at the old 0.95 the
+    green row was a trivially-empty 0 == 0. No pair's rounded cosine falls
+    within 4.7e-4 of the threshold, so cross-engine ulp noise cannot flip
+    membership."""
     e = tables(spark, sf_dir)("embeddings")
-    return similarity.near_dup_pairs_by_cosine(e, "vec_id", "embedding", "label", 0.9)
+    return similarity.near_dup_pairs_by_cosine(e, "vec_id", "embedding", "label", 0.35)
 
 
 @q(
@@ -391,23 +397,75 @@ def d14(spark, sf_dir):
     )
 
 
-@q("d15_stratified_sample")  # rows-only: Bernoulli sampling is engine-specific
+@q(
+    "d15_stratified_sample",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_total, true AS within_tol
+       FROM documents WHERE lang IN ('en', 'es', 'fr', 'de')
+       GROUP BY lang""",
+)
 def d15(spark, sf_dir):
     """North-star stratified sampling: per-language fractions via sampleBy —
-    the coin flip evaluates in the scan, nothing shuffles."""
+    the coin flip evaluates in the scan, nothing shuffles.
+
+    Oracle upgrade (VERDICT r2 #6): Bernoulli draws are engine-specific, so
+    the HASH-CHECKED result is the statistical contract, not the sample —
+    per-stratum totals plus a within_tol flag asserting the realized sample
+    fraction sits within 5σ of the requested fraction (binomial σ =
+    sqrt(f(1-f)/n); false-alarm < 1e-6 per stratum). The oracle states
+    within_tol = true; a broken sampler (wrong fraction, missing stratum,
+    unseeded drift) flips the flag and fails the hash compare. The raw
+    sample path stays exercised: the check consumes stratified_sample's
+    actual output."""
     d = tables(spark, sf_dir)("documents")
-    return text.stratified_sample(
-        d, "lang", {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25}, seed=7
-    ).select("doc_id", "lang")
+    fr = {"en": 0.5, "es": 0.25, "fr": 0.25, "de": 0.25}
+    sampled = text.stratified_sample(d, "lang", fr, seed=7)
+    totals = (
+        d.filter(F.col("lang").isin(*fr))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_total"))
+    )
+    counts = sampled.groupBy("lang").agg(F.count("*").alias("n_samp"))
+    frac = F.element_at(
+        F.create_map(*[F.lit(x) for kv in fr.items() for x in kv]), F.col("lang")
+    )
+    realized = F.coalesce(F.col("n_samp"), F.lit(0)) / F.col("n_total")
+    tol = F.lit(5.0) * F.sqrt(frac * (F.lit(1.0) - frac) / F.col("n_total"))
+    return totals.join(counts, "lang", "left").select(
+        "lang", "n_total", (F.abs(realized - frac) <= tol).alias("within_tol")
+    )
 
 
-@q("d03e_dedup_by_embedding")  # rows-only: cluster layout is blocking-specific
+@q(
+    "d03e_dedup_by_embedding",
+    """WITH RECURSIVE
+       n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+       ed AS (SELECT ia AS s, ib AS d FROM pr
+              UNION ALL SELECT ib, ia FROM pr),
+       reach(s, d) AS (SELECT s, d FROM ed
+                       UNION
+                       SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+       lab AS (SELECT s AS id, least(s, min(d)) AS cluster
+               FROM reach GROUP BY s)
+       SELECT e.vec_id, e.label FROM embeddings e
+       WHERE e.vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)""",
+)
 def d03e(spark, sf_dir):
     """D2/D3 end-to-end: embedding-cosine near-dup clusters (blocked by
-    label) reduced to min-id canonicals; the embedding twin of d02d."""
+    label) reduced to min-id canonicals; the embedding twin of d02d.
+
+    Oracle upgrade (VERDICT r2 #6): the clustering IS deterministic given
+    the pair set (min-id label propagation = connected components), so the
+    full pipeline hash-checks against a recursive-CTE transitive closure in
+    DuckDB. Threshold 0.35 yields real clusters at sf0.01 (the old 0.95 had
+    zero pairs — a vacuous check); boundary margin 4.7e-4 >> ulp noise."""
     e = tables(spark, sf_dir)("embeddings")
     return similarity.dedup_corpus_by_embedding(
-        e, "vec_id", "embedding", "label", threshold=0.95
+        e, "vec_id", "embedding", "label", threshold=0.35
     ).select("vec_id", "label")
 
 
