@@ -53,15 +53,21 @@ class Tables:
             raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
         df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS): Spark refuses it natively,
-            # so we read nanos as long (see apply_runtime_confs) and normalize
-            # to a microsecond TimestampType. Integer `div` keeps this exact
-            # (double division would lose ns precision at 1e18 magnitudes).
-            # DuckDB reads the same file truncated to µs, so both engines see
-            # identical instants.
+            # Normalize events.ts to a microsecond TimestampType whatever the
+            # generator wrote. Earlier corpora shipped parquet TIMESTAMP(NANOS)
+            # (Spark refuses it natively, so nanosAsLong reads it as a long we
+            # `div 1000` — integer div keeps ns precision exact at 1e18
+            # magnitudes); the current corpus ships timestamp[us], which Spark
+            # reads as TIMESTAMP_NTZ — cast to TimestampType under the UTC
+            # session so instants are unchanged. DuckDB reads the same file
+            # as µs either way, so both engines see identical instants.
             from pyspark.sql import functions as F
+            from pyspark.sql.types import LongType
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         if os.environ.get("SPARK_GRAFT_HOT_CACHE") == "1":
             key = (id(self.spark), self.sf_dir, name)
             if key not in _HOT_CACHE:

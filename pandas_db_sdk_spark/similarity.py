@@ -483,43 +483,88 @@ def pq_topk(
     query_id: str,
     k: int = 5,
     vec_col: str = "embedding",
+    collect_lut: bool | None = None,
+    max_collect_queries: int = 4096,
 ) -> DataFrame:
     """D3 scale path #3 (query): asymmetric-distance top-k over PQ codes,
     entirely JVM-side.
 
     The per-query lookup table (query_id, subspace, code, partial squared
-    distance) is tiny — Q × m × n_codes rows — and broadcasts; corpus codes
-    posexplode to (id, subspace, code) and equi-join it, then one
-    partial+final sum per (query, corpus) pair and a per-query top-k
-    window. No vector floats move at query time, no Python in the scoring
-    path; the scan side is the m-byte code table, 32× narrower than the
-    embeddings.
+    distance) is Q × m × n_codes rows; corpus codes posexplode to
+    (id, subspace, code) and equi-join it, then one partial+final sum per
+    (query, corpus) pair and a per-query top-k window. No vector floats
+    move at query time, no Python in the scoring path; the scan side is
+    the m-byte code table, 32× narrower than the embeddings.
 
-    Contract: the QUERY set is small (same tier contract as brute force —
-    it is collected to build the LUT, Q × m × n_codes rows). For a large
-    query batch, build the LUT distributed (crossJoin queries × a literal
-    codebook table) and drop the broadcast hint."""
+    Two LUT tiers (``collect_lut``; ``None`` picks by counting queries
+    against ``max_collect_queries``):
+
+    * collected — the query vectors land on the driver, numpy builds the
+      LUT, and it broadcasts into the code join. Right for interactive
+      Q (the LUT is Q × m × n_codes doubles).
+    * distributed — the m × n_codes codebook (an algorithm constant that
+      already lives on the driver) becomes a literal table, broadcast-
+      crossJoined against the query DataFrame; per-cell partial distances
+      are zip_with/aggregate HOFs over the sliced query vector. The query
+      set never leaves the cluster, and the LUT↔codes join carries no
+      broadcast hint — AQE picks the strategy from the LUT's actual size.
+      This removes the last data-dependent driver collect in the ANN
+      stack; both tiers produce identical rows (pinned by
+      tests/test_similarity.py::test_pq_topk_distributed_lut_parity).
+    """
     books = [np.asarray(b) for b in codebooks]
     m = len(books)
     sub = books[0].shape[1]
-
-    qrows = queries.select(query_id, vec_col).collect()
-    lut_rows = []
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        for s, cb in enumerate(books):
-            x = qv[s * sub : (s + 1) * sub]
-            d = ((cb - x[None, :]) ** 2).sum(1)
-            for c, pd_ in enumerate(d):
-                lut_rows.append((r[0], s, c, float(pd_)))
     spark = queries.sparkSession
-    lut = spark.createDataFrame(lut_rows, "query_id long, s int, code int, pd double")
+
+    if collect_lut is None:
+        collect_lut = queries.count() <= max_collect_queries
+
+    if collect_lut:
+        qrows = queries.select(query_id, vec_col).collect()
+        lut_rows = []
+        for r in qrows:
+            qv = np.asarray(r[1], dtype=np.float64)
+            for s, cb in enumerate(books):
+                x = qv[s * sub : (s + 1) * sub]
+                d = ((cb - x[None, :]) ** 2).sum(1)
+                for c, pd_ in enumerate(d):
+                    lut_rows.append((r[0], s, c, float(pd_)))
+        lut = spark.createDataFrame(
+            lut_rows, "query_id long, s int, code int, pd double"
+        )
+        lut = F.broadcast(lut)
+    else:
+        cb_rows = [
+            (s, c, [float(x) for x in books[s][c]])
+            for s in range(m)
+            for c in range(books[s].shape[0])
+        ]
+        cb_tbl = spark.createDataFrame(cb_rows, "s int, code int, cvec array<double>")
+        qv = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        # slice the query vector to the cell's subspace, then Σ (a-b)² as
+        # codegen'd HOFs — bit-identical to the numpy path (same IEEE ops
+        # in the same order: both accumulate left-to-right in double)
+        diff2 = F.zip_with(
+            F.slice("__qv", F.col("s") * sub + 1, F.lit(sub)),
+            "cvec",
+            lambda a, b: (a - b) * (a - b),
+        )
+        lut = qv.crossJoin(F.broadcast(cb_tbl)).select(
+            "query_id",
+            "s",
+            "code",
+            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x).alias("pd"),
+        )
 
     exploded = corpus_codes.select(
         "neighbor_id", F.posexplode("codes").alias("s", "code")
     )
     dists = (
-        exploded.join(F.broadcast(lut), ["s", "code"])
+        exploded.join(lut, ["s", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("pd").alias("approx_sqdist"))
     )

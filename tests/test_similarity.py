@@ -169,6 +169,27 @@ def test_pq_recall_and_self_retrieval(spark, emb, exact_topk):
     assert recall >= 0.3, recall  # random-vector worst case; see SCALE.md
 
 
+def test_pq_topk_distributed_lut_parity(spark, emb):
+    """The distributed LUT path (collect_lut=False: codebook table ×
+    queries crossJoin, HOF partial distances, no broadcast hint on the code
+    join) must produce exactly the rows of the collected-LUT path — same
+    neighbors, same rounded distances, same ranks. Both accumulate (a-b)²
+    left-to-right in double, so the parity is bitwise, not approximate."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = similarity.pq_train(emb, "embedding", m_subspaces=8, n_codes=16)
+    codes = similarity.pq_encode(emb, books, "vec_id", "embedding")
+    collected = similarity.pq_topk(
+        queries, codes, books, "vec_id", k=5, collect_lut=True
+    )
+    distributed = similarity.pq_topk(
+        queries, codes, books, "vec_id", k=5, collect_lut=False
+    )
+    as_set = lambda df: {
+        (r.query_id, r.neighbor_id, r.approx_sqdist, r.rn) for r in df.collect()
+    }
+    assert as_set(distributed) == as_set(collected)
+
+
 def test_pq_codes_deterministic(spark, emb):
     books1 = similarity.pq_train(emb, "embedding", m_subspaces=8, n_codes=16)
     books2 = similarity.pq_train(emb, "embedding", m_subspaces=8, n_codes=16)
