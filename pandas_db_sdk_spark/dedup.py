@@ -21,6 +21,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._scratch import scratch_persist
+
 
 def exact_dedup(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
     """D1: keep the first row (by order_col) of each exact-content group.
@@ -162,14 +164,20 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     # Small inputs often arrive as one parquet split; signature work is
-    # CPU-bound, so spread it across the cluster explicitly.
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    # CPU-bound, so spread it across the cluster explicitly — but only when
+    # actually needed: re-keying an already-parallel input is a wasted
+    # corpus shuffle.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    spread = df if df.rdd.getNumPartitions() >= par else df.repartition(par, id_col)
     # The signature aggregate feeds three plan branches (band-join left and
     # right, estimate join); Spark does not reliably reuse the exchange
     # across self-join re-aliasing, so materialize it once. MEMORY_AND_DISK:
     # spills rather than OOMs, and recomputing it costs a corpus text pass.
-    agg = _minhash_signature_agg(spread, id_col, text_col, n_hashes, shingle).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Slot-pooled (see _scratch): identical re-invocations reuse the cached
+    # signatures; parameter/input changes evict the stale generation.
+    agg = scratch_persist(
+        _minhash_signature_agg(spread, id_col, text_col, n_hashes, shingle),
+        "minhash_lsh_pairs/agg",
     )
     # Band keys are pure column arithmetic over the __mh columns (bands and
     # rows are plan-time constants) — stays in whole-stage codegen.
@@ -222,45 +230,38 @@ def minhash_lsh_pairs(
         )
         cutoff = max(0.0, jaccard_threshold - est_margin)
         cand = cand.filter(matches / F.lit(float(n_hashes)) >= F.lit(cutoff))
-    pre = cand.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    pre = scratch_persist(cand.select("id_a", "id_b"), "minhash_lsh_pairs/pre")
     # Second pass, survivors only: exact shingle sets for just the documents
     # that appear in a surviving pair (left-semi pushdown into the scan),
     # then one melt join + pair regroup for the exact Jaccard. At 100 TB
     # this re-reads the corpus but aggregates sets only for the ~dup-dense
     # fraction — vs. the old single-pass design that collect_set-ed and
     # persisted every document's shingle set (a corpus-sized intermediate).
-    need = pre.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    # left-semi build sides need no pre-distinct — the join itself dedups
+    need = pre.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
     subset = df.join(need, id_col, "left_semi")
     shingle_tbl = (
         _shingle_hash_rows(subset, id_col, text_col, shingle)
         .groupBy("__id")
         .agg(F.collect_set("__h").alias("__shingles"))
     )
-    melt = (
-        pre.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("id_a"), F.col("id_b"),
-                        F.lit("a").alias("side"), F.col("id_a").alias("jid"),
-                    ),
-                    F.struct(
-                        F.col("id_a"), F.col("id_b"),
-                        F.lit("b").alias("side"), F.col("id_b").alias("jid"),
-                    ),
-                )
-            ).alias("s")
-        )
-        .select("s.*")
-    )
-    sh = shingle_tbl.select(F.col("__id").alias("jid"), F.col("__shingles"))
-    # No broadcast hint in either direction: candidate volume is
-    # data-dependent (quadratic in bucket size) and the shingle side is
-    # corpus-scale — AQE chooses, degrading gracefully to a shuffled join.
-    joined = sh.join(melt, "jid")
-    pairs = joined.groupBy("id_a", "id_b").agg(
-        F.first(F.when(F.col("side") == "a", F.col("__shingles")), ignorenulls=True).alias("sh_a"),
-        F.first(F.when(F.col("side") == "b", F.col("__shingles")), ignorenulls=True).alias("sh_b"),
+    # Attach both sides' sets with two equi-joins on the survivor-only
+    # shingle table. No broadcast hint in either direction: candidate
+    # volume is data-dependent (quadratic in bucket size) and the shingle
+    # side scales with near-dup density — AQE chooses, degrading
+    # gracefully to shuffled joins. (An earlier melt/explode/regroup
+    # variant scanned shingle_tbl once but paid an extra shuffle-agg OF
+    # THE SETS — the widest rows in the job — plus two more stages.)
+    pairs = pre.join(
+        shingle_tbl.select(
+            F.col("__id").alias("id_a"), F.col("__shingles").alias("sh_a")
+        ),
+        "id_a",
+    ).join(
+        shingle_tbl.select(
+            F.col("__id").alias("id_b"), F.col("__shingles").alias("sh_b")
+        ),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -561,8 +562,9 @@ def incremental_dedup_minhash(
 
     def prep(df, prefix):
         spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        agg = minhash_signatures_with_sets(spread, id_col, text_col, n_hashes, shingle).persist(
-            StorageLevel.MEMORY_AND_DISK
+        agg = scratch_persist(
+            minhash_signatures_with_sets(spread, id_col, text_col, n_hashes, shingle),
+            f"incremental_dedup_minhash/{prefix}",
         )
         band_keys = F.array(
             *[

@@ -118,14 +118,14 @@ def tf_idf(
     frequency (ties broken by token, deterministic) and everything rarer is
     dropped from the output. idf uses the smoothed ln((N+1)/(df+1)) + 1 form.
     """
-    from pyspark import StorageLevel
+    from ._scratch import scratch_persist
 
     n_docs = df.select(F.countDistinct(id_col).alias("n"))
     terms = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
     )
-    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    tf = scratch_persist(
+        terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf")), "tf_idf/tf"
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
     if max_vocab is not None:
@@ -299,4 +299,163 @@ def fingerprint(
         F.col(id_col),
         F.array_min(hashes).alias("fingerprint"),
         F.size(hashes).alias("n_shingles"),
+    )
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style heuristic quality GATES (Rae et al. 2021 §A1.1.2 shape,
+    thresholds adapted to the fixture corpus): hard booleans rather than
+    d10's soft score — the filter stage a training pipeline actually keys
+    drop decisions off.
+
+    All four signals are per-row codegen'd HOFs (no shuffle, no Python):
+    word count bounds, mean word length band, symbol-to-word ratio cap, and
+    a minimum stopword count (the "has real function words" gate).
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    # total word chars via int HOF, one double division at the end
+    word_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = word_chars.cast("double") / F.greatest(n_words, F.lit(1))
+    n_sym = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"), 0))
+    sym_ratio = n_sym.cast("double") / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(ENGLISH_STOPWORDS))
+    )
+    r_wc = (n_words >= 50) & (n_words <= 100000)
+    r_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    r_sym = sym_ratio < 0.1
+    r_stop = n_stop >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+        r_wc.cast("int").alias("rule_word_count"),
+        r_mwl.cast("int").alias("rule_mean_word_len"),
+        r_sym.cast("int").alias("rule_symbol_ratio"),
+        r_stop.cast("int").alias("rule_stopwords"),
+        (r_wc & r_mwl & r_sym & r_stop).cast("int").alias("passes_gopher"),
+    )
+
+
+def contamination_score(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Graded decontamination: per-document FRACTION of distinct word
+    n-grams appearing in the benchmark set (the thresholdable version of
+    `decontaminate`'s boolean — pipelines drop at score>τ instead of any-hit).
+
+    Same scale shape as decontaminate: benchmark gram-hashes broadcast
+    (eval suites are bounded), corpus grams travel as 8-byte xxhash64 keys,
+    one partial+final agg per document."""
+    grams = word_ngrams(text_col, n)
+    bench_hashes = (
+        benchmark.select(F.explode(grams).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_grams = (
+        corpus.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_hashes), "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization (the pre-hash step of every dedup
+    pipeline): lowercase → strip non-alphanumerics → collapse whitespace →
+    trim, plus the md5 of the result as the dedup key. Pure regexp
+    codegen — zero shuffle."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+def domain_mix_weights(
+    df: DataFrame, facet_col: str = "source", target: dict | None = None
+) -> DataFrame:
+    """Training-mix rebalancing: per-facet sampling weight that reshapes
+    the corpus toward a target distribution (uniform when ``target`` is
+    None — the "flatten the domain mix" default). weight>1 ⇒ upsample,
+    <1 ⇒ downsample; downstream `sample_by`/`stratified_sample` consumes
+    the weights column.
+
+    One partial+final count per facet + a 1-row global crossJoin — the
+    whole computation is two tiny aggregates regardless of corpus size."""
+    counts = df.groupBy(facet_col).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("__total"), F.count("*").alias("__n_facets")
+    )
+    out = counts.crossJoin(F.broadcast(tot))
+    if target is None:
+        tgt = F.lit(1.0) / F.col("__n_facets")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        tgt = mapping[F.col(facet_col)]
+    actual = F.col("cnt") / F.col("__total")
+    return out.select(
+        facet_col,
+        "cnt",
+        F.round(actual, 6).alias("actual_frac"),
+        F.round(tgt, 6).alias("target_frac"),
+        F.round(tgt / actual, 6).alias("weight"),
+    )
+
+
+def length_percentile_filter(
+    df: DataFrame,
+    len_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Tail-trimming by exact length percentiles: keep rows whose length
+    sits inside [P_lo, P_hi] — the outlier-document cut (truncated docs at
+    the short end, concatenation blobs at the long end).
+
+    EXACT percentile (linear interpolation), not approx, so the cut is
+    deterministic and oracle-checkable; the 2-value global agg crossJoin-
+    broadcasts. At 100 TB swap in percentile_approx and declare the query
+    rows-only — the shape is identical."""
+    pcts = df.agg(
+        F.percentile(len_col, F.lit(lo)).alias("__plo"),
+        F.percentile(len_col, F.lit(hi)).alias("__phi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(pcts))
+        .filter(F.col(len_col).between(F.col("__plo"), F.col("__phi")))
+        .drop("__plo", "__phi")
     )

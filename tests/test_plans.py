@@ -207,15 +207,17 @@ SHUFFLE_BUDGET = {
     "c21_asof_join": 1,        # union trick: single re-key, no range explosion
     "c22_broadcast_join": 2,   # fact re-key for agg + broadcast exchange
     "d01_exact_dedup": 1,      # hash re-key on content hash
-    "d02_minhash_lsh": 20,     # static count, inflated 3× by the persisted
-                               # signature subtree printing inside each
-                               # InMemoryRelation branch; semantically:
-                               # spread + sig agg (corpus-sized, once),
+    "d02_minhash_lsh": 28,     # static count, inflated ~3× by the persisted
+                               # signature/shingle subtrees printing inside
+                               # each InMemoryRelation branch (the two-join
+                               # verify prints the shingle subtree twice);
+                               # semantically: sig agg (corpus-sized, once),
                                # band self-join, estimate joins, survivor
-                               # semi-join + set agg, melt join + regroup —
+                               # semi-join + set agg, two verify joins —
                                # all candidate-sized. The corpus-wide
                                # collect_set shuffle of the old one-pass
-                               # design is GONE (the r2 scale flag).
+                               # design is GONE (the r2 scale flag), and
+                               # the melt regroup's set-shuffle with it.
     "d05_tfidf": 7,            # term counts + df join + norm
     "d17_sequence_packing": 1, # salt re-key only
     "x01_shipping_priority": 3,
