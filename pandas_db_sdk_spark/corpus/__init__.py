@@ -84,6 +84,20 @@ _R02_VERIFIED = frozenset(
 # keep them inside the driver window so the upgrade gets certified.
 _RECHECK = frozenset({"d03e_dedup_by_embedding", "d15_stratified_sample"})
 
+# Queries ADDED in round 3 (never had a driver row).  They sort AFTER the
+# r1/r2 backlog + rechecks so the round-3 window still certifies the 49
+# long-unchecked queries first; these take the round-4 window.
+_R03_NEW = frozenset(
+    """x09_min_cost_supplier x10_order_priority_check x11_forecast_revenue
+    x12_nation_volume x13_market_share x14_product_profit
+    x15_important_parts x16_customer_distribution x17_top_supplier
+    x18_small_quantity_revenue x19_part_promotion_suppliers
+    x20_waiting_suppliers x21_dormant_customers d23_gopher_quality
+    d24_domain_mix_weights d25_length_percentile_filter
+    d26_embedding_centroids d27_nearest_centroid d28_similarity_histogram
+    d29_contamination_score d30_text_normalize""".split()
+)
+
 
 def _merged(attr):
     out = {}
@@ -108,10 +122,12 @@ def all_queries():
     def key(name):
         if name in _RECHECK:
             return 1
-        if name in _R02_VERIFIED:
+        if name in _R03_NEW:
             return 2
-        if name in _R01_VERIFIED:
+        if name in _R02_VERIFIED:
             return 3
+        if name in _R01_VERIFIED:
+            return 4
         return 0
 
     names = sorted(out, key=key)

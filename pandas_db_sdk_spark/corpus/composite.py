@@ -372,3 +372,643 @@ def x08(spark, sf_dir):
         )
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the remaining TPC-H shapes (Q2,4,6,7,8,9,11,13,15,17,20,21,22),
+# adapted to the fixture schema — no partsupp table (the distinct
+# (l_partkey, l_suppkey) relation from lineitem stands in, as in x08), no
+# commit/receipt dates (ship-vs-order-date lag stands in for lateness, as
+# in x05), p_retailprice stands in for ps_supplycost.  Determinism: revenue
+# sums ride DECIMAL(18,4) (associative — partial-agg order can't change
+# them); per-row double arithmetic (unit costs, thresholds) is identical
+# IEEE ops in both engines; ratios are rounded.
+
+
+@q(
+    "x09_min_cost_supplier",
+    """WITH ps AS (
+         SELECT l_partkey, l_suppkey,
+                min(l_extendedprice / l_quantity) AS unit_cost
+         FROM lineitem GROUP BY l_partkey, l_suppkey),
+       best AS (
+         SELECT l_partkey, min(unit_cost) AS min_cost
+         FROM ps GROUP BY l_partkey)
+       SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+              round(ps.unit_cost, 6) AS unit_cost
+       FROM ps
+       JOIN best b ON ps.l_partkey = b.l_partkey AND ps.unit_cost = b.min_cost
+       JOIN part p ON p.p_partkey = ps.l_partkey
+       JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       JOIN region r ON r.r_regionkey = n.n_regionkey
+       WHERE p.p_size BETWEEN 10 AND 30 AND p.p_type = 'STANDARD'
+         AND r.r_name = 'EUROPE'
+       ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+       LIMIT 20""",
+)
+def x09(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier): the correlated-min subquery
+    becomes a per-part min over the distilled part-supplier cost relation,
+    joined back on (part, cost) equality.  Both "joins back" reuse the same
+    shuffled ps relation (one scan of lineitem); part/supplier/nation/
+    region all broadcast.  min() over identically-computed doubles is
+    bit-exact, so the float equality join is deterministic."""
+    t = tables(spark, sf_dir)
+    ps = (
+        t("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = t("part").filter(
+        F.col("p_size").between(10, 30) & (F.col("p_type") == "STANDARD")
+    )
+    r = t("region").filter(F.col("r_name") == "EUROPE")
+    n = t("nation").join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = t("supplier").join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        ps.join(
+            best,
+            (ps.l_partkey == best.__pk) & (ps.unit_cost == best.min_cost),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == ps.l_partkey)
+        .join(F.broadcast(s), F.col("s_suppkey") == ps.l_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@q(
+    "x10_order_priority_check",
+    """SELECT o.o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-10-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)
+       GROUP BY o.o_orderpriority
+       ORDER BY o.o_orderpriority""",
+)
+def x10(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS with a cross-table predicate (a lineitem
+    shipped >80 days after its order date) → left-semi join with the
+    composite condition; the date window pushes into the orders scan and
+    prunes before the join."""
+    t = tables(spark, sf_dir)
+    o = t("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = t("lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "x11_forecast_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              count(*) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def x11(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate pushes
+    to the parquet scan (date + two numeric ranges), no join, one
+    partial+final agg.  The canary for predicate pushdown staying intact."""
+    t = tables(spark, sf_dir)
+    return (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(REV_DEC)
+                * F.col("l_discount").cast(REV_DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "x12_nation_volume",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              year(l.l_shipdate) AS l_year,
+              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                  AS revenue
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+           OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+         AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+       ORDER BY supp_nation, cust_nation, l_year""",
+)
+def x12(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    The disjunctive nation-pair predicate lands after both dimension chains
+    join in; supplier+nation broadcast, the orders→customer chain shuffles
+    once on the fact keys."""
+    t = tables(spark, sf_dir)
+    n = t("nation").select("n_nationkey", "n_name")
+    s = t("supplier").join(
+        F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = t("customer").join(
+        F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    l = t("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(t("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "x13_market_share",
+    """SELECT year(o.o_orderdate) AS o_year,
+              round(
+                CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                           * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+                6) AS mkt_share
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       JOIN region r ON r.r_regionkey = cn.n_regionkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY year(o.o_orderdate)
+       ORDER BY o_year""",
+)
+def x13(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, by year — conditional-sum ÷ total-sum in a single partial+final
+    agg (one pass, no self-join).  All dimensions broadcast; the region and
+    part-type filters prune their chains before touching the fact."""
+    t = tables(spark, sf_dir)
+    r = t("region").filter(F.col("r_name") == "AMERICA")
+    cn = t("nation").join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = t("customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    sn = t("nation").select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = t("supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("__snk")
+    ).select("s_suppkey", "supp_nation")
+    p = t("part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = t("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", _revenue()).otherwise(
+        F.lit(0).cast(REV_DEC)
+    )
+    return (
+        t("lineitem")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_rev).cast("double") / F.sum(_revenue()).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "x14_product_profit",
+    """SELECT n.n_name, year(o.o_orderdate) AS o_year,
+              CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            - 0.6 * l.l_quantity * p.p_retailprice
+                            AS DECIMAL(18,4))) AS DOUBLE) AS profit
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_name LIKE '%widget'
+       GROUP BY n.n_name, year(o.o_orderdate)
+       ORDER BY n.n_name, o_year""",
+)
+def x14(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): per-row profit = revenue minus
+    a 0.6×qty×retailprice cost stand-in (no ps_supplycost in the fixture),
+    computed in DOUBLE per row (identical IEEE ops both engines), cast to
+    DECIMAL(18,4) only for the associative sum.  The name-suffix LIKE
+    prunes part before it broadcasts."""
+    t = tables(spark, sf_dir)
+    p = t("part").filter(F.col("p_name").like("%widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("l_quantity") * F.col("p_retailprice")
+    ).cast(REV_DEC)
+    return (
+        t("lineitem")
+        .join(t("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t("nation")), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("n_name", "o_year")
+    )
+
+
+@q(
+    "x15_important_parts",
+    """WITH val AS (
+         SELECT l_partkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                    AS part_value
+         FROM lineitem GROUP BY l_partkey),
+       tot AS (SELECT sum(part_value) AS total FROM val)
+       SELECT v.l_partkey, round(v.part_value, 4) AS part_value
+       FROM val v, tot
+       WHERE v.part_value > 0.0008 * tot.total
+       ORDER BY v.part_value DESC, v.l_partkey
+       LIMIT 30""",
+)
+def x15(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part value filtered against a
+    fraction of the GLOBAL total — the scalar subquery is a 1-row global
+    agg crossJoin-broadcast against the per-part aggregate, so the fact
+    scans once and nothing collects to the driver.  Note the threshold
+    compares the rounded-to-double per-part sums the same way in both
+    engines (sum of part_value doubles, small cardinality, single
+    partition in the oracle; Spark's tot is a 1-row reduce of the same
+    doubles — order differences can't bite because val is already
+    deterministic and the sum is over ≤|parts| values that were each
+    decimal-rounded)."""
+    t = tables(spark, sf_dir)
+    val = (
+        t("lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).cast("double").alias("part_value"))
+    )
+    # decimal re-sum of the per-part doubles keeps the global total
+    # associative too (Spark reduces across partitions, DuckDB serially)
+    tot = val.agg(
+        F.sum(F.col("part_value").cast(REV_DEC)).cast("double").alias("total")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.lit(0.0008) * F.col("total"))
+        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .limit(30)
+    )
+
+
+@q(
+    "x16_customer_distribution",
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             FROM customer c
+             LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  AND o.o_orderpriority <> '1-URGENT'
+             GROUP BY c.c_custkey) counts
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC""",
+)
+def x16(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): left join with
+    an extra join-side predicate (the filter belongs in the ON clause, not
+    WHERE — a WHERE would silently drop zero-order customers), count per
+    customer including the nulls, then a second tiny agg over the counts."""
+    t = tables(spark, sf_dir)
+    o = t("orders").filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        t("customer")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "x17_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                    AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-04-01'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+       ORDER BY s.s_suppkey""",
+)
+def x17(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier, keep
+    the one(s) hitting the scalar max.  The rev CTE computes once and feeds
+    both the max and the final filter (Spark: same DataFrame object reused;
+    AQE dedups the exchange).  Decimal sums make the double equality
+    deterministic in both engines."""
+    t = tables(spark, sf_dir)
+    rev = (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "x18_small_quantity_revenue",
+    """WITH pa AS (
+         SELECT l_partkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(*) AS avg_qty
+         FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                AS avg_yearly,
+              count(*) AS n_items
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN pa ON pa.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#13' AND p.p_size <= 25
+         AND l.l_quantity < 0.2 * pa.avg_qty""",
+)
+def x18(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity orders): the correlated per-part
+    average becomes a grouped aggregate joined back to the fact; the
+    brand/size filter prunes part before broadcast.  avg is an exact
+    decimal sum over one double division — identical in both engines, so
+    the 0.2×avg threshold compares bitwise."""
+    t = tables(spark, sf_dir)
+    pa = (
+        t("lineitem")
+        .groupBy(F.col("l_partkey").alias("__pk"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast(REV_DEC)).cast("double")
+                / F.count("*")
+            ).alias("avg_qty")
+        )
+    )
+    p = t("part").filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 25))
+    return (
+        t("lineitem")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("__pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(REV_DEC)).cast("double") / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "x19_part_promotion_suppliers",
+    """WITH shipped AS (
+         SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY l_suppkey, l_partkey)
+       SELECT s.s_name, s.s_acctbal
+       FROM supplier s
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       JOIN region r ON r.r_regionkey = n.n_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND EXISTS (SELECT 1 FROM shipped sh
+                     JOIN part p ON p.p_partkey = sh.l_partkey
+                     WHERE sh.l_suppkey = s.s_suppkey
+                       AND p.p_name LIKE '%widget' AND sh.qty > 50)
+       ORDER BY s.s_name""",
+)
+def x19(spark, sf_dir):
+    """TPC-H Q20 shape (part-promotion suppliers): nested EXISTS chain —
+    suppliers in one region who shipped >50 units of a name-matched part
+    family in a year.  The inner aggregate reduces lineitem to per-
+    (supplier, part) quantities BEFORE any join; the part-name filter
+    broadcasts into it; the outer EXISTS is a left-semi on the thin
+    qualifying-supplier set."""
+    t = tables(spark, sf_dir)
+    shipped = (
+        t("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    p = t("part").filter(F.col("p_name").like("%widget")).select("p_partkey")
+    qualifying = shipped.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    ).select("l_suppkey")
+    r = t("region").filter(F.col("r_name") == "ASIA")
+    n = t("nation").join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        t("supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@q(
+    "x20_waiting_suppliers",
+    """WITH late AS (
+         SELECT l.l_orderkey, l.l_suppkey
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderstatus = 'F'
+           AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+       SELECT s.s_name, count(*) AS numwait
+       FROM late l1
+       JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+       WHERE EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM late l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey)
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s.s_name
+       LIMIT 20""",
+)
+def x20(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the sole late
+    supplier on multi-supplier finished orders.  EXISTS → left-semi with a
+    suppkey-inequality condition; NOT EXISTS → left-anti against the same
+    late relation it feeds (computed once, reused — one lineitem×orders
+    join for both sides)."""
+    t = tables(spark, sf_dir)
+    o = t("orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        t("lineitem")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = t("lineitem").select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    return (
+        late.join(
+            l2,
+            (F.col("__ok2") == F.col("l_orderkey"))
+            & (F.col("__sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("__ok3") == F.col("l_orderkey"))
+            & (F.col("__sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@q(
+    "x21_dormant_customers",
+    """WITH avg_bal AS (
+         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                  AS ab
+         FROM customer WHERE c_acctbal > 0)
+       SELECT right(c.c_name, 1) AS code,
+              count(*) AS numcust,
+              CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       FROM customer c, avg_bal
+       WHERE c.c_acctbal > avg_bal.ab
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY right(c.c_name, 1)
+       ORDER BY code""",
+)
+def x21(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with no recent orders, grouped by a name-derived code.  The
+    scalar average crossJoin-broadcasts; NOT EXISTS is a left-anti against
+    the date-filtered orders (filter pushed to the scan); exact decimal
+    average makes the threshold deterministic."""
+    t = tables(spark, sf_dir)
+    avg_bal = (
+        t("customer")
+        .filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(REV_DEC)).cast("double") / F.count("*")
+            ).alias("ab")
+        )
+    )
+    recent = t("orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        t("customer")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_name").substr(F.length("c_name"), F.lit(1)).alias("code"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(REV_DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("code")
+    )

@@ -623,3 +623,196 @@ def d22(spark, sf_dir):
     reproducible across engines and re-runs). One window shuffle."""
     d = tables(spark, sf_dir)("documents")
     return packing.shard_assign(d.select("doc_id", "lang"), "doc_id", 8)
+
+
+# ---------------------------------------------------------------------------
+# Round 3 D-tier extensions: quality gates, mix rebalancing, percentile
+# trims, centroid ops, contamination scoring, normalization.
+
+
+@q(
+    "d23_gopher_quality",
+    """WITH t AS (
+         SELECT doc_id,
+                string_split(text, ' ') AS toks,
+                len(string_split(text, ' ')) AS n_words,
+                list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS word_chars,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_sym,
+                len(list_filter(string_split(text, ' '),
+                    w -> lower(w) IN ('the','and','of','to','a','in','is','that','for','it'))) AS n_stop
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_words,
+                word_chars::DOUBLE / greatest(n_words, 1) AS mwl,
+                n_sym::DOUBLE / greatest(n_words, 1) AS symr,
+                n_stop
+         FROM t)
+       SELECT doc_id, n_words,
+              round(mwl, 6) AS mean_word_len,
+              round(symr, 6) AS symbol_ratio,
+              n_stop AS n_stopwords,
+              CAST(n_words BETWEEN 50 AND 100000 AS INT) AS rule_word_count,
+              CAST(mwl BETWEEN 3.0 AND 10.0 AS INT) AS rule_mean_word_len,
+              CAST(symr < 0.1 AS INT) AS rule_symbol_ratio,
+              CAST(n_stop >= 2 AS INT) AS rule_stopwords,
+              CAST(n_words BETWEEN 50 AND 100000
+                   AND mwl BETWEEN 3.0 AND 10.0
+                   AND symr < 0.1
+                   AND n_stop >= 2 AS INT) AS passes_gopher
+       FROM s""",
+)
+def d23(spark, sf_dir):
+    """D-ext: Gopher-style hard quality gates (word-count band, mean word
+    length band, symbol ratio cap, minimum stopword hits) — the boolean
+    drop-filter stage; d10 is the soft-score twin."""
+    d = tables(spark, sf_dir)("documents")
+    return text.gopher_rules(d, "doc_id", "text")
+
+
+@q(
+    "d24_domain_mix_weights",
+    """WITH counts AS (
+         SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+       tot AS (SELECT sum(cnt) AS total, count(*) AS n_facets FROM counts)
+       SELECT c.source, c.cnt,
+              round(c.cnt / t.total, 6) AS actual_frac,
+              round(1.0 / t.n_facets, 6) AS target_frac,
+              round((1.0 / t.n_facets) / (c.cnt / t.total), 6) AS weight
+       FROM counts c, tot t""",
+)
+def d24(spark, sf_dir):
+    """D-ext: training-mix rebalancing weights toward a uniform source
+    distribution — two tiny aggregates + a 1-row crossJoin, size-independent."""
+    d = tables(spark, sf_dir)("documents")
+    return text.domain_mix_weights(d, "source")
+
+
+@q(
+    "d25_length_percentile_filter",
+    """WITH p AS (SELECT quantile_cont(n_chars, 0.05) AS plo,
+                         quantile_cont(n_chars, 0.95) AS phi
+                  FROM documents)
+       SELECT d.doc_id, d.lang, d.source, d.n_chars
+       FROM documents d, p
+       WHERE d.n_chars BETWEEN p.plo AND p.phi""",
+)
+def d25(spark, sf_dir):
+    """D-ext: trim length-outlier documents outside exact [P5, P95] —
+    truncated fragments and concatenation blobs.  Exact interpolated
+    percentile in both engines keeps the cut oracle-checkable."""
+    d = tables(spark, sf_dir)("documents")
+    return text.length_percentile_filter(d, "n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@q(
+    "d26_embedding_centroids",
+    """SELECT e.label, t.i - 1 AS pos,
+              round(CAST(sum(CAST(e.embedding[t.i]::DOUBLE AS DECIMAL(28,10))) AS DOUBLE)
+                    / count(*), 6) AS centroid
+       FROM embeddings e, range(1, 65) t(i)
+       GROUP BY e.label, t.i
+       ORDER BY e.label, pos""",
+)
+def d26(spark, sf_dir):
+    """D-ext: per-label mean embedding (class prototypes) in long form.
+    Decimal-exact sums make the mean bit-deterministic under partial
+    aggregation."""
+    e = tables(spark, sf_dir)("embeddings")
+    return (
+        similarity.label_centroids(e, "label", "embedding")
+        .select("label", "pos", F.round("centroid", 6).alias("centroid"))
+        .orderBy("label", "pos")
+    )
+
+
+@q(
+    "d27_nearest_centroid",
+    """WITH cent AS (
+         SELECT e.label AS clabel, t.i,
+                CAST(sum(CAST(e.embedding[t.i]::DOUBLE AS DECIMAL(28,10))) AS DOUBLE)
+                  / count(*) AS c
+         FROM embeddings e, range(1, 65) t(i)
+         GROUP BY e.label, t.i),
+       dists AS (
+         SELECT e.vec_id, c.clabel,
+                CAST(sum(CAST((e.embedding[c.i]::DOUBLE - c.c)
+                              * (e.embedding[c.i]::DOUBLE - c.c)
+                              AS DECIMAL(28,10))) AS DOUBLE) AS dist
+         FROM embeddings e, cent c
+         GROUP BY e.vec_id, c.clabel),
+       ranked AS (
+         SELECT vec_id, clabel, dist,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, clabel) AS rn
+         FROM dists)
+       SELECT vec_id, clabel AS nearest_label, round(dist, 6) AS dist
+       FROM ranked WHERE rn = 1""",
+)
+def d27(spark, sf_dir):
+    """D-ext: nearest-centroid assignment (squared L2 against class
+    prototypes) — semantic-dedup bucketing / 1-NN prototype classifier.
+    Per-element double ops + decimal-exact sums ⇒ deterministic argmin."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.assign_nearest_centroid(e, "vec_id", "label", "embedding")
+
+
+@q(
+    "d28_similarity_histogram",
+    """WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+       pairs AS (
+         SELECT list_dot_product(a.ve, b.ve)
+                / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve)))
+                  AS cos
+         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+       SELECT CAST(floor(cos * 10) AS INT) AS bucket, count(*) AS n_pairs
+       FROM pairs GROUP BY bucket""",
+)
+def d28(spark, sf_dir):
+    """D-ext: blocked pairwise cosine-similarity histogram — the
+    threshold-picking diagnostic before near-dup cutoffs.  Block-scoped
+    pair join (Σ block², never n²), hoisted norms, JVM dot products."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.similarity_histogram(e, "label", "vec_id", "embedding")
+
+
+@q(
+    "d29_contamination_score",
+    """WITH """ + _DUCK_GRAMS.format(m=4) + """,
+       dg AS (SELECT DISTINCT doc_id, g FROM grams),
+       bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+       SELECT dg.doc_id,
+              count(*) AS n_grams,
+              CAST(sum(CAST(bench.g IS NOT NULL AS INT)) AS BIGINT) AS n_contaminated,
+              round(sum(CAST(bench.g IS NOT NULL AS INT))::DOUBLE / count(*), 6)
+                  AS contamination
+       FROM dg LEFT JOIN bench ON dg.g = bench.g
+       GROUP BY dg.doc_id""",
+)
+def d29(spark, sf_dir):
+    """D-ext: graded contamination — fraction of each document's distinct
+    5-grams appearing in the benchmark set (every 50th doc stands in).
+    The thresholdable version of d19's any-hit boolean."""
+    d = tables(spark, sf_dir)("documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return text.contamination_score(d, bench, "doc_id", "text", n=5)
+
+
+@q(
+    "d30_text_normalize",
+    """SELECT doc_id,
+              trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS norm_text,
+              md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_hash
+       FROM documents""",
+)
+def d30(spark, sf_dir):
+    """D-ext: canonical normalization (lowercase → strip symbols →
+    collapse whitespace) + md5 dedup key — the pre-hash step of content
+    dedup.  Pure regexp codegen, zero shuffle."""
+    d = tables(spark, sf_dir)("documents")
+    return text.normalize_text(d, "doc_id", "text")

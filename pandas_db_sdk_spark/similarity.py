@@ -576,3 +576,122 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("approx_sqdist", 6).alias("approx_sqdist"), "rn")
     )
+
+
+# ------------------------------------------------------------ centroid ops
+
+# Exact decimal accumulator for centroid / distance sums: double values cast
+# to a fixed scale and summed associatively, so 32-partition partial aggs and
+# a single-node oracle agree bit-for-bit.  Unit-ish embedding components and
+# 64-dim sums fit (18 integer digits) with room to spare.
+_CDEC = "decimal(28,10)"
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean embedding in long form (label, pos, centroid) —
+    the cluster-profile/class-prototype op (semantic dedup, cluster-based
+    filtering, and IVF-style routing all start here).
+
+    posexplode → one partial+final agg keyed (label, pos).  The decimal
+    accumulator makes the mean deterministic under any partitioning; the
+    single double division happens after the exact sum."""
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast(_CDEC)).cast("double") / F.count("*")
+            ).alias("centroid")
+        )
+    )
+
+
+def assign_nearest_centroid(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest label centroid by squared L2 —
+    the cluster-assignment pass (semantic dedup's bucketing step, or a
+    1-NN classifier against class prototypes).
+
+    The centroid table is O(labels × dim) — an algorithm constant — so it
+    broadcasts as assembled arrays; each vector scores against all
+    centroids via one zip_with/aggregate per pair, 100% JVM.  Per-element
+    squared differences are computed in double (bit-identical in any
+    engine) and summed through the exact decimal accumulator, so the
+    argmin is deterministic; ties break toward the smaller label."""
+    cent = (
+        label_centroids(emb, label_col, vec_col)
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s.centroid,
+            ).alias("cvec")
+        )
+    )
+    v = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    sq = F.zip_with(
+        F.col("__v"), F.col("cvec"), lambda a, b: ((a - b) * (a - b)).cast(_CDEC)
+    )
+    dist = F.aggregate(
+        sq, F.lit(0).cast(_CDEC), lambda acc, x: (acc + x).cast(_CDEC)
+    ).cast("double")
+    w = Window.partitionBy(id_col).orderBy("dist", "clabel")
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select(id_col, F.col("clabel"), dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("clabel").alias("nearest_label"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )
+
+
+def similarity_histogram(
+    emb: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution of pairwise cosine similarity over block-scoped pairs —
+    the threshold-picking diagnostic run before committing a near-dup or
+    semantic-dedup cutoff (choose τ where the histogram's dup mode
+    separates from the body).
+
+    Pair generation is the block-join contract (Σ block², never n²) shared
+    with near_dup_pairs_by_cosine; scoring is the hoisted-norm JVM dot
+    product; the histogram is one tiny partial+final count keyed by
+    bucket = floor(cos × n_buckets)."""
+    v = emb.select(
+        F.col(block_col).alias("__b"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    a = v.select(
+        F.col("__b"), F.col("__id").alias("id_a"),
+        F.col("__v").alias("va"), F.col("__n").alias("na"),
+    )
+    b = v.select(
+        F.col("__b"), F.col("__id").alias("id_b"),
+        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.floor(cos * n_buckets).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
