@@ -246,3 +246,52 @@ def test_shuffle_budget_not_exceeded(spark, queries):
         plan = plan_of(queries[name](spark, SF))
         got = plan.count("Exchange")
         assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+
+
+def test_round3_composites_compose_cleanly(spark, queries):
+    """x09–x21: dims broadcast, filters reach the scans, no accidental
+    nested loop.  The scalar-subquery composites (x15/x17/x21) legitimately
+    plan a BroadcastNestedLoopJoin for their 1-ROW global-aggregate side —
+    that is the correct strategy and is asserted separately."""
+    dims_broadcast = (
+        "x09_min_cost_supplier",
+        "x12_nation_volume",
+        "x13_market_share",
+        "x14_product_profit",
+        "x19_part_promotion_suppliers",
+        "x20_waiting_suppliers",
+    )
+    for name in dims_broadcast:
+        plan = plan_of(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "PushedFilters: [" in plan, name
+    # EXISTS adaptations: semi/anti joins, never a loop
+    for name in ("x10_order_priority_check", "x16_customer_distribution"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "PushedFilters: [" in plan, name
+    # scalar-subquery composites: the 1-row side must BROADCAST (a shuffled
+    # join against a 1-row relation would be the wrong plan)
+    for name in ("x15_important_parts", "x17_top_supplier", "x21_dormant_customers"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "Broadcast" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_round3_dtier_plan_shapes(spark, queries):
+    """Per-row D-tier ops must stay zero-shuffle scan→project pipelines;
+    the pair-generating histogram must stay an equi-join (never n²)."""
+    for name in ("d23_gopher_quality", "d30_text_normalize"):
+        plan = plan_of(queries[name](spark, SF))
+        assert plan.count("Exchange") == 0, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    plan = plan_of(queries["d28_similarity_histogram"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # nearest-centroid: the constant-sized centroid table must broadcast
+    plan = plan_of(queries["d27_nearest_centroid"](spark, SF))
+    assert "Broadcast" in plan
