@@ -199,3 +199,64 @@ def test_pq_codes_deterministic(spark, emb):
     c1 = similarity.pq_encode(emb, books1, "vec_id").orderBy("neighbor_id").collect()
     c2 = similarity.pq_encode(emb, books2, "vec_id").orderBy("neighbor_id").collect()
     assert [list(r.codes) for r in c1] == [list(r.codes) for r in c2]
+
+
+# ------------------------------------------------------------- round 3 ops
+
+def test_label_centroids_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, [3.0, 6.0]),
+            (3, 1, [5.0, 5.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = {(r.label, r.pos): r.centroid for r in similarity.label_centroids(df).collect()}
+    assert rows[(0, 0)] == 2.0 and rows[(0, 1)] == 4.0
+    assert rows[(1, 0)] == 5.0 and rows[(1, 1)] == 5.0
+
+
+def test_nearest_centroid_assignment_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, [0.0, 0.0]),
+            (2, 0, [0.2, 0.0]),
+            (3, 1, [10.0, 10.0]),
+            (4, 1, [9.8, 10.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in similarity.assign_nearest_centroid(df).collect()}
+    # cluster members stay with their own centroid
+    assert rows[1].nearest_label == 0 and rows[2].nearest_label == 0
+    assert rows[3].nearest_label == 1 and rows[4].nearest_label == 1
+    # two labels whose centroids coincide at [2.5, 0] → every vector is
+    # exactly equidistant and must tie toward the smaller label
+    mid = spark.createDataFrame(
+        [
+            (1, 0, [0.0, 0.0]),
+            (2, 0, [5.0, 0.0]),
+            (3, 1, [10.0, 0.0]),
+            (4, 1, [-5.0, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = similarity.assign_nearest_centroid(mid).collect()
+    assert {r.nearest_label for r in out} == {0}
+
+
+def test_similarity_histogram_counts_and_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.0]),   # cos=1 with vec 1 → bucket 10 (exact top edge)
+            (3, 0, [0.0, 1.0]),   # cos=0 with both → bucket 0
+            (4, 1, [1.0, 1.0]),   # other block: no cross-block pairs
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = {r.bucket: r.n_pairs for r in similarity.similarity_histogram(df).collect()}
+    assert sum(rows.values()) == 3  # C(3,2) within block 0, none cross-block
+    assert rows[10] == 1  # the exact-duplicate pair
+    assert rows[0] == 2   # the two orthogonal pairs

@@ -177,3 +177,86 @@ def test_unigram_logprob_hand_computed(spark):
     want = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
     assert r.n_tokens == 3
     assert abs(r.avg_logprob - round(want, 6)) < 1e-9
+
+
+# ------------------------------------------------------------- round 3 ops
+
+def test_gopher_rules_each_gate(spark):
+    """One document per failing gate + one passing all four."""
+    good = " ".join(["the and word"] * 20)  # 60 words, mwl ~3.3, stopwords 40
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the and of to a"),  # 5 words < 50 → word-count gate fails
+            (3, " ".join(["the"] + ["aa"] * 59)),  # mean word len 2.03 < 3
+            (4, " ".join(["the!!!", "and???"] * 30)),  # symbol ratio 3.0 ≥ 0.1
+            (5, " ".join(["wordy"] * 60)),  # zero stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.gopher_rules(df).collect()}
+    assert rows[1].passes_gopher == 1
+    assert rows[2].rule_word_count == 0 and rows[2].passes_gopher == 0
+    assert rows[3].rule_mean_word_len == 0 and rows[3].passes_gopher == 0
+    assert rows[4].rule_symbol_ratio == 0 and rows[4].passes_gopher == 0
+    assert rows[5].rule_stopwords == 0 and rows[5].passes_gopher == 0
+
+
+def test_contamination_score_matches_set_oracle(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # grams: abcde bcdef
+            (2, "a b c d e x"),      # grams: abcde bcdex
+            (3, "p q r s t u"),      # no overlap with bench
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in text.contamination_score(corpus, bench, n=5).collect()}
+    assert rows[1].n_grams == 2 and rows[1].n_contaminated == 1
+    assert rows[1].contamination == 0.5
+    assert rows[2].n_contaminated == 1 and rows[2].contamination == 0.5
+    assert rows[3].n_contaminated == 0 and rows[3].contamination == 0.0
+
+
+def test_normalize_text_canonical_and_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! 42  "), (2, "hello world 42")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.normalize_text(df).collect()}
+    assert rows[1].norm_text == "hello world 42"
+    # different surface forms, same canonical form → same dedup key
+    assert rows[1].norm_hash == rows[2].norm_hash
+    again = text.normalize_text(
+        spark.createDataFrame([(3, rows[1].norm_text)], "doc_id long, text string")
+    ).first()
+    assert again.norm_text == rows[1].norm_text  # idempotent
+
+
+def test_domain_mix_weights_rebalance_math(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 60 else "b") for i in range(100)], "id long, source string"
+    )
+    rows = {r.source: r for r in text.domain_mix_weights(df, "source").collect()}
+    assert rows["a"].cnt == 60 and rows["b"].cnt == 40
+    assert rows["a"].weight == round(0.5 / 0.6, 6)
+    assert rows["b"].weight == round(0.5 / 0.4, 6)
+    # expected post-sampling counts hit the uniform target: cnt×weight = 50
+    for r in rows.values():
+        assert round(r.cnt * r.weight) == 50
+    # explicit target distribution
+    rows = {
+        r.source: r
+        for r in text.domain_mix_weights(df, "source", {"a": 0.9, "b": 0.1}).collect()
+    }
+    assert rows["a"].target_frac == 0.9
+    assert round(rows["a"].cnt * rows["a"].weight) == 90
+
+
+def test_length_percentile_filter_bounds(spark):
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "id long, n long")
+    kept = text.length_percentile_filter(df, "n", 0.05, 0.95).collect()
+    vals = sorted(r.n for r in kept)
+    # exact interpolated P5 of 1..100 = 5.95, P95 = 95.05 → keep 6..95
+    assert vals[0] == 6 and vals[-1] == 95 and len(vals) == 90
