@@ -257,6 +257,70 @@ class DataFrameEngine:
             "rows": None,  # no driver-side count: counting 100 TB to report a number is waste
         }
 
+    # ---------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        source: DataFrame,
+        dataframe_name: str,
+        keys: list,
+        when_matched: str = "update",
+        external_key: str = "NOW",
+        keep_last: bool = False,
+    ) -> Dict[str, Any]:
+        """MERGE/upsert into a dataset — the CDC primitive the reference SDK
+        lacks entirely (SURVEY §2.5: "no delete/update of rows"): apply a
+        batch of changes keyed by ``keys`` to the latest version and commit
+        the result as a NEW version (history stays time-travelable; pass
+        ``keep_last=True`` for overwrite-in-place retention).
+
+        ``when_matched``:
+
+        * ``"update"`` — source rows replace matched rows; unmatched source
+          rows insert (classic upsert).
+        * ``"ignore"``  — matched rows keep their stored values; only
+          new-key source rows insert (idempotent backfill).
+        * ``"delete"``  — matched rows are removed; source carries keys
+          only (CDC tombstones).
+
+        Scale shape: copy-on-write — one anti/semi join on the key columns
+        (hashed, AQE-planned: the change batch is typically small and
+        broadcasts) plus a full rewrite of the new version. That is the
+        honest non-table-format contract; with Delta/Iceberg jars present
+        the same call maps onto a metadata-level MERGE INTO rewriting only
+        matched files (COVERAGE.md "Environment-forced omissions"). Keys
+        that include the dataset's partition column keep the join AND the
+        rewrite partition-pruned.
+        """
+        if when_matched not in ("update", "ignore", "delete"):
+            raise ValueError("when_matched must be 'update', 'ignore', or 'delete'")
+        if not keys:
+            raise ValueError("merge requires at least one key column")
+        current = self.load(dataframe_name, use_last=True)
+        for k in keys:
+            if k not in source.columns:
+                raise ValueError(f"merge key {k!r} not in source DataFrame")
+            if k not in current.columns:
+                raise ValueError(f"merge key {k!r} not in dataset {dataframe_name!r}")
+        if when_matched == "delete":
+            result = current.join(source.select(*keys), keys, "left_anti")
+        elif when_matched == "update":
+            result = current.join(source, keys, "left_anti").unionByName(
+                source, allowMissingColumns=True
+            )
+        else:  # ignore
+            result = current.unionByName(
+                source.join(current, keys, "left_anti"), allowMissingColumns=True
+            )
+        out = self.save(
+            result,
+            dataframe_name,
+            external_key=external_key,
+            keep_last=keep_last,
+        )
+        out["when_matched"] = when_matched
+        return out
+
     # ---------------------------------------------------------------- bucketed
 
     def save_bucketed(

@@ -519,3 +519,72 @@ def test_attach_checks_rides_the_write_job(engine, spark, tmp_path):
     got = results()
     assert got == {"v_positive": 1, "id_set": 0}
     assert engine.load("observed_ds").count() == 3
+
+
+# ---------------------------------------------------------------- merge
+
+def test_merge_update_upserts_and_keeps_history(engine, spark, sample):
+    meta0 = engine.save(sample, "m/upd")
+    changes = spark.createDataFrame(
+        [(1, "2024-01-09", 999, 9.9, "updated_1"), (99, "2024-01-09", 99, 0.9, "new_99")],
+        sample.schema,
+    )
+    meta1 = engine.merge(changes, "m/upd", keys=["id"])
+    assert meta1["when_matched"] == "update"
+    latest = engine.load("m/upd", use_last=True)
+    assert latest.count() == 21  # 20 originals, 1 replaced, 1 inserted
+    byid = {r.id: r for r in latest.collect()}
+    assert byid[1].name == "updated_1" and byid[1].acct == 999
+    assert byid[99].name == "new_99"
+    assert byid[2].name == "name_2"  # untouched rows survive
+    # history: the pre-merge version is still loadable (time travel)
+    old = engine.load("m/upd", external_key=meta0["version"])
+    assert old.count() == 20
+    assert {r.id: r.name for r in old.collect()}[1] == "name_1"
+
+
+def test_merge_ignore_only_inserts_new_keys(engine, spark, sample):
+    engine.save(sample, "m/ign")
+    changes = spark.createDataFrame(
+        [(1, "x", 0, 0.0, "should_not_win"), (50, "y", 1, 1.0, "new_50")],
+        sample.schema,
+    )
+    engine.merge(changes, "m/ign", keys=["id"], when_matched="ignore")
+    byid = {r.id: r for r in engine.load("m/ign", use_last=True).collect()}
+    assert len(byid) == 21
+    assert byid[1].name == "name_1"  # existing row wins
+    assert byid[50].name == "new_50"
+
+
+def test_merge_delete_removes_matched_keys(engine, spark, sample):
+    engine.save(sample, "m/del")
+    tombstones = spark.createDataFrame([(1,), (2,), (404,)], "id long")
+    engine.merge(tombstones, "m/del", keys=["id"], when_matched="delete")
+    latest = engine.load("m/del", use_last=True)
+    ids = {r.id for r in latest.collect()}
+    assert ids == set(range(3, 21))  # 1 and 2 gone; unknown key 404 is a no-op
+
+
+def test_merge_validation(engine, spark, sample):
+    engine.save(sample, "m/val")
+    with pytest.raises(ValueError, match="when_matched"):
+        engine.merge(sample, "m/val", keys=["id"], when_matched="replace")
+    with pytest.raises(ValueError, match="at least one key"):
+        engine.merge(sample, "m/val", keys=[])
+    with pytest.raises(ValueError, match="not in source"):
+        engine.merge(sample.drop("id"), "m/val", keys=["id"])
+    with pytest.raises(DatasetNotFound):
+        engine.merge(sample, "m/absent", keys=["id"])
+
+
+def test_merge_inherits_partition_layout(engine, spark, sample):
+    """Merging into a Date-partitioned dataset keeps the layout: the new
+    version is partitioned the same way and loads identically."""
+    engine.save(sample, "m/part", columns_keys={"dt": "Date"})
+    changes = spark.createDataFrame(
+        [(1, "2024-01-01", 7, 7.7, "upd")], sample.schema
+    )
+    engine.merge(changes, "m/part", keys=["id"])
+    latest = engine.load("m/part", use_last=True)
+    assert latest.count() == 20
+    assert {r.id: r.name for r in latest.collect()}[1] == "upd"
