@@ -132,3 +132,67 @@ def global_row_index(
         .withColumn(index_col, (F.col("__rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__rn", "__offset")
     )
+
+
+def zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Z-order (Morton-curve) layout for multi-dimensional data skipping —
+    the OPTIMIZE ZORDER BY pattern, as a pure DataFrame transform.
+
+    Parquet prunes row groups/files from column min/max statistics; a
+    layout sorted on one column gives tight stats for that column only.
+    Interleaving the bits of rank-bucketed columns clusters rows so EVERY
+    z-ordered column's min/max range per file is ~domain/√files (2-D) —
+    point/range predicates on any of the columns skip most files.
+
+    Mechanics (all codegen'd, no Python in the row path):
+
+    1. per column: 2^bits quantile boundaries via one approx-quantile
+       aggregate (a bounded sketch — the only data reaching the driver);
+    2. bucket = #boundaries ≤ value, via a broadcast boundary array and a
+       filter/size HOF (rank-based, so skewed distributions still spread
+       across buckets);
+    3. z-value = bitwise interleave of the bucket bits (shift/or —
+       ANSI-safe, no overflow);
+    4. ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` — each
+       output file covers one compact z-range.
+
+    Write the result with ``DataFrameEngine.save`` (order is preserved
+    within partitions) and filters on any clustered column prune at plan
+    time. The helper column is dropped; only layout changes.
+    """
+    if not cols:
+        raise ValueError("zorder requires at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits × columns must fit in a signed 64-bit z-value")
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    n_buckets = 1 << bits
+    # one pass: approx quantiles for every clustered column together
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        *[
+            F.percentile_approx(F.col(c).cast("double"), qs, 10_000).alias(c)
+            for c in cols
+        ]
+    ).first()
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        barr = F.array(*[F.lit(float(b)) for b in bounds[ci]])
+        bucket = F.size(
+            F.filter(barr, lambda b: b <= F.col(c).cast("double"))
+        ).cast("long")
+        # interleave: bit i of this column lands at z-bit (i*len(cols)+ci)
+        for i in range(bits):
+            bit = F.shiftrightunsigned(bucket, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + ci))
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

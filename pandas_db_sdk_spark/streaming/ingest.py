@@ -76,3 +76,52 @@ def stream_into_engine(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rollup_into_engine(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    dataframe_name: str,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+    version_prefix: str = "epoch_",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous aggregate: maintain a tumbling-window rollup of the stream
+    as a queryable dataset — the hypertable-rollup / materialized-view
+    pattern, built from stock Structured Streaming pieces.
+
+    Append output mode means a window row reaches the sink exactly once,
+    when the watermark passes its end and the window FINALIZES; each
+    micro-batch therefore carries only newly-final windows, and landing
+    them as epoch versions (replay-idempotent ``overwrite_version``) makes
+    ``engine.load(name)`` — the union of all versions — the continuous
+    aggregate, with no window ever duplicated or partially updated.
+
+    State is O(open windows × group keys) and the watermark evicts it;
+    the landed table grows by finalized windows only, so a 100 TB/day
+    stream maintains a rollup orders of magnitude smaller than the input.
+    Late rows inside the watermark update their (still-open) window before
+    it lands; rows later than the watermark are dropped by contract (C58).
+    """
+    from .windows import tumbling_counts
+
+    agg = tumbling_counts(stream, width=width, watermark=watermark)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine.save(
+            batch_df,
+            dataframe_name,
+            external_key=f"{version_prefix}{epoch_id}",
+            overwrite_version=True,
+        )
+
+    writer = agg.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -214,3 +214,43 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, events_bat
     expected = W.interval_join(bv, bc)
     assert expected.count() > 0
     assert _rows(streamed, ["view_id", "click_id"]) == _rows(expected, ["view_id", "click_id"])
+
+
+def test_rollup_into_engine_is_finalized_continuous_aggregate(
+    spark, events_dir, events_batch, tmp_path
+):
+    """The landed rollup must equal the batch tumbling aggregate restricted
+    to windows the final watermark finalized (append-mode contract): every
+    landed window is complete and correct, no window appears twice, and
+    still-open windows are absent — exactly the materialized-view guarantee."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import rollup_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    q = rollup_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "rollup/events_5m",
+        width="5 minutes",
+        watermark="10 minutes",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = eng.load("rollup/events_5m")
+    keys = ["window_start_us", "event_type", "n", "total"]
+    # no window/group lands twice
+    assert got.count() == got.select("window_start_us", "event_type").distinct().count()
+
+    import pyspark.sql.functions as F
+
+    wm_us = events_batch.agg(
+        F.unix_micros(F.max("ts")) - 10 * 60 * 1_000_000
+    ).first()[0]
+    width_us = 5 * 60 * 1_000_000
+    expected = W.tumbling_counts(events_batch).filter(
+        F.col("window_start_us") + width_us <= wm_us
+    )
+    assert _rows(got, keys) == _rows(expected, keys)
+    # and it lands a meaningful prefix of the stream's windows
+    assert got.count() > 0
