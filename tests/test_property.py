@@ -203,3 +203,46 @@ def test_shard_assign_total_and_deterministic(spark, ids):
         by_shard.setdefault(r.shard, []).append(r.shard_pos)
     for positions in by_shard.values():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(VALS, VALS), min_size=1, max_size=40
+    )
+)
+@SETTINGS
+def test_zorder_is_a_pure_permutation(spark, rows):
+    """zorder may only relayout: the multiset of rows out equals the
+    multiset in, for any value distribution (duplicates, negatives,
+    constants — where every quantile boundary collapses)."""
+    from pandas_db_sdk_spark import scale
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = scale.zorder(df, ["x", "y"], bits=4, n_partitions=4)
+    assert sorted(map(tuple, out.collect())) == sorted(rows)
+
+
+@given(
+    base=st.lists(st.tuples(VALS, VALS), min_size=0, max_size=15, unique_by=lambda t: t[0]),
+    change=st.lists(st.tuples(VALS, VALS), min_size=1, max_size=10, unique_by=lambda t: t[0]),
+)
+@SETTINGS
+def test_merge_update_is_idempotent_and_matches_dict_semantics(
+    spark, tmp_path_factory, base, change
+):
+    """merge(update) must behave exactly like dict.update on the key
+    column, and re-applying the same change batch must be a no-op on
+    CONTENT (a new version, same rows)."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path_factory.mktemp("mwh")))
+    eng.save(spark.createDataFrame(base, "k long, v long"), "p/m")
+    cdf = spark.createDataFrame(change, "k long, v long")
+    eng.merge(cdf, "p/m", keys=["k"])
+    expected = dict(base)
+    expected.update(dict(change))
+    got1 = {r.k: r.v for r in eng.load("p/m", use_last=True).collect()}
+    assert got1 == expected
+    eng.merge(cdf, "p/m", keys=["k"])  # idempotent re-apply
+    got2 = {r.k: r.v for r in eng.load("p/m", use_last=True).collect()}
+    assert got2 == expected
