@@ -137,7 +137,7 @@ def global_row_index(
 def zorder(
     df: DataFrame,
     cols: Sequence[str],
-    bits: int = 8,
+    bits: int = 6,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Z-order (Morton-curve) layout for multi-dimensional data skipping —
@@ -160,6 +160,12 @@ def zorder(
        ANSI-safe, no overflow);
     4. ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` — each
        output file covers one compact z-range.
+
+    ``bits`` trades bucket-search cost (the boundary array scan is
+    O(2^bits) per row per column) against cell granularity; the default
+    64 buckets/column (4096 cells in 2-D) out-resolves any practical
+    file count — skipping happens at file/row-group granularity, so
+    extra bits past ~4× the file count buy nothing.
 
     Write the result with ``DataFrameEngine.save`` (order is preserved
     within partitions) and filters on any clustered column prune at plan
