@@ -31,6 +31,7 @@ def prepare_corpus(
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 5,
     n_shards: int | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """documents → packed training sequences.
 
@@ -40,7 +41,11 @@ def prepare_corpus(
     with the eval set before dedup (broadcast gram-hash semi-join — the
     hygiene gate belongs before the expensive stages). Pass ``n_shards`` to
     append deterministic (shard, shard_pos) training-layout columns to the
-    output.
+    output. ``normalize=True`` keys the exact-dedup stage on the CANONICAL
+    form (lowercase, symbols stripped, whitespace collapsed —
+    ``text.normalize_text``) so case/punctuation variants of the same
+    content collapse to one copy; the kept document is the original text,
+    the normal form is only the dedup key.
     """
     scored = text.quality_score(documents, text_col).filter(
         F.col("quality_score") >= min_quality
@@ -51,7 +56,16 @@ def prepare_corpus(
         ).filter(~F.col("is_contaminated")).drop("is_contaminated")
     # exact first: removes the mass of literal copies for ~one hash shuffle,
     # so the (more expensive) MinHash stage sees only distinct text
-    exact = dedup.exact_dedup(scored, text_col, id_col)
+    if normalize:
+        keyed = scored.join(
+            text.normalize_text(scored, id_col, text_col).select(
+                id_col, "norm_hash"
+            ),
+            id_col,
+        )
+        exact = dedup.exact_dedup(keyed, "norm_hash", id_col).drop("norm_hash")
+    else:
+        exact = dedup.exact_dedup(scored, text_col, id_col)
     # exact dedup already removed literal-copy clusters, so any remaining
     # super-sized band bucket is boilerplate shingles — cap it (see
     # minhash_lsh_pairs docstring) instead of paying bucket² candidates

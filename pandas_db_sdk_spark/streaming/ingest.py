@@ -87,10 +87,17 @@ def rollup_into_engine(
     version_prefix: str = "epoch_",
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
+    transform=None,
 ):
     """Continuous aggregate: maintain a tumbling-window rollup of the stream
     as a queryable dataset — the hypertable-rollup / materialized-view
     pattern, built from stock Structured Streaming pieces.
+
+    ``transform`` overrides the default windowed aggregate: any callable
+    ``stream -> aggregated stream`` whose output is APPEND-mode compatible
+    (watermarked windowed/stateful aggregation) — e.g. a ``session_counts``
+    or custom multi-metric rollup; ``width``/``watermark`` are ignored when
+    it is given.
 
     Append output mode means a window row reaches the sink exactly once,
     when the watermark passes its end and the window FINALIZES; each
@@ -107,7 +114,10 @@ def rollup_into_engine(
     """
     from .windows import tumbling_counts
 
-    agg = tumbling_counts(stream, width=width, watermark=watermark)
+    if transform is not None:
+        agg = transform(stream)
+    else:
+        agg = tumbling_counts(stream, width=width, watermark=watermark)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -168,3 +168,32 @@ def test_prep_pipeline_with_decontamination_and_shards(spark):
     surviving = {r.doc_id for r in rows}
     assert not any(d % 100 == 0 for d in surviving)
     assert {r.shard for r in rows} <= set(range(4))
+
+
+def test_prepare_corpus_normalize_collapses_surface_variants(spark):
+    """normalize=True: case/punctuation variants of the same content must
+    dedup to ONE surviving document (min id), while genuinely different
+    texts survive. Quality gate disabled so short fixtures pass through."""
+    from pandas_db_sdk_spark import pipeline
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.upper() + "!!!"),       # same canonical form
+            (3, base.replace("  ", " ") + "."),  # same canonical form
+            (4, "a completely different document about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pipeline.prepare_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.99, token_budget=64,
+        normalize=True,
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 4]
+    plain = pipeline.prepare_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.99, token_budget=64
+    )
+    # without normalization the surface variants are distinct exact texts
+    assert sorted(r.doc_id for r in plain.collect()) == [1, 2, 3, 4]

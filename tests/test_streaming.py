@@ -254,3 +254,31 @@ def test_rollup_into_engine_is_finalized_continuous_aggregate(
     assert _rows(got, keys) == _rows(expected, keys)
     # and it lands a meaningful prefix of the stream's windows
     assert got.count() > 0
+
+
+def test_rollup_custom_transform_session_windows(spark, events_dir, events_batch, tmp_path):
+    """rollup_into_engine(transform=...) maintains ANY append-compatible
+    windowed aggregate — here per-user session windows. Landed sessions
+    must be a subset of the batch sessions (finalized prefix) with no
+    session landing twice."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import rollup_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    q = rollup_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "rollup/sessions",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=lambda s: W.session_counts(s, gap="30 minutes"),
+    )
+    q.awaitTermination()
+    got = eng.load("rollup/sessions")
+    keys = ["user_id", "session_start_us", "n_events"]
+    assert got.count() > 0
+    assert (
+        got.count()
+        == got.select("user_id", "session_start_us").distinct().count()
+    )
+    batch = set(_rows(W.session_counts(events_batch), keys))
+    assert set(_rows(got, keys)) <= batch
