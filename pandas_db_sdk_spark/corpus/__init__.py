@@ -95,7 +95,8 @@ _R03_NEW = frozenset(
     x20_waiting_suppliers x21_dormant_customers d23_gopher_quality
     d24_domain_mix_weights d25_length_percentile_filter
     d26_embedding_centroids d27_nearest_centroid d28_similarity_histogram
-    d29_contamination_score d30_text_normalize""".split()
+    d29_contamination_score d30_text_normalize c11b_replace_values
+    c15d_combine_first""".split()
 )
 
 

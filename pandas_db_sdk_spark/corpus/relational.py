@@ -761,3 +761,56 @@ def c14b(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
     )
+
+
+@q(
+    "c11b_replace_values",
+    """SELECT c_custkey,
+              CASE c_mktsegment
+                   WHEN 'BUILDING' THEN 'CONSTRUCTION'
+                   WHEN 'AUTOMOBILE' THEN 'AUTO'
+                   ELSE c_mktsegment END AS segment,
+              CASE WHEN c_nationkey = 0 THEN 99 ELSE c_nationkey END AS nation_recoded
+       FROM customer""",
+)
+def c11b(spark, sf_dir):
+    """C11 variant: value recoding (pandas ``replace`` with a mapping) —
+    ``df.replace`` compiles to the same CASE chain a hand-written
+    when/otherwise would, staying pure codegen."""
+    c = tables(spark, sf_dir)("customer")
+    return c.replace(
+        {"BUILDING": "CONSTRUCTION", "AUTOMOBILE": "AUTO"}, subset=["c_mktsegment"]
+    ).replace({0: 99}, subset=["c_nationkey"]).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_recoded"),
+    )
+
+
+@q(
+    "c15d_combine_first",
+    """WITH a AS (SELECT c_custkey,
+                        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+                        c_name
+                 FROM customer),
+       b AS (SELECT c_custkey, 0.0 - c_acctbal AS bal_b FROM customer WHERE c_acctbal < 500)
+       SELECT a.c_custkey, a.c_name,
+              COALESCE(a.bal, b.bal_b) AS bal
+       FROM a LEFT JOIN b ON a.c_custkey = b.c_custkey""",
+)
+def c15d(spark, sf_dir):
+    """C15 variant: pandas ``combine_first`` — patch one frame's nulls from
+    another keyed frame: full/left join + per-column COALESCE, the
+    idiomatic Spark spelling (one hash join, no row-wise Python)."""
+    c = tables(spark, sf_dir)("customer")
+    a = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        "c_name",
+    )
+    b = c.filter(F.col("c_acctbal") < 500).select(
+        "c_custkey", (F.lit(0.0) - F.col("c_acctbal")).alias("bal_b")
+    )
+    return a.join(b, "c_custkey", "left").select(
+        "c_custkey", "c_name", F.coalesce("bal", "bal_b").alias("bal")
+    )
