@@ -10,7 +10,7 @@ A from-scratch, Spark-first re-expression of the capabilities of the
   implemented as parquet + a JSON manifest catalog (:mod:`.engine`);
 * the presupposed pandas query surface (projection/filter/join/agg/window/
   set-ops/scalar functions), executed distributed via the Spark DataFrame
-  API (:mod:`.operators`, :mod:`.functions`);
+  API (:mod:`.corpus` — the oracle-checked query inventory);
 * streaming analogues over event tables (:mod:`.streaming`);
 * LLM-data-pipeline operators: dedup (exact, MinHash-LSH, SimHash, n-gram
   Jaccard), vector similarity search, text analysis, multimodal columns

@@ -459,3 +459,54 @@ def length_percentile_filter(
         .filter(F.col(len_col).between(F.col("__plo"), F.col("__phi")))
         .drop("__plo", "__phi")
     )
+
+
+def strip_markup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Boilerplate removal for scraped corpora: drop HTML/XML tags, decode
+    the common entities, strip script/style blocks wholesale, collapse the
+    leftover whitespace. Pure regexp codegen — zero shuffle, linear scan.
+
+    (The fixture corpus is plain text, so this op is pinned by
+    constructed-input tests rather than a corpus query.)"""
+    t = F.col(text_col)
+    # script/style blocks go first — their CONTENT is noise, not text
+    t = F.regexp_replace(t, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(F.col(id_col), t.alias("clean_text"))
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document line dedup — the repeated-boilerplate scrub (nav bars,
+    cookie banners, repeated headers) that runs BEFORE document-level dedup
+    in scraped-corpus pipelines: keep each line's FIRST occurrence, preserve
+    order, rejoin.
+
+    One aggregate HOF per row (seen-set accumulation, O(lines²) membership
+    checks per document — lines per doc is bounded and small); no shuffle,
+    no Python."""
+    lines = F.split(F.col(text_col), sep)
+    deduped = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.array_append(acc, x)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(deduped).alias("n_unique_lines"),
+        F.array_join(deduped, sep).alias("deduped_text"),
+    )

@@ -260,3 +260,25 @@ def test_length_percentile_filter_bounds(spark):
     vals = sorted(r.n for r in kept)
     # exact interpolated P5 of 1..100 = 5.95, P95 = 95.05 → keep 6..95
     assert vals[0] == 6 and vals[-1] == 95 and len(vals) == 90
+
+
+def test_strip_markup_removes_tags_scripts_entities(spark):
+    html = (
+        "<html><head><style>.x{color:red}</style>"
+        "<script>var a = '<div>';</script></head>"
+        "<body><h1>Title</h1><p>Hello &amp; welcome &lt;here&gt;!</p>"
+        "<!-- comment --><div class='x'>Bye&nbsp;now</div></body></html>"
+    )
+    row = text.strip_markup(
+        spark.createDataFrame([(1, html)], "doc_id long, text string")
+    ).first()
+    assert row.clean_text == "Title Hello & welcome <here>! Bye now"
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    doc = "nav bar\nreal content one\nnav bar\nreal content two\nfooter\nfooter"
+    row = text.dedup_lines_within_doc(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ).first()
+    assert row.n_lines == 6 and row.n_unique_lines == 4
+    assert row.deduped_text == "nav bar\nreal content one\nreal content two\nfooter"
