@@ -135,3 +135,58 @@ def rollup_into_engine(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def live_rollup_into_engine(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    dataframe_name: str,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+    transform=None,
+):
+    """Continuously-UPDATED rollup: the live-dashboard twin of
+    :func:`rollup_into_engine`. Update output mode emits a window's row
+    every time new events change it; each micro-batch MERGEs those changed
+    rows into the dataset keyed by the window/group columns
+    (``engine.merge(when_matched='update', keep_last=True)``), so
+    ``engine.load(name)`` always shows the CURRENT value of every window —
+    open windows included, revised in place as late events arrive.
+
+    Trade-off vs the append rollup: reads see provisional values (no
+    exactly-once-per-window guarantee), and each batch pays a copy-on-write
+    rewrite of the rollup table — fine when the rollup is orders of
+    magnitude smaller than the stream, which is what rollups are for. The
+    watermark still bounds streaming state and late-event admission.
+    """
+    from ..engine import DatasetNotFound
+    from .windows import tumbling_counts
+
+    if transform is not None:
+        agg = transform(stream)
+    else:
+        agg = tumbling_counts(stream, width=width, watermark=watermark)
+    group_cols = [c for c in agg.columns if c not in ("n", "total")] or agg.columns[:1]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            engine.merge(
+                batch_df,
+                dataframe_name,
+                keys=group_cols,
+                when_matched="update",
+                keep_last=True,
+            )
+        except DatasetNotFound:
+            engine.save(batch_df, dataframe_name, keep_last=True)
+
+    writer = agg.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -282,3 +282,24 @@ def test_rollup_custom_transform_session_windows(spark, events_dir, events_batch
     )
     batch = set(_rows(W.session_counts(events_batch), keys))
     assert set(_rows(got, keys)) <= batch
+
+
+def test_live_rollup_matches_full_batch_aggregate(spark, events_dir, events_batch, tmp_path):
+    """Update-mode rollup: after the stream drains, the merged table must
+    equal the batch aggregate over ALL windows — open ones included (the
+    live-dashboard guarantee, stronger coverage than append's finalized
+    subset; provisional values are the accepted trade)."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import live_rollup_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    q = live_rollup_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "live/events_5m",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = eng.load("live/events_5m", use_last=True)
+    keys = ["window_start_us", "event_type", "n", "total"]
+    assert _rows(got, keys) == _rows(W.tumbling_counts(events_batch), keys)
