@@ -816,3 +816,15 @@ def d30(spark, sf_dir):
     dedup.  Pure regexp codegen, zero shuffle."""
     d = tables(spark, sf_dir)("documents")
     return text.normalize_text(d, "doc_id", "text")
+
+
+@q("d31_semantic_dedup")  # rows-only: k-means cell layout is seed/algorithm-specific
+def d31(spark, sf_dir):
+    """D-ext: unsupervised semantic dedup — k-means soft blocking (2 nearest
+    cells) → within-block cosine pairs → connected components → min-id
+    canonicals. The label-free twin of d03e; invariants (exact dups always
+    collapse, distinct vectors survive) pinned in tests/test_similarity.py."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.98, n_clusters=16
+    ).select("vec_id", "label")

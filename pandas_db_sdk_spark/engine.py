@@ -466,6 +466,7 @@ class DataFrameEngine:
         self,
         dataframe_name: str,
         target_rows_per_file: int = 1_000_000,
+        zorder_by: Optional[list] = None,
     ) -> Dict[str, Any]:
         """Rewrite a dataset's many small files into few large ones —
         the maintenance op every streaming-ingested table needs (each
@@ -478,6 +479,13 @@ class DataFrameEngine:
         fresh directory, then atomically swaps the manifest path). The old
         directory is removed only after the manifest points at the new one,
         so a crash leaves a readable dataset at every step.
+
+        ``zorder_by=[cols…]`` additionally clusters rows WITHIN each
+        partition dir by Morton z-value (``scale.with_zvalue``) during the
+        same rewrite — successive output files and row groups take compact
+        ranges of every clustered column, so min/max skipping prunes
+        multi-dimensional predicates. The OPTIMIZE … ZORDER BY maintenance
+        pattern, for free inside the compaction pass.
         """
         ds = self._dataset_entry(dataframe_name)
         old_path = ds["path"]
@@ -486,12 +494,20 @@ class DataFrameEngine:
         # post-compaction appends keep one consistent partition ordering
         partition_cols = [VERSION_COL] + [f"__p_{c}" for c in ds["columns_keys"]]
         new_path = old_path.rstrip("/") + f".compact.{uuid.uuid4().hex[:8]}"
+        sort_cols = list(partition_cols)
+        if zorder_by:
+            from .scale import with_zvalue
+
+            df = with_zvalue(df, zorder_by, z_col="__zv")
+            sort_cols = partition_cols + ["__zv"]
         (
             # repartition on the partition columns: all rows of one partition
             # dir land in one task → one output file (maxRecordsPerFile still
             # splits genuinely large partitions). Without this, the write
             # inherits one task per small input file and compacts nothing.
             df.repartition(*[F.col(c) for c in partition_cols])
+            .sortWithinPartitions(*sort_cols)
+            .drop(*(["__zv"] if zorder_by else []))
             .write.mode("overwrite")
             .option("maxRecordsPerFile", target_rows_per_file)
             .partitionBy(*partition_cols)

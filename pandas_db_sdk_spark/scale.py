@@ -171,12 +171,27 @@ def zorder(
     within partitions) and filters on any clustered column prune at plan
     time. The helper column is dropped; only layout changes.
     """
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        with_zvalue(df, cols, bits=bits, z_col="__z")
+        .repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def with_zvalue(
+    df: DataFrame, cols: Sequence[str], bits: int = 6, z_col: str = "__z"
+) -> DataFrame:
+    """Append the Morton z-value column ``zorder`` clusters by, without the
+    relayout — for callers that fold z-clustering into their own shuffle
+    (``DataFrameEngine.compact(zorder_by=…)`` sorts by it WITHIN partition
+    dirs so row groups inside each file take compact z-ranges)."""
     if not cols:
         raise ValueError("zorder requires at least one column")
     if bits * len(cols) > 62:
         raise ValueError("bits × columns must fit in a signed 64-bit z-value")
-    if n_partitions is None:
-        n_partitions = df.sparkSession.sparkContext.defaultParallelism
     n_buckets = 1 << bits
     # one pass: approx quantiles for every clustered column together
     qs = [i / n_buckets for i in range(1, n_buckets)]
@@ -196,9 +211,4 @@ def zorder(
         for i in range(bits):
             bit = F.shiftrightunsigned(bucket, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + ci))
-    return (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_partitions, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-    )
+    return df.withColumn(z_col, z)

@@ -695,3 +695,55 @@ def similarity_histogram(
         .groupBy("bucket")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    n_assign: int = 2,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Unsupervised end-to-end semantic dedup: k-means blocks → within-block
+    cosine near-dup pairs → transitive clusters → keep the min-id canonical.
+    The fully self-contained version of ``dedup_corpus_by_embedding``, for
+    corpora with NO usable blocking column.
+
+    Each vector is assigned to its ``n_assign`` nearest cells (soft
+    blocking), so near-dup pairs straddling one cell boundary still meet in
+    their shared second-choice cell; pair cost stays Σ cell², never n².
+    Identical vectors always share all assignments and are always caught.
+    Only the (n_clusters × dim) centroid matrix touches the driver.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from .dedup import connected_components
+
+    centroids = _kmeans_centroids(df, vec_col, n_clusters, max_iter, seed)
+    n_probe = min(n_assign, len(centroids))
+
+    @pandas_udf("array<int>")
+    def cells_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d = (
+            (mat * mat).sum(1)[:, None]
+            - 2 * (mat @ centroids.T)
+            + (centroids * centroids).sum(1)[None, :]
+        )
+        order = np.argsort(d, 1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    blocked = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).withColumn("__cell", F.explode(cells_of(F.col("__v").cast("array<double>"))))
+    pairs = near_dup_pairs_by_cosine(blocked, id_col, "__v", "__cell", threshold)
+    # a pair meeting in both shared cells appears twice — connected
+    # components edge-distincts internally, so no pre-dedup shuffle needed
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -260,3 +260,31 @@ def test_similarity_histogram_counts_and_buckets(spark):
     assert sum(rows.values()) == 3  # C(3,2) within block 0, none cross-block
     assert rows[10] == 1  # the exact-duplicate pair
     assert rows[0] == 2   # the two orthogonal pairs
+
+
+def test_semantic_dedup_unsupervised(spark):
+    """Exact-duplicate vectors must always collapse to the min id (they
+    share every cell assignment); far-apart vectors all survive; output is
+    a subset of the input with no id duplicated."""
+    rows = []
+    # 3 well-separated base vectors, each duplicated 3x under different ids
+    for b, base in enumerate([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]):
+        for j in range(3):
+            rows.append((b * 10 + j, base))
+    # plus unique vectors at pairwise cosine well below the threshold
+    # (consecutive [1, t, 0] directions differ by >1.5 degrees for these t)
+    for i, t in enumerate([0.2, 0.5, 0.9, 1.5, 3.0]):
+        rows.append((40 + i, [1.0, t, 0.1 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.999, n_clusters=4
+    )
+    ids = sorted(r.vec_id for r in out.collect())
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= {r[0] for r in rows}
+    # each duplicate trio collapsed to its min id
+    for b in range(3):
+        trio = {b * 10, b * 10 + 1, b * 10 + 2}
+        assert trio & set(ids) == {b * 10}
+    # genuinely distinct vectors all survive
+    assert set(range(40, 45)) <= set(ids)

@@ -588,3 +588,41 @@ def test_merge_inherits_partition_layout(engine, spark, sample):
     latest = engine.load("m/part", use_last=True)
     assert latest.count() == 20
     assert {r.id: r.name for r in latest.collect()}[1] == "upd"
+
+
+def test_compact_zorder_by_tightens_row_group_stats(engine, spark):
+    """compact(zorder_by=[x,y]): after compaction, successive output files /
+    row groups must cover compact ranges of BOTH clustered columns (footer
+    min/max), vs the unclustered compaction whose files span the domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(8_000).select(
+        (F.col("id") % 89).alias("x"),
+        F.floor(F.col("id") / 89).alias("y"),
+        F.col("id").alias("payload"),
+    ).repartition(16)
+    engine.save(df, "zc/t")
+    engine.compact("zc/t", target_rows_per_file=1_000, zorder_by=["x", "y"])
+    # data intact after the clustered rewrite
+    got = engine.load("zc/t")
+    assert got.count() == 8_000
+    assert got.agg(F.sum("payload")).first()[0] == sum(range(8_000))
+
+    path = engine._dataset_entry("zc/t")["path"]
+    spans = {"x": [], "y": []}
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            st = {}
+            for c in range(md.num_columns):
+                col = md.row_group(rg).column(c)
+                if col.path_in_schema in spans:
+                    st[col.path_in_schema] = (col.statistics.min, col.statistics.max)
+            for k, (lo, hi) in st.items():
+                spans[k].append(hi - lo)
+    assert len(spans["x"]) >= 8  # target_rows_per_file split into many files
+    # average span well under the full domain on BOTH dimensions
+    assert sum(spans["x"]) / len(spans["x"]) < 60, spans["x"]
+    assert sum(spans["y"]) / len(spans["y"]) < 60, spans["y"]
