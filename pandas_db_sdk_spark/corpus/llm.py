@@ -828,3 +828,19 @@ def d31(spark, sf_dir):
     return similarity.semantic_dedup(
         e, "vec_id", "embedding", threshold=0.98, n_clusters=16
     ).select("vec_id", "label")
+
+
+@q("d03g_ann_ivf_pq")  # rows-only: cell/codebook layout is seed-specific
+def d03g(spark, sf_dir):
+    """D3 scale path #4: IVF-PQ — coarse cells restrict candidates, PQ
+    codes score them (the billion-vector production ANN layout). Probe
+    cutoff is the only approximation over plain PQ (parity pinned in
+    tests/test_similarity.py)."""
+    e = tables(spark, sf_dir)("embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    cent, books, index = similarity.ivf_pq_index(
+        e, "vec_id", "embedding", n_centroids=16, m_subspaces=8, n_codes=16
+    )
+    return similarity.ivf_pq_topk(
+        queries, cent, books, index, "vec_id", k=5, n_probes=4
+    )

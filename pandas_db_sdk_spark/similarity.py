@@ -747,3 +747,126 @@ def semantic_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+):
+    """D3 scale path #4 (build): the IVF-PQ inverted file — the layout
+    production ANN systems converge on at billion-vector scale. One
+    ingest-time pass builds (a) coarse k-means cells for candidate
+    restriction and (b) PQ codes for in-cell scoring, so query time touches
+    only the probed cells' m-byte code rows.
+
+    Returns ``(centroids, codebooks, index_df)`` with ``index_df`` =
+    (neighbor_id, cid, codes) — at scale, write it partitioned by ``cid``
+    (that IS the inverted file; partition pruning then serves the probe).
+    Driver holds centroids + codebooks only — algorithm constants.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    centroids = _kmeans_centroids(corpus, vec_col, n_centroids, max_iter, seed)
+    books = pq_train(corpus, vec_col, m_subspaces, n_codes, max_iter, seed)
+
+    @pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d = (
+            (mat * mat).sum(1)[:, None]
+            - 2 * (mat @ centroids.T)
+            + (centroids * centroids).sum(1)[None, :]
+        )
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    codes = pq_encode(corpus, books, corpus_id, vec_col)
+    cells = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        cell_of(F.col(vec_col).cast("array<double>")).alias("cid"),
+    )
+    index_df = codes.join(cells, "neighbor_id")
+    return centroids, books, index_df
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    index_df: DataFrame,
+    query_id: str,
+    k: int = 5,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D3 scale path #4 (query): probe the ``n_probes`` nearest cells per
+    query, ADC-score ONLY those cells' PQ codes, top-k per query.
+
+    Probing is an equi-join on cid (partition-pruned against a
+    cid-partitioned index at scale); scoring reuses :func:`pq_topk`'s
+    broadcast-LUT equi-join shape restricted to the probed candidates.
+    With ``n_probes == n_centroids`` the candidate set is the whole corpus
+    and the result equals plain ``pq_topk`` exactly (pinned in tests) —
+    the probe cutoff is the ONLY approximation this tier adds over PQ.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cent = np.asarray(centroids)
+    n_probes = min(n_probes, len(cent))
+    books = [np.asarray(b) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def probes_of(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        d = (
+            (mat * mat).sum(1)[:, None]
+            - 2 * (mat @ cent.T)
+            + (cent * cent).sum(1)[None, :]
+        )
+        order = np.argsort(d, 1)[:, :n_probes].astype("int32")
+        return pd.Series(list(order))
+
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    probed = qv.select(
+        "query_id", F.explode(probes_of("__qv")).alias("cid")
+    )
+    # candidate codes: only rows of probed (query, cell) pairs survive
+    cand = index_df.join(probed, "cid").select("query_id", "neighbor_id", "codes")
+
+    # per-query LUT exactly as pq_topk's collected tier (queries are the
+    # interactive small side by contract; see pq_topk for the large-Q path)
+    qrows = queries.select(query_id, vec_col).collect()
+    lut_rows = []
+    for r in qrows:
+        x = np.asarray(r[1], dtype=np.float64)
+        for s, cb in enumerate(books):
+            d = ((cb - x[s * sub : (s + 1) * sub][None, :]) ** 2).sum(1)
+            for c, pd_ in enumerate(d):
+                lut_rows.append((r[0], s, c, float(pd_)))
+    spark = queries.sparkSession
+    lut = F.broadcast(
+        spark.createDataFrame(lut_rows, "query_id long, s int, code int, pd double")
+    )
+    exploded = cand.select(
+        "query_id", "neighbor_id", F.posexplode("codes").alias("s", "code")
+    )
+    dists = (
+        exploded.join(lut, ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("approx_sqdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_sqdist", "neighbor_id")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

@@ -288,3 +288,48 @@ def test_semantic_dedup_unsupervised(spark):
         assert trio & set(ids) == {b * 10}
     # genuinely distinct vectors all survive
     assert set(range(40, 45)) <= set(ids)
+
+
+def test_ivf_pq_exhaustive_probe_equals_plain_pq(spark, emb):
+    """Probing every cell makes the candidate set the whole corpus, so
+    IVF-PQ must return EXACTLY plain PQ's rows — the probe cutoff is the
+    only approximation this tier adds."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent, books, index = similarity.ivf_pq_index(
+        emb, "vec_id", "embedding", n_centroids=8, m_subspaces=8, n_codes=16
+    )
+    full = similarity.ivf_pq_topk(
+        queries, cent, books, index, "vec_id", k=5, n_probes=8
+    )
+    codes = index.select("neighbor_id", "codes")
+    plain = similarity.pq_topk(queries, codes, books, "vec_id", k=5)
+
+    # the two paths sum the same 8 per-subspace distances in different
+    # partial-agg orders, so distances agree to ~1 ulp but near-ties can
+    # swap membership at the top-k boundary: compare per-query sorted
+    # distance profiles (6 dp) — identical candidate scoring — and require
+    # self-retrieval at rank 1 in both
+    def profile(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, []).append(round(r.approx_sqdist, 6))
+        return {q: sorted(v) for q, v in out.items()}
+
+    assert profile(full) == profile(plain)
+    for df in (full, plain):
+        top1 = {r.query_id: r.neighbor_id for r in df.collect() if r.rn == 1}
+        assert top1 == {i: i for i in range(8)}
+
+
+def test_ivf_pq_probed_self_retrieval(spark, emb):
+    """Even at 2 probes the query's own cell is always probed first, and
+    its own codes give approx distance 0 → self is rank 1."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent, books, index = similarity.ivf_pq_index(
+        emb, "vec_id", "embedding", n_centroids=16, m_subspaces=8, n_codes=16
+    )
+    out = similarity.ivf_pq_topk(
+        queries, cent, books, index, "vec_id", k=5, n_probes=2
+    )
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rn == 1}
+    assert top1 == {i: i for i in range(8)}
