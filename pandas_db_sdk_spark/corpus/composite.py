@@ -1012,3 +1012,114 @@ def x21(spark, sf_dir):
         )
         .orderBy("code")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-analytics composites over the events table — the funnel/retention
+# queries the reference's time-series users (README.md:92-101) actually run.
+
+
+@q(
+    "x22_conversion_funnel",
+    """WITH first_signup AS (
+         SELECT user_id, min(ts) AS signup_ts
+         FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       first_purchase AS (
+         SELECT f.user_id, min(e.ts) AS purchase_ts
+         FROM first_signup f
+         JOIN events e ON e.user_id = f.user_id
+              AND e.event_type = 'purchase' AND e.ts > f.signup_ts
+         GROUP BY f.user_id)
+       SELECT f.user_id,
+              epoch_us(f.signup_ts) AS signup_us,
+              CAST(p.user_id IS NOT NULL AS INT) AS converted,
+              CAST(CASE WHEN p.user_id IS NOT NULL
+                   THEN (epoch_us(p.purchase_ts) - epoch_us(f.signup_ts)) // 60000000
+                   END AS BIGINT) AS minutes_to_convert
+       FROM first_signup f LEFT JOIN first_purchase p ON f.user_id = p.user_id
+       ORDER BY f.user_id""",
+)
+def x22(spark, sf_dir):
+    """Conversion funnel: first signup → first subsequent purchase per
+    user.  Two aggregates over one events re-key (both stages group by
+    user_id, so AQE reuses the partitioning); the conditional-min pattern
+    avoids any self-join of the raw fact."""
+    t = tables(spark, sf_dir)
+    e = t("events")
+    first_signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        first_signup.join(
+            first_purchase.withColumnRenamed("user_id", "__pu"),
+            F.col("user_id") == F.col("__pu"),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.unix_micros("signup_ts").alias("signup_us"),
+            F.col("__pu").isNotNull().cast("int").alias("converted"),
+            F.floor(
+                (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts"))
+                / F.lit(60_000_000)
+            ).cast("long").alias("minutes_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "x23_cohort_retention",
+    """WITH cohort AS (
+         SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+         FROM events GROUP BY user_id),
+       activity AS (
+         SELECT DISTINCT e.user_id, c.cohort_day,
+                datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+         FROM events e JOIN cohort c ON e.user_id = c.user_id)
+       SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+              day_offset,
+              count(*) AS active_users
+       FROM activity
+       GROUP BY cohort_day, day_offset
+       ORDER BY cohort_day, day_offset""",
+)
+def x23(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted on each
+    subsequent active day.  cohort assignment and the distinct-activity
+    re-key both group on user_id; the final (cohort, offset) aggregate is
+    tiny (days²).  The broadcast of the per-user cohort table is
+    AQE-decided (user dimension scales with the corpus)."""
+    t = tables(spark, sf_dir)
+    e = t("events")
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "active_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
