@@ -257,6 +257,35 @@ class DataFrameEngine:
             "rows": None,  # no driver-side count: counting 100 TB to report a number is waste
         }
 
+    # ---------------------------------------------------------------- sql
+
+    def sql(
+        self,
+        query: str,
+        datasets: Optional[Dict[str, str]] = None,
+        use_last: bool = False,
+    ) -> DataFrame:
+        """Run Spark SQL over named datasets — the declarative face of the
+        engine: the reference's model ships rows to client-side pandas for
+        ALL querying; here the query text executes next to the data with
+        full Catalyst planning (pushdown, pruning, AQE).
+
+        ``datasets`` maps view name → dataset name (``{"li": "tpch/li"}``);
+        ``None`` registers EVERY catalog dataset under its name with ``/``
+        → ``_`` (``tpch/li`` → table ``tpch_li``). Views are temp (session-
+        scoped, lazily planned — registration reads no data) and re-created
+        per call, so each call sees the current catalog state.
+        ``use_last=True`` pins every view to its dataset's latest version;
+        the default exposes all versions (time travel via a WHERE on the
+        version column after ``load``'s own semantics).
+        """
+        if datasets is None:
+            names = self._read_manifest()["datasets"].keys()
+            datasets = {n.replace("/", "_"): n for n in names}
+        for view, ds_name in datasets.items():
+            self.load(ds_name, use_last=use_last).createOrReplaceTempView(view)
+        return self.spark.sql(query)
+
     # ---------------------------------------------------------------- merge
 
     def merge(

@@ -626,3 +626,33 @@ def test_compact_zorder_by_tightens_row_group_stats(engine, spark):
     # average span well under the full domain on BOTH dimensions
     assert sum(spans["x"]) / len(spans["x"]) < 60, spans["x"]
     assert sum(spans["y"]) / len(spans["y"]) < 60, spans["y"]
+
+
+# ---------------------------------------------------------------- sql
+
+def test_sql_over_named_datasets(engine, spark, sample):
+    engine.save(sample, "sqlns/orders")
+    engine.save(sample.select("id", "name"), "sqlns/names")
+    out = engine.sql(
+        """SELECT o.id, o.amt, n.name
+           FROM orders o JOIN names n ON o.id = n.id
+           WHERE o.amt > 10 ORDER BY o.id""",
+        datasets={"orders": "sqlns/orders", "names": "sqlns/names"},
+    )
+    rows = out.collect()
+    assert all(r.amt > 10 for r in rows)
+    assert rows[0].name == f"name_{rows[0].id}"
+
+
+def test_sql_default_registers_all_with_sanitized_names(engine, sample):
+    engine.save(sample, "a/b")
+    got = engine.sql("SELECT count(*) AS n FROM a_b").first()
+    assert got.n == 20
+
+
+def test_sql_use_last_pins_latest_version(engine, spark, sample):
+    engine.save(sample, "v/t", external_key="v1")
+    engine.save(sample.limit(5), "v/t", external_key="v2")
+    all_rows = engine.sql("SELECT count(*) AS n FROM v_t").first().n
+    latest = engine.sql("SELECT count(*) AS n FROM v_t", use_last=True).first().n
+    assert all_rows == 25 and latest == 5
