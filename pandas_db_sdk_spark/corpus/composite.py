@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import dsum, registry, tables
+from ._util import registry, tables
 
 QUERIES, ORACLE, q = registry()
 
