@@ -97,7 +97,7 @@ _R03_NEW = frozenset(
     d26_embedding_centroids d27_nearest_centroid d28_similarity_histogram
     d29_contamination_score d30_text_normalize c11b_replace_values
     c15d_combine_first d31_semantic_dedup d03g_ann_ivf_pq
-    x22_conversion_funnel x23_cohort_retention""".split()
+    x22_conversion_funnel x23_cohort_retention x24_market_basket""".split()
 )
 
 

@@ -1123,3 +1123,37 @@ def x23(spark, sf_dir):
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@q(
+    "x24_market_basket",
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              count(*) AS n_orders
+       FROM items a JOIN items b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY a.l_partkey, b.l_partkey
+       HAVING count(*) >= 2
+       ORDER BY n_orders DESC, part_a, part_b
+       LIMIT 30""",
+)
+def x24(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same order
+    at least twice, top-30.  The self-join is keyed on the order — pair
+    volume is Σ order-size² (orders hold ~4-7 items), never corpus²; the
+    distinct pass first collapses duplicate (order, part) lines so a part
+    repeated within one order can't inflate its own pair count."""
+    t = tables(spark, sf_dir)
+    items = t("lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (F.col("l_orderkey") == F.col("__ok")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(30)
+    )
