@@ -80,13 +80,32 @@ _R02_VERIFIED = frozenset(
     c55_tumbling_window c56_sliding_window c57_session_window""".split()
 )
 
-# Checked in r02 as rows-only, but upgraded to real oracles in round 3 —
-# keep them inside the driver window so the upgrade gets certified.
-_RECHECK = frozenset({"d03e_dedup_by_embedding", "d15_stratified_sample"})
+# Names driver-checked in CORRECTNESS_r03.json (round-3 window: the 49
+# long-unchecked scalar/set/event-time families + the d15 oracle upgrade).
+# d03e_dedup_by_embedding was queued for that window but the ~50-row cap
+# cut it — it stays in the round-4 backlog below.
+_R03_VERIFIED = frozenset(
+    """c02d_ref_chunk_source c16b_nullsafe_join c69_data_checks
+    c14b_bucketed_join c28c_mode c28d_freq_items c28e_describe
+    c29c_winsorize c28f_histogram c38_rolling c39_range_window
+    c40_topk_per_group c35b_value_windows c37b_cummax_pct_change
+    c41_sort c42_limit c43_topk c44_sample c45_union_all
+    c46_union_distinct c47_intersect c47b_except c47c_except_all
+    c47d_intersect_all c45b_union_missing_columns c42b_offset_pagination
+    c41b_global_row_index c48_string_fns c49_date_fns c50_math_fns
+    c51_array_fns c52_map_struct c53_json c54_hash c48b_regex_parts
+    c48c_fuzzy_strings c49b_date_series c50b_bitwise c51b_array_setops
+    c52b_map_ops c50c_bucketize c53b_variant c58_late_data_window
+    c59_dedup_by_key c60_stateful_running_max c66_resample c67_ffill
+    c58b_interval_join c68_interpolate d15_stratified_sample""".split()
+)
 
-# Queries ADDED in round 3 (never had a driver row).  They sort AFTER the
-# r1/r2 backlog + rechecks so the round-3 window still certifies the 49
-# long-unchecked queries first; these take the round-4 window.
+# The round-4 backlog: queries with NO driver row yet.  d03e was oracle-
+# upgraded in r3 but missed the window; _R03_NEW never had a row.  These
+# sort FIRST so the round-4 window certifies all of them (VERDICT round-3
+# item #1 — done = 177/177 driver-certified).
+_RECHECK = frozenset({"d03e_dedup_by_embedding"})
+
 _R03_NEW = frozenset(
     """x09_min_cost_supplier x10_order_priority_check x11_forecast_revenue
     x12_nation_volume x13_market_share x14_product_profit
@@ -98,6 +117,15 @@ _R03_NEW = frozenset(
     d29_contamination_score d30_text_normalize c11b_replace_values
     c15d_combine_first d31_semantic_dedup d03g_ann_ivf_pq
     x22_conversion_funnel x23_cohort_retention x24_market_basket""".split()
+)
+
+# Queries ADDED in round 4 (never had a driver row).  They sort AFTER the
+# 29-query backlog above: the window (~50 rows) certifies the backlog
+# first, then as many of these as fit; leftovers take the round-5 window.
+# Any NEW query added this round MUST be listed here (VERDICT round-3
+# item #1: never ahead of the backlog).
+_R04_NEW = frozenset(
+    """d17b_packing_invariants""".split()
 )
 
 
@@ -114,23 +142,27 @@ def _merged(attr):
 
 def all_queries():
     """Declaration order = driver-certification priority (the driver's
-    per-round correctness file caps at ~50 rows). Round-3 rotation
-    (VERDICT round-2 item #1): the 49 queries with no driver row in either
-    round come FIRST, then the two oracle-upgraded re-checks, then the two
-    already-certified windows ride the tail. Within each group, original
-    module order is preserved (stable sort)."""
+    per-round correctness file caps at ~50 rows). Round-4 rotation
+    (VERDICT round-3 item #1): the 29-query backlog with no driver row
+    (d03e + the round-3 additions) comes FIRST, then this round's new
+    queries, then the three already-certified windows ride the tail.
+    Within each group, original module order is preserved (stable sort).
+    A name in no set is treated as new (sorts with _R04_NEW), so a
+    forgotten registration can never starve the backlog."""
     out = _merged("QUERIES")
 
     def key(name):
         if name in _RECHECK:
-            return 1
+            return 0
         if name in _R03_NEW:
-            return 2
-        if name in _R02_VERIFIED:
+            return 1
+        if name in _R03_VERIFIED:
             return 3
-        if name in _R01_VERIFIED:
+        if name in _R02_VERIFIED:
             return 4
-        return 0
+        if name in _R01_VERIFIED:
+            return 5
+        return 2  # _R04_NEW and anything not yet registered
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
