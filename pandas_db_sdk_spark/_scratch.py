@@ -41,7 +41,11 @@ def scratch_persist(
     h = df._jdf.queryExecution().analyzed().semanticHash()
     old = _POOL.get(key)
     if old is not None:
-        if old[0] == h:
+        # semanticHash is 32-bit — a collision would hand back a cached
+        # frame for DIFFERENT input (silently wrong results, not a perf
+        # hiccup). The hash is the cheap first gate; sameSemantics (a full
+        # canonicalized-plan compare, driver-side only) confirms.
+        if old[0] == h and df.sameSemantics(old[1]):
             # same plan → the CacheManager would resolve to the same
             # relation anyway; hand back the live cached handle
             return old[1]

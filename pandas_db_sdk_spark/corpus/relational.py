@@ -636,29 +636,33 @@ def c02d(spark, sf_dir):
     """C2 variant: the reference's chunk-tree layout
     (<name>/<col>/<value>/chunk_<uuid>.csv.gz, reference README.md:189-218)
     read back through the `pandas_db_ref` Spark 4 Python DataSource — one
-    task per chunk, partition column from the dir name. The tree is built
-    from the customer table so the aggregate is oracle-checkable."""
-    import gzip
-    import shutil as _sh
-    import uuid as _uuid
+    task per chunk, partition column from the dir name.
 
-    from .. import refsource
+    The tree is built by the SCALE-SAFE path (VERDICT r3 item #5): customer
+    lands in the engine as an ID-range-bucketed dataset, and
+    ``migrate.export_reference_layout`` writes the chunk tree in one
+    distributed Spark job (gzip CSV, ≤100K-row chunks, uuid names) — no
+    ``.toPandas()`` driver loop anywhere; the driver only renames files.
+    The repartition(4) makes each bucket dir hold multiple chunks, so the
+    read-back exercises multi-chunk partitions."""
+    import shutil as _sh
+
+    from .. import migrate, refsource
+    from ..engine import DataFrameEngine
 
     t = tables(spark, sf_dir)
     root = os.path.join(artifacts_dir(), "ref_chunk_tree")
+    wh = os.path.join(artifacts_dir(), "ref_chunk_wh")
     _sh.rmtree(root, ignore_errors=True)
-    pdf = t("customer").select("c_custkey", "c_mktsegment", "c_acctbal").toPandas()
-    for seg, g in pdf.groupby("c_mktsegment"):
-        vdir = os.path.join(root, "c_mktsegment", str(seg))
-        os.makedirs(vdir, exist_ok=True)
-        # two chunks per value dir: exercises multi-chunk partitions
-        half = len(g) // 2 or 1
-        for part in (g.iloc[:half], g.iloc[half:]):
-            if part.empty:
-                continue
-            p = os.path.join(vdir, f"chunk_{_uuid.uuid4().hex}.csv.gz")
-            with gzip.open(p, "wt") as f:
-                part.to_csv(f, index=False)
+    _sh.rmtree(wh, ignore_errors=True)
+    eng = DataFrameEngine(spark, wh)
+    cust = (
+        t("customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartition(4)
+    )
+    eng.save(cust, "ref_export/customer", columns_keys={"c_custkey": "ID"})
+    migrate.export_reference_layout(eng, "ref_export/customer", root, use_last=True)
 
     refsource.register(spark)
     back = spark.read.format("pandas_db_ref").option("path", root).load()

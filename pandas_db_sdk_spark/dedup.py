@@ -168,7 +168,10 @@ def minhash_lsh_pairs(
     # actually needed: re-keying an already-parallel input is a wasted
     # corpus shuffle.
     par = df.sparkSession.sparkContext.defaultParallelism
-    spread = df if df.rdd.getNumPartitions() >= par else df.repartition(par, id_col)
+    # JVM-side partition count: metadata only (no job, no Python RDD
+    # wrapper + serializer chain that df.rdd would build on this hot path)
+    n_parts = df._jdf.rdd().getNumPartitions()
+    spread = df if n_parts >= par else df.repartition(par, id_col)
     # The signature aggregate feeds three plan branches (band-join left and
     # right, estimate join); Spark does not reliably reuse the exchange
     # across self-join re-aliasing, so materialize it once. MEMORY_AND_DISK:

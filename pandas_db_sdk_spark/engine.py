@@ -175,7 +175,19 @@ class DataFrameEngine:
             if col not in df.columns:
                 raise ValueError(f"partition column {col!r} not in DataFrame")
 
-        version = str(self._clock()) if external_key == "NOW" else external_key
+        if external_key == "NOW":
+            # The millisecond clock can tick the same value twice (two
+            # merge() calls in one ms): reusing a version label would make
+            # the second save APPEND into the first's version dir —
+            # keep_last never prunes the live version, so the duplication
+            # would persist. Bump until the label is fresh.
+            tick = self._clock()
+            taken = {str(v) for v in existing["versions"]} if existing else set()
+            while str(tick) in taken:
+                tick += 1
+            version = str(tick)
+        else:
+            version = external_key
 
         out = df
         partition_cols = []
@@ -281,7 +293,19 @@ class DataFrameEngine:
         """
         if datasets is None:
             names = self._read_manifest()["datasets"].keys()
-            datasets = {n.replace("/", "_"): n for n in names}
+            datasets = {}
+            for n in names:
+                view = n.replace("/", "_")
+                if view in datasets:
+                    # 'a/b' and 'a_b' sanitize to the same view name;
+                    # silently keeping whichever registered last would let
+                    # a query read the WRONG dataset.
+                    raise ValueError(
+                        f"datasets {datasets[view]!r} and {n!r} both map to "
+                        f"view name {view!r}; pass an explicit datasets= "
+                        f"mapping to disambiguate"
+                    )
+                datasets[view] = n
         for view, ds_name in datasets.items():
             self.load(ds_name, use_last=use_last).createOrReplaceTempView(view)
         return self.spark.sql(query)

@@ -476,6 +476,83 @@ def pq_encode(
     return corpus.select(F.col(corpus_id).alias("neighbor_id"), encode(v).alias("codes"))
 
 
+def _pq_lut(
+    queries: DataFrame,
+    books,
+    query_id: str,
+    vec_col: str,
+    collect_lut: bool | None,
+    max_collect_queries: int,
+) -> DataFrame:
+    """Per-query ADC lookup table (query_id, s, code, pd) — the scoring
+    input shared by :func:`pq_topk` and :func:`ivf_pq_topk`.
+
+    Two tiers (``collect_lut``; ``None`` picks by counting queries against
+    ``max_collect_queries``):
+
+    * collected — the query vectors land on the driver, numpy builds the
+      LUT, and it broadcasts into the code join. Right for interactive
+      Q (the LUT is Q × m × n_codes doubles).
+    * distributed — the m × n_codes codebook (an algorithm constant that
+      already lives on the driver) becomes a literal table, broadcast-
+      crossJoined against the query DataFrame; per-cell partial distances
+      are zip_with/aggregate HOFs over the sliced query vector. The query
+      set never leaves the cluster, and the resulting LUT carries no
+      broadcast hint — AQE picks the join strategy from its actual size.
+
+    The two tiers accumulate the sub-dimension squared differences in
+    different orders (numpy ``.sum`` is pairwise, the HOF fold is strictly
+    left-to-right), so per-cell partial distances can differ by an ulp —
+    at near-ties that can flip top-k membership or rank. Parity tests
+    therefore compare distance profiles with rounding, not exact rows
+    (tests/test_similarity.py::test_pq_topk_distributed_lut_parity).
+    """
+    m = len(books)
+    sub = books[0].shape[1]
+    spark = queries.sparkSession
+
+    if collect_lut is None:
+        collect_lut = queries.count() <= max_collect_queries
+
+    if collect_lut:
+        qrows = queries.select(query_id, vec_col).collect()
+        lut_rows = []
+        for r in qrows:
+            qv = np.asarray(r[1], dtype=np.float64)
+            for s, cb in enumerate(books):
+                x = qv[s * sub : (s + 1) * sub]
+                d = ((cb - x[None, :]) ** 2).sum(1)
+                for c, pd_ in enumerate(d):
+                    lut_rows.append((r[0], s, c, float(pd_)))
+        return F.broadcast(
+            spark.createDataFrame(lut_rows, "query_id long, s int, code int, pd double")
+        )
+
+    cb_rows = [
+        (s, c, [float(x) for x in books[s][c]])
+        for s in range(m)
+        for c in range(books[s].shape[0])
+    ]
+    cb_tbl = spark.createDataFrame(cb_rows, "s int, code int, cvec array<double>")
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # slice the query vector to the cell's subspace, then Σ (a-b)² as
+    # codegen'd HOFs (left-to-right fold in double)
+    diff2 = F.zip_with(
+        F.slice("__qv", F.col("s") * sub + 1, F.lit(sub)),
+        "cvec",
+        lambda a, b: (a - b) * (a - b),
+    )
+    return qv.crossJoin(F.broadcast(cb_tbl)).select(
+        "query_id",
+        "s",
+        "code",
+        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x).alias("pd"),
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     corpus_codes: DataFrame,
@@ -496,69 +573,16 @@ def pq_topk(
     move at query time, no Python in the scoring path; the scan side is
     the m-byte code table, 32× narrower than the embeddings.
 
-    Two LUT tiers (``collect_lut``; ``None`` picks by counting queries
-    against ``max_collect_queries``):
-
-    * collected — the query vectors land on the driver, numpy builds the
-      LUT, and it broadcasts into the code join. Right for interactive
-      Q (the LUT is Q × m × n_codes doubles).
-    * distributed — the m × n_codes codebook (an algorithm constant that
-      already lives on the driver) becomes a literal table, broadcast-
-      crossJoined against the query DataFrame; per-cell partial distances
-      are zip_with/aggregate HOFs over the sliced query vector. The query
-      set never leaves the cluster, and the LUT↔codes join carries no
-      broadcast hint — AQE picks the strategy from the LUT's actual size.
-      This removes the last data-dependent driver collect in the ANN
-      stack; both tiers produce identical rows (pinned by
-      tests/test_similarity.py::test_pq_topk_distributed_lut_parity).
+    Two LUT tiers — collected (driver numpy, broadcast) for interactive Q,
+    distributed (codebook literal table × query DataFrame, HOF partial
+    distances, query vectors never leave the cluster) for corpus-scale Q —
+    shared with :func:`ivf_pq_topk` via :func:`_pq_lut`, which documents
+    the tier contract and the ulp-level cross-tier agreement.
     """
-    books = [np.asarray(b) for b in codebooks]
-    m = len(books)
-    sub = books[0].shape[1]
-    spark = queries.sparkSession
-
-    if collect_lut is None:
-        collect_lut = queries.count() <= max_collect_queries
-
-    if collect_lut:
-        qrows = queries.select(query_id, vec_col).collect()
-        lut_rows = []
-        for r in qrows:
-            qv = np.asarray(r[1], dtype=np.float64)
-            for s, cb in enumerate(books):
-                x = qv[s * sub : (s + 1) * sub]
-                d = ((cb - x[None, :]) ** 2).sum(1)
-                for c, pd_ in enumerate(d):
-                    lut_rows.append((r[0], s, c, float(pd_)))
-        lut = spark.createDataFrame(
-            lut_rows, "query_id long, s int, code int, pd double"
-        )
-        lut = F.broadcast(lut)
-    else:
-        cb_rows = [
-            (s, c, [float(x) for x in books[s][c]])
-            for s in range(m)
-            for c in range(books[s].shape[0])
-        ]
-        cb_tbl = spark.createDataFrame(cb_rows, "s int, code int, cvec array<double>")
-        qv = queries.select(
-            F.col(query_id).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        )
-        # slice the query vector to the cell's subspace, then Σ (a-b)² as
-        # codegen'd HOFs — bit-identical to the numpy path (same IEEE ops
-        # in the same order: both accumulate left-to-right in double)
-        diff2 = F.zip_with(
-            F.slice("__qv", F.col("s") * sub + 1, F.lit(sub)),
-            "cvec",
-            lambda a, b: (a - b) * (a - b),
-        )
-        lut = qv.crossJoin(F.broadcast(cb_tbl)).select(
-            "query_id",
-            "s",
-            "code",
-            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x).alias("pd"),
-        )
+    lut = _pq_lut(
+        queries, [np.asarray(b) for b in codebooks], query_id, vec_col,
+        collect_lut, max_collect_queries,
+    )
 
     exploded = corpus_codes.select(
         "neighbor_id", F.posexplode("codes").alias("s", "code")
@@ -803,24 +827,27 @@ def ivf_pq_topk(
     k: int = 5,
     n_probes: int = 4,
     vec_col: str = "embedding",
+    collect_lut: bool | None = None,
+    max_collect_queries: int = 4096,
 ) -> DataFrame:
     """D3 scale path #4 (query): probe the ``n_probes`` nearest cells per
     query, ADC-score ONLY those cells' PQ codes, top-k per query.
 
     Probing is an equi-join on cid (partition-pruned against a
     cid-partitioned index at scale); scoring reuses :func:`pq_topk`'s
-    broadcast-LUT equi-join shape restricted to the probed candidates.
+    two-tier LUT (:func:`_pq_lut`) restricted to the probed candidates —
+    large query sets (corpus-vs-corpus semantic dedup) take the
+    distributed tier, so no query vector ever lands on the driver.
     With ``n_probes == n_centroids`` the candidate set is the whole corpus
-    and the result equals plain ``pq_topk`` exactly (pinned in tests) —
-    the probe cutoff is the ONLY approximation this tier adds over PQ.
+    and the result equals plain ``pq_topk`` (pinned in tests, profile
+    compare) — the probe cutoff is the ONLY approximation this tier adds
+    over PQ.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
     cent = np.asarray(centroids)
     n_probes = min(n_probes, len(cent))
     books = [np.asarray(b) for b in codebooks]
-    m = len(books)
-    sub = books[0].shape[1]
 
     @pandas_udf("array<int>")
     def probes_of(vecs: pd.Series) -> pd.Series:
@@ -843,20 +870,7 @@ def ivf_pq_topk(
     # candidate codes: only rows of probed (query, cell) pairs survive
     cand = index_df.join(probed, "cid").select("query_id", "neighbor_id", "codes")
 
-    # per-query LUT exactly as pq_topk's collected tier (queries are the
-    # interactive small side by contract; see pq_topk for the large-Q path)
-    qrows = queries.select(query_id, vec_col).collect()
-    lut_rows = []
-    for r in qrows:
-        x = np.asarray(r[1], dtype=np.float64)
-        for s, cb in enumerate(books):
-            d = ((cb - x[s * sub : (s + 1) * sub][None, :]) ** 2).sum(1)
-            for c, pd_ in enumerate(d):
-                lut_rows.append((r[0], s, c, float(pd_)))
-    spark = queries.sparkSession
-    lut = F.broadcast(
-        spark.createDataFrame(lut_rows, "query_id long, s int, code int, pd double")
-    )
+    lut = _pq_lut(queries, books, query_id, vec_col, collect_lut, max_collect_queries)
     exploded = cand.select(
         "query_id", "neighbor_id", F.posexplode("codes").alias("s", "code")
     )

@@ -146,6 +146,7 @@ def live_rollup_into_engine(
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
     transform=None,
+    key_cols=None,
 ):
     """Continuously-UPDATED rollup: the live-dashboard twin of
     :func:`rollup_into_engine`. Update output mode emits a window's row
@@ -160,15 +161,34 @@ def live_rollup_into_engine(
     rewrite of the rollup table — fine when the rollup is orders of
     magnitude smaller than the stream, which is what rollups are for. The
     watermark still bounds streaming state and late-event admission.
+
+    With a custom ``transform``, ``key_cols`` (the window/group columns the
+    MERGE matches on) is REQUIRED — the engine cannot tell metric columns
+    from key columns in an arbitrary aggregate, and merging on a guessed
+    set would silently insert a new row per revision of an open window
+    instead of updating it in place. The default transform's keys are
+    known statically (``window_start_us``, ``event_type``).
     """
     from ..engine import DatasetNotFound
     from .windows import tumbling_counts
 
     if transform is not None:
+        if key_cols is None:
+            raise ValueError(
+                "key_cols is required when transform is given: the MERGE "
+                "must match on the transform's window/group columns"
+            )
         agg = transform(stream)
+        missing = [c for c in key_cols if c not in agg.columns]
+        if missing:
+            raise ValueError(
+                f"key_cols {missing} not in the transform's output columns "
+                f"{agg.columns}"
+            )
+        group_cols = list(key_cols)
     else:
         agg = tumbling_counts(stream, width=width, watermark=watermark)
-    group_cols = [c for c in agg.columns if c not in ("n", "total")] or agg.columns[:1]
+        group_cols = ["window_start_us", "event_type"]  # tumbling_counts keys
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

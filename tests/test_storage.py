@@ -656,3 +656,47 @@ def test_sql_use_last_pins_latest_version(engine, spark, sample):
     all_rows = engine.sql("SELECT count(*) AS n FROM v_t").first().n
     latest = engine.sql("SELECT count(*) AS n FROM v_t", use_last=True).first().n
     assert all_rows == 25 and latest == 5
+
+
+def test_sql_sanitized_view_collision_raises(engine, sample):
+    """'a/b' and 'a_b' sanitize to the same view name — the default
+    registration must refuse rather than silently keep whichever
+    registered last (a query could read the WRONG dataset)."""
+    engine.save(sample, "col/l")
+    engine.save(sample.limit(3), "col_l")
+    with pytest.raises(ValueError, match="col_l"):
+        engine.sql("SELECT count(*) AS n FROM col_l")
+    # an explicit mapping disambiguates
+    got = engine.sql(
+        "SELECT count(*) AS n FROM t", datasets={"t": "col_l"}
+    ).first()
+    assert got.n == 3
+
+
+def test_now_version_unique_under_frozen_clock(spark, tmp_path):
+    """Two 'NOW' saves inside one clock tick must get DISTINCT version
+    labels: label reuse would append the second save into the first's
+    version dir (duplication keep_last can never prune)."""
+    frozen = lambda: 1_700_000_000_000
+    eng = DataFrameEngine(spark, str(tmp_path / "whf"), clock=frozen)
+    eng.save(spark.range(5), "froz")
+    eng.save(spark.range(7), "froz")
+    ds = eng.list_datasets()["dataframes"]["froz"]
+    assert len(ds["versions"]) == 2
+    assert len(set(ds["versions"])) == 2
+    assert eng.load("froz", use_last=True).count() == 7
+    assert eng.load("froz").count() == 12
+
+
+def test_merge_same_millisecond_no_duplication(spark, tmp_path):
+    """ADVICE r3: merge() versions with the clock; two merges landing in
+    the same ms must not double the table inside one version dir."""
+    frozen = lambda: 1_700_000_000_000
+    eng = DataFrameEngine(spark, str(tmp_path / "whm"), clock=frozen)
+    eng.save(spark.range(10).withColumnRenamed("id", "k"), "m/t")
+    src = spark.createDataFrame([(1,), (100,)], "k long")
+    eng.merge(src, "m/t", keys=["k"], keep_last=True)
+    eng.merge(src, "m/t", keys=["k"], keep_last=True)
+    got = eng.load("m/t", use_last=True)
+    assert got.count() == 11  # 10 originals + inserted k=100, each exactly once
+    assert got.filter(F.col("k") == 100).count() == 1

@@ -303,3 +303,62 @@ def test_live_rollup_matches_full_batch_aggregate(spark, events_dir, events_batc
     got = eng.load("live/events_5m", use_last=True)
     keys = ["window_start_us", "event_type", "n", "total"]
     assert _rows(got, keys) == _rows(W.tumbling_counts(events_batch), keys)
+
+
+def test_live_rollup_custom_transform_requires_key_cols(spark, events_dir, tmp_path):
+    """ADVICE r3: with a custom transform the engine cannot infer which
+    output columns are merge keys — it must demand key_cols up front
+    rather than silently accumulate duplicate rows per window revision."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import live_rollup_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    stream = W.stream_events_from_dir(spark, events_dir)
+    with pytest.raises(ValueError, match="key_cols"):
+        live_rollup_into_engine(
+            stream, eng, "live/sessions", transform=W.session_counts
+        )
+    with pytest.raises(ValueError, match="nope"):
+        live_rollup_into_engine(
+            stream, eng, "live/sessions",
+            transform=W.session_counts, key_cols=["nope"],
+        )
+
+
+def test_live_rollup_custom_transform_with_key_cols(spark, events_dir, events_batch, tmp_path):
+    """A custom transform whose metric is named 'n_events' (not 'n'/
+    'total') — exactly the shape the old key inference broke on (it would
+    have merged on the metric and inserted a row per window revision).
+    With explicit key_cols the merged table equals the batch aggregate,
+    one row per (window, user). (Tumbling, not session, windows: update
+    output mode doesn't support streaming session windows.)"""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import live_rollup_into_engine
+
+    def per_user_counts(events):
+        e = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+        return (
+            e.groupBy(F.window("ts", "5 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.unix_micros(F.col("window.start")).alias("window_start_us"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    q = live_rollup_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "live/per_user_5m",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=per_user_counts,
+        key_cols=["window_start_us", "user_id"],
+    )
+    q.awaitTermination()
+    got = eng.load("live/per_user_5m", use_last=True)
+    keys = ["window_start_us", "user_id", "n_events"]
+    assert set(_rows(got, keys)) == set(_rows(per_user_counts(events_batch), keys))
