@@ -55,6 +55,10 @@ def main() -> None:
         ("q12_quality_tokens", "d10_quality_score"),
         ("q13_sequence_packing", "d17_sequence_packing"),
         ("q14_incremental_dedup", "d16_incremental_dedup"),
+        # round-4 additions (VERDICT r3 item #4): the heaviest round-3 ops
+        ("q15_product_profit", "x14_product_profit"),  # TPC-H Q9 shape
+        ("q16_semantic_dedup", "d31_semantic_dedup"),
+        ("q17_ann_ivf_pq", "d03g_ann_ivf_pq"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay

@@ -125,7 +125,10 @@ _R03_NEW = frozenset(
 # Any NEW query added this round MUST be listed here (VERDICT round-3
 # item #1: never ahead of the backlog).
 _R04_NEW = frozenset(
-    """d17b_packing_invariants""".split()
+    """d17b_packing_invariants d32_vocab_per_source d33_token_truncate
+    d34_length_buckets d35_dup_rate_by_source d36_centroid_outliers
+    d37_intra_label_cosine d38_hard_negatives c36b_diff
+    c31b_pivot_multi_agg c57b_session_stats c21c_asof_forward""".split()
 )
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import davg, dsum, registry, tables
+from ._util import DEC, davg, dsum, registry, tables
 
 QUERIES, ORACLE, q = registry()
 
@@ -590,4 +590,37 @@ def c28f(spark, sf_dir):
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
+    )
+
+
+@q(
+    "c31b_pivot_multi_agg",
+    """SELECT l_returnflag,
+              CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+              CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F_qty,
+              CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+              CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def c31b(spark, sf_dir):
+    """C31 variant: pivot with MULTIPLE aggregates per cell (pandas
+    `pivot_table(aggfunc=[...])`) — each pivot value × agg becomes a
+    `<value>_<alias>` column, still one partial+final hash agg. Empty
+    cells: Spark pivot yields NULL where conditional aggregation yields 0
+    for counts — coalesced to match (sums stay NULL on both engines)."""
+    li = tables(spark, sf_dir)("lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count(*) is invalid inside pivot
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce("F_n", F.lit(0)).alias("F_n"),
+        F.col("F_qty"),
+        F.coalesce("O_n", F.lit(0)).alias("O_n"),
+        F.col("O_qty"),
     )

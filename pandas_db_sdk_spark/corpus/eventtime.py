@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ._util import registry, tables
+from ._util import davg, dsum, registry, tables
 
 QUERIES, ORACLE, q = registry()
 
@@ -304,3 +304,47 @@ def c68(spark, sf_dir):
         e, "v", "ts_us", keys=["user_id"], out_col="v_interp", tiebreak=["event_id"]
     )
     return out.select("event_id", "user_id", "v_interp")
+
+
+@q(
+    "c57b_session_stats",
+    f"""WITH ordered AS (
+          SELECT user_id, epoch_us(ts) AS us, value,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+          FROM events),
+        flagged AS (
+          SELECT user_id, us, value,
+                 CASE WHEN prev_us IS NULL OR us - prev_us >= {US_30MIN} THEN 1 ELSE 0 END AS new_s
+          FROM ordered),
+        sessions AS (
+          SELECT user_id, us, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged)
+        SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 6) AS avg_value
+        FROM sessions GROUP BY user_id, session_id""",
+)
+def c57b(spark, sf_dir):
+    """C57 variant: session windows carrying VALUE metrics (count + exact
+    decimal sum + deterministic average per session) — the shape real
+    session analytics takes (revenue/engagement per visit), same one
+    re-key as c57; the gaps-and-islands oracle mirrors Spark's half-open
+    session semantics with `>=`."""
+    e = tables(spark, sf_dir)("events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.round(davg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )

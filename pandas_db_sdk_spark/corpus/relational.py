@@ -818,3 +818,39 @@ def c15d(spark, sf_dir):
     return a.join(b, "c_custkey", "left").select(
         "c_custkey", "c_name", F.coalesce("bal", "bal_b").alias("bal")
     )
+
+
+@q(
+    "c21c_asof_forward",
+    """SELECT p.event_id, p.user_id, p.value AS purchase_value, p.ts_us,
+              s.ts_us AS ts_us_right, s.value AS signup_value
+       FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+             FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN
+            (SELECT user_id, value, epoch_us(ts) AS ts_us
+             FROM events WHERE event_type = 'signup') s
+       ON p.user_id = s.user_id AND p.ts_us <= s.ts_us""",
+)
+def c21c(spark, sf_dir):
+    """C21 variant: FORWARD as-of join (pandas
+    `merge_asof(direction='forward')`) — each purchase matched to the
+    EARLIEST signup at-or-after it, per user. Same union + single ordered
+    window pass as backward (`timeseries.asof_join`): one shuffle on the
+    by-key, `first(ignorenulls)` over the following frame instead of
+    `last` over the preceding one; exact-ts matches taken on both
+    engines."""
+    from .. import timeseries
+
+    e = tables(spark, sf_dir)("events").withColumn("ts_us", F.unix_micros("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").alias("purchase_value"), "ts_us"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("value").alias("signup_value"), "ts_us"
+    )
+    out = timeseries.asof_join(
+        purchases, signups, on="ts_us", by=["user_id"], direction="forward"
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_value", "ts_us", "ts_us_right", "signup_value"
+    )

@@ -230,3 +230,24 @@ def c37b(spark, sf_dir):
         F.min("o_totalprice").over(w).alias("running_min"),
         F.round(F.col("o_totalprice") / prev - 1, 6).alias("pct_change"),
     )
+
+
+@q(
+    "c36b_diff",
+    """SELECT event_id, user_id,
+              round(value - lag(value) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts), event_id), 6) AS diff
+       FROM events""",
+)
+def c36b(spark, sf_dir):
+    """C36 variant: pandas `diff()` — per-user first difference of the
+    event value in time order (event_id tie-break for determinism). Same
+    single window re-key as c36; the subtraction is one IEEE op on
+    identical inputs, rounded only as belt-and-braces."""
+    e = tables(spark, sf_dir)("events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("diff"),
+    )

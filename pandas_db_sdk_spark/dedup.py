@@ -304,6 +304,15 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if edges.isEmpty():
+        # no edges → no components: skip the propagation machinery
+        # entirely (a clean corpus hits exactly this path — without the
+        # short-circuit it still pays one full round of joins,
+        # checkpoints, and convergence counts on empty frames)
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            [], f"id {dict(pairs.dtypes)[id_a]}, cluster {dict(pairs.dtypes)[id_a]}"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -70,6 +70,49 @@ def cosine_topk_bruteforce(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label (the
+    near-misses a contrastive loss learns the most from).
+
+    Same broadcast/score/window shape as :func:`cosine_topk_bruteforce`
+    with a label-inequality join condition — a broadcast nested-loop with
+    the tiny query side as build, so the corpus still never shuffles
+    before the per-query top-k. At 100 TB swap the corpus side for an ANN
+    tier (LSH/IVF candidates) and apply the same label filter post-probe.
+    """
+    qs = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    cs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    scored = cs.join(
+        F.broadcast(qs), F.col("__ql") != F.col("__cl")
+    ).withColumn(
+        "cos",
+        F.round(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def hyperplane_signatures(n_planes: int = 16, dim: int = 64, n_tables: int = 4, seed: int = 7):
     """Column expression: embedding → array<long> of n_tables bucket keys,
     via random-hyperplane signatures.

@@ -295,3 +295,48 @@ def test_round3_dtier_plan_shapes(spark, queries):
     # nearest-centroid: the constant-sized centroid table must broadcast
     plan = plan_of(queries["d27_nearest_centroid"](spark, SF))
     assert "Broadcast" in plan
+
+
+def test_round4_plan_shapes(spark, queries):
+    """Round-4 additions: facet aggregates stay single-re-key partial+final
+    pipelines; pair generators stay equi-joins (never n²); the broadcast
+    sides that must broadcast, do."""
+    # scan→agg facets: one exchange (the facet re-key), no Python in plan
+    for name in ("d32_vocab_per_source", "d33_token_truncate",
+                 "d34_length_buckets", "d35_dup_rate_by_source"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # intra-label pairs: block equi-join, never a loop join
+    plan = plan_of(queries["d37_intra_label_cosine"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # centroid outliers: the 64-row mean table and 1-row stats frame both
+    # broadcast (BNLJ with a 1-row build side is the pinned c20b shape)
+    plan = plan_of(queries["d36_centroid_outliers"](spark, SF))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    # hard negatives: tiny query side broadcasts as the BNLJ build (the
+    # label-inequality condition makes BNLJ the CORRECT strategy here);
+    # the corpus side must not shuffle before the top-k window
+    plan = plan_of(queries["d38_hard_negatives"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round4_window_shuffle_budgets(spark, queries):
+    spark.catalog.clearCache()
+    budgets = {
+        "c36b_diff": 1,            # one per-user window re-key
+        "c57b_session_stats": 1,   # one session-window re-key
+        "c21c_asof_forward": 1,    # union-trick as-of: one by-key re-key
+        "d32_vocab_per_source": 2, # explode agg + facet re-key
+        "d33_token_truncate": 1,
+        "d34_length_buckets": 1,
+        "d35_dup_rate_by_source": 2,  # distinct-count expand + facet re-key
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = plan.count("Exchange")
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"

@@ -148,3 +148,106 @@ def test_zorder_tightens_file_stats_on_both_dimensions(spark, tmp_path):
     # range partitioner cuts mid-cell or the approx quantiles fuzz a
     # boundary. Still ~half the domain at worst vs the baseline's full span.
     assert zs["x"] < 55 and zs["y"] < 55, zs
+
+
+# ---------------------------------------------------------------- adversarial skew
+
+
+def _adversarial_corpus(spark, k=1000):
+    """sf0.1 documents + an injected cluster of k near-identical docs: a
+    40-token shared base with one of 7 trailing variant tokens — every
+    cluster pair has exact Jaccard >= ~0.85 (1.0 within a variant), so ALL
+    ~k²/2 pairs are TRUE near-dups and every band bucket they hash into
+    holds ~k docs. This is the degenerate-bucket shape VERDICT r3 item #3
+    names: candidate pairs quadratic in bucket size."""
+    from pandas_db_sdk_spark.io import tables
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    dup_rows = [(1_000_000 + i, base + f" uniq{i % 7}") for i in range(k)]
+    cluster = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    docs = tables(spark, "/root/testdata/sf0.1")("documents").select("doc_id", "text")
+    return docs.unionByName(cluster), {r[0] for r in dup_rows}
+
+
+def test_minhash_adversarial_duplicate_cluster_end_to_end(spark):
+    """d02d's end-to-end path against one band bucket holding 10³
+    near-identical docs at sf0.1 scale: the run must complete inside a
+    bounded wall-time (the two-pass verify scales with near-dup density,
+    not corpus size — but here density IS the load), collapse the entire
+    cluster to ONE canonical doc, and leave the background corpus's dedup
+    outcome byte-identical to a run without the cluster."""
+    import time
+
+    from pandas_db_sdk_spark import dedup
+    from pandas_db_sdk_spark.io import tables
+
+    corpus, cluster_ids = _adversarial_corpus(spark, k=1000)
+
+    docs = tables(spark, "/root/testdata/sf0.1")("documents").select("doc_id", "text")
+    baseline = {
+        r.doc_id
+        for r in dedup.dedup_corpus_minhash(
+            docs, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+
+    t0 = time.perf_counter()
+    survivors = {
+        r.doc_id
+        for r in dedup.dedup_corpus_minhash(
+            corpus, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+        ).collect()
+    }
+    elapsed = time.perf_counter() - t0
+
+    kept_cluster = survivors & cluster_ids
+    assert kept_cluster == {min(cluster_ids)}  # one canonical, min-id
+    assert survivors - cluster_ids == baseline  # background corpus unaffected
+    # generous absolute bound: the ~5×10⁵-pair verify must stay a
+    # seconds-scale job, not a quadratic blow-up of the whole run
+    assert elapsed < 180, f"adversarial dedup took {elapsed:.0f}s"
+    print(f"# adversarial cluster end-to-end: {elapsed:.1f}s")
+
+
+def test_minhash_adversarial_cluster_pair_volume_and_cap(spark):
+    """The raw pair operator against the same cluster: uncapped, the
+    degenerate bucket yields ~C(k,2) candidate pairs and (them being true
+    near-dups) the estimate prefilter rightly keeps them — the quadratic
+    cost is semantic, not accidental. max_bucket_size bounds exactly this:
+    capped below k, the cluster's buckets drop and pair volume collapses,
+    which is the unattended-corpus safety valve (at the documented recall
+    cost for pairs whose ONLY collisions are super-cap buckets)."""
+    from pandas_db_sdk_spark import dedup
+
+    corpus, cluster_ids = _adversarial_corpus(spark, k=1000)
+    k = len(cluster_ids)
+
+    uncapped = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n_hashes=32, bands=8,
+        jaccard_threshold=0.5, max_bucket_size=None,
+    )
+    n_cluster_pairs = uncapped.filter(
+        F.col("id_a").isin(cluster_ids) & F.col("id_b").isin(cluster_ids)
+    ).count()
+    assert n_cluster_pairs >= 0.99 * k * (k - 1) / 2  # all true pairs surface
+
+    def cluster_pairs(cap):
+        got = dedup.minhash_lsh_pairs(
+            corpus, "doc_id", "text", n_hashes=32, bands=8,
+            jaccard_threshold=0.5, max_bucket_size=cap,
+        )
+        return got.filter(
+            F.col("id_a").isin(cluster_ids) & F.col("id_b").isin(cluster_ids)
+        ).count()
+
+    # cap=500: the all-variants giant buckets (size ~k) drop, but the 7
+    # exact-dup variant groups (~143 docs each, identical signatures →
+    # identical band keys) stay under the cap and still pair — volume
+    # collapses from quadratic-in-k toward quadratic-in-group
+    n_500 = cluster_pairs(500)
+    assert 0 < n_500 < 0.25 * n_cluster_pairs, n_500
+    # cap=100: every bucket holding a cluster doc contains that doc's whole
+    # ~143-doc variant group, so ALL cluster buckets exceed the cap → zero
+    # cluster pairs (the documented recall cost of capping below the
+    # natural duplicate-group size)
+    assert cluster_pairs(100) == 0
