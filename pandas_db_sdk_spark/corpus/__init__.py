@@ -128,7 +128,10 @@ _R04_NEW = frozenset(
     """d17b_packing_invariants d32_vocab_per_source d33_token_truncate
     d34_length_buckets d35_dup_rate_by_source d36_centroid_outliers
     d37_intra_label_cosine d38_hard_negatives c36b_diff
-    c31b_pivot_multi_agg c57b_session_stats c21c_asof_forward""".split()
+    c31b_pivot_multi_agg c57b_session_stats c21c_asof_forward
+    c12b_try_cast c48d_string_fns2 c49c_calendar c50d_math_ext
+    d39_gram_doc_frequency d40_dedup_keep_longest x25_order_gap
+    x26_revenue_concentration""".split()
 )
 
 

@@ -1157,3 +1157,75 @@ def x24(spark, sf_dir):
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(30)
     )
+
+
+@q(
+    "x25_order_gap",
+    """WITH g AS (
+         SELECT o_custkey,
+                datediff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap
+         FROM orders)
+       SELECT o_custkey,
+              CAST(count(gap) AS BIGINT) AS n_gaps,
+              round(CAST(sum(gap) AS BIGINT) / count(gap), 6) AS avg_gap_days,
+              CAST(max(gap) AS BIGINT) AS max_gap_days
+       FROM g WHERE gap IS NOT NULL GROUP BY o_custkey""",
+)
+def x25(spark, sf_dir):
+    """Composite: inter-purchase cadence — per customer, the average and
+    maximum day gap between consecutive orders (churn-signal staple).
+    One window re-key on custkey + the reuse of that partitioning by the
+    final aggregate; integer day arithmetic keeps the average exact."""
+    from pyspark.sql import Window as W
+
+    o = tables(spark, sf_dir)("orders")
+    prev = F.lag("o_orderdate").over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    )
+    g = o.select(
+        "o_custkey", F.datediff(F.col("o_orderdate"), prev).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("o_custkey").agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(F.sum(F.col("gap").cast("long")) / F.count("gap"), 6).alias("avg_gap_days"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+    )
+
+
+@q(
+    "x26_revenue_concentration",
+    """WITH r AS (SELECT o_custkey,
+                         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+                  FROM orders GROUP BY o_custkey),
+         ranked AS (SELECT o_custkey, rev,
+                           ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+                    FROM r)
+       SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS decile_revenue
+       FROM ranked GROUP BY decile""",
+)
+def x26(spark, sf_dir):
+    """Composite: revenue concentration (Pareto) — customers ranked into
+    deciles by lifetime revenue, revenue mass per decile. The global ntile
+    runs over the CUSTOMER aggregate (cardinality orders of magnitude
+    below the fact table), so the single-partition window is bounded; for
+    a customer table that itself won't fit one task, compose
+    `scale.global_row_index` + bucket arithmetic instead (same result,
+    no global window). Revenue is decimal-exact so decile boundaries are
+    engine-independent."""
+    from pyspark.sql import Window as W
+
+    o = tables(spark, sf_dir)("orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(REV_DEC)).cast("double").alias("rev")
+    )
+    ranked = r.withColumn(
+        "decile", F.ntile(10).over(W.orderBy(F.col("rev").desc(), "o_custkey"))
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("rev").cast(REV_DEC)).cast("double").alias("decile_revenue"),
+    )

@@ -854,3 +854,26 @@ def c21c(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "purchase_value", "ts_us", "ts_us_right", "signup_value"
     )
+
+
+@q(
+    "c12b_try_cast",
+    """SELECT c_custkey,
+              TRY_CAST(c_name AS DOUBLE) AS name_num,
+              TRY_CAST(right(c_name, 3) AS INTEGER) AS name_tail_num,
+              TRY_CAST(c_acctbal AS VARCHAR) IS NOT NULL AS bal_ok
+       FROM customer""",
+)
+def c12b(spark, sf_dir):
+    """C12 variant: TRY_CAST — invalid conversions yield NULL instead of
+    failing the job (pandas `to_numeric(errors='coerce')`). Under Spark
+    4's default ANSI mode plain CAST throws on malformed input, so this
+    is the production-safe ingestion cast; semantics match DuckDB's
+    TRY_CAST exactly."""
+    c = tables(spark, sf_dir)("customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_name").try_cast("double").alias("name_num"),
+        F.substring(F.col("c_name"), -3, 3).try_cast("int").alias("name_tail_num"),
+        F.col("c_acctbal").try_cast("string").isNotNull().alias("bal_ok"),
+    )

@@ -437,3 +437,87 @@ def c53b(spark, sf_dir):
         F.variant_get(v, "$.k", "string").alias("k_str"),
         (F.variant_get(v, "$.k", "long") % 10).alias("k_mod"),
     )
+
+
+@q(
+    "c48d_string_fns2",
+    """SELECT c_custkey,
+              reverse(c_name) AS rev_name,
+              repeat(c_mktsegment, 2) AS seg2,
+              ascii(c_name) AS first_code,
+              CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+              translate(c_name, '#0', '_x') AS translated,
+              left(c_name, 8) AS name8,
+              right(c_name, 4) AS tail4,
+              rpad(c_mktsegment, 12, '*') AS seg_pad
+       FROM customer""",
+)
+def c48d(spark, sf_dir):
+    """C48 variant: the second string batch (reverse/repeat/ascii/locate/
+    translate/left/right/rpad — pandas `.str` long tail). Stays the
+    zero-shuffle scan→project codegen pipeline."""
+    c = tables(spark, sf_dir)("customer")
+    return c.select(
+        "c_custkey",
+        F.reverse("c_name").alias("rev_name"),
+        F.repeat("c_mktsegment", 2).alias("seg2"),
+        F.ascii("c_name").alias("first_code"),
+        F.instr("c_name", "#").cast("int").alias("hash_pos"),
+        F.translate("c_name", "#0", "_x").alias("translated"),
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.substring(F.col("c_name"), -4, 4).alias("tail4"),
+        F.rpad("c_mktsegment", 12, "*").alias("seg_pad"),
+    )
+
+
+@q(
+    "c49c_calendar",
+    """SELECT o_orderkey,
+              CAST(quarter(o_orderdate) AS INTEGER) AS q,
+              CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+              CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+              CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+              CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m
+       FROM orders""",
+)
+def c49c(spark, sf_dir):
+    """C49 variant: calendar functions (quarter / day-of-year / ISO week /
+    last_day / add_months — pandas `.dt` long tail). Dates leave the query
+    as strings per the hash-match discipline."""
+    o = tables(spark, sf_dir)("orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("string").alias("plus3m"),
+    )
+
+
+@q(
+    "c50d_math_ext",
+    """SELECT l_orderkey, l_linenumber,
+              round(sin(l_quantity), 6) AS sin_q,
+              round(cos(l_discount), 6) AS cos_d,
+              round(atan2(l_quantity, l_extendedprice), 6) AS angle,
+              round(log10(l_extendedprice), 6) AS log10_price,
+              round(cbrt(l_quantity), 6) AS cbrt_q,
+              round(degrees(l_tax), 6) AS tax_deg
+       FROM lineitem""",
+)
+def c50d(spark, sf_dir):
+    """C50 variant: trig / log / root long tail (numpy ufunc surface).
+    libm-backed — rounded to 6 dp per the module discipline (last-ulp
+    differences between implementations)."""
+    li = tables(spark, sf_dir)("lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_quantity"), 6).alias("sin_q"),
+        F.round(F.cos("l_discount"), 6).alias("cos_d"),
+        F.round(F.atan2(F.col("l_quantity"), F.col("l_extendedprice")), 6).alias("angle"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.round(F.cbrt("l_quantity"), 6).alias("cbrt_q"),
+        F.round(F.degrees("l_tax"), 6).alias("tax_deg"),
+    )

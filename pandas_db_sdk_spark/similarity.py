@@ -773,6 +773,7 @@ def semantic_dedup(
     n_assign: int = 2,
     max_iter: int = 5,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """Unsupervised end-to-end semantic dedup: k-means blocks → within-block
     cosine near-dup pairs → transitive clusters → keep the min-id canonical.
@@ -784,12 +785,19 @@ def semantic_dedup(
     their shared second-choice cell; pair cost stays Σ cell², never n².
     Identical vectors always share all assignments and are always caught.
     Only the (n_clusters × dim) centroid matrix touches the driver.
+
+    ``centroids``: bring-your-own blocking model (an (n_clusters × dim)
+    array) — skips the training pass. Training is an ingest-time step at
+    scale; see ``_models.cached_model`` for the reuse pattern.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
     from .dedup import connected_components
 
-    centroids = _kmeans_centroids(df, vec_col, n_clusters, max_iter, seed)
+    if centroids is None:
+        centroids = _kmeans_centroids(df, vec_col, n_clusters, max_iter, seed)
+    else:
+        centroids = np.asarray(centroids)
     n_probe = min(n_assign, len(centroids))
 
     @pandas_udf("array<int>")

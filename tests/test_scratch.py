@@ -69,3 +69,47 @@ def test_semantic_hash_collision_never_returns_wrong_frame(spark):
     assert got is not old
     assert got.count() == 60
     reclaim(spark, "test_scratch/")
+
+
+# ---------------------------------------------------------------- model cache
+
+
+def test_cached_model_reuses_and_rebuilds(spark):
+    from pandas_db_sdk_spark import _models
+
+    _models.invalidate(spark, "t/")
+    calls = []
+
+    def build(tag):
+        def _b():
+            calls.append(tag)
+            return {"model": tag}
+        return _b
+
+    df = spark.range(100)
+    a = _models.cached_model(df, "t/m", ("p", 1), build("first"))
+    b = _models.cached_model(spark.range(100), "t/m", ("p", 1), build("second"))
+    assert b is a and calls == ["first"]  # identical plan+params → no rebuild
+    c = _models.cached_model(df, "t/m", ("p", 2), build("third"))
+    assert c == {"model": "third"}  # param change → rebuild (own slot)
+    d = _models.cached_model(spark.range(200), "t/m", ("p", 1), build("fourth"))
+    assert d == {"model": "fourth"}  # input change → rebuild
+    _models.invalidate(spark, "t/")
+
+
+def test_cached_model_hash_collision_never_serves_wrong_model(spark):
+    """Same two-gate identity as the scratch pool: a forged semanticHash
+    match with a DIFFERENT stored plan must fail sameSemantics and
+    rebuild."""
+    from pandas_db_sdk_spark import _models
+
+    _models.invalidate(spark, "t/")
+    old_df = spark.range(100)
+    _models.cached_model(old_df, "t/c", (), lambda: "OLD")
+    new_df = spark.range(300)
+    h_new = new_df._jdf.queryExecution().analyzed().semanticHash()
+    key = (spark.sparkContext.applicationId, "t/c/()")
+    _models._POOL[key] = (h_new, old_df, "OLD")  # forged collision
+    got = _models.cached_model(new_df, "t/c", (), lambda: "NEW")
+    assert got == "NEW"
+    _models.invalidate(spark, "t/")
