@@ -131,7 +131,8 @@ _R04_NEW = frozenset(
     c31b_pivot_multi_agg c57b_session_stats c21c_asof_forward
     c12b_try_cast c48d_string_fns2 c49c_calendar c50d_math_ext
     d39_gram_doc_frequency d40_dedup_keep_longest x25_order_gap
-    x26_revenue_concentration""".split()
+    x26_revenue_concentration c02e_scan_xml c02f_scan_text
+    d07b_binary_file_source""".split()
 )
 
 

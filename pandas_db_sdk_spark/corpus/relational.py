@@ -877,3 +877,74 @@ def c12b(spark, sf_dir):
         F.substring(F.col("c_name"), -3, 3).try_cast("int").alias("name_tail_num"),
         F.col("c_acctbal").try_cast("string").isNotNull().alias("bal_ok"),
     )
+
+
+@q("c02e_scan_xml", "SELECT * FROM nation")
+def c02e(spark, sf_dir):
+    """C2 variant: XML round trip via Spark 4's NATIVE xml data source
+    (the spark-xml package absorbed into core) — write `nation` as XML
+    rows, read back with an explicit schema (no inference pass). Rounds
+    out the format matrix: parquet/ORC/csv.gz/JSON/JSONL/XML/text/binary
+    + the reference chunk tree."""
+    t = tables(spark, sf_dir)
+    path = os.path.join(artifacts_dir(), "nation_xml")
+    (
+        t("nation").write.mode("overwrite").format("xml")
+        .option("rootTag", "nations").option("rowTag", "nation")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).format("xml").option("rowTag", "nation").load(path)
+    )
+
+
+@q("c02f_scan_text", "SELECT n_name AS value FROM nation")
+def c02f(spark, sf_dir):
+    """C2 variant: line-oriented text source — one value per line written
+    and read back distributed (`spark.read.text`), the rawest ingestion
+    tier (log files, token lists) below CSV/JSON."""
+    t = tables(spark, sf_dir)
+    path = os.path.join(artifacts_dir(), "nation_text")
+    t("nation").select("n_name").write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+@q(
+    "d07b_binary_file_source",
+    """SELECT 'reg_' || r_regionkey || '.bin' AS name,
+              CAST(10 + r_regionkey AS BIGINT) AS length,
+              sha256(repeat(chr(65 + r_regionkey), 10 + r_regionkey)) AS sha
+       FROM region""",
+)
+def d07b(spark, sf_dir):
+    """D7 variant: raw-asset ingestion through the `binaryFile` source —
+    the first step of every multimodal pipeline (image/audio files land
+    as (path, length, content BINARY) rows, one task per file, no driver
+    byte-shuffling; contents then flow into the d07 mapInPandas decode
+    plumbing). The 5-file fixture is deterministic ASCII derived from the
+    region table, so name/length/sha256 are oracle-checkable end to end.
+    At 100 TB this scan is bounded by `maxPartitionBytes` file batching,
+    and the content column prunes away when untouched (here it feeds the
+    hash)."""
+    t = tables(spark, sf_dir)
+    path = os.path.join(artifacts_dir(), "bin_assets")
+    os.makedirs(path, exist_ok=True)
+    # fixture construction: 5 tiny deterministic files (the operator
+    # under test is the distributed binaryFile SCAN, not this setup)
+    for r in t("region").select("r_regionkey").collect():
+        k = r[0]
+        with open(os.path.join(path, f"reg_{k}.bin"), "wb") as f:
+            f.write(bytes([65 + k] * (10 + k)))
+    bf = spark.read.format("binaryFile").load(path)
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("length"),
+        F.sha2("content", 256).alias("sha"),
+    )

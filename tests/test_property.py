@@ -298,3 +298,46 @@ def test_dedup_lines_idempotent_unique_ordered(spark, lines):
     df2 = spark.createDataFrame([(1, r1.deduped_text)], "doc_id long, text string")
     r2 = text.dedup_lines_within_doc(df2).first()
     assert r2.deduped_text == r1.deduped_text
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_prefix_dedup_keep_longest_properties(spark, docs):
+    """d40's policy invariants: exactly one survivor per 10-token-prefix
+    group, the survivor is a maximal-length member (min doc_id among
+    ties), and the op is idempotent."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def dedup(frame):
+        from pyspark.sql import Window as W
+
+        toks = F.split("text", " ")
+        fp = F.array_join(F.slice(toks, 1, 10), " ")
+        w = W.partitionBy(fp).orderBy(F.size(toks).desc(), "doc_id")
+        return (
+            frame.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    kept = {r.doc_id: r.text for r in dedup(df).collect()}
+    # group reference model in plain Python
+    groups: dict = {}
+    for i, t in rows:
+        key = " ".join(t.split(" ")[:10])
+        groups.setdefault(key, []).append((i, t))
+    assert len(kept) == len(groups)
+    for members in groups.values():
+        best = sorted(members, key=lambda it: (-len(it[1].split(" ")), it[0]))[0]
+        assert kept[best[0]] == best[1]
+    # idempotent: a second pass changes nothing
+    df2 = spark.createDataFrame(list(kept.items()), "doc_id long, text string")
+    again = {r.doc_id: r.text for r in dedup(df2).collect()}
+    assert again == kept
