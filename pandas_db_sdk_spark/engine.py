@@ -374,6 +374,69 @@ class DataFrameEngine:
         out["when_matched"] = when_matched
         return out
 
+    def delete_where(
+        self,
+        dataframe_name: str,
+        condition,
+        external_key: str = "NOW",
+        keep_last: bool = False,
+    ) -> Dict[str, Any]:
+        """Predicate DELETE (``DELETE FROM t WHERE cond``) — the row-level
+        twin of :meth:`merge`'s key-tombstone mode, for conditions that
+        aren't key lists. ``condition`` is a Column or SQL string.
+
+        Copy-on-write: rows NOT matching the predicate rewrite into a new
+        version (history stays time-travelable unless ``keep_last``).
+        The negated predicate pushes into the scan of the current
+        version, so the rewrite reads only surviving rows' columns.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        current = self.load(dataframe_name, use_last=True)
+        out = self.save(
+            current.filter(~cond),
+            dataframe_name,
+            external_key=external_key,
+            keep_last=keep_last,
+        )
+        out["deleted_where"] = str(condition)
+        return out
+
+    def update_where(
+        self,
+        dataframe_name: str,
+        condition,
+        assignments: Dict[str, Any],
+        external_key: str = "NOW",
+        keep_last: bool = False,
+    ) -> Dict[str, Any]:
+        """Predicate UPDATE (``UPDATE t SET c = expr WHERE cond``).
+        ``assignments`` maps column → Column / SQL-expression string;
+        non-matching rows pass through unchanged. With delete_where,
+        merge, and append-mode save this completes the DML quartet the
+        reference SDK lacks entirely (SURVEY §2.5: "no delete/update of
+        rows").
+
+        Copy-on-write single pass: one projection with ``CASE WHEN cond
+        THEN expr ELSE col END`` per assigned column — no join, no second
+        read, fully codegen'd.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        current = self.load(dataframe_name, use_last=True)
+        for col, expr in assignments.items():
+            if col not in current.columns:
+                raise ValueError(f"update column {col!r} not in dataset {dataframe_name!r}")
+        updated = current
+        for col, expr in assignments.items():
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            updated = updated.withColumn(
+                col, F.when(cond, val).otherwise(F.col(col))
+            )
+        out = self.save(
+            updated, dataframe_name, external_key=external_key, keep_last=keep_last
+        )
+        out["updated_where"] = str(condition)
+        return out
+
     # ---------------------------------------------------------------- bucketed
 
     def save_bucketed(
@@ -495,12 +558,27 @@ class DataFrameEngine:
 
     # ---------------------------------------------------------------- list
 
-    def list_datasets(self, prefix: Optional[str] = None) -> Dict[str, Any]:
-        """Catalog listing with prefix filter (``client.py:185-215``)."""
+    def list_datasets(
+        self,
+        prefix: Optional[str] = None,
+        limit: Optional[int] = None,
+        offset: int = 0,
+    ) -> Dict[str, Any]:
+        """Catalog listing with prefix filter (``client.py:185-215``) and
+        pagination (``limit``/``offset`` over the name-sorted listing —
+        the reference SDK has none, SURVEY §2.5; a warehouse with 10⁵
+        datasets needs it). ``count`` is always the TOTAL match count so
+        callers can page without a second call; ``offset`` in the reply
+        echoes the requested position."""
         manifest = self._read_manifest()
         names = sorted(manifest["datasets"])
         if prefix:
             names = [n for n in names if n.startswith(prefix)]
+        total = len(names)
+        if offset:
+            names = names[offset:]
+        if limit is not None:
+            names = names[:limit]
         return {
             "dataframes": {
                 n: {
@@ -510,7 +588,9 @@ class DataFrameEngine:
                 }
                 for n in names
             },
-            "count": len(names),
+            "count": total,
+            "offset": offset,
+            "returned": len(names),
         }
 
     # ---------------------------------------------------------------- compact

@@ -700,3 +700,60 @@ def test_merge_same_millisecond_no_duplication(spark, tmp_path):
     got = eng.load("m/t", use_last=True)
     assert got.count() == 11  # 10 originals + inserted k=100, each exactly once
     assert got.filter(F.col("k") == 100).count() == 1
+
+
+# ---------------------------------------------------------------- DML quartet
+
+
+def test_delete_where_removes_matching_rows_keeps_history(engine, spark):
+    engine.save(spark.range(20).withColumn("flag", F.col("id") % 2), "dml/d")
+    engine.delete_where("dml/d", F.col("flag") == 1)
+    latest = engine.load("dml/d", use_last=True)
+    assert latest.count() == 10
+    assert latest.filter(F.col("flag") == 1).count() == 0
+    # history retained: the pre-delete version is still loadable
+    versions = engine.list_datasets()["dataframes"]["dml/d"]["versions"]
+    assert len(versions) == 2
+    assert engine.load("dml/d", external_key=versions[0]).count() == 20
+
+
+def test_delete_where_accepts_sql_string(engine, spark):
+    engine.save(spark.range(10), "dml/s")
+    engine.delete_where("dml/s", "id >= 7", keep_last=True)
+    got = engine.load("dml/s", use_last=True)
+    assert sorted(r.id for r in got.collect()) == list(range(7))
+    # keep_last pruned the old version
+    assert len(engine.list_datasets()["dataframes"]["dml/s"]["versions"]) == 1
+
+
+def test_update_where_sets_only_matching_rows(engine, spark):
+    engine.save(
+        spark.range(10).withColumn("v", F.lit(1.0)).withColumn("tag", F.lit("a")),
+        "dml/u",
+    )
+    engine.update_where(
+        "dml/u", "id >= 5", {"v": "v * 10", "tag": F.lit("big")}
+    )
+    got = {r.id: (r.v, r.tag) for r in engine.load("dml/u", use_last=True).collect()}
+    for i in range(5):
+        assert got[i] == (1.0, "a")
+    for i in range(5, 10):
+        assert got[i] == (10.0, "big")
+
+
+def test_update_where_unknown_column_raises(engine, spark):
+    engine.save(spark.range(5), "dml/bad")
+    with pytest.raises(ValueError, match="nope"):
+        engine.update_where("dml/bad", "id > 1", {"nope": F.lit(0)})
+
+
+def test_list_datasets_pagination(engine, spark):
+    for i in range(7):
+        engine.save(spark.range(2), f"pg/d{i}")
+    full = engine.list_datasets(prefix="pg/")
+    assert full["count"] == 7 and full["returned"] == 7
+    page = engine.list_datasets(prefix="pg/", limit=3, offset=2)
+    assert page["count"] == 7 and page["returned"] == 3
+    assert list(page["dataframes"]) == ["pg/d2", "pg/d3", "pg/d4"]
+    tail = engine.list_datasets(prefix="pg/", limit=10, offset=5)
+    assert list(tail["dataframes"]) == ["pg/d5", "pg/d6"]
