@@ -132,7 +132,9 @@ _R04_NEW = frozenset(
     c12b_try_cast c48d_string_fns2 c49c_calendar c50d_math_ext
     d39_gram_doc_frequency d40_dedup_keep_longest x25_order_gap
     x26_revenue_concentration c02e_scan_xml c02f_scan_text
-    d07b_binary_file_source""".split()
+    d07b_binary_file_source d02e_lsh_guarantees d03h_ann_self_retrieval
+    c26b_approx_distinct_error c29d_approx_quantile_error
+    c44b_sample_invariants d18b_pipeline_invariants""".split()
 )
 
 

@@ -624,3 +624,64 @@ def c31b(spark, sf_dir):
         F.coalesce("O_n", F.lit(0)).alias("O_n"),
         F.col("O_qty"),
     )
+
+
+@q(
+    "c26b_approx_distinct_error",
+    """SELECT 'exact_distinct' AS rule,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS val
+       FROM lineitem
+       UNION ALL
+       SELECT 'within_3rsd', CAST(1 AS BIGINT)""",
+)
+def c26b(spark, sf_dir):
+    """C26 certification frame: the approximate distinct count itself is
+    engine-specific (c26 stays rows-only), but its ERROR BOUND is
+    checkable — HLL++ at rsd=0.05 must land within 3·rsd of the exact
+    count (far looser than the sketch's actual behavior, so the flag is
+    deterministic in practice). The exact count doubles as a value check
+    of the same column."""
+    li = tables(spark, sf_dir)("lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2, 'exact_distinct', exact, "
+            "'within_3rsd', CAST(abs(approx - exact) <= 3 * 0.05 * exact AS BIGINT)"
+            ") AS (rule, val)"
+        )
+    )
+
+
+@q(
+    "c29d_approx_quantile_error",
+    """SELECT 'p50_within_band' AS rule, CAST(1 AS BIGINT) AS ok
+       UNION ALL SELECT 'p90_within_band', CAST(1 AS BIGINT)
+       UNION ALL SELECT 'p99_within_band', CAST(1 AS BIGINT)""",
+)
+def c29d(spark, sf_dir):
+    """C29 certification frame: approx percentiles are sketch-specific
+    (c29b stays rows-only), but Greenwald-Khanna at accuracy=10000
+    guarantees rank error <= 1/10000 — so each approx quantile must lie
+    within the EXACT [p-1%, p+1%] value band, a 100× looser band than
+    the guarantee. Both the approx and exact percentiles compute in one
+    aggregate pass; the oracle states the three expected flags."""
+    li = tables(spark, sf_dir)("lineitem")
+    agg = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("ap"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.49, 0.51, 0.89, 0.91, 0.98, 1.0))"
+        ).alias("ex"),
+    )
+    band = lambda i, lo, hi: (
+        (F.col("ap")[i] >= F.col("ex")[lo]) & (F.col("ap")[i] <= F.col("ex")[hi])
+    ).cast("long")
+    return agg.select(
+        F.expr("stack(3, 'p50_within_band', CAST(ap[0] >= ex[0] AND ap[0] <= ex[1] AS BIGINT), "
+               "'p90_within_band', CAST(ap[1] >= ex[2] AND ap[1] <= ex[3] AS BIGINT), "
+               "'p99_within_band', CAST(ap[2] >= ex[4] AND ap[2] <= ex[5] AS BIGINT)) AS (rule, ok)")
+    )

@@ -1221,3 +1221,193 @@ def d40(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang")
     )
+
+
+@q(
+    "d02e_lsh_guarantees",
+    """SELECT 'exact_dup_pairs_found' AS rule,
+              CAST(COALESCE(sum(n * (n - 1) / 2), 0) AS BIGINT) AS val
+       FROM (SELECT count(*) AS n FROM documents GROUP BY text)
+       WHERE n > 1
+       UNION ALL
+       SELECT 'below_threshold_violations', CAST(0 AS BIGINT)
+       UNION ALL
+       SELECT 'simhash_exact_dup_pairs_found',
+              CAST(COALESCE(sum(n * (n - 1) / 2), 0) AS BIGINT)
+       FROM (SELECT count(*) AS n FROM documents GROUP BY text)
+       WHERE n > 1""",
+)
+def d02e(spark, sf_dir):
+    """D2 certification frame: the HARD guarantees of the near-dup stack,
+    hash-checked (the pair SETS stay rows-only — they are recall-
+    dependent — but these invariants are exact):
+
+    * MinHash-LSH finds every exact-duplicate pair — identical texts
+      yield identical signatures, which collide in every band and verify
+      at Jaccard 1.0; the oracle computes the expected pair count
+      Σ C(n,2) from the source table itself.
+    * no reported pair falls below the verification threshold (the
+      reported jaccard is always the exact set overlap).
+    * SimHash finds every exact-duplicate pair too — identical texts
+      yield identical 64-bit signatures (Hamming 0), which share every
+      16-bit block key.
+    """
+    d = tables(spark, sf_dir)("documents")
+    texts = d.select(F.col("doc_id"), F.col("text"))
+
+    def eq_text_pairs(pairs):
+        return (
+            pairs.join(
+                texts.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta")),
+                "id_a",
+            )
+            .join(
+                texts.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb")),
+                "id_b",
+            )
+        )
+
+    mh = eq_text_pairs(
+        dedup.minhash_lsh_pairs(
+            d, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+        )
+    ).agg(
+        F.sum((F.col("__ta") == F.col("__tb")).cast("long")).alias("eq"),
+        F.sum((F.col("jaccard") < 0.5).cast("long")).alias("below"),
+    )
+    sh = eq_text_pairs(
+        dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    ).agg(F.sum((F.col("__ta") == F.col("__tb")).cast("long")).alias("eq"))
+
+    left = mh.select(
+        F.expr(
+            "stack(2, 'exact_dup_pairs_found', coalesce(eq, 0), "
+            "'below_threshold_violations', coalesce(below, 0)) AS (rule, val)"
+        )
+    )
+    right = sh.select(
+        F.lit("simhash_exact_dup_pairs_found").alias("rule"),
+        F.coalesce(F.col("eq"), F.lit(0)).alias("val"),
+    )
+    return left.unionAll(right)
+
+
+@q(
+    "d03h_ann_self_retrieval",
+    """SELECT 'lsh_top1_self' AS tier, CAST(count(*) AS BIGINT) AS n_self
+       FROM embeddings WHERE vec_id < 8
+       UNION ALL
+       SELECT 'ivf_top1_self', CAST(count(*) AS BIGINT)
+       FROM embeddings WHERE vec_id < 8
+       UNION ALL
+       SELECT 'pq_self_in_top5', CAST(count(*) AS BIGINT)
+       FROM embeddings WHERE vec_id < 8
+       UNION ALL
+       SELECT 'ivfpq_self_in_top5', CAST(count(*) AS BIGINT)
+       FROM embeddings WHERE vec_id < 8""",
+)
+def d03h(spark, sf_dir):
+    """D3 certification frame: self-retrieval across all four ANN tiers,
+    hash-checked (the neighbor LISTS stay rows-only — bucketing is
+    algorithm-specific — but a query vector that exists in the corpus
+    must come back):
+
+    * LSH / IVF rerank candidates with EXACT cosine, and the query's own
+      cell/buckets always contain it → rank-1 is self, per query.
+    * PQ / IVF-PQ score by quantized distance (self's ADC distance is
+      its quantization error, not 0), so the guarantee is containment in
+      the top-5, not rank-1.
+
+    The oracle states the expected count (all 8 queries) per tier from
+    the source table."""
+    e = tables(spark, sf_dir)("embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+
+    lsh = similarity.cosine_topk_lsh(
+        queries, e, "vec_id", "vec_id", "embedding", k=5, n_planes=10, n_tables=6
+    )
+    ivf = similarity.cosine_topk_ivf(
+        queries, e, "vec_id", "vec_id", "embedding", k=5, n_centroids=16, n_probes=4
+    )
+
+    from .. import _models
+    from .._scratch import scratch_persist
+
+    def _build():
+        books = similarity.pq_train(e, "embedding", m_subspaces=8, n_codes=16, max_iter=2)
+        codes = scratch_persist(
+            similarity.pq_encode(e, books, "vec_id", "embedding"), "d03f/codes"
+        )
+        return books, codes
+
+    books, codes = _models.cached_model(e, "d03f/pq", (8, 16, 2), _build)
+    pq = similarity.pq_topk(queries, codes, books, "vec_id", k=5)
+
+    def _build_ivfpq():
+        cent, bks, index = similarity.ivf_pq_index(
+            e, "vec_id", "embedding", n_centroids=16, m_subspaces=8, n_codes=16,
+            max_iter=2,
+        )
+        return cent, bks, scratch_persist(index, "d03g/index")
+
+    cent, bks, index = _models.cached_model(e, "d03g/ivf_pq", (16, 8, 16, 2), _build_ivfpq)
+    ivfpq = similarity.ivf_pq_topk(queries, cent, bks, index, "vec_id", k=5, n_probes=4)
+
+    def self_count(df, rank_col, top1_only, label):
+        cond = F.col("query_id") == F.col("neighbor_id")
+        if top1_only:
+            cond = cond & (F.col(rank_col) == 1)
+        return df.filter(cond).agg(
+            F.lit(label).alias("tier"), F.count("*").alias("n_self")
+        )
+
+    return (
+        self_count(lsh, "rank", True, "lsh_top1_self")
+        .unionAll(self_count(ivf, "rank", True, "ivf_top1_self"))
+        .unionAll(self_count(pq, "rn", False, "pq_self_in_top5"))
+        .unionAll(self_count(ivfpq, "rn", False, "ivfpq_self_in_top5"))
+    )
+
+
+@q(
+    "d18b_pipeline_invariants",
+    """SELECT 'docs_not_in_source' AS rule, CAST(0 AS BIGINT) AS val
+       UNION ALL SELECT 'duplicate_doc_ids', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'duplicate_texts_in_output', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'below_quality_gate', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'multi_doc_bins_over_budget', CAST(0 AS BIGINT)""",
+)
+def d18b(spark, sf_dir):
+    """D18 certification frame: the prep pipeline's output SET is
+    algorithm-dependent (near-dedup recall — d18 stays rows-only), but
+    its CONTRACT is exact and hash-checked: every surviving doc exists in
+    the source, ids are unique, no two survivors share a text (the exact
+    stage ran), every survivor clears the quality gate, and no multi-doc
+    bin exceeds the token budget. Violation counters computed Spark-side
+    must all be zero."""
+    from .. import pipeline, text as text_mod
+
+    d = tables(spark, sf_dir)("documents")
+    out = pipeline.prepare_corpus(d, min_quality=0.5, token_budget=512)
+    j = out.join(d.select("doc_id", "text"), "doc_id", "left")
+
+    not_in_source = out.join(d.select("doc_id"), "doc_id", "left_anti").count()
+    dup_ids = out.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    dup_texts = (
+        j.groupBy("text").count().filter(F.col("count") > 1).count()
+    )
+    below_gate = out.filter(F.col("quality_score") < 0.5).count()
+    over_budget = (
+        out.groupBy("pack_group", "bin_idx")
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c"))
+        .filter((F.col("c") > 1) & (F.col("s") > 512))
+        .count()
+    )
+    rows = [
+        ("docs_not_in_source", not_in_source),
+        ("duplicate_doc_ids", dup_ids),
+        ("duplicate_texts_in_output", dup_texts),
+        ("below_quality_gate", below_gate),
+        ("multi_doc_bins_over_budget", over_budget),
+    ]
+    return spark.createDataFrame(rows, "rule string, val long")

@@ -228,3 +228,45 @@ def c41b(spark, sf_dir):
         n_partitions=8,
     )
     return out.select("o_orderkey", "o_custkey", "row_index")
+
+
+@q(
+    "c44b_sample_invariants",
+    """SELECT 'rows_not_in_source' AS rule, CAST(0 AS BIGINT) AS val
+       UNION ALL
+       SELECT 'size_within_5_sigma', CAST(1 AS BIGINT)
+       UNION ALL
+       SELECT 'oversampled_keys', CAST(0 AS BIGINT)""",
+)
+def c44b(spark, sf_dir):
+    """C44 certification frame: the sampled row SET is seed/partitioning-
+    specific (c44 stays rows-only), but the sampling CONTRACT is
+    checkable — every sampled row exists in the source, the sample size
+    sits within 5σ of n·p (Bernoulli sampling; 5σ makes the flag
+    deterministic in practice), and without-replacement sampling never
+    takes a key MORE times than the source holds it (the fixture's
+    (orderkey, linenumber) is not unique, so the check compares per-key
+    multiplicities, not uniqueness)."""
+    li = tables(spark, sf_dir)("lineitem")
+    p = 0.1
+    s = li.sample(fraction=p, seed=42)
+    n = li.count()
+    keys = ["l_orderkey", "l_linenumber"]
+    not_in_source = s.join(li, keys, "left_anti").count()
+    oversampled = (
+        s.groupBy(*keys).agg(F.count("*").alias("ns"))
+        .join(li.groupBy(*keys).agg(F.count("*").alias("nsrc")), keys)
+        .filter(F.col("ns") > F.col("nsrc"))
+        .count()
+    )
+    ns = s.count()
+    import math
+
+    sigma = math.sqrt(n * p * (1 - p))
+    within = 1 if abs(ns - n * p) <= 5 * sigma else 0
+    rows = [
+        ("rows_not_in_source", not_in_source),
+        ("size_within_5_sigma", within),
+        ("oversampled_keys", oversampled),
+    ]
+    return spark.createDataFrame(rows, "rule string, val long")
