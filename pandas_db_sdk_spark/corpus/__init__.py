@@ -156,8 +156,9 @@ def all_queries():
     (d03e + the round-3 additions) comes FIRST, then this round's new
     queries, then the three already-certified windows ride the tail.
     Within each group, original module order is preserved (stable sort).
-    A name in no set is treated as new (sorts with _R04_NEW), so a
-    forgotten registration can never starve the backlog."""
+    A name in no set is treated as newest (sorts after _R04_NEW), so a
+    forgotten registration can never starve the backlog or displace the
+    _R04_NEW group from the certification window."""
     out = _merged("QUERIES")
 
     def key(name):
@@ -165,13 +166,15 @@ def all_queries():
             return 0
         if name in _R03_NEW:
             return 1
+        if name in _R04_NEW:
+            return 2
         if name in _R03_VERIFIED:
-            return 3
-        if name in _R02_VERIFIED:
             return 4
-        if name in _R01_VERIFIED:
+        if name in _R02_VERIFIED:
             return 5
-        return 2  # _R04_NEW and anything not yet registered
+        if name in _R01_VERIFIED:
+            return 6
+        return 3  # not in any set: added after the _R04_NEW snapshot
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
