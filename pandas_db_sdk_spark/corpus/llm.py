@@ -910,16 +910,18 @@ def d31(spark, sf_dir):
     e = tables(spark, sf_dir)("embeddings")
     # max_iter=2: blocking k-means only needs rough cells — recall safety
     # comes from the 2-nearest-cell soft assignment, not Lloyd convergence.
-    # The blocking model is an ingest-time artifact: cache it per (corpus
-    # plan, params) so repeated invocations skip the training jobs
+    # Cell count scales ~sqrt(corpus) so the pair join stays ~n^1.5, not
+    # n²/16. The blocking model is an ingest-time artifact: cache it per
+    # (corpus plan, params) so repeated invocations skip the training jobs
     # entirely (semantic-hash + sameSemantics keyed — changed input
     # retrains, _models.py).
+    n_cells = similarity.adaptive_cell_count(e.count())
     cents = _models.cached_model(
-        e, "d31/centroids", ("embedding", 16, 2, 42),
-        lambda: similarity._kmeans_centroids(e, "embedding", 16, 2, 42),
+        e, "d31/centroids", ("embedding", n_cells, 2, 42),
+        lambda: similarity._kmeans_centroids(e, "embedding", n_cells, 2, 42),
     )
     return similarity.semantic_dedup(
-        e, "vec_id", "embedding", threshold=0.98, n_clusters=16,
+        e, "vec_id", "embedding", threshold=0.98,
         centroids=cents,
     ).select("vec_id", "label")
 

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import _scratch
+
 
 def dot(a, b):
     """Σ aᵢ·bᵢ in double — zip_with + aggregate, fully codegen'd."""
@@ -764,12 +766,23 @@ def similarity_histogram(
     )
 
 
+def adaptive_cell_count(n_rows: int, lo: int = 16, hi: int = 4096) -> int:
+    """Blocking cell count for a corpus of ``n_rows`` vectors: ~sqrt(n),
+    clamped. Soft-blocked pair cost is Σ cell² ≈ (n_assign·n)²/C, so a
+    fixed C means pair work grows n² while C=√n keeps it ~n^1.5 — the
+    difference between 300M and 20M scored pairs already at 50K vectors.
+    The ceiling bounds the centroid matrix (hi × dim doubles) that rides
+    the closure to every task; raise it past 4096 only with a broadcast
+    variable."""
+    return max(lo, min(hi, int(n_rows ** 0.5)))
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_assign: int = 2,
     max_iter: int = 5,
     seed: int = 42,
@@ -786,6 +799,10 @@ def semantic_dedup(
     Identical vectors always share all assignments and are always caught.
     Only the (n_clusters × dim) centroid matrix touches the driver.
 
+    ``n_clusters=None`` sizes the blocking grid adaptively
+    (:func:`adaptive_cell_count`, ~√n) — a fixed cell count silently turns
+    the Σ cell² pair join quadratic as the corpus grows.
+
     ``centroids``: bring-your-own blocking model (an (n_clusters × dim)
     array) — skips the training pass. Training is an ingest-time step at
     scale; see ``_models.cached_model`` for the reuse pattern.
@@ -795,6 +812,8 @@ def semantic_dedup(
     from .dedup import connected_components
 
     if centroids is None:
+        if n_clusters is None:
+            n_clusters = adaptive_cell_count(df.count())
         centroids = _kmeans_centroids(df, vec_col, n_clusters, max_iter, seed)
     else:
         centroids = np.asarray(centroids)
@@ -815,6 +834,12 @@ def semantic_dedup(
         F.col(id_col), F.col(vec_col).alias("__v")
     ).withColumn("__cell", F.explode(cells_of(F.col("__v").cast("array<double>"))))
     pairs = near_dup_pairs_by_cosine(blocked, id_col, "__v", "__cell", threshold)
+    # Persist the scored pairs: connected_components reads the edge set
+    # from both directions (union of pair ∪ swapped pair), which would
+    # otherwise re-run the block-join scoring — the expensive pass — twice.
+    # The surviving pair set is near-dup-density-sized, tiny next to the
+    # corpus, so one cached generation is cheap at any scale.
+    pairs = _scratch.scratch_persist(pairs, "semantic_dedup/pairs")
     # a pair meeting in both shared cells appears twice — connected
     # components edge-distincts internally, so no pre-dedup shuffle needed
     comp = connected_components(pairs)
