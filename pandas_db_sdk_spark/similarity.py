@@ -894,6 +894,29 @@ def ivf_pq_index(
     return centroids, books, index_df
 
 
+def write_ivf_pq_index(index_df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize the IVF-PQ index as a cid-partitioned parquet tree —
+    the on-disk form of the inverted file. One directory per coarse cell;
+    each file holds only (neighbor_id, codes), m bytes of PQ codes per
+    vector.
+
+    The payoff is at query time: :func:`ivf_pq_topk`'s probe is an
+    equi-join on ``cid``, and against this layout Catalyst inserts a
+    DynamicPruningExpression on the partition column — executors open ONLY
+    the probed cells' files (verified structurally in
+    ``tests/test_similarity.py::test_ivf_pq_partitioned_index_prunes``).
+    At 100 TB that is the difference between scanning the whole code table
+    and scanning n_probes/n_centroids of it."""
+    index_df.write.partitionBy("cid").parquet(path, mode=mode)
+
+
+def read_ivf_pq_index(spark, path: str) -> DataFrame:
+    """Open a :func:`write_ivf_pq_index` tree for querying. Schema is
+    (neighbor_id, codes, cid) with ``cid`` recovered from the directory
+    names; pass straight to :func:`ivf_pq_topk`."""
+    return spark.read.parquet(path)
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     centroids,

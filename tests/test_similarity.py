@@ -365,3 +365,39 @@ def test_ivf_pq_probed_self_retrieval(spark, emb):
     )
     top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rn == 1}
     assert top1 == {i: i for i in range(8)}
+
+
+def test_ivf_pq_partitioned_index_prunes(spark, emb, tmp_path):
+    """The on-disk inverted file: writing the index partitionBy(cid) and
+    probing it must (a) return the same rows as the in-memory index and
+    (b) plan a DynamicPruningExpression on the cid partition column — the
+    structural guarantee that executors open only the probed cells' files,
+    which is the entire point of the IVF layout at 100 TB."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent, books, index = similarity.ivf_pq_index(
+        emb, "vec_id", "embedding", n_centroids=16, m_subspaces=8, n_codes=16
+    )
+    path = str(tmp_path / "ivf_pq")
+    similarity.write_ivf_pq_index(index, path)
+    disk = similarity.read_ivf_pq_index(spark, path)
+
+    mem_out = similarity.ivf_pq_topk(
+        queries, cent, books, index, "vec_id", k=5, n_probes=2
+    )
+    disk_out = similarity.ivf_pq_topk(
+        queries, cent, books, disk, "vec_id", k=5, n_probes=2
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.neighbor_id, round(r.approx_sqdist, 6)) for r in df.collect()
+    )
+    assert key(disk_out) == key(mem_out)
+
+    plan = disk_out._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "ivf_pq" in ln and "PartitionFilters" in ln
+    ]
+    assert scan, "partitioned index scan missing from plan"
+    assert any("dynamicpruning" in ln.lower() for ln in scan), (
+        "probe join did not dynamic-partition-prune the cid-partitioned index"
+    )
