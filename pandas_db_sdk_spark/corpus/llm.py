@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .. import dedup, multimodal, packing, similarity, text
+from .. import dedup, multimodal, packing, pipeline, similarity, text
 from ._util import registry, tables
 
 QUERIES, ORACLE, q = registry()
@@ -1413,3 +1413,60 @@ def d18b(spark, sf_dir):
         ("multi_doc_bins_over_budget", over_budget),
     ]
     return spark.createDataFrame(rows, "rule string, val long")
+
+
+@q(
+    "d41_chunk_documents",
+    """WITH words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ), spans AS (
+         SELECT doc_id, w,
+                unnest(range(1, greatest(len(w), 1) + 1, 40)) AS i
+         FROM words
+       )
+       SELECT doc_id,
+              CAST((i - 1) // 40 AS INT) AS chunk_idx,
+              CAST(least(50, len(w) - i + 1) AS INT) AS n_chunk_tokens,
+              array_to_string(list_slice(w, i, i + 49), ' ') AS chunk
+       FROM spans""",
+)
+def d41(spark, sf_dir):
+    """D-ext: token-window chunking — split every document into 50-token
+    training windows with 10-token overlap (step 40); the final window is
+    shorter where the tail runs out. sequence/slice/array_join HOFs only:
+    a pure codegen map over the corpus, zero shuffle at any scale."""
+    d = tables(spark, sf_dir)("documents")
+    out = text.chunk_documents(d, "doc_id", "text", window=50, step=40)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        "chunk",
+    )
+
+
+@q(
+    "d42_source_quota_sample",
+    """WITH counts AS (
+         SELECT source, count(*) AS nf FROM documents GROUP BY 1
+       ), tot AS (SELECT count(*) AS t FROM documents),
+       quotas AS (
+         SELECT source, greatest(1, (500::HUGEINT * nf) // t) AS q
+         FROM counts, tot
+       ), ranked AS (
+         SELECT doc_id, source, lang,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         FROM documents
+       )
+       SELECT doc_id, source, lang
+       FROM ranked r JOIN quotas USING (source) WHERE rn <= q""",
+)
+def d42(spark, sf_dir):
+    """D-ext: deterministic quota subsample — 500 slots allocated across
+    sources proportionally (exact decimal div, floor 1 per source), each
+    source contributing its lowest-doc_id rows. The auditable sampling
+    tier: the selected id set is engine-independent, unlike seeded
+    sample(). One facet-count aggregate broadcast back + one per-facet
+    window re-key."""
+    d = tables(spark, sf_dir)("documents")
+    return pipeline.source_quota_sample(d, 500).select("doc_id", "source", "lang")

@@ -93,3 +93,53 @@ def prepare_corpus(
     if n_shards is not None:
         out = packing.shard_assign(out, id_col, n_shards)
     return out
+
+
+def source_quota_sample(
+    df: DataFrame,
+    n_target: int,
+    facet_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic quota subsample: allocate ``n_target`` slots across
+    facets proportionally to their size, floor 1 per facet (coverage — a
+    rare domain never disappears entirely), and take each facet's
+    lowest-``id_col`` rows up to its quota.
+
+    The allocation is exact integer arithmetic (quota = max(1,
+    (n_target·n_facet) div n_total)) — no floating-point pow/round whose
+    ulp differences could flip a quota between engines — so the selected
+    id SET is reproducible anywhere, which is what makes a sampling step
+    auditable (re-run the allocator and diff the ids; contrast the seeded
+    but engine-specific ``sample()``).
+
+    Plan shape: one facet-count aggregate (facet-cardinality-sized),
+    broadcast back, one per-facet window rank — a single re-key by facet
+    at any corpus size. For temperature-flattened mixes (quota ∝ n^α,
+    α<1), compute weights with ``text.domain_mix_weights`` and resample
+    by weight instead; this op is the exact-proportional tier.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(facet_col)).agg(F.count("*").alias("__nf"))
+    total = df.count()
+    # decimal product + integral `div`: n_target·n_f overflows BIGINT at
+    # trillion-row facets, and float division would re-introduce the ulp
+    # sensitivity the docstring promises away
+    quotas = counts.select(
+        F.col(facet_col),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"cast(cast({int(n_target)} as decimal(38,0)) * __nf"
+                f" div {int(total)} as long)"
+            ),
+        ).alias("__quota"),
+    )
+    w = Window.partitionBy(facet_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), facet_col)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )

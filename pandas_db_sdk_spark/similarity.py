@@ -870,28 +870,51 @@ def ivf_pq_index(
     (that IS the inverted file; partition pruning then serves the probe).
     Driver holds centroids + codebooks only — algorithm constants.
     """
-    from pyspark.sql.pandas.functions import pandas_udf
-
     centroids = _kmeans_centroids(corpus, vec_col, n_centroids, max_iter, seed)
     books = pq_train(corpus, vec_col, m_subspaces, n_codes, max_iter, seed)
+    return centroids, books, ivf_pq_index_append(
+        corpus, centroids, books, corpus_id, vec_col
+    )
+
+
+def ivf_pq_index_append(
+    new_vecs: DataFrame,
+    centroids,
+    codebooks,
+    corpus_id: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: encode NEW vectors against the
+    EXISTING coarse quantizer and codebooks → (neighbor_id, cid, codes)
+    rows ready to land in the inverted file
+    (``write_ivf_pq_index(..., mode="append")`` adds the rows to the
+    cid-partitioned tree without touching existing files).
+
+    This is how a production corpus grows daily without retraining: the
+    quantizers are frozen artifacts (retrain only on drift), ingest is one
+    Arrow-batched encode pass over the new rows only, and appended vectors
+    are immediately visible to :func:`ivf_pq_topk` probes. Also the build
+    path of :func:`ivf_pq_index` itself (append-to-empty)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cent = np.asarray(centroids)
 
     @pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())
         d = (
             (mat * mat).sum(1)[:, None]
-            - 2 * (mat @ centroids.T)
-            + (centroids * centroids).sum(1)[None, :]
+            - 2 * (mat @ cent.T)
+            + (cent * cent).sum(1)[None, :]
         )
         return pd.Series(d.argmin(1).astype("int32"))
 
-    codes = pq_encode(corpus, books, corpus_id, vec_col)
-    cells = corpus.select(
+    codes = pq_encode(new_vecs, codebooks, corpus_id, vec_col)
+    cells = new_vecs.select(
         F.col(corpus_id).alias("neighbor_id"),
         cell_of(F.col(vec_col).cast("array<double>")).alias("cid"),
     )
-    index_df = codes.join(cells, "neighbor_id")
-    return centroids, books, index_df
+    return codes.join(cells, "neighbor_id")
 
 
 def write_ivf_pq_index(index_df: DataFrame, path: str, mode: str = "overwrite") -> None:

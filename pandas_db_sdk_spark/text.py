@@ -510,3 +510,40 @@ def dedup_lines_within_doc(
         F.size(deduped).alias("n_unique_lines"),
         F.array_join(deduped, sep).alias("deduped_text"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    step: int = 40,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-window materialization step (context-length-sized chunks,
+    ``window - step`` tokens of overlap so no span is lost at a boundary).
+
+    Per document: chunk starts are 1, 1+step, 1+2·step, … while ≤ the
+    token count; each chunk is the next ``window`` tokens (the final
+    chunk is shorter when the tail runs out). A document shorter than one
+    window yields exactly one chunk. All sequence/slice/array_join HOFs —
+    codegen'd, zero shuffle, scales as a pure map over the corpus.
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, window), " "))
+    return df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        F.least(
+            F.lit(window), F.col("__n") - F.col("chunk_idx") * step
+        ).alias("n_chunk_tokens"),
+        "chunk",
+    )

@@ -401,3 +401,29 @@ def test_ivf_pq_partitioned_index_prunes(spark, emb, tmp_path):
     assert any("dynamicpruning" in ln.lower() for ln in scan), (
         "probe join did not dynamic-partition-prune the cid-partitioned index"
     )
+
+
+def test_ivf_pq_index_append_incremental(spark, emb, tmp_path):
+    """Growing the inverted file without retraining: vectors encoded
+    against the frozen quantizers and appended to the cid-partitioned
+    tree must be immediately retrievable (self-retrieval at rank 1), and
+    the original rows must be untouched."""
+    old = emb.filter(F.col("vec_id") >= 8)
+    new = emb.filter(F.col("vec_id") < 8)
+    cent, books, index = similarity.ivf_pq_index(
+        old, "vec_id", "embedding", n_centroids=16, m_subspaces=8, n_codes=16
+    )
+    path = str(tmp_path / "ivf_pq")
+    similarity.write_ivf_pq_index(index, path)
+    n_before = similarity.read_ivf_pq_index(spark, path).count()
+
+    delta = similarity.ivf_pq_index_append(new, cent, books, "vec_id")
+    similarity.write_ivf_pq_index(delta, path, mode="append")
+    disk = similarity.read_ivf_pq_index(spark, path)
+    assert disk.count() == n_before + new.count()
+
+    out = similarity.ivf_pq_topk(
+        new, cent, books, disk, "vec_id", k=3, n_probes=2
+    )
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rn == 1}
+    assert top1 == {i: i for i in range(8)}
