@@ -134,7 +134,10 @@ _R04_NEW = frozenset(
     x26_revenue_concentration c02e_scan_xml c02f_scan_text
     d07b_binary_file_source d02e_lsh_guarantees d03h_ann_self_retrieval
     c26b_approx_distinct_error c29d_approx_quantile_error
-    c44b_sample_invariants d18b_pipeline_invariants""".split()
+    c44b_sample_invariants d18b_pipeline_invariants
+    d41_chunk_documents d42_source_quota_sample
+    d43_train_split d44_pii_redact d45_importance_weight
+    x27_event_paths c51c_posexplode""".split()
 )
 
 

@@ -1229,3 +1229,39 @@ def x26(spark, sf_dir):
         F.count("*").alias("n_customers"),
         F.sum(F.col("rev").cast(REV_DEC)).cast("double").alias("decile_revenue"),
     )
+
+
+@q(
+    "x27_event_paths",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lead(event_type, 1) OVER w AS e2,
+                lead(event_type, 2) OVER w AS e3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+       FROM seq WHERE e3 IS NOT NULL
+       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+)
+def x27(spark, sf_dir):
+    """Event-analytics composite: top 20 three-step behavior paths — the
+    clickstream n-gram census behind funnel discovery. One window re-key by
+    user (lead ×2, deterministic ts+event_id order), then a partial+final
+    count agg and a TakeOrdered 20-row driver merge — no global sort, two
+    exchanges total at any scale."""
+    from pyspark.sql import Window as W
+
+    e = tables(spark, sf_dir)("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

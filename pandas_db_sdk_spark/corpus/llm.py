@@ -1470,3 +1470,95 @@ def d42(spark, sf_dir):
     window re-key."""
     d = tables(spark, sf_dir)("documents")
     return pipeline.source_quota_sample(d, 500).select("doc_id", "source", "lang")
+
+
+@q(
+    "d43_train_split",
+    """SELECT doc_id, source,
+              CASE WHEN substr(md5(doc_id::VARCHAR || ':0'), 1, 4) < 'cccc' THEN 'train'
+                   WHEN substr(md5(doc_id::VARCHAR || ':0'), 1, 4) < 'e666' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def d43(spark, sf_dir):
+    """D-ext: deterministic train/val/test split — 80/10/10 by md5 bucket
+    of the key (4 hex chars = 65536 buckets vs precomputed boundaries).
+    Assignment is engine- and layout-independent (unlike randomSplit) and
+    stable as the corpus grows: a key's split never flips between runs, so
+    checkpoints can't leak test docs into train. Pure per-row codegen —
+    zero shuffle."""
+    d = tables(spark, sf_dir)("documents")
+    return pipeline.hash_split(d, "doc_id", (0.8, 0.1), salt="0").select(
+        "doc_id", "source", "split"
+    )
+
+
+@q(
+    "d44_pii_redact",
+    r"""WITH p AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id::VARCHAR || '@example.com ip 10.0.0.' ||
+                (doc_id % 256)::VARCHAR || ' tel +1555010' ||
+                lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+         FROM documents)
+       SELECT doc_id,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4s,
+              len(regexp_extract_all(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phones,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+       FROM p""",
+)
+def d44(spark, sf_dir):
+    """D-ext: PII redaction (write path of d14's flags) — emails/IPv4s/
+    phones replaced in place with typed placeholders, per-category counts
+    from the pre-redaction text. The fixture corpus is PII-free word soup,
+    so both engines append the same synthetic contact line per doc (keyed
+    off doc_id) and redact it — the oracle then certifies nonzero
+    redactions end-to-end. Pure regexp codegen, zero shuffle."""
+    d = tables(spark, sf_dir)("documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +1555010"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return text.redact_pii(pii, "doc_id", "text")
+
+
+@q(
+    "d45_importance_weight",
+    """WITH terms AS (
+         SELECT doc_id, CAST(source = 'src0' AS BIGINT) AS is_tgt,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       counts AS (SELECT token, count(*) AS c_all, sum(is_tgt) AS c_tgt
+                  FROM terms GROUP BY 1),
+       tot AS (SELECT sum(c_all) AS t_all, sum(c_tgt) AS t_tgt, count(*) AS vocab
+               FROM counts),
+       lm AS (SELECT token,
+                     round(ln((c_tgt + 1) / (t_tgt + vocab)) -
+                           ln((c_all + 1) / (t_all + vocab)), 6) AS log_ratio
+              FROM counts, tot)
+       SELECT doc_id, count(*) AS n_tokens,
+              round(CAST(sum(CAST(log_ratio AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*), 6) AS importance_weight
+       FROM terms JOIN lm USING (token) GROUP BY doc_id""",
+)
+def d45(spark, sf_dir):
+    """D-ext: DSIR-style importance weight (Xie et al. 2023) — per-doc mean
+    log-ratio of add-1-smoothed unigram LMs, target slice (source='src0')
+    vs whole corpus; threshold/resample on it to reshape the mix toward a
+    target domain without a trained classifier. One token-level agg builds
+    both LMs in a single pass; ratio table joins back unhinted (unbounded
+    vocab — AQE decides); totals ride a 1-row broadcast BNLJ."""
+    d = tables(spark, sf_dir)("documents")
+    return text.importance_weight(d, "doc_id", "text", "source", "src0")

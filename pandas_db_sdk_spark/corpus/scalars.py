@@ -521,3 +521,24 @@ def c50d(spark, sf_dir):
         F.round(F.cbrt("l_quantity"), 6).alias("cbrt_q"),
         F.round(F.degrees("l_tax"), 6).alias("tax_deg"),
     )
+
+
+@q(
+    "c51c_posexplode",
+    """SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+              round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+       FROM embeddings""",
+)
+def c51c(spark, sf_dir):
+    """C51 variant: positional explode (pandas `Series.explode` with the
+    index kept / LATERAL VIEW posexplode) — the array→rows direction with
+    ordinal preserved, the shape tokenized columns flatten through. Zero
+    shuffle: Generate sits in the scan stage."""
+    e = tables(spark, sf_dir)("embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )

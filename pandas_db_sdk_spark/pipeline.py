@@ -143,3 +143,40 @@ def source_quota_sample(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.1),
+    salt: str = "0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent key
+    hash — the split step every training corpus needs, reproducible across
+    engines, re-runs, and cluster sizes (unlike `randomSplit`, whose
+    assignment depends on partition layout).
+
+    A row's bucket is the first 4 hex chars of `md5(key ":" salt)` — a
+    uniform draw from 65536 buckets — compared against precomputed hex
+    boundaries (`fractions` = (train, val) shares; test gets the rest).
+    Changing `salt` re-deals the whole split; a given key's assignment is
+    otherwise stable even as the corpus grows, so train/test membership
+    never flips between pipeline runs (the leakage guarantee that matters
+    when checkpoints outlive corpus versions).
+
+    Pure per-row codegen (md5 + string compare) — zero shuffle at any
+    scale."""
+    f_train, f_val = fractions
+    if not (0 < f_train and 0 <= f_val and f_train + f_val < 1):
+        raise ValueError("fractions must be positive with train+val < 1")
+    b_train = format(int(f_train * 65536), "04x")
+    b_val = format(int((f_train + f_val) * 65536), "04x")
+    bucket = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 4
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < b_train, "train")
+        .when(bucket < b_val, "val")
+        .otherwise("test"),
+    )

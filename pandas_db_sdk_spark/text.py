@@ -277,6 +277,87 @@ def pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("has_pii", any_pii)
 
 
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction — the write-path counterpart of `pii_flags`: replaces
+    every email/IPv4/phone match in place with a typed placeholder
+    (`<EMAIL>`, `<IP>`, `<PHONE>`) and reports the per-category match
+    counts from the original text. Patterns apply in a fixed order
+    (email → ipv4 → phone) so a span consumed by an earlier category can't
+    re-match a later one. Pure regexp codegen over the scan — zero shuffle
+    at any scale."""
+    c = F.col(text_col)
+    out = df.select(
+        F.col(id_col),
+        c,
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["emails"]), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["ipv4s"]), 0)).alias("n_ipv4s"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["phones"]), 0)).alias("n_phones"),
+    )
+    red = F.regexp_replace(F.col(text_col), PII_PATTERNS["emails"], "<EMAIL>")
+    red = F.regexp_replace(red, PII_PATTERNS["ipv4s"], "<IP>")
+    red = F.regexp_replace(red, PII_PATTERNS["phones"], "<PHONE>")
+    return out.withColumn("redacted", red).drop(text_col)
+
+
+def importance_weight(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    facet_col: str = "source",
+    target_value: str = "web",
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, data selection via
+    importance resampling): per-document mean log-ratio of add-1-smoothed
+    unigram probabilities under the TARGET slice (``facet_col ==
+    target_value``) vs the whole corpus. Documents that look like the
+    target domain score high; resample/threshold on the weight to reshape
+    the mix without a trained classifier.
+
+    Scale shape mirrors `unigram_logprob`: one token-level partial+final
+    agg builds both LMs in a single pass (conditional count), the per-token
+    ratio table joins back UNHINTED (vocabulary is unbounded at 100 TB —
+    AQE picks the strategy), and the 1-row totals frame is a broadcast BNLJ
+    build side. Per-token ratios are rounded before the mean so the result
+    is stable under aggregation order."""
+    terms = df.select(
+        F.col(id_col),
+        (F.col(facet_col) == target_value).cast("long").alias("__is_tgt"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counts = terms.groupBy("token").agg(
+        F.count("*").alias("c_all"),
+        F.sum("__is_tgt").alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_all").alias("t_all"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count("*").alias("vocab"),
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + F.col("vocab")))
+            - F.log((F.col("c_all") + 1) / (F.col("t_all") + F.col("vocab"))),
+            6,
+        ).alias("log_ratio"),
+    )
+    # exact decimal sum of the pre-rounded ratios, ONE double division at
+    # the end: the mean is order-independent, so it can't flip a 6-dp
+    # rounding boundary under partial-aggregation order (module discipline)
+    return (
+        terms.join(lm, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("log_ratio").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("importance_weight"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 7
 ) -> DataFrame:
