@@ -1562,3 +1562,51 @@ def d45(spark, sf_dir):
     vocab — AQE decides); totals ride a 1-row broadcast BNLJ."""
     d = tables(spark, sf_dir)("documents")
     return text.importance_weight(d, "doc_id", "text", "source", "src0")
+
+
+@q(
+    "d46_bigram_perplexity",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       bgl AS (SELECT doc_id,
+                      [{'w1': tk[i], 'w2': tk[i+1]} FOR i IN range(1, len(tk))] AS bs
+               FROM tok),
+       bg0 AS (SELECT doc_id, unnest(bs) AS b FROM bgl),
+       bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+       c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       ctx AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       voc AS (SELECT count(DISTINCT w2) AS vocab FROM bg),
+       lm AS (SELECT w1, w2, round(ln((c12 + 1) / (c1 + vocab)), 6) AS logp
+              FROM c12 JOIN ctx USING (w1), voc)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                  AS avg_bigram_logprob,
+              round(exp(-(round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+                                / count(*), 6))), 4) AS perplexity
+       FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id""",
+)
+def d46(spark, sf_dir):
+    """D-ext: bigram-LM perplexity — the quality-ladder rung above d21's
+    unigram score (gibberish scores low, templated boilerplate high; gate
+    on both tails). Model trained on the corpus in the same job: bigram
+    explode → one count agg; context counts re-agg the MODEL (not the
+    corpus); unhinted model join back; decimal-exact mean."""
+    d = tables(spark, sf_dir)("documents")
+    return text.bigram_logprob(d, "doc_id", "text")
+
+
+@q("d47_split_leakage_scrub")  # rows-only: LSH banding internals (house rule)
+def d47(spark, sf_dir):
+    """D-ext: train/test leakage scrub — the composition every released
+    benchmark run needs: deterministic hash split (d43), then drop train
+    docs that near-duplicate ANY test doc (MinHash-LSH cross-join shape:
+    candidates scale with train×test band collisions, never corpus²;
+    `dedup.incremental_dedup_minhash` with the test split as 'corpus').
+    Property-pinned in tests/test_dedup.py: a train doc with text
+    identical to a test doc NEVER survives."""
+    d = tables(spark, sf_dir)("documents")
+    split = pipeline.hash_split(d, "doc_id", (0.8, 0.1), salt="0")
+    train = split.filter(F.col("split") == "train").drop("split")
+    test = split.filter(F.col("split") == "test").drop("split")
+    return dedup.incremental_dedup_minhash(
+        train, test, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+    ).select("doc_id", "lang", "source")

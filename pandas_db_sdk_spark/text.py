@@ -358,6 +358,64 @@ def importance_weight(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM scoring — the next rung of the perplexity-proxy quality
+    ladder above `unigram_logprob`: per-document mean log P(w_i | w_{i-1})
+    under an add-1-smoothed bigram model trained on the corpus in the same
+    job, plus the implied perplexity. Low-probability documents are
+    gibberish/OCR noise; high ones are templated boilerplate — pipelines
+    gate on both tails.
+
+    Movement: one bigram explode (n−1 rows per doc, two 8-byte-hashable
+    words wide) feeds a partial+final count agg; context counts derive
+    from the bigram counts (word-level re-agg — model-sized, not
+    corpus-sized); the model joins back UNHINTED (bigram vocabulary is
+    unbounded at 100 TB — AQE decides). Per-bigram log-probs are rounded,
+    then decimal-summed so the mean is aggregation-order-independent."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    bg = df.select(F.col(id_col), F.explode(zipped).alias("__b")).select(
+        id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bg.agg(F.countDistinct("w2").alias("vocab"))
+    lm = (
+        c12.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c12") + 1) / (F.col("c1") + F.col("vocab"))), 6
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_bigram_logprob"),
+        )
+        .withColumn(
+            "perplexity", F.round(F.exp(-F.col("avg_bigram_logprob")), 4)
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 7
 ) -> DataFrame:

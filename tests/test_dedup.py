@@ -216,3 +216,38 @@ def test_simhash_max_hamming_out_of_range_rejected(docs):
 
     with _pytest.raises(ValueError, match="max_hamming"):
         dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def test_split_leakage_scrub_removes_exact_cross_split_dups(spark):
+    """d47's guarantee: a train-split doc whose text is IDENTICAL to a
+    test-split doc never survives the scrub (exact dups always collide in
+    every MinHash band). Keys are chosen so the md5 split assignment is
+    known a priori; unrelated train docs survive."""
+    import hashlib
+
+    from pandas_db_sdk_spark import dedup as dd
+    from pandas_db_sdk_spark.pipeline import hash_split
+
+    def bucket(key: int) -> int:
+        return int(hashlib.md5(f"{key}:0".encode()).hexdigest()[:4], 16)
+
+    train_ids = [k for k in range(1000) if bucket(k) < int(0.8 * 65536)]
+    test_ids = [k for k in range(1000) if bucket(k) >= int(0.9 * 65536)]
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    clean = "completely unrelated text about distributed query planning engines"
+    rows = [
+        (train_ids[0], leak),   # leaks: identical to a test doc
+        (train_ids[1], clean),  # survives
+        (test_ids[0], leak),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    split = hash_split(df, "doc_id", (0.8, 0.1), salt="0")
+    assert {r.doc_id: r.split for r in split.collect()} == {
+        train_ids[0]: "train", train_ids[1]: "train", test_ids[0]: "test"
+    }
+    train = split.filter(F.col("split") == "train").drop("split")
+    test = split.filter(F.col("split") == "test").drop("split")
+    out = dd.incremental_dedup_minhash(
+        train, test, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    assert [r.doc_id for r in out.collect()] == [train_ids[1]]

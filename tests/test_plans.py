@@ -340,3 +340,38 @@ def test_round4_window_shuffle_budgets(spark, queries):
         plan = plan_of(queries[name](spark, SF))
         got = plan.count("Exchange")
         assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+
+
+def test_round4_batch2_shuffle_budgets(spark, queries):
+    """Batch-2 round-4 ops: split/redaction are pure codegen (zero
+    exchanges — they must ride the preceding stage's scan at 100 TB);
+    the path census pays one window re-key + one count re-key; posexplode
+    keeps Generate inside the scan stage."""
+    spark.catalog.clearCache()
+    budgets = {
+        "d43_train_split": 0,
+        "d44_pii_redact": 0,
+        "c51c_posexplode": 0,
+        "x27_event_paths": 3,  # user window re-key + agg re-key + TakeOrdered
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = plan.count("Exchange")
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+    # the zero-exchange ops must also be Python-eval-free
+    for name in ("d43_train_split", "d44_pii_redact", "c51c_posexplode"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_importance_weight_vocab_join_unhinted(spark, queries):
+    """d45's LM join must NOT force a broadcast: the post-tokenization
+    vocabulary is unbounded at 100 TB, so strategy choice belongs to the
+    cost model/AQE (same contract as d05_tfidf / d21_unigram_logprob).
+    The only sanctioned broadcast is the 1-row totals BNLJ build."""
+    df = queries["d45_importance_weight"](spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # exactly one hint in the logical plan: the 1-row totals frame
+    assert logical.count("UnresolvedHint broadcast") <= 1 or logical.count("ResolvedHint") <= 1
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
