@@ -138,7 +138,8 @@ _R04_NEW = frozenset(
     d41_chunk_documents d42_source_quota_sample
     d43_train_split d44_pii_redact d45_importance_weight
     x27_event_paths c51c_posexplode
-    d46_bigram_perplexity d47_split_leakage_scrub""".split()
+    d46_bigram_perplexity d47_split_leakage_scrub
+    d48_media_headers""".split()
 )
 
 

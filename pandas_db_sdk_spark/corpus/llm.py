@@ -1610,3 +1610,33 @@ def d47(spark, sf_dir):
     return dedup.incremental_dedup_minhash(
         train, test, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
     ).select("doc_id", "lang", "source")
+
+
+@q(
+    "d48_media_headers",
+    """SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+              CASE WHEN doc_id % 2 = 0 THEN CAST(16 + doc_id % 64 AS INT) END AS width,
+              CASE WHEN doc_id % 2 = 0 THEN CAST(16 + (doc_id * 7) % 64 AS INT) END AS height,
+              CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INT) END AS bit_depth,
+              CASE WHEN doc_id % 2 = 1
+                   THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
+              CASE WHEN doc_id % 2 = 1 THEN CAST(2 AS INT) END AS n_channels,
+              CASE WHEN doc_id % 2 = 1
+                   THEN round(CAST(1000 + doc_id % 100 AS DOUBLE)
+                              / (8000 + (doc_id % 8) * 1000), 6) END AS duration_s
+       FROM documents""",
+)
+def d48(spark, sf_dir):
+    """D7 upgrade: REAL media-metadata extraction, certified end-to-end —
+    Spark manufactures valid PNG (IHDR + CRC32) / RIFF-WAVE bytes per doc
+    and parses them back with the codec-free container parser
+    (`multimodal.synth_media_payload` → `parse_media_headers`, both
+    Arrow-batched mapInPandas); the oracle computes the expected fields
+    arithmetically from the generator seed, so a hash match proves the
+    binary encode→parse round trip bit-exact. This is the resolution/
+    duration gating tier of a multimodal pipeline — the decode step proper
+    remains the documented env-forced stub."""
+    d = tables(spark, sf_dir)("documents")
+    payloads = multimodal.synth_media_payload(d, "doc_id")
+    return multimodal.parse_media_headers(payloads, "payload", "doc_id")

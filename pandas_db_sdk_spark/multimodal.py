@@ -91,3 +91,117 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = (F.octet_length("payload") / 16).cast("int")  # fake: 16 bytes/frame
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.select("doc_id", F.explode(idx).alias("frame_idx"))
+
+
+def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Manufacture REAL container bytes per row — a valid minimal PNG
+    (signature + IHDR chunk with a correct CRC32) for even ids, a valid
+    RIFF/WAVE file (fmt chunk + zero-filled data chunk) for odd ids — with
+    every header field a deterministic function of the id. The fixture
+    generator for `parse_media_headers`: because the fields derive from the
+    id arithmetically, an engine-independent oracle can certify the whole
+    encode→parse round trip without any codec library.
+
+    Runs as Arrow-batched mapInPandas (binary construction is Python-side
+    by design — this IS the UDF tier of the multimodal surface)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def png(i: int) -> bytes:
+            w, h = 16 + i % 64, 16 + (i * 7) % 64
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            chunk = b"IHDR" + ihdr
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", 13)
+                + chunk
+                + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+            )
+
+        def wav(i: int) -> bytes:
+            ch = 1 + i % 2
+            sr = 8000 + (i % 8) * 1000
+            n_samples = 1000 + i % 100
+            data = b"\x00" * (n_samples * ch * 2)
+            fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+            body = b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            body += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [png(i) if i % 2 == 0 else wav(i) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def parse_media_headers(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL media metadata extraction — no codec library, pure container
+    parsing: PNG signature + IHDR (width/height/bit depth, CRC-verified)
+    and RIFF/WAVE fmt (channels/sample rate/bits, duration from the data
+    chunk). This is the resolution/duration gating tier every multimodal
+    training pipeline runs BEFORE decode — and the one tier that needs no
+    codecs, so it is fully real here (decode stays `decode_real`'s
+    documented stub).
+
+    Arrow-batched mapInPandas; unparseable payloads degrade to
+    format='unknown' with null fields, never an executor error."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def one(blob) -> tuple:
+            b = bytes(blob)
+            if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 33:
+                (ln,) = struct.unpack(">I", b[8:12])
+                chunk = b[12 : 16 + ln]
+                (crc,) = struct.unpack(">I", b[16 + ln : 20 + ln])
+                if chunk[:4] == b"IHDR" and zlib.crc32(chunk) & 0xFFFFFFFF == crc:
+                    w, h, depth = struct.unpack(">IIB", chunk[4:13])
+                    return ("png", w, h, depth, None, None, None)
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                pos, sr, ch, bits, data_len = 12, None, None, None, None
+                while pos + 8 <= len(b):
+                    cid, clen = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                    if cid == b"fmt " and clen >= 16:
+                        _, ch, sr, _, _, bits = struct.unpack(
+                            "<HHIIHH", b[pos + 8 : pos + 24]
+                        )
+                    elif cid == b"data":
+                        data_len = clen
+                    pos += 8 + clen + (clen & 1)
+                if sr and ch and bits and data_len is not None:
+                    dur = data_len / (sr * ch * (bits // 8))
+                    return ("wav", None, None, None, sr, ch, round(dur, 6))
+            return ("unknown", None, None, None, None, None, None)
+
+        for pdf in batches:
+            parsed = [one(x) for x in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "bit_depth": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array([p[4] for p in parsed], dtype="Int32"),
+                    "n_channels": pd.array([p[5] for p in parsed], dtype="Int32"),
+                    "duration_s": pd.array([p[6] for p in parsed], dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        parse,
+        f"{id_col} long, format string, width int, height int, bit_depth int, "
+        "sample_rate int, n_channels int, duration_s double",
+    )

@@ -94,3 +94,33 @@ def test_media_column_pruned_when_untouched(spark, docs, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
     assert "payload" not in schema
+
+
+def test_parse_media_headers_golden_and_corrupt(spark):
+    """Golden-byte round trip for the codec-free header parser: a
+    hand-packed PNG IHDR and WAV fmt parse to their exact fields; a
+    corrupted signature and a CRC-broken IHDR degrade to 'unknown'."""
+    import struct
+    import zlib
+
+    from pandas_db_sdk_spark import multimodal as mm
+
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + ihdr
+        + struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
+    )
+    bad_crc = png[:-4] + b"\x00\x00\x00\x00"
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVEfmt " + struct.pack("<I", 16)
+        + fmt + b"data" + struct.pack("<I", 44100 * 4) + b""
+    )
+    rows = [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(b"junk")), (4, bytearray(bad_crc))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.parse_media_headers(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height, got[1].bit_depth) == ("png", 640, 480, 8)
+    assert (got[2].format, got[2].sample_rate, got[2].n_channels) == ("wav", 44100, 2)
+    assert got[2].duration_s == 1.0  # 44100*4 bytes / (44100 Hz * 2 ch * 2 B)
+    assert got[3].format == "unknown" and got[3].width is None
+    assert got[4].format == "unknown"
