@@ -139,7 +139,8 @@ _R04_NEW = frozenset(
     d43_train_split d44_pii_redact d45_importance_weight
     x27_event_paths c51c_posexplode
     d46_bigram_perplexity d47_split_leakage_scrub
-    d48_media_headers""".split()
+    d48_media_headers c15e_merge_indicator c10b_duplicated_flag
+    c31c_get_dummies c44c_deterministic_sample""".split()
 )
 
 

@@ -685,3 +685,30 @@ def c29d(spark, sf_dir):
                "'p90_within_band', CAST(ap[1] >= ex[2] AND ap[1] <= ex[3] AS BIGINT), "
                "'p99_within_band', CAST(ap[2] >= ex[4] AND ap[2] <= ex[5] AS BIGINT)) AS (rule, ok)")
     )
+
+
+@q(
+    "c31c_get_dummies",
+    """SELECT c_custkey,
+              CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS seg_automobile,
+              CAST(c_mktsegment = 'BUILDING' AS INT) AS seg_building,
+              CAST(c_mktsegment = 'FURNITURE' AS INT) AS seg_furniture,
+              CAST(c_mktsegment = 'HOUSEHOLD' AS INT) AS seg_household,
+              CAST(c_mktsegment = 'MACHINERY' AS INT) AS seg_machinery
+       FROM customer""",
+)
+def c31c(spark, sf_dir):
+    """C31 variant: pandas `get_dummies` — one-hot indicator columns from
+    a categorical. The category list is an explicit parameter (pandas
+    CategoricalDtype discipline): no driver-side distinct collect, the
+    projection is pure codegen, and unseen categories at serving time
+    can't silently widen the schema. Zero shuffle."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = tables(spark, sf_dir)("customer")
+    return c.select(
+        "c_custkey",
+        *[
+            (F.col("c_mktsegment") == s).cast("int").alias(f"seg_{s.lower()}")
+            for s in segs
+        ],
+    )

@@ -948,3 +948,57 @@ def d07b(spark, sf_dir):
         F.col("length"),
         F.sha2("content", 256).alias("sha"),
     )
+
+
+@q(
+    "c15e_merge_indicator",
+    """SELECT c.c_custkey, o.o_custkey AS o_key,
+              CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+                   WHEN o.o_custkey IS NULL THEN 'left_only'
+                   ELSE 'both' END AS merge_src
+       FROM customer c
+       FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o
+         ON c.c_custkey = o.o_custkey""",
+)
+def c15e(spark, sf_dir):
+    """C15 variant: pandas `merge(indicator=True)` — full outer join with
+    the provenance column (`both`/`left_only`/`right_only`) pandas users
+    audit joins with. Distinct-reduce the fact side first (key set, not
+    fact rows), then one sort-merge full outer on the key."""
+    t = tables(spark, sf_dir)
+    c = t("customer").select("c_custkey")
+    o = t("orders").select(F.col("o_custkey")).distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        "c_custkey",
+        F.col("o_custkey").alias("o_key"),
+        F.when(F.col("c_custkey").isNull(), "right_only")
+        .when(F.col("o_custkey").isNull(), "left_only")
+        .otherwise("both")
+        .alias("merge_src"),
+    )
+
+
+@q(
+    "c10b_duplicated_flag",
+    """SELECT doc_id,
+              CAST(count(*) OVER (PARTITION BY text) > 1 AS INT) AS is_dup,
+              CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1 AS INT)
+                  AS is_first
+       FROM documents""",
+)
+def c10b(spark, sf_dir):
+    """C10 variant: pandas `duplicated()` / `duplicated(keep='first')` as
+    FLAGS rather than a drop — the audit view of dedup. The window
+    partitions on sha2(text) so the shuffle carries 32-byte keys, never
+    document text (same contract as d01); the oracle partitions on the
+    text itself — identical grouping, engine-appropriate key."""
+    from pyspark.sql import Window as W
+
+    d = tables(spark, sf_dir)("documents")
+    w = W.partitionBy(F.sha2(F.col("text"), 256))
+    return d.select(
+        "doc_id",
+        (F.count("*").over(w) > 1).cast("int").alias("is_dup"),
+        (F.row_number().over(w.orderBy("doc_id")) == 1).cast("int").alias("is_first"),
+    )

@@ -270,3 +270,23 @@ def c44b(spark, sf_dir):
         ("oversampled_keys", oversampled),
     ]
     return spark.createDataFrame(rows, "rule string, val long")
+
+
+@q(
+    "c44c_deterministic_sample",
+    """SELECT doc_id, lang, source FROM documents
+       ORDER BY md5(doc_id::VARCHAR) LIMIT 100""",
+)
+def c44c(spark, sf_dir):
+    """C44 variant: exact-n DETERMINISTIC pseudo-random sample — order by
+    an id hash, take n. Engine/layout/re-run independent (the auditable
+    counterpart of seeded `sample`, which the driver can only rows-check),
+    uniform because md5 order is independent of any data order. Plans as
+    TakeOrderedAndProject: per-partition top-n, n-row driver merge — no
+    global sort shuffle."""
+    d = tables(spark, sf_dir)("documents")
+    return (
+        d.select("doc_id", "lang", "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .limit(100)
+    )
