@@ -593,6 +593,56 @@ class DataFrameEngine:
             "returned": len(names),
         }
 
+    def describe_dataset(self, dataframe_name: str) -> Dict[str, Any]:
+        """Catalog introspection — the DESCRIBE the reference SDK lacks
+        (SURVEY §2.5 lists no metadata beyond names): schema, partition
+        keys, and per-version physical stats (file count, bytes, rows).
+
+        Costs: manifest read + a filesystem listing + ONE Spark aggregate
+        (count grouped by the version partition column). The row count
+        compiles to parquet footer statistics — row groups are counted,
+        data pages are never decoded — so DESCRIBE on a 100 TB dataset is
+        a metadata pass, not a table scan."""
+        ds = self._dataset_entry(dataframe_name)
+        files: Dict[str, Dict[str, int]] = {}
+        for root, _dirs, names in os.walk(ds["path"]):
+            marker = f"{VERSION_COL}="
+            seg = next((p.split("=", 1)[1] for p in root.split(os.sep) if p.startswith(marker)), None)
+            if seg is None:
+                continue
+            for n in names:
+                if n.startswith((".", "_")):
+                    continue
+                st = files.setdefault(seg, {"n_files": 0, "n_bytes": 0})
+                st["n_files"] += 1
+                st["n_bytes"] += os.path.getsize(os.path.join(root, n))
+        counts = {
+            r[0]: r[1]
+            for r in self.spark.read.schema(self._full_schema(ds))
+            .parquet(ds["path"])
+            .groupBy(VERSION_COL)
+            .count()
+            .collect()
+        }
+        versions = [
+            {
+                "version": str(v),
+                "n_files": files.get(str(v), {}).get("n_files", 0),
+                "n_bytes": files.get(str(v), {}).get("n_bytes", 0),
+                "n_rows": int(counts.get(str(v), 0)),
+            }
+            for v in ds["versions"]
+        ]
+        return {
+            "name": dataframe_name,
+            "schema": json.loads(ds["schema"]),
+            "columns_keys": ds["columns_keys"],
+            "latest": ds.get("latest"),
+            "versions": versions,
+            "total_rows": sum(v["n_rows"] for v in versions),
+            "total_bytes": sum(v["n_bytes"] for v in versions),
+        }
+
     # ---------------------------------------------------------------- compact
 
     def compact(

@@ -757,3 +757,25 @@ def test_list_datasets_pagination(engine, spark):
     assert list(page["dataframes"]) == ["pg/d2", "pg/d3", "pg/d4"]
     tail = engine.list_datasets(prefix="pg/", limit=10, offset=5)
     assert list(tail["dataframes"]) == ["pg/d5", "pg/d6"]
+
+
+def test_describe_dataset_per_version_stats(engine, spark):
+    """DESCRIBE: per-version file/byte/row stats from footers + listing.
+    Two saves → two versions with the right row counts; schema and
+    partition keys surface; totals add up."""
+    df = spark.range(10).withColumnRenamed("id", "k")
+    engine.save(df, "desc/t", external_key="v1")
+    engine.save(spark.range(4).withColumnRenamed("id", "k"), "desc/t", external_key="v2")
+    d = engine.describe_dataset("desc/t")
+    assert d["name"] == "desc/t" and d["latest"] == "v2"
+    by_v = {v["version"]: v for v in d["versions"]}
+    assert by_v["v1"]["n_rows"] == 10 and by_v["v2"]["n_rows"] == 4
+    assert all(v["n_files"] >= 1 and v["n_bytes"] > 0 for v in d["versions"])
+    assert d["total_rows"] == 14
+    assert [f["name"] for f in d["schema"]["fields"]] == ["k"]
+
+    import pytest as _pytest
+    from pandas_db_sdk_spark.engine import DatasetNotFound
+
+    with _pytest.raises(DatasetNotFound):
+        engine.describe_dataset("desc/absent")
