@@ -385,12 +385,15 @@ def bigram_logprob(
     bg = df.select(F.col(id_col), F.explode(zipped).alias("__b")).select(
         id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
     )
+    from pyspark.sql import Window
+
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # context totals as a window sum over the MODEL rows: one re-key on w1,
+    # no groupBy+join-back pair (saves an exchange and a join)
+    c12 = c12.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
     vocab = bg.agg(F.countDistinct("w2").alias("vocab"))
     lm = (
-        c12.join(ctx, "w1")
-        .crossJoin(F.broadcast(vocab))
+        c12.crossJoin(F.broadcast(vocab))
         .select(
             "w1",
             "w2",

@@ -375,3 +375,28 @@ def test_importance_weight_vocab_join_unhinted(spark, queries):
     assert logical.count("UnresolvedHint broadcast") <= 1 or logical.count("ResolvedHint") <= 1
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+def test_round4_batch3_shuffle_budgets(spark, queries):
+    """Pandas-parity + LM-ladder ops: one-hot is pure codegen; the
+    duplicated-audit pays one window re-key (on sha2, never text); the
+    indicator merge distinct-reduces the fact side before one full-outer;
+    the exact-n sample plans TakeOrdered (no global sort); the bigram LM
+    pays explode-agg + model re-agg + join-back, never a corpus re-scan
+    per stage."""
+    spark.catalog.clearCache()
+    budgets = {
+        "c31c_get_dummies": 0,
+        "c10b_duplicated_flag": 1,
+        "c15e_merge_indicator": 3,
+        "c44c_deterministic_sample": 1,
+        "d46_bigram_perplexity": 8,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = plan.count("Exchange")
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+    plan = plan_of(queries["c44c_deterministic_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    plan = plan_of(queries["c10b_duplicated_flag"](spark, SF))
+    assert "sha2" in plan  # the window shuffles 32-byte keys, not text
