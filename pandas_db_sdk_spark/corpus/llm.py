@@ -1640,3 +1640,47 @@ def d48(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     payloads = multimodal.synth_media_payload(d, "doc_id")
     return multimodal.parse_media_headers(payloads, "payload", "doc_id")
+
+
+@q(
+    "d49_bloom_prune_join",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       WHERE l_orderkey IN
+         (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""",
+)
+def d49(spark, sf_dir):
+    """Sketch tier: Bloom-prefiltered semi join (sketches.bloom_semi_join).
+    The big side is pruned by a broadcast 1 MiB bitmap (distributed OR-tree
+    build, vectorized Arrow probe) BEFORE the shuffle; the trailing exact
+    semi join makes the result oracle-identical to a plain IN-subquery.
+    At 100 TB this is the runtime-filter pattern: shuffle bytes scale with
+    the match rate + Bloom fp-rate, not the big-table size."""
+    from .. import sketches
+
+    t = tables(spark, sf_dir)
+    li, o = t("lineitem"), t("orders")
+    small = o.filter(F.col("o_totalprice") > 400000)
+    out = sketches.bloom_semi_join(li, small, "l_orderkey", "o_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@q(
+    "d50_heavy_hitters",
+    """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+       tot AS (SELECT count(*) AS n FROM toks)
+       SELECT item, count(*) AS cnt FROM toks, tot
+       GROUP BY item, n HAVING count(*) > 0.002 * n""",
+)
+def d50(spark, sf_dir):
+    """Sketch tier: EXACT heavy hitters (tokens with >0.2% corpus
+    frequency) via per-partition Misra–Gries candidate nomination + exact
+    recount of the bounded candidate set (sketches.heavy_hitters). The
+    full-corpus groupBy never materializes the unbounded token domain —
+    per-task state is k counters, the recount domain is ≤ partitions × k
+    keys — yet the output is oracle-equal to the naive GROUP BY/HAVING."""
+    from .. import sketches
+
+    d = tables(spark, sf_dir)("documents")
+    toks = d.select(F.explode(text.tokens("text")).alias("token"))
+    return sketches.heavy_hitters(toks, "token", 0.002)

@@ -1,0 +1,222 @@
+"""Distributed sketches: Bloom-filter join pruning and exact heavy hitters.
+
+The reference SDK (`/root/reference/src/pandas_db_sdk/client.py`, 216 lines)
+exposes no sketch surface; these are the scale-path operators a 100 TB
+training-data pipeline leans on:
+
+- ``bloom_semi_join`` — the runtime-filter pattern (Spark's own
+  ``spark.sql.optimizer.runtime.bloomFilter`` applies it only inside one
+  query): build a Bloom bitmap over the SMALL side's join keys with a
+  tree-reduce of per-partition bitmaps, broadcast the final megabyte-scale
+  bitmap, and drop non-matching big-side rows BEFORE the shuffle join. The
+  exact verify join afterwards makes the result identical to a plain
+  left-semi join (false positives only cost shuffle bytes, never
+  correctness), so the operator stays oracle-checkable.
+
+- ``heavy_hitters`` — exact frequent items without a full groupBy over
+  every distinct key: a per-partition Misra–Gries pass (bounded counters,
+  mapInPandas) nominates candidates — guaranteed to include every item
+  with global frequency > N/k — then one exact recount of ONLY the
+  candidates (a broadcast semi join; candidate count is bounded by
+  partitions × k) yields exact counts. The expensive groupBy touches a
+  bounded key set instead of the full distinct domain.
+
+Both sketches hash on the JVM side (``xxhash64``) so Python only does
+vectorized numpy arithmetic on int64 columns — no Python-side string
+hashing in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["bloom_semi_join", "build_bloom_bitmap", "heavy_hitters"]
+
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constants). Input and
+    output are uint64 arrays; numpy unsigned arithmetic wraps mod 2^64."""
+    z = x + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _bit_positions(h64: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(n, k) bit indexes via double hashing: h1 + i*h2 mod m. ``num_bits``
+    must be a power of two so the mod is a mask (and uniform)."""
+    mask = _U64(num_bits - 1)
+    h1 = _splitmix64(h64)
+    h2 = _splitmix64(h64 ^ _U64(0xA5A5A5A5A5A5A5A5)) | _U64(1)
+    i = np.arange(num_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) & mask).astype(np.int64)
+
+
+def _or_reduce_bitmaps(pdf_iter, n_words: int):
+    bm = np.zeros(n_words, dtype=np.uint64)
+    saw = False
+    for pdf in pdf_iter:
+        for buf in pdf["bitmap"]:
+            bm |= np.frombuffer(buf, dtype=np.uint64)
+            saw = True
+    return bm, saw
+
+
+def build_bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    fanin: int = 16,
+) -> bytes:
+    """Bloom bitmap (little-endian uint64 words) over ``keys[key_col]``.
+
+    Scale posture: every input partition reduces to ONE ``num_bits/8``-byte
+    row (mapInPandas, streaming over Arrow batches — per-task state is the
+    bitmap, not the keys), then a two-level OR tree (``fanin`` groups →
+    one row) bounds what any single reducer sees at ``max(P/fanin, fanin)``
+    bitmaps. Only the final single bitmap reaches the driver — at the
+    default 1 Mib that is broadcast-sized regardless of key count.
+    """
+    if num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two, got {num_bits}")
+    n_words = num_bits // 64
+
+    hashed = keys.select(F.xxhash64(F.col(key_col)).alias("h"))
+
+    def partition_bitmap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(n_words, dtype=np.uint64)
+        saw = False
+        for pdf in it:
+            if len(pdf):
+                saw = True
+                pos = _bit_positions(
+                    pdf["h"].to_numpy(dtype=np.int64).view(np.uint64),
+                    num_bits,
+                    num_hashes,
+                )
+                words, bits = pos >> 6, pos & 63
+                np.bitwise_or.at(bm, words.ravel(), _U64(1) << bits.ravel().astype(np.uint64))
+        if saw:
+            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        bm, _ = _or_reduce_bitmaps([pdf], n_words)
+        return pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    partial = hashed.mapInPandas(partition_bitmap, "bitmap binary")
+    merged = (
+        partial.withColumn("g", F.pmod(F.xxhash64(F.col("bitmap")), F.lit(fanin)))
+        .groupBy("g")
+        .applyInPandas(lambda pdf: or_group(pdf), "bitmap binary")
+        .withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(lambda pdf: or_group(pdf), "bitmap binary")
+    )
+    rows = merged.collect()
+    if not rows:  # empty key set: nothing can match
+        return bytes(num_bits // 8)
+    return bytes(rows[0]["bitmap"])
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    small_key: str | None = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """``big ⋉ small`` with a Bloom prefilter on the big side.
+
+    Result is EXACTLY ``big.join(small_keys, 'left_semi')`` — the bitmap
+    probe only discards rows that provably cannot match (no false
+    negatives: a key present in ``small`` always has all its bits set);
+    survivors still go through the exact semi join, so Bloom false
+    positives cost shuffle bytes, not correctness.
+
+    Why it matters at 100 TB: with a selective small side, the shuffle for
+    the semi join moves only the ~fp-rate fraction of the big table that
+    survives the probe instead of every row. The probe itself is a
+    broadcast of one ``num_bits/8``-byte bitmap plus a vectorized Arrow
+    batch filter — no per-row Python, no driver-side key set.
+    """
+    small_key = small_key or key
+    keys = small.select(F.col(small_key).alias(key)).distinct()
+    bitmap = build_bloom_bitmap(keys, key, num_bits=num_bits, num_hashes=num_hashes)
+    bc = big.sparkSession.sparkContext.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint64)
+        pos = _bit_positions(
+            h.to_numpy(dtype=np.int64).view(np.uint64), num_bits, num_hashes
+        )
+        hit = (bm[pos >> 6] >> (pos & 63).astype(np.uint64)) & _U64(1)
+        return pd.Series(hit.all(axis=1))
+
+    pruned = big.filter(probe(F.xxhash64(F.col(key))))
+    return pruned.join(keys, key, "left_semi")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_frac: float,
+    extra_counters: int = 8,
+) -> DataFrame:
+    """Exact items with frequency > ``threshold_frac`` of total rows.
+
+    Two passes:
+
+    1. Per-partition Misra–Gries with k = ceil(1/threshold_frac) +
+       ``extra_counters`` counters (mapInPandas; per-task state is k
+       dict entries, independent of partition size). An item the pass
+       drops in EVERY partition has per-partition count ≤ n_p/k, hence
+       global count ≤ N/k ≤ threshold·N — so the candidate union
+       provably contains every true heavy hitter.
+    2. Exact recount of candidates only: broadcast the candidate set
+       (≤ partitions × k rows by construction), left-semi the source,
+       groupBy over that bounded key domain, filter by the exact global
+       threshold (1-row count table, broadcast BNLJ).
+
+    Returns ``(item, cnt)`` — deterministic and oracle-equal to the plain
+    ``GROUP BY ... HAVING cnt > frac*N``, but the full-table groupBy never
+    materializes the unbounded distinct domain.
+    """
+    k = int(math.ceil(1.0 / threshold_frac)) + extra_counters
+    vals = df.select(F.col(col).alias("item"))
+    typ = vals.schema["item"].dataType.simpleString()
+
+    def mg_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in it:
+            for item, c in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                # batched decrement: subtracting the (len-k)-th smallest
+                # count from every counter removes equal occurrences of
+                # distinct items — the classic MG step, amortized per batch.
+                cut = sorted(counters.values())[len(counters) - k - 1]
+                counters = {i: n - cut for i, n in counters.items() if n > cut}
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = vals.mapInPandas(mg_partition, f"item {typ}").distinct()
+    total = df.select(F.count("*").alias("n_total"))
+    return (
+        vals.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > threshold_frac * F.col("n_total"))
+        .select("item", "cnt")
+    )

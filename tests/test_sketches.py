@@ -1,0 +1,129 @@
+"""Bloom semi-join and Misra–Gries heavy hitters — contracts and plans.
+
+The oracle suite already proves both are value-exact at sf0.01; these pin
+the guarantees that make them sketches worth shipping: no false negatives
+in the bitmap probe, exactness under adversarial skew, determinism of the
+bitmap bytes, and the plan shape (probe filter BEFORE the shuffle join;
+candidate recount is a broadcast, not a full-domain shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark import sketches
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_bloom_semi_join_equals_plain_semi_join_string_keys(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("text").alias("t")
+    )
+    got = sketches.bloom_semi_join(docs, small, "text", "t", num_bits=1 << 16)
+    want = docs.join(
+        small.select(F.col("t").alias("text")).distinct(), "text", "left_semi"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_semi_join_empty_small_side(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(F.lit(False))
+    out = sketches.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    assert out.count() == 0
+
+
+def test_bloom_bitmap_deterministic_and_order_insensitive(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
+    a = sketches.build_bloom_bitmap(o, "o_orderkey", num_bits=1 << 14)
+    b = sketches.build_bloom_bitmap(
+        o.repartition(7), "o_orderkey", num_bits=1 << 14
+    )
+    # OR is commutative/associative: bitmap bytes are partitioning-invariant
+    assert a == b
+    assert len(a) == (1 << 14) // 8
+
+
+def test_bloom_tiny_bitmap_still_exact(spark):
+    """A deliberately undersized bitmap (high fp-rate) must still return the
+    exact semi join — false positives only feed the verify join."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_totalprice") > 500000
+    )
+    got = sketches.bloom_semi_join(li, o, "l_orderkey", "o_orderkey", num_bits=256)
+    want = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_heavy_hitters_adversarial_skew_exact(spark):
+    """One key holds ~40% of rows, a band of keys sits just above and just
+    below threshold; MG candidates + exact recount must match the naive
+    groupBy exactly — including excluding the at-threshold key."""
+    n = 20000
+    base = spark.range(n)
+    # key 'hot' ~ 40%; keys m0..m9 ~1.2% each; tail unique
+    df = base.select(
+        F.when(F.col("id") % 5 <= 1, F.lit("hot"))
+        .when(F.col("id") % 83 == 0, F.concat(F.lit("m"), (F.col("id") % 10)))
+        .otherwise(F.concat(F.lit("u"), F.col("id")))
+        .alias("item")
+    ).repartition(16)
+    got = sketches.heavy_hitters(df, "item", 0.01).toPandas()
+    total = df.count()
+    want = (
+        df.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 0.01 * total)
+        .toPandas()
+    )
+    g = got.sort_values("item").reset_index(drop=True)
+    w = want.sort_values("item").reset_index(drop=True)
+    assert g.equals(w), (g, w)
+    assert "hot" in set(g["item"])
+
+
+def test_heavy_hitters_threshold_is_strict(spark):
+    """Exactly-at-threshold frequency is excluded (matches HAVING cnt > t*N)."""
+    rows = [("a",)] * 10 + [("b",)] * 5 + [("c",)] * 85
+    df = spark.createDataFrame(rows, ["item"])
+    got = {r["item"] for r in sketches.heavy_hitters(df, "item", 0.10).collect()}
+    assert got == {"c"}  # 'a' is exactly 10% — excluded by strict >
+
+
+def test_bloom_probe_filters_before_join(spark):
+    """The Arrow probe must sit UPSTREAM of the verify join: at 100 TB the
+    point is that pruned rows never reach the exchange."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+    out = sketches.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # vectorized probe, not BatchEvalPython
+    assert "BatchEvalPython" not in plan
+    probe_pos = plan.index("ArrowEvalPython")
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"), plan.find("BroadcastHashJoin"))
+        if p >= 0
+    )
+    # executedPlan prints top-down: the join node appears BEFORE (above) the
+    # probe in the string iff the probe is its child — i.e. runs first.
+    assert join_pos < probe_pos, "probe does not feed the verify join"
+
+
+def test_heavy_hitters_recount_is_broadcast(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    out = sketches.heavy_hitters(toks, "token", 0.002)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # candidate semi join broadcasts the bounded candidate set
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
