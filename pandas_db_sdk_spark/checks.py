@@ -88,3 +88,42 @@ def assert_valid(df: DataFrame, rules: Mapping[str, Column]) -> None:
             "data-quality violations: "
             + ", ".join(f"{name} ({n} rows)" for name, n in failing)
         )
+
+
+def profile(df: DataFrame) -> DataFrame:
+    """One-pass, any-width column profiler: per column, non-null count,
+    exact distinct count, and numeric min/max (NULL for non-numeric
+    columns) — the pandas ``describe``/data-dictionary pass over an
+    arbitrary table.
+
+    Scale shape: the table is unpivoted in-task (``stack`` — a Generate
+    inside the scan stage, no shuffle) into (col_name, value_str,
+    value_num) rows, then ONE groupBy over at most ``len(columns)`` keys
+    computes every stat. The scan happens once regardless of column count
+    — vs the naive per-column aggregate loop that re-reads the table N
+    times. Distinct counts use the string image (Spark's double→string is
+    shortest-round-trip, hence injective), so partial-distinct aggregation
+    applies; min/max stay numeric.
+    """
+    from pyspark.sql.types import NumericType
+
+    parts = []
+    for f in df.schema.fields:
+        num = (
+            f"cast(`{f.name}` as double)"
+            if isinstance(f.dataType, NumericType)
+            else "cast(null as double)"
+        )
+        parts.append(f"'{f.name}', cast(`{f.name}` as string), {num}")
+    stacked = df.select(
+        F.expr(
+            f"stack({len(df.columns)}, {', '.join(parts)}) "
+            "as (col_name, value_str, value_num)"
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count("value_str").alias("n_nonnull"),
+        F.countDistinct("value_str").alias("n_distinct"),
+        F.round(F.min("value_num"), 4).alias("min_num"),
+        F.round(F.max("value_num"), 4).alias("max_num"),
+    )

@@ -1684,3 +1684,40 @@ def d50(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     toks = d.select(F.explode(text.tokens("text")).alias("token"))
     return sketches.heavy_hitters(toks, "token", 0.002)
+
+
+@q(
+    "d51_vocab_growth",
+    """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       per_doc AS (SELECT doc_id, count(*) AS n_tokens FROM terms GROUP BY 1),
+       firsts AS (SELECT token, min(doc_id) AS doc_id FROM terms GROUP BY 1),
+       newt AS (SELECT doc_id, count(*) AS new_tokens FROM firsts GROUP BY 1)
+       SELECT p.doc_id,
+              CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id) AS BIGINT) AS cum_tokens,
+              CAST(sum(coalesce(n.new_tokens, 0)) OVER (ORDER BY p.doc_id) AS BIGINT)
+                  AS cum_vocab
+       FROM per_doc p LEFT JOIN newt n USING (doc_id)""",
+)
+def d51(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: cumulative distinct vocabulary vs
+    cumulative token count in doc_id order (the corpus-diversity diagnostic
+    behind dedup/mix decisions). The running distinct count reduces to a
+    SUM: each token contributes at its min-doc_id first occurrence — so no
+    windowed COUNT(DISTINCT) exists anywhere; both prefix sums run through
+    scale.global_cumsum (range-partition → local running sum → broadcast
+    per-partition offsets), never a single-task global window. Oracle
+    states the same semantics with the naive OVER (ORDER BY)."""
+    from ..scale import global_cumsum
+
+    d = tables(spark, sf_dir)("documents")
+    terms = d.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    per_doc = terms.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    firsts = terms.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    newt = firsts.groupBy("doc_id").agg(F.count("*").alias("new_tokens"))
+    j = per_doc.join(newt, "doc_id", "left").na.fill(0, ["new_tokens"])
+    out = global_cumsum(
+        j, ["doc_id"], {"cum_tokens": "n_tokens", "cum_vocab": "new_tokens"},
+        n_partitions=8,
+    )
+    return out.select("doc_id", "cum_tokens", "cum_vocab")

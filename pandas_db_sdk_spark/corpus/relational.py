@@ -1002,3 +1002,37 @@ def c10b(spark, sf_dir):
         (F.count("*").over(w) > 1).cast("int").alias("is_dup"),
         (F.row_number().over(w.orderBy("doc_id")) == 1).cast("int").alias("is_first"),
     )
+
+
+@q(
+    "c70_profile_table",
+    """SELECT 'c_custkey' AS col_name, count(c_custkey) AS n_nonnull,
+              count(DISTINCT c_custkey) AS n_distinct,
+              round(CAST(min(c_custkey) AS DOUBLE), 4) AS min_num,
+              round(CAST(max(c_custkey) AS DOUBLE), 4) AS max_num
+       FROM customer
+       UNION ALL
+       SELECT 'c_name', count(c_name), count(DISTINCT c_name),
+              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer
+       UNION ALL
+       SELECT 'c_nationkey', count(c_nationkey), count(DISTINCT c_nationkey),
+              round(CAST(min(c_nationkey) AS DOUBLE), 4),
+              round(CAST(max(c_nationkey) AS DOUBLE), 4) FROM customer
+       UNION ALL
+       SELECT 'c_acctbal', count(c_acctbal), count(DISTINCT c_acctbal),
+              round(CAST(min(c_acctbal) AS DOUBLE), 4),
+              round(CAST(max(c_acctbal) AS DOUBLE), 4) FROM customer
+       UNION ALL
+       SELECT 'c_mktsegment', count(c_mktsegment), count(DISTINCT c_mktsegment),
+              CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer""",
+)
+def c70(spark, sf_dir):
+    """C69 sibling: one-pass any-width column profiler (checks.profile) —
+    per column non-null count, exact distinct count, numeric min/max. The
+    table is stack-unpivoted inside the scan stage (Generate, no shuffle)
+    and ONE groupBy over len(columns) keys computes every stat: the scan
+    happens once however many columns the table has, where the naive
+    per-column loop (and this oracle) re-reads it N times."""
+    from ..checks import profile
+
+    return profile(tables(spark, sf_dir)("customer"))

@@ -212,3 +212,53 @@ def with_zvalue(
             bit = F.shiftrightunsigned(bucket, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + ci))
     return df.withColumn(z_col, z)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    sums: dict[str, str],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Running totals in global ``order_by`` order WITHOUT the single-task
+    ``OVER (ORDER BY …)`` window — the prefix-sum sibling of
+    ``global_row_index`` (same three bounded steps: range-repartition,
+    within-partition running sums, broadcast per-partition offsets; the
+    only converging data is one totals row per partition).
+
+    ``sums`` maps output column → input column: ``{"cum_tokens":
+    "n_tokens"}`` adds a ``cum_tokens`` running total of ``n_tokens``.
+    ``order_by`` must be a total order for a deterministic result.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Column, Window
+
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+    ranged = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged
+    for dst, src in sums.items():
+        out = out.withColumn(dst, F.sum(src).over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ranged.groupBy("__pid").agg(
+        *[F.sum(src).alias(f"__t_{dst}") for dst, src in sums.items()]
+    )
+    for dst in sums:
+        offsets = offsets.withColumn(
+            f"__o_{dst}", F.coalesce(F.sum(f"__t_{dst}").over(w_off), F.lit(0))
+        )
+    offsets = offsets.select("__pid", *[f"__o_{d}" for d in sums])
+    out = out.join(F.broadcast(offsets), "__pid")
+    for dst in sums:
+        out = out.withColumn(dst, F.col(dst) + F.col(f"__o_{dst}"))
+    return out.drop("__pid", *[f"__o_{d}" for d in sums])

@@ -400,3 +400,48 @@ def test_round4_batch3_shuffle_budgets(spark, queries):
     assert "TakeOrderedAndProject" in plan
     plan = plan_of(queries["c10b_duplicated_flag"](spark, SF))
     assert "sha2" in plan  # the window shuffles 32-byte keys, not text
+
+
+def _unique_exchanges(plan: str) -> int:
+    """Distinct physical Exchange nodes. The string count over-reports when
+    a persisted subtree prints under several parents (its exchanges run
+    once but appear per reference), so count unique plan_ids."""
+    import re
+
+    ids = set()
+    loose = 0
+    for line in plan.splitlines():
+        if "Exchange" not in line:
+            continue
+        m = re.search(r"plan_id=(\d+)", line)
+        if m:
+            ids.add(m.group(1))
+        else:
+            loose += 1
+    return len(ids) + loose
+
+
+def test_round4_batch4_shuffle_budgets(spark, queries):
+    """Sketch + profiler + prefix-sum ops: the profiler pays one distinct-
+    aggregate (stack is a Generate inside the scan stage — the N-column
+    profile still scans once); vocab growth pays the token aggs + one
+    range re-key (never a single-task global window over the data); the
+    Bloom query's verify join and the heavy-hitter recount stay bounded
+    equi-joins."""
+    spark.catalog.clearCache()
+    budgets = {
+        "c70_profile_table": 2,
+        "d51_vocab_growth": 10,
+        "d49_bloom_prune_join": 4,
+        "d50_heavy_hitters": 5,  # incl. 2 broadcast exchanges (candidates, 1-row total)
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = _unique_exchanges(plan)
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+    plan = plan_of(queries["c70_profile_table"](spark, SF))
+    assert "Generate" in plan or "stack" in plan  # unpivot inside scan stage
+    plan = plan_of(queries["d51_vocab_growth"](spark, SF))
+    # the DATA windows are pid-partitioned; the only single-partition sort
+    # is over the n_partitions-row offsets frame (bounded at any scale)
+    assert "windowspecdefinition(__pid" in plan

@@ -251,3 +251,32 @@ def test_minhash_adversarial_cluster_pair_volume_and_cap(spark):
     # cluster pairs (the documented recall cost of capping below the
     # natural duplicate-group size)
     assert cluster_pairs(100) == 0
+
+
+def test_global_cumsum_matches_naive_window_and_partitioning_invariant(spark):
+    from pyspark.sql import Window
+
+    from pandas_db_sdk_spark.scale import global_cumsum
+
+    df = (
+        spark.range(5000)
+        .select(
+            (F.col("id") * 37 % 5000).alias("k"),  # 37 ⟂ 5000: bijective, total order
+            (F.col("id") % 13).alias("a"),
+            (F.col("id") % 7).alias("b"),
+        )
+        .repartition(16)
+    )
+    out = global_cumsum(df, ["k"], {"cum_a": "a", "cum_b": "b"}, n_partitions=8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.withColumn("cum_a", F.sum("a").over(w)).withColumn(
+        "cum_b", F.sum("b").over(w)
+    )
+    got = out.orderBy("k").toPandas()
+    want = naive.orderBy("k").toPandas()[got.columns]
+    assert got.equals(want)
+    # partitioning-invariant: different source layout, same totals
+    out2 = global_cumsum(
+        df.repartition(3), ["k"], {"cum_a": "a", "cum_b": "b"}, n_partitions=5
+    )
+    assert out2.orderBy("k").toPandas().equals(want)
