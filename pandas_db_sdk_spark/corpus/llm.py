@@ -1721,3 +1721,27 @@ def d51(spark, sf_dir):
         n_partitions=8,
     )
     return out.select("doc_id", "cum_tokens", "cum_vocab")
+
+
+@q(
+    "d52_weighted_sample",
+    """SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+                round(ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                          + 0.5) / 4294967296.0) / n_chars, 12) AS wkey
+         FROM documents)
+       ORDER BY wkey DESC, doc_id LIMIT 100""",
+)
+def d52(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES
+    exponential sort, weight = document length): the md5-derived uniform
+    makes the sampled ID set engine/layout-independent — the oracle
+    recomputes the identical formula and must select the identical 100
+    docs. Plans as TakeOrderedAndProject (k-row driver merge, no global
+    sort)."""
+    from .. import pipeline as pl
+
+    d = tables(spark, sf_dir)("documents")
+    return pl.weighted_sample(d, "doc_id", "n_chars", 100).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -1036,3 +1036,25 @@ def c70(spark, sf_dir):
     from ..checks import profile
 
     return profile(tables(spark, sf_dir)("customer"))
+
+
+@q(
+    "c71_skew_report",
+    """WITH counts AS (
+           SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+       SELECT count(*) AS n_keys,
+              CAST(sum(cnt) AS BIGINT) AS total_rows,
+              CAST(max(cnt) AS BIGINT) AS max_cnt,
+              round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+              round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+              round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_share
+       FROM counts""",
+)
+def c71(spark, sf_dir):
+    """C70 sibling: key-skew diagnostic (scale.skew_report) — the one-row
+    frame you read before choosing salting / broadcast / AQE-skew handling
+    for a join or agg on this key. One count agg over keys + one global
+    agg over the per-key counts."""
+    from ..scale import skew_report
+
+    return skew_report(tables(spark, sf_dir)("events"), "user_id")

@@ -180,3 +180,39 @@ def hash_split(
         .when(bucket < b_val, "val")
         .otherwise("test"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k of the
+    Efraimidis–Spirakis exponential sort): rank rows by ln(u)/w descending
+    where u ∈ (0,1) derives from md5(id) — engine- and layout-independent,
+    so the sampled ID SET is reproducible anywhere (same contract as
+    ``hash_split``/``source_quota_sample``: auditable sampling, no RNG
+    state, no partitioning dependence).
+
+    Inclusion probability is proportional-to-weight in the
+    without-replacement sense of A-ES. The sort key is rounded to 12
+    decimals (ties broken by id) so independent engines computing the same
+    formula agree bit-for-bit despite last-ulp ``ln`` differences.
+
+    Scale: the key is three codegen'd expressions; top-k plans as
+    TakeOrderedAndProject — a k-row merge on the driver, never a global
+    sort of the corpus.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col), 12)
+    return (
+        df.withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )

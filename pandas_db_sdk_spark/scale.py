@@ -262,3 +262,30 @@ def global_cumsum(
     for dst in sums:
         out = out.withColumn(dst, F.col(dst) + F.col(f"__o_{dst}"))
     return out.drop("__pid", *[f"__o_{d}" for d in sums])
+
+
+def skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Pre-join/agg skew diagnostic: one row describing the key-frequency
+    distribution of ``key_col`` — distinct keys, total rows, hottest-key
+    count, p50/p99 per-key counts (exact interpolated percentiles), and
+    the hottest key's share of all rows. Reading it answers the 100 TB
+    planning questions: does this key need salting (`salted_agg`/
+    `salted_join`)? will AQE's skew-join threshold trigger?
+
+    Movement: one partial+final count agg over the keys, then a single
+    global agg whose input is one row PER KEY (counts, not rows); the
+    report frame is 1 row.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count("*").alias("cnt"))
+    return (
+        counts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+        )
+        .withColumn(
+            "top_share", F.round(F.col("max_cnt") / F.col("total_rows"), 6)
+        )
+    )

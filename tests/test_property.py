@@ -341,3 +341,30 @@ def test_prefix_dedup_keep_longest_properties(spark, docs):
     df2 = spark.createDataFrame(list(kept.items()), "doc_id long, text string")
     again = {r.doc_id: r.text for r in dedup(df2).collect()}
     assert again == kept
+
+
+def test_weighted_sample_bias_determinism_and_plan(spark):
+    """A-ES weighted sampling: layout-independent ID set, heavy items
+    over-represented vs a tiny-weight control, top-k plans as TakeOrdered."""
+    from pandas_db_sdk_spark.pipeline import weighted_sample
+    from pyspark.sql import functions as F
+
+    # 500 ids, weight 1000 for ids < 50, weight 1 otherwise
+    df = spark.range(500).select(
+        F.col("id").alias("id"),
+        F.when(F.col("id") < 50, 1000).otherwise(1).alias("w"),
+    )
+    s1 = {r.id for r in weighted_sample(df, "id", "w", 60).collect()}
+    s2 = {r.id for r in weighted_sample(df.repartition(13), "id", "w", 60).collect()}
+    assert s1 == s2, "sampled set depends on partitioning"
+    heavy = sum(1 for i in s1 if i < 50)
+    # 50 heavy ids carry 1000/1450 of a-priori inclusion pressure; require
+    # a clear majority (deterministic: fixed md5-derived uniforms)
+    assert heavy >= 45, f"only {heavy}/60 heavy ids sampled"
+    plan = (
+        weighted_sample(df, "id", "w", 60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
