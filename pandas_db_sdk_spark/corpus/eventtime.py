@@ -348,3 +348,36 @@ def c57b(spark, sf_dir):
             "avg_value",
         )
     )
+
+
+@q(
+    "c72_rolling_anomaly",
+    """SELECT event_id, event_type, n_prev,
+              CASE WHEN n_prev >= 10 AND std > 0
+                   THEN round((value - mean) / std, 6) END AS z,
+              coalesce(CASE WHEN n_prev >= 10 AND std > 0
+                            THEN abs((value - mean) / std) > 3 END,
+                       FALSE) AS is_anomaly
+       FROM (
+         SELECT event_id, event_type, value,
+                count(value) OVER w AS n_prev,
+                CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                    / count(value) OVER w AS mean,
+                sqrt((CAST(sum(CAST(value * value AS DECIMAL(24,4))) OVER w AS DOUBLE)
+                      - pow(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 2)
+                        / count(value) OVER w)
+                     / (count(value) OVER w - 1)) AS std
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                      ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))""",
+)
+def c72(spark, sf_dir):
+    """C66–C69 sibling: rolling z-score anomaly detection
+    (timeseries.rolling_zscore) — each event scored against the preceding
+    50 events of its type; decimal-exact moments make the score engine-
+    deterministic. One window re-key."""
+    from .. import timeseries as TS
+
+    e = tables(spark, sf_dir)("events")
+    out = TS.rolling_zscore(e, "value", "event_id", ["event_type"], window=50)
+    return out.select("event_id", "event_type", "n_prev", "z", "is_anomaly")

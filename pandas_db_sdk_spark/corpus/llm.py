@@ -1745,3 +1745,22 @@ def d52(spark, sf_dir):
     return pl.weighted_sample(d, "doc_id", "n_chars", 100).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@q(
+    "d53_edit_distance_pairs",
+    """WITH v AS (SELECT DISTINCT c_name AS s FROM customer)
+       SELECT a.s AS name_a, b.s AS name_b,
+              CAST(levenshtein(a.s, b.s) AS INT) AS dist
+       FROM v a JOIN v b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1""",
+)
+def d53(spark, sf_dir):
+    """Entity resolution: all customer-name pairs within edit distance 1,
+    via SymSpell deletion-neighborhood blocking (dedup.edit_distance_pairs)
+    — candidates from ONE equi-join on deletion variants (codegen'd HOF
+    generation, no crossJoin), levenshtein verify only on bucket
+    collisions. The oracle does the O(V²) comparison the blocking
+    avoids; both must produce the identical 19.5k pairs."""
+    d = tables(spark, sf_dir)("customer")
+    out = dedup.edit_distance_pairs(d, "c_name", max_dist=1)
+    return out.withColumn("dist", F.col("dist").cast("int"))

@@ -622,3 +622,50 @@ def incremental_dedup_minhash(
     return new_df.join(
         verified, F.col(id_col) == F.col("__dup_id"), "left_anti"
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All DISTINCT string pairs within Levenshtein distance ``max_dist``
+    (currently 1) via SymSpell-style deletion-neighborhood blocking —
+    entity resolution over near-identical names/IDs without the O(V²)
+    comparison.
+
+    Two strings are within distance 1 iff their deletion neighborhoods
+    (the string itself plus every single-character deletion) intersect:
+    a substitution matches where both delete the differing position, an
+    insertion/deletion matches where the longer string deletes the extra
+    character. So candidates come from ONE equi-join on the variant key —
+    never a crossJoin — and the final ``levenshtein`` verify only runs on
+    bucket collisions. Variant generation is a codegen'd sequence/
+    transform HOF: |s|+1 rows per distinct string, all JVM-side.
+
+    At 100 TB: pair volume is Σ bucket², concentrated exactly where true
+    near-matches are; the blocking join shuffles (variant, string) rows
+    whose count is corpus × (avg_len+1) — linear, with the same AQE skew
+    handling as every other equi-join.
+    """
+    if max_dist != 1:
+        raise ValueError("deletion-neighborhood blocking implements max_dist=1")
+    s = df.select(F.col(text_col).alias("s")).distinct()
+    variants = s.select(
+        "s",
+        F.explode(
+            F.expr(
+                "array_union(array(s), transform(sequence(1, length(s)), "
+                "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)))))"
+            )
+        ).alias("variant"),
+    )
+    b = variants.select(F.col("s").alias("s2"), "variant")
+    return (
+        variants.join(b, "variant")
+        .filter(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("name_a"), F.col("s2").alias("name_b"))
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+    )

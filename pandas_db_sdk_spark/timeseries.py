@@ -198,3 +198,44 @@ def interpolate_linear(
         .otherwise(prev_v.cast("double") + (next_v.cast("double") - prev_v.cast("double")) * frac)
     )
     return df.withColumn(out_col, F.round(interp, 6))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    keys: list[str],
+    window: int = 50,
+    min_n: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags: each row scored against the mean/std
+    of the PRECEDING ``window`` rows in its key group (the current row is
+    excluded from its own baseline — no self-masking). Rows with fewer
+    than ``min_n`` preceding observations, or a zero-variance baseline,
+    get a NULL score.
+
+    Determinism across engines: the two moments use exact decimal sums
+    (order-independent partial aggregation), and everything after —
+    subtract, divide, sqrt — is correctly-rounded IEEE double arithmetic,
+    identical on any engine. One window re-key; per-task state is the
+    window frame.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(value_col).over(w)
+    s1 = F.sum(v.cast("decimal(18,4)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(24,4)")).over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= min_n) & (std > 0), F.round((v - mean) / std, 6)
+    )
+    return df.withColumn("n_prev", n).withColumn("z", z).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
+    )

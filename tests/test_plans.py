@@ -445,3 +445,15 @@ def test_round4_batch4_shuffle_budgets(spark, queries):
     # the DATA windows are pid-partitioned; the only single-partition sort
     # is over the n_partitions-row offsets frame (bounded at any scale)
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_edit_distance_blocking_and_anomaly_plans(spark, queries):
+    """d53 candidates must come from the deletion-variant equi-join —
+    never a cartesian/BNLJ over the vocabulary; c72 pays exactly one
+    window re-key."""
+    plan = plan_of(queries["d53_edit_distance_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # verify only after blocking
+    plan = plan_of(queries["c72_rolling_anomaly"](spark, SF))
+    assert _unique_exchanges(plan) <= 1
