@@ -712,3 +712,85 @@ def c31c(spark, sf_dir):
             for s in segs
         ],
     )
+
+
+@q(
+    "c73_group_regression",
+    """WITH r AS (
+         SELECT event_type, CAST(value AS DECIMAL(18,4)) AS y,
+                row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS x
+         FROM events),
+       a AS (
+         SELECT event_type,
+                CAST(count(*) AS DECIMAL(10,0)) AS n,
+                CAST(sum(x) AS DECIMAL(18,0)) AS sx,
+                CAST(sum(y) AS DECIMAL(18,4)) AS sy,
+                CAST(sum(x * y) AS DECIMAL(24,4)) AS sxy,
+                CAST(sum(CAST(x AS BIGINT) * x) AS DECIMAL(24,0)) AS sxx
+         FROM r GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              round(CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+              round((CAST(sy AS DOUBLE)
+                     - CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE), 6) AS intercept
+       FROM a""",
+)
+def c73(spark, sf_dir):
+    """C73 (ext): per-group OLS trend (stats.group_regression) — slope and
+    intercept of value against arrival rank, per event type: the "is this
+    metric drifting" primitive. Closed-form moments with decimal-exact
+    sums (precisions sized so no product clips at decimal(38) — Spark
+    silently rounds overflowing products); one window re-key + one agg."""
+    from ..stats import group_regression
+
+    e = tables(spark, sf_dir)("events")
+    return group_regression(e, "value", "event_id", ["event_type"])
+
+
+@q(
+    "c74_corr_matrix",
+    """WITH m AS (
+         SELECT CAST(count(*) AS DECIMAL(10,0)) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(19,4)) AS s_q,
+                CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                         * CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(27,8)) AS ss_q,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,4))) AS DECIMAL(19,4)) AS s_e,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                         * CAST(l_extendedprice AS DECIMAL(14,4))) AS DECIMAL(27,8)) AS ss_e,
+                CAST(sum(CAST(l_discount AS DECIMAL(14,4))) AS DECIMAL(19,4)) AS s_d,
+                CAST(sum(CAST(l_discount AS DECIMAL(19,4))
+                         * CAST(l_discount AS DECIMAL(14,4))) AS DECIMAL(27,8)) AS ss_d,
+                CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                         * CAST(l_extendedprice AS DECIMAL(14,4))) AS DECIMAL(27,8)) AS sp_q_e,
+                CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                         * CAST(l_discount AS DECIMAL(14,4))) AS DECIMAL(27,8)) AS sp_q_d,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                         * CAST(l_discount AS DECIMAL(14,4))) AS DECIMAL(27,8)) AS sp_e_d
+         FROM lineitem)
+       SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+              round(CAST(n*sp_q_e - s_q*s_e AS DOUBLE)
+                    / sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE)
+                           * CAST(n*ss_e - s_e*s_e AS DOUBLE)), 6) AS corr FROM m
+       UNION ALL
+       SELECT 'l_quantity', 'l_discount',
+              round(CAST(n*sp_q_d - s_q*s_d AS DOUBLE)
+                    / sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE)
+                           * CAST(n*ss_d - s_d*s_d AS DOUBLE)), 6) FROM m
+       UNION ALL
+       SELECT 'l_extendedprice', 'l_discount',
+              round(CAST(n*sp_e_d - s_e*s_d AS DOUBLE)
+                    / sqrt(CAST(n*ss_e - s_e*s_e AS DOUBLE)
+                           * CAST(n*ss_d - s_d*s_d AS DOUBLE)), 6) FROM m""",
+)
+def c74(spark, sf_dir):
+    """C74 (ext): pairwise Pearson correlation matrix in ONE aggregate
+    pass (stats.corr_matrix) — all Σx/Σx²/Σxy moments for every pair ride
+    the same partial+final agg, so the fact table is scanned once however
+    many columns are profiled. Decimal-exact moments → engine-
+    deterministic coefficients."""
+    from ..stats import corr_matrix
+
+    li = tables(spark, sf_dir)("lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])

@@ -1,0 +1,109 @@
+"""Distributed statistics: per-group OLS trend and one-pass correlation.
+
+Both compute classical closed-form moments with EXACT decimal sums, so the
+results are independent of partial-aggregation order (any partition count,
+any engine) — the same determinism contract as the corpus aggregates
+(`corpus/_util.py` DEC). Only the final scalar arithmetic (subtract,
+multiply, divide, sqrt) happens in IEEE double, which is correctly rounded
+everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["group_regression", "corr_matrix"]
+
+
+def group_regression(
+    df: DataFrame,
+    y_col: str,
+    order_col: str,
+    keys: Sequence[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group OLS trend of ``y`` against its 1-based rank in
+    ``order_col`` order: slope + intercept per key group (the "is this
+    metric drifting" primitive). Using the rank as the regressor makes
+    every sum integer/decimal-exact; slope and intercept come out of the
+    closed form with no iterative fitting.
+
+    Movement: one window re-key (rank) sharing the groupBy's partitioning,
+    then one partial+final agg — the output is one row per group.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    x = F.row_number().over(w)
+    y = F.col(y_col).cast("decimal(18,4)")
+    base = df.select(
+        *keys,
+        x.alias("__x"),
+        y.alias("__y"),
+        (x * y).alias("__xy"),
+        (x.cast("long") * x.cast("long")).alias("__xx"),
+    )
+    # precisions chosen so every product below stays UNDER decimal(38,_)
+    # in BOTH Spark and DuckDB (Spark clips overflowing products with
+    # precision loss — silent rounding — so exactness requires headroom)
+    agg = base.groupBy(*keys).agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum("__x").cast("decimal(18,0)").alias("sx"),
+        F.sum("__y").cast("decimal(18,4)").alias("sy"),
+        F.sum("__xy").cast("decimal(24,4)").alias("sxy"),
+        F.sum("__xx").cast("decimal(24,0)").alias("sxx"),
+    )
+    # decimal-exact numerators/denominator, THEN one double division
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, ndigits).alias("slope"),
+        F.round(intercept, ndigits).alias("intercept"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE aggregate pass:
+    every Σx, Σx², Σxy accumulates in the same partial+final agg, so the
+    table is scanned once however many columns are profiled (k columns →
+    k(k-1)/2 output rows) — vs calling ``corr`` per pair, which re-scans
+    per coefficient.
+    """
+    aggs = [F.count("*").cast("decimal(10,0)").alias("n")]
+    for c in cols:
+        v = F.col(c).cast("decimal(14,4)")
+        aggs.append(F.sum(v).cast("decimal(18,4)").alias(f"s_{c}"))
+        aggs.append(F.sum(v * v).cast("decimal(27,8)").alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        va = F.col(a).cast("decimal(14,4)")
+        vb = F.col(b).cast("decimal(14,4)")
+        aggs.append(F.sum(va * vb).cast("decimal(27,8)").alias(f"sp_{a}_{b}"))
+    m = df.agg(*aggs)
+
+    def corr_expr(a: str, b: str):
+        n = F.col("n")
+        num = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        da = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        db = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        return F.round(num / F.sqrt(da * db), ndigits)
+
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr_expr(a, b).alias("corr")
+        )
+        for a, b in pairs
+    ]
+    return m.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -457,3 +457,14 @@ def test_edit_distance_blocking_and_anomaly_plans(spark, queries):
     assert "levenshtein" in plan  # verify only after blocking
     plan = plan_of(queries["c72_rolling_anomaly"](spark, SF))
     assert _unique_exchanges(plan) <= 1
+
+
+def test_stats_ops_single_scan_and_budgets(spark, queries):
+    """c74 computes every pairwise moment in ONE scan + ONE aggregate (the
+    oracle's UNION ALL re-reads per coefficient — the engine must not);
+    c73 pays one window re-key + one agg."""
+    plan = plan_of(queries["c74_corr_matrix"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, "corr matrix re-scans the table"
+    assert _unique_exchanges(plan) <= 1
+    plan = plan_of(queries["c73_group_regression"](spark, SF))
+    assert _unique_exchanges(plan) <= 2
