@@ -794,3 +794,29 @@ def c74(spark, sf_dir):
 
     li = tables(spark, sf_dir)("lineitem")
     return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@q(
+    "c75_weighted_median",
+    """WITH c AS (
+         SELECT l_returnflag,
+                l_extendedprice AS v,
+                sum(CAST(l_quantity AS DECIMAL(18,4)))
+                    OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(CAST(l_quantity AS DECIMAL(18,4)))
+                    OVER (PARTITION BY l_returnflag) AS total
+         FROM lineitem)
+       SELECT l_returnflag, min(v) AS weighted_median
+       FROM c WHERE cum * 2 >= total GROUP BY l_returnflag""",
+)
+def c75(spark, sf_dir):
+    """C75 (ext): exact weighted median (stats.weighted_median) — price
+    median weighted by quantity, per return flag. RANGE-frame cumulative
+    weights make tie-blocks atomic (no tiebreak column, partition-order
+    independent); decimal accumulation makes the threshold compare exact.
+    One window re-key + one agg."""
+    from ..stats import weighted_median
+
+    li = tables(spark, sf_dir)("lineitem")
+    return weighted_median(li, "l_extendedprice", "l_quantity", ["l_returnflag"])

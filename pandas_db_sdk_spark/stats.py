@@ -107,3 +107,44 @@ def corr_matrix(
         for a, b in pairs
     ]
     return m.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Exact weighted median per key group: the smallest value whose
+    cumulative weight reaches half the group's total weight (type-7-style
+    lower median, weights need not be integers).
+
+    Determinism without a total order: the cumulative sum uses a RANGE
+    frame on the value itself, so every tie-block accumulates atomically —
+    no unique tiebreak column is needed and intra-tie partition order
+    can't change the result. Weights accumulate as exact decimals, so the
+    ``2·cum ≥ total`` threshold compare is exact in any engine.
+
+    Movement: one window re-key on the group keys (the group-total window
+    shares it), then one partial+final agg — one row per group out.
+    """
+    wr = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*keys)
+    wd = F.col(weight_col).cast("decimal(18,4)")
+    cum = F.sum(wd).over(wr)
+    total = F.sum(wd).over(wt)
+    return (
+        df.select(
+            *keys,
+            F.col(value_col).alias("__v"),
+            cum.alias("__cum"),
+            total.alias("__total"),
+        )
+        .filter(F.col("__cum") * 2 >= F.col("__total"))
+        .groupBy(*keys)
+        .agg(F.min("__v").alias("weighted_median"))
+    )
