@@ -191,7 +191,10 @@ def heavy_hitters(
 
     Returns ``(item, cnt)`` — deterministic and oracle-equal to the plain
     ``GROUP BY ... HAVING cnt > frac*N``, but the full-table groupBy never
-    materializes the unbounded distinct domain.
+    materializes the unbounded distinct domain. NULL items are excluded
+    (equi-join semantics drop them in the recount; the total N still
+    counts every row), so a mostly-NULL column reports no NULL hitter —
+    filter NULLs out or fill them first if NULL frequency matters.
     """
     k = int(math.ceil(1.0 / threshold_frac)) + extra_counters
     vals = df.select(F.col(col).alias("item"))

@@ -58,7 +58,9 @@ def group_regression(
     n = F.col("n")
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den
+    # n=1 groups have a zero denominator; double÷0 is engine-dependent
+    # (Spark NULL, IEEE inf elsewhere) — make the undefined fit NULL everywhere
+    slope = F.when(den != 0, num / den)
     intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n
     return agg.select(
         *keys,
@@ -98,7 +100,9 @@ def corr_matrix(
         )
         da = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
         db = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
-        return F.round(num / F.sqrt(da * db), ndigits)
+        # a zero-variance column makes the coefficient undefined — NULL, not
+        # an engine-dependent div-by-zero artifact
+        return F.round(F.when(da * db > 0, num / F.sqrt(da * db)), ndigits)
 
     rows = [
         F.struct(
