@@ -723,18 +723,18 @@ def c31c(spark, sf_dir):
        a AS (
          SELECT event_type,
                 CAST(count(*) AS DECIMAL(10,0)) AS n,
-                CAST(sum(x) AS DECIMAL(18,0)) AS sx,
-                CAST(sum(y) AS DECIMAL(18,4)) AS sy,
+                CAST(sum(x) AS DECIMAL(19,0)) AS sx,
+                CAST(sum(y) AS DECIMAL(19,4)) AS sy,
                 CAST(sum(x * y) AS DECIMAL(24,4)) AS sxy,
                 CAST(sum(CAST(x AS BIGINT) * x) AS DECIMAL(24,0)) AS sxx
          FROM r GROUP BY 1)
        SELECT event_type, CAST(n AS BIGINT) AS n,
               round(CAST(n*sxy - sx*sy AS DOUBLE)
-                    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                    / CAST(n*sxx - sx*sx AS DOUBLE), 6) + 0.0 AS slope,
               round((CAST(sy AS DOUBLE)
                      - CAST(n*sxy - sx*sy AS DOUBLE)
                        / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    / CAST(n AS DOUBLE), 6) AS intercept
+                    / CAST(n AS DOUBLE), 6) + 0.0 AS intercept
        FROM a""",
 )
 def c73(spark, sf_dir):
@@ -772,17 +772,17 @@ def c73(spark, sf_dir):
        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
               round(CAST(n*sp_q_e - s_q*s_e AS DOUBLE)
                     / sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE)
-                           * CAST(n*ss_e - s_e*s_e AS DOUBLE)), 6) AS corr FROM m
+                           * CAST(n*ss_e - s_e*s_e AS DOUBLE)), 6) + 0.0 AS corr FROM m
        UNION ALL
        SELECT 'l_quantity', 'l_discount',
               round(CAST(n*sp_q_d - s_q*s_d AS DOUBLE)
                     / sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE)
-                           * CAST(n*ss_d - s_d*s_d AS DOUBLE)), 6) FROM m
+                           * CAST(n*ss_d - s_d*s_d AS DOUBLE)), 6) + 0.0 FROM m
        UNION ALL
        SELECT 'l_extendedprice', 'l_discount',
               round(CAST(n*sp_e_d - s_e*s_d AS DOUBLE)
                     / sqrt(CAST(n*ss_e - s_e*s_e AS DOUBLE)
-                           * CAST(n*ss_d - s_d*s_d AS DOUBLE)), 6) FROM m""",
+                           * CAST(n*ss_d - s_d*s_d AS DOUBLE)), 6) + 0.0 FROM m""",
 )
 def c74(spark, sf_dir):
     """C74 (ext): pairwise Pearson correlation matrix in ONE aggregate

@@ -354,7 +354,7 @@ def c57b(spark, sf_dir):
     "c72_rolling_anomaly",
     """SELECT event_id, event_type, n_prev,
               CASE WHEN n_prev >= 10 AND std > 0
-                   THEN round((value - mean) / std, 6) END AS z,
+                   THEN round((value - mean) / std, 6) + 0.0 END AS z,
               coalesce(CASE WHEN n_prev >= 10 AND std > 0
                             THEN abs((value - mean) / std) > 3 END,
                        FALSE) AS is_anomaly

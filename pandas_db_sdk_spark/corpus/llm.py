@@ -1550,7 +1550,7 @@ def d44(spark, sf_dir):
               FROM counts, tot)
        SELECT doc_id, count(*) AS n_tokens,
               round(CAST(sum(CAST(log_ratio AS DECIMAL(18,6))) AS DOUBLE)
-                    / count(*), 6) AS importance_weight
+                    / count(*), 6) + 0.0 AS importance_weight
        FROM terms JOIN lm USING (token) GROUP BY doc_id""",
 )
 def d45(spark, sf_dir):
@@ -1578,10 +1578,10 @@ def d45(spark, sf_dir):
        lm AS (SELECT w1, w2, round(ln((c12 + 1) / (c1 + vocab)), 6) AS logp
               FROM c12 JOIN ctx USING (w1), voc)
        SELECT doc_id, count(*) AS n_bigrams,
-              round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-                  AS avg_bigram_logprob,
+              round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+                  + 0.0 AS avg_bigram_logprob,
               round(exp(-(round(CAST(sum(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
-                                / count(*), 6))), 4) AS perplexity
+                                / count(*), 4) + 0.0)), 2) AS perplexity
        FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id""",
 )
 def d46(spark, sf_dir):

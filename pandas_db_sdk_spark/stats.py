@@ -65,8 +65,8 @@ def group_regression(
     return agg.select(
         *keys,
         F.col("n").cast("long").alias("n"),
-        F.round(slope, ndigits).alias("slope"),
-        F.round(intercept, ndigits).alias("intercept"),
+        (F.round(slope, ndigits) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, ndigits) + F.lit(0.0)).alias("intercept"),
     )
 
 
@@ -102,7 +102,9 @@ def corr_matrix(
         db = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
         # a zero-variance column makes the coefficient undefined — NULL, not
         # an engine-dependent div-by-zero artifact
-        return F.round(F.when(da * db > 0, num / F.sqrt(da * db)), ndigits)
+        return F.round(F.when(da * db > 0, num / F.sqrt(da * db)), ndigits) + F.lit(
+            0.0  # canonical zero: round() preserves IEEE sign of -0.0
+        )
 
     rows = [
         F.struct(

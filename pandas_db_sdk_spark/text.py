@@ -349,10 +349,14 @@ def importance_weight(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("log_ratio").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
+            (
+                F.round(
+                    F.sum(F.col("log_ratio").cast("decimal(18,6)")).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)  # canonical zero: an ulp-level ln flip on one
+                # token can sign the rounded mean as -0.0 on one engine
             ).alias("importance_weight"),
         )
     )
@@ -407,14 +411,22 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
+            (
+                # 4-dp output grid: a single ln-ulp flip on one POPULAR
+                # bigram (integer count ratios repeat corpus-wide) shifts
+                # doc means by ~1e-6/n; a 6-dp grid then flips any doc
+                # whose mean sits near its own boundary (seen at sf0.1).
+                # At 1e-4 the double-coincidence probability is negligible.
+                F.round(
+                    F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                    / F.count("*"),
+                    4,
+                )
+                + F.lit(0.0)  # canonical zero (see importance_weight)
             ).alias("avg_bigram_logprob"),
         )
         .withColumn(
-            "perplexity", F.round(F.exp(-F.col("avg_bigram_logprob")), 4)
+            "perplexity", F.round(F.exp(-F.col("avg_bigram_logprob")), 2)
         )
     )
 

@@ -234,7 +234,7 @@ def rolling_zscore(
     var = (s2 - s1 * s1 / n) / (n - 1)
     std = F.sqrt(var)
     z = F.when(
-        (n >= min_n) & (std > 0), F.round((v - mean) / std, 6)
+        (n >= min_n) & (std > 0), F.round((v - mean) / std, 6) + F.lit(0.0)
     )
     return df.withColumn("n_prev", n).withColumn("z", z).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
