@@ -1265,3 +1265,96 @@ def x27(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@q(
+    "x28_brand_revenue_trend",
+    """WITH monthly AS (
+         SELECT p.p_type AS brand,
+                date_trunc('month', o.o_orderdate) AS mon,
+                CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2),
+       r AS (SELECT brand, CAST(revenue AS DECIMAL(18,4)) AS y,
+                    row_number() OVER (PARTITION BY brand ORDER BY mon) AS x
+             FROM monthly),
+       a AS (SELECT brand,
+                    CAST(count(*) AS DECIMAL(10,0)) AS n,
+                    CAST(sum(x) AS DECIMAL(19,0)) AS sx,
+                    CAST(sum(y) AS DECIMAL(19,4)) AS sy,
+                    CAST(sum(x * y) AS DECIMAL(24,4)) AS sxy,
+                    CAST(sum(CAST(x AS BIGINT) * x) AS DECIMAL(24,0)) AS sxx
+             FROM r GROUP BY 1)
+       SELECT brand, CAST(n AS BIGINT) AS n,
+              round(CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE), 6) + 0.0 AS slope,
+              round((CAST(sy AS DOUBLE)
+                     - CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE), 6) + 0.0 AS intercept
+       FROM a""",
+)
+def x28(spark, sf_dir):
+    """Composite: which product types are trending? Monthly revenue per
+    p_type (3-table join, decimal-exact sum), then stats.group_regression
+    over the month sequence — the operator-composition story: a corpus
+    operator consumed by another operator, dims broadcast, one row per
+    brand out."""
+    from ..stats import group_regression
+
+    t = tables(spark, sf_dir)
+    li, o, p = t("lineitem"), t("orders"), t("part")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_type").alias("brand"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return group_regression(monthly, "revenue", "mon", ["brand"])
+
+
+@q(
+    "x29_customer_rfm",
+    """WITH base AS (
+         SELECT o_custkey AS custkey,
+                max(o_orderdate) AS last_order,
+                count(*) AS frequency,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+         FROM orders GROUP BY 1)
+       SELECT custkey, frequency, round(monetary, 4) AS monetary,
+              ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+              ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+              ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+       FROM base""",
+)
+def x29(spark, sf_dir):
+    """Composite: RFM customer segmentation (recency/frequency/monetary
+    quartiles; custkey tiebreak makes ntile deterministic). The ntile
+    windows are global BUT over one row per CUSTOMER (already aggregated)
+    — the single-partition sort is bounded by customer count, and the
+    base agg is one partial+final pass over orders."""
+    from pyspark.sql import Window as W
+
+    o = tables(spark, sf_dir)("orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("monetary"),
+    )
+    return base.select(
+        "custkey",
+        "frequency",
+        F.round("monetary", 4).alias("monetary"),
+        F.ntile(4).over(W.orderBy(F.col("last_order").desc(), "custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy(F.col("monetary").desc(), "custkey")).alias("m_score"),
+    )
