@@ -105,16 +105,24 @@ def profile(df: DataFrame) -> DataFrame:
     shortest-round-trip, hence injective), so partial-distinct aggregation
     applies; min/max stay numeric.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DoubleType, FloatType, NumericType
 
     parts = []
     for f in df.schema.fields:
+        ident = f"`{f.name.replace('`', '``')}`"  # legal names may hold ` or '
+        lit = f.name.replace("\\", "\\\\").replace("'", "\\'")
         num = (
-            f"cast(`{f.name}` as double)"
+            f"cast({ident} as double)"
             if isinstance(f.dataType, NumericType)
             else "cast(null as double)"
         )
-        parts.append(f"'{f.name}', cast(`{f.name}` as string), {num}")
+        if isinstance(f.dataType, (DoubleType, FloatType)):
+            # canonical zero: '-0.0' and '0.0' must count as ONE distinct
+            # value, as any numeric DISTINCT would
+            sval = f"cast({ident} + cast(0.0 as double) as string)"
+        else:
+            sval = f"cast({ident} as string)"
+        parts.append(f"'{lit}', {sval}, {num}")
     stacked = df.select(
         F.expr(
             f"stack({len(df.columns)}, {', '.join(parts)}) "

@@ -353,20 +353,21 @@ def c57b(spark, sf_dir):
 @q(
     "c72_rolling_anomaly",
     """SELECT event_id, event_type, n_prev,
-              CASE WHEN n_prev >= 10 AND std > 0
-                   THEN round((value - mean) / std, 6) + 0.0 END AS z,
-              coalesce(CASE WHEN n_prev >= 10 AND std > 0
-                            THEN abs((value - mean) / std) > 3 END,
+              CASE WHEN n_prev >= 10 AND var > 0
+                   THEN round((value - mean) / sqrt(var), 6) + 0.0 END AS z,
+              coalesce(abs(CASE WHEN n_prev >= 10 AND var > 0
+                                THEN round((value - mean) / sqrt(var), 6) + 0.0
+                           END) > 3,
                        FALSE) AS is_anomaly
        FROM (
          SELECT event_id, event_type, value,
                 count(value) OVER w AS n_prev,
                 CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
                     / count(value) OVER w AS mean,
-                sqrt((CAST(sum(CAST(value * value AS DECIMAL(24,4))) OVER w AS DOUBLE)
-                      - pow(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 2)
-                        / count(value) OVER w)
-                     / (count(value) OVER w - 1)) AS std
+                (CAST(sum(CAST(value * value AS DECIMAL(24,4))) OVER w AS DOUBLE)
+                 - pow(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 2)
+                   / count(value) OVER w)
+                / (count(value) OVER w - 1) AS var
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY event_id
                       ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))""",

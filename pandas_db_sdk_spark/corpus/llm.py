@@ -1650,7 +1650,7 @@ def d48(spark, sf_dir):
 )
 def d49(spark, sf_dir):
     """Sketch tier: Bloom-prefiltered semi join (sketches.bloom_semi_join).
-    The big side is pruned by a broadcast 1 MiB bitmap (distributed OR-tree
+    The big side is pruned by a broadcast 128 KiB bitmap (distributed OR-tree
     build, vectorized Arrow probe) BEFORE the shuffle; the trailing exact
     semi join makes the result oracle-identical to a plain IN-subquery.
     At 100 TB this is the runtime-filter pattern: shuffle bytes scale with

@@ -230,16 +230,22 @@ def global_cumsum(
     "n_tokens"}`` adds a ``cum_tokens`` running total of ``n_tokens``.
     ``order_by`` must be a total order for a deterministic result.
     """
-    from pyspark import StorageLevel
     from pyspark.sql import Column, Window
 
     if n_partitions is None:
         n_partitions = df.sparkSession.sparkContext.defaultParallelism
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
-    ranged = (
-        df.repartitionByRange(n_partitions, *cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from ._scratch import scratch_persist
+
+    # persist pins ONE range-partitioner sampling shared by the running-sum
+    # and offsets branches (same contract as global_row_index); the slot-
+    # pooled scratch bounds cached generations instead of leaking one
+    # MEMORY_AND_DISK copy per call
+    ranged = scratch_persist(
+        df.repartitionByRange(n_partitions, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        "scale/global_cumsum",
     )
     w_in = (
         Window.partitionBy("__pid")

@@ -7,8 +7,8 @@ training-data pipeline leans on:
 - ``bloom_semi_join`` — the runtime-filter pattern (Spark's own
   ``spark.sql.optimizer.runtime.bloomFilter`` applies it only inside one
   query): build a Bloom bitmap over the SMALL side's join keys with a
-  tree-reduce of per-partition bitmaps, broadcast the final megabyte-scale
-  bitmap, and drop non-matching big-side rows BEFORE the shuffle join. The
+  tree-reduce of per-partition bitmaps, broadcast the final compact
+  bitmap (128 KiB at the default 2^20 bits), and drop non-matching big-side rows BEFORE the shuffle join. The
   exact verify join afterwards makes the result identical to a plain
   left-semi join (false positives only cost shuffle bytes, never
   correctness), so the operator stays oracle-checkable.
@@ -91,7 +91,11 @@ def build_bloom_bitmap(
         raise ValueError(f"num_bits must be a power of two, got {num_bits}")
     n_words = num_bits // 64
 
-    hashed = keys.select(F.xxhash64(F.col(key_col)).alias("h"))
+    # canonical hash image: xxhash64 is TYPE-sensitive (int32 5 and int64 5
+    # hash differently), so an int/bigint key-width mismatch between build
+    # and probe would silently drop every row — hash the string image on
+    # both sides instead (a plain join would coerce; so must we)
+    hashed = keys.select(F.xxhash64(F.col(key_col).cast("string")).alias("h"))
 
     def partition_bitmap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bm = np.zeros(n_words, dtype=np.uint64)
@@ -164,7 +168,7 @@ def bloom_semi_join(
         hit = (bm[pos >> 6] >> (pos & 63).astype(np.uint64)) & _U64(1)
         return pd.Series(hit.all(axis=1))
 
-    pruned = big.filter(probe(F.xxhash64(F.col(key))))
+    pruned = big.filter(probe(F.xxhash64(F.col(key).cast("string"))))
     return pruned.join(keys, key, "left_semi")
 
 

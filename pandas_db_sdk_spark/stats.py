@@ -42,7 +42,10 @@ def group_regression(
         x.alias("__x"),
         y.alias("__y"),
         (x * y).alias("__xy"),
-        (x.cast("long") * x.cast("long")).alias("__xx"),
+        # decimal per-row square: a LongType sum of x² overflows int64
+        # (ANSI abort) once a group passes ~3M rows — the moment sums
+        # must stay exact at any group size
+        (x.cast("decimal(12,0)") * x.cast("decimal(12,0)")).alias("__xx"),
     )
     # precisions chosen so every product below stays UNDER decimal(38,_)
     # in BOTH Spark and DuckDB (Spark clips overflowing products with

@@ -231,10 +231,13 @@ def rolling_zscore(
     s1 = F.sum(v.cast("decimal(18,4)")).over(w).cast("double")
     s2 = F.sum((v * v).cast("decimal(24,4)")).over(w).cast("double")
     mean = s1 / n
+    # decimal squares round per row, so var can come out slightly NEGATIVE
+    # for a constant window — gate on var > 0 BEFORE sqrt (sqrt(-x) is NaN
+    # here, an engine-dependent error elsewhere)
     var = (s2 - s1 * s1 / n) / (n - 1)
-    std = F.sqrt(var)
     z = F.when(
-        (n >= min_n) & (std > 0), F.round((v - mean) / std, 6) + F.lit(0.0)
+        (n >= min_n) & (var > 0),
+        F.round((v - mean) / F.sqrt(var), 6) + F.lit(0.0),
     )
     return df.withColumn("n_prev", n).withColumn("z", z).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))

@@ -127,3 +127,15 @@ def test_heavy_hitters_recount_is_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # candidate semi join broadcasts the bounded candidate set
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_bloom_semi_join_mixed_key_widths(spark):
+    """xxhash64 is type-sensitive; the canonical string hash image must make
+    an int32 big-side key match an int64 small-side key (as a plain join
+    would via coercion)."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(1000).select(F.col("id").cast("int").alias("k"))
+    small = spark.range(0, 1000, 7).select(F.col("id").alias("k"))  # bigint
+    got = sketches.bloom_semi_join(big, small, "k", num_bits=1 << 14)
+    assert got.count() == 143  # ceil(1000/7)

@@ -131,3 +131,20 @@ def test_interpolate_linear_hand_computed(spark):
     assert out[("a", 40)] == 5.0                     # trailing carries last
     assert out[("b", 4)] == 2.0 + 5.0 * 4 / 10
     assert out[("b", 8)] == 2.0 + 5.0 * 8 / 10
+
+
+def test_rolling_zscore_constant_window_yields_null_not_nan(spark):
+    """Decimal-rounded squares can make the rolling variance slightly
+    negative for a constant window; the score must be NULL (flag False),
+    never NaN/True."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.timeseries import rolling_zscore
+
+    df = spark.range(100).select(
+        F.lit("t").alias("g"), F.col("id").alias("i"), F.lit(0.015).alias("v")
+    )
+    out = rolling_zscore(df, "v", "i", ["g"], window=50, min_n=10).toPandas()
+    tail = out[out["n_prev"] >= 10]
+    assert tail["z"].isna().all()
+    assert (~tail["is_anomaly"]).all()
