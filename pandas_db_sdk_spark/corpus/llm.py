@@ -1764,3 +1764,78 @@ def d53(spark, sf_dir):
     d = tables(spark, sf_dir)("customer")
     out = dedup.edit_distance_pairs(d, "c_name", max_dist=1)
     return out.withColumn("dist", F.col("dist").cast("int"))
+
+
+@q(
+    "d54_normalized_dedup",
+    """WITH n AS (
+         SELECT doc_id, lang,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+         FROM documents)
+       SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         FROM n) WHERE rn = 1""",
+)
+def d54(spark, sf_dir):
+    """Fuzzy-exact dedup tier (between d01 exact and d02 MinHash): dedup on
+    the CANONICALIZED text (d30's lowercase → strip → collapse → md5) —
+    catches case/punctuation/whitespace variants the byte-exact pass
+    misses, at exact-dedup cost: the shuffle re-keys on 16-byte norm
+    hashes, never text."""
+    from pyspark.sql import Window as W
+
+    d = tables(spark, sf_dir)("documents")
+    n = text.normalize_text(d).join(d.select("doc_id", "lang"), "doc_id")
+    w = W.partitionBy("norm_hash").orderBy("doc_id")
+    return (
+        n.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+@q(
+    "d55_corpus_novelty",
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       gl AS (
+         SELECT doc_id,
+                [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 FOR i IN range(1, len(tk) - 1)] AS gs
+         FROM toks),
+       grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM gl),
+       old_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 <> 0),
+       newd AS (SELECT doc_id, g FROM grams WHERE doc_id % 5 = 0)
+       SELECT n.doc_id,
+              count(*) AS n_grams,
+              CAST(sum(CASE WHEN o.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+              round(CAST(sum(CASE WHEN o.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS novelty
+       FROM newd n LEFT JOIN old_g o ON n.g = o.g
+       GROUP BY n.doc_id""",
+)
+def d55(spark, sf_dir):
+    """Snapshot novelty: for each doc in the NEW snapshot (doc_id%5=0),
+    the fraction of its distinct word-trigrams absent from the OLD corpus
+    — the "is this batch actually new data" gate of incremental ingest
+    (high novelty → keep; near-zero → the batch is a re-crawl). Gram join
+    is an unhinted equi-join on gram strings (corpus-sized domain: AQE
+    decides); per-doc counts are one partial+final agg."""
+    d = tables(spark, sf_dir)("documents")
+    grams = d.select(
+        "doc_id", F.explode(text.word_ngrams(F.col("text"), 3)).alias("g")
+    ).distinct()
+    old_g = grams.filter(F.col("doc_id") % 5 != 0).select("g").distinct()
+    newd = grams.filter(F.col("doc_id") % 5 == 0)
+    j = newd.join(old_g.withColumn("__hit", F.lit(1)), "g", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("novel_grams"),
+        F.round(
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("novelty"),
+    )
