@@ -139,6 +139,7 @@ def bloom_semi_join(
     small_key: str | None = None,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    bitmap: bytes | None = None,
 ) -> DataFrame:
     """``big ⋉ small`` with a Bloom prefilter on the big side.
 
@@ -152,11 +153,26 @@ def bloom_semi_join(
     the semi join moves only the ~fp-rate fraction of the big table that
     survives the probe instead of every row. The probe itself is a
     broadcast of one ``num_bits/8``-byte bitmap plus a vectorized Arrow
-    batch filter — no per-row Python, no driver-side key set.
+    batch filter — no per-row Python, no driver-side key set. Pass a
+    prebuilt ``bitmap`` (from ``build_bloom_bitmap`` over the same key
+    domain and parameters) to amortize the build across many queries —
+    unlike Spark's per-query runtime bloomFilter, the bitmap is a value
+    you can keep, ship, and reuse; correctness still holds because the
+    verify join is exact (a stale bitmap that MISSES new small-side keys
+    would drop rows, so rebuild on small-side growth — supersets are
+    always safe).
     """
     small_key = small_key or key
     keys = small.select(F.col(small_key).alias(key)).distinct()
-    bitmap = build_bloom_bitmap(keys, key, num_bits=num_bits, num_hashes=num_hashes)
+    if bitmap is None:
+        bitmap = build_bloom_bitmap(
+            keys, key, num_bits=num_bits, num_hashes=num_hashes
+        )
+    elif len(bitmap) != num_bits // 8:
+        raise ValueError(
+            f"prebuilt bitmap is {len(bitmap)} bytes; num_bits={num_bits} "
+            f"needs {num_bits // 8}"
+        )
     bc = big.sparkSession.sparkContext.broadcast(bitmap)
 
     @pandas_udf("boolean")

@@ -139,3 +139,26 @@ def test_bloom_semi_join_mixed_key_widths(spark):
     small = spark.range(0, 1000, 7).select(F.col("id").alias("k"))  # bigint
     got = sketches.bloom_semi_join(big, small, "k", num_bits=1 << 14)
     assert got.count() == 143  # ceil(1000/7)
+
+
+def test_bloom_semi_join_prebuilt_bitmap_reuse(spark):
+    """A bitmap built once must be reusable across queries with identical
+    results; a wrong-sized bitmap is rejected loudly."""
+    import pytest
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_totalprice") > 400000
+    )
+    keys = o.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+    bm = sketches.build_bloom_bitmap(keys, "l_orderkey", num_bits=1 << 16)
+    got = sketches.bloom_semi_join(
+        li, o, "l_orderkey", "o_orderkey", num_bits=1 << 16, bitmap=bm
+    )
+    want = li.join(keys, "l_orderkey", "left_semi")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    with pytest.raises(ValueError, match="prebuilt bitmap"):
+        sketches.bloom_semi_join(
+            li, o, "l_orderkey", "o_orderkey", num_bits=1 << 20, bitmap=bm
+        )
