@@ -221,17 +221,17 @@ def heavy_hitters(
     typ = vals.schema["item"].dataType.simpleString()
 
     def mg_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
+        acc = pd.Series(dtype="int64")
         for pdf in it:
-            for item, c in pdf["item"].value_counts().items():
-                counters[item] = counters.get(item, 0) + int(c)
-            if len(counters) > k:
+            # vectorized merge: no per-item Python loop in the hot path
+            acc = acc.add(pdf["item"].value_counts(), fill_value=0)
+            if len(acc) > k:
                 # batched decrement: subtracting the (len-k)-th smallest
                 # count from every counter removes equal occurrences of
                 # distinct items — the classic MG step, amortized per batch.
-                cut = sorted(counters.values())[len(counters) - k - 1]
-                counters = {i: n - cut for i, n in counters.items() if n > cut}
-        yield pd.DataFrame({"item": list(counters.keys())})
+                cut = np.partition(acc.to_numpy(), len(acc) - k - 1)[len(acc) - k - 1]
+                acc = acc[acc > cut] - cut
+        yield pd.DataFrame({"item": acc.index})
 
     candidates = vals.mapInPandas(mg_partition, f"item {typ}").distinct()
     total = df.select(F.count("*").alias("n_total"))
