@@ -47,7 +47,12 @@ def scratch_persist(
         # canonicalized-plan compare, driver-side only) confirms.
         if old[0] == h and df.sameSemantics(old[1]):
             # same plan → the CacheManager would resolve to the same
-            # relation anyway; hand back the live cached handle
+            # relation anyway; hand back the live cached handle. If an
+            # external clearCache() dropped its blocks (storageLevel
+            # resets to NONE), re-register the persist first — otherwise
+            # every consumer silently recomputes the scratch forever.
+            if not old[1].storageLevel.useMemory and not old[1].storageLevel.useDisk:
+                old[1].persist(level)
             return old[1]
         try:
             old[1].unpersist(False)

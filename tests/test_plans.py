@@ -431,7 +431,10 @@ def test_round4_batch4_shuffle_budgets(spark, queries):
     spark.catalog.clearCache()
     budgets = {
         "c70_profile_table": 2,
-        "d51_vocab_growth": 10,
+        # 14 = 10 physical + the 4-exchange pre-cache subtree printed
+        # under BOTH consumers of the scratch-persisted ranged frame
+        # (it executes once; plan_ids differ per printed occurrence)
+        "d51_vocab_growth": 14,
         "d49_bloom_prune_join": 4,
         "d50_heavy_hitters": 5,  # incl. 2 broadcast exchanges (candidates, 1-row total)
     }

@@ -113,3 +113,19 @@ def test_cached_model_hash_collision_never_serves_wrong_model(spark):
     got = _models.cached_model(new_df, "t/c", (), lambda: "NEW")
     assert got == "NEW"
     _models.invalidate(spark, "t/")
+
+
+def test_scratch_repersists_after_external_clearcache(spark):
+    """spark.catalog.clearCache() drops pooled blocks behind the pool's
+    back; a subsequent slot hit must re-register the persist instead of
+    handing back a permanently-uncached handle."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark._scratch import scratch_persist
+
+    df = spark.range(100).select(F.col("id") * 3)
+    a = scratch_persist(df, "test/clearcache")
+    a.count()
+    spark.catalog.clearCache()
+    b = scratch_persist(spark.range(100).select(F.col("id") * 3), "test/clearcache")
+    assert b.storageLevel.useMemory or b.storageLevel.useDisk
