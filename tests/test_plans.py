@@ -471,3 +471,16 @@ def test_stats_ops_single_scan_and_budgets(spark, queries):
     assert _unique_exchanges(plan) <= 1
     plan = plan_of(queries["c73_group_regression"](spark, SF))
     assert _unique_exchanges(plan) <= 2
+
+
+def test_new_composites_plan_shapes(spark, queries):
+    """x28: dims broadcast, no cartesian; x29: the ntile windows run over
+    one row per customer (post-agg), so the single-partition sort is
+    bounded by customer count — the aggregate must sit BELOW the windows."""
+    plan = plan_of(queries["x28_brand_revenue_trend"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(queries["x29_customer_rfm"](spark, SF))
+    agg = plan.index("HashAggregate")
+    win = plan.index("Window")
+    assert win < agg  # top-down print: Window above (after) the aggregate

@@ -779,3 +779,39 @@ def test_describe_dataset_per_version_stats(engine, spark):
 
     with _pytest.raises(DatasetNotFound):
         engine.describe_dataset("desc/absent")
+
+
+def test_crash_between_write_and_commit_leaves_dataset_consistent(spark, tmp_path):
+    """Durability ordering: parquet files land BEFORE the manifest commit,
+    so a crash in between must leave (a) the previous version fully
+    readable via use_last, (b) the orphaned half-written version invisible
+    to loads, and (c) a clean retry able to commit normally."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    clock = iter(range(1000, 1010)).__next__
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"), clock=clock)
+    df1 = spark.range(10).select(F.col("id").alias("v"))
+    eng.save(df1, "ds")
+
+    # simulate a crash after the parquet write, before the manifest commit
+    real_lock = eng._manifest_lock
+
+    def boom():
+        raise RuntimeError("simulated crash before manifest commit")
+
+    eng._manifest_lock = boom
+    df2 = spark.range(20).select(F.col("id").alias("v"))
+    try:
+        eng.save(df2, "ds")
+    except RuntimeError:
+        pass
+    eng._manifest_lock = real_lock
+
+    # (a)+(b): latest load sees ONLY the committed version
+    assert eng.load("ds", use_last=True).count() == 10
+    assert eng.list_datasets()["count"] == 1
+    # (c): a retry commits cleanly and becomes the new latest
+    eng.save(df2, "ds")
+    assert eng.load("ds", use_last=True).count() == 20
