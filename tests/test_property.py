@@ -368,3 +368,47 @@ def test_weighted_sample_bias_determinism_and_plan(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+@given(
+    keys=st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=0, max_size=60),
+    probe=st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bloom_semi_join_equals_semi_join_random_keys(spark, keys, probe):
+    """Hypothesis: for arbitrary (negative, duplicate, disjoint) int key
+    sets, bloom_semi_join IS the semi join — even with a tiny bitmap."""
+    from pandas_db_sdk_spark.sketches import bloom_semi_join
+
+    big = spark.createDataFrame([(k,) for k in probe], "k long")
+    small = spark.createDataFrame([(k,) for k in keys] or [(0,)], "k long")
+    if not keys:
+        small = small.filter("k <> k")  # empty frame with schema
+    got = bloom_semi_join(big, small, "k", num_bits=1 << 10)
+    want = big.join(small.distinct(), "k", "left_semi")
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in want.collect())
+
+
+@given(
+    data=st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=20, max_size=300),
+    frac=st.sampled_from([0.05, 0.1, 0.25]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_heavy_hitters_equals_groupby_random_distributions(spark, data, frac):
+    """Hypothesis: MG candidates + exact recount == naive GROUP BY/HAVING
+    for arbitrary small-alphabet distributions at any threshold."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in data], "item string").repartition(5)
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", frac).collect()}
+    n = len(data)
+    want = {
+        (r.item, r.cnt)
+        for r in df.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > frac * n)
+        .collect()
+    }
+    assert got == want
