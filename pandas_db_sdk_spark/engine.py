@@ -229,6 +229,20 @@ class DataFrameEngine:
             .parquet(version_dir)
         )
 
+        # Provenance (bounded): where this version came from — the source
+        # files feeding the plan (metadata-only; empty for synthesized
+        # frames) and the canonicalized-plan fingerprint. Capped at 20
+        # sample paths so a 100k-file input can't bloat the manifest.
+        try:
+            in_files = df.inputFiles()
+        except Exception:
+            in_files = []
+        provenance = {
+            "n_input_files": len(in_files),
+            "input_sample": sorted(in_files)[:20],
+            "plan_hash": df._jdf.queryExecution().analyzed().semanticHash(),
+        }
+
         with self._manifest_lock():
             manifest = self._read_manifest()
             ds = manifest["datasets"].setdefault(
@@ -251,6 +265,7 @@ class DataFrameEngine:
             ds["schema"] = self._merge_schema(ds["schema"], df.schema).json()
             if version not in ds["versions"]:
                 ds["versions"].append(version)
+            ds.setdefault("provenance", {})[str(version)] = provenance
             ds["latest"] = version
 
             if keep_last:
@@ -630,6 +645,7 @@ class DataFrameEngine:
                 "n_files": files.get(str(v), {}).get("n_files", 0),
                 "n_bytes": files.get(str(v), {}).get("n_bytes", 0),
                 "n_rows": int(counts.get(str(v), 0)),
+                "provenance": ds.get("provenance", {}).get(str(v)),
             }
             for v in ds["versions"]
         ]

@@ -815,3 +815,25 @@ def test_crash_between_write_and_commit_leaves_dataset_consistent(spark, tmp_pat
     # (c): a retry commits cleanly and becomes the new latest
     eng.save(df2, "ds")
     assert eng.load("ds", use_last=True).count() == 20
+
+
+def test_save_records_provenance_in_describe(spark, tmp_path):
+    """Every committed version carries bounded provenance: source file
+    count + sample (metadata-only) and the canonicalized-plan fingerprint
+    — the 'where did this version come from' audit the reference SDK
+    never had."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    clock = iter(range(2000, 2010)).__next__
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"), clock=clock)
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    eng.save(src, "p1")
+    eng.save(spark.range(5), "p2")  # synthesized frame: no input files
+
+    v1 = eng.describe_dataset("p1")["versions"][0]["provenance"]
+    assert v1["n_input_files"] == 1
+    assert v1["input_sample"][0].endswith("nation.parquet")
+    assert isinstance(v1["plan_hash"], int)
+
+    v2 = eng.describe_dataset("p2")["versions"][0]["provenance"]
+    assert v2["n_input_files"] == 0 and v2["input_sample"] == []
