@@ -1839,3 +1839,66 @@ def d55(spark, sf_dir):
             6,
         ).alias("novelty"),
     )
+
+
+@q(
+    "d56_template_prefixes",
+    """WITH p AS (
+         SELECT doc_id,
+                array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+         FROM documents)
+       SELECT prefix, count(*) AS n_docs,
+              CAST(min(doc_id) AS BIGINT) AS first_doc
+       FROM p GROUP BY prefix HAVING count(*) >= 3
+       ORDER BY n_docs DESC, prefix LIMIT 50""",
+)
+def d56(spark, sf_dir):
+    """Boilerplate/template detection: document families sharing the same
+    8-token prefix (scraped-corpus headers, licence blocks, nav chrome).
+    One partial+final agg over 8-token prefixes + TakeOrdered — the cheap
+    census read before prefix-stripping; composes with d30 normalize and
+    d40 keep-longest for the actual strip."""
+    d = tables(spark, sf_dir)("documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(50)
+    )
+
+
+@q(
+    "d57_waterfill_quota",
+    """WITH counts AS (
+         SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       ranked AS (
+         SELECT source, n_docs,
+                floor(0.6 * sum(n_docs) OVER ()) AS b,
+                coalesce(sum(n_docs) OVER (ORDER BY n_docs, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+                count(*) OVER () - row_number() OVER (ORDER BY n_docs, source) + 1 AS r
+         FROM counts),
+       cand AS (
+         SELECT source, n_docs,
+                CASE WHEN floor((b - p) / r) < n_docs AND floor((b - p) / r) >= 0
+                     THEN floor((b - p) / r) END AS valid_cap
+         FROM ranked),
+       cap AS (SELECT coalesce(max(valid_cap), max(n_docs)) AS c FROM cand)
+       SELECT source, n_docs,
+              CAST(least(n_docs, c) AS BIGINT) AS allocation
+       FROM cand, cap""",
+)
+def d57(spark, sf_dir):
+    """Water-filling budget allocation across sources
+    (pipeline.waterfill_quota): small sources keep everything, large ones
+    share one cap so Σ allocations fills 60% of the corpus — the
+    hard-budget counterpart of d24's soft mix weights. Closed form over
+    ONE ROW PER SOURCE (integer-exact, no iteration); the bounded
+    single-partition windows are the x29 contract."""
+    from .. import pipeline as pl
+
+    d = tables(spark, sf_dir)("documents")
+    return pl.waterfill_quota(d, "source", 0.6)

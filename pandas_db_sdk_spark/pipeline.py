@@ -15,7 +15,7 @@ survivor count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup, packing, text
@@ -215,4 +215,59 @@ def weighted_sample(
         .orderBy(F.col("__wkey").desc(), F.col(id_col))
         .limit(k)
         .drop("__wkey")
+    )
+
+
+def waterfill_quota(
+    df: DataFrame,
+    source_col: str,
+    budget_frac: float,
+) -> DataFrame:
+    """Water-filling allocation of a global document budget across sources:
+    find the per-source cap ``c`` such that Σ min(sᵢ, c) fills
+    ``budget_frac`` of the corpus — small sources keep everything, big
+    sources are capped at one common level (the fair-share rebalance that
+    follows d24's mix weights with an actual hard budget).
+
+    Closed form, no iteration: sort sources ascending by size; for each
+    rank the candidate cap is ⌊(B − prefix) / remaining⌋, and the unique
+    rank where the candidate falls below that source's size yields the
+    final cap (if none does, the budget covers the whole corpus). All
+    integer arithmetic → engine-exact.
+
+    Scale: the windows run over ONE ROW PER SOURCE (already aggregated);
+    the single-partition sort is bounded by source count, same contract
+    as x29's ntile."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.orderBy("n_docs", "source")
+    wall = Window.partitionBy()
+    total = F.sum("n_docs").over(wall)
+    budget = F.floor(F.lit(budget_frac) * total)
+    prefix = F.coalesce(
+        F.sum("n_docs").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    remaining = F.count("*").over(wall) - F.row_number().over(w) + 1
+    cand = F.floor((budget - prefix) / remaining)
+    ranked = counts.select(
+        "source",
+        "n_docs",
+        budget.alias("__b"),
+        F.when((cand < F.col("n_docs")) & (cand >= 0), cand).alias("__valid_cap"),
+    )
+    # the TRUE cap is the first-crossing candidate (smallest rank where
+    # cand < size). Later ranks still produce smaller spurious candidates
+    # (their prefix wrongly counts capped sources in full), so first
+    # crossing == MAX over valid candidates.
+    cap = ranked.select(
+        F.coalesce(F.max("__valid_cap"), F.max("n_docs")).alias("__cap")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .select(
+            "source",
+            "n_docs",
+            F.least(F.col("n_docs"), F.col("__cap")).cast("long").alias("allocation"),
+        )
     )

@@ -197,3 +197,28 @@ def test_prepare_corpus_normalize_collapses_surface_variants(spark):
     )
     # without normalization the surface variants are distinct exact texts
     assert sorted(r.doc_id for r in plain.collect()) == [1, 2, 3, 4]
+
+
+def test_waterfill_quota_invariants(spark):
+    """Water-filling contracts: allocations never exceed source size, total
+    lands within n_sources of the budget (integer caps), small sources are
+    uncapped, capped sources share one level."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.pipeline import waterfill_quota
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1200, "a")
+        .when(F.col("id") < 1700, "b")
+        .when(F.col("id") < 1950, "c")
+        .otherwise("d")
+        .alias("source")
+    )
+    out = waterfill_quota(df, "source", 0.4).toPandas().set_index("source")
+    budget = int(0.4 * 2000)
+    assert (out.allocation <= out.n_docs).all()
+    assert budget - len(out) < out.allocation.sum() <= budget
+    # 'd' (50 docs) is far below fair share: kept whole
+    assert out.loc["d"].allocation == 50
+    capped = out[out.allocation < out.n_docs]
+    assert capped.allocation.nunique() == 1  # one shared water level
