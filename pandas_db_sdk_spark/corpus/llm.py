@@ -1823,10 +1823,18 @@ def d55(spark, sf_dir):
     (high novelty → keep; near-zero → the batch is a re-crawl). Gram join
     is an unhinted equi-join on gram strings (corpus-sized domain: AQE
     decides); per-doc counts are one partial+final agg."""
+    from .._scratch import scratch_persist
+
     d = tables(spark, sf_dir)("documents")
-    grams = d.select(
-        "doc_id", F.explode(text.word_ngrams(F.col("text"), 3)).alias("g")
-    ).distinct()
+    # both snapshot branches read the exploded gram set — persist it once
+    # (scratch pool: bounded, warm-path reusable) instead of scanning and
+    # exploding the corpus twice
+    grams = scratch_persist(
+        d.select(
+            "doc_id", F.explode(text.word_ngrams(F.col("text"), 3)).alias("g")
+        ).distinct(),
+        "llm/d55_grams",
+    )
     old_g = grams.filter(F.col("doc_id") % 5 != 0).select("g").distinct()
     newd = grams.filter(F.col("doc_id") % 5 == 0)
     j = newd.join(old_g.withColumn("__hit", F.lit(1)), "g", "left")
