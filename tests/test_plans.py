@@ -207,7 +207,10 @@ SHUFFLE_BUDGET = {
     "c21_asof_join": 1,        # union trick: single re-key, no range explosion
     "c22_broadcast_join": 2,   # fact re-key for agg + broadcast exchange
     "d01_exact_dedup": 1,      # hash re-key on content hash
-    "d02_minhash_lsh": 28,     # static count, inflated ~3× by the persisted
+    "d02_minhash_lsh": 30,     # static count, inflated ~3× by the persisted
+                               # (30 after the scratch pool learned to
+                               # re-persist post-clearCache: the re-registered
+                               # relation prints its child subtree once more)
                                # signature/shingle subtrees printing inside
                                # each InMemoryRelation branch (the two-join
                                # verify prints the shingle subtree twice);

@@ -157,7 +157,10 @@ def test_interpolate_matches_pandas(spark, rows):
         if pd.isna(e):
             assert g is None, (t, g)
         else:
-            assert g is not None and abs(g - round(float(e), 6)) < 1e-6, (t, g, e)
+            # 1.5e-6: engine rounds HALF_UP, Python rounds half-to-even —
+                # on an exact .5 tie at the 6th decimal the two differ by
+                # exactly 1e-6 (hypothesis found 1.0078125)
+                assert g is not None and abs(g - round(float(e), 6)) < 1.5e-6, (t, g, e)
 
 
 @given(
