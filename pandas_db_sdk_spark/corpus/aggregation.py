@@ -820,3 +820,33 @@ def c75(spark, sf_dir):
 
     li = tables(spark, sf_dir)("lineitem")
     return weighted_median(li, "l_extendedprice", "l_quantity", ["l_returnflag"])
+
+
+@q(
+    "c76_crosstab_margins",
+    """SELECT coalesce(lang, 'All') AS lang,
+              CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS src0,
+              CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS src1,
+              CAST(count(*) FILTER (WHERE source = 'src2') AS BIGINT) AS src2,
+              CAST(count(*) AS BIGINT) AS All_total
+       FROM documents WHERE source IN ('src0', 'src1', 'src2')
+       GROUP BY ROLLUP(lang)""",
+)
+def c76(spark, sf_dir):
+    """C31 sibling: pandas ``crosstab(margins=True)`` — a contingency
+    table WITH row and column totals, as ONE grouping-sets aggregate
+    (rollup adds the 'All' row; the All_total column is the row margin).
+    Single partial+final pass, no second scan for the margins."""
+    d = tables(spark, sf_dir)("documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    out = d.rollup("lang").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("src0"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("src1"),
+        F.count(F.when(F.col("source") == "src2", 1)).alias("src2"),
+        F.count("*").alias("All_total"),
+    )
+    return out.select(
+        F.coalesce(F.col("lang"), F.lit("All")).alias("lang"),
+        "src0", "src1", "src2", "All_total",
+    )

@@ -1910,3 +1910,64 @@ def d57(spark, sf_dir):
 
     d = tables(spark, sf_dir)("documents")
     return pl.waterfill_quota(d, "source", 0.6)
+
+
+@q(
+    "d58_zipf_fit",
+    """WITH counts AS (
+         SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       freq AS (SELECT token, count(*) AS cnt FROM counts GROUP BY token),
+       ranked AS (
+         SELECT round(ln(row_number() OVER (ORDER BY cnt DESC, token)), 6) AS lx,
+                round(ln(cnt), 6) AS ly
+         FROM freq),
+       m AS (
+         SELECT CAST(count(*) AS DECIMAL(10,0)) AS n,
+                CAST(sum(CAST(lx AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS sx,
+                CAST(sum(CAST(ly AS DECIMAL(18,6))) AS DECIMAL(19,6)) AS sy,
+                CAST(sum(CAST(lx AS DECIMAL(18,6)) * CAST(ly AS DECIMAL(18,6)))
+                     AS DECIMAL(27,12)) AS sxy,
+                CAST(sum(CAST(lx AS DECIMAL(18,6)) * CAST(lx AS DECIMAL(18,6)))
+                     AS DECIMAL(27,12)) AS sxx
+         FROM ranked)
+       SELECT CAST(n AS BIGINT) AS n_ranks,
+              round(CAST(n*sxy - sx*sy AS DOUBLE)
+                    / CAST(n*sxx - sx*sx AS DOUBLE), 4) + 0.0 AS zipf_slope
+       FROM m""",
+)
+def d58(spark, sf_dir):
+    """Corpus-law diagnostic: the Zipf exponent — OLS slope of ln(freq)
+    against ln(rank) over the token frequency table (a natural corpus has
+    slope ≈ −1; templated/synthetic text deviates hard). Per-point lns are
+    6-dp-rounded then decimal-summed (order-independent); a single
+    ln-ulp flip moves the slope by ~1e-9, far below the 4-dp output grid.
+    The rank window runs over one row per DISTINCT TOKEN (vocabulary-
+    sized)."""
+    from pyspark.sql import Window as W
+
+    d = tables(spark, sf_dir)("documents")
+    freq = (
+        d.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = freq.select(
+        F.round(F.log(F.row_number().over(W.orderBy(F.col("cnt").desc(), "token"))), 6)
+        .cast("decimal(18,6)")
+        .alias("lx"),
+        F.round(F.log("cnt"), 6).cast("decimal(18,6)").alias("ly"),
+    )
+    m = ranked.agg(
+        F.count("*").cast("decimal(10,0)").alias("n"),
+        F.sum("lx").cast("decimal(19,6)").alias("sx"),
+        F.sum("ly").cast("decimal(19,6)").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("decimal(27,12)").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("decimal(27,12)").alias("sxx"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        n.cast("long").alias("n_ranks"),
+        (F.round(num / den, 4) + F.lit(0.0)).alias("zipf_slope"),
+    )
