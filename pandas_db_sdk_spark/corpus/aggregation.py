@@ -824,7 +824,7 @@ def c75(spark, sf_dir):
 
 @q(
     "c76_crosstab_margins",
-    """SELECT coalesce(lang, 'All') AS lang,
+    """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'All' ELSE lang END AS lang,
               CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS src0,
               CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS src1,
               CAST(count(*) FILTER (WHERE source = 'src2') AS BIGINT) AS src2,
@@ -845,8 +845,12 @@ def c76(spark, sf_dir):
         F.count(F.when(F.col("source") == "src1", 1)).alias("src1"),
         F.count(F.when(F.col("source") == "src2", 1)).alias("src2"),
         F.count("*").alias("All_total"),
+        # grouping() distinguishes the margin row from a genuine NULL-lang
+        # group — coalesce would conflate them on nullable data (must be
+        # computed inside the rollup aggregate)
+        F.grouping("lang").alias("__g"),
     )
     return out.select(
-        F.coalesce(F.col("lang"), F.lit("All")).alias("lang"),
+        F.when(F.col("__g") == 1, F.lit("All")).otherwise(F.col("lang")).alias("lang"),
         "src0", "src1", "src2", "All_total",
     )

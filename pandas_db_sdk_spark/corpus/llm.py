@@ -1787,7 +1787,14 @@ def d54(spark, sf_dir):
     from pyspark.sql import Window as W
 
     d = tables(spark, sf_dir)("documents")
-    n = text.normalize_text(d).join(d.select("doc_id", "lang"), "doc_id")
+    # one projection, no self-join: the d30 normalization expression runs
+    # inline so the only shuffle is the norm-hash window re-key
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    n = d.select("doc_id", "lang", F.md5(norm).alias("norm_hash"))
     w = W.partitionBy("norm_hash").orderBy("doc_id")
     return (
         n.withColumn("rn", F.row_number().over(w))
@@ -1802,8 +1809,12 @@ def d54(spark, sf_dir):
          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        gl AS (
          SELECT doc_id,
-                [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-                 FOR i IN range(1, len(tk) - 1)] AS gs
+                CASE WHEN len(tk) >= 3
+                     THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                           FOR i IN range(1, len(tk) - 1)]
+                     -- <3 tokens: word_ngrams emits ONE degenerate gram of
+                     -- the available words; the oracle must agree
+                     ELSE [array_to_string(tk, ' ')] END AS gs
          FROM toks),
        grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM gl),
        old_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 5 <> 0),

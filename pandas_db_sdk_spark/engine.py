@@ -183,6 +183,15 @@ class DataFrameEngine:
             # would persist. Bump until the label is fresh.
             tick = self._clock()
             taken = {str(v) for v in existing["versions"]} if existing else set()
+            # also treat ON-DISK version dirs as taken: a crashed save may
+            # have left an uncommitted orphan — landing a retry on the same
+            # tick would append into it and commit the duplicate rows
+            if existing is not None and os.path.isdir(existing["path"]):
+                taken |= {
+                    n.split("=", 1)[1]
+                    for n in os.listdir(existing["path"])
+                    if n.startswith(f"{VERSION_COL}=")
+                }
             while str(tick) in taken:
                 tick += 1
             version = str(tick)
@@ -274,6 +283,13 @@ class DataFrameEngine:
                 for v in stale:
                     self._delete_version_dirs(path, v)
                 ds["versions"] = [version]
+                # provenance follows retention — dead-version entries would
+                # otherwise accumulate in the manifest forever
+                ds["provenance"] = {
+                    k: v
+                    for k, v in ds.get("provenance", {}).items()
+                    if k == str(version)
+                }
 
             self._write_manifest(manifest)
         return {

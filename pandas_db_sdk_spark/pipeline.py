@@ -232,8 +232,9 @@ def waterfill_quota(
     Closed form, no iteration: sort sources ascending by size; for each
     rank the candidate cap is ⌊(B − prefix) / remaining⌋, and the unique
     rank where the candidate falls below that source's size yields the
-    final cap (if none does, the budget covers the whole corpus). All
-    integer arithmetic → engine-exact.
+    final cap (if none does, the budget covers the whole corpus). The
+    candidate division runs in double (Spark ``/`` on longs), exact for
+    any corpus below 2^53 docs; everything else is integer arithmetic.
 
     Scale: the windows run over ONE ROW PER SOURCE (already aggregated);
     the single-partition sort is bounded by source count, same contract
@@ -253,7 +254,6 @@ def waterfill_quota(
     ranked = counts.select(
         "source",
         "n_docs",
-        budget.alias("__b"),
         F.when((cand < F.col("n_docs")) & (cand >= 0), cand).alias("__valid_cap"),
     )
     # the TRUE cap is the first-crossing candidate (smallest rank where

@@ -29,6 +29,7 @@ hashing in the hot path.
 from __future__ import annotations
 
 import math
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -126,10 +127,11 @@ def build_bloom_bitmap(
         .groupBy("g")
         .applyInPandas(lambda pdf: or_group(pdf), "bitmap binary")
     )
+    header = struct.pack("<II", num_bits, num_hashes)
     rows = merged.collect()
     if not rows:  # empty key set: nothing can match
-        return bytes(num_bits // 8)
-    return bytes(rows[0]["bitmap"])
+        return header + bytes(num_bits // 8)
+    return header + bytes(rows[0]["bitmap"])
 
 
 def bloom_semi_join(
@@ -168,12 +170,16 @@ def bloom_semi_join(
         bitmap = build_bloom_bitmap(
             keys, key, num_bits=num_bits, num_hashes=num_hashes
         )
-    elif len(bitmap) != num_bits // 8:
+    # the bitmap is self-describing (8-byte header): a build/probe mismatch
+    # in EITHER parameter would silently drop matching rows before the
+    # verify join, so adopt the header's values instead of trusting args
+    num_bits, num_hashes = struct.unpack("<II", bitmap[:8])
+    if len(bitmap) != 8 + num_bits // 8:
         raise ValueError(
-            f"prebuilt bitmap is {len(bitmap)} bytes; num_bits={num_bits} "
-            f"needs {num_bits // 8}"
+            f"corrupt bloom bitmap: header says {num_bits} bits "
+            f"({num_bits // 8} bytes) but body is {len(bitmap) - 8}"
         )
-    bc = big.sparkSession.sparkContext.broadcast(bitmap)
+    bc = big.sparkSession.sparkContext.broadcast(bitmap[8:])
 
     @pandas_udf("boolean")
     def probe(h: pd.Series) -> pd.Series:

@@ -393,7 +393,12 @@ def test_bloom_semi_join_equals_semi_join_random_keys(spark, keys, probe):
 
 
 @given(
-    data=st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=20, max_size=300),
+    # 40-symbol alphabet: with frac=0.25 (k = 4+8 = 12 counters) the MG
+    # decrement/prune branch actually fires — a 5-symbol alphabet never
+    # exceeds k and would leave the prune path untested
+    data=st.lists(
+        st.sampled_from([f"s{i}" for i in range(40)]), min_size=20, max_size=300
+    ),
     frac=st.sampled_from([0.05, 0.1, 0.25]),
 )
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])

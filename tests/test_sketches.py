@@ -44,7 +44,7 @@ def test_bloom_bitmap_deterministic_and_order_insensitive(spark):
     )
     # OR is commutative/associative: bitmap bytes are partitioning-invariant
     assert a == b
-    assert len(a) == (1 << 14) // 8
+    assert len(a) == 8 + (1 << 14) // 8  # 8-byte (bits, hashes) header
 
 
 def test_bloom_tiny_bitmap_still_exact(spark):
@@ -158,7 +158,12 @@ def test_bloom_semi_join_prebuilt_bitmap_reuse(spark):
     want = li.join(keys, "l_orderkey", "left_semi")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
-    with pytest.raises(ValueError, match="prebuilt bitmap"):
+    # args that disagree with the header are overridden by it, not trusted
+    got2 = sketches.bloom_semi_join(
+        li, o, "l_orderkey", "o_orderkey", num_bits=1 << 20, num_hashes=9, bitmap=bm
+    )
+    assert got2.count() == want.count()
+    with pytest.raises(ValueError, match="corrupt"):
         sketches.bloom_semi_join(
-            li, o, "l_orderkey", "o_orderkey", num_bits=1 << 20, bitmap=bm
+            li, o, "l_orderkey", "o_orderkey", bitmap=bm[:-4]
         )

@@ -837,3 +837,28 @@ def test_save_records_provenance_in_describe(spark, tmp_path):
 
     v2 = eng.describe_dataset("p2")["versions"][0]["provenance"]
     assert v2["n_input_files"] == 0 and v2["input_sample"] == []
+
+
+def test_retry_after_crash_never_reuses_orphan_version_dir(spark, tmp_path):
+    """A crashed save leaves an uncommitted __version= dir; a retry whose
+    clock returns the SAME tick must bump past it — appending into the
+    orphan would commit its half-written rows alongside the retry's."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    # clock deliberately returns 3000 twice (crash + immediate retry)
+    ticks = iter([3000, 3000, 3001, 3002]).__next__
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"), clock=ticks)
+    eng.save(spark.range(5).select(F.col("id").alias("v")), "ds")  # v3000
+
+    real_lock = eng._manifest_lock
+    eng._manifest_lock = lambda: (_ for _ in ()).throw(RuntimeError("crash"))
+    try:
+        eng.save(spark.range(7).select(F.col("id").alias("v")), "ds")  # orphan
+    except RuntimeError:
+        pass
+    eng._manifest_lock = real_lock
+
+    eng.save(spark.range(9).select(F.col("id").alias("v")), "ds")
+    assert eng.load("ds", use_last=True).count() == 9  # not 7+9, not orphan
