@@ -72,7 +72,11 @@ def test_no_cartesian_in_candidate_generation(spark, queries):
 def test_no_python_eval_in_relational_core(spark, queries):
     """C5-C54 must run entirely JVM-side: no BatchEvalPython (row-wise UDF)
     and no ArrowEvalPython (pandas UDF) nodes in their plans."""
-    relational = [n for n in queries if n.startswith("c") and int(n[1:3]) <= 54]
+    relational = [
+        n
+        for n in queries
+        if n.startswith("c") and (int(n[1:3]) <= 54 or 70 <= int(n[1:3]) <= 76)
+    ]  # c61–c65 are the declared UDF surface; c70+ must stay JVM-side
     for name in relational:
         plan = plan_of(queries[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
