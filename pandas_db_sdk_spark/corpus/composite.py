@@ -1358,3 +1358,53 @@ def x29(spark, sf_dir):
         F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "custkey")).alias("f_score"),
         F.ntile(4).over(W.orderBy(F.col("monetary").desc(), "custkey")).alias("m_score"),
     )
+
+
+@q(
+    "x30_supplier_scorecard",
+    """WITH base AS (
+         SELECT l_suppkey,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                count(*) AS n_lines,
+                CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                    AS n_returned
+         FROM lineitem GROUP BY 1)
+       SELECT s.s_name, round(b.revenue, 4) AS revenue, b.n_lines,
+              round(CAST(b.n_returned AS DOUBLE) / b.n_lines, 6) AS return_rate,
+              rank() OVER (ORDER BY b.revenue DESC, s.s_name) AS revenue_rank
+       FROM base b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+       ORDER BY revenue_rank LIMIT 25""",
+)
+def x30(spark, sf_dir):
+    """Composite: supplier scorecard — revenue, line volume, return rate,
+    revenue rank in one frame (the multi-metric entity-health report).
+    Fact aggregates ONCE (all three metrics share the partial+final agg),
+    dim broadcasts, and the rank window runs over one row per SUPPLIER."""
+    from pyspark.sql import Window as W
+
+    t = tables(spark, sf_dir)
+    li, s = t("lineitem"), t("supplier")
+    base = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+    j = base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+    return (
+        j.select(
+            "s_name",
+            F.round("revenue", 4).alias("revenue"),
+            "n_lines",
+            F.round(F.col("n_returned").cast("double") / F.col("n_lines"), 6).alias(
+                "return_rate"
+            ),
+            F.rank()
+            .over(W.orderBy(F.col("revenue").desc(), "s_name"))
+            .alias("revenue_rank"),
+        )
+        .orderBy("revenue_rank")
+        .limit(25)
+    )

@@ -1982,3 +1982,78 @@ def d58(spark, sf_dir):
         n.cast("long").alias("n_ranks"),
         (F.round(num / den, 4) + F.lit(0.0)).alias("zipf_slope"),
     )
+
+
+@q(
+    "d59_dup_cluster_sizes",
+    """WITH sizes AS (
+         SELECT count(*) AS cluster_size FROM documents GROUP BY text)
+       SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+              count(*) AS n_clusters,
+              CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+)
+def d59(spark, sf_dir):
+    """Dedup diagnostics: the duplicate-cluster size distribution (how many
+    exact-dup families of each size, and the docs they hold) — the read
+    that sizes d02's `max_bucket_size` valve and predicts LSH pair volume
+    (Σ size² scales the verify). Two chained aggs; the first re-keys on
+    text hash semantics, the second on a tiny size domain."""
+    d = tables(spark, sf_dir)("documents")
+    sizes = d.groupBy(F.sha2("text", 256)).agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@q(
+    "d60_snapshot_drift",
+    """WITH o AS (
+         SELECT lang, count(*) AS n FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+       n AS (
+         SELECT lang, count(*) AS n FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+       ot AS (SELECT sum(n) AS t FROM o), nt AS (SELECT sum(n) AS t FROM n),
+       shares AS (
+         SELECT coalesce(o.lang, n.lang) AS lang,
+                CAST(coalesce(o.n, 0) AS DOUBLE) / ot.t AS share_old,
+                CAST(coalesce(n.n, 0) AS DOUBLE) / nt.t AS share_new
+         FROM o FULL OUTER JOIN n USING (lang), ot, nt)
+       SELECT lang, round(share_old, 6) AS share_old,
+              round(share_new, 6) AS share_new,
+              round(abs(share_new - share_old), 6) AS drift
+       FROM shares""",
+)
+def d60(spark, sf_dir):
+    """Data-monitoring: per-facet distribution drift between corpus
+    snapshots (old = doc_id%5≠0, new = %5=0): each language's share in
+    both snapshots and the absolute drift — the alarm read before a new
+    crawl batch shifts the training mix. Two facet aggs + a full outer
+    join over one row per FACET; totals are 1-row broadcast BNLJ sides."""
+    d = tables(spark, sf_dir)("documents")
+    old = d.filter(F.col("doc_id") % 5 != 0).groupBy("lang").agg(F.count("*").alias("n_o"))
+    new = d.filter(F.col("doc_id") % 5 == 0).groupBy("lang").agg(F.count("*").alias("n_n"))
+    ot = old.agg(F.sum("n_o").alias("t_o"))
+    nt = new.agg(F.sum("n_n").alias("t_n"))
+    shares = (
+        old.join(new, "lang", "full_outer")
+        .crossJoin(F.broadcast(ot))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "lang",
+            (F.coalesce(F.col("n_o"), F.lit(0)).cast("double") / F.col("t_o")).alias("so"),
+            (F.coalesce(F.col("n_n"), F.lit(0)).cast("double") / F.col("t_n")).alias("sn"),
+        )
+    )
+    return shares.select(
+        "lang",
+        F.round("so", 6).alias("share_old"),
+        F.round("sn", 6).alias("share_new"),
+        F.round(F.abs(F.col("sn") - F.col("so")), 6).alias("drift"),
+    )
