@@ -128,3 +128,27 @@ def interval_join(
         F.unix_micros("v_ts").alias("view_ts_us"),
         F.unix_micros("c_ts").alias("click_ts_us"),
     )
+
+
+def enriched_type_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    width: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static enrichment + windowed agg: join each event against a
+    STATIC dimension (broadcast per micro-batch — stream-static joins are
+    stateless, no watermark bookkeeping on the dim side), then count per
+    (window, category). Same expression works batch-side, which is the
+    parity oracle."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    j = e.join(F.broadcast(dim), "event_type")
+    return (
+        j.groupBy(F.window("ts", width), "category")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "category",
+            "n",
+        )
+    )

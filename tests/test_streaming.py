@@ -362,3 +362,19 @@ def test_live_rollup_custom_transform_with_key_cols(spark, events_dir, events_ba
     got = eng.load("live/per_user_5m", use_last=True)
     keys = ["window_start_us", "user_id", "n_events"]
     assert set(_rows(got, keys)) == set(_rows(per_user_counts(events_batch), keys))
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, events_batch):
+    """Stream-static join (stateless per-micro-batch broadcast of a static
+    dim) + windowed agg must equal the same plan run as batch."""
+    dim = spark.createDataFrame(
+        [("view", "read"), ("click", "act"), ("purchase", "act"), ("signup", "act")],
+        ["event_type", "category"],
+    )
+    stream = W.stream_events_from_dir(spark, events_dir)
+    got = W.run_to_memory(
+        W.enriched_type_counts(stream, dim), spark, mode="complete"
+    )
+    want = W.enriched_type_counts(events_batch, dim)
+    keys = ["window_start_us", "category", "n"]
+    assert _rows(got, keys) == _rows(want, keys)
