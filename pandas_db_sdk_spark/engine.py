@@ -741,6 +741,60 @@ class DataFrameEngine:
 
     # ---------------------------------------------------------------- delete
 
+
+    def fsck(self, dataframe_name=None, repair=False):
+        """Manifest ↔ disk consistency check (and optional repair) — the
+        maintenance pass behind the crash-durability contract: a save that
+        dies between the parquet write and the manifest commit leaves an
+        ORPHAN ``__version=`` dir (invisible to reads, but paying storage).
+
+        Reports, per dataset: ``orphan_versions`` (on disk, not committed),
+        ``missing_versions`` (committed, no dir — data loss, NOT repairable
+        here), and ``stale_provenance`` (manifest entries for dead
+        versions). With ``repair=True`` orphan dirs and stale provenance
+        are removed (under the manifest lock; committed data is never
+        touched)."""
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            names = (
+                [dataframe_name] if dataframe_name else list(manifest["datasets"])
+            )
+            report = {}
+            for name in names:
+                ds = manifest["datasets"].get(name)
+                if ds is None:
+                    raise DatasetNotFound(name)
+                committed = {str(v) for v in ds["versions"]}
+                on_disk = set()
+                if os.path.isdir(ds["path"]):
+                    on_disk = {
+                        n.split("=", 1)[1]
+                        for n in os.listdir(ds["path"])
+                        if n.startswith(f"{VERSION_COL}=")
+                    }
+                orphans = sorted(on_disk - committed)
+                missing = sorted(committed - on_disk)
+                stale_prov = sorted(
+                    k for k in ds.get("provenance", {}) if k not in committed
+                )
+                if repair:
+                    for v in orphans:
+                        shutil.rmtree(
+                            os.path.join(ds["path"], f"{VERSION_COL}={v}"),
+                            ignore_errors=True,
+                        )
+                    for k in stale_prov:
+                        ds["provenance"].pop(k, None)
+                report[name] = {
+                    "orphan_versions": orphans,
+                    "missing_versions": missing,
+                    "stale_provenance": stale_prov,
+                    "repaired": bool(repair),
+                }
+            if repair:
+                self._write_manifest(manifest)
+        return report
+
     def delete_dataset(self, dataframe_name: str) -> Dict[str, Any]:
         """Drop a dataset: remove its data directory and catalog entry.
 
@@ -865,3 +919,4 @@ class DataFrameEngine:
                 if d == target:
                     shutil.rmtree(os.path.join(dirpath, d), ignore_errors=True)
                     dirnames.remove(d)
+

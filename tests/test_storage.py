@@ -862,3 +862,37 @@ def test_retry_after_crash_never_reuses_orphan_version_dir(spark, tmp_path):
 
     eng.save(spark.range(9).select(F.col("id").alias("v")), "ds")
     assert eng.load("ds", use_last=True).count() == 9  # not 7+9, not orphan
+
+
+def test_fsck_reports_and_repairs_orphans(spark, tmp_path):
+    """fsck surfaces crash leftovers (orphan version dirs, stale
+    provenance) and repair removes them without touching committed data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    ticks = iter(range(4000, 4010)).__next__
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"), clock=ticks)
+    eng.save(spark.range(6).select(F.col("id").alias("v")), "ds")
+
+    real_lock = eng._manifest_lock
+    eng._manifest_lock = lambda: (_ for _ in ()).throw(RuntimeError("crash"))
+    try:
+        eng.save(spark.range(8).select(F.col("id").alias("v")), "ds")
+    except RuntimeError:
+        pass
+    eng._manifest_lock = real_lock
+
+    rep = eng.fsck("ds")["ds"]
+    assert rep["orphan_versions"] == ["4001"]
+    assert rep["missing_versions"] == []
+
+    rep = eng.fsck("ds", repair=True)["ds"]
+    assert rep["orphan_versions"] == ["4001"] and rep["repaired"]
+    # orphan dir gone, committed data untouched, clean bill on re-check
+    ds_path = eng._dataset_entry("ds")["path"]
+    assert not os.path.isdir(os.path.join(ds_path, "__version=4001"))
+    assert eng.load("ds", use_last=True).count() == 6
+    assert eng.fsck("ds")["ds"]["orphan_versions"] == []
