@@ -81,6 +81,19 @@ class DataFrameEngine:
     def _manifest_path(self) -> str:
         return os.path.join(self.warehouse, "_manifest.json")
 
+    @staticmethod
+    def _versions_on_disk(path: str) -> set:
+        """Version labels present as ``__version=`` dirs under ``path`` —
+        shared by save's freshness bump and fsck so the two scans can
+        never diverge."""
+        if not os.path.isdir(path):
+            return set()
+        return {
+            n.split("=", 1)[1]
+            for n in os.listdir(path)
+            if n.startswith(f"{VERSION_COL}=")
+        }
+
     def _read_manifest(self) -> Dict[str, Any]:
         if not os.path.exists(self._manifest_path):
             return {"datasets": {}}
@@ -186,12 +199,8 @@ class DataFrameEngine:
             # also treat ON-DISK version dirs as taken: a crashed save may
             # have left an uncommitted orphan — landing a retry on the same
             # tick would append into it and commit the duplicate rows
-            if existing is not None and os.path.isdir(existing["path"]):
-                taken |= {
-                    n.split("=", 1)[1]
-                    for n in os.listdir(existing["path"])
-                    if n.startswith(f"{VERSION_COL}=")
-                }
+            if existing is not None:
+                taken |= self._versions_on_disk(existing["path"])
             while str(tick) in taken:
                 tick += 1
             version = str(tick)
@@ -742,7 +751,7 @@ class DataFrameEngine:
     # ---------------------------------------------------------------- delete
 
 
-    def fsck(self, dataframe_name=None, repair=False):
+    def fsck(self, dataframe_name=None, repair=False, min_age_seconds=3600.0):
         """Manifest ↔ disk consistency check (and optional repair) — the
         maintenance pass behind the crash-durability contract: a save that
         dies between the parquet write and the manifest commit leaves an
@@ -752,44 +761,49 @@ class DataFrameEngine:
         ``missing_versions`` (committed, no dir — data loss, NOT repairable
         here), and ``stale_provenance`` (manifest entries for dead
         versions). With ``repair=True`` orphan dirs and stale provenance
-        are removed (under the manifest lock; committed data is never
-        touched)."""
+        are removed under the manifest lock.
+
+        CONCURRENCY: an uncommitted dir is indistinguishable from a LIVE
+        concurrent save() still writing (data lands outside the lock; the
+        commit comes later) — so repair only deletes orphans whose dir
+        mtime is older than ``min_age_seconds`` (default 1 h, far above
+        any commit latency). Younger candidates are reported but kept."""
         with self._manifest_lock():
             manifest = self._read_manifest()
             names = (
                 [dataframe_name] if dataframe_name else list(manifest["datasets"])
             )
+            now = time.time()
             report = {}
             for name in names:
                 ds = manifest["datasets"].get(name)
                 if ds is None:
                     raise DatasetNotFound(name)
                 committed = {str(v) for v in ds["versions"]}
-                on_disk = set()
-                if os.path.isdir(ds["path"]):
-                    on_disk = {
-                        n.split("=", 1)[1]
-                        for n in os.listdir(ds["path"])
-                        if n.startswith(f"{VERSION_COL}=")
-                    }
+                on_disk = self._versions_on_disk(ds["path"])
                 orphans = sorted(on_disk - committed)
                 missing = sorted(committed - on_disk)
                 stale_prov = sorted(
                     k for k in ds.get("provenance", {}) if k not in committed
                 )
+                repaired_versions = []
                 if repair:
                     for v in orphans:
-                        shutil.rmtree(
-                            os.path.join(ds["path"], f"{VERSION_COL}={v}"),
-                            ignore_errors=True,
-                        )
+                        d = os.path.join(ds["path"], f"{VERSION_COL}={v}")
+                        try:
+                            age = now - os.path.getmtime(d)
+                        except OSError:
+                            continue
+                        if age >= min_age_seconds:
+                            shutil.rmtree(d, ignore_errors=True)
+                            repaired_versions.append(v)
                     for k in stale_prov:
                         ds["provenance"].pop(k, None)
                 report[name] = {
                     "orphan_versions": orphans,
                     "missing_versions": missing,
                     "stale_provenance": stale_prov,
-                    "repaired": bool(repair),
+                    "repaired": repaired_versions if repair else False,
                 }
             if repair:
                 self._write_manifest(manifest)

@@ -75,8 +75,10 @@ def test_no_python_eval_in_relational_core(spark, queries):
     relational = [
         n
         for n in queries
-        if n.startswith("c") and (int(n[1:3]) <= 54 or 70 <= int(n[1:3]) <= 76)
-    ]  # c61–c65 are the declared UDF surface; c70+ must stay JVM-side
+        if n.startswith("c") and not (60 <= int(n[1:3]) <= 65)
+    ]  # c61–c65 are the declared UDF surface and c60's batch twin is the
+    # stateful applyInPandas; every other c-query (incl. c55-59 event-time
+    # and the c70+ extensions) must stay JVM-side
     for name in relational:
         plan = plan_of(queries[name](spark, SF))
         assert "BatchEvalPython" not in plan, name

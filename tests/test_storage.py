@@ -889,10 +889,16 @@ def test_fsck_reports_and_repairs_orphans(spark, tmp_path):
     assert rep["orphan_versions"] == ["4001"]
     assert rep["missing_versions"] == []
 
+    # a young orphan is reported but NOT deleted (could be a live writer)
     rep = eng.fsck("ds", repair=True)["ds"]
-    assert rep["orphan_versions"] == ["4001"] and rep["repaired"]
-    # orphan dir gone, committed data untouched, clean bill on re-check
+    assert rep["orphan_versions"] == ["4001"] and rep["repaired"] == []
     ds_path = eng._dataset_entry("ds")["path"]
+    assert os.path.isdir(os.path.join(ds_path, "__version=4001"))
+
+    # past the grace period it is removed
+    rep = eng.fsck("ds", repair=True, min_age_seconds=0)["ds"]
+    assert rep["repaired"] == ["4001"]
+    # orphan dir gone, committed data untouched, clean bill on re-check
     assert not os.path.isdir(os.path.join(ds_path, "__version=4001"))
     assert eng.load("ds", use_last=True).count() == 6
     assert eng.fsck("ds")["ds"]["orphan_versions"] == []
