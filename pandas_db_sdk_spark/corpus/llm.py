@@ -2057,3 +2057,27 @@ def d60(spark, sf_dir):
         F.round("sn", 6).alias("share_new"),
         F.round(F.abs(F.col("sn") - F.col("so")), 6).alias("drift"),
     )
+
+
+@q(
+    "d61_stratified_weighted_sample",
+    """SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY round(ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                                     + 0.5) / 4294967296.0) / n_chars, 12) DESC,
+                           doc_id) AS rn
+         FROM documents) WHERE rn <= 10""",
+)
+def d61(spark, sf_dir):
+    """d52's stratified sibling: 10 weighted picks PER SOURCE (A-ES key,
+    weight = length) — balanced subsampling that still favors longer docs
+    within each stratum, ID set engine/layout-independent. One window
+    re-key on source."""
+    from .. import pipeline as pl
+
+    d = tables(spark, sf_dir)("documents")
+    return pl.weighted_sample_by_group(d, "source", "doc_id", "n_chars", 10).select(
+        "doc_id", "source", "n_chars"
+    )

@@ -271,3 +271,29 @@ def waterfill_quota(
             F.least(F.col("n_docs"), F.col("__cap")).cast("long").alias("allocation"),
         )
     )
+
+
+def weighted_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k_per_group: int,
+) -> DataFrame:
+    """Stratified A-ES: ``weighted_sample``'s exponential-sort key, ranked
+    WITHIN each group — k weighted picks per stratum (the balanced,
+    auditable subsample: per-source quotas with per-doc weighting). Same
+    determinism contract as ``weighted_sample``; one window re-key on the
+    group column."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col), 12)
+    w = Window.partitionBy(group_col).orderBy(key.desc(), id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_per_group)
+        .drop("__rn")
+    )

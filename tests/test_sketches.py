@@ -167,3 +167,25 @@ def test_bloom_semi_join_prebuilt_bitmap_reuse(spark):
         sketches.bloom_semi_join(
             li, o, "l_orderkey", "o_orderkey", bitmap=bm[:-4]
         )
+
+
+def test_bloom_fp_rate_within_theory(spark):
+    """Realized probe false-positive rate must sit near the textbook
+    (1 - e^{-kn/m})^k — the sizing formula SCALE.md tells operators to
+    use. Measured on keys guaranteed absent from the build set."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n, m, k = 20_000, 1 << 18, 5
+    members = spark.range(n).select((F.col("id") * 2).alias("k"))  # evens
+    bm = sketches.build_bloom_bitmap(members, "k", num_bits=m, num_hashes=k)
+    probes = spark.range(n).select((F.col("id") * 2 + 1).alias("k"))  # odds
+    hits = sketches.bloom_semi_join(
+        # verify join against members would erase fps; probe-only effect is
+        # observable by joining against the PROBE side (all survive verify)
+        probes, probes, "k", num_bits=m, num_hashes=k, bitmap=bm
+    ).count()
+    fp_rate = hits / n
+    theory = (1 - math.exp(-k * n / m)) ** k
+    assert fp_rate <= max(3 * theory, 0.005), (fp_rate, theory)
