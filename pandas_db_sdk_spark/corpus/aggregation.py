@@ -854,3 +854,42 @@ def c76(spark, sf_dir):
         F.when(F.col("__g") == 1, F.lit("All")).otherwise(F.col("lang")).alias("lang"),
         "src0", "src1", "src2", "All_total",
     )
+
+
+@q(
+    "c77_qcut",
+    """WITH b AS (
+         SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                quantile_cont(l_extendedprice, 0.50) AS q2,
+                quantile_cont(l_extendedprice, 0.75) AS q3
+         FROM lineitem)
+       SELECT l_orderkey, l_linenumber,
+              CAST(CASE WHEN l_extendedprice > q3 THEN 3
+                        WHEN l_extendedprice > q2 THEN 2
+                        WHEN l_extendedprice > q1 THEN 1
+                        ELSE 0 END AS INT) AS price_quartile
+       FROM lineitem, b""",
+)
+def c77(spark, sf_dir):
+    """C77 (ext): pandas ``qcut(4)`` — quantile binning WITHOUT the global
+    percent_rank window (the single-task cliff): exact interpolated
+    boundaries come from one 1-row aggregate that broadcasts back (c20b's
+    scalar-subquery shape), and the binning itself is a codegen'd CASE
+    riding the scan."""
+    li = tables(spark, sf_dir)("lineitem")
+    b = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    p = F.col("l_extendedprice")
+    return li.crossJoin(F.broadcast(b)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(p > F.col("q3"), 3)
+        .when(p > F.col("q2"), 2)
+        .when(p > F.col("q1"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("price_quartile"),
+    )
