@@ -69,11 +69,11 @@ def main() -> None:
         t(name).count()
 
     # Each query runs cold once (one-time whole-stage-codegen compilation +
-    # plan analysis), then three warm reps; the reported number is the warm
+    # plan analysis), then four warm reps; the reported number is the warm
     # MIN — the best reproducible time, timeit-style. Back-to-back full-
     # suite runs on this box spread 12.2→21.1 s total with zero guest-side
     # load and 0% reported steal (host-level contention the guest can't
-    # see); a median still drifts with that noise, the min of 3 is stable.
+    # see); a median still drifts with that noise, the min of 4 is stable.
     # BENCH_r02's phantom 29% "regression" was the same effect. Cold
     # totals are reported alongside.
     timings: dict[str, float] = {}
@@ -86,7 +86,7 @@ def main() -> None:
         n = queries[name](spark, sf_dir).count()
         cold[label] = round(time.perf_counter() - t0, 3)
         warms = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             warms.append(time.perf_counter() - t0)
