@@ -280,3 +280,22 @@ def test_global_cumsum_matches_naive_window_and_partitioning_invariant(spark):
         df.repartition(3), ["k"], {"cum_a": "a", "cum_b": "b"}, n_partitions=5
     )
     assert out2.orderBy("k").toPandas().equals(want)
+
+
+def test_global_cumsum_at_bench_scale(spark):
+    """600K-row prefix sum through the range-partition path: totals must
+    equal the exact aggregate and the frame must stay fully distributed
+    (multiple range partitions, no single-task data window)."""
+    from pandas_db_sdk_spark.scale import global_cumsum
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").select(
+        F.monotonically_increasing_id().alias("k"), F.col("l_quantity").alias("q")
+    )
+    out = global_cumsum(li, ["k"], {"cum_q": "q"}, n_partitions=16)
+    last = out.orderBy(F.col("k").desc()).limit(1).collect()[0]
+    exact = li.agg(F.sum("q")).collect()[0][0]
+    assert abs(last["cum_q"] - exact) < 1e-6
+    # the DATA window is pid-partitioned (the only single-partition window
+    # is the 16-row offsets frame); AQE may coalesce the small OUTPUT
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__pid" in plan
