@@ -2081,3 +2081,68 @@ def d61(spark, sf_dir):
     return pl.weighted_sample_by_group(d, "source", "doc_id", "n_chars", 10).select(
         "doc_id", "source", "n_chars"
     )
+
+
+@q(
+    "d31b_semantic_dedup_guarantees",
+    """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       paired AS (
+         SELECT DISTINCT id FROM (
+           SELECT a.vec_id AS id FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) >= 0.98
+           UNION ALL
+           SELECT b.vec_id FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) >= 0.98)),
+       iso AS (SELECT count(*) AS c FROM embeddings
+               WHERE vec_id NOT IN (SELECT id FROM paired))
+       SELECT 'isolated_docs' AS rule, CAST(c AS BIGINT) AS val FROM iso
+       UNION ALL SELECT 'isolated_removed', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'kept_not_in_source', CAST(0 AS BIGINT)""",
+)
+def d31b(spark, sf_dir):
+    """d31 certification frame (the d02e pattern): the concrete cluster
+    layout stays rows-only, but the SAFETY contract hash-checks — a doc
+    with no ≥τ partner ANYWHERE may never be removed by the k-means-blocked
+    dedup (soft blocking could only fail toward false negatives; this pins
+    that it never manufactures false positives). The frame's exact
+    all-pairs pass is certification harness at fixture scale, not an
+    operator path — the operator itself stays blocked."""
+    from .. import _models
+
+    e = tables(spark, sf_dir)("embeddings")
+    n_cells = similarity.adaptive_cell_count(e.count())
+    cents = _models.cached_model(
+        e, "d31/centroids", ("embedding", n_cells, 2, 42),
+        lambda: similarity._kmeans_centroids(e, "embedding", n_cells, 2, 42),
+    )
+    kept = similarity.semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.98, centroids=cents
+    ).select("vec_id")
+
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .filter(
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6) >= 0.98
+        )
+    )
+    paired = pairs.select(F.col("ia").alias("vec_id")).union(
+        pairs.select(F.col("ib").alias("vec_id"))
+    ).distinct()
+    iso = e.select("vec_id").exceptAll(paired.intersect(e.select("vec_id")))
+    n_iso = iso.count()
+    n_iso_removed = iso.exceptAll(kept).count()
+    n_ghost = kept.exceptAll(e.select("vec_id")).count()
+    return spark.createDataFrame(
+        [
+            ("isolated_docs", n_iso),
+            ("isolated_removed", n_iso_removed),
+            ("kept_not_in_source", n_ghost),
+        ],
+        "rule string, val long",
+    )
