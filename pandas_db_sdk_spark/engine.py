@@ -259,6 +259,7 @@ class DataFrameEngine:
             "n_input_files": len(in_files),
             "input_sample": sorted(in_files)[:20],
             "plan_hash": df._jdf.queryExecution().analyzed().semanticHash(),
+            "schema_cols": sorted(df.columns),
         }
 
         with self._manifest_lock():
@@ -750,6 +751,45 @@ class DataFrameEngine:
 
     # ---------------------------------------------------------------- delete
 
+
+
+    def diff_versions(self, dataframe_name, version_a, version_b):
+        """What changed between two committed versions: row/byte/file
+        deltas (footer-statistics pass, same cost model as DESCRIBE) plus
+        the schema columns added/removed between the versions' recorded
+        write schemas (provenance plan hashes shown when captured). The
+        upgrade/rollback decision read."""
+        desc = self.describe_dataset(dataframe_name)
+        by_v = {v["version"]: v for v in desc["versions"]}
+        a, b = str(version_a), str(version_b)
+        missing = [v for v in (a, b) if v not in by_v]
+        if missing:
+            raise ValueError(
+                f"version(s) {missing} not committed for {dataframe_name!r}; "
+                f"have {sorted(by_v)}"
+            )
+        ds = self._dataset_entry(dataframe_name)
+        cols = {f["name"] for f in json.loads(ds["schema"])["fields"]}
+
+        def _schema_cols(v):
+            prov = by_v[v].get("provenance") or {}
+            return set(prov.get("schema_cols") or cols)
+
+        ca, cb = _schema_cols(a), _schema_cols(b)
+        return {
+            "dataset": dataframe_name,
+            "from_version": a,
+            "to_version": b,
+            "row_delta": by_v[b]["n_rows"] - by_v[a]["n_rows"],
+            "byte_delta": by_v[b]["n_bytes"] - by_v[a]["n_bytes"],
+            "file_delta": by_v[b]["n_files"] - by_v[a]["n_files"],
+            "columns_added": sorted(cb - ca),
+            "columns_removed": sorted(ca - cb),
+            "plan_hash_changed": (
+                (by_v[a].get("provenance") or {}).get("plan_hash")
+                != (by_v[b].get("provenance") or {}).get("plan_hash")
+            ),
+        }
 
     def fsck(self, dataframe_name=None, repair=False, min_age_seconds=3600.0):
         """Manifest ↔ disk consistency check (and optional repair) — the

@@ -902,3 +902,30 @@ def test_fsck_reports_and_repairs_orphans(spark, tmp_path):
     assert not os.path.isdir(os.path.join(ds_path, "__version=4001"))
     assert eng.load("ds", use_last=True).count() == 6
     assert eng.fsck("ds")["ds"]["orphan_versions"] == []
+
+
+def test_diff_versions_reports_deltas_and_schema_evolution(spark):
+    """diff_versions: row/byte deltas from footer stats, schema add/remove
+    from per-version provenance, plan-hash change flag."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    ticks = iter(range(5000, 5010)).__next__
+    eng = DataFrameEngine(spark, tempfile.mkdtemp(), clock=ticks)
+    eng.save(spark.range(10).select(F.col("id").alias("v")), "ds")
+    eng.save(
+        spark.range(25).select(F.col("id").alias("v"), F.lit("x").alias("tag")),
+        "ds",
+    )
+    d = eng.diff_versions("ds", 5000, 5001)
+    assert d["row_delta"] == 15
+    assert d["columns_added"] == ["tag"] and d["columns_removed"] == []
+    assert d["byte_delta"] != 0 and d["plan_hash_changed"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not committed"):
+        eng.diff_versions("ds", 5000, 9999)
