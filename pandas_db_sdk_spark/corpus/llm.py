@@ -2146,3 +2146,44 @@ def d31b(spark, sf_dir):
         ],
         "rule string, val long",
     )
+
+
+@q(
+    "d62_curriculum_order",
+    """WITH t AS (
+         SELECT doc_id,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                len(list_filter(string_split(text, ' '),
+                    w -> lower(w) IN ('the','and','of','to','a','in','is','that','for','it'))) AS n_stop
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+                round(
+                  (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END) +
+                  (CASE WHEN n_chars::DOUBLE / greatest(n_words, 1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END) +
+                  (CASE WHEN n_punct::DOUBLE / greatest(n_chars, 1) < 0.2 THEN 0.2 ELSE 0.0 END) +
+                  (CASE WHEN n_stop::DOUBLE / greatest(n_words, 1) > 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+         FROM t)
+       SELECT doc_id, quality_score,
+              row_number() OVER (ORDER BY quality_score DESC, doc_id) AS curriculum_pos
+       FROM s""",
+)
+def d62(spark, sf_dir):
+    """Curriculum ordering: every doc's global training position, best
+    quality first (anti-curriculum = flip the sort) — d10's score composed
+    with scale.global_row_index, so the total order costs a range re-key +
+    pid-local ranks + a broadcast offsets row, never the single-task
+    OVER (ORDER BY …) the oracle states."""
+    from ..scale import global_row_index
+
+    d = tables(spark, sf_dir)("documents")
+    scored = text.quality_score(d, "text").select("doc_id", "quality_score")
+    out = global_row_index(
+        scored,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        index_col="curriculum_pos",
+        n_partitions=8,
+    )
+    return out.select("doc_id", "quality_score", "curriculum_pos")
