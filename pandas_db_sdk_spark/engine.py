@@ -45,7 +45,7 @@ try:
 except ImportError:  # non-POSIX: degrade to unlocked (single-writer) mode
     fcntl = None
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 VERSION_COL = "__version"
@@ -752,6 +752,78 @@ class DataFrameEngine:
     # ---------------------------------------------------------------- delete
 
 
+
+
+    def scd2_history(self, dataframe_name, keys):
+        """Flatten the version history into an SCD-2 (slowly-changing-
+        dimension) view: one row per (key, unchanged-state run) with
+        ``valid_from``/``valid_to`` version labels (``valid_to`` NULL =
+        state current in the latest version). Rows re-inserted after an
+        absence start a NEW run — deletions close intervals.
+
+        All windows re-key on the dimension KEYS (per-task state is one
+        run counter); versions map to dense indexes through a tiny
+        broadcast table, so the pass costs one shuffle however long the
+        history is."""
+        ds = self._dataset_entry(dataframe_name)
+        versions = sorted((str(v) for v in ds["versions"]), key=self._vsort)
+        if not versions:
+            raise DatasetNotFound(f"{dataframe_name!r} has no committed versions")
+        vindex = self.spark.createDataFrame(
+            [(v, i) for i, v in enumerate(versions)], f"{VERSION_COL} string, __vi int"
+        )
+        df = self.load(dataframe_name, drop_internal=False)
+        value_cols = [
+            c
+            for c in df.columns
+            if c not in keys and c != VERSION_COL and not c.startswith("__p_")
+        ]
+        h = F.sha2(F.to_json(F.struct(*[F.col(c) for c in sorted(value_cols)])), 256)
+        base = (
+            df.join(F.broadcast(vindex), VERSION_COL)
+            .select(*keys, F.col("__vi"), h.alias("__h"), *value_cols)
+        )
+        w = Window.partitionBy(*keys).orderBy("__vi")
+        runs = (
+            base.withColumn("__prev_h", F.lag("__h").over(w))
+            .withColumn("__prev_vi", F.lag("__vi").over(w))
+            .withColumn(
+                "__new_run",
+                (
+                    F.col("__prev_h").isNull()
+                    | (F.col("__prev_h") != F.col("__h"))
+                    | (F.col("__prev_vi") != F.col("__vi") - 1)
+                ).cast("int"),
+            )
+            .withColumn(
+                "__run",
+                F.sum("__new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+        )
+        grouped = runs.groupBy(*keys, "__run").agg(
+            F.min("__vi").alias("__from_vi"),
+            F.max("__vi").alias("__to_vi"),
+            *[F.first(c).alias(c) for c in value_cols],
+        )
+        last_vi = len(versions) - 1
+        # JVM-side label lookup: element_at over a literal array (no Python
+        # UDF in the engine path; history length = array length, tiny)
+        varr = F.array(*[F.lit(v) for v in versions])
+        return grouped.select(
+            *keys,
+            *value_cols,
+            F.element_at(varr, F.col("__from_vi") + 1).alias("valid_from"),
+            F.when(
+                F.col("__to_vi") < last_vi,
+                F.element_at(varr, F.col("__to_vi") + 2),
+            ).alias("valid_to"),
+        )
+
+    @staticmethod
+    def _vsort(v):
+        """Sort key for version labels: numeric labels numerically, others
+        lexicographically after."""
+        return (0, int(v)) if v.isdigit() else (1, v)
 
     def diff_versions(self, dataframe_name, version_a, version_b):
         """What changed between two committed versions: row/byte/file

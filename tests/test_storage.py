@@ -929,3 +929,33 @@ def test_diff_versions_reports_deltas_and_schema_evolution(spark):
 
     with pytest.raises(ValueError, match="not committed"):
         eng.diff_versions("ds", 5000, 9999)
+
+
+def test_scd2_history_intervals_and_deletions(spark):
+    """SCD2 flattening: unchanged runs collapse, changes open new
+    intervals, deletion closes valid_to, re-insert starts a new run,
+    current state has NULL valid_to."""
+    import tempfile
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    ticks = iter(range(7000, 7010)).__next__
+    eng = DataFrameEngine(spark, tempfile.mkdtemp(), clock=ticks)
+    mk = lambda rows: spark.createDataFrame(rows, "id long, val string")
+    eng.save(mk([(1, "a"), (2, "x")]), "dim")          # v7000
+    eng.save(mk([(1, "a"), (2, "y")]), "dim")          # v7001: 2 changes
+    eng.save(mk([(1, "a")]), "dim")                    # v7002: 2 deleted
+    eng.save(mk([(1, "b"), (2, "y")]), "dim")          # v7003: 1 changes, 2 back
+
+    out = {
+        (r.id, r.val): (r.valid_from, r.valid_to)
+        for r in eng.scd2_history("dim", ["id"]).collect()
+    }
+    assert out[(1, "a")] == ("7000", "7003")
+    assert out[(1, "b")] == ("7003", None)
+    assert out[(2, "x")] == ("7000", "7001")
+    assert (2, "y") in out  # two runs for (2,'y'): changed then re-inserted
+    # the re-inserted run is current
+    rows = [r for r in eng.scd2_history("dim", ["id"]).collect() if r.id == 2 and r.val == "y"]
+    tos = sorted((r.valid_from, r.valid_to) for r in rows)
+    assert tos == [("7001", "7002"), ("7003", None)]
