@@ -2119,9 +2119,15 @@ def d31b(spark, sf_dir):
         e, "d31/centroids", ("embedding", n_cells, 2, 42),
         lambda: similarity._kmeans_centroids(e, "embedding", n_cells, 2, 42),
     )
-    kept = similarity.semantic_dedup(
-        e, "vec_id", "embedding", threshold=0.98, centroids=cents
-    ).select("vec_id")
+    # both small id frames persist: the counts below are separate actions
+    # and must not re-run the quadratic scoring or the dedup tail
+    kept = (
+        similarity.semantic_dedup(
+            e, "vec_id", "embedding", threshold=0.98, centroids=cents
+        )
+        .select("vec_id")
+        .persist()
+    )
 
     a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
@@ -2134,7 +2140,7 @@ def d31b(spark, sf_dir):
     paired = pairs.select(F.col("ia").alias("vec_id")).union(
         pairs.select(F.col("ib").alias("vec_id"))
     ).distinct()
-    iso = e.select("vec_id").exceptAll(paired.intersect(e.select("vec_id")))
+    iso = e.select("vec_id").exceptAll(paired).persist()
     n_iso = iso.count()
     n_iso_removed = iso.exceptAll(kept).count()
     n_ghost = kept.exceptAll(e.select("vec_id")).count()

@@ -766,7 +766,9 @@ class DataFrameEngine:
         broadcast table, so the pass costs one shuffle however long the
         history is."""
         ds = self._dataset_entry(dataframe_name)
-        versions = sorted((str(v) for v in ds["versions"]), key=self._vsort)
+        # manifest order IS commit order — labelled versions ('epoch-10')
+        # don't sort lexicographically, so never re-sort them
+        versions = [str(v) for v in ds["versions"]]
         if not versions:
             raise DatasetNotFound(f"{dataframe_name!r} has no committed versions")
         vindex = self.spark.createDataFrame(
@@ -783,6 +785,19 @@ class DataFrameEngine:
             df.join(F.broadcast(vindex), VERSION_COL)
             .select(*keys, F.col("__vi"), h.alias("__h"), *value_cols)
         )
+        dup = (
+            base.groupBy(*keys, "__vi")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"scd2_history needs one row per (key, version); "
+                f"{dict((k, dup[0][k]) for k in keys)} has {dup[0]['count']} rows "
+                f"in version index {dup[0]['__vi']} — deduplicate or widen the key"
+            )
         w = Window.partitionBy(*keys).orderBy("__vi")
         runs = (
             base.withColumn("__prev_h", F.lag("__h").over(w))
@@ -819,12 +834,6 @@ class DataFrameEngine:
             ).alias("valid_to"),
         )
 
-    @staticmethod
-    def _vsort(v):
-        """Sort key for version labels: numeric labels numerically, others
-        lexicographically after."""
-        return (0, int(v)) if v.isdigit() else (1, v)
-
     def diff_versions(self, dataframe_name, version_a, version_b):
         """What changed between two committed versions: row/byte/file
         deltas (footer-statistics pass, same cost model as DESCRIBE) plus
@@ -840,14 +849,13 @@ class DataFrameEngine:
                 f"version(s) {missing} not committed for {dataframe_name!r}; "
                 f"have {sorted(by_v)}"
             )
-        ds = self._dataset_entry(dataframe_name)
-        cols = {f["name"] for f in json.loads(ds["schema"])["fields"]}
-
         def _schema_cols(v):
             prov = by_v[v].get("provenance") or {}
-            return set(prov.get("schema_cols") or cols)
+            got = prov.get("schema_cols")
+            return None if got is None else set(got)
 
         ca, cb = _schema_cols(a), _schema_cols(b)
+        schema_known = ca is not None and cb is not None
         return {
             "dataset": dataframe_name,
             "from_version": a,
@@ -855,8 +863,10 @@ class DataFrameEngine:
             "row_delta": by_v[b]["n_rows"] - by_v[a]["n_rows"],
             "byte_delta": by_v[b]["n_bytes"] - by_v[a]["n_bytes"],
             "file_delta": by_v[b]["n_files"] - by_v[a]["n_files"],
-            "columns_added": sorted(cb - ca),
-            "columns_removed": sorted(ca - cb),
+            # None = unknown (version predates schema provenance) — never
+            # report a false 'no change'
+            "columns_added": sorted(cb - ca) if schema_known else None,
+            "columns_removed": sorted(ca - cb) if schema_known else None,
             "plan_hash_changed": (
                 (by_v[a].get("provenance") or {}).get("plan_hash")
                 != (by_v[b].get("provenance") or {}).get("plan_hash")

@@ -182,6 +182,18 @@ def hash_split(
     )
 
 
+def _aes_sort_key(id_col: str, weight_col: str):
+    """The A-ES exponential-sort key both weighted samplers rank by:
+    ln(u)/w with u derived from md5(id), rounded to 12 decimals (ties →
+    id) so independent engines agree bit-for-bit."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    return F.round(F.log(u) / F.col(weight_col), 12)
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,
@@ -204,12 +216,7 @@ def weighted_sample(
     TakeOrderedAndProject — a k-row merge on the driver, never a global
     sort of the corpus.
     """
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 32))
-    key = F.round(F.log(u) / F.col(weight_col), 12)
+    key = _aes_sort_key(id_col, weight_col)
     return (
         df.withColumn("__wkey", key)
         .orderBy(F.col("__wkey").desc(), F.col(id_col))
@@ -285,12 +292,7 @@ def weighted_sample_by_group(
     auditable subsample: per-source quotas with per-doc weighting). Same
     determinism contract as ``weighted_sample``; one window re-key on the
     group column."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 32))
-    key = F.round(F.log(u) / F.col(weight_col), 12)
+    key = _aes_sort_key(id_col, weight_col)
     w = Window.partitionBy(group_col).orderBy(key.desc(), id_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))

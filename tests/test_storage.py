@@ -959,3 +959,36 @@ def test_scd2_history_intervals_and_deletions(spark):
     rows = [r for r in eng.scd2_history("dim", ["id"]).collect() if r.id == 2 and r.val == "y"]
     tos = sorted((r.valid_from, r.valid_to) for r in rows)
     assert tos == [("7001", "7002"), ("7003", None)]
+
+
+def test_scd2_history_rejects_duplicate_key_rows(spark):
+    """Two rows for one key inside one version are ambiguous SCD2 input —
+    loud error, never overlapping nondeterministic intervals."""
+    import tempfile
+
+    import pytest
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, tempfile.mkdtemp(), clock=iter([8000]).__next__)
+    eng.save(
+        spark.createDataFrame([(1, "a"), (1, "b")], "id long, val string"), "dim"
+    )
+    with pytest.raises(ValueError, match="one row per"):
+        eng.scd2_history("dim", ["id"])
+
+
+def test_scd2_history_labelled_versions_use_commit_order(spark):
+    """'epoch-9' → 'epoch-10' labelled saves: SCD2 must follow COMMIT
+    order, not lexicographic label order."""
+    import tempfile
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, tempfile.mkdtemp(), clock=iter([0]).__next__)
+    mk = lambda v: spark.createDataFrame([(1, v)], "id long, val string")
+    eng.save(mk("old"), "dim", external_key="epoch-9")
+    eng.save(mk("new"), "dim", external_key="epoch-10")
+    out = {r.val: (r.valid_from, r.valid_to) for r in eng.scd2_history("dim", ["id"]).collect()}
+    assert out["old"] == ("epoch-9", "epoch-10")
+    assert out["new"] == ("epoch-10", None)
