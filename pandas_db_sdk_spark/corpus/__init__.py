@@ -144,6 +144,23 @@ _R04_NEW = frozenset(
 )
 
 
+# Queries added in the round-4 closing session (never had a driver row).
+# They sort AFTER _R04_NEW: the certification window services the older
+# backlog first; these ride the round-5 window with the _R04_NEW leftovers.
+_R04B_NEW = frozenset(
+    """d49_bloom_prune_join d50_heavy_hitters d51_vocab_growth
+    d52_weighted_sample d53_edit_distance_pairs d54_normalized_dedup
+    d55_corpus_novelty d56_template_prefixes d57_waterfill_quota
+    d58_zipf_fit d59_dup_cluster_sizes d60_snapshot_drift
+    d61_stratified_weighted_sample d62_curriculum_order
+    d31b_semantic_dedup_guarantees
+    c70_profile_table c71_skew_report c72_rolling_anomaly
+    c73_group_regression c74_corr_matrix c75_weighted_median
+    c76_crosstab_margins c77_qcut
+    x28_brand_revenue_trend x29_customer_rfm x30_supplier_scorecard""".split()
+)
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -174,13 +191,15 @@ def all_queries():
             return 1
         if name in _R04_NEW:
             return 2
+        if name in _R04B_NEW:
+            return 3
         if name in _R03_VERIFIED:
-            return 4
-        if name in _R02_VERIFIED:
             return 5
-        if name in _R01_VERIFIED:
+        if name in _R02_VERIFIED:
             return 6
-        return 3  # not in any set: added after the _R04_NEW snapshot
+        if name in _R01_VERIFIED:
+            return 7
+        return 4  # not in any set: newest, after the _R04B_NEW snapshot
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
