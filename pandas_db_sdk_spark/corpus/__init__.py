@@ -161,6 +161,48 @@ _R04B_NEW = frozenset(
 )
 
 
+# Names driver-checked in CORRECTNESS_r04.json (round-4 window: the 29-query
+# backlog + 21 of the _R04_NEW additions).  These ride the tail so the
+# round-5 window certifies the 48 never-checked queries (the _R04_NEW
+# leftovers + all of _R04B_NEW) — VERDICT round-4 item #1: done =
+# 246/246 driver-certified.
+_R04_VERIFIED = frozenset(
+    """d03e_dedup_by_embedding c11b_replace_values c15d_combine_first
+    d23_gopher_quality d24_domain_mix_weights d25_length_percentile_filter
+    d26_embedding_centroids d27_nearest_centroid d28_similarity_histogram
+    d29_contamination_score d30_text_normalize d31_semantic_dedup
+    d03g_ann_ivf_pq x09_min_cost_supplier x10_order_priority_check
+    x11_forecast_revenue x12_nation_volume x13_market_share
+    x14_product_profit x15_important_parts x16_customer_distribution
+    x17_top_supplier x18_small_quantity_revenue
+    x19_part_promotion_suppliers x20_waiting_suppliers
+    x21_dormant_customers x22_conversion_funnel x23_cohort_retention
+    x24_market_basket c21c_asof_forward c12b_try_cast c02e_scan_xml
+    c02f_scan_text d07b_binary_file_source c15e_merge_indicator
+    c10b_duplicated_flag c31b_pivot_multi_agg c26b_approx_distinct_error
+    c29d_approx_quantile_error c31c_get_dummies c36b_diff
+    c44b_sample_invariants c44c_deterministic_sample c48d_string_fns2
+    c49c_calendar c50d_math_ext c51c_posexplode c57b_session_stats
+    d17b_packing_invariants d32_vocab_per_source""".split()
+)
+
+
+# Queries ADDED in round 5 (never had a driver row).  They sort AFTER the
+# 48-query backlog above (VERDICT round-4 item #1: "add nothing ahead of
+# them") — the round-5 window certifies the backlog first; these ride the
+# round-6 window with any leftovers.
+_R05_NEW = frozenset(
+    """d63_soft_dedup_weights d64_rouge_overlap d65_doc_graph_pagerank
+    d66_mmr_diverse_sample d67_embedding_quantize_int8
+    d68_crossdup_matrix d69_suffix_array_ngrams d70_wordpiece_tokenize
+    c78_sessionize_gap c79_funnel_windows c80_entropy_by_group
+    c81_benford_digits x31_reorder_rate x32_supplier_lead_time
+    d71_ccnet_perplexity_buckets d72_minhash_band_tuning
+    d73_token_budget_pack d74_embedding_whitening
+    d75_idf_rarity_score d76_near_dup_clusters_simhash""".split()
+)
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -185,21 +227,25 @@ def all_queries():
     out = _merged("QUERIES")
 
     def key(name):
-        if name in _RECHECK:
-            return 0
-        if name in _R03_NEW:
-            return 1
-        if name in _R04_NEW:
-            return 2
-        if name in _R04B_NEW:
-            return 3
-        if name in _R03_VERIFIED:
+        # Round-5 rotation (VERDICT round-4 item #1): the 48 queries with
+        # no driver row anywhere (the _R04_NEW leftovers + _R04B_NEW) sort
+        # FIRST; round-5 additions next; every driver-certified query
+        # rides the tail, most recently certified last.
+        if name in _R04_VERIFIED:
             return 5
-        if name in _R02_VERIFIED:
+        if name in _R04_NEW or name in _R04B_NEW:
+            return 0
+        if name in _R05_NEW:
+            return 1
+        if name in _R03_VERIFIED:
             return 6
-        if name in _R01_VERIFIED:
+        if name in _R02_VERIFIED:
             return 7
-        return 4  # not in any set: newest, after the _R04B_NEW snapshot
+        if name in _R01_VERIFIED:
+            return 8
+        if name in _RECHECK or name in _R03_NEW:
+            return 5  # certified in r4 (safety net — all are in _R04_VERIFIED)
+        return 2  # not in any set: newest, after the _R05_NEW snapshot
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
