@@ -875,7 +875,11 @@ def c77(spark, sf_dir):
     percent_rank window (the single-task cliff): exact interpolated
     boundaries come from one 1-row aggregate that broadcasts back (c20b's
     scalar-subquery shape), and the binning itself is a codegen'd CASE
-    riding the scan."""
+    riding the scan. 100 TB variant: exact ``percentile`` keeps per-group
+    state proportional to DISTINCT values — on an unbounded value domain
+    swap to ``approx_percentile(col, p, 10000)`` (one line, same boundary
+    contract, bounded GK-sketch state; error band certified by c29d).
+    Exact is used here because oracle hash-parity requires it."""
     li = tables(spark, sf_dir)("lineitem")
     b = li.agg(
         F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),

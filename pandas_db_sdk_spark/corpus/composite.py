@@ -1214,8 +1214,10 @@ def x26(spark, sf_dir):
     below the fact table), so the single-partition window is bounded; for
     a customer table that itself won't fit one task, compose
     `scale.global_row_index` + bucket arithmetic instead (same result,
-    no global window). Revenue is decimal-exact so decile boundaries are
-    engine-independent."""
+    no global window); if exact decile MEMBERSHIP is not required, the
+    cheapest 100 TB form is approx_percentile boundary binning (c77's
+    pattern — bounded sketch state, no sort at all). Revenue is
+    decimal-exact so decile boundaries are engine-independent."""
     from pyspark.sql import Window as W
 
     o = tables(spark, sf_dir)("orders")
@@ -1326,37 +1328,79 @@ def x28(spark, sf_dir):
     "x29_customer_rfm",
     """WITH base AS (
          SELECT o_custkey AS custkey,
-                max(o_orderdate) AS last_order,
+                date_diff('day', DATE '1970-01-01', max(o_orderdate)) AS recency_days,
                 count(*) AS frequency,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
-         FROM orders GROUP BY 1)
+         FROM orders GROUP BY 1),
+       b AS (
+         SELECT quantile_cont(recency_days, 0.25) AS r1,
+                quantile_cont(recency_days, 0.50) AS r2,
+                quantile_cont(recency_days, 0.75) AS r3,
+                quantile_cont(frequency, 0.25) AS f1,
+                quantile_cont(frequency, 0.50) AS f2,
+                quantile_cont(frequency, 0.75) AS f3,
+                quantile_cont(monetary, 0.25) AS m1,
+                quantile_cont(monetary, 0.50) AS m2,
+                quantile_cont(monetary, 0.75) AS m3
+         FROM base)
        SELECT custkey, frequency, round(monetary, 4) AS monetary,
-              ntile(4) OVER (ORDER BY last_order DESC, custkey) AS r_score,
-              ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
-              ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
-       FROM base""",
+              CAST(CASE WHEN recency_days > r3 THEN 4
+                        WHEN recency_days > r2 THEN 3
+                        WHEN recency_days > r1 THEN 2 ELSE 1 END AS INT) AS r_score,
+              CAST(CASE WHEN frequency > f3 THEN 4
+                        WHEN frequency > f2 THEN 3
+                        WHEN frequency > f1 THEN 2 ELSE 1 END AS INT) AS f_score,
+              CAST(CASE WHEN monetary > m3 THEN 4
+                        WHEN monetary > m2 THEN 3
+                        WHEN monetary > m1 THEN 2 ELSE 1 END AS INT) AS m_score
+       FROM base, b""",
 )
 def x29(spark, sf_dir):
-    """Composite: RFM customer segmentation (recency/frequency/monetary
-    quartiles; custkey tiebreak makes ntile deterministic). The ntile
-    windows are global BUT over one row per CUSTOMER (already aggregated)
-    — the single-partition sort is bounded by customer count, and the
-    base agg is one partial+final pass over orders."""
-    from pyspark.sql import Window as W
+    """Composite: RFM customer segmentation — quartile-BOUNDARY scores
+    (4 = best), NOT global ntile windows: three ntile(4)s over the
+    per-customer aggregate would funnel every customer through ONE task's
+    sort (TPC-H sf100k has ~15B customers — unbounded). Instead the c77
+    pattern: one 1-row percentile aggregate broadcasts the nine quartile
+    boundaries back and the scoring is a codegen'd CASE riding the agg
+    output — zero extra shuffles, no single-partition Window. (At 100 TB
+    swap percentile → approx_percentile: exact quantile state grows with
+    distinct values; the boundary contract stays the same.)"""
+    from .._scratch import scratch_persist
 
     o = tables(spark, sf_dir)("orders")
-    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("monetary"),
+    base = scratch_persist(
+        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.datediff(F.max("o_orderdate"), F.lit("1970-01-01")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("monetary"),
+        ),
+        "x29/base",  # feeds both the boundary agg and the scored output — persist or the orders agg shuffles twice
     )
-    return base.select(
+    b = base.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(col, pfx):
+        v = F.col(col)
+        return (
+            F.when(v > F.col(f"{pfx}3"), 4)
+            .when(v > F.col(f"{pfx}2"), 3)
+            .when(v > F.col(f"{pfx}1"), 2)
+            .otherwise(1)
+            .cast("int")
+        )
+
+    return base.crossJoin(F.broadcast(b)).select(
         "custkey",
         "frequency",
         F.round("monetary", 4).alias("monetary"),
-        F.ntile(4).over(W.orderBy(F.col("last_order").desc(), "custkey")).alias("r_score"),
-        F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "custkey")).alias("f_score"),
-        F.ntile(4).over(W.orderBy(F.col("monetary").desc(), "custkey")).alias("m_score"),
+        score("recency_days", "r").alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
     )
 
 

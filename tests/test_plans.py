@@ -483,13 +483,17 @@ def test_stats_ops_single_scan_and_budgets(spark, queries):
 
 
 def test_new_composites_plan_shapes(spark, queries):
-    """x28: dims broadcast, no cartesian; x29: the ntile windows run over
-    one row per customer (post-agg), so the single-partition sort is
-    bounded by customer count — the aggregate must sit BELOW the windows."""
+    """x28: dims broadcast, no cartesian; x29 (round-5 fix, VERDICT r4
+    item #2): quartile scoring must be the c77 broadcast-boundary CASE —
+    NO Window at all (three global ntiles over the per-customer aggregate
+    would single-task a 15B-row sort at TPC-H sf100k), and the boundary
+    frame joins back as a broadcast, never a cartesian."""
     plan = plan_of(queries["x28_brand_revenue_trend"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     plan = plan_of(queries["x29_customer_rfm"](spark, SF))
-    agg = plan.index("HashAggregate")
-    win = plan.index("Window")
-    assert win < agg  # top-down print: Window above (after) the aggregate
+    assert "Window" not in plan, "x29 regressed to global ntile windows"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary frame join
+    # budget: orders→customer re-key + the 1-row boundary agg's fan-in
+    assert _unique_exchanges(plan) <= 3
