@@ -80,17 +80,35 @@ def hard_negatives(
     label_col: str = "label",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_queries: int = 4096,
+    dim: int = 64,
 ) -> DataFrame:
     """Contrastive-training hard-negative mining: for each query vector,
     the top-k most-similar corpus vectors with a DIFFERENT label (the
     near-misses a contrastive loss learns the most from).
 
-    Same broadcast/score/window shape as :func:`cosine_topk_bruteforce`
-    with a label-inequality join condition — a broadcast nested-loop with
-    the tiny query side as build, so the corpus still never shuffles
-    before the per-query top-k. At 100 TB swap the corpus side for an ANN
-    tier (LSH/IVF candidates) and apply the same label filter post-probe.
+    Two tiers, auto-selected by query-side size (the same contract as
+    ``pq_topk``'s ``max_collect_queries``):
+
+    * ``count(queries) <= max_broadcast_queries`` (the interactive case —
+      a batch of training queries): the :func:`cosine_topk_bruteforce`
+      shape with a label-inequality join condition — a broadcast
+      nested-loop with the tiny query side as build, so the corpus never
+      shuffles before the per-query top-k. Exact.
+    * Larger query sides (corpus-vs-corpus mining at 100 TB): a BNLJ's
+      work is |Q|×|C| and its build side no longer fits — route through
+      the multi-table hyperplane-LSH bucket equi-join instead (ANN
+      candidates, label filter post-probe, exact cosine rerank in
+      buckets). Recall < 1.0 by construction, like every ANN tier.
+
+    The one-job query-side count is the price of the guard; callers who
+    know their side can pin the tier by setting ``max_broadcast_queries``
+    to 0 (always LSH) or a large value (always exact).
     """
+    if queries.count() > max_broadcast_queries:
+        return _hard_negatives_lsh(
+            queries, corpus, query_id, corpus_id, label_col, vec_col, k, dim
+        )
     qs = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(label_col).alias("__ql"),
@@ -106,6 +124,60 @@ def hard_negatives(
     ).withColumn(
         "cos",
         F.round(dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hard_negatives_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    label_col: str,
+    vec_col: str,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+) -> DataFrame:
+    """The 100 TB tier of :func:`hard_negatives`: hyperplane-LSH bucket
+    equi-join (never a BNLJ/cartesian — Σ bucket² pair work), label
+    inequality applied post-probe, exact cosine rerank inside buckets."""
+    sig_udf = hyperplane_signatures(n_planes, dim, n_tables, seed=101)
+
+    def with_buckets(df, id_col, id_alias):
+        sigs = sig_udf(F.col(vec_col).cast("array<double>"))
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(label_col).alias(f"__{id_alias}_l"),
+            F.col(vec_col).alias(f"__{id_alias}_v"),
+            l2_norm(F.col(vec_col)).alias(f"__{id_alias}_n"),
+            F.posexplode(sigs).alias("__table", "__bucket"),
+        )
+
+    qb = with_buckets(queries, query_id, "query_id")
+    cb = with_buckets(corpus, corpus_id, "neighbor_id")
+    cand = (
+        qb.join(cb, ["__table", "__bucket"])
+        .filter(F.col("__query_id_l") != F.col("__neighbor_id_l"))
+        .select(
+            "query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v",
+            "__query_id_n", "__neighbor_id_n",
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cos",
+        F.round(
+            dot(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+            / (F.col("__query_id_n") * F.col("__neighbor_id_n")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
