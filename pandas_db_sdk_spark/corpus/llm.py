@@ -2141,9 +2141,16 @@ def d31b(spark, sf_dir):
         pairs.select(F.col("ib").alias("vec_id"))
     ).distinct()
     iso = e.select("vec_id").exceptAll(paired).persist()
-    n_iso = iso.count()
-    n_iso_removed = iso.exceptAll(kept).count()
-    n_ghost = kept.exceptAll(e.select("vec_id")).count()
+    try:
+        n_iso = iso.count()
+        n_iso_removed = iso.exceptAll(kept).count()
+        n_ghost = kept.exceptAll(e.select("vec_id")).count()
+    finally:
+        # the returned frame is a literal built FROM the collected counts
+        # — nothing downstream depends on these cached blocks, so free
+        # them now instead of leaking a generation per invocation
+        iso.unpersist(False)
+        kept.unpersist(False)
     return spark.createDataFrame(
         [
             ("isolated_docs", n_iso),

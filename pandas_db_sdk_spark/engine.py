@@ -188,21 +188,34 @@ class DataFrameEngine:
             if col not in df.columns:
                 raise ValueError(f"partition column {col!r} not in DataFrame")
 
+        # Appends follow the manifest's path (compact() relocates datasets);
+        # only a brand-new dataset gets a freshly derived directory.
+        path = existing["path"] if existing is not None else self._dataset_path(dataframe_name)
         if external_key == "NOW":
             # The millisecond clock can tick the same value twice (two
             # merge() calls in one ms): reusing a version label would make
             # the second save APPEND into the first's version dir —
             # keep_last never prunes the live version, so the duplication
-            # would persist. Bump until the label is fresh.
+            # would persist. Bump past manifest AND on-disk labels (a
+            # crashed save may have left an uncommitted orphan), then
+            # RESERVE the label by creating the version dir atomically:
+            # two truly concurrent NOW-saves that both picked the same
+            # fresh tick race on the mkdir, and the loser bumps — the
+            # manifest check alone can't see a writer that hasn't
+            # committed yet.
             tick = self._clock()
             taken = {str(v) for v in existing["versions"]} if existing else set()
-            # also treat ON-DISK version dirs as taken: a crashed save may
-            # have left an uncommitted orphan — landing a retry on the same
-            # tick would append into it and commit the duplicate rows
             if existing is not None:
                 taken |= self._versions_on_disk(existing["path"])
-            while str(tick) in taken:
-                tick += 1
+            os.makedirs(path, exist_ok=True)
+            while True:
+                while str(tick) in taken:
+                    tick += 1
+                try:
+                    os.mkdir(os.path.join(path, f"{VERSION_COL}={tick}"))
+                    break
+                except FileExistsError:
+                    tick += 1
             version = str(tick)
         else:
             version = external_key
@@ -221,9 +234,6 @@ class DataFrameEngine:
                     pcol, F.concat(F.lit("from_"), lo, F.lit("_to_"), lo + w)
                 )
             partition_cols.append(pcol)
-        # Appends follow the manifest's path (compact() relocates datasets);
-        # only a brand-new dataset gets a freshly derived directory.
-        path = existing["path"] if existing is not None else self._dataset_path(dataframe_name)
         # Each version writes into its OWN `__version=<v>/` directory
         # (version is the OUTERMOST partition level). This is what makes
         # concurrent save() calls safe: the Hadoop committer stages under
@@ -252,13 +262,17 @@ class DataFrameEngine:
         # frames) and the canonicalized-plan fingerprint. Capped at 20
         # sample paths so a 100k-file input can't bloat the manifest.
         try:
+            # both calls need the JVM DataFrame handle — absent under
+            # Spark Connect; a metadata-only feature must never fail the
+            # save, so the whole capture degrades to nulls together
             in_files = df.inputFiles()
+            plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
         except Exception:
-            in_files = []
+            in_files, plan_hash = [], None
         provenance = {
             "n_input_files": len(in_files),
             "input_sample": sorted(in_files)[:20],
-            "plan_hash": df._jdf.queryExecution().analyzed().semanticHash(),
+            "plan_hash": plan_hash,
             "schema_cols": sorted(df.columns),
         }
 
@@ -780,7 +794,24 @@ class DataFrameEngine:
             for c in df.columns
             if c not in keys and c != VERSION_COL and not c.startswith("__p_")
         ]
-        h = F.sha2(F.to_json(F.struct(*[F.col(c) for c in sorted(value_cols)])), 256)
+        # Change detection hashes to_json(struct(values)) — canonicalize
+        # the representation-unstable types first, else semantically equal
+        # states open spurious runs: map values serialize in PHYSICAL key
+        # order (sort the entry list), and -0.0 == 0.0 but their JSON
+        # differs (normalize by + 0.0; NaN stays NaN). Top-level columns
+        # only — states with maps/floats NESTED inside structs/arrays are
+        # compared representation-exact (documented contract).
+        dtypes = dict(df.dtypes)
+
+        def canon(c):
+            t = dtypes[c]
+            if t.startswith("map<"):
+                return F.array_sort(F.map_entries(F.col(c))).alias(c)
+            if t in ("double", "float"):
+                return (F.col(c) + F.lit(0.0)).alias(c)
+            return F.col(c)
+
+        h = F.sha2(F.to_json(F.struct(*[canon(c) for c in sorted(value_cols)])), 256)
         base = (
             df.join(F.broadcast(vindex), VERSION_COL)
             .select(*keys, F.col("__vi"), h.alias("__h"), *value_cols)
@@ -913,7 +944,22 @@ class DataFrameEngine:
                     for v in orphans:
                         d = os.path.join(ds["path"], f"{VERSION_COL}={v}")
                         try:
-                            age = now - os.path.getmtime(d)
+                            # max mtime across the TREE, not the top dir:
+                            # a live save writing into nested __p_*
+                            # partition subdirs doesn't refresh the top
+                            # dir's mtime, so a long-running write could
+                            # look old enough to delete
+                            newest = os.path.getmtime(d)
+                            for root_, _dirs, files in os.walk(d):
+                                newest = max(
+                                    newest,
+                                    os.path.getmtime(root_),
+                                    *(
+                                        os.path.getmtime(os.path.join(root_, f))
+                                        for f in files
+                                    ),
+                                )
+                            age = now - newest
                         except OSError:
                             continue
                         if age >= min_age_seconds:
