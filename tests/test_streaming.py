@@ -378,3 +378,75 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir, events_batch)
     want = W.enriched_type_counts(events_batch, dim)
     keys = ["window_start_us", "category", "n"]
     assert _rows(got, keys) == _rows(want, keys)
+
+
+def test_live_rollup_revises_open_windows_in_place(spark, tmp_path):
+    """VERDICT r4 item #8: the revision-in-place guarantee itself, under a
+    multi-batch run. Four files -> four micro-batches (maxFilesPerTrigger=1
+    under availableNow), every batch hitting the SAME two (window, user)
+    keys, so batches 2-4 are pure revisions of OPEN windows. After every
+    merge the table must still hold exactly one row per key — a regression
+    to insert-per-revision would show 4x rows — and the final values must
+    equal the batch aggregate over all files."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import live_rollup_into_engine
+
+    src = str(tmp_path / "files")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    for i in range(4):
+        rows = [
+            (i * 10 + j, base + dt.timedelta(seconds=10 * j), j % 2, "view", float(i + 1), "{}")
+            for j in range(6)  # all inside the 00:00-00:05 window
+        ]
+        spark.createDataFrame(rows, W.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def per_user_counts(events):
+        e = events.withWatermark("ts", "10 minutes") if events.isStreaming else events
+        return (
+            e.groupBy(F.window("ts", "5 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.unix_micros(F.col("window.start")).alias("window_start_us"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    name = "live/revisions"
+    counts_after_batch = []
+    real_merge = eng.merge
+
+    def recording_merge(*args, **kwargs):
+        out = real_merge(*args, **kwargs)
+        counts_after_batch.append(eng.load(name, use_last=True).count())
+        return out
+
+    eng.merge = recording_merge
+
+    stream = spark.readStream.schema(W.EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = live_rollup_into_engine(
+        stream, eng, name,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=per_user_counts,
+        key_cols=["window_start_us", "user_id"],
+    )
+    q.awaitTermination()
+
+    # first batch goes through save() (DatasetNotFound), the revisions
+    # through merge: at least 3 recorded merges, each leaving exactly
+    # one row per (window, user) key
+    assert len(counts_after_batch) >= 3, counts_after_batch
+    assert counts_after_batch == [2] * len(counts_after_batch)
+    got = eng.load(name, use_last=True)
+    want = per_user_counts(spark.read.parquet(src))
+    keys = ["window_start_us", "user_id", "n_events"]
+    assert set(_rows(got, keys)) == set(_rows(want, keys))
