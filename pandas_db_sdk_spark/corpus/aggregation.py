@@ -897,3 +897,82 @@ def c77(spark, sf_dir):
         .cast("int")
         .alias("price_quartile"),
     )
+
+
+@q(
+    "c80_entropy_by_group",
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                  FROM events GROUP BY 1, 2),
+       t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+       SELECT c.user_id,
+              CAST(sum(c.n) AS BIGINT) AS n_events,
+              CAST(count(*) AS INT) AS n_types,
+              round(-sum((c.n::DOUBLE / t.tot) * ln(c.n::DOUBLE / t.tot)), 4)
+                  AS entropy
+       FROM c JOIN t USING (user_id)
+       GROUP BY c.user_id""",
+)
+def c80(spark, sf_dir):
+    """C-ext (r5): Shannon entropy of each user's event-type distribution —
+    the behavioral-diversity profile (bots cluster near 0, organic users
+    spread). Two stacked aggregations on the SAME key: the per-(user,type)
+    counts re-aggregate to per-user without a second fact scan, and the
+    totals come from a window over the count table, so the fact table
+    shuffles once. Entropy terms are libm ln — rounded 4dp per SURVEY §7."""
+    e = tables(spark, sf_dir)("events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    # window, not a join back: the count table is already user-keyed, so
+    # the total is a zero-exchange window over the aggregate output
+    from pyspark.sql import Window as W
+
+    tot = F.sum("n").over(W.partitionBy("user_id"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        c.withColumn("tot", tot)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").cast("int").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+    )
+
+
+@q(
+    "c81_benford_digits",
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                  FROM orders WHERE o_totalprice >= 1),
+       t AS (SELECT count(*) AS tot FROM d)
+       SELECT digit,
+              CAST(count(*) AS BIGINT) AS n,
+              round(count(*)::DOUBLE / t.tot, 6) AS obs_p,
+              round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+       FROM d, t GROUP BY digit, t.tot""",
+)
+def c81(spark, sf_dir):
+    """C-ext (r5): Benford first-digit audit — observed leading-digit
+    distribution of order totals vs the Benford expectation log10(1+1/d)
+    (the classic synthetic-data / fraud smoke test; TPC-H prices are
+    uniform-ish, so the deviation itself is the signal). Digit extraction
+    is integer/string arithmetic (engine-exact); only the two proportions
+    are rounded. One aggregate + a 1-row total broadcast back."""
+    o = tables(spark, sf_dir)("orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count("*").alias("tot"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("obs_p"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+        )
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import registry, tables
+from ._util import davg, registry, tables
 
 QUERIES, ORACLE, q = registry()
 
@@ -1451,4 +1451,89 @@ def x30(spark, sf_dir):
         )
         .orderBy("revenue_rank")
         .limit(25)
+    )
+
+
+@q(
+    "x31_reorder_rate",
+    """WITH pur AS (
+         SELECT o.o_custkey, l.l_partkey, count(DISTINCT l.l_orderkey) AS n_orders
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1, 2),
+       pb AS (SELECT p_partkey, p_brand FROM part)
+       SELECT pb.p_brand,
+              CAST(count(*) AS BIGINT) AS n_cust_part_pairs,
+              CAST(count(*) FILTER (WHERE pur.n_orders >= 2) AS BIGINT) AS n_repeat,
+              round(count(*) FILTER (WHERE pur.n_orders >= 2)::DOUBLE / count(*), 6)
+                  AS reorder_rate
+       FROM pur JOIN pb ON pur.l_partkey = pb.p_partkey
+       GROUP BY pb.p_brand""",
+)
+def x31(spark, sf_dir):
+    """Composite (r5): repeat-purchase rate per brand — fraction of
+    (customer, part) pairs ordered in ≥2 distinct orders (the retention
+    metric behind replenishment forecasting). The fact join re-keys
+    lineitem on orderkey once (orders carries only custkey), the
+    (cust, part) aggregate is the only corpus-sized shuffle, and both
+    dims broadcast."""
+    t = tables(spark, sf_dir)
+    li, o, p = t("lineitem"), t("orders"), t("part")
+    pur = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    repeat = F.count(F.when(F.col("n_orders") >= 2, 1))
+    return (
+        pur.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                 pur.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_cust_part_pairs"),
+            repeat.alias("n_repeat"),
+            F.round(repeat.cast("double") / F.count("*"), 6).alias("reorder_rate"),
+        )
+    )
+
+
+@q(
+    "x32_supplier_lead_time",
+    """WITH lt AS (
+         SELECT l.l_suppkey,
+                date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       SELECT s.s_name,
+              CAST(count(*) AS BIGINT) AS n_shipments,
+              CAST(sum(CAST(lead_days AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                  AS avg_lead_days,
+              CAST(min(lead_days) AS BIGINT) AS min_lead_days,
+              CAST(max(lead_days) AS BIGINT) AS max_lead_days
+       FROM lt JOIN supplier s ON lt.l_suppkey = s.s_suppkey
+       GROUP BY s.s_name""",
+)
+def x32(spark, sf_dir):
+    """Composite (r5): supplier lead time — order-to-ship days per supplier
+    (the logistics-health scorecard metric). One orderkey re-key join
+    (orders projected to two columns), partial+final agg on suppkey, dim
+    broadcast for the name; day arithmetic is integer datediff, the mean
+    an exact decimal sum over integers."""
+    t = tables(spark, sf_dir)
+    li, o, s = t("lineitem"), t("orders"), t("supplier")
+    lt = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey
+    ).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lead_days"),
+    )
+    return (
+        lt.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            davg("lead_days").alias("avg_lead_days"),
+            F.min("lead_days").cast("long").alias("min_lead_days"),
+            F.max("lead_days").cast("long").alias("max_lead_days"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_shipments", "avg_lead_days", "min_lead_days", "max_lead_days")
     )

@@ -382,3 +382,105 @@ def c72(spark, sf_dir):
     e = tables(spark, sf_dir)("events")
     out = TS.rolling_zscore(e, "value", "event_id", ["event_type"], window=50)
     return out.select("event_id", "event_type", "n_prev", "z", "is_anomaly")
+
+
+@q(
+    "c78_sessionize_gap",
+    f"""WITH s AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {US_30MIN}
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       r AS (
+         SELECT user_id, us, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_seq
+         FROM s)
+       SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+              CAST(count(*) AS BIGINT) AS n_events,
+              min(us) AS start_us,
+              max(us) - min(us) AS duration_us,
+              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM r GROUP BY user_id, session_seq""",
+)
+def c78(spark, sf_dir):
+    """C-ext (r5): batch gap-sessionization — the lag/flag/cumsum idiom
+    (new session when >30 min since the previous event), then per-session
+    stats. The c57 session_window twin for pipelines that need the session
+    SEQUENCE NUMBER per user. Both windows and the final aggregate re-key
+    on user_id, so the whole query is ONE exchange; epoch-µs integer
+    arithmetic keeps the gap compare engine-exact."""
+    e = tables(spark, sf_dir)("events")
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select("user_id", "event_id", us.alias("us"), "value").withColumn(
+        "new_s",
+        (
+            F.lag("us").over(W.partitionBy("user_id").orderBy("us", "event_id")).isNull()
+            | (F.col("us") - F.lag("us").over(W.partitionBy("user_id").orderBy("us", "event_id")) > US_30MIN)
+        ).cast("int"),
+    )
+    r = s.withColumn(
+        "session_seq",
+        F.sum("new_s").over(
+            W.partitionBy("user_id").orderBy("us", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ).cast("int"),
+    )
+    return r.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@q(
+    "c79_funnel_windows",
+    f"""WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS next_click_us
+         FROM events)
+       SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_views,
+              CAST(count(*) FILTER (WHERE next_click_us - us <= {US_30MIN}) AS BIGINT)
+                  AS n_converted,
+              round(count(*) FILTER (WHERE next_click_us - us <= {US_30MIN})::DOUBLE
+                    / count(*), 6) AS conversion_rate
+       FROM e WHERE event_type = 'view'
+       GROUP BY user_id""",
+)
+def c79(spark, sf_dir):
+    """C-ext (r5): time-bounded funnel — per user, the fraction of 'view'
+    events followed by a 'click' within 30 minutes. The sequence match is
+    a REVERSE RUNNING MIN of click timestamps over each user's ordered
+    events (next_click_us), so no view-to-click range join ever happens:
+    one user-keyed window + the same-keyed aggregate = one exchange, and
+    the 30-minute bound is integer µs arithmetic."""
+    e = tables(spark, sf_dir)("events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    next_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("us"))
+    ).over(w)
+    base = (
+        e.select("user_id", "event_type", "event_id", "ts", us.alias("us"))
+        .withColumn("next_click_us", next_click)
+        .filter(F.col("event_type") == "view")
+    )
+    converted = (F.col("next_click_us") - F.col("us")) <= US_30MIN
+    return base.groupBy("user_id").agg(
+        F.count("*").alias("n_views"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        F.round(
+            F.count(F.when(converted, 1)).cast("double") / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )

@@ -2200,3 +2200,63 @@ def d62(spark, sf_dir):
         n_partitions=8,
     )
     return out.select("doc_id", "quality_score", "curriculum_pos")
+
+
+@q(
+    "d63_soft_dedup_weights",
+    """SELECT doc_id, source,
+              CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
+              1.0 / count(*) OVER (PARTITION BY text) AS weight
+       FROM documents""",
+)
+def d63(spark, sf_dir):
+    """D-ext (r5): SoftDeDup — duplicate down-weighting instead of removal:
+    weight = 1/exact-dup-cluster-size, so weighted sampling sees each
+    distinct text with equal mass while keeping every copy. One window
+    re-keyed on sha2(text) (32-byte shuffle keys; the oracle partitions by
+    the text itself — same clusters, sha2 is injective in practice)."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.soft_dedup_weights(d, "doc_id", "text").select(
+        "doc_id", "source", "dup_count", "weight"
+    )
+
+
+@q(
+    "d68_crossdup_matrix",
+    """WITH hs AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+       SELECT a.source AS source_a, b.source AS source_b,
+              CAST(count(*) AS BIGINT) AS n_shared_texts
+       FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+       GROUP BY 1, 2""",
+)
+def d68(spark, sf_dir):
+    """D-ext (r5): cross-source contamination matrix — distinct texts shared
+    by each unordered source pair (the double-counting diagnostic run before
+    mixing corpora). The source set per text is bounded by the source
+    CATALOG, so collect_set + in-set pair explode replaces the oracle's
+    hash self-join: one 32-byte-keyed aggregation, no corpus-vs-corpus
+    join."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.cross_source_dup_matrix(d, "text", "source")
+
+
+@q(
+    "d75_idf_rarity_score",
+    """WITH pairs AS (
+         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+         FROM documents),
+       dfreq AS (SELECT token, count(*) AS df FROM pairs GROUP BY token),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+       SELECT p.doc_id,
+              round(avg(ln((n.n + 1)::DOUBLE / (d.df + 1)) + 1.0), 6) AS mean_idf,
+              CAST(count(*) AS BIGINT) AS n_distinct_tokens
+       FROM pairs p JOIN dfreq d USING (token), n
+       GROUP BY p.doc_id""",
+)
+def d75(spark, sf_dir):
+    """D-ext (r5): per-document rarity — mean smoothed IDF over the doc's
+    distinct tokens (the cheap tail-knowledge detector for mix up-sampling).
+    tf_idf's plan shape: unhinted vocab join (AQE strategy — the vocabulary
+    is unbounded at 100 TB), doc-keyed mean."""
+    d = tables(spark, sf_dir)("documents")
+    return text.idf_rarity_score(d, "doc_id", "text")

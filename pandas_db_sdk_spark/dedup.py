@@ -690,3 +690,64 @@ def edit_distance_pairs(
         .withColumn("dist", F.expr(f"levenshtein(name_a, name_b, {max_dist})"))
         .filter(F.col("dist") >= 0)
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """SoftDeDup-style duplicate DOWN-WEIGHTING instead of removal: every
+    row gets ``dup_count`` (the size of its exact-duplicate cluster) and
+    ``weight`` = 1/dup_count, so a training loader sampling by weight sees
+    each distinct text with equal total mass while keeping all copies
+    available (reference semantics: the soft variant of D1's keep-one;
+    cf. SoftDeDup, arXiv:2401.00588 — down-weighting beats dropping when
+    duplicates carry distribution signal).
+
+    One shuffle, re-keyed on the 32-byte sha2 of the text (never the text
+    itself): the cluster size is a COUNT window over the hash. At 100 TB
+    this is the d01 plan shape exactly — map-side projection to hashes,
+    one hash-partitioned window, no join back.
+    """
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    return df.withColumn("dup_count", F.count("*").over(w)).withColumn(
+        "weight", F.lit(1.0) / F.col("dup_count")
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source pair
+    (a < b), how many DISTINCT texts appear in both — the first diagnostic
+    before mixing corpora (a high cell means the mix double-counts that
+    content; cf. the decontamination sweeps in Gopher/The Pile appendices).
+
+    Plan: project to (sha2, source) → distinct → group by hash collecting
+    the source SET (bounded by the number of SOURCES, a catalog-sized
+    constant — never corpus-scale) → explode the in-set pairs → count.
+    One aggregation shuffle on 32-byte keys plus one on (src, src) pairs;
+    no self-join of the corpus against itself.
+    """
+    hs = df.select(
+        F.sha2(F.col(text_col), 256).alias("__h"),
+        F.col(source_col).alias("__s"),
+    ).distinct()
+    sets = hs.groupBy("__h").agg(F.collect_set("__s").alias("ss")).filter(
+        F.size("ss") > 1
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array_sort(ss), (a, i) -> "
+                "transform(slice(array_sort(ss), i + 2, size(ss)), "
+                "b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_shared_texts")
+    )

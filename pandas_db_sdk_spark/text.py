@@ -701,3 +701,38 @@ def chunk_documents(
         ).alias("n_chunk_tokens"),
         "chunk",
     )
+
+
+def idf_rarity_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document rarity: the mean smoothed IDF of the document's
+    DISTINCT tokens — high = content made of corpus-rare vocabulary (the
+    cheap novelty detector used to up-sample tail knowledge in data-mix
+    work; the document-level complement of d05's term-level TF-IDF).
+
+    Plan shape mirrors tf_idf WITHOUT the persist: one tokenize+explode
+    feeding (doc, token) DISTINCT pairs, a token-keyed document-frequency
+    aggregate, an UNHINTED join back (the vocabulary is unbounded at
+    100 TB — AQE picks the strategy), and a final doc-keyed mean. IDF uses
+    the same smoothed ln((N+1)/(df+1)) + 1 form as tf_idf.
+    """
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1)) + 1.0
+    return (
+        pairs.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__idf", idf)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("__idf"), 6).alias("mean_idf"),
+            F.count("*").alias("n_distinct_tokens"),
+        )
+    )
