@@ -2260,3 +2260,223 @@ def d75(spark, sf_dir):
     is unbounded at 100 TB), doc-keyed mean."""
     d = tables(spark, sf_dir)("documents")
     return text.idf_rarity_score(d, "doc_id", "text")
+
+
+@q(
+    "d64_rouge_overlap",
+    """WITH t AS (
+         SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS n_overlap,
+              round(len(list_intersect(a.toks, b.toks))::DOUBLE / len(b.toks), 6)
+                  AS rouge1_recall
+       FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""",
+)
+def d64(spark, sf_dir):
+    """D-ext (r5): ROUGE-1 recall over consecutive-id pairs (candidate =
+    id, reference = id+1) — the summarization-eval overlap metric on the
+    same bounded pairing as d02c. One pair-id equi-join moving one token
+    ARRAY per doc; the intersection is a codegen'd HOF, never a
+    (doc, token) explode join."""
+    d = tables(spark, sf_dir)("documents")
+    out = text.rouge1_consecutive(d, "doc_id", "text")
+    return out.withColumn("n_overlap", F.col("n_overlap").cast("int"))
+
+
+@q(
+    "d67_embedding_quantize_int8",
+    """WITH mm AS (
+         SELECT t.i, min(e.embedding[t.i]::DOUBLE) AS mn,
+                max(e.embedding[t.i]::DOUBLE) AS mx
+         FROM embeddings e, range(1, 65) t(i) GROUP BY t.i),
+       terms AS (
+         SELECT e.vec_id, e.embedding[m.i]::DOUBLE AS x, m.mn,
+                CASE WHEN m.mx > m.mn THEN (m.mx - m.mn) / 255.0 ELSE 0.0 END AS sc
+         FROM embeddings e, mm m),
+       err AS (
+         SELECT vec_id,
+                x - (mn + (CASE WHEN sc > 0 THEN
+                             least(greatest(CAST(floor((x - mn) / sc + 0.5) AS INT), 0), 255)
+                           ELSE 0 END) * sc) AS e
+         FROM terms)
+       SELECT vec_id,
+              round(CAST(sum(CAST(e * e AS DECIMAL(28,12))) AS DOUBLE) / 64, 6) AS mse,
+              round(max(abs(e)), 6) AS max_abs_err
+       FROM err GROUP BY vec_id""",
+)
+def d67(spark, sf_dir):
+    """D-ext (r5): int8 scalar-quantization audit — per-channel affine
+    codes (the 4× embedding-storage tier below PQ) and the exact
+    round-trip error per vector. One 64-group min/max aggregate broadcasts
+    back; the code/error math is a codegen'd HOF with a DECIMAL error
+    accumulator (bit-deterministic under partitioning)."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.quantize_int8_error(e, "vec_id", "embedding")
+
+
+@q(
+    "d71_ccnet_perplexity_buckets",
+    """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       counts AS (SELECT token, count(*) AS cnt FROM terms GROUP BY 1),
+       tot AS (SELECT sum(cnt) AS total FROM counts),
+       lm AS (SELECT token, ln(CAST(cnt AS DOUBLE)) - ln(CAST(total AS DOUBLE)) AS logp
+              FROM counts, tot),
+       scored AS (
+           SELECT doc_id, round(avg(logp), 6) AS avg_logprob
+           FROM terms JOIN lm USING (token) GROUP BY doc_id),
+       b AS (SELECT quantile_cont(avg_logprob, 1.0/3) AS q1,
+                    quantile_cont(avg_logprob, 2.0/3) AS q2
+             FROM scored)
+       SELECT doc_id, avg_logprob,
+              CASE WHEN avg_logprob > q2 THEN 'head'
+                   WHEN avg_logprob > q1 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM scored, b""",
+)
+def d71(spark, sf_dir):
+    """D-ext (r5): CCNet-style head/middle/tail bucketing by LM score —
+    the corpus-relative perplexity triage CCNet runs before mixing
+    (head = most-fluent third). LM score is d21's unigram avg-logprob;
+    the two tertile boundaries come from ONE 1-row percentile aggregate
+    broadcast back (c77 pattern — no global sort, no ntile; swap
+    approx_percentile at 100 TB)."""
+    d = tables(spark, sf_dir)("documents")
+    scored = text.unigram_logprob(d, "doc_id", "text").select(
+        "doc_id", "avg_logprob"
+    )
+    b = scored.agg(
+        F.expr("percentile(avg_logprob, 1.0/3)").alias("q1"),
+        F.expr("percentile(avg_logprob, 2.0/3)").alias("q2"),
+    )
+    return scored.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") > F.col("q2"), "head")
+        .when(F.col("avg_logprob") > F.col("q1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@q(
+    "d72_minhash_band_tuning",
+    """WITH g AS (
+         SELECT doc_id,
+                list_distinct([text[i:i+2] FOR i IN range(1, greatest(length(text)-2, 1) + 1)]) AS grams
+         FROM documents),
+       pairs AS (
+         SELECT round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                      len(list_distinct(list_concat(a.grams, b.grams))), 6) AS j
+         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1),
+       grid AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2), (32, 1)) v(bands, rpb))
+       SELECT bands, rpb,
+              round(pow(1.0 / bands, 1.0 / rpb), 6) AS s_star,
+              CAST(count(*) FILTER (WHERE j >= 0.3) AS BIGINT) AS n_true_pairs,
+              round(CAST(sum(CAST(1.0 - pow(1.0 - pow(j, rpb), bands) AS DECIMAL(18,12)))
+                             FILTER (WHERE j >= 0.3) AS DOUBLE)
+                    / count(*) FILTER (WHERE j >= 0.3), 6) AS expected_recall
+       FROM pairs, grid GROUP BY bands, rpb""",
+)
+def d72(spark, sf_dir):
+    """D-ext (r5): LSH band-tuning report — for each (bands, rows/band)
+    split of a 32-hash MinHash signature, the S-curve threshold
+    s* = (1/b)^(1/r) and the expected recall over the corpus's OBSERVED
+    near-dup pairs (d02c's consecutive-pair 3-gram Jaccard, j ≥ 0.3):
+    E[recall] = avg(1 - (1 - j^r)^b). This is the design tool that picks
+    d02's banding before the expensive job runs; pure column math over a
+    4-row grid crossed with the bounded pair set, DECIMAL-accumulated."""
+    d = tables(spark, sf_dir)("documents")
+    pairs = dedup.ngram_jaccard_consecutive(d, "doc_id", "text", n=3).select(
+        F.col("ngram_jaccard").alias("j")
+    )
+    grid = spark.createDataFrame(
+        [(4, 8), (8, 4), (16, 2), (32, 1)], "bands int, rpb int"
+    )
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("j"), F.col("rpb")), F.col("bands"))
+    true_pair = F.col("j") >= 0.3
+    return (
+        pairs.crossJoin(F.broadcast(grid))
+        .groupBy("bands", "rpb")
+        .agg(
+            F.round(F.pow(1.0 / F.col("bands"), 1.0 / F.col("rpb")), 6).alias("s_star"),
+            F.count(F.when(true_pair, 1)).alias("n_true_pairs"),
+            F.round(
+                F.sum(F.when(true_pair, p).cast("decimal(18,12)")).cast("double")
+                / F.count(F.when(true_pair, 1)),
+                6,
+            ).alias("expected_recall"),
+        )
+    )
+
+
+@q(
+    "d73_token_budget_pack",
+    """WITH t AS (
+         SELECT doc_id, source,
+                len(string_split(text, ' ')) AS n_words,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                len(list_filter(string_split(text, ' '),
+                    w -> lower(w) IN ('the','and','of','to','a','in','is','that','for','it'))) AS n_stop
+         FROM documents),
+       s AS (
+         SELECT doc_id, source, n_words,
+                round(
+                  (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END) +
+                  (CASE WHEN n_chars::DOUBLE / greatest(n_words, 1) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END) +
+                  (CASE WHEN n_punct::DOUBLE / greatest(n_chars, 1) < 0.2 THEN 0.2 ELSE 0.0 END) +
+                  (CASE WHEN n_stop::DOUBLE / greatest(n_words, 1) > 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+         FROM t),
+       r AS (
+         SELECT doc_id, source, quality_score, n_words,
+                sum(n_words) OVER (PARTITION BY source
+                                   ORDER BY quality_score DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         FROM s)
+       SELECT doc_id, source, quality_score, CAST(n_words AS INT) AS n_words,
+              CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM r WHERE cum_tokens <= 5000""",
+)
+def d73(spark, sf_dir):
+    """D-ext (r5): per-source token-budget packing — greedy best-quality
+    prefix whose cumulative word count fits 5k tokens (the selection stage
+    that executes d24's mix decision). One source-keyed window; integer
+    cumsum makes the cut engine-exact."""
+    d = tables(spark, sf_dir)("documents")
+    out = pipeline.token_budget_pack(
+        d, "doc_id", "text", "source", budget=5000
+    )
+    return out.withColumn("n_words", F.col("n_words").cast("int")).withColumn(
+        "cum_tokens", F.col("cum_tokens").cast("long")
+    )
+
+
+@q(
+    "d74_embedding_standardize",
+    """WITH st AS (
+         SELECT t.i,
+                CAST(sum(CAST(e.embedding[t.i]::DOUBLE AS DECIMAL(28,10))) AS DOUBLE)
+                    / count(*) AS mu,
+                CAST(sum(CAST(e.embedding[t.i]::DOUBLE * e.embedding[t.i]::DOUBLE
+                              AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m2
+         FROM embeddings e, range(1, 65) t(i) GROUP BY t.i),
+       sd AS (SELECT i, mu, sqrt(greatest(m2 - mu * mu, 0.0)) AS sd FROM st),
+       z AS (
+         SELECT e.vec_id,
+                CASE WHEN s.sd > 0 THEN (e.embedding[s.i]::DOUBLE - s.mu) / s.sd
+                     ELSE 0.0 END AS z
+         FROM embeddings e, sd s)
+       SELECT vec_id,
+              round(sqrt(CAST(sum(CAST(z * z AS DECIMAL(28,12))) AS DOUBLE)), 6) AS z_norm,
+              round(max(abs(z)), 6) AS max_abs_z
+       FROM z GROUP BY vec_id""",
+)
+def d74(spark, sf_dir):
+    """D-ext (r5): per-dimension z-scoring (diagonal whitening) — the
+    de-correlation step before cosine/IP search when channels have wildly
+    different scales. DECIMAL-exact per-dim moments broadcast back; the z
+    math is one codegen'd HOF pass per vector."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.standardize_embeddings(e, "vec_id", "embedding")

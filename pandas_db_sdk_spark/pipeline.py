@@ -299,3 +299,41 @@ def weighted_sample_by_group(
         .filter(F.col("__rn") <= k_per_group)
         .drop("__rn")
     )
+
+
+def token_budget_pack(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    budget: int = 5000,
+):
+    """Per-group token-budget selection: rank each group's documents by a
+    deterministic quality score (d10's rule mix) and keep the best prefix
+    whose CUMULATIVE word count fits the budget — the greedy knapsack that
+    turns "take the best 5k tokens per source" into a plan (data-mix
+    execution, the selection stage after d24 decides the weights).
+
+    One window re-keyed on the GROUP (per-source sort, bounded by the
+    group's size — for a group too large for one task's sort, compose
+    scale.global_row_index per group exactly as d62 documents); the
+    cumulative sum is integer arithmetic, so the cut is engine-exact.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from . import text as _text
+
+    scored = _text.quality_score(df, text_col)
+    n_words = F.size(F.split(F.col(text_col), " "))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(F.col("quality_score").desc(), id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = (
+        scored.withColumn("n_words", n_words)
+        .withColumn("cum_tokens", F.sum("n_words").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+    return out.select(id_col, group_col, "quality_score", "n_words", "cum_tokens")

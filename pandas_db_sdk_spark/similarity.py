@@ -1078,3 +1078,122 @@ def ivf_pq_topk(
         dists.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def _per_dim_arrays(emb: DataFrame, vec_col: str, aggs: dict) -> DataFrame:
+    """1-row frame of per-dimension statistics as pos-ordered arrays:
+    posexplode → one (pos)-keyed partial+final aggregate (64 groups — the
+    shuffle carries n_partitions × dims rows, nothing corpus-sized) →
+    collect_list re-assembled in pos order. The result broadcasts."""
+    x = emb.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+    per = x.groupBy("pos").agg(*[aggs[k].alias(k) for k in aggs])
+
+    # closure factory, NOT a default-arg lambda: pyspark's HOF binding
+    # turns EVERY lambda parameter into a lambda variable, so a `k=k`
+    # default would be shadowed by a second namedlambdavariable
+    def field(k):
+        return lambda s: s.getField(k)
+
+    return per.agg(
+        *[
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", k))), field(k)
+            ).alias(k)
+            for k in aggs
+        ]
+    )
+
+
+def quantize_int8_error(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization audit: per-dimension min/max affine codes
+    (the storage layout that cuts an embedding corpus 4× vs float32;
+    asymmetric per-channel quantization, the standard vector-DB compression
+    tier below PQ) and the per-vector reconstruction error it would cost.
+
+    Returns (id, mse, max_abs_err). The code path is exactly what an int8
+    writer would run — scale = (max-min)/255, code = clamp(floor((x-min)/
+    scale + 0.5)) — so the error report is the true round-trip error.
+
+    Plan: one 64-group aggregate for the min/max arrays (broadcast back),
+    then a single codegen'd HOF pass per vector; the squared-error sum
+    accumulates in DECIMAL so the report is bit-deterministic under any
+    partitioning.
+    """
+    mm = _per_dim_arrays(
+        emb, vec_col, {"mn": F.min("v"), "mx": F.max("v")}
+    )
+    v = f"cast({vec_col} as array<double>)"
+    err = (
+        f"transform(sequence(1, size({vec_col})), i -> "
+        f"element_at({v}, i) - (element_at(mn, i) + "
+        f"(CASE WHEN element_at(mx, i) > element_at(mn, i) THEN "
+        f"least(greatest(cast(floor((element_at({v}, i) - element_at(mn, i)) / "
+        f"((element_at(mx, i) - element_at(mn, i)) / 255.0D) + 0.5D) as int), 0), 255) "
+        f"ELSE 0 END) * "
+        f"(CASE WHEN element_at(mx, i) > element_at(mn, i) THEN "
+        f"(element_at(mx, i) - element_at(mn, i)) / 255.0D ELSE 0.0D END)))"
+    )
+    return emb.crossJoin(F.broadcast(mm)).select(
+        F.col(id_col),
+        F.round(
+            F.expr(
+                f"cast(aggregate({err}, cast(0 as decimal(28,12)), "
+                f"(acc, e) -> cast(acc + cast(e * e as decimal(28,12)) as decimal(28,12))) as double)"
+            )
+            / F.size(F.col(vec_col)),
+            6,
+        ).alias("mse"),
+        F.round(
+            F.expr(f"array_max(transform({err}, e -> abs(e)))"), 6
+        ).alias("max_abs_err"),
+    )
+
+
+def standardize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension z-scoring (diagonal whitening): subtract the corpus
+    mean and divide by the corpus std per dimension — the cheap
+    de-correlation step before cosine/IP search when dimensions have wildly
+    different scales. (Full PCA whitening needs a 64×64 eigendecomposition
+    — driver-side trivially, but its float orchestration is not
+    oracle-reproducible; the diagonal form is, and is what vector stores
+    actually run inline.)
+
+    Returns (id, z_norm, max_abs_z). Mean and variance come from exact
+    DECIMAL sums (deterministic under partial aggregation); the z math is
+    plain double arithmetic, identical on any engine.
+    """
+    mu = (F.sum(F.col("v").cast(_CDEC)).cast("double") / F.count("*")).alias("mu")
+    m2 = (
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)")).cast("double")
+        / F.count("*")
+    ).alias("m2")
+    stats = _per_dim_arrays(emb, vec_col, {"mu": mu, "m2": m2}).select(
+        "mu",
+        F.expr(
+            "zip_with(mu, m2, (m, s) -> sqrt(greatest(s - m * m, 0.0D)))"
+        ).alias("sd"),
+    )
+    v = f"cast({vec_col} as array<double>)"
+    z = (
+        f"transform(sequence(1, size({vec_col})), i -> "
+        f"CASE WHEN element_at(sd, i) > 0.0D THEN "
+        f"(element_at({v}, i) - element_at(mu, i)) / element_at(sd, i) "
+        f"ELSE 0.0D END)"
+    )
+    return emb.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.round(
+            F.expr(
+                f"sqrt(cast(aggregate({z}, cast(0 as decimal(28,12)), "
+                f"(acc, e) -> cast(acc + cast(e * e as decimal(28,12)) as decimal(28,12))) as double))"
+            ),
+            6,
+        ).alias("z_norm"),
+        F.round(F.expr(f"array_max(transform({z}, e -> abs(e)))"), 6).alias(
+            "max_abs_z"
+        ),
+    )

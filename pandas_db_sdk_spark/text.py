@@ -736,3 +736,33 @@ def idf_rarity_score(
             F.count("*").alias("n_distinct_tokens"),
         )
     )
+
+
+def rouge1_consecutive(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ROUGE-1 recall between consecutive ids (id = candidate, id+1 =
+    reference): |distinct(cand) ∩ distinct(ref)| / |distinct(ref)| on word
+    tokens — the summarization-eval overlap metric, bound to the same
+    bounded consecutive-pair scheme as d02c's n-gram Jaccard so the set
+    arithmetic is oracle-checkable.
+
+    Per-row array intersection after ONE equi-join on the pair id — token
+    sets never explode into (doc, token) rows, so the join moves one array
+    per doc and the overlap math is a codegen'd HOF.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    a = df.select(F.col(id_col).alias("id_a"), toks.alias("t_a"))
+    b = df.select(
+        (F.col(id_col) - 1).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        toks.alias("t_b"),
+    )
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        inter.alias("n_overlap"),
+        F.round(inter.cast("double") / F.size("t_b"), 6).alias("rouge1_recall"),
+    )
