@@ -2480,3 +2480,141 @@ def d74(spark, sf_dir):
     math is one codegen'd HOF pass per vector."""
     e = tables(spark, sf_dir)("embeddings")
     return similarity.standardize_embeddings(e, "vec_id", "embedding")
+
+
+_PR_ITER = """
+       r{K} AS (
+         SELECT nd.id,
+                round((1.0 - 0.85) / nd.n + 0.85 * coalesce(m.m, 0.0), 12) AS rank
+         FROM (SELECT deg.s AS id, n.n FROM deg, n) nd
+         LEFT JOIN (
+           SELECT e.d AS id,
+                  CAST(sum(CAST(p.rank / dg.deg AS DECIMAL(28,14))) AS DOUBLE) AS m
+           FROM ed e JOIN deg dg ON e.s = dg.s JOIN r{P} p ON p.id = e.s
+           GROUP BY e.d) m USING (id))"""
+
+
+@q(
+    "d65_doc_graph_pagerank",
+    """WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+       pairs AS (
+         SELECT id, unnest(list_distinct(
+           [array_to_string(ws[i:i+2], ' ')
+            FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)])) AS token
+         FROM w),
+       rare AS (
+         SELECT token, list_sort(list(id)) AS ids FROM pairs GROUP BY token
+         HAVING count(*) BETWEEN 2 AND 3),
+       ed AS (
+         SELECT DISTINCT a.id AS s, b.id AS d
+         FROM (SELECT token, unnest(ids) AS id FROM rare) a
+         JOIN (SELECT token, unnest(ids) AS id FROM rare) b USING (token)
+         WHERE a.id <> b.id),
+       deg AS (SELECT s, count(*) AS deg FROM ed GROUP BY s),
+       n AS (SELECT count(*) AS n FROM deg),
+       r0 AS (SELECT deg.s AS id, round(1.0 / n.n, 12) AS rank FROM deg, n),"""
+    + _PR_ITER.format(K=1, P=0) + ","
+    + _PR_ITER.format(K=2, P=1) + ","
+    + _PR_ITER.format(K=3, P=2) + """
+       SELECT id AS doc_id, round(rank, 6) AS rank FROM r3""",
+)
+def d65(spark, sf_dir):
+    """D-ext (r5): PageRank over the rare-token co-occurrence graph (docs
+    sharing a word 3-gram with document frequency 2–3) — influence scoring for
+    curriculum/sampling decisions. The ITERATIVE-algorithm class: three
+    join+aggregate rounds with localCheckpoint lineage control
+    (graph.pagerank); rank mass accumulates through DECIMAL and each round
+    rounds to 12 dp, so the single-node oracle replays the unrolled
+    recurrence bit-exactly. Rare-token blocking bounds edge volume at
+    O(vocab × max_df²) — never a corpus self-join."""
+    from .. import graph
+
+    d = tables(spark, sf_dir)("documents")
+    edges = graph.rare_token_edges(d, "doc_id", "text", min_df=2, max_df=3, shingle=3)
+    out = graph.pagerank(edges, "id_a", "id_b", iterations=3, damping=0.85)
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+@q(
+    "d70_wordpiece_tokenize",
+    """WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       vocab AS (
+         SELECT token FROM (
+           SELECT token, count(*) AS cnt FROM terms GROUP BY token
+           ORDER BY cnt DESC, token LIMIT 200)),
+       scored AS (
+         SELECT t.doc_id,
+                CASE WHEN v.token IS NOT NULL THEN 1 ELSE length(t.token) END AS wp
+         FROM terms t LEFT JOIN vocab v USING (token))
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(wp) AS BIGINT) AS n_wp_tokens,
+              round(sum(wp)::DOUBLE / count(*), 6) AS tokens_per_word
+       FROM scored GROUP BY doc_id""",
+)
+def d70(spark, sf_dir):
+    """D-ext (r5): WordPiece-budget token counting — greedy
+    longest-match-first against a chars + top-200-words vocabulary
+    collapses to the closed form Σ(1 if word ∈ vocab else |word|), which
+    is what training-cost estimates need and what the oracle can check.
+    Vocabulary = one explode+count + TakeOrdered top-200 (k-row driver
+    merge); membership join broadcasts (bounded by construction)."""
+    d = tables(spark, sf_dir)("documents")
+    out = text.wordpiece_token_counts(d, "doc_id", "text", vocab_size=200)
+    return out.withColumn("n_wp_tokens", F.col("n_wp_tokens").cast("long"))
+
+
+@q(
+    "d69_suffix_array_ngrams",
+    """WITH subs AS (
+         SELECT substr(text, i, 20) AS gram
+         FROM documents, LATERAL (
+           SELECT unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS i))
+       SELECT gram, CAST(count(*) AS BIGINT) AS n
+       FROM subs GROUP BY gram HAVING count(*) >= 10
+       ORDER BY n DESC, gram LIMIT 25""",
+)
+def d69(spark, sf_dir):
+    """D-ext (r5): repeated-span mining — the top-25 most frequent 20-char
+    substrings (the sliding-window form of suffix-array duplicate
+    detection; memorized spans surface as high-count substrings). Pass 1
+    counts xxhash64(substring) so the corpus-sized shuffle moves 8-byte
+    hashes; surviving hashes join back (unhinted) to recover the text;
+    final top-k is TakeOrdered."""
+    d = tables(spark, sf_dir)("documents")
+    out = text.frequent_substrings(d, "text", length=20, min_count=10, k=25)
+    return out.withColumn("n", F.col("n").cast("long"))
+
+
+@q("d66_mmr_diverse_sample")  # rows-only: greedy selection is order-sequential
+def d66(spark, sf_dir):
+    """D-ext (r5): MMR diverse retrieval for query vec 0 — top-8 by
+    relevance-minus-redundancy over a 64-candidate exact-retrieval pool.
+    The greedy tail is driver-side over the PARAMETER-bounded candidate
+    set (pq_topk's LUT contract); candidate generation is the distributed
+    broadcast-query top-k. Invariants (first pick = argmax relevance,
+    diversity vs pure top-k) pinned in tests/test_similarity.py."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.mmr_select(
+        e.filter(F.col("vec_id") == 0), e.filter(F.col("vec_id") != 0),
+        "vec_id", "vec_id", "embedding", k=8, lam=0.7, n_candidates=64,
+    )
+
+
+@q("d76_near_dup_clusters_simhash")  # rows-only: bit-vote signature is hash-family-specific
+def d76(spark, sf_dir):
+    """D-ext (r5): SimHash end-to-end near-dup clustering — d02b's banded
+    Hamming pairs → connected components → per-doc cluster label and
+    cluster size (the d02d composition on the SimHash tier). Exact-dup
+    absorption pinned in tests/test_dedup.py."""
+    d = tables(spark, sf_dir)("documents")
+    pairs = dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster")
+        .select(F.col("id").alias("doc_id"), "cluster", "cluster_size")
+    )

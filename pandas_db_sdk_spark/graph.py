@@ -1,0 +1,129 @@
+"""Document-graph analytics — iterative link algorithms as DataFrame loops.
+
+Training-data pipelines use lightweight graphs over documents (shared rare
+vocabulary, citation/link fields, near-dup edges) for influence scoring and
+sampling. The algorithms here follow the repo's iterative-op discipline
+(dedup.connected_components): pure DataFrame joins per round, localCheckpoint
+to keep lineage O(1), only O(1) driver state.
+
+Reference parity: the reference SDK (client.py, 216 lines) has no graph
+surface; this extends the engine the same way Tier-D does (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Exact accumulation type for rank mass: per-node neighbor sums are
+# order-dependent in double; routing every contribution through decimal
+# makes each iteration bit-deterministic under any partitioning (the same
+# trick as corpus/_util.dsum), so a single-node oracle can replay the
+# unrolled recurrence exactly.
+_RDEC = "decimal(28,14)"
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 3,
+    damping: float = 0.85,
+    directed: bool = False,
+) -> DataFrame:
+    """PageRank over an edge list, fixed iteration count.
+
+    Returns (id, rank) for every node that appears in an edge. Undirected
+    by default (each edge contributes both directions), so every node has
+    degree >= 1 and there is no dangling-mass term — the recurrence is the
+    textbook r' = (1-d)/N + d * Σ_in r/deg.
+
+    Scale shape: degree is one aggregate; each iteration is one
+    (src-keyed) join + one (dst-keyed) partial+final aggregate — rank and
+    degree tables hold one row per NODE, never per edge, and the edge
+    table is the only corpus-sized operand. localCheckpoint per round
+    keeps the plan from growing a join-tree per iteration. Ranks
+    accumulate through DECIMAL (bit-deterministic; oracle-replayable) and
+    each iteration rounds to 12 dp so the fixed point is engine-exact.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    e = e.distinct().localCheckpoint(eager=True)
+
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("s").alias("id")).localCheckpoint(eager=True)
+    n = nodes.count()
+
+    # init rounds like every iteration does — the oracle replays the
+    # recurrence on rounded values, so the seed must be rounded too
+    ranks = nodes.select("id", F.round(F.lit(1.0 / n), 12).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "s")
+            .join(ranks.withColumnRenamed("id", "s"), "s")
+            .select("d", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        incoming = contrib.groupBy("d").agg(
+            F.sum(F.col("c").cast(_RDEC)).cast("double").alias("m")
+        )
+        ranks = (
+            nodes.join(incoming.withColumnRenamed("d", "id"), "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce("m", F.lit(0.0)), 12
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def rare_token_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 3,
+    shingle: int = 3,
+) -> DataFrame:
+    """Document co-occurrence edges through RARE features: (id_a < id_b)
+    for every pair of docs sharing a word ``shingle``-gram whose document
+    frequency lies in [min_df, max_df] (single tokens are too common to be
+    discriminative — ``shingle=1`` degrades to them). Rare-feature
+    blocking bounds the bucket: a feature's pair contribution is at most
+    C(max_df, 2), so edge volume is O(vocab × max_df²) — linear-ish, never
+    a corpus self-join. (At 100 TB, re-key the groupBy on
+    xxhash64(feature) — 8-byte shuffle keys; hash collisions only add
+    spurious edges, which PageRank tolerates.)"""
+    from .text import word_ngrams
+
+    feat = (
+        word_ngrams(text_col, shingle)
+        if shingle > 1
+        else F.split(F.col(text_col), " ")
+    )
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(feat)).alias("token"),
+    )
+    rare = (
+        pairs.groupBy("token")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter((F.size("ids") >= min_df) & (F.size("ids") <= max_df))
+    )
+    return (
+        rare.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(array_sort(ids), (a, i) -> "
+                    "transform(slice(array_sort(ids), i + 2, size(ids)), "
+                    "b -> struct(a AS id_a, b AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )

@@ -1197,3 +1197,64 @@ def standardize_embeddings(
             "max_abs_z"
         ),
     )
+
+
+def mmr_select(
+    query: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    lam: float = 0.7,
+    n_candidates: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection: greedily pick ``k`` corpus
+    vectors maximizing ``lam·relevance − (1−lam)·max-sim-to-already-picked``
+    — the diverse-retrieval step behind dedup-aware few-shot example
+    selection and diverse training-batch mining (Carbonell & Goldstein '98).
+
+    MMR is inherently SEQUENTIAL (each pick depends on all prior picks), so
+    the distributed part is the candidate generation: an exact top-
+    ``n_candidates`` cosine retrieval (broadcast query, corpus never
+    shuffles before the top-k). Only the ``n_candidates`` winners — a
+    PARAMETER-bounded set, the same contract as ``pq_topk``'s LUT collect —
+    reach the driver, where the greedy loop runs on a (C × dim) numpy
+    matrix. Ties break on neighbor id; scores round to 6 dp first so the
+    selection is float-order-independent.
+    """
+    cand = cosine_topk_bruteforce(
+        query, corpus, query_id, corpus_id, vec_col, k=n_candidates
+    )
+    vecs = cand.join(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col), "neighbor_id"
+    ).select("neighbor_id", "cos", vec_col)
+    rows = vecs.collect()  # bounded by n_candidates — the tier contract
+    if not rows:
+        return query.sparkSession.createDataFrame(
+            [], "rank_selected int, neighbor_id long, relevance double, mmr_score double"
+        )
+    ids = [r["neighbor_id"] for r in rows]
+    rel = np.array([r["cos"] for r in rows])
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+
+    selected: list[int] = []
+    out = []
+    remaining = list(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        best, best_score = None, None
+        for i in remaining:
+            penalty = max(sims[i][j] for j in selected) if selected else 0.0
+            score = round(lam * rel[i] - (1.0 - lam) * penalty, 6)
+            # deterministic: higher score wins, ties to the smaller id
+            key = (score, -ids[i])
+            if best is None or key > best_score:
+                best, best_score = i, key
+        selected.append(best)
+        remaining.remove(best)
+        out.append((rank, ids[best], float(rel[best]), float(best_score[0])))
+    return query.sparkSession.createDataFrame(
+        out, "rank_selected int, neighbor_id long, relevance double, mmr_score double"
+    )

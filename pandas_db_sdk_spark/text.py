@@ -766,3 +766,96 @@ def rouge1_consecutive(
         inter.alias("n_overlap"),
         F.round(inter.cast("double") / F.size("t_b"), 6).alias("rouge1_recall"),
     )
+
+
+def wordpiece_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 200,
+) -> DataFrame:
+    """WordPiece-style token counting with a corpus-derived vocabulary:
+    the vocabulary is the ``vocab_size`` most frequent whole words (ties
+    by word) plus implicit single characters; greedy longest-match-first
+    tokenization then emits 1 token per in-vocab word and len(word)
+    character pieces per OOV word — so the per-doc token count is
+    Σ (1 if word ∈ vocab else |word|). That closed form is exactly what
+    greedy matching produces for a chars+whole-words vocabulary, which
+    makes the count oracle-checkable while measuring the quantity
+    training-cost estimates actually need (tokens under a real subword
+    vocab budget).
+
+    Plan: one explode+count for the vocabulary, a TakeOrdered top-N (k-row
+    driver merge, no global sort), broadcast membership join (the vocab is
+    BOUNDED by construction — the one join in this family that may carry a
+    broadcast hint), one doc-keyed sum.
+    """
+    terms = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    vocab = (
+        terms.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    scored = terms.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        F.when(F.col("__in_vocab").isNotNull(), 1)
+        .otherwise(F.length("token"))
+        .alias("wp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("wp").alias("n_wp_tokens"),
+        F.round(
+            F.sum("wp").cast("double") / F.count("*"), 6
+        ).alias("tokens_per_word"),
+    )
+
+
+def frequent_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    length: int = 20,
+    min_count: int = 10,
+    k: int = 25,
+) -> DataFrame:
+    """The top-k most repeated fixed-length character substrings across the
+    corpus — the cheap sliding-window form of suffix-array duplicate-span
+    mining (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": memorized spans show up as high-count substrings long before
+    a full suffix array is needed).
+
+    Two-pass hash shape for 100 TB: pass 1 slides a window over every doc
+    and counts xxhash64(substring) — the corpus-sized shuffle moves 8-byte
+    hashes, never the substrings. The surviving hashes (count >= min_count,
+    top-k) broadcast back; pass 2 re-extracts only the matching substrings
+    to recover the text. At sandbox scale both passes are the same two
+    scans; the string shuffle this avoids would be ~length× wider.
+    """
+    subs = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {length - 1}, 1)), "
+        f"i -> substring({text_col}, i, {length}))"
+    )
+    hashed = df.select(F.explode(subs).alias("s")).select(
+        F.xxhash64("s").alias("h")
+    )
+    # every hash clearing min_count survives (a top-N cut HERE could split
+    # a count-tie group whose deterministic order is by TEXT, which pass 1
+    # can't see); the n >= min_count filter bounds the dim at total/min_count
+    # and the join is unhinted — AQE broadcasts when it actually fits
+    top = (
+        hashed.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    recovered = (
+        df.select(F.explode(subs).alias("gram"))
+        .withColumn("h", F.xxhash64("gram"))
+        .join(top, "h")
+        .groupBy("gram")
+        .agg(F.max("n").alias("n"))
+    )
+    return recovered.orderBy(F.col("n").desc(), "gram").limit(k)

@@ -251,3 +251,21 @@ def test_split_leakage_scrub_removes_exact_cross_split_dups(spark):
         train, test, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.5
     )
     assert [r.doc_id for r in out.collect()] == [train_ids[1]]
+
+
+def test_simhash_cluster_absorbs_exact_duplicates(spark):
+    """d76 composition: exact-duplicate texts always share a SimHash
+    signature, so they must land in the same connected component, with
+    cluster = min doc_id and cluster_size counting every copy."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "completely different content about other things entirely xyz"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    got = {r.id: r.cluster for r in cc.collect()}
+    assert got.get(1) == got.get(2) == got.get(3) == 1
+    assert 4 not in got or got[4] == 4

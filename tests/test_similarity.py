@@ -460,3 +460,30 @@ def test_hard_negatives_large_query_side_never_bnlj(spark, emb):
     assert all(1 <= r.rank <= 3 for r in got)
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     assert all(labels[r.query_id] != labels[r.neighbor_id] for r in got)
+
+
+def test_mmr_first_pick_is_argmax_and_diversity_binds(spark):
+    """MMR invariants: (1) the first pick is always the pure-relevance
+    argmax; (2) with a near-duplicate of the top hit in the pool, lambda
+    < 1 must pick something ELSE second, while the pure top-k would rank
+    the duplicate second; (3) k picks, all distinct."""
+    import math
+
+    q = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    # corpus: id 1 = best match; id 2 = near-clone of 1; id 3 = orthogonal-ish
+    rows = [
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.985, 0.11, 0.0, 0.0]),
+        (3, [0.4, 0.9, 0.0, 0.0]),
+        (4, [0.3, 0.0, 0.95, 0.0]),
+    ]
+    c = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.mmr_select(q, c, "vec_id", "vec_id", "embedding", k=3, lam=0.5).collect()
+    assert [r.rank_selected for r in out] == [1, 2, 3]
+    picks = [r.neighbor_id for r in out]
+    assert len(set(picks)) == 3
+    assert picks[0] == 1  # argmax relevance
+    assert picks[1] != 2, "MMR picked the near-clone second — diversity term dead"
+    # pure relevance WOULD have ranked the clone second
+    rel = similarity.cosine_topk_bruteforce(q, c, "vec_id", "vec_id", "embedding", k=2).collect()
+    assert [r.neighbor_id for r in rel] == [1, 2]
