@@ -2342,9 +2342,14 @@ def d71(spark, sf_dir):
     the two tertile boundaries come from ONE 1-row percentile aggregate
     broadcast back (c77 pattern — no global sort, no ntile; swap
     approx_percentile at 100 TB)."""
+    from .._scratch import scratch_persist
+
     d = tables(spark, sf_dir)("documents")
-    scored = text.unigram_logprob(d, "doc_id", "text").select(
-        "doc_id", "avg_logprob"
+    # scored feeds BOTH the boundary aggregate and the bucketed output —
+    # persist, or the whole unigram-LM pipeline runs twice
+    scored = scratch_persist(
+        text.unigram_logprob(d, "doc_id", "text").select("doc_id", "avg_logprob"),
+        "d71/scored",
     )
     b = scored.agg(
         F.expr("percentile(avg_logprob, 1.0/3)").alias("q1"),

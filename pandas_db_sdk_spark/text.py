@@ -713,16 +713,22 @@ def idf_rarity_score(
     cheap novelty detector used to up-sample tail knowledge in data-mix
     work; the document-level complement of d05's term-level TF-IDF).
 
-    Plan shape mirrors tf_idf WITHOUT the persist: one tokenize+explode
-    feeding (doc, token) DISTINCT pairs, a token-keyed document-frequency
-    aggregate, an UNHINTED join back (the vocabulary is unbounded at
-    100 TB — AQE picks the strategy), and a final doc-keyed mean. IDF uses
-    the same smoothed ln((N+1)/(df+1)) + 1 form as tf_idf.
+    Plan shape mirrors tf_idf, persist included: the (doc, token) DISTINCT
+    pairs feed both the document-frequency aggregate and the scoring join,
+    so they ride the scratch pool (one tokenize+explode, not two); the
+    vocabulary join back is UNHINTED (unbounded at 100 TB — AQE picks the
+    strategy), then one doc-keyed mean. IDF uses the same smoothed
+    ln((N+1)/(df+1)) + 1 form as tf_idf.
     """
+    from ._scratch import scratch_persist
+
     n_docs = df.select(F.countDistinct(id_col).alias("n"))
-    pairs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    pairs = scratch_persist(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        ),
+        "idf_rarity/pairs",
     )
     dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1)) + 1.0

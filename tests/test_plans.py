@@ -497,3 +497,68 @@ def test_new_composites_plan_shapes(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary frame join
     # budget: orders→customer re-key + the 1-row boundary agg's fan-in
     assert _unique_exchanges(plan) <= 3
+
+
+def test_round5_shuffle_budgets(spark, queries):
+    """Round-5 ops: the soft-dedup window and both sessionization/funnel
+    queries are ONE user/hash re-key; token-budget packing is one source
+    re-key; the entropy stack re-aggregates without a second fact scan;
+    the embedding audits pay one 64-group stat agg + broadcast back; the
+    persisted subtrees (d71 LM score, d75 pair table) must not re-run
+    their corpus pass per consumer."""
+    spark.catalog.clearCache()
+    budgets = {
+        "d63_soft_dedup_weights": 1,
+        "c78_sessionize_gap": 1,
+        "c79_funnel_windows": 1,
+        "d73_token_budget_pack": 1,
+        "d64_rouge_overlap": 2,
+        "c80_entropy_by_group": 2,
+        "d68_crossdup_matrix": 2,
+        "c81_benford_digits": 3,
+        "d67_embedding_quantize_int8": 3,
+        "d74_embedding_standardize": 3,
+        "d70_wordpiece_tokenize": 3,
+        "d69_suffix_array_ngrams": 3,
+        "d72_minhash_band_tuning": 3,
+        "x32_supplier_lead_time": 3,
+        # 6 = post-cache shuffles of BOTH consumers of the scratch-persisted
+        # pair table (the explode itself runs once — InMemoryTableScan
+        # asserted below; same print-twice effect as d51's budget)
+        "d75_idf_rarity_score": 6,
+        "x31_reorder_rate": 5,
+        "d71_ccnet_perplexity_buckets": 8,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = _unique_exchanges(plan)
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # d63's window shuffles 32-byte hashes, never the text
+    plan = plan_of(queries["d63_soft_dedup_weights"](spark, SF))
+    assert "sha2" in plan
+    # d75/d71's shared corpus subtrees actually hit the scratch cache
+    for name in ("d75_idf_rarity_score", "d71_ccnet_perplexity_buckets"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "InMemoryTableScan" in plan, f"{name}: scratch persist not in plan"
+    # d70's vocabulary join is the sanctioned broadcast (bounded top-200)
+    plan = plan_of(queries["d70_wordpiece_tokenize"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_round5_pagerank_plan_shape(spark, queries):
+    """d65: the edge builder must never self-join the corpus (pairs come
+    from the bounded rare-feature buckets), and every iteration's rank
+    table is node-sized. localCheckpoint hides the upstream plan, so pin
+    the edge-builder plan directly."""
+    from pandas_db_sdk_spark import graph
+    from pandas_db_sdk_spark.io import tables as _t
+
+    d = _t(spark, SF)("documents")
+    edges = graph.rare_token_edges(d, "doc_id", "text", 2, 3, shingle=3)
+    plan = plan_of(edges)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "edge builder must be join-free (bucket explode)"
+    out = queries["d65_doc_graph_pagerank"](spark, SF)
+    assert out.count() > 0
