@@ -2590,7 +2590,7 @@ def d70(spark, sf_dir):
          FROM documents, LATERAL (
            SELECT unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS i))
        SELECT gram, CAST(count(*) AS BIGINT) AS n
-       FROM subs GROUP BY gram HAVING count(*) >= 10
+       FROM subs GROUP BY gram HAVING count(*) >= 4
        ORDER BY n DESC, gram LIMIT 25""",
 )
 def d69(spark, sf_dir):
@@ -2601,7 +2601,7 @@ def d69(spark, sf_dir):
     hashes; surviving hashes join back (unhinted) to recover the text;
     final top-k is TakeOrdered."""
     d = tables(spark, sf_dir)("documents")
-    out = text.frequent_substrings(d, "text", length=20, min_count=10, k=25)
+    out = text.frequent_substrings(d, "text", length=20, min_count=4, k=25)
     return out.withColumn("n", F.col("n").cast("long"))
 
 

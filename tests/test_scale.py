@@ -299,3 +299,62 @@ def test_global_cumsum_at_bench_scale(spark):
     # is the 16-row offsets frame); AQE may coalesce the small OUTPUT
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_pagerank_chain_and_star_properties(spark):
+    """PageRank sanity at graph level: on a star graph the hub must
+    out-rank every leaf; total rank mass stays ≈ 1 (no dangling leakage
+    in the undirected formulation); node count fixed across iterations."""
+    from pandas_db_sdk_spark import graph
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)] + [(100, 101), (101, 102)],
+        "id_a long, id_b long",
+    )
+    out = graph.pagerank(edges, iterations=3).collect()
+    ranks = {r.id: r.rank for r in out}
+    assert len(ranks) == 24
+    hub = ranks[0]
+    assert all(hub > ranks[i] for i in range(1, 21)), "hub must dominate leaves"
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6, "rank mass must be conserved"
+
+
+def test_soft_dedup_weights_linear_in_cluster_size(spark):
+    """d63's window is COUNT-based — a giant duplicate cluster costs one
+    group's count, never cluster² pairs (the structural advantage over
+    pair-based dedup for weighting). 20k copies of one text + 1k distinct
+    docs: weights exact, wall time ~linear."""
+    import time
+
+    from pandas_db_sdk_spark import dedup
+
+    dup = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("same text " * 20).alias("text")
+    )
+    uniq = spark.range(1_000).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit("unique "), F.col("id").cast("string")).alias("text"),
+    )
+    df = dup.unionByName(uniq)
+    t0 = time.time()
+    out = dedup.soft_dedup_weights(df, "doc_id", "text")
+    agg = out.groupBy("dup_count").count().collect()
+    dt = time.time() - t0
+    got = {r.dup_count: r["count"] for r in agg}
+    assert got == {20_000: 20_000, 1: 1_000}
+    assert dt < 30, f"giant-cluster weighting took {dt:.1f}s"
+
+
+def test_frequent_substrings_shuffles_hashes_not_strings(spark):
+    """d69's pass-1 aggregate must key on xxhash64 (8-byte shuffle rows),
+    with the substring text only re-extracted for min_count survivors."""
+    from pandas_db_sdk_spark import text as T
+    from pandas_db_sdk_spark.io import tables
+
+    d = tables(spark, "/root/testdata/sf0.01")("documents")
+    out = T.frequent_substrings(d, "text", length=20, min_count=4, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert all(len(r.gram) == 20 and r.n >= 4 for r in rows)
