@@ -2234,21 +2234,29 @@ def d63(spark, sf_dir):
 
 @q(
     "d68_crossdup_matrix",
-    """WITH hs AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+       hs AS (
+         SELECT DISTINCT source,
+                unnest(list_distinct(
+                  [array_to_string(ws[i:i+4], ' ')
+                   FOR i IN range(1, greatest(len(ws) - 4, 1) + 1)])) AS g
+         FROM w)
        SELECT a.source AS source_a, b.source AS source_b,
-              CAST(count(*) AS BIGINT) AS n_shared_texts
-       FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+              CAST(count(*) AS BIGINT) AS n_shared_spans
+       FROM hs a JOIN hs b ON a.g = b.g AND a.source < b.source
        GROUP BY 1, 2""",
 )
 def d68(spark, sf_dir):
-    """D-ext (r5): cross-source contamination matrix — distinct texts shared
-    by each unordered source pair (the double-counting diagnostic run before
-    mixing corpora). The source set per text is bounded by the source
+    """D-ext (r5): cross-source contamination matrix — distinct word
+    5-gram SPANS shared by each unordered source pair (the decontamination
+    granularity: partial overlap shows up long before whole-document
+    duplication). The source set per span is bounded by the source
     CATALOG, so collect_set + in-set pair explode replaces the oracle's
     hash self-join: one 32-byte-keyed aggregation, no corpus-vs-corpus
     join."""
     d = tables(spark, sf_dir)("documents")
-    return dedup.cross_source_dup_matrix(d, "text", "source")
+    out = dedup.cross_source_dup_matrix(d, "text", "source", shingle=5)
+    return out.withColumnRenamed("n_shared_texts", "n_shared_spans")
 
 
 @q(

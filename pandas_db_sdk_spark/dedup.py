@@ -720,22 +720,32 @@ def cross_source_dup_matrix(
     df: DataFrame,
     text_col: str,
     source_col: str,
+    shingle: int = 0,
 ) -> DataFrame:
     """Cross-source contamination matrix: for every unordered source pair
-    (a < b), how many DISTINCT texts appear in both — the first diagnostic
-    before mixing corpora (a high cell means the mix double-counts that
-    content; cf. the decontamination sweeps in Gopher/The Pile appendices).
+    (a < b), how many DISTINCT content units appear in both — the first
+    diagnostic before mixing corpora (a high cell means the mix
+    double-counts that content; cf. the decontamination sweeps in
+    Gopher/The Pile appendices). ``shingle=0`` matches whole texts;
+    ``shingle=n`` matches word n-gram SPANS (the decontamination
+    granularity — partial overlap shows up long before whole-document
+    duplication does).
 
-    Plan: project to (sha2, source) → distinct → group by hash collecting
-    the source SET (bounded by the number of SOURCES, a catalog-sized
-    constant — never corpus-scale) → explode the in-set pairs → count.
-    One aggregation shuffle on 32-byte keys plus one on (src, src) pairs;
-    no self-join of the corpus against itself.
+    Plan: project to (sha2(unit), source) → distinct → group by hash
+    collecting the source SET (bounded by the number of SOURCES, a
+    catalog-sized constant — never corpus-scale) → explode the in-set
+    pairs → count. One aggregation shuffle on 32-byte keys plus one on
+    (src, src) pairs; no self-join of the corpus against itself.
     """
+    if shingle > 0:
+        from .text import word_ngrams
+
+        unit = F.explode(F.array_distinct(word_ngrams(text_col, shingle)))
+    else:
+        unit = F.col(text_col)
     hs = df.select(
-        F.sha2(F.col(text_col), 256).alias("__h"),
-        F.col(source_col).alias("__s"),
-    ).distinct()
+        F.col(source_col).alias("__s"), unit.alias("__u")
+    ).select(F.sha2(F.col("__u"), 256).alias("__h"), "__s").distinct()
     sets = hs.groupBy("__h").agg(F.collect_set("__s").alias("ss")).filter(
         F.size("ss") > 1
     )
