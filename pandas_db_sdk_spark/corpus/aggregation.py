@@ -438,19 +438,21 @@ def c28c(spark, sf_dir):
 @q(
     "c28d_freq_items",
     """SELECT item, cnt FROM (
-         SELECT l_suppkey AS item, count(*) AS cnt FROM lineitem GROUP BY 1) t
-       WHERE cnt > (SELECT count(*) / 50.0 FROM lineitem)""",
+         SELECT l_returnflag AS item, count(*) AS cnt FROM lineitem GROUP BY 1) t
+       WHERE cnt > (SELECT count(*) / 3.0 FROM lineitem)""",
 )
 def c28d(spark, sf_dir):
     """C28 variant: exact heavy hitters — items with frequency > n/k
     (the deterministic contract pandas-style ``freqItems`` approximates;
     Spark's ``df.freqItems`` is partition-order dependent, so the engine
     exposes the exact form: one partial-aggregable count + a 1-row
-    threshold broadcast)."""
+    threshold broadcast). Item domain is the returnflag (N ≈ 50% clears
+    the n/3 bar, A/R ≈ 25% don't) — the uniform l_suppkey domain made
+    every threshold either empty or all-pass at any scale."""
     li = tables(spark, sf_dir)("lineitem")
-    thresh = li.agg((F.count("*") / 50.0).alias("t"))
+    thresh = li.agg((F.count("*") / 3.0).alias("t"))
     return (
-        li.groupBy(F.col("l_suppkey").alias("item"))
+        li.groupBy(F.col("l_returnflag").alias("item"))
         .agg(F.count("*").alias("cnt"))
         .join(thresh)
         .filter(F.col("cnt") > F.col("t"))

@@ -369,14 +369,21 @@ def c17(spark, sf_dir):
 @q(
     "c18_anti_join",
     """SELECT c_custkey, c_name FROM customer c
-       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')""",
 )
 def c18(spark, sf_dir):
-    """C18: left anti join — customers with no orders."""
+    """C18: left anti join — customers with no URGENT order. (The
+    unfiltered "no orders at all" form is EMPTY on this fixture — every
+    customer has orders — which would certify nothing; the priority
+    filter keeps the anti-join semantics and a non-trivial result at
+    every scale.)"""
     t = tables(spark, sf_dir)
+    urgent = t("orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         t("customer")
-        .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
