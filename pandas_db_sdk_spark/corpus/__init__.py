@@ -187,6 +187,18 @@ _R04_VERIFIED = frozenset(
 )
 
 
+# Queries whose SEMANTICS changed in round 5 after an earlier driver row:
+# c18/c28d were certified on EMPTY results (trivial hash match — fixture
+# has no order-less customers and no n/50 heavy hitter) and now produce
+# non-trivial rows; d68/d69 moved to span granularity / a lower threshold
+# for the same reason.  Their old rows are stale — they sort right after
+# the never-checked backlog.
+_R05_RECHECK = frozenset(
+    """c18_anti_join c28d_freq_items d68_crossdup_matrix
+    d69_suffix_array_ngrams""".split()
+)
+
+
 # Queries ADDED in round 5 (never had a driver row).  They sort AFTER the
 # 48-query backlog above (VERDICT round-4 item #1: "add nothing ahead of
 # them") — the round-5 window certifies the backlog first; these ride the
@@ -231,12 +243,14 @@ def all_queries():
         # no driver row anywhere (the _R04_NEW leftovers + _R04B_NEW) sort
         # FIRST; round-5 additions next; every driver-certified query
         # rides the tail, most recently certified last.
+        if name in _R05_RECHECK:
+            return 1  # stale driver row (semantics changed in r5)
         if name in _R04_VERIFIED:
             return 5
         if name in _R04_NEW or name in _R04B_NEW:
             return 0
         if name in _R05_NEW:
-            return 1
+            return 2
         if name in _R03_VERIFIED:
             return 6
         if name in _R02_VERIFIED:
@@ -245,7 +259,7 @@ def all_queries():
             return 8
         if name in _RECHECK or name in _R03_NEW:
             return 5  # certified in r4 (safety net — all are in _R04_VERIFIED)
-        return 2  # not in any set: newest, after the _R05_NEW snapshot
+        return 3  # not in any set: newest, after the _R05_NEW snapshot
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
