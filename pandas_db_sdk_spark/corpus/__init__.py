@@ -211,7 +211,8 @@ _R05_NEW = frozenset(
     c81_benford_digits x31_reorder_rate x32_supplier_lead_time
     d71_ccnet_perplexity_buckets d72_minhash_band_tuning
     d73_token_budget_pack d74_embedding_standardize
-    d75_idf_rarity_score d76_near_dup_clusters_simhash""".split()
+    d75_idf_rarity_score d76_near_dup_clusters_simhash
+    d66b_mmr_guarantees""".split()
 )
 
 

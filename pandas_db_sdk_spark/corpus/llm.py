@@ -2642,3 +2642,42 @@ def d76(spark, sf_dir):
         cc.join(sizes, "cluster")
         .select(F.col("id").alias("doc_id"), "cluster", "cluster_size")
     )
+
+
+@q(
+    "d66b_mmr_guarantees",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       scored AS (
+         SELECT c.vec_id,
+                round(list_dot_product(q.qv, c.embedding::DOUBLE[]) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) *
+                       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos
+         FROM embeddings c, q WHERE c.vec_id != 0),
+       best AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 1)
+       SELECT 'first_pick_is_argmax_relevance' AS rule,
+              CAST((SELECT vec_id FROM best) AS BIGINT) AS val
+       UNION ALL SELECT 'n_selected', CAST(8 AS BIGINT)
+       UNION ALL SELECT 'n_distinct', CAST(8 AS BIGINT)""",
+)
+def d66b(spark, sf_dir):
+    """d66 certification frame (the d02e/d31b pattern): the greedy
+    selection ORDER stays rows-only, but the checkable contract
+    hash-certifies — pick #1 must be the pure-relevance argmax (the
+    diversity penalty is zero with nothing selected), and the output is
+    exactly k distinct ids. The oracle recomputes the argmax with the
+    same 6-dp rounding and id tiebreak."""
+    e = tables(spark, sf_dir)("embeddings")
+    sel = similarity.mmr_select(
+        e.filter(F.col("vec_id") == 0), e.filter(F.col("vec_id") != 0),
+        "vec_id", "vec_id", "embedding", k=8, lam=0.7, n_candidates=64,
+    )
+    rows = sel.collect()  # k rows — bounded by construction
+    first = next(r.neighbor_id for r in rows if r.rank_selected == 1)
+    return spark.createDataFrame(
+        [
+            ("first_pick_is_argmax_relevance", int(first)),
+            ("n_selected", len(rows)),
+            ("n_distinct", len({r.neighbor_id for r in rows})),
+        ],
+        "rule string, val long",
+    )
