@@ -23,8 +23,8 @@ cluster unchanged.
 """
 
 from .session import get_spark
-from .engine import DataFrameEngine
+from .engine import DataFrameEngine, DataQualityError, DatasetNotFound
 from .client import DataFrameClient
 
-__all__ = ["get_spark", "DataFrameEngine", "DataFrameClient", "__version__"]
+__all__ = ["get_spark", "DataFrameEngine", "DataFrameClient", "DataQualityError", "DatasetNotFound", "__version__"]
 __version__ = "0.1.0"

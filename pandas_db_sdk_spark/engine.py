@@ -57,6 +57,10 @@ class DatasetNotFound(KeyError):
     pass
 
 
+class DataQualityError(ValueError):
+    """save(expectations=...) found violating rows; nothing was committed."""
+
+
 class DataFrameEngine:
     """Named-DataFrame warehouse over parquet + a JSON manifest catalog."""
 
@@ -141,6 +145,7 @@ class DataFrameEngine:
         external_key: str = "NOW",
         keep_last: bool = False,
         overwrite_version: bool = False,
+        expectations: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, Any]:
         """Store a DataFrame as a named, partitioned, versioned dataset.
 
@@ -153,6 +158,15 @@ class DataFrameEngine:
         the idempotent-replay contract streaming epochs need (a foreachBatch
         retry after a crash re-lands the same epoch label; append semantics
         would duplicate every row of the partial first attempt).
+
+        ``expectations`` (Delta-constraints analogue): name → boolean
+        Column or SQL string that must hold for EVERY row. The counters
+        ride the write job itself (``DataFrame.observe`` — zero extra
+        scans at any size); on violation the staged version directory is
+        deleted and ``DataQualityError`` raises BEFORE the manifest
+        commit, so a failed save is invisible to readers (same
+        crash-consistency story as an aborted write). NULL counts as a
+        violation — an unevaluable expectation is not a pass.
         """
         try:
             import pandas as pd
@@ -250,12 +264,32 @@ class DataFrameEngine:
             # copy — replay-idempotent regardless of where the first
             # attempt died.
             shutil.rmtree(version_dir, ignore_errors=True)
+        results = None
+        if expectations:
+            from .checks import attach_checks
+
+            rules = {
+                name: (F.expr(cond) if isinstance(cond, str) else cond)
+                for name, cond in expectations.items()
+            }
+            out, results = attach_checks(out, rules)
         (
             out.write.mode("append")
             .option("maxRecordsPerFile", 100_000)  # chunking analogue, README.md:21
             .partitionBy(*partition_cols)
             .parquet(version_dir)
         )
+        if results is not None:
+            failing = {k: v for k, v in results().items() if v}
+            if failing:
+                # abort BEFORE the manifest commit: readers never saw the
+                # staged files, so deleting them is the same cleanup fsck
+                # would do for any crashed write
+                shutil.rmtree(version_dir, ignore_errors=True)
+                raise DataQualityError(
+                    "save aborted, expectations violated: "
+                    + ", ".join(f"{k} ({v} rows)" for k, v in sorted(failing.items()))
+                )
 
         # Provenance (bounded): where this version came from — the source
         # files feeding the plan (metadata-only; empty for synthesized

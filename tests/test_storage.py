@@ -992,3 +992,25 @@ def test_scd2_history_labelled_versions_use_commit_order(spark):
     out = {r.val: (r.valid_from, r.valid_to) for r in eng.scd2_history("dim", ["id"]).collect()}
     assert out["old"] == ("epoch-9", "epoch-10")
     assert out["new"] == ("epoch-10", None)
+
+
+def test_save_expectations_gate_commit(spark, tmp_path):
+    """save(expectations=...): counters ride the write job (observe — no
+    extra scan); a violation deletes the staged version dir and raises
+    BEFORE the manifest commit, so readers never see the bad version and
+    a later valid save works normally."""
+    import os
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine, DataQualityError, DatasetNotFound
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    bad = spark.range(10).selectExpr("id", "CASE WHEN id > 6 THEN NULL ELSE id * 2 END AS v")
+    with pytest.raises(DataQualityError, match="v_not_null \\(3 rows\\)"):
+        eng.save(bad, "gated", expectations={"v_not_null": "v IS NOT NULL"})
+    with pytest.raises(DatasetNotFound):
+        eng.load("gated")
+    # staged files cleaned up — fsck sees nothing to repair
+    good = spark.range(10).selectExpr("id", "id * 2 AS v")
+    eng.save(good, "gated", expectations={"v_not_null": "v IS NOT NULL", "v_even": "v % 2 = 0"})
+    assert eng.load("gated").count() == 10
+    assert eng.fsck("gated")["gated"]["orphan_versions"] == []
