@@ -264,6 +264,11 @@ class DataFrameEngine:
             # copy — replay-idempotent regardless of where the first
             # attempt died.
             shutil.rmtree(version_dir, ignore_errors=True)
+        # persistent dataset constraints (set_constraints) gate every
+        # append; per-call expectations add to them (same name: the call's
+        # rule wins for this save only)
+        if existing is not None and existing.get("constraints"):
+            expectations = {**existing["constraints"], **(expectations or {})}
         results = None
         if expectations:
             from .checks import attach_checks
@@ -682,6 +687,50 @@ class DataFrameEngine:
             "returned": len(names),
         }
 
+    def set_constraints(
+        self, dataframe_name: str, rules: Optional[Dict[str, str]]
+    ) -> Dict[str, Any]:
+        """Attach persistent row constraints to a dataset (the Delta
+        ``ADD CONSTRAINT`` analogue): ``rules`` maps name → SQL boolean
+        expression that must hold for every row. Stored in the manifest
+        and enforced on EVERY subsequent ``save``/``merge`` append via the
+        zero-extra-scan ``observe`` gate (see ``save(expectations=...)``);
+        a violating append aborts before its manifest commit. ``None`` or
+        ``{}`` clears them.
+
+        Like Delta, adding a constraint validates the EXISTING data first
+        (one aggregate scan) — a constraint the current rows already break
+        would make every future append's failure ambiguous.
+        """
+        from .checks import assert_valid
+
+        ds = self._dataset_entry(dataframe_name)  # raises if unknown
+        rules = dict(rules or {})
+        if rules:
+            cols = {f.name for f in self.load(dataframe_name).schema.fields}
+            parsed = {}
+            for name, cond in rules.items():
+                if not isinstance(cond, str):
+                    raise TypeError(
+                        f"constraint {name!r} must be a SQL string (it is "
+                        "persisted in the manifest); pass Column rules per-save "
+                        "via save(expectations=...)"
+                    )
+                parsed[name] = F.expr(cond)
+            del cols  # schema probe only forces a manifest/schema resolution
+            assert_valid(self.load(dataframe_name), parsed)
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            entry = manifest["datasets"].get(dataframe_name)
+            if entry is None:
+                raise DatasetNotFound(dataframe_name)
+            if rules:
+                entry["constraints"] = rules
+            else:
+                entry.pop("constraints", None)
+            self._write_manifest(manifest)
+        return dict(rules)
+
     def describe_dataset(self, dataframe_name: str) -> Dict[str, Any]:
         """Catalog introspection — the DESCRIBE the reference SDK lacks
         (SURVEY §2.5 lists no metadata beyond names): schema, partition
@@ -727,6 +776,7 @@ class DataFrameEngine:
             "name": dataframe_name,
             "schema": json.loads(ds["schema"]),
             "columns_keys": ds["columns_keys"],
+            "constraints": dict(ds.get("constraints") or {}),
             "latest": ds.get("latest"),
             "versions": versions,
             "total_rows": sum(v["n_rows"] for v in versions),

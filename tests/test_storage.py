@@ -1014,3 +1014,28 @@ def test_save_expectations_gate_commit(spark, tmp_path):
     eng.save(good, "gated", expectations={"v_not_null": "v IS NOT NULL", "v_even": "v % 2 = 0"})
     assert eng.load("gated").count() == 10
     assert eng.fsck("gated")["gated"]["orphan_versions"] == []
+
+
+def test_dataset_constraints_persist_and_gate_appends(spark, tmp_path):
+    """set_constraints: validated against existing data on ADD (Delta
+    semantics), persisted in the manifest, enforced on every later append,
+    surfaced by DESCRIBE, clearable."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine, DataQualityError
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(spark.range(5).selectExpr("id", "id + 1 AS v"), "cst")
+    # adding a constraint the current data breaks must fail
+    with pytest.raises(ValueError, match="v_big"):
+        eng.set_constraints("cst", {"v_big": "v > 100"})
+    eng.set_constraints("cst", {"v_pos": "v > 0"})
+    assert eng.describe_dataset("cst")["constraints"] == {"v_pos": "v > 0"}
+    # violating append aborts; dataset still shows only the first version's rows
+    with pytest.raises(DataQualityError, match="v_pos"):
+        eng.save(spark.range(3).selectExpr("id", "id - 10 AS v"), "cst")
+    assert eng.load("cst").count() == 5
+    # clean append passes; clearing removes the gate
+    eng.save(spark.range(3).selectExpr("id + 100 AS id", "id + 50 AS v"), "cst")
+    assert eng.load("cst").count() == 8
+    eng.set_constraints("cst", None)
+    eng.save(spark.range(2).selectExpr("id", "id - 99 AS v"), "cst")
+    assert eng.load("cst").count() == 10
