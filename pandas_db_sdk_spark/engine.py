@@ -370,6 +370,7 @@ class DataFrameEngine:
         query: str,
         datasets: Optional[Dict[str, str]] = None,
         use_last: bool = False,
+        versions: Optional[Dict[str, str]] = None,
     ) -> DataFrame:
         """Run Spark SQL over named datasets — the declarative face of the
         engine: the reference's model ships rows to client-side pandas for
@@ -384,7 +385,12 @@ class DataFrameEngine:
         ``use_last=True`` pins every view to its dataset's latest version;
         the default exposes all versions (time travel via a WHERE on the
         version column after ``load``'s own semantics).
+        ``versions`` pins individual views to a version label (the
+        ``VERSION AS OF`` analogue): ``{"li": "epoch-7"}`` — the pinned
+        load partition-prunes to that version's files, and other views
+        keep the ``use_last`` behavior.
         """
+        versions = dict(versions or {})
         if datasets is None:
             names = self._read_manifest()["datasets"].keys()
             datasets = {}
@@ -400,8 +406,15 @@ class DataFrameEngine:
                         f"mapping to disambiguate"
                     )
                 datasets[view] = n
+        unknown = set(versions) - set(datasets)
+        if unknown:
+            raise ValueError(f"versions= names unregistered views: {sorted(unknown)}")
         for view, ds_name in datasets.items():
-            self.load(ds_name, use_last=use_last).createOrReplaceTempView(view)
+            if view in versions:
+                pinned = self.load(ds_name, external_key=versions[view])
+            else:
+                pinned = self.load(ds_name, use_last=use_last)
+            pinned.createOrReplaceTempView(view)
         return self.spark.sql(query)
 
     # ---------------------------------------------------------------- merge

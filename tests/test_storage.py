@@ -1039,3 +1039,26 @@ def test_dataset_constraints_persist_and_gate_appends(spark, tmp_path):
     eng.set_constraints("cst", None)
     eng.save(spark.range(2).selectExpr("id", "id - 99 AS v"), "cst")
     assert eng.load("cst").count() == 10
+
+
+def test_sql_version_pinning(spark, tmp_path):
+    """sql(versions=...) — the VERSION AS OF analogue: a pinned view reads
+    exactly that version, an unpinned one follows use_last, and an unknown
+    view name errors instead of being silently ignored."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(spark.range(3).selectExpr("id", "'a' AS tag"), "tt", external_key="v1")
+    eng.save(spark.range(5).selectExpr("id", "'b' AS tag"), "tt", external_key="v2")
+    got = eng.sql(
+        "SELECT count(*) AS n FROM t", datasets={"t": "tt"}, versions={"t": "v1"}
+    ).first()
+    assert got.n == 3
+    latest = eng.sql(
+        "SELECT count(*) AS n FROM t", datasets={"t": "tt"}, use_last=True
+    ).first()
+    assert latest.n == 5
+    both = eng.sql("SELECT count(*) AS n FROM t", datasets={"t": "tt"}).first()
+    assert both.n == 8
+    with pytest.raises(ValueError, match="unregistered"):
+        eng.sql("SELECT 1", datasets={"t": "tt"}, versions={"nope": "v1"})
