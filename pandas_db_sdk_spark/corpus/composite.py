@@ -1423,8 +1423,13 @@ def x29(spark, sf_dir):
 def x30(spark, sf_dir):
     """Composite: supplier scorecard — revenue, line volume, return rate,
     revenue rank in one frame (the multi-metric entity-health report).
-    Fact aggregates ONCE (all three metrics share the partial+final agg),
-    dim broadcasts, and the rank window runs over one row per SUPPLIER."""
+    Fact aggregates ONCE (all three metrics share the partial+final agg)
+    and the dim broadcasts. The rank is computed AFTER the top-25 cut:
+    (revenue DESC, s_name) is a total order, so rank()==row_number() and
+    ranking the TakeOrdered 25 equals ranking everything first — a global
+    rank window over the supplier dimension would single-task a sort that
+    is NOT bounded at 100× (TPC-H sf100k ≈ 1B suppliers; same class as
+    x29's ntile fix). The only single-partition work is over 25 rows."""
     from pyspark.sql import Window as W
 
     t = tables(spark, sf_dir)
@@ -1437,7 +1442,7 @@ def x30(spark, sf_dir):
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
     )
     j = base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
-    return (
+    top = (
         j.select(
             "s_name",
             F.round("revenue", 4).alias("revenue"),
@@ -1445,12 +1450,13 @@ def x30(spark, sf_dir):
             F.round(F.col("n_returned").cast("double") / F.col("n_lines"), 6).alias(
                 "return_rate"
             ),
-            F.rank()
-            .over(W.orderBy(F.col("revenue").desc(), "s_name"))
-            .alias("revenue_rank"),
         )
-        .orderBy("revenue_rank")
-        .limit(25)
+        .orderBy(F.col("revenue").desc(), "s_name")
+        .limit(25)  # TakeOrderedAndProject — k-row driver merge, no global sort
+    )
+    return top.withColumn(
+        "revenue_rank",
+        F.rank().over(W.orderBy(F.col("revenue").desc(), "s_name")),
     )
 
 

@@ -1963,8 +1963,8 @@ def d58(spark, sf_dir):
     slope ≈ −1; templated/synthetic text deviates hard). Per-point lns are
     6-dp-rounded then decimal-summed (order-independent); a single
     ln-ulp flip moves the slope by ~1e-9, far below the 4-dp output grid.
-    The rank window runs over one row per DISTINCT TOKEN (vocabulary-
-    sized)."""
+    Ranks come from scale.global_row_index — the vocabulary is 10^8-10^9
+    tokens at 100 TB, past any single-task sort."""
     from pyspark.sql import Window as W
 
     d = tables(spark, sf_dir)("documents")
@@ -1973,10 +1973,18 @@ def d58(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    ranked = freq.select(
-        F.round(F.log(F.row_number().over(W.orderBy(F.col("cnt").desc(), "token"))), 6)
-        .cast("decimal(18,6)")
-        .alias("lx"),
+    # rank WITHOUT a single-task vocabulary sort: at 100 TB the vocab is
+    # 10^8-10^9 tokens, so the global rank goes through the range-partition
+    # + per-partition offsets composition (scale.global_row_index), the
+    # same as d62's corpus ordering — only the n_partitions-row offsets
+    # frame is ever single-partition.
+    from ..scale import global_row_index
+
+    ranked_ix = global_row_index(
+        freq, [F.col("cnt").desc(), F.col("token")], index_col="__rank"
+    )
+    ranked = ranked_ix.select(
+        F.round(F.log("__rank"), 6).cast("decimal(18,6)").alias("lx"),
         F.round(F.log("cnt"), 6).cast("decimal(18,6)").alias("ly"),
     )
     m = ranked.agg(

@@ -562,3 +562,16 @@ def test_round5_pagerank_plan_shape(spark, queries):
     assert "Join" not in plan, "edge builder must be join-free (bucket explode)"
     out = queries["d65_doc_graph_pagerank"](spark, SF)
     assert out.count() > 0
+
+
+def test_x30_and_d58_avoid_unbounded_global_sorts(spark, queries):
+    """Round-5 posture fixes: x30's rank runs AFTER the TakeOrdered top-25
+    (the global supplier-dimension window was x29's class of cliff); d58's
+    vocabulary rank goes through scale.global_row_index (range partition +
+    offsets), never one task sorting 10^9 tokens."""
+    plan = plan_of(queries["x30_supplier_scorecard"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the only Window must sit ABOVE the take-ordered 25-row frame
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    plan = plan_of(queries["d58_zipf_fit"](spark, SF))
+    assert "windowspecdefinition(__pid" in plan  # pid-partitioned rank
