@@ -210,3 +210,49 @@ def live_rollup_into_engine(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_ann_index(
+    stream: DataFrame,
+    centroids,
+    codebooks,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Continuously-maintained ANN index: every micro-batch of new vectors
+    is PQ-encoded against the FROZEN coarse quantizer + codebooks
+    (``similarity.ivf_pq_index_append`` — no retraining in the hot path;
+    that is the production contract: quantizers version with the corpus,
+    the inverted file grows with it) and appended to the cid-partitioned
+    index tree, so ``similarity.read_ivf_pq_index`` + ``ivf_pq_topk``
+    serve queries that immediately see the new vectors.
+
+    Scale shape: encoding is one numpy matmul per Arrow batch; the append
+    writes only the batch's (neighbor_id, codes) rows into their cells'
+    directories — existing files are never touched, and query-time dynamic
+    partition pruning still opens only probed cells. Parquet appends from
+    a crashed batch are the same orphan class `engine.fsck` handles for
+    versioned datasets; re-encoding a replayed batch writes duplicate
+    (id, codes) rows, which ``ivf_pq_topk`` tolerates (same id, same
+    codes → same distance; dedupe offline with ``compact``-style rewrite
+    if growth matters).
+    """
+    from .. import similarity
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = similarity.ivf_pq_index_append(
+            batch_df, centroids, codebooks, id_col, vec_col
+        )
+        similarity.write_ivf_pq_index(delta, index_path, mode="append")
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

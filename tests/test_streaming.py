@@ -450,3 +450,44 @@ def test_live_rollup_revises_open_windows_in_place(spark, tmp_path):
     want = per_user_counts(spark.read.parquet(src))
     keys = ["window_start_us", "user_id", "n_events"]
     assert set(_rows(got, keys)) == set(_rows(want, keys))
+
+
+def test_stream_into_ann_index_new_vectors_retrievable(spark, tmp_path):
+    """Continuous ANN maintenance: an index built from the first half of
+    the embeddings grows by streaming in the second half (frozen
+    quantizers, per-batch encode+append); after the stream drains, every
+    streamed vector self-retrieves at rank 1 and the original rows are
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark import similarity
+    from pandas_db_sdk_spark.io import tables
+    from pandas_db_sdk_spark.streaming.ingest import stream_into_ann_index
+
+    emb = tables(spark, SF)("embeddings")
+    old = emb.filter(F.col("vec_id") >= 8)
+    new = emb.filter(F.col("vec_id") < 8)
+
+    cent, books, index = similarity.ivf_pq_index(
+        old, "vec_id", "embedding", n_centroids=16, m_subspaces=8, n_codes=16
+    )
+    path = str(tmp_path / "ann")
+    similarity.write_ivf_pq_index(index, path)
+    n_before = similarity.read_ivf_pq_index(spark, path).count()
+
+    src = str(tmp_path / "vecs")
+    new.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_into_ann_index(
+        stream, cent, books, path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    disk = similarity.read_ivf_pq_index(spark, path)
+    assert disk.count() == n_before + new.count()
+    out = similarity.ivf_pq_topk(new, cent, books, disk, "vec_id", k=3, n_probes=2)
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rn == 1}
+    assert top1 == {i: i for i in range(8)}
