@@ -1258,3 +1258,58 @@ def mmr_select(
     return query.sparkSession.createDataFrame(
         out, "rank_selected int, neighbor_id long, relevance double, mmr_score double"
     )
+
+
+def compact_ivf_pq_index(spark, path: str) -> dict:
+    """Housekeeping for a streamed-into inverted file
+    (``stream_into_ann_index``): micro-batch appends fragment each cell
+    directory (one file per batch per cell) and a replayed batch can leave
+    duplicate (id, codes) rows. Rewrite the tree to one file per cell with
+    the LAST codes row per neighbor kept (re-encoded vectors supersede —
+    deterministic because codes are a pure function of the frozen
+    quantizers, so true replays are byte-identical and "last" is safe).
+
+    Same atomic-swap contract as ``engine.compact``: the rewrite lands in
+    a sibling temp dir and replaces the old tree only after success, so a
+    crash mid-compact leaves the readable original. Returns before/after
+    file and row counts.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    def _stats(p):
+        files = rows = 0
+        for root, _d, names in os.walk(p):
+            files += sum(1 for n in names if n.endswith(".parquet"))
+        return files
+
+    before_files = _stats(path)
+    idx = read_ivf_pq_index(spark, path)
+    before_rows = idx.count()
+    w = W.partitionBy("neighbor_id").orderBy(F.lit(1))
+    deduped = (
+        idx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tmp = f"{path}.compact.{uuid.uuid4().hex}"
+    (
+        deduped.repartition("cid")
+        .write.partitionBy("cid")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{path}.old.{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = read_ivf_pq_index(spark, path)
+    return {
+        "files_before": before_files,
+        "files_after": _stats(path),
+        "rows_before": before_rows,
+        "rows_after": after.count(),
+    }

@@ -487,3 +487,42 @@ def test_mmr_first_pick_is_argmax_and_diversity_binds(spark):
     # pure relevance WOULD have ranked the clone second
     rel = similarity.cosine_topk_bruteforce(q, c, "vec_id", "vec_id", "embedding", k=2).collect()
     assert [r.neighbor_id for r in rel] == [1, 2]
+
+
+def test_compact_ivf_pq_index_dedupes_and_preserves_retrieval(spark, emb, tmp_path):
+    """Fragmented + replayed index: compaction must collapse duplicate id
+    rows, shrink the file count, keep every cell readable, and restore
+    retrieval to exactly the clean-index results (duplicates occupy
+    top-k slots, so the fragmented tree's output is the broken state)."""
+    from pandas_db_sdk_spark.similarity import (
+        compact_ivf_pq_index, ivf_pq_index, ivf_pq_index_append,
+        ivf_pq_topk, read_ivf_pq_index, write_ivf_pq_index,
+    )
+
+    cent, books, index = ivf_pq_index(
+        emb, "vec_id", "embedding", n_centroids=16, m_subspaces=8, n_codes=16
+    )
+    path = str(tmp_path / "ann")
+    write_ivf_pq_index(index, path)
+    # simulate a replayed batch: re-append 8 already-indexed vectors
+    replay = ivf_pq_index_append(
+        emb.filter(F.col("vec_id") < 8), cent, books, "vec_id"
+    )
+    write_ivf_pq_index(replay, path, mode="append")
+    n_vecs = emb.count()
+    assert read_ivf_pq_index(spark, path).count() == n_vecs + 8
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    # the clean index is the ground truth — the fragmented tree's results
+    # are themselves perturbed by the duplicate rows (two copies of one id
+    # occupy two ranks), which is exactly what compaction must repair
+    clean = {(r.query_id, r.neighbor_id, r.rn) for r in ivf_pq_topk(
+        queries, cent, books, index, "vec_id", k=3, n_probes=4
+    ).collect()}
+    report = compact_ivf_pq_index(spark, path)
+    assert report["rows_after"] == n_vecs
+    assert report["files_after"] <= report["files_before"]
+    after = {(r.query_id, r.neighbor_id, r.rn) for r in ivf_pq_topk(
+        queries, cent, books, read_ivf_pq_index(spark, path), "vec_id", k=3, n_probes=4
+    ).collect()}
+    assert after == clean
