@@ -1062,3 +1062,37 @@ def test_sql_version_pinning(spark, tmp_path):
     assert both.n == 8
     with pytest.raises(ValueError, match="unregistered"):
         eng.sql("SELECT 1", datasets={"t": "tt"}, versions={"nope": "v1"})
+
+
+def test_concurrent_now_saves_get_distinct_versions(spark, tmp_path):
+    """ADVICE r4 #1: two truly concurrent NOW-saves with a FROZEN clock
+    (every call returns the same tick) must still commit two distinct
+    versions with no duplicated rows — the mkdir reservation is the only
+    thing separating them, since the manifest can't see an uncommitted
+    writer."""
+    import threading
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"), clock=lambda: 12345)
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    eng.save(df, "race")  # create the dataset so both racers append
+
+    errs = []
+
+    def racer():
+        try:
+            eng.save(df, "race")
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=racer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    versions = eng.describe_dataset("race")["versions"]
+    labels = [v["version"] for v in versions]
+    assert len(labels) == 5 and len(set(labels)) == 5, labels
+    assert eng.load("race").count() == 250  # 5 versions x 50 rows, none doubled
