@@ -701,9 +701,9 @@ def soft_dedup_weights(
     row gets ``dup_count`` (the size of its exact-duplicate cluster) and
     ``weight`` = 1/dup_count, so a training loader sampling by weight sees
     each distinct text with equal total mass while keeping all copies
-    available (reference semantics: the soft variant of D1's keep-one;
-    cf. SoftDeDup, arXiv:2401.00588 — down-weighting beats dropping when
-    duplicates carry distribution signal).
+    available (the soft variant of D1's keep-one: recent data-curation
+    work finds down-weighting beats dropping when duplicates carry
+    distribution signal).
 
     One shuffle, re-keyed on the 32-byte sha2 of the text (never the text
     itself): the cluster size is a COUNT window over the hash. At 100 TB
