@@ -671,8 +671,15 @@ def edit_distance_pairs(
             )
         ).alias("vh"),
     )
+    # explicit width for the bucket stage: its output is small in BYTES
+    # (AQE would coalesce to a few partitions) but the in-bucket pair
+    # explode + banded levenshtein downstream are CPU-bound — a
+    # user-specified repartition pins one task per core (2.1 s → 1.1 s at
+    # sf0.1 on local[32]; on a cluster defaultParallelism scales it)
+    width = df.sparkSession.sparkContext.defaultParallelism
     buckets = (
-        variants.groupBy("vh")
+        variants.repartition(width, "vh")
+        .groupBy("vh")
         .agg(F.collect_set("s").alias("ss"))
         .filter(F.size("ss") > 1)
     )
