@@ -256,3 +256,131 @@ def stream_into_ann_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_engine_near_dedup(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    dataframe_name: str,
+    id_col: str,
+    text_col: str,
+    columns_keys: Optional[dict] = None,
+    version_prefix: str = "epoch_",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+):
+    """Streaming ingest with NEAR-duplicate gating against everything
+    already ingested — the MinHash twin of ``stream_into_engine``'s exact
+    ``dedup_on``, built around a PERSISTED signature index so the corpus
+    is never re-signatured per batch (``incremental_dedup_minhash``'s
+    contract re-preps its corpus argument each call — correct for one-shot
+    batch admission, quadratic-in-stream-length if called per epoch).
+
+    The index lives as the engine dataset ``<name>/__near_sigs`` with one
+    row per ADMITTED doc: (sig_id, mh array<long>, sh array<long>) — the
+    MinHash signature and the exact shingle-hash set (the verify side of
+    d02's two-pass economics, stored once at admission instead of being
+    recomputed from text). Per micro-batch:
+
+    1. within-batch near-dedup (``dedup_corpus_minhash``: pairs →
+       connected components → min-id canonicals);
+    2. band-key equi-join of the batch's signatures against the index
+       (keys derived from the stored arrays by a codegen'd HOF — candidate
+       volume scales with the batch, never the corpus);
+    3. exact-Jaccard verify on the stored shingle sets; verified matches
+       drop the batch doc;
+    4. survivors land in the dataset AND their signature rows append to
+       the index, both under the epoch's ``overwrite_version=True`` label,
+       so a replayed batch converges (same docs, same signatures — the
+       data version and index version travel together).
+
+    At 100 TB the index is corpus-sized but hash-typed (8-byte shingle
+    hashes ≈ the text re-expressed; the same storage a standalone LSH
+    index pays), and each batch's work is batch × collision volume.
+    """
+    from pyspark.sql import functions as F
+
+    from .. import dedup as _dedup
+    from ..engine import DatasetNotFound
+
+    sig_name = f"{dataframe_name}/__near_sigs"
+    rows = n_hashes // bands
+
+    def band_keys(mh):
+        return F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.element_at(mh, b * rows + r + 1) for r in range(rows)],
+                )
+                for b in range(bands)
+            ]
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = _dedup.dedup_corpus_minhash(
+            batch_df, id_col, text_col,
+            n_hashes=n_hashes, bands=bands,
+            jaccard_threshold=jaccard_threshold, shingle=shingle,
+        )
+        sigs = _dedup.minhash_signatures_with_sets(
+            out, id_col, text_col, n_hashes, shingle
+        ).select(
+            F.col("__id").alias("sig_id"),
+            F.array(*[f"__mh{i}" for i in range(n_hashes)]).alias("mh"),
+            F.col("__shset").alias("sh"),
+        )
+        try:
+            idx = engine.load(sig_name)
+        except DatasetNotFound:
+            idx = None
+        if idx is not None:
+            nb = sigs.select(
+                "sig_id", F.posexplode(band_keys(F.col("mh"))).alias("bi", "bk")
+            )
+            ib = idx.select(
+                F.col("sig_id").alias("cor_id"),
+                F.col("sh").alias("cor_sh"),
+                F.posexplode(band_keys(F.col("mh"))).alias("bi", "bk"),
+            )
+            dup_ids = (
+                nb.join(ib, ["bi", "bk"])
+                .dropDuplicates(["sig_id", "cor_id"])
+                .join(sigs.select("sig_id", "sh"), "sig_id")
+                .withColumn(
+                    "__j",
+                    F.size(F.array_intersect("sh", "cor_sh")).cast("double")
+                    / F.size(F.array_union("sh", "cor_sh")).cast("double"),
+                )
+                .filter(F.col("__j") >= jaccard_threshold)
+                .select("sig_id")
+                .distinct()
+            )
+            out = out.join(
+                dup_ids, out[id_col] == dup_ids.sig_id, "left_anti"
+            )
+            sigs = sigs.join(dup_ids, "sig_id", "left_anti")
+        if out.isEmpty():
+            return
+        label = f"{version_prefix}{epoch_id}"
+        engine.save(
+            out, dataframe_name,
+            columns_keys=columns_keys, external_key=label,
+            overwrite_version=True,
+        )
+        engine.save(
+            sigs, sig_name, external_key=label, overwrite_version=True
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

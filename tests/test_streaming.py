@@ -491,3 +491,43 @@ def test_stream_into_ann_index_new_vectors_retrievable(spark, tmp_path):
     out = similarity.ivf_pq_topk(new, cent, books, disk, "vec_id", k=3, n_probes=2)
     top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rn == 1}
     assert top1 == {i: i for i in range(8)}
+
+
+def test_stream_near_dedup_across_batches(spark, tmp_path):
+    """Near-dup streaming gate: batch 2 carries (a) an exact replica and
+    (b) a near-variant of batch-1 docs plus one genuinely new doc — only
+    the new doc may land; the signature index grows only by admitted docs
+    and is replay-consistent with the data (same count)."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import stream_into_engine_near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the cat watches from the warm windowsill every single day"
+    )
+    b1 = [(1, base), (2, "completely different text about spark shuffles and "
+                         "partition pruning at terabyte scale for analytics")]
+    b2 = [
+        (10, base),                                # exact dup of 1
+        (11, base.replace("lazy", "sleepy")),      # near-dup of 1
+        (12, "an entirely novel document mentioning suffix arrays bloom "
+             "filters and quantile sketches in one breath tonight"),
+    ]
+    src = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_into_engine_near_dedup(
+        stream, eng, "docs", "doc_id", "text",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5,
+    )
+    q.awaitTermination()
+
+    landed = {r.doc_id for r in eng.load("docs").select("doc_id").collect()}
+    assert landed == {1, 2, 12}, landed
+    sig_ids = {r.sig_id for r in eng.load("docs/__near_sigs").select("sig_id").collect()}
+    assert sig_ids == landed
