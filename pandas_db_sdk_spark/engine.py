@@ -1074,6 +1074,55 @@ class DataFrameEngine:
                 self._write_manifest(manifest)
         return report
 
+    def restore(
+        self, dataframe_name: str, external_key: str, new_key: str = "NOW"
+    ) -> Dict[str, Any]:
+        """Roll a dataset back to a past version by COMMITTING that
+        version's rows as a NEW version (the Delta ``RESTORE`` shape:
+        history stays intact and auditable — nothing is deleted, the
+        latest pointer simply moves forward onto old data). The restored
+        copy re-partitions under the dataset's own keys and carries
+        provenance like any save, so ``diff_versions`` shows exactly what
+        the rollback changed.
+        """
+        ds = self._dataset_entry(dataframe_name)
+        if str(external_key) not in {str(v) for v in ds["versions"]}:
+            raise DatasetNotFound(
+                f"{dataframe_name!r} has no version {external_key!r}"
+            )
+        snapshot = self.load(dataframe_name, external_key=external_key)
+        return self.save(snapshot, dataframe_name, external_key=new_key)
+
+    def retain_last(self, dataframe_name: str, n: int) -> Dict[str, Any]:
+        """Retention maintenance: keep only the newest ``n`` committed
+        versions (manifest order = commit order), delete the rest — the
+        between-saves form of ``save(keep_last=True)`` (which keeps 1) /
+        the VACUUM-with-retention analogue. Manifest updates under the
+        lock AFTER the directories are gone, so a crash mid-prune leaves
+        extra-but-listed versions (fsck-visible), never dangling catalog
+        entries."""
+        if n < 1:
+            raise ValueError("retain_last needs n >= 1")
+        ds = self._dataset_entry(dataframe_name)
+        doomed = [str(v) for v in ds["versions"][:-n]]
+        for v in doomed:
+            self._delete_version_dirs(ds["path"], v)
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            entry = manifest["datasets"].get(dataframe_name)
+            if entry is None:
+                raise DatasetNotFound(dataframe_name)
+            entry["versions"] = [v for v in entry["versions"] if str(v) not in set(doomed)]
+            entry["provenance"] = {
+                k: p
+                for k, p in entry.get("provenance", {}).items()
+                if k not in set(doomed)
+            }
+            if entry["versions"]:
+                entry["latest"] = entry["versions"][-1]
+            self._write_manifest(manifest)
+        return {"deleted_versions": doomed, "kept": len(ds["versions"]) - len(doomed)}
+
     def delete_dataset(self, dataframe_name: str) -> Dict[str, Any]:
         """Drop a dataset: remove its data directory and catalog entry.
 

@@ -1096,3 +1096,28 @@ def test_concurrent_now_saves_get_distinct_versions(spark, tmp_path):
     labels = [v["version"] for v in versions]
     assert len(labels) == 5 and len(set(labels)) == 5, labels
     assert eng.load("race").count() == 250  # 5 versions x 50 rows, none doubled
+
+
+def test_restore_and_retain_last(spark, tmp_path):
+    """restore: an old version's rows re-commit as the new latest (history
+    intact, unknown version errors); retain_last: only the newest n
+    versions survive on disk AND in the manifest, and the data of pruned
+    versions is gone while the kept ones still read."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine, DatasetNotFound
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    for i, n in enumerate((3, 5, 7)):
+        eng.save(spark.range(n).selectExpr("id"), "r", external_key=f"v{i}")
+    eng.restore("r", "v0", new_key="rollback")
+    assert eng.load("r", use_last=True).count() == 3  # v0's rows are latest again
+    assert eng.load("r").count() == 3 + 5 + 7 + 3      # history intact
+    with pytest.raises(DatasetNotFound):
+        eng.restore("r", "nope")
+
+    report = eng.retain_last("r", 2)
+    assert report["deleted_versions"] == ["v0", "v1"]
+    desc = eng.describe_dataset("r")
+    assert [v["version"] for v in desc["versions"]] == ["v2", "rollback"]
+    assert eng.load("r").count() == 7 + 3
+    assert eng.load("r", use_last=True).count() == 3
+    assert eng.fsck("r")["r"]["orphan_versions"] == []
