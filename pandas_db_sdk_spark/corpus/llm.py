@@ -1615,21 +1615,27 @@ def d47(spark, sf_dir):
 @q(
     "d48_media_headers",
     """SELECT doc_id,
-              CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-              CASE WHEN doc_id % 2 = 0 THEN CAST(16 + doc_id % 64 AS INT) END AS width,
-              CASE WHEN doc_id % 2 = 0 THEN CAST(16 + (doc_id * 7) % 64 AS INT) END AS height,
-              CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS INT) END AS bit_depth,
-              CASE WHEN doc_id % 2 = 1
+              CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 64 AS INT)
+                   WHEN doc_id % 3 = 2 THEN CAST(320 + (doc_id % 16) * 16 AS INT) END AS width,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(16 + (doc_id * 7) % 64 AS INT)
+                   WHEN doc_id % 3 = 2 THEN CAST(240 + (doc_id * 3 % 16) * 16 AS INT) END AS height,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(8 AS INT) END AS bit_depth,
+              CASE WHEN doc_id % 3 = 1
                    THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
-              CASE WHEN doc_id % 2 = 1 THEN CAST(2 AS INT) END AS n_channels,
-              CASE WHEN doc_id % 2 = 1
+              CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels,
+              CASE WHEN doc_id % 3 = 1
                    THEN round(CAST(1000 + doc_id % 100 AS DOUBLE)
-                              / (8000 + (doc_id % 8) * 1000), 6) END AS duration_s
+                              / (8000 + (doc_id % 8) * 1000), 6)
+                   WHEN doc_id % 3 = 2
+                   THEN CAST(5 + doc_id % 20 AS DOUBLE) END AS duration_s
        FROM documents""",
 )
 def d48(spark, sf_dir):
     """D7 upgrade: REAL media-metadata extraction, certified end-to-end —
-    Spark manufactures valid PNG (IHDR + CRC32) / RIFF-WAVE bytes per doc
+    Spark manufactures valid PNG (IHDR + CRC32) / RIFF-WAVE / MP4
+    (ISO-BMFF ftyp + moov{mvhd, trak{tkhd}}, 16.16 fixed-point track
+    dimensions) bytes per doc
     and parses them back with the codec-free container parser
     (`multimodal.synth_media_payload` → `parse_media_headers`, both
     Arrow-batched mapInPandas); the oracle computes the expected fields

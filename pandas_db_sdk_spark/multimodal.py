@@ -95,9 +95,11 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Manufacture REAL container bytes per row — a valid minimal PNG
-    (signature + IHDR chunk with a correct CRC32) for even ids, a valid
-    RIFF/WAVE file (fmt chunk + zero-filled data chunk) for odd ids — with
-    every header field a deterministic function of the id. The fixture
+    (signature + IHDR chunk with a correct CRC32) for id%3==0, a valid
+    RIFF/WAVE file (fmt chunk + zero-filled data chunk) for id%3==1, and a
+    valid MP4/ISO-BMFF skeleton (ftyp + moov{mvhd, trak{tkhd}} boxes,
+    16.16 fixed-point track dimensions) for id%3==2 — with every header
+    field a deterministic function of the id. The fixture
     generator for `parse_media_headers`: because the fields derive from the
     id arithmetically, an engine-independent oracle can certify the whole
     encode→parse round trip without any codec library.
@@ -120,6 +122,31 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
             )
 
+        def box(btype: bytes, payload: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+        def mp4(i: int) -> bytes:
+            timescale, dur_s = 600, 5 + i % 20
+            w, h = 320 + (i % 16) * 16, 240 + (i * 3 % 16) * 16
+            mvhd = box(
+                b"mvhd",
+                b"\x00\x00\x00\x00"  # version 0 + flags
+                + struct.pack(">II", 0, 0)  # creation/modification
+                + struct.pack(">II", timescale, timescale * dur_s)
+                + b"\x00" * 80,  # rate/volume/reserved/matrix/predefines/next-track
+            )
+            tkhd = box(
+                b"tkhd",
+                b"\x00\x00\x00\x07"  # version 0 + enabled flags
+                + struct.pack(">IIII", 0, 0, 1, 0)  # times, track id, reserved
+                + struct.pack(">I", timescale * dur_s)
+                + b"\x00" * 52  # reserved/layer/volume/matrix
+                + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+            )
+            moov = box(b"moov", mvhd + box(b"trak", tkhd))
+            ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+            return ftyp + moov
+
         def wav(i: int) -> bytes:
             ch = 1 + i % 2
             sr = 8000 + (i % 8) * 1000
@@ -135,7 +162,10 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     id_col: ids,
-                    "payload": [png(i) if i % 2 == 0 else wav(i) for i in ids],
+                    "payload": [
+                        png(i) if i % 3 == 0 else wav(i) if i % 3 == 1 else mp4(i)
+                        for i in ids
+                    ],
                 }
             )
 
@@ -183,6 +213,36 @@ def parse_media_headers(
                 if sr and ch and bits and data_len is not None:
                     dur = data_len / (sr * ch * (bits // 8))
                     return ("wav", None, None, None, sr, ch, round(dur, 6))
+            if len(b) >= 12 and b[4:8] == b"ftyp":
+                # ISO-BMFF: walk top-level boxes for moov, then its
+                # children for mvhd (timescale/duration) and trak/tkhd
+                # (16.16 fixed-point dimensions)
+                def walk(lo, hi):
+                    out = {}
+                    pos = lo
+                    while pos + 8 <= hi:
+                        (blen,) = struct.unpack(">I", b[pos : pos + 4])
+                        if blen < 8 or pos + blen > hi:
+                            break
+                        out[b[pos + 4 : pos + 8]] = (pos + 8, pos + blen)
+                        pos += blen
+                    return out
+
+                top = walk(0, len(b))
+                if b"moov" in top:
+                    kids = walk(*top[b"moov"])
+                    ts = dur = w = h = None
+                    if b"mvhd" in kids:
+                        lo, _ = kids[b"mvhd"]
+                        ts, dur = struct.unpack(">II", b[lo + 12 : lo + 20])
+                    if b"trak" in kids:
+                        tk = walk(*kids[b"trak"])
+                        if b"tkhd" in tk:
+                            lo, hi2 = tk[b"tkhd"]
+                            wfix, hfix = struct.unpack(">II", b[hi2 - 8 : hi2])
+                            w, h = wfix >> 16, hfix >> 16
+                    if ts:
+                        return ("mp4", w, h, None, None, None, round(dur / ts, 6))
             return ("unknown", None, None, None, None, None, None)
 
         for pdf in batches:
