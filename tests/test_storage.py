@@ -1121,3 +1121,54 @@ def test_restore_and_retain_last(spark, tmp_path):
     assert eng.load("r").count() == 7 + 3
     assert eng.load("r", use_last=True).count() == 3
     assert eng.fsck("r")["r"]["orphan_versions"] == []
+
+
+def test_fsck_orphan_age_uses_tree_mtime(spark, tmp_path):
+    """ADVICE r4 #2: a live save writing into nested __p_* partition
+    subdirs doesn't refresh the top version dir's mtime — fsck must age an
+    orphan by the NEWEST mtime in its tree, so an old-looking dir with a
+    fresh nested file survives repair while a genuinely old orphan goes."""
+    import os
+    import time as _t
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine, VERSION_COL
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(spark.range(5).selectExpr("id"), "fs", external_key="v1")
+    path = eng._dataset_entry("fs")["path"]
+
+    live = os.path.join(path, f"{VERSION_COL}=inflight")
+    os.makedirs(os.path.join(live, "__p_d=2024-01-01"))
+    with open(os.path.join(live, "__p_d=2024-01-01", "part-0.parquet"), "w") as f:
+        f.write("x")  # fresh nested write
+    old = _t.time() - 7200
+    os.utime(live, (old, old))  # top dir looks 2h old
+
+    dead = os.path.join(path, f"{VERSION_COL}=dead")
+    os.makedirs(dead)
+    os.utime(dead, (old, old))
+
+    report = eng.fsck("fs", repair=True, min_age_seconds=3600)["fs"]
+    assert "dead" in report["repaired"]
+    assert "inflight" not in report["repaired"]
+    assert os.path.isdir(live) and not os.path.isdir(dead)
+
+
+def test_scd2_hash_canonicalizes_maps_and_negative_zero(spark, tmp_path):
+    """ADVICE r4 #4: semantically identical states must not open spurious
+    SCD2 runs — map values compare by CONTENT (physical key order differs
+    across versions) and -0.0 equals 0.0."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    v1 = spark.sql(
+        "SELECT 1 AS k, map('a', 1, 'b', 2) AS attrs, CAST(0.0 AS DOUBLE) AS score"
+    )
+    v2 = spark.sql(
+        "SELECT 1 AS k, map('b', 2, 'a', 1) AS attrs, CAST(-0.0 AS DOUBLE) AS score"
+    )
+    eng.save(v1, "dim", external_key="t1")
+    eng.save(v2, "dim", external_key="t2")
+    hist = eng.scd2_history("dim", ["k"]).collect()
+    assert len(hist) == 1, hist  # one unbroken run, no spurious state change
+    assert hist[0].valid_from == "t1" and hist[0].valid_to is None
