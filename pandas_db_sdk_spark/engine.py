@@ -135,6 +135,28 @@ class DataFrameEngine:
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
+    def _derive_partition_cols(self, df: DataFrame, columns_keys: Dict[str, str]):
+        """Append the derived ``__p_*`` partition columns for a key layout
+        (Date → yyyy-MM-dd dirs, ID → range buckets, README.md:191-207) —
+        shared by save() and repartition_dataset() so the two derivations
+        can never diverge."""
+        out = df
+        partition_cols = []
+        for col, key_type in columns_keys.items():
+            pcol = f"__p_{col}"
+            if key_type == "Date":
+                out = out.withColumn(
+                    pcol, F.date_format(F.col(col).cast("timestamp"), "yyyy-MM-dd")
+                )
+            else:  # ID → range buckets, README.md:200-207
+                w = self.id_bucket_width
+                lo = (F.floor(F.col(col).cast("long") / w) * w).cast("long")
+                out = out.withColumn(
+                    pcol, F.concat(F.lit("from_"), lo, F.lit("_to_"), lo + w)
+                )
+            partition_cols.append(pcol)
+        return out, partition_cols
+
     # ---------------------------------------------------------------- save
 
     def save(
@@ -234,20 +256,7 @@ class DataFrameEngine:
         else:
             version = external_key
 
-        out = df
-        partition_cols = []
-        for col, key_type in columns_keys.items():
-            if key_type == "Date":
-                pcol = f"__p_{col}"
-                out = out.withColumn(pcol, F.date_format(F.col(col).cast("timestamp"), "yyyy-MM-dd"))
-            else:  # ID → range buckets, README.md:200-207
-                pcol = f"__p_{col}"
-                w = self.id_bucket_width
-                lo = (F.floor(F.col(col).cast("long") / w) * w).cast("long")
-                out = out.withColumn(
-                    pcol, F.concat(F.lit("from_"), lo, F.lit("_to_"), lo + w)
-                )
-            partition_cols.append(pcol)
+        out, partition_cols = self._derive_partition_cols(df, columns_keys)
         # Each version writes into its OWN `__version=<v>/` directory
         # (version is the OUTERMOST partition level). This is what makes
         # concurrent save() calls safe: the Hadoop committer stages under
@@ -1073,6 +1082,54 @@ class DataFrameEngine:
             if repair:
                 self._write_manifest(manifest)
         return report
+
+    def repartition_dataset(
+        self, dataframe_name: str, new_columns_keys: Dict[str, str]
+    ) -> Dict[str, Any]:
+        """Partition-layout EVOLUTION: rewrite the dataset under a new
+        Date/ID key layout. ``save`` refuses a conflicting layout on
+        append (a mixed tree would corrupt pruning); this is the explicit
+        migration path — every version's rows re-derive their ``__p_*``
+        columns under the new keys in one rewrite, version labels and
+        history intact, and the manifest swaps atomically (compact()'s
+        crash contract: the old tree is removed only after the manifest
+        points at the new one)."""
+        for col, key_type in new_columns_keys.items():
+            if key_type not in KEY_TYPES:
+                raise ValueError(f"key type for {col!r} must be one of {KEY_TYPES}")
+        ds = self._dataset_entry(dataframe_name)
+        old_path = ds["path"]
+        df = self.load(dataframe_name, drop_internal=False)
+        missing = [c for c in new_columns_keys if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in dataset schema")
+        old_pcols = [f"__p_{c}" for c in ds["columns_keys"]]
+        out, new_pcols = self._derive_partition_cols(
+            df.drop(*old_pcols), new_columns_keys
+        )
+        partition_cols = [VERSION_COL] + new_pcols
+        new_path = old_path.rstrip("/") + f".repart.{uuid.uuid4().hex[:8]}"
+        (
+            out.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 100_000)
+            .partitionBy(*partition_cols)
+            .parquet(new_path)
+        )
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            entry = manifest["datasets"].get(dataframe_name)
+            if entry is None:
+                raise DatasetNotFound(dataframe_name)
+            entry["path"] = new_path
+            entry["columns_keys"] = dict(new_columns_keys)
+            self._write_manifest(manifest)
+        shutil.rmtree(old_path, ignore_errors=True)
+        return {
+            "dataframe_name": dataframe_name,
+            "path": new_path,
+            "columns_keys": dict(new_columns_keys),
+        }
 
     def restore(
         self, dataframe_name: str, external_key: str, new_key: str = "NOW"

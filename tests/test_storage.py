@@ -1172,3 +1172,37 @@ def test_scd2_hash_canonicalizes_maps_and_negative_zero(spark, tmp_path):
     hist = eng.scd2_history("dim", ["k"]).collect()
     assert len(hist) == 1, hist  # one unbroken run, no spurious state change
     assert hist[0].valid_from == "t1" and hist[0].valid_to is None
+
+
+def test_repartition_dataset_changes_layout_and_keeps_versions(spark, tmp_path):
+    """Partition evolution: an unpartitioned dataset rewrites under an ID
+    layout — appends under the new keys work, version pinning still
+    prunes, row content is unchanged, and the old tree is gone."""
+    import os
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"), id_bucket_width=10)
+    df = spark.range(30).selectExpr("id AS uid", "id * 2 AS v")
+    eng.save(df, "evo", external_key="v1")
+    eng.save(df.limit(5), "evo", external_key="v2")
+    old_path = eng._dataset_entry("evo")["path"]
+
+    report = eng.repartition_dataset("evo", {"uid": "ID"})
+    assert report["columns_keys"] == {"uid": "ID"}
+    assert not os.path.isdir(old_path)
+    new_path = eng._dataset_entry("evo")["path"]
+    assert any(d.startswith("__p_uid=") for d in os.listdir(
+        os.path.join(new_path, "__version=v1")))
+    # history + content intact
+    assert eng.load("evo").count() == 35
+    assert eng.load("evo", external_key="v2").count() == 5
+    assert {r.v for r in eng.load("evo", external_key="v1").collect()} == {
+        i * 2 for i in range(30)
+    }
+    # appends now inherit the NEW layout without restating it
+    eng.save(spark.range(3).selectExpr("id + 100 AS uid", "id AS v"), "evo")
+    assert eng.load("evo").count() == 38
+    # a conflicting explicit layout still errors
+    with pytest.raises(ValueError, match="created with partition keys"):
+        eng.save(df, "evo", columns_keys={"v": "ID"})
