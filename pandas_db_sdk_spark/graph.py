@@ -52,7 +52,17 @@ def pagerank(
     e = e.distinct().localCheckpoint(eager=True)
 
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
-    nodes = deg.select(F.col("s").alias("id")).localCheckpoint(eager=True)
+    # every endpoint is a node: in the directed case pure SINKS have no
+    # out-edge (no deg row) but still accumulate rank; deriving nodes
+    # from deg alone would silently drop them. (Directed dangling mass is
+    # NOT redistributed — sinks absorb it; the undirected default has no
+    # dangling nodes, so its recurrence is the exact textbook one.)
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .union(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = nodes.count()
 
     # init rounds like every iteration does — the oracle replays the

@@ -358,3 +358,15 @@ def test_frequent_substrings_shuffles_hashes_not_strings(spark):
     rows = out.collect()
     assert 0 < len(rows) <= 5
     assert all(len(r.gram) == 20 and r.n >= 4 for r in rows)
+
+
+def test_pagerank_directed_keeps_sink_nodes(spark):
+    """Directed mode: a pure sink (in-edges only) must still receive rank
+    — chain 1→2→3: node 3 has no out-edge but the most incoming mass
+    among non-sources."""
+    from pandas_db_sdk_spark import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    ranks = {r.id: r.rank for r in graph.pagerank(edges, iterations=3, directed=True).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[3] > ranks[1]  # sink accumulates, source only seeds
