@@ -2695,3 +2695,33 @@ def d66b(spark, sf_dir):
         ],
         "rule string, val long",
     )
+
+
+@q(
+    "d77_hierarchy_depth",
+    """SELECT doc_id, CAST(floor(log2(doc_id + 1)) AS INT) AS depth
+       FROM documents""",
+)
+def d77(spark, sf_dir):
+    """D-ext (r5): transitive-closure depth over a parent hierarchy —
+    the org-chart/category-tree/thread-ancestry primitive, via POINTER
+    DOUBLING (`graph.hierarchy_depth`: reachable distance doubles per
+    self-join round, so a depth-10⁶ chain needs ~20 rounds — never a
+    per-level loop). The fixture hierarchy is the binary-heap forest
+    parent(i) = floor((i-1)/2), whose depth has the closed form
+    floor(log2(i+1)) — so the oracle checks a genuinely iterative
+    distributed computation against pure arithmetic."""
+    from .. import graph
+
+    d = tables(spark, sf_dir)("documents").select("doc_id")
+    parents = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("doc_id") > 0,
+            F.floor((F.col("doc_id") - 1) / 2).cast("long"),
+        ).alias("parent"),
+    )
+    out = graph.hierarchy_depth(parents)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("depth").cast("int").alias("depth")
+    )

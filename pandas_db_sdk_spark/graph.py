@@ -137,3 +137,60 @@ def rare_token_edges(
         .select("p.*")
         .distinct()
     )
+
+
+def hierarchy_depth(
+    parents: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Depth of every node in a forest given (id, parent) edges — parent
+    NULL marks a root (depth 0). The transitive-closure sibling of
+    ``dedup.connected_components``, via POINTER DOUBLING: each round every
+    node's known ancestor jumps to THAT ancestor's known ancestor and the
+    step counts add, so reachable distance doubles per round — a depth-10⁶
+    chain resolves in ~20 rounds, each ONE self-join of the node-sized
+    state table (never a per-level corpus join). localCheckpoint per round
+    keeps lineage O(1); exceeding ``max_iter`` raises (a cycle — depth is
+    undefined — or a tree deeper than 2^40) rather than returning wrong
+    depths.
+    """
+    roots = parents.filter(F.col(parent_col).isNull()).select(
+        F.col(id_col).alias("id"), F.lit(0).alias("depth")
+    )
+    state = (
+        parents.filter(F.col(parent_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        t = state.select(
+            F.col("id").alias("t_id"),
+            F.col("anc").alias("t_anc"),
+            F.col("d").alias("t_d"),
+        )
+        jumped = (
+            state.join(t, state.anc == t.t_id, "left")
+            .select(
+                "id",
+                F.coalesce("t_anc", "anc").alias("anc"),
+                (F.col("d") + F.coalesce("t_d", F.lit(0))).alias("d"),
+                F.col("t_id").isNotNull().alias("__moved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = jumped.filter(F.col("__moved")).limit(1).count()
+        state = jumped.drop("__moved")
+        if not moved:
+            break
+    else:
+        raise RuntimeError(
+            f"hierarchy_depth did not converge in {max_iter} doubling rounds "
+            "— cycle in the parent edges, or depth > 2^max_iter"
+        )
+    return roots.union(state.select("id", F.col("d").alias("depth")))

@@ -370,3 +370,27 @@ def test_pagerank_directed_keeps_sink_nodes(spark):
     ranks = {r.id: r.rank for r in graph.pagerank(edges, iterations=3, directed=True).collect()}
     assert set(ranks) == {1, 2, 3}
     assert ranks[3] > ranks[1]  # sink accumulates, source only seeds
+
+
+def test_hierarchy_depth_chain_forest_and_cycle(spark):
+    """Pointer doubling: a 500-deep chain resolves exactly (in ≤ ~10
+    doubling rounds, not 500 hops), a multi-root forest keeps each tree's
+    depths independent, and a cycle raises instead of mislabeling."""
+    from pandas_db_sdk_spark import graph
+
+    chain = spark.createDataFrame(
+        [(0, None)] + [(i, i - 1) for i in range(1, 500)], "id long, parent long"
+    )
+    got = {r.id: r.depth for r in graph.hierarchy_depth(chain).collect()}
+    assert got == {i: i for i in range(500)}
+
+    forest = spark.createDataFrame(
+        [(10, None), (11, 10), (20, None), (21, 20), (22, 21)],
+        "id long, parent long",
+    )
+    got = {r.id: r.depth for r in graph.hierarchy_depth(forest).collect()}
+    assert got == {10: 0, 11: 1, 20: 0, 21: 1, 22: 2}
+
+    cycle = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.hierarchy_depth(cycle, max_iter=8)
