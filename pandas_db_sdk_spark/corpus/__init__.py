@@ -212,7 +212,7 @@ _R05_NEW = frozenset(
     d71_ccnet_perplexity_buckets d72_minhash_band_tuning
     d73_token_budget_pack d74_embedding_standardize
     d75_idf_rarity_score d76_near_dup_clusters_simhash
-    d66b_mmr_guarantees d77_hierarchy_depth""".split()
+    d66b_mmr_guarantees d77_hierarchy_depth x33_overlapping_shipments""".split()
 )
 
 

@@ -1543,3 +1543,58 @@ def x32(spark, sf_dir):
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "n_shipments", "avg_lead_days", "min_lead_days", "max_lead_days")
     )
+
+
+@q(
+    "x33_overlapping_shipments",
+    """WITH iv AS (
+         SELECT DISTINCT l_suppkey, l_orderkey, l_linenumber,
+                date_diff('day', DATE '1970-01-01', l_shipdate) AS ship_d,
+                date_diff('day', DATE '1970-01-01', l_shipdate)
+                  + 10 + l_partkey % 20 AS receipt_d
+         FROM lineitem)
+       SELECT s.s_name,
+              CAST(count(DISTINCT (a.l_orderkey, a.l_linenumber, a.ship_d, a.receipt_d))
+                   AS BIGINT) AS n_intervals,
+              CAST(count(*) FILTER (WHERE a.ship_d <= b.receipt_d
+                                      AND b.ship_d <= a.receipt_d
+                                      AND (a.l_orderkey, a.l_linenumber, a.ship_d, a.receipt_d)
+                                          < (b.l_orderkey, b.l_linenumber, b.ship_d, b.receipt_d))
+                   AS BIGINT) AS n_overlapping_pairs
+       FROM iv a JOIN iv b ON a.l_suppkey = b.l_suppkey
+       JOIN supplier s ON a.l_suppkey = s.s_suppkey
+       GROUP BY s.s_name""",
+)
+def x33(spark, sf_dir):
+    """Composite (r5): shipment-concurrency report — per supplier, how
+    many pairs of its lineitems were in transit simultaneously (closed
+    [ship day, ship day + deterministic transit] overlap — the fixture
+    carries no receiptdate, so transit = 10 + partkey %% 20 days derives
+    one engine-independently). SWEEP-LINE, not a pair join: the
+    oracle performs the O(n²) per-supplier self-join; the engine counts
+    the identical pairs with one supplier-keyed event window (+1 at ship,
+    −1 after receipt — every start sees the already-active count) — one
+    exchange, no pair ever materialized, O(n log n) per supplier at any
+    scale."""
+    from .. import timeseries
+
+    t = tables(spark, sf_dir)
+    ship_d = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).cast("long")
+    # DISTINCT interval tuples: the fixture's (orderkey, linenumber) is
+    # NOT unique per supplier, and duplicate tuples would make the
+    # oracle's strict-< pair identity undefined — both engines count
+    # pairs of distinct (id, interval) rows
+    li = t("lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        ship_d.alias("ship_d"),
+        (ship_d + 10 + F.col("l_partkey") % 20).alias("receipt_d"),
+    ).distinct()
+    out = timeseries.overlapping_interval_pairs(
+        li, "l_suppkey", "ship_d", "receipt_d",
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+    return (
+        out.join(F.broadcast(t("supplier").select("s_suppkey", "s_name")),
+                 out.l_suppkey == F.col("s_suppkey"))
+        .select("s_name", "n_intervals", "n_overlapping_pairs")
+    )

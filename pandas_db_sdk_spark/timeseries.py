@@ -242,3 +242,58 @@ def rolling_zscore(
     return df.withColumn("n_prev", n).withColumn("z", z).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False))
     )
+
+
+def overlapping_interval_pairs(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+    id_cols: list | None = None,
+) -> DataFrame:
+    """Per group, the COUNT of interval pairs that overlap (closed
+    intervals: touching endpoints overlap) — concurrency analysis
+    (simultaneous shipments/sessions/jobs) without materializing a single
+    pair: the SWEEP-LINE formulation. Each interval contributes a +1
+    event at its start and a -1 after its end; walking events in time
+    order, every start sees ``running-1`` already-active intervals — the
+    pairs it completes — and the per-group total is one SUM.
+
+    One group-keyed window + the same-keyed aggregate = one exchange, and
+    the work is O(n log n) per group vs the O(n²) pair join the naive
+    form (and the single-node oracle) performs. Ties: starts sort before
+    ends at the same timestamp (closed-interval touching counts), and the
+    pair total is invariant to the order among equal starts.
+    """
+    from pyspark.sql import Window as W
+
+    id_cols = id_cols or []
+    starts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(start_col).alias("t"),
+        F.lit(0).alias("typ"),
+        F.lit(1).alias("delta"),
+        *[F.col(c) for c in id_cols],
+    )
+    ends = df.select(
+        F.col(group_col).alias("g"),
+        F.col(end_col).alias("t"),
+        F.lit(1).alias("typ"),
+        F.lit(-1).alias("delta"),
+        *[F.col(c) for c in id_cols],
+    )
+    events = starts.union(ends)
+    w = (
+        W.partitionBy("g")
+        .orderBy("t", "typ", *id_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    swept = events.withColumn("running", F.sum("delta").over(w))
+    return (
+        swept.filter(F.col("typ") == 0)
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("running") - 1).alias("n_overlapping_pairs"),
+        )
+    )

@@ -173,3 +173,31 @@ def test_ema_batch_matches_pandas_ewm(spark):
         index=pdf["event_id"].values,
     )
     assert (got - want).abs().max() < 1e-9
+
+
+def test_overlapping_interval_pairs_matches_bruteforce(spark):
+    """Sweep-line pair count == the O(n²) definition on a hand-checkable
+    frame: closed intervals, touching endpoints overlap, groups
+    independent."""
+    from itertools import combinations
+
+    from pandas_db_sdk_spark.timeseries import overlapping_interval_pairs
+
+    rows = [
+        ("g1", 1, 0, 5), ("g1", 2, 5, 9), ("g1", 3, 6, 7), ("g1", 4, 20, 21),
+        ("g2", 5, 0, 0), ("g2", 6, 0, 0),  # identical degenerate intervals
+        ("g3", 7, 1, 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, s long, e long")
+    got = {
+        r.g: (r.n_intervals, r.n_overlapping_pairs)
+        for r in overlapping_interval_pairs(df, "g", "s", "e", ["i"]).collect()
+    }
+    want = {}
+    for g in ("g1", "g2", "g3"):
+        iv = [(s, e) for gg, _i, s, e in rows if gg == g]
+        n = sum(1 for (a, b) in combinations(iv, 2) if a[0] <= b[1] and b[0] <= a[1])
+        want[g] = (len(iv), n)
+    assert got == want
+    assert got["g1"] == (4, 2)  # [0,5]~[5,9] touch; [5,9]~[6,7] nest
+    assert got["g2"] == (2, 1)
