@@ -133,3 +133,24 @@ def test_per_user_isolation(spark, tmp_path):
     for root, dirs, files in os.walk(wh):
         for name in dirs + files:
             assert "alice-token" not in name and "bob-token" not in name
+
+
+def test_example_scripts_run(spark):
+    """The examples/ scripts are living documentation — they must keep
+    running against the test corpus (subprocess-free: import and call)."""
+    import importlib.util
+    import os
+    import sys
+    import tempfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, args in (
+        ("corpus_pipeline", ("/root/testdata/sf0.001", tempfile.mkdtemp())),
+        ("ann_serving", ("/root/testdata/sf0.001", tempfile.mkdtemp() + "/ix")),
+    ):
+        path = os.path.join(root, "examples", f"{name}.py")
+        spec = importlib.util.spec_from_file_location(f"examples_{name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+        mod.main(*args)
