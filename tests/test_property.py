@@ -420,3 +420,71 @@ def test_heavy_hitters_equals_groupby_random_distributions(spark, data, frac):
         .collect()
     }
     assert got == want
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(min_value=0, max_value=20),   # start
+        st.integers(min_value=0, max_value=10),   # extent (end = start + extent)
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(INTERVALS)
+@SETTINGS
+def test_sweepline_overlap_count_matches_bruteforce(spark, rows):
+    """overlapping_interval_pairs == the O(n²) closed-interval definition
+    on random interval sets (duplicates, touching endpoints, nesting)."""
+    from itertools import combinations
+
+    from pandas_db_sdk_spark.timeseries import overlapping_interval_pairs
+
+    data = [(g, i, s, s + ext) for i, (g, s, ext) in enumerate(rows)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "g string, i long, s long, e long")
+    got = {
+        r.g: (r.n_intervals, r.n_overlapping_pairs)
+        for r in overlapping_interval_pairs(df, "g", "s", "e", ["i"]).collect()
+    }
+    for g in {d[0] for d in data}:
+        iv = [(s, e) for gg, _i, s, e in data if gg == g]
+        want = sum(
+            1 for a, b in combinations(iv, 2) if a[0] <= b[1] and b[0] <= a[1]
+        )
+        assert got[g] == (len(iv), want), (g, iv)
+
+
+PARENT_FORESTS = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=1, max_size=24
+)
+
+
+@given(PARENT_FORESTS)
+@SETTINGS
+def test_hierarchy_depth_matches_sequential_walk(spark, raw):
+    """hierarchy_depth == a driver-side parent walk on random forests:
+    node i's parent is drawn from {already-created nodes} ∪ {root} so the
+    structure is acyclic by construction."""
+    from pandas_db_sdk_spark import graph
+
+    rows = []
+    parent_of = {}
+    for i, draw in enumerate(raw):
+        parent = None if (i == 0 or draw % (i + 1) == i) else draw % i
+        rows.append((i, parent))
+        parent_of[i] = parent
+    df = spark.createDataFrame(rows, "id long, parent long")
+    got = {r.id: r.depth for r in graph.hierarchy_depth(df).collect()}
+
+    def walk(i):
+        d = 0
+        while parent_of[i] is not None:
+            i = parent_of[i]
+            d += 1
+        return d
+
+    assert got == {i: walk(i) for i, _ in rows}
