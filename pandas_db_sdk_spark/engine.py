@@ -267,12 +267,30 @@ class DataFrameEngine:
         # column itself is never stored in files; partition discovery
         # derives it from the dir name (schema pinned by _full_schema).
         version_dir = os.path.join(path, f"{VERSION_COL}={version}")
+        write_dir = version_dir
         if overwrite_version:
-            # Remove any files a previous (possibly crashed) attempt left
-            # under this version label, so the rewrite below is the ONLY
-            # copy — replay-idempotent regardless of where the first
-            # attempt died.
-            shutil.rmtree(version_dir, ignore_errors=True)
+            committed_label = existing is not None and version in {
+                str(v) for v in existing["versions"]
+            }
+            if committed_label:
+                # The label is ALREADY COMMITTED — readers can see its
+                # files right now. Deleting them before the rewrite (and
+                # before the expectations gate) would mean a failed save
+                # destroys committed data while the manifest still lists
+                # the version. Stage the rewrite into a dot-prefixed
+                # sibling (hidden from Spark partition discovery and from
+                # _versions_on_disk) and swap in only after the write AND
+                # the expectations gate succeed; on abort the staged tree
+                # is dropped and the committed tree is untouched.
+                write_dir = os.path.join(
+                    path, f".__stage-{VERSION_COL}={version}-{uuid.uuid4().hex[:12]}"
+                )
+            else:
+                # Uncommitted label (a crashed prior attempt's orphan, or
+                # the NOW-path's freshly reserved empty dir): readers never
+                # saw it, so clearing in place is safe and keeps the
+                # replay-idempotent contract.
+                shutil.rmtree(version_dir, ignore_errors=True)
         # persistent dataset constraints (set_constraints) gate every
         # append; per-call expectations add to them (same name: the call's
         # rule wins for this save only)
@@ -291,19 +309,35 @@ class DataFrameEngine:
             out.write.mode("append")
             .option("maxRecordsPerFile", 100_000)  # chunking analogue, README.md:21
             .partitionBy(*partition_cols)
-            .parquet(version_dir)
+            .parquet(write_dir)
         )
         if results is not None:
             failing = {k: v for k, v in results().items() if v}
             if failing:
                 # abort BEFORE the manifest commit: readers never saw the
-                # staged files, so deleting them is the same cleanup fsck
-                # would do for any crashed write
-                shutil.rmtree(version_dir, ignore_errors=True)
+                # staged files (an uncommitted version dir, or the hidden
+                # stage dir of a committed-label overwrite — whose old
+                # tree stays intact), so deleting them is the same
+                # cleanup fsck would do for any crashed write
+                shutil.rmtree(write_dir, ignore_errors=True)
                 raise DataQualityError(
                     "save aborted, expectations violated: "
                     + ", ".join(f"{k} ({v} rows)" for k, v in sorted(failing.items()))
                 )
+        if write_dir is not version_dir:
+            # Committed-label overwrite passed all gates: swap the staged
+            # tree in. os.rename cannot replace a non-empty dir, so the
+            # old tree steps aside first — the not-found window between
+            # the two renames is microseconds (vs. the full rewrite
+            # duration the old rmtree-first path exposed), and a crash
+            # inside it leaves the old tree recoverable under a hidden
+            # name that fsck-class cleanup can reap.
+            retired = os.path.join(
+                path, f".__retired-{VERSION_COL}={version}-{uuid.uuid4().hex[:12]}"
+            )
+            os.rename(version_dir, retired)
+            os.rename(write_dir, version_dir)
+            shutil.rmtree(retired, ignore_errors=True)
 
         # Provenance (bounded): where this version came from — the source
         # files feeding the plan (metadata-only; empty for synthesized
@@ -1041,14 +1075,28 @@ class DataFrameEngine:
                 committed = {str(v) for v in ds["versions"]}
                 on_disk = self._versions_on_disk(ds["path"])
                 orphans = sorted(on_disk - committed)
+                # Hidden scratch trees from crashed committed-label
+                # overwrites (save stages into `.__stage-*`, swaps via
+                # `.__retired-*`): invisible to readers, reaped with the
+                # same age guard as orphan versions.
+                try:
+                    stage_dirs = sorted(
+                        n
+                        for n in os.listdir(ds["path"])
+                        if n.startswith((".__stage-", ".__retired-"))
+                    )
+                except OSError:
+                    stage_dirs = []
                 missing = sorted(committed - on_disk)
                 stale_prov = sorted(
                     k for k in ds.get("provenance", {}) if k not in committed
                 )
                 repaired_versions = []
                 if repair:
-                    for v in orphans:
-                        d = os.path.join(ds["path"], f"{VERSION_COL}={v}")
+                    for v, d in [
+                        (v, os.path.join(ds["path"], f"{VERSION_COL}={v}"))
+                        for v in orphans
+                    ] + [(n, os.path.join(ds["path"], n)) for n in stage_dirs]:
                         try:
                             # max mtime across the TREE, not the top dir:
                             # a live save writing into nested __p_*
@@ -1077,6 +1125,7 @@ class DataFrameEngine:
                     "orphan_versions": orphans,
                     "missing_versions": missing,
                     "stale_provenance": stale_prov,
+                    "stale_staging": stage_dirs,
                     "repaired": repaired_versions if repair else False,
                 }
             if repair:

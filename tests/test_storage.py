@@ -1206,3 +1206,68 @@ def test_repartition_dataset_changes_layout_and_keeps_versions(spark, tmp_path):
     # a conflicting explicit layout still errors
     with pytest.raises(ValueError, match="created with partition keys"):
         eng.save(df, "evo", columns_keys={"v": "ID"})
+
+
+def test_overwrite_failed_expectations_keeps_committed_version(spark, tmp_path):
+    """ADVICE r5 (medium): overwrite_version=True on an ALREADY-COMMITTED
+    label must stage the rewrite aside — a failing expectations gate (or
+    any abort) leaves the committed tree byte-identical and readable, so
+    'a failed save is invisible to readers' holds for overwrites too."""
+    import os
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine, DataQualityError
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    good = spark.range(10).selectExpr("id", "id * 2 AS v")
+    eng.save(good, "ow", external_key="epoch_0")
+    bad = spark.range(4).selectExpr("id", "CAST(NULL AS BIGINT) AS v")
+    with pytest.raises(DataQualityError, match="v_not_null"):
+        eng.save(
+            bad,
+            "ow",
+            external_key="epoch_0",
+            overwrite_version=True,
+            expectations={"v_not_null": "v IS NOT NULL"},
+        )
+    # the committed version survived the aborted overwrite, values intact
+    got = eng.load("ow")
+    assert got.count() == 10
+    assert got.agg({"v": "sum"}).collect()[0][0] == 90
+    # no hidden stage/retired debris left behind
+    ds_path = eng._dataset_entry("ow")["path"]
+    assert [n for n in os.listdir(ds_path) if n.startswith(".__")] == []
+    # a clean retry of the overwrite still replaces the version
+    eng.save(
+        spark.range(3).selectExpr("id", "id AS v"),
+        "ow",
+        external_key="epoch_0",
+        overwrite_version=True,
+        expectations={"v_not_null": "v IS NOT NULL"},
+    )
+    assert eng.load("ow").count() == 3
+
+
+def test_fsck_reaps_stale_staging_dirs(spark, tmp_path):
+    """A crash mid-overwrite can leave hidden .__stage-/.__retired- trees;
+    fsck reports them and repair reaps them under the same age guard as
+    orphan versions (young trees are kept — they may be a live writer)."""
+    import os
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(spark.range(5), "stg", external_key="v1")
+    ds_path = eng._dataset_entry("stg")["path"]
+    fake = os.path.join(ds_path, ".__stage-__version=v1-deadbeef0000")
+    os.makedirs(fake)
+    with open(os.path.join(fake, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    rep = eng.fsck("stg")["stg"]
+    assert rep["stale_staging"] == [".__stage-__version=v1-deadbeef0000"]
+    # too young to reap
+    rep = eng.fsck("stg", repair=True, min_age_seconds=3600)["stg"]
+    assert os.path.isdir(fake)
+    # old enough
+    rep = eng.fsck("stg", repair=True, min_age_seconds=0.0)["stg"]
+    assert not os.path.isdir(fake)
+    assert eng.load("stg").count() == 5
