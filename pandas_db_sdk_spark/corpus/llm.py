@@ -2231,7 +2231,7 @@ def d62(spark, sf_dir):
     "d63_soft_dedup_weights",
     """SELECT doc_id, source,
               CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
-              1.0 / count(*) OVER (PARTITION BY text) AS weight
+              round(CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text), 6) AS weight
        FROM documents""",
 )
 def d63(spark, sf_dir):

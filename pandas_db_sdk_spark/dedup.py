@@ -716,10 +716,14 @@ def soft_dedup_weights(
     itself): the cluster size is a COUNT window over the hash. At 100 TB
     this is the d01 plan shape exactly — map-side projection to hashes,
     one hash-partitioned window, no join back.
+
+    ``weight`` rounds to 6 dp (ADVICE r5): pins one representation for
+    non-terminating cluster reciprocals (1/3, 1/7, …) so IEEE-double
+    engines and DECIMAL-division engines agree on the stored value.
     """
     w = Window.partitionBy(F.sha2(F.col(text_col), 256))
     return df.withColumn("dup_count", F.count("*").over(w)).withColumn(
-        "weight", F.lit(1.0) / F.col("dup_count")
+        "weight", F.round(F.lit(1.0) / F.col("dup_count"), 6)
     )
 
 

@@ -1222,7 +1222,18 @@ def mmr_select(
     reach the driver, where the greedy loop runs on a (C × dim) numpy
     matrix. Ties break on neighbor id; scores round to 6 dp first so the
     selection is float-order-independent.
+
+    SINGLE-QUERY contract (ADVICE r5): the candidate pool, relevance
+    scores, and the k-distinct guarantee are all keyed to ONE query
+    vector — pooling several queries' candidates into one greedy pass
+    would mix their relevances and could pick the same neighbor twice.
+    A multi-row ``query`` frame raises; run once per query id.
     """
+    if query.limit(2).count() > 1:
+        raise ValueError(
+            "mmr_select takes a single-row query frame (the greedy pool and "
+            "relevance scores are per-query); call once per query id"
+        )
     cand = cosine_topk_bruteforce(
         query, corpus, query_id, corpus_id, vec_col, k=n_candidates
     )
@@ -1265,9 +1276,12 @@ def compact_ivf_pq_index(spark, path: str) -> dict:
     (``stream_into_ann_index``): micro-batch appends fragment each cell
     directory (one file per batch per cell) and a replayed batch can leave
     duplicate (id, codes) rows. Rewrite the tree to one file per cell with
-    the LAST codes row per neighbor kept (re-encoded vectors supersede —
-    deterministic because codes are a pure function of the frozen
-    quantizers, so true replays are byte-identical and "last" is safe).
+    the NEWEST codes row per neighbor kept — recency comes from the
+    ``_metadata`` file columns (modification time, then path, descending),
+    so a re-appended vector's latest encode wins deterministically
+    (ADVICE r5: ``orderBy(lit(1))`` kept an arbitrary row). True replays
+    are byte-identical either way (codes are a pure function of the
+    frozen quantizers), so any order is safe for them.
 
     Same atomic-swap contract as ``engine.compact``: the rewrite lands in
     a sibling temp dir and replaces the old tree only after success, so a
@@ -1289,11 +1303,18 @@ def compact_ivf_pq_index(spark, path: str) -> dict:
     before_files = _stats(path)
     idx = read_ivf_pq_index(spark, path)
     before_rows = idx.count()
-    w = W.partitionBy("neighbor_id").orderBy(F.lit(1))
+    stamped = idx.select(
+        "*",
+        F.col("_metadata.file_modification_time").alias("__mtime"),
+        F.col("_metadata.file_path").alias("__fpath"),
+    )
+    w = W.partitionBy("neighbor_id").orderBy(
+        F.col("__mtime").desc(), F.col("__fpath").desc()
+    )
     deduped = (
-        idx.withColumn("__rn", F.row_number().over(w))
+        stamped.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__mtime", "__fpath")
     )
     tmp = f"{path}.compact.{uuid.uuid4().hex}"
     (

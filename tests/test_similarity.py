@@ -526,3 +526,54 @@ def test_compact_ivf_pq_index_dedupes_and_preserves_retrieval(spark, emb, tmp_pa
         queries, cent, books, read_ivf_pq_index(spark, path), "vec_id", k=3, n_probes=4
     ).collect()}
     assert after == clean
+
+
+def test_mmr_select_rejects_multi_row_query(spark):
+    """ADVICE r5: a multi-row query frame would pool candidates across
+    queries into one greedy pass (mixed relevances, possible duplicate
+    picks) — the single-query contract is enforced, not silently wrong."""
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    c = spark.createDataFrame([(1, [0.9, 0.1])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="single-row query"):
+        similarity.mmr_select(q, c, "vec_id", "vec_id", "embedding", k=1)
+
+
+def test_compact_ivf_pq_index_keeps_newest_codes_row(spark, tmp_path):
+    """ADVICE r5: compaction keeps the NEWEST codes row per neighbor (file
+    mtime recency), so a non-replay re-encode supersedes instead of an
+    arbitrary survivor."""
+    import os
+    import time
+
+    old = spark.createDataFrame(
+        [(7, bytearray(b"\x01\x01"), 3)], "neighbor_id long, codes binary, cid int"
+    )
+    new = spark.createDataFrame(
+        [(7, bytearray(b"\x02\x02"), 3)], "neighbor_id long, codes binary, cid int"
+    )
+    path = str(tmp_path / "ann")
+    old.write.partitionBy("cid").parquet(path)
+    new.write.partitionBy("cid").mode("append").parquet(path)
+    # pin recency regardless of write latency granularity
+    now = time.time()
+    files = sorted(
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(path)
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    # the append's file is the lexicographically-later part file only by
+    # accident; identify it by content instead and bump its mtime
+    import pyarrow.parquet as pq
+
+    for f in files:
+        is_new = bytes(pq.read_table(f).column("codes")[0].as_py()) == b"\x02\x02"
+        os.utime(f, (now, now + (60 if is_new else -60)))
+    from pandas_db_sdk_spark.similarity import compact_ivf_pq_index, read_ivf_pq_index
+
+    report = compact_ivf_pq_index(spark, path)
+    assert report["rows_after"] == 1
+    got = read_ivf_pq_index(spark, path).collect()
+    assert bytes(got[0]["codes"]) == b"\x02\x02"
