@@ -22,6 +22,28 @@ SF_ORACLE = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
+# Queries ALLOWED to return zero rows, per fixture scale. Everything else
+# must produce data: a 0-row frame that hash-matches a 0-row oracle is a
+# vacuous certification (the c18/c28d lesson — both rode four rounds green
+# on empty results because the fixture happened to produce none). Add an
+# entry ONLY with a comment proving emptiness is the correct answer at
+# that scale. The certification scale (sf0.01, the driver's) allows NO
+# empties; sf0.001 is the fast-iteration smoke fixture, where two highly
+# selective queries legitimately bottom out:
+#   c47b_except — customers-minus-recent-buyers set difference: at
+#     sf0.001 every one of the ~150 customers with orders has a
+#     qualifying recent order, so the difference is empty (verified
+#     against the DuckDB oracle, which is also empty).
+#   x19_part_promotion_suppliers — TPC-H Q20-shape (promo parts ×
+#     half-year shipped-quantity threshold): the sf0.001 lineitem slice
+#     has no supplier clearing the 50%-of-shipped threshold.
+EMPTY_OK_BY_SCALE = {
+    "sf0.001": frozenset({"c47b_except", "x19_part_promotion_suppliers"}),
+}
+EMPTY_OK: frozenset = EMPTY_OK_BY_SCALE.get(
+    os.path.basename(SF_ORACLE.rstrip("/")), frozenset()
+)
+
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Order-insensitive canonical form: columns sorted by name, every value
@@ -52,6 +74,11 @@ def test_oracle_match(name, spark, duck):
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
     )
+    if name not in EMPTY_OK:
+        assert len(spark_pdf) > 0, (
+            f"{name}: empty result — a 0-row hash match certifies nothing "
+            f"(add to EMPTY_OK only if emptiness is provably correct)"
+        )
     assert sorted(map(str.lower, spark_pdf.columns)) == sorted(
         map(str.lower, oracle_pdf.columns)
     ), f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
@@ -72,4 +99,6 @@ def test_oracle_match(name, spark, duck):
 def test_rows_only(name, spark):
     df = QUERIES[name](spark, SF_ORACLE)
     assert len(df.columns) > 0
-    assert df.count() >= 0  # executes without error; content checked in op tests
+    n = df.count()
+    if name not in EMPTY_OK:
+        assert n > 0, f"{name}: rows-only query produced an empty frame"
