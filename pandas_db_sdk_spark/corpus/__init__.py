@@ -216,6 +216,40 @@ _R05_NEW = frozenset(
 )
 
 
+# Names driver-checked in CORRECTNESS_r05.json (round-5 window: the 48-query
+# backlog — _R04_NEW leftovers + _R04B_NEW — plus the c18/c28d stale-row
+# rechecks).  They ride the tail so the round-6 window certifies the 25-row
+# backlog (_R05_RECHECK's d68/d69 + _R05_NEW) first — VERDICT round-5
+# item #1: done = 269/269 driver-certified.
+_R05_VERIFIED = frozenset(
+    """c70_profile_table c71_skew_report c73_group_regression c74_corr_matrix
+    c75_weighted_median c76_crosstab_margins c77_qcut c72_rolling_anomaly
+    d33_token_truncate d34_length_buckets d35_dup_rate_by_source
+    d36_centroid_outliers d37_intra_label_cosine d38_hard_negatives
+    d39_gram_doc_frequency d40_dedup_keep_longest d02e_lsh_guarantees
+    d03h_ann_self_retrieval d18b_pipeline_invariants d41_chunk_documents
+    d42_source_quota_sample d43_train_split d44_pii_redact
+    d45_importance_weight d46_bigram_perplexity d47_split_leakage_scrub
+    d48_media_headers d49_bloom_prune_join d50_heavy_hitters
+    d51_vocab_growth d52_weighted_sample d53_edit_distance_pairs
+    d54_normalized_dedup d55_corpus_novelty d56_template_prefixes
+    d57_waterfill_quota d58_zipf_fit d59_dup_cluster_sizes
+    d60_snapshot_drift d61_stratified_weighted_sample
+    d31b_semantic_dedup_guarantees d62_curriculum_order x25_order_gap
+    x26_revenue_concentration x27_event_paths x28_brand_revenue_trend
+    x29_customer_rfm x30_supplier_scorecard c18_anti_join
+    c28d_freq_items""".split()
+)
+
+
+# Queries ADDED in round 6 (never had a driver row).  They sort AFTER the
+# 25-row round-6 backlog (_R05_NEW + _R05_RECHECK) — VERDICT round-5 item
+# #1: "any round-6 additions go in a _R06_NEW set sorting after them".
+_R06_NEW = frozenset(
+    """d47b_leakage_scrub_guarantees d76b_simhash_cluster_guarantees""".split()
+)
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -240,18 +274,22 @@ def all_queries():
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-5 rotation (VERDICT round-4 item #1): the 48 queries with
-        # no driver row anywhere (the _R04_NEW leftovers + _R04B_NEW) sort
-        # FIRST; round-5 additions next; every driver-certified query
+        # Round-6 rotation (VERDICT round-5 item #1): the 25-row backlog —
+        # the d68/d69 stale-row rechecks + the round-5 additions — sorts
+        # FIRST; round-6 additions next; every driver-certified query
         # rides the tail, most recently certified last.
-        if name in _R05_RECHECK:
-            return 1  # stale driver row (semantics changed in r5)
+        if name in _R05_RECHECK and name not in _R05_VERIFIED:
+            return 0  # stale driver row (semantics changed in r5): d68/d69
+        if name in _R05_NEW:
+            return 1
+        if name in _R06_NEW:
+            return 2
+        if name in _R05_VERIFIED:
+            return 4
         if name in _R04_VERIFIED:
             return 5
         if name in _R04_NEW or name in _R04B_NEW:
-            return 0
-        if name in _R05_NEW:
-            return 2
+            return 4  # certified in r5 (safety net — all are in _R05_VERIFIED)
         if name in _R03_VERIFIED:
             return 6
         if name in _R02_VERIFIED:
@@ -260,7 +298,7 @@ def all_queries():
             return 8
         if name in _RECHECK or name in _R03_NEW:
             return 5  # certified in r4 (safety net — all are in _R04_VERIFIED)
-        return 3  # not in any set: newest, after the _R05_NEW snapshot
+        return 2  # not in any set: newest, after the _R05_NEW backlog
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}

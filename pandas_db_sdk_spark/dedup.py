@@ -536,6 +536,48 @@ def token_jaccard_consecutive(df: DataFrame, id_col: str, text_col: str) -> Data
     return j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
 
 
+def cross_jaccard_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-shingle Jaccard pairs BETWEEN two frames:
+    (id_a, id_b, jaccard) for every cross pair at or above the threshold.
+
+    Candidates come from a shingle-hash equi-join (a pair is considered iff
+    it shares >= 1 shingle — which J >= t > 0 guarantees), never a cartesian;
+    intersection sizes ride the join's aggregation and set sizes join back
+    from per-doc counts, so no shingle SET is ever shuffled. This is the
+    exact audit tier (decontamination verification, LSH-recall
+    certification): candidate volume is Σ_h freq_a(h)·freq_b(h), fine for
+    audit-sized frames; the scale path for full corpora remains
+    ``incremental_dedup_minhash``'s banded LSH.
+    """
+    ra = _shingle_hash_rows(df_a, id_col, text_col, shingle)
+    rb = _shingle_hash_rows(df_b, id_col, text_col, shingle)
+    na = ra.groupBy("__id").agg(F.count("*").alias("__na")).withColumnRenamed("__id", "id_a")
+    nb = rb.groupBy("__id").agg(F.count("*").alias("__nb")).withColumnRenamed("__id", "id_b")
+    inter = (
+        ra.withColumnRenamed("__id", "id_a")
+        .join(rb.withColumnRenamed("__id", "id_b"), "__h")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__ni"))
+    )
+    j = F.col("__ni").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__ni")
+    ).cast("double")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ------------------------------------------------------------ incremental
 
 def incremental_exact_dedup(new_df: DataFrame, corpus_df: DataFrame, content_col: str) -> DataFrame:

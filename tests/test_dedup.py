@@ -269,3 +269,30 @@ def test_simhash_cluster_absorbs_exact_duplicates(spark):
     got = {r.id: r.cluster for r in cc.collect()}
     assert got.get(1) == got.get(2) == got.get(3) == 1
     assert 4 not in got or got[4] == 4
+
+
+def test_cross_jaccard_pairs_exact_values(spark):
+    """d47b's audit primitive: cross-frame Jaccard is the EXACT distinct
+    word-shingle overlap — verified against a hand-computed pair — and
+    pairs sharing no shingle never appear (equi-join candidates only)."""
+    # a and b share 5 of their distinct 3-shingles; c is disjoint
+    a_txt = "w1 w2 w3 w4 w5 w6 w7"          # shingles: 5 (w1w2w3 .. w5w6w7)
+    b_txt = "w1 w2 w3 w4 w5 w6 w7 w8"       # shingles: 6, shares all 5 of a
+    c_txt = "x1 x2 x3 x4 x5 x6 x7"
+    left = spark.createDataFrame([(1, a_txt)], "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(10, b_txt), (11, c_txt)], "doc_id long, text string"
+    )
+    out = dedup.cross_jaccard_pairs(
+        left, right, "doc_id", "text", shingle=3, threshold=0.0
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert set(got) == {(1, 10)}  # disjoint pair generates no candidate
+    assert got[(1, 10)] == pytest.approx(5 / 6)
+    # thresholding drops the sub-threshold pair
+    assert (
+        dedup.cross_jaccard_pairs(
+            left, right, "doc_id", "text", shingle=3, threshold=0.9
+        ).count()
+        == 0
+    )
