@@ -1423,8 +1423,10 @@ def x29(spark, sf_dir):
 def x30(spark, sf_dir):
     """Composite: supplier scorecard — revenue, line volume, return rate,
     revenue rank in one frame (the multi-metric entity-health report).
-    Fact aggregates ONCE (all three metrics share the partial+final agg)
-    and the dim broadcasts. The rank is computed AFTER the top-25 cut:
+    Fact aggregates ONCE (all three metrics share the partial+final agg);
+    the supplier join is UNHINTED — supplier scales with SF, so AQE
+    broadcasts while it fits and shuffle-joins beyond (the d05_tfidf
+    convention; a mandatory hint is a driver OOM at 100×). The rank is computed AFTER the top-25 cut:
     (revenue DESC, s_name) is a total order, so rank()==row_number() and
     ranking the TakeOrdered 25 equals ranking everything first — a global
     rank window over the supplier dimension would single-task a sort that
@@ -1441,7 +1443,7 @@ def x30(spark, sf_dir):
         F.count("*").alias("n_lines"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
     )
-    j = base.join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+    j = base.join(s, base.l_suppkey == s.s_suppkey)
     top = (
         j.select(
             "s_name",
@@ -1480,8 +1482,8 @@ def x31(spark, sf_dir):
     (customer, part) pairs ordered in ≥2 distinct orders (the retention
     metric behind replenishment forecasting). The fact join re-keys
     lineitem on orderkey once (orders carries only custkey), the
-    (cust, part) aggregate is the only corpus-sized shuffle, and both
-    dims broadcast."""
+    (cust, part) aggregate is the only corpus-sized shuffle; the part
+    join is UNHINTED (part scales with SF — AQE decides)."""
     t = tables(spark, sf_dir)
     li, o, p = t("lineitem"), t("orders"), t("part")
     pur = (
@@ -1491,7 +1493,7 @@ def x31(spark, sf_dir):
     )
     repeat = F.count(F.when(F.col("n_orders") >= 2, 1))
     return (
-        pur.join(F.broadcast(p.select("p_partkey", "p_brand")),
+        pur.join(p.select("p_partkey", "p_brand"),
                  pur.l_partkey == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
@@ -1539,7 +1541,7 @@ def x32(spark, sf_dir):
             F.min("lead_days").cast("long").alias("min_lead_days"),
             F.max("lead_days").cast("long").alias("max_lead_days"),
         )
-        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+        .join(s.select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "n_shipments", "avg_lead_days", "min_lead_days", "max_lead_days")
     )
@@ -1594,7 +1596,7 @@ def x33(spark, sf_dir):
         id_cols=["l_orderkey", "l_linenumber"],
     )
     return (
-        out.join(F.broadcast(t("supplier").select("s_suppkey", "s_name")),
+        out.join(t("supplier").select("s_suppkey", "s_name"),
                  out.l_suppkey == F.col("s_suppkey"))
         .select("s_name", "n_intervals", "n_overlapping_pairs")
     )

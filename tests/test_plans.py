@@ -575,3 +575,20 @@ def test_x30_and_d58_avoid_unbounded_global_sorts(spark, queries):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     plan = plan_of(queries["d58_zipf_fit"](spark, SF))
     assert "windowspecdefinition(__pid" in plan  # pid-partitioned rank
+
+
+def test_sf_scaled_dims_join_unhinted(spark, queries):
+    """VERDICT r5 #5: part and supplier SCALE with SF (sf100k: ~20B parts),
+    so x30-x33 must not carry a mandatory broadcast hint on them — the
+    d05_tfidf convention: unhinted, AQE broadcasts while the dim fits and
+    shuffle-joins beyond. The analyzed plan must be hint-free; at fixture
+    scale the planner's size-based strategy still picks BHJ on its own."""
+    for name in (
+        "x30_supplier_scorecard",
+        "x31_reorder_rate",
+        "x32_supplier_lead_time",
+        "x33_overlapping_shipments",
+    ):
+        df = queries[name](spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "Hint" not in analyzed, f"{name}: mandatory join hint present"
