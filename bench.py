@@ -93,6 +93,7 @@ def main() -> None:
     # BENCH_r02's phantom 29% "regression" was the same effect. Cold
     # totals are reported alongside.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     cold: dict[str, float] = {}
     for label, name in headline:
         # settle the JVM between queries: GC pauses from the previous
@@ -107,8 +108,15 @@ def main() -> None:
             queries[name](spark, sf_dir).count()
             warms.append(time.perf_counter() - t0)
         timings[label] = round(min(warms), 3)
+        # median of 4 = mean of the middle two — reported ALONGSIDE the min
+        # (VERDICT r5 #6: medians make round-over-round per-query deltas
+        # falsifiable; the min stays the headline for continuity with
+        # BENCH_r01-r05 and because it is the noise-robust floor)
+        ws = sorted(warms)
+        medians[label] = round((ws[1] + ws[2]) / 2, 3)
         print(
-            f"# {label} ({name}): {n} rows, warm {timings[label]}s (cold {cold[label]}s)",
+            f"# {label} ({name}): {n} rows, warm min {timings[label]}s "
+            f"median {medians[label]}s (cold {cold[label]}s)",
             file=sys.stderr,
         )
 
@@ -119,7 +127,10 @@ def main() -> None:
                 "metric": "headline_suite_warm_seconds",
                 "value": total,
                 "unit": "sec",
+                "warm_reps": 4,
                 "queries": timings,
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 3),
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
