@@ -1209,23 +1209,24 @@ def x25(spark, sf_dir):
 )
 def x26(spark, sf_dir):
     """Composite: revenue concentration (Pareto) — customers ranked into
-    deciles by lifetime revenue, revenue mass per decile. The global ntile
-    runs over the CUSTOMER aggregate (cardinality orders of magnitude
-    below the fact table), so the single-partition window is bounded; for
-    a customer table that itself won't fit one task, compose
-    `scale.global_row_index` + bucket arithmetic instead (same result,
-    no global window); if exact decile MEMBERSHIP is not required, the
-    cheapest 100 TB form is approx_percentile boundary binning (c77's
-    pattern — bounded sketch state, no sort at all). Revenue is
-    decimal-exact so decile boundaries are engine-independent."""
-    from pyspark.sql import Window as W
+    deciles by lifetime revenue, revenue mass per decile, via
+    ``scale.exact_ntile``'s auto-switch (VERDICT r5 #7): at fixture scale
+    the customer aggregate fits one window task, so the tier IS the SQL
+    oracle's global ntile; above the bound it composes
+    ``scale.global_row_index`` + closed-form bucket arithmetic — same
+    membership, no unbounded single-partition window (plan-pinned in
+    tests/test_plans.py). If exact decile MEMBERSHIP is not required, the
+    cheapest 100 TB form remains approx_percentile boundary binning
+    (c77's pattern). Revenue is decimal-exact so decile boundaries are
+    engine-independent."""
+    from .. import scale
 
     o = tables(spark, sf_dir)("orders")
     r = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(REV_DEC)).cast("double").alias("rev")
     )
-    ranked = r.withColumn(
-        "decile", F.ntile(10).over(W.orderBy(F.col("rev").desc(), "o_custkey"))
+    ranked = scale.exact_ntile(
+        r, [F.col("rev").desc(), F.col("o_custkey")], 10, bucket_col="decile"
     )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"),

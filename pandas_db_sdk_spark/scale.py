@@ -134,6 +134,52 @@ def global_row_index(
     )
 
 
+def exact_ntile(
+    df: DataFrame,
+    order_by: Sequence,
+    n: int,
+    bucket_col: str = "bucket",
+    max_single_task_rows: int | None = 2_000_000,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``ntile(n)`` membership WITHOUT an unbounded
+    single-partition window (VERDICT r5 #7 — x26's documented scale path,
+    promoted to code).
+
+    Two tiers, the ``pq_topk`` treatment: when the frame fits one window
+    task (``count() <= max_single_task_rows``) this IS ``F.ntile`` over a
+    global window — cheapest at small cardinality and bit-identical to the
+    SQL oracle. Above the bound (or with ``max_single_task_rows=None``)
+    it composes :func:`global_row_index` (range repartition + per-partition
+    rank + broadcast offsets — no task ever sees more than its key range)
+    with closed-form bucket arithmetic: for N rows, q = N div n, r = N mod
+    n, the first r buckets take q+1 rows — exactly SQL ntile's split —
+    so membership needs only the row index and a 1-row total broadcast to
+    compute, never a global sort on one task. Requires ``order_by`` to be
+    a total order (unique tiebreak) for a deterministic result.
+    """
+    from pyspark.sql import Window
+
+    if max_single_task_rows is not None and df.count() <= max_single_task_rows:
+        return df.withColumn(
+            bucket_col, F.ntile(n).over(Window.orderBy(*order_by))
+        )
+    idx = global_row_index(df, order_by, "__gidx", n_partitions)
+    tot = idx.agg(F.count("*").alias("__N"))
+    q = F.floor(F.col("__N") / n)
+    r = F.col("__N") % n
+    big = r * (q + 1)  # rows covered by the first r (size q+1) buckets
+    bucket = F.when(
+        F.col("__gidx") <= big, F.floor((F.col("__gidx") - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((F.col("__gidx") - big - 1) / q) + 1)
+    # 1-row total: broadcast nested-loop by construction (the x29/c77 shape)
+    return (
+        idx.crossJoin(F.broadcast(tot))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("__gidx", "__N")
+    )
+
+
 def zorder(
     df: DataFrame,
     cols: Sequence[str],

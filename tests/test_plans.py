@@ -592,3 +592,19 @@ def test_sf_scaled_dims_join_unhinted(spark, queries):
         df = queries[name](spark, SF)
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "Hint" not in analyzed, f"{name}: mandatory join hint present"
+
+
+def test_exact_ntile_unbounded_path_has_no_global_window(spark):
+    """VERDICT r5 #7: above the single-task bound, exact_ntile must never
+    plan a global-order Window over the DATA — ranks are __pid-partitioned
+    (global_row_index) and the only unpartitioned window runs over the
+    n_partitions-row offsets table. No ntile node anywhere."""
+    from pandas_db_sdk_spark import scale
+
+    df = spark.range(1000).withColumn("v", (F.col("id") * 37) % 100)
+    out = scale.exact_ntile(df, ["v", "id"], 10, max_single_task_rows=None)
+    plan = plan_of(out)
+    assert "ntile" not in plan
+    assert "windowspecdefinition(__pid" in plan  # pid-partitioned rank
+    # no window ordered by the data columns without a partition spec
+    assert "windowspecdefinition(v#" not in plan

@@ -99,6 +99,32 @@ def test_global_row_index_is_dense_and_ordered(spark):
         assert (v1, -k1) >= (v2, -k2) or v1 > v2 or (v1 == v2 and k1 < k2)
 
 
+def test_exact_ntile_distributed_matches_window(spark):
+    """VERDICT r5 #7: the unbounded tier (global_row_index + bucket
+    arithmetic) must reproduce SQL ntile membership EXACTLY, including
+    non-divisible splits (first r buckets take the extra row) and the
+    N < n degenerate case."""
+    from pyspark.sql import Window
+
+    from pandas_db_sdk_spark import scale
+
+    for N, n in [(10, 4), (97, 10), (5, 8), (64, 8)]:
+        df = spark.range(N).withColumn("v", (F.col("id") * 37) % 100)
+        want = {
+            r.id: r.b
+            for r in df.withColumn(
+                "b", F.ntile(n).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        got = {
+            r.id: r.bucket
+            for r in scale.exact_ntile(
+                df, ["v", "id"], n, max_single_task_rows=None
+            ).collect()
+        }
+        assert got == want, (N, n)
+
+
 def test_zorder_tightens_file_stats_on_both_dimensions(spark, tmp_path):
     """Write a 2-D uniform grid z-ordered across 16 files and read back the
     parquet footer min/max per file: each file must cover a small sub-
