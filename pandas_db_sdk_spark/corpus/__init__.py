@@ -246,7 +246,8 @@ _R05_VERIFIED = frozenset(
 # 25-row round-6 backlog (_R05_NEW + _R05_RECHECK) — VERDICT round-5 item
 # #1: "any round-6 additions go in a _R06_NEW set sorting after them".
 _R06_NEW = frozenset(
-    """d47b_leakage_scrub_guarantees d76b_simhash_cluster_guarantees""".split()
+    """d47b_leakage_scrub_guarantees d76b_simhash_cluster_guarantees
+    d78_kmv_distinct c82_ewma""".split()
 )
 
 

@@ -484,3 +484,33 @@ def c79(spark, sf_dir):
             F.count(F.when(converted, 1)).cast("double") / F.count("*"), 6
         ).alias("conversion_rate"),
     )
+
+
+@q(
+    "c82_ewma",
+    """WITH RECURSIVE e AS (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS rn
+         FROM events),
+       w AS (
+         SELECT user_id, event_id, rn, value AS y FROM e WHERE rn = 1
+         UNION ALL
+         SELECT e.user_id, e.event_id, e.rn, 0.7 * w.y + 0.3 * e.value
+         FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+       SELECT user_id, event_id, round(y, 6) AS ewma FROM w""",
+)
+def c82(spark, sf_dir):
+    """Timeseries (r6): per-user EWMA of event values (α=0.3,
+    adjust=False) — the canonical non-associative scan
+    (``timeseries.ewma``: applyInPandas per key, pandas C kernel; one
+    user re-key, constant per-key state). The oracle replays the exact
+    recursion with a RECURSIVE CTE; 6-dp rounding absorbs kernel-order
+    ulps."""
+    from .. import timeseries as TS
+
+    e = tables(spark, sf_dir)("events")
+    out = TS.ewma(e, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+    return out.select(
+        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
+    )

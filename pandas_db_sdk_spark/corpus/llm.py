@@ -1729,6 +1729,42 @@ def d76b(spark, sf_dir):
 
 
 @q(
+    "d78_kmv_distinct",
+    """WITH h AS (SELECT o_orderpriority AS p,
+                         (o_custkey * 1327217885) % 2147483647 AS h
+                  FROM orders),
+       r AS (SELECT p, h, dense_rank() OVER (PARTITION BY p ORDER BY h) AS rk
+             FROM (SELECT DISTINCT p, h FROM h)),
+       s AS (SELECT p, count(*) AS n_seen, max(h) AS kth
+             FROM r WHERE rk <= 64 GROUP BY p),
+       e AS (SELECT o_orderpriority AS p, count(DISTINCT o_custkey) AS n_exact
+             FROM orders GROUP BY 1)
+       SELECT s.p AS o_orderpriority,
+              CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                   ELSE round(63.0 * 2147483647 / kth, 4) END AS est_distinct,
+              CAST(n_exact AS BIGINT) AS n_exact,
+              round(CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                         ELSE round(63.0 * 2147483647 / kth, 4) END
+                    / n_exact - 1, 4) AS rel_err
+       FROM s JOIN e USING (p)""",
+)
+def d78(spark, sf_dir):
+    """Sketch tier (r6): KMV/bottom-k distinct estimation per group —
+    bounded-state cardinality with the estimate ITSELF hash-certified
+    (the golden-ratio modular permutation is plain integer arithmetic in both
+    engines, so the oracle recomputes the exact same kth-min and
+    estimator — no error-band indirection needed). WindowGroupLimit
+    pushes the k-limit map-side: at 100 TB the shuffle carries ≤ k rows
+    per (task, group) where exact count-distinct shuffles every distinct
+    pair. Fixture groups hold ~1300 distinct customers against k=64, so
+    the estimator path (not the exact-count fallback) is what certifies."""
+    from .. import sketches
+
+    o = tables(spark, sf_dir)("orders")
+    return sketches.kmv_distinct(o, "o_orderpriority", "o_custkey", k=64)
+
+
+@q(
     "d48_media_headers",
     """SELECT doc_id,
               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,

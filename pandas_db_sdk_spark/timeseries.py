@@ -297,3 +297,38 @@ def overlapping_interval_pairs(
             F.sum(F.col("running") - 1).alias("n_overlapping_pairs"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols,
+    order_cols,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the recursion
+    y_0 = x_0, y_t = (1-α)·y_{t-1} + α·x_t (pandas ``ewm(adjust=False)``).
+
+    This is the canonical NON-associative scan: no window-function algebra
+    expresses it (every prefix depends on the full prefix), and the
+    algebraic rewrite Σ α(1-α)^{t-j}x_j needs (1-α)^{-j} factors that
+    overflow past ~800 rows — so this is the sanctioned Arrow path:
+    ``applyInPandas`` per key, pandas' C ewm kernel per group. State is
+    one float per key; group rows stream through Arrow batches; the only
+    shuffle is the key re-partition every stateful per-key op pays.
+    Output carries the key, order and value columns plus ``out_col``.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    orders = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    sub = df.select(*keys, *orders, value_col)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sub.schema.fields
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(orders, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return sub.groupBy(*keys).applyInPandas(fn, f"{fields}, {out_col} double")

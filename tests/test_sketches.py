@@ -189,3 +189,25 @@ def test_bloom_fp_rate_within_theory(spark):
     fp_rate = hits / n
     theory = (1 - math.exp(-k * n / m)) ** k
     assert fp_rate <= max(3 * theory, 0.005), (fp_rate, theory)
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    """Below k distinct values the sketch IS the exact count (rel_err 0);
+    above, the estimate lands within the ~1/sqrt(k) KMV error band."""
+    from pandas_db_sdk_spark import sketches
+
+    small = spark.range(40).select(
+        F.lit("s").alias("g"), (F.col("id") % 10).alias("v")
+    )
+    big = spark.range(20000).select(
+        F.lit("b").alias("g"), (F.col("id") % 5000).alias("v")
+    )
+    out = {
+        r.g: r
+        for r in sketches.kmv_distinct(
+            small.unionAll(big), "g", "v", k=128
+        ).collect()
+    }
+    assert out["s"].est_distinct == 10.0 and out["s"].rel_err == 0.0
+    assert out["b"].n_exact == 5000
+    assert abs(out["b"].rel_err) < 3 / (128 ** 0.5)  # 3σ KMV band

@@ -201,3 +201,29 @@ def test_overlapping_interval_pairs_matches_bruteforce(spark):
     assert got == want
     assert got["g1"] == (4, 2)  # [0,5]~[5,9] touch; [5,9]~[6,7] nest
     assert got["g2"] == (2, 1)
+
+
+def test_ewma_matches_reference_recursion(spark):
+    """timeseries.ewma == the textbook adjust=False recursion, per key,
+    in event order — including single-row keys (y = x)."""
+    from pandas_db_sdk_spark import timeseries as TS
+
+    rows = [
+        (1, 1, 10.0), (1, 2, 20.0), (1, 3, 5.0), (1, 4, 40.0),
+        (2, 1, 7.5),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {
+        (r.k, r.t): r.ewma
+        for r in TS.ewma(df, "k", ["t"], "v", alpha=0.25).collect()
+    }
+    want = {}
+    for k in (1, 2):
+        y = None
+        for kk, t, v in rows:
+            if kk != k:
+                continue
+            y = v if y is None else 0.75 * y + 0.25 * v
+            want[(k, t)] = y
+    for key, exp in want.items():
+        assert got[key] == pytest.approx(exp, abs=1e-12), key
