@@ -488,3 +488,28 @@ def test_hierarchy_depth_matches_sequential_walk(spark, raw):
         return d
 
     assert got == {i: walk(i) for i, _ in rows}
+
+
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)), max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_triangle_count_matches_brute_force(spark, pairs):
+    """Degree-oriented wedge counting == brute-force enumeration over all
+    3-subsets, on random multigraphs with self-loops, duplicates and both
+    edge directions (the operator normalizes them away)."""
+    from itertools import combinations
+
+    from pandas_db_sdk_spark import graph
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(0, 0)], "id_a long, id_b long"
+    )
+    row = graph.triangle_count(df).collect()[0]
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({n for e in und for n in e})
+    brute = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in und and (y, z) in und and (x, z) in und
+    )
+    assert row.n_edges == len(und)
+    assert row.n_triangles == brute
