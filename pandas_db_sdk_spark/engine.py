@@ -339,6 +339,15 @@ class DataFrameEngine:
             os.rename(write_dir, version_dir)
             shutil.rmtree(retired, ignore_errors=True)
 
+        # Data-skipping sidecar (Delta-stats analogue): per-file column
+        # min/max from the freshly written parquet footers. Metadata-only —
+        # a failure here must never fail the save (same policy as
+        # provenance); load_pruned treats missing stats as "read the file".
+        try:
+            self._collect_file_stats(version_dir)
+        except Exception:
+            pass
+
         # Provenance (bounded): where this version came from — the source
         # files feeding the plan (metadata-only; empty for synthesized
         # frames) and the canonicalized-plan fingerprint. Capped at 20
@@ -690,6 +699,131 @@ class DataFrameEngine:
             df = df.drop(*internal)
         return df
 
+    def _collect_file_stats(self, version_dir: str, max_files: int = 4096) -> None:
+        """Write one version directory's data-skipping sidecar
+        (``.stats.json``, dot-prefixed so Spark partition discovery and
+        ``_versions_on_disk`` never see it): per data file, each leaf
+        column's [min, max] folded over the parquet footer's row-group
+        statistics. Driver-side footer reads are ~KBs per file — the Delta
+        checkpoint-stats economics — and are capped at ``max_files``
+        (beyond that a version is left sidecar-less and ``load_pruned``
+        degrades to reading it fully; at that file count the answer is
+        ``compact()``, which re-collects). Columns missing stats in ANY
+        row group (or with non-orderable/JSON-unsafe types) are omitted
+        for that file, which load_pruned treats as "must read"."""
+        import pyarrow.parquet as pq
+
+        files = []
+        for dp, _, fns in os.walk(version_dir):
+            for fn in fns:
+                if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                    files.append(os.path.join(dp, fn))
+        if not files or len(files) > max_files:
+            return
+        out: Dict[str, Any] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            per: Dict[str, Any] = {}
+            bad = set()
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name in bad:
+                        continue
+                    st = col.statistics
+                    mn = st.min if st is not None and st.has_min_max else None
+                    mx = st.max if st is not None and st.has_min_max else None
+                    ok = (
+                        mn is not None
+                        and mx is not None
+                        and isinstance(mn, (int, float, str))
+                        and not isinstance(mn, bool)
+                    )
+                    if not ok:
+                        bad.add(name)
+                        per.pop(name, None)
+                        continue
+                    if name in per:
+                        per[name] = [min(per[name][0], mn), max(per[name][1], mx)]
+                    else:
+                        per[name] = [mn, mx]
+            out[os.path.relpath(f, version_dir)] = per
+        tmp = os.path.join(version_dir, f".stats.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"files": out}, fh)
+        os.replace(tmp, os.path.join(version_dir, ".stats.json"))
+
+    def load_pruned(
+        self,
+        dataframe_name: str,
+        col: str,
+        lo=None,
+        hi=None,
+        external_key: Optional[str] = None,
+        use_last: bool = False,
+        drop_internal: bool = True,
+    ) -> DataFrame:
+        """Data-skipping load: semantically ``load().filter(lo <= col <= hi)``,
+        but files whose sidecar [min, max] range for ``col`` cannot
+        intersect the bound are never even OPENED — scan planning from
+        save-time footer stats (the table-format data-skipping pattern;
+        pair with ``compact(zorder_by=[col, …])`` so file ranges are tight
+        on the skipped columns). Files or versions without recorded stats
+        are always read (stale or missing sidecars only cost bytes, never
+        rows — file names are write-unique, so a rewritten version's new
+        files simply don't appear in an old sidecar), and the exact
+        predicate is re-applied to the surviving rows."""
+        ds = self._dataset_entry(dataframe_name)
+        if use_last:
+            external_key = ds.get("latest")
+        versions = (
+            [str(external_key)]
+            if external_key is not None
+            else [str(v) for v in ds["versions"]]
+        )
+        keep: list = []
+        for v in versions:
+            vdir = os.path.join(ds["path"], f"{VERSION_COL}={v}")
+            stats = {}
+            try:
+                with open(os.path.join(vdir, ".stats.json")) as fh:
+                    stats = json.load(fh).get("files", {})
+            except (OSError, ValueError):
+                pass
+            for dp, _, fns in os.walk(vdir):
+                for fn in fns:
+                    if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                        continue
+                    f = os.path.join(dp, fn)
+                    rng = stats.get(os.path.relpath(f, vdir), {}).get(col)
+                    if rng is not None:
+                        if lo is not None and rng[1] < lo:
+                            continue
+                        if hi is not None and rng[0] > hi:
+                            continue
+                    keep.append(f)
+        schema = self._full_schema(ds)
+        if not keep:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", ds["path"])
+                .parquet(*keep)
+            )
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        if drop_internal:
+            internal = [
+                c for c in df.columns if c.startswith("__p_") or c == VERSION_COL
+            ]
+            df = df.drop(*internal)
+        return df
+
     def load_pandas(
         self,
         dataframe_name: str,
@@ -892,6 +1026,14 @@ class DataFrameEngine:
             .partitionBy(*partition_cols)
             .parquet(new_path)
         )
+        # fresh files → fresh data-skipping sidecars (a zorder_by rewrite is
+        # exactly when the per-file ranges become worth pruning on)
+        for d in os.listdir(new_path):
+            if d.startswith(f"{VERSION_COL}="):
+                try:
+                    self._collect_file_stats(os.path.join(new_path, d))
+                except Exception:
+                    pass
         with self._manifest_lock():
             manifest = self._read_manifest()
             manifest["datasets"][dataframe_name]["path"] = new_path

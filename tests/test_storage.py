@@ -1271,3 +1271,66 @@ def test_fsck_reaps_stale_staging_dirs(spark, tmp_path):
     rep = eng.fsck("stg", repair=True, min_age_seconds=0.0)["stg"]
     assert not os.path.isdir(fake)
     assert eng.load("stg").count() == 5
+
+
+def test_load_pruned_skips_files_and_matches_filter(spark, tmp_path):
+    """Data-skipping sidecars: a range-partitioned write yields tight
+    per-file min/max, so load_pruned OPENS only intersecting files
+    (inputFiles strictly fewer) while returning exactly
+    load().filter(between)."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    df = (
+        spark.range(10_000)
+        .withColumn("v", F.col("id") % 97)
+        .repartitionByRange(8, "id")  # contiguous id ranges per file
+    )
+    eng.save(df, "ds", external_key="v1")
+    full = eng.load("ds")
+    pruned = eng.load_pruned("ds", "id", lo=100, hi=200)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    want = sorted(r.id for r in full.filter(F.col("id").between(100, 200)).collect())
+    got = sorted(r.id for r in pruned.collect())
+    assert got == want
+    # files without stats are read, not silently skipped
+    import os
+
+    vdir = os.path.join(str(tmp_path / "wh"), "ds", "__data", "__version=v1")
+    os.remove(os.path.join(vdir, ".stats.json"))
+    again = eng.load_pruned("ds", "id", lo=100, hi=200)
+    assert len(again.inputFiles()) == len(full.inputFiles())
+    assert sorted(r.id for r in again.collect()) == want
+
+
+def test_load_pruned_version_pinning_and_empty_range(spark, tmp_path):
+    """Pruning composes with version pinning; a fully-out-of-range bound
+    yields an empty frame with the dataset schema."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(spark.range(100).withColumn("v", F.lit(1)), "ds", external_key="v1")
+    eng.save(
+        spark.range(100, 200).withColumn("v", F.lit(2)), "ds", external_key="v2"
+    )
+    only_v2 = eng.load_pruned("ds", "id", lo=0, hi=10_000, external_key="v2")
+    assert {r.v for r in only_v2.collect()} == {2}
+    empty = eng.load_pruned("ds", "id", lo=10_000, hi=20_000)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}
+
+
+def test_compact_refreshes_skipping_sidecars(spark, tmp_path):
+    """After compact(zorder_by=...) the rewritten files carry fresh stats
+    and pruning still opens a strict subset."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    df = spark.range(20_000).withColumn("v", (F.col("id") * 13) % 1000)
+    # many small files: repartition round-robin so ranges are LOOSE pre-compact
+    eng.save(df.repartition(16), "ds", external_key="v1")
+    eng.compact("ds", target_rows_per_file=2_000, zorder_by=["v"])
+    full = eng.load("ds")
+    pruned = eng.load_pruned("ds", "v", lo=0, hi=49)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.count() == full.filter(F.col("v").between(0, 49)).count()
