@@ -2850,6 +2850,33 @@ def d66b(spark, sf_dir):
 
 
 @q(
+    "d80_set_similarity_join",
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct([array_to_string(ws[i:i+2], ' ')
+                               FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(a.s || b.s)), 6) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(a.s || b.s)) >= 0.5""",
+)
+def d80(spark, sf_dir):
+    """D2 exact tier (r6): Jaccard-threshold self-join by PREFIX FILTERING
+    (``dedup.set_similarity_join``) — the deterministic complement to
+    MinHash-LSH: the complete qualifying pair SET is returned (no banding
+    recall term), so unlike d02 this is fully hash-certified against the
+    oracle's O(n²) join. The engine explodes only frequency-ordered
+    prefixes (~(1-t) of each doc's rarest shingles) into the candidate
+    equi-join and verifies exactly — the high-df shingle head never
+    enters the join."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.set_similarity_join(d, "doc_id", "text", threshold=0.5)
+
+
+@q(
     "d79_triangle_count",
     """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
                    WHERE l_quantity > 30),

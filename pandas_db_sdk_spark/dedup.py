@@ -578,6 +578,82 @@ def cross_jaccard_pairs(
     )
 
 
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via PREFIX FILTERING — the
+    deterministic complement to MinHash-LSH: zero recall loss (every
+    qualifying pair is returned, so the full pair SET is oracle-checkable),
+    at the cost of a frequency-ordered prefix index instead of banding.
+
+    The classic prefix-filter lemma (SSJoin/PPJoin family): order every
+    document's shingles by ascending global document frequency (rarest
+    first, ties by hash); if J(A,B) >= t, the two docs must share a
+    shingle within their first |X| - ceil(t*|X|) + 1 shingles under that
+    common order. So the candidate join explodes ONLY prefixes — for
+    t=0.8 that is ~20% of each doc's shingles, and because prefixes hold
+    the RAREST shingles, candidate volume is Σ over rare shingles of
+    df_prefix² — the high-df head that dominates a naive inverted-index
+    join (Σ df² over everything) never enters the join. Candidates then
+    verify exactly on the full shingle sets (the minhash two-pass
+    economics). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = scratch_persist(
+        _shingle_hash_rows(df, id_col, text_col, shingle),
+        "set_similarity_join/rows",
+    )
+    dfreq = rows.groupBy("__h").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__h")
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    sizes = rows.groupBy("__id").agg(F.count("*").alias("__n"))
+    pref = (
+        rows.join(dfreq, "__h")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, "__id")
+        .filter(F.col("__rk") <= prefix_len)
+        .select("__id", "__h")
+    )
+    cand = (
+        pref.select(F.col("__id").alias("id_a"), "__h")
+        .join(pref.select(F.col("__id").alias("id_b"), "__h"), "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_ = rows.groupBy("__id").agg(
+        F.collect_set("__h").alias("__s"), F.count("*").alias("__n")
+    )
+    return (
+        cand.join(
+            sets_.select(
+                F.col("__id").alias("id_a"),
+                F.col("__s").alias("__sa"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets_.select(
+                F.col("__id").alias("id_b"),
+                F.col("__s").alias("__sb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("__ni", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # ------------------------------------------------------------ incremental
 
 def incremental_exact_dedup(new_df: DataFrame, corpus_df: DataFrame, content_col: str) -> DataFrame:

@@ -296,3 +296,49 @@ def test_cross_jaccard_pairs_exact_values(spark):
         ).count()
         == 0
     )
+
+
+def test_set_similarity_join_exact_vs_brute_force(spark):
+    """Prefix filtering must lose NOTHING: the returned pair set equals
+    brute-force threshold filtering over all pairs, at several thresholds,
+    on docs engineered with shared and unique shingle runs."""
+    rows = [(i, _doc(i, seed=3)) for i in range(25)]
+    rows += [(200 + i, _doc(i, seed=3)) for i in range(5)]      # exact dups
+    rows += [(300 + i, _doc(i, seed=3) + " tail extra") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t):
+        ws = t.split(" ")
+        if len(ws) < 3:
+            return {tuple(ws)}
+        return {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets_ = {i: shingles(t) for i, t in rows}
+    for t in (0.5, 0.8, 0.95):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.set_similarity_join(
+                df, "doc_id", "text", threshold=t
+            ).collect()
+        }
+        want = {}
+        ids = sorted(sets_)
+        for x in ids:
+            for y in ids:
+                if x >= y:
+                    continue
+                j = len(sets_[x] & sets_[y]) / len(sets_[x] | sets_[y])
+                if j >= t:
+                    want[(x, y)] = round(j, 6)
+        assert got == want, t
+
+
+def test_set_similarity_join_plan_has_no_cartesian(spark):
+    """The candidate stage is a prefix-token equi-join — never all-pairs."""
+    df = spark.createDataFrame(
+        [(i, _doc(i, seed=3)) for i in range(10)], "doc_id long, text string"
+    )
+    out = dedup.set_similarity_join(df, "doc_id", "text", threshold=0.7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
