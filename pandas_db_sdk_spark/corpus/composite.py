@@ -93,7 +93,9 @@ def x01(spark, sf_dir):
 def x02(spark, sf_dir):
     """TPC-H Q5 shape: 6-table join with a same-nation (customer=supplier)
     correlation and a region filter that prunes before the big joins.
-    region→nation→supplier chain broadcasts end to end."""
+    region/nation (fixed-size at ANY scale factor) carry broadcast hints;
+    the supplier side is UNHINTED — it scales with SF, so AQE broadcasts
+    while it fits (at fixture scale the planner still picks BHJ)."""
     t = tables(spark, sf_dir)
     r = t("region").filter(F.col("r_name") == "ASIA")
     n = t("nation").join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -110,7 +112,7 @@ def x02(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -278,7 +280,7 @@ def x06(spark, sf_dir):
         F.lit(0).cast(REV_DEC)
     )
     return (
-        l.join(F.broadcast(t("part")), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(t("part"), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -312,7 +314,7 @@ def x07(spark, sf_dir):
     t = tables(spark, sf_dir)
     l = t("lineitem")
     p = t("part")
-    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#11")
@@ -360,9 +362,9 @@ def x08(spark, sf_dir):
     ps = t("lineitem").select("l_partkey", "l_suppkey").distinct()
     bad = t("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
         .join(
-            F.broadcast(t("part").filter(F.col("p_brand") != "Brand#1")),
+            t("part").filter(F.col("p_brand") != "Brand#1"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -434,8 +436,8 @@ def x09(spark, sf_dir):
             best,
             (ps.l_partkey == best.__pk) & (ps.unit_cost == best.min_cost),
         )
-        .join(F.broadcast(p), F.col("p_partkey") == ps.l_partkey)
-        .join(F.broadcast(s), F.col("s_suppkey") == ps.l_suppkey)
+        .join(p, F.col("p_partkey") == ps.l_partkey)
+        .join(s, F.col("s_suppkey") == ps.l_suppkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -565,7 +567,7 @@ def x12(spark, sf_dir):
     return (
         l.join(t("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
@@ -627,8 +629,8 @@ def x13(spark, sf_dir):
         t("lineitem")
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -671,8 +673,8 @@ def x14(spark, sf_dir):
     return (
         t("lineitem")
         .join(t("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t("nation")), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(profit).cast("double").alias("profit"))
@@ -793,7 +795,7 @@ def x17(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -835,7 +837,7 @@ def x18(spark, sf_dir):
     p = t("part").filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 25))
     return (
         t("lineitem")
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("__pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
@@ -886,7 +888,7 @@ def x19(spark, sf_dir):
     )
     p = t("part").filter(F.col("p_name").like("%widget")).select("p_partkey")
     qualifying = shipped.join(
-        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        p, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
     ).select("l_suppkey")
     r = t("region").filter(F.col("r_name") == "ASIA")
     n = t("nation").join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -956,7 +958,7 @@ def x20(spark, sf_dir):
             & (F.col("__sk3") != F.col("l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(t("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
