@@ -556,8 +556,16 @@ def cross_jaccard_pairs(
     audit-sized frames; the scale path for full corpora remains
     ``incremental_dedup_minhash``'s banded LSH.
     """
-    ra = _shingle_hash_rows(df_a, id_col, text_col, shingle)
-    rb = _shingle_hash_rows(df_b, id_col, text_col, shingle)
+    # each side feeds BOTH its size aggregate and the intersection join —
+    # persist so the shingle explode runs once per side
+    ra = scratch_persist(
+        _shingle_hash_rows(df_a, id_col, text_col, shingle),
+        "cross_jaccard_pairs/a",
+    )
+    rb = scratch_persist(
+        _shingle_hash_rows(df_b, id_col, text_col, shingle),
+        "cross_jaccard_pairs/b",
+    )
     na = ra.groupBy("__id").agg(F.count("*").alias("__na")).withColumnRenamed("__id", "id_a")
     nb = rb.groupBy("__id").agg(F.count("*").alias("__nb")).withColumnRenamed("__id", "id_b")
     inter = (

@@ -212,13 +212,19 @@ def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFr
     normalized to distinct undirected pairs first. Returns one row:
     (n_edges, n_triangles).
     """
-    und = (
+    from ._scratch import scratch_persist
+
+    # both consumed >=2x (degrees + orientation + edge count; wedge x2 +
+    # closing probe): persist so the normalize/orient subtrees run once —
+    # without this every reference replays the full upstream plan
+    und = scratch_persist(
         edges.select(
             F.least(F.col(a), F.col(b)).alias("u"),
             F.greatest(F.col(a), F.col(b)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .distinct(),
+        "triangle_count/und",
     )
     deg = (
         und.select(F.col("u").alias("n"))
@@ -233,7 +239,7 @@ def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFr
     keyed = deg.select("n", key)
     ku = keyed.select(F.col("n").alias("u"), F.col("k").alias("ku"))
     kv = keyed.select(F.col("n").alias("v"), F.col("k").alias("kv"))
-    oriented = (
+    oriented = scratch_persist((
         und.join(ku, "u")
         .join(kv, "v")
         .select(
@@ -241,7 +247,7 @@ def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFr
             F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
             F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
         )
-    )
+    ), "triangle_count/oriented")
     o1 = oriented.select("src", F.col("dst").alias("w1"), F.col("kdst").alias("k1"))
     o2 = oriented.select("src", F.col("dst").alias("w2"), F.col("kdst").alias("k2"))
     wedges = o1.join(o2, "src").filter(F.col("k1") < F.col("k2")).select("w1", "w2")

@@ -608,3 +608,31 @@ def test_exact_ntile_unbounded_path_has_no_global_window(spark):
     assert "windowspecdefinition(__pid" in plan  # pid-partitioned rank
     # no window ordered by the data columns without a partition spec
     assert "windowspecdefinition(v#" not in plan
+
+
+def test_round6_shuffle_budgets(spark, queries):
+    """Round-6 ops: KMV is distinct+window+two aggs over one re-key
+    family; EWMA is the single stateful per-key re-key; triangle counting
+    and the certification frames reuse their persisted subtrees (the
+    normalize/orient and shingle-explode trees run once — budgets jump
+    ~4x without the scratch persists). No cartesians, no row-wise Python
+    anywhere; c82's ArrowEval is the declared applyInPandas path."""
+    spark.catalog.clearCache()
+    budgets = {
+        "d78_kmv_distinct": 5,
+        "c82_ewma": 1,
+        "d79_triangle_count": 14,
+        "d80_set_similarity_join": 16,
+        "d47b_leakage_scrub_guarantees": 24,
+        "d76b_simhash_cluster_guarantees": 9,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = _unique_exchanges(plan)
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # persisted subtrees actually hit the scratch cache
+    for name in ("d79_triangle_count", "d80_set_similarity_join"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "InMemoryTableScan" in plan, f"{name}: scratch persist not in plan"
