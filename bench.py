@@ -62,6 +62,10 @@ def main() -> None:
         ("q18_bloom_prune_join", "d49_bloom_prune_join"),
         ("q19_edit_distance", "d53_edit_distance_pairs"),
         ("q20_corr_matrix", "c74_corr_matrix"),
+        # round-6 additions: the heaviest new ops (exact pair-set join via
+        # prefix filtering; degree-oriented wedge counting)
+        ("q21_set_similarity", "d80_set_similarity_join"),
+        ("q22_triangle_count", "d79_triangle_count"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay
