@@ -247,7 +247,8 @@ _R05_VERIFIED = frozenset(
 # #1: "any round-6 additions go in a _R06_NEW set sorting after them".
 _R06_NEW = frozenset(
     """d47b_leakage_scrub_guarantees d76b_simhash_cluster_guarantees
-    d78_kmv_distinct c82_ewma d79_triangle_count d80_set_similarity_join""".split()
+    d78_kmv_distinct c82_ewma d79_triangle_count d80_set_similarity_join
+    c83_ohlc_resample""".split()
 )
 
 

@@ -514,3 +514,50 @@ def c82(spark, sf_dir):
     return out.select(
         "user_id", "event_id", F.round("ewma", 6).alias("ewma")
     )
+
+
+US_1H = 3_600_000_000
+
+
+@q(
+    "c83_ohlc_resample",
+    f"""WITH b AS (SELECT event_type, (epoch_us(ts) // {US_1H}) * {US_1H} AS ws,
+                          ts, event_id, value
+                   FROM events),
+       r AS (SELECT *,
+                    row_number() OVER (PARTITION BY event_type, ws
+                                       ORDER BY ts, event_id) AS rn_a,
+                    row_number() OVER (PARTITION BY event_type, ws
+                                       ORDER BY ts DESC, event_id DESC) AS rn_d
+             FROM b)
+       SELECT event_type, ws AS window_start_us,
+              max(CASE WHEN rn_a = 1 THEN value END) AS open,
+              max(value) AS high, min(value) AS low,
+              max(CASE WHEN rn_d = 1 THEN value END) AS close,
+              CAST(count(*) AS BIGINT) AS volume
+       FROM r GROUP BY 1, 2""",
+)
+def c83(spark, sf_dir):
+    """Timeseries (r6): OHLC candle resampling — open/high/low/close/
+    volume per (event_type, hour), the market-data workhorse. One
+    partial+final aggregate: open/close are ``min_by``/``max_by`` on the
+    (ts, event_id) total order — orderable-struct argmin, no ranking
+    window, no second pass — where the oracle (no arg-min on a composite
+    key) pays two ranking windows."""
+    e = tables(spark, sf_dir)("events")
+    ordk = F.struct("ts", "event_id")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "open", "high", "low", "close", "volume",
+        )
+    )
