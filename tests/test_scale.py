@@ -420,3 +420,27 @@ def test_hierarchy_depth_chain_forest_and_cycle(spark):
     cycle = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
     with pytest.raises(RuntimeError, match="converge"):
         graph.hierarchy_depth(cycle, max_iter=8)
+
+
+def test_set_similarity_adversarial_duplicate_cluster(spark):
+    """A 300-copy duplicate cluster injected into a background corpus:
+    every true pair must come back (C(300,2) — quadratic because the
+    ANSWER is quadratic), background pairs are unaffected, and the
+    candidate stage stays an equi-join (no cartesian). This is the d02
+    adversarial-skew scenario on the EXACT tier."""
+    from pandas_db_sdk_spark import dedup
+
+    dup = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, dup) for i in range(300)]
+    rows += [
+        (1000 + i, f"background doc {i} about topic{i} with unique{i} filler{i} "
+                   f"words{i} and more{i} padding{i} tokens{i} here{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.set_similarity_join(df, "doc_id", "text", threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    want = {(a, b) for a in range(300) for b in range(300) if a < b}
+    assert pairs == want
