@@ -1801,6 +1801,40 @@ def d48(spark, sf_dir):
 
 
 @q(
+    "d48b_jpeg_headers",
+    """SELECT doc_id,
+              CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                              WHEN 2 THEN 'mp4' ELSE 'jpeg' END AS format,
+              CASE WHEN doc_id % 4 = 0 THEN CAST(16 + doc_id % 64 AS INT)
+                   WHEN doc_id % 4 = 2 THEN CAST(320 + (doc_id % 16) * 16 AS INT)
+                   WHEN doc_id % 4 = 3 THEN CAST(32 + doc_id % 96 AS INT) END AS width,
+              CASE WHEN doc_id % 4 = 0 THEN CAST(16 + (doc_id * 7) % 64 AS INT)
+                   WHEN doc_id % 4 = 2 THEN CAST(240 + (doc_id * 3 % 16) * 16 AS INT)
+                   WHEN doc_id % 4 = 3 THEN CAST(32 + (doc_id * 5) % 96 AS INT) END AS height,
+              CASE WHEN doc_id % 4 IN (0, 3) THEN CAST(8 AS INT) END AS bit_depth,
+              CASE WHEN doc_id % 4 = 1
+                   THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
+              CASE WHEN doc_id % 4 = 1 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels,
+              CASE WHEN doc_id % 4 = 1
+                   THEN round(CAST(1000 + doc_id % 100 AS DOUBLE)
+                              / (8000 + (doc_id % 8) * 1000), 6)
+                   WHEN doc_id % 4 = 2
+                   THEN CAST(5 + doc_id % 20 AS DOUBLE) END AS duration_s
+       FROM documents""",
+)
+def d48b(spark, sf_dir):
+    """D7 extension (r6): the d48 encode→parse round trip under the
+    4-format rotation — adds a valid baseline JPEG (SOI + JFIF APP0 +
+    SOF0 marker walk: precision, height, width) to the certified
+    container-parsing tier; PNG/WAV/MP4 re-certify under the new modulo
+    in the same pass. Same codec-free contract: every field is id
+    arithmetic, so the oracle proves the binary round trip bit-exact."""
+    d = tables(spark, sf_dir)("documents")
+    payloads = multimodal.synth_media_payload(d, "doc_id", kinds=4)
+    return multimodal.parse_media_headers(payloads, "payload", "doc_id")
+
+
+@q(
     "d49_bloom_prune_join",
     """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
        WHERE l_orderkey IN

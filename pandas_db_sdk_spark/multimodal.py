@@ -93,13 +93,18 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select("doc_id", F.explode(idx).alias("frame_idx"))
 
 
-def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_media_payload(
+    df: DataFrame, id_col: str = "doc_id", kinds: int = 3
+) -> DataFrame:
     """Manufacture REAL container bytes per row — a valid minimal PNG
     (signature + IHDR chunk with a correct CRC32) for id%3==0, a valid
     RIFF/WAVE file (fmt chunk + zero-filled data chunk) for id%3==1, and a
     valid MP4/ISO-BMFF skeleton (ftyp + moov{mvhd, trak{tkhd}} boxes,
     16.16 fixed-point track dimensions) for id%3==2 — with every header
-    field a deterministic function of the id. The fixture
+    field a deterministic function of the id. ``kinds=4`` adds a valid
+    baseline JPEG (SOI + JFIF APP0 + SOF0 frame header) on id%4==3 and
+    switches the rotation to modulo 4 (the default stays modulo 3: d48's
+    certified oracle depends on that mapping byte-for-byte). The fixture
     generator for `parse_media_headers`: because the fields derive from the
     id arithmetically, an engine-independent oracle can certify the whole
     encode→parse round trip without any codec library.
@@ -147,6 +152,22 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
             return ftyp + moov
 
+        def jpeg(i: int) -> bytes:
+            w, h = 32 + i % 96, 32 + (i * 5) % 96
+            app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(
+                [1, 1, 0]
+            ) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+            comps = b"".join(bytes([c, 0x11, 0]) for c in (1, 2, 3))
+            sof0 = (
+                b"\xff\xc0"
+                + struct.pack(">H", 8 + len(comps))
+                + bytes([8])
+                + struct.pack(">HH", h, w)
+                + bytes([3])
+                + comps
+            )
+            return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
         def wav(i: int) -> bytes:
             ch = 1 + i % 2
             sr = 8000 + (i % 8) * 1000
@@ -163,7 +184,19 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     id_col: ids,
                     "payload": [
-                        png(i) if i % 3 == 0 else wav(i) if i % 3 == 1 else mp4(i)
+                        (
+                            png(i) if i % 3 == 0 else wav(i) if i % 3 == 1 else mp4(i)
+                        )
+                        if kinds == 3
+                        else (
+                            png(i)
+                            if i % 4 == 0
+                            else wav(i)
+                            if i % 4 == 1
+                            else mp4(i)
+                            if i % 4 == 2
+                            else jpeg(i)
+                        )
                         for i in ids
                     ],
                 }
@@ -199,6 +232,19 @@ def parse_media_headers(
                 if chunk[:4] == b"IHDR" and zlib.crc32(chunk) & 0xFFFFFFFF == crc:
                     w, h, depth = struct.unpack(">IIB", chunk[4:13])
                     return ("png", w, h, depth, None, None, None)
+            if b[:2] == b"\xff\xd8":
+                # JPEG: scan markers for a start-of-frame (SOF0/1/2) header
+                pos = 2
+                while pos + 4 <= len(b) and b[pos] == 0xFF:
+                    m = b[pos + 1]
+                    if m == 0xD9:
+                        break
+                    (seg,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+                    if m in (0xC0, 0xC1, 0xC2) and pos + 9 <= len(b):
+                        prec = b[pos + 4]
+                        h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                        return ("jpeg", w, h, prec, None, None, None)
+                    pos += 2 + seg
             if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                 pos, sr, ch, bits, data_len = 12, None, None, None, None
                 while pos + 8 <= len(b):
