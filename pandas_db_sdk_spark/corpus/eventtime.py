@@ -561,3 +561,61 @@ def c83(spark, sf_dir):
             "open", "high", "low", "close", "volume",
         )
     )
+
+
+@q(
+    "c84_seasonal_decompose",
+    """WITH daily AS (
+         SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+                    AS value
+         FROM orders GROUP BY 1, 2),
+       t AS (SELECT o_orderpriority, day, value,
+                    CASE WHEN count(*) OVER w = 7
+                         THEN round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w
+                                         AS DOUBLE) / 7, 6) END AS trend,
+                    (day - DATE '1970-01-01') % 7 AS phase
+             FROM daily
+             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       pm AS (SELECT o_orderpriority, phase,
+                     CAST(sum(CAST(value - trend AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*) AS pm
+              FROM t WHERE trend IS NOT NULL GROUP BY 1, 2),
+       se AS (SELECT o_orderpriority, phase,
+                     round(pm - CAST(sum(CAST(pm AS DECIMAL(28,10)))
+                                     OVER (PARTITION BY o_orderpriority)
+                                     AS DOUBLE)
+                                / count(*) OVER (PARTITION BY o_orderpriority),
+                           6) AS seasonal
+              FROM pm)
+       SELECT t.o_orderpriority, t.day, t.value, t.trend, se.seasonal,
+              round(t.value - t.trend - se.seasonal, 6) AS resid
+       FROM t LEFT JOIN se
+         ON t.o_orderpriority = se.o_orderpriority AND t.phase = se.phase""",
+)
+def c84(spark, sf_dir):
+    """Timeseries (r6): classical additive seasonal decomposition of the
+    daily revenue series per order priority (``timeseries.
+    seasonal_decompose``, period 7): value = trend (centered 7-row moving
+    average, null at series edges) + seasonal (mean detrended per
+    epoch-day-mod-7 phase, re-centered to zero) + residual. Every window
+    partitions by the series key — a series is calendar-bounded
+    (~2.4k rows) regardless of corpus size, never the single-task global
+    window; trend frames and phase means ride exact decimal accumulators,
+    so both engines agree bit-for-bit despite DuckDB's segment-tree
+    window evaluation. Phase uses epoch-day arithmetic, not dayofweek
+    (whose origin differs between engines)."""
+    from .. import timeseries as TS
+
+    o = tables(spark, sf_dir)("orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"), 2
+        ).alias("value")
+    )
+    return TS.seasonal_decompose(
+        daily, "o_orderpriority", "day", "value", period=7
+    )

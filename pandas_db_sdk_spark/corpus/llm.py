@@ -2972,3 +2972,151 @@ def d77(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"), F.col("depth").cast("int").alias("depth")
     )
+
+
+@q(
+    "d81_cms_frequency",
+    """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+       g AS (SELECT j, ((user_id + j) * 1327217885) % 2147483647 % 64 AS b,
+                    count(*) AS c
+             FROM events CROSS JOIN js GROUP BY 1, 2),
+       probe AS (SELECT DISTINCT user_id FROM events WHERE user_id < 30),
+       pc AS (SELECT user_id, j,
+                     ((user_id + j) * 1327217885) % 2147483647 % 64 AS b
+              FROM probe CROSS JOIN js),
+       est AS (SELECT user_id, min(coalesce(c, 0)) AS est_count
+               FROM pc LEFT JOIN g USING (j, b) GROUP BY 1),
+       t AS (SELECT user_id, count(*) AS true_count FROM events
+             WHERE user_id < 30 GROUP BY 1)
+       SELECT est.user_id, CAST(est_count AS BIGINT) AS est_count,
+              CAST(true_count AS BIGINT) AS true_count,
+              CAST(est_count - true_count AS BIGINT) AS overcount
+       FROM est JOIN t USING (user_id)""",
+)
+def d81(spark, sf_dir):
+    """Sketch tier (r6): Count-Min frequency estimates for the user_id<30
+    probe set over event counts (``sketches.count_min_frequency``, depth 4
+    x width 64) — bounded-state frequency, the mergeable complement to
+    d78's KMV cardinality and d50's Misra-Gries heavy hitters. The shuffle
+    carries at most depth*width counter cells per task regardless of input
+    rows; probes broadcast-join the finished 256-row sketch. Width 64 is
+    deliberately SMALLER than the ~150-user fixture domain so collisions
+    are real and the min-over-rows estimator path (not a trivial
+    zero-collision identity) is what certifies — estimates themselves are
+    hash-checked because the d78 modular-permutation hash is plain integer
+    arithmetic in both engines; overcount >= 0 is the CMS one-sided
+    guarantee."""
+    from .. import sketches
+
+    e = tables(spark, sf_dir)("events")
+    return sketches.count_min_frequency(
+        e,
+        "user_id",
+        e.filter(F.col("user_id") < 30),
+        "user_id",
+        depth=4,
+        width=64,
+    )
+
+
+@q(
+    "d82_token_pmi",
+    """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents)),
+       vocab AS (SELECT tok, count(*) AS df FROM toks
+                 GROUP BY 1 ORDER BY df DESC, tok LIMIT 40),
+       vt AS (SELECT t.doc_id, t.tok, v.df FROM toks t JOIN vocab v USING (tok)),
+       n AS (SELECT count(*) AS nd FROM documents),
+       p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab,
+                    any_value(a.df) AS dfa, any_value(b.df) AS dfb
+             FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+             GROUP BY 1, 2)
+       SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+              round(ln(n_ab::DOUBLE * nd / (dfa * dfb)), 6) AS pmi
+       FROM p, n WHERE n_ab >= 5
+       ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""",
+)
+def d82(spark, sf_dir):
+    """D5-ext (r6): top-20 token pairs by document-level PMI — the
+    collocation/phrase-mining signal (``text.token_pmi``). The pair join
+    is bounded by the broadcast top-40 vocabulary BEFORE pairing (per-doc
+    fan-out C(vocab_hits, 2), never C(doc_len, 2)); N rides a broadcast
+    1-row aggregate. ln is IEEE libm in both engines; 6-dp rounding
+    absorbs the last-ulp divergence (the d58 treatment)."""
+    d = tables(spark, sf_dir)("documents")
+    return text.token_pmi(
+        d, "doc_id", "text", top_vocab=40, min_pair_count=5, k=20
+    )
+
+
+@q(
+    "d83_containment_join",
+    """WITH sh AS (
+         SELECT doc_id,
+                list_distinct([array_to_string(ws[i:i+2], ' ')
+                               FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
+                  AS containment
+       FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+       WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.6""",
+)
+def d83(spark, sf_dir):
+    """D2 exact tier (r6): directed containment join — |A∩B|/|A| >= 0.6
+    over word-3-shingle sets (``dedup.containment_join``), the asymmetric
+    near-superset detector d80's symmetric Jaccard cannot express (an
+    excerpt inside a long original has containment ~1 but Jaccard ~0).
+    Prefix filtering adapts to the asymmetry: A's rarest-first prefix
+    probes B's FULL inverted index (containment bounds only the contained
+    side), then exact verification on the full hash sets; fully
+    hash-certified against the oracle's O(n²) pair join."""
+    d = tables(spark, sf_dir)("documents")
+    return dedup.containment_join(d, "doc_id", "text", threshold=0.6)
+
+
+@q(
+    "d84_silhouette",
+    """WITH u AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings),
+       cs AS (SELECT label AS lab, pos,
+                     CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) AS s
+              FROM u GROUP BY 1, 2),
+       xx AS (SELECT vec_id, label AS own,
+                     CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) AS xx
+              FROM u GROUP BY 1, 2),
+       cstat AS (SELECT own AS lab, count(*) AS n,
+                        CAST(sum(CAST(xx AS DECIMAL(28,12))) AS DOUBLE) AS s2
+                 FROM xx GROUP BY 1),
+       dots AS (SELECT u.vec_id, cs.lab,
+                       CAST(sum(CAST(u.val * cs.s AS DECIMAL(28,12))) AS DOUBLE)
+                           AS dot
+                FROM u JOIN cs USING (pos) GROUP BY 1, 2),
+       ssd AS (SELECT d.vec_id, x.own, d.lab, c.n,
+                      c.n * x.xx + c.s2 - 2 * d.dot AS ssd
+               FROM dots d JOIN cstat c USING (lab) JOIN xx x USING (vec_id)),
+       pp AS (SELECT vec_id, own,
+                     max(CASE WHEN lab = own THEN ssd / (n - 1) END) AS a,
+                     min(CASE WHEN lab != own THEN ssd / n END) AS b
+              FROM ssd GROUP BY 1, 2),
+       sil AS (SELECT own AS label,
+                      round((b - a) / greatest(a, b), 6) AS sil FROM pp)
+       SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+              round(CAST(sum(CAST(sil AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                  AS avg_silhouette
+       FROM sil GROUP BY 1""",
+)
+def d84(spark, sf_dir):
+    """D3-ext (r6): mean silhouette per label over squared-Euclidean
+    distance (``similarity.silhouette_by_label``) — cluster quality
+    before trusting labels as dedup blocks or routing cells. The O(n²)
+    pairwise definition collapses to per-cluster sufficient statistics
+    (Σ||x-y||² = n·||x||² + Σ||y||² - 2·x·Σy), so the engine is one
+    posexplode pass + a broadcast k×dim sum matrix — O(n·k·dim) at any
+    corpus size. The oracle mirrors the SAME algebra (not the pair join)
+    through identical decimal accumulators, so a(i)/b(i) and the 6-dp
+    silhouette are bit-equal."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.silhouette_by_label(e, "vec_id", "embedding", "label")

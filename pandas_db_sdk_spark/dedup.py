@@ -910,3 +910,84 @@ def cross_source_dup_matrix(
     return pairs.groupBy("source_a", "source_b").agg(
         F.count("*").alias("n_shared_texts")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle: int = 3,
+) -> DataFrame:
+    """EXACT containment-threshold join: every DIRECTED pair (a, b) where
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold — the
+    asymmetric near-superset detector set_similarity_join can't express
+    (a 50-token excerpt inside a 5000-token original has containment ~1.0
+    but Jaccard ~0.01, invisible at any symmetric threshold). The
+    excerpt/quotation/truncation-variant signal for corpus curation.
+
+    Prefix filtering adapts to the asymmetry: if overlap >= ceil(t*|A|),
+    A must share a shingle within its first |A| - ceil(t*|A|) + 1 under
+    the global rarest-first order — but B is unconstrained (containment
+    puts no lower bound on B's similarity), so A's prefix probes B's FULL
+    inverted index. Candidate volume is Σ over shingles of
+    df_prefix(h) * df_all(h); because prefixes hold each doc's RAREST
+    shingles, df_prefix collapses on the high-df head that dominates a
+    naive index join. Verification is exact on the full hash sets (the
+    same two-pass economics as set_similarity_join; both passes reuse one
+    scratch-persisted frequency-sorted shingle table).
+
+    Returns (id_a, id_b, containment) with id_a != id_b: id_a's shingles
+    are >= threshold contained in id_b's.
+    """
+    rows = scratch_persist(
+        _shingle_hash_rows(df, id_col, text_col, shingle),
+        "containment_join/rows",
+    )
+    dfreq = rows.groupBy("__h").agg(F.count("*").alias("__df"))
+    docs = scratch_persist(
+        rows.join(dfreq, "__h")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list(F.struct("__df", "__h"))).alias("__arr")),
+        "containment_join/docs",
+    )
+    n = F.size("__arr")
+    plen = (n - F.ceil(F.lit(threshold) * n.cast("double")) + 1).cast("int")
+    pref = docs.select(
+        "__id",
+        F.explode(
+            F.transform(F.slice("__arr", F.lit(1), plen), lambda s: s["__h"])
+        ).alias("__h"),
+    )
+    cand = (
+        pref.select(F.col("__id").alias("id_a"), "__h")
+        .join(rows.select(F.col("__id").alias("id_b"), "__h"), "__h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets_ = docs.select(
+        "__id",
+        F.transform("__arr", lambda s: s["__h"]).alias("__s"),
+        F.size("__arr").alias("__n"),
+    )
+    return (
+        cand.join(
+            sets_.select(
+                F.col("__id").alias("id_a"),
+                F.col("__s").alias("__sa"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets_.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("__sa", "__sb")) / F.col("__na"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )

@@ -1334,3 +1334,96 @@ def compact_ivf_pq_index(spark, path: str) -> dict:
         "rows_before": before_rows,
         "rows_after": after.count(),
     }
+
+
+def silhouette_by_label(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Mean silhouette coefficient per label over squared-Euclidean
+    distance — the cluster-quality gate before trusting labels as dedup
+    blocks, routing cells, or mixture strata (s near 1: cohesive and
+    separated; near 0: overlapping; negative: mis-assigned).
+
+    The textbook definition is O(n²) pairwise: a(i) = mean distance to
+    own-cluster points, b(i) = min over other clusters of the mean
+    distance. For SQUARED Euclidean both collapse algebraically to
+    per-cluster sufficient statistics —
+
+        Σ_{y in C} ||x - y||² = n_C·||x||² + Σ_{y in C}||y||² - 2·x·Σ_{y in C} y
+
+    — so ONE posexplode pass builds the (label, dim) sum matrix plus a
+    per-label (count, Σ||y||²) row, and every point needs only its k dot
+    products against the k×dim sum matrix: O(n·k·dim) with the cluster
+    stats broadcast, never a pair join. At 100 TB the plan is two narrow
+    aggregations and a broadcast join — the same shape at any corpus size
+    (contrast the O(n²) oracle, which is only runnable at fixture scale).
+
+    All sums ride exact DECIMAL accumulators (the d36 discipline), so
+    a(i)/b(i) — and the 6-dp-rounded silhouette — are bit-deterministic
+    under any partitioning and hash-certifiable against a SQL oracle
+    mirroring the same algebra.
+
+    Returns one row per label: (label, n_points bigint, avg_silhouette
+    double). Singleton clusters would divide by zero in a(i); callers
+    with possibly-singleton labels must pre-filter them (the sklearn
+    convention sets s=0 — out of scope here, the fixture has none).
+    """
+    u = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__own"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
+    )
+    cs = u.groupBy(F.col("__own").alias("__lab"), "__pos").agg(
+        F.sum(F.col("__val").cast("decimal(28,12)")).cast("double").alias("__s")
+    )
+    xx = u.groupBy("__id", "__own").agg(
+        F.sum((F.col("__val") * F.col("__val")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("__xx")
+    )
+    cstat = (
+        xx.groupBy(F.col("__own").alias("__lab"))
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("__xx").cast("decimal(28,12)")).cast("double").alias("__s2"),
+        )
+    )
+    dots = (
+        u.join(F.broadcast(cs), "__pos")
+        .groupBy("__id", "__lab")
+        .agg(
+            F.sum((F.col("__val") * F.col("__s")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("__dot")
+        )
+    )
+    ssd = (
+        dots.join(F.broadcast(cstat), "__lab")
+        .join(xx, "__id")
+        .withColumn(
+            "__ssd",
+            F.col("__n") * F.col("__xx") + F.col("__s2") - 2 * F.col("__dot"),
+        )
+    )
+    per_point = ssd.groupBy("__id", "__own").agg(
+        F.max(F.when(F.col("__lab") == F.col("__own"), F.col("__ssd") / (F.col("__n") - 1))).alias("__a"),
+        F.min(F.when(F.col("__lab") != F.col("__own"), F.col("__ssd") / F.col("__n"))).alias("__b"),
+    )
+    sil = F.round(
+        (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b"), 6
+    )
+    return (
+        per_point.select(F.col("__own").alias(label_col), sil.alias("__sil"))
+        .groupBy(label_col)
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(
+                F.sum(F.col("__sil").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_silhouette"),
+        )
+    )

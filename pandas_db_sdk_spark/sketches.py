@@ -319,3 +319,103 @@ def kmv_distinct(
         )
         .select(*keys, "est_distinct", "n_exact", "rel_err")
     )
+
+
+def count_min_frequency(
+    df: DataFrame,
+    value_col: str,
+    probe_df: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    mult: int = 1_327_217_885,
+    modulus: int = 2_147_483_647,
+) -> DataFrame:
+    """Count-Min Sketch point queries with FULL oracle parity: estimate
+    the frequency of each probe key from a fixed depth x width counter
+    grid instead of a groupBy over the full key domain.
+
+    The sketch is ``depth`` independent hash rows of ``width`` counters;
+    an item increments one counter per row and its estimate is the MIN
+    over its ``depth`` counters — always >= the true count (collisions
+    only ever ADD), with the classic (eps = e/width, delta = e^-depth)
+    overcount guarantee. Build is one explode -> groupBy(j, bucket):
+    map-side partial aggregation collapses every task's contribution to
+    at most depth*width cells before the shuffle, so the exchange volume
+    is sketch-sized regardless of input rows — the mergeability that
+    lets 100 TB of per-task grids sum into one 4 KiB-row table (contrast
+    an exact per-key count, whose shuffle carries the distinct domain).
+    The probe side broadcasts the finished sketch (depth*width rows)
+    and takes the row-wise min.
+
+    Hashes are the d78/kmv modular-permutation family ((v + j) * mult
+    mod p mod width — plain integer arithmetic in both Spark and DuckDB,
+    so the ESTIMATES themselves hash-certify against a SQL oracle; no
+    error-band indirection). Values must stay below 2^63/mult ~ 6.9e9;
+    pmod wider domains down first.
+
+    Returns one row per distinct probe key: (probe_col, est_count
+    bigint, true_count bigint, overcount bigint >= 0).
+    """
+    v = F.col(value_col).cast("long")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__j"),
+                        F.pmod(F.pmod((v + j) * mult, F.lit(modulus)), F.lit(width)).alias(
+                            "__b"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e")
+    )
+    sketch = cells.groupBy(
+        F.col("__e.__j").alias("__j"), F.col("__e.__b").alias("__b")
+    ).agg(F.count("*").alias("__c"))
+
+    probes = probe_df.select(F.col(probe_col).alias("__v")).distinct()
+    pv = F.col("__v").cast("long")
+    probe_cells = probes.select(
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__j"),
+                        F.pmod(F.pmod((pv + j) * mult, F.lit(modulus)), F.lit(width)).alias(
+                            "__b"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select("__v", F.col("__e.__j").alias("__j"), F.col("__e.__b").alias("__b"))
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["__j", "__b"], "left")
+        .groupBy("__v")
+        .agg(F.min(F.coalesce(F.col("__c"), F.lit(0))).alias("est_count"))
+    )
+    true_ = (
+        df.select(v.alias("__v"))
+        .join(F.broadcast(probes), "__v", "left_semi")
+        .groupBy("__v")
+        .agg(F.count("*").alias("true_count"))
+    )
+    # both sides of the final stitch are probe-bounded (one row per
+    # distinct probe key) — broadcast instead of shuffling est AND true_
+    return (
+        est.join(F.broadcast(true_), "__v", "left")
+        .select(
+            F.col("__v").alias(probe_col),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.coalesce(F.col("true_count"), F.lit(0)).cast("long").alias("true_count"),
+            (F.col("est_count") - F.coalesce(F.col("true_count"), F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

@@ -865,3 +865,86 @@ def frequent_substrings(
         .agg(F.max("n").alias("n"))
     )
     return recovered.orderBy(F.col("n").desc(), "gram").limit(k)
+
+
+def token_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int = 40,
+    min_pair_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k token pairs by pointwise mutual information at DOCUMENT
+    co-occurrence granularity — the collocation/phrase-mining signal
+    (PMI(a,b) = ln(P(a,b) / (P(a)P(b))) over doc-presence probabilities):
+    a pair that co-occurs far above chance is a collocation even if both
+    tokens are individually rare.
+
+    The pair join is restricted to the top-``top_vocab`` tokens by
+    document frequency BEFORE pairing (the standard PMI-mining cut:
+    below-vocab tokens produce unstable, sample-noise PMI). That bound
+    is what makes the self-join scale-safe: the per-doc pair fan-out is
+    C(min(vocab_hits, top_vocab), 2), never C(doc_len, 2), and the vocab
+    table (top_vocab rows) broadcasts to both the presence filter and
+    the marginal-count lookup. N (total docs) rides a broadcast 1-row
+    aggregate — no driver collect.
+
+    Returns (tok_a, tok_b, n_ab bigint, pmi double) — the k highest-PMI
+    pairs with support >= min_pair_count, PMI rounded to 6 dp.
+    """
+    from ._scratch import scratch_persist
+
+    # the doc-presence table feeds the vocabulary AND both self-join
+    # sides — scratch-persist so the explode+distinct runs once
+    toks = scratch_persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        ).distinct(),
+        "token_pmi/toks",
+    )
+    vocab = scratch_persist(
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("__df"))
+        .orderBy(F.col("__df").desc(), "tok")
+        .limit(top_vocab),
+        "token_pmi/vocab",
+    )
+    vt = toks.join(F.broadcast(vocab), "tok")
+    n_docs = df.agg(F.count("*").alias("__nd"))
+    pairs = (
+        vt.select("__id", F.col("tok").alias("tok_a"), F.col("__df").alias("__dfa"))
+        .join(
+            vt.select(
+                "__id", F.col("tok").alias("tok_b"), F.col("__df").alias("__dfb")
+            ),
+            "__id",
+        )
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count("*").alias("n_ab"),
+            F.first("__dfa").alias("__dfa"),
+            F.first("__dfb").alias("__dfb"),
+        )
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("__nd")
+                    / (F.col("__dfa") * F.col("__dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(k)
+    )

@@ -332,3 +332,103 @@ def ewma(
         return pdf
 
     return sub.groupBy(*keys).applyInPandas(fn, f"{fields}, {out_col} double")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols,
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key series
+    (statsmodels ``seasonal_decompose(model='additive')`` over a daily
+    series): value = trend + seasonal + residual.
+
+    * ``trend`` — centered moving average over ``period`` ROWS (the
+      ±period//2 frame), defined only where the frame is full (series
+      edges yield null, the statsmodels convention); requires odd period.
+    * ``seasonal`` — the per-phase mean of the detrended series
+      (phase = days-since-epoch mod period — pure integer arithmetic, so
+      it is identical in any SQL engine, unlike dayofweek whose origin
+      differs between Spark and DuckDB), re-centered to sum to zero per
+      key so the seasonal term carries no level.
+    * ``resid`` — value - trend - seasonal where trend is defined.
+
+    Every window is PARTITIONED BY the key columns — a series is one
+    key's calendar, bounded by elapsed time (10³–10⁴ rows) regardless of
+    corpus size, so the per-key sort never becomes the single-task
+    global-window cliff; the trend frames and phase means all ride exact
+    decimal accumulators, so the decomposition is independent of both
+    partitioning and the engine's window-evaluation order.
+
+    Returns (*keys, day_col, value, trend, seasonal, resid), components
+    rounded to 6 dp.
+    """
+    if period % 2 == 0:
+        raise ValueError("seasonal_decompose requires an odd period")
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    half = period // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(-half, half)
+    )
+    base = df.select(
+        *keys,
+        day_col,
+        F.col(value_col).alias("value"),
+        F.pmod(
+            F.datediff(F.col(day_col), F.to_date(F.lit("1970-01-01"))),
+            F.lit(period),
+        ).alias("__phase"),
+    ).withColumn(
+        # decimal window sum, not avg-over-doubles: DuckDB evaluates sliding
+        # frames with a segment tree (different summation order than Spark's
+        # frame scan), and exact decimal addition is the only order-free sum
+        "trend",
+        F.when(
+            F.count("value").over(w) == period,
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,10)")).over(w).cast("double")
+                / period,
+                6,
+            ),
+        ),
+    )
+    phase_means = (
+        base.filter(F.col("trend").isNotNull())
+        .groupBy(*keys, "__phase")
+        .agg(
+            (
+                F.sum((F.col("value") - F.col("trend")).cast("decimal(28,10)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("__pm")
+        )
+    )
+    centered = phase_means.withColumn(
+        "seasonal",
+        F.round(
+            F.col("__pm")
+            - F.sum(F.col("__pm").cast("decimal(28,10)")).over(
+                Window.partitionBy(*keys)
+            ).cast("double")
+            / F.count("*").over(Window.partitionBy(*keys)),
+            6,
+        ),
+    ).select(*keys, "__phase", "seasonal")
+    return (
+        base.join(centered, [*keys, "__phase"], "left")
+        .select(
+            *keys,
+            day_col,
+            "value",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("value") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("resid"),
+        )
+    )

@@ -342,3 +342,24 @@ def test_set_similarity_join_plan_has_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_join_finds_excerpt_inside_original(spark):
+    """A truncated excerpt is ~fully contained in its original (directed:
+    excerpt -> original, never the reverse at the same threshold), and
+    unrelated docs never pair."""
+    from pandas_db_sdk_spark import dedup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    excerpt = " ".join(f"tok{i}" for i in range(12))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_join(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert (2, 1) in got and got[(2, 1)] == 1.0
+    assert (1, 2) not in got  # 40-token doc is NOT contained in the excerpt
+    assert not any(3 in k for k in got)

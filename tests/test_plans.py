@@ -636,3 +636,33 @@ def test_round6_shuffle_budgets(spark, queries):
     for name in ("d79_triangle_count", "d80_set_similarity_join"):
         plan = plan_of(queries[name](spark, SF))
         assert "InMemoryTableScan" in plan, f"{name}: scratch persist not in plan"
+
+
+def test_round6b_shuffle_budgets(spark, queries):
+    """Round-6 additions, second wave: the CMS sketch and its probes are
+    broadcast-joined (never a shuffle join against the counter grid);
+    PMI's vocabulary and N ride broadcasts; containment reuses the
+    persisted shingle trees; silhouette is two narrow aggregations + a
+    broadcast stats matrix — never a pair join; seasonal decompose is
+    key-partitioned windows + one phase-mean re-key. No cartesians, no
+    row-wise Python anywhere."""
+    spark.catalog.clearCache()
+    budgets = {
+        "d81_cms_frequency": 7,  # 4 sketch/probe-sized shuffles + 3 broadcasts
+        "d82_token_pmi": 9,  # persisted toks/vocab; 2 are the __id self-join
+        "d83_containment_join": 16,
+        "d84_silhouette": 10,
+        "c84_seasonal_decompose": 6,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = _unique_exchanges(plan)
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # the sketch and the cluster-stats matrix broadcast to their probes
+    for name in ("d81_cms_frequency", "d84_silhouette"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan, name
+    plan = plan_of(queries["d83_containment_join"](spark, SF))
+    assert "InMemoryTableScan" in plan  # shingle trees scratch-persisted

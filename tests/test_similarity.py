@@ -577,3 +577,42 @@ def test_compact_ivf_pq_index_keeps_newest_codes_row(spark, tmp_path):
     assert report["rows_after"] == 1
     got = read_ivf_pq_index(spark, path).collect()
     assert bytes(got[0]["codes"]) == b"\x02\x02"
+
+
+def test_silhouette_matches_naive_pairwise(spark):
+    """The sufficient-statistics algebra == the O(n²) textbook definition
+    on a small fixture with well-separated and overlapping clusters."""
+    import numpy as np
+
+    from pandas_db_sdk_spark import similarity
+
+    rng = np.random.RandomState(7)
+    pts, rows = [], []
+    for lab, center in (("a", 0.0), ("b", 10.0), ("c", 10.5)):
+        for i in range(6):
+            v = (rng.rand(4) + center).tolist()
+            pts.append((lab, np.array(v)))
+            rows.append((len(rows), lab, v))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = {
+        r.label: (r.n_points, r.avg_silhouette)
+        for r in similarity.silhouette_by_label(df).collect()
+    }
+    # naive per-point silhouette over squared euclidean
+    sils = {}
+    for i, (lab, v) in enumerate(pts):
+        by_lab = {}
+        for j, (lab2, w) in enumerate(pts):
+            if i == j:
+                continue
+            by_lab.setdefault(lab2, []).append(float(((v - w) ** 2).sum()))
+        a = sum(by_lab[lab]) / len(by_lab[lab])
+        b = min(sum(d) / len(d) for l2, d in by_lab.items() if l2 != lab)
+        sils.setdefault(lab, []).append(round((b - a) / max(a, b), 6))
+    for lab, vals in sils.items():
+        n, avg = got[lab]
+        assert n == 6
+        assert avg == pytest.approx(sum(vals) / len(vals), abs=2e-6), lab
+    # separated cluster is cohesive; the overlapping pair scores lower
+    assert got["a"][1] > 0.9
+    assert got["b"][1] < got["a"][1] and got["c"][1] < got["a"][1]

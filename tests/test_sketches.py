@@ -211,3 +211,40 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
     assert out["s"].est_distinct == 10.0 and out["s"].rel_err == 0.0
     assert out["b"].n_exact == 5000
     assert abs(out["b"].rel_err) < 3 / (128 ** 0.5)  # 3σ KMV band
+
+
+def test_count_min_never_undercounts_and_is_exact_when_sparse(spark):
+    """CMS one-sided guarantee: est >= true for EVERY probe (collisions
+    only add); with width far above the domain, collisions vanish and
+    every estimate is exact."""
+    from pandas_db_sdk_spark import sketches
+
+    df = spark.range(3000).select((F.col("id") % 30).alias("v"))
+    probes = spark.range(30).select(F.col("id").alias("v"))
+    crowded = {
+        r.v: r
+        for r in sketches.count_min_frequency(
+            df, "v", probes, "v", depth=4, width=8
+        ).collect()
+    }
+    assert len(crowded) == 30
+    for v, r in crowded.items():
+        assert r.true_count == 100
+        assert r.est_count >= 100 and r.overcount == r.est_count - 100
+    sparse = sketches.count_min_frequency(
+        df, "v", probes, "v", depth=4, width=4096
+    ).collect()
+    assert all(r.overcount == 0 for r in sparse)
+
+
+def test_count_min_absent_probe_estimates_zero_or_collision(spark):
+    """A probe never seen in the stream has true_count 0; its estimate is
+    whatever mass collided into its buckets — still >= 0 and one-sided."""
+    from pandas_db_sdk_spark import sketches
+
+    df = spark.range(100).select((F.col("id") % 10).alias("v"))
+    probes = spark.createDataFrame([(999,)], "v long")
+    (r,) = sketches.count_min_frequency(
+        df, "v", probes, "v", depth=4, width=4096
+    ).collect()
+    assert r.true_count == 0 and r.est_count >= 0 and r.overcount == r.est_count

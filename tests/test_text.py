@@ -282,3 +282,28 @@ def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     ).first()
     assert row.n_lines == 6 and row.n_unique_lines == 4
     assert row.deduped_text == "nav bar\nreal content one\nreal content two\nfooter"
+
+
+def test_token_pmi_known_collocation(spark):
+    """A pair that always co-occurs scores PMI = ln(N / max(df)) above
+    independent pairs; support below min_pair_count is cut."""
+    import math
+
+    from pandas_db_sdk_spark import text as T
+
+    # "alpha beta" co-occur in all 8 docs; "gamma" joins half of them
+    rows = [(i, "alpha beta " + ("gamma" if i % 2 == 0 else "delta")) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.tok_a, r.tok_b): r
+        for r in T.token_pmi(df, top_vocab=10, min_pair_count=4, k=10).collect()
+    }
+    ab = out[("alpha", "beta")]
+    assert ab.n_ab == 8
+    assert ab.pmi == round(math.log(8 * 8 / (8 * 8)), 6) == 0.0
+    ag = out[("alpha", "gamma")]
+    assert ag.n_ab == 4
+    assert ag.pmi == round(math.log(4 * 8 / (8 * 4)), 6) == 0.0
+    # delta appears in 4 docs, always with alpha: PMI = ln(4*8/(8*4)) = 0,
+    # but gamma-delta NEVER co-occur -> absent (support 0 < min_pair_count)
+    assert ("delta", "gamma") not in out

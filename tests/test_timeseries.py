@@ -227,3 +227,38 @@ def test_ewma_matches_reference_recursion(spark):
             want[(k, t)] = y
     for key, exp in want.items():
         assert got[key] == pytest.approx(exp, abs=1e-12), key
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    """On a pure trend+seasonal series the decomposition recovers the
+    planted weekly pattern: residuals ~0 away from edges, seasonal sums
+    to ~0 per key, trend null exactly at the 3-row edges."""
+    import datetime as dt
+
+    from pandas_db_sdk_spark import timeseries as TS
+
+    season = [5.0, -3.0, 0.0, 2.0, -1.0, 4.0, -7.0]
+    rows = []
+    for d in range(35):
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=d)
+        phase = (day - dt.date(1970, 1, 1)).days % 7
+        rows.append(("k", day, 100.0 + 0.5 * d + season[phase]))
+    df = spark.createDataFrame(rows, "k string, day date, value double")
+    out = TS.seasonal_decompose(df, "k", "day", "value", period=7).collect()
+    assert len(out) == 35
+    nulls = [r for r in out if r.trend is None]
+    assert len(nulls) == 6  # 3 rows at each edge lack a full frame
+    # linear trend + mean-zero seasonal: MA(7) strips the season exactly
+    for r in out:
+        if r.trend is not None:
+            assert abs(r.resid) < 1e-6, r
+    ssum = sum({r.day: r.seasonal for r in out if r.seasonal is not None}.values())
+    assert abs(ssum) < 1e-5
+
+
+def test_seasonal_decompose_rejects_even_period(spark):
+    from pandas_db_sdk_spark import timeseries as TS
+
+    df = spark.createDataFrame([("k", None, 1.0)], "k string, day date, value double")
+    with pytest.raises(ValueError):
+        TS.seasonal_decompose(df, "k", "day", "value", period=6)
