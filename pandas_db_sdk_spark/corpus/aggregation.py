@@ -978,3 +978,34 @@ def c81(spark, sf_dir):
             F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
         )
     )
+
+
+@q(
+    "c85_mad_outliers",
+    """WITH med AS (SELECT event_type, round(median(value), 6) AS median
+                    FROM events GROUP BY 1),
+       dev AS (SELECT e.event_type, abs(e.value - m.median) AS absdev,
+                      m.median
+               FROM events e JOIN med m USING (event_type)),
+       mad AS (SELECT event_type, round(median(absdev), 6) AS mad
+               FROM dev GROUP BY 1)
+       SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+              any_value(d.median) AS median, any_value(ma.mad) AS mad,
+              CAST(sum(CASE WHEN d.absdev > 3 * 1.4826 * ma.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad ma USING (event_type) GROUP BY 1""",
+)
+def c85(spark, sf_dir):
+    """C28-ext (r6): robust outlier census per event type via Median
+    Absolute Deviation (``stats.mad_outliers``) — the heavy-tail-safe
+    alternative to c72/d36's mean/stddev moments, which are dragged by
+    the very outliers they hunt (50% breakdown point vs 0%). Two exact-
+    percentile passes + one counting pass; the per-group median/MAD
+    tables are group-cardinality-sized and broadcast back, so nothing
+    but the group key ever shuffles. Medians and MADs round to 6 dp
+    BEFORE the threshold compare, pinning the outlier decision
+    cross-engine (the c29 interpolated-percentile parity)."""
+    from .. import stats
+
+    e = tables(spark, sf_dir)("events")
+    return stats.mad_outliers(e, "event_type", "value", scale=1.4826, k=3.0)

@@ -1603,3 +1603,61 @@ def x33(spark, sf_dir):
                  out.l_suppkey == F.col("s_suppkey"))
         .select("s_name", "n_intervals", "n_overlapping_pairs")
     )
+
+
+@q(
+    "x34_retention_cohorts",
+    """WITH a AS (SELECT DISTINCT user_id,
+                         (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+                  FROM events),
+       c AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1),
+       act AS (SELECT DISTINCT a.user_id, c.cohort, a.wk - c.cohort AS week_offset
+               FROM a JOIN c USING (user_id)),
+       r AS (SELECT cohort, week_offset, count(*) AS n_active
+             FROM act GROUP BY 1, 2),
+       s AS (SELECT cohort, n_active AS cohort_size FROM r WHERE week_offset = 0)
+       SELECT r.cohort AS cohort_week, CAST(r.week_offset AS BIGINT) AS week_offset,
+              CAST(r.n_active AS BIGINT) AS n_active,
+              round(r.n_active::DOUBLE / s.cohort_size, 6) AS retention
+       FROM r JOIN s USING (cohort)""",
+)
+def x34(spark, sf_dir):
+    """Composite (r6): weekly retention cohorts over the event stream —
+    the product-analytics staple: users grouped by first-active week,
+    retention = fraction of the cohort active again k weeks later. Week
+    index is epoch-day // 7 (pure integer arithmetic — date_trunc('week')
+    origins differ between engines). Three aggregations on user/cohort
+    keys; the (cohort, offset) matrix and the cohort-size table are
+    calendar-bounded (weeks², not data-sized), so the final stitch
+    broadcasts at any corpus scale."""
+    from .._scratch import scratch_persist
+
+    e = tables(spark, sf_dir)("events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) / 7
+    ).cast("long")
+    # the distinct user-week table feeds the cohort agg AND the activity
+    # join; the cohort matrix feeds the size table AND the final stitch —
+    # persist both so each subtree's shuffle runs once
+    a = scratch_persist(
+        e.select("user_id", wk.alias("wk")).distinct(), "x34/user_weeks"
+    )
+    cohort = a.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = (
+        a.join(cohort, "user_id")
+        .select("user_id", "cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .distinct()
+    )
+    r = scratch_persist(
+        act.groupBy("cohort", "week_offset").agg(F.count("*").alias("n_active")),
+        "x34/cohort_matrix",
+    )
+    s = r.filter(F.col("week_offset") == 0).select(
+        "cohort", F.col("n_active").alias("__size")
+    )
+    return r.join(F.broadcast(s), "cohort").select(
+        F.col("cohort").alias("cohort_week"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.round(F.col("n_active") / F.col("__size"), 6).alias("retention"),
+    )

@@ -3120,3 +3120,43 @@ def d84(spark, sf_dir):
     silhouette are bit-equal."""
     e = tables(spark, sf_dir)("embeddings")
     return similarity.silhouette_by_label(e, "vec_id", "embedding", "label")
+
+
+@q(
+    "d85_tfidf_doc_similarity",
+    """WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents) GROUP BY 1, 2),
+       n AS (SELECT count(*) AS nd FROM documents),
+       kept AS (SELECT tok, round(ln(nd::DOUBLE / df), 6) AS idf FROM
+                (SELECT tok, count(*) AS df FROM tf GROUP BY 1), n
+                WHERE df <= 0.5 * nd),
+       w AS (SELECT tf.doc_id, tf.tok, tf.tf * kept.idf AS w
+             FROM tf JOIN kept USING (tok)),
+       norms AS (SELECT doc_id,
+                        sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
+                            AS nrm
+                 FROM w GROUP BY 1),
+       dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE)
+                           AS dot
+                FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+       SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+       FROM dots JOIN norms na ON na.doc_id = id_a
+                 JOIN norms nb ON nb.doc_id = id_b
+       ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""",
+)
+def d85(spark, sf_dir):
+    """D5-ext (r6): top-20 document pairs by TF-IDF cosine over a SPARSE
+    inverted-index join (``text.tfidf_doc_similarity``) — text similarity
+    without embeddings: the pair sum runs only over shared tokens via a
+    token equi-join, never an n² document product; the max-df cut drops
+    the df² head (which carries ~zero idf weight) before the join. IDF's
+    single ln() is pinned to 6 dp at birth; every accumulation after it
+    is exact decimal, so the cosine — and the top-20 cut ordered by
+    (rounded cos, ids) — is engine-independent."""
+    d = tables(spark, sf_dir)("documents")
+    return text.tfidf_doc_similarity(
+        d, "doc_id", "text", max_df_frac=0.5, k=20
+    )

@@ -157,3 +157,55 @@ def weighted_median(
         .groupBy(*keys)
         .agg(F.min("__v").alias("weighted_median"))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys,
+    value_col: str,
+    scale: float = 1.4826,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier census per group via Median Absolute Deviation —
+    the heavy-tail-safe alternative to z-scores (c72/d36's mean/stddev
+    moments are themselves dragged by the outliers they hunt; the median
+    and MAD have a 50% breakdown point). scale=1.4826 makes MAD a
+    consistent σ estimator under normality, so k=3 reads as "3 robust
+    sigmas".
+
+    Two exact-percentile passes (group medians, then medians of absolute
+    deviations) and one counting pass; each per-group result table is
+    group-cardinality-sized and broadcasts back, so the data never
+    shuffles on anything but the group key and the plan shape is
+    identical at any corpus size. Medians and MADs are ROUNDED to 6 dp
+    before the threshold compare, pinning the outlier decision to the
+    same values in any engine (the c29 exact-interpolated-percentile
+    parity).
+
+    Returns (*keys, n bigint, median double, mad double,
+    n_outliers bigint).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    v = F.col(value_col)
+    med = df.groupBy(*keys).agg(
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("median")
+    )
+    dev = df.join(F.broadcast(med), keys).withColumn(
+        "__absdev", F.abs(v - F.col("median"))
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.round(F.percentile(F.col("__absdev"), F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.col("__absdev") > k * scale * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(*keys, "n", "median", "mad", "n_outliers")
+    )

@@ -948,3 +948,101 @@ def token_pmi(
         .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
         .limit(k)
     )
+
+
+def tfidf_doc_similarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k document pairs by TF-IDF cosine similarity via a SPARSE
+    inverted-index join — the text-similarity engine proper (d37's dense
+    cosine needs embeddings; this works on raw text): cos(a,b) =
+    Σ_t w_at·w_bt / (||a||·||b||) where w = tf · idf, and the sum runs
+    only over SHARED tokens, so the pair join is an equi-join on token —
+    never an n² document product.
+
+    Scale levers: tokens present in more than ``max_df_frac`` of
+    documents are dropped BEFORE the join (the df² head that dominates
+    inverted-index joins carries ~zero idf weight anyway — the classic
+    max-df stopword cut, documented contract: similarities are over the
+    kept vocabulary); the token-frequency table is unhinted (AQE
+    broadcasts while it fits); norms come from one per-doc aggregation.
+    IDF is ROUNDED to 6 dp at birth so the one ln() call — whose last
+    ulp may differ between libm implementations — is pinned before any
+    accumulation; thereafter weight products sum through exact decimals,
+    making the cosine partitioning-independent and oracle-checkable.
+
+    Returns the k most-similar pairs (id_a, id_b, cos_sim) with
+    id_a < id_b, cosine rounded to 6 dp, ordered by (cos_sim desc, ids).
+    """
+    from ._scratch import scratch_persist
+
+    n_docs = df.agg(F.count("*").alias("__nd"))
+    # tf feeds the document-frequency aggregate AND the weight join;
+    # norms feed both sides of the final pair stitch — persist each so
+    # the tokenize/aggregate trees run once
+    tf = scratch_persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("__id", "tok")
+        .agg(F.count("*").alias("__tf")),
+        "tfidf_sim/tf",
+    )
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") <= max_df_frac * F.col("__nd"))
+        .withColumn(
+            "__idf", F.round(F.log(F.col("__nd") / F.col("__df")), 6)
+        )
+        .select("tok", "__idf")
+    )
+    w = scratch_persist(
+        tf.join(dfreq, "tok").select(
+            "__id", "tok", (F.col("__tf") * F.col("__idf")).alias("__w")
+        ),
+        "tfidf_sim/weights",
+    )
+    norms = scratch_persist(
+        w.groupBy("__id").agg(
+            F.sqrt(
+                F.sum((F.col("__w") * F.col("__w")).cast("decimal(28,12)")).cast(
+                    "double"
+                )
+            ).alias("__norm")
+        ),
+        "tfidf_sim/norms",
+    )
+    dots = (
+        w.select(F.col("__id").alias("id_a"), "tok", F.col("__w").alias("__wa"))
+        .join(
+            w.select(F.col("__id").alias("id_b"), "tok", F.col("__w").alias("__wb")),
+            "tok",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("__wa") * F.col("__wb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("__dot")
+        )
+    )
+    return (
+        dots.join(norms.select(F.col("__id").alias("id_a"), F.col("__norm").alias("__na")), "id_a")
+        .join(norms.select(F.col("__id").alias("id_b"), F.col("__norm").alias("__nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__dot") / (F.col("__na") * F.col("__nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(k)
+    )

@@ -653,6 +653,15 @@ def test_round6b_shuffle_budgets(spark, queries):
         "d83_containment_join": 16,
         "d84_silhouette": 10,
         "c84_seasonal_decompose": 6,
+        "x34_retention_cohorts": 7,  # user/cohort re-keys + broadcast stitch
+        # persisted tf/weights/norms trees each count their one exchange;
+        # the rest: token self-join (2), pair agg + two id-keyed norm
+        # stitches, and the tiny dfreq/n_docs dim aggregates + broadcasts
+        "d85_tfidf_doc_similarity": 13,
+        # 3 group aggs + broadcasts; the absdev frame is deliberately
+        # recomputed (scan + broadcast join) rather than persisted — it is
+        # corpus-sized, and two scans beat materializing it at 100 TB
+        "c85_mad_outliers": 7,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))

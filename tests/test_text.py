@@ -307,3 +307,27 @@ def test_token_pmi_known_collocation(spark):
     # delta appears in 4 docs, always with alpha: PMI = ln(4*8/(8*4)) = 0,
     # but gamma-delta NEVER co-occur -> absent (support 0 < min_pair_count)
     assert ("delta", "gamma") not in out
+
+
+def test_tfidf_doc_similarity_near_duplicates_rank_first(spark):
+    """Docs sharing rare vocabulary rank above docs sharing only common
+    vocabulary; identical docs hit cosine 1.0; max_df drops the universal
+    token from scoring."""
+    from pandas_db_sdk_spark import text as T
+
+    rows = [
+        (1, "common rare1 rare2 rare3"),
+        (2, "common rare1 rare2 rare3"),   # exact dup of 1
+        (3, "common rare1 other1 other2"),  # partial overlap (rare1: df 3/6)
+        (4, "common alone1 alone2 alone3"),  # only the universal token
+        (5, "common filler1 filler2 filler3"),
+        (6, "common filler4 filler5 filler6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.tfidf_doc_similarity(df, max_df_frac=0.5, k=10).collect()
+    got = {(r.id_a, r.id_b): r.cos_sim for r in out}
+    assert got[(1, 2)] == 1.0
+    assert 0 < got[(1, 3)] < 1.0
+    # "common" is in 4/4 docs > max_df -> doc 4 shares nothing scorable
+    assert not any(4 in k for k in got)
+    assert out[0].id_a == 1 and out[0].id_b == 2  # top-ranked pair

@@ -262,3 +262,17 @@ def test_seasonal_decompose_rejects_even_period(spark):
     df = spark.createDataFrame([("k", None, 1.0)], "k string, day date, value double")
     with pytest.raises(ValueError):
         TS.seasonal_decompose(df, "k", "day", "value", period=6)
+
+
+def test_mad_outliers_robust_to_planted_spikes(spark):
+    """MAD flags exactly the planted spikes and — unlike mean/stddev —
+    its median/mad statistics are untouched by them."""
+    from pandas_db_sdk_spark import stats
+
+    rows = [("a", float(v)) for v in range(1, 101)]  # 1..100: med 50.5
+    rows += [("a", 1e6), ("a", -1e6)]  # two wild spikes
+    df = spark.createDataFrame(rows, "k string, v double")
+    (r,) = stats.mad_outliers(df, "k", "v").collect()
+    assert r.n == 102
+    assert abs(r.median - 50.5) < 1.0  # spikes barely move the median
+    assert r.n_outliers == 2
