@@ -250,7 +250,8 @@ _R06_NEW = frozenset(
     d78_kmv_distinct c82_ewma d79_triangle_count d80_set_similarity_join
     c83_ohlc_resample d48b_jpeg_headers d81_cms_frequency d82_token_pmi
     d83_containment_join d84_silhouette c84_seasonal_decompose
-    x34_retention_cohorts d85_tfidf_doc_similarity c85_mad_outliers""".split()
+    x34_retention_cohorts d85_tfidf_doc_similarity c85_mad_outliers
+    d86_bm25_topk""".split()
 )
 
 

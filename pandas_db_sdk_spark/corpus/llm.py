@@ -3160,3 +3160,38 @@ def d85(spark, sf_dir):
     return text.tfidf_doc_similarity(
         d, "doc_id", "text", max_df_frac=0.5, k=20
     )
+
+
+@q(
+    "d86_bm25_topk",
+    """WITH q AS (SELECT unnest(['hash', 'join', 'vector']) AS tok),
+       dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       stats AS (SELECT count(*) AS nd,
+                        CAST(sum(CAST(dl AS DECIMAL(18,4))) AS DOUBLE)
+                        / count(*) AS avgdl
+                 FROM dl),
+       tf AS (SELECT t.doc_id, t.tok, count(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents) t JOIN q USING (tok) GROUP BY 1, 2),
+       dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT tf.doc_id,
+                     round(round(ln((nd - df + 0.5) / (df + 0.5) + 1), 6)
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)),
+                           6) AS c
+              FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id), stats)
+       SELECT doc_id, round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE), 6)
+                  AS bm25
+       FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""",
+)
+def d86(spark, sf_dir):
+    """D5-ext (r6): BM25 top-10 retrieval for the query "hash join vector"
+    (``text.bm25_topk``, k1=1.2 b=0.75) — ranking documents against a
+    QUERY with tf saturation and length normalization, the retrieval
+    complement to d85's doc-to-doc cosine. The query's term set is a
+    literal isin filter pushed into the token explode — no data-sized
+    join anywhere: matched-term tf, a ≤|query|-row df table (broadcast),
+    one corpus-stats row, TakeOrdered top-k. idf and per-term
+    contributions round to 6 dp; per-doc sums ride exact decimals."""
+    d = tables(spark, sf_dir)("documents")
+    return text.bm25_topk(d, "hash join vector", "doc_id", "text", k=10)

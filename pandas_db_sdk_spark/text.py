@@ -1046,3 +1046,82 @@ def tfidf_doc_similarity(
         .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
         .limit(k)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a keyword query by BM25 — the retrieval
+    scorer proper (d85's tf-idf cosine compares documents to each other;
+    this ranks documents against a QUERY, with BM25's tf saturation and
+    length normalization):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    with the Robertson/Lucene idf ln((N - df + ½)/(df + ½) + 1), always
+    positive. No joins against anything data-sized: the query's term set
+    is a LITERAL isin filter pushed into the token explode, so the only
+    aggregations are (doc, term) tf over matched terms, the matched-term
+    df table (≤ |query| rows, broadcast), and one corpus-stats row
+    (N, avgdl — decimal-summed doc lengths) — a scan-shaped plan at any
+    corpus size, finishing in a TakeOrdered top-k, never a global sort.
+
+    Determinism contract: idf and each term contribution round to 6 dp,
+    per-doc contributions sum through exact decimals — engine-independent
+    and oracle-checkable. Returns (id_col, bm25 double), k rows, ordered
+    (bm25 desc, id).
+    """
+    terms = sorted(set(query.split()))
+    dl = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), " ")).alias("__dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("__nd"),
+        (
+            F.sum(F.col("__dl").cast("decimal(18,4)")).cast("double") / F.count("*")
+        ).alias("__avgdl"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok").isin(terms))
+        .groupBy("__id", "tok")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("__df"))
+    idf = F.round(
+        F.log((F.col("__nd") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0), 6
+    )
+    contrib = F.round(
+        F.col("__idf")
+        * F.col("__tf")
+        * (k1 + 1.0)
+        / (
+            F.col("__tf")
+            + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        ),
+        6,
+    )
+    return (
+        tf.join(F.broadcast(dfreq.crossJoin(stats).withColumn("__idf", idf)), "tok")
+        .join(dl, "__id")
+        .select("__id", contrib.alias("__c"))
+        .groupBy("__id")
+        .agg(
+            F.round(
+                F.sum(F.col("__c").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("bm25")
+        )
+        .select(F.col("__id").alias(id_col), "bm25")
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )

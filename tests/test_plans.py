@@ -662,6 +662,9 @@ def test_round6b_shuffle_budgets(spark, queries):
         # recomputed (scan + broadcast join) rather than persisted — it is
         # corpus-sized, and two scans beat materializing it at 100 TB
         "c85_mad_outliers": 7,
+        # literal isin filter + matched-term aggs + broadcast dims; never
+        # a data-sized join — retrieval stays scan-shaped at any corpus
+        "d86_bm25_topk": 8,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))

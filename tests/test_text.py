@@ -331,3 +331,24 @@ def test_tfidf_doc_similarity_near_duplicates_rank_first(spark):
     # "common" is in 4/4 docs > max_df -> doc 4 shares nothing scorable
     assert not any(4 in k for k in got)
     assert out[0].id_a == 1 and out[0].id_b == 2  # top-ranked pair
+
+
+def test_bm25_prefers_term_density_and_saturates(spark):
+    """A doc matching more query terms outranks one matching fewer; a
+    100x repetition of one term saturates rather than dominating."""
+    from pandas_db_sdk_spark import text as T
+
+    rows = [
+        (1, "hash join vector " + "filler " * 5),
+        (2, "hash join other " + "filler " * 5),
+        (3, "hash " * 100),
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    out = T.bm25_topk(df, "hash join vector", k=10).collect()
+    ranks = {r.doc_id: i for i, r in enumerate(out)}
+    scores = {r.doc_id: r.bm25 for r in out}
+    assert 4 not in ranks  # no matched term, no row
+    assert ranks[1] < ranks[2]  # 3 terms beat 2
+    # tf saturation: 100 repeats of one term still loses to 3 distinct terms
+    assert scores[3] < scores[1]
