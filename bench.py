@@ -66,6 +66,10 @@ def main() -> None:
         # prefix filtering; degree-oriented wedge counting)
         ("q21_set_similarity", "d80_set_similarity_join"),
         ("q22_triangle_count", "d79_triangle_count"),
+        # round-6b additions: sparse inverted-index tf-idf cosine and the
+        # directed containment join (prefix -> full-index probe)
+        ("q23_tfidf_doc_sim", "d85_tfidf_doc_similarity"),
+        ("q24_containment_join", "d83_containment_join"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay
