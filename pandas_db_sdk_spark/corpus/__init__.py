@@ -251,7 +251,7 @@ _R06_NEW = frozenset(
     c83_ohlc_resample d48b_jpeg_headers d81_cms_frequency d82_token_pmi
     d83_containment_join d84_silhouette c84_seasonal_decompose
     x34_retention_cohorts d85_tfidf_doc_similarity c85_mad_outliers
-    d86_bm25_topk""".split()
+    d86_bm25_topk d87_cluster_medoids""".split()
 )
 
 

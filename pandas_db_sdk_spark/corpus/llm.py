@@ -3195,3 +3195,47 @@ def d86(spark, sf_dir):
     contributions round to 6 dp; per-doc sums ride exact decimals."""
     d = tables(spark, sf_dir)("documents")
     return text.bm25_topk(d, "hash join vector", "doc_id", "text", k=10)
+
+
+@q(
+    "d87_cluster_medoids",
+    """WITH u AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings),
+       cs AS (SELECT label AS lab, pos,
+                     CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) AS s
+              FROM u GROUP BY 1, 2),
+       xx AS (SELECT vec_id, label AS lab,
+                     CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) AS xx
+              FROM u GROUP BY 1, 2),
+       cstat AS (SELECT lab, count(*) AS n,
+                        CAST(sum(CAST(xx AS DECIMAL(28,12))) AS DOUBLE) AS s2
+                 FROM xx GROUP BY 1),
+       dots AS (SELECT u.vec_id, u.label AS lab,
+                       CAST(sum(CAST(u.val * cs.s AS DECIMAL(28,12))) AS DOUBLE)
+                           AS dot
+                FROM u JOIN cs ON cs.lab = u.label AND cs.pos = u.pos
+                GROUP BY 1, 2),
+       sc AS (SELECT d.lab, d.vec_id,
+                     round((c.n * x.xx + c.s2 - 2 * d.dot) / (c.n - 1), 6)
+                         AS mean_sq
+              FROM dots d JOIN xx x ON x.vec_id = d.vec_id AND x.lab = d.lab
+                          JOIN cstat c ON c.lab = d.lab),
+       r AS (SELECT lab, vec_id, mean_sq,
+                    row_number() OVER (PARTITION BY lab
+                                       ORDER BY mean_sq, vec_id) AS rn
+             FROM sc)
+       SELECT lab AS label, vec_id AS medoid_id, mean_sq AS mean_sq_dist
+       FROM r WHERE rn = 1""",
+)
+def d87(spark, sf_dir):
+    """D3-ext (r6b): per-label medoids — the actual member vector
+    minimizing total squared distance to its cluster
+    (``similarity.cluster_medoids``), the servable representative where a
+    centroid must be a real item. Same sufficient-statistics collapse as
+    d84 (each point scores against only its own label's broadcast stats
+    row, argmin via one min_by aggregate — O(n·dim), no pair join); the
+    oracle mirrors the algebra and takes the same (mean_sq, id)-ordered
+    argmin."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.cluster_medoids(e, "vec_id", "embedding", "label")

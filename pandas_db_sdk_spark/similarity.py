@@ -1427,3 +1427,70 @@ def silhouette_by_label(
             ).alias("avg_silhouette"),
         )
     )
+
+
+def cluster_medoids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """The medoid of every label — the actual MEMBER minimizing total
+    squared-Euclidean distance to its cluster (the representative you
+    can serve when a centroid must be a real document/vector: dedup
+    exemplars, cluster labeling, few-shot prototype picks).
+
+    Same sufficient-statistics collapse as ``silhouette_by_label``:
+    Σ_y ||x−y||² = n·||x||² + Σ||y||² − 2·x·Σy, so one posexplode pass
+    builds the per-label (count, Σ||y||², per-dim sums) stats, each
+    point scores against ONLY its own label's broadcast row, and the
+    argmin is a single min_by aggregate — O(n·dim) total, never a pair
+    join. Decimal accumulators end-to-end (the d36 discipline); the
+    mean excludes the self-distance (0) via the n−1 divisor.
+
+    Returns one row per label: (label, medoid_id, mean_sq_dist double
+    rounded 6 dp), medoid ties broken by lowest id.
+    """
+    u = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lab"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val"),
+    )
+    cs = u.groupBy("__lab", "__pos").agg(
+        F.sum(F.col("__val").cast("decimal(28,12)")).cast("double").alias("__s")
+    )
+    xx = u.groupBy("__id", "__lab").agg(
+        F.sum((F.col("__val") * F.col("__val")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("__xx")
+    )
+    cstat = xx.groupBy("__lab").agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col("__xx").cast("decimal(28,12)")).cast("double").alias("__s2"),
+    )
+    dots = (
+        u.join(F.broadcast(cs), ["__lab", "__pos"])
+        .groupBy("__id", "__lab")
+        .agg(
+            F.sum((F.col("__val") * F.col("__s")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("__dot")
+        )
+    )
+    scored = (
+        dots.join(xx, ["__id", "__lab"])
+        .join(F.broadcast(cstat), "__lab")
+        .select(
+            "__lab",
+            "__id",
+            F.round(
+                (F.col("__n") * F.col("__xx") + F.col("__s2") - 2 * F.col("__dot"))
+                / (F.col("__n") - 1),
+                6,
+            ).alias("__mean_sq"),
+        )
+    )
+    return scored.groupBy("__lab").agg(
+        F.min_by("__id", F.struct("__mean_sq", "__id")).alias("medoid_id"),
+        F.min(F.struct("__mean_sq", "__id")).getField("__mean_sq").alias("mean_sq_dist"),
+    ).select(F.col("__lab").alias(label_col), "medoid_id", "mean_sq_dist")

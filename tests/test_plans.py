@@ -665,6 +665,9 @@ def test_round6b_shuffle_budgets(spark, queries):
         # literal isin filter + matched-term aggs + broadcast dims; never
         # a data-sized join — retrieval stays scan-shaped at any corpus
         "d86_bm25_topk": 8,
+        # d84's sufficient-statistics shape minus the cross-label matrix:
+        # posexplode aggs + broadcast own-label stats + one min_by agg
+        "d87_cluster_medoids": 9,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))

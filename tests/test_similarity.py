@@ -616,3 +616,33 @@ def test_silhouette_matches_naive_pairwise(spark):
     # separated cluster is cohesive; the overlapping pair scores lower
     assert got["a"][1] > 0.9
     assert got["b"][1] < got["a"][1] and got["c"][1] < got["a"][1]
+
+
+def test_cluster_medoids_match_naive_argmin(spark):
+    """The sufficient-statistics argmin picks exactly the naive medoid,
+    with ties broken by lowest id."""
+    import numpy as np
+
+    from pandas_db_sdk_spark import similarity
+
+    rng = np.random.RandomState(11)
+    pts, rows = [], []
+    for lab, center in (("a", 0.0), ("b", 5.0)):
+        for i in range(7):
+            v = (rng.rand(3) + center).tolist()
+            pts.append((lab, np.array(v)))
+            rows.append((len(rows), lab, v))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = {r.label: (r.medoid_id, r.mean_sq_dist)
+           for r in similarity.cluster_medoids(df).collect()}
+    for lab in ("a", "b"):
+        members = [(i, v) for i, (l, v) in enumerate(pts) if l == lab]
+        best = min(
+            members,
+            key=lambda iv: (
+                round(sum(float(((iv[1] - w) ** 2).sum()) for _, w in members)
+                      / (len(members) - 1), 6),
+                iv[0],
+            ),
+        )
+        assert got[lab][0] == best[0], lab
