@@ -152,3 +152,35 @@ def enriched_type_counts(
             "n",
         )
     )
+
+
+def ohlc_candles(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Live OHLC candle maintenance — c83's market-data rollup as a
+    streaming aggregate: open/close are min_by/max_by on the
+    (ts, event_id) total order INSIDE the windowed aggregation, so the
+    candle is one piece of merge-able per-window state (no ranking
+    window, which streaming cannot express anyway). Late events within
+    the watermark revise their candle in place; the same function body
+    serves batch backfill (parity-tested), the dual-shape contract of
+    this module."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    ordk = F.struct("ts", "event_id")
+    return (
+        e.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

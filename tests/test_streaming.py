@@ -575,3 +575,16 @@ def test_near_dup_probe_prunes_index_partitions(spark, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "__p_band_pfx" in pf, pf
     assert {r.sig_id for r in dup.collect()} == {10}
+
+
+def test_ohlc_stream_matches_batch(spark, events_dir, events_batch):
+    """c83's OHLC rollup as live streaming state: min_by/max_by candle
+    state merges across micro-batches to exactly the batch candles."""
+    streamed = W.run_to_memory(
+        W.ohlc_candles(W.stream_events_from_dir(spark, events_dir)),
+        spark,
+        mode="complete",
+    )
+    expected = W.ohlc_candles(events_batch)
+    keys = ["window_start_us", "event_type", "open", "high", "low", "close", "volume"]
+    assert _rows(streamed, keys) == _rows(expected, keys)
