@@ -513,3 +513,68 @@ def test_triangle_count_matches_brute_force(spark, pairs):
     )
     assert row.n_edges == len(und)
     assert row.n_triangles == brute
+
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+DOC_TEXTS = st.lists(
+    st.lists(WORDS, min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=DOC_TEXTS, threshold=st.sampled_from([0.4, 0.6, 0.8]))
+@SETTINGS
+def test_containment_join_matches_bruteforce(spark, docs, threshold):
+    """Prefix-filtered containment join == the naive O(n²) shingle-set
+    scan on random small corpora: no pair missed (the recall lemma), no
+    pair below threshold emitted."""
+    from pandas_db_sdk_spark import dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_join(
+            df, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+
+    def shingles(t):
+        ws = t.split(" ")
+        n = max(len(ws) - 2, 1)
+        return {" ".join(ws[i : i + 3]) for i in range(n)}
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i == j:
+                continue
+            sa, sb = shingles(a), shingles(b)
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                want[(i, j)] = round(c, 6)
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    width=st.sampled_from([4, 16, 4096]),
+)
+@SETTINGS
+def test_count_min_one_sided_on_random_streams(spark, vals, width):
+    """CMS never undercounts on any stream/width; with a huge width it
+    is exact (no collisions across a ≤51-value domain)."""
+    from collections import Counter
+
+    from pandas_db_sdk_spark import sketches
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    probes = spark.createDataFrame([(v,) for v in set(vals)], "v long")
+    out = sketches.count_min_frequency(df, "v", probes, "v", depth=4, width=width)
+    truth = Counter(vals)
+    for r in out.collect():
+        assert r.true_count == truth[r.v]
+        assert r.est_count >= r.true_count
+        if width == 4096:
+            assert r.est_count == r.true_count
