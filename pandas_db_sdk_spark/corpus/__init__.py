@@ -251,7 +251,10 @@ _R06_NEW = frozenset(
     c83_ohlc_resample d48b_jpeg_headers d81_cms_frequency d82_token_pmi
     d83_containment_join d84_silhouette c84_seasonal_decompose
     x34_retention_cohorts d85_tfidf_doc_similarity c85_mad_outliers
-    d86_bm25_topk d87_cluster_medoids""".split()
+    d86_bm25_topk d87_cluster_medoids c86_acf_daily_revenue
+    c87_welch_ttest c88_chi_square_independence x35_survival_km
+    x36_revenue_concentration x37_multitouch_attribution
+    d88_embedding_covariance""".split()
 )
 
 

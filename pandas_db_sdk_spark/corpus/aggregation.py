@@ -1009,3 +1009,176 @@ def c85(spark, sf_dir):
 
     e = tables(spark, sf_dir)("events")
     return stats.mad_outliers(e, "event_type", "value", scale=1.4826, k=3.0)
+
+
+@q(
+    "c86_acf_daily_revenue",
+    """WITH rev AS (
+         SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS r
+         FROM orders GROUP BY 1)
+       SELECT l.lag AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              round(corr(a.r, b.r), 6) AS acf
+       FROM (SELECT unnest(range(1, 8)) AS lag) l
+       JOIN rev a ON true
+       JOIN rev b ON b.day = a.day + l.lag
+       GROUP BY l.lag""",
+)
+def c86(spark, sf_dir):
+    """C28-ext (r6): autocorrelation function of the daily-revenue series at
+    lags 1..7 — the seasonality/persistence probe that picks c84's seasonal
+    period and validates x28's forecasting features. The fact table collapses
+    to one DECIMAL-exact row per calendar day FIRST (one shuffle, map-side
+    partial agg), so the lag self-join runs on a calendar-bounded series
+    (days, not rows — ~2.5k rows for 7 years at ANY corpus scale) and
+    broadcasts; corr is Spark's mergeable co-moment aggregate, rounded 6 dp
+    per the c28b parity. Scale story: 100 TB of orders still produces the
+    same ~2.5k-row series; only the first aggregation touches data-sized
+    input."""
+    from .._scratch import scratch_persist
+
+    o = tables(spark, sf_dir)("orders")
+    # the calendar-bounded series feeds both sides of the lag join —
+    # persist so the data-sized aggregation runs once
+    rev = scratch_persist(
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day")
+        ).agg(dsum("o_totalprice").alias("r")),
+        "c86/daily_revenue",
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = rev.select(F.col("day").alias("a_day"), F.col("r").alias("a_r"))
+    b = rev.select(F.col("day").alias("b_day"), F.col("r").alias("b_r"))
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("b_day") == F.col("a_day") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("a_r", "b_r"), 6).alias("acf"),
+        )
+    )
+
+
+@q(
+    "c87_welch_ttest",
+    """WITH g AS (
+         SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTOMOBILE'
+                     ELSE 'OTHER' END AS grp,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean,
+                round(var_samp(c_acctbal), 2) AS var
+         FROM customer GROUP BY 1),
+       w AS (SELECT a.n AS n1, a.mean AS m1, a.var AS v1,
+                    b.n AS n2, b.mean AS m2, b.var AS v2
+             FROM g a, g b WHERE a.grp = 'AUTOMOBILE' AND b.grp = 'OTHER')
+       SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
+              round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+              round(pow(v1 / n1 + v2 / n2, 2)
+                    / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+                    2) AS welch_df
+       FROM w""",
+)
+def c87(spark, sf_dir):
+    """C28-ext (r6): Welch's unequal-variance t-test — AUTOMOBILE-segment
+    account balances vs the rest, the A/B-significance primitive every
+    experimentation pipeline runs. One map-side-combinable aggregation
+    produces both groups' sufficient statistics (n, DECIMAL-exact mean,
+    var_samp rounded 6 dp BEFORE the t arithmetic so the statistic is
+    engine-exact); the 2-row stats frame self-joins driver-free. t and the
+    Welch–Satterthwaite df are pure scalar arithmetic on the rounded
+    moments. Scale: the shuffle carries 2 rows regardless of corpus size."""
+    c = tables(spark, sf_dir)("customer")
+    g = (
+        c.groupBy(
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", "AUTOMOBILE")
+            .otherwise("OTHER")
+            .alias("grp")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            davg("c_acctbal").alias("mean"),
+            F.round(F.var_samp("c_acctbal"), 2).alias("var"),
+        )
+    )
+    a = g.filter(F.col("grp") == "AUTOMOBILE").select(
+        F.col("n").alias("n1"), F.col("mean").alias("m1"), F.col("var").alias("v1")
+    )
+    b = g.filter(F.col("grp") == "OTHER").select(
+        F.col("n").alias("n2"), F.col("mean").alias("m2"), F.col("var").alias("v2")
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return a.crossJoin(b).select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@q(
+    "c88_chi_square_independence",
+    """WITH obs AS (
+         SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                CAST(count(*) AS DOUBLE) AS o
+         FROM customer GROUP BY 1, 2),
+       rt AS (SELECT nat, sum(o) AS r FROM obs GROUP BY 1),
+       ct AS (SELECT seg, sum(o) AS c FROM obs GROUP BY 1),
+       n AS (SELECT sum(o) AS n FROM obs)
+       SELECT round(sum(pow(obs.o - rt.r * ct.c / n.n, 2)
+                        / (rt.r * ct.c / n.n)), 4) AS chi2,
+              CAST((count(DISTINCT obs.nat) - 1)
+                   * (count(DISTINCT obs.seg) - 1) AS BIGINT) AS dof
+       FROM obs JOIN rt USING (nat) JOIN ct USING (seg) CROSS JOIN n""",
+)
+def c88(spark, sf_dir):
+    """C28-ext (r6): chi-square test of independence between nation and
+    market segment — the categorical-association probe behind segmentation
+    sanity checks and d57-style drift alarms. The observed contingency
+    table is category-bounded (25 nations x 5 segments), so after ONE
+    data-sized aggregation everything is arithmetic on a 125-row frame with
+    broadcast marginals. Counts are integers in doubles (exact below 2^53),
+    expected counts are single divisions — deterministic cross-engine; only
+    the final statistic rounds (4 dp)."""
+    from .._scratch import scratch_persist
+
+    c = tables(spark, sf_dir)("customer")
+    # the category-bounded contingency table feeds both marginals, the
+    # total, and the statistic — persist so the data-sized agg runs once
+    obs = scratch_persist(
+        c.groupBy(
+            F.col("c_nationkey").alias("nat"), F.col("c_mktsegment").alias("seg")
+        ).agg(F.count("*").cast("double").alias("o")),
+        "c88/contingency",
+    )
+    rt = obs.groupBy("nat").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("seg").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "nat")
+        .join(F.broadcast(ct), "seg")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+            (
+                (F.count_distinct(F.col("nat")) - 1)
+                * (F.count_distinct(F.col("seg")) - 1)
+            )
+            .cast("long")
+            .alias("dof"),
+        )
+    )

@@ -1661,3 +1661,270 @@ def x34(spark, sf_dir):
         F.col("n_active").cast("long").alias("n_active"),
         F.round(F.col("n_active") / F.col("__size"), 6).alias("retention"),
     )
+
+
+@q(
+    "x35_survival_km",
+    """WITH life AS (
+         SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d,
+                max(CAST(o_orderdate AS DATE)) AS last_d
+         FROM orders GROUP BY 1),
+       m AS (SELECT max(last_d) AS horizon FROM life),
+       obs AS (SELECT CAST(l.last_d - l.first_d AS BIGINT) AS duration,
+                      CASE WHEN l.last_d < m.horizon - INTERVAL 365 DAY
+                           THEN 1 ELSE 0 END AS ev
+               FROM life l CROSS JOIN m),
+       t AS (SELECT duration,
+                    CAST(sum(ev) AS BIGINT) AS d,
+                    CAST(sum(1 - ev) AS BIGINT) AS c
+             FROM obs GROUP BY 1),
+       n AS (SELECT count(*) AS total FROM obs),
+       r AS (SELECT t.duration, t.d, t.c,
+                    n.total - (sum(t.d + t.c) OVER w - (t.d + t.c)) AS n_risk,
+                    CASE WHEN t.d >= n.total - (sum(t.d + t.c) OVER w
+                                                - (t.d + t.c))
+                         THEN 1 ELSE 0 END AS dies_out,
+                    CAST(round(ln(greatest(
+                        1.0 - t.d::DOUBLE / (n.total - (sum(t.d + t.c) OVER w
+                                                        - (t.d + t.c))),
+                        1e-300)), 12) AS DECIMAL(28,12)) AS lnterm
+             FROM t CROSS JOIN n
+             WINDOW w AS (ORDER BY t.duration
+                          ROWS UNBOUNDED PRECEDING))
+       SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+              c AS n_censored,
+              CASE WHEN max(dies_out) OVER (ORDER BY duration
+                                            ROWS UNBOUNDED PRECEDING) = 1
+                   THEN 0.0
+                   ELSE round(exp(CAST(sum(lnterm)
+                        OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+                        AS DOUBLE)), 6)
+              END AS survival
+       FROM r""",
+)
+def x35(spark, sf_dir):
+    """Composite (r6): Kaplan–Meier survival estimator over customer
+    lifetimes — duration = days between first and last order, an
+    observation is a churn EVENT if the customer's last order predates the
+    global horizon by >365 days, else right-censored. The product-limit
+    estimator S(t) = prod(1 - d_i/n_i) runs as exp(cumsum(ln)) with each ln
+    term rounded 12 dp into a DECIMAL accumulator (the d65 PageRank
+    discipline — exact, association-free), so Spark's window and the
+    oracle's agree bit-for-bit; a cumulative dies-out flag handles the
+    S=0 terminal row without ln(0) (Spark nulls non-positive logs, DuckDB
+    returns -inf). Scale: the fact scan collapses to one row per customer
+    (one shuffle), then to one row per DISTINCT duration — calendar-bounded
+    (~2.5k rows at ANY corpus scale), so the ordered cumulative window runs
+    on a fixed-size frame; documented single-partition by boundedness."""
+    from pyspark.sql import Window as W
+
+    from .._scratch import scratch_persist
+
+    t = tables(spark, sf_dir)
+    # per-customer lifetimes feed the horizon scalar AND the duration
+    # table; durations feed the event counts AND the risk-set total —
+    # persist both so each data-sized shuffle runs once
+    life = scratch_persist(
+        t("orders").groupBy("o_custkey").agg(
+            F.min(F.to_date("o_orderdate")).alias("first_d"),
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+        ),
+        "x35/lifetimes",
+    )
+    m = life.agg(F.max("last_d").alias("horizon"))
+    obs = scratch_persist(
+        life.crossJoin(F.broadcast(m)).select(
+            F.datediff("last_d", "first_d").cast("long").alias("duration"),
+            F.when(
+                F.col("last_d") < F.date_sub(F.col("horizon"), 365), 1
+            ).otherwise(0).alias("ev"),
+        ),
+        "x35/observations",
+    )
+    tt = obs.groupBy("duration").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c"),
+    )
+    n = obs.agg(F.count("*").alias("total"))
+    w = W.orderBy("duration").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = tt.crossJoin(F.broadcast(n)).withColumn(
+        "n_risk",
+        F.col("total")
+        - (F.sum(F.col("d") + F.col("c")).over(w) - (F.col("d") + F.col("c"))),
+    )
+    r = r.withColumn(
+        "dies_out", F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).withColumn(
+        "lnterm",
+        F.round(
+            F.log(
+                F.greatest(
+                    F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+                    F.lit(1e-300),
+                )
+            ),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    return r.select(
+        "duration",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.max("dies_out").over(w) == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("lnterm").over(w).cast("double")), 6)
+        )
+        .alias("survival"),
+    )
+
+
+@q(
+    "x36_revenue_concentration",
+    """WITH rev AS (
+         SELECT s.s_nationkey, l.l_suppkey,
+                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,4))
+                            - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                    AS r
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT s_nationkey, r,
+                row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY r, l_suppkey) AS i
+         FROM rev),
+       g AS (SELECT s_nationkey, count(*) AS n,
+                    CAST(sum(CAST(r AS DECIMAL(18,4))) AS DOUBLE) AS tot,
+                    CAST(sum(CAST(i AS DECIMAL(18,4)) * CAST(r AS DECIMAL(18,4)))
+                         AS DOUBLE) AS iw
+             FROM ranked GROUP BY 1),
+       h AS (SELECT rev.s_nationkey,
+                    round(sum(pow(rev.r / g.tot, 2)), 6) AS hhi
+             FROM rev JOIN g USING (s_nationkey) GROUP BY 1, g.tot)
+       SELECT nn.n_name, CAST(g.n AS BIGINT) AS n_suppliers,
+              round(2.0 * g.iw / (g.n * g.tot)
+                    - (g.n + 1.0) / g.n, 6) AS gini,
+              h.hhi
+       FROM g JOIN h USING (s_nationkey)
+       JOIN nation nn ON g.s_nationkey = nn.n_nationkey""",
+)
+def x36(spark, sf_dir):
+    """Composite (r6): revenue-concentration audit per nation — Gini
+    coefficient (rank-weighted form: 2*sum(i*x_i)/(n*sum x) - (n+1)/n over
+    ascending ranks) and Herfindahl–Hirschman index of supplier revenue
+    shares. The data-sized work is ONE supplier-keyed aggregation; ranking
+    is a nation-partitioned window over the supplier-sized frame (keyed —
+    never single-partition), and both statistics come from DECIMAL-exact
+    weighted sums, so no rounding is needed until the final 6 dp. The
+    per-supplier revenue table feeds the rank agg and the HHI agg —
+    scratch-persisted so its shuffle runs once. Scale: suppliers/nation is
+    corpus-proportional but the window is keyed on 25 nations; at extreme
+    skew the gini sum is still a one-pass partial aggregate."""
+    from pyspark.sql import Window as W
+
+    from .._scratch import scratch_persist
+
+    t = tables(spark, sf_dir)
+    li = t("lineitem").select("l_suppkey", _revenue().alias("rv"))
+    s = t("supplier").select("s_suppkey", "s_nationkey")
+    rev = scratch_persist(
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("rv").cast("double").alias("r")),
+        "x36/supplier_revenue",
+    )
+    ranked = rev.withColumn(
+        "i",
+        F.row_number().over(
+            W.partitionBy("s_nationkey").orderBy("r", "l_suppkey")
+        ),
+    )
+    g = ranked.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("r").cast(REV_DEC)).cast("double").alias("tot"),
+        F.sum(F.col("i").cast(REV_DEC) * F.col("r").cast(REV_DEC))
+        .cast("double")
+        .alias("iw"),
+    )
+    h = (
+        rev.join(F.broadcast(g.select("s_nationkey", "tot")), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(F.round(F.sum(F.pow(F.col("r") / F.col("tot"), 2)), 6).alias("hhi"))
+    )
+    nn = t("nation").select("n_nationkey", "n_name")
+    return (
+        g.join(h, "s_nationkey")
+        .join(F.broadcast(nn), g.s_nationkey == nn.n_nationkey)
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_suppliers"),
+            F.round(
+                2.0 * F.col("iw") / (F.col("n") * F.col("tot"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            "hhi",
+        )
+    )
+
+
+@q(
+    "x37_multitouch_attribution",
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase'),
+       v AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'view'),
+       pairs AS (
+         SELECT p.event_id AS pid, p.value, v.ts AS v_ts
+         FROM p JOIN v ON p.user_id = v.user_id
+         WHERE v.ts <= p.ts AND v.ts > p.ts - INTERVAL 7 DAY),
+       attr AS (
+         SELECT v_ts, value / count(*) OVER (PARTITION BY pid) AS a
+         FROM pairs)
+       SELECT CAST(CAST(v_ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+              CAST(count(*) AS BIGINT) AS n_touches,
+              CAST(sum(CAST(a AS DECIMAL(18,4))) AS DOUBLE) AS attributed
+       FROM attr GROUP BY 1""",
+)
+def x37(spark, sf_dir):
+    """Composite (r6): linear multi-touch attribution — every purchase's
+    value splits equally across the same user's 'view' events in the
+    preceding 7 days; output is attributed revenue per view-day (the
+    marketing-analytics counterpart of c58's last-touch interval join).
+    ONE user-keyed equi-join produces exactly the attribution pairs (the
+    output workload — no blow-up beyond the answer itself); the per-purchase
+    touch count is a purchase-keyed window on that pair frame; the final
+    day rollup is DECIMAL-summed. Per-row division is IEEE-identical
+    cross-engine; the 4-dp DECIMAL cast is tie-free (no double is exactly
+    on a 10^-4 half-grid point). Scale: pair volume is bounded by actual
+    view→purchase adjacency within the window, per-user-keyed — AQE handles
+    power-user skew; nothing global, no cartesian."""
+    from pyspark.sql import Window as W
+
+    e = tables(spark, sf_dir)("events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    pairs = p.join(v, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    attr = pairs.select(
+        "v_ts",
+        (F.col("value") / F.count("*").over(W.partitionBy("pid"))).alias("a"),
+    )
+    return attr.groupBy(
+        F.datediff(F.to_date("v_ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum(F.col("a").cast(REV_DEC)).cast("double").alias("attributed"),
+    )

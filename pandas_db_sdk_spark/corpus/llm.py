@@ -3239,3 +3239,34 @@ def d87(spark, sf_dir):
     argmin."""
     e = tables(spark, sf_dir)("embeddings")
     return similarity.cluster_medoids(e, "vec_id", "embedding", "label")
+
+
+@q(
+    "d88_embedding_covariance",
+    """WITH s AS (
+         SELECT t.i,
+                CAST(sum(CAST(e.embedding[t.i]::DOUBLE AS DECIMAL(28,10)))
+                     AS DOUBLE) AS sx
+         FROM embeddings e, range(1, 9) t(i) GROUP BY 1),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       xy AS (
+         SELECT ti.i, tj.j,
+                CAST(sum(CAST(e.embedding[ti.i]::DOUBLE
+                              * e.embedding[tj.j]::DOUBLE
+                              AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+         FROM embeddings e, range(1, 9) ti(i), range(1, 9) tj(j)
+         WHERE tj.j >= ti.i GROUP BY 1, 2)
+       SELECT CAST(xy.i AS INT) AS i, CAST(xy.j AS INT) AS j,
+              round(xy.sxy / n.n - (si.sx / n.n) * (sj.sx / n.n), 8) AS cov
+       FROM xy JOIN s si ON si.i = xy.i JOIN s sj ON sj.i = xy.j
+       CROSS JOIN n""",
+)
+def d88(spark, sf_dir):
+    """D-ext (r6): covariance matrix of the leading embedding dimensions
+    (``similarity.embedding_covariance``) — the exact sufficient-statistics
+    input to PCA whitening, channel-correlation audits, and d74's diagonal
+    z-scoring upgrade path. One data pass, one 1-row shuffle of DECIMAL
+    accumulators, triangle exploded driver-free; the oracle recomputes the
+    identical exact sums per (i, j)."""
+    e = tables(spark, sf_dir)("embeddings")
+    return similarity.embedding_covariance(e, "embedding", dims=8)

@@ -1494,3 +1494,65 @@ def cluster_medoids(
         F.min_by("__id", F.struct("__mean_sq", "__id")).alias("medoid_id"),
         F.min(F.struct("__mean_sq", "__id")).getField("__mean_sq").alias("mean_sq_dist"),
     ).select(F.col("__lab").alias(label_col), "medoid_id", "mean_sq_dist")
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 8,
+    round_dp: int = 8,
+) -> DataFrame:
+    """Population covariance matrix of the first ``dims`` embedding
+    dimensions — the sufficient-statistics front end of PCA whitening /
+    decorrelation (the full-matrix generalization of
+    ``standardize_embeddings``'s diagonal). Returns the upper triangle as
+    rows ``(i, j, cov)`` with 1-based ``i <= j``.
+
+    One global aggregation computes ALL dims + dims*(dims+1)/2 sufficient
+    statistics (per-dim DECIMAL(28,10) sums and DECIMAL(28,12) cross-product
+    sums) in a single data pass — map-side partial aggregation means the
+    shuffle carries one 1-row frame of O(dims^2) exact accumulators
+    regardless of corpus size; the covariance arithmetic then runs on that
+    single row and explodes to the triangle. Every sum is DECIMAL-exact
+    (tie-free double->decimal casts), so results are bit-stable under any
+    partitioning; only the final covariance rounds (``round_dp``).
+
+    The eigendecomposition that would follow (dims x dims, driver-side,
+    O(dims^3)) is deliberately out of scope: its float orchestration is not
+    oracle-reproducible (see ``standardize_embeddings``); this certified
+    matrix is its exact, engine-checked input.
+    """
+    el = lambda i: f"cast(element_at({vec_col}, {i}) as double)"  # noqa: E731
+    aggs = [F.count("*").cast("double").alias("n")]
+    for i in range(1, dims + 1):
+        aggs.append(
+            F.sum(F.expr(f"cast({el(i)} as decimal(28,10))"))
+            .cast("double")
+            .alias(f"sx{i}")
+        )
+    pairs = [(i, j) for i in range(1, dims + 1) for j in range(i, dims + 1)]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(F.expr(f"cast({el(i)} * {el(j)} as decimal(28,12))"))
+            .cast("double")
+            .alias(f"sxy{i}_{j}")
+        )
+    one = emb.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.round(
+                    F.col(f"sxy{i}_{j}") / F.col("n")
+                    - (F.col(f"sx{i}") / F.col("n"))
+                    * (F.col(f"sx{j}") / F.col("n")),
+                    round_dp,
+                ).alias("cov"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return one.select(F.explode(entries).alias("e")).select(
+        F.col("e.i").alias("i"), F.col("e.j").alias("j"), F.col("e.cov").alias("cov")
+    )

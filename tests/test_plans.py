@@ -681,3 +681,41 @@ def test_round6b_shuffle_budgets(spark, queries):
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan, name
     plan = plan_of(queries["d83_containment_join"](spark, SF))
     assert "InMemoryTableScan" in plan  # shingle trees scratch-persisted
+
+
+def test_round6c_shuffle_budgets(spark, queries):
+    """Round-6 additions, third wave (statistics + survival + attribution):
+    every data-sized input collapses to a bounded frame in its FIRST
+    aggregation — c86's calendar-day series, c87's 2-row moments, c88's
+    125-cell contingency table (persisted — one customer scan), x35's
+    per-customer lifetimes then per-duration counts (both persisted),
+    x36's per-supplier revenue (persisted, feeds rank + HHI), d88's 1-row
+    sufficient-statistics frame. x37's pair join is user-keyed with the
+    touch-count window keyed on purchase id. Tiny cross joins (1-row
+    scalars, 7-row lag table) broadcast; no cartesian on data-sized
+    frames, no row-wise Python anywhere."""
+    spark.catalog.clearCache()
+    budgets = {
+        "c86_acf_daily_revenue": 5,
+        "c87_welch_ttest": 4,
+        "c88_chi_square_independence": 10,
+        "x35_survival_km": 8,
+        "x36_revenue_concentration": 8,
+        "x37_multitouch_attribution": 4,
+        "d88_embedding_covariance": 2,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = _unique_exchanges(plan)
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # shared subtrees actually hit the scratch cache
+    for name in (
+        "c86_acf_daily_revenue",
+        "c88_chi_square_independence",
+        "x35_survival_km",
+        "x36_revenue_concentration",
+    ):
+        plan = plan_of(queries[name](spark, SF))
+        assert "InMemoryTableScan" in plan, f"{name}: scratch persist not in plan"
