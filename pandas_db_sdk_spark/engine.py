@@ -1419,6 +1419,169 @@ class DataFrameEngine:
             self._clock,
         )
 
+    # ------------------------------------------------ incremental rollups
+
+    _ROLLUP_FNS = ("count", "sum", "min", "max", "avg")
+
+    def define_rollup(
+        self,
+        rollup_name: str,
+        source_name: str,
+        keys,
+        aggs: Dict[str, Any],
+    ) -> Dict[str, Any]:
+        """Register an incrementally-maintained aggregate over a dataset —
+        the engine's materialized-view primitive. ``aggs`` maps output
+        column → ``(fn, source_col)`` with fn in count/sum/min/max/avg
+        (the algebraic aggregates whose partial states merge associatively:
+        count/sum merge by +, min/max by least/greatest, avg as a
+        (sum, count) pair).
+
+        WHY: at 100 TB, recomputing a dashboard rollup on every append
+        rescans the corpus; because the engine's appends are immutable
+        version directories, ``refresh_rollup`` aggregates ONLY the
+        versions that arrived since the last refresh (a partition-pruned
+        scan of just the new files) and merges the partial states into the
+        stored rollup — append-proportional work, corpus-independent.
+        """
+        if not rollup_name or not isinstance(rollup_name, str):
+            raise ValueError("rollup_name must be a non-empty string")
+        src = self._dataset_entry(source_name)  # raises if missing
+        src_cols = {f["name"] for f in json.loads(src["schema"])["fields"]}
+        keys = list(keys)
+        for k in keys:
+            if k not in src_cols:
+                raise ValueError(f"rollup key {k!r} not in {source_name!r}")
+        aggs = {out: (fn, col) for out, (fn, col) in dict(aggs).items()}
+        for out, (fn, col) in aggs.items():
+            if fn not in self._ROLLUP_FNS:
+                raise ValueError(
+                    f"agg {out!r}: fn must be one of {self._ROLLUP_FNS}"
+                )
+            if fn != "count" and col not in src_cols:
+                raise ValueError(f"agg {out!r}: column {col!r} not in source")
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            rollups = manifest.setdefault("rollups", {})
+            if rollup_name in rollups or rollup_name in manifest["datasets"]:
+                raise ValueError(f"{rollup_name!r} already exists")
+            rollups[rollup_name] = {
+                "source": source_name,
+                "keys": keys,
+                "aggs": {out: list(fc) for out, fc in aggs.items()},
+                "processed": [],
+                "state_version": None,
+            }
+            self._write_manifest(manifest)
+        return dict(rollups[rollup_name])
+
+    def _rollup_spec(self, rollup_name: str) -> Dict[str, Any]:
+        spec = self._read_manifest().get("rollups", {}).get(rollup_name)
+        if spec is None:
+            raise DatasetNotFound(f"rollup {rollup_name!r} is not defined")
+        return spec
+
+    @staticmethod
+    def _rollup_state_cols(aggs):
+        """State columns per output: avg keeps a (sum, count) pair; sums
+        accumulate in DECIMAL(28,6) (exact, associative — the corpus-wide
+        dsum discipline); counts in long; min/max in the source type."""
+        cols = []
+        for out, (fn, col) in aggs.items():
+            if fn == "avg":
+                cols.append((f"__s_{out}_sum", "sum", col))
+                cols.append((f"__s_{out}_cnt", "count", col))
+            else:
+                cols.append((f"__s_{out}", fn, col))
+        return cols
+
+    def refresh_rollup(self, rollup_name: str) -> Dict[str, Any]:
+        """Fold versions appended since the last refresh into the rollup.
+
+        Incremental contract: the new-version rows are scanned ONCE
+        (partition-pruned to exactly the unprocessed ``__version`` dirs),
+        pre-aggregated map-side, and merged with the stored state by the
+        aggregates' own merge functions — the same partial/final split
+        Spark uses inside one job, lifted across jobs.
+
+        Crash consistency: the merged state lands as a NEW version of the
+        rollup dataset first; the spec's (processed, state_version) pair
+        updates second, atomically. A crash between the two leaves an
+        orphan state version that no reader sees (``read_rollup`` pins the
+        spec's state_version) and the next refresh redoes the same merge
+        from the old base — idempotent, never double-counted.
+        """
+        spec = self._rollup_spec(rollup_name)
+        src = self._dataset_entry(spec["source"])
+        done = set(spec["processed"])
+        new = [str(v) for v in src["versions"] if str(v) not in done]
+        if not new:
+            return {"refreshed_versions": [], "state_version": spec["state_version"]}
+        aggs = {out: tuple(fc) for out, fc in spec["aggs"].items()}
+        keys = spec["keys"]
+        df = self.load(spec["source"], drop_internal=False).filter(
+            F.col(VERSION_COL).isin(new)
+        )
+        first_exprs, merge_exprs = [], []
+        for state, fn, col in self._rollup_state_cols(aggs):
+            if fn == "count":
+                first_exprs.append(F.count(F.lit(1)).cast("long").alias(state))
+                merge_exprs.append(F.sum(state).cast("long").alias(state))
+            elif fn == "sum":
+                # sum(decimal(28,6)) widens to (38,6); pin the stored state
+                # type so refresh N's schema equals refresh 1's
+                first_exprs.append(
+                    F.sum(F.col(col).cast("decimal(28,6)"))
+                    .cast("decimal(28,6)")
+                    .alias(state)
+                )
+                merge_exprs.append(
+                    F.sum(F.col(state)).cast("decimal(28,6)").alias(state)
+                )
+            elif fn == "min":
+                first_exprs.append(F.min(col).alias(state))
+                merge_exprs.append(F.min(state).alias(state))
+            elif fn == "max":
+                first_exprs.append(F.max(col).alias(state))
+                merge_exprs.append(F.max(state).alias(state))
+        partial = df.groupBy(*keys).agg(*first_exprs)
+        if spec["state_version"] is not None:
+            old = self.load(rollup_name, external_key=spec["state_version"])
+            partial = old.select(partial.columns).unionByName(partial)
+            partial = partial.groupBy(*keys).agg(*merge_exprs)
+        info = self.save(partial, rollup_name)
+        state_version = info["version"]
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            live = manifest["rollups"][rollup_name]
+            live["processed"] = sorted(set(live["processed"]) | set(new))
+            live["state_version"] = str(state_version)
+            self._write_manifest(manifest)
+        return {"refreshed_versions": new, "state_version": str(state_version)}
+
+    def read_rollup(self, rollup_name: str) -> DataFrame:
+        """The rollup as user-facing columns: counts long, sums double,
+        min/max native, avg = exact-decimal sum / count."""
+        spec = self._rollup_spec(rollup_name)
+        if spec["state_version"] is None:
+            raise ValueError(f"rollup {rollup_name!r} has never been refreshed")
+        df = self.load(rollup_name, external_key=spec["state_version"])
+        aggs = {out: tuple(fc) for out, fc in spec["aggs"].items()}
+        out_cols = [F.col(k) for k in spec["keys"]]
+        for out, (fn, col) in aggs.items():
+            if fn == "avg":
+                out_cols.append(
+                    (
+                        F.col(f"__s_{out}_sum").cast("double")
+                        / F.col(f"__s_{out}_cnt")
+                    ).alias(out)
+                )
+            elif fn == "sum":
+                out_cols.append(F.col(f"__s_{out}").cast("double").alias(out))
+            else:
+                out_cols.append(F.col(f"__s_{out}").alias(out))
+        return df.select(*out_cols)
+
     # ---------------------------------------------------------------- helpers
 
     def _merge_schema(self, stored_json: str, new_schema) -> "T.StructType":

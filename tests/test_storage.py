@@ -1334,3 +1334,146 @@ def test_compact_refreshes_skipping_sidecars(spark, tmp_path):
     pruned = eng.load_pruned("ds", "v", lo=0, hi=49)
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert pruned.count() == full.filter(F.col("v").between(0, 49)).count()
+
+
+# ---------------------------------------------------------- incremental rollups
+
+
+def test_rollup_incremental_matches_full_recompute(engine, spark):
+    """The materialized-view contract: after any append sequence,
+    read_rollup == the full groupBy over everything — while each refresh
+    only ever aggregated the NEW versions."""
+    df1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)], "k string, n long, v double"
+    )
+    df2 = spark.createDataFrame(
+        [("a", 5, 1.5), ("c", 7, 70.0)], "k string, n long, v double"
+    )
+    df3 = spark.createDataFrame(
+        [("b", 0, -5.0), ("c", 9, 0.25)], "k string, n long, v double"
+    )
+    engine.save(df1, "facts")
+    engine.define_rollup(
+        "facts_by_k",
+        "facts",
+        ["k"],
+        {
+            "n_rows": ("count", None),
+            "sum_v": ("sum", "v"),
+            "min_n": ("min", "n"),
+            "max_n": ("max", "n"),
+            "avg_v": ("avg", "v"),
+        },
+    )
+    r1 = engine.refresh_rollup("facts_by_k")
+    assert len(r1["refreshed_versions"]) == 1
+    engine.save(df2, "facts")
+    engine.save(df3, "facts")
+    r2 = engine.refresh_rollup("facts_by_k")
+    assert len(r2["refreshed_versions"]) == 2
+
+    got = {
+        r["k"]: r.asDict() for r in engine.read_rollup("facts_by_k").collect()
+    }
+    full = {
+        r["k"]: r.asDict()
+        for r in engine.load("facts")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.min("n").alias("min_n"),
+            F.max("n").alias("max_n"),
+            F.avg("v").alias("avg_v"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full) == {"a", "b", "c"}
+    for k in full:
+        assert got[k]["n_rows"] == full[k]["n_rows"]
+        assert got[k]["min_n"] == full[k]["min_n"]
+        assert got[k]["max_n"] == full[k]["max_n"]
+        assert abs(got[k]["sum_v"] - full[k]["sum_v"]) < 1e-9
+        assert abs(got[k]["avg_v"] - full[k]["avg_v"]) < 1e-9
+
+    # idempotent: nothing new -> no-op, state unchanged
+    r3 = engine.refresh_rollup("facts_by_k")
+    assert r3["refreshed_versions"] == []
+    assert r3["state_version"] == r2["state_version"]
+
+
+def test_rollup_refresh_scans_only_new_versions(engine, spark):
+    """The 100 TB property: the refresh's source scan is partition-pruned
+    to the unprocessed version dirs — appending to a large corpus must not
+    rescan it."""
+    big = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    engine.save(big, "corpus")
+    engine.define_rollup("corpus_by_k", "corpus", ["k"], {"s": ("sum", "v")})
+    engine.refresh_rollup("corpus_by_k")
+    engine.save(
+        spark.createDataFrame([(1, 5.0)], "k long, v double"), "corpus"
+    )
+    spec = engine._rollup_spec("corpus_by_k")
+    src = engine._dataset_entry("corpus")
+    new = [str(v) for v in src["versions"] if str(v) not in set(spec["processed"])]
+    assert len(new) == 1
+    pruned = engine.load("corpus", drop_internal=False).filter(
+        F.col("__version").isin(new)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__version" in pf  # the scan prunes to the new version dirs
+    engine.refresh_rollup("corpus_by_k")
+    got = {r["k"]: r["s"] for r in engine.read_rollup("corpus_by_k").collect()}
+    want = {
+        r["k"]: r["s"]
+        for r in engine.load("corpus").groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_rollup_validation_and_crash_semantics(engine, spark):
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    engine.save(df, "src_ds")
+    with pytest.raises(DatasetNotFound):
+        engine.define_rollup("r", "missing_src", ["k"], {"s": ("sum", "v")})
+    with pytest.raises(ValueError):
+        engine.define_rollup("r", "src_ds", ["nope"], {"s": ("sum", "v")})
+    with pytest.raises(ValueError):
+        engine.define_rollup("r", "src_ds", ["k"], {"s": ("median", "v")})
+    with pytest.raises(ValueError):
+        engine.define_rollup("r", "src_ds", ["k"], {"s": ("sum", "nope")})
+    with pytest.raises(ValueError):
+        engine.define_rollup("src_ds", "src_ds", ["k"], {"s": ("sum", "v")})
+    engine.define_rollup("r", "src_ds", ["k"], {"s": ("sum", "v")})
+    with pytest.raises(ValueError):  # duplicate definition
+        engine.define_rollup("r", "src_ds", ["k"], {"s": ("sum", "v")})
+    with pytest.raises(DatasetNotFound):
+        engine.refresh_rollup("undefined_rollup")
+    with pytest.raises(ValueError):  # never refreshed
+        engine.read_rollup("r")
+    # orphan-state crash: a state version written but spec not updated is
+    # invisible and the next refresh redoes the merge from the old base
+    engine.refresh_rollup("r")
+    spec_before = engine._rollup_spec("r")
+    engine.save(spark.createDataFrame([("b", 2.0)], "k string, v double"), "src_ds")
+    # simulate the crash window: save state, then die before spec update —
+    # by snapshotting the manifest and restoring it post-refresh
+    import json as _json
+
+    with open(engine._manifest_path) as fh:
+        manifest_snapshot = fh.read()
+    engine.refresh_rollup("r")
+    m = _json.loads(manifest_snapshot)
+    m["datasets"] = engine._read_manifest()["datasets"]  # keep the orphan version
+    engine._write_manifest(m)
+    assert engine._rollup_spec("r")["state_version"] == spec_before["state_version"]
+    # retry converges to the correct totals, never double-counted
+    engine.refresh_rollup("r")
+    got = {r["k"]: r["s"] for r in engine.read_rollup("r").collect()}
+    assert got == {"a": 1.0, "b": 2.0}
