@@ -1,0 +1,109 @@
+"""Behavioral invariants for the round-6c statistics/survival/attribution
+operators — properties the DuckDB hash parity can't express: estimator
+shape (KM monotonicity), conservation laws (attribution mass), and
+numpy agreement (covariance)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark.corpus import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_km_survival_monotone_nonincreasing(spark, queries):
+    rows = (
+        queries["x35_survival_km"](spark, SF).orderBy("duration").collect()
+    )
+    assert rows, "empty KM curve"
+    prev = 1.0 + 1e-12
+    total = rows[0]["n_risk"]
+    seen = 0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-9, r
+        prev = r["survival"]
+        # risk set at t = everyone not yet dead/censored before t
+        assert r["n_risk"] == total - seen, r
+        seen += r["n_events"] + r["n_censored"]
+    assert seen == total
+
+
+def test_attribution_conserves_touched_purchase_value(spark, queries):
+    """Linear attribution must redistribute, never create or destroy,
+    the value of purchases that have >=1 view in their 7-day window."""
+    from pandas_db_sdk_spark.io import tables
+
+    out = queries["x37_multitouch_attribution"](spark, SF)
+    attributed = out.agg(F.sum("attributed")).collect()[0][0]
+    e = tables(spark, SF)("events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    touched = (
+        p.join(v, "user_id")
+        .filter(
+            (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("pid", "value")
+        .distinct()
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert attributed == pytest.approx(touched, abs=0.05)
+
+
+def test_embedding_covariance_matches_numpy(spark, queries):
+    out = {
+        (r["i"], r["j"]): r["cov"]
+        for r in queries["d88_embedding_covariance"](spark, SF).collect()
+    }
+    assert len(out) == 36  # upper triangle of 8x8
+    from pandas_db_sdk_spark.io import tables
+
+    X = np.array(
+        tables(spark, SF)("embeddings")
+        .select(F.expr("slice(cast(embedding as array<double>), 1, 8)").alias("v"))
+        .toPandas()["v"]
+        .tolist()
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    for (i, j), cov in out.items():
+        assert cov == pytest.approx(C[i - 1, j - 1], abs=1e-6)
+    for i in range(1, 9):
+        assert out[(i, i)] >= 0.0
+
+
+def test_concentration_indices_in_range(spark, queries):
+    for r in queries["x36_revenue_concentration"](spark, SF).collect():
+        n = r["n_suppliers"]
+        assert 0.0 <= r["gini"] < 1.0, r
+        assert 1.0 / n - 1e-9 <= r["hhi"] <= 1.0 + 1e-9, r
+
+
+def test_chi_square_zero_on_perfectly_independent_table(spark):
+    """Construct an exactly independent nation x segment table and run the
+    same statistic pipeline: chi2 must be 0."""
+    from pandas_db_sdk_spark.corpus.aggregation import QUERIES
+    import os
+    import tempfile
+
+    rows = [(n, s) for n in range(4) for s in ("A", "B") for _ in range(5)]
+    df = spark.createDataFrame(rows, "c_nationkey int, c_mktsegment string")
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    out = QUERIES["c88_chi_square_independence"](spark, d).collect()[0]
+    assert out["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert out["dof"] == 3
