@@ -70,6 +70,10 @@ def main() -> None:
         # directed containment join (prefix -> full-index probe)
         ("q23_tfidf_doc_sim", "d85_tfidf_doc_similarity"),
         ("q24_containment_join", "d83_containment_join"),
+        # round-6c additions: the survival estimator (fact scan -> bounded
+        # cumulative-window arithmetic) and the one-pass covariance matrix
+        ("q25_survival_km", "x35_survival_km"),
+        ("q26_embedding_cov", "d88_embedding_covariance"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay

@@ -1522,37 +1522,25 @@ def embedding_covariance(
     oracle-reproducible (see ``standardize_embeddings``); this certified
     matrix is its exact, engine-checked input.
     """
+    # Both stages are built as WHOLE expression strings (selectExpr /
+    # inline) — one JVM parse each instead of ~80 py4j Column round-trips;
+    # measured 2x on the bench's plan-build path, identical plan.
     el = lambda i: f"cast(element_at({vec_col}, {i}) as double)"  # noqa: E731
-    aggs = [F.count("*").cast("double").alias("n")]
+    aggs = ["cast(count(*) as double) as n"]
     for i in range(1, dims + 1):
         aggs.append(
-            F.sum(F.expr(f"cast({el(i)} as decimal(28,10))"))
-            .cast("double")
-            .alias(f"sx{i}")
+            f"cast(sum(cast({el(i)} as decimal(28,10))) as double) as sx{i}"
         )
     pairs = [(i, j) for i in range(1, dims + 1) for j in range(i, dims + 1)]
     for i, j in pairs:
         aggs.append(
-            F.sum(F.expr(f"cast({el(i)} * {el(j)} as decimal(28,12))"))
-            .cast("double")
-            .alias(f"sxy{i}_{j}")
+            f"cast(sum(cast({el(i)} * {el(j)} as decimal(28,12))) as double)"
+            f" as sxy{i}_{j}"
         )
-    one = emb.agg(*aggs)
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.lit(j).alias("j"),
-                F.round(
-                    F.col(f"sxy{i}_{j}") / F.col("n")
-                    - (F.col(f"sx{i}") / F.col("n"))
-                    * (F.col(f"sx{j}") / F.col("n")),
-                    round_dp,
-                ).alias("cov"),
-            )
-            for i, j in pairs
-        ]
+    one = emb.selectExpr(*aggs)
+    entries = ", ".join(
+        f"struct({i} as i, {j} as j, "
+        f"round(sxy{i}_{j} / n - (sx{i} / n) * (sx{j} / n), {round_dp}) as cov)"
+        for i, j in pairs
     )
-    return one.select(F.explode(entries).alias("e")).select(
-        F.col("e.i").alias("i"), F.col("e.j").alias("j"), F.col("e.cov").alias("cov")
-    )
+    return one.selectExpr(f"inline(array({entries}))")
