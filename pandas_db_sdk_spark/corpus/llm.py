@@ -3270,3 +3270,33 @@ def d88(spark, sf_dir):
     identical exact sums per (i, j)."""
     e = tables(spark, sf_dir)("embeddings")
     return similarity.embedding_covariance(e, "embedding", dims=8)
+
+
+@q(
+    "d89_source_kl_divergence",
+    """WITH tok AS (
+         SELECT source AS src, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       cnt AS (SELECT src, tok, count(*) AS c_st FROM tok
+               WHERE tok <> '' GROUP BY 1, 2),
+       tot AS (SELECT src, CAST(sum(c_st) AS BIGINT) AS t_s FROM cnt GROUP BY 1),
+       corpus AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM cnt GROUP BY 1),
+       n AS (SELECT CAST(sum(t_s) AS BIGINT) AS n_total FROM tot)
+       SELECT cnt.src AS source, CAST(max(tot.t_s) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS vocab,
+              round(CAST(sum(CAST(
+                  (cnt.c_st::DOUBLE / tot.t_s)
+                  * round(ln((cnt.c_st::DOUBLE / tot.t_s)
+                             / (corpus.c_t::DOUBLE / n.n_total)), 12)
+                  AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_vs_corpus
+       FROM cnt JOIN corpus USING (tok) JOIN tot USING (src) CROSS JOIN n
+       GROUP BY 1""",
+)
+def d89(spark, sf_dir):
+    """D-ext (r6c): per-source token-distribution KL divergence from the
+    corpus (``text.source_kl_divergence``) — the DoReMi-style domain-
+    reweighting signal and the distributional generalization of d60's
+    facet-share drift. Token-keyed unhinted join, persisted count tree,
+    12-dp-ln DECIMAL accumulation."""
+    d = tables(spark, sf_dir)("documents")
+    return text.source_kl_divergence(d, "text", "source")

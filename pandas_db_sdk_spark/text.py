@@ -1125,3 +1125,57 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), id_col)
         .limit(k)
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution divergence from the corpus: KL(q_s || p)
+    with q_s a source's unigram distribution and p the whole corpus's — the
+    domain-weighting primitive behind DoReMi-style mixture reweighting and
+    "which slice is unlike the rest" monitoring (a distributional upgrade of
+    the facet-share drift check).
+
+    One token explode → one (source, token) count (scratch-persisted: it
+    feeds the per-source totals, the corpus totals, AND the divergence
+    join). The divergence join is token-keyed and UNHINTED — corpus
+    vocabulary is data-derived, so AQE picks broadcast only when it fits
+    (the d05 tf-idf convention). Per-source totals are source-cardinality-
+    sized and broadcast. Each ln term is rounded 12 dp at birth and the
+    q·ln products accumulate in DECIMAL(28,12) (tie-free casts), so the
+    sum is association-free and engine-exact; the libm last-ulp caveat is
+    the documented d65/d58 treatment.
+
+    Returns (source, n_tokens, vocab, kl_vs_corpus) — kl >= 0, 0 iff the
+    source's distribution equals the corpus's.
+    """
+    from ._scratch import scratch_persist
+
+    tok = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = scratch_persist(
+        tok.groupBy("src", "tok").agg(F.count("*").alias("c_st")),
+        "srckl/source_token_counts",
+    )
+    tot = cnt.groupBy("src").agg(F.sum("c_st").alias("t_s"))
+    corpus = cnt.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n = tot.agg(F.sum("t_s").alias("n_total"))
+    q = F.col("c_st") / F.col("t_s")
+    p = F.col("c_t") / F.col("n_total")
+    term = (q * F.round(F.log(q / p), 12)).cast("decimal(28,12)")
+    return (
+        cnt.join(corpus, "tok")
+        .join(F.broadcast(tot), "src")
+        .crossJoin(F.broadcast(n))
+        .groupBy("src")
+        .agg(
+            F.max("t_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.round(F.sum(term).cast("double"), 6).alias("kl_vs_corpus"),
+        )
+        .withColumnRenamed("src", "source")
+    )

@@ -703,6 +703,9 @@ def test_round6c_shuffle_budgets(spark, queries):
         "x36_revenue_concentration": 8,
         "x37_multitouch_attribution": 4,
         "d88_embedding_covariance": 2,
+        # persisted (source, token) counts feed totals/corpus/divergence;
+        # token join unhinted (AQE), source totals broadcast
+        "d89_source_kl_divergence": 10,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))
@@ -716,6 +719,7 @@ def test_round6c_shuffle_budgets(spark, queries):
         "c88_chi_square_independence",
         "x35_survival_km",
         "x36_revenue_concentration",
+        "d89_source_kl_divergence",
     ):
         plan = plan_of(queries[name](spark, SF))
         assert "InMemoryTableScan" in plan, f"{name}: scratch persist not in plan"

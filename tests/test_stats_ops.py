@@ -107,3 +107,31 @@ def test_chi_square_zero_on_perfectly_independent_table(spark):
     out = QUERIES["c88_chi_square_independence"](spark, d).collect()[0]
     assert out["chi2"] == pytest.approx(0.0, abs=1e-9)
     assert out["dof"] == 3
+
+
+def test_source_kl_nonnegative_and_zero_for_identical_sources(spark):
+    from pandas_db_sdk_spark.text import source_kl_divergence
+
+    out = {
+        r["source"]: r["kl_vs_corpus"]
+        for r in source_kl_divergence(
+            spark.createDataFrame(
+                [("a", "x y z"), ("b", "x y z"), ("c", "x x q")],
+                "source string, text string",
+            )
+        ).collect()
+    }
+    # a and b share the corpus-identical distribution only if the corpus
+    # equals theirs — it doesn't (c skews it), but KL is still >= 0
+    assert all(v >= 0.0 for v in out.values()), out
+    # two identical single-source corpora -> KL exactly 0
+    out2 = {
+        r["source"]: r["kl_vs_corpus"]
+        for r in source_kl_divergence(
+            spark.createDataFrame(
+                [("a", "x y"), ("a", "z"), ("b", "x y"), ("b", "z")],
+                "source string, text string",
+            )
+        ).collect()
+    }
+    assert out2 == {"a": 0.0, "b": 0.0}

@@ -588,3 +588,55 @@ def test_ohlc_stream_matches_batch(spark, events_dir, events_batch):
     expected = W.ohlc_candles(events_batch)
     keys = ["window_start_us", "event_type", "open", "high", "low", "close", "volume"]
     assert _rows(streamed, keys) == _rows(expected, keys)
+
+
+def test_streaming_ingest_feeds_incremental_rollup(spark, events_dir, events_batch, tmp_path):
+    """End-to-end continuous-rollup story: micro-batches land as engine
+    versions; refresh_rollup folds ONLY the new epochs into the
+    materialized aggregate; the final state equals the batch groupBy over
+    everything (the streaming counterpart of
+    test_rollup_incremental_matches_full_recompute)."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import stream_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    q = stream_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "live/events",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    eng.define_rollup(
+        "live/by_type",
+        "live/events",
+        ["event_type"],
+        {"n": ("count", None), "total": ("sum", "value"), "mx": ("max", "value")},
+    )
+    r = eng.refresh_rollup("live/by_type")
+    assert len(r["refreshed_versions"]) == len(
+        eng.list_datasets()["dataframes"]["live/events"]["versions"]
+    )
+    got = {
+        row["event_type"]: row.asDict()
+        for row in eng.read_rollup("live/by_type").collect()
+    }
+    want = {
+        row["event_type"]: row.asDict()
+        for row in events_batch.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert got[k]["mx"] == want[k]["mx"]
+        assert abs(got[k]["total"] - want[k]["total"]) < 1e-6
+    # a second refresh with no new epochs is a no-op
+    assert eng.refresh_rollup("live/by_type")["refreshed_versions"] == []
