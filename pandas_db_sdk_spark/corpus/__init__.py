@@ -254,7 +254,8 @@ _R06_NEW = frozenset(
     d86_bm25_topk d87_cluster_medoids c86_acf_daily_revenue
     c87_welch_ttest c88_chi_square_independence x35_survival_km
     x36_revenue_concentration x37_multitouch_attribution
-    d88_embedding_covariance d89_source_kl_divergence""".split()
+    d88_embedding_covariance d89_source_kl_divergence c89_mann_whitney
+    x38_supplier_skyline""".split()
 )
 
 

@@ -1182,3 +1182,76 @@ def c88(spark, sf_dir):
             .alias("dof"),
         )
     )
+
+
+@q(
+    "c89_mann_whitney",
+    """WITH g AS (
+         SELECT round(c_acctbal, 2) AS v,
+                CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS isa
+         FROM customer),
+       grid AS (SELECT v, CAST(sum(isa) AS BIGINT) AS na,
+                       CAST(sum(1 - isa) AS BIGINT) AS nb
+                FROM g GROUP BY 1),
+       cum AS (SELECT v, na, nb,
+                      sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - nb
+                          AS cumb
+               FROM grid),
+       u AS (SELECT CAST(sum(CAST(na * cumb + 0.5 * na * nb
+                                  AS DECIMAL(28,1))) AS DOUBLE) AS u_stat,
+                    CAST(sum(na) AS BIGINT) AS n1,
+                    CAST(sum(nb) AS BIGINT) AS n2
+             FROM cum)
+       SELECT n1, n2, u_stat,
+              round((u_stat - n1 * n2 / 2.0)
+                    / sqrt(n1 * n2 * (n1 + n2 + 1.0) / 12.0), 4) AS z
+       FROM u""",
+)
+def c89(spark, sf_dir):
+    """C28-ext (r6c): Mann–Whitney U rank-sum test (AUTOMOBILE balances vs
+    the rest) — the nonparametric companion to c87's Welch t, immune to the
+    heavy tails that drag moment-based tests. NO global ranking of the
+    corpus: the data collapses to one row per DISTINCT 2-dp balance — a
+    VALUE-GRID-bounded frame (~1.1M cells max at any corpus size) — and
+    U = sum(nA·cumB(<v) + ½·nA·nB) over that grid via one cumulative
+    window (single-partition safe by grid boundedness). Every term is a
+    half-integer, exact in DECIMAL(28,1); z uses the no-tie-correction
+    normal approximation (documented; both engines share the formula).
+    Scale: the only data-sized operation is the first groupBy."""
+    from pyspark.sql import Window as W
+
+    c = tables(spark, sf_dir)("customer")
+    g = c.select(
+        F.round("c_acctbal", 2).alias("v"),
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(0).alias("isa"),
+    )
+    grid = g.groupBy("v").agg(
+        F.sum("isa").cast("long").alias("na"),
+        F.sum(1 - F.col("isa")).cast("long").alias("nb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = grid.withColumn("cumb", F.sum("nb").over(w) - F.col("nb"))
+    u = cum.agg(
+        F.sum(
+            (
+                F.col("na") * F.col("cumb")
+                + 0.5 * F.col("na") * F.col("nb")
+            ).cast("decimal(28,1)")
+        )
+        .cast("double")
+        .alias("u_stat"),
+        F.sum("na").cast("long").alias("n1"),
+        F.sum("nb").cast("long").alias("n2"),
+    )
+    return u.select(
+        "n1",
+        "n2",
+        "u_stat",
+        F.round(
+            (F.col("u_stat") - F.col("n1") * F.col("n2") / 2.0)
+            / F.sqrt(
+                F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1.0) / 12.0
+            ),
+            4,
+        ).alias("z"),
+    )

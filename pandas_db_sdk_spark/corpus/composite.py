@@ -1928,3 +1928,68 @@ def x37(spark, sf_dir):
         F.count("*").cast("long").alias("n_touches"),
         F.sum(F.col("a").cast(REV_DEC)).cast("double").alias("attributed"),
     )
+
+
+@q(
+    "x38_supplier_skyline",
+    """WITH m AS (
+         SELECT s.s_nationkey, l.l_suppkey,
+                round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(*), 6) AS avg_price,
+                round(CAST(sum(CAST(l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                      / count(*), 6) AS avg_disc
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2),
+       pts AS (SELECT DISTINCT s_nationkey, avg_price, avg_disc FROM m),
+       sky AS (SELECT p.* FROM pts p
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM pts q
+                 WHERE q.s_nationkey = p.s_nationkey
+                   AND q.avg_price <= p.avg_price
+                   AND q.avg_disc >= p.avg_disc
+                   AND (q.avg_price < p.avg_price OR q.avg_disc > p.avg_disc)))
+       SELECT n.n_name, sky.avg_price, sky.avg_disc
+       FROM sky JOIN nation n ON sky.s_nationkey = n.n_nationkey""",
+)
+def x38(spark, sf_dir):
+    """Composite (r6c): per-nation Pareto frontier (SKYLINE operator —
+    Börzsönyi et al. ICDE'01) of supplier offers: minimize average price,
+    maximize average discount; a point survives iff nothing is at least as
+    good on both axes and strictly better on one. Spark has no skyline
+    node; the 2-D case collapses to sorted-order arithmetic — per (nation,
+    price) keep the best discount, then one NATION-KEYED window ordered by
+    price keeps rows beating the strict-prefix cummax of discount. That is
+    O(n log n) per nation with ZERO pair comparisons, while the oracle pays
+    the O(n²) NOT-EXISTS dominance join — the sweep-line-vs-pair-join
+    shape of x33. Metrics are decimal-exact means rounded 6 dp at birth,
+    so the dominance decisions are engine-exact."""
+    from pyspark.sql import Window as W
+
+    t = tables(spark, sf_dir)
+    li = t("lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = t("supplier").select("s_suppkey", "s_nationkey")
+    m = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.round(davg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(davg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+    pts = m.select("s_nationkey", "avg_price", "avg_disc").distinct()
+    best = pts.groupBy("s_nationkey", "avg_price").agg(
+        F.max("avg_disc").alias("avg_disc")
+    )
+    w = (
+        W.partitionBy("s_nationkey")
+        .orderBy("avg_price")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = best.withColumn("prefix_best", F.max("avg_disc").over(w)).filter(
+        F.col("prefix_best").isNull()
+        | (F.col("avg_disc") > F.col("prefix_best"))
+    )
+    nn = t("nation").select("n_nationkey", "n_name")
+    return sky.join(
+        F.broadcast(nn), sky.s_nationkey == nn.n_nationkey
+    ).select("n_name", "avg_price", "avg_disc")

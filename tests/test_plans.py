@@ -706,6 +706,10 @@ def test_round6c_shuffle_budgets(spark, queries):
         # persisted (source, token) counts feed totals/corpus/divergence;
         # token join unhinted (AQE), source totals broadcast
         "d89_source_kl_divergence": 10,
+        # one value-grid groupBy + the grid-sized window/final agg
+        "c89_mann_whitney": 3,
+        # supplier-keyed agg, nation-keyed price window, broadcast nation
+        "x38_supplier_skyline": 6,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))

@@ -135,3 +135,64 @@ def test_source_kl_nonnegative_and_zero_for_identical_sources(spark):
         ).collect()
     }
     assert out2 == {"a": 0.0, "b": 0.0}
+
+
+def test_mann_whitney_matches_bruteforce_pair_count(spark, queries):
+    row = queries["c89_mann_whitney"](spark, SF).collect()[0]
+    from pandas_db_sdk_spark.io import tables
+
+    pdf = (
+        tables(spark, SF)("customer")
+        .select(F.round("c_acctbal", 2).alias("v"), "c_mktsegment")
+        .toPandas()
+    )
+    a = sorted(pdf[pdf.c_mktsegment == "AUTOMOBILE"].v)
+    b = sorted(pdf[pdf.c_mktsegment != "AUTOMOBILE"].v)
+    u = sum((1.0 if x > y else 0.5 if x == y else 0.0) for x in a for y in b)
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert row["u_stat"] == pytest.approx(u, abs=1e-9)
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark, queries):
+    sky = {
+        (r["n_name"], r["avg_price"], r["avg_disc"])
+        for r in queries["x38_supplier_skyline"](spark, SF).collect()
+    }
+    from pandas_db_sdk_spark.io import tables
+
+    t = tables(spark, SF)
+    li = t("lineitem")
+    s = t("supplier")
+    n = t("nation")
+    pts = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("p"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("d"),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "p", "d")
+        .distinct()
+        .collect()
+    )
+    by_nation = {}
+    for r in pts:
+        by_nation.setdefault(r["n_name"], []).append((r["p"], r["d"]))
+    want = set()
+    for nation, ps in by_nation.items():
+        for p, d in ps:
+            dominated = any(
+                (q <= p and e >= d and (q < p or e > d)) for q, e in ps
+            )
+            if not dominated:
+                want.add((nation, p, d))
+    assert sky == want
