@@ -3300,3 +3300,66 @@ def d89(spark, sf_dir):
     12-dp-ln DECIMAL accumulation."""
     d = tables(spark, sf_dir)("documents")
     return text.source_kl_divergence(d, "text", "source")
+
+
+@q(
+    "d90_kmv_set_ops",
+    """WITH dist AS (SELECT DISTINCT year(o_orderdate) AS g,
+                            (o_custkey * 1327217885) % 2147483647 AS h
+                     FROM orders),
+       sk AS (SELECT g, h FROM (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+                FROM dist) WHERE rk <= 64),
+       sizes AS (SELECT g, count(*) AS nd FROM dist GROUP BY 1),
+       un AS (SELECT pair, h FROM (
+                SELECT pair, h,
+                       row_number() OVER (PARTITION BY pair ORDER BY h) AS rk
+                FROM (SELECT DISTINCT pair, h FROM (
+                        SELECT g AS pair, h FROM sk
+                        UNION SELECT g - 1 AS pair, h FROM sk)))
+              WHERE rk <= 64),
+       ustat AS (SELECT pair, count(*) AS u_seen, max(h) AS u_kth
+                 FROM un GROUP BY 1),
+       b AS (SELECT un.pair, count(*) AS n_both FROM un
+             JOIN sk sa ON sa.g = un.pair AND sa.h = un.h
+             JOIN sk sb ON sb.g = un.pair + 1 AND sb.h = un.h
+             GROUP BY 1),
+       vals AS (SELECT DISTINCT year(o_orderdate) AS g, o_custkey AS v
+                FROM orders),
+       exi AS (SELECT l.g AS pair, count(*) AS exact_int
+               FROM vals l JOIN vals r ON r.g = l.g + 1 AND r.v = l.v
+               GROUP BY 1),
+       j AS (SELECT u.pair, u.u_seen, u.u_kth,
+                    sa.nd AS n_a, sb.nd AS n_b,
+                    coalesce(b.n_both, 0) AS n_both,
+                    coalesce(exi.exact_int, 0) AS exact_int,
+                    CASE WHEN u.u_seen < 64 THEN u.u_seen::DOUBLE
+                         ELSE round(63.0 * 2147483647 / u.u_kth, 4) END AS est_u
+             FROM ustat u
+             JOIN sizes sa ON sa.g = u.pair
+             JOIN sizes sb ON sb.g = u.pair + 1
+             LEFT JOIN b ON b.pair = u.pair
+             LEFT JOIN exi ON exi.pair = u.pair)
+       SELECT pair AS group_a, pair + 1 AS group_b,
+              CAST(n_a AS BIGINT) AS exact_a, CAST(n_b AS BIGINT) AS exact_b,
+              est_u AS est_union,
+              round(n_both::DOUBLE / u_seen, 6) AS est_jaccard,
+              round((n_both::DOUBLE / u_seen) * est_u, 4) AS est_intersection,
+              CAST(n_a + n_b - exact_int AS BIGINT) AS exact_union,
+              CAST(exact_int AS BIGINT) AS exact_intersection
+       FROM j""",
+)
+def d90(spark, sf_dir):
+    """Sketch tier (r6c): KMV sketch ALGEBRA (``sketches.kmv_set_ops``) —
+    union/intersection/Jaccard estimation between consecutive order-year
+    customer cohorts by MERGING bottom-k sketches (Beyer SIGMOD'07), the
+    operation that lets per-partition/per-epoch sketches roll up without a
+    second data pass at 100 TB. The d78 modular-permutation hash keeps the
+    estimates themselves oracle-certifiable; exact pair truth rides along
+    for the rel-err audit."""
+    from .. import sketches
+
+    o = tables(spark, sf_dir)("orders").select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    return sketches.kmv_set_ops(o, "yr", "o_custkey", k=64)

@@ -419,3 +419,110 @@ def count_min_frequency(
             .alias("overcount"),
         )
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    mult: int = 1_327_217_885,
+    modulus: int = 2_147_483_647,
+) -> DataFrame:
+    """Sketch ALGEBRA over KMV sketches — for every consecutive integer
+    group pair (g, g+1): estimated |A∪B|, |A∩B| and Jaccard, plus the
+    exact values for the rel-err audit. This is the mergeability story
+    that makes bottom-k sketches the 100 TB tool: two groups' sketches
+    combine into the union's sketch by keeping the k smallest of their
+    (≤2k) hashes — no second pass over data — and ρ = |union-sketch ∩
+    A-sketch ∩ B-sketch| / |union-sketch| estimates Jaccard, so
+    |A∩B| ≈ ρ·|A∪B| (Beyer et al., SIGMOD'07).
+
+    The ONLY data-sized operation is the first distinct collapse; every
+    later frame is k-bounded per group. The ``kmv_distinct`` modular-
+    permutation hash (a bijection, plain integer arithmetic in any
+    engine) makes the estimates themselves oracle-certifiable, and when a
+    pair's union sketch is unsaturated (< k hashes) the "estimates"
+    are exact by construction.
+    """
+    from pyspark.sql import Window
+
+    from ._scratch import scratch_persist
+
+    h = F.pmod(F.col(value_col).cast("long") * mult, F.lit(modulus))
+    dist = df.select(F.col(group_col).alias("g"), h.alias("__h")).distinct()
+    w = Window.partitionBy("g").orderBy("__h")
+    sk = scratch_persist(
+        dist.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k),
+        "kmvset/group_sketches",
+    )
+    sizes = dist.groupBy("g").agg(F.count("*").alias("nd"))
+
+    a = sk.select(F.col("g").alias("pair"), "__h")
+    b = sk.select((F.col("g") - 1).alias("pair"), "__h")
+    wu = Window.partitionBy("pair").orderBy("__h")
+    un = scratch_persist(
+        a.unionByName(b)
+        .distinct()
+        .withColumn("__rk", F.row_number().over(wu))
+        .filter(F.col("__rk") <= k),
+        "kmvset/union_sketches",
+    )
+    ustat = un.groupBy("pair").agg(
+        F.count("*").alias("u_seen"), F.max("__h").alias("u_kth")
+    )
+    both = (
+        un.join(a, ["pair", "__h"])
+        .join(b, ["pair", "__h"])
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_both"))
+    )
+
+    # exact pair truth: distinct values per group, year-keyed equi joins
+    vals = scratch_persist(
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v")).distinct(),
+        "kmvset/group_values",
+    )
+    ex_int = (
+        vals.alias("l")
+        .join(
+            vals.select((F.col("g") - 1).alias("g"), "v").alias("r"),
+            ["g", "v"],
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("exact_int"))
+        .withColumnRenamed("g", "pair")
+    )
+
+    est_u = F.when(F.col("u_seen") < k, F.col("u_seen").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * modulus / F.col("u_kth"), 4)
+    )
+    out = (
+        ustat.join(
+            F.broadcast(sizes.select(F.col("g").alias("pair"), F.col("nd").alias("n_a"))),
+            "pair",
+        )
+        .join(
+            F.broadcast(
+                sizes.select((F.col("g") - 1).alias("pair"), F.col("nd").alias("n_b"))
+            ),
+            "pair",
+        )
+        .join(F.broadcast(both), "pair", "left")
+        .join(F.broadcast(ex_int), "pair", "left")
+        .fillna({"n_both": 0, "exact_int": 0})
+    )
+    jac = F.col("n_both") / F.col("u_seen")
+    return out.select(
+        F.col("pair").alias("group_a"),
+        (F.col("pair") + 1).alias("group_b"),
+        F.col("n_a").cast("long").alias("exact_a"),
+        F.col("n_b").cast("long").alias("exact_b"),
+        est_u.alias("est_union"),
+        F.round(jac, 6).alias("est_jaccard"),
+        F.round(jac * est_u, 4).alias("est_intersection"),
+        (F.col("n_a") + F.col("n_b") - F.col("exact_int"))
+        .cast("long")
+        .alias("exact_union"),
+        F.col("exact_int").cast("long").alias("exact_intersection"),
+    )

@@ -710,6 +710,11 @@ def test_round6c_shuffle_budgets(spark, queries):
         "c89_mann_whitney": 3,
         # supplier-keyed agg, nation-keyed price window, broadcast nation
         "x38_supplier_skyline": 6,
+        # sketch algebra stitches many K-BOUNDED frames (group sketches,
+        # union sketches, membership joins, pair-bounded broadcasts); the
+        # only data-sized exchanges are the two distinct collapses and
+        # the year-keyed exact-audit join
+        "d90_kmv_set_ops": 20,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))

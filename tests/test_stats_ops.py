@@ -196,3 +196,32 @@ def test_skyline_is_exactly_the_nondominated_set(spark, queries):
             if not dominated:
                 want.add((nation, p, d))
     assert sky == want
+
+
+def test_kmv_set_ops_exact_when_unsaturated_and_bounded(spark):
+    """With < k distinct values per group the sketches are complete, so
+    the 'estimates' must equal the exact values; intersection can never
+    exceed either side."""
+    from pandas_db_sdk_spark.sketches import kmv_set_ops
+
+    rows = [(1, v) for v in range(10)] + [(2, v) for v in range(5, 20)]
+    df = spark.createDataFrame(rows, "g int, v long")
+    out = kmv_set_ops(df, "g", "v", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == (1, 2)
+    assert r["exact_a"] == 10 and r["exact_b"] == 15
+    assert r["exact_intersection"] == 5 and r["exact_union"] == 20
+    assert r["est_union"] == 20.0
+    assert r["est_intersection"] == 5.0
+    assert r["est_jaccard"] == pytest.approx(0.25)
+
+
+def test_kmv_set_ops_estimates_track_truth_on_fixture(spark, queries):
+    for r in queries["d90_kmv_set_ops"](spark, SF).collect():
+        assert r["est_union"] > 0
+        # bottom-64 sketch: loose 50% band is enough to catch a broken
+        # estimator while staying deterministic
+        assert abs(r["est_union"] / r["exact_union"] - 1) < 0.5, r
+        if r["exact_intersection"] > 0:
+            assert r["est_intersection"] >= 0
