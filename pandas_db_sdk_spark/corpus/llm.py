@@ -3363,3 +3363,126 @@ def d90(spark, sf_dir):
         F.year("o_orderdate").alias("yr"), "o_custkey"
     )
     return sketches.kmv_set_ops(o, "yr", "o_custkey", k=64)
+
+
+@q(
+    "d91_k_anonymity_audit",
+    """WITH g AS (
+         SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                count(*) AS sz,
+                count(DISTINCT c_acctbal) AS l_div
+         FROM customer GROUP BY 1, 2, 3)
+       SELECT CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(min(sz) AS BIGINT) AS min_group_size,
+              CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_small_groups,
+              CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                  AS n_rows_at_risk,
+              round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::DOUBLE
+                    / sum(sz), 6) AS suppression_rate,
+              CAST(min(l_div) AS BIGINT) AS min_l_diversity
+       FROM g""",
+)
+def d91(spark, sf_dir):
+    """D-ext (r6c): k-anonymity / l-diversity audit over the quasi-
+    identifier triple (nation, segment, coarse balance bucket) — the
+    privacy gate a training-data release runs next to d14's PII flags:
+    groups smaller than k are re-identifiable and their row mass is the
+    suppression cost; min l-diversity is the homogeneity-attack bound
+    (Sweeney '02 / Machanavajjhala '07). One QI-keyed aggregation (map-
+    side partial) collapses the corpus to the QI-group frame; the audit
+    summary is a second, group-frame-sized agg — counts are integer-
+    exact, the one ratio rounds 6 dp. At 100 TB the QI frame is
+    cardinality-bounded by the QI domain, not the data."""
+    c = tables(spark, sf_dir)("customer")
+    g = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("c_acctbal").alias("l_div"),
+    )
+    small = F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(small).cast("long").alias("n_rows_at_risk"),
+        F.round(F.sum(small).cast("double") / F.sum("sz"), 6).alias(
+            "suppression_rate"
+        ),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+    )
+
+
+@q(
+    "d92_source_data_card",
+    """WITH d AS (
+         SELECT source, text, md5(text) AS th,
+                len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS n_words
+         FROM documents),
+       tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+       voc AS (SELECT source, count(DISTINCT tok) AS vocab
+               FROM tok WHERE tok <> '' GROUP BY 1)
+       SELECT d.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_words) AS BIGINT) AS total_words,
+              round(sum(n_words)::DOUBLE / count(*), 4) AS avg_words,
+              CAST(min(n_words) AS BIGINT) AS min_words,
+              CAST(max(n_words) AS BIGINT) AS max_words,
+              round(sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*), 6) AS pct_short,
+              round(1.0 - count(DISTINCT th)::DOUBLE / count(*), 6)
+                  AS exact_dup_rate,
+              CAST(any_value(v.vocab) AS BIGINT) AS vocab
+       FROM d JOIN voc v USING (source)
+       GROUP BY 1""",
+)
+def d92(spark, sf_dir):
+    """D-ext (r6c): the per-source DATA CARD — the release-artifact summary
+    every corpus ship runs last (Datasheets for Datasets, Gebru '18): doc
+    counts, token mass, length distribution, short-doc fraction, exact-
+    duplicate rate (1 − distinct text hashes / docs) and vocabulary size.
+    Two source-keyed aggregations (doc-level stats; token-level vocab) —
+    the doc pass carries a 128-bit text hash instead of the text, so the
+    shuffle is hash-sized; integer counts exact, the three ratios round.
+    At 100 TB this is the same two passes — both map-side-partial,
+    source-cardinality output."""
+    d = tables(spark, sf_dir)("documents")
+    docs = d.select(
+        "source",
+        F.md5("text").alias("th"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_words"),
+    )
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.sum("n_words").cast("double") / F.count("*"), 4).alias(
+            "avg_words"
+        ),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        F.round(
+            F.sum(F.when(F.col("n_words") < 50, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("pct_short"),
+        F.round(
+            1.0 - F.countDistinct("th").cast("double") / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+    )
+    voc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source")
+        .agg(F.countDistinct("tok").cast("long").alias("vocab"))
+    )
+    return base.join(F.broadcast(voc), "source")

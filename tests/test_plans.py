@@ -715,6 +715,10 @@ def test_round6c_shuffle_budgets(spark, queries):
         # only data-sized exchanges are the two distinct collapses and
         # the year-keyed exact-audit join
         "d90_kmv_set_ops": 20,
+        # QI-keyed agg -> group-frame summary; countDistinct expands once
+        "d91_k_anonymity_audit": 4,
+        # doc-stats pass (hash-sized shuffle) + token vocab pass + stitch
+        "d92_source_data_card": 6,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))
