@@ -619,3 +619,42 @@ def c84(spark, sf_dir):
     return TS.seasonal_decompose(
         daily, "o_orderpriority", "day", "value", period=7
     )
+
+
+@q(
+    "c90_holt_linear",
+    """WITH RECURSIVE e AS (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS rn
+         FROM events),
+       w AS (
+         SELECT user_id, event_id, rn, value AS l, 0.0::DOUBLE AS b
+         FROM e WHERE rn = 1
+         UNION ALL
+         SELECT e.user_id, e.event_id, e.rn,
+                0.3 * e.value + 0.7 * (w.l + w.b),
+                0.1 * ((0.3 * e.value + 0.7 * (w.l + w.b)) - w.l) + 0.9 * w.b
+         FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+       SELECT user_id, event_id, round(l, 6) AS level, round(b, 6) AS trend,
+              round(l + b, 6) AS forecast
+       FROM w""",
+)
+def c90(spark, sf_dir):
+    """Timeseries (r6c): per-user Holt double exponential smoothing
+    (α=0.3, β=0.1) — level+trend forecasting, c82's 2-state sibling
+    (``timeseries.holt_linear``: applyInPandas per key, numpy scan; one
+    user re-key, two floats of state per key). The oracle replays the
+    identical affine recurrence with a RECURSIVE CTE; same float-op
+    order, 6-dp rounding."""
+    from .. import timeseries as TS
+
+    e = tables(spark, sf_dir)("events")
+    out = TS.holt_linear(e, "user_id", ["ts", "event_id"], "value", 0.3, 0.1)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )

@@ -432,3 +432,58 @@ def seasonal_decompose(
             ).alias("resid"),
         )
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols,
+    order_cols,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) — the
+    forecasting step up from ``ewma`` when series drift:
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1},   l_0 = x_0, b_0 = 0
+
+    Like ewma this is a NON-associative scan (the [l, b] state is a
+    2-vector affine recurrence), so it runs on the sanctioned Arrow path:
+    ``applyInPandas`` per key with a numpy loop over the group — state is
+    two floats per key, group size is bounded by per-key history, and the
+    only shuffle is the key re-partition. The same float-op order as a
+    RECURSIVE CTE replay makes it oracle-exact to 6 dp.
+
+    Returns (*keys, *orders, value, level, trend, forecast) where
+    ``forecast`` is the one-step-ahead prediction l_t + b_t.
+    """
+    import numpy as np
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    orders = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    sub = df.select(*keys, *orders, value_col)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sub.schema.fields
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(orders, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=float)
+        lev = np.empty_like(x)
+        tr = np.empty_like(x)
+        l_p, b_p = x[0], 0.0
+        lev[0], tr[0] = l_p, b_p
+        for t in range(1, len(x)):
+            l_t = alpha * x[t] + (1.0 - alpha) * (l_p + b_p)
+            b_t = beta * (l_t - l_p) + (1.0 - beta) * b_p
+            lev[t], tr[t] = l_t, b_t
+            l_p, b_p = l_t, b_t
+        pdf["level"] = lev
+        pdf["trend"] = tr
+        pdf["forecast"] = lev + tr
+        return pdf
+
+    return sub.groupBy(*keys).applyInPandas(
+        fn, f"{fields}, level double, trend double, forecast double"
+    )

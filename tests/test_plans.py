@@ -719,6 +719,8 @@ def test_round6c_shuffle_budgets(spark, queries):
         "d91_k_anonymity_audit": 4,
         # doc-stats pass (hash-sized shuffle) + token vocab pass + stitch
         "d92_source_data_card": 6,
+        # the one key re-key every stateful per-key op pays (c82 shape)
+        "c90_holt_linear": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))
