@@ -1993,3 +1993,52 @@ def x38(spark, sf_dir):
     return sky.join(
         F.broadcast(nn), sky.s_nationkey == nn.n_nationkey
     ).select("n_name", "avg_price", "avg_disc")
+
+
+@q(
+    "x39_order_velocity",
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+                         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+                         o_totalprice
+                  FROM orders)
+       SELECT o_orderkey,
+              CAST(count(*) OVER w AS BIGINT) AS n_prior_90d,
+              CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w,
+                            0) AS DOUBLE) AS spend_prior_90d
+       FROM o
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                    RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)""",
+)
+def x39(spark, sf_dir):
+    """Composite (r6c): order-velocity features — for every order, the
+    customer's trailing-90-day order count and spend EXCLUDING the current
+    day (the fraud/credit feature-engineering staple). One customer-keyed
+    RANGE-frame window on integer epoch days (c39's range-window mechanics
+    on a real feature shape); the decimal sum keeps the trailing spend
+    exact under any partitioning. Same-day orders share a frame boundary,
+    so the 1-PRECEDING exclusion is deterministic (no intra-day ordering
+    dependence). Scale: one shuffle on the customer key, frames bounded by
+    per-customer 90-day history."""
+    from pyspark.sql import Window as W
+
+    o = tables(spark, sf_dir)("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .alias("d"),
+        "o_totalprice",
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-90, -1)
+    )
+    return o.select(
+        "o_orderkey",
+        F.count("*").over(w).cast("long").alias("n_prior_90d"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast(REV_DEC)).over(w), F.lit(0)
+        )
+        .cast("double")
+        .alias("spend_prior_90d"),
+    )

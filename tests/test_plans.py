@@ -721,6 +721,8 @@ def test_round6c_shuffle_budgets(spark, queries):
         "d92_source_data_card": 6,
         # the one key re-key every stateful per-key op pays (c82 shape)
         "c90_holt_linear": 2,
+        # one customer-keyed range-frame window
+        "x39_order_velocity": 2,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))
