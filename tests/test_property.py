@@ -578,3 +578,64 @@ def test_count_min_one_sided_on_random_streams(spark, vals, width):
         assert r.est_count >= r.true_count
         if width == 4096:
             assert r.est_count == r.true_count
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-1000, 1000)),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    refresh_after=st.sets(st.integers(0, 3)),
+)
+@SETTINGS
+def test_rollup_merge_equals_full_recompute_on_random_appends(
+    spark, tmp_path_factory, batches, refresh_after
+):
+    """Incremental-rollup algebra: for ANY append sequence and ANY
+    interleaving of refresh points, the final state equals the one-shot
+    groupBy over all appended rows (count/sum/min/max/avg merge laws)."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    wh = tmp_path_factory.mktemp("wh_prop")
+    eng = DataFrameEngine(spark, str(wh))
+    eng.save(
+        spark.createDataFrame(batches[0], "k string, v long"), "facts"
+    )
+    eng.define_rollup(
+        "r",
+        "facts",
+        ["k"],
+        {
+            "n": ("count", None),
+            "s": ("sum", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+            "m": ("avg", "v"),
+        },
+    )
+    for i, batch in enumerate(batches[1:], start=1):
+        eng.save(spark.createDataFrame(batch, "k string, v long"), "facts")
+        if i in refresh_after:
+            eng.refresh_rollup("r")
+    eng.refresh_rollup("r")
+    got = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"], r["m"])
+        for r in eng.read_rollup("r").collect()
+    }
+    import collections
+
+    rows = [t for b in batches for t in b]
+    byk = collections.defaultdict(list)
+    for k, v in rows:
+        byk[k].append(v)
+    for k, vs in byk.items():
+        n, s, lo, hi, m = got[k]
+        assert n == len(vs) and s == float(sum(vs))
+        assert lo == min(vs) and hi == max(vs)
+        assert abs(m - sum(vs) / len(vs)) < 1e-9
+    assert set(got) == set(byk)
