@@ -3486,3 +3486,31 @@ def d92(spark, sf_dir):
         .agg(F.countDistinct("tok").cast("long").alias("vocab"))
     )
     return base.join(F.broadcast(voc), "source")
+
+
+@q(
+    "d93_raw_pixel_stats",
+    """WITH px AS (
+         SELECT d.doc_id, c.c AS channel,
+                (7 * d.doc_id + 3 * x.x + 5 * y.y + 11 * c.c) % 256 AS v
+         FROM documents d, range(0, 16) x(x), range(0, 16) y(y),
+              range(0, 3) c(c))
+       SELECT doc_id, CAST(channel AS INT) AS channel,
+              round(sum(v)::DOUBLE / count(*), 6) AS mean,
+              CAST(min(v) AS INT) AS min, CAST(max(v) AS INT) AS max,
+              round(sqrt(sum(v*v)::DOUBLE / count(*)
+                         - (sum(v)::DOUBLE / count(*))
+                           * (sum(v)::DOUBLE / count(*))), 6) AS std
+       FROM px GROUP BY 1, 2""",
+)
+def d93(spark, sf_dir):
+    """D7-ext (r6c): REAL pixel-level feature extraction, certified
+    end-to-end — Spark synthesizes deterministic raw RGB888 frames
+    (``multimodal.synth_raw_rgb``) and computes per-channel mean/min/max/
+    std with numpy over Arrow batches (``raw_pixel_stats``); the oracle
+    regenerates every pixel arithmetically and aggregates. Extends the
+    d48 container tier down to DECODED-frame math: the only step still
+    stubbed in this environment is the codec between the two."""
+    d = tables(spark, sf_dir)("documents")
+    frames = multimodal.synth_raw_rgb(d, "doc_id")
+    return multimodal.raw_pixel_stats(frames, "payload", "doc_id")

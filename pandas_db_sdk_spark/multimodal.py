@@ -311,3 +311,91 @@ def parse_media_headers(
         f"{id_col} long, format string, width int, height int, bit_depth int, "
         "sample_rate int, n_channels int, duration_s double",
     )
+
+
+def synth_raw_rgb(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+) -> DataFrame:
+    """Deterministic raw RGB888 bitmap per row — pixel value
+    ``(7·id + 3·x + 5·y + 11·c) mod 256`` in row-major (y, x, c) layout.
+    No container, no codec: this is the DECODED frame a real image
+    pipeline would hand to feature extraction, so the pixel tier below
+    can run REAL numpy math end-to-end in this environment (the container
+    tier is d48; the codec step proper stays the documented stub).
+    Arrow-batched mapInPandas, same contract as ``synth_media_payload``."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3), indexing="ij"
+        )
+        base = (3 * x + 5 * y + 11 * c).astype(np.int64)
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                arr = ((7 * int(i) + base) % 256).astype(np.uint8)
+                out.append((int(i), width, height, arr.tobytes()))
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "payload"]
+            )
+
+    return df.select(id_col).mapInPandas(
+        build, f"{id_col} long, width int, height int, payload binary"
+    )
+
+
+def raw_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-channel pixel statistics over raw RGB888 frames — the
+    feature-extraction tier of the multimodal surface running REAL pixel
+    math (numpy over Arrow batches): channel mean, min, max and population
+    std per (frame, channel).
+
+    Integer pixel sums are exact (≤ 2^53 by construction), so mean and the
+    sqrt(E[v²]−E[v]²) std use one double division/sqrt each — bit-identical
+    to any engine replaying the same arithmetic, which is what lets the
+    d93 oracle certify the whole synth→decode→aggregate path without a
+    codec. Scale: pure mapInPandas, zero shuffles; one output row per
+    (frame, channel)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, w, h, buf in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf[payload_col]
+            ):
+                arr = (
+                    np.frombuffer(buf, dtype=np.uint8)
+                    .reshape(int(h), int(w), 3)
+                    .astype(np.int64)
+                )
+                n = int(h) * int(w)
+                for ch in range(3):
+                    v = arr[:, :, ch]
+                    s = int(v.sum())
+                    ss = int((v * v).sum())
+                    mean = s / n
+                    var = ss / n - mean * mean
+                    rows.append(
+                        (
+                            int(i),
+                            ch,
+                            round(mean, 6),
+                            int(v.min()),
+                            int(v.max()),
+                            round(var**0.5, 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "channel", "mean", "min", "max", "std"],
+            )
+
+    return df.mapInPandas(
+        stats,
+        f"{id_col} long, channel int, mean double, min int, max int, std double",
+    )

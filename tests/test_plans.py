@@ -723,6 +723,8 @@ def test_round6c_shuffle_budgets(spark, queries):
         "c90_holt_linear": 2,
         # one customer-keyed range-frame window
         "x39_order_velocity": 2,
+        # pure mapInPandas pixel tier: zero exchanges
+        "d93_raw_pixel_stats": 0,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))
