@@ -467,7 +467,53 @@ class DataFrameEngine:
             else:
                 pinned = self.load(ds_name, use_last=use_last)
             pinned.createOrReplaceTempView(view)
+        # saved views layer on top of the dataset views, in definition
+        # order (a later view may reference an earlier one; stored as an
+        # ordered pair list because the manifest serializes sort_keys)
+        for vname, vsql in self._read_manifest().get("views", []):
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS {vsql}"
+            )
         return self.spark.sql(query)
+
+    def define_view(self, view_name: str, view_sql: str) -> None:
+        """Persist a named SQL view in the catalog — the virtual-dataset
+        layer: every subsequent ``sql()`` call (this engine or a fresh one
+        on the same warehouse) resolves it against the then-current
+        catalog state. Views store TEXT in the manifest (zero data, zero
+        maintenance cost — contrast ``define_rollup`` for the materialized
+        form); a view may reference dataset views and previously defined
+        views. The name must be a valid SQL identifier and not collide
+        with a dataset's view name."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", view_name or ""):
+            raise ValueError("view_name must be a SQL identifier")
+        if not view_sql or not isinstance(view_sql, str):
+            raise ValueError("view_sql must be a non-empty SQL string")
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            ds_views = {n.replace("/", "_") for n in manifest["datasets"]}
+            if view_name in ds_views:
+                raise ValueError(
+                    f"{view_name!r} collides with a dataset view name"
+                )
+            views = [v for v in manifest.get("views", []) if v[0] != view_name]
+            views.append([view_name, view_sql])
+            manifest["views"] = views
+            self._write_manifest(manifest)
+
+    def drop_view(self, view_name: str) -> None:
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            views = manifest.get("views", [])
+            if view_name not in {v[0] for v in views}:
+                raise DatasetNotFound(f"view {view_name!r} is not defined")
+            manifest["views"] = [v for v in views if v[0] != view_name]
+            self._write_manifest(manifest)
+
+    def list_views(self) -> Dict[str, str]:
+        return {name: sql for name, sql in self._read_manifest().get("views", [])}
 
     # ---------------------------------------------------------------- merge
 

@@ -1477,3 +1477,39 @@ def test_rollup_validation_and_crash_semantics(engine, spark):
     engine.refresh_rollup("r")
     got = {r["k"]: r["s"] for r in engine.read_rollup("r").collect()}
     assert got == {"a": 1.0, "b": 2.0}
+
+
+# ------------------------------------------------------------------ saved views
+
+
+def test_saved_views_resolve_in_sql_and_persist(engine, spark, tmp_path):
+    from pandas_db_sdk_spark.engine import DataFrameEngine, DatasetNotFound
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 2.0)], "k string, v double"
+    )
+    engine.save(df, "facts")
+    engine.define_view("facts_by_k", "SELECT k, sum(v) AS s FROM facts GROUP BY k")
+    # views may stack on earlier views
+    engine.define_view("big_keys", "SELECT k FROM facts_by_k WHERE s > 2.5")
+    got = {r["k"]: r["s"] for r in engine.sql("SELECT * FROM facts_by_k").collect()}
+    assert got == {"a": 4.0, "b": 2.0}
+    assert [r["k"] for r in engine.sql("SELECT * FROM big_keys").collect()] == ["a"]
+    assert set(engine.list_views()) == {"facts_by_k", "big_keys"}
+    # a FRESH engine over the same warehouse sees the views and the
+    # current catalog state
+    eng2 = DataFrameEngine(spark, engine.warehouse)
+    engine.save(spark.createDataFrame([("b", 9.0)], "k string, v double"), "facts")
+    got2 = {r["k"]: r["s"] for r in eng2.sql("SELECT * FROM facts_by_k").collect()}
+    assert got2 == {"a": 4.0, "b": 11.0}
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.define_view("not an identifier", "SELECT 1")
+    with _pytest.raises(ValueError):
+        engine.define_view("facts", "SELECT 1")  # collides with dataset view
+    with _pytest.raises(DatasetNotFound):
+        engine.drop_view("nope")
+    engine.drop_view("big_keys")
+    assert set(engine.list_views()) == {"facts_by_k"}
