@@ -257,7 +257,7 @@ _R06_NEW = frozenset(
     d88_embedding_covariance d89_source_kl_divergence c89_mann_whitney
     x38_supplier_skyline d90_kmv_set_ops d91_k_anonymity_audit
     d92_source_data_card c90_holt_linear x39_order_velocity
-    d93_raw_pixel_stats""".split()
+    d93_raw_pixel_stats x40_cohort_ltv""".split()
 )
 
 

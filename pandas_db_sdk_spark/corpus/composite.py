@@ -2042,3 +2042,82 @@ def x39(spark, sf_dir):
         .cast("double")
         .alias("spend_prior_90d"),
     )
+
+
+@q(
+    "x40_cohort_ltv",
+    """WITH o AS (SELECT o_custkey,
+                         (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+                         o_totalprice
+                  FROM orders),
+       c AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+       sz AS (SELECT cohort, count(*) AS n_customers FROM c GROUP BY 1),
+       r AS (SELECT c.cohort, o.m - c.cohort AS offset_m,
+                    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                        AS rev
+             FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+       cum AS (SELECT cohort, offset_m, rev,
+                      CAST(sum(CAST(rev AS DECIMAL(18,4)))
+                           OVER (PARTITION BY cohort ORDER BY offset_m
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                          AS cum_rev
+               FROM r)
+       SELECT cum.cohort AS cohort_month,
+              CAST(cum.offset_m AS BIGINT) AS month_offset,
+              CAST(sz.n_customers AS BIGINT) AS n_customers,
+              cum.rev AS revenue, cum.cum_rev AS cum_revenue,
+              round(cum.cum_rev / sz.n_customers, 6) AS ltv_per_customer
+       FROM cum JOIN sz USING (cohort)""",
+)
+def x40(spark, sf_dir):
+    """Composite (r6c): cohort LTV curves — cumulative revenue per
+    acquisition cohort (first-order month) by months-since-acquisition,
+    normalized per cohort head — x34's retention matrix with money on it,
+    the other half of the product-analytics pair. Cohort month is pure
+    integer arithmetic (year*12+month — no date_trunc origin skew). Two
+    customer-keyed aggs + one cohort-keyed cumulative window over the
+    calendar-bounded (cohort × offset) matrix; revenue rides DECIMAL both
+    in the monthly cells and the running sum, so the curve is exact at
+    any partitioning. The per-customer lifetimes frame is scratch-
+    persisted (feeds the size table and the offset join)."""
+    from pyspark.sql import Window as W
+
+    from .._scratch import scratch_persist
+
+    o = tables(spark, sf_dir)("orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        "o_totalprice",
+    )
+    c = scratch_persist(
+        o.groupBy("o_custkey").agg(F.min("m").alias("cohort")), "x40/cohorts"
+    )
+    sz = c.groupBy("cohort").agg(F.count("*").alias("n_customers"))
+    r = (
+        o.join(c, "o_custkey")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("offset_m"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(REV_DEC))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("offset_m")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = r.withColumn(
+        "cum_rev",
+        F.sum(F.col("rev").cast(REV_DEC)).over(w).cast("double"),
+    )
+    return cum.join(F.broadcast(sz), "cohort").select(
+        F.col("cohort").alias("cohort_month"),
+        F.col("offset_m").cast("long").alias("month_offset"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("rev").alias("revenue"),
+        F.col("cum_rev").alias("cum_revenue"),
+        F.round(F.col("cum_rev") / F.col("n_customers"), 6).alias(
+            "ltv_per_customer"
+        ),
+    )

@@ -725,6 +725,8 @@ def test_round6c_shuffle_budgets(spark, queries):
         "x39_order_velocity": 2,
         # pure mapInPandas pixel tier: zero exchanges
         "d93_raw_pixel_stats": 0,
+        # persisted cohort tree; customer/cohort aggs + keyed cum window
+        "x40_cohort_ltv": 7,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))
