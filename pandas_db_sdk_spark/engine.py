@@ -1556,6 +1556,10 @@ class DataFrameEngine:
         orphan state version that no reader sees (``read_rollup`` pins the
         spec's state_version) and the next refresh redoes the same merge
         from the old base — idempotent, never double-counted.
+
+        State versions accumulate like any dataset's (each refresh is a
+        new version — the rollup's own time travel); prune history with
+        ``retain_last(rollup_name, n)`` when the audit trail isn't needed.
         """
         spec = self._rollup_spec(rollup_name)
         src = self._dataset_entry(spec["source"])
