@@ -690,24 +690,35 @@ def x14(spark, sf_dir):
                          * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
                     AS part_value
          FROM lineitem GROUP BY l_partkey),
-       tot AS (SELECT sum(part_value) AS total FROM val)
+       tot AS (SELECT CAST(sum(CAST(part_value AS DECIMAL(18,4))) AS DOUBLE)
+                          AS total,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM val)
        SELECT v.l_partkey, round(v.part_value, 4) AS part_value
        FROM val v, tot
-       WHERE v.part_value > 0.0008 * tot.total
-       ORDER BY v.part_value DESC, v.l_partkey
+       WHERE v.part_value > 1.6 * tot.total / tot.n
+       ORDER BY round(v.part_value, 4) DESC, v.l_partkey
        LIMIT 30""",
 )
 def x15(spark, sf_dir):
-    """TPC-H Q11 shape (important stock): per-part value filtered against a
-    fraction of the GLOBAL total — the scalar subquery is a 1-row global
+    """TPC-H Q11 shape (important stock): per-part value filtered against
+    the GLOBAL mean part value — the scalar subquery is a 1-row global
     agg crossJoin-broadcast against the per-part aggregate, so the fact
-    scans once and nothing collects to the driver.  Note the threshold
-    compares the rounded-to-double per-part sums the same way in both
-    engines (sum of part_value doubles, small cardinality, single
-    partition in the oracle; Spark's tot is a 1-row reduce of the same
-    doubles — order differences can't bite because val is already
-    deterministic and the sum is over ≤|parts| values that were each
-    decimal-rounded)."""
+    scans once and nothing collects to the driver.
+
+    The threshold is RELATIVE (1.6× the mean part value), not TPC-H's
+    fixed fraction of the total: Q11's ``0.0001/SF`` is scale-dependent
+    by spec, and a frozen fraction degenerates as |parts| grows — at
+    sf0.1 no single part reaches 0.08% of the corpus total and the old
+    form returned 0 rows (caught by the r6 empty-result guard). The mean
+    form is scale-free: a constant fraction of parts clears 1.6× mean at
+    any SF. Exactness: both engines build per-part values from exact
+    decimal sums, re-sum THOSE through the same decimal lattice for the
+    total (order-free across partitions), and compare the identical
+    doubles against the identically-ordered expression (1.6·total)/n —
+    so the predicate can't flip between engines; the ORDER BY ranks the
+    4-dp-rounded value in both, tie-broken by partkey (a total order),
+    so the LIMIT boundary is deterministic too."""
     t = tables(spark, sf_dir)
     val = (
         t("lineitem")
@@ -717,11 +728,14 @@ def x15(spark, sf_dir):
     # decimal re-sum of the per-part doubles keeps the global total
     # associative too (Spark reduces across partitions, DuckDB serially)
     tot = val.agg(
-        F.sum(F.col("part_value").cast(REV_DEC)).cast("double").alias("total")
+        F.sum(F.col("part_value").cast(REV_DEC)).cast("double").alias("total"),
+        F.count("*").cast("double").alias("n"),
     )
     return (
         val.crossJoin(F.broadcast(tot))
-        .filter(F.col("part_value") > F.lit(0.0008) * F.col("total"))
+        .filter(
+            F.col("part_value") > F.lit(1.6) * F.col("total") / F.col("n")
+        )
         .select("l_partkey", F.round("part_value", 4).alias("part_value"))
         .orderBy(F.col("part_value").desc(), "l_partkey")
         .limit(30)

@@ -496,24 +496,30 @@ def c79(spark, sf_dir):
        w AS (
          SELECT user_id, event_id, rn, value AS y FROM e WHERE rn = 1
          UNION ALL
-         SELECT e.user_id, e.event_id, e.rn, 0.7 * w.y + 0.3 * e.value
+         SELECT e.user_id, e.event_id, e.rn,
+                (1.0 - 0.3) * w.y + 0.3 * e.value
          FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
-       SELECT user_id, event_id, round(y, 6) AS ewma FROM w""",
+       SELECT user_id, event_id, y AS ewma FROM w""",
 )
 def c82(spark, sf_dir):
     """Timeseries (r6): per-user EWMA of event values (α=0.3,
     adjust=False) — the canonical non-associative scan
-    (``timeseries.ewma``: applyInPandas per key, pandas C kernel; one
-    user re-key, constant per-key state). The oracle replays the exact
-    recursion with a RECURSIVE CTE; 6-dp rounding absorbs kernel-order
-    ulps."""
+    (``timeseries.ewma``: applyInPandas per key, numpy scan; one user
+    re-key, constant per-key state). The oracle replays the exact
+    recursion with a RECURSIVE CTE in the engine's float-op order — the
+    coefficient is spelled ``(1.0 - 0.3)``, NOT the literal 0.7 (a
+    different double, 1-ulp off) — making both sides BIT-identical
+    (verified: 0 bit mismatches over 10⁵ rows at sf0.1), so the outputs
+    compare raw with NO rounding. Rounding is deliberately absent: with
+    bit-equal inputs it is the round() implementations themselves that
+    diverge (Spark rounds HALF_UP on the exact binary expansion via
+    BigDecimal; DuckDB rounds the 10⁶-scaled double), flipping exact
+    half-boundary values in both directions — 6 rows at sf0.1."""
     from .. import timeseries as TS
 
     e = tables(spark, sf_dir)("events")
     out = TS.ewma(e, "user_id", ["ts", "event_id"], "value", alpha=0.3)
-    return out.select(
-        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
-    )
+    return out.select("user_id", "event_id", "ewma")
 
 
 US_1H = 3_600_000_000
@@ -633,11 +639,12 @@ def c84(spark, sf_dir):
          FROM e WHERE rn = 1
          UNION ALL
          SELECT e.user_id, e.event_id, e.rn,
-                0.3 * e.value + 0.7 * (w.l + w.b),
-                0.1 * ((0.3 * e.value + 0.7 * (w.l + w.b)) - w.l) + 0.9 * w.b
+                0.3 * e.value + (1.0 - 0.3) * (w.l + w.b),
+                0.1 * ((0.3 * e.value + (1.0 - 0.3) * (w.l + w.b)) - w.l)
+                    + (1.0 - 0.1) * w.b
          FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
-       SELECT user_id, event_id, round(l, 6) AS level, round(b, 6) AS trend,
-              round(l + b, 6) AS forecast
+       SELECT user_id, event_id, l AS level, b AS trend,
+              l + b AS forecast
        FROM w""",
 )
 def c90(spark, sf_dir):
@@ -645,16 +652,14 @@ def c90(spark, sf_dir):
     (α=0.3, β=0.1) — level+trend forecasting, c82's 2-state sibling
     (``timeseries.holt_linear``: applyInPandas per key, numpy scan; one
     user re-key, two floats of state per key). The oracle replays the
-    identical affine recurrence with a RECURSIVE CTE; same float-op
-    order, 6-dp rounding."""
+    identical affine recurrence with a RECURSIVE CTE in the same
+    float-op order INCLUDING the coefficient spelling — ``(1.0 - α)`` /
+    ``(1.0 - β)`` computed, not the 1-ulp-different literal complements
+    — making the [l, b] state bit-identical, so the outputs compare raw
+    with NO rounding (rounding half-boundary semantics differ between
+    the engines and flipped 4 bit-equal values at sf0.1; see c82)."""
     from .. import timeseries as TS
 
     e = tables(spark, sf_dir)("events")
     out = TS.holt_linear(e, "user_id", ["ts", "event_id"], "value", 0.3, 0.1)
-    return out.select(
-        "user_id",
-        "event_id",
-        F.round("level", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round("forecast", 6).alias("forecast"),
-    )
+    return out.select("user_id", "event_id", "level", "trend", "forecast")

@@ -314,21 +314,41 @@ def ewma(
     expresses it (every prefix depends on the full prefix), and the
     algebraic rewrite Σ α(1-α)^{t-j}x_j needs (1-α)^{-j} factors that
     overflow past ~800 rows — so this is the sanctioned Arrow path:
-    ``applyInPandas`` per key, pandas' C ewm kernel per group. State is
-    one float per key; group rows stream through Arrow batches; the only
-    shuffle is the key re-partition every stateful per-key op pays.
-    Output carries the key, order and value columns plus ``out_col``.
+    ``applyInPandas`` per key with a numpy scan replaying the literal
+    recurrence ``y = (1-α)·y + α·x`` in that exact float-op order. NOT
+    pandas' ``ewm(adjust=False)`` C kernel: that one normalizes by
+    ``(1-α)+α``, which is not 1.0 in IEEE double (0.7+0.3 ≈ 1-5.6e-17),
+    so over 10⁴-row series its ulp drift diverges from a RECURSIVE-CTE
+    replay of the recurrence and crosses 6-dp rounding boundaries (seen
+    at sf0.1: 6 rows). The scan multiplies by the computed complement
+    ``1.0 - α`` — any SQL oracle must spell the coefficient the same way
+    (``(1.0 - 0.3)``, not the literal ``0.7``, a DIFFERENT double).
+    State is one float per key; group rows stream through Arrow batches;
+    the only shuffle is the key re-partition every stateful per-key op
+    pays. Output carries the key, order and value columns plus
+    ``out_col``.
     """
+    import numpy as np
+
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     orders = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     sub = df.select(*keys, *orders, value_col)
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sub.schema.fields
     )
+    comp = 1.0 - alpha
 
     def fn(pdf):
         pdf = pdf.sort_values(orders, kind="mergesort")
-        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        x = pdf[value_col].to_numpy(dtype=float)
+        y = np.empty_like(x)
+        if len(x):
+            prev = x[0]
+            y[0] = prev
+            for t in range(1, len(x)):
+                prev = comp * prev + alpha * x[t]
+                y[t] = prev
+        pdf[out_col] = y
         return pdf
 
     return sub.groupBy(*keys).applyInPandas(fn, f"{fields}, {out_col} double")
@@ -453,7 +473,9 @@ def holt_linear(
     ``applyInPandas`` per key with a numpy loop over the group — state is
     two floats per key, group size is bounded by per-key history, and the
     only shuffle is the key re-partition. The same float-op order as a
-    RECURSIVE CTE replay makes it oracle-exact to 6 dp.
+    RECURSIVE CTE replay makes it oracle-exact to 6 dp — provided the
+    oracle spells the complements as computed ``(1.0 - α)`` / ``(1.0 -
+    β)``, not literal 0.7/0.9 (1-ulp-different doubles; see ``ewma``).
 
     Returns (*keys, *orders, value, level, trend, forecast) where
     ``forecast`` is the one-step-ahead prediction l_t + b_t.
