@@ -260,6 +260,12 @@ _R06_NEW = frozenset(
     d93_raw_pixel_stats x40_cohort_ltv""".split()
 )
 
+# Queries whose SEMANTICS changed in round 6 after an earlier driver row
+# (the _R05_RECHECK pattern): x15's fixed 0.0008-of-total threshold
+# degenerated to an empty result at sf0.1, so it moved to a scale-free
+# 1.6x-mean threshold — the old driver row certifies the dead form.
+_R06_RECHECK = frozenset({"x15_important_parts"})
+
 
 def _merged(attr):
     out = {}
@@ -293,8 +299,10 @@ def all_queries():
             return 0  # stale driver row (semantics changed in r5): d68/d69
         if name in _R05_NEW:
             return 1
+        if name in _R06_RECHECK:
+            return 2  # stale driver row (semantics changed in r6): x15
         if name in _R06_NEW:
-            return 2
+            return 3
         if name in _R05_VERIFIED:
             return 4
         if name in _R04_VERIFIED:
@@ -309,7 +317,7 @@ def all_queries():
             return 8
         if name in _RECHECK or name in _R03_NEW:
             return 5  # certified in r4 (safety net — all are in _R04_VERIFIED)
-        return 2  # not in any set: newest, after the _R05_NEW backlog
+        return 3  # not in any set: newest, with the _R06_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
