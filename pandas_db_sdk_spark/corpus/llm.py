@@ -2976,13 +2976,14 @@ def d77(spark, sf_dir):
 
 @q(
     "d81_cms_frequency",
-    """WITH js AS (SELECT unnest(range(0, 4)) AS j),
-       g AS (SELECT j, ((user_id + j) * 1327217885) % 2147483647 % 64 AS b,
+    """WITH js AS (SELECT unnest(range(0, 4)) AS j,
+                   unnest([1327217885, 48271, 16807, 69621]) AS m),
+       g AS (SELECT j, ((user_id + j) * m) % 2147483647 % 64 AS b,
                     count(*) AS c
              FROM events CROSS JOIN js GROUP BY 1, 2),
        probe AS (SELECT DISTINCT user_id FROM events WHERE user_id < 30),
        pc AS (SELECT user_id, j,
-                     ((user_id + j) * 1327217885) % 2147483647 % 64 AS b
+                     ((user_id + j) * m) % 2147483647 % 64 AS b
               FROM probe CROSS JOIN js),
        est AS (SELECT user_id, min(coalesce(c, 0)) AS est_count
                FROM pc LEFT JOIN g USING (j, b) GROUP BY 1),

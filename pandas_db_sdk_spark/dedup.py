@@ -39,6 +39,21 @@ def exact_dedup(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
     )
 
 
+def _safe_ceil_frac(threshold: float, n):
+    """``ceil(threshold * n)`` with the float product snapped to 9 dp first.
+
+    The prefix-filter lemma needs the exact rational ceil: for thresholds
+    whose binary double sits a hair ABOVE the rational value (0.55 * 100 =
+    55.000000000000007), a raw ``F.ceil`` rounds past the integer and
+    shortens the prefix below the lemma's bound — silently dropping
+    qualifying pairs and breaking the functions' EXACT contract. Snapping
+    to 9 dp restores the rational product for any threshold written with
+    <= 9 decimal digits while leaving genuinely fractional products
+    (the common case) untouched.
+    """
+    return F.ceil(F.round(F.lit(threshold) * n.cast("double"), 9))
+
+
 def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, size: int) -> DataFrame:
     """Explode each document into its distinct word-shingle HASHES:
     (__id, __h long), one row per distinct shingle.
@@ -628,7 +643,7 @@ def set_similarity_join(
         "set_similarity_join/docs",
     )
     n = F.size("__arr")
-    plen = (n - F.ceil(F.lit(threshold) * n.cast("double")) + 1).cast("int")
+    plen = (n - _safe_ceil_frac(threshold, n) + 1).cast("int")
     pref = docs.select(
         "__id",
         F.explode(
@@ -952,7 +967,7 @@ def containment_join(
         "containment_join/docs",
     )
     n = F.size("__arr")
-    plen = (n - F.ceil(F.lit(threshold) * n.cast("double")) + 1).cast("int")
+    plen = (n - _safe_ceil_frac(threshold, n) + 1).cast("int")
     pref = docs.select(
         "__id",
         F.explode(

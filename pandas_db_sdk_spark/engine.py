@@ -332,12 +332,18 @@ class DataFrameEngine:
             # duration the old rmtree-first path exposed), and a crash
             # inside it leaves the old tree recoverable under a hidden
             # name that fsck-class cleanup can reap.
-            retired = os.path.join(
-                path, f".__retired-{VERSION_COL}={version}-{uuid.uuid4().hex[:12]}"
-            )
-            os.rename(version_dir, retired)
-            os.rename(write_dir, version_dir)
-            shutil.rmtree(retired, ignore_errors=True)
+            if os.path.isdir(version_dir):
+                retired = os.path.join(
+                    path, f".__retired-{VERSION_COL}={version}-{uuid.uuid4().hex[:12]}"
+                )
+                os.rename(version_dir, retired)
+                os.rename(write_dir, version_dir)
+                shutil.rmtree(retired, ignore_errors=True)
+            else:
+                # the fsck "missing_versions" state: the committed label's
+                # dir vanished from disk — rename the stage straight in
+                # rather than abandoning the write on a FileNotFoundError
+                os.rename(write_dir, version_dir)
 
         # Data-skipping sidecar (Delta-stats analogue): per-file column
         # min/max from the freshly written parquet footers. Metadata-only —
@@ -1531,12 +1537,16 @@ class DataFrameEngine:
     def _rollup_state_cols(aggs):
         """State columns per output: avg keeps a (sum, count) pair; sums
         accumulate in DECIMAL(28,6) (exact, associative — the corpus-wide
-        dsum discipline); counts in long; min/max in the source type."""
+        dsum discipline); counts in long; min/max in the source type.
+
+        avg's count state is ``countcol`` — count(col), nulls skipped — so
+        read_rollup's sum/count reproduces SQL AVG on null-bearing columns;
+        only the user-facing ``count`` aggregate is count(*)."""
         cols = []
         for out, (fn, col) in aggs.items():
             if fn == "avg":
                 cols.append((f"__s_{out}_sum", "sum", col))
-                cols.append((f"__s_{out}_cnt", "count", col))
+                cols.append((f"__s_{out}_cnt", "countcol", col))
             else:
                 cols.append((f"__s_{out}", fn, col))
         return cols
@@ -1576,6 +1586,10 @@ class DataFrameEngine:
         for state, fn, col in self._rollup_state_cols(aggs):
             if fn == "count":
                 first_exprs.append(F.count(F.lit(1)).cast("long").alias(state))
+                merge_exprs.append(F.sum(state).cast("long").alias(state))
+            elif fn == "countcol":
+                # avg's denominator: nulls skipped, matching SQL AVG
+                first_exprs.append(F.count(F.col(col)).cast("long").alias(state))
                 merge_exprs.append(F.sum(state).cast("long").alias(state))
             elif fn == "sum":
                 # sum(decimal(28,6)) widens to (38,6); pin the stored state
@@ -1620,10 +1634,12 @@ class DataFrameEngine:
         out_cols = [F.col(k) for k in spec["keys"]]
         for out, (fn, col) in aggs.items():
             if fn == "avg":
+                # all-null group: count state is 0 -> NULL, exactly SQL AVG
                 out_cols.append(
-                    (
+                    F.when(
+                        F.col(f"__s_{out}_cnt") > 0,
                         F.col(f"__s_{out}_sum").cast("double")
-                        / F.col(f"__s_{out}_cnt")
+                        / F.col(f"__s_{out}_cnt"),
                     ).alias(out)
                 )
             elif fn == "sum":

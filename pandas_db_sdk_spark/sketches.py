@@ -280,9 +280,13 @@ def kmv_distinct(
     into a 48271n-wide prefix and inflates estimates ~p/(48271·n)-fold).
     Unlike xxhash64, both Spark and DuckDB compute it with plain integer
     arithmetic, which is what makes the ESTIMATE itself hash-certifiable
-    against the SQL oracle (d78). Values must stay below 2^63/mult ≈
-    6.9e9; cast wider domains down with pmod first (documented trade:
-    that reintroduces a collision term).
+    against the SQL oracle (d78). Two distinct value bounds apply:
+    the BIJECTION (no-collision) guarantee holds only below the modulus
+    (v and v+p collide mod p), i.e. values < 2_147_483_646; between that
+    and the 2^63/mult ≈ 6.9e9 int64-overflow bound the sketch still runs
+    but aliased values silently deflate n_seen/est_distinct. Cast wider
+    domains down with pmod first (documented trade: that reintroduces
+    the same collision term).
 
     Returns one row per key group: (*keys, est_distinct double,
     n_exact bigint, rel_err double).
@@ -321,6 +325,21 @@ def kmv_distinct(
     )
 
 
+# Classic full-period Lehmer/MCG multipliers mod 2^31-1 — one PER CMS ROW
+# (row 0 keeps the kmv/d78 golden-ratio multiplier). Distinct multipliers
+# make the rows distinct permutations, not affine shifts of one another.
+_CMS_MULTS = (
+    1_327_217_885,  # ⌊p/φ⌋, the kmv/d78 seed
+    48_271,         # Park–Miller revised
+    16_807,         # Lewis–Goodman–Miller
+    69_621,         # L'Ecuyer
+    630_360_016,    # Payne–Rabung–Bogyo
+    397_204_094,    # SAS/IMSL
+    950_706_376,    # Fishman–Moore
+    62_089_911,     # L'Ecuyer table
+)
+
+
 def count_min_frequency(
     df: DataFrame,
     value_col: str,
@@ -335,7 +354,14 @@ def count_min_frequency(
     the frequency of each probe key from a fixed depth x width counter
     grid instead of a groupBy over the full key domain.
 
-    The sketch is ``depth`` independent hash rows of ``width`` counters;
+    The sketch is ``depth`` pairwise-distinct hash rows of ``width``
+    counters — each row uses its OWN Lehmer multiplier (``_CMS_MULTS``),
+    so for any value pair the bucket deltas (u-v)*m_j mod p differ per
+    row and cross-row collisions decorrelate; a single shared multiplier
+    with affine shifts ((v+j)*m) makes every row a translate of row 0,
+    correlating collisions and voiding the e^-depth bound on regular or
+    adversarial key sets (only the one-sided est >= true guarantee would
+    survive). ``mult`` seeds row 0 for compatibility;
     an item increments one counter per row and its estimate is the MIN
     over its ``depth`` counters — always >= the true count (collisions
     only ever ADD), with the classic (eps = e/width, delta = e^-depth)
@@ -348,7 +374,7 @@ def count_min_frequency(
     The probe side broadcasts the finished sketch (depth*width rows)
     and takes the row-wise min.
 
-    Hashes are the d78/kmv modular-permutation family ((v + j) * mult
+    Hashes are the d78/kmv modular-permutation family ((v + j) * m_j
     mod p mod width — plain integer arithmetic in both Spark and DuckDB,
     so the ESTIMATES themselves hash-certify against a SQL oracle; no
     error-band indirection). Values must stay below 2^63/mult ~ 6.9e9;
@@ -357,6 +383,12 @@ def count_min_frequency(
     Returns one row per distinct probe key: (probe_col, est_count
     bigint, true_count bigint, overcount bigint >= 0).
     """
+    if depth > len(_CMS_MULTS):
+        raise ValueError(
+            f"depth {depth} exceeds the {len(_CMS_MULTS)} independent hash rows"
+        )
+    # row 0 honours the caller's mult; rows 1+ take their own multipliers
+    mults = (mult,) + _CMS_MULTS[1:] if mult != _CMS_MULTS[0] else _CMS_MULTS
     v = F.col(value_col).cast("long")
     cells = df.select(
         F.explode(
@@ -364,7 +396,7 @@ def count_min_frequency(
                 *[
                     F.struct(
                         F.lit(j).alias("__j"),
-                        F.pmod(F.pmod((v + j) * mult, F.lit(modulus)), F.lit(width)).alias(
+                        F.pmod(F.pmod((v + j) * mults[j], F.lit(modulus)), F.lit(width)).alias(
                             "__b"
                         ),
                     )
@@ -386,7 +418,7 @@ def count_min_frequency(
                 *[
                     F.struct(
                         F.lit(j).alias("__j"),
-                        F.pmod(F.pmod((pv + j) * mult, F.lit(modulus)), F.lit(width)).alias(
+                        F.pmod(F.pmod((pv + j) * mults[j], F.lit(modulus)), F.lit(width)).alias(
                             "__b"
                         ),
                     )

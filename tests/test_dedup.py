@@ -363,3 +363,23 @@ def test_containment_join_finds_excerpt_inside_original(spark):
     assert (2, 1) in got and got[(2, 1)] == 1.0
     assert (1, 2) not in got  # 40-token doc is NOT contained in the excerpt
     assert not any(3 in k for k in got)
+
+
+def test_prefix_ceil_is_float_safe(spark):
+    """ceil(t * n) must equal the rational ceil even when the binary double
+    of t*n rounds a hair above the integer (0.55*100 -> 55.000000000000007,
+    raw ceil 56): a prefix one short of the lemma's bound silently drops
+    qualifying pairs, breaking set_similarity_join/containment_join's
+    EXACT contract."""
+    from pandas_db_sdk_spark.dedup import _safe_ceil_frac
+
+    rows = spark.range(1).select(
+        _safe_ceil_frac(0.55, F.lit(100)).alias("safe"),
+        F.ceil(F.lit(0.55) * F.lit(100).cast("double")).alias("raw"),
+        _safe_ceil_frac(0.7, F.lit(10)).alias("safe2"),
+        _safe_ceil_frac(0.65, F.lit(20)).alias("frac"),  # 13.0 exactly
+        _safe_ceil_frac(0.6, F.lit(7)).alias("frac2"),  # 4.2 -> 5
+    ).collect()[0]
+    assert rows.raw == 56  # the double artifact the helper exists to fix
+    assert rows.safe == 55 and rows.safe2 == 7
+    assert rows.frac == 13 and rows.frac2 == 5

@@ -437,6 +437,26 @@ def test_overwrite_version_is_replay_idempotent(engine, spark):
     assert engine.load("replay2").count() == 40
 
 
+def test_overwrite_tolerates_missing_version_dir(engine, spark):
+    """Overwriting a committed label whose dir vanished from disk (the fsck
+    'missing_versions' state) must land the staged tree, not abandon the
+    write on FileNotFoundError — the recovery path for a replayed epoch
+    after partial data loss."""
+    import os
+    import shutil as _sh
+
+    engine.save(spark.range(7), "ghost", external_key="e0", overwrite_version=True)
+    entry = engine._dataset_entry("ghost")
+    vdir = None
+    for d in os.listdir(entry["path"]):
+        if "e0" in d:
+            vdir = os.path.join(entry["path"], d)
+    assert vdir is not None
+    _sh.rmtree(vdir)
+    engine.save(spark.range(9), "ghost", external_key="e0", overwrite_version=True)
+    assert engine.load("ghost").count() == 9
+
+
 def test_append_after_compact_lands_in_relocated_dir(engine, spark):
     """compact() moves the dataset directory; a later append must follow the
     manifest path, not resurrect the deleted original dir."""
@@ -1400,6 +1420,34 @@ def test_rollup_incremental_matches_full_recompute(engine, spark):
     r3 = engine.refresh_rollup("facts_by_k")
     assert r3["refreshed_versions"] == []
     assert r3["state_version"] == r2["state_version"]
+
+
+def test_rollup_avg_skips_nulls(engine, spark):
+    """avg state counts NON-NULL values (SQL AVG), not rows: a group with
+    nulls divides by count(col); an all-null group reads back NULL. The
+    standalone count aggregate stays count(*) by design."""
+    df1 = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("n", None)], "k string, v double"
+    )
+    df2 = spark.createDataFrame(
+        [("a", 20.0), ("a", None), ("n", None)], "k string, v double"
+    )
+    engine.save(df1, "nullfacts")
+    engine.define_rollup(
+        "nullfacts_by_k",
+        "nullfacts",
+        ["k"],
+        {"n_rows": ("count", None), "avg_v": ("avg", "v")},
+    )
+    engine.refresh_rollup("nullfacts_by_k")
+    engine.save(df2, "nullfacts")
+    engine.refresh_rollup("nullfacts_by_k")
+    got = {
+        r["k"]: r.asDict() for r in engine.read_rollup("nullfacts_by_k").collect()
+    }
+    assert got["a"]["n_rows"] == 4 and got["n"]["n_rows"] == 2
+    assert abs(got["a"]["avg_v"] - 15.0) < 1e-12  # 30 / 2, not 30 / 4
+    assert got["n"]["avg_v"] is None  # all-null group: SQL AVG is NULL
 
 
 def test_rollup_refresh_scans_only_new_versions(engine, spark):
