@@ -267,6 +267,40 @@ _R06_NEW = frozenset(
 _R06_RECHECK = frozenset({"x15_important_parts"})
 
 
+# Names driver-checked in CORRECTNESS_r06.json (round-6 window: the full
+# 25-row backlog plus 25 round-6 additions — 48 hash-green, d66/d76
+# rows-only by design).  They ride the tail; the NINE _R06_NEW members
+# past that window (d92/d93, x34–x40) are round 7's backlog and sort
+# first.
+_R06_VERIFIED = frozenset(
+    """c78_sessionize_gap c79_funnel_windows c80_entropy_by_group
+    c81_benford_digits c82_ewma c83_ohlc_resample c84_seasonal_decompose
+    c85_mad_outliers c86_acf_daily_revenue c87_welch_ttest
+    c88_chi_square_independence c89_mann_whitney c90_holt_linear
+    d47b_leakage_scrub_guarantees d48b_jpeg_headers d63_soft_dedup_weights
+    d64_rouge_overlap d65_doc_graph_pagerank d66_mmr_diverse_sample
+    d66b_mmr_guarantees d67_embedding_quantize_int8 d68_crossdup_matrix
+    d69_suffix_array_ngrams d70_wordpiece_tokenize
+    d71_ccnet_perplexity_buckets d72_minhash_band_tuning
+    d73_token_budget_pack d74_embedding_standardize d75_idf_rarity_score
+    d76_near_dup_clusters_simhash d76b_simhash_cluster_guarantees
+    d77_hierarchy_depth d78_kmv_distinct d79_triangle_count
+    d80_set_similarity_join d81_cms_frequency d82_token_pmi
+    d83_containment_join d84_silhouette d85_tfidf_doc_similarity
+    d86_bm25_topk d87_cluster_medoids d88_embedding_covariance
+    d89_source_kl_divergence d90_kmv_set_ops d91_k_anonymity_audit
+    x15_important_parts x31_reorder_rate x32_supplier_lead_time
+    x33_overlapping_shipments""".split()
+)
+
+
+# Queries ADDED in round 7 (never had a driver row).  They sort AFTER the
+# 9-row round-7 backlog (_R06_NEW members with no CORRECTNESS_r06 row).
+_R07_NEW = frozenset(
+    """""".split()
+)
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -291,33 +325,31 @@ def all_queries():
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-6 rotation (VERDICT round-5 item #1): the 25-row backlog —
-        # the d68/d69 stale-row rechecks + the round-5 additions — sorts
-        # FIRST; round-6 additions next; every driver-certified query
-        # rides the tail, most recently certified last.
-        if name in _R05_RECHECK and name not in _R05_VERIFIED:
-            return 0  # stale driver row (semantics changed in r5): d68/d69
-        if name in _R05_NEW:
+        # Round-7 rotation: the 9-row backlog (_R06_NEW members the r6
+        # window didn't reach — d92/d93, x34–x40) sorts FIRST; round-7
+        # additions next; every driver-certified query rides the tail,
+        # most recently certified last.
+        if name in _R06_NEW and name not in _R06_VERIFIED:
+            return 0  # round-7 backlog: past the r6 ~50-row window
+        if name in _R07_NEW:
             return 1
-        if name in _R06_RECHECK:
-            return 2  # stale driver row (semantics changed in r6): x15
-        if name in _R06_NEW:
-            return 3
+        if name in _R06_VERIFIED:
+            return 2  # covers _R05_NEW/_R05_RECHECK/_R06_RECHECK too
         if name in _R05_VERIFIED:
-            return 4
+            return 3
         if name in _R04_VERIFIED:
-            return 5
-        if name in _R04_NEW or name in _R04B_NEW:
-            return 4  # certified in r5 (safety net — all are in _R05_VERIFIED)
+            return 4
+        if name in _R04_NEW or name in _R04B_NEW or name in _R05_NEW:
+            return 3  # safety net — all certified by r5/r6
         if name in _R03_VERIFIED:
-            return 6
+            return 5
         if name in _R02_VERIFIED:
-            return 7
+            return 6
         if name in _R01_VERIFIED:
-            return 8
+            return 7
         if name in _RECHECK or name in _R03_NEW:
-            return 5  # certified in r4 (safety net — all are in _R04_VERIFIED)
-        return 3  # not in any set: newest, with the _R06_NEW group
+            return 4  # certified in r4 (safety net — all are in _R04_VERIFIED)
+        return 1  # not in any set: newest, with the _R07_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
