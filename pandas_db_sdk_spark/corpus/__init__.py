@@ -297,7 +297,9 @@ _R06_VERIFIED = frozenset(
 # Queries ADDED in round 7 (never had a driver row).  They sort AFTER the
 # 9-row round-7 backlog (_R06_NEW members with no CORRECTNESS_r06 row).
 _R07_NEW = frozenset(
-    """""".split()
+    """d94_connected_components d95_bfs_hops d96_skipgram_ppmi
+    c91_ks_test c92_lead_lag_xcorr c93_changepoint_cusum
+    x41_shipment_coverage""".split()
 )
 
 

@@ -1255,3 +1255,145 @@ def c89(spark, sf_dir):
             4,
         ).alias("z"),
     )
+
+
+@q(
+    "c91_ks_test",
+    """WITH g AS (SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                              THEN 'AUTOMOBILE' ELSE 'OTHER' END AS grp,
+                        c_acctbal AS v FROM customer),
+       wide AS (SELECT v,
+                       sum(CASE WHEN grp = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS c1,
+                       sum(CASE WHEN grp = 'OTHER' THEN 1 ELSE 0 END) AS c2
+                FROM g GROUP BY 1),
+       tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                      CAST(sum(c2) AS BIGINT) AS n2 FROM wide),
+       cum AS (SELECT v,
+                      sum(c1) OVER (ORDER BY v) AS a1,
+                      sum(c2) OVER (ORDER BY v) AS a2 FROM wide),
+       d AS (SELECT v, round(abs(a1::DOUBLE / t.n1 - a2::DOUBLE / t.n2), 9) AS dd
+             FROM cum, tot t),
+       mx AS (SELECT max(dd) AS m FROM d)
+       SELECT t.n1, t.n2, round(mx.m, 6) AS ks_stat, min(d.v) AS ks_at
+       FROM d, mx, tot t WHERE d.dd = mx.m GROUP BY 1, 2, 3""",
+)
+def c91(spark, sf_dir):
+    """C28-ext (r7): two-sample Kolmogorov–Smirnov statistic — the
+    DISTRIBUTION-SHAPE shift test completing the r6 significance tier
+    (c87 Welch compares means, c89 Mann–Whitney ranks; KS sees any shape
+    difference). ``stats.ks_two_sample``: one groupBy collapses rows to
+    per-distinct-value counts (value-domain-sized), ``scale.global_cumsum``
+    builds the ECDF numerators with range-partitioned prefix sums — no
+    single-task global window — and one max + broadcast-filter pass finds
+    the sup and its earliest location. ECDF steps are exact integer
+    ratios, so the statistic itself hash-certifies (9-dp snap before the
+    max, 6-dp report; the c86 corr treatment)."""
+    from .. import stats
+
+    c = tables(spark, sf_dir)("customer")
+    return stats.ks_two_sample(
+        c,
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", "AUTOMOBILE").otherwise(
+            "OTHER"
+        ),
+        "c_acctbal",
+    )
+
+
+@q(
+    "c92_lead_lag_xcorr",
+    """WITH daily AS (
+         SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+         FROM orders GROUP BY 1)
+       SELECT l.lag AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              round(corr(a.n_orders, b.rev), 6) AS xcorr
+       FROM (SELECT unnest(range(-7, 8)) AS lag) l
+       JOIN daily a ON true
+       JOIN daily b ON b.day = a.day + l.lag
+       GROUP BY 1""",
+)
+def c92(spark, sf_dir):
+    """C28-ext (r7): lead–lag CROSS-correlation between the daily order
+    count and daily revenue at lags −7..+7 — the "which series leads"
+    probe that c86's single-series ACF cannot answer. Same scale shape
+    as c86: the fact table collapses to one calendar-bounded daily row
+    FIRST (~2.5k rows at ANY corpus scale), the 15-lag × series join
+    broadcasts, corr is Spark's mergeable co-moment aggregate rounded
+    6 dp."""
+    from .._scratch import scratch_persist
+
+    o = tables(spark, sf_dir)("orders")
+    daily = scratch_persist(
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day")
+        ).agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("rev"),
+        ),
+        "c92/daily",
+    )
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("day").alias("a_day"), F.col("n_orders").alias("a_n"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("rev").alias("b_rev"))
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("b_day") == F.col("a_day") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.corr("a_n", "b_rev"), 6).alias("xcorr"),
+        )
+    )
+
+
+@q(
+    "c93_changepoint_cusum",
+    """WITH rev AS (
+         SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS r
+         FROM orders GROUP BY 1),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(r) AS DECIMAL(27,6)) AS s FROM rev),
+       cum AS (SELECT day,
+                      CAST(sum(r) OVER (ORDER BY day) AS DECIMAL(27,6)) AS cx,
+                      CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS ck
+               FROM rev),
+       u AS (SELECT day,
+                    abs(CAST(ns.n AS DECIMAL(10,0)) * cx
+                        - CAST(ck AS DECIMAL(10,0)) * ns.s) AS uu
+             FROM cum, ns),
+       mx AS (SELECT max(uu) AS m FROM u)
+       SELECT min(u.day) AS change_at, ns.n AS n_points,
+              round(CAST(mx.m AS DOUBLE) / ns.n, 6) AS max_abs_cusum,
+              round(CAST(ns.s AS DOUBLE) / ns.n, 6) AS mean
+       FROM u, mx, ns WHERE u.uu = mx.m GROUP BY 2, 3, 4""",
+)
+def c93(spark, sf_dir):
+    """C28-ext (r7): most-likely mean-shift changepoint of the daily
+    revenue series by the CUSUM criterion (argmax |Σ(x−x̄)|) — the "when
+    did this metric move" primitive behind drift alarms
+    (``timeseries.cusum_changepoint``). The criterion is evaluated
+    MULTIPLIED THROUGH by n (U_t = n·cum − t·Σ, same argmax, no
+    division), so every comparison happens on EXACT decimals and the
+    argmax hash-certifies; the running sum is ``scale.global_cumsum``
+    (range-partitioned prefix sums — no single-task window over data-
+    sized input; the series itself is calendar-bounded)."""
+    from .. import timeseries
+
+    o = tables(spark, sf_dir)("orders")
+    rev = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(28,4)").alias("r"))
+    out = timeseries.cusum_changepoint(rev, "day", "r")
+    return out.select(
+        F.col("change_at").cast("long").alias("change_at"),
+        "n_points",
+        "max_abs_cusum",
+        "mean",
+    )

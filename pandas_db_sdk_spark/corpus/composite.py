@@ -2135,3 +2135,61 @@ def x40(spark, sf_dir):
             "ltv_per_customer"
         ),
     )
+
+
+@q(
+    "x41_shipment_coverage",
+    """WITH iv AS (
+         SELECT l_suppkey,
+                date_diff('day', DATE '1970-01-01', l_shipdate) AS s,
+                date_diff('day', DATE '1970-01-01', l_shipdate)
+                  + 10 + l_partkey % 20 AS e
+         FROM lineitem),
+       o AS (SELECT l_suppkey, s, e,
+                    CASE WHEN s > coalesce(max(e) OVER (
+                           PARTITION BY l_suppkey ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s) + 1
+                         THEN 1 ELSE 0 END AS brk
+             FROM iv),
+       isl AS (SELECT l_suppkey, s, e,
+                      sum(brk) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM o),
+       agg AS (SELECT l_suppkey, island, count(*) AS n,
+                      max(e) - min(s) + 1 AS len,
+                      min(s) AS s0, max(e) AS e1
+               FROM isl GROUP BY 1, 2)
+       SELECT sup.s_name,
+              CAST(sum(n) AS BIGINT) AS n_intervals,
+              CAST(sum(len) AS BIGINT) AS covered_days,
+              CAST(max(e1) - min(s0) + 1 AS BIGINT) AS span_days
+       FROM agg JOIN supplier sup ON agg.l_suppkey = sup.s_suppkey
+       GROUP BY 1""",
+)
+def x41(spark, sf_dir):
+    """Composite (r7): shipment-coverage report — per supplier, how many
+    DISTINCT calendar days it had anything in transit (union length of
+    its [ship, ship + deterministic transit] intervals, the x33 transit
+    derivation) vs its total active span — the utilization complement to
+    x33's concurrency count. ``timeseries.interval_coverage``: classic
+    gaps-and-islands on ONE supplier-keyed window (running max end marks
+    island breaks, break-count numbers islands) + two keyed aggregates —
+    one exchange, O(n log n) per supplier, never a pair join; identical
+    in both engines, so fully hash-certified."""
+    from .. import timeseries
+
+    t = tables(spark, sf_dir)
+    ship_d = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).cast("long")
+    li = t("lineitem").select(
+        "l_suppkey",
+        ship_d.alias("ship_d"),
+        (ship_d + 10 + F.col("l_partkey") % 20).alias("receipt_d"),
+    )
+    out = timeseries.interval_coverage(li, "l_suppkey", "ship_d", "receipt_d")
+    return (
+        out.join(
+            t("supplier").select("s_suppkey", "s_name"),
+            out.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_name", "n_intervals", "covered_days", "span_days")
+    )

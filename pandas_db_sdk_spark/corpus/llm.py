@@ -3515,3 +3515,132 @@ def d93(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     frames = multimodal.synth_raw_rgb(d, "doc_id")
     return multimodal.raw_pixel_stats(frames, "payload", "doc_id")
+
+
+# Shared rare-token edge CTE (the d65 graph): docs sharing a word 3-gram
+# with document frequency 2-3, as a directed-both-ways distinct edge set.
+_ED_CTE = """w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+       prs AS (
+         SELECT id, unnest(list_distinct(
+           [array_to_string(ws[i:i+2], ' ')
+            FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)])) AS token
+         FROM w),
+       rare AS (
+         SELECT token, list_sort(list(id)) AS ids FROM prs GROUP BY token
+         HAVING count(*) BETWEEN 2 AND 3),
+       ed AS (
+         SELECT DISTINCT a.id AS s, b.id AS d
+         FROM (SELECT token, unnest(ids) AS id FROM rare) a
+         JOIN (SELECT token, unnest(ids) AS id FROM rare) b USING (token)
+         WHERE a.id <> b.id)"""
+
+
+@q(
+    "d94_connected_components",
+    "WITH RECURSIVE " + _ED_CTE + """,
+       reach(id, r) AS (
+         SELECT s, d FROM ed
+         UNION
+         SELECT rc.id, e.d FROM reach rc JOIN ed e ON e.s = rc.r
+       )
+       SELECT id AS doc_id, CAST(least(id, min(r)) AS BIGINT) AS cluster
+       FROM reach GROUP BY id""",
+)
+def d94(spark, sf_dir):
+    """Graph tier (r7): connected components over the d65 rare-token
+    co-occurrence graph — the transitive dedup-cluster primitive as a
+    STANDALONE certified operator (``dedup.connected_components``:
+    min-label propagation with per-round path compression, O(log
+    diameter) rounds of node-sized joins, localCheckpoint lineage). The
+    oracle is a DuckDB RECURSIVE CTE computing each node's full reachable
+    set and taking the min — O(Σ component²) single-node transitive
+    closure vs the engine's O(E log diam) label propagation; identical
+    labels certify the iterative distributed algorithm against a
+    declarative fixpoint."""
+    from .. import dedup, graph
+
+    d = tables(spark, sf_dir)("documents")
+    edges = graph.rare_token_edges(d, "doc_id", "text", min_df=2, max_df=3, shingle=3)
+    out = dedup.connected_components(edges, "id_a", "id_b")
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+@q(
+    "d95_bfs_hops",
+    "WITH RECURSIVE " + _ED_CTE + """,
+       seeds AS (SELECT DISTINCT s AS id FROM ed WHERE s % 23 = 0),
+       walk(id, dist) AS (
+         SELECT id, 0 FROM seeds
+         UNION
+         SELECT e.d, wk.dist + 1 FROM walk wk JOIN ed e ON e.s = wk.id
+         WHERE wk.dist < 30
+       )
+       SELECT id AS doc_id, CAST(min(dist) AS INT) AS hops
+       FROM walk GROUP BY id""",
+)
+def d95(spark, sf_dir):
+    """Graph tier (r7): minimum hop distance from a seed set (doc_id %
+    23 == 0 within the d65 rare-token graph) — the influence-radius /
+    contamination-spread primitive (``graph.bfs_hops``: Pregel-style
+    frontier relaxation; each round joins only the just-settled DELTA
+    against the edges, state stays node-sized, rounds = seed-set
+    eccentricity). The oracle is a depth-bounded DuckDB RECURSIVE CTE
+    enumerating all ≤30-hop walks and taking the min — safe because the
+    engine RAISES if any frontier survives 30 rounds (BFS settles level
+    L at round L, so convergence within 30 proves every distance < 30).
+    Unreachable nodes are absent on both sides."""
+    from .. import graph
+
+    d = tables(spark, sf_dir)("documents")
+    edges = graph.rare_token_edges(d, "doc_id", "text", min_df=2, max_df=3, shingle=3)
+    nodes = edges.select(F.col("id_a").alias("id")).union(
+        edges.select(F.col("id_b").alias("id"))
+    ).distinct()
+    seeds = nodes.filter(F.col("id") % 23 == 0)
+    out = graph.bfs_hops(edges, seeds, "id_a", "id_b", max_iter=30)
+    return out.select(F.col("id").alias("doc_id"), "hops")
+
+
+@q(
+    "d96_skipgram_ppmi",
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       pos AS (SELECT doc_id, i AS pos, ws[i] AS tok
+               FROM ws, LATERAL (
+                 SELECT unnest(range(1, len(ws) + 1)) AS i)),
+       vocab AS (SELECT tok FROM (
+         SELECT tok, count(*) AS c FROM pos GROUP BY tok
+         ORDER BY c DESC, tok LIMIT 50)),
+       h AS (SELECT p.doc_id, p.pos, p.tok FROM pos p JOIN vocab v USING (tok)),
+       pr AS (SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b,
+                     count(*) AS n_ab
+              FROM h a JOIN h b
+              ON a.doc_id = b.doc_id AND b.pos > a.pos
+                 AND b.pos <= a.pos + 3 AND a.tok <> b.tok
+              GROUP BY 1, 2),
+       t AS (SELECT sum(n_ab) AS tt FROM pr),
+       m AS (SELECT tok, sum(n) AS mm FROM (
+               SELECT tok_a AS tok, n_ab AS n FROM pr
+               UNION ALL SELECT tok_b, n_ab FROM pr) GROUP BY 1)
+       SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+              round(greatest(0, ln(4.0 * n_ab * tt / (ma.mm * mb.mm))), 6) AS ppmi
+       FROM pr JOIN m ma ON ma.tok = pr.tok_a
+               JOIN m mb ON mb.tok = pr.tok_b, t
+       WHERE n_ab >= 5
+       ORDER BY ppmi DESC, tok_a, tok_b LIMIT 20""",
+)
+def d96(spark, sf_dir):
+    """D5-ext (r7): top-20 token pairs by POSITIVE PMI at skip-gram
+    granularity — co-occurrence within ±3 token positions
+    (``text.skipgram_ppmi``), the word2vec-style phrase/syntax signal
+    d82's whole-document presence integrates away. The positional
+    self-join is vocab-pruned BEFORE pairing and banded to ±3 positions,
+    so the pair stream is O(tokens × window), never C(doc_len, 2);
+    probabilities derive from the pair table itself (exact-integer
+    marginals), so the ln's argument is an exact ratio and 6-dp rounding
+    pins it cross-engine (the d58/d82 libm treatment)."""
+    d = tables(spark, sf_dir)("documents")
+    return text.skipgram_ppmi(
+        d, "doc_id", "text", top_vocab=50, window=3, min_pair_count=5, k=20
+    )

@@ -260,3 +260,78 @@ def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFr
     n_tri = closed.agg(F.count("*").alias("n_triangles"))
     n_e = und.agg(F.count("*").alias("n_edges"))
     return n_e.crossJoin(F.broadcast(n_tri))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Minimum hop distance from a seed set over an undirected edge list —
+    Pregel-style frontier relaxation as pure DataFrame rounds.
+
+    ``seeds`` is a one-column DataFrame of seed node ids (distance 0).
+    Returns (id, hops int) for every node REACHABLE from a seed;
+    unreachable nodes are absent (their distance is undefined, and
+    emitting a sentinel would poison downstream minimums).
+
+    Scale shape: state is one row per REACHED node; each round joins the
+    newly-settled frontier (only rows improved last round — the delta,
+    never the full state) against the edge table, then min-merges into
+    the state. Rounds = eccentricity of the seed set, which for the
+    small-world graphs this targets (co-occurrence, near-dup, citation)
+    is tens, not thousands; localCheckpoint per round keeps lineage O(1).
+    Raises after ``max_iter`` rounds with a live frontier instead of
+    returning silently-truncated distances (the connected_components
+    discipline — truncation is a correctness bug, not a degraded mode).
+    """
+    e = (
+        edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .union(edges.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        .distinct()
+        .persist()
+    )
+    seed_col = seeds.columns[0]
+    state = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        reached = (
+            e.join(frontier.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg((F.min("hops") + 1).alias("hops"))
+        )
+        merged = (
+            state.unionByName(reached)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        # the delta: nodes whose distance just settled (new or improved)
+        frontier = (
+            merged.alias("m")
+            .join(state.alias("o"), "id", "left")
+            .filter(
+                F.col("o.hops").isNull() | (F.col("m.hops") < F.col("o.hops"))
+            )
+            .select("id", F.col("m.hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        state = merged
+    else:
+        if not frontier.isEmpty():
+            e.unpersist()
+            raise RuntimeError(
+                f"bfs_hops did not converge in {max_iter} rounds — seed-set "
+                "eccentricity exceeds max_iter; raise it for this graph"
+            )
+    e.unpersist()
+    return state.select("id", F.col("hops").cast("int").alias("hops"))

@@ -15,7 +15,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_regression", "corr_matrix"]
+__all__ = [
+    "group_regression",
+    "corr_matrix",
+    "weighted_median",
+    "mad_outliers",
+    "ks_two_sample",
+]
 
 
 def group_regression(
@@ -208,4 +214,73 @@ def mad_outliers(
             ).alias("n_outliers"),
         )
         .select(*keys, "n", "median", "mad", "n_outliers")
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic: sup over x of
+    |F1(x) - F2(x)| between the two groups ``group_col`` splits the rows
+    into — the distribution-shift test that sees SHAPE differences the
+    mean-based tests (Welch t, Mann–Whitney) integrate away.
+
+    ``group_col`` must be a two-valued column/Column expression; the
+    lexicographically smaller label is sample 1. Distributed shape: one
+    groupBy collapses the data to per-DISTINCT-VALUE counts (value-domain
+    -sized, not row-count-sized), ``scale.global_cumsum`` turns them into
+    ECDF numerators WITHOUT a single-task global window (range-partitioned
+    prefix sums; the only converging data is one totals row per
+    partition), and one max-aggregate finds the sup. ECDF steps are exact
+    integer/long ratios, so both engines compute bit-identical doubles
+    and the statistic itself is hash-certifiable.
+
+    Returns one row: (n1, n2, ks_stat, ks_at) — ks_at the smallest value
+    attaining the sup (deterministic tie-break).
+    """
+    from .scale import global_cumsum
+
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    per_value = df.groupBy(
+        F.col(value_col).alias("v"), g.alias("__g")
+    ).agg(F.count("*").alias("c"))
+    # bounded collect: at most 3 rows fetched, purely to validate arity
+    labels = [
+        r["__g"]
+        for r in per_value.select("__g").distinct().orderBy("__g").limit(3).collect()
+    ]
+    if len(labels) != 2:
+        raise ValueError(f"ks_two_sample needs exactly 2 groups, got {labels}")
+    wide = per_value.groupBy("v").agg(
+        F.sum(F.when(F.col("__g") == labels[0], F.col("c")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("__g") == labels[1], F.col("c")).otherwise(0)).alias("c2"),
+    )
+    cum = global_cumsum(wide, ["v"], {"a1": "c1", "a2": "c2"})
+    totals = wide.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n1",
+        "n2",
+        F.round(
+            F.abs(
+                F.col("a1").cast("double") / F.col("n1")
+                - F.col("a2").cast("double") / F.col("n2")
+            ),
+            ndigits + 3,
+        ).alias("__d"),
+    )
+    top = d.agg(F.max("__d").alias("__dmax"))
+    return (
+        d.join(F.broadcast(top), d["__d"] == top["__dmax"])
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(F.min("__dmax"), ndigits).alias("ks_stat"),
+            F.min("v").alias("ks_at"),
+        )
+        .select("n1", "n2", "ks_stat", "ks_at")
     )

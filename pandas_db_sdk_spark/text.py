@@ -1179,3 +1179,102 @@ def source_kl_divergence(
         )
         .withColumnRenamed("src", "source")
     )
+
+
+def skipgram_ppmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int = 50,
+    window: int = 3,
+    min_pair_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k token pairs by positive PMI at SKIP-GRAM granularity —
+    co-occurrence within ±``window`` token POSITIONS, the word2vec-style
+    counting that ``token_pmi``'s whole-document presence can't resolve
+    (doc-level PMI calls two tokens associated even when they sit
+    thousands of tokens apart; positional PMI is the phrase/syntax
+    signal).
+
+    Probabilities come from the pair table itself: with T total counted
+    pairs and m_a = Σ_b n_ab the pair-marginal, PPMI(a,b) =
+    max(0, ln(4·T·n_ab / (m_a·m_b))) — every input to the ln is an exact
+    integer, so the ratio and the 6-dp-rounded ln agree cross-engine
+    (the d58/d82 libm treatment).
+
+    Scale shape: positions are one posexplode; the vocabulary cut (top
+    ``top_vocab`` by occurrence) broadcasts and prunes BEFORE pairing,
+    and the positional self-join is equi on the doc id with a ±window
+    band — per-position fan-out is at most ``window``, so the pair
+    stream is O(corpus_tokens × window), never C(doc_len, 2). Marginals
+    and T are aggregates over the vocab²-bounded pair-count table.
+
+    Returns (tok_a, tok_b, n_ab bigint, ppmi double), the k highest-PPMI
+    pairs with support >= min_pair_count.
+    """
+    from ._scratch import scratch_persist
+
+    pos = scratch_persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "tok"),
+        ),
+        "skipgram_ppmi/pos",
+    )
+    vocab = (
+        pos.groupBy("tok")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), "tok")
+        .limit(top_vocab)
+        .select("tok")
+    )
+    hits = scratch_persist(pos.join(F.broadcast(vocab), "tok"), "skipgram_ppmi/hits")
+    a = hits.select("__id", F.col("__pos").alias("__pa"), F.col("tok").alias("__ta"))
+    b = hits.select("__id", F.col("__pos").alias("__pb"), F.col("tok").alias("__tb"))
+    pairs = scratch_persist(
+        a.join(b, "__id")
+        .filter(
+            (F.col("__pb") > F.col("__pa"))
+            & (F.col("__pb") <= F.col("__pa") + window)
+            & (F.col("__ta") != F.col("__tb"))
+        )
+        .groupBy(
+            F.least("__ta", "__tb").alias("tok_a"),
+            F.greatest("__ta", "__tb").alias("tok_b"),
+        )
+        .agg(F.count("*").alias("n_ab")),
+        "skipgram_ppmi/pairs",
+    )
+    total = pairs.agg(F.sum("n_ab").alias("__t"))
+    marg = (
+        pairs.select(F.col("tok_a").alias("tok"), "n_ab")
+        .unionAll(pairs.select(F.col("tok_b").alias("tok"), "n_ab"))
+        .groupBy("tok")
+        .agg(F.sum("n_ab").alias("__m"))
+    )
+    return (
+        pairs.filter(F.col("n_ab") >= min_pair_count)
+        .join(F.broadcast(marg.select(F.col("tok").alias("tok_a"), F.col("__m").alias("__ma"))), "tok_a")
+        .join(F.broadcast(marg.select(F.col("tok").alias("tok_b"), F.col("__m").alias("__mb"))), "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.lit(4.0)
+                        * F.col("n_ab").cast("double")
+                        * F.col("__t")
+                        / (F.col("__ma") * F.col("__mb"))
+                    ),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+        .orderBy(F.col("ppmi").desc(), "tok_a", "tok_b")
+        .limit(k)
+    )

@@ -509,3 +509,137 @@ def holt_linear(
     return sub.groupBy(*keys).applyInPandas(
         fn, f"{fields}, level double, trend double, forecast double"
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per group, the UNION length of its (closed, integer-day) intervals:
+    merge overlapping/touching intervals and sum the merged spans — "how
+    many distinct days was this supplier actually shipping", the
+    utilization/coverage complement to ``overlapping_interval_pairs``'s
+    concurrency count.
+
+    Classic gaps-and-islands on a group-keyed window: an interval starts
+    a new island iff its start exceeds the running max end of everything
+    earlier (closed intervals: start = max_end + 1 still touches via day
+    granularity only when start <= max_end + 1 — strictly greater by >1
+    opens a gap); the island id is the running count of such breaks, and
+    each island contributes max(end) - min(start) + 1 days. One exchange
+    (everything keyed by group), O(n log n) per group — never a pair
+    join.
+
+    Returns (group, n_intervals bigint, covered_days bigint,
+    span_days bigint).
+    """
+    from pyspark.sql import Window as W
+
+    w_order = W.partitionBy("__g").orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(w_order.rowsBetween(W.unboundedPreceding, -1))
+    base = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(start_col).alias("__s"),
+            F.col(end_col).alias("__e"),
+        )
+        .withColumn(
+            "__break",
+            (
+                F.col("__s")
+                > F.coalesce(prev_max_end, F.col("__s")) + 1
+            ).cast("int")
+            # the first row of a group has no predecessor: coalesce makes
+            # its break flag 0 so island ids start at 0
+        )
+        .withColumn(
+            "__island",
+            F.sum("__break").over(w_order.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    islands = base.groupBy("__g", "__island").agg(
+        F.count("*").alias("n"),
+        (F.max("__e") - F.min("__s") + 1).alias("len"),
+        F.min("__s").alias("s0"),
+        F.max("__e").alias("e1"),
+    )
+    return (
+        islands.groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.sum("n").cast("long").alias("n_intervals"),
+            F.sum("len").cast("long").alias("covered_days"),
+            (F.max("e1") - F.min("s0") + 1).cast("long").alias("span_days"),
+        )
+    )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint of a series by the CUSUM
+    criterion: with S_t = Σ_{i<=t} (x_i - x̄), the changepoint is the t
+    maximizing |S_t| (the exact argmax of the squared-error split
+    criterion for one mean shift). The "when did this metric move"
+    primitive behind drift alarms and incident timelines.
+
+    Distributed shape: the running sum is ``scale.global_cumsum``
+    (range-partitioned prefix sums — no single-task global window); the
+    criterion is evaluated MULTIPLIED THROUGH by n — U_t = n·cum_x(t) −
+    t·Σx, the same argmax as |S_t| since n > 0 — so every comparison
+    happens on EXACT decimals (no division, whose result type differs
+    between engines) and the argmax is hash-certifiable bit-for-bit.
+    The single division |U|/n back to S-units happens once, in double,
+    on the final 1-row result. One max-aggregate + one broadcast-filter
+    pass finds the earliest t attaining the max (deterministic
+    tie-break).
+
+    Returns one row: (change_at, n_points bigint, max_abs_cusum double,
+    mean double).
+    """
+    from .scale import global_cumsum
+
+    dec = "decimal(28,6)"
+    n_sum = series.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum(F.col(value_col).cast(dec)).cast(dec).alias("__sum"),
+    )
+    base = series.select(
+        F.col(order_col).alias("__t"),
+        F.col(value_col).cast(dec).alias("__x"),
+        F.lit(1).alias("__one"),
+    )
+    cum = global_cumsum(base, ["__t"], {"__cx": "__x", "__ck": "__one"})
+    scored = cum.crossJoin(F.broadcast(n_sum)).select(
+        "__t",
+        "__n",
+        "__sum",
+        # decimal(10,0) × decimal(27,6) → decimal(38,6): inside both
+        # engines' 38-digit ceiling, exact for any calendar-bounded n
+        F.abs(
+            F.col("__n").cast("decimal(10,0)")
+            * F.col("__cx").cast("decimal(27,6)")
+            - F.col("__ck").cast("decimal(10,0)")
+            * F.col("__sum").cast("decimal(27,6)")
+        ).alias("__u"),
+    )
+    top = scored.agg(F.max("__u").alias("__m"))
+    return (
+        scored.join(F.broadcast(top), scored["__u"] == top["__m"])
+        .groupBy("__n", "__sum", "__m")
+        .agg(F.min("__t").alias("change_at"))
+        .select(
+            "change_at",
+            F.col("__n").alias("n_points"),
+            F.round(
+                F.col("__m").cast("double") / F.col("__n"), ndigits
+            ).alias("max_abs_cusum"),
+            F.round(
+                F.col("__sum").cast("double") / F.col("__n"), ndigits
+            ).alias("mean"),
+        )
+    )

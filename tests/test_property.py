@@ -639,3 +639,70 @@ def test_rollup_merge_equals_full_recompute_on_random_appends(
         assert lo == min(vs) and hi == max(vs)
         assert abs(m - sum(vs) / len(vs)) < 1e-9
     assert set(got) == set(byk)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=30),
+    st.lists(st.integers(0, 15), min_size=1, max_size=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_bfs_hops_matches_driver_bfs(spark, pairs, seed_raw):
+    """bfs_hops == a driver-side BFS on random graphs: reachable nodes get
+    the exact min hop count, unreachable nodes are absent."""
+    from collections import deque
+
+    from pandas_db_sdk_spark import graph
+
+    edges = [(a, b) for a, b in pairs if a != b]
+    if not edges:
+        return
+    nodes = {n for e in edges for n in e}
+    seeds = sorted({s for s in seed_raw if s in nodes})
+    if not seeds:
+        seeds = [min(nodes)]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {r.id: r.hops for r in graph.bfs_hops(edf, sdf).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        n = dq.popleft()
+        for m in adj.get(n, ()):
+            if m not in want:
+                want[m] = want[n] + 1
+                dq.append(m)
+    assert got == want, (edges, seeds)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 40), st.integers(0, 6)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_interval_coverage_matches_day_set_union(spark, raw):
+    """interval_coverage's covered_days == |union of integer day ranges|
+    computed brute-force, span == max-min+1, on random overlapping/
+    touching/nested interval sets."""
+    from pandas_db_sdk_spark.timeseries import interval_coverage
+
+    data = [(g, s, s + ext) for g, s, ext in raw]
+    df = spark.createDataFrame(data, "g string, s long, e long")
+    got = {
+        r.g: (r.n_intervals, r.covered_days, r.span_days)
+        for r in interval_coverage(df, "g", "s", "e").collect()
+    }
+    for g in {d[0] for d in data}:
+        iv = [(s, e) for gg, s, e in data if gg == g]
+        days = set()
+        for s, e in iv:
+            days.update(range(s, e + 1))
+        want = (len(iv), len(days), max(e for _, e in iv) - min(s for s, _ in iv) + 1)
+        assert got[g] == want, (g, iv)

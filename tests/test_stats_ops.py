@@ -225,3 +225,43 @@ def test_kmv_set_ops_estimates_track_truth_on_fixture(spark, queries):
         assert abs(r["est_union"] / r["exact_union"] - 1) < 0.5, r
         if r["exact_intersection"] > 0:
             assert r["est_intersection"] >= 0
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """KS on a 4-vs-4 fixture with a known sup: F1 jumps at {1,2,3,4},
+    F2 at {3,4,5,6}; the max gap is 0.5 at value 2 (F1=0.5, F2=0)."""
+    from pandas_db_sdk_spark import stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+         ("b", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "grp string, v double",
+    )
+    row = stats.ks_two_sample(df, "grp", "v").collect()[0]
+    assert row.n1 == 4 and row.n2 == 4
+    assert abs(row.ks_stat - 0.5) < 1e-12
+    assert row.ks_at == 2.0
+
+
+def test_ks_two_sample_identical_groups_is_zero(spark):
+    from pandas_db_sdk_spark import stats
+
+    df = spark.createDataFrame(
+        [("a", float(i % 5)) for i in range(20)]
+        + [("b", float(i % 5)) for i in range(20)],
+        "grp string, v double",
+    )
+    row = stats.ks_two_sample(df, "grp", "v").collect()[0]
+    assert row.ks_stat == 0.0
+
+
+def test_ks_two_sample_rejects_arity(spark):
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "grp string, v double"
+    )
+    with _pytest.raises(ValueError, match="exactly 2 groups"):
+        stats.ks_two_sample(df, "grp", "v")

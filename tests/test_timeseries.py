@@ -276,3 +276,42 @@ def test_mad_outliers_robust_to_planted_spikes(spark):
     assert r.n == 102
     assert abs(r.median - 50.5) < 1.0  # spikes barely move the median
     assert r.n_outliers == 2
+
+
+def test_interval_coverage_merges_touching_and_gapped(spark):
+    """[1,3]+[2,5] merge (5 days), [7,8] touches via adjacency ([1,5]+[7,8]
+    stays split: 7 > 5+1 is False -> actually merges; use [8,9] for a real
+    gap): islands and coverage follow integer-day union semantics."""
+    from pandas_db_sdk_spark import timeseries
+
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, 3), ("s1", 2, 5), ("s1", 6, 6), ("s1", 9, 10),
+            ("s2", 4, 4),
+        ],
+        "k string, s long, e long",
+    )
+    got = {
+        r.k: r.asDict()
+        for r in timeseries.interval_coverage(df, "k", "s", "e").collect()
+    }
+    # s1: [1,5]+[6,6] merge via adjacency -> [1,6] (6 days), [9,10] (2 days)
+    assert got["s1"]["n_intervals"] == 4
+    assert got["s1"]["covered_days"] == 8
+    assert got["s1"]["span_days"] == 10
+    assert got["s2"]["covered_days"] == 1 and got["s2"]["span_days"] == 1
+
+
+def test_cusum_changepoint_finds_mean_shift(spark):
+    """A 10+10 series stepping 1.0 -> 5.0 at t=11: |S_t| peaks exactly at
+    the boundary t=10, with max |S| = 10*(1-3) = 20 -> /1 ... S_10 = -20,
+    |S|/1? max_abs_cusum is in S-units: 20.0; mean = 3.0."""
+    from pandas_db_sdk_spark import timeseries
+
+    rows = [(t, 1.0) for t in range(1, 11)] + [(t, 5.0) for t in range(11, 21)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    row = timeseries.cusum_changepoint(df, "t", "v").collect()[0]
+    assert row.change_at == 10
+    assert row.n_points == 20
+    assert abs(row.max_abs_cusum - 20.0) < 1e-9
+    assert abs(row.mean - 3.0) < 1e-12
