@@ -3644,3 +3644,77 @@ def d96(spark, sf_dir):
     return text.skipgram_ppmi(
         d, "doc_id", "text", top_vocab=50, window=3, min_pair_count=5, k=20
     )
+
+
+@q(
+    "d97_kneser_ney_bigram",
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+              FROM t, LATERAL (
+                SELECT unnest(range(1, greatest(len(ws), 1))) AS i)),
+       c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       m AS (SELECT w1, w2, c12,
+                    sum(c12) OVER (PARTITION BY w1) AS c1,
+                    count(*) OVER (PARTITION BY w1) AS n1p_fw,
+                    count(*) OVER (PARTITION BY w2) AS n1p_bw
+             FROM c),
+       tt AS (SELECT count(*) AS tt FROM c)
+       SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+              round(c12::DOUBLE / c1, 6) AS p_mle,
+              round((c12 - 0.75::DOUBLE) / c1
+                    + 0.75::DOUBLE * n1p_fw / c1 * (n1p_bw::DOUBLE / tt.tt),
+                    6) AS p_kn
+       FROM m, tt ORDER BY c12 DESC, w1, w2 LIMIT 30""",
+)
+def d97(spark, sf_dir):
+    """D-ext (r7): interpolated Kneser–Ney bigram probabilities for the
+    top-30 corpus bigrams (``text.kneser_ney_bigram``, d=0.75) — the
+    proper-smoothing rung above d46's add-1 model: absolute discounting
+    plus continuation-probability backoff, the estimator perplexity-
+    gated corpus filters actually use. One corpus-sized bigram count;
+    context totals / fan-outs / fan-ins are windows over the MODEL rows
+    (the d46 re-key trick) and the type total broadcasts. Every input to
+    the probability is an exact integer (+ the dyadic 0.75), so the IEEE
+    arithmetic agrees cross-engine and 6-dp rounding pins it — the
+    smoothed probabilities themselves hash-certify."""
+    d = tables(spark, sf_dir)("documents")
+    return text.kneser_ney_bigram(d, "text", discount=0.75, k=30)
+
+
+@q("d98_bpe_merges")
+def d98(spark, sf_dir):
+    """D-ext (r7): BPE merge-rule learning (``text.bpe_merges``, 8
+    merges) — the Sennrich tokenizer-training loop as a distributed
+    iterative operator: vocabulary-sized (word, freq, symbols) state,
+    one pair-explode + count + TakeOrdered(1) argmax per round, symbol
+    rewrite via a whole-stage-codegen ``aggregate`` HOF (the classic
+    (out, pending) scan — greedy left-to-right non-overlapping merge).
+    Rows-only by design: iterations 2+ depend on mutated symbol state
+    only an iterative engine holds; iteration 1 is hash-certified from
+    raw character pairs by the d98b twin, and the full loop is checked
+    against a hand-computed textbook corpus in pytest."""
+    d = tables(spark, sf_dir)("documents")
+    return text.bpe_merges(d, "text", n_merges=8)
+
+
+@q(
+    "d98b_bpe_first_merge",
+    """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       wf AS (SELECT w, count(*) AS f FROM wd WHERE length(w) > 0 GROUP BY 1),
+       ch AS (SELECT f, w[i] AS a, w[i+1] AS b
+              FROM wf, LATERAL (
+                SELECT unnest(range(1, length(w))) AS i)),
+       pc AS (SELECT a, b, sum(f) AS cnt FROM ch GROUP BY 1, 2)
+       SELECT CAST(1 AS INT) AS rank, a AS sym_a, b AS sym_b,
+              a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+       FROM pc ORDER BY cnt DESC, a, b LIMIT 1""",
+)
+def d98b(spark, sf_dir):
+    """Certification twin for d98 (the d02e/d47b pattern): BPE iteration
+    1 — the argmax over frequency-weighted adjacent CHARACTER pairs — is
+    exactly SQL-expressible, so the engine's first learned merge rule
+    (pair, merged symbol, weighted count, deterministic count-desc/pair
+    tie-break) hash-certifies against the oracle; later iterations
+    mutate symbol state the declarative side cannot reach."""
+    d = tables(spark, sf_dir)("documents")
+    return text.bpe_merges(d, "text", n_merges=1)

@@ -1278,3 +1278,171 @@ def skipgram_ppmi(
         .orderBy(F.col("ppmi").desc(), "tok_a", "tok_b")
         .limit(k)
     )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    k: int = 30,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities for the corpus's
+    top-``k`` bigrams — the PROPER-smoothing rung above
+    ``bigram_logprob``'s add-1: absolute discounting plus the
+    continuation-probability backoff (P_cont(w) = how many distinct
+    contexts w follows, over distinct bigram types), the estimator that
+    made n-gram LMs competitive and the standard scorer for
+    perplexity-gated corpus filtering.
+
+        P_KN(w2|w1) = (c(w1,w2) − d)/c(w1)
+                      + d·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    Movement: ONE bigram count aggregation is corpus-sized; every other
+    term is a window over the MODEL rows (context totals and fan-out per
+    w1, history fan-in per w2 — the d46 re-key trick, no join-backs) and
+    the type total rides a broadcast 1-row aggregate. All inputs to the
+    probability are exact integers (+ the dyadic 0.75), so the IEEE
+    arithmetic agrees cross-engine and 6-dp rounding pins it.
+
+    Returns (w1, w2, c12 bigint, p_mle double, p_kn double), the k most
+    frequent bigrams (ties by w1, w2).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    bg = df.select(F.explode(zipped).alias("__b")).select(
+        F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12 = (
+        c12.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("n1p_fw", F.count("*").over(Window.partitionBy("w1")))
+        .withColumn("n1p_bw", F.count("*").over(Window.partitionBy("w2")))
+    )
+    types = c12.agg(F.count("*").alias("__tt"))
+    d = F.lit(discount)
+    return (
+        c12.crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_mle"),
+            F.round(
+                (F.col("c12") - d) / F.col("c1")
+                + d
+                * F.col("n1p_fw")
+                / F.col("c1")
+                * (F.col("n1p_bw") / F.col("__tt")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus — the
+    Sennrich byte-pair-encoding loop that every tokenizer-training
+    pipeline runs: count adjacent symbol pairs across the word vocabulary
+    (weighted by word frequency), merge the most frequent pair everywhere
+    (greedy left-to-right, non-overlapping), repeat.
+
+    Distributed shape: the corpus is touched ONCE (word-frequency
+    aggregation); the loop state is one row per DISTINCT word — (word
+    frequency, current symbol array) — vocabulary-sized, never
+    corpus-sized. Each round is one pair-explode + count aggregate, a
+    TakeOrdered(1) argmax (count desc, then pair — deterministic), and
+    one whole-stage-codegen ``aggregate`` HOF pass that rewrites the
+    symbol arrays (the accumulator carries (out, pending) so merges are
+    exactly the classic scan: pend==a ∧ x==b → emit merged, else flush
+    pend). The driver holds only the single winning pair per round;
+    localCheckpoint keeps lineage O(1) across rounds.
+
+    Returns (rank int, sym_a, sym_b, merged, pair_count bigint) — the
+    merge table in learned order. Iteration 1 is SQL-certifiable from
+    raw character pairs (the d98b twin); later iterations depend on the
+    mutated symbol state only an iterative engine can hold.
+    """
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    state = wf.select(
+        "f", F.expr("filter(split(w, ''), x -> x != '')").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = state.select(
+            "f",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))).alias("a"),
+                    F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("__p"),
+        ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), "f")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        pa, pb = F.lit(a), F.lit(b)
+        init = F.struct(
+            F.expr("cast(array() as array<string>)").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        )
+
+        def step(acc, x):
+            return (
+                F.when(
+                    acc["pend"].isNull(),
+                    F.struct(acc["out"].alias("out"), x.alias("pend")),
+                )
+                .when(
+                    (acc["pend"] == pa) & (x == pb),
+                    F.struct(
+                        F.array_append(acc["out"], F.concat(pa, pb)).alias("out"),
+                        F.lit(None).cast("string").alias("pend"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.array_append(acc["out"], acc["pend"]).alias("out"),
+                        x.alias("pend"),
+                    )
+                )
+            )
+
+        def finish(acc):
+            return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+                F.array_append(acc["out"], acc["pend"])
+            )
+
+        state = state.select(
+            "f", F.aggregate("syms", init, step, finish).alias("syms")
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
+    )

@@ -352,3 +352,52 @@ def test_bm25_prefers_term_density_and_saturates(spark):
     assert ranks[1] < ranks[2]  # 3 terms beat 2
     # tf saturation: 100 repeats of one term still loses to 3 distinct terms
     assert scores[3] < scores[1]
+
+
+def test_bpe_merges_textbook_corpus(spark):
+    """The Sennrich example shape: 'low'-family corpus learns l+o, lo+w
+    first (weighted by word frequency), and merged symbols participate in
+    later rounds (lo+w requires round 1's lo)."""
+    from pandas_db_sdk_spark import text
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "id long, text string",
+    )
+    got = [tuple(r) for r in text.bpe_merges(df, "text", n_merges=4).collect()]
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "w", "ew", 4),
+        (4, "n", "ew", "new", 4),
+    ]
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    """'aaaa' with pair (a,a) merges positions (1,2) and (3,4) — the
+    classic non-overlapping scan — so round 1 on an all-'aa' corpus
+    counts 3 adjacent pairs but rewrites to exactly 2 symbols."""
+    from pandas_db_sdk_spark import text
+
+    df = spark.createDataFrame([(1, "aaaa")], "id long, text string")
+    got = [tuple(r) for r in text.bpe_merges(df, "text", n_merges=2).collect()]
+    # round 1: pairs (a,a) x3 -> merge 'aa'; state becomes [aa, aa]
+    # round 2: one (aa,aa) pair -> merge 'aaaa'
+    assert got == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+
+
+def test_kneser_ney_hand_computed(spark):
+    """P_KN(low | lowest): c12=1, c1=1, d=.75 -> .25 discounted MLE;
+    lambda=.75; Pcont(low) = 2 preceding contexts / 7 bigram types."""
+    from pandas_db_sdk_spark import text
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "id long, text string",
+    )
+    got = {
+        (r.w1, r.w2): r.p_kn
+        for r in text.kneser_ney_bigram(df, "text", k=10).collect()
+    }
+    assert abs(got[("lowest", "low")] - round(0.25 + 0.75 * 2 / 7, 6)) < 1e-9
+    assert abs(got[("low", "low")] - round(0.25 / 2 + 0.75 * 2 / 2 * (2 / 7), 6)) < 1e-9
