@@ -74,6 +74,12 @@ def main() -> None:
         # cumulative-window arithmetic) and the one-pass covariance matrix
         ("q25_survival_km", "x35_survival_km"),
         ("q26_embedding_cov", "d88_embedding_covariance"),
+        # round-7 additions: the iterative-algorithm class (min-label
+        # propagation with path compression over the rare-token graph) and
+        # the tokenizer-training loop (8 BPE rounds: pair count -> argmax
+        # -> HOF symbol rewrite over vocabulary-sized state)
+        ("q27_connected_components", "d94_connected_components"),
+        ("q28_bpe_merges", "d98_bpe_merges"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay

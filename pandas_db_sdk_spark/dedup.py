@@ -334,6 +334,16 @@ def connected_components(
         .withColumn("cluster", F.col("id"))
         .localCheckpoint()
     )
+    # convergence probe: labels only ever DECREASE, so the label total is
+    # strictly monotone and "sum unchanged" == "nothing relabeled" — one
+    # node-sized aggregate per round instead of the old new-vs-old join
+    # (DECIMAL(38,0): exact for any id domain × any node count)
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -363,21 +373,17 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") < F.col("o.cluster"))
-            .count()
-        )
+        new_sum = _label_sum(new)
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"(last round still relabeled {changed} vertices); with "
+            "(the label total was still decreasing); with "
             "path compression this needs a component of diameter "
             f"~2^{max_iter} — raise max_iter only after checking the "
             "pair-generation stage for a runaway candidate explosion"

@@ -744,3 +744,39 @@ def test_round6c_shuffle_budgets(spark, queries):
     ):
         plan = plan_of(queries[name](spark, SF))
         assert "InMemoryTableScan" in plan, f"{name}: scratch persist not in plan"
+
+
+def test_round7_shuffle_budgets(spark, queries):
+    """Round-7 ops: KS/CUSUM ride global_cumsum (range-partitioned prefix
+    sums; their counts include the whole upstream value-grid/daily
+    collapse — every data-sized input is domain- or calendar-bounded
+    after its FIRST aggregation); the lag/coverage composites are one
+    keyed window + keyed aggs; skip-gram PPMI is a vocab-pruned banded
+    self-join; Kneser-Ney windows over MODEL rows only. The iterative
+    graph ops (d94/d95) return localCheckpoint-backed frames — their
+    budget is per-round, pinned structurally by the node-sized state
+    (rare-token blocking bounds the edge table); here we pin that no
+    cartesian or row-wise Python ever appears in what they return.
+    BPE's twin returns the 1-row driver merge table (zero exchanges)."""
+    spark.catalog.clearCache()
+    budgets = {
+        "c91_ks_test": 22,
+        "c92_lead_lag_xcorr": 4,
+        "c93_changepoint_cusum": 19,
+        "x41_shipment_coverage": 2,
+        "d96_skipgram_ppmi": 10,
+        "d97_kneser_ney_bigram": 6,
+        "d94_connected_components": 30,
+        "d95_bfs_hops": 30,
+        "d98b_bpe_first_merge": 0,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = _unique_exchanges(plan)
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # the vocab prune and the positional band keep d96's self-join
+    # equi-keyed; its shared position/hit trees hit the scratch cache
+    plan = plan_of(queries["d96_skipgram_ppmi"](spark, SF))
+    assert "InMemoryTableScan" in plan
