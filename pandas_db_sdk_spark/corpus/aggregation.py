@@ -1397,3 +1397,71 @@ def c93(spark, sf_dir):
         "max_abs_cusum",
         "mean",
     )
+
+
+@q(
+    "c94_cramers_v",
+    """WITH obs AS (
+         SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                CAST(count(*) AS DOUBLE) AS o
+         FROM orders GROUP BY 1, 2),
+       rt AS (SELECT pri, sum(o) AS r FROM obs GROUP BY 1),
+       ct AS (SELECT st, sum(o) AS c FROM obs GROUP BY 1),
+       n AS (SELECT sum(o) AS n FROM obs),
+       x AS (SELECT round(sum(pow(obs.o - rt.r * ct.c / n.n, 2)
+                              / (rt.r * ct.c / n.n)), 4) AS chi2,
+                    count(DISTINCT obs.pri) AS nr,
+                    count(DISTINCT obs.st) AS nc,
+                    any_value(n.n) AS n
+             FROM obs JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN n)
+       SELECT chi2,
+              CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+              CAST(n AS BIGINT) AS n,
+              round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 6) AS cramers_v
+       FROM x""",
+)
+def c94(spark, sf_dir):
+    """C28-ext (r7): Cramér's V — the [0,1]-normalized effect size that
+    makes c88's chi-square comparable across tables of different
+    dimensions (chi2 grows with n; V = sqrt(chi2 / (n·min(r−1,c−1)))
+    does not), here over order priority × order status. Same scale shape
+    as c88: one data-sized aggregation collapses to a category-bounded
+    contingency frame (5×3), broadcast marginals, pure arithmetic after;
+    V derives from the 4-dp-rounded chi2 so the sqrt is pinned
+    cross-engine."""
+    from .._scratch import scratch_persist
+
+    o = tables(spark, sf_dir)("orders")
+    obs = scratch_persist(
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        ).agg(F.count("*").cast("double").alias("o")),
+        "c94/contingency",
+    )
+    rt = obs.groupBy("pri").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("st").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    x = (
+        obs.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+            F.count_distinct("pri").alias("nr"),
+            F.count_distinct("st").alias("nc"),
+            F.first("n").alias("n"),
+        )
+    )
+    return x.select(
+        "chi2",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -459,3 +459,115 @@ def stream_into_engine_near_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_monitor_into_engine(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    dataframe_name: str,
+    reference: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+    psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming distribution-drift alarm: every micro-batch's
+    ``value_col`` distribution is compared against a FROZEN reference
+    profile and one alarm row lands per epoch — PSI (population
+    stability index) and a histogram-KS statistic, with a ``drifted``
+    verdict at the given thresholds. The production guardrail that turns
+    c91's batch KS into a continuous monitor.
+
+    Scale shape: the reference profile (equi-depth bucket edges +
+    proportions) is built ONCE at monitor creation — the d31/d03g
+    ingest-time-artifact discipline: at 100 TB it is computed per corpus
+    version and served to every monitor. Per batch the ONLY aggregation
+    is one bucket-count groupBy (≤ n_buckets result rows; bucket index
+    is a codegen sum of edge comparisons, no UDF); PSI/KS arithmetic
+    happens on that n_buckets-bounded frame driver-side. Alarm rows are
+    versioned ``epoch_<id>`` with overwrite, so an at-least-once replay
+    converges instead of duplicating epochs.
+    """
+    from pyspark.sql import functions as F
+
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = reference.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(f) for f in fracs])).alias(
+            "e"
+        ),
+        F.count(F.col(value_col)).alias("n"),
+    ).collect()[0]
+    # dedupe tied percentiles: equal edges would create zero-width buckets
+    edges = sorted({float(e) for e in edges_row["e"]})
+    n_ref = int(edges_row["n"])
+    if n_ref == 0:
+        raise ValueError("reference has no non-null values")
+
+    def bucket_expr():
+        idx = F.lit(0)
+        for e in edges:
+            idx = idx + (F.col(value_col) > F.lit(e)).cast("int")
+        return idx
+
+    k = len(edges) + 1
+    ref_counts = {
+        int(r["b"]): int(r["c"])
+        for r in reference.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket_expr().alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    ref_p = [ref_counts.get(i, 0) / n_ref for i in range(k)]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import math
+
+        spark = batch_df.sparkSession
+        rows = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .groupBy(bucket_expr().alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        n = sum(int(r["c"]) for r in rows)
+        if n == 0:
+            return
+        got = {int(r["b"]): int(r["c"]) for r in rows}
+        p = [got.get(i, 0) / n for i in range(k)]
+        eps = 1e-6
+        psi = sum(
+            (pb - pr) * math.log((pb + eps) / (pr + eps))
+            for pb, pr in zip(p, ref_p)
+        )
+        ks, ca, cb = 0.0, 0.0, 0.0
+        for pb, pr in zip(p, ref_p):
+            ca += pb
+            cb += pr
+            ks = max(ks, abs(ca - cb))
+        alarm = spark.createDataFrame(
+            [
+                (
+                    int(epoch_id),
+                    n,
+                    round(psi, 6),
+                    round(ks, 6),
+                    bool(psi > psi_threshold or ks > ks_threshold),
+                )
+            ],
+            "epoch long, n_batch long, psi double, ks_stat double, drifted boolean",
+        )
+        engine.save(
+            alarm,
+            dataframe_name,
+            external_key=f"epoch_{epoch_id}",
+            overwrite_version=True,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

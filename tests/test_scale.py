@@ -444,3 +444,46 @@ def test_set_similarity_adversarial_duplicate_cluster(spark):
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     want = {(a, b) for a in range(300) for b in range(300) if a < b}
     assert pairs == want
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 512-node PATH is the worst diameter-per-edge graph: min-label
+    propagation without compression needs 511 rounds; with per-round path
+    compression it must finish inside the default max_iter=30 (~log2
+    rounds), labeling every node with the chain head."""
+    from pandas_db_sdk_spark import dedup
+
+    edges = spark.range(511).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = dedup.connected_components(edges)  # default max_iter=30
+    rows = got.agg(
+        F.count("*").alias("n"), F.countDistinct("cluster").alias("k"),
+        F.max("cluster").alias("mx"),
+    ).collect()[0]
+    assert (rows.n, rows.k, rows.mx) == (512, 1, 0)
+
+
+def test_bfs_hops_seed_density_bounds_rounds(spark):
+    """BFS rounds = seed-set eccentricity, NOT graph size: a 512-node
+    chain seeded every 16 nodes has eccentricity 8 and converges well
+    inside max_iter=30 with exact distance-to-nearest-seed; the same
+    chain from a single end-seed exceeds a tight max_iter and must RAISE
+    (truncated distances are a correctness bug, not a degraded mode)."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import graph
+
+    edges = spark.range(511).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    seeds = spark.range(0, 512, 16).select(F.col("id"))
+    got = {r.id: r.hops for r in graph.bfs_hops(edges, seeds).collect()}
+    assert len(got) == 512
+    assert all(
+        h == min(abs(i - s) for s in range(0, 512, 16)) for i, h in got.items()
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.bfs_hops(
+            edges, spark.range(1).select(F.col("id")), max_iter=5
+        )

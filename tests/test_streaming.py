@@ -640,3 +640,45 @@ def test_streaming_ingest_feeds_incremental_rollup(spark, events_dir, events_bat
         assert abs(got[k]["total"] - want[k]["total"]) < 1e-6
     # a second refresh with no new epochs is a no-op
     assert eng.refresh_rollup("live/by_type")["refreshed_versions"] == []
+
+
+def test_drift_monitor_flags_shift_not_self(spark, events_dir, events_batch, tmp_path):
+    """Two monitors over the same stream: one referenced on the SAME
+    distribution (no drift — PSI/KS near 0), one on a shifted reference
+    (drift). Alarm rows land one per epoch, replay-idempotent versions."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import drift_monitor_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+
+    q = drift_monitor_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "monitor/self",
+        reference=events_batch,
+        value_col="value",
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    q.awaitTermination()
+    rows = eng.load("monitor/self").collect()
+    assert len(rows) >= 1
+    assert all(not r.drifted for r in rows), rows
+    assert all(r.psi < 0.05 and r.ks_stat < 0.05 for r in rows), rows
+
+    shifted = events_batch.selectExpr("*").withColumn(
+        "value", F.col("value") * 3 + 100
+    )
+    q2 = drift_monitor_into_engine(
+        W.stream_events_from_dir(spark, events_dir),
+        eng,
+        "monitor/shifted",
+        reference=shifted,
+        value_col="value",
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination()
+    rows2 = eng.load("monitor/shifted").collect()
+    assert len(rows2) >= 1
+    assert all(r.drifted for r in rows2), rows2
