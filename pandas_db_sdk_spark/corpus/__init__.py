@@ -300,7 +300,7 @@ _R07_NEW = frozenset(
     """d94_connected_components d95_bfs_hops d96_skipgram_ppmi
     c91_ks_test c92_lead_lag_xcorr c93_changepoint_cusum
     x41_shipment_coverage d97_kneser_ney_bigram d98_bpe_merges
-    d98b_bpe_first_merge c94_cramers_v""".split()
+    d98b_bpe_first_merge c94_cramers_v c95_monthly_psi""".split()
 )
 
 

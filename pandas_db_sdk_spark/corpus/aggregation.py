@@ -1465,3 +1465,49 @@ def c94(spark, sf_dir):
             6,
         ).alias("cramers_v"),
     )
+
+
+@q(
+    "c95_monthly_psi",
+    """WITH v AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+                         o_totalprice AS val FROM orders),
+       ed AS (SELECT quantile_cont(val, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                         0.6, 0.7, 0.8, 0.9]) AS es FROM v),
+       b AS (SELECT month,
+                    len(list_filter(ed.es, x -> x < val)) AS bk
+             FROM v, ed),
+       ref AS (SELECT bk, count(*) AS rc FROM b GROUP BY 1),
+       rt AS (SELECT count(*) AS rt FROM b),
+       per AS (SELECT month, bk, count(*) AS pc FROM b GROUP BY 1, 2),
+       pt AS (SELECT month, count(*) AS pt FROM b GROUP BY 1),
+       grid AS (SELECT pt.month, pt.pt,
+                       coalesce(per.pc, 0)::DOUBLE / pt.pt AS pm,
+                       ref.rc::DOUBLE / rt.rt AS pr
+                FROM pt CROSS JOIN ref
+                LEFT JOIN per ON per.month = pt.month AND per.bk = ref.bk
+                CROSS JOIN rt)
+       SELECT month,
+              CAST(any_value(pt) AS BIGINT) AS n,
+              round(CAST(sum(CAST(round((pm - pr) * ln((pm + 0.000001)
+                                                       / (pr + 0.000001)), 12)
+                                  AS DECIMAL(24,12))) AS DOUBLE), 6) AS psi
+       FROM grid GROUP BY 1""",
+)
+def c95(spark, sf_dir):
+    """C28-ext (r7): monthly Population Stability Index of the order-value
+    distribution against the whole-corpus decile reference
+    (``stats.psi_report``) — the model-monitoring drift score, and the
+    BATCH-certified math behind ``streaming.drift_monitor_into_engine``'s
+    per-epoch alarm. Bucket index is a codegen fold over the broadcast
+    9-edge array; missing month×bucket cells enter as pm=0 terms (the
+    explicit grid — dropping them understates drift exactly where it's
+    strongest); each PSI term 12-dp-snaps then DECIMAL-sums so the
+    per-month total is aggregation-order-independent and hash-certified."""
+    from .. import stats
+
+    o = tables(spark, sf_dir)("orders")
+    src = o.select(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month"),
+        "o_totalprice",
+    )
+    return stats.psi_report(src, "month", "o_totalprice", n_buckets=10)

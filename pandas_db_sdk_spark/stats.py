@@ -21,6 +21,7 @@ __all__ = [
     "weighted_median",
     "mad_outliers",
     "ks_two_sample",
+    "psi_report",
 ]
 
 
@@ -244,9 +245,13 @@ def ks_two_sample(
     from .scale import global_cumsum
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
-    per_value = df.groupBy(
-        F.col(value_col).alias("v"), g.alias("__g")
-    ).agg(F.count("*").alias("c"))
+    # ECDFs are over NON-NULL values only: engines disagree on where NULL
+    # sorts in a cumulative window, and F(x) has no null point anyway
+    per_value = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"), g.alias("__g"))
+        .agg(F.count("*").alias("c"))
+    )
     # bounded collect: at most 3 rows fetched, purely to validate arity
     labels = [
         r["__g"]
@@ -283,4 +288,77 @@ def ks_two_sample(
             F.min("v").alias("ks_at"),
         )
         .select("n1", "n2", "ks_stat", "ks_at")
+    )
+
+
+def psi_report(
+    df: DataFrame,
+    period_col,
+    value_col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population Stability Index of ``value_col`` per period against the
+    whole-frame reference — the model-monitoring staple (PSI < 0.1 stable,
+    0.1–0.2 shifting, > 0.2 drifted), and the BATCH-certified sibling of
+    ``streaming.drift_monitor_into_engine``'s per-epoch PSI.
+
+    Buckets are the reference's own ``n_buckets`` equi-depth cells
+    (exact-interpolated percentile edges — the c29 cross-engine parity),
+    so every reference bucket is non-empty by construction and every
+    value lands in a cell; a period missing a bucket contributes a
+    pm=0 term (the grid is completed explicitly — dropping it would
+    understate drift exactly where it's strongest). Bucket index is a
+    codegen fold over the broadcast edge array (count of edges below the
+    value), PSI terms are IEEE arithmetic on exact integer ratios + one
+    libm ln, each term 12-dp-snapped and DECIMAL-summed so the per-period
+    total is aggregation-order-independent and hash-certifiable.
+
+    Returns (period, n bigint, psi double).
+    """
+    p = F.col(period_col) if isinstance(period_col, str) else period_col
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        p.alias("__p"), F.col(value_col).alias("__v")
+    )
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = vals.agg(
+        F.percentile(F.col("__v"), F.array(*[F.lit(f) for f in fracs])).alias("__es")
+    )
+    bucketed = vals.crossJoin(F.broadcast(edges)).select(
+        "__p",
+        F.aggregate(
+            "__es", F.lit(0), lambda acc, e: acc + (F.col("__v") > e).cast("int")
+        ).alias("__b"),
+    )
+    from ._scratch import scratch_persist
+
+    bucketed = scratch_persist(bucketed, "psi_report/bucketed")
+    ref = bucketed.groupBy("__b").agg(F.count("*").alias("__rc"))
+    ref_tot = bucketed.agg(F.count("*").alias("__rt"))
+    per = bucketed.groupBy("__p", "__b").agg(F.count("*").alias("__pc"))
+    per_tot = bucketed.groupBy("__p").agg(F.count("*").alias("__pt"))
+    grid = (
+        per_tot.crossJoin(F.broadcast(ref))
+        .join(per, ["__p", "__b"], "left")
+        .crossJoin(F.broadcast(ref_tot))
+        .select(
+            "__p",
+            "__pt",
+            (F.coalesce("__pc", F.lit(0)) / F.col("__pt")).alias("__pm"),
+            (F.col("__rc") / F.col("__rt")).alias("__pr"),
+        )
+    )
+    term = (F.col("__pm") - F.col("__pr")) * F.log(
+        (F.col("__pm") + F.lit(eps)) / (F.col("__pr") + F.lit(eps))
+    )
+    return (
+        grid.groupBy(F.col("__p").alias(period_col if isinstance(period_col, str) else "period"))
+        .agg(
+            F.first("__pt").cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(term, 12).cast("decimal(24,12)")).cast("double"),
+                ndigits,
+            ).alias("psi"),
+        )
     )
