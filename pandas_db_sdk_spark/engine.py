@@ -1473,7 +1473,7 @@ class DataFrameEngine:
 
     # ------------------------------------------------ incremental rollups
 
-    _ROLLUP_FNS = ("count", "sum", "min", "max", "avg")
+    _ROLLUP_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
 
     def define_rollup(
         self,
@@ -1541,7 +1541,14 @@ class DataFrameEngine:
 
         avg's count state is ``countcol`` — count(col), nulls skipped — so
         read_rollup's sum/count reproduces SQL AVG on null-bearing columns;
-        only the user-facing ``count`` aggregate is count(*)."""
+        only the user-facing ``count`` aggregate is count(*).
+
+        approx_distinct keeps a datasketches HLL sketch (binary): the
+        MERGEABLE distinct-count state — refresh N unions the new
+        versions' sketches into the stored one, so incremental distinct
+        dashboards never rescan history (an exact distinct is the one
+        aggregate a partial-state rollup cannot maintain incrementally
+        without keeping the full key domain)."""
         cols = []
         for out, (fn, col) in aggs.items():
             if fn == "avg":
@@ -1591,6 +1598,9 @@ class DataFrameEngine:
                 # avg's denominator: nulls skipped, matching SQL AVG
                 first_exprs.append(F.count(F.col(col)).cast("long").alias(state))
                 merge_exprs.append(F.sum(state).cast("long").alias(state))
+            elif fn == "approx_distinct":
+                first_exprs.append(F.hll_sketch_agg(F.col(col)).alias(state))
+                merge_exprs.append(F.hll_union_agg(F.col(state)).alias(state))
             elif fn == "sum":
                 # sum(decimal(28,6)) widens to (38,6); pin the stored state
                 # type so refresh N's schema equals refresh 1's
@@ -1644,6 +1654,12 @@ class DataFrameEngine:
                 )
             elif fn == "sum":
                 out_cols.append(F.col(f"__s_{out}").cast("double").alias(out))
+            elif fn == "approx_distinct":
+                out_cols.append(
+                    F.hll_sketch_estimate(F.col(f"__s_{out}"))
+                    .cast("long")
+                    .alias(out)
+                )
             else:
                 out_cols.append(F.col(f"__s_{out}").alias(out))
         return df.select(*out_cols)

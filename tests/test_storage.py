@@ -1561,3 +1561,32 @@ def test_saved_views_resolve_in_sql_and_persist(engine, spark, tmp_path):
         engine.drop_view("nope")
     engine.drop_view("big_keys")
     assert set(engine.list_views()) == {"facts_by_k"}
+
+
+def test_rollup_approx_distinct_is_mergeable_sketch_state(engine, spark):
+    """approx_distinct rollup state is a datasketches HLL sketch: each
+    refresh unions the NEW versions' sketches into the stored state, and
+    the estimate matches the exact distinct over everything (HLL is exact
+    for small cardinalities) — the incremental distinct-count dashboard
+    an exact aggregate cannot maintain without keeping the key domain."""
+    df1 = spark.createDataFrame(
+        [("a", i % 7) for i in range(50)], "k string, u long"
+    )
+    df2 = spark.createDataFrame(
+        [("a", i % 13) for i in range(50)] + [("b", i) for i in range(9)],
+        "k string, u long",
+    )
+    engine.save(df1, "visits")
+    engine.define_rollup(
+        "visits_by_k", "visits", ["k"],
+        {"n_rows": ("count", None), "uniq_u": ("approx_distinct", "u")},
+    )
+    engine.refresh_rollup("visits_by_k")
+    engine.save(df2, "visits")
+    engine.refresh_rollup("visits_by_k")
+    got = {
+        r["k"]: r.asDict() for r in engine.read_rollup("visits_by_k").collect()
+    }
+    # exact at these cardinalities: a = {0..12} = 13, b = {0..8} = 9
+    assert got["a"]["uniq_u"] == 13 and got["a"]["n_rows"] == 100
+    assert got["b"]["uniq_u"] == 9 and got["b"]["n_rows"] == 9
