@@ -287,11 +287,15 @@ def bfs_hops(
     returning silently-truncated distances (the connected_components
     discipline — truncation is a correctness bug, not a degraded mode).
     """
-    e = (
+    from ._scratch import scratch_persist
+
+    # slot-pooled scratch: the doubled edge table is consumed every round
+    # and across re-invocations (the connected_components discipline)
+    e = scratch_persist(
         edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
         .union(edges.select(F.col(b).alias("s"), F.col(a).alias("d")))
-        .distinct()
-        .persist()
+        .distinct(),
+        "bfs_hops/edges",
     )
     seed_col = seeds.columns[0]
     state = (
@@ -328,10 +332,8 @@ def bfs_hops(
         state = merged
     else:
         if not frontier.isEmpty():
-            e.unpersist()
             raise RuntimeError(
                 f"bfs_hops did not converge in {max_iter} rounds — seed-set "
                 "eccentricity exceeds max_iter; raise it for this graph"
             )
-    e.unpersist()
     return state.select("id", F.col("hops").cast("int").alias("hops"))
