@@ -1475,6 +1475,14 @@ class DataFrameEngine:
 
     _ROLLUP_FNS = ("count", "sum", "min", "max", "avg", "approx_distinct")
 
+    # Bumped whenever the MEANING of a stored state column changes (e.g.
+    # format 2: avg's denominator moved from count(*) to count(col)).
+    # refresh_rollup compares the spec's stamp against this and forces a
+    # FULL recompute on mismatch — merging old-format counts with
+    # new-format increments would silently mix denominators on
+    # null-bearing columns after an upgrade.
+    _ROLLUP_STATE_FORMAT = 2
+
     def define_rollup(
         self,
         rollup_name: str,
@@ -1523,6 +1531,7 @@ class DataFrameEngine:
                 "aggs": {out: list(fc) for out, fc in aggs.items()},
                 "processed": [],
                 "state_version": None,
+                "state_format": self._ROLLUP_STATE_FORMAT,
             }
             self._write_manifest(manifest)
         return dict(rollups[rollup_name])
@@ -1580,7 +1589,14 @@ class DataFrameEngine:
         """
         spec = self._rollup_spec(rollup_name)
         src = self._dataset_entry(spec["source"])
-        done = set(spec["processed"])
+        # State-format migration: a spec stamped with an older (or, for
+        # pre-stamp manifests, missing) format holds state whose columns
+        # mean something different from what this code increments — e.g.
+        # format 1 avg counts were count(*), format 2 are count(col).
+        # Merging would mix denominators, so recompute from scratch: drop
+        # the processed ledger and ignore the stored state base.
+        migrate = spec.get("state_format") != self._ROLLUP_STATE_FORMAT
+        done = set() if migrate else set(spec["processed"])
         new = [str(v) for v in src["versions"] if str(v) not in done]
         if not new:
             return {"refreshed_versions": [], "state_version": spec["state_version"]}
@@ -1619,7 +1635,7 @@ class DataFrameEngine:
                 first_exprs.append(F.max(col).alias(state))
                 merge_exprs.append(F.max(state).alias(state))
         partial = df.groupBy(*keys).agg(*first_exprs)
-        if spec["state_version"] is not None:
+        if spec["state_version"] is not None and not migrate:
             old = self.load(rollup_name, external_key=spec["state_version"])
             partial = old.select(partial.columns).unionByName(partial)
             partial = partial.groupBy(*keys).agg(*merge_exprs)
@@ -1628,8 +1644,12 @@ class DataFrameEngine:
         with self._manifest_lock():
             manifest = self._read_manifest()
             live = manifest["rollups"][rollup_name]
-            live["processed"] = sorted(set(live["processed"]) | set(new))
+            if migrate:
+                live["processed"] = sorted(set(new))
+            else:
+                live["processed"] = sorted(set(live["processed"]) | set(new))
             live["state_version"] = str(state_version)
+            live["state_format"] = self._ROLLUP_STATE_FORMAT
             self._write_manifest(manifest)
         return {"refreshed_versions": new, "state_version": str(state_version)}
 

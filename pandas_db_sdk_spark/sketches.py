@@ -340,6 +340,17 @@ _CMS_MULTS = (
 )
 
 
+def _cms_mults_for(mult: int):
+    """Row multipliers with row 0 honouring the caller's ``mult``.
+    Excluding ``mult`` from the table pool keeps the rows PAIRWISE
+    DISTINCT even when the caller picks one of the table's own values —
+    a duplicate row would re-correlate cross-row collisions, silently
+    reinstating the exact weakness the table exists to fix; when that
+    happens ``_CMS_MULTS[0]`` serves as the spare, so depth ≤
+    len(_CMS_MULTS) rows are always available."""
+    return (mult,) + tuple(m for m in _CMS_MULTS if m != mult)
+
+
 def count_min_frequency(
     df: DataFrame,
     value_col: str,
@@ -387,8 +398,7 @@ def count_min_frequency(
         raise ValueError(
             f"depth {depth} exceeds the {len(_CMS_MULTS)} independent hash rows"
         )
-    # row 0 honours the caller's mult; rows 1+ take their own multipliers
-    mults = (mult,) + _CMS_MULTS[1:] if mult != _CMS_MULTS[0] else _CMS_MULTS
+    mults = _cms_mults_for(mult)
     v = F.col(value_col).cast("long")
     cells = df.select(
         F.explode(

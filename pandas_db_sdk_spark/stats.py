@@ -246,9 +246,13 @@ def ks_two_sample(
 
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     # ECDFs are over NON-NULL values only: engines disagree on where NULL
-    # sorts in a cumulative window, and F(x) has no null point anyway
+    # sorts in a cumulative window, and F(x) has no null point anyway.
+    # A NULL group is excluded BEFORE the arity check — otherwise it
+    # counts as a label there while `__g == label` never matches it, so
+    # one real label + nulls would silently collapse a sample to 0 rows
+    # instead of raising the friendly arity error.
     per_value = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & g.isNotNull())
         .groupBy(F.col(value_col).alias("v"), g.alias("__g"))
         .agg(F.count("*").alias("c"))
     )

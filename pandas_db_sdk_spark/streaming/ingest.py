@@ -499,11 +499,14 @@ def drift_monitor_into_engine(
         ),
         F.count(F.col(value_col)).alias("n"),
     ).collect()[0]
+    # n==0 check FIRST: an empty/all-null reference makes F.percentile
+    # return NULL, and iterating it would raise a bare TypeError before
+    # the friendly error below
+    n_ref = int(edges_row["n"])
+    if n_ref == 0 or edges_row["e"] is None:
+        raise ValueError("reference has no non-null values")
     # dedupe tied percentiles: equal edges would create zero-width buckets
     edges = sorted({float(e) for e in edges_row["e"]})
-    n_ref = int(edges_row["n"])
-    if n_ref == 0:
-        raise ValueError("reference has no non-null values")
 
     def bucket_expr():
         idx = F.lit(0)

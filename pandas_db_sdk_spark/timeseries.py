@@ -601,12 +601,37 @@ def cusum_changepoint(
     Returns one row: (change_at, n_points bigint, max_abs_cusum double,
     mean double).
     """
+    from decimal import Decimal
+
     from .scale import global_cumsum
 
     dec = "decimal(28,6)"
-    n_sum = series.agg(
+    # Bounded 1-row collect (the ks_two_sample arity-check discipline):
+    # the totals feed BOTH the broadcast stitch below and an explicit
+    # magnitude assertion.  Under non-ANSI Spark a decimal(38,6) overflow
+    # in n·cum − t·Σx casts to NULL, which would silently DROP rows from
+    # the argmax instead of failing; |cum| ≤ Σ|x| and t ≤ n bound every
+    # product by n·Σ|x|, so checking that here turns the silent skew into
+    # a raise.  Σ|x| must also fit the decimal(27,6) operand cast.
+    totals = series.agg(
         F.count("*").cast("long").alias("__n"),
         F.sum(F.col(value_col).cast(dec)).cast(dec).alias("__sum"),
+        F.sum(F.abs(F.col(value_col)).cast(dec)).cast(dec).alias("__abs"),
+    ).collect()[0]
+    n_rows, total, total_abs = totals["__n"], totals["__sum"], totals["__abs"]
+    if total_abs is not None:
+        if total_abs >= Decimal(10) ** 21 or n_rows * total_abs >= Decimal(10) ** 32:
+            raise ValueError(
+                "cusum_changepoint: series magnitude exceeds the exact-"
+                f"decimal envelope (n={n_rows}, sum|x|={total_abs}); "
+                "n*sum|x| must stay below 1e32 — rescale the series"
+            )
+    spark = series.sparkSession
+    n_sum = spark.range(1).select(
+        F.lit(n_rows).cast("long").alias("__n"),
+        (F.lit(str(total)) if total is not None else F.lit(None))
+        .cast(dec)
+        .alias("__sum"),
     )
     base = series.select(
         F.col(order_col).alias("__t"),

@@ -248,3 +248,25 @@ def test_count_min_absent_probe_estimates_zero_or_collision(spark):
         df, "v", probes, "v", depth=4, width=4096
     ).collect()
     assert r.true_count == 0 and r.est_count >= 0 and r.overcount == r.est_count
+
+
+def test_count_min_mults_pairwise_distinct_for_any_caller_mult(spark):
+    """ADVICE r7: a caller-supplied mult equal to a table value must not
+    duplicate that hash row — rows 1+ substitute the spare so the depth
+    multipliers stay pairwise distinct (the e^-depth bound's premise)."""
+    from pandas_db_sdk_spark import sketches
+
+    for m in sketches._CMS_MULTS + (12345,):
+        mults = sketches._cms_mults_for(m)
+        assert mults[0] == m
+        assert len(set(mults)) == len(mults)
+        assert len(mults) >= len(sketches._CMS_MULTS)
+    # default path is byte-identical to the table (oracle-parity pin)
+    assert sketches._cms_mults_for(sketches._CMS_MULTS[0]) == sketches._CMS_MULTS
+    # and the sketch still runs one-sided with a table-valued mult
+    df = spark.range(300).select((F.col("id") % 10).alias("v"))
+    probes = spark.range(10).select(F.col("id").alias("v"))
+    rows = sketches.count_min_frequency(
+        df, "v", probes, "v", depth=4, width=4096, mult=sketches._CMS_MULTS[1]
+    ).collect()
+    assert all(r.true_count == 30 and r.est_count >= 30 for r in rows)

@@ -265,3 +265,25 @@ def test_ks_two_sample_rejects_arity(spark):
     )
     with _pytest.raises(ValueError, match="exactly 2 groups"):
         stats.ks_two_sample(df, "grp", "v")
+
+
+def test_ks_two_sample_null_group_not_a_label(spark):
+    """ADVICE r7: NULL group rows are excluded before the arity check —
+    one real label + nulls raises the friendly error instead of silently
+    collapsing a sample to zero; two real labels + nulls still works."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import stats
+
+    one_label = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 3.0)], "grp string, v double"
+    )
+    with _pytest.raises(ValueError, match="exactly 2 groups"):
+        stats.ks_two_sample(one_label, "grp", "v")
+
+    with_nulls = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0), (None, 99.0)],
+        "grp string, v double",
+    )
+    row = stats.ks_two_sample(with_nulls, "grp", "v").collect()[0]
+    assert row.n1 == 2 and row.n2 == 2 and row.ks_stat == 0.0

@@ -1590,3 +1590,52 @@ def test_rollup_approx_distinct_is_mergeable_sketch_state(engine, spark):
     # exact at these cardinalities: a = {0..12} = 13, b = {0..8} = 9
     assert got["a"]["uniq_u"] == 13 and got["a"]["n_rows"] == 100
     assert got["b"]["uniq_u"] == 9 and got["b"]["n_rows"] == 9
+
+
+def test_rollup_state_format_mismatch_forces_full_recompute(engine, spark):
+    """ADVICE r7: avg's denominator moved count(*) -> count(col) between
+    state formats; merging an old-format state with new increments would
+    mix denominators. A spec stamped with an older (or missing, for
+    pre-stamp manifests) state_format must trigger a FULL recompute on
+    the next refresh — and come out with correct SQL-AVG semantics."""
+    df1 = spark.createDataFrame(
+        [("a", 10.0), ("a", None)], "k string, v double"
+    )
+    df2 = spark.createDataFrame(
+        [("a", 20.0), ("a", None)], "k string, v double"
+    )
+    engine.save(df1, "fmtfacts")
+    engine.define_rollup(
+        "fmtfacts_by_k", "fmtfacts", ["k"], {"avg_v": ("avg", "v")}
+    )
+    spec = engine._rollup_spec("fmtfacts_by_k")
+    assert spec["state_format"] == engine._ROLLUP_STATE_FORMAT
+    engine.refresh_rollup("fmtfacts_by_k")
+
+    # Simulate a state written by format-1 code: count(*) denominator,
+    # and a spec that predates the stamp entirely.
+    old = engine.load(
+        "fmtfacts_by_k", external_key=engine._rollup_spec("fmtfacts_by_k")["state_version"]
+    )
+    from pyspark.sql import functions as F
+
+    corrupted = old.withColumn(
+        "__s_avg_v_cnt", F.lit(2).cast("long")  # count(*) counted the null
+    )
+    info = engine.save(corrupted, "fmtfacts_by_k")
+    with engine._manifest_lock():
+        m = engine._read_manifest()
+        live = m["rollups"]["fmtfacts_by_k"]
+        live["state_version"] = str(info["version"])
+        del live["state_format"]  # pre-stamp manifest
+        engine._write_manifest(m)
+
+    # Without migration this refresh would merge cnt=2 (count(*)) with
+    # cnt=1 (count(col)) -> avg 30/3 = 10. With migration: 30/2 = 15.
+    engine.save(df2, "fmtfacts")
+    out = engine.refresh_rollup("fmtfacts_by_k")
+    assert len(out["refreshed_versions"]) == 2  # full recompute, both versions
+    spec = engine._rollup_spec("fmtfacts_by_k")
+    assert spec["state_format"] == engine._ROLLUP_STATE_FORMAT
+    got = {r["k"]: r["avg_v"] for r in engine.read_rollup("fmtfacts_by_k").collect()}
+    assert abs(got["a"] - 15.0) < 1e-12

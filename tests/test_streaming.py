@@ -682,3 +682,23 @@ def test_drift_monitor_flags_shift_not_self(spark, events_dir, events_batch, tmp
     rows2 = eng.load("monitor/shifted").collect()
     assert len(rows2) >= 1
     assert all(r.drifted for r in rows2), rows2
+
+
+def test_drift_monitor_empty_reference_raises_friendly(spark, tmp_path):
+    """ADVICE r7: an empty/all-null reference must raise the intended
+    ValueError, not a TypeError from iterating a NULL percentile array."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import drift_monitor_into_engine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    empty_ref = spark.createDataFrame([], "value double")
+    with _pytest.raises(ValueError, match="no non-null values"):
+        drift_monitor_into_engine(stream, eng, "m", empty_ref, "value")
+    null_ref = spark.createDataFrame([(None,), (None,)], "value double")
+    with _pytest.raises(ValueError, match="no non-null values"):
+        drift_monitor_into_engine(stream, eng, "m", null_ref, "value")

@@ -315,3 +315,29 @@ def test_cusum_changepoint_finds_mean_shift(spark):
     assert row.n_points == 20
     assert abs(row.max_abs_cusum - 20.0) < 1e-9
     assert abs(row.mean - 3.0) < 1e-12
+
+
+def test_cusum_changepoint_raises_outside_decimal_envelope(spark):
+    """ADVICE r7: under non-ANSI Spark a decimal(38,6) overflow in the
+    n*cum - t*sum criterion casts to NULL and silently drops rows from
+    the argmax; the magnitude assertion turns that into a raise."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import timeseries
+
+    huge = spark.createDataFrame(
+        [(t, 1.0e21) for t in range(1, 6)], "t long, v double"
+    )
+    with _pytest.raises(ValueError, match="decimal envelope"):
+        timeseries.cusum_changepoint(huge, "t", "v")
+
+
+def test_cusum_changepoint_streams_empty_and_null_series(spark):
+    """Degenerate inputs keep their pre-guard behavior: empty or all-null
+    series return an empty result rather than raising."""
+    from pandas_db_sdk_spark import timeseries
+
+    empty = spark.createDataFrame([], "t long, v double")
+    assert timeseries.cusum_changepoint(empty, "t", "v").count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "t long, v double")
+    assert timeseries.cusum_changepoint(nulls, "t", "v").count() == 0
