@@ -304,6 +304,58 @@ _R07_NEW = frozenset(
 )
 
 
+# Names driver-checked in CORRECTNESS_r07.json (round-7 window: the 9-row
+# backlog + all 12 round-7 additions + 29 round-6 re-certifications — 49
+# hash-green, d98 rows-only by design with d98b its certification twin).
+_R07_VERIFIED = frozenset(
+    """d92_source_data_card d93_raw_pixel_stats x34_retention_cohorts
+    x35_survival_km x36_revenue_concentration x37_multitouch_attribution
+    x38_supplier_skyline x39_order_velocity x40_cohort_ltv c91_ks_test
+    c92_lead_lag_xcorr c93_changepoint_cusum c94_cramers_v c95_monthly_psi
+    d94_connected_components d95_bfs_hops d96_skipgram_ppmi
+    d97_kneser_ney_bigram d98_bpe_merges d98b_bpe_first_merge
+    x41_shipment_coverage c80_entropy_by_group c81_benford_digits
+    c85_mad_outliers c86_acf_daily_revenue c87_welch_ttest
+    c88_chi_square_independence c89_mann_whitney c78_sessionize_gap
+    c79_funnel_windows c82_ewma c83_ohlc_resample c84_seasonal_decompose
+    c90_holt_linear d47b_leakage_scrub_guarantees
+    d76b_simhash_cluster_guarantees d78_kmv_distinct d48b_jpeg_headers
+    d63_soft_dedup_weights d68_crossdup_matrix d75_idf_rarity_score
+    d64_rouge_overlap d67_embedding_quantize_int8
+    d71_ccnet_perplexity_buckets d72_minhash_band_tuning
+    d73_token_budget_pack d74_embedding_standardize d65_doc_graph_pagerank
+    d70_wordpiece_tokenize d69_suffix_array_ngrams""".split()
+)
+
+
+# Round-8 re-certification head (VERDICT round-7 item #1): every ledger
+# row is green, but the c01–c37 block was last driver-checked in ROUND 1 —
+# seven rounds stale.  The 40 stalest (of 49 r1-only rows, module order)
+# lead the round-8 window so "zero hash mismatches ever" stays a live
+# claim; _R08_NEW rides behind them (~10 slots of the ~50-row window);
+# the 9 r1 leftovers + the r2 block queue for round 9.
+_R08_STALE_FIRST = frozenset(
+    """c01_scan_parquet c02_scan_csv c02b_scan_json c03_write_partitioned
+    c04_ingest_pandas c05_select c06_computed_column c07_rename c08_drop
+    c09_filter c10_distinct c11_null_handling c12_cast c13_case_when
+    c14_join_inner c15_join_left c15b_join_full c16_join_multikey
+    c17_semi_join c19_cross_join c20_range_join c21_asof_join
+    c22_broadcast_join c15c_join_right c20b_scalar_subquery c01b_scan_orc
+    c02c_export_jsonl_shards c21b_asof_tolerance c23_groupby_agg
+    c24_multi_agg c25_count_distinct c26_approx_count_distinct
+    c27_global_agg c28_stats_moments c29_quantiles c29b_approx_quantiles
+    c30_rollup c30b_cube c31_pivot c32_unpivot""".split()
+)
+
+
+# Queries ADDED in round 8 (never had a driver row).  They sort right
+# after the 40-row stale-first head.
+_R08_NEW = frozenset(
+    """d99_bmp_ppm_decode d98c_bpe_merge_replay d100_shortest_paths
+    d101_ivf_nprobe_recall""".split()
+)
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -317,42 +369,42 @@ def _merged(attr):
 
 def all_queries():
     """Declaration order = driver-certification priority (the driver's
-    per-round correctness file caps at ~50 rows). Round-4 rotation
-    (VERDICT round-3 item #1): the 29-query backlog with no driver row
-    (d03e + the round-3 additions) comes FIRST, then this round's new
-    queries, then the three already-certified windows ride the tail.
-    Within each group, original module order is preserved (stable sort).
-    A name in no set is treated as newest (sorts after _R04_NEW), so a
-    forgotten registration can never starve the backlog or displace the
-    _R04_NEW group from the certification window."""
+    per-round correctness file caps at ~50 rows). Round-8 rotation
+    (VERDICT round-7 item #1): every row has been certified at least
+    once, so the window is now a RE-certification budget — the 40
+    stalest rows (r1-checked c01–c37 block) come FIRST, then this
+    round's new queries, then everything else by ascending freshness.
+    Within each group, original module order is preserved (stable
+    sort). A name in no set is treated as newest (sorts with _R08_NEW),
+    so a forgotten registration can never starve the backlog."""
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-7 rotation: the 9-row backlog (_R06_NEW members the r6
-        # window didn't reach — d92/d93, x34–x40) sorts FIRST; round-7
-        # additions next; every driver-certified query rides the tail,
-        # most recently certified last.
-        if name in _R06_NEW and name not in _R06_VERIFIED:
-            return 0  # round-7 backlog: past the r6 ~50-row window
-        if name in _R07_NEW:
+        # Round-8 rotation: with every row certified at least once, the
+        # window becomes a RE-certification budget — the 40 stalest
+        # r1-checked rows lead, round-8 additions ride behind them, and
+        # everything else queues by ascending freshness (r1 leftovers →
+        # r2 → … → r7 last).  Membership is checked newest-round-first
+        # so a row re-certified later sorts by its LATEST check.
+        if name in _R08_STALE_FIRST:
+            return 0
+        if name in _R08_NEW:
             return 1
+        if name in _R07_VERIFIED:
+            return 9
         if name in _R06_VERIFIED:
-            return 2  # covers _R05_NEW/_R05_RECHECK/_R06_RECHECK too
+            return 8
         if name in _R05_VERIFIED:
-            return 3
+            return 7
         if name in _R04_VERIFIED:
-            return 4
-        if name in _R04_NEW or name in _R04B_NEW or name in _R05_NEW:
-            return 3  # safety net — all certified by r5/r6
+            return 6
         if name in _R03_VERIFIED:
             return 5
         if name in _R02_VERIFIED:
-            return 6
+            return 4
         if name in _R01_VERIFIED:
-            return 7
-        if name in _RECHECK or name in _R03_NEW:
-            return 4  # certified in r4 (safety net — all are in _R04_VERIFIED)
-        return 1  # not in any set: newest, with the _R07_NEW group
+            return 2  # the 9 r1 leftovers: round-9 backlog head
+        return 1  # not in any set: newest, with the _R08_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
