@@ -3718,3 +3718,224 @@ def d98b(spark, sf_dir):
     mutate symbol state the declarative side cannot reach."""
     d = tables(spark, sf_dir)("documents")
     return text.bpe_merges(d, "text", n_merges=1)
+
+
+@q(
+    "d99_bmp_ppm_decode",
+    """WITH dims AS (SELECT doc_id,
+                     CAST(5 + doc_id % 8 AS INT) AS w,
+                     CAST(4 + (3 * doc_id) % 8 AS INT) AS h,
+                     CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+              FROM documents),
+       px AS (SELECT d.doc_id, d.fmt, d.w, d.h, c.c AS channel,
+                     (7 * d.doc_id + 3 * x.x + 5 * y.y + 11 * c.c) % 256 AS v,
+                     (x.x + 1) * (y.y + 2) AS wgt
+              FROM dims d, range(0, 12) x(x), range(0, 11) y(y),
+                   range(0, 3) c(c)
+              WHERE x.x < d.w AND y.y < d.h)
+       SELECT doc_id, fmt AS format, w AS width, h AS height,
+              CAST(channel AS INT) AS channel,
+              round(sum(v)::DOUBLE / count(*), 6) AS mean,
+              CAST(min(v) AS INT) AS min, CAST(max(v) AS INT) AS max,
+              round(sqrt(sum(v * v)::DOUBLE / count(*)
+                         - (sum(v)::DOUBLE / count(*))
+                           * (sum(v)::DOUBLE / count(*))), 6) AS std,
+              CAST(sum(v * wgt) AS BIGINT) AS pos_sum
+       FROM px GROUP BY 1, 2, 3, 4, 5""",
+)
+def d99(spark, sf_dir):
+    """D7-ext (r8): REAL image-file decode, certified end-to-end with NO
+    codec library — Spark writes a valid 24-bit BMP (bottom-up BGR rows,
+    4-byte padding) or binary PPM (P6) per document
+    (``multimodal.synth_bmp_ppm``), decodes it back to the logical pixel
+    grid in pure numpy (``decode_bmp_ppm_stats``: header walk, padding
+    strip, row un-flip, BGR→RGB), and aggregates per-channel stats plus a
+    POSITION-WEIGHTED checksum Σ v·(x+1)·(y+2) that a mis-flipped or
+    mis-padded decode cannot fake (order-free stats alone would pass a
+    row-flip bug). The oracle regenerates every pixel arithmetically —
+    the d48/d93 certification pattern — closing the codec gap down to
+    COMPRESSED formats only (JPEG/PNG entropy coding: `decode_real`)."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_bmp_ppm(d, "doc_id")
+    return multimodal.decode_bmp_ppm_stats(files, "payload", "doc_id")
+
+
+# d98c: per-round SQL replay of the BPE loop.  The greedy left-to-right
+# non-overlapping merge is replayed as a single-pass string replace over a
+# sentinel-delimited symbol string: symbols are joined with a DOUBLE
+# chr(31) separator and the pattern <s1>a<s1><s1>b<s1> is replaced by
+# <s1>ab<s1> — the pattern consumes one sentinel from each side of the
+# double separator and the replacement restores them, so consecutive
+# matches stay matchable ([a,b,a,b] merges BOTH pairs) while a single-pass
+# replace still cannot re-match its own output ([a,a,a] with pair (a,a)
+# gives [aa, a] — exactly the engine's (out, pend) scan semantics).
+_BPE_SEP = "chr(31)"  # sentinels inlined: DuckDB's array_to_string/
+_BPE_SEP2 = "(chr(31) || chr(31))"  # string_agg demand a CONSTANT separator
+
+_BPE_ROUND = """,
+       syms{r} AS (SELECT f, s,
+                          list_filter(string_split(s, {ss2}), x -> x <> '') AS syms
+                   FROM s{r}),
+       p{r} AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(f) AS cnt
+                FROM syms{r}, LATERAL (
+                  SELECT unnest(range(1, greatest(len(syms), 1))) AS i)
+                GROUP BY 1, 2),
+       m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+       s{n} AS (SELECT f,
+                       replace(s, {s1} || m.a || {ss2} || m.b || {s1},
+                               {s1} || m.a || m.b || {s1}) AS s
+                FROM syms{r}, m{r} m)"""
+
+
+@q(
+    "d98c_bpe_merge_replay",
+    """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       wf AS (SELECT w, count(*) AS f FROM wd WHERE length(w) > 0 GROUP BY 1),
+       s1 AS (SELECT f, {ss2} || array_to_string(
+                          [w[i] FOR i IN range(1, length(w) + 1)], {s2lit}) || {ss2} AS s
+              FROM wf)""".format(ss2=_BPE_SEP2, s2lit=_BPE_SEP2)
+    + _BPE_ROUND.format(r=1, n=2, s1=_BPE_SEP, ss2=_BPE_SEP2)
+    + _BPE_ROUND.format(r=2, n=3, s1=_BPE_SEP, ss2=_BPE_SEP2)
+    + _BPE_ROUND.format(r=3, n=4, s1=_BPE_SEP, ss2=_BPE_SEP2)
+    + """
+       SELECT CAST(1 AS INT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged,
+              CAST(cnt AS BIGINT) AS pair_count FROM m1
+       UNION ALL
+       SELECT CAST(2 AS INT), a, b, a || b, CAST(cnt AS BIGINT) FROM m2
+       UNION ALL
+       SELECT CAST(3 AS INT), a, b, a || b, CAST(cnt AS BIGINT) FROM m3""",
+)
+def d98c(spark, sf_dir):
+    """Certification deepener for d98 (VERDICT r7 #3): merges 1–3 of the
+    BPE loop hash-certify against an UNROLLED per-round SQL replay — each
+    round recomputes the frequency-weighted pair argmax (count desc, pair
+    tie-break) and rewrites the symbol state with a sentinel-delimited
+    greedy string replace that reproduces the engine's (out, pend) scan
+    exactly (see _BPE_ROUND).  Rounds 2–3 exercise what d98b cannot: the
+    argmax over MUTATED symbol state, including merged symbols competing
+    in later pair counts.  d98 itself stays rows-only for the full
+    8-merge table.  chr(31) (ASCII unit separator) cannot appear in the
+    corpus text, so the sentinel encoding is collision-free."""
+    d = tables(spark, sf_dir)("documents")
+    return text.bpe_merges(d, "text", n_merges=3)
+
+
+# Shared weighted-edge fragment for d100: the d94/d95 rare-token graph
+# with a deterministic symmetric integer weight 1 + (a + b) mod 5.
+@q(
+    "d100_shortest_paths",
+    "WITH RECURSIVE " + _ED_CTE + """,
+       wed AS (SELECT s, d, 1 + (s + d) % 5 AS w FROM ed),
+       seeds AS (SELECT DISTINCT s AS id FROM ed WHERE s % 23 = 0),
+       walk(id, dist, hops) AS (
+         SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+         UNION
+         SELECT e.d, wk.dist + e.w, wk.hops + 1
+         FROM walk wk JOIN wed e ON e.s = wk.id
+         WHERE wk.hops < 30
+       )
+       SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+       FROM walk GROUP BY id""",
+)
+def d100(spark, sf_dir):
+    """Graph tier (r8): single-source-set WEIGHTED shortest paths over
+    the d65 rare-token graph with deterministic integer edge weights
+    1 + (id_a + id_b) mod 5 (``graph.shortest_paths``: Bellman–Ford
+    frontier relaxation — delta-only joins, node-sized state, exact long
+    distance sums, raise-on-non-convergence).  Completes the graph tier
+    next to CC/BFS/PageRank/triangles.  The oracle enumerates all ≤30-hop
+    walks in a depth-bounded recursive CTE and takes the min — exhaustive
+    BECAUSE the engine raises if any frontier survives 30 rounds
+    (Bellman–Ford settles every shortest path of ≤ k edges by round k,
+    so convergence within 30 proves no shortest path is longer)."""
+    from .. import graph
+
+    d = tables(spark, sf_dir)("documents")
+    edges = graph.rare_token_edges(d, "doc_id", "text", min_df=2, max_df=3, shingle=3)
+    weighted = edges.withColumn(
+        "w", (F.lit(1) + (F.col("id_a") + F.col("id_b")) % 5).cast("long")
+    )
+    nodes = edges.select(F.col("id_a").alias("id")).union(
+        edges.select(F.col("id_b").alias("id"))
+    ).distinct()
+    seeds = nodes.filter(F.col("id") % 23 == 0)
+    out = graph.shortest_paths(weighted, seeds, "id_a", "id_b", "w", max_iter=30)
+    return out.select(F.col("id").alias("doc_id"), "dist")
+
+
+@q(
+    "d101_ivf_nprobe_recall",
+    """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                  WHERE vec_id % 29 = 0),
+       gt AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         round(
+                           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+                         DESC, c.vec_id) AS rnk
+                FROM q CROSS JOIN embeddings c)
+              WHERE rnk <= 5),
+       pat AS (SELECT vec_id,
+                      CAST(8 * (embedding[1] > 0)::INT + 4 * (embedding[17] > 0)::INT
+                           + 2 * (embedding[33] > 0)::INT + (embedding[49] > 0)::INT
+                           AS INT) AS patt
+               FROM embeddings),
+       rk AS (SELECT p.p AS qpat, c.c AS cell,
+                     row_number() OVER (PARTITION BY p.p ORDER BY
+                       abs((p.p // 8) % 2 - (c.c // 8) % 2)
+                       + abs((p.p // 4) % 2 - (c.c // 4) % 2)
+                       + abs((p.p // 2) % 2 - (c.c // 2) % 2)
+                       + abs(p.p % 2 - c.c % 2), c.c) AS prank
+              FROM range(0, 16) p(p), range(0, 16) c(c)),
+       grid AS (SELECT np FROM (VALUES (1), (2), (4), (8), (16)) v(np)),
+       sizes AS (SELECT patt AS cell, count(*) AS sz FROM pat GROUP BY 1),
+       scant AS (SELECT r.qpat, g.np,
+                        sum(CASE WHEN r.prank <= g.np
+                            THEN coalesce(s.sz, 0) ELSE 0 END) AS scanned
+                 FROM rk r LEFT JOIN sizes s USING (cell), grid g
+                 GROUP BY 1, 2),
+       hits AS (SELECT g.np,
+                       count(DISTINCT gt.query_id) AS n_queries,
+                       count(*) AS n_true,
+                       sum((r.prank <= g.np)::INT) AS n_found
+                FROM gt JOIN pat pn ON pn.vec_id = gt.neighbor_id
+                        JOIN pat pq ON pq.vec_id = gt.query_id
+                        JOIN rk r ON r.qpat = pq.patt AND r.cell = pn.patt,
+                     grid g
+                GROUP BY 1),
+       scans AS (SELECT st.np, sum(st.scanned) AS total_scanned,
+                        count(*) AS nq
+                 FROM q JOIN pat pq ON pq.vec_id = q.query_id
+                        JOIN scant st ON st.qpat = pq.patt
+                 GROUP BY 1),
+       corp AS (SELECT count(*) AS nc FROM embeddings)
+       SELECT CAST(h.np AS INT) AS nprobe,
+              CAST(h.n_queries AS BIGINT) AS n_queries,
+              CAST(h.n_true AS BIGINT) AS n_true,
+              CAST(h.n_found AS BIGINT) AS n_found,
+              round(h.n_found::DOUBLE / h.n_true, 6) AS recall,
+              round(s.total_scanned::DOUBLE / (s.nq * corp.nc), 6) AS scan_frac
+       FROM hits h JOIN scans s ON s.np = h.np, corp""",
+)
+def d101(spark, sf_dir):
+    """ANN design tool (r8, VERDICT r7 #5): the d72 band-tuning symmetry
+    for the IVF tiers — achieved recall@5 vs brute-force ground truth AND
+    corpus-scan fraction per nprobe in {1,2,4,8,16}, over a 16-cell
+    SIGN-BIT coarse quantizer with Hamming-distance probe order
+    (``similarity.ivf_nprobe_recall_sweep``).  Sign tests and Hamming
+    ranks are exact integer arithmetic both engines replay bit-for-bit —
+    unlike trained k-means centroids (float means, partial-aggregation
+    order) — so this sweep hash-certifies while measuring the same
+    recall-vs-cost mechanics nprobe trades along in d03d/d03g.  A true
+    neighbor is recalled iff its cell ranks ≤ nprobe in the query's probe
+    order, so the whole curve is membership arithmetic over the observed
+    neighbor sets: one GT pass + broadcast rank table, no banded search,
+    nothing corpus²."""
+    e = tables(spark, sf_dir)("embeddings")
+    queries = e.filter(F.col("vec_id") % 29 == 0)
+    return similarity.ivf_nprobe_recall_sweep(
+        queries, e, "vec_id", "vec_id", "embedding",
+        dims=(1, 17, 33, 49), grid=(1, 2, 4, 8, 16), k=5,
+    )

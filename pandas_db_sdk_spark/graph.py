@@ -262,6 +262,91 @@ def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFr
     return n_e.crossJoin(F.broadcast(n_tri))
 
 
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    weight: str = "w",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Single-source-set WEIGHTED shortest paths over an undirected edge
+    list — Bellman–Ford frontier relaxation as pure DataFrame rounds; the
+    weighted generalization of :func:`bfs_hops` (hop counts are the
+    all-weights-1 special case).
+
+    ``seeds`` is a one-column DataFrame of source node ids (distance 0);
+    ``weight`` must be a NON-NEGATIVE integer-typed column (distances
+    accumulate in long, so sums are exact and the result is
+    hash-certifiable against a declarative oracle — float weights would
+    reintroduce order-dependent rounding). Returns (id, dist long) for
+    every node reachable from a seed; unreachable nodes are absent.
+
+    Scale shape (the bfs_hops discipline): state is one row per REACHED
+    node; each round relaxes only the just-improved DELTA against the
+    edge table (one equi-join + one min-aggregate — map-side partial, so
+    the shuffle carries node-sized data), then min-merges into the
+    state; localCheckpoint per round keeps lineage O(1). Bellman–Ford
+    settles every shortest path that uses ≤ k edges by round k, so
+    convergence within ``max_iter`` PROVES no shortest path is longer
+    than max_iter hops — which is exactly the bound a depth-limited
+    recursive-CTE oracle needs to be exhaustive. Raises after
+    ``max_iter`` rounds with a live frontier instead of returning
+    silently-truncated distances.
+    """
+    from ._scratch import scratch_persist
+
+    e = scratch_persist(
+        edges.select(
+            F.col(a).alias("s"), F.col(b).alias("d"), F.col(weight).cast("long").alias("w")
+        ).union(
+            edges.select(
+                F.col(b).alias("s"), F.col(a).alias("d"), F.col(weight).cast("long").alias("w")
+            )
+        ).distinct(),
+        "shortest_paths/edges",
+    )
+    seed_col = seeds.columns[0]
+    state = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        relaxed = (
+            e.join(frontier.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        )
+        merged = (
+            state.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            merged.alias("m")
+            .join(state.alias("o"), "id", "left")
+            .filter(
+                F.col("o.dist").isNull() | (F.col("m.dist") < F.col("o.dist"))
+            )
+            .select("id", F.col("m.dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        state = merged
+    else:
+        if not frontier.isEmpty():
+            raise RuntimeError(
+                f"shortest_paths did not converge in {max_iter} rounds — some "
+                "shortest path uses more edges; raise max_iter for this graph"
+            )
+    return state.select("id", F.col("dist").cast("long").alias("dist"))
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

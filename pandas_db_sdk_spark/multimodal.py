@@ -345,6 +345,165 @@ def synth_raw_rgb(
     )
 
 
+def synth_bmp_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Manufacture a REAL codec-free image file per row — a valid
+    uncompressed 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up BGR rows, 4-byte row padding) for even ids and a valid
+    binary PPM (P6, ASCII header, top-down RGB rows) for odd ids.
+    Dimensions and every pixel derive from the id arithmetically —
+    width = 5 + id%8, height = 4 + (3·id)%8, pixel(x, y, c) =
+    (7·id + 3·x + 5·y + 11·c) mod 256 (the d93 formula) — so an
+    engine-independent oracle can certify the encode→decode→aggregate
+    round trip without any codec library. Widths 5–12 make most BMP rows
+    non-4-byte-aligned, so the padding path is genuinely exercised.
+
+    Arrow-batched mapInPandas, same contract as ``synth_media_payload``."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def pixels(i: int, w: int, h: int) -> "np.ndarray":
+            y, x, c = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            return ((7 * i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+
+        def bmp(i: int, w: int, h: int) -> bytes:
+            rgb = pixels(i, w, h)
+            bgr = rgb[:, :, ::-1]  # BMP stores blue-green-red
+            row_len = (w * 3 + 3) // 4 * 4
+            rows = np.zeros((h, row_len), dtype=np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            pix = rows[::-1].tobytes()  # bottom-up row order
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+            )
+            head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 54)
+            return head + info + pix
+
+        def ppm(i: int, w: int, h: int) -> bytes:
+            return f"P6\n{w} {h}\n255\n".encode() + pixels(i, w, h).tobytes()
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            out = []
+            for i in ids:
+                w, h = 5 + i % 8, 4 + (3 * i) % 8
+                out.append((int(i), bmp(i, w, h) if i % 2 == 0 else ppm(i, w, h)))
+            yield pd.DataFrame(out, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def decode_bmp_ppm_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode, no codec library: parse BMP (header walk, strip
+    row padding, flip the bottom-up rows, swap BGR→RGB) and binary PPM
+    (ASCII header scan, top-down RGB) down to the logical (y, x, channel)
+    pixel grid in pure numpy, then per-channel statistics — mean, min,
+    max, population std, and a POSITION-WEIGHTED checksum
+    ``pos_sum = Σ v(x,y)·(x+1)·(y+2)``. The channel means alone would
+    certify the channel order but not the geometry (a row flip permutes
+    pixels within a channel, leaving every order-free statistic
+    unchanged); pos_sum is the statistic a mis-flipped, mis-padded or
+    mis-strided decode cannot fake. With this tier the only remaining
+    multimodal stub is COMPRESSED codecs (JPEG/PNG entropy coding —
+    `decode_real`); container→raw-pixel decode is now real end-to-end.
+
+    Integer sums are exact (≤ 255·12·13·144 per cell), so the oracle
+    replays them arithmetically — the d48/d93 certification pattern.
+    Scale: pure mapInPandas over Arrow batches, zero shuffles, one output
+    row per (image, channel)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def decode(b: bytes):
+            if b[:2] == b"BM":
+                off, = struct.unpack("<I", b[10:14])
+                w, h = struct.unpack("<ii", b[18:26])
+                bpp, = struct.unpack("<H", b[28:30])
+                comp, = struct.unpack("<I", b[30:34])
+                if bpp != 24 or comp != 0:
+                    return None
+                row_len = (w * 3 + 3) // 4 * 4
+                rows = np.frombuffer(
+                    b[off : off + h * row_len], dtype=np.uint8
+                ).reshape(h, row_len)
+                bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # undo bottom-up
+                return "bmp", w, h, bgr[:, :, ::-1]  # undo BGR
+            if b[:2] == b"P6":
+                # header: magic, width, height, maxval — ASCII tokens
+                # separated by whitespace; pixel data starts after the
+                # single whitespace byte following maxval
+                pos, fields = 2, []
+                while len(fields) < 3 and pos < len(b):
+                    while pos < len(b) and b[pos : pos + 1].isspace():
+                        pos += 1
+                    start = pos
+                    while pos < len(b) and not b[pos : pos + 1].isspace():
+                        pos += 1
+                    fields.append(int(b[start:pos]))
+                pos += 1  # the single whitespace after maxval
+                w, h, maxval = fields
+                if maxval != 255:
+                    return None
+                rgb = np.frombuffer(
+                    b[pos : pos + w * h * 3], dtype=np.uint8
+                ).reshape(h, w, 3)
+                return "ppm", w, h, rgb
+            return None
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                got = decode(bytes(buf))
+                if got is None:
+                    continue
+                fmt, w, h, rgb = got
+                arr = rgb.astype(np.int64)
+                n = w * h
+                xw = np.arange(w) + 1
+                yw = np.arange(h) + 2
+                wgt = yw[:, None] * xw[None, :]
+                for ch in range(3):
+                    v = arr[:, :, ch]
+                    s, ss = int(v.sum()), int((v * v).sum())
+                    mean = s / n
+                    rows.append(
+                        (
+                            int(i),
+                            fmt,
+                            w,
+                            h,
+                            ch,
+                            round(mean, 6),
+                            int(v.min()),
+                            int(v.max()),
+                            round((ss / n - mean * mean) ** 0.5, 6),
+                            int((v * wgt).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "width", "height", "channel",
+                    "mean", "min", "max", "std", "pos_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        f"{id_col} long, format string, width int, height int, channel int, "
+        "mean double, min int, max int, std double, pos_sum long",
+    )
+
+
 def raw_pixel_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

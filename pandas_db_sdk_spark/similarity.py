@@ -72,6 +72,143 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_nprobe_recall_sweep(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    dims: tuple = (1, 17, 33, 49),
+    grid: tuple = (1, 2, 4, 8, 16),
+    k: int = 5,
+) -> DataFrame:
+    """IVF design tool — the d72 band-tuning symmetry for the inverted-
+    file tiers: for each ``nprobe`` in ``grid``, the ACHIEVED recall@k
+    against brute-force ground truth and the fraction of the corpus a
+    probe at that setting scans (the recall-vs-cost curve nprobe trades
+    along, d03d/d03g's only approximation knob).
+
+    The coarse quantizer here is a SIGN-BIT cell — cell id =
+    Σⱼ 2ʲ·[v[dims[j]] > 0], probe order by Hamming distance between the
+    query's sign pattern and each cell's bits (ties by cell id) — rather
+    than the trained k-means the runtime tiers use: k-means centroids
+    are float MEANS whose partial-aggregation order is engine-specific,
+    so a sweep over them could never hash-certify, while sign tests and
+    Hamming ranks are exact integer arithmetic both engines replay
+    bit-for-bit. The MECHANICS being measured — ground-truth neighbors
+    live in cells the query may not probe first; recall grows and scan
+    cost grows as nprobe rises — are identical, so the curve transfers.
+
+    Key insight that keeps this ONE job: with exact rerank inside probed
+    cells, a true neighbor is recalled IFF its cell ranks ≤ nprobe in
+    the query's probe order — membership arithmetic over the observed
+    neighbor sets; the banded search itself never needs to run. Shapes:
+    one brute-force GT pass (broadcast queries — the small-query-set
+    contract of this design tier), a 2^|dims| × 2^|dims| broadcast rank
+    table, node-sized joins; nothing corpus² anywhere.
+
+    Returns one row per nprobe: (nprobe int, n_queries, n_true, n_found
+    bigint, recall double, scan_frac double)."""
+    n_bits = len(dims)
+    n_cells = 2 ** n_bits
+
+    def pattern(col):
+        expr = F.lit(0)
+        for j, d in enumerate(dims):
+            expr = expr + F.when(
+                F.element_at(col, d) > 0, F.lit(2 ** (n_bits - 1 - j))
+            ).otherwise(F.lit(0))
+        return expr.cast("int")
+
+    v = F.col(vec_col)
+    qpat = queries.select(
+        F.col(query_id).alias("query_id"), pattern(v).alias("qpat")
+    )
+    ncell = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), pattern(v).alias("cell")
+    )
+
+    spark = queries.sparkSession
+    # probe-order rank of every cell for every query pattern: a
+    # 2^|dims| × 2^|dims| table built driver-free and broadcast
+    def hamming(pc, cc):
+        d = F.lit(0)
+        for j in range(n_bits):
+            d = d + F.abs(
+                F.shiftright(pc, j) % 2 - F.shiftright(cc, j) % 2
+            )
+        return d
+
+    ranktab = (
+        spark.range(n_cells)
+        .select(F.col("id").cast("int").alias("qpat"))
+        .crossJoin(
+            spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("qpat").orderBy(
+                    hamming(F.col("qpat"), F.col("cell")), F.col("cell")
+                )
+            ),
+        )
+    )
+    gridf = spark.createDataFrame([(int(g),) for g in grid], "nprobe int")
+
+    gt = cosine_topk_bruteforce(queries, corpus, query_id, corpus_id, vec_col, k)
+    hits = (
+        gt.join(ncell, "neighbor_id")
+        .join(F.broadcast(qpat), "query_id")
+        .join(F.broadcast(ranktab), ["qpat", "cell"])
+        .crossJoin(F.broadcast(gridf))
+        .groupBy("nprobe")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(
+                F.when(F.col("prank") <= F.col("nprobe"), 1).otherwise(0)
+            ).cast("long").alias("n_found"),
+        )
+    )
+    sizes = ncell.groupBy("cell").agg(F.count("*").alias("sz"))
+    scantab = (
+        ranktab.join(sizes, "cell", "left")
+        .crossJoin(gridf)
+        .groupBy("qpat", "nprobe")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prank") <= F.col("nprobe"), F.coalesce("sz", F.lit(0))
+                ).otherwise(0)
+            ).alias("scanned")
+        )
+    )
+    n_corpus = ncell.count()
+    scans = (
+        qpat.join(F.broadcast(scantab), "qpat")
+        .groupBy("nprobe")
+        .agg(F.sum("scanned").alias("total_scanned"), F.count("*").alias("nq"))
+    )
+    return (
+        hits.join(scans, "nprobe")
+        .select(
+            "nprobe",
+            "n_queries",
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found").cast("double") / F.col("n_true"), 6).alias(
+                "recall"
+            ),
+            F.round(
+                F.col("total_scanned").cast("double")
+                / (F.col("nq") * F.lit(float(n_corpus))),
+                6,
+            ).alias("scan_frac"),
+        )
+    )
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,

@@ -124,3 +124,50 @@ def test_parse_media_headers_golden_and_corrupt(spark):
     assert got[2].duration_s == 1.0  # 44100*4 bytes / (44100 Hz * 2 ch * 2 B)
     assert got[3].format == "unknown" and got[3].width is None
     assert got[4].format == "unknown"
+
+
+def test_bmp_ppm_decode_roundtrip_exact(spark):
+    """synth_bmp_ppm → decode_bmp_ppm_stats recovers the EXACT arithmetic
+    pixel grid: stats equal a direct numpy replay of the generator
+    formula, including the position-weighted checksum that catches row
+    flips, BGR swaps and padding mistakes. Widths 5–12 guarantee most BMP
+    rows are not 4-byte aligned, so the padding path is really hit."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    files = multimodal.synth_bmp_ppm(ids, "doc_id")
+    got = {
+        (r.doc_id, r.channel): r
+        for r in multimodal.decode_bmp_ppm_stats(files, "payload", "doc_id").collect()
+    }
+    assert len(got) == 60
+    padded = 0
+    for i in range(20):
+        w, h = 5 + i % 8, 4 + (3 * i) % 8
+        padded += (w * 3) % 4 != 0
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        px = (7 * i + 3 * x + 5 * y + 11 * c) % 256
+        wgt = (x[:, :, 0] + 1) * (y[:, :, 0] + 2)
+        for ch in range(3):
+            r = got[(i, ch)]
+            v = px[:, :, ch]
+            assert (r.format, r.width, r.height) == (
+                "bmp" if i % 2 == 0 else "ppm", w, h,
+            )
+            assert r.min == v.min() and r.max == v.max()
+            assert r.mean == round(v.sum() / v.size, 6)
+            assert r.pos_sum == int((v * wgt).sum())
+    assert padded >= 10  # the padding branch is exercised, not dodged
+
+
+def test_bmp_ppm_decode_skips_unparseable(spark):
+    """Garbage, unsupported-bpp BMPs and non-255-maxval PPMs are skipped
+    (no executor error), matching parse_media_headers' degrade contract."""
+    rows = [
+        (1, bytearray(b"not an image at all")),
+        (2, bytearray(b"P6\n2 2\n127\n" + b"\x00" * 12)),  # maxval != 255
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert multimodal.decode_bmp_ppm_stats(df, "payload", "doc_id").count() == 0

@@ -706,3 +706,47 @@ def test_interval_coverage_matches_day_set_union(spark, raw):
             days.update(range(s, e + 1))
         want = (len(iv), len(days), max(e for _, e in iv) - min(s for s, _ in iv) + 1)
         assert got[g] == want, (g, iv)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12), st.integers(1, 5)),
+        max_size=25,
+    ),
+    st.lists(st.integers(0, 12), min_size=1, max_size=3),
+)
+@settings(max_examples=8, deadline=None)
+def test_shortest_paths_matches_driver_dijkstra(spark, triples, seed_raw):
+    """graph.shortest_paths == a driver-side Dijkstra on random weighted
+    graphs: reachable nodes get the exact min distance, unreachable nodes
+    are absent."""
+    import heapq
+
+    from pandas_db_sdk_spark import graph
+
+    edges = [(a, b, w) for a, b, w in triples if a != b]
+    if not edges:
+        return
+    nodes = {n for a, b, _ in edges for n in (a, b)}
+    seeds = sorted({s for s in seed_raw if s in nodes}) or [min(nodes)]
+    edf = spark.createDataFrame(edges, "id_a long, id_b long, w long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {r.id: r.dist for r in graph.shortest_paths(edf, sdf).collect()}
+
+    adj = {}
+    for a, b, w in edges:
+        # parallel edges collapse to the cheapest (distinct() on the
+        # doubled table keeps both rows; min-relaxation picks the cheaper)
+        adj.setdefault(a, {})[b] = min(adj.get(a, {}).get(b, w), w)
+        adj.setdefault(b, {})[a] = min(adj.get(b, {}).get(a, w), w)
+    want = {s: 0 for s in seeds}
+    heap = [(0, s) for s in seeds]
+    while heap:
+        d, n = heapq.heappop(heap)
+        if d > want.get(n, float("inf")):
+            continue
+        for m, w in adj.get(n, {}).items():
+            if d + w < want.get(m, float("inf")):
+                want[m] = d + w
+                heapq.heappush(heap, (d + w, m))
+    assert got == want, (edges, seeds)

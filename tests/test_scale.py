@@ -487,3 +487,42 @@ def test_bfs_hops_seed_density_bounds_rounds(spark):
         graph.bfs_hops(
             edges, spark.range(1).select(F.col("id")), max_iter=5
         )
+
+
+def test_shortest_paths_rounds_and_raise(spark):
+    """Bellman–Ford rounds = max EDGES on any shortest path, not graph
+    size: a 256-node chain seeded every 16 nodes converges inside the
+    default max_iter=30 with exact weighted distances; an end-seeded
+    chain exceeds a tight max_iter and must RAISE (the bfs_hops
+    discipline — silent truncation is a correctness bug). With all
+    weights 1 the result degrades to bfs_hops exactly."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import graph
+
+    edges = spark.range(255).select(
+        F.col("id").alias("id_a"),
+        (F.col("id") + 1).alias("id_b"),
+        (F.col("id") % 3 + 1).alias("w"),
+    )
+    seeds = spark.range(0, 256, 16).select(F.col("id"))
+    got = {r.id: r.dist for r in graph.shortest_paths(edges, seeds).collect()}
+    w = [i % 3 + 1 for i in range(255)]
+    pref = [0]
+    for x in w:
+        pref.append(pref[-1] + x)  # pref[i] = dist 0 -> i along the chain
+    want = {
+        i: min(abs(pref[i] - pref[s]) for s in range(0, 256, 16))
+        for i in range(256)
+    }
+    assert got == want
+
+    ones = edges.withColumn("w", F.lit(1))
+    sp = {r.id: r.dist for r in graph.shortest_paths(ones, seeds).collect()}
+    bf = {r.id: r.hops for r in graph.bfs_hops(edges, seeds).collect()}
+    assert sp == bf
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.shortest_paths(
+            edges, spark.range(1).select(F.col("id")), max_iter=5
+        )

@@ -646,3 +646,38 @@ def test_cluster_medoids_match_naive_argmin(spark):
             ),
         )
         assert got[lab][0] == best[0], lab
+
+
+def test_ivf_nprobe_recall_sweep_properties(spark):
+    """The sweep's invariants: recall and scan_frac are non-decreasing in
+    nprobe; probing ALL cells is exhaustive (recall == scan_frac == 1);
+    n_true == k × n_queries; found counts never exceed true counts."""
+    import random
+
+    from pandas_db_sdk_spark import similarity
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 11 == 0)
+    out = {
+        r.nprobe: r
+        for r in similarity.ivf_nprobe_recall_sweep(
+            queries, emb, "vec_id", "vec_id", "embedding",
+            dims=(1, 3, 5, 7), grid=(1, 2, 4, 8, 16), k=5,
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 4, 8, 16]
+    nq = queries.count()
+    prev_r, prev_s = -1.0, -1.0
+    for np_ in (1, 2, 4, 8, 16):
+        r = out[np_]
+        assert r.n_queries == nq and r.n_true == 5 * nq
+        assert 0 <= r.n_found <= r.n_true
+        assert r.recall >= prev_r and r.scan_frac >= prev_s
+        prev_r, prev_s = r.recall, r.scan_frac
+    assert out[16].recall == 1.0 and out[16].scan_frac == 1.0
+    # probing one cell must be cheaper than exhaustive (the whole point)
+    assert out[1].scan_frac < 1.0
