@@ -80,6 +80,16 @@ def main() -> None:
         # -> HOF symbol rewrite over vocabulary-sized state)
         ("q27_connected_components", "d94_connected_components"),
         ("q28_bpe_merges", "d98_bpe_merges"),
+        # round-8 additions (VERDICT r7 #6): the round-7 distribution-shift
+        # ops — monthly PSI (bucket-count groupBy over a frozen reference
+        # profile) and the two-sample KS statistic (range-partitioned ECDF
+        # prefix sums, no single-task global window)
+        ("q29_psi", "c95_monthly_psi"),
+        ("q30_ks", "c91_ks_test"),
+        # round-8 additions: the heaviest new ops — weighted Bellman-Ford
+        # over the rare-token graph and the end-to-end image encode/decode
+        ("q31_shortest_paths", "d100_shortest_paths"),
+        ("q32_bmp_ppm_decode", "d99_bmp_ppm_decode"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay

@@ -130,29 +130,18 @@ def ivf_nprobe_recall_sweep(
 
     spark = queries.sparkSession
     # probe-order rank of every cell for every query pattern: a
-    # 2^|dims| × 2^|dims| table built driver-free and broadcast
-    def hamming(pc, cc):
-        d = F.lit(0)
-        for j in range(n_bits):
-            d = d + F.abs(
-                F.shiftright(pc, j) % 2 - F.shiftright(cc, j) % 2
-            )
-        return d
-
-    ranktab = (
-        spark.range(n_cells)
-        .select(F.col("id").cast("int").alias("qpat"))
-        .crossJoin(
-            spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    # 2^|dims| × 2^|dims| table of exact integers, built driver-side
+    # (256 rows for 4 bits — constant-sized, never data-dependent) and
+    # broadcast; a windowed crossJoin would spend 3 exchanges building
+    # what a literal expresses
+    rank_rows = []
+    for p in range(n_cells):
+        order = sorted(
+            range(n_cells), key=lambda c: (bin(p ^ c).count("1"), c)
         )
-        .withColumn(
-            "prank",
-            F.row_number().over(
-                Window.partitionBy("qpat").orderBy(
-                    hamming(F.col("qpat"), F.col("cell")), F.col("cell")
-                )
-            ),
-        )
+        rank_rows += [(p, c, r + 1) for r, c in enumerate(order)]
+    ranktab = spark.createDataFrame(
+        rank_rows, "qpat int, cell int, prank int"
     )
     gridf = spark.createDataFrame([(int(g),) for g in grid], "nprobe int")
 
@@ -174,7 +163,7 @@ def ivf_nprobe_recall_sweep(
     sizes = ncell.groupBy("cell").agg(F.count("*").alias("sz"))
     scantab = (
         ranktab.join(sizes, "cell", "left")
-        .crossJoin(gridf)
+        .crossJoin(F.broadcast(gridf))
         .groupBy("qpat", "nprobe")
         .agg(
             F.sum(

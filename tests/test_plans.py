@@ -780,3 +780,89 @@ def test_round7_shuffle_budgets(spark, queries):
     # equi-keyed; its shared position/hit trees hit the scratch cache
     plan = plan_of(queries["d96_skipgram_ppmi"](spark, SF))
     assert "InMemoryTableScan" in plan
+
+
+def test_round7b_and_round8_shuffle_budgets(spark, queries):
+    """The r7 ops the r7 budget test missed plus the r8 additions: c94's
+    contingency collapse and c95's month-bucket profile are bounded after
+    their first aggregation; d98/d98c return the driver-built merge table
+    (zero exchanges — the loop's per-round work is pinned separately by
+    test_iterative_graph_stage_counts_stay_linear and the BPE round
+    budget documented in SCALE.md); d99 is pure chained mapInPandas
+    (zero exchanges, the d93 shape); d100 returns a localCheckpoint-
+    backed node-sized frame; d101 stitches k-bounded frames (16x16 rank
+    table, 5-row grid, per-cell sizes) around one broadcast-GT pass."""
+    spark.catalog.clearCache()
+    budgets = {
+        # 9 = the ONE data-sized contingency agg (its scratch-persisted
+        # subtree prints under all four consumers: marginals, total,
+        # stitch join) + the 15-row-bounded marginal/count-distinct
+        # expands; only the first exchange ever carries data-sized rows
+        "c94_cramers_v": 9,
+        # 9 = the bucket-index collapse printed under its consumers (per-
+        # month counts, month totals, reference counts/total) + the
+        # bucket-grid stitch — every post-collapse frame is <= months x
+        # buckets rows
+        "c95_monthly_psi": 9,
+        "d98_bpe_merges": 0,
+        "d98c_bpe_merge_replay": 0,
+        "d99_bmp_ppm_decode": 0,
+        "d100_shortest_paths": 30,
+        "d101_ivf_nprobe_recall": 14,
+    }
+    for name, budget in budgets.items():
+        plan = plan_of(queries[name](spark, SF))
+        got = _unique_exchanges(plan)
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # d99's whole pipeline is two Arrow-batched python stages and nothing
+    # else — no shuffle may ever appear between synth and stats
+    plan = plan_of(queries["d99_bmp_ppm_decode"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_iterative_graph_stage_counts_stay_linear(spark):
+    """Per-round lineage pin for the iterative graph ops (VERDICT r7 #8):
+    localCheckpoint must keep each round's executed+skipped stage count
+    O(1), so the TOTAL stages for a fixed-round run are O(rounds). If a
+    lineage truncation regresses, every later round replays all earlier
+    rounds' stages and these counts blow up quadratically — failing here,
+    in CI, instead of as a slow bench."""
+    from pandas_db_sdk_spark import graph
+
+    sc = spark.sparkContext
+
+    def stages_for(fn):
+        tracker = sc.statusTracker()
+        before = set(tracker.getJobIdsForGroup("graphbudget"))
+        sc.setJobGroup("graphbudget", "stage-count pin")
+        try:
+            fn().count()
+        finally:
+            sc.setJobGroup(None, None)
+        total = 0
+        for jid in tracker.getJobIdsForGroup("graphbudget"):
+            if jid in before:
+                continue
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                total += len(info.stageIds)
+        return total
+
+    edges = spark.range(63).select(
+        F.col("id").alias("id_a"),
+        (F.col("id") + 1).alias("id_b"),
+        (F.col("id") % 3 + 1).alias("w"),
+    )
+    seeds = spark.range(0, 64, 8).select(F.col("id"))
+    # eccentricity 4 -> 5 rounds for BFS; weighted relaxation settles in
+    # <= 8 improving rounds on this chain. Budgets are ~2x the measured
+    # O(rounds) stage totals (65 / 70 on a healthy build) and far below
+    # the O(rounds^2) blowup a lineage regression produces (>300).
+    n_bfs = stages_for(lambda: graph.bfs_hops(edges, seeds, max_iter=12))
+    assert n_bfs <= 150, f"bfs_hops executed {n_bfs} stages for 5 rounds"
+    n_sp = stages_for(
+        lambda: graph.shortest_paths(edges, seeds, max_iter=12)
+    )
+    assert n_sp <= 170, f"shortest_paths executed {n_sp} stages"

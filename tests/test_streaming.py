@@ -702,3 +702,49 @@ def test_drift_monitor_empty_reference_raises_friendly(spark, tmp_path):
     null_ref = spark.createDataFrame([(None,), (None,)], "value double")
     with _pytest.raises(ValueError, match="no non-null values"):
         drift_monitor_into_engine(stream, eng, "m", null_ref, "value")
+
+
+def test_drift_monitor_psi_matches_batch_psi_report(spark, events_dir, events_batch, tmp_path):
+    """Batch-parity for the newest streaming op (VERDICT r7 #9, the c55
+    discipline): the monitor's per-epoch PSI must equal stats.psi_report
+    on the same frozen snapshot — reference = the full events sample,
+    epoch = the user_id%3==0 subset, psi_report run with the subset as
+    one period over a corpus arranged so its pooled reference IS the
+    monitor's reference. Bucket edges (same F.percentile call), bucket
+    fold, eps and 6-dp rounding must all line up; the only permitted
+    difference is psi_report's 12-dp term snap (<= 2e-11 before
+    rounding)."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark import stats
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import drift_monitor_into_engine
+
+    sub = events_batch.filter(F.col("user_id") % 3 == 0)
+    sub_dir = str(tmp_path / "epoch")
+    sub.coalesce(1).write.parquet(sub_dir)
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    q = drift_monitor_into_engine(
+        W.stream_events_from_dir(spark, sub_dir),
+        eng,
+        "monitor/parity",
+        reference=events_batch,
+        value_col="value",
+        n_buckets=10,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    alarms = eng.load("monitor/parity").collect()
+    assert len(alarms) == 1  # one file -> one availableNow epoch
+    got = alarms[0]
+
+    src = events_batch.withColumn(
+        "__grp", F.when(F.col("user_id") % 3 == 0, "epoch").otherwise("rest")
+    )
+    want = {
+        r["__grp"]: r
+        for r in stats.psi_report(src, "__grp", "value", n_buckets=10).collect()
+    }["epoch"]
+    assert got.n_batch == want.n
+    assert abs(got.psi - want.psi) <= 1e-6, (got.psi, want.psi)
