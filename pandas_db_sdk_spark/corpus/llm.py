@@ -3787,8 +3787,9 @@ _BPE_ROUND = """,
                 FROM syms{r}, m{r} m)"""
 
 
-@q(
-    "d98c_bpe_merge_replay",
+# The 3-round learning chain (wf -> s1..s4, winners m1..m3), shared by the
+# d98c replay certification and the d102 encoder oracle.
+_BPE_CHAIN3 = (
     """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        wf AS (SELECT w, count(*) AS f FROM wd WHERE length(w) > 0 GROUP BY 1),
        s1 AS (SELECT f, {ss2} || array_to_string(
@@ -3797,6 +3798,12 @@ _BPE_ROUND = """,
     + _BPE_ROUND.format(r=1, n=2, s1=_BPE_SEP, ss2=_BPE_SEP2)
     + _BPE_ROUND.format(r=2, n=3, s1=_BPE_SEP, ss2=_BPE_SEP2)
     + _BPE_ROUND.format(r=3, n=4, s1=_BPE_SEP, ss2=_BPE_SEP2)
+)
+
+
+@q(
+    "d98c_bpe_merge_replay",
+    _BPE_CHAIN3
     + """
        SELECT CAST(1 AS INT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged,
               CAST(cnt AS BIGINT) AS pair_count FROM m1
@@ -3939,3 +3946,53 @@ def d101(spark, sf_dir):
         queries, e, "vec_id", "vec_id", "embedding",
         dims=(1, 17, 33, 49), grid=(1, 2, 4, 8, 16), k=5,
     )
+
+
+@q(
+    "d102_bpe_encode",
+    _BPE_CHAIN3
+    + """,
+       swf AS (SELECT source, w, count(*) AS f FROM (
+                 SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+               WHERE length(w) > 0 GROUP BY 1, 2),
+       st AS (SELECT source, w, f,
+                     {ss2} || array_to_string(
+                       [w[i] FOR i IN range(1, length(w) + 1)], {ss2}) || {ss2} AS s
+              FROM swf),
+       e1 AS (SELECT source, w, f,
+                     replace(s, {s1} || m.a || {ss2} || m.b || {s1},
+                             {s1} || m.a || m.b || {s1}) AS s
+              FROM st, m1 m),
+       e2 AS (SELECT source, w, f,
+                     replace(s, {s1} || m.a || {ss2} || m.b || {s1},
+                             {s1} || m.a || m.b || {s1}) AS s
+              FROM e1, m2 m),
+       e3 AS (SELECT source, w, f,
+                     replace(s, {s1} || m.a || {ss2} || m.b || {s1},
+                             {s1} || m.a || m.b || {s1}) AS s
+              FROM e2, m3 m),
+       enc AS (SELECT source, f, length(w) AS nc,
+                      len(list_filter(string_split(s, {ss2}), x -> x <> '')) AS nt
+               FROM e3)""".format(s1=_BPE_SEP, ss2=_BPE_SEP2)
+    + """
+       SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(f) AS BIGINT) AS n_word_occurrences,
+              CAST(sum(f * nc) AS BIGINT) AS n_chars,
+              CAST(sum(f * nt) AS BIGINT) AS n_tokens,
+              round(sum(f * nt)::DOUBLE / sum(f), 6) AS tokens_per_word,
+              round(sum(f * nc)::DOUBLE / sum(f * nt), 6) AS compression
+       FROM enc GROUP BY 1""",
+)
+def d102(spark, sf_dir):
+    """Tokenizer APPLICATION (r8) — completes the train→certify→apply
+    story: learn 3 BPE merges (the d98 loop), ENCODE the corpus with them
+    (text.bpe_encode_stats: the whole rule chain is nested codegen
+    bpe_rewrite_expr projections applied in ONE scan — no per-rule
+    shuffle), and report per-source tokenizer fertility (tokens/word) and
+    compression (chars/token), the numbers a tokenizer choice is judged
+    by. The oracle re-learns the rules with the d98c replay chain and
+    re-encodes every (source, word) with the same sentinel-replace; all
+    counts are exact integers, the two ratios 6-dp."""
+    d = tables(spark, sf_dir)("documents")
+    return text.bpe_encode_stats(d, "text", "source", n_merges=3)

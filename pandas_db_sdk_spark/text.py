@@ -1347,6 +1347,49 @@ def kneser_ney_bigram(
     )
 
 
+def bpe_rewrite_expr(syms_col, a: str, b: str):
+    """The greedy left-to-right non-overlapping BPE merge of adjacent
+    (a, b) into a+b over a symbol array, as a whole-stage-codegen
+    ``aggregate`` HOF — the accumulator carries (out, pending): pend==a ∧
+    x==b → emit merged, else flush pend. Shared by the merge-LEARNING
+    loop (:func:`bpe_merges`) and the merge-APPLICATION encoder
+    (:func:`bpe_encode_stats`); a pure column expression, so applying k
+    merges is k nested projections in ONE scan, no shuffle."""
+    pa, pb = F.lit(a), F.lit(b)
+    init = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                (acc["pend"] == pa) & (x == pb),
+                F.struct(
+                    F.array_append(acc["out"], F.concat(pa, pb)).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["pend"]).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    return F.aggregate(syms_col, init, step, finish)
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -1407,42 +1450,66 @@ def bpe_merges(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((rank, a, b, a + b, cnt))
-        pa, pb = F.lit(a), F.lit(b)
-        init = F.struct(
-            F.expr("cast(array() as array<string>)").alias("out"),
-            F.lit(None).cast("string").alias("pend"),
-        )
-
-        def step(acc, x):
-            return (
-                F.when(
-                    acc["pend"].isNull(),
-                    F.struct(acc["out"].alias("out"), x.alias("pend")),
-                )
-                .when(
-                    (acc["pend"] == pa) & (x == pb),
-                    F.struct(
-                        F.array_append(acc["out"], F.concat(pa, pb)).alias("out"),
-                        F.lit(None).cast("string").alias("pend"),
-                    ),
-                )
-                .otherwise(
-                    F.struct(
-                        F.array_append(acc["out"], acc["pend"]).alias("out"),
-                        x.alias("pend"),
-                    )
-                )
-            )
-
-        def finish(acc):
-            return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
-                F.array_append(acc["out"], acc["pend"])
-            )
-
         state = state.select(
-            "f", F.aggregate("syms", init, step, finish).alias("syms")
+            "f", bpe_rewrite_expr(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint(eager=True)
 
     return spark.createDataFrame(
         merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
+    )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Apply learned BPE merge rules to the corpus and report per-group
+    tokenizer statistics — the APPLICATION half of the tokenizer story
+    (:func:`bpe_merges` trains; this encodes), i.e. the fertility /
+    compression report every tokenizer choice is judged by.
+
+    Distributed shape: rules are learned once (the d98 loop — driver
+    holds n_merges (a, b) pairs); encoding is then ONE per-(group, word)
+    frequency aggregation followed by n_merges NESTED
+    :func:`bpe_rewrite_expr` projections — pure codegen column
+    expressions, so the whole merge chain applies in a single scan with
+    no per-rule shuffle — and a group-keyed final aggregate over exact
+    integers. At 100 TB: the word-freq agg is the only corpus-sized
+    shuffle (map-side-combined to the per-group vocabulary), the rule
+    chain is free, and the output is group-cardinality rows.
+
+    Returns one row per group: (group, n_words distinct, n_word_occurrences,
+    n_chars, n_tokens bigint, tokens_per_word double — BPE fertility —
+    and compression double = chars per BPE token, both 6-dp)."""
+    rules = [
+        (r["sym_a"], r["sym_b"])
+        for r in bpe_merges(df, text_col, n_merges=n_merges).collect()
+    ]
+    wf = (
+        df.select(
+            F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("g", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    syms = F.expr("filter(split(w, ''), x -> x != '')")
+    for a, b in rules:
+        syms = bpe_rewrite_expr(syms, a, b)
+    enc = wf.select("g", "f", F.length("w").alias("nc"), F.size(syms).alias("nt"))
+    return enc.groupBy(F.col("g").alias(group_col)).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("f").cast("long").alias("n_word_occurrences"),
+        F.sum(F.col("f") * F.col("nc")).cast("long").alias("n_chars"),
+        F.sum(F.col("f") * F.col("nt")).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("f") * F.col("nt")).cast("double") / F.sum("f"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum(F.col("f") * F.col("nc")).cast("double")
+            / F.sum(F.col("f") * F.col("nt")),
+            6,
+        ).alias("compression"),
     )

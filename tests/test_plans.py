@@ -809,6 +809,9 @@ def test_round7b_and_round8_shuffle_budgets(spark, queries):
         "d99_bmp_ppm_decode": 0,
         "d100_shortest_paths": 30,
         "d101_ivf_nprobe_recall": 14,
+        # one (group, word) freq agg + the group-keyed final agg; the
+        # 3-rule rewrite chain is nested codegen projections in the scan
+        "d102_bpe_encode": 3,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))

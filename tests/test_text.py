@@ -401,3 +401,44 @@ def test_kneser_ney_hand_computed(spark):
     }
     assert abs(got[("lowest", "low")] - round(0.25 + 0.75 * 2 / 7, 6)) < 1e-9
     assert abs(got[("low", "low")] - round(0.25 / 2 + 0.75 * 2 / 2 * (2 / 7), 6)) < 1e-9
+
+
+def test_bpe_encode_stats_hand_computed(spark):
+    """Encoding the Sennrich-style corpus with its own first 2 learned
+    merges (l+o, lo+w): per-group token counts equal a hand replay —
+    'low'→[low], 'lower'→[low,e,r], 'lowest'→[low,e,s,t], news side
+    untouched at depth 2. Invariants: 0 merges ⇒ n_tokens == n_chars;
+    more merges never increase n_tokens; every word ≥ 1 token."""
+    from pandas_db_sdk_spark import text
+
+    df = spark.createDataFrame(
+        [("a", "low lower lowest low low"), ("b", "new newer newest new")],
+        "source string, text string",
+    )
+    got = {
+        r.source: r
+        for r in text.bpe_encode_stats(df, "text", "source", n_merges=2).collect()
+    }
+    # group a: words low(f3, 1 tok), lower(f1, 3 toks), lowest(f1, 4 toks)
+    a = got["a"]
+    assert (a.n_words, a.n_word_occurrences) == (3, 5)
+    assert a.n_chars == 3 * 3 + 5 + 6
+    assert a.n_tokens == 3 * 1 + 3 + 4
+    assert a.tokens_per_word == round(10 / 5, 6)
+    assert a.compression == round(20 / 10, 6)
+    # group b: depth-2 merges (lo, low) never fire on the new-family
+    b = got["b"]
+    assert b.n_tokens == b.n_chars == 2 * 3 + 5 + 6  # new f2, newer, newest
+
+    zero = {
+        r.source: r
+        for r in text.bpe_encode_stats(df, "text", "source", n_merges=0).collect()
+    }
+    assert all(r.n_tokens == r.n_chars for r in zero.values())
+    deeper = {
+        r.source: r
+        for r in text.bpe_encode_stats(df, "text", "source", n_merges=4).collect()
+    }
+    for s in ("a", "b"):
+        assert deeper[s].n_tokens <= got[s].n_tokens
+        assert deeper[s].n_tokens >= deeper[s].n_word_occurrences
