@@ -1238,6 +1238,47 @@ class DataFrameEngine:
             ),
         }
 
+    def stream_changes(
+        self,
+        dataframe_name: str,
+        drop_internal: bool = True,
+        max_files_per_trigger: Optional[int] = None,
+    ) -> DataFrame:
+        """Change-data feed OUT of the engine: a streaming DataFrame that
+        delivers every row appended to ``dataframe_name``, tagged with its
+        ``__version`` label — the consumer-side twin of
+        ``streaming.stream_into_engine``. Downstream incremental jobs
+        (rollups, index maintenance, replication) read this instead of
+        rescanning the corpus; with a checkpoint, a restarted consumer
+        resumes exactly after the files it already processed.
+
+        Semantics: the feed is the COMMITTED APPEND LOG. ``save`` stages
+        each version in a dot-prefixed directory (hidden from Spark's file
+        listing) and publishes it with one atomic rename, so partially
+        written versions can never appear; rows surface exactly once per
+        file (Spark's file-source seen-files log). One documented gap vs
+        batch read-committed: a save that crashed AFTER its rename but
+        BEFORE its manifest commit is invisible to ``load`` yet WILL
+        surface here — consumers needing strict manifest semantics join
+        against ``list_versions``. Retention (``keep_last`` /
+        ``retain_last``) retires old dirs by rename; rows already
+        delivered are unaffected.
+
+        Scale: the file source lists only NEW files per trigger (no
+        corpus rescan); ``max_files_per_trigger`` bounds a catching-up
+        consumer's batch size. ``drop_internal`` removes bucketing
+        internals but always keeps ``__version`` — that label IS the
+        change metadata.
+        """
+        ds = self._dataset_entry(dataframe_name)
+        reader = self.spark.readStream.schema(self._full_schema(ds))
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+        df = reader.parquet(ds["path"])
+        if drop_internal:
+            df = df.drop(*[c for c in df.columns if c.startswith("__p_")])
+        return df
+
     def fsck(self, dataframe_name=None, repair=False, min_age_seconds=3600.0):
         """Manifest ↔ disk consistency check (and optional repair) — the
         maintenance pass behind the crash-durability contract: a save that
