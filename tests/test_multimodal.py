@@ -171,3 +171,37 @@ def test_bmp_ppm_decode_skips_unparseable(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     assert multimodal.decode_bmp_ppm_stats(df, "payload", "doc_id").count() == 0
+
+
+def test_bmp_decode_honors_pixel_offset(spark):
+    """A BMP whose pixel array does not start at byte 54 (e.g. a color
+    profile between header and pixels) must decode via the file header's
+    offset field, not an assumed layout."""
+    import struct
+
+    import numpy as np
+
+    w = h = 2
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    bgr = rgb[:, :, ::-1]
+    row_len = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pix = rows[::-1].tobytes()
+    gap = b"\xee" * 16  # 16 junk bytes between headers and pixels
+    off = 14 + 40 + len(gap)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    blob = head + info + gap + pix
+
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, payload binary")
+    got = {
+        r.channel: r
+        for r in multimodal.decode_bmp_ppm_stats(df, "payload", "doc_id").collect()
+    }
+    assert len(got) == 3
+    for ch in range(3):
+        v = rgb[:, :, ch].astype(int)
+        assert got[ch].min == v.min() and got[ch].max == v.max()
+        wgt = (np.arange(w) + 1)[None, :] * (np.arange(h) + 2)[:, None]
+        assert got[ch].pos_sum == int((v * wgt).sum())
