@@ -869,3 +869,9 @@ def test_iterative_graph_stage_counts_stay_linear(spark):
         lambda: graph.shortest_paths(edges, seeds, max_iter=12)
     )
     assert n_sp <= 170, f"shortest_paths executed {n_sp} stages"
+    # connected components: a 64-node chain needs ~log2(64) compression
+    # rounds; same O(1)-lineage-per-round contract
+    from pandas_db_sdk_spark import dedup
+
+    n_cc = stages_for(lambda: dedup.connected_components(edges))
+    assert n_cc <= 170, f"connected_components executed {n_cc} stages"
