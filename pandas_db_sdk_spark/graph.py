@@ -322,22 +322,21 @@ def shortest_paths(
             .groupBy(F.col("d").alias("id"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
         )
+        # ONE aggregate yields both the merged state (min over old+new)
+        # and the old value needed to detect the delta — so each round is
+        # one exchange and ONE localCheckpoint; a separate merged-vs-state
+        # join would double both (r8 bench: halves per-round driver jobs)
         merged = (
-            state.unionByName(relaxed)
+            state.withColumn("__old", F.col("dist"))
+            .unionByName(relaxed.withColumn("__old", F.lit(None).cast("long")))
             .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.min("__old").alias("__old"))
             .localCheckpoint(eager=True)
         )
-        frontier = (
-            merged.alias("m")
-            .join(state.alias("o"), "id", "left")
-            .filter(
-                F.col("o.dist").isNull() | (F.col("m.dist") < F.col("o.dist"))
-            )
-            .select("id", F.col("m.dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        state = merged
+        frontier = merged.filter(
+            F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
+        ).select("id", "dist")
+        state = merged.select("id", "dist")
     else:
         if not frontier.isEmpty():
             raise RuntimeError(
@@ -398,23 +397,20 @@ def bfs_hops(
             .groupBy(F.col("d").alias("id"))
             .agg((F.min("hops") + 1).alias("hops"))
         )
+        # one aggregate yields the merged state AND the pre-round value
+        # needed to detect the just-settled delta — one exchange and ONE
+        # localCheckpoint per round (the shortest_paths r8 shape)
         merged = (
-            state.unionByName(reached)
+            state.withColumn("__old", F.col("hops"))
+            .unionByName(reached.withColumn("__old", F.lit(None).cast("int")))
             .groupBy("id")
-            .agg(F.min("hops").alias("hops"))
+            .agg(F.min("hops").alias("hops"), F.min("__old").alias("__old"))
             .localCheckpoint(eager=True)
         )
-        # the delta: nodes whose distance just settled (new or improved)
-        frontier = (
-            merged.alias("m")
-            .join(state.alias("o"), "id", "left")
-            .filter(
-                F.col("o.hops").isNull() | (F.col("m.hops") < F.col("o.hops"))
-            )
-            .select("id", F.col("m.hops").alias("hops"))
-            .localCheckpoint(eager=True)
-        )
-        state = merged
+        frontier = merged.filter(
+            F.col("__old").isNull() | (F.col("hops") < F.col("__old"))
+        ).select("id", "hops")
+        state = merged.select("id", "hops")
     else:
         if not frontier.isEmpty():
             raise RuntimeError(
