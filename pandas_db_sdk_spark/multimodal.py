@@ -439,15 +439,22 @@ def decode_bmp_ppm_stats(
                 return "bmp", w, h, bgr[:, :, ::-1]  # undo BGR
             if b[:2] == b"P6":
                 # header: magic, width, height, maxval — ASCII tokens
-                # separated by whitespace; pixel data starts after the
-                # single whitespace byte following maxval
+                # separated by whitespace, with optional '#' comment lines
+                # (legal PPM; skipped to end-of-line); pixel data starts
+                # after the single whitespace byte following maxval
                 pos, fields = 2, []
                 while len(fields) < 3 and pos < len(b):
                     while pos < len(b) and b[pos : pos + 1].isspace():
                         pos += 1
+                    if pos < len(b) and b[pos : pos + 1] == b"#":
+                        while pos < len(b) and b[pos : pos + 1] != b"\n":
+                            pos += 1
+                        continue
                     start = pos
                     while pos < len(b) and not b[pos : pos + 1].isspace():
                         pos += 1
+                    if not b[start:pos].isdigit():
+                        return None
                     fields.append(int(b[start:pos]))
                 pos += 1  # the single whitespace after maxval
                 w, h, maxval = fields

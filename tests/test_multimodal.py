@@ -205,3 +205,24 @@ def test_bmp_decode_honors_pixel_offset(spark):
         assert got[ch].min == v.min() and got[ch].max == v.max()
         wgt = (np.arange(w) + 1)[None, :] * (np.arange(h) + 2)[:, None]
         assert got[ch].pos_sum == int((v * wgt).sum())
+
+
+def test_ppm_decode_handles_comments_and_rejects_garbage_header(spark):
+    """PPM headers may carry '#' comment lines between tokens (legal per
+    the netpbm spec) — decode must skip them; a non-numeric header token
+    degrades to a skip, never an executor error."""
+    import numpy as np
+
+    w = h = 2
+    rgb = np.arange(12, dtype=np.uint8).reshape(h, w, 3)
+    ok = b"P6\n# made by a real tool\n2 2\n# and another\n255\n" + rgb.tobytes()
+    bad = b"P6\n2 two\n255\n" + rgb.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(ok)), (2, bytearray(bad))], "doc_id long, payload binary"
+    )
+    rows = multimodal.decode_bmp_ppm_stats(df, "payload", "doc_id").collect()
+    assert {r.doc_id for r in rows} == {1}
+    got = {r.channel: r for r in rows}
+    for ch in range(3):
+        v = rgb[:, :, ch].astype(int)
+        assert got[ch].min == v.min() and got[ch].max == v.max()
