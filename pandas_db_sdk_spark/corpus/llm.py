@@ -3996,3 +3996,75 @@ def d102(spark, sf_dir):
     counts are exact integers, the two ratios 6-dp."""
     d = tables(spark, sf_dir)("documents")
     return text.bpe_encode_stats(d, "text", "source", n_merges=3)
+
+
+def _logreg_oracle(steps: int = 3) -> str:
+    """Unrolled GD replay for d103 (the PageRank/d98c discipline): each
+    step recomputes the snapped-term gradient sums from the feature CTE
+    and the previous step's rounded weights, entirely in SQL."""
+    z = "(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2)"
+    sql = """WITH f AS (
+         SELECT (lang = 'en')::INT AS y, 1.0 AS x0,
+                len(list_filter(string_split(text, ' '),
+                    w -> w <> ''))::DOUBLE / 100.0 AS x1,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                  / greatest(length(text), 1) AS x2
+         FROM documents),
+       w0s AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    for s in range(1, steps + 1):
+        terms = ",\n              ".join(
+            "CAST(sum(CAST(round((f.y - 1 / (1 + exp(-{z}))) * f.x{j}, 12)"
+            " AS DECIMAL(30,12))) AS DOUBLE) AS g{j}".format(z=z, j=j)
+            for j in range(3)
+        )
+        sql += """,
+       g{s} AS (SELECT count(*) AS n, w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2,
+              {terms},
+              sum((({z} > 0)::INT = f.y)::INT) AS ok
+              FROM f, w{p}s w GROUP BY 2, 3, 4),
+       w{s}s AS (SELECT n, round(pw0 + g0 / n, 12) AS w0,
+                      round(pw1 + g1 / n, 12) AS w1,
+                      round(pw2 + g2 / n, 12) AS w2,
+                      round(ok::DOUBLE / n, 6) AS acc
+               FROM g{s})""".format(s=s, p=s - 1, terms=terms, z=z)
+    sql += "\n       " + "\n       UNION ALL ".join(
+        "SELECT CAST({s} AS INT) AS step, w0 AS w_bias, w1 AS w_f_len, "
+        "w2 AS w_f_punct, acc AS accuracy, CAST(n AS BIGINT) AS n "
+        "FROM w{s}s".format(s=s)
+        for s in range(1, steps + 1)
+    )
+    return sql
+
+
+@q("d103_logreg_quality", _logreg_oracle(3))
+def d103(spark, sf_dir):
+    """Iterative SUPERVISED training (r8) — full-batch logistic-
+    regression GD (``stats.logistic_regression_gd``): 3 sweeps training
+    an is-English gate from length and punctuation features, the
+    fastText-style quality/language-filter training step of a data
+    pipeline.  Joins the k-means/PageRank/label-propagation/BPE evidence
+    class with the SUPERVISED loop: each step is one map-side-combined
+    aggregate (k+1 snapped-term DECIMAL gradient sums + exact sign-test
+    accuracy), the driver holds only the weight vector, and the oracle
+    replays the unrolled recurrence — per-row terms 12-dp-snapped before
+    DECIMAL summing (the PSI/ln libm discipline: the one exp ulp is 3
+    orders below the snap), weights 12-dp-rounded between steps so step
+    k+1's inputs are engine-exact."""
+    from .. import stats
+
+    d = tables(spark, sf_dir)("documents")
+    feats = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            .cast("double") / F.lit(100.0)
+        ).alias("f_len"),
+        (
+            F.size(
+                F.regexp_extract_all("text", F.lit("[^A-Za-z0-9\\s]"), 0)
+            ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+        ).alias("f_punct"),
+    )
+    return stats.logistic_regression_gd(
+        feats, ["f_len", "f_punct"], "y", lr=1.0, steps=3
+    )

@@ -22,6 +22,7 @@ __all__ = [
     "mad_outliers",
     "ks_two_sample",
     "psi_report",
+    "logistic_regression_gd",
 ]
 
 
@@ -366,3 +367,91 @@ def psi_report(
             ).alias("psi"),
         )
     )
+
+
+def logistic_regression_gd(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    lr: float = 1.0,
+    steps: int = 3,
+    term_dp: int = 12,
+) -> DataFrame:
+    """Full-batch logistic-regression training by gradient descent — the
+    iterative SUPERVISED-training evidence class next to k-means (d31),
+    PageRank (d65), label propagation (d94) and BPE (d98): the loop that
+    trains fastText-style quality/language gates from corpus features.
+
+    Update rule (from w = 0): w ← w + lr/n · Σᵢ (yᵢ − σ(wᵀxᵢ)) xᵢ, with a
+    constant bias feature. Hash-certification discipline (the PSI/ln
+    precedent for libm): every per-row gradient term snaps to ``term_dp``
+    decimals BEFORE the DECIMAL sum, so partial-aggregation order cannot
+    move the total and the only cross-engine freedom — one σ = 1/(1+exp)
+    ulp — is 3 orders of magnitude below the snap; weights round to
+    ``term_dp`` after each step, so step k+1's inputs are engine-exact.
+    Step 1 is libm-free outright (σ(0) = 1/2 exactly).
+
+    Scale shape: each step is ONE map-side-combined aggregate over the
+    corpus producing k+2 cells (k+1 gradient sums + the row count); the
+    driver holds only the weight vector — the textbook distributed
+    full-batch GD. ``steps`` is small by design (a feature-gate trains in
+    a handful of sweeps); per-example SGD is deliberately NOT offered —
+    its sequential dependence cannot scale out or certify.
+
+    Returns one row per step: (step int, w_bias + one ``w_<col>`` per
+    feature — the weights AFTER that step, ``term_dp``-rounded — plus
+    accuracy double(6) of the PRE-step weights and n bigint). Accuracy is
+    the exact sign test (wᵀx > 0) == y, so it certifies bit-for-bit.
+    """
+    feats = [F.lit(1.0).alias("__x0")] + [
+        F.col(c).cast("double").alias(f"__x{i+1}")
+        for i, c in enumerate(feature_cols)
+    ]
+    base = df.select(
+        F.col(label_col).cast("int").alias("__y"), *feats
+    )
+    from ._scratch import scratch_persist
+
+    base = scratch_persist(base, "logreg_gd/features")
+    k = len(feature_cols) + 1
+    dec = f"decimal(30,{term_dp})"
+    w = [0.0] * k
+    rows = []
+    for step in range(1, steps + 1):
+        z = F.lit(w[0]) * F.col("__x0")
+        for j in range(1, k):
+            z = z + F.lit(w[j]) * F.col(f"__x{j}")
+        sigma = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [F.count("*").cast("long").alias("__n")]
+        for j in range(k):
+            aggs.append(
+                F.sum(
+                    F.round(
+                        (F.col("__y") - sigma) * F.col(f"__x{j}"), term_dp
+                    ).cast(dec)
+                )
+                .cast("double")
+                .alias(f"__g{j}")
+            )
+        aggs.append(
+            F.sum(
+                (((z > 0).cast("int")) == F.col("__y")).cast("int")
+            ).cast("long").alias("__ok")
+        )
+        got = base.agg(*aggs).collect()[0]  # k+2 cells — bounded driver state
+        n = int(got["__n"])
+        if n == 0:
+            raise ValueError("logistic_regression_gd: empty input")
+        acc = round(int(got["__ok"]) / n, 6)
+        w = [
+            round(w[j] + lr * float(got[f"__g{j}"]) / n, term_dp)
+            for j in range(k)
+        ]
+        rows.append((step, *w, acc, n))
+    spark = df.sparkSession
+    cols = ", ".join(
+        ["step int", "w_bias double"]
+        + [f"w_{c} double" for c in feature_cols]
+        + ["accuracy double", "n long"]
+    )
+    return spark.createDataFrame(rows, cols)

@@ -812,6 +812,10 @@ def test_round7b_and_round8_shuffle_budgets(spark, queries):
         # one (group, word) freq agg + the group-keyed final agg; the
         # 3-rule rewrite chain is nested codegen projections in the scan
         "d102_bpe_encode": 3,
+        # driver-built 3-row result; the per-step aggregate is pinned by
+        # construction (one exchange per step, k+2 cells) and the scratch
+        # -persisted feature frame is reused across steps
+        "d103_logreg_quality": 0,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))
