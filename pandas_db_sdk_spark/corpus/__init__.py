@@ -352,7 +352,8 @@ _R08_STALE_FIRST = frozenset(
 # after the 40-row stale-first head.
 _R08_NEW = frozenset(
     """d99_bmp_ppm_decode d98c_bpe_merge_replay d100_shortest_paths
-    d101_ivf_nprobe_recall d102_bpe_encode d103_logreg_quality""".split()
+    d101_ivf_nprobe_recall d102_bpe_encode d103_logreg_quality
+    d104_html_extract""".split()
 )
 
 

@@ -4068,3 +4068,78 @@ def d103(spark, sf_dir):
     return stats.logistic_regression_gd(
         feats, ["f_len", "f_punct"], "y", lr=1.0, steps=3
     )
+
+
+@q(
+    "d104_html_extract",
+    r"""WITH h AS (
+         SELECT doc_id,
+                '<html><head><title>doc ' || doc_id ||
+                '</title><script>var x=1;</script><style>.a{color:red}</style>' ||
+                '</head><body><nav><a href="/">home</a> | <a href="/all">all</a></nav>' ||
+                '<div class="main"><p>' || text || '</p></div>' ||
+                '<footer>(c) corpus ' || (doc_id % 7) || '</footer></body></html>' AS html,
+                text
+         FROM documents),
+       e AS (
+         SELECT doc_id, html, text,
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                      '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS extracted
+         FROM h)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INT) AS n_tags,
+              CAST(length(html) AS BIGINT) AS html_len,
+              CAST(length(extracted) AS BIGINT) AS text_len,
+              round(length(extracted)::DOUBLE / length(html), 6) AS text_ratio,
+              CAST((extracted = 'doc ' || doc_id || ' ' ||
+                    trim(regexp_replace(text, '\s+', ' ', 'g'))) AS INT)
+                  AS roundtrip_ok
+       FROM e""",
+)
+def d104(spark, sf_dir):
+    """Web-crawl tier (r8): HTML boilerplate-strip / main-content
+    extraction (``text.html_main_text``) — the FIRST step of every
+    common-crawl pipeline, certified end-to-end by the d48/d99 synth
+    pattern: wrap each document in a deterministic HTML page
+    (title/script/style/nav/footer boilerplate), extract the main text
+    with a pure-codegen backreference-free regexp chain (same
+    expressions run on Java regex and RE2), and check the ROUNDTRIP —
+    extracted text must equal the title remnant plus the original
+    document with collapsed whitespace, so a chain that eats content or
+    leaks boilerplate fails the flag, not just a ratio. Zero UDFs, zero
+    shuffles; per-doc boilerplate-ratio stats are the gating signal."""
+    d = tables(spark, sf_dir)("documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit('</title><script>var x=1;</script><style>.a{color:red}</style>'),
+        F.lit('</head><body><nav><a href="/">home</a> | <a href="/all">all</a></nav>'),
+        F.lit('<div class="main"><p>'), F.col("text"),
+        F.lit("</p></div><footer>(c) corpus "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    h = d.select("doc_id", html.alias("html"), "text")
+    extracted = text.html_main_text(F.col("html"))
+    want = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "),
+        F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")),
+    )
+    return h.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("html", F.lit("<[^>]+>"), 0)).alias("n_tags"),
+        F.length("html").cast("long").alias("html_len"),
+        F.length(extracted).cast("long").alias("text_len"),
+        F.round(
+            F.length(extracted).cast("double") / F.length("html"), 6
+        ).alias("text_ratio"),
+        (extracted == want).cast("int").alias("roundtrip_ok"),
+    )

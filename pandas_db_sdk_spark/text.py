@@ -1513,3 +1513,29 @@ def bpe_encode_stats(
             6,
         ).alias("compression"),
     )
+
+
+def html_main_text(col):
+    """Main-content extraction from an HTML string column — the
+    boilerplate-strip every web-crawl pipeline (CCNet/RefinedWeb class)
+    runs before any quality gate: drop <script>/<style> blocks with
+    their contents, drop <nav>/<header>/<footer> boilerplate blocks,
+    strip remaining tags, collapse whitespace.
+
+    Pure codegen regexp chain (no UDF). Patterns are deliberately
+    backreference-free and use inline (?s) dotall so the SAME expressions
+    run on Java regex (Spark) and RE2 (DuckDB oracles) — RE2 has no
+    backreferences, so <nav>/<header>/<footer> get one pattern each
+    instead of a <(nav|footer)>.*?</\\1> capture."""
+    c = col if not isinstance(col, str) else F.col(col)
+    out = c
+    for pat in (
+        "(?s)<script[^>]*>.*?</script>",
+        "(?s)<style[^>]*>.*?</style>",
+        "(?s)<nav[^>]*>.*?</nav>",
+        "(?s)<header[^>]*>.*?</header>",
+        "(?s)<footer[^>]*>.*?</footer>",
+        "<[^>]+>",
+    ):
+        out = F.regexp_replace(out, pat, " ")
+    return F.trim(F.regexp_replace(out, "\\s+", " "))

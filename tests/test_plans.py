@@ -816,6 +816,8 @@ def test_round7b_and_round8_shuffle_budgets(spark, queries):
         # construction (one exchange per step, k+2 cells) and the scratch
         # -persisted feature frame is reused across steps
         "d103_logreg_quality": 0,
+        # pure per-row regexp chain over one scan: zero exchanges
+        "d104_html_extract": 0,
     }
     for name, budget in budgets.items():
         plan = plan_of(queries[name](spark, SF))

@@ -442,3 +442,28 @@ def test_bpe_encode_stats_hand_computed(spark):
     for s in ("a", "b"):
         assert deeper[s].n_tokens <= got[s].n_tokens
         assert deeper[s].n_tokens >= deeper[s].n_word_occurrences
+
+
+def test_html_main_text_strips_boilerplate_keeps_content(spark):
+    """Golden checks for the boilerplate stripper: script/style/nav/
+    header/footer bodies vanish (including multi-line and attribute-
+    bearing forms), inline tags unwrap to their text, whitespace
+    collapses, and angle-bracket-free text passes through untouched."""
+    from pandas_db_sdk_spark import text
+
+    rows = [
+        (1, '<html><head><script type="x">alert("<b>hi</b>")\nmore</script>'
+            '<style>.x{}</style></head><body><nav>a|b</nav>'
+            '<header>top</header><p>Hello <b>world</b>,\n  again</p>'
+            '<footer>bye</footer></body></html>'),
+        (2, "plain text, no markup"),
+        (3, '<div><p>Multi</p><p>block</p></div>'),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {
+        r.id: r.out
+        for r in df.select("id", text.html_main_text("html").alias("out")).collect()
+    }
+    assert got[1] == "Hello world , again"
+    assert got[2] == "plain text, no markup"
+    assert got[3] == "Multi block"
