@@ -526,3 +526,22 @@ def test_shortest_paths_rounds_and_raise(spark):
         graph.shortest_paths(
             edges, spark.range(1).select(F.col("id")), max_iter=5
         )
+
+
+def test_shortest_paths_hub_star_settles_in_two_rounds(spark):
+    """Adversarial skew: a 5000-leaf star seeded at one leaf routes every
+    relaxation through the hub — the frontier join is maximally skewed on
+    one key. Must still settle in 2 improving rounds (leaf→hub, hub→all)
+    with exact distances, well inside a tight max_iter: round count is a
+    property of path hops, never of degree or data volume."""
+    from pandas_db_sdk_spark import graph
+
+    n = 5000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b"), F.lit(2).alias("w")
+    )
+    seeds = spark.range(1, 2).select(F.col("id"))
+    got = graph.shortest_paths(edges, seeds, max_iter=4)
+    rows = got.groupBy("dist").count().orderBy("dist").collect()
+    # leaf 1: 0; hub: 2; every other leaf: 4
+    assert [(r.dist, r["count"]) for r in rows] == [(0, 1), (2, 1), (4, n - 1)]
