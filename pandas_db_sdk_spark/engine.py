@@ -1279,6 +1279,42 @@ class DataFrameEngine:
             df = df.drop(*[c for c in df.columns if c.startswith("__p_")])
         return df
 
+    def load_incremental(
+        self,
+        dataframe_name: str,
+        cursor=None,
+        drop_internal: bool = True,
+    ):
+        """Batch change-data capture — the non-streaming twin of
+        ``stream_changes`` for consumers that run on a schedule instead
+        of holding a query open: returns ``(df, new_cursor)`` where
+        ``df`` holds exactly the rows of committed versions NOT covered
+        by ``cursor`` (a collection of already-processed version labels,
+        e.g. the previous call's ``new_cursor``; None = everything) and
+        ``new_cursor`` covers all versions visible now. Feeding
+        ``new_cursor`` back makes repeated calls append-proportional —
+        the same partition-pruned economics ``refresh_rollup`` uses
+        internally, exposed for ANY downstream job.
+
+        Strictly manifest read-committed (unlike the streaming feed's
+        documented crash-window gap): only manifest-listed versions are
+        ever visible or recorded in the cursor, so a version committed
+        mid-stride is simply picked up by the next call. The version
+        filter is a partition-column predicate — Catalyst prunes to the
+        unprocessed dirs, never a corpus rescan. ``df`` keeps the
+        ``__version`` label (the change metadata); ``drop_internal``
+        removes only bucketing internals.
+        """
+        ds = self._dataset_entry(dataframe_name)
+        done = {str(v) for v in (cursor or [])}
+        visible = [str(v) for v in ds["versions"]]
+        new = [v for v in visible if v not in done]
+        df = self.spark.read.schema(self._full_schema(ds)).parquet(ds["path"])
+        df = df.filter(F.col(VERSION_COL).isin(new))
+        if drop_internal:
+            df = df.drop(*[c for c in df.columns if c.startswith("__p_")])
+        return df, sorted(done | set(new))
+
     def fsck(self, dataframe_name=None, repair=False, min_age_seconds=3600.0):
         """Manifest ↔ disk consistency check (and optional repair) — the
         maintenance pass behind the crash-durability contract: a save that

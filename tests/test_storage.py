@@ -1639,3 +1639,32 @@ def test_rollup_state_format_mismatch_forces_full_recompute(engine, spark):
     assert spec["state_format"] == engine._ROLLUP_STATE_FORMAT
     got = {r["k"]: r["avg_v"] for r in engine.read_rollup("fmtfacts_by_k").collect()}
     assert abs(got["a"] - 15.0) < 1e-12
+
+
+def test_load_incremental_cursor_semantics(engine, spark):
+    """Batch CDC: first call delivers everything + a cursor; the next call
+    with that cursor delivers only later appends; an up-to-date cursor
+    yields an empty frame; and the version filter prunes partitions (the
+    refresh_rollup economics, exposed)."""
+    v1 = spark.createDataFrame([(1, "a")], "id long, s string")
+    v2 = spark.createDataFrame([(2, "b"), (3, "c")], "id long, s string")
+    engine.save(v1, "inc", external_key="v1")
+
+    df, cur = engine.load_incremental("inc")
+    assert {(r["id"], r["__version"]) for r in df.collect()} == {(1, "v1")}
+    assert cur == ["v1"]
+
+    engine.save(v2, "inc", external_key="v2")
+    df2, cur2 = engine.load_incremental("inc", cursor=cur)
+    assert {(r["id"], r["__version"]) for r in df2.collect()} == {
+        (2, "v2"), (3, "v2"),
+    }
+    assert cur2 == ["v1", "v2"]
+
+    df3, cur3 = engine.load_incremental("inc", cursor=cur2)
+    assert df3.count() == 0 and cur3 == cur2
+
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__version" in plan.split(
+        "PartitionFilters: [", 1
+    )[1].split("]", 1)[0]
