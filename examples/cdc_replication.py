@@ -56,13 +56,30 @@ def main(sf_dir: str) -> None:
             if batch_df.isEmpty():
                 return
             seen["n"] = batch_df.count()
-            urgent = batch_df.filter(F.col("o_orderpriority") == "1-URGENT")
-            eng.save(
-                urgent.drop("__version"),
-                "orders_urgent_replica",
-                external_key=str(batch_df.select("__version").first()[0]),
-                overwrite_version=True,  # replay-idempotent
+            # A catch-up batch can span SEVERAL appended versions (the
+            # consumer was down while the producer kept appending), so
+            # save each version's urgent subset under its OWN external
+            # key — labeling the whole batch with the first row's
+            # __version would mislabel the rest.  overwrite_version is
+            # then replay-idempotent per version.  (Don't combine this
+            # sink with maxFilesPerTrigger: splitting one version across
+            # batches would make the overwrite clobber the earlier part —
+            # stream_changes' availableNow default delivers whole
+            # versions.)
+            versions = sorted(
+                r[0] for r in batch_df.select("__version").distinct().collect()
             )
+            for v in versions:
+                urgent = batch_df.filter(
+                    (F.col("__version") == v)
+                    & (F.col("o_orderpriority") == "1-URGENT")
+                )
+                eng.save(
+                    urgent.drop("__version"),
+                    "orders_urgent_replica",
+                    external_key=str(v),
+                    overwrite_version=True,  # replay-idempotent
+                )
 
         q = (
             eng.stream_changes("orders_raw")

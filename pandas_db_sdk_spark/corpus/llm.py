@@ -4088,10 +4088,10 @@ def d103(spark, sf_dir):
                     regexp_replace(
                       regexp_replace(
                         regexp_replace(
-                          regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-                          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-                        '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
-                      '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                      '(?is)<footer[^>]*>.*?</footer>', ' ', 'g'),
                     '<[^>]+>', ' ', 'g'),
                   '\s+', ' ', 'g')) AS extracted
          FROM h)

@@ -1676,6 +1676,19 @@ class DataFrameEngine:
         done = set() if migrate else set(spec["processed"])
         new = [str(v) for v in src["versions"] if str(v) not in done]
         if not new:
+            if migrate and spec["state_version"] is not None:
+                # nothing to recompute (e.g. every source version retired
+                # by retention), but the stored state is in the OLD format
+                # — discard it and stamp the spec, else read_rollup keeps
+                # serving stale-format state indefinitely
+                with self._manifest_lock():
+                    manifest = self._read_manifest()
+                    live = manifest["rollups"][rollup_name]
+                    live["processed"] = []
+                    live["state_version"] = None
+                    live["state_format"] = self._ROLLUP_STATE_FORMAT
+                    self._write_manifest(manifest)
+                return {"refreshed_versions": [], "state_version": None}
             return {"refreshed_versions": [], "state_version": spec["state_version"]}
         aggs = {out: tuple(fc) for out, fc in spec["aggs"].items()}
         keys = spec["keys"]

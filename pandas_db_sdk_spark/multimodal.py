@@ -425,13 +425,19 @@ def decode_bmp_ppm_stats(
 
         def decode(b: bytes):
             if b[:2] == b"BM":
+                if len(b) < 54:
+                    return None
                 off, = struct.unpack("<I", b[10:14])
                 w, h = struct.unpack("<ii", b[18:26])
                 bpp, = struct.unpack("<H", b[28:30])
                 comp, = struct.unpack("<I", b[30:34])
-                if bpp != 24 or comp != 0:
+                # top-down (h < 0) and other exotic layouts degrade to
+                # skip, matching the parse_media_headers contract
+                if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
                     return None
                 row_len = (w * 3 + 3) // 4 * 4
+                if len(b) < off + h * row_len:
+                    return None
                 rows = np.frombuffer(
                     b[off : off + h * row_len], dtype=np.uint8
                 ).reshape(h, row_len)
@@ -457,8 +463,12 @@ def decode_bmp_ppm_stats(
                         return None
                     fields.append(int(b[start:pos]))
                 pos += 1  # the single whitespace after maxval
+                if len(fields) < 3:  # truncated header
+                    return None
                 w, h, maxval = fields
-                if maxval != 255:
+                if maxval != 255 or w <= 0 or h <= 0:
+                    return None
+                if len(b) < pos + w * h * 3:  # short pixel payload
                     return None
                 rgb = np.frombuffer(
                     b[pos : pos + w * h * 3], dtype=np.uint8
@@ -469,7 +479,14 @@ def decode_bmp_ppm_stats(
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
-                got = decode(bytes(buf))
+                # belt-and-braces: ANY parse failure degrades to skip
+                # (the parse_media_headers contract), never an executor
+                # error — the explicit guards above cover the known
+                # malformed shapes; this catches the unknown ones
+                try:
+                    got = decode(bytes(buf))
+                except Exception:
+                    got = None
                 if got is None:
                     continue
                 fmt, w, h, rgb = got

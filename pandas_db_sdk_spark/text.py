@@ -1523,18 +1523,21 @@ def html_main_text(col):
     strip remaining tags, collapse whitespace.
 
     Pure codegen regexp chain (no UDF). Patterns are deliberately
-    backreference-free and use inline (?s) dotall so the SAME expressions
-    run on Java regex (Spark) and RE2 (DuckDB oracles) — RE2 has no
-    backreferences, so <nav>/<header>/<footer> get one pattern each
-    instead of a <(nav|footer)>.*?</\\1> capture."""
+    backreference-free and use inline (?is) dotall+case-insensitive so
+    the SAME expressions run on Java regex (Spark) and RE2 (DuckDB
+    oracles) — RE2 has no backreferences, so <nav>/<header>/<footer> get
+    one pattern each instead of a <(nav|footer)>.*?</\\1> capture, and
+    real crawled HTML mixes tag case (<SCRIPT>, <Style>), so block
+    matching must be case-insensitive or their contents leak through the
+    final tag strip into the "main text"."""
     c = col if not isinstance(col, str) else F.col(col)
     out = c
     for pat in (
-        "(?s)<script[^>]*>.*?</script>",
-        "(?s)<style[^>]*>.*?</style>",
-        "(?s)<nav[^>]*>.*?</nav>",
-        "(?s)<header[^>]*>.*?</header>",
-        "(?s)<footer[^>]*>.*?</footer>",
+        "(?is)<script[^>]*>.*?</script>",
+        "(?is)<style[^>]*>.*?</style>",
+        "(?is)<nav[^>]*>.*?</nav>",
+        "(?is)<header[^>]*>.*?</header>",
+        "(?is)<footer[^>]*>.*?</footer>",
         "<[^>]+>",
     ):
         out = F.regexp_replace(out, pat, " ")

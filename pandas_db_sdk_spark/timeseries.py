@@ -617,8 +617,31 @@ def cusum_changepoint(
         F.count("*").cast("long").alias("__n"),
         F.sum(F.col(value_col).cast(dec)).cast(dec).alias("__sum"),
         F.sum(F.abs(F.col(value_col)).cast(dec)).cast(dec).alias("__abs"),
-    ).collect()[0]
+        # per-value overflow probe: a SINGLE |x| >= 1e22 NULLs out of the
+        # decimal(28,6) cast under non-ANSI Spark, silently UNDERSTATING
+        # sum|x| — so the envelope check below would pass while rows still
+        # drop from the argmax.  max(|x|) in double (never NULLs) bounds
+        # every individual value under the cast's capacity.
+        F.max(F.abs(F.col(value_col).cast("double"))).alias("__max_abs"),
+    )
+    try:
+        totals = totals.collect()[0]
+    except Exception as e:  # ANSI mode: the per-value cast raises here
+        if "ecimal" not in str(e):
+            raise
+        raise ValueError(
+            "cusum_changepoint: a value's magnitude exceeds the exact-"
+            "decimal envelope (decimal(28,6) cast overflow); every |x| "
+            "must stay below 1e21 — rescale the series"
+        ) from e
     n_rows, total, total_abs = totals["__n"], totals["__sum"], totals["__abs"]
+    max_abs = totals["__max_abs"]
+    if max_abs is not None and max_abs >= 1e21:
+        raise ValueError(
+            "cusum_changepoint: a value's magnitude exceeds the exact-"
+            f"decimal envelope (max|x|={max_abs!r}); every |x| must stay "
+            "below 1e21 — rescale the series"
+        )
     if total_abs is not None:
         if total_abs >= Decimal(10) ** 21 or n_rows * total_abs >= Decimal(10) ** 32:
             raise ValueError(

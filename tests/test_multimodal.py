@@ -173,6 +173,33 @@ def test_bmp_ppm_decode_skips_unparseable(spark):
     assert multimodal.decode_bmp_ppm_stats(df, "payload", "doc_id").count() == 0
 
 
+def test_bmp_ppm_decode_skips_malformed_but_magic_matching(spark):
+    """ADVICE r8: inputs that pass the magic check but are structurally
+    broken — truncated PPM header (<3 fields), short pixel payloads,
+    top-down (negative-height) BMP — must degrade to skip like any other
+    unparseable payload, not raise in unpack/reshape."""
+    import struct
+
+    # a structurally plausible but truncated/short set of payloads
+    trunc_ppm = b"P6\n2 2\n"                      # header ends before maxval
+    short_ppm = b"P6\n4 4\n255\n" + b"\x00" * 10  # needs 48 pixel bytes
+    info_neg = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, 0, 0, 0, 0, 0)
+    neg_bmp = struct.pack("<2sIHHI", b"BM", 54 + 24, 0, 0, 54) + info_neg + b"\x00" * 24
+    short_bmp = struct.pack("<2sIHHI", b"BM", 54 + 64, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 64, 0, 0, 0, 0
+    ) + b"\x00" * 10  # needs 64 pixel bytes
+    trunc_bmp = b"BM\x00\x00"                     # shorter than the headers
+    rows = [
+        (1, bytearray(trunc_ppm)),
+        (2, bytearray(short_ppm)),
+        (3, bytearray(neg_bmp)),
+        (4, bytearray(short_bmp)),
+        (5, bytearray(trunc_bmp)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert multimodal.decode_bmp_ppm_stats(df, "payload", "doc_id").count() == 0
+
+
 def test_bmp_decode_honors_pixel_offset(spark):
     """A BMP whose pixel array does not start at byte 54 (e.g. a color
     profile between header and pixels) must decode via the file header's

@@ -1641,6 +1641,34 @@ def test_rollup_state_format_mismatch_forces_full_recompute(engine, spark):
     assert abs(got["a"] - 15.0) < 1e-12
 
 
+def test_rollup_migrate_with_no_source_versions_discards_stale_state(engine, spark):
+    """ADVICE r8: the state-format migration path used to return early
+    when the source had no visible versions (e.g. all retired), leaving
+    read_rollup serving old-format state indefinitely — it must instead
+    discard the stale state and stamp the spec."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    engine.save(df, "mignov")
+    engine.define_rollup("mignov_by_k", "mignov", ["k"], {"n": ("count", None)})
+    engine.refresh_rollup("mignov_by_k")
+
+    # simulate: pre-stamp spec + every source version retired
+    with engine._manifest_lock():
+        m = engine._read_manifest()
+        del m["rollups"]["mignov_by_k"]["state_format"]
+        m["datasets"]["mignov"]["versions"] = []
+        engine._write_manifest(m)
+
+    out = engine.refresh_rollup("mignov_by_k")
+    assert out == {"refreshed_versions": [], "state_version": None}
+    spec = engine._rollup_spec("mignov_by_k")
+    assert spec["state_format"] == engine._ROLLUP_STATE_FORMAT
+    assert spec["state_version"] is None and spec["processed"] == []
+    with _pytest.raises(ValueError, match="never been refreshed"):
+        engine.read_rollup("mignov_by_k")
+
+
 def test_load_incremental_cursor_semantics(engine, spark):
     """Batch CDC: first call delivers everything + a cursor; the next call
     with that cursor delivers only later appends; an up-to-date cursor

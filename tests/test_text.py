@@ -467,3 +467,20 @@ def test_html_main_text_strips_boilerplate_keeps_content(spark):
     assert got[1] == "Hello world , again"
     assert got[2] == "plain text, no markup"
     assert got[3] == "Multi block"
+
+
+def test_html_main_text_blocks_case_insensitive(spark):
+    """ADVICE r8: real crawled HTML mixes tag case — <SCRIPT>/<Style>/
+    <NAV> blocks must be dropped WITH their contents, not leak script
+    bodies into the extracted text via the case-agnostic tag strip."""
+    from pandas_db_sdk_spark import text
+
+    rows = [
+        (1, '<HTML><HEAD><SCRIPT>var leak=1;</SCRIPT>'
+            '<Style>.x{color:red}</Style></HEAD><BODY><NAV>a|b</NAV>'
+            '<Header>top</Header><P>Real content</P>'
+            '<FOOTER>bye</FOOTER></BODY></HTML>'),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = df.select(text.html_main_text("html").alias("out")).first().out
+    assert got == "Real content"

@@ -332,6 +332,22 @@ def test_cusum_changepoint_raises_outside_decimal_envelope(spark):
         timeseries.cusum_changepoint(huge, "t", "v")
 
 
+def test_cusum_changepoint_raises_on_single_value_overflow(spark):
+    """ADVICE r8: a SINGLE |x| >= 1e22 NULLs out of the decimal(28,6)
+    cast inside sum(abs(x)), understating the total so the envelope
+    check passes while rows still silently drop — the max(|x|) double
+    probe must catch it."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import timeseries
+
+    sneaky = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0e22), (3, -1.0)], "t long, v double"
+    )
+    with _pytest.raises(ValueError, match="decimal envelope"):
+        timeseries.cusum_changepoint(sneaky, "t", "v")
+
+
 def test_cusum_changepoint_streams_empty_and_null_series(spark):
     """Degenerate inputs keep their pre-guard behavior: empty or all-null
     series return an empty result rather than raising."""
