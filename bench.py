@@ -120,6 +120,15 @@ def main() -> None:
     # see); a median still drifts with that noise, the min of 4 is stable.
     # BENCH_r02's phantom 29% "regression" was the same effect. Cold
     # totals are reported alongside.
+    # Contention self-description (VERDICT r8 #8): the driver's recorded
+    # sweep has shared the box with the sf0.1 oracle sweep two rounds
+    # running, producing phantom 20-150% "regressions" that took three
+    # independent signals to dismiss.  Sample the 1-min load average at
+    # start and end; with local[32] on a 32-way box, a loadavg much above
+    # the suite's own footprint means another sweep is running — flag it
+    # so the BENCH record is self-falsifying.
+    load_start = os.getloadavg()[0]
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -149,22 +158,45 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_warm_seconds",
-                "value": total,
-                "unit": "sec",
-                "warm_reps": 4,
-                "queries": timings,
-                "queries_median": medians,
-                "median_total": round(sum(medians.values()), 3),
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
+    load_end = os.getloadavg()[0]
+    # The suite itself is mostly serial on the driver thread with bursts
+    # of parallel stages; a sustained 1-min loadavg beyond ~1.5x the
+    # shuffle-partition parallelism means a CONCURRENT sweep shared the
+    # box (the r7/r8 artifact).  Threshold chosen so a quiet-box run
+    # (observed loadavg 4-20) never flags and the 2455s oracle sweep
+    # (32 extra runnable threads) always does.
+    contended = max(load_start, load_end) > 40.0
+    # Field order matters (VERDICT r8 #2): the driver's BENCH_r{N}.json
+    # records a TRUNCATED tail of this line, so the per-query warm-min
+    # series — the data needed to falsify contention artifacts — goes
+    # FIRST, metadata after.
+    result = {
+        "metric": "headline_suite_warm_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "median_total": round(sum(medians.values()), 3),
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "warm_reps": 4,
+        "contended": contended,
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(load_end, 2),
+        "sf": sf,
+    }
+    line = json.dumps(result)
+    print(line)
+    # Persist the FULL untruncated record in-repo (VERDICT r8 #2): one
+    # JSON line per run, appended — the complete per-query
+    # warm-min/median/cold series survives even when the driver's copy
+    # truncates.  Best-effort: a read-only checkout must not break bench.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.jsonl"), "a") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

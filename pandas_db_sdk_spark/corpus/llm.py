@@ -4143,3 +4143,45 @@ def d104(spark, sf_dir):
         ).alias("text_ratio"),
         (extracted == want).cast("int").alias("roundtrip_ok"),
     )
+
+
+@q(
+    "d105_png_decode",
+    """WITH dims AS (SELECT doc_id,
+                     CAST(6 + doc_id % 7 AS INT) AS w,
+                     CAST(5 + (2 * doc_id) % 7 AS INT) AS h
+              FROM documents),
+       px AS (SELECT d.doc_id, d.w, d.h, c.c AS channel,
+                     (7 * d.doc_id + 3 * x.x + 5 * y.y + 11 * c.c) % 256 AS v,
+                     (x.x + 1) * (y.y + 2) AS wgt
+              FROM dims d, range(0, 12) x(x), range(0, 11) y(y),
+                   range(0, 3) c(c)
+              WHERE x.x < d.w AND y.y < d.h)
+       SELECT doc_id, 'png' AS format, w AS width, h AS height,
+              CAST(channel AS INT) AS channel,
+              round(sum(v)::DOUBLE / count(*), 6) AS mean,
+              CAST(min(v) AS INT) AS min, CAST(max(v) AS INT) AS max,
+              round(sqrt(sum(v * v)::DOUBLE / count(*)
+                         - (sum(v)::DOUBLE / count(*))
+                           * (sum(v)::DOUBLE / count(*))), 6) AS std,
+              CAST(sum(v * wgt) AS BIGINT) AS pos_sum
+       FROM px GROUP BY 1, 2, 3, 4, 5""",
+)
+def d105(spark, sf_dir):
+    """D7-ext (r9, VERDICT r8 #3): REAL COMPRESSED-format decode with no
+    codec library — Spark writes a valid zlib-DEFLATE PNG per document
+    (``multimodal.synth_png``: CRC-stamped chunks, scanline y filtered
+    with type (id+y)%5 so every image exercises ALL FIVE PNG filters,
+    ids ≡ 0 mod 3 split across two IDAT chunks), decodes it back
+    (``multimodal.decode_png_stats``: chunk walk + CRC verify + IDAT
+    concat + inflate + Sub/Up/Average/Paeth unfiltering) and aggregates
+    per-channel stats plus the position-weighted checksum
+    Σ v·(x+1)·(y+2).  A wrong unfilter corrupts every later filtered
+    row, so pos_sum certifies the whole filter chain; the oracle
+    regenerates every pixel arithmetically (the d48/d93/d99 pattern).
+    The multimodal stub now shrinks to LOSSY codecs only (JPEG entropy
+    decode, audio resample).  Scale: pure mapInPandas over Arrow
+    batches, zero shuffles, one output row per (image, channel)."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_png(d, "doc_id")
+    return multimodal.decode_png_stats(files, "payload", "doc_id")

@@ -200,6 +200,75 @@ def test_bmp_ppm_decode_skips_malformed_but_magic_matching(spark):
     assert multimodal.decode_bmp_ppm_stats(df, "payload", "doc_id").count() == 0
 
 
+def test_png_decode_roundtrip_exact(spark):
+    """synth_png → decode_png_stats recovers the EXACT arithmetic pixel
+    stats: chunk CRCs verify, multi-IDAT streams concatenate, and all
+    five PNG filter types unfilter correctly (filter = (id+y)%5 with
+    h >= 5 guarantees each image exercises every type)."""
+    import numpy as np
+
+    ids = list(range(24))  # covers all (w, h) combos and both IDAT splits
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    files = multimodal.synth_png(df, "doc_id")
+    rows = multimodal.decode_png_stats(files, "payload", "doc_id").collect()
+    assert len(rows) == len(ids) * 3
+    got = {(r.doc_id, r.channel): r for r in rows}
+    for i in ids:
+        w, h = 6 + i % 7, 5 + (2 * i) % 7
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        wgt = (x + 1) * (y + 2)
+        for ch in range(3):
+            v = (7 * i + 3 * x + 5 * y + 11 * ch) % 256
+            r = got[(i, ch)]
+            assert (r.width, r.height, r.format) == (w, h, "png")
+            assert r.min == v.min() and r.max == v.max()
+            assert r.mean == round(v.sum() / v.size, 6)
+            assert r.pos_sum == int((v * wgt).sum())
+
+
+def test_png_decode_skips_corrupt_and_out_of_scope(spark):
+    """A flipped IDAT byte (CRC mismatch), a truncated file, a non-PNG
+    payload, and an out-of-scope IHDR (16-bit depth) all degrade to
+    skip — never an executor error; the intact sibling still decodes."""
+    import struct
+    import zlib
+
+    df1 = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    blobs = {
+        r.doc_id: bytes(r.payload)
+        for r in multimodal.synth_png(df1, "doc_id").collect()
+    }
+    good = blobs[0]
+    corrupt = bytearray(good)
+    corrupt[45] ^= 0xFF  # inside the first IDAT body → CRC mismatch
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, bytearray(blobs[1])),      # intact
+        (2, bytearray(corrupt)),       # CRC mismatch
+        (3, bytearray(good[:30])),     # truncated
+        (4, bytearray(b"not a png")),  # wrong magic
+        (5, bytearray(deep)),          # 16-bit depth: out of scope
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.decode_png_stats(df, "payload", "doc_id").collect()
+    assert {r.doc_id for r in out} == {1}
+    assert len(out) == 3
+
+
 def test_bmp_decode_honors_pixel_offset(spark):
     """A BMP whose pixel array does not start at byte 54 (e.g. a color
     profile between header and pixels) must decode via the file header's
