@@ -4185,3 +4185,250 @@ def d105(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_png(d, "doc_id")
     return multimodal.decode_png_stats(files, "payload", "doc_id")
+
+
+@q(
+    "d106_bpe_batched_merges",
+    """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       wf AS (SELECT w, count(*) AS f FROM wd WHERE length(w) > 0 GROUP BY 1),
+       ch AS (SELECT f, w[i] AS a, w[i+1] AS b
+              FROM wf, LATERAL (
+                SELECT unnest(range(1, length(w))) AS i)),
+       pc AS (SELECT a, b, sum(f) AS cnt FROM ch GROUP BY 1, 2),
+       fm AS (SELECT cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 1)
+       SELECT 'vocab_words' AS rule, CAST(count(*) AS BIGINT) AS val FROM wf
+       UNION ALL
+       SELECT 'initial_token_mass', CAST(sum(f * length(w)) AS BIGINT) FROM wf
+       UNION ALL
+       SELECT 'mass_start', CAST(sum(f * length(w)) AS BIGINT) FROM wf
+       UNION ALL
+       SELECT 'first_merge_count', CAST(cnt AS BIGINT) FROM fm
+       UNION ALL SELECT 'n_rules', CAST(60 AS BIGINT)
+       UNION ALL SELECT 'head_nonmonotone_rounds', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'rank_order_violations', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'batch_overlap_violations', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'mass_increase_rounds', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'mass_drop_exceeds_counts_rounds', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'mass_drop_below_rules_rounds', CAST(0 AS BIGINT)""",
+)
+def d106(spark, sf_dir):
+    """Tokenizer tier at scale (r9, VERDICT r8 #4): BATCHED BPE merge
+    learning — ``text.bpe_merges_batched`` admits the top-k mutually
+    symbol-disjoint pairs per round and rewrites the vocabulary with all
+    of them in ONE map-lookup codegen pass, taking the rounds budget
+    from n_merges to ~n_merges/batch (60 merges in 3-4 rounds here;
+    SCALE.md has the budget table). Batched selection can diverge from
+    sequential BPE past rank 1 BY DESIGN (later in-batch rules ignore
+    earlier rules' effects), so certification is an INVARIANTS frame the
+    oracle replays from the source: vocabulary size and initial token
+    mass (recomputed), the rank-1 rule's count (the SQL-expressible
+    sequential argmax — batched and sequential agree at rank 1), and
+    pinned-zero violation counters — per-round head-count monotonicity
+    (new pairs' counts are bounded by the consumed rule's count), exact
+    mass-conservation bounds (n_rules ≤ per-round mass drop ≤ admitted
+    count sum), within-round rank ordering, and batch symbol
+    disjointness. d98/d98c keep certifying the sequential semantics."""
+    d = tables(spark, sf_dir)("documents")
+    merges, rounds = text.bpe_merges_batched(d, "text", n_merges=60, batch=20)
+
+    wf = (
+        d.select(F.explode(text.tokens("text")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    base = wf.agg(
+        F.count("*").cast("long").alias("vocab_words"),
+        F.sum(F.col("f") * F.length("w")).cast("long").alias("initial_token_mass"),
+    ).select(
+        F.expr(
+            "stack(2, 'vocab_words', vocab_words, "
+            "'initial_token_mass', initial_token_mass) AS (rule, val)"
+        )
+    )
+    rw = Window.orderBy("round")  # rounds_df is round-count-sized: tiny
+    r = rounds.withColumn("prev_head", F.lag("head_count").over(rw))
+    drop = F.col("mass_before") - F.col("mass_after")
+    round_checks = r.agg(
+        F.min(F.when(F.col("round") == 1, F.col("mass_before")))
+        .cast("long")
+        .alias("mass_start"),
+        F.sum(
+            (
+                F.col("prev_head").isNotNull()
+                & (F.col("head_count") > F.col("prev_head"))
+            ).cast("long")
+        ).alias("head_nonmonotone_rounds"),
+        F.sum((F.col("mass_after") > F.col("mass_before")).cast("long")).alias(
+            "mass_increase_rounds"
+        ),
+        F.sum((drop > F.col("batch_count_sum")).cast("long")).alias(
+            "mass_drop_exceeds_counts_rounds"
+        ),
+        F.sum((drop < F.col("n_rules")).cast("long")).alias(
+            "mass_drop_below_rules_rounds"
+        ),
+    ).select(
+        F.expr(
+            "stack(5, 'mass_start', mass_start, "
+            "'head_nonmonotone_rounds', head_nonmonotone_rounds, "
+            "'mass_increase_rounds', mass_increase_rounds, "
+            "'mass_drop_exceeds_counts_rounds', mass_drop_exceeds_counts_rounds, "
+            "'mass_drop_below_rules_rounds', mass_drop_below_rules_rounds) "
+            "AS (rule, val)"
+        )
+    )
+    mw = Window.partitionBy("round").orderBy("rank")
+    rule_checks = (
+        merges.withColumn("prev_cnt", F.lag("pair_count").over(mw))
+        .agg(
+            F.count("*").cast("long").alias("n_rules"),
+            F.sum(
+                (
+                    F.col("prev_cnt").isNotNull()
+                    & (F.col("pair_count") > F.col("prev_cnt"))
+                ).cast("long")
+            ).alias("rank_order_violations"),
+            F.min(F.when(F.col("rank") == 1, F.col("pair_count")))
+            .cast("long")
+            .alias("first_merge_count"),
+        )
+        .select(
+            F.expr(
+                "stack(3, 'n_rules', n_rules, "
+                "'rank_order_violations', rank_order_violations, "
+                "'first_merge_count', first_merge_count) AS (rule, val)"
+            )
+        )
+    )
+    overlap = (
+        # array_distinct: a single rule may legally repeat a symbol
+        # (e.g. (e, e) → ee); disjointness is about symbols shared
+        # ACROSS rules of one round, so dedup within the rule first
+        merges.select(
+            "round",
+            F.explode(
+                F.array_distinct(F.array("sym_a", "sym_b", "merged"))
+            ).alias("s"),
+        )
+        .groupBy("round", "s")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(F.sum((F.col("c") > 1).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("batch_overlap_violations")
+        )
+        .select(
+            F.expr(
+                "stack(1, 'batch_overlap_violations', batch_overlap_violations) "
+                "AS (rule, val)"
+            )
+        )
+    )
+    return base.unionAll(round_checks).unionAll(rule_checks).unionAll(overlap)
+
+
+def _softmax_oracle(steps: int = 3) -> str:
+    """Unrolled softmax-GD replay for d107 (the _logreg_oracle pattern
+    with a C=3 weight matrix): each step recomputes the 9 snapped-term
+    gradient sums and the argmax accuracy from the feature CTE and the
+    previous step's rounded weights, entirely in SQL."""
+
+    def z(c: int) -> str:
+        return f"(w.w{c}0 * f.x0 + w.w{c}1 * f.x1 + w.w{c}2 * f.x2)"
+
+    den = f"(exp({z(0)}) + exp({z(1)}) + exp({z(2)}))"
+    pred = (
+        f"CASE WHEN {z(0)} >= {z(1)} AND {z(0)} >= {z(2)} THEN 0 "
+        f"WHEN {z(1)} >= {z(2)} THEN 1 ELSE 2 END"
+    )
+    sql = """WITH f AS (
+         SELECT CASE WHEN lang = 'en' THEN 0
+                     WHEN lang = 'zh' THEN 1 ELSE 2 END AS y,
+                1.0 AS x0,
+                len(list_filter(string_split(text, ' '),
+                    w -> w <> ''))::DOUBLE / 100.0 AS x1,
+                len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                  / greatest(length(text), 1) AS x2
+         FROM documents),
+       w0s AS (SELECT """ + ", ".join(
+        f"0.0 AS w{c}{j}" for c in range(3) for j in range(3)
+    ) + ")"
+    for s in range(1, steps + 1):
+        terms = ",\n              ".join(
+            "CAST(sum(CAST(round(((f.y = {c})::INT - exp({zc}) / {den})"
+            " * f.x{j}, 12) AS DECIMAL(30,12))) AS DOUBLE) AS g{c}{j}".format(
+                c=c, j=j, zc=z(c), den=den
+            )
+            for c in range(3)
+            for j in range(3)
+        )
+        prev = ", ".join(
+            f"w.w{c}{j} AS pw{c}{j}" for c in range(3) for j in range(3)
+        )
+        upd = ",\n                      ".join(
+            f"round(pw{c}{j} + g{c}{j} / n, 12) AS w{c}{j}"
+            for c in range(3)
+            for j in range(3)
+        )
+        sql += """,
+       g{s} AS (SELECT count(*) AS n, {prev},
+              {terms},
+              sum(({pred} = f.y)::INT) AS ok
+              FROM f, w{p}s w GROUP BY {groups}),
+       w{s}s AS (SELECT n, {upd},
+                      round(ok::DOUBLE / n, 6) AS acc
+               FROM g{s})""".format(
+            s=s,
+            p=s - 1,
+            prev=prev,
+            terms=terms,
+            pred=pred,
+            upd=upd,
+            groups=", ".join(str(i) for i in range(2, 11)),
+        )
+    names = []
+    for c in range(3):
+        names.append(f"w{c}0 AS w_c{c}_bias")
+        names.append(f"w{c}1 AS w_c{c}_f_len")
+        names.append(f"w{c}2 AS w_c{c}_f_punct")
+    sql += "\n       " + "\n       UNION ALL ".join(
+        "SELECT CAST({s} AS INT) AS step, {names}, acc AS accuracy, "
+        "CAST(n AS BIGINT) AS n FROM w{s}s".format(s=s, names=", ".join(names))
+        for s in range(1, steps + 1)
+    )
+    return sql
+
+
+@q("d107_softmax_language_id", _softmax_oracle(3))
+def d107(spark, sf_dir):
+    """Iterative-trainer breadth (r9, VERDICT r8 #6): full-batch SOFTMAX
+    multi-class GD (``stats.softmax_regression_gd``) — a 3-class
+    language-ID head (en / zh / other) over the d103 features, the
+    C-way generalization of the binary quality gate.  Still ONE
+    map-side-combined aggregate per step (C·k + 2 = 11 cells), the
+    driver holds only the 3×3 weight matrix, and the oracle replays the
+    unrolled recurrence with the same 12-dp term-snap discipline; the
+    argmax accuracy uses a first-class-wins CASE both engines evaluate
+    on bit-identical z values (no libm in the comparison)."""
+    from .. import stats
+
+    d = tables(spark, sf_dir)("documents")
+    feats = d.select(
+        F.when(F.col("lang") == "en", 0)
+        .when(F.col("lang") == "zh", 1)
+        .otherwise(2)
+        .alias("y"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            .cast("double") / F.lit(100.0)
+        ).alias("f_len"),
+        (
+            F.size(
+                F.regexp_extract_all("text", F.lit("[^A-Za-z0-9\\s]"), 0)
+            ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+        ).alias("f_punct"),
+    )
+    return stats.softmax_regression_gd(
+        feats, ["f_len", "f_punct"], "y", n_classes=3, lr=1.0, steps=3
+    )

@@ -455,3 +455,108 @@ def logistic_regression_gd(
         + ["accuracy double", "n long"]
     )
     return spark.createDataFrame(rows, cols)
+
+
+def softmax_regression_gd(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    n_classes: int = 3,
+    lr: float = 1.0,
+    steps: int = 3,
+    term_dp: int = 12,
+) -> DataFrame:
+    """Full-batch MULTI-CLASS (softmax) regression by gradient descent —
+    the C-class generalization of :func:`logistic_regression_gd`
+    (VERDICT r8 #6): the loop that trains a language-ID head / C-way
+    quality gate from corpus features.
+
+    Update rule (from W = 0): W[c][j] ← W[c][j] + lr/n ·
+    Σᵢ (1[yᵢ=c] − p_c(xᵢ)) x_j with p_c = exp(z_c)/Σ_d exp(z_d),
+    z_c = W[c]·x, and a constant bias feature. Same hash-certification
+    discipline as the binary trainer: every per-row gradient term snaps
+    to ``term_dp`` decimals BEFORE the DECIMAL sum (partial-aggregation
+    order cannot move the total; the C exp ulps sit 3 orders below the
+    snap), weights round to ``term_dp`` between steps so step k+1's
+    inputs are engine-exact, and step 1 is libm-free outright
+    (z = 0 ⇒ p_c = 1/C exactly). Accuracy is the exact argmax test with
+    first-class-wins tie-break (z_c ≥ z_d for d > c — nested CASE, the
+    same comparison tree the oracle replays), over the PRE-step weights.
+
+    Scale shape: each step is ONE map-side-combined aggregate over the
+    corpus producing C·k + 2 cells; the driver holds only the C×k weight
+    matrix. ``steps`` small by design — see the binary trainer's note.
+
+    Returns one row per step: (step int, w_c{c}_bias + one
+    ``w_c{c}_<col>`` per (class, feature) — the weights AFTER that step
+    — plus accuracy double(6) and n bigint).
+    """
+    feats = [F.lit(1.0).alias("__x0")] + [
+        F.col(c).cast("double").alias(f"__x{i+1}")
+        for i, c in enumerate(feature_cols)
+    ]
+    base = df.select(F.col(label_col).cast("int").alias("__y"), *feats)
+    from ._scratch import scratch_persist
+
+    base = scratch_persist(base, "softmax_gd/features")
+    k = len(feature_cols) + 1
+    C = n_classes
+    dec = f"decimal(30,{term_dp})"
+    W = [[0.0] * k for _ in range(C)]
+    rows = []
+    for step in range(1, steps + 1):
+        zs = []
+        for c in range(C):
+            z = F.lit(W[c][0]) * F.col("__x0")
+            for j in range(1, k):
+                z = z + F.lit(W[c][j]) * F.col(f"__x{j}")
+            zs.append(z)
+        exps = [F.exp(z) for z in zs]
+        den = exps[0]
+        for e in exps[1:]:
+            den = den + e
+        aggs = [F.count("*").cast("long").alias("__n")]
+        for c in range(C):
+            ind = (F.col("__y") == c).cast("double")
+            for j in range(k):
+                aggs.append(
+                    F.sum(
+                        F.round(
+                            (ind - exps[c] / den) * F.col(f"__x{j}"), term_dp
+                        ).cast(dec)
+                    )
+                    .cast("double")
+                    .alias(f"__g{c}_{j}")
+                )
+        # argmax with first-class-wins tie-break: class c is predicted
+        # iff z_c >= z_d for every d > c (an earlier class already won
+        # any tie with c) — the nested CASE the oracle replays verbatim
+        pred = F.lit(C - 1)
+        for c in range(C - 2, -1, -1):
+            cond = F.lit(True)
+            for d in range(c + 1, C):
+                cond = cond & (zs[c] >= zs[d])
+            pred = F.when(cond, F.lit(c)).otherwise(pred)
+        aggs.append(
+            F.sum((pred == F.col("__y")).cast("int")).cast("long").alias("__ok")
+        )
+        got = base.agg(*aggs).collect()[0]  # C*k + 2 cells — bounded
+        n = int(got["__n"])
+        if n == 0:
+            raise ValueError("softmax_regression_gd: empty input")
+        acc = round(int(got["__ok"]) / n, 6)
+        W = [
+            [
+                round(W[c][j] + lr * float(got[f"__g{c}_{j}"]) / n, term_dp)
+                for j in range(k)
+            ]
+            for c in range(C)
+        ]
+        rows.append((step, *[w for wc in W for w in wc], acc, n))
+    spark = df.sparkSession
+    names = ["step int"]
+    for c in range(C):
+        names.append(f"w_c{c}_bias double")
+        names.extend(f"w_c{c}_{col} double" for col in feature_cols)
+    names += ["accuracy double", "n long"]
+    return spark.createDataFrame(rows, ", ".join(names))

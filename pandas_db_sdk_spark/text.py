@@ -1459,6 +1459,201 @@ def bpe_merges(
     )
 
 
+def bpe_rewrite_multi_expr(syms_col, rules):
+    """One-pass greedy merge of a BATCH of symbol-disjoint BPE rules over
+    a symbol array — the multi-rule generalization of
+    :func:`bpe_rewrite_expr`: the accumulator still carries (out, pend),
+    but the match test is a constant-map lookup ``(pend, x) → merged``
+    instead of a single (a, b) comparison, so applying a batch of k rules
+    is ONE codegen ``aggregate`` pass regardless of k. Correctness
+    requires the batch to be symbol-disjoint (no symbol of any rule —
+    including the merged output — appears in another rule; enforced by
+    :func:`bpe_merges_batched`'s greedy admission): then every adjacent
+    occurrence is claimed by at most one rule and the single left-to-
+    right scan equals applying the rules one-at-a-time in any order.
+    chr(31) keys the lookup (cannot appear in symbols — the d98c
+    sentinel argument)."""
+    sep = "\x1f"
+    pairs = []
+    for a, b in rules:
+        pairs.append(F.lit(a + sep + b))
+        pairs.append(F.lit(a + b))
+    mapping = F.create_map(*pairs)
+    init = F.struct(
+        F.expr("cast(array() as array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        merged = F.try_element_at(
+            mapping, F.concat(acc["pend"], F.lit(sep), x)
+        )
+        return (
+            F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pend")),
+            )
+            .when(
+                merged.isNotNull(),
+                F.struct(
+                    F.array_append(acc["out"], merged).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["pend"]).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    return F.aggregate(syms_col, init, step, finish)
+
+
+def bpe_merges_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 64,
+    batch: int = 16,
+    candidate_factor: int = 4,
+):
+    """Learn ``n_merges`` BPE rules in ``ceil``-ish ``n_merges/batch``
+    rounds instead of one round per rule — the standard batched-merge
+    trick that takes the tokenizer loop from toy merge counts to
+    real vocabularies (VERDICT r8 #4): each round counts pairs ONCE,
+    admits the top-k pairs that are mutually SYMBOL-DISJOINT (greedy in
+    (count desc, pair) order over ``candidate_factor·batch`` collected
+    candidates; a pair is admitted only if none of {a, b, a+b} touches an
+    already-admitted rule), and rewrites the vocabulary with ALL admitted
+    rules in one :func:`bpe_rewrite_multi_expr` codegen pass.
+
+    Scale budget (SCALE.md "BPE"): rounds ≈ n_merges/batch_effective;
+    per round = one vocabulary-sized pair-count aggregate (map-side
+    combined), one bounded driver collect (candidate_factor·batch rows),
+    one map-lookup rewrite projection + localCheckpoint. A 32k-merge
+    vocabulary at batch=256 is ~125 rounds over VOCABULARY-sized (not
+    corpus-sized) state — the corpus is scanned exactly once, for the
+    word-frequency aggregate.
+
+    Trade-off vs sequential BPE (documented, inherent to the trick):
+    within a batch, later rules are chosen from counts that IGNORE the
+    earlier rules' effects, so the learned table can differ from
+    one-rule-at-a-time BPE past rank 1 — the certification therefore
+    pins an INVARIANTS frame (d106: mass conservation bound, per-round
+    head-count monotonicity, batch disjointness, the SQL-replayable
+    first merge) rather than a full replay; d98/d98c certify the
+    sequential semantics.
+
+    Returns ``(merges, rounds)``:
+      merges — (rank int, round int, sym_a, sym_b, merged,
+                pair_count bigint) in learned order;
+      rounds — (round int, n_rules int, head_count bigint,
+                batch_count_sum bigint, mass_before bigint,
+                mass_after bigint) — one row per round, driver-built
+                (row count = round count, trivially bounded).
+    """
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    state = wf.select(
+        "f", F.expr("filter(split(w, ''), x -> x != '')").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+
+    def mass(s):  # Σ f·|syms| — 1-row aggregate over vocabulary-sized state
+        return int(
+            s.agg(F.sum(F.col("f") * F.size("syms")).cast("long")).collect()[0][0]
+            or 0
+        )
+
+    merges = []
+    rounds = []
+    rank, rnd = 0, 0
+    mass_before = mass(state)
+    while rank < n_merges:
+        rnd += 1
+        want = n_merges - rank
+        pairs = state.select(
+            "f",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(
+                        "syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))
+                    ).alias("a"),
+                    F.slice(
+                        "syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))
+                    ).alias("b"),
+                )
+            ).alias("__p"),
+        ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), "f")
+        cand = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(candidate_factor * min(batch, want))
+            .collect()
+        )
+        if not cand:
+            break
+        used: set = set()
+        admitted = []
+        for r in cand:
+            a, b, cnt = r["a"], r["b"], int(r["cnt"])
+            if len(admitted) >= min(batch, want):
+                break
+            if {a, b, a + b} & used:
+                continue
+            used |= {a, b, a + b}
+            admitted.append((a, b, cnt))
+        if not admitted:
+            break
+        for a, b, cnt in admitted:
+            rank += 1
+            merges.append((rank, rnd, a, b, a + b, cnt))
+        state = state.select(
+            "f",
+            bpe_rewrite_multi_expr(
+                F.col("syms"), [(a, b) for a, b, _ in admitted]
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+        # round N's mass_after doubles as round N+1's mass_before —
+        # one 1-row aggregate per round, not two
+        mass_after = mass(state)
+        rounds.append(
+            (
+                rnd,
+                len(admitted),
+                admitted[0][2],
+                sum(c for _, _, c in admitted),
+                mass_before,
+                mass_after,
+            )
+        )
+        mass_before = mass_after
+
+    merges_df = spark.createDataFrame(
+        merges,
+        "rank int, round int, sym_a string, sym_b string, merged string, "
+        "pair_count long",
+    )
+    rounds_df = spark.createDataFrame(
+        rounds,
+        "round int, n_rules int, head_count long, batch_count_sum long, "
+        "mass_before long, mass_after long",
+    )
+    return merges_df, rounds_df
+
+
 def bpe_encode_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -332,3 +332,57 @@ def test_logistic_regression_gd_empty_raises(spark):
     empty = spark.createDataFrame([], "f1 double, y int")
     with _pytest.raises(ValueError, match="empty input"):
         stats.logistic_regression_gd(empty, ["f1"], "y", steps=1)
+
+
+def test_softmax_regression_gd_matches_numpy_replay(spark):
+    """The C=3 trainer matches a numpy replay of the same snapped
+    recurrence; step 1 is libm-free (p_c = 1/3 exactly from W = 0),
+    accuracy is the exact first-class-wins argmax, and a separable
+    3-class set is classified perfectly within a few steps."""
+    import numpy as np
+
+    from pandas_db_sdk_spark import stats
+
+    rng = np.random.RandomState(7)
+    x1 = rng.uniform(-2, 2, 300)
+    x2 = rng.uniform(-2, 2, 300)
+    y = np.where(x1 + x2 > 0.7, 0, np.where(x1 - x2 > 0.2, 1, 2))
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "f1 double, f2 double, y int",
+    )
+    got = stats.softmax_regression_gd(
+        df, ["f1", "f2"], "y", n_classes=3, lr=2.0, steps=4
+    )
+    rows = {r.step: r for r in got.collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    W = np.zeros((3, 3))
+    for step in range(1, 5):
+        Z = X @ W.T                      # (n, 3)
+        # first-class-wins argmax (numpy argmax already ties to lowest)
+        acc = round(float((Z.argmax(axis=1) == y).mean()), 6)
+        E = np.exp(Z)
+        P = E / E.sum(axis=1, keepdims=True)
+        for c in range(3):
+            terms = np.round(((y == c).astype(float) - P[:, c])[:, None] * X, 12)
+            W[c] = np.round(W[c] + 2.0 * terms.sum(0) / len(y), 12)
+        r = rows[step]
+        assert r.accuracy == acc and r.n == 300
+        for c in range(3):
+            for jw, wname in zip(
+                W[c], (f"w_c{c}_bias", f"w_c{c}_f1", f"w_c{c}_f2")
+            ):
+                assert abs(getattr(r, wname) - jw) < 1e-9, (step, wname)
+    assert rows[4].accuracy >= 0.9
+
+
+def test_softmax_regression_gd_empty_raises(spark):
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import stats
+
+    empty = spark.createDataFrame([], "f1 double, y int")
+    with _pytest.raises(ValueError, match="empty input"):
+        stats.softmax_regression_gd(empty, ["f1"], "y", steps=1)

@@ -386,6 +386,86 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     assert got == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
 
 
+def test_bpe_rewrite_multi_matches_sequential_for_disjoint_rules(spark):
+    """A symbol-disjoint batch applied in ONE multi-rule pass must equal
+    applying the same rules one-at-a-time (in any order) — including the
+    self-overlap scan semantics ([a,a,a] with (a,a) → [aa, a])."""
+    from pandas_db_sdk_spark import text
+
+    words = ["ababa", "cdcd", "aaab", "xcdy"]
+    rules = [("a", "b"), ("c", "d")]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    syms = F.expr("filter(split(w, ''), x -> x != '')")
+    multi = df.select(
+        "w", text.bpe_rewrite_multi_expr(syms, rules).alias("out")
+    )
+    seq = syms
+    for a, b in rules:
+        seq = text.bpe_rewrite_expr(seq, a, b)
+    sequential = df.select("w", seq.alias("out"))
+    got_m = {r.w: r.out for r in multi.collect()}
+    got_s = {r.w: r.out for r in sequential.collect()}
+    assert got_m == got_s
+    assert got_m["ababa"] == ["ab", "ab", "a"]
+    assert got_m["cdcd"] == ["cd", "cd"]
+    assert got_m["aaab"] == ["a", "a", "ab"]
+    assert got_m["xcdy"] == ["x", "cd", "y"]
+
+
+def test_bpe_merges_batched_first_rule_and_invariants(spark):
+    """Batched learning agrees with sequential BPE at rank 1 (both take
+    the global argmax), batches are symbol-disjoint, within-round counts
+    are rank-ordered, per-round head counts never increase, and the
+    vocabulary mass drops by at least n_rules and at most the admitted
+    count sum each round."""
+    from pandas_db_sdk_spark import text
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "id long, text string",
+    )
+    seq_first = text.bpe_merges(df, "text", n_merges=1).collect()[0]
+    merges, rounds = text.bpe_merges_batched(df, "text", n_merges=8, batch=3)
+    m = sorted((tuple(r) for r in merges.collect()))
+    assert m[0][0] == 1
+    assert (m[0][2], m[0][3], m[0][5]) == (
+        seq_first["sym_a"], seq_first["sym_b"], seq_first["pair_count"]
+    )
+    by_round: dict = {}
+    for rank, rnd, a, b, merged, cnt in m:
+        by_round.setdefault(rnd, []).append((rank, a, b, merged, cnt))
+    for rnd, rs in by_round.items():
+        syms: set = set()
+        prev_cnt = None
+        for rank, a, b, merged, cnt in sorted(rs):
+            assert not ({a, b, merged} & syms), "batch must be symbol-disjoint"
+            syms |= {a, b, merged}
+            if prev_cnt is not None:
+                assert cnt <= prev_cnt, "within-round rank order by count"
+            prev_cnt = cnt
+    rws = sorted(tuple(r) for r in rounds.collect())
+    prev_head = None
+    for rnd, n_rules, head, cnt_sum, before, after in rws:
+        assert n_rules <= (before - after) <= cnt_sum
+        if prev_head is not None:
+            assert head <= prev_head, "head counts never increase across rounds"
+        prev_head = head
+    # round chaining: mass_after of round N is mass_before of round N+1
+    for (r1, *_, a1), (r2, *rest) in zip(rws, rws[1:]):
+        assert a1 == rest[-2]
+
+
+def test_bpe_merges_batched_exhausts_gracefully(spark):
+    """Asking for more merges than the vocabulary supports stops when no
+    pairs remain instead of looping."""
+    from pandas_db_sdk_spark import text
+
+    df = spark.createDataFrame([(1, "ab ab cd")], "id long, text string")
+    merges, rounds = text.bpe_merges_batched(df, "text", n_merges=50, batch=8)
+    got = sorted(r.merged for r in merges.collect())
+    assert got == ["ab", "cd"]
+
+
 def test_kneser_ney_hand_computed(spark):
     """P_KN(low | lowest): c12=1, c1=1, d=.75 -> .25 discounted MLE;
     lambda=.75; Pcont(low) = 2 preceding contexts / 7 bigram types."""
