@@ -1696,3 +1696,59 @@ def test_load_incremental_cursor_semantics(engine, spark):
     assert "PartitionFilters" in plan and "__version" in plan.split(
         "PartitionFilters: [", 1
     )[1].split("]", 1)[0]
+
+
+def test_load_incremental_consumer_reproduces_full_state(engine, spark):
+    """CDC certification parity (VERDICT r8 #5): a consumer driven by
+    load_incremental cursoring — draining sometimes one, sometimes two
+    versions per call, with retention retiring old versions mid-stream —
+    accumulates EXACTLY the union of every row ever saved, each
+    (row, version) delivered exactly once, and a final drained call
+    yields nothing."""
+    from collections import Counter
+
+    saved = []  # every (id, s, version) ever committed
+    delivered: Counter = Counter()
+
+    def save(rows, key):
+        df = spark.createDataFrame(rows, "id long, s string")
+        engine.save(df, "cdcpar", external_key=key)
+        saved.extend((i, s, key) for i, s in rows)
+
+    def drain(cursor):
+        df, cur = engine.load_incremental("cdcpar", cursor=cursor)
+        delivered.update(
+            (r["id"], r["s"], r["__version"]) for r in df.collect()
+        )
+        return cur
+
+    save([(1, "a"), (2, "b")], "v1")
+    cur = drain(None)                          # drains v1
+    save([(3, "c")], "v2")
+    save([(4, "d"), (5, "e")], "v3")
+    cur = drain(cur)                           # drains v2 + v3 together
+    engine.retain_last("cdcpar", 1)            # retires v1, v2 on disk
+    save([(6, "f")], "v4")
+    cur = drain(cur)                           # drains ONLY v4 — retention
+    #                                            must not re-deliver or drop
+    assert sorted(delivered) == sorted(saved)
+    assert set(delivered.values()) == {1}, "each (row, version) exactly once"
+    df, cur2 = engine.load_incremental("cdcpar", cursor=cur)
+    assert df.count() == 0 and cur2 == cur
+
+
+def test_load_incremental_version_filter_prunes_partitions(engine, spark):
+    """The cursor filter must reach the scan as a partition predicate —
+    at 100 TB the difference between append-proportional and a rescan."""
+    for key in ("v1", "v2", "v3"):
+        engine.save(
+            spark.createDataFrame([(1, key)], "id long, s string"),
+            "cdcprune",
+            external_key=key,
+        )
+    df, _ = engine.load_incremental("cdcprune", cursor=["v1", "v2"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__version" in m.group(1), plan

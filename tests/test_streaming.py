@@ -788,3 +788,57 @@ def test_stream_changes_is_incremental_committed_feed(spark, tmp_path):
     eng.save(v2, "feed", external_key="v2")
     got2 = drain("feed_run2")
     assert got2 == {(3, "c", "v2")}  # only the delta — never a rescan
+
+
+def test_stream_changes_exactly_once_across_kill_resume(spark, tmp_path):
+    """CDC certification parity (VERDICT r8 #5): across consumer
+    stop/restart cycles — including a multi-version catch-up (the
+    consumer was down while the producer appended twice), an idle
+    restart with nothing new, and retention retiring already-delivered
+    versions — every (row, version) arrives EXACTLY once, reproducing
+    the full corpus state; the checkpoint's seen-files log is the resume
+    cursor."""
+    from collections import Counter
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    ck = str(tmp_path / "ck")
+    delivered: Counter = Counter()
+    saved = []
+
+    def save(rows, key):
+        eng.save(
+            spark.createDataFrame(rows, "id long, s string"),
+            "killfeed",
+            external_key=key,
+        )
+        saved.extend((i, s, key) for i, s in rows)
+
+    def run_consumer():
+        def sink(batch_df, _epoch):
+            delivered.update(
+                (r["id"], r["s"], r["__version"]) for r in batch_df.collect()
+            )
+
+        q = (
+            eng.stream_changes("killfeed")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    save([(1, "a"), (2, "b")], "v1")
+    run_consumer()                      # run 1: backfill
+    save([(3, "c")], "v2")
+    save([(4, "d")], "v3")
+    run_consumer()                      # run 2: 2-version catch-up ("kill"
+    #                                     = the consumer simply wasn't up)
+    run_consumer()                      # run 3: idle restart — no replays
+    eng.retain_last("killfeed", 1)      # retire v1/v2 after delivery
+    save([(5, "e")], "v4")
+    run_consumer()                      # run 4: delta only, post-retention
+    assert sorted(delivered) == sorted(saved)
+    assert set(delivered.values()) == {1}, "each (row, version) exactly once"
