@@ -357,6 +357,46 @@ _R08_NEW = frozenset(
 )
 
 
+# Names driver-checked in CORRECTNESS_r08.json (round-8 window: the 40-row
+# stale-first head + the 7 round-8 additions + 3 more of the r1 leftovers
+# — 48 hash-green, c26/c29b rows-only by design with their certified
+# error-band twins).
+_R08_VERIFIED = frozenset(
+    """c01_scan_parquet c02_scan_csv c02b_scan_json c03_write_partitioned
+    c04_ingest_pandas c05_select c06_computed_column c07_rename c08_drop
+    c09_filter c10_distinct c11_null_handling c12_cast c13_case_when
+    c14_join_inner c15_join_left c15b_join_full c16_join_multikey
+    c17_semi_join c19_cross_join c20_range_join c21_asof_join
+    c22_broadcast_join c15c_join_right c20b_scalar_subquery c01b_scan_orc
+    c02c_export_jsonl_shards c21b_asof_tolerance c23_groupby_agg
+    c24_multi_agg c25_count_distinct c26_approx_count_distinct
+    c27_global_agg c28_stats_moments c29_quantiles c29b_approx_quantiles
+    c30_rollup c30b_cube c31_pivot c32_unpivot c33_collect_list
+    c34_first_last c24b_filtered_agg d99_bmp_ppm_decode
+    d98c_bpe_merge_replay d100_shortest_paths d101_ivf_nprobe_recall
+    d102_bpe_encode d103_logreg_quality d104_html_extract""".split()
+)
+
+
+# Round-9 re-certification head (VERDICT r8 #1): the 6 rows still
+# r1-checked lead the window; this round's additions ride behind them
+# (so d105-d107 certify THIS round); then the 48-row r2 block (c55-c65
+# streaming/UDF surface + d01-d08 core + TPC-H composites) fills the
+# rest of the ~50-row window — its last ~7 rows queue as the round-10
+# backlog head, after which no declared row is older than r3.
+_R09_STALE_FIRST = frozenset(
+    """c28b_corr_covar c30c_grouping_sets c33b_string_agg c35_ranking
+    c36_lag_lead c37_cumsum""".split()
+)
+
+
+# Queries ADDED in round 9 (never had a driver row).
+_R09_NEW = frozenset(
+    """d105_png_decode d106_bpe_batched_merges
+    d107_softmax_language_id""".split()
+)
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -370,27 +410,26 @@ def _merged(attr):
 
 def all_queries():
     """Declaration order = driver-certification priority (the driver's
-    per-round correctness file caps at ~50 rows). Round-8 rotation
-    (VERDICT round-7 item #1): every row has been certified at least
-    once, so the window is now a RE-certification budget — the 40
-    stalest rows (r1-checked c01–c37 block) come FIRST, then this
-    round's new queries, then everything else by ascending freshness.
-    Within each group, original module order is preserved (stable
-    sort). A name in no set is treated as newest (sorts with _R08_NEW),
-    so a forgotten registration can never starve the backlog."""
+    per-round correctness file caps at ~50 rows). Round-9 rotation
+    (VERDICT round-8 item #1): the 6 rows still r1-checked lead, this
+    round's additions ride behind them (so they certify immediately),
+    then the 48-row r2 block — the stalest certified rows — fills the
+    window; everything else queues by ascending freshness. Within each
+    group, original module order is preserved (stable sort). A name in
+    no set is treated as newest (sorts with _R09_NEW), so a forgotten
+    registration can never starve the backlog."""
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-8 rotation: with every row certified at least once, the
-        # window becomes a RE-certification budget — the 40 stalest
-        # r1-checked rows lead, round-8 additions ride behind them, and
-        # everything else queues by ascending freshness (r1 leftovers →
-        # r2 → … → r7 last).  Membership is checked newest-round-first
-        # so a row re-certified later sorts by its LATEST check.
-        if name in _R08_STALE_FIRST:
+        # Round-9 rotation: stalest-first re-certification budget.
+        # Membership is checked newest-round-first so a row re-certified
+        # later sorts by its LATEST check.
+        if name in _R09_STALE_FIRST:
             return 0
-        if name in _R08_NEW:
+        if name in _R09_NEW:
             return 1
+        if name in _R08_VERIFIED:
+            return 10
         if name in _R07_VERIFIED:
             return 9
         if name in _R06_VERIFIED:
@@ -402,10 +441,8 @@ def all_queries():
         if name in _R03_VERIFIED:
             return 5
         if name in _R02_VERIFIED:
-            return 4
-        if name in _R01_VERIFIED:
-            return 2  # the 9 r1 leftovers: round-9 backlog head
-        return 1  # not in any set: newest, with the _R08_NEW group
+            return 2  # the 48-row r2 block: this window's backlog
+        return 1  # not in any set: newest, with the _R09_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
