@@ -4432,3 +4432,48 @@ def d107(spark, sf_dir):
     return stats.softmax_regression_gd(
         feats, ["f_len", "f_punct"], "y", n_classes=3, lr=1.0, steps=3
     )
+
+
+@q(
+    "d108_jpeg_decode",
+    """WITH dims AS (SELECT doc_id,
+                     CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+                     CAST(8 * (1 + (2 * doc_id) % 3) AS INT) AS h
+              FROM documents),
+       px AS (SELECT d.doc_id, d.w, d.h,
+                     128 + 2 * ((5 * d.doc_id + 3 * (x.x // 8)
+                                 + 7 * (y.y // 8)) % 21 - 10) AS v,
+                     (x.x + 1) * (y.y + 2) AS wgt
+              FROM dims d, range(0, 24) x(x), range(0, 24) y(y)
+              WHERE x.x < d.w AND y.y < d.h)
+       SELECT doc_id, 'jpeg' AS format, w AS width, h AS height,
+              CAST(0 AS INT) AS channel,
+              round(sum(v)::DOUBLE / count(*), 6) AS mean,
+              CAST(min(v) AS INT) AS min, CAST(max(v) AS INT) AS max,
+              round(sqrt(sum(v * v)::DOUBLE / count(*)
+                         - (sum(v)::DOUBLE / count(*))
+                           * (sum(v)::DOUBLE / count(*))), 6) AS std,
+              CAST(sum(v * wgt) AS BIGINT) AS pos_sum
+       FROM px GROUP BY 1, 2, 3, 4, 5""",
+)
+def d108(spark, sf_dir):
+    """D7-ext (r9): REAL baseline JPEG ENTROPY decode with no codec
+    library — the lossy-codec stub closed for grayscale baseline JPEG.
+    Spark writes a spec-valid JPEG per document
+    (``multimodal.synth_jpeg``: DQT in zigzag order, canonical-Huffman
+    DHT, DC-diff prediction across the scan, EOB-coded AC, FF byte
+    stuffing) and decodes it back (``multimodal.decode_jpeg_stats``:
+    marker walk, DHT canonical-code rebuild, bit-level Huffman decode,
+    unstuffing, dequant, separable IDCT, level shift).  Certification
+    rides DC-only blocks where the IDCT collapses to exact integer
+    arithmetic (q0=16, pixel = 128 + 2·dc — no rounding freedom), so a
+    wrong Huffman table, mis-chained DC predictor, zigzag slip, or
+    dequant error shifts whole blocks and the position-weighted checksum
+    catches it; the AC run-length path (runs, ZRL, mid-block EOB) is
+    unit-tested against a reference IDCT where exactness is impossible
+    by construction (irrational cosine basis).  The remaining multimodal
+    stub shrinks to audio resample + chroma/progressive JPEG.  Scale:
+    two chained mapInPandas stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_jpeg(d, "doc_id")
+    return multimodal.decode_jpeg_stats(files, "payload", "doc_id")

@@ -846,3 +846,456 @@ def raw_pixel_stats(
         stats,
         f"{id_col} long, channel int, mean double, min int, max int, std double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81) — REAL entropy codec, no library.  The encoder
+# below writes spec-valid grayscale baseline JPEGs from a chosen quantized-
+# coefficient grid (canonical Huffman DHT, zigzag DQT, DC-diff prediction,
+# AC run-length coding, FF byte stuffing); the decoder reverses all of it —
+# marker walk, DHT canonical-code rebuild, bit-unstuffing, Huffman decode,
+# zigzag/dequant, separable IDCT, level shift.  d108 certifies the whole
+# chain arithmetically on DC-only blocks (flat 8x8 output = 128 + q0·dc/8,
+# exact when 8 | q0·dc); the AC path is exercised by unit tests against a
+# reference IDCT.  Helpers live at module level so mapInPandas workers
+# pickle them.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_zigzag():
+    """The T.81 zigzag order as (row, col) pairs, generated from the
+    diagonal-walk definition (odd anti-diagonals run down-left, even run
+    up-right)."""
+    order = []
+    for s in range(15):
+        rng = list(range(max(0, s - 7), min(s, 7) + 1))
+        if s % 2 == 0:
+            rng.reverse()
+        for i in rng:
+            order.append((i, s - i))
+    return order
+
+
+# custom canonical Huffman tables (the decoder parses DHT, so any
+# spec-valid table works): DC — all 12 categories at length 4;
+# AC — EOB/ZRL at length 4, every (run, size) symbol at length 10.
+_JPEG_DC_LENGTHS = {s: 4 for s in range(12)}
+_JPEG_AC_LENGTHS = {0x00: 4, 0xF0: 4}
+_JPEG_AC_LENGTHS.update(
+    {(r << 4) | s: 10 for r in range(16) for s in range(1, 11)}
+)
+
+
+def _canonical_codes(lengths):
+    """lengths: {symbol: bit_length} → {symbol: (code, bit_length)} in
+    JPEG canonical order (ascending length, then symbol order)."""
+    code, last_len = 0, 0
+    out = {}
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        code <<= ln - last_len
+        out[sym] = (code, ln)
+        code += 1
+        last_len = ln
+    return out
+
+
+def _dht_payload(table_class, table_id, lengths):
+    counts = [0] * 16
+    for ln in lengths.values():
+        counts[ln - 1] += 1
+    syms = sorted(lengths, key=lambda s: (lengths[s], s))
+    return bytes([(table_class << 4) | table_id]) + bytes(counts) + bytes(syms)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # pad with 1s
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _jpeg_encode_gray(coefs, qtable):
+    """Encode a quantized-coefficient grid into a baseline grayscale JPEG.
+
+    coefs: int array (by, bx, 8, 8) of QUANTIZED DCT coefficients in
+    natural (row, col) order; qtable: int array (8, 8). Image dimensions
+    are (by·8, bx·8)."""
+    import struct
+
+    import numpy as np
+
+    zz = _jpeg_zigzag()
+    by, bx = coefs.shape[0], coefs.shape[1]
+    h, w = by * 8, bx * 8
+    dc_codes = _canonical_codes(_JPEG_DC_LENGTHS)
+    ac_codes = _canonical_codes(_JPEG_AC_LENGTHS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qzz = bytes(int(qtable[r][c]) for r, c in zz)
+    out += seg(0xDB, bytes([0x00]) + qzz)  # DQT, 8-bit, table 0
+    out += seg(
+        0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    )  # SOF0 grayscale
+    out += seg(0xC4, _dht_payload(0, 0, _JPEG_DC_LENGTHS))
+    out += seg(0xC4, _dht_payload(1, 0, _JPEG_AC_LENGTHS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+
+    wtr = _BitWriter()
+
+    def put_amplitude(v):
+        # JPEG magnitude coding: category s = bit_length(|v|); negatives
+        # are stored as v + 2^s - 1
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        bits = v if v > 0 else v + (1 << s) - 1
+        return s, bits
+
+    pred = 0
+    for y in range(by):
+        for x in range(bx):
+            block = coefs[y, x]
+            dc = int(block[0, 0])
+            diff = dc - pred
+            pred = dc
+            if diff == 0:
+                c, ln = dc_codes[0]
+                wtr.write(c, ln)
+            else:
+                s, bits = put_amplitude(diff)
+                c, ln = dc_codes[s]
+                wtr.write(c, ln)
+                wtr.write(bits, s)
+            acs = [int(block[r][cc]) for r, cc in zz[1:]]
+            run = 0
+            for v in acs:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    wtr.write(c, ln)
+                    run -= 16
+                s, bits = put_amplitude(v)
+                c, ln = ac_codes[(run << 4) | s]
+                wtr.write(c, ln)
+                wtr.write(bits, s)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]  # EOB
+                wtr.write(c, ln)
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_decode_gray(b):
+    """Decode a baseline grayscale JPEG to a (h, w) uint8 pixel grid, or
+    None for anything out of scope (color, progressive, restart
+    intervals, 16-bit tables) or structurally broken."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    zz = _jpeg_zigzag()
+    pos = 2
+    qtables = {}
+    huff = {}  # (class, id) -> {(code, length): symbol}
+    w = h = None
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            return None
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    return None  # 16-bit tables out of scope
+                vals = payload[p + 1 : p + 65]
+                if len(vals) != 64:
+                    return None
+                q = np.zeros((8, 8), dtype=np.int64)
+                for (r, c), v in zip(zz, vals):
+                    q[r, c] = v
+                qtables[tq] = q
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                counts = payload[p + 1 : p + 17]
+                nsym = sum(counts)
+                syms = payload[p + 17 : p + 17 + nsym]
+                if len(syms) != nsym:
+                    return None
+                table = {}
+                code = 0
+                k = 0
+                for lln in range(1, 17):
+                    for _ in range(counts[lln - 1]):
+                        table[(code, lln)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + nsym
+        elif marker == 0xC0:
+            prec = payload[0]
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            if prec != 8 or ncomp != 1:
+                return None  # grayscale baseline only
+            samp, tq = payload[7], payload[8]
+            if samp != 0x11:
+                return None
+            comp_q = tq
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xDD):
+            return None  # other SOF classes / restart intervals
+        elif marker == 0xDA:
+            td = payload[2] >> 4
+            ta = payload[2] & 15
+            scan = (td, ta)
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan is None or w is None or comp_q not in qtables:
+        return None
+    dc_tab = huff.get((0, scan[0]))
+    ac_tab = huff.get((1, scan[1]))
+    if dc_tab is None or ac_tab is None:
+        return None
+
+    # unstuff entropy-coded bytes up to EOI
+    data = bytearray()
+    p = pos
+    while p < len(b):
+        byte = b[p]
+        if byte == 0xFF:
+            nxt = b[p + 1] if p + 1 < len(b) else None
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            break  # a real marker (EOI) ends the scan
+        data.append(byte)
+        p += 1
+
+    class Bits:
+        def __init__(self, buf):
+            self.buf = buf
+            self.pos = 0
+
+        def read1(self):
+            byte_i, bit_i = self.pos >> 3, self.pos & 7
+            if byte_i >= len(self.buf):
+                raise EOFError
+            self.pos += 1
+            return (self.buf[byte_i] >> (7 - bit_i)) & 1
+
+        def read(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read1()
+            return v
+
+        def huffman(self, table):
+            code, lln = 0, 0
+            while lln < 16:
+                code = (code << 1) | self.read1()
+                lln += 1
+                sym = table.get((code, lln))
+                if sym is not None:
+                    return sym
+            raise EOFError
+
+    def extend(bits, s):
+        # inverse magnitude coding
+        if s == 0:
+            return 0
+        if bits >> (s - 1):
+            return bits
+        return bits - (1 << s) + 1
+
+    q = qtables[comp_q]
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
+    rdr = Bits(bytes(data))
+    pred = 0
+    try:
+        for yb in range(by):
+            for xb in range(bx):
+                s = rdr.huffman(dc_tab)
+                diff = extend(rdr.read(s), s)
+                pred += diff
+                coefs[yb, xb, 0, 0] = pred
+                k = 1
+                while k < 64:
+                    rs = rdr.huffman(ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = rs >> 4, rs & 15
+                    k += run
+                    if k > 63 or size == 0:
+                        return None
+                    r, c = zz[k]
+                    coefs[yb, xb, r, c] = extend(rdr.read(size), size)
+                    k += 1
+    except EOFError:
+        return None
+
+    # dequant + separable IDCT + level shift
+    alpha = np.full(8, np.sqrt(2.0 / 8.0))
+    alpha[0] = np.sqrt(1.0 / 8.0)
+    xs = np.arange(8)
+    basis = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16.0)
+    C = alpha[:, None] * basis  # C[u, x]
+    deq = coefs * q[None, None, :, :]
+    spatial = np.einsum("ux,vy,bcuv->bcxy", C, C, deq.astype(np.float64))
+    pix = np.floor(spatial + 128.0 + 0.5)
+    pix = np.clip(pix, 0, 255).astype(np.uint8)
+    img = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return img[:h, :w]
+
+
+def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Manufacture a REAL baseline grayscale JPEG per row — spec-valid
+    SOI/DQT/SOF0/DHT/SOS/EOI structure with canonical-Huffman
+    entropy-coded data (DC-diff prediction, EOB-coded all-zero AC,
+    FF byte stuffing). Dimensions and content derive from the id:
+    width = 8·(1 + id%3), height = 8·(1 + (2·id)%3); block (bx, by)
+    carries ONLY a DC coefficient dc = (5·id + 3·bx + 7·by) mod 21 − 10
+    against a q[0,0] = 16 table, so each decoded 8×8 block is EXACTLY
+    flat at 128 + 2·dc (16·dc/8 is an integer — no rounding freedom) and
+    an engine-independent oracle can replay every pixel arithmetically.
+    The AC run-length path (runs, ZRL, mid-block EOB) is exercised by
+    unit tests against a reference IDCT, where exactness is not needed.
+
+    Arrow-batched mapInPandas, same contract as ``synth_media_payload``."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        q = np.full((8, 8), 16, dtype=np.int64)
+
+        def jpeg(i: int) -> bytes:
+            bx, by = 1 + i % 3, 1 + (2 * i) % 3
+            coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
+            for y in range(by):
+                for x in range(bx):
+                    coefs[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
+            return _jpeg_encode_gray(coefs, q)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), jpeg(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def decode_jpeg_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL baseline JPEG decode with NO codec library — the lossy-codec
+    gap closed for grayscale baseline JPEG: marker walk, DQT zigzag
+    rebuild, DHT canonical-Huffman reconstruction, FF00 unstuffing,
+    bit-level Huffman decode of the DC-diff chain and AC run-length
+    symbols (EOB/ZRL), dequantization, separable IDCT, level shift —
+    then the same per-channel stats + position-weighted checksum frame
+    as the PNG/BMP/PPM tiers (grayscale = channel 0). Out-of-scope
+    shapes (color, progressive, restart markers, 16-bit tables) and any
+    structural error degrade to skip, never an executor error.
+
+    d108 certifies the full chain on DC-only blocks where the IDCT is
+    exact integer arithmetic; the AC path is unit-tested against a
+    reference IDCT. Scale: pure mapInPandas over Arrow batches, zero
+    shuffles; the bit-serial entropy decode is per-image sequential BY
+    SPEC (DC prediction chains through the scan) — parallelism lives
+    across images, which is where 100 TB lives."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    img = _jpeg_decode_gray(bytes(buf))
+                except Exception:
+                    img = None
+                if img is None:
+                    continue
+                h, w = img.shape
+                v = img.astype(np.int64)
+                n = w * h
+                xw = np.arange(w) + 1
+                yw = np.arange(h) + 2
+                wgt = yw[:, None] * xw[None, :]
+                s, ss = int(v.sum()), int((v * v).sum())
+                mean = s / n
+                rows.append(
+                    (
+                        int(i),
+                        "jpeg",
+                        w,
+                        h,
+                        0,
+                        round(mean, 6),
+                        int(v.min()),
+                        int(v.max()),
+                        round((ss / n - mean * mean) ** 0.5, 6),
+                        int((v * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "width", "height", "channel",
+                    "mean", "min", "max", "std", "pos_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        f"{id_col} long, format string, width int, height int, channel int, "
+        "mean double, min int, max int, std double, pos_sum long",
+    )

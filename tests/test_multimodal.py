@@ -322,3 +322,101 @@ def test_ppm_decode_handles_comments_and_rejects_garbage_header(spark):
     for ch in range(3):
         v = rgb[:, :, ch].astype(int)
         assert got[ch].min == v.min() and got[ch].max == v.max()
+
+
+def test_jpeg_dc_only_roundtrip_exact(spark):
+    """synth_jpeg → decode_jpeg_stats recovers EXACT flat-block pixels:
+    the Huffman DC-diff chain, canonical DHT rebuild, zigzag DQT, and
+    the DC-path IDCT (integer by construction, q0=16) certify against
+    the arithmetic formula 128 + 2·dc."""
+    import numpy as np
+
+    ids = list(range(12))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    files = multimodal.synth_jpeg(df, "doc_id")
+    rows = multimodal.decode_jpeg_stats(files, "payload", "doc_id").collect()
+    assert len(rows) == len(ids)
+    got = {r.doc_id: r for r in rows}
+    for i in ids:
+        bx, by = 1 + i % 3, 1 + (2 * i) % 3
+        w, h = bx * 8, by * 8
+        img = np.zeros((h, w), dtype=np.int64)
+        for y in range(by):
+            for x in range(bx):
+                dc = (5 * i + 3 * x + 7 * y) % 21 - 10
+                img[y * 8 : (y + 1) * 8, x * 8 : (x + 1) * 8] = 128 + 2 * dc
+        r = got[i]
+        assert (r.width, r.height, r.format, r.channel) == (w, h, "jpeg", 0)
+        assert r.min == img.min() and r.max == img.max()
+        assert r.mean == round(img.sum() / img.size, 6)
+        wgt = (np.arange(w) + 1)[None, :] * (np.arange(h) + 2)[:, None]
+        assert r.pos_sum == int((img * wgt).sum())
+
+
+def test_jpeg_ac_path_matches_reference_idct():
+    """The AC run-length path — runs, ZRL, mid-block EOB, magnitude
+    coding of negatives, byte stuffing — decodes random sparse
+    coefficient grids to exactly the reference dequant+IDCT pixels
+    (same float ops, so equality is exact)."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+    )
+
+    rng = np.random.RandomState(0)
+    alpha = np.full(8, np.sqrt(2.0 / 8))
+    alpha[0] = np.sqrt(1.0 / 8)
+    xs = np.arange(8)
+    C = alpha[:, None] * np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16.0)
+    for trial in range(8):
+        by, bx = rng.randint(1, 4), rng.randint(1, 4)
+        coefs = rng.randint(-30, 31, size=(by, bx, 8, 8))
+        coefs[rng.rand(by, bx, 8, 8) < 0.85] = 0  # runs / ZRL / EOB
+        qt = rng.randint(1, 40, size=(8, 8))
+        blob = _jpeg_encode_gray(coefs.astype(np.int64), qt.astype(np.int64))
+        img = _jpeg_decode_gray(blob)
+        assert img is not None, trial
+        deq = coefs * qt[None, None]
+        sp = np.einsum("ux,vy,bcuv->bcxy", C, C, deq.astype(float))
+        pix = np.clip(np.floor(sp + 128.5), 0, 255).astype(np.uint8)
+        ref = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        assert (img == ref).all(), trial
+
+
+def test_jpeg_decode_skips_corrupt_and_out_of_scope(spark):
+    """Truncated scans, non-JPEG payloads, and out-of-scope shapes
+    (3-component color SOF0 from the d48 header fixture, progressive
+    SOF2) degrade to skip — never an executor error; the intact sibling
+    still decodes."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import _jpeg_encode_gray
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    coefs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    coefs[0, 0, 0, 0] = 4
+    good = _jpeg_encode_gray(coefs, q)
+    progressive = bytearray(good)
+    sof_at = bytes(good).find(b"\xff\xc0")
+    progressive[sof_at + 1] = 0xC2  # flip SOF0 -> SOF2
+    # the d48 fixture emits a COLOR header-only JPEG (3 components)
+    df0 = spark.createDataFrame([(3,)], "doc_id long")
+    color = bytes(
+        spark.createDataFrame([(3,)], "doc_id long")
+        .transform(lambda d: multimodal.synth_media_payload(d, "doc_id", kinds=4))
+        .collect()[0]
+        .payload
+    )
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[:60])),       # truncated mid-structure
+        (3, bytearray(b"not a jpeg")),
+        (4, bytearray(progressive)),
+        (5, bytearray(color)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.decode_jpeg_stats(df, "payload", "doc_id").collect()
+    assert {r.doc_id for r in out} == {1}
+    assert out[0].min == out[0].max == 128 + 2 * 4  # flat DC block
