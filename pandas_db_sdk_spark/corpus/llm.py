@@ -4477,3 +4477,45 @@ def d108(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_jpeg(d, "doc_id")
     return multimodal.decode_jpeg_stats(files, "payload", "doc_id")
+
+
+@q(
+    "d109_audio_resample",
+    """WITH p AS (SELECT doc_id,
+                   CAST(256 + doc_id % 64 AS BIGINT) AS n,
+                   CAST(3 + doc_id % 5 AS BIGINT) AS a,
+                   CAST(doc_id % 97 AS BIGINT) AS b
+            FROM documents),
+       o AS (SELECT doc_id, n, a, b, ((n - 1) * 3) // 2 + 1 AS n_out FROM p),
+       y AS (SELECT doc_id, n, n_out, j.j AS j,
+                    3 * ((a * ((j.j * 2) // 3) + b) % 2048 - 1024)
+                    + ((j.j * 2) % 3)
+                      * (((a * ((j.j * 2) // 3 + 1) + b) % 2048 - 1024)
+                         - ((a * ((j.j * 2) // 3) + b) % 2048 - 1024)) AS ys
+             FROM o, range(0, 478) j(j) WHERE j.j < n_out)
+       SELECT doc_id, CAST(8000 AS INT) AS sr_in, CAST(12000 AS INT) AS sr_out,
+              CAST(n AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+              CAST(sum(ys) AS BIGINT) AS sum_scaled,
+              CAST(min(ys) AS BIGINT) AS min_scaled,
+              CAST(max(ys) AS BIGINT) AS max_scaled,
+              CAST(sum(ys * (j + 1)) AS BIGINT) AS pos_sum
+       FROM y GROUP BY 1, 2, 3, 4, 5""",
+)
+def d109(spark, sf_dir):
+    """D7-ext (r9): REAL audio RESAMPLING with no audio library — the
+    resample stub closed for the linear-interpolation tier.  Spark
+    writes a valid mono 16-bit PCM WAV per document
+    (``multimodal.synth_pcm_wav``, samples an arithmetic function of
+    the id), parses the container back and resamples 8 kHz → 12 kHz
+    (up/down = 3/2) with linear interpolation
+    (``multimodal.resample_pcm_stats``).  Certification rides the
+    CUSUM multiply-through trick: all statistics are computed on
+    up·y[j] — PURE INTEGER arithmetic with no float division — so the
+    oracle replays every interpolated sample exactly, and the
+    order-sensitive checksum Σ y_scaled·(j+1) catches any phase,
+    boundary, or index-mapping error.  The remaining multimodal stub
+    shrinks to chroma/progressive JPEG and non-rational resampling.
+    Scale: two chained mapInPandas stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_pcm_wav(d, "doc_id")
+    return multimodal.resample_pcm_stats(files, "payload", "doc_id", up=3, down=2)

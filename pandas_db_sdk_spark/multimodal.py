@@ -1299,3 +1299,146 @@ def decode_jpeg_stats(
         f"{id_col} long, format string, width int, height int, channel int, "
         "mean double, min int, max int, std double, pos_sum long",
     )
+
+
+def synth_pcm_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Manufacture a REAL mono 16-bit PCM WAV per row — valid RIFF/WAVE
+    with fmt and data chunks — whose samples derive from the id
+    arithmetically: n = 256 + id%64 samples at 8000 Hz with
+    s(t) = ((a·t + b) mod 2048) − 1024, a = 3 + id%5, b = id mod 97.
+    The fixture generator for :func:`resample_pcm_stats`: an
+    engine-independent oracle can replay every sample, so the whole
+    parse→resample→aggregate chain hash-certifies with no audio
+    library. Arrow-batched mapInPandas, same contract as
+    ``synth_media_payload``."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def wav(i: int) -> bytes:
+            n = 256 + i % 64
+            a, b = 3 + i % 5, i % 97
+            t = np.arange(n, dtype=np.int64)
+            samples = ((a * t + b) % 2048 - 1024).astype("<i2")
+            data = samples.tobytes()
+            sr, ch = 8000, 1
+            fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+            body = b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            body += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), wav(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def resample_pcm_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    up: int = 3,
+    down: int = 2,
+) -> DataFrame:
+    """REAL audio resampling with no audio library — the resample stub
+    closed for the linear-interpolation tier: parse the WAV container
+    (RIFF walk, PCM mono 16-bit fmt), lift the int16 samples, and
+    resample by the rational factor ``up/down`` with linear
+    interpolation on the original sample grid — output j sits at input
+    position j·down/up, so y[j] = s[i0] + frac·(s[i0+1] − s[i0]) with
+    i0 = (j·down)//up, frac = (j·down mod up)/up.
+
+    Hash-certification trick: every statistic is computed on the
+    MULTIPLIED-THROUGH value y_scaled[j] = up·s[i0] +
+    (j·down mod up)·(s[i0+1] − s[i0]) — pure INTEGER arithmetic, no
+    float division anywhere, so the oracle replays it exactly (the
+    CUSUM multiply-through precedent). n_out = ((n−1)·up)//down + 1
+    covers exactly the positions inside the input span; when frac = 0
+    the s[i0+1] term vanishes, so the final sample never reads past the
+    end. Anything non-PCM/mono/16-bit or structurally broken degrades
+    to skip. Scale: pure mapInPandas, zero shuffles, one output row per
+    file.
+
+    Returns (id, sr_in, sr_out, n_in, n_out, sum_scaled, min_scaled,
+    max_scaled, pos_sum) — pos_sum = Σ y_scaled[j]·(j+1), the
+    order-sensitive checksum a mis-phased resampler cannot fake."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, sr, ch, bits, data = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt " and clen >= 16:
+                    codec, ch, sr, _, _, bits = struct.unpack(
+                        "<HHIIHH", b[pos + 8 : pos + 24]
+                    )
+                    if codec != 1:
+                        return None
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + clen]
+                    if len(data) != clen:
+                        return None
+                pos += 8 + clen + (clen & 1)
+            if sr is None or data is None or ch != 1 or bits != 16:
+                return None
+            return sr, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    got = parse(bytes(buf))
+                except Exception:
+                    got = None
+                if got is None:
+                    continue
+                sr, s = got
+                n = s.size
+                if n < 2:
+                    continue
+                n_out = ((n - 1) * up) // down + 1
+                j = np.arange(n_out, dtype=np.int64)
+                num = j * down
+                i0 = num // up
+                r = num % up
+                s1 = np.where(i0 + 1 < n, s[np.minimum(i0 + 1, n - 1)], 0)
+                ys = up * s[i0] + r * (s1 - s[i0])
+                rows.append(
+                    (
+                        int(i),
+                        int(sr),
+                        int(sr * up // down),
+                        int(n),
+                        int(n_out),
+                        int(ys.sum()),
+                        int(ys.min()),
+                        int(ys.max()),
+                        int((ys * (j + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sr_in", "sr_out", "n_in", "n_out",
+                    "sum_scaled", "min_scaled", "max_scaled", "pos_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        f"{id_col} long, sr_in int, sr_out int, n_in long, n_out long, "
+        "sum_scaled long, min_scaled long, max_scaled long, pos_sum long",
+    )

@@ -420,3 +420,68 @@ def test_jpeg_decode_skips_corrupt_and_out_of_scope(spark):
     out = multimodal.decode_jpeg_stats(df, "payload", "doc_id").collect()
     assert {r.doc_id for r in out} == {1}
     assert out[0].min == out[0].max == 128 + 2 * 4  # flat DC block
+
+
+def test_resample_pcm_hand_computed(spark):
+    """3/2 linear resample of a hand-built 4-sample WAV: output positions
+    0, 2/3, 4/3, 2, 8/3, 10/3, 4(=last input) → scaled values
+    3*s[i0] + r*(s[i0+1]-s[i0]) checked by hand; identity (1/1) returns
+    the input exactly."""
+    import struct
+
+    import numpy as np
+
+    s = np.array([100, -200, 50, 1000], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 8) + s.tobytes()
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    r = multimodal.resample_pcm_stats(df, "payload", "doc_id", up=3, down=2).collect()[0]
+    # n_out = ((4-1)*3)//2 + 1 = 5; j*2: 0,2,4,6,8 -> i0 = 0,0,1,2,2; r = 0,2,1,0,2
+    ys = [
+        3 * 100,
+        3 * 100 + 2 * (-200 - 100),
+        3 * -200 + 1 * (50 + 200),
+        3 * 50,
+        3 * 50 + 2 * (1000 - 50),
+    ]
+    assert (r.n_in, r.n_out, r.sr_in, r.sr_out) == (4, 5, 8000, 12000)
+    assert r.sum_scaled == sum(ys)
+    assert r.min_scaled == min(ys) and r.max_scaled == max(ys)
+    assert r.pos_sum == sum(v * (j + 1) for j, v in enumerate(ys))
+
+    ident = multimodal.resample_pcm_stats(df, "payload", "doc_id", up=1, down=1).collect()[0]
+    assert ident.n_out == 4 and ident.sum_scaled == int(s.astype(int).sum())
+    assert ident.pos_sum == int((s.astype(int) * np.arange(1, 5)).sum())
+
+
+def test_resample_pcm_skips_out_of_scope(spark):
+    """Stereo, 8-bit, non-PCM codecs, truncated data chunks, and
+    sub-2-sample files degrade to skip — never an executor error."""
+    import struct
+
+    def wav(codec=1, ch=1, bits=16, n=4, truncate=0):
+        data = b"\x00\x01" * n
+        fmt = struct.pack("<HHIIHH", codec, ch, 8000, 8000 * ch * bits // 8, ch * bits // 8, bits)
+        body = (
+            b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data[: len(data) - truncate]
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [
+        (1, bytearray(wav())),              # fine — the control
+        (2, bytearray(wav(ch=2))),          # stereo
+        (3, bytearray(wav(bits=8))),        # 8-bit
+        (4, bytearray(wav(codec=3))),       # float PCM
+        (5, bytearray(wav(truncate=2))),    # short data chunk
+        (6, bytearray(wav(n=1))),           # < 2 samples
+        (7, bytearray(b"RIFFxxxxWAVE")),    # no chunks
+        (8, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.resample_pcm_stats(df, "payload", "doc_id").collect()
+    assert {r.doc_id for r in out} == {1}
