@@ -90,6 +90,13 @@ def main() -> None:
         # over the rare-token graph and the end-to-end image encode/decode
         ("q31_shortest_paths", "d100_shortest_paths"),
         ("q32_bmp_ppm_decode", "d99_bmp_ppm_decode"),
+        # round-9 additions: the compressed-codec pipelines (DEFLATE
+        # PNG encode/decode with full unfiltering; bit-serial Huffman
+        # JPEG entropy decode) and the batched tokenizer-training loop
+        # (60 merges in ~4 rounds of top-20 disjoint batches)
+        ("q33_png_decode", "d105_png_decode"),
+        ("q34_jpeg_decode", "d108_jpeg_decode"),
+        ("q35_bpe_batched", "d106_bpe_batched_merges"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay

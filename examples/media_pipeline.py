@@ -1,0 +1,80 @@
+"""Multimodal decode tier end to end — every codec stage that is REAL in
+this engine, with no image/audio library installed:
+
+    python examples/media_pipeline.py [sf_dir]
+
+1. container metadata gating (d48)   — PNG/WAV/MP4/JPEG header parse:
+                                       the resolution/duration filter a
+                                       training pipeline runs BEFORE decode
+2. raw-pixel decode (d99)            — BMP/PPM file → pixel grid in numpy
+                                       (padding, row order, channel order)
+3. compressed PNG decode (d105)      — stdlib-zlib DEFLATE + all five
+                                       PNG filters unfiltered
+4. baseline JPEG entropy decode (d108) — canonical Huffman + DC-diff +
+                                       AC run-length + IDCT
+5. audio resample (d109)             — WAV parse + rational 3/2 linear
+                                       interpolation, exact integer stats
+
+Each stage is two chained Arrow-batched mapInPandas passes (synth →
+decode) with ZERO shuffles — payload bytes never cross an exchange, which
+is what makes heavy media columns viable at 100 TB. The only remaining
+stubs are chroma/progressive JPEG and non-rational resampling
+(multimodal.decode_real).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pandas_db_sdk_spark import get_spark, multimodal
+from pandas_db_sdk_spark.io import tables
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark("media-pipeline-example")
+    docs = tables(spark, sf_dir)("documents").limit(200)
+
+    print("== 1. container metadata gate (no decode needed) ==")
+    payloads = multimodal.synth_media_payload(docs, "doc_id", kinds=4)
+    meta = multimodal.parse_media_headers(payloads, "payload", "doc_id")
+    meta.groupBy("format").agg(
+        F.count("*").alias("files"),
+        F.avg("width").alias("avg_w"),
+        F.avg("duration_s").alias("avg_dur_s"),
+    ).orderBy("format").show()
+
+    print("== 2. raw-pixel decode: BMP/PPM -> per-channel stats ==")
+    bmp = multimodal.synth_bmp_ppm(docs, "doc_id")
+    multimodal.decode_bmp_ppm_stats(bmp, "payload", "doc_id").groupBy(
+        "format"
+    ).agg(F.count("*").alias("rows"), F.avg("mean").alias("avg_mean")).show()
+
+    print("== 3. compressed PNG decode (DEFLATE + 5-filter unfiltering) ==")
+    png = multimodal.synth_png(docs, "doc_id")
+    multimodal.decode_png_stats(png, "payload", "doc_id").agg(
+        F.count("*").alias("rows"),
+        F.sum("pos_sum").alias("total_checksum"),
+    ).show()
+
+    print("== 4. baseline JPEG entropy decode (Huffman + IDCT) ==")
+    jpg = multimodal.synth_jpeg(docs, "doc_id")
+    multimodal.decode_jpeg_stats(jpg, "payload", "doc_id").agg(
+        F.count("*").alias("images"),
+        F.min("min").alias("min_px"),
+        F.max("max").alias("max_px"),
+    ).show()
+
+    print("== 5. audio resample 8kHz -> 12kHz (exact integer stats) ==")
+    wav = multimodal.synth_pcm_wav(docs, "doc_id")
+    multimodal.resample_pcm_stats(wav, "payload", "doc_id", up=3, down=2).agg(
+        F.count("*").alias("files"),
+        F.sum("n_in").alias("samples_in"),
+        F.sum("n_out").alias("samples_out"),
+    ).show()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -33,8 +33,18 @@ def main(sf_dir: str, warehouse: str) -> None:
     t = tables(spark, sf_dir)
     docs = t("documents")
 
-    print("== BPE merge rules (first 8, learned) ==")
+    print("== BPE merge rules (first 8, learned sequentially) ==")
     text.bpe_merges(docs, "text", n_merges=8).show(truncate=False)
+
+    print("== batched BPE: 60 merges in ~4 rounds (top-20 disjoint batches) ==")
+    merges, rounds = text.bpe_merges_batched(docs, "text", n_merges=60, batch=20)
+    rounds.show(truncate=False)  # per-round head count + mass conservation
+    merges.orderBy("rank").show(8, truncate=False)
+
+    print("== apply the learned rules: per-source fertility/compression ==")
+    text.bpe_encode_stats(docs, "text", "source", n_merges=4).orderBy(
+        "source"
+    ).show(6, truncate=False)
 
     print("== Kneser-Ney bigram model (top 10 by count) ==")
     text.kneser_ney_bigram(docs, "text", k=10).show(truncate=False)

@@ -881,3 +881,26 @@ def test_iterative_graph_stage_counts_stay_linear(spark):
 
     n_cc = stages_for(lambda: dedup.connected_components(edges))
     assert n_cc <= 170, f"connected_components executed {n_cc} stages"
+
+
+def test_round9_shuffle_budgets(spark, queries):
+    """Round-9 ops keep the established shapes: d105/d108/d109 are pure
+    chained mapInPandas codec pipelines (synth → decode/resample) with
+    ZERO exchanges end-to-end — payload bytes never shuffle; d107 is a
+    driver-built 3-row result (each GD step is one exchange at runtime,
+    pinned by construction: C·k+2 cells); d106's returned invariants
+    frame pays only the word-frequency aggregate plus the tiny
+    rounds/merges-frame aggregates (driver-built inputs, round-count /
+    rule-count sized)."""
+    spark.catalog.clearCache()
+    for name in ("d105_png_decode", "d108_jpeg_decode", "d109_audio_resample"):
+        plan = plan_of(queries[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan = plan_of(queries["d107_softmax_language_id"](spark, SF))
+    assert _unique_exchanges(plan) == 0
+    plan = plan_of(queries["d106_bpe_batched_merges"](spark, SF))
+    # 1 corpus-sized word-freq agg + 3 bounded-frame aggs (rounds/merges/
+    # overlap) + their tiny single-partition stitches
+    assert _unique_exchanges(plan) <= 8, _unique_exchanges(plan)
+    assert "CartesianProduct" not in plan
