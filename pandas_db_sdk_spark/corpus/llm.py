@@ -4519,3 +4519,45 @@ def d109(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_pcm_wav(d, "doc_id")
     return multimodal.resample_pcm_stats(files, "payload", "doc_id", up=3, down=2)
+
+
+@q(
+    "d110_jpeg_color_decode",
+    """WITH dims AS (SELECT doc_id,
+                     CAST(16 * (1 + doc_id % 2) AS INT) AS w,
+                     CAST(16 * (1 + (3 * doc_id) % 2) AS INT) AS h
+              FROM documents),
+       px AS (SELECT d.doc_id, d.w, d.h, c.c AS channel,
+                     128 + 2 * ((5 * d.doc_id + 3 * (x.x // 8)
+                                 + 7 * (y.y // 8)) % 21 - 10) AS v,
+                     (x.x + 1) * (y.y + 2) AS wgt
+              FROM dims d, range(0, 32) x(x), range(0, 32) y(y),
+                   range(0, 3) c(c)
+              WHERE x.x < d.w AND y.y < d.h)
+       SELECT doc_id, 'jpeg' AS format, w AS width, h AS height,
+              CAST(channel AS INT) AS channel,
+              round(sum(v)::DOUBLE / count(*), 6) AS mean,
+              CAST(min(v) AS INT) AS min, CAST(max(v) AS INT) AS max,
+              round(sqrt(sum(v * v)::DOUBLE / count(*)
+                         - (sum(v)::DOUBLE / count(*))
+                           * (sum(v)::DOUBLE / count(*))), 6) AS std,
+              CAST(sum(v * wgt) AS BIGINT) AS pos_sum
+       FROM px GROUP BY 1, 2, 3, 4, 5""",
+)
+def d110(spark, sf_dir):
+    """D7-ext (r9): baseline COLOR JPEG decode (YCbCr 4:2:0) — the d108
+    grayscale tier extended to the common color case with NO codec
+    library: 3-component interleaved-MCU scan (Y00 Y01 Y10 Y11 Cb Cr),
+    per-component DC predictor chains, TWO quant tables + FOUR Huffman
+    tables, 2×2 sample-replication chroma upsampling, JFIF YCbCr→RGB
+    (``multimodal.synth_jpeg_color`` / ``decode_jpeg_color_stats``).
+    Certification rides NEUTRAL chroma: Cb = Cr = 128 exactly, so the
+    color transform collapses to R = G = B = Y with zero float-rounding
+    freedom and the oracle replays every pixel — while a chroma
+    mis-decode anywhere (MCU order, predictor mixing, table ids,
+    upsampling geometry) pushes chroma off 128 and fails the checksum.
+    Nonzero chroma is unit-tested against the reference conversion.
+    Scale: two chained mapInPandas stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_jpeg_color(d, "doc_id")
+    return multimodal.decode_jpeg_color_stats(files, "payload", "doc_id")

@@ -1442,3 +1442,409 @@ def resample_pcm_stats(
         f"{id_col} long, sr_in int, sr_out int, n_in long, n_out long, "
         "sum_scaled long, min_scaled long, max_scaled long, pos_sum long",
     )
+
+
+def _jpeg_encode_color_420(yc, cbc, crc, qt_luma, qt_chroma):
+    """Encode quantized coefficient grids into a baseline YCbCr 4:2:0
+    color JPEG — interleaved MCU scan (Y00 Y01 Y10 Y11 Cb Cr), separate
+    luma/chroma quant + Huffman tables, per-component DC predictors.
+
+    yc: (2·my, 2·mx, 8, 8) luma coefficients; cbc/crc: (my, mx, 8, 8);
+    image dimensions (my·16, mx·16)."""
+    import struct
+
+    zz = _jpeg_zigzag()
+    my, mx = cbc.shape[0], cbc.shape[1]
+    h, w = my * 16, mx * 16
+    dc_codes = _canonical_codes(_JPEG_DC_LENGTHS)
+    ac_codes = _canonical_codes(_JPEG_AC_LENGTHS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, qt_luma), (1, qt_chroma)):
+        qzz = bytes(int(qt[r][c]) for r, c in zz)
+        out += seg(0xDB, bytes([tid]) + qzz)
+    out += seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    # the same canonical tables registered under BOTH table ids —
+    # exercises the 4-table DHT parse without changing code assignments
+    for tid in (0, 1):
+        out += seg(0xC4, _dht_payload(0, tid, _JPEG_DC_LENGTHS))
+        out += seg(0xC4, _dht_payload(1, tid, _JPEG_AC_LENGTHS))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    wtr = _BitWriter()
+
+    def put_amplitude(v):
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        bits = v if v > 0 else v + (1 << s) - 1
+        return s, bits
+
+    def put_block(block, pred):
+        dc = int(block[0, 0])
+        diff = dc - pred
+        if diff == 0:
+            c, ln = dc_codes[0]
+            wtr.write(c, ln)
+        else:
+            s, bits = put_amplitude(diff)
+            c, ln = dc_codes[s]
+            wtr.write(c, ln)
+            wtr.write(bits, s)
+        acs = [int(block[r][cc]) for r, cc in zz[1:]]
+        run = 0
+        for v in acs:
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]
+                wtr.write(c, ln)
+                run -= 16
+            s, bits = put_amplitude(v)
+            c, ln = ac_codes[(run << 4) | s]
+            wtr.write(c, ln)
+            wtr.write(bits, s)
+            run = 0
+        if run:
+            c, ln = ac_codes[0x00]
+            wtr.write(c, ln)
+        return dc
+
+    py = pcb = pcr = 0
+    for m_y in range(my):
+        for m_x in range(mx):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    py = put_block(yc[2 * m_y + dy, 2 * m_x + dx], py)
+            pcb = put_block(cbc[m_y, m_x], pcb)
+            pcr = put_block(crc[m_y, m_x], pcr)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decode_color_420(b):
+    """Decode a baseline YCbCr 4:2:0 color JPEG to an (h, w, 3) uint8 RGB
+    grid, or None when out of scope / broken: interleaved-MCU Huffman
+    decode with per-component DC predictors, dual quant tables, sample-
+    replication chroma upsampling, JFIF YCbCr→RGB with floor(x+0.5)
+    rounding."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    zz = _jpeg_zigzag()
+    pos = 2
+    qtables = {}
+    huff = {}
+    w = h = None
+    comps = None
+    scan_tabs = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            return None
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    return None
+                vals = payload[p + 1 : p + 65]
+                if len(vals) != 64:
+                    return None
+                q = np.zeros((8, 8), dtype=np.int64)
+                for (r, c), v in zip(zz, vals):
+                    q[r, c] = v
+                qtables[tq] = q
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                counts = payload[p + 1 : p + 17]
+                nsym = sum(counts)
+                syms = payload[p + 17 : p + 17 + nsym]
+                if len(syms) != nsym:
+                    return None
+                table = {}
+                code = 0
+                k = 0
+                for lln in range(1, 17):
+                    for _ in range(counts[lln - 1]):
+                        table[(code, lln)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + nsym
+        elif marker == 0xC0:
+            prec = payload[0]
+            h, w = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            if prec != 8 or ncomp != 3:
+                return None
+            comps = {}
+            for ci in range(3):
+                cid = payload[6 + 3 * ci]
+                samp = payload[7 + 3 * ci]
+                tq = payload[8 + 3 * ci]
+                comps[cid] = (samp, tq)
+            # strict 4:2:0: Y 2x2, chroma 1x1
+            if comps.get(1, (0, 0))[0] != 0x22:
+                return None
+            if comps.get(2, (0, 0))[0] != 0x11 or comps.get(3, (0, 0))[0] != 0x11:
+                return None
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xDD):
+            return None
+        elif marker == 0xDA:
+            ns = payload[0]
+            if ns != 3:
+                return None
+            scan_tabs = {}
+            for si in range(3):
+                cid = payload[1 + 2 * si]
+                scan_tabs[cid] = (payload[2 + 2 * si] >> 4, payload[2 + 2 * si] & 15)
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_tabs is None or comps is None or w is None:
+        return None
+    for cid in (1, 2, 3):
+        if comps[cid][1] not in qtables:
+            return None
+        td, ta = scan_tabs[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            return None
+
+    data = bytearray()
+    p = pos
+    while p < len(b):
+        byte = b[p]
+        if byte == 0xFF:
+            nxt = b[p + 1] if p + 1 < len(b) else None
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            break
+        data.append(byte)
+        p += 1
+
+    class Bits:
+        def __init__(self, buf):
+            self.buf = buf
+            self.pos = 0
+
+        def read1(self):
+            byte_i, bit_i = self.pos >> 3, self.pos & 7
+            if byte_i >= len(self.buf):
+                raise EOFError
+            self.pos += 1
+            return (self.buf[byte_i] >> (7 - bit_i)) & 1
+
+        def read(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read1()
+            return v
+
+        def huffman(self, table):
+            code, lln = 0, 0
+            while lln < 16:
+                code = (code << 1) | self.read1()
+                lln += 1
+                sym = table.get((code, lln))
+                if sym is not None:
+                    return sym
+            raise EOFError
+
+    def extend(bits, s):
+        if s == 0:
+            return 0
+        if bits >> (s - 1):
+            return bits
+        return bits - (1 << s) + 1
+
+    mx, my = (w + 15) // 16, (h + 15) // 16
+    yc = np.zeros((2 * my, 2 * mx, 8, 8), dtype=np.int64)
+    cbc = np.zeros((my, mx, 8, 8), dtype=np.int64)
+    crc = np.zeros((my, mx, 8, 8), dtype=np.int64)
+    rdr = Bits(bytes(data))
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def read_block(cid, target):
+        dc_tab = huff[(0, scan_tabs[cid][0])]
+        ac_tab = huff[(1, scan_tabs[cid][1])]
+        s = rdr.huffman(dc_tab)
+        preds[cid] += extend(rdr.read(s), s)
+        target[0, 0] = preds[cid]
+        k = 1
+        while k < 64:
+            rs = rdr.huffman(ac_tab)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            run, size = rs >> 4, rs & 15
+            k += run
+            if k > 63 or size == 0:
+                raise EOFError
+            r, c = zz[k]
+            target[r, c] = extend(rdr.read(size), size)
+            k += 1
+
+    try:
+        for m_y in range(my):
+            for m_x in range(mx):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        read_block(1, yc[2 * m_y + dy, 2 * m_x + dx])
+                read_block(2, cbc[m_y, m_x])
+                read_block(3, crc[m_y, m_x])
+    except EOFError:
+        return None
+
+    alpha = np.full(8, np.sqrt(2.0 / 8.0))
+    alpha[0] = np.sqrt(1.0 / 8.0)
+    xs = np.arange(8)
+    C = alpha[:, None] * np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16.0)
+
+    def plane(coefs, q):
+        deq = coefs * q[None, None, :, :]
+        sp = np.einsum("ux,vy,bcuv->bcxy", C, C, deq.astype(np.float64))
+        by, bx = coefs.shape[0], coefs.shape[1]
+        return (sp + 128.0).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+    yp = plane(yc, qtables[comps[1][1]])
+    cbp = plane(cbc, qtables[comps[2][1]])
+    crp = plane(crc, qtables[comps[3][1]])
+    # 4:2:0 upsampling by sample replication
+    cbu = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+    cru = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+    yv, cb, cr = yp[: my * 16, : mx * 16], cbu - 128.0, cru - 128.0
+    r = yv + 1.402 * cr
+    g = yv - 0.344136 * cb - 0.714136 * cr
+    bl = yv + 1.772 * cb
+    rgb = np.stack([r, g, bl], axis=-1)
+    out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return out[:h, :w]
+
+
+def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Manufacture a REAL baseline YCbCr 4:2:0 COLOR JPEG per row —
+    3-component SOF0 (Y 2x2, chroma 1x1), two quant tables, four Huffman
+    tables, interleaved MCU scan with per-component DC predictors.
+    Dimensions: width = 16·(1 + id%2), height = 16·(1 + (3·id)%2); luma
+    block (bx, by) carries DC dc = (5·id + 3·bx + 7·by) mod 21 − 10
+    (q0 = 16 ⇒ flat 128 + 2·dc, exact); chroma DCs are ZERO (neutral —
+    Cb = Cr = 128 exactly), so YCbCr→RGB collapses to R = G = B = Y with
+    no float rounding freedom and the oracle replays every pixel. A
+    chroma mis-decode (wrong predictor chain, MCU order, table id, or
+    upsampling) shifts the decoded chroma off 128 and the checksum
+    catches it; NONZERO chroma is exercised by unit tests against the
+    reference conversion. Arrow-batched mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ql = np.full((8, 8), 16, dtype=np.int64)
+        qc = np.full((8, 8), 8, dtype=np.int64)
+
+        def jpeg(i: int) -> bytes:
+            mx, my = 1 + i % 2, 1 + (3 * i) % 2
+            yc = np.zeros((2 * my, 2 * mx, 8, 8), dtype=np.int64)
+            for y in range(2 * my):
+                for x in range(2 * mx):
+                    yc[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
+            cbc = np.zeros((my, mx, 8, 8), dtype=np.int64)
+            crc = np.zeros((my, mx, 8, 8), dtype=np.int64)
+            return _jpeg_encode_color_420(yc, cbc, crc, ql, qc)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), jpeg(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def decode_jpeg_color_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL baseline COLOR JPEG decode (YCbCr 4:2:0) with no codec
+    library — the d108 grayscale tier extended to the common color
+    case: interleaved-MCU Huffman decode with per-component DC
+    predictors, dual quant tables, 2×2 sample-replication chroma
+    upsampling, JFIF YCbCr→RGB. Emits the standard per-channel stats +
+    position-weighted checksum frame (channels 0/1/2 = R/G/B).
+    Grayscale, progressive, restart-marker and non-4:2:0 inputs degrade
+    to skip. Scale: pure mapInPandas, zero shuffles."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    img = _jpeg_decode_color_420(bytes(buf))
+                except Exception:
+                    img = None
+                if img is None:
+                    continue
+                h, w = img.shape[0], img.shape[1]
+                arr = img.astype(np.int64)
+                n = w * h
+                xw = np.arange(w) + 1
+                yw = np.arange(h) + 2
+                wgt = yw[:, None] * xw[None, :]
+                for ch in range(3):
+                    v = arr[:, :, ch]
+                    s, ss = int(v.sum()), int((v * v).sum())
+                    mean = s / n
+                    rows.append(
+                        (
+                            int(i),
+                            "jpeg",
+                            w,
+                            h,
+                            ch,
+                            round(mean, 6),
+                            int(v.min()),
+                            int(v.max()),
+                            round((ss / n - mean * mean) ** 0.5, 6),
+                            int((v * wgt).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "width", "height", "channel",
+                    "mean", "min", "max", "std", "pos_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        f"{id_col} long, format string, width int, height int, channel int, "
+        "mean double, min int, max int, std double, pos_sum long",
+    )

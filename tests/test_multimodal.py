@@ -485,3 +485,114 @@ def test_resample_pcm_skips_out_of_scope(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = multimodal.resample_pcm_stats(df, "payload", "doc_id").collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_jpeg_color_neutral_chroma_roundtrip_exact(spark):
+    """4:2:0 color JPEG with neutral chroma decodes to EXACT R=G=B=Y
+    flat blocks — certifying the interleaved MCU order, per-component DC
+    predictors, dual quant tables, 4-table DHT, and upsampling geometry
+    (any chroma mis-decode pushes channels off the luma grid)."""
+    import numpy as np
+
+    ids = list(range(8))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    files = multimodal.synth_jpeg_color(df, "doc_id")
+    rows = multimodal.decode_jpeg_color_stats(files, "payload", "doc_id").collect()
+    assert len(rows) == len(ids) * 3
+    got = {(r.doc_id, r.channel): r for r in rows}
+    for i in ids:
+        mx, my = 1 + i % 2, 1 + (3 * i) % 2
+        w, h = mx * 16, my * 16
+        img = np.zeros((h, w), dtype=np.int64)
+        for y in range(2 * my):
+            for x in range(2 * mx):
+                dc = (5 * i + 3 * x + 7 * y) % 21 - 10
+                img[y * 8 : (y + 1) * 8, x * 8 : (x + 1) * 8] = 128 + 2 * dc
+        wgt = (np.arange(w) + 1)[None, :] * (np.arange(h) + 2)[:, None]
+        for ch in range(3):
+            r = got[(i, ch)]
+            assert (r.width, r.height, r.format) == (w, h, "jpeg")
+            assert r.min == img.min() and r.max == img.max()
+            assert r.pos_sum == int((img * wgt).sum())
+
+
+def test_jpeg_color_nonzero_chroma_matches_reference():
+    """Nonzero Cb/Cr coefficients — per-component quant tables, chroma
+    DC chains, upsampling, the full YCbCr→RGB transform — decode to
+    exactly the reference computation (same float ops)."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import (
+        _jpeg_decode_color_420,
+        _jpeg_encode_color_420,
+    )
+
+    rng = np.random.RandomState(1)
+    alpha = np.full(8, np.sqrt(2.0 / 8))
+    alpha[0] = np.sqrt(1.0 / 8)
+    xs = np.arange(8)
+    C = alpha[:, None] * np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+
+    def plane(co, q):
+        sp = np.einsum("ux,vy,bcuv->bcxy", C, C, (co * q[None, None]).astype(float))
+        return (sp + 128).transpose(0, 2, 1, 3).reshape(
+            co.shape[0] * 8, co.shape[1] * 8
+        )
+
+    for t in range(6):
+        mx, my = rng.randint(1, 3), rng.randint(1, 3)
+        yc = rng.randint(-20, 21, size=(2 * my, 2 * mx, 8, 8))
+        yc[rng.rand(*yc.shape) < 0.8] = 0
+        cbc = rng.randint(-10, 11, size=(my, mx, 8, 8))
+        cbc[rng.rand(*cbc.shape) < 0.8] = 0
+        crc = rng.randint(-10, 11, size=(my, mx, 8, 8))
+        crc[rng.rand(*crc.shape) < 0.8] = 0
+        qtl = rng.randint(1, 30, size=(8, 8))
+        qtc = rng.randint(1, 30, size=(8, 8))
+        blob = _jpeg_encode_color_420(
+            yc.astype(np.int64), cbc.astype(np.int64), crc.astype(np.int64),
+            qtl.astype(np.int64), qtc.astype(np.int64),
+        )
+        img = _jpeg_decode_color_420(blob)
+        assert img is not None, t
+        yp = plane(yc, qtl)
+        cb = np.repeat(np.repeat(plane(cbc, qtc) - 128, 2, 0), 2, 1)
+        cr = np.repeat(np.repeat(plane(crc, qtc) - 128, 2, 0), 2, 1)
+        ref = np.clip(
+            np.floor(
+                np.stack(
+                    [yp + 1.402 * cr,
+                     yp - 0.344136 * cb - 0.714136 * cr,
+                     yp + 1.772 * cb], -1
+                ) + 0.5
+            ), 0, 255,
+        ).astype(np.uint8)
+        assert (img == ref).all(), t
+
+
+def test_jpeg_color_decoder_scope(spark):
+    """The color decoder skips grayscale files (d108's tier) and
+    truncated/garbage payloads; the grayscale decoder keeps skipping
+    color files — each tier owns its scope."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import _jpeg_encode_gray
+
+    ql = np.full((8, 8), 16, dtype=np.int64)
+    gray = _jpeg_encode_gray(np.zeros((1, 1, 8, 8), dtype=np.int64), ql)
+    color = bytes(
+        multimodal.synth_jpeg_color(
+            spark.createDataFrame([(1,)], "doc_id long"), "doc_id"
+        ).collect()[0].payload
+    )
+    rows = [
+        (1, bytearray(color)),
+        (2, bytearray(gray)),
+        (3, bytearray(color[:60])),
+        (4, bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.decode_jpeg_color_stats(df, "payload", "doc_id").collect()
+    assert {r.doc_id for r in out} == {1}
+    gray_out = multimodal.decode_jpeg_stats(df, "payload", "doc_id").collect()
+    assert {r.doc_id for r in gray_out} == {2}

@@ -893,7 +893,12 @@ def test_round9_shuffle_budgets(spark, queries):
     rounds/merges-frame aggregates (driver-built inputs, round-count /
     rule-count sized)."""
     spark.catalog.clearCache()
-    for name in ("d105_png_decode", "d108_jpeg_decode", "d109_audio_resample"):
+    for name in (
+        "d105_png_decode",
+        "d108_jpeg_decode",
+        "d109_audio_resample",
+        "d110_jpeg_color_decode",
+    ):
         plan = plan_of(queries[name](spark, SF))
         assert "Exchange" not in plan, name
         assert "CartesianProduct" not in plan, name
