@@ -397,6 +397,163 @@ def synth_bmp_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
 
 
+def _png_encode_rgb(rgb, row_filter, idat_split: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 pixel grid as a valid 8-bit truecolor
+    non-interlaced PNG: per-scanline filter chosen by ``row_filter(y)``
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth, the spec's mod-256 byte
+    recurrences), zlib DEFLATE, CRC32-stamped chunks; ``idat_split``
+    splits the stream across two IDAT chunks (the concatenation rule)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        body = ctype + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    raw = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(h, w * 3)
+    bpp = 3
+    out = bytearray()
+    prior = np.zeros(raw.shape[1], dtype=np.uint8)
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+        ftype = row_filter(y)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:  # Sub
+            enc = cur - left
+        elif ftype == 2:  # Up
+            enc = cur - prior
+        elif ftype == 3:  # Average
+            avg = (left.astype(np.int32) + prior.astype(np.int32)) // 2
+            enc = cur - avg.astype(np.uint8)
+        else:  # Paeth
+            a = left.astype(np.int32)
+            b = prior.astype(np.int32)
+            c = ul.astype(np.int32)
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            ).astype(np.uint8)
+            enc = cur - pred
+        out.append(ftype)
+        out.extend(enc.tobytes())
+        prior = cur
+    stream = zlib.compress(bytes(out), 6)
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    if idat_split and len(stream) > 8:
+        mid = len(stream) // 2
+        idat = chunk(b"IDAT", stream[:mid]) + chunk(b"IDAT", stream[mid:])
+    else:
+        idat = chunk(b"IDAT", stream)
+    return b"\x89PNG\r\n\x1a\n" + ihdr + idat + chunk(b"IEND", b"")
+
+
+def _png_decode_rgb(b: bytes):
+    """Decode an 8-bit truecolor non-interlaced PNG to (w, h, rgb) with
+    full five-filter unfiltering, or None when out of scope or broken
+    (bad magic/CRC/zlib/length, non-truecolor IHDR, unknown filter)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 4 : pos + 8 + ln]
+        if len(body) != 4 + ln:
+            return None
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(body) & 0xFFFFFFFF != crc:
+            return None
+        if ctype == b"IHDR":
+            if ln != 13:
+                return None
+            w, h, depth, ctyp, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body[4:17]
+            )
+            # scope: 8-bit truecolor, deflate, adaptive filters,
+            # no interlace — anything else degrades to skip
+            if (depth, ctyp, comp, filt, inter) != (8, 2, 0, 0, 0):
+                return None
+            if w <= 0 or h <= 0:
+                return None
+        elif ctype == b"IDAT":
+            idat.extend(body[4:])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        return None
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (1 + stride):
+        return None
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        )
+        ftype = raw[y * (1 + stride)]
+        prior = recon[y - 1] if y > 0 else np.zeros(stride, np.uint8)
+        if ftype == 0:
+            recon[y] = line
+        elif ftype == 2:  # Up: no left dependency — vectorized
+            recon[y] = line + prior
+        elif ftype in (1, 3, 4):
+            # left-neighbor recurrence: sequential along the row by
+            # spec; channels of one pixel are independent, so the
+            # inner math is 3-wide numpy per step
+            row = recon[y]
+            for x0 in range(0, stride, bpp):
+                cur = line[x0 : x0 + bpp].astype(np.int32)
+                left = (
+                    row[x0 - bpp : x0].astype(np.int32)
+                    if x0
+                    else np.zeros(bpp, np.int32)
+                )
+                if ftype == 1:  # Sub
+                    val = cur + left
+                elif ftype == 3:  # Average
+                    up = prior[x0 : x0 + bpp].astype(np.int32)
+                    val = cur + (left + up) // 2
+                else:  # Paeth
+                    up = prior[x0 : x0 + bpp].astype(np.int32)
+                    ul = (
+                        prior[x0 - bpp : x0].astype(np.int32)
+                        if x0
+                        else np.zeros(bpp, np.int32)
+                    )
+                    p = left + up - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, ul),
+                    )
+                    val = cur + pred
+                row[x0 : x0 + bpp] = (val % 256).astype(np.uint8)
+        else:
+            return None
+    return w, h, recon.reshape(h, w, 3)
+
+
 def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Manufacture a REAL compressed PNG file per row — signature, IHDR
     (8-bit truecolor, no interlace), zlib-compressed IDAT of filtered
@@ -414,18 +571,7 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Arrow-batched mapInPandas, same contract as ``synth_media_payload``."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
         import numpy as np
-
-        def chunk(ctype: bytes, payload: bytes) -> bytes:
-            body = ctype + payload
-            return (
-                struct.pack(">I", len(payload))
-                + body
-                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
-            )
 
         def pixels(i: int, w: int, h: int) -> "np.ndarray":
             y, x, c = np.meshgrid(
@@ -433,53 +579,11 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
             return ((7 * i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
 
-        def filt_rows(i: int, raw: "np.ndarray") -> bytes:
-            # raw: (h, w*3) scanline bytes; apply PNG filter (id+y)%5 per
-            # row.  uint8 subtraction wraps mod 256 — exactly the spec.
-            h = raw.shape[0]
-            bpp = 3
-            out = bytearray()
-            prior = np.zeros(raw.shape[1], dtype=np.uint8)
-            for y in range(h):
-                cur = raw[y]
-                left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
-                ul = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
-                ftype = (i + y) % 5
-                if ftype == 0:
-                    enc = cur
-                elif ftype == 1:  # Sub
-                    enc = cur - left
-                elif ftype == 2:  # Up
-                    enc = cur - prior
-                elif ftype == 3:  # Average
-                    avg = (left.astype(np.int32) + prior.astype(np.int32)) // 2
-                    enc = cur - avg.astype(np.uint8)
-                else:  # Paeth
-                    a = left.astype(np.int32)
-                    b = prior.astype(np.int32)
-                    c = ul.astype(np.int32)
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    ).astype(np.uint8)
-                    enc = cur - pred
-                out.append(ftype)
-                out.extend(enc.tobytes())
-                prior = cur
-            return bytes(out)
-
         def png(i: int) -> bytes:
             w, h = 6 + i % 7, 5 + (2 * i) % 7
-            raw = pixels(i, w, h).reshape(h, w * 3)
-            stream = zlib.compress(filt_rows(i, raw), 6)
-            ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-            if i % 3 == 0 and len(stream) > 8:
-                mid = len(stream) // 2
-                idat = chunk(b"IDAT", stream[:mid]) + chunk(b"IDAT", stream[mid:])
-            else:
-                idat = chunk(b"IDAT", stream)
-            return b"\x89PNG\r\n\x1a\n" + ihdr + idat + chunk(b"IEND", b"")
+            return _png_encode_rgb(
+                pixels(i, w, h), lambda y: (i + y) % 5, idat_split=i % 3 == 0
+            )
 
         for pdf in batches:
             ids = pdf[id_col].astype(int)
@@ -521,103 +625,13 @@ def decode_png_stats(
     the d48/d93/d99 certification pattern."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
         import numpy as np
-
-        def decode(b: bytes):
-            if b[:8] != b"\x89PNG\r\n\x1a\n":
-                return None
-            pos, w = 8, None
-            idat = bytearray()
-            while pos + 12 <= len(b):
-                (ln,) = struct.unpack(">I", b[pos : pos + 4])
-                ctype = b[pos + 4 : pos + 8]
-                body = b[pos + 4 : pos + 8 + ln]
-                if len(body) != 4 + ln:
-                    return None
-                (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
-                if zlib.crc32(body) & 0xFFFFFFFF != crc:
-                    return None
-                if ctype == b"IHDR":
-                    if ln != 13:
-                        return None
-                    w, h, depth, ctyp, comp, filt, inter = struct.unpack(
-                        ">IIBBBBB", body[4:17]
-                    )
-                    # scope: 8-bit truecolor, deflate, adaptive filters,
-                    # no interlace — anything else degrades to skip
-                    if (depth, ctyp, comp, filt, inter) != (8, 2, 0, 0, 0):
-                        return None
-                    if w <= 0 or h <= 0:
-                        return None
-                elif ctype == b"IDAT":
-                    idat.extend(body[4:])
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + ln
-            if w is None or not idat:
-                return None
-            raw = zlib.decompress(bytes(idat))
-            bpp, stride = 3, w * 3
-            if len(raw) != h * (1 + stride):
-                return None
-            recon = np.zeros((h, stride), dtype=np.uint8)
-            for y in range(h):
-                line = np.frombuffer(
-                    raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
-                )
-                ftype = raw[y * (1 + stride)]
-                prior = recon[y - 1] if y > 0 else np.zeros(stride, np.uint8)
-                if ftype == 0:
-                    recon[y] = line
-                elif ftype == 2:  # Up: no left dependency — vectorized
-                    recon[y] = line + prior
-                elif ftype in (1, 3, 4):
-                    # left-neighbor recurrence: sequential along the row
-                    # by spec; channels of one pixel are independent, so
-                    # the inner math is 3-wide numpy per step
-                    row = recon[y]
-                    for x0 in range(0, stride, bpp):
-                        cur = line[x0 : x0 + bpp].astype(np.int32)
-                        left = (
-                            row[x0 - bpp : x0].astype(np.int32)
-                            if x0
-                            else np.zeros(bpp, np.int32)
-                        )
-                        if ftype == 1:  # Sub
-                            val = cur + left
-                        elif ftype == 3:  # Average
-                            up = prior[x0 : x0 + bpp].astype(np.int32)
-                            val = cur + (left + up) // 2
-                        else:  # Paeth
-                            up = prior[x0 : x0 + bpp].astype(np.int32)
-                            ul = (
-                                prior[x0 - bpp : x0].astype(np.int32)
-                                if x0
-                                else np.zeros(bpp, np.int32)
-                            )
-                            p = left + up - ul
-                            pa = np.abs(p - left)
-                            pb = np.abs(p - up)
-                            pc = np.abs(p - ul)
-                            pred = np.where(
-                                (pa <= pb) & (pa <= pc),
-                                left,
-                                np.where(pb <= pc, up, ul),
-                            )
-                            val = cur + pred
-                        row[x0 : x0 + bpp] = (val % 256).astype(np.uint8)
-                else:
-                    return None
-            return w, h, recon.reshape(h, w, 3)
 
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    got = decode(bytes(buf))
+                    got = _png_decode_rgb(bytes(buf))
                 except Exception:
                     got = None
                 if got is None:
@@ -1339,6 +1353,25 @@ def synth_pcm_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
 
 
+def _resample_scaled(s, up: int, down: int):
+    """The multiplied-through rational linear resample: int64 sample
+    vector → (j, y_scaled) int64 vectors with y_scaled[j] = up·s[i0] +
+    r·(s[i0+1] − s[i0]), i0 = (j·down)//up, r = (j·down) mod up, and
+    n_out = ((n−1)·up)//down + 1. Pure integer arithmetic; r > 0
+    implies i0 + 1 < n (num ≤ (n−1)·up forces r = 0 at the last
+    sample), so the guard index never contributes."""
+    import numpy as np
+
+    n = s.size
+    n_out = ((n - 1) * up) // down + 1
+    j = np.arange(n_out, dtype=np.int64)
+    num = j * down
+    i0 = num // up
+    r = num % up
+    s1 = np.where(i0 + 1 < n, s[np.minimum(i0 + 1, n - 1)], 0)
+    return j, up * s[i0] + r * (s1 - s[i0])
+
+
 def resample_pcm_stats(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1409,13 +1442,8 @@ def resample_pcm_stats(
                 n = s.size
                 if n < 2:
                     continue
-                n_out = ((n - 1) * up) // down + 1
-                j = np.arange(n_out, dtype=np.int64)
-                num = j * down
-                i0 = num // up
-                r = num % up
-                s1 = np.where(i0 + 1 < n, s[np.minimum(i0 + 1, n - 1)], 0)
-                ys = up * s[i0] + r * (s1 - s[i0])
+                j, ys = _resample_scaled(s, up, down)
+                n_out = j.size
                 rows.append(
                     (
                         int(i),

@@ -750,3 +750,105 @@ def test_shortest_paths_matches_driver_dijkstra(spark, triples, seed_raw):
                 want[m] = d + w
                 heapq.heappush(heap, (d + w, m))
     assert got == want, (edges, seeds)
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (pure Python — no Spark job per example, so
+# these afford real example counts): random pixels, random per-row filter
+# choices, random coefficient grids, random sample vectors.
+# ---------------------------------------------------------------------------
+
+PNG_DIMS = st.tuples(st.integers(1, 12), st.integers(1, 10))
+
+
+@given(
+    dims=PNG_DIMS,
+    seed=st.integers(0, 2**31 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=10, max_size=10),
+    split=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_random_pixels_and_filters(dims, seed, filters, split):
+    """encode→decode is the identity for ANY pixel content, ANY per-row
+    filter assignment, and either IDAT layout — the property that pins
+    all five filter recurrences against each other."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import _png_decode_rgb, _png_encode_rgb
+
+    w, h = dims
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    blob = _png_encode_rgb(rgb, lambda y: filters[y % len(filters)], split)
+    got = _png_decode_rgb(blob)
+    assert got is not None
+    gw, gh, out = got
+    assert (gw, gh) == (w, h)
+    assert (out == rgb).all()
+
+
+@given(
+    nblocks=st.tuples(st.integers(1, 3), st.integers(1, 3)),
+    seed=st.integers(0, 2**31 - 1),
+    density=st.floats(0.0, 0.5),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_gray_roundtrip_random_coefficients(nblocks, seed, density):
+    """Huffman encode→decode recovers the EXACT quantized coefficient
+    grid for any sparsity (EOB/ZRL/long runs) — checked at the
+    coefficient level by re-deriving pixels with the same reference
+    IDCT, so the entropy layer is isolated from float concerns."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import _jpeg_decode_gray, _jpeg_encode_gray
+
+    by, bx = nblocks
+    rng = np.random.RandomState(seed)
+    coefs = rng.randint(-100, 101, size=(by, bx, 8, 8))
+    coefs[rng.rand(by, bx, 8, 8) >= density] = 0
+    qt = rng.randint(1, 50, size=(8, 8))
+    blob = _jpeg_encode_gray(coefs.astype(np.int64), qt.astype(np.int64))
+    img = _jpeg_decode_gray(blob)
+    assert img is not None
+    alpha = np.full(8, np.sqrt(2.0 / 8))
+    alpha[0] = np.sqrt(1.0 / 8)
+    xs = np.arange(8)
+    C = alpha[:, None] * np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+    sp = np.einsum("ux,vy,bcuv->bcxy", C, C, (coefs * qt[None, None]).astype(float))
+    ref = np.clip(np.floor(sp + 128.5), 0, 255).astype(np.uint8)
+    assert (img == ref.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)).all()
+
+
+@given(
+    n=st.integers(2, 200),
+    seed=st.integers(0, 2**31 - 1),
+    updown=st.sampled_from([(1, 1), (2, 1), (3, 2), (5, 4), (1, 2), (2, 3)]),
+)
+@settings(max_examples=60, deadline=None)
+def test_resample_scaled_values_match_reference(n, seed, updown):
+    """For any sample vector and rational ratio (up- AND down-sampling),
+    the engine's vectorized multiplied-through resample
+    (`_resample_scaled`, the exact body `resample_pcm_stats` runs)
+    equals a direct scalar-loop reference: y_scaled[j] = up*s[i0] +
+    r*(s[i0+1]-s[i0]) with i0 = (j*down)//up, r = (j*down) mod up —
+    and the final output position never needs a sample past the end."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import _resample_scaled
+
+    up, down = updown
+    rng = np.random.RandomState(seed)
+    sl = rng.randint(-(2**15), 2**15, size=n).astype(np.int64)
+
+    n_out = ((n - 1) * up) // down + 1
+    ys = []
+    for j in range(n_out):
+        num = j * down
+        i0, r = num // up, num % up
+        assert i0 < n and (r == 0 or i0 + 1 < n)
+        nxt = int(sl[i0 + 1]) if i0 + 1 < n else 0
+        ys.append(up * int(sl[i0]) + r * (nxt - int(sl[i0])))
+
+    jv, vec = _resample_scaled(sl, up, down)
+    assert jv.size == n_out
+    assert vec.tolist() == ys
