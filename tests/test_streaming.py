@@ -842,3 +842,46 @@ def test_stream_changes_exactly_once_across_kill_resume(spark, tmp_path):
     run_consumer()                      # run 4: delta only, post-retention
     assert sorted(delivered) == sorted(saved)
     assert set(delivered.values()) == {1}, "each (row, version) exactly once"
+
+
+def test_media_decode_streaming_batch_parity(spark, tmp_path):
+    """The codec tier runs UNCHANGED over Structured Streaming: a
+    parquet-backed payload stream decoded with the same
+    decode_png_stats mapInPandas yields exactly the batch results —
+    streaming media ingestion (decode-on-arrival) is the same operator,
+    not a parallel implementation (the c55 parity discipline applied to
+    the multimodal surface)."""
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    payloads = multimodal.synth_png(ids, "doc_id")
+    src = str(tmp_path / "png_src")
+    payloads.write.parquet(src)
+
+    batch_rows = {
+        (r.doc_id, r.channel): (r.pos_sum, r.mean, r.width, r.height)
+        for r in multimodal.decode_png_stats(
+            spark.read.parquet(src), "payload", "doc_id"
+        ).collect()
+    }
+
+    got = {}
+
+    def sink(batch_df, _epoch):
+        got.update(
+            {
+                (r.doc_id, r.channel): (r.pos_sum, r.mean, r.width, r.height)
+                for r in batch_df.collect()
+            }
+        )
+
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    q = (
+        multimodal.decode_png_stats(stream, "payload", "doc_id")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert got == batch_rows and len(got) == 36
