@@ -393,7 +393,8 @@ _R09_STALE_FIRST = frozenset(
 # Queries ADDED in round 9 (never had a driver row).
 _R09_NEW = frozenset(
     """d105_png_decode d106_bpe_batched_merges d107_softmax_language_id
-    d108_jpeg_decode d109_audio_resample d110_jpeg_color_decode""".split()
+    d108_jpeg_decode d109_audio_resample d110_jpeg_color_decode
+    d111_url_canonicalize""".split()
 )
 
 

@@ -4561,3 +4561,67 @@ def d110(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_jpeg_color(d, "doc_id")
     return multimodal.decode_jpeg_color_stats(files, "payload", "doc_id")
+
+
+@q(
+    "d111_url_canonicalize",
+    """WITH u AS (SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+              || '://WWW.Site' || (doc_id % 7) || '.COM'
+              || CASE WHEN doc_id % 3 = 0 THEN
+                   (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                 WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+              || '/Docs/' || (doc_id % 13)
+              || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+              || '?utm_source=feed&b=' || (doc_id % 5) || '&a=' || (doc_id % 3)
+              || CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id ELSE '' END
+              AS url,
+            CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+              || '://www.site' || (doc_id % 7) || '.com'
+              || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+              || '/Docs/' || (doc_id % 13)
+              || '?a=' || (doc_id % 3) || '&b=' || (doc_id % 5) AS canon
+         FROM documents)
+       SELECT doc_id, url, canon,
+              CAST((url <> canon) AS INT) AS changed
+       FROM u""",
+)
+def d111(spark, sf_dir):
+    """Web-crawl tier (r9): URL canonicalization
+    (``text.canonical_url``) — the dedup key computed before content
+    dedup: scheme/host lowercasing, fragment strip, default-port strip
+    (non-default ports survive), tracking-parameter removal (utm_*,
+    fbclid, gclid), query-parameter sort, empty-query drop, non-root
+    trailing-slash strip.  Pure codegen (regexp_extract / filter /
+    array_sort) — a projection inside the scan stage, zero UDFs/
+    shuffles.  The d48/d99 synth pattern: URLs are built per doc with
+    every normalization hazard derived from the id (mixed-case
+    scheme+host, default AND non-default ports, trailing slashes,
+    unsorted + tracking query params, fragments) and the oracle states
+    the expected canonical form arithmetically — so a canonicalizer
+    that over- or under-normalizes any component hash-mismatches."""
+    d = tables(spark, sf_dir)("documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW.Site"), (F.col("doc_id") % 7).cast("string"), F.lit(".COM"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).when(F.col("doc_id") % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Docs/"), (F.col("doc_id") % 13).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 3).cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("#sec"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", url.alias("url"))
+    canon = text.canonical_url(F.col("url"))
+    return base.select(
+        "doc_id",
+        "url",
+        canon.alias("canon"),
+        (F.col("url") != canon).cast("int").alias("changed"),
+    )

@@ -1737,3 +1737,57 @@ def html_main_text(col):
     ):
         out = F.regexp_replace(out, pat, " ")
     return F.trim(F.regexp_replace(out, "\\s+", " "))
+
+
+def canonical_url(col):
+    """URL canonicalization — the dedup key every web-crawl pipeline
+    computes before content dedup (the same page arrives as
+    ``HTTP://Site.COM:80/a/?utm_source=x&b=2&a=1#frag`` and
+    ``http://site.com/a?a=1&b=2``): lowercase the scheme and host (path
+    and query stay case-sensitive per RFC 3986), strip the fragment,
+    drop default ports (:80 for http, :443 for https — non-default
+    ports survive), remove tracking parameters (utm_*, fbclid, gclid),
+    sort the remaining query parameters, drop an empty query, and strip
+    a trailing slash from non-root paths.
+
+    Pure codegen column expression (regexp_extract / filter /
+    array_sort / concat) — no UDF, so canonicalizing 100 TB of crawl
+    URLs is a projection inside the scan stage."""
+    u = col if not isinstance(col, str) else F.col(col)
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(no_frag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    # strip default ports with a scheme-conditional regex replace
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).otherwise(
+        F.when(
+            scheme == "https", F.regexp_replace(hostport, ":443$", "")
+        ).otherwise(hostport)
+    )
+    path = F.regexp_extract(no_frag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.substring(path, 1, F.length(path) - 1),
+        ).otherwise(path)
+    )
+    query = F.regexp_extract(no_frag, "\\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    built = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+    # anything without a scheme:// (relative URL, garbage) passes through
+    # unchanged — canonicalization is only defined for absolute URLs
+    return F.when(scheme == "", u).otherwise(built)

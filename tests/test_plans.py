@@ -898,6 +898,7 @@ def test_round9_shuffle_budgets(spark, queries):
         "d108_jpeg_decode",
         "d109_audio_resample",
         "d110_jpeg_color_decode",
+        "d111_url_canonicalize",  # pure regexp/array projection in-scan
     ):
         plan = plan_of(queries[name](spark, SF))
         assert "Exchange" not in plan, name

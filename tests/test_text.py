@@ -564,3 +564,50 @@ def test_html_main_text_blocks_case_insensitive(spark):
     df = spark.createDataFrame(rows, "id long, html string")
     got = df.select(text.html_main_text("html").alias("out")).first().out
     assert got == "Real content"
+
+
+def test_canonical_url_golden_cases(spark):
+    """Golden checks for the URL canonicalizer beyond the d111 fixture:
+    root paths, queries that empty out after tracking removal, https
+    default port, paths whose case must SURVIVE, duplicate-sorted
+    params, and the no-scheme passthrough."""
+    from pandas_db_sdk_spark import text
+
+    rows = [
+        (1, "HTTP://EXAMPLE.com:80/#top", "http://example.com/"),
+        (2, "https://a.b:443/?utm_source=x&utm_medium=y", "https://a.b/"),
+        (3, "https://a.b:444/", "https://a.b:444/"),
+        (4, "http://h/PaTh/Is/CaSe", "http://h/PaTh/Is/CaSe"),
+        (5, "http://h/p/?z=1&a=2&fbclid=abc", "http://h/p?a=2&z=1"),
+        (6, "http://h", "http://h/"),
+        (7, "relative/path?a=1", "relative/path?a=1"),
+        (8, "http://h/p?gclid=x#frag", "http://h/p"),
+        (9, "http://h:8080/p?b=2&a=1", "http://h:8080/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in rows], "id long, url string")
+    got = {
+        r.id: r.canon
+        for r in df.select(
+            "id", text.canonical_url("url").alias("canon")
+        ).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) — a canonical form must be a fixed
+    point, else crawl dedup keys drift across pipeline stages."""
+    from pandas_db_sdk_spark import text
+
+    urls = [
+        "HTTP://WWW.X.COM:80/A/b/?utm_source=s&b=2&a=1#f",
+        "https://h:8080/p/q/?z=9&y=8",
+        "http://h",
+        "not a url",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(text.canonical_url("url").alias("c1"))
+    twice = once.select("c1", text.canonical_url("c1").alias("c2"))
+    for r in twice.collect():
+        assert r.c1 == r.c2, r
