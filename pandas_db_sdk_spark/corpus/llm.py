@@ -4625,3 +4625,91 @@ def d111(spark, sf_dir):
         canon.alias("canon"),
         (F.col("url") != canon).cast("int").alias("changed"),
     )
+
+
+@q(
+    "d112_warc_extract",
+    r"""WITH h AS (
+         SELECT doc_id,
+                '<html><head><title>doc ' || doc_id ||
+                '</title><script>var x=1;</script><style>.a{color:red}</style>' ||
+                '</head><body><nav><a href="/">home</a> | <a href="/all">all</a></nav>' ||
+                '<div class="main"><p>' || text || '</p></div>' ||
+                '<footer>(c) corpus ' || (doc_id % 7) || '</footer></body></html>' AS html,
+                'https://www.site' || (doc_id % 7) || '.com/Docs/' || (doc_id % 13)
+                  || '?a=' || (doc_id % 3) || '&b=' || (doc_id % 5) AS uri,
+                text
+         FROM documents),
+       e AS (
+         SELECT doc_id, uri, html,
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                      '(?is)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS extracted,
+                'doc ' || doc_id || ' ' ||
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS want
+         FROM h)
+       SELECT doc_id, CAST(2 AS INT) AS n_records, uri AS target_uri,
+              CAST(200 AS INT) AS http_status,
+              CAST(length(extracted) AS BIGINT) AS text_len,
+              CAST((extracted = want) AS INT) AS roundtrip_ok
+       FROM e""",
+)
+def d112(spark, sf_dir):
+    """Web-crawl tier (r9): WARC ingestion end to end — the literal
+    Common-Crawl chain: Spark writes a spec-valid WARC/1.0 file per
+    document (``multimodal.synth_warc``: warcinfo + response records,
+    exact Content-Lengths, full HTTP response block), parses it back
+    (``multimodal.parse_warc``: length-driven record walk — never
+    delimiter scanning — case-insensitive headers, HTTP status/body
+    split) and pipes the recovered body straight into the d104
+    boilerplate stripper (``text.html_main_text``, pure codegen).  The
+    ROUNDTRIP flag certifies the whole container→HTTP→HTML→text chain:
+    a length slip, header miss, or strip error breaks it.  URI ties to
+    the d111 canonical formula.  Scale: one mapInPandas synth + one
+    mapInPandas parse + a regexp projection, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit('</title><script>var x=1;</script><style>.a{color:red}</style>'),
+        F.lit('</head><body><nav><a href="/">home</a> | <a href="/all">all</a></nav>'),
+        F.lit('<div class="main"><p>'), F.col("text"),
+        F.lit("</p></div><footer>(c) corpus "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    uri = F.concat(
+        F.lit("https://www.site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/Docs/"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("?a="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&b="), (F.col("doc_id") % 5).cast("string"),
+    )
+    src = d.select("doc_id", html.alias("html"), uri.alias("uri"), "text")
+    files = multimodal.synth_warc(src, "html", "uri", "doc_id")
+    parsed = multimodal.parse_warc(files, "payload", "doc_id")
+    extracted = text.html_main_text(F.col("body"))
+    want = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "),
+            F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")),
+        ).alias("want"),
+    )
+    return (
+        parsed.join(want, "doc_id")
+        .select(
+            "doc_id",
+            "n_records",
+            "target_uri",
+            "http_status",
+            F.length(extracted).cast("long").alias("text_len"),
+            (extracted == F.col("want")).cast("int").alias("roundtrip_ok"),
+        )
+    )

@@ -596,3 +596,40 @@ def test_jpeg_color_decoder_scope(spark):
     assert {r.doc_id for r in out} == {1}
     gray_out = multimodal.decode_jpeg_stats(df, "payload", "doc_id").collect()
     assert {r.doc_id for r in gray_out} == {2}
+
+
+def test_warc_roundtrip_and_robustness(spark):
+    """synth_warc → parse_warc recovers the response record exactly
+    (2 records seen, warcinfo skipped, status/URI/body intact, UTF-8
+    bodies survive); truncated blocks, wrong magic, bad Content-Length,
+    and a missing record separator all degrade to skip (lengths are the
+    only authority — a bad one invalidates the FILE, never yields
+    misaligned partial records)."""
+    rows = [
+        (1, "<p>héllo wörld</p>", "https://a.b/x?q=1"),
+        (2, "<p>plain</p>", "https://c.d/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, uri string")
+    files = multimodal.synth_warc(df, "html", "uri", "doc_id")
+    parsed = {
+        r.doc_id: r
+        for r in multimodal.parse_warc(files, "payload", "doc_id").collect()
+    }
+    assert len(parsed) == 2
+    for i, html, uri in rows:
+        r = parsed[i]
+        assert (r.n_records, r.warc_type, r.http_status) == (2, "response", 200)
+        assert r.target_uri == uri and r.body == html
+
+    good = bytes(files.collect()[0].payload)
+    bad_len = good.replace(b"Content-Length: ", b"Content-Length: 9", 1)
+    broken = [
+        (1, bytearray(good)),            # control
+        (2, bytearray(good[:40])),       # truncated header
+        (3, bytearray(good[:-6])),       # truncated final separator
+        (4, bytearray(b"not a warc")),
+        (5, bytearray(bad_len)),         # misaligning length
+    ]
+    bdf = spark.createDataFrame(broken, "doc_id long, payload binary")
+    out = multimodal.parse_warc(bdf, "payload", "doc_id").collect()
+    assert {r.doc_id for r in out} == {1}

@@ -910,3 +910,8 @@ def test_round9_shuffle_budgets(spark, queries):
     # overlap) + their tiny single-partition stitches
     assert _unique_exchanges(plan) <= 8, _unique_exchanges(plan)
     assert "CartesianProduct" not in plan
+    # d112: two chained mapInPandas + one doc-keyed equi-join back to the
+    # want-string (the roundtrip certification) — nothing else shuffles
+    plan = plan_of(queries["d112_warc_extract"](spark, SF))
+    assert _unique_exchanges(plan) <= 3, _unique_exchanges(plan)
+    assert "CartesianProduct" not in plan
