@@ -75,6 +75,28 @@ def main(sf_dir: str) -> None:
         F.sum("n_out").alias("samples_out"),
     ).show()
 
+    print("== 6. WARC crawl ingestion: container -> HTTP -> main text ==")
+    from pandas_db_sdk_spark import text
+
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><nav>menu</nav><p>"), F.col("text"),
+            F.lit("</p><footer>f</footer></body></html>"),
+        ).alias("html"),
+        F.concat(
+            F.lit("HTTP://Site.COM:80/d/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&b=2&a=1"),
+        ).alias("uri"),
+    )
+    warc = multimodal.synth_warc(pages, "html", "uri", "doc_id")
+    parsed = multimodal.parse_warc(warc, "payload", "doc_id")
+    parsed.select(
+        "doc_id",
+        text.canonical_url(F.col("target_uri")).alias("canonical_uri"),
+        F.length(text.html_main_text(F.col("body"))).alias("main_text_len"),
+    ).show(4, truncate=60)
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

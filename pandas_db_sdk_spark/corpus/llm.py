@@ -4246,7 +4246,10 @@ def d106(spark, sf_dir):
             "'initial_token_mass', initial_token_mass) AS (rule, val)"
         )
     )
-    rw = Window.orderBy("round")  # rounds_df is round-count-sized: tiny
+    # rounds_df is round-count-sized (tiny); the constant partition key
+    # states the single-partition sort is intentional and silences the
+    # WindowExec all-to-one-partition warning in bench logs
+    rw = Window.partitionBy(F.lit(0)).orderBy("round")
     r = rounds.withColumn("prev_head", F.lag("head_count").over(rw))
     drop = F.col("mass_before") - F.col("mass_after")
     round_checks = r.agg(
