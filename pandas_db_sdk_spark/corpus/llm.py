@@ -4630,9 +4630,7 @@ def d111(spark, sf_dir):
     )
 
 
-@q(
-    "d112_warc_extract",
-    r"""WITH h AS (
+_WARC_EXTRACT_ORACLE = r"""WITH h AS (
          SELECT doc_id,
                 '<html><head><title>doc ' || doc_id ||
                 '</title><script>var x=1;</script><style>.a{color:red}</style>' ||
@@ -4663,8 +4661,10 @@ def d111(spark, sf_dir):
               CAST(200 AS INT) AS http_status,
               CAST(length(extracted) AS BIGINT) AS text_len,
               CAST((extracted = want) AS INT) AS roundtrip_ok
-       FROM e""",
-)
+       FROM e"""
+
+
+@q("d112_warc_extract", _WARC_EXTRACT_ORACLE)
 def d112(spark, sf_dir):
     """Web-crawl tier (r9): WARC ingestion end to end — the literal
     Common-Crawl chain: Spark writes a spec-valid WARC/1.0 file per
@@ -4696,6 +4696,60 @@ def d112(spark, sf_dir):
     )
     src = d.select("doc_id", html.alias("html"), uri.alias("uri"), "text")
     files = multimodal.synth_warc(src, "html", "uri", "doc_id")
+    parsed = multimodal.parse_warc(files, "payload", "doc_id")
+    extracted = text.html_main_text(F.col("body"))
+    want = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "),
+            F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")),
+        ).alias("want"),
+    )
+    return (
+        parsed.join(want, "doc_id")
+        .select(
+            "doc_id",
+            "n_records",
+            "target_uri",
+            "http_status",
+            F.length(extracted).cast("long").alias("text_len"),
+            (extracted == F.col("want")).cast("int").alias("roundtrip_ok"),
+        )
+    )
+
+
+@q("d113_warc_gz_extract", _WARC_EXTRACT_ORACLE)
+def d113(spark, sf_dir):
+    """Web-crawl tier (r9): the d112 chain over Common Crawl's actual
+    ON-DISK layout — ``.warc.gz`` with one gzip member PER RECORD,
+    members concatenated (``multimodal.synth_warc_gz``, deterministic
+    mtime=0 members).  ``parse_warc`` sniffs the gzip magic and inflates
+    member-by-member with a stdlib decompressobj loop (eof + unused_data
+    — a truncated member invalidates the file) before the same
+    length-driven record walk, HTTP split, and boilerplate strip.  The
+    oracle is d112's verbatim: compression must be RESULT-INVISIBLE, so
+    the two queries hash to the same frame — any member-boundary or
+    inflate bug breaks d113 while d112 stays green, isolating the codec
+    layer.  Scale: identical zero-shuffle shape; the gzip member walk is
+    per-file sequential by format, parallel across files."""
+    d = tables(spark, sf_dir)("documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit('</title><script>var x=1;</script><style>.a{color:red}</style>'),
+        F.lit('</head><body><nav><a href="/">home</a> | <a href="/all">all</a></nav>'),
+        F.lit('<div class="main"><p>'), F.col("text"),
+        F.lit("</p></div><footer>(c) corpus "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    uri = F.concat(
+        F.lit("https://www.site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/Docs/"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("?a="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&b="), (F.col("doc_id") % 5).cast("string"),
+    )
+    src = d.select("doc_id", html.alias("html"), uri.alias("uri"), "text")
+    files = multimodal.synth_warc_gz(src, "html", "uri", "doc_id")
     parsed = multimodal.parse_warc(files, "payload", "doc_id")
     extracted = text.html_main_text(F.col("body"))
     want = d.select(

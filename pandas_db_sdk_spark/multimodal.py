@@ -1878,6 +1878,48 @@ def decode_jpeg_color_stats(
     )
 
 
+def _warc_records(i: int, uri: str, html: str) -> list:
+    """The two spec-valid WARC/1.0 records (warcinfo + HTTP response)
+    for one page, as separate byte strings — exact Content-Lengths,
+    CRLF CRLF terminators, UTF-8 bodies. Shared by the plain
+    concatenation (``synth_warc``) and the per-record-gzip-member
+    Common-Crawl layout (``synth_warc_gz``)."""
+
+    def record(headers: list, block: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            k.encode() + b": " + v.encode() + b"\r\n" for k, v in headers
+        )
+        head += b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
+        return head + block + b"\r\n\r\n"
+
+    info = record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", f"<urn:uuid:info-{i}>"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        b"software: pandas-db-sdk-spark synth\r\n",
+    )
+    body = html.encode("utf-8")
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    resp = record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Target-URI", uri),
+            ("WARC-Record-ID", f"<urn:uuid:resp-{i}>"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http,
+    )
+    return [info, resp]
+
+
 def synth_warc(
     df: DataFrame, html_col: str = "html", uri_col: str = "uri", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1890,46 +1932,42 @@ def synth_warc(
     Arrow-batched mapInPandas, same contract as ``synth_media_payload``."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def record(headers: list, block: bytes) -> bytes:
-            head = b"WARC/1.0\r\n" + b"".join(
-                k.encode() + b": " + v.encode() + b"\r\n" for k, v in headers
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    (int(i), b"".join(_warc_records(int(i), u, h)))
+                    for i, u, h in zip(pdf[id_col], pdf[uri_col], pdf[html_col])
+                ],
+                columns=[id_col, "payload"],
             )
-            head += b"Content-Length: " + str(len(block)).encode() + b"\r\n\r\n"
-            return head + block + b"\r\n\r\n"
 
-        def warc(i: int, uri: str, html: str) -> bytes:
-            info_block = b"software: pandas-db-sdk-spark synth\r\n"
-            info = record(
-                [
-                    ("WARC-Type", "warcinfo"),
-                    ("WARC-Record-ID", f"<urn:uuid:info-{i}>"),
-                    ("WARC-Date", "2024-01-01T00:00:00Z"),
-                    ("Content-Type", "application/warc-fields"),
-                ],
-                info_block,
-            )
-            body = html.encode("utf-8")
-            http = (
-                b"HTTP/1.1 200 OK\r\n"
-                b"Content-Type: text/html; charset=utf-8\r\n"
-                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
-            )
-            resp = record(
-                [
-                    ("WARC-Type", "response"),
-                    ("WARC-Target-URI", uri),
-                    ("WARC-Record-ID", f"<urn:uuid:resp-{i}>"),
-                    ("WARC-Date", "2024-01-01T00:00:00Z"),
-                    ("Content-Type", "application/http; msgtype=response"),
-                ],
-                http,
-            )
-            return info + resp
+    return df.select(id_col, uri_col, html_col).mapInPandas(
+        build, f"{id_col} long, payload binary"
+    )
+
+
+def synth_warc_gz(
+    df: DataFrame, html_col: str = "html", uri_col: str = "uri", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Common-Crawl ON-DISK layout: a ``.warc.gz`` where EVERY record
+    is its own gzip member and the members are concatenated — the
+    property that lets a crawler index byte offsets and a reader inflate
+    one record without touching the rest. Deterministic members
+    (mtime=0). Same contract as ``synth_warc``."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
 
         for pdf in batches:
             yield pd.DataFrame(
                 [
-                    (int(i), warc(int(i), u, h))
+                    (
+                        int(i),
+                        b"".join(
+                            gzip.compress(r, mtime=0)
+                            for r in _warc_records(int(i), u, h)
+                        ),
+                    )
                     for i, u, h in zip(pdf[id_col], pdf[uri_col], pdf[html_col])
                 ],
                 columns=[id_col, "payload"],
@@ -1951,12 +1989,32 @@ def parse_warc(
     line + remaining bytes). Emits one row per response record:
     (id, n_records, warc_type, target_uri, http_status, body string) —
     body decoded UTF-8 so downstream codegen (html_main_text, quality
-    gates) chains directly. Structurally broken files degrade to skip.
-    Scale: pure mapInPandas, zero shuffles; at 100 TB one WARC file is
-    one row of a binaryFile/payload table and the fleet is
-    embarrassingly parallel."""
+    gates) chains directly. Gzip payloads (the ``.warc.gz`` on-disk
+    layout — one gzip member PER RECORD, members concatenated) are
+    sniffed by magic and inflated member-by-member with a stdlib
+    decompressobj loop before the record walk, so plain and compressed
+    crawls read through the same parser. Structurally broken files
+    degrade to skip. Scale: pure mapInPandas, zero shuffles; at 100 TB
+    one WARC file is one row of a binaryFile/payload table and the
+    fleet is embarrassingly parallel."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        def inflate_members(b: bytes):
+            # multi-member gzip: each decompressobj consumes ONE member;
+            # unused_data carries the next member's bytes
+            out = bytearray()
+            buf = b
+            while buf:
+                d = zlib.decompressobj(wbits=47)  # gzip header + window
+                out.extend(d.decompress(buf))
+                out.extend(d.flush())
+                if not d.eof:  # truncated member
+                    return None
+                buf = d.unused_data
+            return bytes(out)
+
         def records(b: bytes):
             # a structural error ANYWHERE invalidates the whole file
             # (None), never a partial record list — lengths are the only
@@ -1994,7 +2052,10 @@ def parse_warc(
             rows = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    recs = records(bytes(buf))
+                    raw = bytes(buf)
+                    if raw[:2] == b"\x1f\x8b":  # gzip magic
+                        raw = inflate_members(raw)
+                    recs = records(raw) if raw is not None else None
                 except Exception:
                     recs = None
                 if not recs:

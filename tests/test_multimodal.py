@@ -633,3 +633,48 @@ def test_warc_roundtrip_and_robustness(spark):
     bdf = spark.createDataFrame(broken, "doc_id long, payload binary")
     out = multimodal.parse_warc(bdf, "payload", "doc_id").collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_warc_gz_members_and_truncation(spark):
+    """The .warc.gz layout: every record is its OWN gzip member (pinned
+    by counting members), the parser inflates them transparently to the
+    same rows as the plain file, and a truncated final member or a
+    corrupted member body degrades to skip — never a partial result."""
+    import zlib
+
+    rows = [(1, "<p>gz body</p>", "https://a.b/x")]
+    df = spark.createDataFrame(rows, "doc_id long, html string, uri string")
+    plain = {
+        r.doc_id: (r.n_records, r.target_uri, r.body)
+        for r in multimodal.parse_warc(
+            multimodal.synth_warc(df, "html", "uri", "doc_id"), "payload", "doc_id"
+        ).collect()
+    }
+    gz_files = multimodal.synth_warc_gz(df, "html", "uri", "doc_id")
+    blob = bytes(gz_files.collect()[0].payload)
+    # exactly one gzip member per record: 2 magics at member boundaries
+    members = 0
+    buf = blob
+    while buf:
+        d = zlib.decompressobj(wbits=47)
+        d.decompress(buf)
+        assert d.eof
+        members += 1
+        buf = d.unused_data
+    assert members == 2
+    gz = {
+        r.doc_id: (r.n_records, r.target_uri, r.body)
+        for r in multimodal.parse_warc(gz_files, "payload", "doc_id").collect()
+    }
+    assert gz == plain
+
+    corrupt = bytearray(blob)
+    corrupt[len(blob) // 2] ^= 0xFF  # flip a byte inside a member
+    broken = [
+        (1, bytearray(blob)),        # control
+        (2, bytearray(blob[:-7])),   # truncated final member
+        (3, corrupt),
+    ]
+    bdf = spark.createDataFrame(broken, "doc_id long, payload binary")
+    out = multimodal.parse_warc(bdf, "payload", "doc_id").collect()
+    assert {r.doc_id for r in out} == {1}

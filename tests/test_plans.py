@@ -910,8 +910,10 @@ def test_round9_shuffle_budgets(spark, queries):
     # overlap) + their tiny single-partition stitches
     assert _unique_exchanges(plan) <= 8, _unique_exchanges(plan)
     assert "CartesianProduct" not in plan
-    # d112: two chained mapInPandas + one doc-keyed equi-join back to the
-    # want-string (the roundtrip certification) — nothing else shuffles
-    plan = plan_of(queries["d112_warc_extract"](spark, SF))
-    assert _unique_exchanges(plan) <= 3, _unique_exchanges(plan)
-    assert "CartesianProduct" not in plan
+    # d112/d113: two chained mapInPandas + one doc-keyed equi-join back
+    # to the want-string (the roundtrip certification) — nothing else
+    # shuffles; the gz variant adds NO plan nodes (codec is in-batch)
+    for name in ("d112_warc_extract", "d113_warc_gz_extract"):
+        plan = plan_of(queries[name](spark, SF))
+        assert _unique_exchanges(plan) <= 3, (name, _unique_exchanges(plan))
+        assert "CartesianProduct" not in plan, name
