@@ -4770,3 +4770,60 @@ def d113(spark, sf_dir):
             (extracted == F.col("want")).cast("int").alias("roundtrip_ok"),
         )
     )
+
+
+@q(
+    "d114_robots_filter",
+    """WITH u AS (SELECT doc_id,
+                   'www.site' || (doc_id % 7) || '.com' AS host,
+                   '/Docs/' || (doc_id % 13) AS path,
+                   '/Docs/' || ((3 * (doc_id % 7)) % 13) AS dis
+            FROM documents)
+       SELECT doc_id, host, path,
+              CAST(CASE WHEN NOT starts_with(path, dis)
+                          OR starts_with(path, dis || '2')
+                        THEN 1 ELSE 0 END AS INT) AS allowed
+       FROM u""",
+)
+def d114(spark, sf_dir):
+    """Web-crawl tier (r9): robots.txt politeness filtering — REAL
+    Robots-Exclusion-Protocol evaluation: per-domain robots.txt content
+    is PARSED (``text.robots_rules``: line split, case-insensitive
+    Allow/Disallow extraction) and URL paths are gated with the REP's
+    longest-match rule (``text.robots_allowed``: among matching
+    prefixes the longest decides, Allow beats Disallow at equal length,
+    no match ⇒ allowed) — one broadcast rule join + one max-struct
+    aggregate whose (length, is_allow) ordering IS the precedence, no
+    window.  The synth exercises the semantics for real: domain K
+    disallows /Docs/(3K mod 13) — a PREFIX that also matches two-digit
+    paths like /Docs/12 under /Docs/1 — and allows the longer
+    /Docs/(3K mod 13)2 back, so both prefix-match and longest-match-
+    with-allow-override decide real rows.  The oracle replays the
+    decision arithmetically."""
+    d = tables(spark, sf_dir)("documents")
+    robots = (
+        d.select((F.col("doc_id") % 7).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("www.site"), F.col("k").cast("string"), F.lit(".com")).alias("domain"),
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.lit("Disallow: /private/\n"),
+                F.lit("Disallow: /Docs/"),
+                ((F.col("k") * 3) % 13).cast("string"),
+                F.lit("\nAllow: /Docs/"),
+                ((F.col("k") * 3) % 13).cast("string"),
+                F.lit("2\n"),
+                F.lit("Disallow:\n"),  # empty = allow-all, must be dropped
+            ).alias("robots_txt"),
+        )
+    )
+    rules = text.robots_rules(robots, "robots_txt", "domain")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("www.site"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+        ).alias("host"),
+        F.concat(F.lit("/Docs/"), (F.col("doc_id") % 13).cast("string")).alias("path"),
+    )
+    return text.robots_allowed(urls, rules, "host", "path")

@@ -1791,3 +1791,56 @@ def canonical_url(col):
     # anything without a scheme:// (relative URL, garbage) passes through
     # unchanged — canonicalization is only defined for absolute URLs
     return F.when(scheme == "", u).otherwise(built)
+
+
+def robots_rules(df: DataFrame, txt_col: str = "robots_txt", domain_col: str = "domain") -> DataFrame:
+    """Parse robots.txt content into (domain, rule_type, prefix) rows —
+    line split, directive extraction (``Allow:`` / ``Disallow:``,
+    case-insensitive, surrounding whitespace tolerated), empty
+    ``Disallow:`` (allow-all) dropped. Scope: the ``User-agent: *``
+    group form (single-group files); per-agent group selection sits a
+    filter above this. Pure codegen split/explode/regexp — the rule
+    table is domains × rules rows, broadcastable by construction."""
+    lines = F.explode(F.split(F.col(txt_col), "\n")).alias("line")
+    out = df.select(F.col(domain_col).alias("domain"), lines)
+    rule = F.regexp_extract(F.col("line"), "(?i)^\\s*(allow|disallow)\\s*:\\s*(\\S+)", 1)
+    prefix = F.regexp_extract(F.col("line"), "(?i)^\\s*(allow|disallow)\\s*:\\s*(\\S+)", 2)
+    return (
+        out.select("domain", F.lower(rule).alias("rule_type"), prefix.alias("prefix"))
+        .filter((F.col("rule_type") != "") & (F.col("prefix") != ""))
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Evaluate URL paths against parsed robots rules with the REP's
+    longest-match semantics: among the rules whose prefix matches the
+    path, the LONGEST prefix decides; an Allow and a Disallow of equal
+    length resolve to Allow; no matching rule ⇒ allowed. One broadcast
+    equi-join on the domain (the rule table is tiny by nature) + one
+    max-struct aggregate — the (length, is_allow) struct max IS the REP
+    precedence order, no window needed."""
+    r = rules.select(
+        F.col("domain").alias(host_col),
+        "prefix",
+        (F.col("rule_type") == "allow").cast("int").alias("__is_allow"),
+    )
+    joined = urls.join(F.broadcast(r), host_col, "left")
+    matched = F.when(
+        F.col("prefix").isNotNull() & F.col(path_col).startswith(F.col("prefix")),
+        F.struct(
+            F.length("prefix").alias("l"), F.col("__is_allow").alias("a")
+        ),
+    )
+    keys = [c for c in urls.columns]
+    decided = joined.groupBy(*keys).agg(F.max(matched).alias("__best"))
+    return decided.select(
+        *keys,
+        F.when(
+            F.col("__best").isNull(), F.lit(1)
+        ).otherwise(F.col("__best.a")).alias("allowed"),
+    )

@@ -917,3 +917,9 @@ def test_round9_shuffle_budgets(spark, queries):
         plan = plan_of(queries[name](spark, SF))
         assert _unique_exchanges(plan) <= 3, (name, _unique_exchanges(plan))
         assert "CartesianProduct" not in plan, name
+    # d114: the rule table joins as a BROADCAST (politeness tables are
+    # tiny by nature) + one decision aggregate; never a shuffled join
+    plan = plan_of(queries["d114_robots_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert _unique_exchanges(plan) <= 3, _unique_exchanges(plan)
+    assert "CartesianProduct" not in plan

@@ -611,3 +611,47 @@ def test_canonical_url_is_idempotent(spark):
     twice = once.select("c1", text.canonical_url("c1").alias("c2"))
     for r in twice.collect():
         assert r.c1 == r.c2, r
+
+
+def test_robots_rules_and_longest_match_semantics(spark):
+    """REP golden cases: directive parsing tolerates case/whitespace and
+    drops empty Disallow (allow-all); evaluation picks the LONGEST
+    matching prefix, Allow beats Disallow at equal length, unmatched
+    paths and unknown domains are allowed."""
+    from pandas_db_sdk_spark import text
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\n"
+                "disallow: /private\n"
+                "  Allow:   /private/ok\n"
+                "Disallow: /tmp\n"
+                "Allow: /tmp\n"          # equal length -> allow wins
+                "Disallow:\n",            # empty -> dropped
+            ),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = text.robots_rules(robots, "robots_txt", "domain")
+    got = {(r.rule_type, r.prefix) for r in rules.collect()}
+    assert got == {
+        ("disallow", "/private"),
+        ("allow", "/private/ok"),
+        ("disallow", "/tmp"),
+        ("allow", "/tmp"),
+    }
+
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/x"),      # disallow /private
+            (2, "a.com", "/private/ok/y"),   # longer allow wins
+            (3, "a.com", "/tmp/z"),          # equal length: allow wins
+            (4, "a.com", "/open"),           # no match -> allowed
+            (5, "other.com", "/private/x"),  # unknown domain -> allowed
+        ],
+        "id long, host string, path string",
+    )
+    out = {r.id: r.allowed for r in text.robots_allowed(urls, rules).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 1, 5: 1}
