@@ -395,7 +395,7 @@ _R09_NEW = frozenset(
     """d105_png_decode d106_bpe_batched_merges d107_softmax_language_id
     d108_jpeg_decode d109_audio_resample d110_jpeg_color_decode
     d111_url_canonicalize d112_warc_extract d113_warc_gz_extract
-    d114_robots_filter""".split()
+    d114_robots_filter d115_image_ahash""".split()
 )
 
 

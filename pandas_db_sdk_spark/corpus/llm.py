@@ -4827,3 +4827,53 @@ def d114(spark, sf_dir):
         F.concat(F.lit("/Docs/"), (F.col("doc_id") % 13).cast("string")).alias("path"),
     )
     return text.robots_allowed(urls, rules, "host", "path")
+
+
+@q(
+    "d115_image_ahash",
+    """WITH px AS (SELECT doc_id, x.x AS x, y.y AS y,
+                 ((7 * doc_id + 3 * x.x + 5 * y.y) % 256)
+               + ((7 * doc_id + 3 * x.x + 5 * y.y + 11) % 256)
+               + ((7 * doc_id + 3 * x.x + 5 * y.y + 22) % 256) AS gray
+           FROM documents, range(0, 16) x(x), range(0, 16) y(y)),
+       blk AS (SELECT doc_id, y // 2 AS by, x // 2 AS bx,
+                      sum(gray) AS bs
+               FROM px GROUP BY 1, 2, 3),
+       tot AS (SELECT doc_id, sum(gray) AS t FROM px GROUP BY 1),
+       bits AS (SELECT b.doc_id, 8 * by + bx AS idx,
+                       (64 * bs > t)::BIGINT AS bit
+                FROM blk b JOIN tot USING (doc_id)),
+       hsh AS (SELECT doc_id, CAST(sum(bit) AS INT) AS n_ones,
+                CAST(sum(CASE WHEN idx < 32
+                          THEN bit * (CAST(1 AS BIGINT) << idx)
+                          ELSE 0 END) AS BIGINT) AS hash_lo,
+                CAST(sum(CASE WHEN idx >= 32
+                          THEN bit * (CAST(1 AS BIGINT) << (idx - 32))
+                          ELSE 0 END) AS BIGINT) AS hash_hi
+               FROM bits GROUP BY 1)
+       SELECT doc_id, n_ones, hash_lo, hash_hi,
+              CAST(count(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT)
+                  AS cluster_size
+       FROM hsh""",
+)
+def d115(spark, sf_dir):
+    """Multimodal dedup (r9): perceptual average-hash — the IMAGE
+    near-dup key (pixel-space analogue of MinHash for text / cosine
+    blocking for embeddings): decoded frames grayscale → 8×8 average
+    pool → mean-threshold bits → 64-bit signature
+    (``multimodal.ahash_64``), plus the exact-hash cluster size (the
+    dedup grouping itself).  Every step is exact integer arithmetic by
+    construction — unscaled r+g+b grayscale, block SUMS, the mean test
+    multiplied through (64·block_sum > total) — so the oracle replays
+    all 64 bits with shift arithmetic and the hash certifies bit for
+    bit.  Near-dup (Hamming ≤ t) clustering rides the existing SimHash
+    pigeonhole machinery over these bits.  Scale: one mapInPandas pass,
+    one hash-keyed aggregate for cluster sizes."""
+    d = tables(spark, sf_dir)("documents")
+    frames = multimodal.synth_raw_rgb(d, "doc_id", width=16, height=16)
+    hashed = multimodal.ahash_64(frames, "payload", "doc_id")
+    w = Window.partitionBy("hash_hi", "hash_lo")
+    return hashed.select(
+        "doc_id", "n_ones", "hash_lo", "hash_hi",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+    )

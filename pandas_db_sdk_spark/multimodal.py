@@ -2095,3 +2095,72 @@ def parse_warc(
         f"{id_col} long, n_records int, warc_type string, target_uri string, "
         "http_status int, body string",
     )
+
+
+def ahash_64(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over decoded RGB frames — the
+    classic IMAGE near-dup key (the pixel-space analogue of MinHash for
+    text and cosine blocking for embeddings): grayscale the frame,
+    average-pool to an 8×8 grid, set bit (8·by+bx) when the cell beats
+    the global mean, giving a 64-bit signature whose Hamming distance
+    tracks visual similarity.
+
+    Exact-arithmetic discipline so the oracle can replay it: grayscale
+    is the UNSCALED channel sum r+g+b (dividing by 3 changes nothing a
+    comparison can see), pooling keeps integer block SUMS, and the
+    mean test is multiplied through — ``64·block_sum > total_sum`` —
+    so no division ever happens. The hash is emitted as two unsigned
+    32-bit halves in BIGINTs (``hash_lo`` bits 0–31, ``hash_hi`` bits
+    32–63) plus the popcount. Frames must be divisible into the 8×8
+    grid (others skip); input shape is ``synth_raw_rgb``'s
+    (id, width, height, payload). Scale: pure mapInPandas, zero
+    shuffles; downstream near-dup clustering rides the existing
+    SimHash/banding machinery over the emitted bits."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, w, h, buf in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf[payload_col]
+            ):
+                w, h = int(w), int(h)
+                if w % 8 or h % 8 or w == 0 or h == 0:
+                    continue
+                try:
+                    arr = (
+                        np.frombuffer(bytes(buf), dtype=np.uint8)
+                        .reshape(h, w, 3)
+                        .astype(np.int64)
+                    )
+                except ValueError:
+                    continue
+                gray = arr.sum(axis=2)  # r+g+b, unscaled
+                by, bx = h // 8, w // 8
+                blocks = gray.reshape(8, by, 8, bx).sum(axis=(1, 3))
+                total = int(gray.sum())
+                bits = (64 * blocks > total).astype(np.int64)
+                val = 0
+                for yy in range(8):
+                    for xx in range(8):
+                        if bits[yy, xx]:
+                            val |= 1 << (8 * yy + xx)
+                rows.append(
+                    (
+                        int(i),
+                        int(bits.sum()),
+                        int(val & 0xFFFFFFFF),
+                        int(val >> 32),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_ones", "hash_lo", "hash_hi"]
+            )
+
+    return df.mapInPandas(
+        hashes,
+        f"{id_col} long, n_ones int, hash_lo long, hash_hi long",
+    )

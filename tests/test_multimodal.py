@@ -678,3 +678,42 @@ def test_warc_gz_members_and_truncation(spark):
     bdf = spark.createDataFrame(broken, "doc_id long, payload binary")
     out = multimodal.parse_warc(bdf, "payload", "doc_id").collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_ahash_hand_computed_and_perceptual_property(spark):
+    """aHash golden case: a half-dark/half-bright frame sets exactly the
+    bright half's 32 bits (indices with bx >= 4). Perceptual property: a
+    uniformly brightened copy keeps the SAME hash (mean shifts with the
+    cells), the inverted copy flips every decided bit, and odd-sized
+    frames skip."""
+    import numpy as np
+
+    w = h = 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, 8:, :] = 255
+    brighter = np.clip(img.astype(int) // 2 + 100, 0, 255).astype(np.uint8)
+    inverted = (255 - img.astype(int)).astype(np.uint8)
+    rows = [
+        (1, w, h, bytearray(img.tobytes())),
+        (2, w, h, bytearray(brighter.tobytes())),
+        (3, w, h, bytearray(inverted.tobytes())),
+        (4, 15, h, bytearray(b"\x00" * (15 * h * 3))),  # not /8 -> skip
+        (5, w, h, bytearray(b"\x00" * 7)),              # short buffer -> skip
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, width int, height int, payload binary"
+    )
+    got = {r.doc_id: r for r in multimodal.ahash_64(df, "payload", "doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    want = 0
+    for yy in range(8):
+        for xx in range(4, 8):
+            want |= 1 << (8 * yy + xx)
+    assert (got[1].hash_lo, got[1].hash_hi) == (
+        want & 0xFFFFFFFF, want >> 32,
+    )
+    assert got[1].n_ones == 32
+    assert (got[2].hash_lo, got[2].hash_hi) == (got[1].hash_lo, got[1].hash_hi)
+    full = (1 << 64) - 1
+    inv = full ^ want
+    assert (got[3].hash_lo, got[3].hash_hi) == (inv & 0xFFFFFFFF, inv >> 32)
