@@ -4230,6 +4230,20 @@ def d106(spark, sf_dir):
     disjointness. d98/d98c keep certifying the sequential semantics."""
     d = tables(spark, sf_dir)("documents")
     merges, rounds = text.bpe_merges_batched(d, "text", n_merges=60, batch=20)
+    # The oracle pins n_rules = 60, but the learner legitimately stops
+    # early when the candidate pool dries up or no symbol-disjoint pair
+    # remains — on a thinner corpus Spark and oracle would then silently
+    # hash-diverge.  Make the fixture-richness assumption explicit
+    # (ADVICE r9): merges is a driver-built rule table, so count() is a
+    # local-relation scan, not a cluster job.
+    n_rules = merges.count()
+    if n_rules != 60:
+        raise ValueError(
+            f"d106: corpus sustained only {n_rules}/60 batched BPE merges "
+            "(candidate pool dried up or no symbol-disjoint pair was "
+            "admissible) — the DuckDB oracle pins n_rules=60, so this "
+            "fixture cannot certify; enrich the corpus or lower n_merges"
+        )
 
     wf = (
         d.select(F.explode(text.tokens("text")).alias("w"))
@@ -4877,3 +4891,83 @@ def d115(spark, sf_dir):
         "doc_id", "n_ones", "hash_lo", "hash_hi",
         F.count("*").over(w).cast("long").alias("cluster_size"),
     )
+
+
+@q(
+    "d114b_robots_wildcards",
+    """WITH u AS (SELECT doc_id,
+                doc_id % 5 AS k, doc_id % 13 AS d, doc_id % 4 AS p,
+                CASE doc_id % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'php'
+                     ELSE 'asp' END AS ext
+         FROM documents)
+       SELECT doc_id,
+              'www.site' || k || '.com' AS host,
+              '/Docs/' || d || '/page' || p || '.' || ext AS path,
+              CAST(CASE WHEN p = 2 AND ext = 'php' THEN 0
+                        WHEN d = k AND p = 1 THEN 1
+                        WHEN d = k THEN 0
+                        WHEN ext = 'php' THEN 0
+                        ELSE 1 END AS INT) AS allowed
+       FROM u""",
+)
+def d114b(spark, sf_dir):
+    """Web-crawl tier (r10, VERDICT r9 #2): FULL RFC 9309 robots
+    evaluation — ``*`` wildcards, trailing-``$`` end anchors, and
+    per-agent group selection, the three things real robots.txt files
+    use that d114's literal-prefix subset cannot express.  The fixture
+    robots.txt per domain K carries a decoy ``otherbot``+``thirdbot``
+    group (Disallow: /), the selected ``corpusbot`` group —
+    ``Disallow: /*.php$`` (wildcard + anchor), ``Disallow: /Docs/K/``
+    (literal), ``Allow: /Docs/K/page1.*`` (longest-match override),
+    ``Disallow: /Docs/*/page2.php`` (mid-pattern wildcard, unanchored)
+    — plus ``Crawl-delay`` noise, an empty ``Disallow:`` (must drop),
+    and a ``User-agent: *`` group (``Disallow: /Docs/``) that MUST be
+    ignored when the specific group exists: if group selection leaked
+    the ``*`` rules, every /Docs/ path would flip to disallowed and the
+    hash would catch it.  URL paths /Docs/<d>/page<p>.<ext> sweep all
+    rule interactions; the oracle replays the longest-pattern-wins
+    decision arithmetically (precedence chain: 17-octet mid-wildcard
+    disallow > 15-octet allow override > 8-octet literal > 7-octet
+    anchored wildcard > default allow).  Parsing is
+    ``text.robots_rules_grouped`` (posexplode + two domain-local
+    windows over KiB-scale rule data), matching is
+    ``text.robots_allowed_rep`` (patterns compile once to anchored
+    regexes rule-side; broadcast join + max-struct aggregate)."""
+    d = tables(spark, sf_dir)("documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    robots = (
+        d.select((F.col("doc_id") % 5).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("www.site"), F.col("k").cast("string"), F.lit(".com")).alias(
+                "domain"
+            ),
+            F.concat(
+                F.lit("User-agent: otherbot\nUser-agent: thirdbot\nDisallow: /\n\n"),
+                F.lit("User-agent: corpusbot\n"),
+                F.lit("Disallow: /*.php$\n"),
+                F.lit("Disallow: /Docs/"), F.col("k").cast("string"), F.lit("/\n"),
+                F.lit("Allow: /Docs/"), F.col("k").cast("string"), F.lit("/page1.*\n"),
+                F.lit("Disallow: /Docs/*/page2.php\n"),
+                F.lit("Crawl-delay: 2\n"),
+                F.lit("Disallow:\n\n"),
+                F.lit("User-agent: *\nDisallow: /Docs/\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    rules = text.robots_rules_grouped(robots, "robots_txt", "domain", agent="CorpusBot")
+    ext = (
+        F.when(F.col("doc_id") % 3 == 0, "html")
+        .when(F.col("doc_id") % 3 == 1, "php")
+        .otherwise("asp")
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("www.site"), k, F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("/Docs/"), (F.col("doc_id") % 13).cast("string"),
+            F.lit("/page"), (F.col("doc_id") % 4).cast("string"),
+            F.lit("."), ext,
+        ).alias("path"),
+    )
+    return text.robots_allowed_rep(urls, rules, "host", "path")

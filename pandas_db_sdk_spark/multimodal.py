@@ -2061,27 +2061,38 @@ def parse_warc(
                 if not recs:
                     continue
                 for headers, block in recs:
-                    if headers.get("warc-type") != "response":
-                        continue
-                    http_end = block.find(b"\r\n\r\n")
-                    if http_end < 0 or not block.startswith(b"HTTP/"):
-                        continue
-                    status_line = block[: block.find(b"\r\n")].decode(
-                        "utf-8", "replace"
-                    )
-                    parts = status_line.split(" ")
-                    status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
-                    body = block[http_end + 4 :].decode("utf-8", "replace")
-                    rows.append(
-                        (
-                            int(i),
-                            len(recs),
-                            headers.get("warc-type"),
-                            headers.get("warc-target-uri"),
-                            status,
-                            body,
+                    # record-level guard (ADVICE r9): the skip-never-error
+                    # contract must hold PER RECORD too — e.g. an all-digit
+                    # status token past int32 range passes isdigit() but
+                    # overflows the declared int schema at Arrow conversion
+                    try:
+                        if headers.get("warc-type") != "response":
+                            continue
+                        http_end = block.find(b"\r\n\r\n")
+                        if http_end < 0 or not block.startswith(b"HTTP/"):
+                            continue
+                        status_line = block[: block.find(b"\r\n")].decode(
+                            "utf-8", "replace"
                         )
-                    )
+                        parts = status_line.split(" ")
+                        status = None
+                        if len(parts) > 1 and parts[1].isdigit() and len(parts[1]) == 3:
+                            s = int(parts[1])
+                            if 100 <= s <= 599:  # RFC 9110 status range
+                                status = s
+                        body = block[http_end + 4 :].decode("utf-8", "replace")
+                        rows.append(
+                            (
+                                int(i),
+                                len(recs),
+                                headers.get("warc-type"),
+                                headers.get("warc-target-uri"),
+                                status,
+                                body,
+                            )
+                        )
+                    except Exception:
+                        continue
             yield pd.DataFrame(
                 rows,
                 columns=[

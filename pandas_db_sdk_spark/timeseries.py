@@ -627,7 +627,24 @@ def cusum_changepoint(
     try:
         totals = totals.collect()[0]
     except Exception as e:  # ANSI mode: the per-value cast raises here
-        if "ecimal" not in str(e):
+        # Match the error CLASS as well as the message (ADVICE r9): a
+        # Spark version that reports the cast overflow with an error-
+        # class-only message ("CAST_OVERFLOW" / "NUMERIC_VALUE_OUT_OF_
+        # RANGE") and no "decimal" substring should still get the
+        # curated guidance, not the raw exception.
+        cls = ""
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cls = getattr(e, probe)() or ""
+                break
+            except Exception:
+                continue
+        marker = str(e) + " " + cls
+        if (
+            "ecimal" not in marker
+            and "OVERFLOW" not in marker
+            and "OUT_OF_RANGE" not in marker
+        ):
             raise
         raise ValueError(
             "cusum_changepoint: a value's magnitude exceeds the exact-"
