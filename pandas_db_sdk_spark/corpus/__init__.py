@@ -399,6 +399,51 @@ _R09_NEW = frozenset(
 )
 
 
+# Names driver-checked in CORRECTNESS_r09.json (round-9 window: the 6
+# r1-stale rows + all 11 round-9 additions + the first 33 rows of the
+# r2 block — 44 hash-green, 6 rows-only by design).  The 15 r2 rows the
+# window did NOT reach (d05b/d17–d22 + x01–x08) are round 10's stale
+# head below.
+_R09_VERIFIED = frozenset(
+    """c28b_corr_covar c30c_grouping_sets c33b_string_agg c35_ranking
+    c36_lag_lead c37_cumsum c55_tumbling_window c56_sliding_window
+    c57_session_window c61_pandas_udf_scalar c62_apply_in_pandas
+    c62b_cogroup_in_pandas c63_grouped_agg_udaf c64_map_in_pandas
+    c64b_map_in_arrow c65_table_function c65b_python_udtf d01_exact_dedup
+    d02_minhash_lsh d02b_simhash d02c_ngram_jaccard d02d_dedup_corpus
+    d03_cosine_topk d03b_ann_lsh d03c_embedding_near_dup d03d_ann_ivf
+    d03f_ann_pq d04_vector_ops d05_tfidf d06_facet_stats d07_multimodal
+    d08_char_stats d09_language_id d105_png_decode d106_bpe_batched_merges
+    d107_softmax_language_id d108_jpeg_decode d109_audio_resample
+    d10_quality_score d110_jpeg_color_decode d111_url_canonicalize
+    d112_warc_extract d113_warc_gz_extract d114_robots_filter
+    d115_image_ahash d11_token_count d12_fingerprint d13_repetition_ratio
+    d14_pii_flags d16_incremental_dedup""".split()
+)
+
+
+# Round-10 re-certification head (VERDICT r9 #1): the 15 rows still
+# r2-checked — the r9 window's leftovers — lead; this round's additions
+# ride behind them (so they certify THIS round); then the 49-row r3
+# block (scalar/set/window/event-time families) fills the rest of the
+# ~50-row window — its last ~15-20 rows queue as the round-11 backlog
+# head, after which no declared row is older than r4.
+_R10_STALE_FIRST = frozenset(
+    """d05b_stopword_filter d17_sequence_packing d18_prep_pipeline
+    d19_decontaminate d20_top_ngrams d21_unigram_logprob d22_shard_assign
+    x01_shipping_priority x02_local_supplier_volume x03_returned_items
+    x04_large_volume_customers x05_late_shipments x06_promo_revenue
+    x07_disjunctive_revenue x08_supplier_part_counts""".split()
+)
+
+
+# Queries ADDED in round 10 (never had a driver row).
+_R10_NEW = frozenset(
+    """d114b_robots_wildcards d117_image_near_dup_clusters
+    d117b_image_cluster_guarantees""".split()
+)
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -412,24 +457,26 @@ def _merged(attr):
 
 def all_queries():
     """Declaration order = driver-certification priority (the driver's
-    per-round correctness file caps at ~50 rows). Round-9 rotation
-    (VERDICT round-8 item #1): the 6 rows still r1-checked lead, this
+    per-round correctness file caps at ~50 rows). Round-10 rotation
+    (VERDICT round-9 item #1): the 15 rows still r2-checked lead, this
     round's additions ride behind them (so they certify immediately),
-    then the 48-row r2 block — the stalest certified rows — fills the
+    then the 49-row r3 block — the stalest certified rows — fills the
     window; everything else queues by ascending freshness. Within each
     group, original module order is preserved (stable sort). A name in
-    no set is treated as newest (sorts with _R09_NEW), so a forgotten
+    no set is treated as newest (sorts with _R10_NEW), so a forgotten
     registration can never starve the backlog."""
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-9 rotation: stalest-first re-certification budget.
+        # Round-10 rotation: stalest-first re-certification budget.
         # Membership is checked newest-round-first so a row re-certified
         # later sorts by its LATEST check.
-        if name in _R09_STALE_FIRST:
+        if name in _R10_STALE_FIRST:
             return 0
-        if name in _R09_NEW:
+        if name in _R10_NEW:
             return 1
+        if name in _R09_VERIFIED:
+            return 11
         if name in _R08_VERIFIED:
             return 10
         if name in _R07_VERIFIED:
@@ -441,10 +488,10 @@ def all_queries():
         if name in _R04_VERIFIED:
             return 6
         if name in _R03_VERIFIED:
-            return 5
+            return 2  # the 49-row r3 block: this window's backlog
         if name in _R02_VERIFIED:
-            return 2  # the 48-row r2 block: this window's backlog
-        return 1  # not in any set: newest, with the _R09_NEW group
+            return 3  # safety: r2 rows not in the stale head (none expected)
+        return 1  # not in any set: newest, with the _R10_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}

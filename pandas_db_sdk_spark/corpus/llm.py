@@ -4971,3 +4971,133 @@ def d114b(spark, sf_dir):
         ).alias("path"),
     )
     return text.robots_allowed_rep(urls, rules, "host", "path")
+
+
+def _ahash_sig64(h):
+    """(hash_hi, hash_lo) unsigned 32-bit halves → one signed 64-bit
+    signature (Java shiftleft wraps bit 63 into the sign, matching the
+    SimHash signed-bigint convention the banding engine expects)."""
+    return h.select(
+        F.col("doc_id"),
+        F.shiftleft("hash_hi", 32).bitwiseOR(F.col("hash_lo")).alias("sig"),
+    )
+
+
+# copies ride the same id space shifted far past any real doc_id
+_D117_COPY_OFFSET = 1 << 40
+
+
+@q("d117_image_near_dup_clusters")  # rows-only: cluster layout depends on
+# banding internals; d117b is the hash-green certification twin
+def d117(spark, sf_dir):
+    """Image near-dup CLUSTERING (r10, VERDICT r9 #4): visual dedup gets
+    the same cluster/canonical contract text has — aHash 64-bit
+    signatures (d115) fed through the SimHash pigeonhole machinery
+    (``dedup.hamming_near_pairs``: Hamming-band blocking, band-count
+    equi-joins, never a crossJoin) and min-label connected components.
+    The fixture corpus is each frame plus its corner-swapped near-dup
+    (``synth_raw_rgb_swapped``: total intensity conserved, ≤ 2 of 64
+    bits differ by construction), so every original MUST absorb its
+    copy.  Output: (id, cluster, cluster_size) for every frame in a
+    non-singleton component."""
+    d = tables(spark, sf_dir)("documents")
+    orig = _ahash_sig64(
+        multimodal.ahash_64(multimodal.synth_raw_rgb(d, "doc_id"), "payload", "doc_id")
+    )
+    swap = _ahash_sig64(
+        multimodal.ahash_64(
+            multimodal.synth_raw_rgb_swapped(d, "doc_id"), "payload", "doc_id"
+        )
+    )
+    sigs = orig.select(F.col("doc_id").alias("id"), "sig").unionAll(
+        swap.select((F.col("doc_id") + _D117_COPY_OFFSET).alias("id"), "sig")
+    )
+    pairs = dedup.hamming_near_pairs(sigs, "id", "sig", max_hamming=3)
+    clusters = dedup.connected_components(pairs)
+    w = Window.partitionBy("cluster")
+    return clusters.select(
+        "id", "cluster", F.count("*").over(w).cast("long").alias("cluster_size")
+    )
+
+
+@q(
+    "d117b_image_cluster_guarantees",
+    """WITH g AS (SELECT doc_id, x.x AS x, y.y AS y,
+            CASE WHEN x.x = 0 AND y.y = 0 THEN 15
+                 WHEN x.x = 15 AND y.y = 15 THEN 0 ELSE x.x END AS sx,
+            CASE WHEN x.x = 0 AND y.y = 0 THEN 15
+                 WHEN x.x = 15 AND y.y = 15 THEN 0 ELSE y.y END AS sy
+         FROM documents, range(0, 16) x(x), range(0, 16) y(y)),
+       px AS (SELECT doc_id, x, y,
+                 ((7 * doc_id + 3 * x + 5 * y) % 256)
+               + ((7 * doc_id + 3 * x + 5 * y + 11) % 256)
+               + ((7 * doc_id + 3 * x + 5 * y + 22) % 256) AS gray_o,
+                 ((7 * doc_id + 3 * sx + 5 * sy) % 256)
+               + ((7 * doc_id + 3 * sx + 5 * sy + 11) % 256)
+               + ((7 * doc_id + 3 * sx + 5 * sy + 22) % 256) AS gray_s
+              FROM g),
+       blk AS (SELECT doc_id, y // 2 AS by, x // 2 AS bx,
+                      sum(gray_o) AS bso, sum(gray_s) AS bss
+               FROM px GROUP BY 1, 2, 3),
+       tot AS (SELECT doc_id, sum(gray_o) AS t_o, sum(gray_s) AS t_s
+               FROM px GROUP BY 1),
+       bits AS (SELECT b.doc_id,
+                       (64 * bso > t_o)::BIGINT AS bo,
+                       (64 * bss > t_s)::BIGINT AS bs2
+                FROM blk b JOIN tot USING (doc_id))
+       SELECT doc_id,
+              CAST(sum(CASE WHEN bo <> bs2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS hamming,
+              CAST(1 AS INT) AS with_original
+       FROM bits GROUP BY doc_id""",
+)
+def d117b(spark, sf_dir):
+    """d117's certification twin (hash-green): the corner swap conserves
+    total intensity and touches exactly two grid blocks, so the
+    original/copy aHash pair provably sits within Hamming ≤ 2 — the
+    banding engine MUST emit the pair and connected components MUST
+    put both in one cluster.  The oracle replays BOTH 64-bit hashes
+    arithmetically from the pixel formulas (the d115 discipline, with
+    the swap as a coordinate remap) and emits the exact per-doc hamming
+    plus the pinned with_original = 1; the Spark side computes hamming
+    from the signatures (bit_count of XOR) and with_original from the
+    ACTUAL cluster assignments, so a banding or CC regression breaks
+    the hash, not just a rows count.  Transitivity makes the d115 pin
+    (exact copies share a hash) a special case of this one."""
+    d = tables(spark, sf_dir)("documents")
+    orig = _ahash_sig64(
+        multimodal.ahash_64(multimodal.synth_raw_rgb(d, "doc_id"), "payload", "doc_id")
+    )
+    swap = _ahash_sig64(
+        multimodal.ahash_64(
+            multimodal.synth_raw_rgb_swapped(d, "doc_id"), "payload", "doc_id"
+        )
+    )
+    sigs = orig.select(F.col("doc_id").alias("id"), "sig").unionAll(
+        swap.select((F.col("doc_id") + _D117_COPY_OFFSET).alias("id"), "sig")
+    )
+    pairs = dedup.hamming_near_pairs(sigs, "id", "sig", max_hamming=3)
+    clusters = dedup.connected_components(pairs)
+    c_o = clusters.select(F.col("id").alias("doc_id"), F.col("cluster").alias("__c_o"))
+    c_s = clusters.select(
+        (F.col("id") - _D117_COPY_OFFSET).alias("doc_id"),
+        F.col("cluster").alias("__c_s"),
+    ).filter(F.col("id") >= _D117_COPY_OFFSET)
+    ham = (
+        orig.join(swap.select("doc_id", F.col("sig").alias("__sig_s")), "doc_id")
+        .select(
+            "doc_id",
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("__sig_s")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    return (
+        ham.join(c_o.filter(F.col("doc_id") < _D117_COPY_OFFSET), "doc_id")
+        .join(c_s, "doc_id")
+        .select(
+            "doc_id",
+            "hamming",
+            (F.col("__c_o") == F.col("__c_s")).cast("int").alias("with_original"),
+        )
+    )

@@ -469,6 +469,30 @@ def simhash_near_pairs(
     beyond 7 the bands get narrower than 8 bits and bucket collision rates
     explode, so that's a hard error rather than a silent slowdown.
     """
+    return hamming_near_pairs(
+        simhash(df, id_col, text_col),
+        id_col,
+        "simhash",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near pairs under Hamming distance over ANY precomputed 64-bit
+    signature column — the banding engine behind
+    :func:`simhash_near_pairs`, factored out (r10) so pixel-space keys
+    (``multimodal.ahash_64``) get the same pigeonhole blocking as text
+    SimHash: split the signature into ``max_hamming + 1`` bands; a pair
+    within the bound dirties at most ``max_hamming`` bands, so at least
+    one band matches exactly — band-count equi-joins, never a crossJoin.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
     if not 0 <= max_hamming <= 7:
         raise ValueError(
             f"max_hamming={max_hamming} out of range: need 0 <= h <= 7 "
@@ -479,18 +503,18 @@ def simhash_near_pairs(
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sig = simhash(df, id_col, text_col)
+    sig = sig_df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"))
     bands = sig.select(
-        F.col(id_col).alias("__id"),
-        F.col("simhash"),
+        "__id",
+        "__sig",
         F.posexplode(
             F.array(
                 *[
                     # width==64 (max_hamming=0, one band): the mask would
                     # overflow int64; the band IS the signature.
-                    F.col("simhash")
+                    F.col("__sig")
                     if widths[i] == 64
-                    else F.shiftright("simhash", offsets[i]).bitwiseAND(
+                    else F.shiftright("__sig", offsets[i]).bitwiseAND(
                         F.lit((1 << widths[i]) - 1)
                     )
                     for i in range(n_bands)
@@ -505,8 +529,8 @@ def simhash_near_pairs(
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )
-    left = bands.select("band_idx", "band_key", F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a"))
-    right = bands.select("band_idx", "band_key", F.col("__id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    left = bands.select("band_idx", "band_key", F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
+    right = bands.select("band_idx", "band_key", F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
     pairs = (
         left.join(right, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))

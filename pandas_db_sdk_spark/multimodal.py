@@ -345,6 +345,44 @@ def synth_raw_rgb(
     )
 
 
+def synth_raw_rgb_swapped(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+) -> DataFrame:
+    """The NEAR-DUP variant of :func:`synth_raw_rgb` (r10, d117): the
+    same deterministic frame with the two corner pixels SWAPPED —
+    pixel (0,0,c) takes (w−1,h−1,c)'s value and vice versa.  A swap
+    conserves the frame's total intensity exactly and touches only the
+    two corner 8×8-grid blocks, so the aHash of the pair provably
+    differs in AT MOST 2 of 64 bits: only blocks (0,0) and (7,7)
+    change their sums, and the mean threshold (the total) is unchanged
+    for every other block.  That bound is what lets the d117b oracle
+    certify near-dup clustering arithmetically — the copy is GUARANTEED
+    inside Hamming ≤ 3 of its original, so banding must pair them."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(height), np.arange(width), np.arange(3), indexing="ij"
+        )
+        base = (3 * x + 5 * y + 11 * c).astype(np.int64)
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                arr = ((7 * int(i) + base) % 256).astype(np.uint8)
+                corner = arr[0, 0, :].copy()
+                arr[0, 0, :] = arr[height - 1, width - 1, :]
+                arr[height - 1, width - 1, :] = corner
+                out.append((int(i), width, height, arr.tobytes()))
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "payload"]
+            )
+
+    return df.select(id_col).mapInPandas(
+        build, f"{id_col} long, width int, height int, payload binary"
+    )
+
+
 def synth_bmp_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Manufacture a REAL codec-free image file per row — a valid
     uncompressed 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
