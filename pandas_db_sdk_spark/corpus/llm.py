@@ -5101,3 +5101,184 @@ def d117b(spark, sf_dir):
             (F.col("__c_o") == F.col("__c_s")).cast("int").alias("with_original"),
         )
     )
+
+
+@q(
+    "d116_crawl_pipeline",
+    """WITH f AS (SELECT doc_id, doc_id % 260 AS m260,
+                  (doc_id % 260) % 13 AS d13,
+                  (3 * ((doc_id % 260) % 5)) % 13 AS dis,
+                  (doc_id % 260 = 9 OR (doc_id % 260 BETWEEN 90 AND 99))
+                      AS allow9
+           FROM documents),
+       b AS (SELECT *, (d13 = dis AND NOT allow9) AS blocked FROM f)
+       SELECT 'n_input' AS rule, CAST(count(*) AS BIGINT) AS val FROM b
+       UNION ALL SELECT 'n_robots_blocked',
+         CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) FROM b
+       UNION ALL SELECT 'n_url_dups_dropped',
+         CAST((SELECT count(*) - count(DISTINCT m260) FROM b
+               WHERE NOT blocked) AS BIGINT)
+       UNION ALL SELECT 'fetch_failures', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'non_200_fetches', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'docs_not_in_source', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'duplicate_doc_ids', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'duplicate_canonical_urls', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'robots_disallowed_in_output', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'nonallowed_lang_in_output', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'below_gopher_gate_in_output', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'boilerplate_markers_in_output', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'roundtrip_failures', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'stage_escapees', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'doc_conservation_violations', CAST(0 AS BIGINT)""",
+)
+def d116(spark, sf_dir):
+    """THE north-star composition (r10, VERDICT r9 #3): the full
+    crawl → training-corpus pipeline as ONE DataFrame program —
+    ``.warc.gz`` walk (d113) → HTTP-200 gate → RFC 9309 robots gate
+    with wildcard Allow-override and decoy agent groups (d114b) →
+    canonical-URL dedup with tracking-param variants (d111) → HTML
+    boilerplate strip (d104) → language gate (d09) → gopher quality
+    gate (d23) → MinHash near-dedup (d02d) — via
+    ``pipeline.crawl_corpus``, certified d18b-style: the output SET
+    depends on lexicon scores and LSH recall (stage counts past the
+    URL stage are not oracle-pinned), but the pipeline's CONTRACT is
+    exact and hash-checked.  Data-derived pins: n_input, the robots
+    block count (the d114b arithmetic replay — URIs carry /Docs/<d13>/
+    doc<m260> paths, domain K disallows /Docs/<(3K)%13>/ but allows
+    the doc9* wildcard back), and the canonical-dup drop count (ids ≡
+    mod 260 share a canonical URL once utm_source tracking variants
+    strip).  Violation counters recomputed FROM THE OUTPUT (not
+    telescoping): survivors exist in source, unique ids, unique
+    canonical URLs, re-evaluated robots verdicts, language/gopher
+    membership, zero boilerplate markers, exact container→HTTP→HTML→
+    text roundtrip at the extract stage, and set-containment between
+    consecutive stages (an escapee means a stage INTRODUCED rows).
+    Demo form: examples/crawl_pipeline.py."""
+    from .. import pipeline as pipeline_mod
+
+    d = tables(spark, sf_dir)("documents")
+    m260 = F.col("doc_id") % 260
+    k = (m260 % 5).cast("string")
+    d13 = (m260 % 13).cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit('</title><script>var x=1;</script><style>.a{color:red}</style>'),
+        F.lit('</head><body><nav><a href="/">home</a> | <a href="/all">all</a></nav>'),
+        F.lit('<div class="main"><p>'), F.col("text"),
+        F.lit("</p></div><footer>(c) corpus "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    uri = F.concat(
+        F.lit("https://www.site"), k, F.lit(".com/Docs/"), d13,
+        F.lit("/doc"), m260.cast("string"),
+        F.lit("?utm_source=feed"), (F.col("doc_id") % 2).cast("string"),
+        F.lit("&q=1"),
+    )
+    src = d.select("doc_id", html.alias("html"), uri.alias("uri"))
+    files = multimodal.synth_warc_gz(src, "html", "uri", "doc_id")
+    parsed = multimodal.parse_warc(files, "payload", "doc_id")
+
+    dis = (F.col("k") * 3) % 13
+    robots = (
+        d.select((F.col("doc_id") % 5).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("www.site"), F.col("k").cast("string"), F.lit(".com")).alias(
+                "domain"
+            ),
+            F.concat(
+                F.lit("User-agent: otherbot\nDisallow: /\n\n"),
+                F.lit("User-agent: corpusbot\n"),
+                F.lit("Disallow: /Docs/"), dis.cast("string"), F.lit("/\n"),
+                F.lit("Allow: /Docs/"), dis.cast("string"), F.lit("/doc9*\n"),
+                F.lit("Disallow:\n\n"),
+                F.lit("User-agent: *\nDisallow: /\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    stages = pipeline_mod.crawl_corpus(
+        parsed, robots, agent="CorpusBot", languages=("en",),
+        jaccard_threshold=0.5, n_hashes=32, bands=8,
+    )
+    n_input = d.count()
+    counts = {name: df.count() for name, df in stages.items()}
+    final = stages["final"]
+
+    # output-recheck counters — recomputed from the SURVIVOR SET, so a
+    # stage-ordering or join bug breaks the hash even though the
+    # telescoping stage arithmetic would still balance
+    host = F.regexp_extract("uri", "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    path = F.regexp_extract("uri", "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    rules = text.robots_rules_grouped(robots, agent="CorpusBot")
+    re_verdict = text.robots_allowed_rep(
+        final.select("doc_id", host.alias("host"), path.alias("path")),
+        rules, "host", "path",
+    )
+    robots_bad = re_verdict.filter(F.col("allowed") == 0).count()
+    not_in_source = final.join(d.select("doc_id"), "doc_id", "left_anti").count()
+    dup_ids = final.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    dup_canon = (
+        final.groupBy("canonical_url").count().filter(F.col("count") > 1).count()
+    )
+    bad_lang = final.filter(~F.col("predicted_lang").isin("en")).count()
+    below_gopher = (
+        text.gopher_rules(final, "doc_id", "text")
+        .filter(F.col("passes_gopher") == 0)
+        .count()
+    )
+    boiler = final.filter(
+        F.col("text").contains("<")
+        | F.col("text").contains("var x=1")
+        | F.col("text").contains("color:red")
+        | F.col("text").contains("(c) corpus")
+    ).count()
+    want = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "),
+        F.trim(F.regexp_replace(F.col("__src_text"), "\\s+", " ")),
+    )
+    roundtrip_bad = (
+        stages["extracted"]
+        .join(d.select("doc_id", F.col("text").alias("__src_text")), "doc_id")
+        .filter(F.col("text") != want)
+        .count()
+    )
+    order = [
+        "fetched", "http_ok", "robots_allowed", "url_unique",
+        "extracted", "lang_kept", "gopher_kept", "final",
+    ]
+    escapees = 0
+    for prev, nxt in zip(order, order[1:]):
+        escapees += (
+            stages[nxt]
+            .select("doc_id")
+            .join(stages[prev].select("doc_id"), "doc_id", "left_anti")
+            .count()
+        )
+    # per-stage drops telescope to n_input - n_final by construction, so
+    # the conservation row's real content is the two NON-telescoping
+    # checks: extraction is exactly 1:1, and no stage GREW (a negative
+    # "drop" means a stage manufactured rows)
+    stage_counts = [n_input] + [counts[s] for s in order]
+    negative_drops = sum(
+        1 for a, b in zip(stage_counts, stage_counts[1:]) if b > a
+    )
+    conservation = negative_drops + abs(counts["url_unique"] - counts["extracted"])
+    rows = [
+        ("n_input", n_input),
+        ("n_robots_blocked", counts["http_ok"] - counts["robots_allowed"]),
+        ("n_url_dups_dropped", counts["robots_allowed"] - counts["url_unique"]),
+        ("fetch_failures", n_input - counts["fetched"]),
+        ("non_200_fetches", counts["fetched"] - counts["http_ok"]),
+        ("docs_not_in_source", not_in_source),
+        ("duplicate_doc_ids", dup_ids),
+        ("duplicate_canonical_urls", dup_canon),
+        ("robots_disallowed_in_output", robots_bad),
+        ("nonallowed_lang_in_output", bad_lang),
+        ("below_gopher_gate_in_output", below_gopher),
+        ("boilerplate_markers_in_output", boiler),
+        ("roundtrip_failures", roundtrip_bad),
+        ("stage_escapees", escapees),
+        ("doc_conservation_violations", conservation),
+    ]
+    return spark.createDataFrame(rows, "rule string, val long")

@@ -337,3 +337,120 @@ def token_budget_pack(
         .filter(F.col("cum_tokens") <= budget)
     )
     return out.select(id_col, group_col, "quality_score", "n_words", "cum_tokens")
+
+
+def crawl_corpus(
+    records: DataFrame,
+    robots: DataFrame,
+    id_col: str = "doc_id",
+    uri_col: str = "target_uri",
+    body_col: str = "body",
+    agent: str = "*",
+    languages: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> dict[str, DataFrame]:
+    """The end-to-end web-crawl → training-corpus pipeline (r10, VERDICT
+    r9 #3) as ONE declarative DataFrame program — the composition every
+    Tier-D crawl operator points at:
+
+        fetched records (``multimodal.parse_warc`` output)
+          → HTTP 200 gate
+          → robots politeness gate  (RFC 9309: ``text.robots_rules_grouped``
+                                     + ``text.robots_allowed_rep``)
+          → canonical-URL dedup     (``text.canonical_url``, keep min id)
+          → boilerplate strip       (``text.html_main_text``)
+          → language gate           (``text.language_id``)
+          → quality gate            (``text.gopher_rules``)
+          → MinHash near-dedup      (``dedup.dedup_corpus_minhash``)
+
+    Returns an ORDERED dict of the survivor frame after every stage
+    (keys: fetched, http_ok, robots_allowed, url_unique, extracted,
+    lang_kept, gopher_kept, final) so callers can audit per-stage
+    document conservation (the d116 invariants frame does exactly
+    that); ``final`` carries (id, uri, canonical_url, text,
+    predicted_lang).
+
+    Scale shape: the robots decision runs on a SLIM (id, host, path)
+    projection — response bodies never enter the decision aggregate's
+    shuffle — and survivors rejoin by id (left-semi). The URL-dedup
+    window partitions by canonical URL (corpus-wide cardinality, no
+    skew beyond genuine URL duplication). Extraction and both gates are
+    pure per-row codegen; only the final MinHash stage shuffles
+    signature bands. Every frame is lazy — materialize counts off the
+    returned dict, nothing is collected here."""
+    from ._scratch import scratch_persist
+
+    recs = records.select(
+        F.col(id_col), F.col(uri_col).alias("uri"),
+        F.col("http_status"), F.col(body_col).alias("__body"),
+    )
+    http_ok = recs.filter(F.col("http_status") == 200).drop("http_status")
+
+    host = F.regexp_extract("uri", "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    path0 = F.regexp_extract("uri", "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    slim = http_ok.select(id_col, host.alias("host"), path.alias("path"))
+    rules = text.robots_rules_grouped(robots, agent=agent)
+    allowed_ids = (
+        text.robots_allowed_rep(slim, rules, "host", "path")
+        .filter(F.col("allowed") == 1)
+        .select(id_col)
+    )
+    robots_ok = scratch_persist(
+        http_ok.join(allowed_ids, id_col, "left_semi"),
+        "crawl_corpus/robots_ok",
+    )
+
+    canon = text.canonical_url(F.col("uri"))
+    w = Window.partitionBy("canonical_url").orderBy(id_col)
+    url_unique = (
+        robots_ok.withColumn("canonical_url", canon)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    extracted = scratch_persist(
+        url_unique.withColumn(
+            "text", text.html_main_text(F.col("__body"))
+        ).drop("__body"),
+        "crawl_corpus/extracted",
+    )
+
+    lang_kept = scratch_persist(
+        text.language_id(extracted, "text").filter(
+            F.col("predicted_lang").isin(*languages)
+        ),
+        "crawl_corpus/lang_kept",
+    )
+
+    gate = text.gopher_rules(lang_kept, id_col, "text")
+    gopher_kept = scratch_persist(
+        lang_kept.join(
+            gate.filter(F.col("passes_gopher") == 1).select(id_col),
+            id_col,
+            "left_semi",
+        ),
+        "crawl_corpus/gopher_kept",
+    )
+
+    final = scratch_persist(
+        dedup.dedup_corpus_minhash(
+            gopher_kept, id_col, "text",
+            n_hashes=n_hashes, bands=bands,
+            jaccard_threshold=jaccard_threshold,
+        ),
+        "crawl_corpus/final",
+    )
+    return {
+        "fetched": recs,
+        "http_ok": http_ok,
+        "robots_allowed": robots_ok,
+        "url_unique": url_unique,
+        "extracted": extracted,
+        "lang_kept": lang_kept,
+        "gopher_kept": gopher_kept,
+        "final": final,
+    }

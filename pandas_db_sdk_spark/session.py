@@ -25,6 +25,13 @@ RUNTIME_CONFS = {
     # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp type,
     # so read the raw int64 and convert explicitly (io.Tables normalizes).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deep composed plans (the d116 crawl pipeline: warc walk → robots
+    # windows → lexicon-literal language ID → minhash, all one lineage)
+    # produce explain strings big enough that AQE's per-plan-update
+    # explainString OOMs a default-heap driver building the string alone.
+    # 1 MiB of explain text is plenty for debugging; past it, truncate
+    # instead of allocating gigabytes (r10).
+    "spark.sql.maxPlanStringLength": str(1024 * 1024),
 }
 
 

@@ -655,3 +655,127 @@ def test_robots_rules_and_longest_match_semantics(spark):
     )
     out = {r.id: r.allowed for r in text.robots_allowed(urls, rules).collect()}
     assert out == {1: 0, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+ROBOTS_RFC9309 = """User-agent: otherbot
+User-agent: thirdbot
+Disallow: /
+
+User-agent: corpusbot
+Disallow: /*.php$
+Disallow: /Docs/1/
+Allow: /Docs/1/page1.*
+Disallow: /Docs/*/page2.php
+Crawl-delay: 2
+Disallow:
+
+User-agent: *
+Disallow: /Docs/
+"""
+
+
+def test_robots_rules_grouped_agent_selection(spark):
+    """RFC 9309 group parsing: the corpusbot group is selected (case-
+    insensitive token match), decoy multi-UA and * groups ignored,
+    Crawl-delay noise and empty Disallow dropped."""
+    from pandas_db_sdk_spark import text
+
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_RFC9309)], "domain string, robots_txt string"
+    )
+    rules = text.robots_rules_grouped(robots, agent="CorpusBot")
+    got = {(r.rule_type, r.pattern) for r in rules.collect()}
+    assert got == {
+        ("disallow", "/*.php$"),
+        ("disallow", "/Docs/1/"),
+        ("allow", "/Docs/1/page1.*"),
+        ("disallow", "/Docs/*/page2.php"),
+    }
+    # no specific group for this agent -> the * group applies
+    fallback = text.robots_rules_grouped(robots, agent="nobody")
+    got = {(r.rule_type, r.pattern) for r in fallback.collect()}
+    assert got == {("disallow", "/Docs/")}
+    # adjacent UA lines share one group (otherbot AND thirdbot own /)
+    third = text.robots_rules_grouped(robots, agent="thirdbot")
+    got = {(r.rule_type, r.pattern) for r in third.collect()}
+    assert got == {("disallow", "/")}
+
+
+def test_robots_allowed_rep_wildcards_and_anchors(spark):
+    """Wildcard *, trailing-$ anchor, longest-pattern precedence, and
+    Allow-beats-Disallow-at-equal-length over the compiled regexes."""
+    from pandas_db_sdk_spark import text
+
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_RFC9309)], "domain string, robots_txt string"
+    )
+    rules = text.robots_rules_grouped(robots, agent="corpusbot")
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/Docs/1/page1.php"),      # 15-char allow beats both disallows
+            (2, "a.com", "/Docs/1/page3.html"),     # literal /Docs/1/ disallow
+            (3, "a.com", "/Docs/2/page2.php"),      # mid-pattern wildcard disallow
+            (4, "a.com", "/Docs/2/page3.php"),      # $-anchored wildcard disallow
+            (5, "a.com", "/Docs/2/page3.php.html"), # $ must NOT match mid-path
+            (6, "a.com", "/Docs/2/page3.html"),     # no corpusbot rule -> allowed
+            (7, "a.com", "/other"),                 # * group must not leak in
+        ],
+        "id long, host string, path string",
+    )
+    out = {r.id: r.allowed for r in text.robots_allowed_rep(urls, rules).collect()}
+    assert out == {1: 1, 2: 0, 3: 0, 4: 0, 5: 1, 6: 1, 7: 1}
+
+
+def test_crawl_corpus_stage_contract(spark):
+    """pipeline.crawl_corpus: exact deterministic funnel — robots blocks
+    the two /p/4 docs on h0.com, canonical dedup collapses the utm
+    variants to one per (host, path), extraction is 1:1, the shared
+    English body passes language + gopher gates, and MinHash absorbs the
+    19 identical survivors into one canonical doc."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark import multimodal, pipeline
+
+    base = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    sentence = (
+        "the quick brown fox jumps over the lazy dog and then the small "
+        "cat walks into the open field where the tall grass grows under "
+        "the warm sun while the old farmer watches from the wooden gate "
+        "near the quiet river that flows past the stone bridge toward "
+        "the distant hills beyond the green valley floor"
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.lit(sentence), F.lit("</p></body></html>")
+    )
+    uri = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 2).cast("string"),
+        F.lit(".com/p/"), (F.col("doc_id") % 20).cast("string"),
+        F.lit("?utm_source=x&v=1"),
+    )
+    files = multimodal.synth_warc(
+        base.select("doc_id", html.alias("html"), uri.alias("uri")),
+        "html", "uri", "doc_id",
+    )
+    parsed = multimodal.parse_warc(files, "payload", "doc_id")
+    robots = spark.createDataFrame(
+        [("h0.com", "User-agent: *\nDisallow: /p/4\n"),
+         ("h1.com", "User-agent: *\nDisallow:\n")],
+        "domain string, robots_txt string",
+    )
+    stages = pipeline.crawl_corpus(parsed, robots, languages=("en",))
+    counts = {k: v.count() for k, v in stages.items()}
+    # ids 4 and 24 are the only /p/4 docs on h0.com (even ids)
+    # canonical groups: (id%2, id%20) -> id%20 alone (parity follows), 20
+    # groups of 2, minus the fully-blocked group 4 -> 19 survivors
+    assert counts == {
+        "fetched": 40, "http_ok": 40, "robots_allowed": 38,
+        "url_unique": 19, "extracted": 19, "lang_kept": 19,
+        "gopher_kept": 19, "final": 1,
+    }
+    final = stages["final"]
+    for col in ("doc_id", "canonical_url", "text", "predicted_lang"):
+        assert col in final.columns
+    row = final.collect()[0]
+    assert row["doc_id"] == 0  # min-id canonical survives every stage
+    assert row["predicted_lang"] == "en"
+    assert "utm_source" not in row["canonical_url"]
