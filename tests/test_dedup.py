@@ -77,11 +77,19 @@ def test_connected_components_transitive(spark):
         [(2, 1), (2, 3), (10, 11), (5, 4), (6, 5), (7, 6), (8, 7)],
         "id_a long, id_b long",
     )
-    comp = {r.id: r.cluster for r in dedup.connected_components(pairs).collect()}
-    assert comp[1] == comp[2] == comp[3] == 1
-    assert comp[10] == comp[11] == 10
-    # path 4-5-6-7-8 (diameter 4) all collapse to 4
-    assert comp[4] == comp[5] == comp[6] == comp[7] == comp[8] == 4
+    # both execution paths must agree: the count-gated driver-side
+    # union-find (default) and the distributed label propagation
+    for thr in (100_000, 0):
+        comp = {
+            r.id: r.cluster
+            for r in dedup.connected_components(
+                pairs, local_threshold=thr
+            ).collect()
+        }
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == 10
+        # path 4-5-6-7-8 (diameter 4) all collapse to 4
+        assert comp[4] == comp[5] == comp[6] == comp[7] == comp[8] == 4
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -90,7 +98,7 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(300)], "id_a long, id_b long"
     )
-    comp = dedup.connected_components(pairs)
+    comp = dedup.connected_components(pairs, local_threshold=0)
     assert comp.select(F.countDistinct("cluster")).first()[0] == 1
     assert comp.filter(F.col("cluster") != 0).count() == 0
 
@@ -102,7 +110,7 @@ def test_connected_components_raises_instead_of_truncating(spark):
         [(i, i + 1) for i in range(4)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=1)
+        dedup.connected_components(pairs, max_iter=1, local_threshold=0)
 
 
 def test_minhash_estimate_prefilter_off_matches_on(spark, docs):

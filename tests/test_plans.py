@@ -879,7 +879,9 @@ def test_iterative_graph_stage_counts_stay_linear(spark):
     # rounds; same O(1)-lineage-per-round contract
     from pandas_db_sdk_spark import dedup
 
-    n_cc = stages_for(lambda: dedup.connected_components(edges))
+    n_cc = stages_for(
+        lambda: dedup.connected_components(edges, local_threshold=0)
+    )
     assert n_cc <= 170, f"connected_components executed {n_cc} stages"
 
 

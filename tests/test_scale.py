@@ -456,7 +456,10 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     edges = spark.range(511).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
-    got = dedup.connected_components(edges)  # default max_iter=30
+    # local_threshold=0: this test pins the DISTRIBUTED path's
+    # logarithmic convergence; the count-gated local path would
+    # bypass the propagation loop entirely
+    got = dedup.connected_components(edges, local_threshold=0)
     rows = got.agg(
         F.count("*").alias("n"), F.countDistinct("cluster").alias("k"),
         F.max("cluster").alias("mx"),
@@ -586,7 +589,9 @@ def test_cc_and_bfs_hub_star_rounds_degree_independent(spark):
         )
 
         def run_cc(edges=edges, n=n):
-            got = dedup.connected_components(edges, max_iter=8)
+            got = dedup.connected_components(
+                edges, max_iter=8, local_threshold=0
+            )
             rows = got.agg(
                 F.count("*").alias("cnt"),
                 F.countDistinct("cluster").alias("k"),
