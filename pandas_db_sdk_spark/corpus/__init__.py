@@ -440,7 +440,8 @@ _R10_STALE_FIRST = frozenset(
 # Queries ADDED in round 10 (never had a driver row).
 _R10_NEW = frozenset(
     """d114b_robots_wildcards d117_image_near_dup_clusters
-    d117b_image_cluster_guarantees d116_crawl_pipeline""".split()
+    d117b_image_cluster_guarantees d116_crawl_pipeline
+    d118_jpeg_restart_decode""".split()
 )
 
 

@@ -4451,9 +4451,9 @@ def d107(spark, sf_dir):
     )
 
 
-@q(
-    "d108_jpeg_decode",
-    """WITH dims AS (SELECT doc_id,
+# shared by d108 (plain scan) and d118 (restart intervals): the DRI/RSTn
+# machinery must be RESULT-INVISIBLE, so both decode to identical stats
+_JPEG_GRAY_ORACLE = """WITH dims AS (SELECT doc_id,
                      CAST(8 * (1 + doc_id % 3) AS INT) AS w,
                      CAST(8 * (1 + (2 * doc_id) % 3) AS INT) AS h
               FROM documents),
@@ -4471,8 +4471,10 @@ def d107(spark, sf_dir):
                          - (sum(v)::DOUBLE / count(*))
                            * (sum(v)::DOUBLE / count(*))), 6) AS std,
               CAST(sum(v * wgt) AS BIGINT) AS pos_sum
-       FROM px GROUP BY 1, 2, 3, 4, 5""",
-)
+       FROM px GROUP BY 1, 2, 3, 4, 5"""
+
+
+@q("d108_jpeg_decode", _JPEG_GRAY_ORACLE)
 def d108(spark, sf_dir):
     """D7-ext (r9): REAL baseline JPEG ENTROPY decode with no codec
     library — the lossy-codec stub closed for grayscale baseline JPEG.
@@ -5282,3 +5284,24 @@ def d116(spark, sf_dir):
         ("doc_conservation_violations", conservation),
     ]
     return spark.createDataFrame(rows, "rule string, val long")
+
+
+@q("d118_jpeg_restart_decode", _JPEG_GRAY_ORACLE)
+def d118(spark, sf_dir):
+    """Codec ladder, next rung (r10, VERDICT r9 #5): JPEG RESTART
+    INTERVALS — the resync machinery most real camera JPEGs carry
+    (T.81 §B.2.4.4/§E.2.4).  ``synth_jpeg_dri`` writes d108's exact
+    pixel content but with a DRI segment and the scan split into 2-MCU
+    intervals separated by cycling RST0–RST7 markers, each interval
+    byte-aligned (1-padded) with its DC predictor reset;
+    ``decode_jpeg_stats`` now honors DRI — segment-split unstuffing
+    with marker-cycle verification, per-interval predictor reset, and
+    hard failure on interval-count mismatch.  The oracle is d108's
+    VERBATIM (the d112/d113 isolation discipline): restart handling
+    must be result-invisible, so a predictor that fails to reset, a
+    swallowed RST marker, or a broken byte-align breaks d118 while
+    d108 stays green — isolating the restart path exactly.  Scale: two
+    chained mapInPandas stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_jpeg_dri(d, "doc_id", restart_interval=2)
+    return multimodal.decode_jpeg_stats(files, "payload", "doc_id")

@@ -989,12 +989,17 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _jpeg_encode_gray(coefs, qtable):
+def _jpeg_encode_gray(coefs, qtable, restart_interval: int = 0):
     """Encode a quantized-coefficient grid into a baseline grayscale JPEG.
 
     coefs: int array (by, bx, 8, 8) of QUANTIZED DCT coefficients in
     natural (row, col) order; qtable: int array (8, 8). Image dimensions
-    are (by·8, bx·8)."""
+    are (by·8, bx·8). ``restart_interval`` > 0 emits a DRI segment and
+    splits the scan into restart intervals (r10, d118): after every
+    ``restart_interval`` MCUs the bitstream byte-aligns (1-padded), an
+    RSTm marker (D0–D7, cycling) is written, and the DC predictor
+    resets — T.81 §B.2.4.4 / §E.2.4, the resync machinery most real
+    camera JPEGs carry."""
     import struct
 
     import numpy as np
@@ -1016,6 +1021,8 @@ def _jpeg_encode_gray(coefs, qtable):
     )  # SOF0 grayscale
     out += seg(0xC4, _dht_payload(0, 0, _JPEG_DC_LENGTHS))
     out += seg(0xC4, _dht_payload(1, 0, _JPEG_AC_LENGTHS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
 
     wtr = _BitWriter()
@@ -1028,8 +1035,15 @@ def _jpeg_encode_gray(coefs, qtable):
         return s, bits
 
     pred = 0
+    mcu = 0
     for y in range(by):
         for x in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += wtr.flush()  # byte-align (1-padded) before RSTm
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                wtr = _BitWriter()
+                pred = 0
+            mcu += 1
             block = coefs[y, x]
             dc = int(block[0, 0])
             diff = dc - pred
@@ -1067,8 +1081,12 @@ def _jpeg_encode_gray(coefs, qtable):
 
 def _jpeg_decode_gray(b):
     """Decode a baseline grayscale JPEG to a (h, w) uint8 pixel grid, or
-    None for anything out of scope (color, progressive, restart
-    intervals, 16-bit tables) or structurally broken."""
+    None for anything out of scope (color, progressive, 16-bit tables)
+    or structurally broken. Restart intervals ARE in scope (r10, d118):
+    a DRI segment arms per-interval decoding — the scan splits at RSTm
+    markers (whose D0–D7 cycle is verified), each interval byte-aligns
+    and resets the DC predictor, and an interval with the wrong MCU
+    count fails the decode rather than smearing blocks."""
     import struct
 
     import numpy as np
@@ -1081,6 +1099,7 @@ def _jpeg_decode_gray(b):
     huff = {}  # (class, id) -> {(code, length): symbol}
     w = h = None
     scan = None
+    ri = 0  # restart interval in MCUs; 0 = none
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             return None
@@ -1135,8 +1154,12 @@ def _jpeg_decode_gray(b):
             if samp != 0x11:
                 return None
             comp_q = tq
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xDD):
-            return None  # other SOF classes / restart intervals
+        elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                return None
+            (ri,) = struct.unpack(">H", payload[:2])
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            return None  # other SOF classes
         elif marker == 0xDA:
             td = payload[2] >> 4
             ta = payload[2] & 15
@@ -1151,19 +1174,28 @@ def _jpeg_decode_gray(b):
     if dc_tab is None or ac_tab is None:
         return None
 
-    # unstuff entropy-coded bytes up to EOI
-    data = bytearray()
+    # unstuff entropy-coded bytes up to EOI, splitting at RSTm markers
+    # into one byte-aligned segment per restart interval (the whole scan
+    # is one segment when DRI is absent); the D0-D7 marker cycle is
+    # verified — a skipped or duplicated restart is a hard decode fail
+    segments = [bytearray()]
     p = pos
     while p < len(b):
         byte = b[p]
         if byte == 0xFF:
             nxt = b[p + 1] if p + 1 < len(b) else None
             if nxt == 0x00:
-                data.append(0xFF)
+                segments[-1].append(0xFF)
+                p += 2
+                continue
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                if ri == 0 or (nxt - 0xD0) != (len(segments) - 1) % 8:
+                    return None  # RST without DRI, or out-of-cycle
+                segments.append(bytearray())
                 p += 2
                 continue
             break  # a real marker (EOI) ends the scan
-        data.append(byte)
+        segments[-1].append(byte)
         p += 1
 
     class Bits:
@@ -1205,11 +1237,20 @@ def _jpeg_decode_gray(b):
     q = qtables[comp_q]
     bx, by = (w + 7) // 8, (h + 7) // 8
     coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
-    rdr = Bits(bytes(data))
+    rdr = Bits(bytes(segments[0]))
     pred = 0
+    mcu = 0
+    seg_idx = 0
     try:
         for yb in range(by):
             for xb in range(bx):
+                if ri and mcu and mcu % ri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        return None  # fewer intervals than MCUs demand
+                    rdr = Bits(bytes(segments[seg_idx]))
+                    pred = 0
+                mcu += 1
                 s = rdr.huffman(dc_tab)
                 diff = extend(rdr.read(s), s)
                 pred += diff
@@ -1231,6 +1272,8 @@ def _jpeg_decode_gray(b):
                     k += 1
     except EOFError:
         return None
+    if seg_idx != len(segments) - 1:
+        return None  # more restart segments than the MCU count demands
 
     # dequant + separable IDCT + level shift
     alpha = np.full(8, np.sqrt(2.0 / 8.0))
@@ -1273,6 +1316,43 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for x in range(bx):
                     coefs[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
             return _jpeg_encode_gray(coefs, q)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), jpeg(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def synth_jpeg_dri(
+    df: DataFrame, id_col: str = "doc_id", restart_interval: int = 2
+) -> DataFrame:
+    """``synth_jpeg`` with RESTART INTERVALS (r10, d118): the identical
+    pixel content — width = 8·(1 + id%3), height = 8·(1 + (2·id)%3),
+    block DC = (5·id + 3·bx + 7·by) mod 21 − 10 — but the scan carries
+    a DRI segment and splits into ``restart_interval``-MCU intervals
+    separated by cycling RSTm markers, each byte-aligned with its DC
+    predictor reset.  Restart machinery must be RESULT-INVISIBLE, so
+    d118 reuses d108's oracle verbatim (the d112/d113 isolation trick):
+    a predictor that fails to reset, a mis-consumed RST marker, or a
+    broken byte-align breaks d118 while d108 stays green, isolating the
+    restart path.  Arrow-batched mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        q = np.full((8, 8), 16, dtype=np.int64)
+
+        def jpeg(i: int) -> bytes:
+            bx, by = 1 + i % 3, 1 + (2 * i) % 3
+            coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
+            for y in range(by):
+                for x in range(bx):
+                    coefs[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
+            return _jpeg_encode_gray(coefs, q, restart_interval=restart_interval)
 
         for pdf in batches:
             ids = pdf[id_col].astype(int)

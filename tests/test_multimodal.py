@@ -717,3 +717,38 @@ def test_ahash_hand_computed_and_perceptual_property(spark):
     full = (1 << 64) - 1
     inv = full ^ want
     assert (got[3].hash_lo, got[3].hash_hi) == (inv & 0xFFFFFFFF, inv >> 32)
+
+
+def test_jpeg_restart_intervals_result_invisible():
+    """DRI/RSTn (d118): restart intervals must decode to the IDENTICAL
+    image as the plain scan — including with AC coefficients, where the
+    per-interval DC predictor reset and byte-alignment both matter —
+    and malformed restart structure fails cleanly instead of smearing:
+    RST without DRI, an out-of-cycle marker, and a missing interval all
+    return None."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    rng = np.random.RandomState(7)
+    for i in range(12):
+        coefs = rng.randint(-30, 30, size=(3, 3, 8, 8)).astype(np.int64)
+        plain = _jpeg_decode_gray(_jpeg_encode_gray(coefs, q))
+        assert plain is not None
+        for ri in (1, 2, 3, 5, 100):
+            got = _jpeg_decode_gray(
+                _jpeg_encode_gray(coefs, q, restart_interval=ri)
+            )
+            assert got is not None and (got == plain).all(), (i, ri)
+
+    enc = _jpeg_encode_gray(coefs, q, restart_interval=2)
+    # strip the DRI segment: RST markers without DRI must fail
+    assert b"\xff\xdd\x00\x04\x00\x02" in enc
+    assert _jpeg_decode_gray(enc.replace(b"\xff\xdd\x00\x04\x00\x02", b"")) is None
+    # break the D0-D7 cycle: swap the first RST0 for RST5
+    assert b"\xff\xd0" in enc
+    assert _jpeg_decode_gray(enc.replace(b"\xff\xd0", b"\xff\xd5", 1)) is None
