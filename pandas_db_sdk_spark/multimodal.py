@@ -1590,6 +1590,145 @@ def resample_pcm_stats(
     )
 
 
+def sinc_taps(up: int, down: int, half: int = 4, scale: int = 1 << 14):
+    """Fixed-point POLYPHASE WINDOWED-SINC filter bank (r10, d119) —
+    how production resamplers actually run (SoX/speexdsp-style): one
+    integer tap row per output phase p ∈ 0..up−1, tap m ∈ −half+1..half
+    weighting input sample i0+m for an output at position i0 + p/up,
+    coefficient round(scale · sinc(d) · hann(d)) with d = m − p/up and
+    hann(d) = ½ + ½cos(πd/half). Pure ``math`` module (no numpy) so the
+    SAME call can build both the executor-side filter and the DuckDB
+    oracle's literal tap table — bit-identical by construction; the
+    float→int quantization happens HERE, once, and the certified
+    contract is the integer convolution. Phase 0 degenerates to the
+    identity tap row (sinc vanishes at nonzero integers), so aligned
+    outputs reproduce inputs exactly at DC gain ``scale``.
+
+    Upsampling form (cutoff at the input Nyquist): for down > up,
+    scale the cutoff by up/down before calling — documented, not
+    needed by the d119 tier."""
+    import math
+
+    taps = []
+    for ph in range(up):
+        frac = ph / up
+        row = []
+        for m in range(-half + 1, half + 1):
+            d = m - frac
+            if abs(d) >= half:
+                row.append(0)
+                continue
+            sinc = 1.0 if d == 0 else math.sin(math.pi * d) / (math.pi * d)
+            window = 0.5 + 0.5 * math.cos(math.pi * d / half)
+            row.append(round(scale * sinc * window))
+        taps.append(row)
+    return taps
+
+
+def resample_fir_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    up: int = 160,
+    down: int = 147,
+    taps=None,
+) -> DataFrame:
+    """Arbitrary-ratio polyphase FIR resampling (r10, d119) — the
+    windowed-sinc tier above d109's linear interpolation, at the
+    CD→DAT ratio 160/147 (44.1 kHz → 48 kHz) by default: parse the WAV
+    container (same RIFF walk as ``resample_pcm_stats``), then for
+    output j at input position j·down/up compute the PURE-INTEGER
+    convolution y_scaled[j] = Σ_m taps[phase][m] · s[i0+m] with
+    i0 = (j·down)//up, phase = (j·down) mod up, zero-padding outside
+    the signal. No float arithmetic anywhere past tap construction, so
+    the oracle replays every output sample exactly; the checksum
+    Σ y_scaled·(j+1) catches phase, boundary, and tap-selection errors.
+    Same output schema as the linear tier. Scale: pure mapInPandas,
+    zero shuffles, one output row per file."""
+    if taps is None:
+        taps = sinc_taps(up, down)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        C = np.asarray(taps, dtype=np.int64)  # (up, 2*half)
+        half = C.shape[1] // 2
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, sr, ch, bits, data = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt " and clen >= 16:
+                    codec, ch, sr, _, _, bits = struct.unpack(
+                        "<HHIIHH", b[pos + 8 : pos + 24]
+                    )
+                    if codec != 1:
+                        return None
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + clen]
+                    if len(data) != clen:
+                        return None
+                pos += 8 + clen + (clen & 1)
+            if sr is None or data is None or ch != 1 or bits != 16:
+                return None
+            return sr, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    got = parse(bytes(buf))
+                except Exception:
+                    got = None
+                if got is None:
+                    continue
+                sr, s = got
+                n = s.size
+                if n < 2:
+                    continue
+                n_out = ((n - 1) * up) // down + 1
+                j = np.arange(n_out, dtype=np.int64)
+                num = j * down
+                i0 = num // up
+                ph = num % up
+                pad = np.zeros(n + 2 * half - 1, dtype=np.int64)
+                pad[half - 1 : half - 1 + n] = s
+                ys = np.zeros(n_out, dtype=np.int64)
+                for t_idx, m in enumerate(range(-half + 1, half + 1)):
+                    ys += C[ph, t_idx] * pad[i0 + m + half - 1]
+                rows.append(
+                    (
+                        int(i),
+                        int(sr),
+                        int(sr * up // down),
+                        int(n),
+                        int(n_out),
+                        int(ys.sum()),
+                        int(ys.min()),
+                        int(ys.max()),
+                        int((ys * (j + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sr_in", "sr_out", "n_in", "n_out",
+                    "sum_scaled", "min_scaled", "max_scaled", "pos_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        f"{id_col} long, sr_in int, sr_out int, n_in long, n_out long, "
+        "sum_scaled long, min_scaled long, max_scaled long, pos_sum long",
+    )
+
+
 def _jpeg_encode_color_420(yc, cbc, crc, qt_luma, qt_chroma):
     """Encode quantized coefficient grids into a baseline YCbCr 4:2:0
     color JPEG — interleaved MCU scan (Y00 Y01 Y10 Y11 Cb Cr), separate

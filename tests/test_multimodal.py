@@ -752,3 +752,73 @@ def test_jpeg_restart_intervals_result_invisible():
     # break the D0-D7 cycle: swap the first RST0 for RST5
     assert b"\xff\xd0" in enc
     assert _jpeg_decode_gray(enc.replace(b"\xff\xd0", b"\xff\xd5", 1)) is None
+
+
+def test_sinc_taps_quantization_pins():
+    """The d119 filter bank's float→int quantization contract: phase 0
+    is the exact identity row (sinc vanishes at nonzero integers), tap
+    rows are time-reversed mirrors across complementary phases where
+    the lattice aligns, DC gain stays within quantization error of
+    scale, and the bank matches an independent numpy reconstruction."""
+    import math
+
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import sinc_taps
+
+    up, half, scale = 160, 4, 1 << 14
+    taps = sinc_taps(up, 147, half=half, scale=scale)
+    assert len(taps) == up and all(len(r) == 2 * half for r in taps)
+    # phase 0: identity — m=0 tap (index half-1) is scale, rest zero
+    assert taps[0] == [0, 0, 0, scale, 0, 0, 0, 0]
+    # DC gain: each row sums to scale within the Hann window's
+    # truncation ripple (an 8-tap bank leaves ~0.1% of the sinc tail
+    # outside the window) plus per-tap rounding — 0.5% of scale bounds
+    # both comfortably and still fails on any dropped/duplicated tap
+    for row in taps:
+        assert abs(sum(row) - scale) <= scale * 0.005, row
+    # independent reconstruction (numpy, different code path)
+    for ph in (1, 40, 80, 133):
+        d = np.arange(-half + 1, half + 1) - ph / up
+        sinc = np.sinc(d)  # np.sinc is sin(pi x)/(pi x)
+        win = 0.5 + 0.5 * np.cos(np.pi * d / half)
+        want = [round(scale * float(s * w)) for s, w in zip(sinc, win)]
+        assert taps[ph] == want, ph
+
+
+def test_resample_fir_matches_bruteforce(spark):
+    """The polyphase FIR output equals a brute-force per-sample
+    convolution over the same taps, including both zero-padded edges."""
+    import numpy as np
+
+    from pandas_db_sdk_spark import multimodal
+    from pandas_db_sdk_spark.multimodal import sinc_taps
+
+    up, down, half = 160, 147, 4
+    taps = sinc_taps(up, down, half=half)
+    base = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    files = multimodal.synth_pcm_wav(base, "doc_id")
+    got = {
+        r.doc_id: r
+        for r in multimodal.resample_fir_stats(
+            files, "payload", "doc_id", up=up, down=down, taps=taps
+        ).collect()
+    }
+    for i in range(6):
+        n = 256 + i % 64
+        a, b = 3 + i % 5, i % 97
+        s = ((a * np.arange(n, dtype=np.int64) + b) % 2048 - 1024)
+        n_out = ((n - 1) * up) // down + 1
+        ys = []
+        for j in range(n_out):
+            i0, ph = (j * down) // up, (j * down) % up
+            acc = 0
+            for t_idx, m in enumerate(range(-half + 1, half + 1)):
+                k = i0 + m
+                acc += taps[ph][t_idx] * (int(s[k]) if 0 <= k < n else 0)
+            ys.append(acc)
+        ys = np.array(ys, dtype=np.int64)
+        r = got[i]
+        assert (r.n_in, r.n_out) == (n, n_out)
+        assert r.sum_scaled == int(ys.sum())
+        assert r.pos_sum == int((ys * (np.arange(n_out) + 1)).sum())
