@@ -97,6 +97,12 @@ def main() -> None:
         ("q33_png_decode", "d105_png_decode"),
         ("q34_jpeg_decode", "d108_jpeg_decode"),
         ("q35_bpe_batched", "d106_bpe_batched_merges"),
+        # round-10 additions: image near-dup clustering (exact-collapse →
+        # distinct-signature banding → signature-space components), JPEG
+        # restart-interval decode, and the 160/147 polyphase sinc resample
+        ("q36_image_clusters", "d117_image_near_dup_clusters"),
+        ("q37_jpeg_restart", "d118_jpeg_restart_decode"),
+        ("q38_sinc_resample", "d119_audio_resample_sinc"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay

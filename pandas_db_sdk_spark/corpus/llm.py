@@ -4994,9 +4994,11 @@ _D117_COPY_OFFSET = 1 << 40
 def d117(spark, sf_dir):
     """Image near-dup CLUSTERING (r10, VERDICT r9 #4): visual dedup gets
     the same cluster/canonical contract text has — aHash 64-bit
-    signatures (d115) fed through the SimHash pigeonhole machinery
-    (``dedup.hamming_near_pairs``: Hamming-band blocking, band-count
-    equi-joins, never a crossJoin) and min-label connected components.
+    signatures (d115) fed through ``dedup.hamming_clusters`` — exact-
+    equal signatures collapse FIRST (a 10³-member identical-hash
+    cluster is ONE node, never 10⁶ pairs), the SimHash pigeonhole
+    banding runs over DISTINCT signatures only, components resolve in
+    signature-space, and member rows rejoin through the signature.
     The fixture corpus is each frame plus its corner-swapped near-dup
     (``synth_raw_rgb_swapped``: total intensity conserved, ≤ 2 of 64
     bits differ by construction), so every original MUST absorb its
@@ -5014,12 +5016,7 @@ def d117(spark, sf_dir):
     sigs = orig.select(F.col("doc_id").alias("id"), "sig").unionAll(
         swap.select((F.col("doc_id") + _D117_COPY_OFFSET).alias("id"), "sig")
     )
-    pairs = dedup.hamming_near_pairs(sigs, "id", "sig", max_hamming=3)
-    clusters = dedup.connected_components(pairs)
-    w = Window.partitionBy("cluster")
-    return clusters.select(
-        "id", "cluster", F.count("*").over(w).cast("long").alias("cluster_size")
-    )
+    return dedup.hamming_clusters(sigs, "id", "sig", max_hamming=3)
 
 
 @q(
@@ -5078,8 +5075,7 @@ def d117b(spark, sf_dir):
     sigs = orig.select(F.col("doc_id").alias("id"), "sig").unionAll(
         swap.select((F.col("doc_id") + _D117_COPY_OFFSET).alias("id"), "sig")
     )
-    pairs = dedup.hamming_near_pairs(sigs, "id", "sig", max_hamming=3)
-    clusters = dedup.connected_components(pairs)
+    clusters = dedup.hamming_clusters(sigs, "id", "sig", max_hamming=3)
     c_o = clusters.select(F.col("id").alias("doc_id"), F.col("cluster").alias("__c_o"))
     c_s = clusters.select(
         (F.col("id") - _D117_COPY_OFFSET).alias("doc_id"),

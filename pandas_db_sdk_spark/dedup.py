@@ -590,6 +590,60 @@ def hamming_near_pairs(
     )
 
 
+def hamming_clusters(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup CLUSTERS under Hamming distance over a 64-bit signature
+    column — the scale-correct composition above
+    :func:`hamming_near_pairs` (r10, d117): collapse EXACT-equal
+    signatures first (one groupBy — a 10³-member identical-hash cluster
+    contributes ONE node, not 10⁶ pairs), band only the DISTINCT
+    signatures, run connected components over signature-space, then
+    broadcast the component label back to members through the signature.
+    Emitting member-level pairs for an identical-hash cluster is
+    quadratic in the ANSWER; clusters are linear — this is the same
+    "singletons and duplicates never enter the pair stage" discipline
+    the MinHash tier documents. Returns (id, cluster, cluster_size) with
+    cluster = min id in the component, for every row whose component has
+    ≥ 2 members."""
+    from ._scratch import scratch_persist
+
+    sigs = scratch_persist(
+        sig_df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")),
+        "hamming_clusters/sigs",
+    )
+    reps = scratch_persist(
+        sigs.groupBy("__sig").agg(
+            F.min("id").alias("rep"), F.count("*").alias("__members")
+        ),
+        "hamming_clusters/reps",
+    )
+    pairs = hamming_near_pairs(reps, "rep", "__sig", max_hamming=max_hamming)
+    comp = connected_components(pairs)
+    # label every signature: its rep's component root where one exists,
+    # else the rep itself (exact-dup-only clusters have no near pair)
+    labeled = reps.join(
+        comp.select(F.col("id").alias("rep"), "cluster"), "rep", "left"
+    ).select(
+        "__sig",
+        "__members",
+        F.coalesce("cluster", F.col("rep")).alias("__root"),
+    )
+    # __root is already the component minimum id (comp labels by min rep,
+    # reps are per-signature min ids), so it IS the cluster label
+    w = Window.partitionBy("__root")
+    sized = labeled.withColumn("cluster_size", F.sum("__members").over(w)).filter(
+        F.col("cluster_size") >= 2
+    )
+    return sigs.join(
+        sized.select("__sig", F.col("__root").alias("cluster"), "cluster_size"),
+        "__sig",
+    ).select("id", "cluster", F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
 def char_ngrams(col, n: int = 3):
     """Distinct character n-grams of a string column, as a codegen'd HOF."""
     c = F.col(col) if isinstance(col, str) else col
