@@ -4145,9 +4145,9 @@ def d104(spark, sf_dir):
     )
 
 
-@q(
-    "d105_png_decode",
-    """WITH dims AS (SELECT doc_id,
+# shared by d105 (sequential scanlines) and d120 (Adam7 interlaced): the
+# pass layout must be RESULT-INVISIBLE, so both decode to identical stats
+_PNG_RGB_ORACLE = """WITH dims AS (SELECT doc_id,
                      CAST(6 + doc_id % 7 AS INT) AS w,
                      CAST(5 + (2 * doc_id) % 7 AS INT) AS h
               FROM documents),
@@ -4165,8 +4165,10 @@ def d104(spark, sf_dir):
                          - (sum(v)::DOUBLE / count(*))
                            * (sum(v)::DOUBLE / count(*))), 6) AS std,
               CAST(sum(v * wgt) AS BIGINT) AS pos_sum
-       FROM px GROUP BY 1, 2, 3, 4, 5""",
-)
+       FROM px GROUP BY 1, 2, 3, 4, 5"""
+
+
+@q("d105_png_decode", _PNG_RGB_ORACLE)
 def d105(spark, sf_dir):
     """D7-ext (r9, VERDICT r8 #3): REAL COMPRESSED-format decode with no
     codec library — Spark writes a valid zlib-DEFLATE PNG per document
@@ -5367,3 +5369,27 @@ def d119(spark, sf_dir):
     return multimodal.resample_fir_stats(
         files, "payload", "doc_id", up=160, down=147, taps=_D119_TAPS
     )
+
+
+@q("d120_png_adam7_decode", _PNG_RGB_ORACLE)
+def d120(spark, sf_dir):
+    """Codec ladder (r10): ADAM7 INTERLACED PNG — the progressive-
+    rendering layout (PNG spec §8.2): the image splits into SEVEN
+    reduced images on the 8×8 pass lattice, each independently
+    scanline-filtered (filters never cross a pass boundary), all seven
+    concatenated into ONE DEFLATE stream with empty passes contributing
+    nothing — not even filter bytes.  ``synth_png`` emits d105's exact
+    pixel content with ``interlace=True`` (per-pass rows still sweep
+    all five filter types; the 6–12 × 5–11 dimension sweep makes several
+    passes 1-pixel-wide or empty, exercising the lattice edge cases);
+    ``decode_png_stats``'s decoder now de-interlaces — per-pass
+    unfiltering via the shared ``_png_unfilter`` core, pixel scatter
+    back to the output lattice, hard fail on trailing/missing pass
+    bytes.  The oracle is d105's VERBATIM (the d112/d113/d118
+    isolation discipline): interlacing must be result-invisible, so a
+    pass-geometry slip, filter bleed across passes, or scatter error
+    breaks d120 while d105 stays green.  Scale: two chained
+    mapInPandas stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_png_adam7(d, "doc_id")
+    return multimodal.decode_png_stats(files, "payload", "doc_id")

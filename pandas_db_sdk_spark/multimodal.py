@@ -435,31 +435,30 @@ def synth_bmp_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
 
 
-def _png_encode_rgb(rgb, row_filter, idat_split: bool = False) -> bytes:
-    """Encode an (h, w, 3) uint8 pixel grid as a valid 8-bit truecolor
-    non-interlaced PNG: per-scanline filter chosen by ``row_filter(y)``
-    (0=None 1=Sub 2=Up 3=Average 4=Paeth, the spec's mod-256 byte
-    recurrences), zlib DEFLATE, CRC32-stamped chunks; ``idat_split``
-    splits the stream across two IDAT chunks (the concatenation rule)."""
-    import struct
-    import zlib
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_filter_rows(raw, row_filter) -> bytearray:
+    """Filter an (h, stride) uint8 scanline grid into the PNG on-wire
+    form — one filter-type byte + filtered bytes per row, the spec's
+    mod-256 recurrences (0=None 1=Sub 2=Up 3=Average 4=Paeth). Shared
+    by the sequential layout and each Adam7 reduced image (filters
+    never cross a pass boundary)."""
     import numpy as np
 
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
-        body = ctype + payload
-        return (
-            struct.pack(">I", len(payload))
-            + body
-            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
-        )
-
-    h, w = rgb.shape[0], rgb.shape[1]
-    raw = np.ascontiguousarray(rgb, dtype=np.uint8).reshape(h, w * 3)
     bpp = 3
     out = bytearray()
     prior = np.zeros(raw.shape[1], dtype=np.uint8)
-    for y in range(h):
+    for y in range(raw.shape[0]):
         cur = raw[y]
         left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
         ul = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
@@ -486,8 +485,50 @@ def _png_encode_rgb(rgb, row_filter, idat_split: bool = False) -> bytes:
         out.append(ftype)
         out.extend(enc.tobytes())
         prior = cur
+    return out
+
+
+def _png_encode_rgb(
+    rgb, row_filter, idat_split: bool = False, interlace: bool = False
+) -> bytes:
+    """Encode an (h, w, 3) uint8 pixel grid as a valid 8-bit truecolor
+    PNG: per-scanline filter chosen by ``row_filter(y)`` (0=None 1=Sub
+    2=Up 3=Average 4=Paeth, the spec's mod-256 byte recurrences), zlib
+    DEFLATE, CRC32-stamped chunks; ``idat_split`` splits the stream
+    across two IDAT chunks (the concatenation rule); ``interlace``
+    emits the ADAM7 layout (r10, d120) — seven independently-filtered
+    reduced images in pass order, empty passes contributing nothing
+    (not even filter bytes), one DEFLATE stream over the lot."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        body = ctype + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if interlace:
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = rgb[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out += _png_filter_rows(
+                np.ascontiguousarray(sub).reshape(sub.shape[0], -1), row_filter
+            )
+    else:
+        out = _png_filter_rows(rgb.reshape(h, w * 3), row_filter)
     stream = zlib.compress(bytes(out), 6)
-    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    ihdr = chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    )
     if idat_split and len(stream) > 8:
         mid = len(stream) // 2
         idat = chunk(b"IDAT", stream[:mid]) + chunk(b"IDAT", stream[mid:])
@@ -525,8 +566,9 @@ def _png_decode_rgb(b: bytes):
                 ">IIBBBBB", body[4:17]
             )
             # scope: 8-bit truecolor, deflate, adaptive filters,
-            # no interlace — anything else degrades to skip
-            if (depth, ctyp, comp, filt, inter) != (8, 2, 0, 0, 0):
+            # sequential OR Adam7 interlaced (r10) — anything else
+            # degrades to skip
+            if (depth, ctyp, comp, filt) != (8, 2, 0, 0) or inter not in (0, 1):
                 return None
             if w <= 0 or h <= 0:
                 return None
@@ -538,15 +580,47 @@ def _png_decode_rgb(b: bytes):
     if w is None or not idat:
         return None
     raw = zlib.decompress(bytes(idat))
+    if inter == 0:
+        recon = _png_unfilter(raw, 0, w, h)
+        if recon is None or len(raw) != h * (1 + w * 3):
+            return None
+        return w, h, recon.reshape(h, w, 3)
+    # Adam7 (r10, d120): seven reduced images back to back in the ONE
+    # inflated stream, each independently filtered; empty passes (a
+    # pass whose grid misses the image entirely) contribute no bytes
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        recon = _png_unfilter(raw, offset, pw, ph)
+        if recon is None:
+            return None
+        offset += ph * (1 + pw * 3)
+        out[y0::dy, x0::dx] = recon.reshape(ph, pw, 3)
+    if offset != len(raw):
+        return None  # trailing or missing pass data
+    return w, h, out
+
+
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int):
+    """Unfilter ``h`` scanlines of an 8-bit RGB image ``w`` pixels wide
+    starting at ``offset`` in the inflated stream (one filter byte +
+    w·3 data bytes per line), returning the (h, w·3) reconstruction or
+    None on a bad filter type / truncation. Shared by the sequential
+    layout and each Adam7 reduced image."""
+    import numpy as np
+
     bpp, stride = 3, w * 3
-    if len(raw) != h * (1 + stride):
+    if offset + h * (1 + stride) > len(raw):
         return None
     recon = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
-        )
-        ftype = raw[y * (1 + stride)]
+        base = offset + y * (1 + stride)
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1)
+        ftype = raw[base]
         prior = recon[y - 1] if y > 0 else np.zeros(stride, np.uint8)
         if ftype == 0:
             recon[y] = line
@@ -589,7 +663,7 @@ def _png_decode_rgb(b: bytes):
                 row[x0 : x0 + bpp] = (val % 256).astype(np.uint8)
         else:
             return None
-    return w, h, recon.reshape(h, w, 3)
+    return recon
 
 
 def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -621,6 +695,43 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             w, h = 6 + i % 7, 5 + (2 * i) % 7
             return _png_encode_rgb(
                 pixels(i, w, h), lambda y: (i + y) % 5, idat_split=i % 3 == 0
+            )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), png(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def synth_png_adam7(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``synth_png`` with the ADAM7 INTERLACED layout (r10, d120): the
+    identical dimensions and pixel content, but IHDR interlace=1 and
+    the IDAT stream carrying seven independently-filtered reduced
+    images in pass order (empty passes omitted entirely).  Interlacing
+    must be RESULT-INVISIBLE, so d120 reuses d105's oracle verbatim —
+    a pass-geometry or scatter bug breaks d120 while d105 stays green.
+    Arrow-batched mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def pixels(i: int, w: int, h: int) -> "np.ndarray":
+            y, x, c = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            return ((7 * i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+
+        def png(i: int) -> bytes:
+            w, h = 6 + i % 7, 5 + (2 * i) % 7
+            return _png_encode_rgb(
+                pixels(i, w, h),
+                lambda y: (i + y) % 5,
+                idat_split=i % 3 == 0,
+                interlace=True,
             )
 
         for pdf in batches:

@@ -822,3 +822,60 @@ def test_resample_fir_matches_bruteforce(spark):
         assert (r.n_in, r.n_out) == (n, n_out)
         assert r.sum_scaled == int(ys.sum())
         assert r.pos_sum == int((ys * (np.arange(n_out) + 1)).sum())
+
+
+def test_png_adam7_result_invisible_and_edge_passes():
+    """Adam7 (d120): the interlaced layout decodes to the identical
+    pixel grid as the sequential layout across dimension sweeps that
+    make passes 1-pixel-wide or EMPTY (1xN, Nx1, sub-8x8 images), and a
+    stream with trailing bytes past the last pass fails cleanly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import _png_decode_rgb, _png_encode_rgb
+
+    for i, (w, h) in enumerate(
+        [(1, 1), (1, 9), (9, 1), (3, 3), (7, 5), (8, 8), (12, 11), (16, 2)]
+    ):
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        rgb = ((7 * i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+        plain = _png_decode_rgb(_png_encode_rgb(rgb, lambda yy: (i + yy) % 5))
+        inter = _png_decode_rgb(
+            _png_encode_rgb(rgb, lambda yy: (i + yy) % 5, interlace=True)
+        )
+        assert plain is not None and inter is not None, (w, h)
+        assert (plain[2] == rgb).all() and (inter[2] == rgb).all(), (w, h)
+
+    # trailing garbage after the final pass: hard skip, never a wrong image
+    enc = bytearray(_png_encode_rgb(rgb, lambda yy: 0, interlace=True))
+    sig_len = 8
+    # rebuild with an IDAT carrying extra inflated bytes
+    pos = sig_len
+    parts = {}
+    while pos + 12 <= len(enc):
+        (ln,) = struct.unpack(">I", bytes(enc[pos : pos + 4]))
+        ctype = bytes(enc[pos + 4 : pos + 8])
+        parts[ctype] = bytes(enc[pos + 8 : pos + 8 + ln])
+        pos += 12 + ln
+    raw = zlib.decompress(parts[b"IDAT"]) + b"\x00"  # one stray byte
+    stream = zlib.compress(raw, 6)
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", parts[b"IHDR"])
+        + chunk(b"IDAT", stream)
+        + chunk(b"IEND", b"")
+    )
+    assert _png_decode_rgb(bad) is None
