@@ -124,7 +124,14 @@ def rare_token_edges(
         .agg(F.collect_set("id").alias("ids"))
         .filter((F.size("ids") >= min_df) & (F.size("ids") <= max_df))
     )
-    return (
+    from ._scratch import scratch_persist
+
+    # slot-pooled scratch (r10): the edge list is consumed several times
+    # by every caller — the adaptive gate's probe + collect, seed
+    # derivation, and the iterative loop's own edge cache — and across
+    # the d94/d95/d100/d65 family; without this each pass re-runs the
+    # explode + collect_set pipeline over the corpus
+    return scratch_persist(
         rare.select(
             F.explode(
                 F.expr(
@@ -135,7 +142,8 @@ def rare_token_edges(
             ).alias("p")
         )
         .select("p.*")
-        .distinct()
+        .distinct(),
+        "rare_token_edges/pairs",
     )
 
 
@@ -262,6 +270,50 @@ def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFr
     return n_e.crossJoin(F.broadcast(n_tri))
 
 
+def _local_frontier_relax(edge_rows, seed_ids, max_iter, step, algo_name):
+    """Driver-side frontier relaxation shared by the count-gated local
+    paths of :func:`bfs_hops` (step = constant 1) and
+    :func:`shortest_paths` (step = edge weight) — the SAME round-based
+    Bellman–Ford the distributed loop runs, including the round budget:
+    convergence past ``max_iter`` live rounds raises with the
+    distributed path's message, so local and distributed agree not just
+    on values but on the depth-bound contract the recursive-CTE oracles
+    rely on. Exact integer arithmetic throughout."""
+    adj: dict = {}
+    for row in edge_rows:
+        s, d = row[0], row[1]
+        w = int(row[2]) if step is None else step
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    messages = {
+        "shortest_paths": (
+            f"shortest_paths did not converge in {max_iter} rounds — some "
+            "shortest path uses more edges; raise max_iter for this graph"
+        ),
+        "bfs_hops": (
+            f"bfs_hops did not converge in {max_iter} rounds — seed-set "
+            f"eccentricity exceeds max_iter; raise it for this graph"
+        ),
+    }
+    dist = {sd: 0 for sd in seed_ids}
+    frontier = set(seed_ids)
+    rounds = 0
+    while frontier:
+        rounds += 1
+        if rounds > max_iter:
+            raise RuntimeError(messages[algo_name])
+        nxt = set()
+        for u in frontier:
+            du = dist[u]
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if v not in dist or nd < dist[v]:
+                    dist[v] = nd
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
 def shortest_paths(
     edges: DataFrame,
     seeds: DataFrame,
@@ -269,6 +321,7 @@ def shortest_paths(
     b: str = "id_b",
     weight: str = "w",
     max_iter: int = 30,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Single-source-set WEIGHTED shortest paths over an undirected edge
     list — Bellman–Ford frontier relaxation as pure DataFrame rounds; the
@@ -293,8 +346,29 @@ def shortest_paths(
     recursive-CTE oracle needs to be exhaustive. Raises after
     ``max_iter`` rounds with a live frontier instead of returning
     silently-truncated distances.
+
+    ADAPTIVE (r10, the connected_components discipline): at most
+    ``local_threshold`` edges — probed with an early-stopping limit
+    count — solve driver-side with the SAME round-counting Bellman–Ford
+    (exact long arithmetic, identical raise contract), replacing
+    rounds × 2 driver actions of distributed fixpoint with one bounded
+    collect. ``local_threshold=0`` pins the distributed path.
     """
     from ._scratch import scratch_persist
+
+    if local_threshold > 0:
+        probe = edges.select(a, b).limit(local_threshold + 1).count()
+        if probe <= local_threshold:
+            edge_rows = edges.select(
+                a, b, F.col(weight).cast("long")
+            ).collect()
+            seed_ids = [r[0] for r in seeds.distinct().collect()]
+            dist = _local_frontier_relax(
+                edge_rows, seed_ids, max_iter, None, "shortest_paths"
+            )
+            return edges.sparkSession.createDataFrame(
+                list(dist.items()), f"id {dict(edges.dtypes)[a]}, dist long"
+            )
 
     e = scratch_persist(
         edges.select(
@@ -352,6 +426,7 @@ def bfs_hops(
     a: str = "id_a",
     b: str = "id_b",
     max_iter: int = 30,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Minimum hop distance from a seed set over an undirected edge list —
     Pregel-style frontier relaxation as pure DataFrame rounds.
@@ -370,8 +445,24 @@ def bfs_hops(
     Raises after ``max_iter`` rounds with a live frontier instead of
     returning silently-truncated distances (the connected_components
     discipline — truncation is a correctness bug, not a degraded mode).
+
+    ADAPTIVE (r10): sub-``local_threshold`` edge tables solve
+    driver-side with the same round-counting relaxation (identical
+    raise contract); ``local_threshold=0`` pins the distributed path.
     """
     from ._scratch import scratch_persist
+
+    if local_threshold > 0:
+        probe = edges.select(a, b).limit(local_threshold + 1).count()
+        if probe <= local_threshold:
+            edge_rows = edges.select(a, b).collect()
+            seed_ids = [r[0] for r in seeds.distinct().collect()]
+            dist = _local_frontier_relax(
+                edge_rows, seed_ids, max_iter, 1, "bfs_hops"
+            )
+            return edges.sparkSession.createDataFrame(
+                list(dist.items()), f"id {dict(edges.dtypes)[a]}, hops int"
+            )
 
     # slot-pooled scratch: the doubled edge table is consumed every round
     # and across re-invocations (the connected_components discipline)

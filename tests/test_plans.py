@@ -869,10 +869,14 @@ def test_iterative_graph_stage_counts_stay_linear(spark):
     # <= 8 improving rounds on this chain. Budgets are ~2x the measured
     # O(rounds) stage totals (65 / 70 on a healthy build) and far below
     # the O(rounds^2) blowup a lineage regression produces (>300).
-    n_bfs = stages_for(lambda: graph.bfs_hops(edges, seeds, max_iter=12))
+    n_bfs = stages_for(
+        lambda: graph.bfs_hops(edges, seeds, max_iter=12, local_threshold=0)
+    )
     assert n_bfs <= 150, f"bfs_hops executed {n_bfs} stages for 5 rounds"
     n_sp = stages_for(
-        lambda: graph.shortest_paths(edges, seeds, max_iter=12)
+        lambda: graph.shortest_paths(
+            edges, seeds, max_iter=12, local_threshold=0
+        )
     )
     assert n_sp <= 170, f"shortest_paths executed {n_sp} stages"
     # connected components: a 64-node chain needs ~log2(64) compression

@@ -481,15 +481,23 @@ def test_bfs_hops_seed_density_bounds_rounds(spark):
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
     seeds = spark.range(0, 512, 16).select(F.col("id"))
-    got = {r.id: r.hops for r in graph.bfs_hops(edges, seeds).collect()}
-    assert len(got) == 512
-    assert all(
-        h == min(abs(i - s) for s in range(0, 512, 16)) for i, h in got.items()
-    )
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        graph.bfs_hops(
-            edges, spark.range(1).select(F.col("id")), max_iter=5
+    # both execution paths (r10): count-gated local relaxation (default)
+    # and the distributed frontier loop must agree on values AND raises
+    for thr in (100_000, 0):
+        got = {
+            r.id: r.hops
+            for r in graph.bfs_hops(edges, seeds, local_threshold=thr).collect()
+        }
+        assert len(got) == 512
+        assert all(
+            h == min(abs(i - s) for s in range(0, 512, 16))
+            for i, h in got.items()
         )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            graph.bfs_hops(
+                edges, spark.range(1).select(F.col("id")), max_iter=5,
+                local_threshold=thr,
+            )
 
 
 def test_shortest_paths_rounds_and_raise(spark):
@@ -509,7 +517,6 @@ def test_shortest_paths_rounds_and_raise(spark):
         (F.col("id") % 3 + 1).alias("w"),
     )
     seeds = spark.range(0, 256, 16).select(F.col("id"))
-    got = {r.id: r.dist for r in graph.shortest_paths(edges, seeds).collect()}
     w = [i % 3 + 1 for i in range(255)]
     pref = [0]
     for x in w:
@@ -518,17 +525,32 @@ def test_shortest_paths_rounds_and_raise(spark):
         i: min(abs(pref[i] - pref[s]) for s in range(0, 256, 16))
         for i in range(256)
     }
-    assert got == want
-
     ones = edges.withColumn("w", F.lit(1))
-    sp = {r.id: r.dist for r in graph.shortest_paths(ones, seeds).collect()}
-    bf = {r.id: r.hops for r in graph.bfs_hops(edges, seeds).collect()}
-    assert sp == bf
-
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        graph.shortest_paths(
-            edges, spark.range(1).select(F.col("id")), max_iter=5
-        )
+    # both execution paths (r10) must agree on values AND raises
+    for thr in (100_000, 0):
+        got = {
+            r.id: r.dist
+            for r in graph.shortest_paths(
+                edges, seeds, local_threshold=thr
+            ).collect()
+        }
+        assert got == want
+        sp = {
+            r.id: r.dist
+            for r in graph.shortest_paths(
+                ones, seeds, local_threshold=thr
+            ).collect()
+        }
+        bf = {
+            r.id: r.hops
+            for r in graph.bfs_hops(edges, seeds, local_threshold=thr).collect()
+        }
+        assert sp == bf
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            graph.shortest_paths(
+                edges, spark.range(1).select(F.col("id")), max_iter=5,
+                local_threshold=thr,
+            )
 
 
 def test_shortest_paths_hub_star_settles_in_two_rounds(spark):
@@ -544,7 +566,8 @@ def test_shortest_paths_hub_star_settles_in_two_rounds(spark):
         F.lit(0).alias("id_a"), F.col("id").alias("id_b"), F.lit(2).alias("w")
     )
     seeds = spark.range(1, 2).select(F.col("id"))
-    got = graph.shortest_paths(edges, seeds, max_iter=4)
+    # local_threshold=0: this pins the DISTRIBUTED round budget under skew
+    got = graph.shortest_paths(edges, seeds, max_iter=4, local_threshold=0)
     rows = got.groupBy("dist").count().orderBy("dist").collect()
     # leaf 1: 0; hub: 2; every other leaf: 4
     assert [(r.dist, r["count"]) for r in rows] == [(0, 1), (2, 1), (4, n - 1)]
@@ -601,7 +624,7 @@ def test_cc_and_bfs_hub_star_rounds_degree_independent(spark):
 
         def run_bfs(edges=edges, n=n):
             seeds = spark.range(1, 2).select(F.col("id"))
-            got = graph.bfs_hops(edges, seeds, max_iter=4)
+            got = graph.bfs_hops(edges, seeds, max_iter=4, local_threshold=0)
             dist = got.groupBy("hops").count().orderBy("hops").collect()
             assert [(r.hops, r["count"]) for r in dist] == [
                 (0, 1), (1, 1), (2, n - 1)
