@@ -5393,3 +5393,26 @@ def d120(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_png_adam7(d, "doc_id")
     return multimodal.decode_png_stats(files, "payload", "doc_id")
+
+
+@q("d121_jpeg_progressive_decode", _JPEG_GRAY_ORACLE)
+def d121(spark, sf_dir):
+    """Codec ladder (r10): PROGRESSIVE JPEG — the multi-scan layout
+    (SOF2, T.81 §G) web images actually ship: a DC scan followed by
+    spectral-selection AC band scans (1–5, 6–63 here), each a
+    non-interleaved single-component entropy segment, coefficients
+    ACCUMULATED across scans before one dequant/IDCT.  The decoder
+    (``_jpeg_decode_gray_progressive``) walks every scan header,
+    handles general EOBRUN (EOBn symbols skipping 2ⁿ+ext end-of-band
+    blocks), enforces the spec's one-scan-per-coefficient rule, and
+    skips successive-approximation scans (Ah/Al ≠ 0 — the documented
+    next rung) rather than mis-decoding them.  The oracle is d108's
+    VERBATIM (the d118/d120 isolation discipline): scan structure must
+    be result-invisible, so a band-bookkeeping slip, EOBRUN
+    miscount, or DC-chain break isolates to this row while d108/d118
+    stay green; random-AC multi-band scans are unit-pinned against the
+    baseline decode of the same coefficients.  Scale: two chained
+    mapInPandas stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_jpeg_progressive(d, "doc_id")
+    return multimodal.decode_jpeg_stats(files, "payload", "doc_id")

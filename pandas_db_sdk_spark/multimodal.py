@@ -1386,7 +1386,16 @@ def _jpeg_decode_gray(b):
     if seg_idx != len(segments) - 1:
         return None  # more restart segments than the MCU count demands
 
-    # dequant + separable IDCT + level shift
+    return _jpeg_idct_gray(coefs, q, w, h)
+
+
+def _jpeg_idct_gray(coefs, q, w, h):
+    """Dequant + separable IDCT + level shift for a (by, bx, 8, 8)
+    quantized-coefficient grid — shared by the baseline (sequential
+    scan) and progressive (multi-scan accumulated) decoders."""
+    import numpy as np
+
+    by, bx = coefs.shape[0], coefs.shape[1]
     alpha = np.full(8, np.sqrt(2.0 / 8.0))
     alpha[0] = np.sqrt(1.0 / 8.0)
     xs = np.arange(8)
@@ -1398,6 +1407,286 @@ def _jpeg_decode_gray(b):
     pix = np.clip(pix, 0, 255).astype(np.uint8)
     img = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
     return img[:h, :w]
+
+
+def _jpeg_put_amplitude(v: int):
+    """JPEG magnitude coding: category s = bit_length(|v|); negatives
+    are stored as v + 2^s − 1."""
+    s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _jpeg_encode_gray_progressive(coefs, qtable, bands=((1, 5), (6, 63))):
+    """Encode a quantized-coefficient grid as a PROGRESSIVE grayscale
+    JPEG (SOF2) using SPECTRAL SELECTION (r10, d121): a DC scan
+    (Ss=Se=0) followed by one AC scan per ``bands`` entry, each a
+    non-interleaved single-component scan over its zigzag band with
+    run-length/ZRL coding and EOB terminating the band remainder —
+    T.81 §G.1, the Ah=Al=0 (no successive approximation) progressive
+    mode. The union of bands must cover 1..63."""
+    import struct
+
+    zz = _jpeg_zigzag()
+    by, bx = coefs.shape[0], coefs.shape[1]
+    h, w = by * 8, bx * 8
+    dc_codes = _canonical_codes(_JPEG_DC_LENGTHS)
+    ac_codes = _canonical_codes(_JPEG_AC_LENGTHS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")
+    qzz = bytes(int(qtable[r][c]) for r, c in zz)
+    out += seg(0xDB, bytes([0x00]) + qzz)
+    out += seg(
+        0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    )  # SOF2 progressive grayscale
+    out += seg(0xC4, _dht_payload(0, 0, _JPEG_DC_LENGTHS))
+    out += seg(0xC4, _dht_payload(1, 0, _JPEG_AC_LENGTHS))
+
+    # DC scan — identical diff chain to baseline (Ah=Al=0)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    wtr = _BitWriter()
+    pred = 0
+    for y in range(by):
+        for x in range(bx):
+            dc = int(coefs[y, x, 0, 0])
+            diff = dc - pred
+            pred = dc
+            if diff == 0:
+                c, ln = dc_codes[0]
+                wtr.write(c, ln)
+            else:
+                s, bits = _jpeg_put_amplitude(diff)
+                c, ln = dc_codes[s]
+                wtr.write(c, ln)
+                wtr.write(bits, s)
+    out += wtr.flush()
+
+    # AC band scans — EOB (run length 1) terminates each block's band
+    for ss, se in bands:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, 0]))
+        wtr = _BitWriter()
+        for y in range(by):
+            for x in range(bx):
+                block = coefs[y, x]
+                vals = [int(block[r][cc]) for r, cc in zz[ss : se + 1]]
+                run = 0
+                for v in vals:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        c, ln = ac_codes[0xF0]  # ZRL
+                        wtr.write(c, ln)
+                        run -= 16
+                    s, bits = _jpeg_put_amplitude(v)
+                    c, ln = ac_codes[(run << 4) | s]
+                    wtr.write(c, ln)
+                    wtr.write(bits, s)
+                    run = 0
+                if run:
+                    c, ln = ac_codes[0x00]  # EOB0: end-of-band, run 1
+                    wtr.write(c, ln)
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decode_gray_progressive(b):
+    """Decode a PROGRESSIVE grayscale JPEG (SOF2, spectral selection,
+    Ah=Al=0) to a (h, w) uint8 grid, or None when out of scope
+    (successive approximation, color, restart intervals) or broken:
+    multi-scan marker walk accumulating coefficients — the DC scan's
+    diff chain plus per-band AC scans with general EOBRUN handling
+    (EOBn symbols with n extension bits skip 2ⁿ+ext end-of-band
+    blocks, T.81 §G.2) — then the shared dequant/IDCT tail. Each band
+    must arrive at most once per coefficient (spec: a coefficient
+    appears in exactly one spectral-selection scan)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    zz = _jpeg_zigzag()
+    pos = 2
+    qtables = {}
+    huff = {}
+    w = h = None
+    comp_q = None
+    scans = []  # (td, ta, ss, se, ah, al, data)
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            return None
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    return None
+                vals = payload[p + 1 : p + 65]
+                if len(vals) != 64:
+                    return None
+                q = np.zeros((8, 8), dtype=np.int64)
+                for (r, c), v in zip(zz, vals):
+                    q[r, c] = v
+                qtables[tq] = q
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                counts = payload[p + 1 : p + 17]
+                nsym = sum(counts)
+                syms = payload[p + 17 : p + 17 + nsym]
+                if len(syms) != nsym:
+                    return None
+                table = {}
+                code = 0
+                k = 0
+                for lln in range(1, 17):
+                    for _ in range(counts[lln - 1]):
+                        table[(code, lln)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + nsym
+        elif marker == 0xC2:
+            prec = payload[0]
+            h, w = struct.unpack(">HH", payload[1:5])
+            if prec != 8 or payload[5] != 1 or payload[7] != 0x11:
+                return None
+            comp_q = payload[8]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xDD):
+            return None  # baseline/other SOF here, or DRI (out of scope)
+        elif marker == 0xDA:
+            if payload[0] != 1:
+                return None  # single-component scans only (grayscale)
+            td, ta = payload[2] >> 4, payload[2] & 15
+            ss, se = payload[3], payload[4]
+            ah, al = payload[5] >> 4, payload[5] & 15
+            # entropy data runs to the next real marker
+            data = bytearray()
+            p = pos + 2 + ln
+            while p < len(b):
+                byte = b[p]
+                if byte == 0xFF:
+                    nxt = b[p + 1] if p + 1 < len(b) else None
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        p += 2
+                        continue
+                    break
+                data.append(byte)
+                p += 1
+            scans.append((td, ta, ss, se, ah, al, bytes(data)))
+            pos = p
+            continue
+        pos += 2 + ln
+    if w is None or comp_q not in qtables or not scans:
+        return None
+
+    class Bits:
+        def __init__(self, buf):
+            self.buf = buf
+            self.pos = 0
+
+        def read1(self):
+            byte_i, bit_i = self.pos >> 3, self.pos & 7
+            if byte_i >= len(self.buf):
+                raise EOFError
+            self.pos += 1
+            return (self.buf[byte_i] >> (7 - bit_i)) & 1
+
+        def read(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read1()
+            return v
+
+        def huffman(self, table):
+            code, lln = 0, 0
+            while lln < 16:
+                code = (code << 1) | self.read1()
+                lln += 1
+                sym = table.get((code, lln))
+                if sym is not None:
+                    return sym
+            raise EOFError
+
+    def extend(bits, s):
+        if s == 0:
+            return 0
+        if bits >> (s - 1):
+            return bits
+        return bits - (1 << s) + 1
+
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
+    seen = [False] * 64  # each zigzag index decoded by exactly one scan
+    try:
+        for td, ta, ss, se, ah, al, data in scans:
+            if ah != 0 or al != 0:
+                return None  # successive approximation out of scope
+            if se > 63 or ss > se or any(seen[ss : se + 1]):
+                return None
+            for k in range(ss, se + 1):
+                seen[k] = True
+            rdr = Bits(data)
+            if ss == 0:
+                if se != 0:
+                    return None  # DC and AC never share a scan (spec)
+                dc_tab = huff.get((0, td))
+                if dc_tab is None:
+                    return None
+                pred = 0
+                for yb in range(by):
+                    for xb in range(bx):
+                        s = rdr.huffman(dc_tab)
+                        pred += extend(rdr.read(s), s)
+                        coefs[yb, xb, 0, 0] = pred
+            else:
+                ac_tab = huff.get((1, ta))
+                if ac_tab is None:
+                    return None
+                eobrun = 0
+                for yb in range(by):
+                    for xb in range(bx):
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = rdr.huffman(ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                # EOBn: run of 2^r + ext end-of-band blocks
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rdr.read(r)
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            rr, cc = zz[k]
+                            coefs[yb, xb, rr, cc] = extend(rdr.read(s), s)
+                            k += 1
+    except EOFError:
+        return None
+    return _jpeg_idct_gray(coefs, qtables[comp_q], w, h)
 
 
 def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1427,6 +1716,36 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for x in range(bx):
                     coefs[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
             return _jpeg_encode_gray(coefs, q)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), jpeg(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def synth_jpeg_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``synth_jpeg`` in the PROGRESSIVE layout (r10, d121): identical
+    pixel content, but SOF2 with a DC scan + two spectral-selection AC
+    band scans (1–5, 6–63).  The scan structure must be
+    RESULT-INVISIBLE, so d121 reuses d108's oracle verbatim (the
+    d118/d120 isolation discipline).  Arrow-batched mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        q = np.full((8, 8), 16, dtype=np.int64)
+
+        def jpeg(i: int) -> bytes:
+            bx, by = 1 + i % 3, 1 + (2 * i) % 3
+            coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
+            for y in range(by):
+                for x in range(bx):
+                    coefs[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
+            return _jpeg_encode_gray_progressive(coefs, q)
 
         for pdf in batches:
             ids = pdf[id_col].astype(int)
@@ -1501,8 +1820,12 @@ def decode_jpeg_stats(
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                # baseline first (its marker walk exits cheaply at SOF2),
+                # then the progressive decoder (r10, d121)
                 try:
                     img = _jpeg_decode_gray(bytes(buf))
+                    if img is None:
+                        img = _jpeg_decode_gray_progressive(bytes(buf))
                 except Exception:
                     img = None
                 if img is None:

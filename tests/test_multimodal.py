@@ -879,3 +879,34 @@ def test_png_adam7_result_invisible_and_edge_passes():
         + chunk(b"IEND", b"")
     )
     assert _png_decode_rgb(bad) is None
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (d121): spectral-selection scans decode to the
+    IDENTICAL image as the baseline encoding of the same coefficients —
+    across band splits, with random AC content (EOBRUN/ZRL/run paths) —
+    and each decoder rejects the other's SOF class."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_decode_gray_progressive,
+        _jpeg_encode_gray,
+        _jpeg_encode_gray_progressive,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    rng = np.random.RandomState(11)
+    for i in range(10):
+        coefs = rng.randint(-30, 30, size=(3, 3, 8, 8)).astype(np.int64)
+        base = _jpeg_decode_gray(_jpeg_encode_gray(coefs, q))
+        assert base is not None
+        for bands in (((1, 5), (6, 63)), ((1, 63),), ((1, 2), (3, 20), (21, 63))):
+            prog = _jpeg_decode_gray_progressive(
+                _jpeg_encode_gray_progressive(coefs, q, bands=bands)
+            )
+            assert prog is not None and (prog == base).all(), (i, bands)
+    enc_p = _jpeg_encode_gray_progressive(coefs, q)
+    enc_b = _jpeg_encode_gray(coefs, q)
+    assert _jpeg_decode_gray(enc_p) is None
+    assert _jpeg_decode_gray_progressive(enc_b) is None
