@@ -442,7 +442,8 @@ _R10_NEW = frozenset(
     """d114b_robots_wildcards d117_image_near_dup_clusters
     d117b_image_cluster_guarantees d116_crawl_pipeline
     d118_jpeg_restart_decode d119_audio_resample_sinc
-    d120_png_adam7_decode d121_jpeg_progressive_decode""".split()
+    d120_png_adam7_decode d121_jpeg_progressive_decode
+    d122_png_palette_decode""".split()
 )
 
 

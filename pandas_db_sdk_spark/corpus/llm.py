@@ -5416,3 +5416,21 @@ def d121(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_jpeg_progressive(d, "doc_id")
     return multimodal.decode_jpeg_stats(files, "payload", "doc_id")
+
+
+@q("d122_png_palette_decode", _PNG_RGB_ORACLE)
+def d122(spark, sf_dir):
+    """Codec ladder (r10): INDEXED-COLOR (palette) PNG — color type 3,
+    the icon/sprite/screenshot layout: a PLTE chunk of unique colors
+    and 1-byte-per-pixel filtered INDEX scanlines (the five filters run
+    at bpp=1, so Sub's left neighbor is the adjacent index, not the
+    adjacent channel — a bpp slip corrupts every filtered row).  The
+    decoder maps indices through the palette after unfiltering and
+    hard-skips on a missing PLTE or an index past the palette (never
+    garbage pixels).  The oracle is d105's VERBATIM (palette
+    indirection certified result-invisible — the d118/d120/d121
+    isolation discipline).  Scale: two chained mapInPandas stages,
+    zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_png_palette(d, "doc_id")
+    return multimodal.decode_png_stats(files, "payload", "doc_id")

@@ -447,15 +447,14 @@ _ADAM7 = (
 )
 
 
-def _png_filter_rows(raw, row_filter) -> bytearray:
+def _png_filter_rows(raw, row_filter, bpp: int = 3) -> bytearray:
     """Filter an (h, stride) uint8 scanline grid into the PNG on-wire
     form — one filter-type byte + filtered bytes per row, the spec's
     mod-256 recurrences (0=None 1=Sub 2=Up 3=Average 4=Paeth). Shared
-    by the sequential layout and each Adam7 reduced image (filters
-    never cross a pass boundary)."""
+    by the sequential layout, each Adam7 reduced image (filters never
+    cross a pass boundary), and the palette layout (bpp=1)."""
     import numpy as np
 
-    bpp = 3
     out = bytearray()
     prior = np.zeros(raw.shape[1], dtype=np.uint8)
     for y in range(raw.shape[0]):
@@ -489,7 +488,11 @@ def _png_filter_rows(raw, row_filter) -> bytearray:
 
 
 def _png_encode_rgb(
-    rgb, row_filter, idat_split: bool = False, interlace: bool = False
+    rgb,
+    row_filter,
+    idat_split: bool = False,
+    interlace: bool = False,
+    palette: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 pixel grid as a valid 8-bit truecolor
     PNG: per-scanline filter chosen by ``row_filter(y)`` (0=None 1=Sub
@@ -514,7 +517,21 @@ def _png_encode_rgb(
 
     h, w = rgb.shape[0], rgb.shape[1]
     rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
-    if interlace:
+    plte = b""
+    if palette:
+        # indexed color (type 3, r10 d122): unique colors in lexicographic
+        # order form the PLTE; scanlines carry 1-byte indices (bpp=1)
+        if interlace:
+            raise ValueError("palette + Adam7 not supported by this encoder")
+        colors, inverse = np.unique(
+            rgb.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        if colors.shape[0] > 256:
+            raise ValueError(f"palette overflow: {colors.shape[0]} colors")
+        idx = inverse.astype(np.uint8).reshape(h, w)
+        out = _png_filter_rows(idx, row_filter, bpp=1)
+        plte = chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+    elif interlace:
         out = bytearray()
         for x0, y0, dx, dy in _ADAM7:
             sub = rgb[y0::dy, x0::dx]
@@ -527,14 +544,17 @@ def _png_encode_rgb(
         out = _png_filter_rows(rgb.reshape(h, w * 3), row_filter)
     stream = zlib.compress(bytes(out), 6)
     ihdr = chunk(
-        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+        b"IHDR",
+        struct.pack(
+            ">IIBBBBB", w, h, 8, 3 if palette else 2, 0, 0, 1 if interlace else 0
+        ),
     )
     if idat_split and len(stream) > 8:
         mid = len(stream) // 2
         idat = chunk(b"IDAT", stream[:mid]) + chunk(b"IDAT", stream[mid:])
     else:
         idat = chunk(b"IDAT", stream)
-    return b"\x89PNG\r\n\x1a\n" + ihdr + idat + chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + ihdr + plte + idat + chunk(b"IEND", b"")
 
 
 def _png_decode_rgb(b: bytes):
@@ -549,6 +569,7 @@ def _png_decode_rgb(b: bytes):
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos, w = 8, None
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(b):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
@@ -565,13 +586,24 @@ def _png_decode_rgb(b: bytes):
             w, h, depth, ctyp, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", body[4:17]
             )
-            # scope: 8-bit truecolor, deflate, adaptive filters,
-            # sequential OR Adam7 interlaced (r10) — anything else
-            # degrades to skip
-            if (depth, ctyp, comp, filt) != (8, 2, 0, 0) or inter not in (0, 1):
+            # scope: 8-bit truecolor (sequential or Adam7) and 8-bit
+            # palette (sequential, r10 d122) — anything else degrades
+            # to skip
+            if (
+                depth != 8
+                or ctyp not in (2, 3)
+                or comp != 0
+                or filt != 0
+                or inter not in (0, 1)
+                or (ctyp == 3 and inter != 0)
+            ):
                 return None
             if w <= 0 or h <= 0:
                 return None
+        elif ctype == b"PLTE":
+            if ln % 3 != 0 or ln == 0 or ln > 768:
+                return None
+            plte = np.frombuffer(body[4:], dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body[4:])
         elif ctype == b"IEND":
@@ -580,6 +612,18 @@ def _png_decode_rgb(b: bytes):
     if w is None or not idat:
         return None
     raw = zlib.decompress(bytes(idat))
+    if ctyp == 3:
+        # indexed color: unfilter 1-byte indices, then map through PLTE;
+        # an index past the palette is a hard skip, never garbage pixels
+        if plte is None:
+            return None
+        recon = _png_unfilter(raw, 0, w, h, bpp=1)
+        if recon is None or len(raw) != h * (1 + w):
+            return None
+        idx = recon.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            return None
+        return w, h, plte[idx]
     if inter == 0:
         recon = _png_unfilter(raw, 0, w, h)
         if recon is None or len(raw) != h * (1 + w * 3):
@@ -605,15 +649,16 @@ def _png_decode_rgb(b: bytes):
     return w, h, out
 
 
-def _png_unfilter(raw: bytes, offset: int, w: int, h: int):
-    """Unfilter ``h`` scanlines of an 8-bit RGB image ``w`` pixels wide
-    starting at ``offset`` in the inflated stream (one filter byte +
-    w·3 data bytes per line), returning the (h, w·3) reconstruction or
-    None on a bad filter type / truncation. Shared by the sequential
-    layout and each Adam7 reduced image."""
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int = 3):
+    """Unfilter ``h`` scanlines of an 8-bit image ``w`` pixels wide at
+    ``bpp`` bytes per pixel starting at ``offset`` in the inflated
+    stream (one filter byte + w·bpp data bytes per line), returning the
+    (h, w·bpp) reconstruction or None on a bad filter type /
+    truncation. Shared by the sequential layout, each Adam7 reduced
+    image, and the palette layout (bpp=1)."""
     import numpy as np
 
-    bpp, stride = 3, w * 3
+    stride = w * bpp
     if offset + h * (1 + stride) > len(raw):
         return None
     recon = np.zeros((h, stride), dtype=np.uint8)
@@ -732,6 +777,42 @@ def synth_png_adam7(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 lambda y: (i + y) % 5,
                 idat_split=i % 3 == 0,
                 interlace=True,
+            )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), png(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def synth_png_palette(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``synth_png`` in the INDEXED-COLOR layout (r10, d122): identical
+    pixel content, but IHDR color type 3 with a PLTE of the image's
+    unique colors (≤132 pixels ⇒ ≤132 entries, lexicographic order) and
+    1-byte-per-pixel filtered index scanlines. Palette indirection must
+    be RESULT-INVISIBLE, so d122 reuses d105's oracle verbatim.
+    Arrow-batched mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def pixels(i: int, w: int, h: int) -> "np.ndarray":
+            y, x, c = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            return ((7 * i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+
+        def png(i: int) -> bytes:
+            w, h = 6 + i % 7, 5 + (2 * i) % 7
+            return _png_encode_rgb(
+                pixels(i, w, h),
+                lambda y: (i + y) % 5,
+                idat_split=i % 3 == 0,
+                palette=True,
             )
 
         for pdf in batches:

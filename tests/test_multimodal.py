@@ -910,3 +910,56 @@ def test_jpeg_progressive_matches_baseline():
     enc_b = _jpeg_encode_gray(coefs, q)
     assert _jpeg_decode_gray(enc_p) is None
     assert _jpeg_decode_gray_progressive(enc_b) is None
+
+
+def test_png_palette_roundtrip_and_guards():
+    """Palette PNG (d122): indexed encoding decodes to the identical
+    pixel grid (filters at bpp=1), >256 distinct colors refuses to
+    encode, and a truncated PLTE (index out of range) hard-skips."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import _png_decode_rgb, _png_encode_rgb
+
+    for i in range(12):
+        w, h = 6 + i % 7, 5 + (2 * i) % 7
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        rgb = ((7 * i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+        pal = _png_decode_rgb(
+            _png_encode_rgb(rgb, lambda yy: (i + yy) % 5, palette=True)
+        )
+        assert pal is not None and (pal[2] == rgb).all(), i
+
+    k = np.arange(300)
+    colors = np.stack([k % 256, k // 256, np.full(300, 7)], axis=1).astype(
+        np.uint8
+    )
+    img = np.vstack([colors, colors[:60]]).reshape(20, 18, 3)
+    with pytest.raises(ValueError, match="palette overflow"):
+        _png_encode_rgb(img, lambda yy: 0, palette=True)
+
+    enc = bytearray(_png_encode_rgb(rgb, lambda yy: 0, palette=True))
+    pos, parts = 8, []
+    while pos + 12 <= len(enc):
+        (ln,) = struct.unpack(">I", bytes(enc[pos : pos + 4]))
+        parts.append(
+            (bytes(enc[pos + 4 : pos + 8]), bytes(enc[pos + 8 : pos + 8 + ln]))
+        )
+        pos += 12 + ln
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (
+            struct.pack(">I", len(payload))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    bad = b"\x89PNG\r\n\x1a\n" + b"".join(
+        chunk(t, p[:-30] if t == b"PLTE" else p) for t, p in parts
+    )
+    assert _png_decode_rgb(bad) is None
