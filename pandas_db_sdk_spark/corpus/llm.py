@@ -5434,3 +5434,26 @@ def d122(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_png_palette(d, "doc_id")
     return multimodal.decode_png_stats(files, "payload", "doc_id")
+
+
+@q("d123_jpeg_progressive_sa_decode", _JPEG_GRAY_ORACLE)
+def d123(spark, sf_dir):
+    """Codec ladder COMPLETE for progressive JPEG (r10): SUCCESSIVE
+    APPROXIMATION — the bit-plane refinement real progressive encoders
+    actually emit (T.81 §G.1.2.3): DC first at point transform Al=1
+    (diffs of dc>>1), AC first at Al=1 (magnitudes truncated toward
+    zero — a coefficient of |v|=1 is INVISIBLE until refinement), then
+    a one-bit-per-block DC refinement and the AC refinement scan with
+    its three interleaved channels — newly-significant coefficients as
+    (zero-history run, 1)+sign, correction bits for already-significant
+    coefficients buffered between symbols, EOB followed by the band
+    remainder's correction bits.  The decoder tracks per-coefficient
+    refinement depth (Ah must equal the previous Al, Al = Ah−1) and
+    REJECTS an unfinished refinement chain rather than emitting
+    half-precision pixels.  Oracle is d108's VERBATIM (the
+    d118/d120/d121/d122 isolation discipline); dense-random, sparse,
+    and ±1-heavy coefficient grids are unit-pinned against baseline
+    decode.  Scale: two chained mapInPandas stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_jpeg_progressive_sa(d, "doc_id")
+    return multimodal.decode_jpeg_stats(files, "payload", "doc_id")

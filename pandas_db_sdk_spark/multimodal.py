@@ -1575,6 +1575,141 @@ def _jpeg_encode_gray_progressive(coefs, qtable, bands=((1, 5), (6, 63))):
     return bytes(out)
 
 
+def _jpeg_encode_gray_progressive_sa(coefs, qtable, al: int = 1):
+    """Encode a quantized-coefficient grid as a progressive grayscale
+    JPEG with SUCCESSIVE APPROXIMATION (r10, d123) — the four-scan
+    structure real progressive encoders emit: DC first at point
+    transform ``al`` (diffs of dc >> al, arithmetic shift), AC 1–63
+    first at ``al`` (magnitudes truncated toward zero), then a DC
+    refinement (one bit per block) and an AC refinement delivering bit
+    al−1 per coefficient — newly-significant coefficients coded as
+    (zero-history run, size 1) + sign, already-significant ones as
+    correction bits buffered between symbols, end-of-band as EOB0
+    followed by the band remainder's correction bits (T.81 §G.1.2.3,
+    the libjpeg emission shape). ``al`` must be 1 (single refinement
+    pass per band — the canonical minimal SA script)."""
+    import struct
+
+    if al != 1:
+        raise ValueError("single-refinement SA only: al must be 1")
+    zz = _jpeg_zigzag()
+    by, bx = coefs.shape[0], coefs.shape[1]
+    h, w = by * 8, bx * 8
+    dc_codes = _canonical_codes(_JPEG_DC_LENGTHS)
+    ac_codes = _canonical_codes(_JPEG_AC_LENGTHS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")
+    qzz = bytes(int(qtable[r][c]) for r, c in zz)
+    out += seg(0xDB, bytes([0x00]) + qzz)
+    out += seg(
+        0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    )
+    out += seg(0xC4, _dht_payload(0, 0, _JPEG_DC_LENGTHS))
+    out += seg(0xC4, _dht_payload(1, 0, _JPEG_AC_LENGTHS))
+
+    # scan 1: DC first, Ah=0, Al=al — diff chain over dc >> al
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, al]))
+    wtr = _BitWriter()
+    pred = 0
+    for y in range(by):
+        for x in range(bx):
+            dc = int(coefs[y, x, 0, 0]) >> al  # arithmetic shift (spec)
+            diff = dc - pred
+            pred = dc
+            if diff == 0:
+                c, ln = dc_codes[0]
+                wtr.write(c, ln)
+            else:
+                s, bits = _jpeg_put_amplitude(diff)
+                c, ln = dc_codes[s]
+                wtr.write(c, ln)
+                wtr.write(bits, s)
+    out += wtr.flush()
+
+    # scan 2: AC 1-63 first, Ah=0, Al=al — magnitudes truncated to zero
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, al]))
+    wtr = _BitWriter()
+    for y in range(by):
+        for x in range(bx):
+            block = coefs[y, x]
+            run = 0
+            for rr, cc in zz[1:]:
+                v = int(block[rr, cc])
+                vt = (abs(v) >> al) * (1 if v > 0 else -1)
+                if vt == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, ln = ac_codes[0xF0]
+                    wtr.write(c, ln)
+                    run -= 16
+                s, bits = _jpeg_put_amplitude(vt)
+                c, ln = ac_codes[(run << 4) | s]
+                wtr.write(c, ln)
+                wtr.write(bits, s)
+                run = 0
+            if run:
+                c, ln = ac_codes[0x00]
+                wtr.write(c, ln)
+    out += wtr.flush()
+
+    # scan 3: DC refinement, Ah=al, Al=al-1 — one bit per block
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, ((al << 4) | (al - 1))]))
+    wtr = _BitWriter()
+    for y in range(by):
+        for x in range(bx):
+            wtr.write((int(coefs[y, x, 0, 0]) >> (al - 1)) & 1, 1)
+    out += wtr.flush()
+
+    # scan 4: AC refinement, Ah=al, Al=al-1
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, ((al << 4) | (al - 1))]))
+    wtr = _BitWriter()
+    for y in range(by):
+        for x in range(bx):
+            block = coefs[y, x]
+            absv = [abs(int(block[rr, cc])) >> (al - 1) for rr, cc in zz[1:]]
+            signs = [int(block[rr, cc]) > 0 for rr, cc in zz[1:]]
+            # last newly-significant position (absvalue == 1), band-local
+            eob = -1
+            for idx, t in enumerate(absv):
+                if t == 1:
+                    eob = idx
+            run = 0
+            buffered = []  # correction bits since the last emitted symbol
+            for idx, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and idx <= eob:
+                    c, ln = ac_codes[0xF0]
+                    wtr.write(c, ln)
+                    run -= 16
+                    for bit in buffered:
+                        wtr.write(bit, 1)
+                    buffered = []
+                if t > 1:  # already significant: buffer its correction bit
+                    buffered.append(t & 1)
+                    continue
+                c, ln = ac_codes[(run << 4) | 1]  # newly significant
+                wtr.write(c, ln)
+                wtr.write(1 if signs[idx] else 0, 1)
+                for bit in buffered:
+                    wtr.write(bit, 1)
+                buffered = []
+                run = 0
+            if run > 0 or buffered:
+                c, ln = ac_codes[0x00]  # EOB, then the band's remainder
+                wtr.write(c, ln)
+                for bit in buffered:
+                    wtr.write(bit, 1)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_decode_gray_progressive(b):
     """Decode a PROGRESSIVE grayscale JPEG (SOF2, spectral selection,
     Ah=Al=0) to a (h, w) uint8 grid, or None when out of scope
@@ -1714,29 +1849,45 @@ def _jpeg_decode_gray_progressive(b):
 
     bx, by = (w + 7) // 8, (h + 7) // 8
     coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
-    seen = [False] * 64  # each zigzag index decoded by exactly one scan
+    # successive-approximation bookkeeping (r10, d123): each zigzag
+    # index's pending low-bit position — None until its first scan; a
+    # refinement scan must present Ah == previous Al and Al == Ah − 1
+    al_state = [None] * 64
     try:
         for td, ta, ss, se, ah, al, data in scans:
-            if ah != 0 or al != 0:
-                return None  # successive approximation out of scope
-            if se > 63 or ss > se or any(seen[ss : se + 1]):
+            if se > 63 or ss > se:
+                return None
+            states = {al_state[k] for k in range(ss, se + 1)}
+            if len(states) != 1:
+                return None  # band straddles different refinement depths
+            prev = states.pop()
+            if ah == 0:
+                if prev is not None:
+                    return None  # first scan must be the first
+            elif prev != ah or al != ah - 1:
                 return None
             for k in range(ss, se + 1):
-                seen[k] = True
+                al_state[k] = al
             rdr = Bits(data)
             if ss == 0:
                 if se != 0:
                     return None  # DC and AC never share a scan (spec)
-                dc_tab = huff.get((0, td))
-                if dc_tab is None:
-                    return None
-                pred = 0
-                for yb in range(by):
-                    for xb in range(bx):
-                        s = rdr.huffman(dc_tab)
-                        pred += extend(rdr.read(s), s)
-                        coefs[yb, xb, 0, 0] = pred
-            else:
+                if ah == 0:
+                    dc_tab = huff.get((0, td))
+                    if dc_tab is None:
+                        return None
+                    pred = 0
+                    for yb in range(by):
+                        for xb in range(bx):
+                            s = rdr.huffman(dc_tab)
+                            pred += extend(rdr.read(s), s)
+                            coefs[yb, xb, 0, 0] = pred << al
+                else:  # DC refinement: one bit per block at position al
+                    for yb in range(by):
+                        for xb in range(bx):
+                            if rdr.read1():
+                                coefs[yb, xb, 0, 0] |= 1 << al
+            elif ah == 0:  # AC first scan at this depth
                 ac_tab = huff.get((1, ta))
                 if ac_tab is None:
                     return None
@@ -1763,10 +1914,71 @@ def _jpeg_decode_gray_progressive(b):
                             if k > se:
                                 return None
                             rr, cc = zz[k]
-                            coefs[yb, xb, rr, cc] = extend(rdr.read(s), s)
+                            coefs[yb, xb, rr, cc] = extend(rdr.read(s), s) << al
                             k += 1
+            else:  # AC refinement scan (T.81 §G.2 / libjpeg shape)
+                ac_tab = huff.get((1, ta))
+                if ac_tab is None:
+                    return None
+                p1, m1 = 1 << al, -1 << al
+                eobrun = 0
+                for yb in range(by):
+                    for xb in range(bx):
+                        block = coefs[yb, xb]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = rdr.huffman(ac_tab)
+                                r, s = rs >> 4, rs & 15
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += rdr.read(r)
+                                        break
+                                    # ZRL: skip 16 zero-history positions
+                                else:
+                                    if s != 1:
+                                        return None
+                                    newval = p1 if rdr.read1() else m1
+                                # advance: correction bits for nonzero-
+                                # history positions, r counts zero-history
+                                while k <= se:
+                                    rr, cc = zz[k]
+                                    if block[rr, cc] != 0:
+                                        if rdr.read1() and not (
+                                            int(block[rr, cc]) & p1
+                                        ):
+                                            block[rr, cc] += (
+                                                p1 if block[rr, cc] > 0 else m1
+                                            )
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval and k <= se:
+                                    rr, cc = zz[k]
+                                    block[rr, cc] = newval
+                                k += 1
+                        if eobrun > 0:
+                            # EOB phase: correction bits only, to band end
+                            while k <= se:
+                                rr, cc = zz[k]
+                                if block[rr, cc] != 0:
+                                    if rdr.read1() and not (
+                                        int(block[rr, cc]) & p1
+                                    ):
+                                        block[rr, cc] += (
+                                            p1 if block[rr, cc] > 0 else m1
+                                        )
+                                k += 1
+                            eobrun -= 1
     except EOFError:
         return None
+    if any(st not in (None, 0) for st in al_state):
+        return None  # refinement chain left unfinished (low bits missing)
     return _jpeg_idct_gray(coefs, qtables[comp_q], w, h)
 
 
@@ -1827,6 +2039,36 @@ def synth_jpeg_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for x in range(bx):
                     coefs[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
             return _jpeg_encode_gray_progressive(coefs, q)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), jpeg(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def synth_jpeg_progressive_sa(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``synth_jpeg`` in the full SUCCESSIVE-APPROXIMATION progressive
+    layout (r10, d123): identical pixel content, four scans — DC first
+    at Al=1, AC 1–63 first at Al=1, DC refinement, AC refinement.  SA
+    must be RESULT-INVISIBLE, so d123 reuses d108's oracle verbatim.
+    Arrow-batched mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        q = np.full((8, 8), 16, dtype=np.int64)
+
+        def jpeg(i: int) -> bytes:
+            bx, by = 1 + i % 3, 1 + (2 * i) % 3
+            coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
+            for y in range(by):
+                for x in range(bx):
+                    coefs[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
+            return _jpeg_encode_gray_progressive_sa(coefs, q)
 
         for pdf in batches:
             ids = pdf[id_col].astype(int)

@@ -963,3 +963,48 @@ def test_png_palette_roundtrip_and_guards():
         chunk(t, p[:-30] if t == b"PLTE" else p) for t, p in parts
     )
     assert _png_decode_rgb(bad) is None
+
+
+def test_jpeg_progressive_sa_matches_baseline():
+    """Successive approximation (d123): the four-scan SA encoding
+    decodes to the IDENTICAL image as the baseline encoding of the same
+    coefficients — dense random grids, sparse grids exercising
+    ZRL-with-correction-bits, and ±1-heavy grids where significance
+    arrives only in the refinement scan. A truncated chain (refinement
+    scans stripped) is REJECTED, never decoded at half precision."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_decode_gray_progressive,
+        _jpeg_encode_gray,
+        _jpeg_encode_gray_progressive_sa,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    rng = np.random.RandomState(23)
+    for i in range(8):
+        coefs = rng.randint(-35, 35, size=(3, 3, 8, 8)).astype(np.int64)
+        base = _jpeg_decode_gray(_jpeg_encode_gray(coefs, q))
+        sa = _jpeg_decode_gray_progressive(
+            _jpeg_encode_gray_progressive_sa(coefs, q)
+        )
+        assert sa is not None and (sa == base).all(), i
+    for i in range(8):
+        coefs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+        mask = rng.rand(2, 2, 8, 8) < 0.08
+        coefs[mask] = rng.choice([-33, -2, -1, 1, 2, 33], size=int(mask.sum()))
+        base = _jpeg_decode_gray(_jpeg_encode_gray(coefs, q))
+        sa = _jpeg_decode_gray_progressive(
+            _jpeg_encode_gray_progressive_sa(coefs, q)
+        )
+        assert sa is not None and (sa == base).all(), i
+
+    # strip the two refinement scans: decoder must reject (al_state != 0)
+    enc = _jpeg_encode_gray_progressive_sa(coefs, q)
+    # scans begin at SOS markers (FFDA); keep everything before the 3rd
+    first = enc.index(b"\xff\xda")
+    second = enc.index(b"\xff\xda", first + 2)
+    third = enc.index(b"\xff\xda", second + 2)
+    truncated = enc[:third] + b"\xff\xd9"
+    assert _jpeg_decode_gray_progressive(truncated) is None
