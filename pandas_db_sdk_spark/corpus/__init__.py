@@ -443,7 +443,8 @@ _R10_NEW = frozenset(
     d117b_image_cluster_guarantees d116_crawl_pipeline
     d118_jpeg_restart_decode d119_audio_resample_sinc
     d120_png_adam7_decode d121_jpeg_progressive_decode
-    d122_png_palette_decode d123_jpeg_progressive_sa_decode""".split()
+    d122_png_palette_decode d123_jpeg_progressive_sa_decode
+    d124_sitemap_extract d125_surt_urlkeys""".split()
 )
 
 

@@ -5457,3 +5457,114 @@ def d123(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_jpeg_progressive_sa(d, "doc_id")
     return multimodal.decode_jpeg_stats(files, "payload", "doc_id")
+
+
+@q(
+    "d124_sitemap_extract",
+    """WITH m AS (SELECT DISTINCT doc_id % 260 AS m260 FROM documents)
+       SELECT 'www.site' || (m260 % 5) || '.com' AS domain,
+              'https://www.site' || (m260 % 5) || '.com/Docs/'
+                || (m260 % 13) || '/doc' || m260 AS loc,
+              '2024-01-' || CASE WHEN 1 + m260 % 28 < 10
+                            THEN '0' || (1 + m260 % 28)
+                            ELSE CAST(1 + m260 % 28 AS VARCHAR) END AS lastmod,
+              CASE WHEN m260 % 2 = 0 THEN 0.5 + (m260 % 5) * 0.1
+                   ELSE NULL END AS priority,
+              CAST(0 AS INT) AS is_index
+       FROM m""",
+)
+def d124(spark, sf_dir):
+    """Web-crawl tier (r10): SITEMAP extraction — the discovery input
+    the crawl pipeline starts from (robots.txt names the sitemap, the
+    sitemap names the URLs): per-domain sitemap.xml synthesized from
+    the corpus URL universe (one ``<url>`` entry per distinct canonical
+    doc, ``lastmod`` always, ``<priority>`` only on even keys so the
+    optional-field NULL path decides real rows) and parsed back with
+    ``text.sitemap_entries`` — one regexp_extract_all over
+    ``<url>…</url>`` blocks, per-element extracts, one explode; pure
+    codegen, zero UDFs.  The oracle replays every field arithmetically
+    from the id universe.  Scale: sitemap XML is domains-sized; the
+    explode output is URL-universe-sized — both linear, no shuffle
+    beyond the group-build."""
+    d = tables(spark, sf_dir)("documents")
+    m260 = (F.col("doc_id") % 260).alias("m260")
+    uni = d.select(m260).distinct()
+    dd = F.lpad((1 + F.col("m260") % 28).cast("string"), 2, "0")
+    entry = F.concat(
+        F.lit("<url><loc>https://www.site"),
+        (F.col("m260") % 5).cast("string"),
+        F.lit(".com/Docs/"), (F.col("m260") % 13).cast("string"),
+        F.lit("/doc"), F.col("m260").cast("string"),
+        F.lit("</loc><lastmod>2024-01-"), dd, F.lit("</lastmod>"),
+        F.when(
+            F.col("m260") % 2 == 0,
+            F.concat(
+                F.lit("<priority>"),
+                F.format_number(0.5 + (F.col("m260") % 5) * 0.1, 1),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        uni.select((F.col("m260") % 5).alias("k"), F.col("m260"), entry.alias("e"))
+        .groupBy("k")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset xmlns='
+                      '"http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.concat_ws("\n", F.array_sort(F.collect_list(F.struct("m260", "e")))
+                            .getField("e")),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+        .select(
+            F.concat(F.lit("www.site"), F.col("k").cast("string"), F.lit(".com")).alias(
+                "domain"
+            ),
+            "sitemap_xml",
+        )
+    )
+    return text.sitemap_entries(sitemaps, "sitemap_xml", "domain")
+
+
+@q(
+    "d125_surt_urlkeys",
+    """WITH u AS (SELECT doc_id, doc_id % 260 AS m,
+                   doc_id % 3 AS p, doc_id % 7 AS q
+            FROM documents)
+       SELECT doc_id,
+              'https://WWW.Site' || (m % 5) || '.Example.com'
+                || CASE WHEN m % 4 = 0 THEN ':8080' ELSE '' END
+                || '/Docs/' || (m % 13) || '/Doc' || m
+                || '?utm_source=x&b=' || p || '&a=' || q AS url,
+              'com,example,site' || (m % 5)
+                || CASE WHEN m % 4 = 0 THEN ':8080' ELSE '' END
+                || ')/docs/' || (m % 13) || '/doc' || m
+                || '?a=' || q || '&b=' || p AS urlkey
+       FROM u""",
+)
+def d125(spark, sf_dir):
+    """Web-crawl tier (r10): SURT urlkeys — the Sort-friendly URI
+    Reordering Transform Common Crawl's CDX index keys records by
+    (``text.surt_key``): lowercase, scheme and leading www. dropped,
+    host labels reversed comma-joined (one domain's pages sort
+    contiguously, subdomain trees nest), non-default port kept, path
+    lowercased, query sorted with tracking params stripped (the d111
+    policy).  Pure codegen projection — zero UDFs, zero shuffles
+    (pinned posture of the canonical_url family); the fixture sweeps
+    mixed case, ports, and unsorted tracking-polluted queries, and the
+    oracle replays the full key arithmetically."""
+    d = tables(spark, sf_dir)("documents")
+    m = F.col("doc_id") % 260
+    url = F.concat(
+        F.lit("https://WWW.Site"), (m % 5).cast("string"), F.lit(".Example.com"),
+        F.when(m % 4 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/Docs/"), (m % 13).cast("string"),
+        F.lit("/Doc"), m.cast("string"),
+        F.lit("?utm_source=x&b="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id", url.alias("url"), text.surt_key(url).alias("urlkey")
+    )

@@ -1985,3 +1985,74 @@ def robots_allowed_rep(
         .otherwise(F.col("__best.a"))
         .alias("allowed"),
     )
+
+
+def sitemap_entries(df: DataFrame, xml_col: str = "sitemap_xml", domain_col: str = "domain") -> DataFrame:
+    """Parse sitemap.xml content (sitemaps.org protocol) into one row
+    per ``<url>`` entry: (domain, loc, lastmod, priority) — ``loc``
+    required (entries without it are dropped per protocol), ``lastmod``
+    / ``priority`` optional (NULL when absent).  Pure codegen: one
+    regexp_extract_all over ``<url>…</url>`` blocks + per-element
+    regexp_extract inside a ``transform`` HOF, then one explode — no
+    UDFs, no shuffle beyond the explode.  Scope: the flat ``<urlset>``
+    form; ``<sitemapindex>`` recursion is a driver-side fetch loop by
+    nature (the child sitemaps must be FETCHED), so the index form's
+    ``<sitemap><loc>`` rows parse through the same extractor with
+    ``is_index`` marking them.  The crawl tier's discovery input —
+    robots.txt names the sitemap, the sitemap names the URLs (d124)."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), 1
+    )
+    entry = F.explode(blocks).alias("entry")
+    loc = F.regexp_extract("entry", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract("entry", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    prio = F.regexp_extract("entry", r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+    is_index = F.col(xml_col).contains("<sitemapindex")
+    return (
+        df.select(F.col(domain_col).alias("domain"), is_index.alias("__idx"), entry)
+        .select(
+            "domain",
+            loc.alias("loc"),
+            F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+            F.when(prio == "", None)
+            .otherwise(prio.cast("double"))
+            .alias("priority"),
+            F.col("__idx").cast("int").alias("is_index"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
+def surt_key(col):
+    """The Sort-friendly URI Reordering Transform — Common Crawl's index
+    ``urlkey`` (d125): lowercase, scheme dropped, leading ``www.``
+    dropped, host labels REVERSED comma-joined, ``)/`` then the path
+    (lowercased) and the ?-prefixed sorted query with tracking params
+    stripped (the d111 canonical param policy) — so one domain's pages
+    sort contiguously and subdomain trees nest:
+    ``https://News.Example.com/A?b=1&a=2`` → ``com,example,news)/a?a=2&b=1``.
+    Pure codegen (split/reverse/array_join/regexp) — the same zero-UDF
+    posture as ``canonical_url``; non-absolute URLs pass through NULL."""
+    u = F.lower(col)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#:]+:(\d+)", 1)
+    path0 = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    built = F.concat(
+        rev_host,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        F.lit(")"),
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+    return F.when((scheme == "") | (host == ""), F.lit(None)).otherwise(built)
