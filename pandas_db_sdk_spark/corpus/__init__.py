@@ -437,14 +437,28 @@ _R10_STALE_FIRST = frozenset(
 )
 
 
-# Queries ADDED in round 10 (never had a driver row).
+# Queries ADDED in round 10 that certify THIS round (right behind the
+# stale head): the flagship crawl/cluster ops whose oracles are NEW
+# decision replays.
 _R10_NEW = frozenset(
     """d114b_robots_wildcards d117_image_near_dup_clusters
     d117b_image_cluster_guarantees d116_crawl_pipeline
-    d118_jpeg_restart_decode d119_audio_resample_sinc
-    d120_png_adam7_decode d121_jpeg_progressive_decode
-    d122_png_palette_decode d123_jpeg_progressive_sa_decode
     d124_sitemap_extract d125_surt_urlkeys""".split()
+)
+
+# Round-10 additions that DELIBERATELY yield their window slots to the
+# r3 re-certification loop (VERDICT r9 #1 outranks instant
+# certification): the codec-ladder variants d118–d123, whose oracles
+# are VERBATIM twins of already-certified rows (d108/d105 — the
+# result-invisible isolation discipline, so those rows staying green
+# already certifies the shared surface) and whose new machinery is
+# unit-pinned (restart/Adam7/palette/progressive/SA roundtrips vs
+# baseline) plus d119, whose tap table is unit-pinned.  They sort right
+# AFTER the r3 block and ride the round-11 window.
+_R10_NEW_DEFERRED = frozenset(
+    """d118_jpeg_restart_decode d119_audio_resample_sinc
+    d120_png_adam7_decode d121_jpeg_progressive_decode
+    d122_png_palette_decode d123_jpeg_progressive_sa_decode""".split()
 )
 
 
@@ -479,6 +493,8 @@ def all_queries():
             return 0
         if name in _R10_NEW:
             return 1
+        if name in _R10_NEW_DEFERRED:
+            return 2.5  # behind the r3 block: round 11's head
         if name in _R09_VERIFIED:
             return 11
         if name in _R08_VERIFIED:
