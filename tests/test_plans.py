@@ -929,3 +929,47 @@ def test_round9_shuffle_budgets(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert _unique_exchanges(plan) <= 3, _unique_exchanges(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_round10_shuffle_budgets(spark, queries):
+    """Round-10 ops keep the established shapes: the codec variants
+    (d118-d123) are pure chained mapInPandas pipelines with ZERO
+    exchanges — payload bytes never shuffle, and restart/interlace/
+    palette/progressive layouts add NO plan nodes over their certified
+    twins; d125's SURT keys are a pure projection; d114b's wildcard
+    robots evaluation keeps d114's broadcast-join + decision-aggregate
+    shape (patterns compile rule-side, never per-URL); d124's sitemap
+    pipeline is one group-build + one explode; d117's image clustering
+    never goes cartesian (banding over distinct signatures)."""
+    spark.catalog.clearCache()
+    for name in (
+        "d118_jpeg_restart_decode",
+        "d119_audio_resample_sinc",
+        "d120_png_adam7_decode",
+        "d121_jpeg_progressive_decode",
+        "d122_png_palette_decode",
+        "d123_jpeg_progressive_sa_decode",
+        "d125_surt_urlkeys",
+    ):
+        plan = plan_of(queries[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # d114b: rule-side regex compilation keeps the d114 shape — the rule
+    # table (with compiled patterns) broadcasts into the URL stream and
+    # ONE corpus-sized exchange feeds the decision aggregate; the group
+    # parsing's windows/joins shuffle only the domains-sized robots text
+    # (broadcast build side), so the CORPUS-keyed exchange count is the
+    # budget that matters at 100 TB
+    plan = plan_of(queries["d114b_robots_wildcards"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    corpus_exchanges = plan.count("Exchange hashpartitioning(doc_id")
+    assert corpus_exchanges <= 1, corpus_exchanges
+    assert "CartesianProduct" not in plan
+    # d124: distinct id-universe + one per-domain group-build + explode
+    plan = plan_of(queries["d124_sitemap_extract"](spark, SF))
+    assert _unique_exchanges(plan) <= 4, _unique_exchanges(plan)
+    assert "CartesianProduct" not in plan
+    # d117: hamming_clusters — exact-collapse groupBy, banding equi-join
+    # over DISTINCT signatures, member rejoin; never a cartesian
+    plan = plan_of(queries["d117_image_near_dup_clusters"](spark, SF))
+    assert "CartesianProduct" not in plan
