@@ -4542,9 +4542,9 @@ def d109(spark, sf_dir):
     return multimodal.resample_pcm_stats(files, "payload", "doc_id", up=3, down=2)
 
 
-@q(
-    "d110_jpeg_color_decode",
-    """WITH dims AS (SELECT doc_id,
+# shared by d110 (interleaved baseline) and d126 (progressive): scan
+# structure must be result-invisible
+_JPEG_COLOR_ORACLE = """WITH dims AS (SELECT doc_id,
                      CAST(16 * (1 + doc_id % 2) AS INT) AS w,
                      CAST(16 * (1 + (3 * doc_id) % 2) AS INT) AS h
               FROM documents),
@@ -4563,8 +4563,10 @@ def d109(spark, sf_dir):
                          - (sum(v)::DOUBLE / count(*))
                            * (sum(v)::DOUBLE / count(*))), 6) AS std,
               CAST(sum(v * wgt) AS BIGINT) AS pos_sum
-       FROM px GROUP BY 1, 2, 3, 4, 5""",
-)
+       FROM px GROUP BY 1, 2, 3, 4, 5"""
+
+
+@q("d110_jpeg_color_decode", _JPEG_COLOR_ORACLE)
 def d110(spark, sf_dir):
     """D7-ext (r9): baseline COLOR JPEG decode (YCbCr 4:2:0) — the d108
     grayscale tier extended to the common color case with NO codec
@@ -5568,3 +5570,26 @@ def d125(spark, sf_dir):
     return d.select(
         "doc_id", url.alias("url"), text.surt_key(url).alias("urlkey")
     )
+
+
+@q("d126_jpeg_color_progressive_decode", _JPEG_COLOR_ORACLE)
+def d126(spark, sf_dir):
+    """Codec ladder (r10): PROGRESSIVE COLOR JPEG — the SOF2 scan
+    script T.81 §G prescribes for color: ONE INTERLEAVED DC scan (all
+    three components in MCU order, per-component predictor chains)
+    followed by three SINGLE-COMPONENT AC scans, each walking its
+    component's own block raster (luma's 2×2-per-MCU grid vs the
+    chroma grids) with EOBRUN handling — the geometry split that makes
+    color progressive genuinely different from grayscale (d121): a
+    decoder that walks AC scans in MCU order, mixes predictor chains,
+    or uses the luma raster for chroma shears whole planes.
+    Coefficients accumulate across scans before the SHARED 4:2:0
+    reconstruction (``_jpeg_color_reconstruct``); an incomplete scan
+    script (missing any AC component) is REJECTED.  Oracle is d110's
+    VERBATIM (neutral-chroma exactness + result-invisible scan
+    structure); random-chroma grids are unit-pinned against the
+    baseline decoder.  Scale: two chained mapInPandas stages, zero
+    shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_jpeg_color_progressive(d, "doc_id")
+    return multimodal.decode_jpeg_color_stats(files, "payload", "doc_id")

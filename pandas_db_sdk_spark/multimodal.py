@@ -2763,6 +2763,20 @@ def _jpeg_decode_color_420(b):
     except EOFError:
         return None
 
+    return _jpeg_color_reconstruct(
+        yc, cbc, crc,
+        qtables[comps[1][1]], qtables[comps[2][1]], qtables[comps[3][1]],
+        w, h,
+    )
+
+
+def _jpeg_color_reconstruct(yc, cbc, crc, qy, qcb, qcr, w, h):
+    """Dequant + IDCT per plane, 4:2:0 sample-replication upsampling,
+    JFIF YCbCr→RGB — shared by the baseline (interleaved scan) and
+    progressive (multi-scan accumulated) color decoders."""
+    import numpy as np
+
+    my, mx = cbc.shape[0], cbc.shape[1]
     alpha = np.full(8, np.sqrt(2.0 / 8.0))
     alpha[0] = np.sqrt(1.0 / 8.0)
     xs = np.arange(8)
@@ -2774,9 +2788,9 @@ def _jpeg_decode_color_420(b):
         by, bx = coefs.shape[0], coefs.shape[1]
         return (sp + 128.0).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
-    yp = plane(yc, qtables[comps[1][1]])
-    cbp = plane(cbc, qtables[comps[2][1]])
-    crp = plane(crc, qtables[comps[3][1]])
+    yp = plane(yc, qy)
+    cbp = plane(cbc, qcb)
+    crp = plane(crc, qcr)
     # 4:2:0 upsampling by sample replication
     cbu = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
     cru = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
@@ -2787,6 +2801,329 @@ def _jpeg_decode_color_420(b):
     rgb = np.stack([r, g, bl], axis=-1)
     out = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     return out[:h, :w]
+
+
+def _jpeg_encode_color_420_progressive(yc, cbc, crc, qt_luma, qt_chroma):
+    """Encode quantized 4:2:0 coefficient grids as a PROGRESSIVE color
+    JPEG (SOF2, r10 d126) — the structure T.81 §G prescribes for color:
+    ONE INTERLEAVED DC scan (all three components in MCU order,
+    per-component predictors), then one NON-interleaved AC scan per
+    component over that component's own block raster (1–63, Ah=Al=0 —
+    spectral selection; progressive AC scans are single-component BY
+    SPEC). Same tables/geometry as ``_jpeg_encode_color_420``."""
+    import struct
+
+    zz = _jpeg_zigzag()
+    my, mx = cbc.shape[0], cbc.shape[1]
+    h, w = my * 16, mx * 16
+    dc_codes = _canonical_codes(_JPEG_DC_LENGTHS)
+    ac_codes = _canonical_codes(_JPEG_AC_LENGTHS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, qt_luma), (1, qt_chroma)):
+        qzz = bytes(int(qt[r][c]) for r, c in zz)
+        out += seg(0xDB, bytes([tid]) + qzz)
+    out += seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    for tid in (0, 1):
+        out += seg(0xC4, _dht_payload(0, tid, _JPEG_DC_LENGTHS))
+        out += seg(0xC4, _dht_payload(1, tid, _JPEG_AC_LENGTHS))
+
+    wtr = _BitWriter()
+
+    def put_dc(block, pred):
+        dc = int(block[0, 0])
+        diff = dc - pred
+        if diff == 0:
+            c, ln = dc_codes[0]
+            wtr.write(c, ln)
+        else:
+            s, bits = _jpeg_put_amplitude(diff)
+            c, ln = dc_codes[s]
+            wtr.write(c, ln)
+            wtr.write(bits, s)
+        return dc
+
+    # scan 1: interleaved DC (Ss=Se=0), MCU order Y00 Y01 Y10 Y11 Cb Cr
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    py = pcb = pcr = 0
+    for m_y in range(my):
+        for m_x in range(mx):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    py = put_dc(yc[2 * m_y + dy, 2 * m_x + dx], py)
+            pcb = put_dc(cbc[m_y, m_x], pcb)
+            pcr = put_dc(crc[m_y, m_x], pcr)
+    out += wtr.flush()
+
+    # scans 2-4: per-component AC 1-63 over the component block raster
+    for cid, tid, grid in ((1, 0, yc), (2, 1, cbc), (3, 1, crc)):
+        out += seg(0xDA, bytes([1, cid, (tid << 4) | tid, 1, 63, 0]))
+        wtr = _BitWriter()
+        for by_ in range(grid.shape[0]):
+            for bx_ in range(grid.shape[1]):
+                block = grid[by_, bx_]
+                run = 0
+                for rr, cc in zz[1:]:
+                    v = int(block[rr, cc])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        c, ln = ac_codes[0xF0]
+                        wtr.write(c, ln)
+                        run -= 16
+                    s, bits = _jpeg_put_amplitude(v)
+                    c, ln = ac_codes[(run << 4) | s]
+                    wtr.write(c, ln)
+                    wtr.write(bits, s)
+                    run = 0
+                if run:
+                    c, ln = ac_codes[0x00]
+                    wtr.write(c, ln)
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decode_color_420_progressive(b):
+    """Decode a PROGRESSIVE 4:2:0 color JPEG (SOF2, spectral selection,
+    Ah=Al=0) to (h, w, 3) RGB, or None when out of scope / broken: the
+    interleaved DC scan walks MCUs with per-component predictors;
+    single-component AC scans walk that component's block raster with
+    EOBRUN handling; coefficients accumulate across scans before the
+    shared 4:2:0 reconstruction."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    zz = _jpeg_zigzag()
+    pos = 2
+    qtables = {}
+    huff = {}
+    w = h = None
+    comps = None
+    scans = []  # (ncomp, comp_spec, ss, se, ah, al, data)
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        payload = b[pos + 4 : pos + 2 + ln]
+        if len(payload) != ln - 2:
+            return None
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    return None
+                vals = payload[p + 1 : p + 65]
+                if len(vals) != 64:
+                    return None
+                q = np.zeros((8, 8), dtype=np.int64)
+                for (r, c), v in zip(zz, vals):
+                    q[r, c] = v
+                qtables[tq] = q
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 15
+                counts = payload[p + 1 : p + 17]
+                nsym = sum(counts)
+                syms = payload[p + 17 : p + 17 + nsym]
+                if len(syms) != nsym:
+                    return None
+                table = {}
+                code = 0
+                k = 0
+                for lln in range(1, 17):
+                    for _ in range(counts[lln - 1]):
+                        table[(code, lln)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + nsym
+        elif marker == 0xC2:
+            if payload[0] != 8 or payload[5] != 3:
+                return None
+            h, w = struct.unpack(">HH", payload[1:5])
+            comps = {}
+            for ci in range(3):
+                cid = payload[6 + 3 * ci]
+                samp = payload[7 + 3 * ci]
+                tq = payload[8 + 3 * ci]
+                comps[cid] = (samp, tq)
+            if comps.get(1, (0,))[0] != 0x22:
+                return None  # luma 2x2 only (4:2:0)
+            for cid in (2, 3):
+                if comps.get(cid, (0,))[0] != 0x11:
+                    return None
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xDD):
+            return None
+        elif marker == 0xDA:
+            ncomp = payload[0]
+            spec = []
+            for si in range(ncomp):
+                spec.append(
+                    (payload[1 + 2 * si], payload[2 + 2 * si] >> 4,
+                     payload[2 + 2 * si] & 15)
+                )
+            ss, se = payload[1 + 2 * ncomp], payload[2 + 2 * ncomp]
+            ahal = payload[3 + 2 * ncomp]
+            data = bytearray()
+            p = pos + 2 + ln
+            while p < len(b):
+                byte = b[p]
+                if byte == 0xFF:
+                    nxt = b[p + 1] if p + 1 < len(b) else None
+                    if nxt == 0x00:
+                        data.append(0xFF)
+                        p += 2
+                        continue
+                    break
+                data.append(byte)
+                p += 1
+            scans.append(
+                (ncomp, spec, ss, se, ahal >> 4, ahal & 15, bytes(data))
+            )
+            pos = p
+            continue
+        pos += 2 + ln
+    if w is None or comps is None or not scans:
+        return None
+    for cid in (1, 2, 3):
+        if cid not in comps or comps[cid][1] not in qtables:
+            return None
+
+    class Bits:
+        def __init__(self, buf):
+            self.buf = buf
+            self.pos = 0
+
+        def read1(self):
+            byte_i, bit_i = self.pos >> 3, self.pos & 7
+            if byte_i >= len(self.buf):
+                raise EOFError
+            self.pos += 1
+            return (self.buf[byte_i] >> (7 - bit_i)) & 1
+
+        def read(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read1()
+            return v
+
+        def huffman(self, table):
+            code, lln = 0, 0
+            while lln < 16:
+                code = (code << 1) | self.read1()
+                lln += 1
+                sym = table.get((code, lln))
+                if sym is not None:
+                    return sym
+            raise EOFError
+
+    def extend(bits, s):
+        if s == 0:
+            return 0
+        if bits >> (s - 1):
+            return bits
+        return bits - (1 << s) + 1
+
+    mx, my = (w + 15) // 16, (h + 15) // 16
+    grids = {
+        1: np.zeros((2 * my, 2 * mx, 8, 8), dtype=np.int64),
+        2: np.zeros((my, mx, 8, 8), dtype=np.int64),
+        3: np.zeros((my, mx, 8, 8), dtype=np.int64),
+    }
+    dc_done = False
+    ac_done = {1: False, 2: False, 3: False}
+    try:
+        for ncomp, spec, ss, se, ah, al, data in scans:
+            if ah != 0 or al != 0:
+                return None  # SA out of scope for the color tier
+            rdr = Bits(data)
+            if ss == 0:
+                # interleaved DC scan over MCUs
+                if se != 0 or ncomp != 3 or dc_done:
+                    return None
+                dc_done = True
+                tabs = {cid: huff.get((0, td)) for cid, td, _ in spec}
+                if any(t is None for t in tabs.values()):
+                    return None
+                preds = {1: 0, 2: 0, 3: 0}
+
+                def read_dc(cid, target):
+                    s = rdr.huffman(tabs[cid])
+                    preds[cid] += extend(rdr.read(s), s)
+                    target[0, 0] = preds[cid]
+
+                for m_y in range(my):
+                    for m_x in range(mx):
+                        for dy in (0, 1):
+                            for dx in (0, 1):
+                                read_dc(1, grids[1][2 * m_y + dy, 2 * m_x + dx])
+                        read_dc(2, grids[2][m_y, m_x])
+                        read_dc(3, grids[3][m_y, m_x])
+            else:
+                # single-component AC band scan over the block raster
+                if ncomp != 1 or se > 63:
+                    return None
+                cid, _, ta = spec[0]
+                if cid not in grids or ac_done[cid] or ss != 1 or se != 63:
+                    return None
+                ac_done[cid] = True
+                ac_tab = huff.get((1, ta))
+                if ac_tab is None:
+                    return None
+                grid = grids[cid]
+                eobrun = 0
+                for by_ in range(grid.shape[0]):
+                    for bx_ in range(grid.shape[1]):
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = rdr.huffman(ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rdr.read(r)
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            rr, cc = zz[k]
+                            grid[by_, bx_, rr, cc] = extend(rdr.read(s), s)
+                            k += 1
+    except EOFError:
+        return None
+    if not dc_done or not all(ac_done.values()):
+        return None  # incomplete scan script
+    return _jpeg_color_reconstruct(
+        grids[1], grids[2], grids[3],
+        qtables[comps[1][1]], qtables[comps[2][1]], qtables[comps[3][1]],
+        w, h,
+    )
 
 
 def synth_jpeg_color(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2847,8 +3184,12 @@ def decode_jpeg_color_stats(
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                # baseline first (cheap SOF2 exit), then progressive
+                # (r10, d126)
                 try:
                     img = _jpeg_decode_color_420(bytes(buf))
+                    if img is None:
+                        img = _jpeg_decode_color_420_progressive(bytes(buf))
                 except Exception:
                     img = None
                 if img is None:
@@ -2890,6 +3231,39 @@ def decode_jpeg_color_stats(
         f"{id_col} long, format string, width int, height int, channel int, "
         "mean double, min int, max int, std double, pos_sum long",
     )
+
+
+def synth_jpeg_color_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``synth_jpeg_color`` in the PROGRESSIVE layout (r10, d126):
+    identical pixel content — SOF2, one interleaved DC scan, three
+    single-component AC scans.  Scan structure must be
+    RESULT-INVISIBLE, so d126 reuses d110's oracle verbatim.
+    Arrow-batched mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ql = np.full((8, 8), 16, dtype=np.int64)
+        qc = np.full((8, 8), 8, dtype=np.int64)
+
+        def jpeg(i: int) -> bytes:
+            mx, my = 1 + i % 2, 1 + (3 * i) % 2
+            yc = np.zeros((2 * my, 2 * mx, 8, 8), dtype=np.int64)
+            for y in range(2 * my):
+                for x in range(2 * mx):
+                    yc[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
+            cbc = np.zeros((my, mx, 8, 8), dtype=np.int64)
+            crc = np.zeros((my, mx, 8, 8), dtype=np.int64)
+            return _jpeg_encode_color_420_progressive(yc, cbc, crc, ql, qc)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), jpeg(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
 
 
 def _warc_records(i: int, uri: str, html: str) -> list:

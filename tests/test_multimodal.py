@@ -1008,3 +1008,41 @@ def test_jpeg_progressive_sa_matches_baseline():
     third = enc.index(b"\xff\xda", second + 2)
     truncated = enc[:third] + b"\xff\xd9"
     assert _jpeg_decode_gray_progressive(truncated) is None
+
+
+def test_jpeg_color_progressive_matches_baseline():
+    """Progressive color (d126): the interleaved-DC + per-component-AC
+    scan script decodes to the IDENTICAL image as the baseline
+    interleaved encoding of the same coefficient grids — with RANDOM
+    chroma (both predictor chains and both block-raster walks live) —
+    and each decoder rejects the other's SOF class."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import (
+        _jpeg_decode_color_420,
+        _jpeg_decode_color_420_progressive,
+        _jpeg_encode_color_420,
+        _jpeg_encode_color_420_progressive,
+    )
+
+    ql = np.full((8, 8), 16, dtype=np.int64)
+    qc = np.full((8, 8), 8, dtype=np.int64)
+    rng = np.random.RandomState(31)
+    for i in range(8):
+        mx, my = 1 + i % 2, 1 + (3 * i) % 2
+        yc = rng.randint(-20, 20, size=(2 * my, 2 * mx, 8, 8)).astype(np.int64)
+        cbc = rng.randint(-12, 12, size=(my, mx, 8, 8)).astype(np.int64)
+        crc = rng.randint(-12, 12, size=(my, mx, 8, 8)).astype(np.int64)
+        base = _jpeg_decode_color_420(_jpeg_encode_color_420(yc, cbc, crc, ql, qc))
+        prog = _jpeg_decode_color_420_progressive(
+            _jpeg_encode_color_420_progressive(yc, cbc, crc, ql, qc)
+        )
+        assert base is not None and prog is not None, i
+        assert (base == prog).all(), i
+    e_b = _jpeg_encode_color_420(yc, cbc, crc, ql, qc)
+    e_p = _jpeg_encode_color_420_progressive(yc, cbc, crc, ql, qc)
+    assert _jpeg_decode_color_420(e_p) is None
+    assert _jpeg_decode_color_420_progressive(e_b) is None
+    # incomplete scan script: strip the final AC scan -> reject
+    last_sos = e_p.rindex(b"\xff\xda")
+    assert _jpeg_decode_color_420_progressive(e_p[:last_sos] + b"\xff\xd9") is None
