@@ -5593,3 +5593,29 @@ def d126(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_jpeg_color_progressive(d, "doc_id")
     return multimodal.decode_jpeg_color_stats(files, "payload", "doc_id")
+
+
+_PNG16 = "(7 * d.doc_id + 3 * x.x + 5 * y.y + 11 * c.c) % 256 AS v"
+assert _PNG16 in _PNG_RGB_ORACLE
+_PNG_RGB16_ORACLE = _PNG_RGB_ORACLE.replace(
+    _PNG16,
+    "((7 * d.doc_id + 3 * x.x + 5 * y.y + 11 * c.c) % 256) * 257 AS v",
+)
+
+
+@q("d127_png_16bit_decode", _PNG_RGB16_ORACLE)
+def d127(spark, sf_dir):
+    """Codec ladder (r10): 16-BIT truecolor PNG — the scientific/
+    screenshot depth: big-endian sample pairs, the five filters running
+    over BYTES at bpp=6 (a filter that operates on samples instead of
+    bytes corrupts every row — the spec's subtlest trap), odd ids
+    additionally Adam7-interlaced so the 16-bit × interlace combination
+    decides real rows.  Values expand by the standard v·257 replication,
+    so the oracle is d105's scaled 257× exactly — bit depth must change
+    the VALUES and nothing else (means/std/pos_sum all 257×).  With
+    d120/d122/d127 the PNG matrix (8/16-bit × sequential/Adam7 ×
+    truecolor/palette) is fully closed.  Scale: two chained mapInPandas
+    stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_png_16bit(d, "doc_id")
+    return multimodal.decode_png_stats(files, "payload", "doc_id")

@@ -493,6 +493,7 @@ def _png_encode_rgb(
     idat_split: bool = False,
     interlace: bool = False,
     palette: bool = False,
+    depth16: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 pixel grid as a valid 8-bit truecolor
     PNG: per-scanline filter chosen by ``row_filter(y)`` (0=None 1=Sub
@@ -516,37 +517,58 @@ def _png_encode_rgb(
         )
 
     h, w = rgb.shape[0], rgb.shape[1]
-    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if palette and depth16:
+        raise ValueError("palette entries are 8-bit by spec")
     plte = b""
     if palette:
         # indexed color (type 3, r10 d122): unique colors in lexicographic
         # order form the PLTE; scanlines carry 1-byte indices (bpp=1)
-        if interlace:
-            raise ValueError("palette + Adam7 not supported by this encoder")
+        rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
         colors, inverse = np.unique(
             rgb.reshape(-1, 3), axis=0, return_inverse=True
         )
         if colors.shape[0] > 256:
             raise ValueError(f"palette overflow: {colors.shape[0]} colors")
-        idx = inverse.astype(np.uint8).reshape(h, w)
-        out = _png_filter_rows(idx, row_filter, bpp=1)
+        plane = inverse.astype(np.uint8).reshape(h, w, 1)
         plte = chunk(b"PLTE", colors.astype(np.uint8).tobytes())
-    elif interlace:
+        bpp = 1
+    elif depth16:
+        # 16-bit truecolor (r10, d127): big-endian sample bytes; the
+        # five filters run over BYTES (bpp=6) exactly per spec
+        arr = np.ascontiguousarray(rgb, dtype=np.uint16)
+        plane = (
+            np.frombuffer(arr.astype(">u2").tobytes(), dtype=np.uint8)
+            .reshape(h, w, 6)
+        )
+        bpp = 6
+    else:
+        plane = np.ascontiguousarray(rgb, dtype=np.uint8)
+        bpp = 3
+    if interlace:
         out = bytearray()
         for x0, y0, dx, dy in _ADAM7:
-            sub = rgb[y0::dy, x0::dx]
+            sub = plane[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
             out += _png_filter_rows(
-                np.ascontiguousarray(sub).reshape(sub.shape[0], -1), row_filter
+                np.ascontiguousarray(sub).reshape(sub.shape[0], -1),
+                row_filter,
+                bpp=bpp,
             )
     else:
-        out = _png_filter_rows(rgb.reshape(h, w * 3), row_filter)
+        out = _png_filter_rows(plane.reshape(h, w * bpp), row_filter, bpp=bpp)
     stream = zlib.compress(bytes(out), 6)
     ihdr = chunk(
         b"IHDR",
         struct.pack(
-            ">IIBBBBB", w, h, 8, 3 if palette else 2, 0, 0, 1 if interlace else 0
+            ">IIBBBBB",
+            w,
+            h,
+            16 if depth16 else 8,
+            3 if palette else 2,
+            0,
+            0,
+            1 if interlace else 0,
         ),
     )
     if idat_split and len(stream) > 8:
@@ -586,16 +608,13 @@ def _png_decode_rgb(b: bytes):
             w, h, depth, ctyp, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", body[4:17]
             )
-            # scope: 8-bit truecolor (sequential or Adam7) and 8-bit
-            # palette (sequential, r10 d122) — anything else degrades
-            # to skip
+            # scope (r10): truecolor at 8 or 16 bits and 8-bit palette,
+            # each sequential or Adam7 — anything else degrades to skip
             if (
-                depth != 8
-                or ctyp not in (2, 3)
+                (ctyp, depth) not in ((2, 8), (2, 16), (3, 8))
                 or comp != 0
                 or filt != 0
                 or inter not in (0, 1)
-                or (ctyp == 3 and inter != 0)
             ):
                 return None
             if w <= 0 or h <= 0:
@@ -612,40 +631,55 @@ def _png_decode_rgb(b: bytes):
     if w is None or not idat:
         return None
     raw = zlib.decompress(bytes(idat))
-    if ctyp == 3:
-        # indexed color: unfilter 1-byte indices, then map through PLTE;
-        # an index past the palette is a hard skip, never garbage pixels
-        if plte is None:
-            return None
-        recon = _png_unfilter(raw, 0, w, h, bpp=1)
-        if recon is None or len(raw) != h * (1 + w):
-            return None
-        idx = recon.reshape(h, w)
-        if int(idx.max(initial=0)) >= plte.shape[0]:
-            return None
-        return w, h, plte[idx]
+    # bytes per pixel of the FILTERED stream; postprocessing below maps
+    # the unfiltered byte planes to pixels per layout
+    bpp = {(2, 8): 3, (2, 16): 6, (3, 8): 1}[(ctyp, depth)]
+
+    def to_pixels(plane, pw, ph):
+        if ctyp == 3:
+            return plane.reshape(ph, pw)  # palette indices, map at end
+        if depth == 16:
+            return (
+                np.frombuffer(plane.tobytes(), dtype=">u2")
+                .reshape(ph, pw, 3)
+                .astype(np.uint16)
+            )
+        return plane.reshape(ph, pw, 3)
+
     if inter == 0:
-        recon = _png_unfilter(raw, 0, w, h)
-        if recon is None or len(raw) != h * (1 + w * 3):
+        recon = _png_unfilter(raw, 0, w, h, bpp=bpp)
+        if recon is None or len(raw) != h * (1 + w * bpp):
             return None
-        return w, h, recon.reshape(h, w, 3)
-    # Adam7 (r10, d120): seven reduced images back to back in the ONE
-    # inflated stream, each independently filtered; empty passes (a
-    # pass whose grid misses the image entirely) contribute no bytes
-    out = np.zeros((h, w, 3), dtype=np.uint8)
-    offset = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = (w - x0 + dx - 1) // dx
-        ph = (h - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue
-        recon = _png_unfilter(raw, offset, pw, ph)
-        if recon is None:
+        out = to_pixels(recon, w, h)
+    else:
+        # Adam7 (r10, d120): seven reduced images back to back in the
+        # ONE inflated stream, each independently filtered; empty
+        # passes (a pass whose grid misses the image) contribute no
+        # bytes — works at every bpp (truecolor 8/16-bit, palette)
+        if ctyp == 3:
+            out = np.zeros((h, w), dtype=np.uint8)
+        else:
+            out = np.zeros(
+                (h, w, 3), dtype=np.uint16 if depth == 16 else np.uint8
+            )
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            recon = _png_unfilter(raw, offset, pw, ph, bpp=bpp)
+            if recon is None:
+                return None
+            offset += ph * (1 + pw * bpp)
+            out[y0::dy, x0::dx] = to_pixels(recon, pw, ph)
+        if offset != len(raw):
+            return None  # trailing or missing pass data
+    if ctyp == 3:
+        # an index past the palette is a hard skip, never garbage pixels
+        if plte is None or int(out.max(initial=0)) >= plte.shape[0]:
             return None
-        offset += ph * (1 + pw * 3)
-        out[y0::dy, x0::dx] = recon.reshape(ph, pw, 3)
-    if offset != len(raw):
-        return None  # trailing or missing pass data
+        out = plte[out]
     return w, h, out
 
 
@@ -813,6 +847,46 @@ def synth_png_palette(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 lambda y: (i + y) % 5,
                 idat_split=i % 3 == 0,
                 palette=True,
+            )
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), png(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def synth_png_16bit(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``synth_png`` at 16-BIT depth (r10, d127): the same pattern
+    expanded to 16 bits by the standard 8→16 replication v·257
+    (0xAB → 0xABAB), big-endian sample bytes, filters over BYTES at
+    bpp=6 per spec; odd ids additionally interlace (Adam7 × 16-bit —
+    the combination real screenshots/medical scans ship).  The oracle
+    is d105's with every value scaled 257× — bit depth must change the
+    VALUES exactly and nothing else.  Arrow-batched mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def pixels16(i: int, w: int, h: int) -> "np.ndarray":
+            y, x, c = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            return (((7 * i + 3 * x + 5 * y + 11 * c) % 256) * 257).astype(
+                np.uint16
+            )
+
+        def png(i: int) -> bytes:
+            w, h = 6 + i % 7, 5 + (2 * i) % 7
+            return _png_encode_rgb(
+                pixels16(i, w, h),
+                lambda y: (i + y) % 5,
+                idat_split=i % 3 == 0,
+                interlace=i % 2 == 1,
+                depth16=True,
             )
 
         for pdf in batches:

@@ -228,8 +228,9 @@ def test_png_decode_roundtrip_exact(spark):
 
 def test_png_decode_skips_corrupt_and_out_of_scope(spark):
     """A flipped IDAT byte (CRC mismatch), a truncated file, a non-PNG
-    payload, and an out-of-scope IHDR (16-bit depth) all degrade to
-    skip — never an executor error; the intact sibling still decodes."""
+    payload, and an out-of-scope IHDR (grayscale color type 0 — 16-bit
+    depth moved IN scope in r10/d127) all degrade to skip — never an
+    executor error; the intact sibling still decodes."""
     import struct
     import zlib
 
@@ -252,8 +253,8 @@ def test_png_decode_skips_corrupt_and_out_of_scope(spark):
 
     deep = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + chunk(b"IEND", b"")
     )
     rows = [
@@ -261,7 +262,7 @@ def test_png_decode_skips_corrupt_and_out_of_scope(spark):
         (2, bytearray(corrupt)),       # CRC mismatch
         (3, bytearray(good[:30])),     # truncated
         (4, bytearray(b"not a png")),  # wrong magic
-        (5, bytearray(deep)),          # 16-bit depth: out of scope
+        (5, bytearray(deep)),          # grayscale type 0: out of scope
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = multimodal.decode_png_stats(df, "payload", "doc_id").collect()
@@ -1046,3 +1047,35 @@ def test_jpeg_color_progressive_matches_baseline():
     # incomplete scan script: strip the final AC scan -> reject
     last_sos = e_p.rindex(b"\xff\xda")
     assert _jpeg_decode_color_420_progressive(e_p[:last_sos] + b"\xff\xd9") is None
+
+
+def test_png_all_layout_combinations_roundtrip():
+    """The full PNG matrix (r10): 8-bit/16-bit truecolor and 8-bit
+    palette, each sequential and Adam7-interlaced, decode to identical
+    pixel values across an edge-dimension sweep; palette+16-bit refuses
+    by spec."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import _png_decode_rgb, _png_encode_rgb
+
+    for i, (w, h) in enumerate([(1, 1), (1, 9), (9, 1), (7, 5), (12, 11)]):
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        v8 = ((7 * i + 3 * x + 5 * y + 11 * c) % 256).astype(np.uint8)
+        v16 = v8.astype(np.uint16) * 257
+        for kwargs, src, want in [
+            ({}, v8, v8),
+            ({"interlace": True}, v8, v8),
+            ({"palette": True}, v8, v8),
+            ({"palette": True, "interlace": True}, v8, v8),
+            ({"depth16": True}, v16, v16),
+            ({"depth16": True, "interlace": True}, v16, v16),
+        ]:
+            got = _png_decode_rgb(
+                _png_encode_rgb(src, lambda yy: (i + yy) % 5, **kwargs)
+            )
+            assert got is not None, (w, h, kwargs)
+            assert (got[2] == want).all(), (w, h, kwargs)
+    with pytest.raises(ValueError, match="8-bit by spec"):
+        _png_encode_rgb(v8, lambda yy: 0, palette=True, depth16=True)
