@@ -350,6 +350,7 @@ def crawl_corpus(
     jaccard_threshold: float = 0.5,
     n_hashes: int = 32,
     bands: int = 8,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """The end-to-end web-crawl → training-corpus pipeline (r10, VERDICT
     r9 #3) as ONE declarative DataFrame program — the composition every
@@ -379,13 +380,58 @@ def crawl_corpus(
     skew beyond genuine URL duplication). Extraction and both gates are
     pure per-row codegen; only the final MinHash stage shuffles
     signature bands. Every frame is lazy — materialize counts off the
-    returned dict, nothing is collected here."""
+    returned dict, nothing is collected here.
+
+    ``persist=False`` skips the slot-pooled stage caches — the
+    streaming wrapper (``streaming.ingest.stream_crawl_into_engine``)
+    runs these gates once per micro-batch, where caching a
+    never-reread batch frame is pure overhead."""
+    stages = crawl_gates(
+        records, robots,
+        id_col=id_col, uri_col=uri_col, body_col=body_col,
+        agent=agent, languages=languages, persist=persist,
+    )
+    maybe_persist = _stage_persister(persist)
+    stages["final"] = maybe_persist(
+        dedup.dedup_corpus_minhash(
+            stages["gopher_kept"], id_col, "text",
+            n_hashes=n_hashes, bands=bands,
+            jaccard_threshold=jaccard_threshold,
+        ),
+        "crawl_corpus/final",
+    )
+    return stages
+
+
+def _stage_persister(persist: bool):
+    if not persist:
+        return lambda df, _slot: df
     from ._scratch import scratch_persist
 
+    return scratch_persist
+
+
+def crawl_gates(
+    records: DataFrame,
+    robots: DataFrame,
+    id_col: str = "doc_id",
+    uri_col: str = "target_uri",
+    body_col: str = "body",
+    agent: str = "*",
+    languages: tuple[str, ...] = ("en",),
+    persist: bool = True,
+) -> dict[str, DataFrame]:
+    """The crawl pipeline's GATE stages (everything except the final
+    MinHash near-dedup): fetched → http_ok → robots_allowed →
+    url_unique → extracted → lang_kept → gopher_kept. Factored out of
+    :func:`crawl_corpus` (r10) so the STREAMING ingest path runs the
+    identical gates per micro-batch and then delegates admission to the
+    persisted near-dup index instead of a batch-local MinHash pass."""
     recs = records.select(
         F.col(id_col), F.col(uri_col).alias("uri"),
         F.col("http_status"), F.col(body_col).alias("__body"),
     )
+    maybe_persist = _stage_persister(persist)
     http_ok = recs.filter(F.col("http_status") == 200).drop("http_status")
 
     host = F.regexp_extract("uri", "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
@@ -398,7 +444,7 @@ def crawl_corpus(
         .filter(F.col("allowed") == 1)
         .select(id_col)
     )
-    robots_ok = scratch_persist(
+    robots_ok = maybe_persist(
         http_ok.join(allowed_ids, id_col, "left_semi"),
         "crawl_corpus/robots_ok",
     )
@@ -412,14 +458,14 @@ def crawl_corpus(
         .drop("__rn")
     )
 
-    extracted = scratch_persist(
+    extracted = maybe_persist(
         url_unique.withColumn(
             "text", text.html_main_text(F.col("__body"))
         ).drop("__body"),
         "crawl_corpus/extracted",
     )
 
-    lang_kept = scratch_persist(
+    lang_kept = maybe_persist(
         text.language_id(extracted, "text").filter(
             F.col("predicted_lang").isin(*languages)
         ),
@@ -427,7 +473,7 @@ def crawl_corpus(
     )
 
     gate = text.gopher_rules(lang_kept, id_col, "text")
-    gopher_kept = scratch_persist(
+    gopher_kept = maybe_persist(
         lang_kept.join(
             gate.filter(F.col("passes_gopher") == 1).select(id_col),
             id_col,
@@ -436,14 +482,6 @@ def crawl_corpus(
         "crawl_corpus/gopher_kept",
     )
 
-    final = scratch_persist(
-        dedup.dedup_corpus_minhash(
-            gopher_kept, id_col, "text",
-            n_hashes=n_hashes, bands=bands,
-            jaccard_threshold=jaccard_threshold,
-        ),
-        "crawl_corpus/final",
-    )
     return {
         "fetched": recs,
         "http_ok": http_ok,
@@ -452,5 +490,4 @@ def crawl_corpus(
         "extracted": extracted,
         "lang_kept": lang_kept,
         "gopher_kept": gopher_kept,
-        "final": final,
     }

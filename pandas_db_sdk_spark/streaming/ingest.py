@@ -371,6 +371,8 @@ def stream_into_engine_near_dedup(
     n_hashes: int = 32,
     bands: int = 8,
     shingle: int = 3,
+    prepare=None,
+    on_admitted=None,
 ):
     """Streaming ingest with NEAR-duplicate gating against everything
     already ingested — the MinHash twin of ``stream_into_engine``'s exact
@@ -413,6 +415,13 @@ def stream_into_engine_near_dedup(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if prepare is not None:
+            # per-batch transform hook (r10): the crawl wrapper runs its
+            # gate stages + cross-batch seen-URL probe here, under the
+            # same epoch label so replays converge
+            batch_df = prepare(batch_df, epoch_id)
+            if batch_df.isEmpty():
+                return
         out = _dedup.dedup_corpus_minhash(
             batch_df, id_col, text_col,
             n_hashes=n_hashes, bands=bands,
@@ -452,6 +461,11 @@ def stream_into_engine_near_dedup(
             nb, band_name, columns_keys={"band_pfx": "ID"},
             external_key=label, overwrite_version=True,
         )
+        if on_admitted is not None:
+            # post-admission hook (r10): side indexes that must track
+            # ADMITTED docs only (the crawl wrapper's seen-URL index)
+            # append here, under the same epoch label
+            on_admitted(out, epoch_id)
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
@@ -574,3 +588,91 @@ def drift_monitor_into_engine(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_crawl_into_engine(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    dataframe_name: str,
+    robots: DataFrame,
+    agent: str = "*",
+    languages: tuple = ("en",),
+    id_col: str = "doc_id",
+    uri_col: str = "target_uri",
+    body_col: str = "body",
+    version_prefix: str = "epoch_",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+    jaccard_threshold: float = 0.5,
+    n_hashes: int = 32,
+    bands: int = 8,
+):
+    """The STREAMING form of ``pipeline.crawl_corpus`` (r10, the d116
+    composition as continuous ingest): a stream of fetched records
+    (``parse_warc`` output shape) runs the identical gate stages per
+    micro-batch — HTTP 200, RFC 9309 robots, canonical-URL dedup,
+    boilerplate strip, language, gopher — then TWO cross-batch gates
+    close the loop the batch pipeline can't express:
+
+    * a persisted SEEN-URL index (``<name>/__seen_urls``, canonical
+      URLs partitioned by key hash) drops re-fetches of pages any
+      earlier epoch admitted — the crawl frontier's "don't refetch"
+      contract; survivors' URLs append under the epoch label, so a
+      replayed batch converges;
+    * the persisted MinHash band index (``stream_into_engine_near_dedup``
+      unchanged) drops near-duplicates of everything ever ingested.
+
+    Admitted docs land as engine versions per epoch, exactly-once under
+    kill/replay (the overwrite_version discipline both indexes share).
+    Scale: per-batch gate work is batch-sized; the URL probe is a
+    left-anti against a key-hash index; near-dup admission reads only
+    the colliding band slice."""
+    from pyspark.sql import functions as F
+
+    from .. import pipeline as _pipeline
+    from ..engine import DatasetNotFound
+
+    url_name = f"{dataframe_name}/__seen_urls"
+
+    def prepare(batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        stages = _pipeline.crawl_gates(
+            batch_df, robots,
+            id_col=id_col, uri_col=uri_col, body_col=body_col,
+            agent=agent, languages=languages, persist=False,
+        )
+        out = stages["gopher_kept"]
+        try:
+            seen = engine.load(url_name).select("canonical_url")
+        except DatasetNotFound:
+            seen = None
+        if seen is not None:
+            out = out.join(seen, "canonical_url", "left_anti")
+        # bounded per-batch materialization: the gate result feeds both
+        # the near-dedup admission and (via on_admitted) the URL append
+        return out.localCheckpoint(eager=True)
+
+    def on_admitted(out: DataFrame, epoch_id: int) -> None:
+        # the seen-URL index tracks ADMITTED docs only — a near-dup-
+        # rejected doc's URL stays eligible, keeping both side indexes
+        # on the same "grow only by admitted docs" contract
+        new_urls = out.select("canonical_url").withColumn(
+            "url_pfx",
+            F.pmod(F.xxhash64("canonical_url"), F.lit(16))
+            * engine.id_bucket_width,
+        )
+        engine.save(
+            new_urls, url_name, columns_keys={"url_pfx": "ID"},
+            external_key=f"{version_prefix}{epoch_id}",
+            overwrite_version=True,
+        )
+
+    return stream_into_engine_near_dedup(
+        stream, engine, dataframe_name, id_col, "text",
+        version_prefix=version_prefix,
+        checkpoint_dir=checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+        jaccard_threshold=jaccard_threshold,
+        n_hashes=n_hashes, bands=bands,
+        prepare=prepare,
+        on_admitted=on_admitted,
+    )

@@ -885,3 +885,93 @@ def test_media_decode_streaming_batch_parity(spark, tmp_path):
     )
     q.awaitTermination()
     assert got == batch_rows and len(got) == 36
+
+
+def test_stream_crawl_into_engine_gates_and_indexes(spark, tmp_path):
+    """The d116 composition as CONTINUOUS ingest (r10): per-batch gate
+    stages (robots / canonical-URL / extract / language / gopher) plus
+    the two persisted cross-batch gates — the seen-URL index (no
+    refetch: a later epoch's URL-duplicate is dropped even with a
+    different body) and the MinHash band index (a near-variant of an
+    earlier epoch's doc is dropped). Batch 2 carries one of each
+    violation plus a genuinely new doc — only the new doc lands, and
+    both indexes grow only by admitted docs."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import stream_crawl_into_engine
+
+    s1 = (
+        "the quick brown fox jumps over the lazy dog and then the small "
+        "cat walks into the open field where the tall grass grows under "
+        "the warm sun while the old farmer watches from the wooden gate "
+        "near the quiet river that flows past the stone bridge toward "
+        "the distant hills beyond the green valley floor"
+    )
+    s2 = (
+        "a modern data platform must balance the cost of storage with "
+        "the speed of queries because every analyst wants an answer now "
+        "and the cluster has only so many cores to share among all the "
+        "teams that submit their jobs during the busy morning hours of "
+        "the working week across every region and office"
+    )
+    s3 = (
+        "deep in the library the historian turned each fragile page of "
+        "the ancient ledger and copied the faded numbers into a clean "
+        "notebook so that future scholars could study the trade routes "
+        "of the old merchants who sailed between the island ports with "
+        "cargo of salt and cloth and sweet dried fruit"
+    )
+
+    def rec(doc_id, path, body_text, q="utm_source=x&v=1"):
+        html = f"<html><body><p>{body_text}</p></body></html>"
+        return (doc_id, f"https://a.com{path}?{q}", 200, html)
+
+    schema = "doc_id long, target_uri string, http_status int, body string"
+    b1 = [rec(1, "/p/1", s1), rec(2, "/p/2", s2)]
+    b2 = [
+        rec(10, "/p/1", s3, q="utm_source=y&v=1"),  # URL dup of doc 1
+        rec(11, "/p/11", s1.replace("lazy", "sleepy")),  # near-dup of doc 1
+        rec(12, "/blocked/x", s3),                   # robots-disallowed
+        rec(13, "/p/13", s3),                        # genuinely new
+    ]
+    src = str(tmp_path / "fetched")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /blocked\n")],
+        "domain string, robots_txt string",
+    )
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_crawl_into_engine(
+        stream, eng, "crawl", robots,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5,
+    )
+    q.awaitTermination()
+
+    landed = {r.doc_id for r in eng.load("crawl").select("doc_id").collect()}
+    assert landed == {1, 2, 13}, landed
+    # both indexes track exactly the admitted docs
+    urls = {
+        r.canonical_url
+        for r in eng.load("crawl/__seen_urls").collect()
+    }
+    assert urls == {
+        "https://a.com/p/1?v=1",
+        "https://a.com/p/2?v=1",
+        "https://a.com/p/13?v=1",
+    }, urls
+    sig_ids = {
+        r.sig_id for r in eng.load("crawl/__near_bands").select("sig_id").collect()
+    }
+    assert sig_ids == landed
+    # the landed frame carries the audit columns end to end
+    cols = set(eng.load("crawl").columns)
+    assert {"doc_id", "canonical_url", "text", "predicted_lang"} <= cols
