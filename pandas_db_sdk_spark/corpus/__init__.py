@@ -459,7 +459,8 @@ _R10_NEW_DEFERRED = frozenset(
     """d118_jpeg_restart_decode d119_audio_resample_sinc
     d120_png_adam7_decode d121_jpeg_progressive_decode
     d122_png_palette_decode d123_jpeg_progressive_sa_decode
-    d126_jpeg_color_progressive_decode d127_png_16bit_decode""".split()
+    d126_jpeg_color_progressive_decode d127_png_16bit_decode
+    d128_jpeg_color_sa_decode""".split()
 )
 
 

@@ -5619,3 +5619,25 @@ def d127(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_png_16bit(d, "doc_id")
     return multimodal.decode_png_stats(files, "payload", "doc_id")
+
+
+@q("d128_jpeg_color_sa_decode", _JPEG_COLOR_ORACLE)
+def d128(spark, sf_dir):
+    """Codec ladder CLOSED (r10): COLOR successive-approximation
+    progressive JPEG — the eight-scan script a real `cjpeg -progressive`
+    emits: interleaved DC first at Al=1, three per-component AC first
+    scans at Al=1 (truncated magnitudes — |v|=1 invisible until
+    refinement), one INTERLEAVED one-bit DC refinement in MCU order,
+    and three per-component AC refinements running the shared T.81 §G.2
+    correction algorithm over each component's own block raster.  The
+    decoder tracks FOUR refinement chains (DC + per-component AC) and
+    rejects any unfinished one.  With d108→d128 every marker-level
+    JPEG feature this tier models (baseline gray/color, restart
+    intervals, spectral selection, SA, gray and color) decodes from
+    first principles; what remains stubbed is only real-world library
+    integration (`decode_real`).  Oracle is d110's VERBATIM; dense and
+    sparse random-chroma grids unit-pinned against baseline.  Scale:
+    two chained mapInPandas stages, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    files = multimodal.synth_jpeg_color_progressive_sa(d, "doc_id")
+    return multimodal.decode_jpeg_color_stats(files, "payload", "doc_id")

@@ -1649,6 +1649,106 @@ def _jpeg_encode_gray_progressive(coefs, qtable, bands=((1, 5), (6, 63))):
     return bytes(out)
 
 
+def _jpeg_emit_ac_refine(wtr, grid, zz, ac_codes, al: int):
+    """Emit one AC-refinement scan (T.81 §G.1.2.3, libjpeg emission
+    shape) for a (by, bx, 8, 8) coefficient grid over band 1–63 at
+    point transform ``al``: newly-significant coefficients as
+    (zero-history run, size 1) + sign, correction bits for
+    already-significant coefficients buffered between symbols, EOB
+    followed by the band remainder's corrections. Shared by the
+    grayscale (d123) and color (d128) SA encoders."""
+    for by_ in range(grid.shape[0]):
+        for bx_ in range(grid.shape[1]):
+            block = grid[by_, bx_]
+            absv = [abs(int(block[rr, cc])) >> (al - 1) for rr, cc in zz[1:]]
+            signs = [int(block[rr, cc]) > 0 for rr, cc in zz[1:]]
+            eob = -1
+            for idx, t in enumerate(absv):
+                if t == 1:
+                    eob = idx
+            run = 0
+            buffered = []
+            for idx, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and idx <= eob:
+                    c, ln = ac_codes[0xF0]
+                    wtr.write(c, ln)
+                    run -= 16
+                    for bit in buffered:
+                        wtr.write(bit, 1)
+                    buffered = []
+                if t > 1:
+                    buffered.append(t & 1)
+                    continue
+                c, ln = ac_codes[(run << 4) | 1]
+                wtr.write(c, ln)
+                wtr.write(1 if signs[idx] else 0, 1)
+                for bit in buffered:
+                    wtr.write(bit, 1)
+                buffered = []
+                run = 0
+            if run > 0 or buffered:
+                c, ln = ac_codes[0x00]
+                wtr.write(c, ln)
+                for bit in buffered:
+                    wtr.write(bit, 1)
+
+
+def _jpeg_decode_ac_refine(grid, zz, rdr, ac_tab, ss, se, al: int):
+    """Decode one AC-refinement scan into ``grid`` (accumulating) —
+    the T.81 §G.2 correction algorithm: EOB-run phases read correction
+    bits only; inside a block, runs count zero-history positions while
+    nonzero-history positions consume correction bits. Shared by the
+    grayscale (d123) and color (d128) SA decoders. Raises EOFError on
+    truncation; returns None-on-error via ValueError for malformed
+    symbols."""
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    for by_ in range(grid.shape[0]):
+        for bx_ in range(grid.shape[1]):
+            block = grid[by_, bx_]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rdr.huffman(ac_tab)
+                    r, sz = rs >> 4, rs & 15
+                    newval = 0
+                    if sz == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rdr.read(r)
+                            break
+                    else:
+                        if sz != 1:
+                            raise ValueError("bad refinement size")
+                        newval = p1 if rdr.read1() else m1
+                    while k <= se:
+                        rr, cc = zz[k]
+                        if block[rr, cc] != 0:
+                            if rdr.read1() and not (int(block[rr, cc]) & p1):
+                                block[rr, cc] += p1 if block[rr, cc] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        rr, cc = zz[k]
+                        block[rr, cc] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    rr, cc = zz[k]
+                    if block[rr, cc] != 0:
+                        if rdr.read1() and not (int(block[rr, cc]) & p1):
+                            block[rr, cc] += p1 if block[rr, cc] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
 def _jpeg_encode_gray_progressive_sa(coefs, qtable, al: int = 1):
     """Encode a quantized-coefficient grid as a progressive grayscale
     JPEG with SUCCESSIVE APPROXIMATION (r10, d123) — the four-scan
@@ -1738,47 +1838,10 @@ def _jpeg_encode_gray_progressive_sa(coefs, qtable, al: int = 1):
             wtr.write((int(coefs[y, x, 0, 0]) >> (al - 1)) & 1, 1)
     out += wtr.flush()
 
-    # scan 4: AC refinement, Ah=al, Al=al-1
+    # scan 4: AC refinement, Ah=al, Al=al-1 (shared emission helper)
     out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, ((al << 4) | (al - 1))]))
     wtr = _BitWriter()
-    for y in range(by):
-        for x in range(bx):
-            block = coefs[y, x]
-            absv = [abs(int(block[rr, cc])) >> (al - 1) for rr, cc in zz[1:]]
-            signs = [int(block[rr, cc]) > 0 for rr, cc in zz[1:]]
-            # last newly-significant position (absvalue == 1), band-local
-            eob = -1
-            for idx, t in enumerate(absv):
-                if t == 1:
-                    eob = idx
-            run = 0
-            buffered = []  # correction bits since the last emitted symbol
-            for idx, t in enumerate(absv):
-                if t == 0:
-                    run += 1
-                    continue
-                while run > 15 and idx <= eob:
-                    c, ln = ac_codes[0xF0]
-                    wtr.write(c, ln)
-                    run -= 16
-                    for bit in buffered:
-                        wtr.write(bit, 1)
-                    buffered = []
-                if t > 1:  # already significant: buffer its correction bit
-                    buffered.append(t & 1)
-                    continue
-                c, ln = ac_codes[(run << 4) | 1]  # newly significant
-                wtr.write(c, ln)
-                wtr.write(1 if signs[idx] else 0, 1)
-                for bit in buffered:
-                    wtr.write(bit, 1)
-                buffered = []
-                run = 0
-            if run > 0 or buffered:
-                c, ln = ac_codes[0x00]  # EOB, then the band's remainder
-                wtr.write(c, ln)
-                for bit in buffered:
-                    wtr.write(bit, 1)
+    _jpeg_emit_ac_refine(wtr, coefs, zz, ac_codes, al)
     out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -1990,66 +2053,12 @@ def _jpeg_decode_gray_progressive(b):
                             rr, cc = zz[k]
                             coefs[yb, xb, rr, cc] = extend(rdr.read(s), s) << al
                             k += 1
-            else:  # AC refinement scan (T.81 §G.2 / libjpeg shape)
+            else:  # AC refinement scan (T.81 §G.2, shared helper)
                 ac_tab = huff.get((1, ta))
                 if ac_tab is None:
                     return None
-                p1, m1 = 1 << al, -1 << al
-                eobrun = 0
-                for yb in range(by):
-                    for xb in range(bx):
-                        block = coefs[yb, xb]
-                        k = ss
-                        if eobrun == 0:
-                            while k <= se:
-                                rs = rdr.huffman(ac_tab)
-                                r, s = rs >> 4, rs & 15
-                                newval = 0
-                                if s == 0:
-                                    if r != 15:
-                                        eobrun = 1 << r
-                                        if r:
-                                            eobrun += rdr.read(r)
-                                        break
-                                    # ZRL: skip 16 zero-history positions
-                                else:
-                                    if s != 1:
-                                        return None
-                                    newval = p1 if rdr.read1() else m1
-                                # advance: correction bits for nonzero-
-                                # history positions, r counts zero-history
-                                while k <= se:
-                                    rr, cc = zz[k]
-                                    if block[rr, cc] != 0:
-                                        if rdr.read1() and not (
-                                            int(block[rr, cc]) & p1
-                                        ):
-                                            block[rr, cc] += (
-                                                p1 if block[rr, cc] > 0 else m1
-                                            )
-                                    else:
-                                        if r == 0:
-                                            break
-                                        r -= 1
-                                    k += 1
-                                if newval and k <= se:
-                                    rr, cc = zz[k]
-                                    block[rr, cc] = newval
-                                k += 1
-                        if eobrun > 0:
-                            # EOB phase: correction bits only, to band end
-                            while k <= se:
-                                rr, cc = zz[k]
-                                if block[rr, cc] != 0:
-                                    if rdr.read1() and not (
-                                        int(block[rr, cc]) & p1
-                                    ):
-                                        block[rr, cc] += (
-                                            p1 if block[rr, cc] > 0 else m1
-                                        )
-                                k += 1
-                            eobrun -= 1
-    except EOFError:
+                _jpeg_decode_ac_refine(coefs, zz, rdr, ac_tab, ss, se, al)
+    except (EOFError, ValueError):
         return None
     if any(st not in (None, 0) for st in al_state):
         return None  # refinement chain left unfinished (low bits missing)
@@ -2877,14 +2886,22 @@ def _jpeg_color_reconstruct(yc, cbc, crc, qy, qcb, qcr, w, h):
     return out[:h, :w]
 
 
-def _jpeg_encode_color_420_progressive(yc, cbc, crc, qt_luma, qt_chroma):
+def _jpeg_encode_color_420_progressive(
+    yc, cbc, crc, qt_luma, qt_chroma, sa: bool = False, al: int = 1
+):
     """Encode quantized 4:2:0 coefficient grids as a PROGRESSIVE color
     JPEG (SOF2, r10 d126) — the structure T.81 §G prescribes for color:
     ONE INTERLEAVED DC scan (all three components in MCU order,
     per-component predictors), then one NON-interleaved AC scan per
-    component over that component's own block raster (1–63, Ah=Al=0 —
-    spectral selection; progressive AC scans are single-component BY
-    SPEC). Same tables/geometry as ``_jpeg_encode_color_420``."""
+    component over that component's own block raster (1–63; progressive
+    AC scans are single-component BY SPEC). ``sa=True`` (r10, d128)
+    emits the full SUCCESSIVE-APPROXIMATION script: DC/AC first scans
+    at point transform ``al`` (must be 1), then an interleaved one-bit
+    DC refinement and three per-component AC refinements. Same
+    tables/geometry as ``_jpeg_encode_color_420``."""
+    if sa and al != 1:
+        raise ValueError("single-refinement SA only: al must be 1")
+    a0 = al if sa else 0
     import struct
 
     zz = _jpeg_zigzag()
@@ -2913,7 +2930,7 @@ def _jpeg_encode_color_420_progressive(yc, cbc, crc, qt_luma, qt_chroma):
     wtr = _BitWriter()
 
     def put_dc(block, pred):
-        dc = int(block[0, 0])
+        dc = int(block[0, 0]) >> a0  # arithmetic shift (spec, a0=0 plain)
         diff = dc - pred
         if diff == 0:
             c, ln = dc_codes[0]
@@ -2925,8 +2942,8 @@ def _jpeg_encode_color_420_progressive(yc, cbc, crc, qt_luma, qt_chroma):
             wtr.write(bits, s)
         return dc
 
-    # scan 1: interleaved DC (Ss=Se=0), MCU order Y00 Y01 Y10 Y11 Cb Cr
-    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    # scan 1: interleaved DC first (Ss=Se=0, Al=a0), MCU order
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, a0]))
     py = pcb = pcr = 0
     for m_y in range(my):
         for m_x in range(mx):
@@ -2937,9 +2954,9 @@ def _jpeg_encode_color_420_progressive(yc, cbc, crc, qt_luma, qt_chroma):
             pcr = put_dc(crc[m_y, m_x], pcr)
     out += wtr.flush()
 
-    # scans 2-4: per-component AC 1-63 over the component block raster
+    # scans 2-4: per-component AC 1-63 first (Al=a0), block raster
     for cid, tid, grid in ((1, 0, yc), (2, 1, cbc), (3, 1, crc)):
-        out += seg(0xDA, bytes([1, cid, (tid << 4) | tid, 1, 63, 0]))
+        out += seg(0xDA, bytes([1, cid, (tid << 4) | tid, 1, 63, a0]))
         wtr = _BitWriter()
         for by_ in range(grid.shape[0]):
             for bx_ in range(grid.shape[1]):
@@ -2947,6 +2964,8 @@ def _jpeg_encode_color_420_progressive(yc, cbc, crc, qt_luma, qt_chroma):
                 run = 0
                 for rr, cc in zz[1:]:
                     v = int(block[rr, cc])
+                    if a0:
+                        v = (abs(v) >> a0) * (1 if v > 0 else -1)
                     if v == 0:
                         run += 1
                         continue
@@ -2963,6 +2982,28 @@ def _jpeg_encode_color_420_progressive(yc, cbc, crc, qt_luma, qt_chroma):
                     c, ln = ac_codes[0x00]
                     wtr.write(c, ln)
         out += wtr.flush()
+    if sa:
+        # scan 5: interleaved DC refinement — one bit per block, MCU order
+        out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0,
+                                (al << 4) | (al - 1)]))
+        wtr = _BitWriter()
+        for m_y in range(my):
+            for m_x in range(mx):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        wtr.write(
+                            (int(yc[2 * m_y + dy, 2 * m_x + dx, 0, 0])
+                             >> (al - 1)) & 1, 1)
+                wtr.write((int(cbc[m_y, m_x, 0, 0]) >> (al - 1)) & 1, 1)
+                wtr.write((int(crc[m_y, m_x, 0, 0]) >> (al - 1)) & 1, 1)
+        out += wtr.flush()
+        # scans 6-8: per-component AC refinement (shared helper)
+        for cid, tid, grid in ((1, 0, yc), (2, 1, cbc), (3, 1, crc)):
+            out += seg(0xDA, bytes([1, cid, (tid << 4) | tid, 1, 63,
+                                    (al << 4) | (al - 1)]))
+            wtr = _BitWriter()
+            _jpeg_emit_ac_refine(wtr, grid, zz, ac_codes, al)
+            out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -3124,47 +3165,79 @@ def _jpeg_decode_color_420_progressive(b):
         2: np.zeros((my, mx, 8, 8), dtype=np.int64),
         3: np.zeros((my, mx, 8, 8), dtype=np.int64),
     }
-    dc_done = False
-    ac_done = {1: False, 2: False, 3: False}
+    # successive-approximation state (r10, d128): refinement depth per
+    # channel — None until the first scan; a refinement must present
+    # Ah == previous Al and Al == Ah − 1 (the d123 bookkeeping, split
+    # into the DC chain and three per-component AC chains)
+    dc_state = None
+    ac_state = {1: None, 2: None, 3: None}
     try:
         for ncomp, spec, ss, se, ah, al, data in scans:
-            if ah != 0 or al != 0:
-                return None  # SA out of scope for the color tier
             rdr = Bits(data)
             if ss == 0:
                 # interleaved DC scan over MCUs
-                if se != 0 or ncomp != 3 or dc_done:
+                if se != 0 or ncomp != 3:
                     return None
-                dc_done = True
-                tabs = {cid: huff.get((0, td)) for cid, td, _ in spec}
-                if any(t is None for t in tabs.values()):
+                if ah == 0:
+                    if dc_state is not None:
+                        return None
+                elif dc_state != ah or al != ah - 1:
                     return None
-                preds = {1: 0, 2: 0, 3: 0}
+                dc_state = al
+                if ah == 0:
+                    tabs = {cid: huff.get((0, td)) for cid, td, _ in spec}
+                    if any(t is None for t in tabs.values()):
+                        return None
+                    preds = {1: 0, 2: 0, 3: 0}
 
-                def read_dc(cid, target):
-                    s = rdr.huffman(tabs[cid])
-                    preds[cid] += extend(rdr.read(s), s)
-                    target[0, 0] = preds[cid]
+                    def read_dc(cid, target):
+                        s = rdr.huffman(tabs[cid])
+                        preds[cid] += extend(rdr.read(s), s)
+                        target[0, 0] = preds[cid] << al
 
-                for m_y in range(my):
-                    for m_x in range(mx):
-                        for dy in (0, 1):
-                            for dx in (0, 1):
-                                read_dc(1, grids[1][2 * m_y + dy, 2 * m_x + dx])
-                        read_dc(2, grids[2][m_y, m_x])
-                        read_dc(3, grids[3][m_y, m_x])
+                    for m_y in range(my):
+                        for m_x in range(mx):
+                            for dy in (0, 1):
+                                for dx in (0, 1):
+                                    read_dc(
+                                        1, grids[1][2 * m_y + dy, 2 * m_x + dx]
+                                    )
+                            read_dc(2, grids[2][m_y, m_x])
+                            read_dc(3, grids[3][m_y, m_x])
+                else:
+                    # interleaved DC refinement: one bit per block, MCU order
+                    for m_y in range(my):
+                        for m_x in range(mx):
+                            for dy in (0, 1):
+                                for dx in (0, 1):
+                                    if rdr.read1():
+                                        grids[1][
+                                            2 * m_y + dy, 2 * m_x + dx, 0, 0
+                                        ] |= 1 << al
+                            if rdr.read1():
+                                grids[2][m_y, m_x, 0, 0] |= 1 << al
+                            if rdr.read1():
+                                grids[3][m_y, m_x, 0, 0] |= 1 << al
             else:
                 # single-component AC band scan over the block raster
                 if ncomp != 1 or se > 63:
                     return None
                 cid, _, ta = spec[0]
-                if cid not in grids or ac_done[cid] or ss != 1 or se != 63:
+                if cid not in grids or ss != 1 or se != 63:
                     return None
-                ac_done[cid] = True
+                if ah == 0:
+                    if ac_state[cid] is not None:
+                        return None
+                elif ac_state[cid] != ah or al != ah - 1:
+                    return None
+                ac_state[cid] = al
                 ac_tab = huff.get((1, ta))
                 if ac_tab is None:
                     return None
                 grid = grids[cid]
+                if ah != 0:
+                    _jpeg_decode_ac_refine(grid, zz, rdr, ac_tab, ss, se, al)
+                    continue
                 eobrun = 0
                 for by_ in range(grid.shape[0]):
                     for bx_ in range(grid.shape[1]):
@@ -3187,12 +3260,13 @@ def _jpeg_decode_color_420_progressive(b):
                             if k > se:
                                 return None
                             rr, cc = zz[k]
-                            grid[by_, bx_, rr, cc] = extend(rdr.read(s), s)
+                            grid[by_, bx_, rr, cc] = extend(rdr.read(s), s) << al
                             k += 1
-    except EOFError:
+    except (EOFError, ValueError):
         return None
-    if not dc_done or not all(ac_done.values()):
-        return None  # incomplete scan script
+    states = [dc_state] + [ac_state[c] for c in (1, 2, 3)]
+    if any(st != 0 for st in states):
+        return None  # incomplete scan script / unfinished refinement
     return _jpeg_color_reconstruct(
         grids[1], grids[2], grids[3],
         qtables[comps[1][1]], qtables[comps[2][1]], qtables[comps[3][1]],
@@ -3329,6 +3403,41 @@ def synth_jpeg_color_progressive(df: DataFrame, id_col: str = "doc_id") -> DataF
             cbc = np.zeros((my, mx, 8, 8), dtype=np.int64)
             crc = np.zeros((my, mx, 8, 8), dtype=np.int64)
             return _jpeg_encode_color_420_progressive(yc, cbc, crc, ql, qc)
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), jpeg(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def synth_jpeg_color_progressive_sa(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``synth_jpeg_color`` in the FULL eight-scan successive-
+    approximation progressive layout (r10, d128): DC/AC first scans at
+    Al=1, interleaved one-bit DC refinement, three per-component AC
+    refinements.  Oracle is d110's verbatim.  Arrow-batched
+    mapInPandas."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ql = np.full((8, 8), 16, dtype=np.int64)
+        qc = np.full((8, 8), 8, dtype=np.int64)
+
+        def jpeg(i: int) -> bytes:
+            mx, my = 1 + i % 2, 1 + (3 * i) % 2
+            yc = np.zeros((2 * my, 2 * mx, 8, 8), dtype=np.int64)
+            for y in range(2 * my):
+                for x in range(2 * mx):
+                    yc[y, x, 0, 0] = (5 * i + 3 * x + 7 * y) % 21 - 10
+            cbc = np.zeros((my, mx, 8, 8), dtype=np.int64)
+            crc = np.zeros((my, mx, 8, 8), dtype=np.int64)
+            return _jpeg_encode_color_420_progressive(
+                yc, cbc, crc, ql, qc, sa=True
+            )
 
         for pdf in batches:
             ids = pdf[id_col].astype(int)

@@ -1079,3 +1079,49 @@ def test_png_all_layout_combinations_roundtrip():
             assert (got[2] == want).all(), (w, h, kwargs)
     with pytest.raises(ValueError, match="8-bit by spec"):
         _png_encode_rgb(v8, lambda yy: 0, palette=True, depth16=True)
+
+
+def test_jpeg_color_sa_matches_baseline():
+    """Color successive approximation (d128): the eight-scan SA script
+    decodes to the IDENTICAL image as the baseline interleaved encoding
+    — dense random grids and sparse ±1-heavy grids (significance
+    arriving only in refinement, per component) — and a truncated scan
+    script is rejected."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import (
+        _jpeg_decode_color_420,
+        _jpeg_decode_color_420_progressive,
+        _jpeg_encode_color_420,
+        _jpeg_encode_color_420_progressive,
+    )
+
+    ql = np.full((8, 8), 16, dtype=np.int64)
+    qc = np.full((8, 8), 8, dtype=np.int64)
+    rng = np.random.RandomState(41)
+    for i in range(6):
+        mx, my = 1 + i % 2, 1 + (3 * i) % 2
+        yc = rng.randint(-20, 20, size=(2 * my, 2 * mx, 8, 8)).astype(np.int64)
+        cbc = rng.randint(-12, 12, size=(my, mx, 8, 8)).astype(np.int64)
+        crc = rng.randint(-12, 12, size=(my, mx, 8, 8)).astype(np.int64)
+        base = _jpeg_decode_color_420(_jpeg_encode_color_420(yc, cbc, crc, ql, qc))
+        sa = _jpeg_decode_color_420_progressive(
+            _jpeg_encode_color_420_progressive(yc, cbc, crc, ql, qc, sa=True)
+        )
+        assert base is not None and sa is not None and (sa == base).all(), i
+    for i in range(6):
+        yc = np.zeros((2, 2, 8, 8), dtype=np.int64)
+        m = rng.rand(2, 2, 8, 8) < 0.08
+        yc[m] = rng.choice([-17, -2, -1, 1, 2, 17], size=int(m.sum()))
+        cbc = np.zeros((1, 1, 8, 8), dtype=np.int64)
+        cbc[0, 0, 0, 3], cbc[0, 0, 2, 1] = -1, 3
+        crc = np.zeros((1, 1, 8, 8), dtype=np.int64)
+        crc[0, 0, 1, 1] = 1
+        base = _jpeg_decode_color_420(_jpeg_encode_color_420(yc, cbc, crc, ql, qc))
+        sa = _jpeg_decode_color_420_progressive(
+            _jpeg_encode_color_420_progressive(yc, cbc, crc, ql, qc, sa=True)
+        )
+        assert sa is not None and (sa == base).all(), i
+    enc = _jpeg_encode_color_420_progressive(yc, cbc, crc, ql, qc, sa=True)
+    last = enc.rindex(b"\xff\xda")
+    assert _jpeg_decode_color_420_progressive(enc[:last] + b"\xff\xd9") is None
