@@ -67,11 +67,52 @@ def main(sf_dir: str) -> None:
         F.max("max").alias("max_px"),
     ).show()
 
+    print("== 4b. the JPEG feature ladder: restart / progressive / SA / color ==")
+    for label, files in (
+        ("restart-intervals", multimodal.synth_jpeg_dri(docs, "doc_id")),
+        ("progressive", multimodal.synth_jpeg_progressive(docs, "doc_id")),
+        ("progressive-SA", multimodal.synth_jpeg_progressive_sa(docs, "doc_id")),
+    ):
+        row = (
+            multimodal.decode_jpeg_stats(files, "payload", "doc_id")
+            .agg(F.count("*").alias("images"), F.sum("pos_sum").alias("checksum"))
+            .collect()[0]
+        )
+        print(f"  {label}: {row['images']} images, checksum {row['checksum']}")
+    color_sa = multimodal.synth_jpeg_color_progressive_sa(docs, "doc_id")
+    row = (
+        multimodal.decode_jpeg_color_stats(color_sa, "payload", "doc_id")
+        .agg(F.count("*").alias("rows"), F.sum("pos_sum").alias("checksum"))
+        .collect()[0]
+    )
+    print(f"  color-progressive-SA: {row['rows']} channel rows, checksum {row['checksum']}")
+
+    print("== 3b. the PNG matrix: Adam7 / palette / 16-bit ==")
+    for label, files in (
+        ("adam7", multimodal.synth_png_adam7(docs, "doc_id")),
+        ("palette", multimodal.synth_png_palette(docs, "doc_id")),
+        ("16-bit", multimodal.synth_png_16bit(docs, "doc_id")),
+    ):
+        row = (
+            multimodal.decode_png_stats(files, "payload", "doc_id")
+            .agg(F.count("*").alias("rows"), F.sum("pos_sum").alias("checksum"))
+            .collect()[0]
+        )
+        print(f"  {label}: {row['rows']} channel rows, checksum {row['checksum']}")
+
     print("== 5. audio resample 8kHz -> 12kHz (exact integer stats) ==")
     wav = multimodal.synth_pcm_wav(docs, "doc_id")
     multimodal.resample_pcm_stats(wav, "payload", "doc_id", up=3, down=2).agg(
         F.count("*").alias("files"),
         F.sum("n_in").alias("samples_in"),
+        F.sum("n_out").alias("samples_out"),
+    ).show()
+
+    print("== 5b. polyphase windowed-sinc resample 44.1->48kHz (160/147) ==")
+    multimodal.resample_fir_stats(
+        wav, "payload", "doc_id", up=160, down=147
+    ).agg(
+        F.count("*").alias("files"),
         F.sum("n_out").alias("samples_out"),
     ).show()
 
