@@ -5641,3 +5641,39 @@ def d128(spark, sf_dir):
     d = tables(spark, sf_dir)("documents")
     files = multimodal.synth_jpeg_color_progressive_sa(d, "doc_id")
     return multimodal.decode_jpeg_color_stats(files, "payload", "doc_id")
+
+
+@q(
+    "d129_warc_cdx_random_access",
+    """SELECT doc_id, CAST(2 AS INT) AS n_members,
+              CAST(1 AS INT) AS n_response,
+              CAST(1 AS INT) AS coverage_ok, CAST(1 AS INT) AS fetch_ok,
+              CAST(200 AS INT) AS http_status
+       FROM documents""",
+)
+def d129(spark, sf_dir):
+    """Web-crawl tier (r10): CDX-style RANDOM ACCESS — the reason
+    Common Crawl's index (whose urlkey is d125) exists: per-record
+    (offset, length) byte geometry over the ``.warc.gz`` member layout,
+    PROVEN by re-fetching every record through it — slice, inflate the
+    single member independently, parse standalone, compare
+    byte-for-byte against the sequential walk
+    (``multimodal.warc_gz_cdx_stats``).  The oracle pins the full
+    contract arithmetically: 2 members per file (warcinfo + response),
+    1 response, spans tiling the file exactly, every fetch reproducing
+    its record, status 200 — a one-byte geometry slip breaks a member's
+    gzip header and flips fetch_ok.  At 100 TB this is the difference
+    between serving single-record reads off an index and streaming
+    whole files.  Scale: one synth + one verification mapInPandas,
+    zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    uri = F.concat(
+        F.lit("https://www.site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/Docs/"), (F.col("doc_id") % 13).cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+    )
+    src = d.select("doc_id", html.alias("html"), uri.alias("uri"))
+    files = multimodal.synth_warc_gz(src, "html", "uri", "doc_id")
+    return multimodal.warc_gz_cdx_stats(files, "payload", "doc_id")

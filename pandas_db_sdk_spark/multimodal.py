@@ -3549,6 +3549,78 @@ def synth_warc_gz(
     )
 
 
+def _gz_inflate_members(b: bytes):
+    """Inflate a multi-member gzip stream (the ``.warc.gz`` layout):
+    each decompressobj consumes ONE member; unused_data carries the
+    next member's bytes. None on truncation."""
+    import zlib
+
+    out = bytearray()
+    buf = b
+    while buf:
+        d = zlib.decompressobj(wbits=47)  # gzip header + window
+        out.extend(d.decompress(buf))
+        out.extend(d.flush())
+        if not d.eof:  # truncated member
+            return None
+        buf = d.unused_data
+    return bytes(out)
+
+
+def _gz_member_spans(b: bytes):
+    """(offset, length, inflated_bytes) per gzip member — the byte
+    geometry a CDX index records so one record can be fetched without
+    touching the rest of the file (r10, d129). None on truncation."""
+    import zlib
+
+    spans = []
+    pos = 0
+    while pos < len(b):
+        d = zlib.decompressobj(wbits=47)
+        chunk = d.decompress(b[pos:]) + d.flush()
+        if not d.eof:
+            return None
+        consumed = len(b) - pos - len(d.unused_data)
+        spans.append((pos, consumed, chunk))
+        pos += consumed
+    return spans
+
+
+def _warc_split_records(b: bytes):
+    """Length-driven WARC record walk: a structural error ANYWHERE
+    invalidates the whole file (None), never a partial record list —
+    lengths are the only authority, so a bad length would misalign
+    every later record. Returns [(headers dict, block bytes)]."""
+    out = []
+    pos = 0
+    while pos < len(b):
+        if not b[pos:].startswith(b"WARC/"):
+            return None
+        hdr_end = b.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return None
+        lines = b[pos:hdr_end].split(b"\r\n")[1:]
+        headers = {}
+        for ln in lines:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return None
+        block = b[hdr_end + 4 : hdr_end + 4 + clen]
+        if len(block) != clen:
+            return None
+        out.append((headers, block))
+        pos = hdr_end + 4 + clen
+        if b[pos : pos + 4] != b"\r\n\r\n":
+            return None
+        pos += 4
+    return out
+
+
 def parse_warc(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -3570,54 +3642,8 @@ def parse_warc(
     fleet is embarrassingly parallel."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
-
-        def inflate_members(b: bytes):
-            # multi-member gzip: each decompressobj consumes ONE member;
-            # unused_data carries the next member's bytes
-            out = bytearray()
-            buf = b
-            while buf:
-                d = zlib.decompressobj(wbits=47)  # gzip header + window
-                out.extend(d.decompress(buf))
-                out.extend(d.flush())
-                if not d.eof:  # truncated member
-                    return None
-                buf = d.unused_data
-            return bytes(out)
-
-        def records(b: bytes):
-            # a structural error ANYWHERE invalidates the whole file
-            # (None), never a partial record list — lengths are the only
-            # authority, so a bad length would misalign every later record
-            out = []
-            pos = 0
-            while pos < len(b):
-                if not b[pos:].startswith(b"WARC/"):
-                    return None
-                hdr_end = b.find(b"\r\n\r\n", pos)
-                if hdr_end < 0:
-                    return None
-                lines = b[pos:hdr_end].split(b"\r\n")[1:]
-                headers = {}
-                for ln in lines:
-                    k, _, v = ln.partition(b":")
-                    headers[k.strip().lower().decode()] = v.strip().decode(
-                        "utf-8", "replace"
-                    )
-                try:
-                    clen = int(headers.get("content-length", ""))
-                except ValueError:
-                    return None
-                block = b[hdr_end + 4 : hdr_end + 4 + clen]
-                if len(block) != clen:
-                    return None
-                out.append((headers, block))
-                pos = hdr_end + 4 + clen
-                if b[pos : pos + 4] != b"\r\n\r\n":
-                    return None
-                pos += 4
-            return out
+        inflate_members = _gz_inflate_members
+        records = _warc_split_records
 
         for pdf in batches:
             rows = []
@@ -3676,6 +3702,105 @@ def parse_warc(
         parse,
         f"{id_col} long, n_records int, warc_type string, target_uri string, "
         "http_status int, body string",
+    )
+
+
+def warc_gz_cdx_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """CDX-style RANDOM ACCESS over ``.warc.gz`` (r10, d129) — the
+    access pattern Common Crawl's index exists for: record the byte
+    GEOMETRY of every gzip member ((offset, length) per record, which
+    is exactly what a CDX line's offset/length fields carry), then
+    PROVE the geometry by re-fetching each record through it — slice
+    ``payload[offset : offset+length]``, inflate that single member
+    INDEPENDENTLY, parse it as a standalone WARC record, and compare
+    byte-for-byte against the sequential full-file walk.  Emits one
+    verification row per file:
+
+      (id, n_members, n_response, coverage_ok, fetch_ok, http_status)
+
+    coverage_ok = the member spans tile the file exactly (contiguous,
+    ending at EOF); fetch_ok = every random-access fetch reproduced its
+    sequential record AND the response body matched. A geometry slip of
+    even one byte breaks the member's gzip header and fails the fetch —
+    the property that lets a 100 TB crawl serve single-record reads off
+    an index instead of streaming whole files. Structurally broken
+    files degrade to skip. Pure mapInPandas, zero shuffles."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = bytes(buf)
+                    if raw[:2] != b"\x1f\x8b":
+                        continue
+                    spans = _gz_member_spans(raw)
+                    if spans is None:
+                        continue
+                    full = _warc_split_records(
+                        b"".join(chunk for _, _, chunk in spans)
+                    )
+                    if full is None or len(full) != len(spans):
+                        continue
+                    coverage_ok = int(
+                        spans[0][0] == 0
+                        and all(
+                            spans[k][0] + spans[k][1] == spans[k + 1][0]
+                            for k in range(len(spans) - 1)
+                        )
+                        and spans[-1][0] + spans[-1][1] == len(raw)
+                    )
+                    fetch_ok = 1
+                    status = None
+                    n_resp = 0
+                    for (off, ln, chunk), (hdrs, block) in zip(spans, full):
+                        refetched = _gz_inflate_members(raw[off : off + ln])
+                        if refetched != chunk:
+                            fetch_ok = 0
+                            continue
+                        rec = _warc_split_records(refetched)
+                        if rec is None or len(rec) != 1:
+                            fetch_ok = 0
+                            continue
+                        if rec[0][0] != hdrs or rec[0][1] != block:
+                            fetch_ok = 0
+                        if hdrs.get("warc-type") == "response":
+                            n_resp += 1
+                            http_end = block.find(b"\r\n\r\n")
+                            if http_end >= 0 and block.startswith(b"HTTP/"):
+                                parts = block[: block.find(b"\r\n")].split(b" ")
+                                if (
+                                    len(parts) > 1
+                                    and parts[1].isdigit()
+                                    and len(parts[1]) == 3
+                                ):
+                                    status = int(parts[1])
+                    rows.append(
+                        (
+                            int(i),
+                            len(spans),
+                            n_resp,
+                            coverage_ok,
+                            fetch_ok,
+                            status,
+                        )
+                    )
+                except Exception:
+                    continue
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_members", "n_response",
+                    "coverage_ok", "fetch_ok", "http_status",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        f"{id_col} long, n_members int, n_response int, coverage_ok int, "
+        "fetch_ok int, http_status int",
     )
 
 
