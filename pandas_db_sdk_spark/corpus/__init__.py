@@ -448,13 +448,14 @@ _R10_NEW = frozenset(
 
 # Round-10 additions that DELIBERATELY yield their window slots to the
 # r3 re-certification loop (VERDICT r9 #1 outranks instant
-# certification): the codec-ladder variants d118–d123, whose oracles
-# are VERBATIM twins of already-certified rows (d108/d105 — the
+# certification): the codec-ladder variants d118–d128, whose oracles
+# are VERBATIM twins of already-certified rows (d108/d110/d105 — the
 # result-invisible isolation discipline, so those rows staying green
-# already certifies the shared surface) and whose new machinery is
-# unit-pinned (restart/Adam7/palette/progressive/SA roundtrips vs
-# baseline) plus d119, whose tap table is unit-pinned.  They sort right
-# AFTER the r3 block and ride the round-11 window.
+# already certifies the shared surface; d127's is d105 scaled 257x)
+# and whose new machinery is unit-pinned (restart/Adam7/palette/
+# progressive/SA/16-bit roundtrips vs baseline) plus d119, whose tap
+# table is unit-pinned.  They sort right AFTER the r3 block and ride
+# the round-11 window.
 _R10_NEW_DEFERRED = frozenset(
     """d118_jpeg_restart_decode d119_audio_resample_sinc
     d120_png_adam7_decode d121_jpeg_progressive_decode
