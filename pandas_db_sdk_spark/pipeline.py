@@ -427,11 +427,17 @@ def crawl_gates(
     :func:`crawl_corpus` (r10) so the STREAMING ingest path runs the
     identical gates per micro-batch and then delegates admission to the
     persisted near-dup index instead of a batch-local MinHash pass."""
-    recs = records.select(
-        F.col(id_col), F.col(uri_col).alias("uri"),
-        F.col("http_status"), F.col(body_col).alias("__body"),
-    )
     maybe_persist = _stage_persister(persist)
+    # the fetched frame is the pipeline's most expensive input (a WARC
+    # walk is a mapInPandas over raw payloads) and every downstream
+    # stage plus the audit counts re-reads it — persist FIRST (r10)
+    recs = maybe_persist(
+        records.select(
+            F.col(id_col), F.col(uri_col).alias("uri"),
+            F.col("http_status"), F.col(body_col).alias("__body"),
+        ),
+        "crawl_corpus/fetched",
+    )
     http_ok = recs.filter(F.col("http_status") == 200).drop("http_status")
 
     host = F.regexp_extract("uri", "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
