@@ -152,6 +152,7 @@ def hierarchy_depth(
     id_col: str = "id",
     parent_col: str = "parent",
     max_iter: int = 40,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Depth of every node in a forest given (id, parent) edges — parent
     NULL marks a root (depth 0). The transitive-closure sibling of
@@ -163,7 +164,51 @@ def hierarchy_depth(
     keeps lineage O(1); exceeding ``max_iter`` raises (a cycle — depth is
     undefined — or a tree deeper than 2^40) rather than returning wrong
     depths.
+
+    ADAPTIVE (r10, the connected_components discipline): hierarchies at
+    most ``local_threshold`` rows resolve driver-side with a memoized
+    parent walk (exact integers, identical cycle raise);
+    ``local_threshold=0`` pins the distributed path.
     """
+    if local_threshold > 0:
+        probe = parents.select(id_col, parent_col).limit(
+            local_threshold + 1
+        ).count()
+        if probe <= local_threshold:
+            rows = parents.select(id_col, parent_col).collect()
+            parent = {r[0]: r[1] for r in rows if r[1] is not None}
+            roots_l = [r[0] for r in rows if r[1] is None]
+            depth: dict = {}
+
+            def resolve(x):
+                chain = []
+                cur = x
+                while cur in parent and cur not in depth:
+                    if cur in seen_on_path:
+                        raise RuntimeError(
+                            f"hierarchy_depth did not converge in "
+                            f"{max_iter} doubling rounds — cycle in the "
+                            "parent edges, or depth > 2^max_iter"
+                        )
+                    seen_on_path.add(cur)
+                    chain.append(cur)
+                    cur = parent[cur]
+                base = depth.get(cur, 0)
+                for node in reversed(chain):
+                    base += 1
+                    depth[node] = base
+
+            for r in rows:
+                if r[1] is not None and r[0] not in depth:
+                    seen_on_path: set = set()
+                    resolve(r[0])
+            out = [(x, 0) for x in roots_l] + [
+                (x, depth[x]) for x in (r[0] for r in rows) if x in depth
+            ]
+            return parents.sparkSession.createDataFrame(
+                out, f"id {dict(parents.dtypes)[id_col]}, depth int"
+            )
+
     roots = parents.filter(F.col(parent_col).isNull()).select(
         F.col(id_col).alias("id"), F.lit(0).alias("depth")
     )

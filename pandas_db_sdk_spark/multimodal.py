@@ -7,11 +7,26 @@ only flow through stages that touch them (column pruning drops them
 elsewhere — the key to 100 TB pipelines with heavy media columns).
 
 Decode / feature-extraction run as Arrow-batched `mapInPandas` over the
-binary column. The actual image/audio codecs are NOT in this container, so
-`decode_features` ships a deterministic fake decoder and `decode_real` is an
-explicitly marked stub (`NotImplementedError`) documenting the intended
-signature — the Spark-side plumbing (schema, batching, partition shape) is
-real and tested either way.
+binary column. No media library ships in this container, so the codecs
+here are implemented FROM FIRST PRINCIPLES and oracle-certified — by
+round 10 the modeled-format ladder is closed:
+
+* containers: PNG/RIFF/MP4 header walks, WARC/1.0 + `.warc.gz`
+  (member-per-record) ingestion, CDX-style (offset, length) random
+  access proven byte-for-byte;
+* PNG: the full matrix — 8/16-bit truecolor and 8-bit palette, each
+  sequential or Adam7-interlaced, DEFLATE + all five filters;
+* JPEG: baseline grayscale and YCbCr 4:2:0 color, restart intervals
+  (DRI/RSTn), progressive spectral selection AND successive
+  approximation, gray and color;
+* audio: WAV parse + rational linear resample + fixed-point polyphase
+  windowed-sinc resample (160/147);
+* signatures: perceptual average-hash (the image near-dup key).
+
+`decode_features` ships a deterministic fake decoder and `decode_real`
+remains the explicitly marked stub (`NotImplementedError`) for
+real-world LIBRARY integration (PIL/libav-class formats beyond the
+modeled ladder) — the Spark-side plumbing is identical either way.
 """
 
 from __future__ import annotations

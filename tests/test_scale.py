@@ -407,19 +407,27 @@ def test_hierarchy_depth_chain_forest_and_cycle(spark):
     chain = spark.createDataFrame(
         [(0, None)] + [(i, i - 1) for i in range(1, 500)], "id long, parent long"
     )
-    got = {r.id: r.depth for r in graph.hierarchy_depth(chain).collect()}
-    assert got == {i: i for i in range(500)}
-
     forest = spark.createDataFrame(
         [(10, None), (11, 10), (20, None), (21, 20), (22, 21)],
         "id long, parent long",
     )
-    got = {r.id: r.depth for r in graph.hierarchy_depth(forest).collect()}
-    assert got == {10: 0, 11: 1, 20: 0, 21: 1, 22: 2}
-
     cycle = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
-    with pytest.raises(RuntimeError, match="converge"):
-        graph.hierarchy_depth(cycle, max_iter=8)
+    # both execution paths (r10): count-gated local memoized walk
+    # (default) and distributed pointer doubling agree on values AND
+    # the cycle raise
+    for thr in (100_000, 0):
+        got = {
+            r.id: r.depth
+            for r in graph.hierarchy_depth(chain, local_threshold=thr).collect()
+        }
+        assert got == {i: i for i in range(500)}
+        got = {
+            r.id: r.depth
+            for r in graph.hierarchy_depth(forest, local_threshold=thr).collect()
+        }
+        assert got == {10: 0, 11: 1, 20: 0, 21: 1, 22: 2}
+        with pytest.raises(RuntimeError, match="converge"):
+            graph.hierarchy_depth(cycle, max_iter=8, local_threshold=thr)
 
 
 def test_set_similarity_adversarial_duplicate_cluster(spark):
