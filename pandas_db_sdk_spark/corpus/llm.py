@@ -5249,14 +5249,17 @@ def d116(spark, sf_dir):
         "fetched", "http_ok", "robots_allowed", "url_unique",
         "extracted", "lang_kept", "gopher_kept", "final",
     ]
-    escapees = 0
-    for prev, nxt in zip(order, order[1:]):
-        escapees += (
-            stages[nxt]
-            .select("doc_id")
-            .join(stages[prev].select("doc_id"), "doc_id", "left_anti")
-            .count()
-        )
+    # all seven stage-containment anti-joins in ONE job (the frames are
+    # persisted; seven separate count() actions were pure driver latency)
+    from functools import reduce
+
+    escapee_frames = [
+        stages[nxt]
+        .select("doc_id")
+        .join(stages[prev].select("doc_id"), "doc_id", "left_anti")
+        for prev, nxt in zip(order, order[1:])
+    ]
+    escapees = reduce(lambda a, b: a.unionAll(b), escapee_frames).count()
     # per-stage drops telescope to n_input - n_final by construction, so
     # the conservation row's real content is the two NON-telescoping
     # checks: extraction is exactly 1:1, and no stage GREW (a negative
