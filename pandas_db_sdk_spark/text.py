@@ -2035,9 +2035,13 @@ def surt_key(col):
     posture as ``canonical_url``; non-absolute URLs pass through NULL."""
     u = F.lower(col)
     scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1)
-    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
+    # authority first, then strip userinfo (user:pw@) BEFORE splitting
+    # host:port — a colon inside the userinfo must not truncate the host
+    authority = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    hostport = F.regexp_replace(authority, r"^[^@]*@", "")
+    host = F.regexp_replace(hostport, r":\d*$", "")
     host = F.regexp_replace(host, r"^www\.", "")
-    port = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#:]+:(\d+)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
     path0 = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.when(path0 == "", F.lit("/")).otherwise(path0)
     qs = F.regexp_extract(u, r"\?([^#]*)", 1)

@@ -779,3 +779,31 @@ def test_crawl_corpus_stage_contract(spark):
     assert row["doc_id"] == 0  # min-id canonical survives every stage
     assert row["predicted_lang"] == "en"
     assert "utm_source" not in row["canonical_url"]
+
+
+def test_surt_key_golden_cases(spark):
+    """SURT urlkeys (d125): reversed comma-joined host labels, scheme +
+    leading www. dropped, userinfo stripped BEFORE host:port split (a
+    colon inside user:pw@ must not truncate the host), non-default port
+    kept, sorted tracking-stripped query, non-URLs NULL."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark import text
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://WWW.Site2.Example.com:8080/Docs/3/Doc7?utm_source=x&b=2&a=1",
+             "com,example,site2:8080)/docs/3/doc7?a=1&b=2"),
+            (2, "https://user:pw@WWW.Example.com:8080/A?b=1",
+             "com,example:8080)/a?b=1"),
+            (3, "https://news.example.com/A", "com,example,news)/a"),
+            (4, "http://example.com", "com,example)/"),
+            (5, "not a url", None),
+        ],
+        "id long, url string, want string",
+    )
+    got = urls.select(
+        "id", "want", text.surt_key(F.col("url")).alias("k")
+    ).collect()
+    for r in got:
+        assert r.k == r.want, (r.id, r.k, r.want)
