@@ -2014,8 +2014,10 @@ def sitemap_entries(df: DataFrame, xml_col: str = "sitemap_xml", domain_col: str
             "domain",
             loc.alias("loc"),
             F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+            # try_cast: a malformed <priority> in real sitemap data must
+            # yield NULL, not an ANSI cast error failing the whole scan
             F.when(prio == "", None)
-            .otherwise(prio.cast("double"))
+            .otherwise(prio.try_cast("double"))
             .alias("priority"),
             F.col("__idx").cast("int").alias("is_index"),
         )
