@@ -5680,3 +5680,95 @@ def d129(spark, sf_dir):
     src = d.select("doc_id", html.alias("html"), uri.alias("uri"))
     files = multimodal.synth_warc_gz(src, "html", "uri", "doc_id")
     return multimodal.warc_gz_cdx_stats(files, "payload", "doc_id")
+
+
+@q("d130_unigram_lm_vocab")  # rows-only: Viterbi segmentation choices are
+# float-score dependent; d130b is the hash-green certification twin
+def d130(spark, sf_dir):
+    """Tokenizer tier (r10): SentencePiece-style UNIGRAM-LM vocabulary
+    training — the THIRD tokenizer family next to BPE (d98/d106) and
+    WordPiece (d70), and the one modern multilingual models actually
+    ship: substring-candidate inventory → hard-EM rounds (Viterbi
+    E-step over WORD TYPES with the piece inventory in the task
+    closure, exact integer frequency-weighted counts; M-step
+    re-estimates scores), unused pieces self-pruning, single-char
+    coverage guaranteed (``text.unigram_lm_vocab``).  Returns the final
+    ranked inventory.  Scale: one corpus scan for word frequencies;
+    each EM round is one mapInPandas pass over vocabulary-sized state —
+    the BPE discipline."""
+    d = tables(spark, sf_dir)("documents")
+    pieces, _ = text.unigram_lm_vocab(
+        d, "text", vocab_size=200, max_piece_len=4, em_iters=3
+    )
+    return pieces
+
+
+@q(
+    "d130b_unigram_lm_guarantees",
+    """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       wf AS (SELECT w, count(*) AS f FROM wd WHERE length(w) > 0 GROUP BY 1)
+       SELECT 'initial_token_mass' AS rule,
+              CAST(sum(f * length(w)) AS BIGINT) AS val FROM wf
+       UNION ALL SELECT 'n_rounds', CAST(3 AS BIGINT)
+       UNION ALL SELECT 'mass_violations', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'nll_increase_rounds', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'char_coverage_missing', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'pieces_not_substring', CAST(0 AS BIGINT)""",
+)
+def d130b(spark, sf_dir):
+    """d130's certification twin (hash-green, the d106 discipline): the
+    EM internals are float-ordered, but the trainer's CONTRACT is exact
+    and the oracle replays it — every round's Viterbi segmentation
+    conserves the corpus token mass EXACTLY (Σ count·len(piece) =
+    Σ f·len(word), integer arithmetic — a segmentation that drops or
+    duplicates a character breaks it), the hard-EM objective never
+    increases (coordinate ascent on (segmentation, scores)), every
+    character occurring in the corpus stays segmentable, and every
+    surviving piece is a substring of some corpus word.  Violation
+    counters recomputed Spark-side; n_rounds and the initial mass are
+    data-derived pins."""
+    d = tables(spark, sf_dir)("documents")
+    pieces, rounds = text.unigram_lm_vocab(
+        d, "text", vocab_size=200, max_piece_len=4, em_iters=3
+    )
+    wf = (
+        d.select(F.explode(text.tokens("text")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    init_mass = int(
+        wf.agg(F.sum(F.col("f") * F.length("w"))).collect()[0][0] or 0
+    )
+    r = rounds.collect()
+    mass_viol = sum(1 for row in r if row["token_mass"] != init_mass)
+    nll_up = sum(
+        1
+        for a, b in zip(r, r[1:])
+        if b["neg_loglik"] > a["neg_loglik"] + 1e-6
+    )
+    corpus_chars = (
+        wf.select(F.explode(F.split("w", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+    )
+    piece_set = pieces.select(F.col("piece").alias("c"))
+    missing = corpus_chars.join(piece_set, "c", "left_anti").count()
+    # every piece must be a substring of some corpus word (broadcast the
+    # piece inventory — it is vocab-sized by construction)
+    hit = (
+        wf.crossJoin(F.broadcast(pieces.select("piece")))
+        .filter(F.expr("w LIKE '%' || piece || '%'"))
+        .select("piece")
+        .distinct()
+    )
+    not_sub = pieces.join(hit, "piece", "left_anti").count()
+    rows = [
+        ("initial_token_mass", init_mass),
+        ("n_rounds", len(r)),
+        ("mass_violations", mass_viol),
+        ("nll_increase_rounds", nll_up),
+        ("char_coverage_missing", missing),
+        ("pieces_not_substring", not_sub),
+    ]
+    return spark.createDataFrame(rows, "rule string, val long")

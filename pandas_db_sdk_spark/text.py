@@ -2062,3 +2062,165 @@ def surt_key(col):
         F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
     )
     return F.when((scheme == "") | (host == ""), F.lit(None)).otherwise(built)
+
+
+def unigram_lm_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    max_piece_len: int = 4,
+    em_iters: int = 3,
+    min_count: int = 2,
+):
+    """SentencePiece-style UNIGRAM-LM tokenizer training (r10, d130) —
+    the third tokenizer family next to BPE (d98/d106) and WordPiece
+    (d70): seed a candidate piece inventory from word substrings, then
+    run hard-EM (Viterbi) rounds — E-step segments every WORD TYPE by
+    the current piece scores, M-step re-estimates scores from the
+    Viterbi piece counts. Deterministic throughout: counts are exact
+    integers (hard-EM, frequency-weighted), ties in the Viterbi break
+    toward fewer pieces then lexicographic, candidate selection orders
+    by (count desc, piece).
+
+    Scale shape (the BPE discipline): the corpus is scanned ONCE for
+    the word-frequency aggregate; every EM round is one mapInPandas
+    pass over the VOCABULARY-sized word table with the piece inventory
+    (≤ vocab_size rows) in the task closure, one piece-count aggregate,
+    and one bounded driver collect of the new inventory. State never
+    exceeds the vocabulary.
+
+    Returns ``(pieces, rounds)``:
+      pieces — (piece string, count bigint, rank int) final inventory,
+               count = frequency-weighted Viterbi usage;
+      rounds — (round int, n_pieces int, total_pieces bigint,
+                token_mass bigint, neg_loglik double) — one row per EM
+                round, driver-built. Single characters present in any
+                word are ALWAYS kept (coverage guarantee: every word
+                segmentable)."""
+    import math
+
+    wf = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    from ._scratch import scratch_persist
+
+    wf = scratch_persist(wf, "unigram_lm/word_freq")
+
+    # candidate inventory: all substrings <= max_piece_len weighted by
+    # word frequency; single chars are mandatory (coverage), the rest
+    # take the top slots by (count desc, piece)
+    subs = wf.select(
+        "f",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(w)), i ->
+                    transform(sequence(i, least(length(w), i + {max_piece_len - 1})),
+                              j -> substring(w, i, j - i + 1))))"""
+            )
+        ).alias("p"),
+    ).groupBy("p").agg(F.sum("f").alias("cnt"))
+    chars = {
+        r["p"]: int(r["cnt"])
+        for r in subs.filter(F.length("p") == 1).collect()
+    }
+    multi = (
+        subs.filter((F.length("p") > 1) & (F.col("cnt") >= min_count))
+        .orderBy(F.col("cnt").desc(), "p")
+        .limit(max(vocab_size - len(chars), 0))
+        .collect()
+    )
+    inventory = dict(chars)
+    inventory.update({r["p"]: int(r["cnt"]) for r in multi})
+
+    spark = df.sparkSession
+    rounds = []
+    for rnd in range(1, em_iters + 1):
+        total = max(sum(inventory.values()), 1)
+        # coverage-kept single chars can carry count 0 after a round —
+        # floor them at half a count so they stay USABLE (a word with a
+        # rare char must still segment) but never outcompete a real piece
+        scores = {
+            p: math.log(c if c > 0 else 0.5) - math.log(total)
+            for p, c in inventory.items()
+        }
+
+        def segment(batches, scores=scores):
+            import pandas as pd  # noqa: PLC0415
+
+            max_len = max(len(p) for p in scores)
+            out_w, out_p, out_f = [], [], []
+            for pdf in batches:
+                for w, f in zip(pdf["w"], pdf["f"]):
+                    n = len(w)
+                    # Viterbi: best[i] = (score, n_pieces, pieces tuple)
+                    best = [None] * (n + 1)
+                    best[0] = (0.0, 0, ())
+                    for i in range(n):
+                        if best[i] is None:
+                            continue
+                        s0, k0, ps0 = best[i]
+                        for ln in range(1, min(max_len, n - i) + 1):
+                            piece = w[i : i + ln]
+                            sc = scores.get(piece)
+                            if sc is None:
+                                continue
+                            cand = (s0 + sc, k0 + 1, ps0 + (piece,))
+                            cur = best[i + ln]
+                            if (
+                                cur is None
+                                or cand[0] > cur[0] + 1e-12
+                                or (
+                                    abs(cand[0] - cur[0]) <= 1e-12
+                                    and (cand[1], cand[2]) < (cur[1], cur[2])
+                                )
+                            ):
+                                best[i + ln] = cand
+                    if best[n] is None:
+                        continue  # unsegmentable (cannot happen: chars kept)
+                    for piece in best[n][2]:
+                        out_w.append(w)
+                        out_p.append(piece)
+                        out_f.append(int(f))
+                yield pd.DataFrame({"w": out_w, "p": out_p, "f": out_f})
+                out_w, out_p, out_f = [], [], []
+
+        seg = wf.mapInPandas(segment, "w string, p string, f long")
+        counts = (
+            seg.groupBy("p")
+            .agg(F.sum("f").alias("cnt"))
+            .collect()
+        )
+        used = {r["p"]: int(r["cnt"]) for r in counts}
+        # coverage guarantee: single chars survive even when unused
+        new_inv = {p: c for p, c in used.items() if c > 0}
+        for ch in chars:
+            new_inv.setdefault(ch, 0)
+        # bounded stats for the rounds frame (exact integers + one float)
+        total_pieces = sum(used.values())
+        mass = sum(c * len(p) for p, c in used.items())
+        nll = -sum(
+            c * (math.log(inventory.get(p, 1)) - math.log(total))
+            for p, c in used.items()
+            if inventory.get(p, 0) > 0
+        )
+        rounds.append(
+            (rnd, len(new_inv), total_pieces, mass, round(nll, 6))
+        )
+        inventory = new_inv
+
+    ranked = sorted(
+        inventory.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    pieces = spark.createDataFrame(
+        [(p, c, i + 1) for i, (p, c) in enumerate(ranked)],
+        "piece string, count long, rank int",
+    )
+    rounds_df = spark.createDataFrame(
+        rounds,
+        "round int, n_pieces int, total_pieces long, token_mass long, "
+        "neg_loglik double",
+    )
+    return pieces, rounds_df

@@ -807,3 +807,32 @@ def test_surt_key_golden_cases(spark):
     ).collect()
     for r in got:
         assert r.k == r.want, (r.id, r.k, r.want)
+
+
+def test_unigram_lm_vocab_contract(spark):
+    """Unigram-LM trainer (d130): on a corpus dominated by one repeated
+    word, the word itself (≤ max_piece_len) wins a vocabulary slot and
+    the Viterbi keeps it whole; token mass is conserved exactly every
+    round; all corpus characters stay segmentable; the hard-EM
+    objective never increases."""
+    from pandas_db_sdk_spark import text
+
+    docs = spark.createDataFrame(
+        [(i, "data data data data lake x") for i in range(8)],
+        "doc_id long, text string",
+    )
+    pieces, rounds = text.unigram_lm_vocab(
+        docs, "text", vocab_size=50, max_piece_len=4, em_iters=3
+    )
+    inv = {r.piece: r["count"] for r in pieces.collect()}
+    # 'data' occurs 32 times and fits max_piece_len: kept whole
+    assert inv.get("data") == 32, inv
+    # single-char coverage: every char of the corpus present
+    for ch in set("datalakex"):
+        assert ch in inv, ch
+    rr = rounds.collect()
+    src_mass = 8 * (4 * 4 + 4 + 1)  # 4x'data' + 'lake' + 'x' per doc
+    assert all(row.token_mass == src_mass for row in rr), rr
+    assert all(
+        b.neg_loglik <= a.neg_loglik + 1e-6 for a, b in zip(rr, rr[1:])
+    ), rr
