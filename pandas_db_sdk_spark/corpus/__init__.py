@@ -444,7 +444,8 @@ _R10_NEW = frozenset(
     """d114b_robots_wildcards d117_image_near_dup_clusters
     d117b_image_cluster_guarantees d116_crawl_pipeline
     d124_sitemap_extract d125_surt_urlkeys d129_warc_cdx_random_access
-    d130_unigram_lm_vocab d130b_unigram_lm_guarantees""".split()
+    d130_unigram_lm_vocab d130b_unigram_lm_guarantees
+    d131_robots_sitemap_discovery""".split()
 )
 
 # Round-10 additions that DELIBERATELY yield their window slots to the

@@ -5772,3 +5772,63 @@ def d130b(spark, sf_dir):
         ("pieces_not_substring", not_sub),
     ]
     return spark.createDataFrame(rows, "rule string, val long")
+
+
+@q(
+    "d131_robots_sitemap_discovery",
+    """WITH k AS (SELECT DISTINCT doc_id % 5 AS k FROM documents)
+       SELECT 'www.site' || k || '.com' AS domain,
+              'https://www.site' || k || '.com/sitemap'
+                || (k % 2) || '.xml' AS sitemap_url,
+              CAST(1 + k % 3 AS DOUBLE) AS crawl_delay_s,
+              CAST(2 + k % 2 AS BIGINT) AS n_disallow
+       FROM k""",
+)
+def d131(spark, sf_dir):
+    """Web-crawl tier (r10): robots DIRECTIVE mining — the discovery
+    side of robots.txt the matcher tiers (d114/d114b) ignore by
+    design: ``Sitemap:`` lines are how sitemap discovery actually
+    happens (feeding d124's extractor), and ``Crawl-delay`` feeds the
+    politeness scheduler.  ``text.robots_directives`` extracts every
+    directive flat (comments stripped, unknown directives preserved);
+    this query reassembles the per-domain crawl config — sitemap URL,
+    numeric crawl delay, disallow-rule count — certified
+    arithmetically: domain K declares sitemap(K%2).xml, delay 1+K%3,
+    and 2+K%2 disallow lines.  Pure codegen extraction + one
+    domains-sized pivot aggregate."""
+    d = tables(spark, sf_dir)("documents")
+    k = F.col("k")
+    robots = (
+        d.select((F.col("doc_id") % 5).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("www.site"), k.cast("string"), F.lit(".com")).alias(
+                "domain"
+            ),
+            F.concat(
+                F.lit("# corpus crawler config\n"),
+                F.lit("User-agent: *\n"),
+                F.lit("Crawl-delay: "), (1 + k % 3).cast("string"), F.lit("\n"),
+                F.lit("Disallow: /private/\n"),
+                F.lit("Disallow: /tmp/\n"),
+                F.when(k % 2 == 1, F.lit("Disallow: /staging/\n")).otherwise(
+                    F.lit("")
+                ),
+                F.lit("Sitemap: https://www.site"), k.cast("string"),
+                F.lit(".com/sitemap"), (k % 2).cast("string"), F.lit(".xml\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    dirs = text.robots_directives(robots, "robots_txt", "domain")
+    return dirs.groupBy("domain").agg(
+        F.max(F.when(F.col("directive") == "sitemap", F.col("value"))).alias(
+            "sitemap_url"
+        ),
+        F.max(
+            F.when(F.col("directive") == "crawl-delay", F.col("value"))
+            .try_cast("double")
+        ).alias("crawl_delay_s"),
+        F.sum((F.col("directive") == "disallow").cast("long")).alias(
+            "n_disallow"
+        ),
+    )

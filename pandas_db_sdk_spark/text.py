@@ -2224,3 +2224,26 @@ def unigram_lm_vocab(
         "neg_loglik double",
     )
     return pieces, rounds_df
+
+
+def robots_directives(
+    df: DataFrame, txt_col: str = "robots_txt", domain_col: str = "domain"
+) -> DataFrame:
+    """RAW robots.txt directive view (r10, d131) — every directive line
+    as (domain, directive, value), directive lowercased, value
+    whitespace-trimmed: user-agent / allow / disallow / crawl-delay /
+    sitemap and any extension directive (the REP says unknown lines are
+    ignored by MATCHERS but crawlers still mine them — Sitemap: is how
+    sitemap discovery actually happens, and Crawl-delay feeds the
+    politeness scheduler). Group semantics live in
+    :func:`robots_rules_grouped`; this is the flat extraction layer.
+    Pure split/explode/regexp codegen; comments (#…) and blank lines
+    drop."""
+    lines = F.explode(F.split(F.col(txt_col), "\n")).alias("line")
+    out = df.select(F.col(domain_col).alias("domain"), lines)
+    clean = F.regexp_replace(F.col("line"), "#.*$", "")
+    directive = F.lower(F.regexp_extract(clean, r"^\s*([A-Za-z][A-Za-z-]*)\s*:", 1))
+    value = F.trim(F.regexp_extract(clean, r"^\s*[A-Za-z][A-Za-z-]*\s*:\s*(.*?)\s*$", 1))
+    return out.select(
+        "domain", directive.alias("directive"), value.alias("value")
+    ).filter(F.col("directive") != "")
