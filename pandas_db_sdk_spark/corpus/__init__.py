@@ -445,7 +445,8 @@ _R10_NEW = frozenset(
     d117b_image_cluster_guarantees d116_crawl_pipeline
     d124_sitemap_extract d125_surt_urlkeys d129_warc_cdx_random_access
     d130_unigram_lm_vocab d130b_unigram_lm_guarantees
-    d131_robots_sitemap_discovery""".split()
+    d131_robots_sitemap_discovery d132_pca_embeddings
+    d132b_pca_guarantees""".split()
 )
 
 # Round-10 additions that DELIBERATELY yield their window slots to the

@@ -5832,3 +5832,82 @@ def d131(spark, sf_dir):
             "n_disallow"
         ),
     )
+
+
+@q("d132_pca_embeddings")  # rows-only: eigendecomposition floats are
+# engine-orchestration-specific; d132b is the hash-green twin
+def d132(spark, sf_dir):
+    """Embedding tier (r10): PCA dimensionality reduction
+    (``similarity.pca_project``) — project embeddings onto the top-k
+    principal components before indexing/serving, the classic
+    embedding-compression move next to int8 quantization (d67):
+    exact-decimal sufficient statistics in ONE pass, driver-side
+    dims×dims eigh (never data-sized), deterministic eigenvector signs,
+    pure-codegen projection (one aggregate(zip_with) per component,
+    zero UDFs/shuffles)."""
+    emb = tables(spark, sf_dir)("embeddings")
+    proj, _ = similarity.pca_project(emb, "vec_id", "embedding", dims=16, k=4)
+    return proj
+
+
+@q(
+    "d132b_pca_guarantees",
+    """SELECT 'n_vectors' AS rule,
+              CAST(count(*) AS BIGINT) AS val FROM embeddings
+       UNION ALL SELECT 'dims', CAST(16 AS BIGINT)
+       UNION ALL SELECT 'k', CAST(4 AS BIGINT)
+       UNION ALL SELECT 'variance_mismatches', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'orthonormality_violations', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'eigval_order_violations', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'explained_exceeds_trace', CAST(0 AS BIGINT)""",
+)
+def d132b(spark, sf_dir):
+    """d132's certification twin (hash-green): the eigendecomposition's
+    floats are not oracle-replayable, but its CONTRACT is — for every
+    kept component the DISTRIBUTED variance of the projected data must
+    equal the eigenvalue (the end-to-end wiring check: a wrong loading,
+    a missed mean subtraction, or a mis-wired dot product shifts the
+    realized variance), the loading rows must be orthonormal,
+    eigenvalues must come out descending, and the explained variance
+    can never exceed the total (trace).  Violation counters recomputed
+    Spark/driver-side; n_vectors is the data-derived pin."""
+    import numpy as np
+
+    emb = tables(spark, sf_dir)("embeddings")
+    proj, model = similarity.pca_project(
+        emb, "vec_id", "embedding", dims=16, k=4
+    )
+    k = len(model["eigvals"])
+    aggs = [F.count("*").alias("n")]
+    for j in range(1, k + 1):
+        aggs.append(
+            F.sum(F.col(f"p{j}").cast("decimal(28,10)")).alias(f"s{j}")
+        )
+        aggs.append(
+            F.sum(
+                (F.col(f"p{j}") * F.col(f"p{j}")).cast("decimal(28,12)")
+            ).alias(f"ss{j}")
+        )
+    r = proj.agg(*aggs).collect()[0]
+    n = float(r["n"])
+    mism = 0
+    for j in range(1, k + 1):
+        var = float(r[f"ss{j}"]) / n - (float(r[f"s{j}"]) / n) ** 2
+        ev = model["eigvals"][j - 1]
+        if abs(var - ev) > max(abs(ev), 1e-12) * 1e-4:
+            mism += 1
+    C = np.array(model["components"])
+    ortho = int(np.abs(C @ C.T - np.eye(k)).max() > 1e-9)
+    ev = model["eigvals"]
+    order_viol = sum(1 for a, b in zip(ev, ev[1:]) if b > a + 1e-12)
+    exceeds = int(sum(ev) > model["trace"] * (1 + 1e-9) + 1e-12)
+    rows = [
+        ("n_vectors", int(n)),
+        ("dims", 16),
+        ("k", k),
+        ("variance_mismatches", mism),
+        ("orthonormality_violations", ortho),
+        ("eigval_order_violations", order_viol),
+        ("explained_exceeds_trace", exceeds),
+    ]
+    return spark.createDataFrame(rows, "rule string, val long")

@@ -1670,3 +1670,86 @@ def embedding_covariance(
         for i, j in pairs
     )
     return one.selectExpr(f"inline(array({entries}))")
+
+
+def pca_project(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 16,
+    k: int = 4,
+    round_dp: int = 6,
+):
+    """PCA dimensionality reduction over the first ``dims`` embedding
+    dimensions (r10, d132) — the storage/serving-side companion of the
+    ANN tier (project 64-dim vectors to k principal components before
+    indexing; the classic embedding-compression move next to int8
+    quantization, d67): sufficient statistics come from ONE exact
+    decimal aggregate pass (the ``embedding_covariance`` pattern —
+    means + the full cross-product triangle in a single 1-row shuffle),
+    the ``dims×dims`` eigendecomposition runs DRIVER-side (O(dims³) on
+    one row of accumulators — never data-sized), eigenvectors are
+    SIGN-FIXED deterministically (largest-|component| entry positive),
+    and the projection applies as pure codegen — one
+    ``aggregate(zip_with(...))`` dot product per component with the
+    loadings as literal arrays, zero UDFs, zero shuffles.
+
+    Returns ``(projected, model)``: projected — (id, p1..pk double,
+    rounded ``round_dp``); model — dict with ``mean`` (len dims),
+    ``components`` (k×dims, row-orthonormal), ``eigvals`` (k,
+    descending), ``trace`` (total variance). Certification (d132b):
+    the distributed per-component variance of the PROJECTED data must
+    equal its eigenvalue — the end-to-end wiring check that makes the
+    driver-side eigh oracle-accountable without replaying floats."""
+    import numpy as np
+
+    el = lambda i: f"cast(element_at({vec_col}, {i}) as double)"  # noqa: E731
+    aggs = ["cast(count(*) as double) as n"]
+    for i in range(1, dims + 1):
+        aggs.append(
+            f"cast(sum(cast({el(i)} as decimal(28,10))) as double) as sx{i}"
+        )
+    pairs = [(i, j) for i in range(1, dims + 1) for j in range(i, dims + 1)]
+    for i, j in pairs:
+        aggs.append(
+            f"cast(sum(cast({el(i)} * {el(j)} as decimal(28,12))) as double)"
+            f" as sxy{i}_{j}"
+        )
+    row = emb.selectExpr(*aggs).collect()[0]
+    n = row["n"]
+    mean = np.array([row[f"sx{i}"] / n for i in range(1, dims + 1)])
+    cov = np.zeros((dims, dims))
+    for i, j in pairs:
+        c = row[f"sxy{i}_{j}"] / n - mean[i - 1] * mean[j - 1]
+        cov[i - 1, j - 1] = cov[j - 1, i - 1] = c
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    eigvals = vals[order]
+    comps = vecs[:, order].T  # (k, dims)
+    for r_ in range(k):  # deterministic sign: largest-|entry| positive
+        jmax = int(np.argmax(np.abs(comps[r_])))
+        if comps[r_, jmax] < 0:
+            comps[r_] = -comps[r_]
+
+    cols = [F.col(id_col)]
+    for r_ in range(k):
+        w = ", ".join(f"{comps[r_, i]!r}D" for i in range(dims))
+        bias = float(-(comps[r_] @ mean))
+        cols.append(
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with(slice({vec_col}, 1, {dims}), "
+                    f"array({w}), (x, w) -> cast(x as double) * w), "
+                    f"cast({bias!r} as double), (acc, v) -> acc + v)"
+                ),
+                round_dp,
+            ).alias(f"p{r_ + 1}")
+        )
+    projected = emb.select(*cols)
+    model = {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "eigvals": eigvals.tolist(),
+        "trace": float(np.trace(cov)),
+    }
+    return projected, model
