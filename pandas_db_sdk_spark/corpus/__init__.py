@@ -443,10 +443,8 @@ _R10_STALE_FIRST = frozenset(
 _R10_NEW = frozenset(
     """d114b_robots_wildcards d117_image_near_dup_clusters
     d117b_image_cluster_guarantees d116_crawl_pipeline
-    d124_sitemap_extract d125_surt_urlkeys d129_warc_cdx_random_access
-    d130_unigram_lm_vocab d130b_unigram_lm_guarantees
-    d131_robots_sitemap_discovery d132_pca_embeddings
-    d132b_pca_guarantees""".split()
+    d124_sitemap_extract d125_surt_urlkeys
+    d129_warc_cdx_random_access""".split()
 )
 
 # Round-10 additions that DELIBERATELY yield their window slots to the
@@ -464,7 +462,9 @@ _R10_NEW_DEFERRED = frozenset(
     d120_png_adam7_decode d121_jpeg_progressive_decode
     d122_png_palette_decode d123_jpeg_progressive_sa_decode
     d126_jpeg_color_progressive_decode d127_png_16bit_decode
-    d128_jpeg_color_sa_decode""".split()
+    d128_jpeg_color_sa_decode d130_unigram_lm_vocab
+    d130b_unigram_lm_guarantees d131_robots_sitemap_discovery
+    d132_pca_embeddings d132b_pca_guarantees""".split()
 )
 
 
