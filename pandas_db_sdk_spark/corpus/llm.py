@@ -5758,7 +5758,9 @@ def d130b(spark, sf_dir):
     # piece inventory — it is vocab-sized by construction)
     hit = (
         wf.crossJoin(F.broadcast(pieces.select("piece")))
-        .filter(F.expr("w LIKE '%' || piece || '%'"))
+        # position(), not LIKE: a piece containing % or _ must match
+        # literally, never as a wildcard
+        .filter(F.expr("position(piece IN w) > 0"))
         .select("piece")
         .distinct()
     )
