@@ -46,6 +46,13 @@ def main(sf_dir: str, warehouse: str) -> None:
         "source"
     ).show(6, truncate=False)
 
+    print("== unigram-LM vocabulary (SentencePiece family, hard-EM) ==")
+    pieces, em_rounds = text.unigram_lm_vocab(
+        docs, "text", vocab_size=120, max_piece_len=4, em_iters=3
+    )
+    em_rounds.show(truncate=False)  # mass conserved exactly, NLL monotone
+    pieces.orderBy("rank").show(8, truncate=False)
+
     print("== Kneser-Ney bigram model (top 10 by count) ==")
     text.kneser_ney_bigram(docs, "text", k=10).show(truncate=False)
 
