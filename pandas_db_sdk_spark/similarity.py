@@ -1733,7 +1733,12 @@ def pca_project(
 
     cols = [F.col(id_col)]
     for r_ in range(k):
-        w = ", ".join(f"{comps[r_, i]!r}D" for i in range(dims))
+        # cast() form, not the D suffix: repr() can emit scientific
+        # notation for tiny loadings and cast('1e-07' as double) is the
+        # parse that is valid for every float repr
+        w = ", ".join(
+            f"cast('{comps[r_, i]!r}' as double)" for i in range(dims)
+        )
         bias = float(-(comps[r_] @ mean))
         cols.append(
             F.round(
