@@ -1125,3 +1125,35 @@ def test_jpeg_color_sa_matches_baseline():
     enc = _jpeg_encode_color_420_progressive(yc, cbc, crc, ql, qc, sa=True)
     last = enc.rindex(b"\xff\xda")
     assert _jpeg_decode_color_420_progressive(enc[:last] + b"\xff\xd9") is None
+
+
+def test_warc_cdx_random_access_and_guards(spark):
+    """CDX geometry (d129): spans tile the file, every random-access
+    fetch reproduces its sequential record; a truncated final member
+    and a non-gzip payload both degrade to skip."""
+    from pyspark.sql import functions as F
+
+    from pandas_db_sdk_spark import multimodal
+
+    base = spark.range(0, 4).select(F.col("id").alias("doc_id"))
+    src = base.select(
+        "doc_id",
+        F.concat(F.lit("<html><body><p>doc body "), F.col("doc_id").cast("string"),
+                 F.lit("</p></body></html>")).alias("html"),
+        F.concat(F.lit("https://h.com/p/"), F.col("doc_id").cast("string")).alias("uri"),
+    )
+    files = multimodal.synth_warc_gz(src, "html", "uri", "doc_id")
+    out = {r.doc_id: r for r in multimodal.warc_gz_cdx_stats(files, "payload", "doc_id").collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert (r.n_members, r.n_response, r.coverage_ok, r.fetch_ok, r.http_status) == (2, 1, 1, 1, 200)
+
+    blobs = {r.doc_id: bytes(r.payload) for r in files.collect()}
+    bad = [
+        (10, bytearray(blobs[0][:-5])),   # truncated final member
+        (11, bytearray(b"not gzip at all")),
+        (12, bytearray(blobs[1])),        # intact sibling
+    ]
+    df = spark.createDataFrame(bad, "doc_id long, payload binary")
+    got = {r.doc_id for r in multimodal.warc_gz_cdx_stats(df, "payload", "doc_id").collect()}
+    assert got == {12}, got
