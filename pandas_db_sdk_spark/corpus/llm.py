@@ -5913,3 +5913,93 @@ def d132b(spark, sf_dir):
         ("explained_exceeds_trace", exceeds),
     ]
     return spark.createDataFrame(rows, "rule string, val long")
+
+
+@q(
+    "d133_crawl_discovery_chain",
+    """WITH k AS (SELECT DISTINCT doc_id % 5 AS k FROM documents),
+       m AS (SELECT DISTINCT doc_id % 260 AS m260 FROM documents)
+       SELECT 'www.site' || (m260 % 5) || '.com' AS domain,
+              'https://www.site' || (m260 % 5) || '.com/sitemap'
+                || ((m260 % 5) % 2) || '.xml' AS discovered_from,
+              'https://www.site' || (m260 % 5) || '.com/Docs/'
+                || (m260 % 13) || '/doc' || m260 AS loc
+       FROM m""",
+)
+def d133(spark, sf_dir):
+    """Web-crawl tier (r10): the full DISCOVERY CHAIN as one DataFrame
+    program — how a crawler actually builds its frontier: robots.txt
+    names the sitemap (``text.robots_directives``, d131), the DISCOVERED
+    sitemap URL selects which sitemap document to read (an equi-join on
+    the discovered loc — reading a sitemap the robots never named would
+    silently pass a weaker fixture, so domain K's robots names
+    sitemap(K%2).xml and BOTH variants exist per domain), and
+    ``text.sitemap_entries`` (d124) explodes the chosen one into the
+    URL frontier.  Output: (domain, discovered_from, loc) — one row per
+    frontier URL, every field replayed arithmetically by the oracle.
+    The frontier then feeds d116's fetch pipeline.  Scale: everything
+    up to the final explode is domains-sized; the explode output is
+    frontier-sized — linear, broadcast joins only."""
+    d = tables(spark, sf_dir)("documents")
+    k = F.col("k")
+    robots = (
+        d.select((F.col("doc_id") % 5).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("www.site"), k.cast("string"), F.lit(".com")).alias(
+                "domain"
+            ),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private/\n"),
+                F.lit("Sitemap: https://www.site"), k.cast("string"),
+                F.lit(".com/sitemap"), (k % 2).cast("string"), F.lit(".xml\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    discovered = (
+        text.robots_directives(robots, "robots_txt", "domain")
+        .filter(F.col("directive") == "sitemap")
+        .select("domain", F.col("value").alias("sitemap_url"))
+    )
+    # per domain, BOTH sitemap variants exist (0.xml carries the real URL
+    # universe, 1.xml carries it too — but under its own name): the join
+    # on the DISCOVERED url must pick exactly the robots-named one
+    m260 = (F.col("doc_id") % 260).alias("m260")
+    uni = d.select(m260).distinct()
+    entry = F.concat(
+        F.lit("<url><loc>https://www.site"), (F.col("m260") % 5).cast("string"),
+        F.lit(".com/Docs/"), (F.col("m260") % 13).cast("string"),
+        F.lit("/doc"), F.col("m260").cast("string"), F.lit("</loc></url>"),
+    )
+    per_domain = (
+        uni.select((F.col("m260") % 5).alias("k"), F.col("m260"), entry.alias("e"))
+        .groupBy("k")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "", F.array_sort(F.collect_list(F.struct("m260", "e")))
+                    .getField("e")
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    variants = per_domain.select(
+        "k", "xml", F.explode(F.array(F.lit(0), F.lit(1))).alias("v")
+    ).select(
+        F.concat(
+            F.lit("https://www.site"), F.col("k").cast("string"),
+            F.lit(".com/sitemap"), F.col("v").cast("string"), F.lit(".xml"),
+        ).alias("sitemap_url"),
+        F.col("xml").alias("sitemap_xml"),
+    )
+    chosen = discovered.join(F.broadcast(variants), "sitemap_url")
+    entries = text.sitemap_entries(
+        chosen.select("domain", "sitemap_xml"), "sitemap_xml", "domain"
+    )
+    out = entries.join(
+        discovered.select("domain", F.col("sitemap_url").alias("discovered_from")),
+        "domain",
+    )
+    return out.select("domain", "discovered_from", "loc")

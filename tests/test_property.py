@@ -852,3 +852,49 @@ def test_resample_scaled_values_match_reference(n, seed, updown):
     jv, vec = _resample_scaled(sl, up, down)
     assert jv.size == n_out
     assert vec.tolist() == ys
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-30000, max_value=30000),
+        min_size=8,
+        max_size=40,
+    ),
+    st.lists(
+        st.integers(min_value=-30000, max_value=30000),
+        min_size=8,
+        max_size=40,
+    ),
+)
+def test_sinc_fir_is_linear(a, b):
+    """The d119 polyphase FIR is LINEAR by construction — resampling the
+    sum of two signals equals the sum of their resampled outputs, in
+    exact integers (constant tap table, no rounding inside the
+    convolution). Run locally in numpy against the same tap math the
+    executor uses — a nonlinearity would mean hidden rounding or
+    state."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import sinc_taps
+
+    n = min(len(a), len(b))
+    xa = np.array(a[:n], dtype=np.int64)
+    xb = np.array(b[:n], dtype=np.int64)
+    up, down, half = 160, 147, 4
+    C = np.asarray(sinc_taps(up, down, half=half), dtype=np.int64)
+
+    def fir(s):
+        n_ = s.size
+        n_out = ((n_ - 1) * up) // down + 1
+        j = np.arange(n_out, dtype=np.int64)
+        num = j * down
+        i0, ph = num // up, num % up
+        pad = np.zeros(n_ + 2 * half - 1, dtype=np.int64)
+        pad[half - 1 : half - 1 + n_] = s
+        ys = np.zeros(n_out, dtype=np.int64)
+        for t_idx, m in enumerate(range(-half + 1, half + 1)):
+            ys += C[ph, t_idx] * pad[i0 + m + half - 1]
+        return ys
+
+    assert (fir(xa + xb) == fir(xa) + fir(xb)).all()
