@@ -327,15 +327,33 @@ def connected_components(
     iterative-algorithm failure mode on Spark), and convergence is
     checked with one tiny count per round.
     """
+    # Output id/cluster type: the WIDER of the two pair columns (ADVICE
+    # r10) — with heterogeneous pair columns (id_a int, id_b bigint) the
+    # local path's collected id_b values could overflow an id_a-typed
+    # schema, where the distributed path's least/min would coerce wide.
+    _rank = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+    _ta, _tb = dict(pairs.dtypes)[id_a], dict(pairs.dtypes)[id_b]
+    id_type = max((_ta, _tb), key=lambda t: _rank.get(t, 99))
     if local_threshold > 0:
-        probe = pairs.select(id_a, id_b).limit(local_threshold + 1).count()
+        # one materialization for probe AND collect (ADVICE r10): an
+        # unpersisted pair plan would recompute between the two actions —
+        # in hamming_clusters the banding join runs end-to-end twice, and
+        # a plan whose row count changes between actions could collect
+        # past local_threshold. The slot also feeds the distributed
+        # fall-through's edge doubling below.
+        proj = scratch_persist(
+            pairs.select(
+                F.col(id_a).cast(id_type).alias(id_a),
+                F.col(id_b).cast(id_type).alias(id_b),
+            ),
+            "connected_components/pairs",
+        )
+        probe = proj.limit(local_threshold + 1).count()
         if probe <= local_threshold:
-            rows = pairs.select(id_a, id_b).collect()
+            rows = proj.collect()
             if not rows:
                 return pairs.sparkSession.createDataFrame(
-                    [],
-                    f"id {dict(pairs.dtypes)[id_a]}, "
-                    f"cluster {dict(pairs.dtypes)[id_a]}",
+                    [], f"id {id_type}, cluster {id_type}"
                 )
             parent: dict = {}
 
@@ -353,17 +371,21 @@ def connected_components(
                     parent[max(a, b)] = min(a, b)
             out = [(x, find(x)) for x in {v for r in rows for v in (r[0], r[1])}]
             return pairs.sparkSession.createDataFrame(
-                out,
-                f"id {dict(pairs.dtypes)[id_a]}, "
-                f"cluster {dict(pairs.dtypes)[id_a]}",
+                out, f"id {id_type}, cluster {id_type}"
             )
+        src = proj  # past the gate: reuse the persisted projection
+    else:
+        src = pairs.select(
+            F.col(id_a).cast(id_type).alias(id_a),
+            F.col(id_b).cast(id_type).alias(id_b),
+        )
     # slot-pooled scratch (not a bare persist): the doubled edge table is
     # consumed every round AND across re-invocations — a benchmark's warm
     # reps / interactive re-runs reuse the cached generation instead of
     # re-deriving the pair table each call (the d79/d80 discipline)
     edges = scratch_persist(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        src.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(src.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct(),
         "connected_components/edges",
     )
@@ -373,7 +395,7 @@ def connected_components(
         # short-circuit it still pays one full round of joins,
         # checkpoints, and convergence counts on empty frames)
         return pairs.sparkSession.createDataFrame(
-            [], f"id {dict(pairs.dtypes)[id_a]}, cluster {dict(pairs.dtypes)[id_a]}"
+            [], f"id {id_type}, cluster {id_type}"
         )
     labels = (
         edges.select(F.col("src").alias("id"))

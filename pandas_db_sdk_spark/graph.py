@@ -179,23 +179,28 @@ def hierarchy_depth(
             parent = {r[0]: r[1] for r in rows if r[1] is not None}
             roots_l = [r[0] for r in rows if r[1] is None]
             depth: dict = {}
+            # shared raise contract (ADVICE r10): the local walk enforces
+            # the SAME depth budget the doubling loop implies (resolvable
+            # depth <= 2^max_iter) and raises the SAME mechanism-neutral
+            # message on either trigger — previously the local path
+            # accepted arbitrarily deep acyclic chains the distributed
+            # path would reject, and its message misdescribed the walk.
+            bound = 1 << max_iter
 
             def resolve(x):
                 chain = []
                 cur = x
                 while cur in parent and cur not in depth:
                     if cur in seen_on_path:
-                        raise RuntimeError(
-                            f"hierarchy_depth did not converge in "
-                            f"{max_iter} doubling rounds — cycle in the "
-                            "parent edges, or depth > 2^max_iter"
-                        )
+                        raise RuntimeError(_hier_budget_msg(max_iter))
                     seen_on_path.add(cur)
                     chain.append(cur)
                     cur = parent[cur]
                 base = depth.get(cur, 0)
                 for node in reversed(chain):
                     base += 1
+                    if base > bound:
+                        raise RuntimeError(_hier_budget_msg(max_iter))
                     depth[node] = base
 
             for r in rows:
@@ -242,11 +247,21 @@ def hierarchy_depth(
         if not moved:
             break
     else:
-        raise RuntimeError(
-            f"hierarchy_depth did not converge in {max_iter} doubling rounds "
-            "— cycle in the parent edges, or depth > 2^max_iter"
-        )
+        raise RuntimeError(_hier_budget_msg(max_iter))
     return roots.union(state.select("id", F.col("d").alias("depth")))
+
+
+def _hier_budget_msg(max_iter: int) -> str:
+    """One message for BOTH hierarchy_depth execution paths: the raise
+    fires when depth exceeds the 2^max_iter budget OR the parent edges
+    contain a cycle (depth undefined) — mechanism-neutral wording so the
+    local memoized walk and the distributed doubling loop share one
+    contract (ADVICE r10)."""
+    return (
+        f"hierarchy_depth exceeded its depth budget (depth > 2^{max_iter}) "
+        "or the parent edges contain a cycle (depth is undefined on a "
+        "cycle) — raise max_iter only for genuinely deeper forests"
+    )
 
 
 def triangle_count(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
@@ -401,10 +416,15 @@ def shortest_paths(
     """
     from ._scratch import scratch_persist
 
+    # NULL-weight contract (ADVICE r10): both paths IGNORE null-weight
+    # edges.  The distributed min-aggregate already drops them (null
+    # distances never win a min); the local path must filter them out
+    # BEFORE the collect or int(None) crashes the driver — one explicit
+    # filter on each path keeps the contract shared and visible.
     if local_threshold > 0:
         probe = edges.select(a, b).limit(local_threshold + 1).count()
         if probe <= local_threshold:
-            edge_rows = edges.select(
+            edge_rows = edges.filter(F.col(weight).isNotNull()).select(
                 a, b, F.col(weight).cast("long")
             ).collect()
             seed_ids = [r[0] for r in seeds.distinct().collect()]
@@ -415,11 +435,12 @@ def shortest_paths(
                 list(dist.items()), f"id {dict(edges.dtypes)[a]}, dist long"
             )
 
+    ew = edges.filter(F.col(weight).isNotNull())
     e = scratch_persist(
-        edges.select(
+        ew.select(
             F.col(a).alias("s"), F.col(b).alias("d"), F.col(weight).cast("long").alias("w")
         ).union(
-            edges.select(
+            ew.select(
                 F.col(b).alias("s"), F.col(a).alias("d"), F.col(weight).cast("long").alias("w")
             )
         ).distinct(),

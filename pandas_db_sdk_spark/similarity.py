@@ -26,6 +26,18 @@ from pyspark.sql import functions as F
 from . import _scratch
 
 
+def _double_literal(x) -> str:
+    """SQL double literal for a Python/numpy scalar, safe under any numpy.
+
+    cast('…' as double) form, not the D suffix: repr() can emit scientific
+    notation for tiny loadings and cast('1e-07' as double) is the parse
+    that is valid for every float repr.  The float() conversion is load-
+    bearing (ADVICE r10): numpy >= 2.0 reprs its scalars as
+    'np.float64(0.1)', which would embed an invalid literal — convert to
+    a builtin float FIRST so repr() is always the bare decimal form."""
+    return f"cast('{float(x)!r}' as double)"
+
+
 def dot(a, b):
     """Σ aᵢ·bᵢ in double — zip_with + aggregate, fully codegen'd."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -1733,12 +1745,7 @@ def pca_project(
 
     cols = [F.col(id_col)]
     for r_ in range(k):
-        # cast() form, not the D suffix: repr() can emit scientific
-        # notation for tiny loadings and cast('1e-07' as double) is the
-        # parse that is valid for every float repr
-        w = ", ".join(
-            f"cast('{comps[r_, i]!r}' as double)" for i in range(dims)
-        )
+        w = ", ".join(_double_literal(comps[r_, i]) for i in range(dims))
         bias = float(-(comps[r_] @ mean))
         cols.append(
             F.round(

@@ -113,6 +113,23 @@ def test_connected_components_raises_instead_of_truncating(spark):
         dedup.connected_components(pairs, max_iter=1, local_threshold=0)
 
 
+def test_connected_components_heterogeneous_pair_types_widen(spark):
+    """Heterogeneous pair columns (id_a int, id_b bigint) widen to the
+    COMMON type on both execution paths (ADVICE r10): the local path
+    previously typed both output columns from id_a's dtype, so an id_b
+    beyond int range overflowed the declared schema where the
+    distributed path's least/min coerced wide."""
+    big = 5_000_000_000  # > 2^31
+    pairs = spark.createDataFrame(
+        [(1, big), (2, big), (3, 4)], "id_a int, id_b long"
+    )
+    for thr in (100_000, 0):
+        out = dedup.connected_components(pairs, local_threshold=thr)
+        assert dict(out.dtypes) == {"id": "bigint", "cluster": "bigint"}
+        got = {r.id: r.cluster for r in out.collect()}
+        assert got == {1: 1, 2: 1, big: 1, 3: 3, 4: 3}
+
+
 def test_minhash_estimate_prefilter_off_matches_on(spark, docs):
     """The signature-estimate pre-filter is an optimization, not a result
     change: with the generous default margin the surviving pairs and their

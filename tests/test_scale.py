@@ -426,8 +426,13 @@ def test_hierarchy_depth_chain_forest_and_cycle(spark):
             for r in graph.hierarchy_depth(forest, local_threshold=thr).collect()
         }
         assert got == {10: 0, 11: 1, 20: 0, 21: 1, 22: 2}
-        with pytest.raises(RuntimeError, match="converge"):
+        with pytest.raises(RuntimeError, match="cycle"):
             graph.hierarchy_depth(cycle, max_iter=8, local_threshold=thr)
+        # depth-budget parity (ADVICE r10): a 500-deep ACYCLIC chain
+        # exceeds 2^8 = 256 — BOTH paths must reject it with the same
+        # contract, not just the doubling loop
+        with pytest.raises(RuntimeError, match="depth budget"):
+            graph.hierarchy_depth(chain, max_iter=8, local_threshold=thr)
 
 
 def test_set_similarity_adversarial_duplicate_cluster(spark):
@@ -559,6 +564,46 @@ def test_shortest_paths_rounds_and_raise(spark):
                 edges, spark.range(1).select(F.col("id")), max_iter=5,
                 local_threshold=thr,
             )
+
+
+def test_shortest_paths_null_weight_contract_shared(spark):
+    """NULL-weight edges are IGNORED by both execution paths (ADVICE
+    r10): previously the count-gated local path crashed on int(None)
+    while the distributed min-aggregate silently dropped the edge —
+    divergent behavior for the same input. The null edge here is the
+    only direct 1→3 link, so the answer proves it was skipped (not
+    treated as weight 0) on both paths."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 4), (1, 3, None)],
+        "id_a long, id_b long, w int",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    results = []
+    for thr in (100_000, 0):
+        got = {
+            r.id: r.dist
+            for r in graph.shortest_paths(
+                edges, seeds, local_threshold=thr
+            ).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == {1: 0, 2: 4, 3: 8}
+    # a node reachable ONLY via a null edge is absent, not dist-0/null
+    lonely = spark.createDataFrame(
+        [(1, 2, None)], "id_a long, id_b long, w int"
+    )
+    for thr in (100_000, 0):
+        got = {
+            r.id: r.dist
+            for r in graph.shortest_paths(
+                lonely, seeds, local_threshold=thr
+            ).collect()
+        }
+        assert got == {1: 0}
 
 
 def test_shortest_paths_hub_star_settles_in_two_rounds(spark):

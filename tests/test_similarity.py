@@ -681,3 +681,22 @@ def test_ivf_nprobe_recall_sweep_properties(spark):
     assert out[16].recall == 1.0 and out[16].scan_frac == 1.0
     # probing one cell must be cheaper than exhaustive (the whole point)
     assert out[1].scan_frac < 1.0
+
+
+def test_double_literal_numpy2_safe():
+    """_double_literal must convert to builtin float BEFORE repr (ADVICE
+    r10): numpy >= 2.0 reprs its scalars as 'np.float64(0.1)', which
+    embedded verbatim would be an invalid SQL literal (errors under ANSI
+    mode, NULLs every projection otherwise). The env pins numpy 1.x, so
+    simulate the numpy-2 repr with a float subclass."""
+    from pandas_db_sdk_spark.similarity import _double_literal
+
+    class Numpy2Scalar(float):
+        def __repr__(self):
+            return f"np.float64({float.__repr__(self)})"
+
+    lit = _double_literal(Numpy2Scalar(0.125))
+    assert lit == "cast('0.125' as double)"
+    assert "np." not in lit
+    # tiny magnitudes keep the quoted-cast form that parses sci notation
+    assert _double_literal(Numpy2Scalar(1e-07)) == "cast('1e-07' as double)"
