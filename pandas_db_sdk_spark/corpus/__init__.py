@@ -468,6 +468,39 @@ _R10_NEW_DEFERRED = frozenset(
 )
 
 
+# Names driver-checked in CORRECTNESS_r10.json (round-10 window: the
+# 15-row r2-stale head + the 7 _R10_NEW flagships + d133 + 27 rows of
+# the r3 block — 46 hash-green, 4 rows-only by design).  The 22 r3 rows
+# the window did NOT reach (c48b–c54 scalars, c58–c68 event-time/
+# timeseries extras, d15) are round 11's stale head.
+_R10_VERIFIED = frozenset(
+    """c02d_ref_chunk_source c14b_bucketed_join c16b_nullsafe_join
+    c28c_mode c28e_describe c28f_histogram c29c_winsorize
+    c35b_value_windows c37b_cummax_pct_change c38_rolling
+    c39_range_window c40_topk_per_group c41_sort c41b_global_row_index
+    c42_limit c42b_offset_pagination c43_topk c44_sample c45_union_all
+    c45b_union_missing_columns c46_union_distinct c47_intersect
+    c47b_except c47c_except_all c47d_intersect_all c48_string_fns
+    c69_data_checks d05b_stopword_filter d114b_robots_wildcards
+    d116_crawl_pipeline d117_image_near_dup_clusters
+    d117b_image_cluster_guarantees d124_sitemap_extract
+    d125_surt_urlkeys d129_warc_cdx_random_access
+    d133_crawl_discovery_chain d17_sequence_packing d18_prep_pipeline
+    d19_decontaminate d20_top_ngrams d21_unigram_logprob
+    d22_shard_assign x01_shipping_priority x02_local_supplier_volume
+    x03_returned_items x04_large_volume_customers x05_late_shipments
+    x06_promo_revenue x07_disjunctive_revenue
+    x08_supplier_part_counts""".split()
+)
+
+
+# Queries ADDED in round 11 (never had a driver row).  They sort after
+# the round-11 stale head (the 22 r3 leftovers) and the 14 deferred
+# round-10 rows, so they certify THIS round if the window reaches them;
+# the r4-stale block fills any remaining slots behind them.
+_R11_NEW: frozenset = frozenset()
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
