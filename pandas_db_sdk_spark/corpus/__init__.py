@@ -514,26 +514,31 @@ def _merged(attr):
 
 def all_queries():
     """Declaration order = driver-certification priority (the driver's
-    per-round correctness file caps at ~50 rows). Round-10 rotation
-    (VERDICT round-9 item #1): the 15 rows still r2-checked lead, this
-    round's additions ride behind them (so they certify immediately),
-    then the 49-row r3 block — the stalest certified rows — fills the
-    window; everything else queues by ascending freshness. Within each
-    group, original module order is preserved (stable sort). A name in
-    no set is treated as newest (sorts with _R10_NEW), so a forgotten
-    registration can never starve the backlog."""
+    per-round correctness file caps at ~50 rows). Round-11 rotation
+    (VERDICT round-10 items #1/#2): the 23 rows still r3-checked lead
+    (the c48b–c54 scalar block, c58–c68 event-time/timeseries extras,
+    c28d, d15 — the r10 window's leftovers), then the 14 round-10
+    additions that deferred their slots (d118–d132b), then this round's
+    additions (so they certify immediately); the r4-stale block fills
+    any remaining slots, and everything else queues by ascending
+    freshness. Within each group, original module order is preserved
+    (stable sort). A name in no set is treated as newest (sorts with
+    _R11_NEW), so a forgotten registration can never starve the
+    backlog."""
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-10 rotation: stalest-first re-certification budget.
+        # Round-11 rotation: stalest-first re-certification budget.
         # Membership is checked newest-round-first so a row re-certified
-        # later sorts by its LATEST check.
-        if name in _R10_STALE_FIRST:
-            return 0
-        if name in _R10_NEW:
-            return 1
+        # later sorts by its LATEST check (e.g. the 28 r3 rows the r10
+        # window reached hit _R10_VERIFIED before _R03_VERIFIED and sort
+        # as fresh; the 23 it missed fall through to the stale head).
+        if name in _R11_NEW:
+            return 2
+        if name in _R10_VERIFIED:
+            return 12
         if name in _R10_NEW_DEFERRED:
-            return 2.5  # behind the r3 block: round 11's head
+            return 1  # round-10 additions owed a first driver row
         if name in _R09_VERIFIED:
             return 11
         if name in _R08_VERIFIED:
@@ -545,12 +550,12 @@ def all_queries():
         if name in _R05_VERIFIED:
             return 7
         if name in _R04_VERIFIED:
-            return 6
+            return 3  # r4 block: fills slots behind the new additions
         if name in _R03_VERIFIED:
-            return 2  # the 49-row r3 block: this window's backlog
+            return 0  # the 23-row r3 stale head: this window leads
         if name in _R02_VERIFIED:
-            return 3  # safety: r2 rows not in the stale head (none expected)
-        return 1  # not in any set: newest, with the _R10_NEW group
+            return 4  # safety: r2 rows in no newer set (none expected)
+        return 2  # not in any set: newest, with the _R11_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
