@@ -498,7 +498,11 @@ _R10_VERIFIED = frozenset(
 # the round-11 stale head (the 22 r3 leftovers) and the 14 deferred
 # round-10 rows, so they certify THIS round if the window reaches them;
 # the r4-stale block fills any remaining slots behind them.
-_R11_NEW: frozenset = frozenset()
+_R11_NEW = frozenset(
+    """d134_duplicate_spans d134b_duplicate_span_guarantees
+    d135_warc_cdx_index_fetch d136_politeness_schedule
+    d130c_unigram_lm_encode d130d_unigram_encode_guarantees""".split()
+)
 
 
 def _merged(attr):

@@ -6003,3 +6003,382 @@ def d133(spark, sf_dir):
         "domain",
     )
     return out.select("domain", "discovered_from", "loc")
+
+
+_D134_SPANS_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, i AS pos, substr(text, i, 30) AS gram
+      FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 28)) AS i)
+      WHERE length(text) >= 30),
+    c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 30
+                  THEN 1 ELSE 0 END AS brk
+      FROM d),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 29 AS BIGINT) AS span_end,
+           CAST(max(pos) + 29 - min(pos) + 1 AS BIGINT) AS span_len
+    FROM isl2 GROUP BY doc_id, island"""
+
+
+@q("d134_duplicate_spans", _D134_SPANS_ORACLE)
+def d134(spark, sf_dir):
+    """LLM-dedup tier COMPLETED (r11): exact-substring duplicate-SPAN
+    dedup — the Lee-et-al suffix-array tier d69's top-k form only
+    approximates: every maximal character span >= 30 bytes occurring
+    >= 2 times corpus-wide, emitted as the per-doc cut list
+    (doc_id, span_start, span_end, span_len).  Distributed shape
+    (``text.duplicate_spans``): shingle-hash counting (the corpus
+    shuffle carries 8-byte hashes + positions, never text), survivors
+    RE-VERIFIED on the actual substring so a 64-bit collision can never
+    mint a span — output exactly equals the suffix array's — then one
+    per-doc gaps-and-islands window merges window positions into
+    maximal spans.  The oracle replays the whole contract in SQL
+    (LATERAL slide → HAVING count >= 2 → lag/sum islands)."""
+    d = tables(spark, sf_dir)("documents")
+    return text.duplicate_spans(d, "doc_id", "text", length=30, min_count=2)
+
+
+# the planted span: 200 deterministic chars no synthetic doc contains
+# (xq/zj digrams never occur in the corpus generator's vocabulary)
+_D134_PLANT = "".join(
+    "xq{:02d}zj".format(i % 97) for i in range(34)
+)[:200]
+
+
+_D134B_ORACLE = (
+    "WITH spans AS ("
+    + _D134_SPANS_ORACLE.replace(
+        "FROM documents",
+        f"FROM (SELECT doc_id, text || '{_D134_PLANT}' AS text FROM documents)",
+    )
+    + """)
+    SELECT d.doc_id,
+           CAST(max(CASE WHEN s.span_start <= length(d.text) + 1
+                          AND s.span_end >= length(d.text) + 200
+                         THEN 1 ELSE 0 END) AS INT) AS planted_span_cut
+    FROM documents d JOIN spans s USING (doc_id)
+    GROUP BY d.doc_id"""
+)
+
+
+@q("d134b_duplicate_span_guarantees", _D134B_ORACLE)
+def d134b(spark, sf_dir):
+    """d134's guarantee twin (hash-green): a planted 200-byte duplicate
+    span is ALWAYS cut.  Every doc gets the same deterministic 200-char
+    tail appended (a digram alphabet the corpus generator never emits,
+    so the plant is the only guaranteed corpus-wide duplicate); the
+    cut list must then contain, for every doc, a span covering exactly
+    that suffix — span_start <= len+1 and span_end >= len+200.  The
+    oracle replays the full span derivation on the SAME planted corpus
+    and re-checks coverage independently, so a merge bug that splits,
+    shifts, or drops the planted span breaks the hash."""
+    d = tables(spark, sf_dir)("documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_D134_PLANT)).alias("text"),
+        F.length("text").alias("orig_len"),
+    )
+    spans = text.duplicate_spans(planted, "doc_id", "text", length=30, min_count=2)
+    covered = (
+        spans.join(planted.select("doc_id", "orig_len"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("span_start") <= F.col("orig_len") + 1)
+                    & (F.col("span_end") >= F.col("orig_len") + 200)
+                ).cast("int")
+            ).alias("planted_span_cut")
+        )
+    )
+    return covered
+
+
+@q(
+    "d136_politeness_schedule",
+    """WITH m AS (SELECT DISTINCT doc_id % 260 AS m260 FROM documents),
+       f AS (SELECT 'www.site' || (m260 % 5) || '.com' AS domain,
+                    'https://www.site' || (m260 % 5) || '.com/Docs/'
+                      || (m260 % 13) || '/doc' || m260 AS loc,
+                    CAST(1 + (m260 % 5) % 3 AS DOUBLE) AS crawl_delay_s
+             FROM m)
+       SELECT domain, loc,
+              CAST(row_number() OVER (PARTITION BY domain ORDER BY loc)
+                   AS BIGINT) AS fetch_rank,
+              crawl_delay_s,
+              round((row_number() OVER (PARTITION BY domain ORDER BY loc) - 1)
+                    * crawl_delay_s, 6) AS scheduled_offset_s
+       FROM f""",
+)
+def d136(spark, sf_dir):
+    """Web-crawl tier (r11): POLITENESS-SCHEDULED frontier — the step
+    that turns discovery into an actionable fetch plan: d131 mines
+    ``Crawl-delay``, d133 builds the frontier, and
+    ``text.politeness_schedule`` assigns every URL its fetch slot —
+    per-host row_number × crawl_delay = scheduled_offset_s, hosts
+    without a mined delay at the 1 s politeness floor.  The fixture
+    chains the REAL extractors end-to-end (robots_directives mines the
+    delay domain K declares — 1+K%3 — and the sitemap; sitemap_entries
+    explodes the frontier), and the oracle replays every field
+    arithmetically including the window.  Scale: delays are
+    hosts-sized (broadcast); the one shuffle partitions the frontier by
+    host — exactly the co-location a fetch fleet needs, so the schedule
+    exits pre-partitioned for per-host workers."""
+    d = tables(spark, sf_dir)("documents")
+    k = F.col("k")
+    robots = (
+        d.select((F.col("doc_id") % 5).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("www.site"), k.cast("string"), F.lit(".com")).alias(
+                "domain"
+            ),
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.lit("Crawl-delay: "), (1 + k % 3).cast("string"), F.lit("\n"),
+                F.lit("Disallow: /private/\n"),
+                F.lit("Sitemap: https://www.site"), k.cast("string"),
+                F.lit(".com/sitemap"), (k % 2).cast("string"), F.lit(".xml\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    dirs = text.robots_directives(robots, "robots_txt", "domain")
+    delays = (
+        dirs.filter(F.col("directive") == "crawl-delay")
+        .select("domain", F.col("value").try_cast("double").alias("crawl_delay_s"))
+    )
+    discovered = (
+        dirs.filter(F.col("directive") == "sitemap")
+        .select("domain", F.col("value").alias("sitemap_url"))
+    )
+    m260 = (F.col("doc_id") % 260).alias("m260")
+    uni = d.select(m260).distinct()
+    entry = F.concat(
+        F.lit("<url><loc>https://www.site"), (F.col("m260") % 5).cast("string"),
+        F.lit(".com/Docs/"), (F.col("m260") % 13).cast("string"),
+        F.lit("/doc"), F.col("m260").cast("string"), F.lit("</loc></url>"),
+    )
+    sitemaps = (
+        uni.select((F.col("m260") % 5).alias("k"), F.col("m260"), entry.alias("e"))
+        .groupBy("k")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "", F.array_sort(F.collect_list(F.struct("m260", "e")))
+                    .getField("e")
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+        .select(
+            F.concat(
+                F.lit("https://www.site"), F.col("k").cast("string"),
+                F.lit(".com/sitemap"), (F.col("k") % 2).cast("string"),
+                F.lit(".xml"),
+            ).alias("sitemap_url"),
+            "sitemap_xml",
+        )
+    )
+    chosen = discovered.join(F.broadcast(sitemaps), "sitemap_url")
+    frontier = text.sitemap_entries(
+        chosen.select("domain", "sitemap_xml"), "sitemap_xml", "domain"
+    ).select("domain", "loc")
+    return text.politeness_schedule(
+        frontier, delays, "domain", "loc", "crawl_delay_s", default_delay_s=1.0
+    )
+
+
+@q("d130c_unigram_lm_encode")  # rows-only: piece counts are float-score
+# dependent (the d130 discipline); d130d is the hash-green twin
+def d130c(spark, sf_dir):
+    """Tokenizer tier (r11): unigram-LM Viterbi ENCODE — the apply side
+    d130's trainer was missing (BPE has d102): train the inventory,
+    then segment the corpus with the trained scores
+    (``text.unigram_lm_encode``), emitting per-doc token accounting
+    (n_words, n_oov_words, n_pieces, n_piece_chars, n_chars).  Training
+    and encode share one Viterbi routine (``text._viterbi_segment``) and
+    one smoothing (``text.unigram_lm_scores``), so parity with the
+    E-step is structural.  Scale: vocab-sized inventory in the task
+    closure, one mapInPandas pass with per-batch word-type memoization
+    (Zipf makes the memo the point), zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    pieces, _ = text.unigram_lm_vocab(
+        d, "text", vocab_size=200, max_piece_len=4, em_iters=3
+    )
+    return text.unigram_lm_encode(d, pieces, "doc_id", "text")
+
+
+@q(
+    "d130d_unigram_encode_guarantees",
+    """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       wf AS (SELECT w, count(*) AS f FROM wd WHERE length(w) > 0 GROUP BY 1)
+       SELECT 'docs_total' AS rule,
+              CAST(count(*) AS BIGINT) AS val FROM documents
+       UNION ALL SELECT 'char_mass',
+              CAST(sum(f * length(w)) AS BIGINT) FROM wf
+       UNION ALL SELECT 'oov_words', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'mass_violations', CAST(0 AS BIGINT)
+       UNION ALL SELECT 'estep_parity_gap', CAST(0 AS BIGINT)""",
+)
+def d130d(spark, sf_dir):
+    """d130c's certification twin (hash-green, the d130b discipline):
+    encode's CONTRACT on the training corpus is exact — every word
+    segments (coverage ⇒ zero OOV), the per-doc char mass is conserved
+    (Σ len(piece) = Σ len(word), the d130b conservation law now checked
+    PER DOC), the corpus char mass matches the oracle's arithmetic
+    replay, and the doc-level encode reproduces EXACTLY the piece count
+    a word-TYPE-level E-step with the same scores produces (frequency-
+    weighted — the wiring check between the two granularities).
+    Violation counters recomputed Spark-side; docs_total and char_mass
+    are data-derived pins."""
+    d = tables(spark, sf_dir)("documents")
+    pieces, _ = text.unigram_lm_vocab(
+        d, "text", vocab_size=200, max_piece_len=4, em_iters=3
+    )
+    enc = text.unigram_lm_encode(d, pieces, "doc_id", "text")
+    agg = enc.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_oov_words").alias("oov"),
+        F.sum(
+            (
+                (F.col("n_oov_words") == 0)
+                & (F.col("n_piece_chars") != F.col("n_chars"))
+            ).cast("long")
+        ).alias("mass_viol"),
+        F.sum("n_pieces").alias("doc_pieces"),
+    ).collect()[0]
+    # the same encode at word-TYPE granularity, frequency-weighted — a
+    # distributed mapInPandas over the word-frequency table (vocab-sized
+    # state, the trainer's own E-step shape)
+    scores = text.unigram_lm_scores(
+        (r["piece"], r["count"]) for r in pieces.select("piece", "count").collect()
+    )
+    max_len = max((len(p) for p in scores), default=1)
+    wf = (
+        d.select(F.explode(text.tokens("text")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+
+    def estep(batches, scores=scores, max_len=max_len):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for w, f in zip(pdf["w"], pdf["f"]):
+                seg = text._viterbi_segment(w, scores, max_len)
+                out.append(int(f) * seg[1] if seg is not None else 0)
+            yield pd.DataFrame({"pk": out})
+
+    type_pieces = (
+        wf.mapInPandas(estep, "pk long").agg(F.sum("pk")).collect()[0][0] or 0
+    )
+    rows = [
+        ("docs_total", int(agg["docs"])),
+        ("char_mass", int(agg["chars"])),
+        ("oov_words", int(agg["oov"])),
+        ("mass_violations", int(agg["mass_viol"])),
+        ("estep_parity_gap", abs(int(agg["doc_pieces"]) - int(type_pieces))),
+    ]
+    return spark.createDataFrame(rows, "rule string, val long")
+
+
+@q(
+    "d135_warc_cdx_index_fetch",
+    """SELECT doc_id,
+              'com,site' || (doc_id % 7) || ')/docs/' || (doc_id % 13) AS urlkey,
+              CAST(2 AS INT) AS n_members,
+              CAST(1 AS INT) AS indexed_fetch_ok,
+              CAST(1 AS INT) AS body_match_ok,
+              CAST(200 AS INT) AS http_status
+       FROM documents""",
+)
+def d135(spark, sf_dir):
+    """Web-crawl tier (r11): CDX index WRITE + INDEXED FETCH — the half
+    d129 left open: d129 PROVES per-member geometry exists; this
+    PRODUCES the index a crawler records during ingest
+    (``multimodal.warc_gz_cdx_index`` — one (offset, length, uri,
+    status) row per gzip member), keys it with the Common-Crawl urlkey
+    (``text.surt_key``, d125), then SERVES a record through it: the
+    response rows' (offset, length) join back to the payload and
+    ``warc_gz_indexed_fetch`` slices + inflates the single member
+    independently, never touching the rest of the file.  The fetched
+    record is certified against the sequential full-file walk
+    (``parse_warc``) by sha256 body compare and URI equality — a
+    one-byte geometry slip breaks the member's gzip header and flips
+    indexed_fetch_ok; a wrong-member fetch flips body_match_ok.  The
+    oracle pins the whole contract arithmetically, urlkey included.
+    Scale: synth + index + fetch are mapInPandas (zero shuffles); the
+    index→payload join is id-keyed (in production: the storage layout's
+    file key), and the index itself is the tiny partitioned table the
+    engine's storage serves (round-tripped through DataFrameEngine in
+    tests/test_multimodal.py)."""
+    from .._scratch import scratch_persist
+
+    d = tables(spark, sf_dir)("documents")
+    uri = F.concat(
+        F.lit("https://www.site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/Docs/"), (F.col("doc_id") % 13).cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+    )
+    src = d.select("doc_id", html.alias("html"), uri.alias("uri"))
+    files = scratch_persist(
+        multimodal.synth_warc_gz(src, "html", "uri", "doc_id"),
+        "d135/warc_gz",
+    )
+    idx = scratch_persist(
+        multimodal.warc_gz_cdx_index(files, "payload", "doc_id"),
+        "d135/cdx_index",
+    )
+    n_members = idx.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_members")
+    )
+    resp = idx.filter(F.col("warc_type") == "response").select(
+        "doc_id",
+        text.surt_key(F.col("target_uri")).alias("urlkey"),
+        "offset",
+        "length",
+    )
+    fetched = multimodal.warc_gz_indexed_fetch(
+        files.join(resp, "doc_id").select(
+            "doc_id", "payload", "urlkey", "offset", "length"
+        ),
+        "payload",
+        "doc_id",
+    )
+    walk = multimodal.parse_warc(files, "payload", "doc_id").select(
+        "doc_id",
+        F.col("target_uri").alias("seq_uri"),
+        F.sha2(F.col("body"), 256).alias("seq_digest"),
+    )
+    out = (
+        fetched.join(resp.select("doc_id", "urlkey"), "doc_id")
+        .join(walk, "doc_id")
+        .join(n_members, "doc_id")
+    )
+    return out.select(
+        "doc_id",
+        "urlkey",
+        "n_members",
+        (
+            (F.col("fetch_ok") == 1) & (F.col("http_status") == 200)
+        ).cast("int").alias("indexed_fetch_ok"),
+        (
+            (F.sha2(F.col("body"), 256) == F.col("seq_digest"))
+            & (F.col("target_uri") == F.col("seq_uri"))
+        ).cast("int").alias("body_match_ok"),
+        "http_status",
+    )

@@ -3819,6 +3819,151 @@ def warc_gz_cdx_stats(
     )
 
 
+def warc_gz_cdx_index(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """CDX index WRITE (r11, d135) — the other half of d129's read-side
+    proof: produce the index rows a crawler RECORDS during ingest, one
+    per gzip member of a ``.warc.gz``: (id, member_idx, offset, length,
+    warc_type, target_uri, http_status).  offset/length are the member's
+    exact byte geometry (what a CDX(J) line's offset/length fields
+    carry); target_uri/status come from parsing the inflated record, so
+    the index row is self-describing — a URL→(file, offset, length)
+    lookup needs nothing else.  Downstream the urlkey is
+    ``text.surt_key(target_uri)`` (d125) — kept OUT of this function so
+    the key policy stays one codegen expression, not Python.
+    Structurally broken files degrade to skip (no rows).  Scale: pure
+    mapInPandas, zero shuffles — at 100 TB each WARC file is one row of
+    a binaryFile table and indexing is embarrassingly parallel; the
+    emitted index is then a tiny, partitionable table served through the
+    engine's storage layout."""
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = bytes(buf)
+                    if raw[:2] != b"\x1f\x8b":
+                        continue
+                    spans = _gz_member_spans(raw)
+                    if spans is None:
+                        continue
+                    for k, (off, ln, chunk) in enumerate(spans):
+                        rec = _warc_split_records(chunk)
+                        if rec is None or len(rec) != 1:
+                            continue
+                        hdrs, block = rec[0]
+                        status = None
+                        if hdrs.get("warc-type") == "response" and block.startswith(
+                            b"HTTP/"
+                        ):
+                            parts = block[: block.find(b"\r\n")].split(b" ")
+                            if (
+                                len(parts) > 1
+                                and parts[1].isdigit()
+                                and len(parts[1]) == 3
+                                and 100 <= int(parts[1]) <= 599
+                            ):
+                                status = int(parts[1])
+                        rows.append(
+                            (
+                                int(i),
+                                k,
+                                off,
+                                ln,
+                                hdrs.get("warc-type"),
+                                hdrs.get("warc-target-uri"),
+                                status,
+                            )
+                        )
+                except Exception:
+                    continue
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "member_idx", "offset", "length",
+                    "warc_type", "target_uri", "http_status",
+                ],
+            )
+
+    return df.mapInPandas(
+        index,
+        f"{id_col} long, member_idx int, offset long, length long, "
+        "warc_type string, target_uri string, http_status int",
+    )
+
+
+def warc_gz_indexed_fetch(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    offset_col: str = "offset",
+    length_col: str = "length",
+) -> DataFrame:
+    """Indexed single-record FETCH (r11, d135): given rows carrying a
+    payload plus an index entry's (offset, length), slice
+    ``payload[offset : offset+length]``, inflate that one gzip member
+    INDEPENDENTLY (never touching the rest of the file), parse it as a
+    standalone WARC record, and emit what was served: (id, offset,
+    fetch_ok, warc_type, target_uri, http_status, body).  fetch_ok=0
+    rows (geometry slip → broken gzip header, or a slice that is not
+    exactly one record) keep their identity columns with NULL content —
+    the skip-never-error contract, so one bad index row cannot fail a
+    fleet.  Scale: pure mapInPandas, zero shuffles; the caller joins
+    index→payload however its storage co-locates them."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf, off, ln in zip(
+                pdf[id_col], pdf[payload_col], pdf[offset_col], pdf[length_col]
+            ):
+                i, off, ln = int(i), int(off), int(ln)
+                wtype = uri = body = None
+                status = None
+                ok = 0
+                try:
+                    raw = bytes(buf)[off : off + ln]
+                    chunk = _gz_inflate_members(raw) if raw[:2] == b"\x1f\x8b" else None
+                    rec = _warc_split_records(chunk) if chunk is not None else None
+                    if rec is not None and len(rec) == 1:
+                        hdrs, block = rec[0]
+                        wtype = hdrs.get("warc-type")
+                        uri = hdrs.get("warc-target-uri")
+                        ok = 1
+                        if wtype == "response" and block.startswith(b"HTTP/"):
+                            http_end = block.find(b"\r\n\r\n")
+                            parts = block[: block.find(b"\r\n")].split(b" ")
+                            if (
+                                len(parts) > 1
+                                and parts[1].isdigit()
+                                and len(parts[1]) == 3
+                                and 100 <= int(parts[1]) <= 599
+                            ):
+                                status = int(parts[1])
+                            if http_end >= 0:
+                                body = block[http_end + 4 :].decode(
+                                    "utf-8", "replace"
+                                )
+                except Exception:
+                    ok = 0
+                rows.append((i, off, ok, wtype, uri, status, body))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "offset", "fetch_ok", "warc_type",
+                    "target_uri", "http_status", "body",
+                ],
+            )
+
+    return df.mapInPandas(
+        fetch,
+        f"{id_col} long, offset long, fetch_ok int, warc_type string, "
+        "target_uri string, http_status int, body string",
+    )
+
+
 def ahash_64(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

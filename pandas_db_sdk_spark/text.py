@@ -2064,6 +2064,121 @@ def surt_key(col):
     return F.when((scheme == "") | (host == ""), F.lit(None)).otherwise(built)
 
 
+def _viterbi_segment(w: str, scores: dict, max_len: int):
+    """Best unigram-LM segmentation of one word: ``(score, n_pieces,
+    pieces tuple)`` maximizing Σ log-score, or None when unsegmentable.
+    Ties break toward FEWER pieces then lexicographic — deterministic.
+    Shared VERBATIM by training's E-step (:func:`unigram_lm_vocab`) and
+    encode (:func:`unigram_lm_encode`, d130c), so encode-vs-training
+    parity is structural, not coincidental."""
+    n = len(w)
+    best = [None] * (n + 1)
+    best[0] = (0.0, 0, ())
+    for i in range(n):
+        if best[i] is None:
+            continue
+        s0, k0, ps0 = best[i]
+        for ln in range(1, min(max_len, n - i) + 1):
+            piece = w[i : i + ln]
+            sc = scores.get(piece)
+            if sc is None:
+                continue
+            cand = (s0 + sc, k0 + 1, ps0 + (piece,))
+            cur = best[i + ln]
+            if (
+                cur is None
+                or cand[0] > cur[0] + 1e-12
+                or (
+                    abs(cand[0] - cur[0]) <= 1e-12
+                    and (cand[1], cand[2]) < (cur[1], cur[2])
+                )
+            ):
+                best[i + ln] = cand
+    return best[n]
+
+
+def unigram_lm_scores(pieces_rows) -> dict:
+    """Piece log-scores from a trained inventory's (piece, count) rows —
+    the SAME smoothing the trainer applies between rounds (coverage-kept
+    zero-count chars floor at half a count), so encoding with a trained
+    model reproduces exactly the segmentations one more E-step would
+    pick."""
+    import math
+
+    inv = {p: int(c) for p, c in pieces_rows}
+    total = max(sum(inv.values()), 1)
+    return {
+        p: math.log(c if c > 0 else 0.5) - math.log(total)
+        for p, c in inv.items()
+    }
+
+
+def unigram_lm_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Viterbi ENCODE with a trained unigram-LM inventory (r11, d130c) —
+    the apply side d130's trainer was missing (BPE has d102): segment
+    every doc's words with the trained piece scores and emit per-doc
+    token accounting: (doc_id, n_words, n_oov_words, n_pieces,
+    n_piece_chars, n_chars).  ``n_chars`` = Σ len(word) is exact and
+    oracle-replayable; ``n_piece_chars`` must equal the per-doc char
+    mass of segmented words (a segmentation that drops or duplicates a
+    character breaks it — the d130b conservation law, now per doc);
+    ``n_oov_words`` counts words that cannot segment (impossible on the
+    training corpus — single-char coverage — nonzero only on NEW data
+    with unseen characters, which is exactly what the column is for).
+
+    Scale: the inventory is vocab-sized by construction → one bounded
+    collect into the task closure; encoding is one mapInPandas pass
+    over the docs with per-batch word-TYPE memoization (Zipf makes the
+    memo hit rate the point), zero shuffles."""
+    scores = unigram_lm_scores(
+        (r["piece"], r["count"]) for r in pieces.select("piece", "count").collect()
+    )
+    max_len = max((len(p) for p in scores), default=1)
+
+    def encode(batches, scores=scores, max_len=max_len):
+        import pandas as pd  # noqa: PLC0415
+
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                n_words = n_oov = n_pieces = n_pchars = n_chars = 0
+                for w in (txt or "").split(" "):
+                    if not w:
+                        continue
+                    n_words += 1
+                    n_chars += len(w)
+                    if w in memo:
+                        seg = memo[w]
+                    else:
+                        seg = _viterbi_segment(w, scores, max_len)
+                        memo[w] = seg
+                    if seg is None:
+                        n_oov += 1
+                        continue
+                    n_pieces += seg[1]
+                    n_pchars += sum(len(p) for p in seg[2])
+                rows.append((int(i), n_words, n_oov, n_pieces, n_pchars, n_chars))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_words", "n_oov_words", "n_pieces",
+                    "n_piece_chars", "n_chars",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode,
+        f"{id_col} long, n_words long, n_oov_words long, n_pieces long, "
+        "n_piece_chars long, n_chars long",
+    )
+
+
 def unigram_lm_vocab(
     df: DataFrame,
     text_col: str = "text",
@@ -2142,10 +2257,8 @@ def unigram_lm_vocab(
         # coverage-kept single chars can carry count 0 after a round —
         # floor them at half a count so they stay USABLE (a word with a
         # rare char must still segment) but never outcompete a real piece
-        scores = {
-            p: math.log(c if c > 0 else 0.5) - math.log(total)
-            for p, c in inventory.items()
-        }
+        # (unigram_lm_scores — the same smoothing encode applies, d130c)
+        scores = unigram_lm_scores(inventory.items())
 
         def segment(batches, scores=scores):
             import pandas as pd  # noqa: PLC0415
@@ -2154,33 +2267,10 @@ def unigram_lm_vocab(
             out_w, out_p, out_f = [], [], []
             for pdf in batches:
                 for w, f in zip(pdf["w"], pdf["f"]):
-                    n = len(w)
-                    # Viterbi: best[i] = (score, n_pieces, pieces tuple)
-                    best = [None] * (n + 1)
-                    best[0] = (0.0, 0, ())
-                    for i in range(n):
-                        if best[i] is None:
-                            continue
-                        s0, k0, ps0 = best[i]
-                        for ln in range(1, min(max_len, n - i) + 1):
-                            piece = w[i : i + ln]
-                            sc = scores.get(piece)
-                            if sc is None:
-                                continue
-                            cand = (s0 + sc, k0 + 1, ps0 + (piece,))
-                            cur = best[i + ln]
-                            if (
-                                cur is None
-                                or cand[0] > cur[0] + 1e-12
-                                or (
-                                    abs(cand[0] - cur[0]) <= 1e-12
-                                    and (cand[1], cand[2]) < (cur[1], cur[2])
-                                )
-                            ):
-                                best[i + ln] = cand
-                    if best[n] is None:
+                    best = _viterbi_segment(w, scores, max_len)
+                    if best is None:
                         continue  # unsegmentable (cannot happen: chars kept)
-                    for piece in best[n][2]:
+                    for piece in best[2]:
                         out_w.append(w)
                         out_p.append(piece)
                         out_f.append(int(f))
@@ -2224,6 +2314,141 @@ def unigram_lm_vocab(
         "neg_loglik double",
     )
     return pieces, rounds_df
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = 30,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate-SPAN mining (r11, d134) — the real
+    Lee-et-al suffix-array dedup tier (``frequent_substrings``/d69 is the
+    cheap top-k form): find every maximal character span >= ``length``
+    bytes that occurs at least ``min_count`` times corpus-wide (self-
+    repeats included — a span duplicated within one doc is still
+    memorizable), and emit the per-doc CUT LIST a dedup pass would
+    remove. Returns (doc_id, span_start 1-based, span_end inclusive,
+    span_len) — one row per maximal duplicated span.
+
+    A suffix array answers "which length-L windows repeat" in one sorted
+    pass; the distributed re-expression is the equivalent two-pass
+    shingle-hash shape: pass 1 slides an L-byte window over every doc
+    and counts xxhash64(window) — the corpus-sized shuffle carries
+    (doc_id, pos, 8-byte hash), never the text. Hashes clearing
+    min_count join back against the candidate windows and are
+    RE-VERIFIED on the actual substring (grouping the dup-count-sized
+    survivor set by its text), so a 64-bit collision can never mint a
+    false span — the output is exact, same as the suffix array's.
+    Duplicated window positions then merge into maximal spans with one
+    per-doc window pass: consecutive positions whose gap exceeds L
+    start a new island (classic gaps-and-islands), min/max per island
+    give the span. Every stage is hash- or doc-keyed; nothing is ever
+    pairwise in doc count."""
+    from ._scratch import scratch_persist
+    from pyspark.sql import Window
+
+    grams = df.filter(F.length(text_col) >= length).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {length - 1}), "
+                f"i -> struct(i AS pos, substring({text_col}, i, {length}) AS g))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    # pass 1: count 8-byte hashes (never shuffles text); pass 2 re-groups
+    # the surviving windows BY TEXT so a hash collision cannot create a
+    # span the suffix array would not — both passes are one scan each
+    hashed = grams.select(F.xxhash64("g").alias("h"))
+    survivors = (
+        hashed.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h")
+    )
+    candidates = grams.withColumn("h", F.xxhash64("g")).join(
+        survivors, "h"
+    )
+    verified = (
+        candidates.groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("g")
+    )
+    dup_pos = scratch_persist(
+        candidates.join(verified, "g").select("doc_id", "pos"),
+        "duplicate_spans/positions",
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = dup_pos.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > length, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = marked.withColumn("island", F.sum("brk").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + length - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    host_col: str = "domain",
+    url_col: str = "loc",
+    delay_col: str = "crawl_delay_s",
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """Politeness-scheduled fetch slots (r11, d136) — the step that makes
+    the discovery tier actionable: d131 mines ``Crawl-delay`` and d133
+    builds the frontier, this assigns every frontier URL its fetch slot
+    honoring the per-host delay. One window op: per host, URLs order
+    deterministically (by URL — swap in priority/lastmod ordering as
+    needed), ``fetch_rank`` = row_number, and
+    ``scheduled_offset_s = (fetch_rank - 1) × crawl_delay`` (hosts
+    without a mined delay fall back to ``default_delay_s``, the REP's
+    conventional politeness floor). Returns (host, url, fetch_rank,
+    crawl_delay_s, scheduled_offset_s).
+
+    Scale: the delays side is hosts-sized (bounded, AQE broadcasts);
+    the one shuffle partitions the frontier by host — exactly the
+    co-location a fetch fleet needs anyway, so the schedule exits
+    pre-partitioned for per-host workers. Per-host ordering is
+    inherently sequential (that is what politeness MEANS), so a skewed
+    giant host bounds its own crawl duration, never the cluster."""
+    from pyspark.sql import Window
+
+    d = delays.select(
+        F.col(host_col).alias("__host"),
+        F.col(delay_col).cast("double").alias("__delay"),
+    )
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    joined = frontier.join(
+        d, frontier[host_col] == d["__host"], "left"
+    ).drop("__host")
+    rn = F.row_number().over(w)
+    delay = F.coalesce(F.col("__delay"), F.lit(float(default_delay_s)))
+    return joined.select(
+        F.col(host_col),
+        F.col(url_col),
+        rn.cast("long").alias("fetch_rank"),
+        delay.alias("crawl_delay_s"),
+        F.round((rn - 1) * delay, 6).alias("scheduled_offset_s"),
+    )
 
 
 def robots_directives(

@@ -1157,3 +1157,64 @@ def test_warc_cdx_random_access_and_guards(spark):
     df = spark.createDataFrame(bad, "doc_id long, payload binary")
     got = {r.doc_id for r in multimodal.warc_gz_cdx_stats(df, "payload", "doc_id").collect()}
     assert got == {12}, got
+
+
+def test_cdx_index_write_and_indexed_fetch_via_engine_storage(spark, tmp_path):
+    """d135: the index a crawler WRITES during ingest round-trips through
+    the engine's partitioned storage and serves a URL→(offset, length)
+    lookup whose fetch byte-matches the sequential walk."""
+    from pandas_db_sdk_spark import text
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    docs = spark.createDataFrame(
+        [(i, f"body text {i} " * 5) for i in range(6)], "doc_id long, text string"
+    )
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><body>"), "text", F.lit("</body></html>")).alias("html"),
+        F.concat(
+            F.lit("https://www.Site.com/Page/"), F.col("doc_id").cast("string")
+        ).alias("uri"),
+    )
+    files = multimodal.synth_warc_gz(src, "html", "uri", "doc_id").cache()
+    idx = multimodal.warc_gz_cdx_index(files).withColumn(
+        "urlkey", text.surt_key(F.col("target_uri"))
+    )
+    # every member indexed: 2 per file (warcinfo + response)
+    assert idx.count() == 12
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(idx.filter("warc_type = 'response'"), "cdx", columns_keys={"doc_id": "ID"})
+    served = eng.load("cdx")
+
+    hit = served.filter(F.col("urlkey") == "com,site)/page/3").select(
+        "doc_id", "offset", "length"
+    )
+    fetched = multimodal.warc_gz_indexed_fetch(
+        files.join(hit, "doc_id").select("doc_id", "payload", "offset", "length")
+    ).collect()
+    assert len(fetched) == 1
+    row = fetched[0]
+    assert (row.fetch_ok, row.http_status) == (1, 200)
+    assert row.target_uri == "https://www.Site.com/Page/3"
+    walk = {r.doc_id: r.body for r in multimodal.parse_warc(files).collect()}
+    assert row.body == walk[3]
+
+
+def test_indexed_fetch_geometry_slip_flags_not_raises(spark):
+    """A one-byte offset slip breaks the member's gzip header: the fetch
+    row keeps identity columns, fetch_ok=0, and the fleet never errors."""
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    src = docs.select(
+        "doc_id",
+        F.lit("<html><body>x</body></html>").alias("html"),
+        F.lit("https://h.com/a").alias("uri"),
+    )
+    files = multimodal.synth_warc_gz(src, "html", "uri", "doc_id")
+    idx = multimodal.warc_gz_cdx_index(files).filter("warc_type = 'response'")
+    slipped = files.join(
+        idx.select("doc_id", (F.col("offset") + 1).alias("offset"), "length"),
+        "doc_id",
+    ).select("doc_id", "payload", "offset", "length")
+    rows = multimodal.warc_gz_indexed_fetch(slipped).collect()
+    assert len(rows) == 1 and rows[0].fetch_ok == 0 and rows[0].body is None

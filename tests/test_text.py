@@ -836,3 +836,52 @@ def test_unigram_lm_vocab_contract(spark):
     assert all(
         b.neg_loglik <= a.neg_loglik + 1e-6 for a, b in zip(rr, rr[1:])
     ), rr
+
+
+def test_duplicate_spans_merges_and_respects_min_count(spark):
+    """d134 operator contract on a hand-built corpus: a shared 80-char
+    block is cut in both docs as ONE maximal span at the right offsets;
+    unique text yields nothing; a self-repeat within one doc counts."""
+    # every filler is a non-self-repeating counter sequence: repeated-char
+    # filler like "u"*40 would itself be wall-to-wall duplicated 30-grams
+    block = "".join(f"B{i:02d}" for i in range(27))[:80]  # 80 shared chars
+    fill = lambda ch, n: "".join(f"{ch}{i:02d}" for i in range(n // 3 + 1))[:n]
+    docs = spark.createDataFrame(
+        [
+            (1, fill("u", 40) + block + fill("v", 35)),  # block at 41..120
+            (2, block + fill("w", 50)),                  # block at 1..80
+            (3, "completely unique text that repeats nothing " + fill("z", 20)),
+            (4, block + fill("q", 31) + block),          # self-repeat, two islands
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end): r.span_len
+        for r in text.duplicate_spans(docs, "doc_id", "text", length=30).collect()
+    }
+    assert (1, 41, 120) in spans and spans[(1, 41, 120)] == 80
+    assert (2, 1, 80) in spans
+    assert not any(k[0] == 3 for k in spans)
+    # doc 4: the 31-char gap exceeds L=30 → two separate spans
+    doc4 = sorted(k for k in spans if k[0] == 4)
+    assert doc4 == [(4, 1, 80), (4, 112, 191)]
+
+
+def test_politeness_schedule_default_delay_and_slots(spark):
+    frontier = spark.createDataFrame(
+        [("a.com", f"https://a.com/{i}") for i in range(3)]
+        + [("b.com", "https://b.com/x")],
+        "domain string, loc string",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 2.5)], "domain string, crawl_delay_s double"
+    )
+    rows = {
+        (r.domain, r.loc): (r.fetch_rank, r.crawl_delay_s, r.scheduled_offset_s)
+        for r in text.politeness_schedule(frontier, delays).collect()
+    }
+    assert rows[("a.com", "https://a.com/0")] == (1, 2.5, 0.0)
+    assert rows[("a.com", "https://a.com/1")] == (2, 2.5, 2.5)
+    assert rows[("a.com", "https://a.com/2")] == (3, 2.5, 5.0)
+    # no mined delay → the 1 s politeness floor
+    assert rows[("b.com", "https://b.com/x")] == (1, 1.0, 0.0)
