@@ -501,6 +501,7 @@ _R10_VERIFIED = frozenset(
 _R11_NEW = frozenset(
     """d134_duplicate_spans d134b_duplicate_span_guarantees
     d135_warc_cdx_index_fetch d136_politeness_schedule
+    d137_connected_components_star
     d130c_unigram_lm_encode d130d_unigram_encode_guarantees""".split()
 )
 

@@ -6295,6 +6295,40 @@ def d130d(spark, sf_dir):
 
 
 @q(
+    "d137_connected_components_star",
+    "WITH RECURSIVE " + _ED_CTE + """,
+       reach(id, r) AS (
+         SELECT s, d FROM ed
+         UNION
+         SELECT rc.id, e.d FROM reach rc JOIN ed e ON e.s = rc.r
+       )
+       SELECT id AS doc_id, CAST(least(id, min(r)) AS BIGINT) AS cluster
+       FROM reach GROUP BY id""",
+)
+def d137(spark, sf_dir):
+    """Graph tier (r11, VERDICT r10 #6): connected components via
+    two-phase LARGE/SMALL-STAR contraction (Kiveris et al.) — the
+    distributed CC path for when the PAIR TABLE is the 100-TB object:
+    unlike min-label propagation (d94 — edge⋈label joins stay edge-sized
+    every round), star contraction rewires the edge set itself, so
+    per-round volume shrinks as components collapse, with exact
+    star-ness termination (``dedup._cc_star_fixpoint``).  Same pair
+    fixture and IDENTICAL recursive-CTE oracle as d94, pinned at
+    ``local_threshold=0`` so the driver certifies the distributed star
+    fixpoint itself, not the count-gated local shortcut."""
+    from .. import dedup, graph
+
+    d = tables(spark, sf_dir)("documents")
+    edges = graph.rare_token_edges(d, "doc_id", "text", min_df=2, max_df=3, shingle=3)
+    out = dedup.connected_components(
+        edges, "id_a", "id_b", local_threshold=0, method="star"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+@q(
     "d135_warc_cdx_index_fetch",
     """SELECT doc_id,
               'com,site' || (doc_id % 7) || ')/docs/' || (doc_id % 13) AS urlkey,

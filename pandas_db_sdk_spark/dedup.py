@@ -290,12 +290,124 @@ def minhash_lsh_pairs(
     )
 
 
+def _cc_star_fixpoint(src: DataFrame, id_type: str, max_iter: int) -> DataFrame:
+    """Two-phase STAR CONTRACTION fixpoint (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the alternative distributed CC
+    path for HIGH-DIAMETER pair tables: alternating large-star /
+    small-star rounds contract every component onto a star rooted at its
+    minimum vertex.  Unlike min-label propagation (whose edge⋈label join
+    stays EDGE-sized every round no matter how far convergence has
+    progressed), star contraction rewires the edge set itself, so the
+    per-round volume SHRINKS as components collapse — the property that
+    matters when the pair table is 100-TB-scale and the label table is
+    not the bottleneck, the edge joins are.
+
+      large-star: every vertex connects its strictly-larger neighbors to
+        the minimum of its neighborhood (min(Γ(u) ∪ u));
+      small-star: in canonical (larger→smaller) orientation, every vertex
+        connects its smaller-or-equal neighbors and itself to that min.
+
+    Both phases are groupBy(min) + same-key join — no collect_list, so a
+    high-degree hub never materializes its neighborhood in one task.
+    Convergence is EXACT star-ness — satellites and roots disjoint (one
+    early-stopping semi-join per round), never a hash checksum.  Both
+    operations preserve the original component relation and only ever
+    add same-component edges, so a star-shaped edge set means every
+    original component is exactly one star; and since every edge keeps
+    the smaller id on the root side, a component's minimum can never sit
+    on a satellite side — star roots ARE the component minima.  Raises
+    past ``max_iter`` (the label-prop contract — truncation is a
+    correctness bug).  Returns (id, cluster) over every vertex of
+    ``src``."""
+    from ._scratch import scratch_persist
+
+    ids = scratch_persist(
+        src.select(F.col("id_a").alias("id"))
+        .union(src.select(F.col("id_b").alias("id")))
+        .distinct(),
+        "connected_components/star_ids",
+    )
+    edges = (
+        src.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.isEmpty():
+        return ids.select("id", F.col("id").alias("cluster"))
+    converged = False
+    for _ in range(max_iter):
+        # large-star: directed neighborhoods both ways; strictly-larger
+        # neighbors re-point at min(Γ(u) ∪ u)
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: canonical orientation already holds (u > v after
+        # large-star's (larger, min) output); neighbors and u itself
+        # re-point at the min neighbor
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(smins, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        # star-ness: no vertex is both a satellite (u side) and a root
+        # (v side) — the exact termination criterion, one early-stopping
+        # semi-join on node-sized distinct projections
+        if (
+            small.select("v")
+            .distinct()
+            .join(
+                small.select(F.col("u").alias("v")).distinct(),
+                "v",
+                "left_semi",
+            )
+            .isEmpty()
+        ):
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(method='star') did not converge in "
+            f"{max_iter} large/small-star rounds — star contraction "
+            "needs O(log n) rounds, so check the pair-generation stage "
+            "for a runaway candidate explosion before raising max_iter"
+        )
+    labels = ids.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("cluster")),
+        "id",
+        "left",
+    ).select(
+        "id", F.coalesce("cluster", F.col("id")).cast(id_type).alias("cluster")
+    )
+    return labels
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
     local_threshold: int = 100_000,
+    method: str = "label",
 ) -> DataFrame:
     """Cluster ids transitively connected by pairs: returns (id, cluster)
     where cluster is the minimum id in the component.
@@ -311,6 +423,14 @@ def connected_components(
     corpus-sized, so even 100-TB corpora often land under the gate; when
     they don't, the distributed path below runs unchanged. Pass
     ``local_threshold=0`` to pin the distributed path (tests do).
+
+    ``method`` picks the DISTRIBUTED fixpoint past the gate (the local
+    union-find is identical either way): ``"label"`` (default) is the
+    min-label propagation below — node-sized label state, best when the
+    pair table is dup-count-sized; ``"star"`` is two-phase large/small-
+    star contraction (:func:`_cc_star_fixpoint`) — the edge set itself
+    shrinks round over round, the right shape when the pair table is the
+    100-TB-scale object and edge⋈label joins would dominate.
 
     Distributed path: iterative min-label propagation as pure DataFrame
     joins, with per-round DOUBLE path compression: after every vertex
@@ -379,6 +499,16 @@ def connected_components(
             F.col(id_a).cast(id_type).alias(id_a),
             F.col(id_b).cast(id_type).alias(id_b),
         )
+    if method == "star":
+        # high-diameter scale path: two-phase star contraction — the edge
+        # set itself shrinks round over round (see _cc_star_fixpoint)
+        return _cc_star_fixpoint(
+            src.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")),
+            id_type,
+            max_iter,
+        )
+    if method != "label":
+        raise ValueError(f"unknown connected_components method: {method!r}")
     # slot-pooled scratch (not a bare persist): the doubled edge table is
     # consumed every round AND across re-invocations — a benchmark's warm
     # reps / interactive re-runs reuse the cached generation instead of

@@ -408,3 +408,46 @@ def test_prefix_ceil_is_float_safe(spark):
     assert rows.raw == 56  # the double artifact the helper exists to fix
     assert rows.safe == 55 and rows.safe2 == 7
     assert rows.frac == 13 and rows.frac2 == 5
+
+
+def test_connected_components_star_matches_label_method(spark):
+    """r11 (VERDICT r10 #6): the large/small-star contraction path must
+    produce IDENTICAL labels to min-label propagation on transitive
+    chains, disjoint clusters, heterogeneous types, and self-loops —
+    at local_threshold=0 so the distributed fixpoint itself is pinned."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (5, 4), (6, 5), (7, 6), (8, 7), (20, 20)],
+        "id_a long, id_b long",
+    )
+    label = {
+        r.id: r.cluster
+        for r in dedup.connected_components(
+            pairs, local_threshold=0, method="label"
+        ).collect()
+    }
+    star = {
+        r.id: r.cluster
+        for r in dedup.connected_components(
+            pairs, local_threshold=0, method="star"
+        ).collect()
+    }
+    assert star == label
+    assert star[20] == 20  # self-loop-only vertex labels itself
+
+
+def test_connected_components_star_long_chain_and_raise(spark):
+    """Star contraction converges on a 300-vertex path well inside the
+    default budget and raises (never truncates) when max_iter is too
+    tight; unknown methods are rejected."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    comp = dedup.connected_components(pairs, local_threshold=0, method="star")
+    assert comp.select(F.countDistinct("cluster")).first()[0] == 1
+    assert comp.filter(F.col("cluster") != 0).count() == 0
+    with pytest.raises(RuntimeError, match="star"):
+        dedup.connected_components(
+            pairs, max_iter=1, local_threshold=0, method="star"
+        )
+    with pytest.raises(ValueError, match="unknown"):
+        dedup.connected_components(pairs, local_threshold=0, method="nope")

@@ -886,7 +886,16 @@ def test_iterative_graph_stage_counts_stay_linear(spark):
     n_cc = stages_for(
         lambda: dedup.connected_components(edges, local_threshold=0)
     )
-    assert n_cc <= 170, f"connected_components executed {n_cc} stages"
+    # tightened r11 (VERDICT r10 #6): 111 measured on a healthy build
+    assert n_cc <= 140, f"connected_components executed {n_cc} stages"
+    # star contraction: ~log rounds of (large + small) phases; 137
+    # measured — the pin catches an O(diameter) regression (>400)
+    n_star = stages_for(
+        lambda: dedup.connected_components(
+            edges, local_threshold=0, method="star"
+        )
+    )
+    assert n_star <= 175, f"star contraction executed {n_star} stages"
 
 
 def test_round9_shuffle_budgets(spark, queries):
