@@ -6416,3 +6416,166 @@ def d135(spark, sf_dir):
         ).cast("int").alias("body_match_ok"),
         "http_status",
     )
+
+
+# ---------------------------------------------------------------------------
+# d138/d139: line-level cleaning + corpus-wide line dedup.  documents.text
+# has no newline structure, so both fixtures synthesize a deterministic line
+# table from the word stream (the d99 pattern: the oracle regenerates every
+# line arithmetically) — d138 decorates 8-word chunks with the punctuation /
+# javascript / lorem-ipsum / brace tells the C4 rules key on, d139 uses raw
+# 3-word chunks (short enough that cross-document repeats are guaranteed).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "d138_c4_line_filter",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       ch AS (SELECT doc_id, (s - 1) // 8 AS i,
+                     array_to_string(w[s : s + 7], ' ') AS chunk
+              FROM w, LATERAL (
+                SELECT unnest(range(1, greatest(len(w), 1) + 1, 8)) AS s)),
+       ln AS (SELECT doc_id, i,
+                CASE (doc_id * 7 + i) % 4
+                  WHEN 0 THEN chunk || '.'
+                  WHEN 1 THEN chunk || '!'
+                  WHEN 2 THEN chunk
+                  ELSE 'javascript ' || chunk || '.' END AS line
+              FROM ch),
+       full_ln AS (
+         SELECT doc_id, i, line FROM ln
+         UNION ALL
+         SELECT doc_id, 1000000, 'lorem ipsum.' FROM documents
+         WHERE doc_id % 13 = 0
+         UNION ALL
+         SELECT doc_id, 1000001, '{ cfg }.' FROM documents
+         WHERE doc_id % 17 = 0),
+       kept AS (SELECT doc_id, i, line,
+                  (regexp_matches(line, '[.!?"]$')
+                   AND len(string_split(line, ' ')) >= 5
+                   AND NOT contains(lower(line), 'javascript')) AS k
+                FROM full_ln),
+       agg AS (SELECT doc_id,
+                 count(*) AS n_lines,
+                 count(*) FILTER (WHERE k) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY i)
+                   FILTER (WHERE k) AS ktext,
+                 bool_or(contains(lower(line), 'lorem ipsum')) AS has_li,
+                 bool_or(contains(line, '{')) AS has_brace
+               FROM kept GROUP BY 1)
+       SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+              CAST(n_kept AS INT) AS n_kept_lines,
+              (n_kept >= 3 AND NOT has_li AND NOT has_brace) AS doc_kept,
+              CASE WHEN n_kept >= 3 AND NOT has_li AND NOT has_brace
+                   THEN coalesce(ktext, '') ELSE '' END AS clean_text
+       FROM agg""",
+)
+def d138(spark, sf_dir):
+    """Quality tier (r11): C4-style LINE-level cleaning
+    (``text.c4_line_filter`` — terminal-punctuation lines only, >= 5
+    words, no 'javascript' lines; pages with 'lorem ipsum' or '{'
+    drop whole; < 3 surviving lines drops the page), the public C4
+    recipe that runs before dedup in web pipelines.  The fixture
+    decorates deterministic 8-word chunks so every rule fires: chunk
+    index decides the terminal mark (none for m=2 — dropped), m=3
+    plants a javascript line, doc_id %% 13/17 plant the page-level
+    poisons.  The oracle regenerates lines arithmetically and replays
+    every rule in SQL.  Scale: one filter HOF per row, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(8))
+
+    def decorate(s):
+        chunk = F.array_join(F.slice(toks, s, 8), " ")
+        i = F.floor((s - 1) / 8).cast("long")
+        m = (F.col("doc_id") * 7 + i) % 4
+        return (
+            F.when(m == 0, F.concat(chunk, F.lit(".")))
+            .when(m == 1, F.concat(chunk, F.lit("!")))
+            .when(m == 2, chunk)
+            .otherwise(F.concat(F.lit("javascript "), chunk, F.lit(".")))
+        )
+
+    poison = F.concat(
+        F.when(F.col("doc_id") % 13 == 0, F.lit("\nlorem ipsum.")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\n{ cfg }.")).otherwise(
+            F.lit("")
+        ),
+    )
+    synth = d.select(
+        "doc_id",
+        F.concat(F.array_join(F.transform(starts, decorate), "\n"), poison).alias(
+            "text"
+        ),
+    )
+    return text.c4_line_filter(synth, "doc_id", "text")
+
+
+@q(
+    "d139_line_dedup_corpus",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       ln AS (SELECT doc_id, CAST((s - 1) // 3 AS INT) AS line_no,
+                     array_to_string(w[s : s + 2], ' ') AS line
+              FROM w, LATERAL (
+                SELECT unnest(range(1, greatest(len(w), 1) + 1, 3)) AS s)),
+       r AS (SELECT doc_id, line_no, line,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id, line_no) AS rn
+             FROM ln),
+       tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1),
+       k AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY line_no) AS t
+             FROM r WHERE rn = 1 GROUP BY 1)
+       SELECT tot.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+              CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept_lines,
+              coalesce(t, '') AS dedup_text
+       FROM tot LEFT JOIN k USING (doc_id)""",
+)
+def d139(spark, sf_dir):
+    """Dedup tier (r11): CORPUS-WIDE exact line dedup
+    (``text.dedup_lines_corpus`` — the CCNet/RefinedWeb pass): every
+    distinct line survives once, at its globally first (doc, line_no)
+    occurrence; docs reassemble from survivors.  3-word fixture lines
+    make cross-document repeats dense, so the keep-first tie-break and
+    the zero-survivor document path both exercise for real.  Keep-first
+    is a partial-aggregable min(struct) — never a window over the
+    skewed line key — then a semi-join filter and one doc-keyed
+    reassembly shuffle (see the engine docstring for the 100-TB
+    posture).  Oracle: the same keep-first as window SQL at fixture
+    scale."""
+    d = tables(spark, sf_dir)("documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(3))
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.array_join(F.slice(toks, s, 3), " "))
+        ).alias("line_no", "line"),
+    )
+    return text.dedup_lines_corpus(lines, "doc_id", "line_no", "line")
+
+
+@q(
+    "d140_temperature_mix",
+    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+       t AS (SELECT sum(cnt) AS total, sum(pow(cnt, 0.3)) AS psum FROM c)
+       SELECT lang, cnt,
+              round(cnt::DOUBLE / total, 6) AS natural_frac,
+              round(pow(cnt, 0.3) / psum, 6) AS sampled_frac,
+              round((pow(cnt, 0.3) / psum) / (cnt::DOUBLE / total), 6)
+                AS weight
+       FROM c, t""",
+)
+def d140(spark, sf_dir):
+    """Mix tier (r11): temperature-based multilingual sampling weights
+    (``text.temperature_mix_weights``, alpha=0.3 — the public XLM-R
+    recipe): q_l ∝ p_l^0.3 upsamples low-resource languages;
+    weight = q/p feeds sample_by.  Complements d24 (explicit target
+    mix) with the standard parametric family.  Two tiny aggregates +
+    a 1-row broadcast — constant work beyond the facet count."""
+    d = tables(spark, sf_dir)("documents")
+    return text.temperature_mix_weights(d, "lang", alpha=0.3)

@@ -2472,3 +2472,160 @@ def robots_directives(
     return out.select(
         "domain", directive.alias("directive"), value.alias("value")
     ).filter(F.col("directive") != "")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    c4 recipe) — the line/page filter ladder that precedes dedup in
+    web-corpus pipelines:
+
+    * keep only lines ending in a terminal punctuation mark (``.!?"``),
+    * keep only lines with >= ``min_words`` words,
+    * drop any line containing the word ``javascript``,
+    * drop the whole page if it contains ``lorem ipsum`` or a curly
+      brace ``{`` (code/boilerplate tells),
+    * drop the page if fewer than ``min_kept_lines`` lines survive.
+
+    Returns (id, n_lines, n_kept_lines, doc_kept, clean_text) for EVERY
+    input document (audit view — the kept corpus is
+    ``filter(doc_kept).select(id, clean_text)``).
+
+    Scale: one ``filter`` HOF per row over the line array — pure
+    codegen, zero shuffles, embarrassingly parallel; the whole ladder
+    is a map over the corpus exactly like the reference pipelines run
+    it (C4 used beam; here Catalyst fuses every rule into one stage)."""
+    lines = F.split(F.col(text_col), sep)
+    keep = lambda x: (  # noqa: E731
+        x.rlike('[.!?"]$')
+        & (F.size(F.split(x, " ")) >= min_words)
+        & ~F.lower(x).contains("javascript")
+    )
+    kept = F.filter(lines, keep)
+    low = F.lower(F.col(text_col))
+    doc_kept = (
+        (F.size(kept) >= min_kept_lines)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        doc_kept.alias("doc_kept"),
+        F.when(doc_kept, F.array_join(kept, sep)).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+    )
+
+
+def dedup_lines_corpus(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+    sep: str = "\n",
+) -> DataFrame:
+    """CORPUS-WIDE exact line dedup (the CCNet / RefinedWeb pass):
+    every distinct line survives exactly once across the WHOLE corpus —
+    at its globally first occurrence (lowest (doc, line_no)) — and
+    documents are reassembled from their surviving lines.  This is the
+    boilerplate killer intra-doc dedup (:func:`dedup_lines_within_doc`)
+    cannot reach: nav bars and cookie banners repeat across PAGES.
+
+    Input is the exploded line table (id, line_no, line); returns
+    (id, n_lines, n_kept_lines, dedup_text) for every document (a doc
+    whose every line first appeared elsewhere keeps 0 lines and an
+    empty text — counted, not dropped, so retention is auditable).
+
+    Scale: keep-first is a ``groupBy(line).agg(min(struct(id, line_no)))``
+    — PARTIAL-aggregable, so the super-common-line skew that breaks a
+    window/row_number plan (the empty line appears a billion times; all
+    replicas meet in ONE partition) is absorbed map-side: each task
+    contributes one candidate per distinct line it holds.  The winner
+    set joins back as a semi-filter keyed on (line, id, line_no), then
+    one doc-keyed shuffle reassembles.  Line TEXT never rides a shuffle
+    twice: the reassembly carries only surviving rows."""
+    lid, lno, lln = F.col(id_col), F.col(line_no_col), F.col(line_col)
+    winners = (
+        lines.groupBy(line_col)
+        .agg(F.min(F.struct(lid, lno)).alias("__w"))
+        .select(
+            F.col(line_col).alias("__wline"),
+            F.col(f"__w.{id_col}").alias("__wid"),
+            F.col(f"__w.{line_no_col}").alias("__wno"),
+        )
+    )
+    kept = lines.join(
+        winners,
+        (lln == winners["__wline"])
+        & (lid == winners["__wid"])
+        & (lno == winners["__wno"]),
+        "left_semi",
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(lno, lln))),
+                lambda s: s[line_col],
+            ),
+            sep,
+        ).alias("dedup_text"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("long").alias(
+                "n_kept_lines"
+            ),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame, facet_col: str = "lang", alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based multilingual sampling (the exponential-smoothing
+    rebalance from the public mBERT/XLM-R recipes): sample facet ``l``
+    with probability q_l ∝ p_l^alpha instead of its corpus share p_l —
+    alpha < 1 upsamples low-resource languages without flattening the
+    mix entirely (alpha=1 ⇒ natural distribution, alpha=0 ⇒ uniform;
+    XLM-R ships alpha=0.3).  Complements :func:`domain_mix_weights`
+    (explicit target) with the standard parametric family.
+
+    q_l = cnt_l^alpha / Σ cnt^alpha (the totals cancel), weight_l =
+    q_l / p_l is the per-row sampling multiplier downstream
+    ``sample_by``/``stratified_sample`` consume.
+
+    Scale: one partial+final count per facet, then a 1-row broadcast of
+    the two scalar totals — facet cardinality is languages-sized, so
+    the whole computation is constant beyond the first count."""
+    a = float(alpha)
+    counts = df.groupBy(facet_col).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.sum(F.pow(F.col("cnt").cast("double"), F.lit(a))).alias("__pow_sum"),
+    )
+    p = F.col("cnt") / F.col("__total")
+    qn = F.pow(F.col("cnt").cast("double"), F.lit(a)) / F.col("__pow_sum")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            facet_col,
+            "cnt",
+            F.round(p, 6).alias("natural_frac"),
+            F.round(qn, 6).alias("sampled_frac"),
+            F.round(qn / p, 6).alias("weight"),
+        )
+    )

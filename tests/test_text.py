@@ -885,3 +885,77 @@ def test_politeness_schedule_default_delay_and_slots(spark):
     assert rows[("a.com", "https://a.com/2")] == (3, 2.5, 5.0)
     # no mined delay → the 1 s politeness floor
     assert rows[("b.com", "https://b.com/x")] == (1, 1.0, 0.0)
+
+
+def test_c4_line_filter_rules(spark):
+    """d138 operator contract: each C4 rule fires independently — terminal
+    punctuation, min words, javascript lines, lorem-ipsum / brace page
+    drops, and the min-kept-lines page floor."""
+    good = "alpha beta gamma delta epsilon zeta."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{good}\n{good}\n{good}\nno terminal punct here at all"),
+            (2, f"{good}\nshort line.\n{good}\n{good}"),
+            (3, f"{good}\nthis javascript line is long enough.\n{good}\n{good}"),
+            (4, f"{good}\n{good}\n{good}\nLorem Ipsum."),
+            (5, f"{good}\n{good}\n{good}\nconfig {{ x }}."),
+            (6, f"{good}\n{good}"),  # only 2 survivors → page dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text.c4_line_filter(docs, "doc_id", "text").collect()
+    }
+    assert out[1].n_kept_lines == 3 and out[1].doc_kept
+    assert out[1].clean_text == f"{good}\n{good}\n{good}"
+    assert out[2].n_kept_lines == 3 and out[2].doc_kept  # short line dropped
+    assert out[3].n_kept_lines == 3 and out[3].doc_kept  # javascript dropped
+    assert not out[4].doc_kept and out[4].clean_text == ""  # lorem ipsum page
+    assert not out[5].doc_kept  # brace page
+    assert not out[6].doc_kept and out[6].n_kept_lines == 2  # under floor
+
+
+def test_dedup_lines_corpus_keep_first_and_zero_survivors(spark):
+    """d139 operator contract: globally-first occurrence wins (doc order,
+    then line order); a doc whose every line appeared earlier keeps zero
+    lines but stays in the output; within-doc repeats collapse too."""
+    lines = spark.createDataFrame(
+        [
+            (1, 0, "nav bar"),
+            (1, 1, "unique to one"),
+            (1, 2, "nav bar"),        # within-doc repeat of line 0
+            (2, 0, "nav bar"),        # cross-doc repeat
+            (2, 1, "unique to two"),
+            (3, 0, "nav bar"),        # every line of doc 3 seen before
+            (3, 1, "unique to one"),
+        ],
+        "doc_id long, line_no int, line string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text.dedup_lines_corpus(lines, "doc_id", "line_no", "line").collect()
+    }
+    assert out[1].n_lines == 3 and out[1].n_kept_lines == 2
+    assert out[1].dedup_text == "nav bar\nunique to one"
+    assert out[2].n_lines == 2 and out[2].n_kept_lines == 1
+    assert out[2].dedup_text == "unique to two"
+    assert out[3].n_lines == 2 and out[3].n_kept_lines == 0
+    assert out[3].dedup_text == ""
+
+
+def test_temperature_mix_weights_family(spark):
+    """d140 operator contract: alpha=1 reproduces the natural mix
+    (weight 1 everywhere); alpha=0 flattens to uniform; alpha=0.3
+    upsamples the minority facet and q sums to 1."""
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 9 else "yo") for i in range(10)],
+        "doc_id long, lang string",
+    )
+    w1 = {r.lang: r for r in text.temperature_mix_weights(docs, "lang", 1.0).collect()}
+    assert w1["en"].weight == 1.0 and w1["yo"].weight == 1.0
+    w0 = {r.lang: r for r in text.temperature_mix_weights(docs, "lang", 0.0).collect()}
+    assert w0["en"].sampled_frac == 0.5 and w0["yo"].sampled_frac == 0.5
+    w3 = {r.lang: r for r in text.temperature_mix_weights(docs, "lang", 0.3).collect()}
+    assert w3["yo"].weight > 1.0 > w3["en"].weight  # minority upsampled
+    assert abs(w3["en"].sampled_frac + w3["yo"].sampled_frac - 1.0) < 1e-6
