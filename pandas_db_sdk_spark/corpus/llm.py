@@ -6579,3 +6579,119 @@ def d140(spark, sf_dir):
     a 1-row broadcast — constant work beyond the facet count."""
     d = tables(spark, sf_dir)("documents")
     return text.temperature_mix_weights(d, "lang", alpha=0.3)
+
+
+@q(
+    "d141_image_phash",
+    """WITH px AS (SELECT doc_id, x.x AS x, y.y AS y,
+             ((7*doc_id + 3*x.x + 5*y.y) % 256)
+           + ((7*doc_id + 3*x.x + 5*y.y + 11) % 256)
+           + ((7*doc_id + 3*x.x + 5*y.y + 22) % 256) AS gray
+           FROM documents, range(0, 16) x(x), range(0, 16) y(y)),
+       ct AS (SELECT u.u AS k, x.x AS i,
+              CAST(CASE WHEN cos(pi()*(2*x.x+1)*u.u/32) >= 0
+                   THEN floor(cos(pi()*(2*x.x+1)*u.u/32)*1000000 + 0.5)
+                   ELSE -floor(-(cos(pi()*(2*x.x+1)*u.u/32))*1000000 + 0.5)
+                   END AS BIGINT) AS c
+              FROM range(0, 8) u(u), range(0, 16) x(x)),
+       coef AS (SELECT p.doc_id, cu.k AS u, cv.k AS v,
+                CAST(sum(p.gray * cu.c * cv.c) AS BIGINT) AS coef
+                FROM px p JOIN ct cu ON cu.i = p.x JOIN ct cv ON cv.i = p.y
+                GROUP BY 1, 2, 3),
+       med AS (SELECT doc_id, quantile_disc(coef, 0.5) AS med
+               FROM coef WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+       bits AS (SELECT c.doc_id,
+                CASE WHEN NOT (u = 0 AND v = 0) AND coef > med
+                     THEN 1 ELSE 0 END AS b,
+                8*v + u AS pos
+                FROM coef c JOIN med USING (doc_id))
+       SELECT doc_id, CAST(sum(b) AS INT) AS n_ones,
+              CAST(sum(CASE WHEN pos < 32
+                       THEN b * (1::BIGINT << pos) ELSE 0 END) AS BIGINT)
+                AS hash_lo,
+              CAST(sum(CASE WHEN pos >= 32
+                       THEN b * (1::BIGINT << (pos - 32)) ELSE 0 END)
+                   AS BIGINT) AS hash_hi
+       FROM bits GROUP BY 1""",
+)
+def d141(spark, sf_dir):
+    """Multimodal tier (r11): DCT perceptual hash
+    (``multimodal.phash_64``) — the frequency-domain sibling of d115's
+    aHash, robust to the global brightness/contrast shifts aHash's
+    mean threshold partially absorbs and banding can't: an affine gray
+    map scales every AC coefficient uniformly, so the median compare —
+    hence the hash — is EXACTLY invariant (pinned in
+    tests/test_multimodal.py).  Hash-green end-to-end because the DCT
+    basis is an integer cosine table and the 63-AC median is the exact
+    middle element — the oracle replays grayscale, basis, 2-D
+    transform, quantile_disc median, and bit packing arithmetically.
+    Zero shuffles (mapInPandas); clusters ride hamming_clusters like
+    d117."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.phash_64(
+        multimodal.synth_raw_rgb(d, "doc_id"), "payload", "doc_id"
+    )
+
+
+@q(
+    "d143_y4m_frame_sample",
+    """WITH f AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+       fr AS (SELECT doc_id, nf, ff.f AS frame_no
+              FROM f, range(0, 6) ff(f)
+              WHERE ff.f < nf AND ff.f % 2 = 0),
+       px AS (SELECT doc_id, nf, frame_no, x.x AS x, y.y AS y,
+                (7*doc_id + 3*x.x + 5*y.y + 13*frame_no) % 256 AS yv,
+                (7*doc_id + 3*x.x + 5*y.y + 13*frame_no + 11) % 256 AS uv,
+                (7*doc_id + 3*x.x + 5*y.y + 13*frame_no + 22) % 256 AS vv
+              FROM fr, range(0, 16) x(x), range(0, 16) y(y))
+       SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+              CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+              CAST(nf AS INT) AS n_frames,
+              round(sum(yv)::DOUBLE / count(*), 6) AS y_mean,
+              round(sum(uv)::DOUBLE / count(*), 6) AS u_mean,
+              round(sum(vv)::DOUBLE / count(*), 6) AS v_mean,
+              CAST(sum(yv * (x + 1) * (y + 2)) AS BIGINT) AS y_pos_sum
+       FROM px GROUP BY 1, 2, 5""",
+)
+def d143(spark, sf_dir):
+    """Multimodal tier (r11): VIDEO frame sampling over a REAL container
+    — Spark writes a byte-valid YUV4MPEG2 stream per document
+    (``multimodal.synth_y4m``: header + FRAME markers + raw planes,
+    3–6 frames each), and ``multimodal.y4m_frame_sample`` parses the
+    header (W/H/C geometry, C444+C420), walks the frame markers, keeps
+    every 2nd frame, and emits plane means + a position-weighted luma
+    checksum a transposed/off-by-one-plane parse cannot fake.  The
+    oracle regenerates every sampled plane arithmetically (d99
+    pattern).  This is the frame-sample step of the video pipeline:
+    unsampled frames never leave the operator — a 1/every_n data valve
+    ahead of any expensive per-frame featurizer.  Zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.y4m_frame_sample(
+        multimodal.synth_y4m(d, "doc_id"), "payload", "doc_id", every_n=2
+    )
+
+
+@q(
+    "d144_image_resize_area",
+    """WITH px AS (SELECT doc_id, x.x AS x, y.y AS y, c.c AS c,
+                (7*doc_id + 3*x.x + 5*y.y + 11*c.c) % 256 AS v
+           FROM documents, range(0, 16) x(x), range(0, 16) y(y),
+                range(0, 3) c(c))
+       SELECT doc_id, CAST(x // 4 AS INT) AS cell_x,
+              CAST(y // 4 AS INT) AS cell_y, CAST(c AS INT) AS channel,
+              CAST(sum(v) AS BIGINT) AS block_sum,
+              CAST((sum(v) + 8) // 16 AS BIGINT) AS pixel
+       FROM px GROUP BY 1, 2, 3, 4""",
+)
+def d144(spark, sf_dir):
+    """Multimodal tier (r11): area-average RESIZE
+    (``multimodal.resize_area``) — the 16x16 -> 4x4 box downsample
+    (each output cell the round-half-up integer mean of its 4x4x
+    channel block), the step the prompt's decode/feature/resize ladder
+    was missing as a first-class op (d115/d141 resize internally; this
+    exposes the geometry).  Oracle regenerates pixels and replays the
+    block grouping + integer rounding exactly.  Zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.resize_area(
+        multimodal.synth_raw_rgb(d, "doc_id"), "payload", "doc_id"
+    )

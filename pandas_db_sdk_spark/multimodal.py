@@ -3963,6 +3963,324 @@ def warc_gz_indexed_fetch(
         "target_uri string, http_status int, body string",
     )
 
+def synth_y4m(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+    chroma: str = "444",
+) -> DataFrame:
+    """Deterministic YUV4MPEG2 (.y4m) stream per row — a REAL public
+    container format (the uncompressed video interchange format mjpegtools
+    defined; ffmpeg/x264 consume it directly), built byte-for-byte:
+    ``YUV4MPEG2 W.. H.. F25:1 Ip A1:1 C444\n`` then per frame a
+    ``FRAME\n`` marker + raw Y, U, V planes.  ``3 + id % 4`` frames per
+    stream; plane value at (frame f, x, y) is ``(7*id + 3x + 5y + 13f
+    + k) mod 256`` with k = 0/11/22 for Y/U/V — the d99 pattern, so an
+    oracle regenerates every byte arithmetically.  chroma='420' halves
+    both chroma dimensions (C420 subsampling) for parser coverage.
+    Arrow-batched mapInPandas, zero shuffles."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cw, ch = (width, height) if chroma == "444" else (width // 2, height // 2)
+        yy, yx = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+        ybase = (3 * yx + 5 * yy).astype(np.int64)
+        cy, cx = np.meshgrid(np.arange(ch), np.arange(cw), indexing="ij")
+        cbase = (3 * cx + 5 * cy).astype(np.int64)
+        header = (
+            f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C{chroma}\n".encode()
+        )
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n_frames = 3 + i % 4
+                parts = [header]
+                for f in range(n_frames):
+                    parts.append(b"FRAME\n")
+                    parts.append(
+                        ((7 * i + ybase + 13 * f) % 256).astype(np.uint8).tobytes()
+                    )
+                    parts.append(
+                        ((7 * i + cbase + 13 * f + 11) % 256)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                    parts.append(
+                        ((7 * i + cbase + 13 * f + 22) % 256)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                out.append((i, b"".join(parts)))
+            yield pd.DataFrame(out, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(
+        build, f"{id_col} long, payload binary"
+    )
+
+
+def y4m_frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+) -> DataFrame:
+    """Y4M frame-sampling + per-frame features — the video tier's
+    decode / frame-sample step over a REAL container: parse the
+    YUV4MPEG2 stream header (W/H/C parameters; C444 and C420 plane
+    geometry both supported), walk the FRAME markers (parameters after
+    FRAME, if any, run to the newline per spec), keep every
+    ``every_n``-th frame, and emit per sampled frame the plane means
+    plus a POSITION-WEIGHTED luma checksum sum(Y[y][x]*(x+1)*(y+2))
+    that a transposed, flipped, or off-by-one-plane parse cannot fake
+    (the d99 certification trick).  Malformed streams (bad magic,
+    truncated frame) skip — a poison stream never kills the fleet.
+
+    Returns (id, frame_no, width, height, n_frames, y_mean, u_mean,
+    v_mean, y_pos_sum).  Scale: frame sampling is the pipeline's data
+    EXCLUSION valve — the unsampled frames never leave this operator,
+    so downstream stages see 1/every_n of the bytes; pure Arrow
+    mapInPandas, zero shuffles, embarrassingly parallel."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                nl = b.find(b"\n")
+                if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+                    continue
+                w = h = None
+                chroma = "420"  # the spec default when no C tag
+                for tok in b[:nl].split(b" ")[1:]:
+                    if tok[:1] == b"W":
+                        w = int(tok[1:])
+                    elif tok[:1] == b"H":
+                        h = int(tok[1:])
+                    elif tok[:1] == b"C":
+                        chroma = tok[1:].decode("ascii", "replace")
+                if not w or not h:
+                    continue
+                if chroma.startswith("444"):
+                    csize = w * h
+                elif chroma.startswith("420"):
+                    csize = (w // 2) * (h // 2)
+                else:
+                    continue  # 422/mono: not in fixture scope
+                frame_bytes = w * h + 2 * csize
+                # first pass: count frames (n_frames is part of the output)
+                frames = []
+                pos = nl + 1
+                while pos < len(b):
+                    if b[pos : pos + 5] != b"FRAME":
+                        break  # malformed marker: stop, keep prior frames
+                    fnl = b.find(b"\n", pos)
+                    if fnl < 0 or fnl + 1 + frame_bytes > len(b):
+                        break  # truncated frame drops
+                    frames.append(fnl + 1)
+                    pos = fnl + 1 + frame_bytes
+                for f, start in enumerate(frames):
+                    if f % every_n:
+                        continue
+                    y = (
+                        np.frombuffer(b, np.uint8, w * h, start)
+                        .reshape(h, w)
+                        .astype(np.int64)
+                    )
+                    u = np.frombuffer(
+                        b, np.uint8, csize, start + w * h
+                    ).astype(np.int64)
+                    v = np.frombuffer(
+                        b, np.uint8, csize, start + w * h + csize
+                    ).astype(np.int64)
+                    xs = np.arange(1, w + 1, dtype=np.int64)
+                    ys = np.arange(2, h + 2, dtype=np.int64)
+                    rows.append(
+                        (
+                            int(i),
+                            f,
+                            w,
+                            h,
+                            len(frames),
+                            round(float(y.sum()) / (w * h), 6),
+                            round(float(u.sum()) / csize, 6),
+                            round(float(v.sum()) / csize, 6),
+                            int((y * xs[None, :] * ys[:, None]).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "frame_no",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "y_mean",
+                    "u_mean",
+                    "v_mean",
+                    "y_pos_sum",
+                ],
+            )
+
+    return df.mapInPandas(
+        sample,
+        f"{id_col} long, frame_no int, width int, height int, n_frames int,"
+        " y_mean double, u_mean double, v_mean double, y_pos_sum long",
+    )
+
+def resize_area(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_w: int = 4,
+    out_h: int = 4,
+) -> DataFrame:
+    """Area-average (box) image resize — the downsample step every
+    multimodal pipeline runs before hashing / thumbnailing / feature
+    extraction: each output cell is the mean of its (h/out_h x w/out_w)
+    input block, per channel.  Frames whose dimensions don't divide the
+    output grid skip (fixtures are exact multiples; a production build
+    pads or crops — the geometry contract stays the same).
+
+    Exact-arithmetic discipline: output pixel = (block_sum + area/2) /
+    area in INTEGER math (round-half-up), block_sum emitted alongside so
+    the oracle certifies the actual summation, not just the quotient.
+    Long output layout (id, cell_x, cell_y, channel, block_sum, pixel)
+    keeps arrays out of the hash compare.  Scale: pure Arrow
+    mapInPandas, zero shuffles; the resized frame is out_w*out_h/(w*h)
+    of the input bytes — like frame sampling, a data valve."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, w, h, buf in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf[payload_col]
+            ):
+                w, h = int(w), int(h)
+                if w == 0 or h == 0 or w % out_w or h % out_h:
+                    continue
+                try:
+                    arr = (
+                        np.frombuffer(bytes(buf), dtype=np.uint8)
+                        .reshape(h, w, 3)
+                        .astype(np.int64)
+                    )
+                except ValueError:
+                    continue
+                bh, bw = h // out_h, w // out_w
+                area = bh * bw
+                sums = arr.reshape(out_h, bh, out_w, bw, 3).sum(axis=(1, 3))
+                px = (sums + area // 2) // area
+                for cy in range(out_h):
+                    for cx in range(out_w):
+                        for c in range(3):
+                            rows.append(
+                                (
+                                    int(i),
+                                    cx,
+                                    cy,
+                                    c,
+                                    int(sums[cy, cx, c]),
+                                    int(px[cy, cx, c]),
+                                )
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "cell_x", "cell_y", "channel", "block_sum", "pixel"],
+            )
+
+    return df.mapInPandas(
+        resize,
+        f"{id_col} long, cell_x int, cell_y int, channel int,"
+        " block_sum long, pixel long",
+    )
+
+
+def phash_64(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual DCT-hash (pHash) over decoded RGB frames — the
+    frequency-domain sibling of :func:`ahash_64` and the standard
+    perceptual key robust to brightness/contrast shifts: grayscale the
+    frame, 2-D DCT-II, keep the top-left 8x8 low-frequency block, drop
+    the DC term, and set bit (8*v+u) when the coefficient beats the
+    MEDIAN of the 63 AC coefficients.  An affine gray transform
+    v' = a*v + b scales every AC coefficient by a and moves only the
+    DC term, so the median comparison — and therefore the hash — is
+    exactly invariant (pinned in tests/test_multimodal.py).
+
+    Exact-arithmetic discipline so the oracle can replay it: the DCT
+    basis is an INTEGER cosine table C[k][i] = round_half_away(
+    cos(pi*(2i+1)*k / (2N)) * 10^6), all products and sums stay in
+    int64 (|coef| <= 765 * 256 * 10^12 < 2^63 for 16x16 frames), and
+    the median of an ODD count (63) is the exact middle element —
+    DuckDB's quantile_disc(0.5) — so no interpolation and no float
+    ever enters the comparison.  Emitted as two unsigned 32-bit halves
+    (hash_lo bits 0-31, hash_hi bits 32-63) + the AC popcount.  Frames
+    smaller than 8x8 skip.  Scale: pure Arrow mapInPandas, zero
+    shuffles; Hamming clustering rides dedup.hamming_clusters."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def cos_table(n: int) -> "np.ndarray":
+            k = np.arange(n).reshape(-1, 1).astype(np.float64)
+            i = np.arange(n).reshape(1, -1).astype(np.float64)
+            c = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * 1e6
+            return (np.sign(c) * np.floor(np.abs(c) + 0.5)).astype(np.int64)
+
+        tables: dict = {}
+        for pdf in batches:
+            rows = []
+            for i, w, h, buf in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf[payload_col]
+            ):
+                w, h = int(w), int(h)
+                if w < 8 or h < 8:
+                    continue
+                try:
+                    arr = (
+                        np.frombuffer(bytes(buf), dtype=np.uint8)
+                        .reshape(h, w, 3)
+                        .astype(np.int64)
+                    )
+                except ValueError:
+                    continue
+                gray = arr.sum(axis=2)  # r+g+b, unscaled (affine-safe)
+                if w not in tables:
+                    tables[w] = cos_table(w)
+                if h not in tables:
+                    tables[h] = cos_table(h)
+                # coef[v][u] = sum_y sum_x gray[y][x] * Ch[v][y] * Cw[u][x]
+                coef = tables[h][:8, :] @ gray @ tables[w][:8, :].T
+                ac = np.delete(coef.ravel(), 0)  # drop DC at (v=0,u=0)
+                med = int(np.sort(ac)[31])  # exact middle of 63
+                val = 0
+                pop = 0
+                for v in range(8):
+                    for u in range(8):
+                        if (u or v) and int(coef[v, u]) > med:
+                            val |= 1 << (8 * v + u)
+                            pop += 1
+                rows.append(
+                    (int(i), pop, int(val & 0xFFFFFFFF), int(val >> 32))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_ones", "hash_lo", "hash_hi"]
+            )
+
+    return df.mapInPandas(
+        hashes,
+        f"{id_col} long, n_ones int, hash_lo long, hash_hi long",
+    )
+
 
 def ahash_64(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"

@@ -1218,3 +1218,137 @@ def test_indexed_fetch_geometry_slip_flags_not_raises(spark):
     ).select("doc_id", "payload", "offset", "length")
     rows = multimodal.warc_gz_indexed_fetch(slipped).collect()
     assert len(rows) == 1 and rows[0].fetch_ok == 0 and rows[0].body is None
+
+
+def test_phash_affine_invariance_and_ahash_contrast_sensitivity(spark):
+    """d141 operator contract: pHash is EXACTLY invariant under an affine
+    gray transform (v' = 2v + 5 per channel, no clipping) because every
+    AC coefficient scales uniformly and the median compare is scale-free;
+    and a hard frame edit (top half zeroed) changes the hash."""
+    import numpy as np
+    import pandas as pd
+
+    def frames(transform):
+        rows = []
+        for i in range(4):
+            y, x, c = np.meshgrid(
+                np.arange(16), np.arange(16), np.arange(3), indexing="ij"
+            )
+            arr = ((7 * i + 3 * x + 5 * y + 11 * c) % 101).astype(np.int64)
+            arr = transform(arr).astype(np.uint8)
+            rows.append((i, 16, 16, arr.tobytes()))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"]),
+            "doc_id long, width int, height int, payload binary",
+        )
+
+    base = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in multimodal.phash_64(frames(lambda a: a)).collect()
+    }
+    affine = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in multimodal.phash_64(frames(lambda a: 2 * a + 5)).collect()
+    }
+    assert base == affine and len(base) == 4
+
+    def zero_top(a):
+        a = a.copy()
+        a[:8, :, :] = 0
+        return a
+
+    edited = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in multimodal.phash_64(frames(zero_top)).collect()
+    }
+    assert all(edited[i] != base[i] for i in base)
+
+
+def test_y4m_c420_parse_every_frame_and_poison_skip(spark):
+    """d143 parser coverage the fixture's C444 path doesn't reach: C420
+    chroma geometry (quarter-size planes), every_n=1 keeps all frames,
+    FRAME parameter bytes are consumed to the newline, and a truncated /
+    bad-magic stream skips without erroring."""
+    import numpy as np
+
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    out = multimodal.y4m_frame_sample(
+        multimodal.synth_y4m(docs, "doc_id", chroma="420"),
+        "payload",
+        "doc_id",
+        every_n=1,
+    ).collect()
+    rows = {(r.doc_id, r.frame_no): r for r in out}
+    # doc 0: 3 frames, doc 1: 4 frames — all sampled at every_n=1
+    assert sorted(rows) == [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2), (1, 3)]
+    r = rows[(1, 2)]
+    assert (r.width, r.height, r.n_frames) == (16, 16, 4)
+    # replay doc 1 frame 2 luma arithmetically
+    y, x = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    lum = (7 * 1 + 3 * x + 5 * y + 13 * 2) % 256
+    assert r.y_mean == round(float(lum.sum()) / 256, 6)
+    assert r.y_pos_sum == int(
+        (lum * (x + 1) * (y + 2)).sum()
+    )
+    # C420 chroma: 8x8 planes, offset +11 over the chroma grid
+    cy, cx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    u = (7 * 1 + 3 * cx + 5 * cy + 13 * 2 + 11) % 256
+    assert r.u_mean == round(float(u.sum()) / 64, 6)
+
+    # poison streams: bad magic / truncated final frame
+    import pandas as pd
+
+    good = bytes(
+        multimodal.synth_y4m(
+            spark.createDataFrame([(5,)], "doc_id long"), "doc_id"
+        ).collect()[0].payload
+    )
+    poison = spark.createDataFrame(
+        pd.DataFrame(
+            [(90, b"NOTY4M\n" + good[10:]), (91, good[: len(good) - 100]), (5, good)],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    )
+    sampled = multimodal.y4m_frame_sample(poison, "payload", "doc_id", 1).collect()
+    by_doc = {}
+    for r in sampled:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 90 not in by_doc  # bad magic skips whole stream
+    # doc 5 has 3 + 5 % 4 = 4 frames intact; doc 91 lost its last frame
+    assert len(by_doc[5]) == 4
+    assert len(by_doc[91]) == 3 and all(r.n_frames == 3 for r in by_doc[91])
+
+
+def test_resize_area_geometry_and_rounding(spark):
+    """d144 operator contract: a hand-built 4x4 frame resized to 2x2 —
+    each cell is the round-half-up mean of its 2x2 block; non-divisible
+    frames skip."""
+    import numpy as np
+    import pandas as pd
+
+    # channel 0 plane: known blocks; channels 1/2 constant
+    plane = np.array(
+        [[0, 1, 10, 10], [2, 2, 10, 11], [255, 255, 7, 0], [255, 253, 0, 0]],
+        dtype=np.int64,
+    )
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[:, :, 0] = plane
+    arr[:, :, 1] = 9
+    frames = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 4, 4, arr.tobytes()), (2, 5, 4, b"\\x00" * 60)],
+            columns=["doc_id", "width", "height", "payload"],
+        ),
+        "doc_id long, width int, height int, payload binary",
+    )
+    out = {
+        (r.doc_id, r.cell_x, r.cell_y, r.channel): (r.block_sum, r.pixel)
+        for r in multimodal.resize_area(frames, out_w=2, out_h=2).collect()
+    }
+    assert not any(k[0] == 2 for k in out)  # 5 % 2 != 0 → skipped
+    assert out[(1, 0, 0, 0)] == (5, 1)       # (5+2)//4 = 1
+    assert out[(1, 1, 0, 0)] == (41, 10)     # (41+2)//4 = 10
+    assert out[(1, 0, 1, 0)] == (1018, 255)  # saturated block
+    assert out[(1, 1, 1, 0)] == (7, 2)       # (7+2)//4 = 2 (half-up)
+    assert out[(1, 0, 0, 1)] == (36, 9)      # constant channel
