@@ -6695,3 +6695,56 @@ def d144(spark, sf_dir):
     return multimodal.resize_area(
         multimodal.synth_raw_rgb(d, "doc_id"), "payload", "doc_id"
     )
+
+
+@q(
+    "d142_audio_stft",
+    """WITH p AS (SELECT doc_id, 256 + doc_id % 64 AS n,
+                    3 + doc_id % 5 AS a, doc_id % 97 AS b
+            FROM documents),
+       tb AS (SELECT k.k AS k, t.t AS t,
+                CAST(CASE WHEN cos(2*pi()*k.k*t.t/64) >= 0
+                     THEN floor(cos(2*pi()*k.k*t.t/64)*1000000 + 0.5)
+                     ELSE -floor(-(cos(2*pi()*k.k*t.t/64))*1000000 + 0.5)
+                     END AS BIGINT) AS c,
+                CAST(CASE WHEN sin(2*pi()*k.k*t.t/64) >= 0
+                     THEN floor(sin(2*pi()*k.k*t.t/64)*1000000 + 0.5)
+                     ELSE -floor(-(sin(2*pi()*k.k*t.t/64))*1000000 + 0.5)
+                     END AS BIGINT) AS s
+              FROM range(0, 9) k(k), range(0, 64) t(t)),
+       fr AS (SELECT doc_id, a, b, f.f AS frame_no
+              FROM p, range(0, 5) f(f) WHERE f.f < n // 64),
+       sm AS (SELECT doc_id, a, b, frame_no, t.t AS t,
+                (a * (frame_no * 64 + t.t) + b) % 2048 - 1024 AS sv
+              FROM fr, range(0, 64) t(t)),
+       dft AS (SELECT doc_id, frame_no, tb.k AS bin,
+                 CAST(sum(sv * tb.c) AS BIGINT) AS re_scaled,
+                 CAST(-sum(sv * tb.s) AS BIGINT) AS im_scaled
+               FROM sm JOIN tb ON tb.t = sm.t GROUP BY 1, 2, 3),
+       pk AS (SELECT doc_id, frame_no, bin, re_scaled, im_scaled,
+                CASE WHEN bin >= 1 THEN row_number() OVER (
+                       PARTITION BY doc_id, frame_no, (bin >= 1)
+                       ORDER BY re_scaled::HUGEINT * re_scaled
+                                + im_scaled::HUGEINT * im_scaled DESC,
+                                bin ASC)
+                     ELSE 0 END AS rnk
+              FROM dft)
+       SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+              CAST(bin AS INT) AS bin, re_scaled, im_scaled,
+              CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS INT) AS is_peak
+       FROM pk""",
+)
+def d142(spark, sf_dir):
+    """Multimodal tier (r11): AUDIO STFT frame features
+    (``multimodal.stft_frame_features``) — spectrogram frames with no
+    DSP library: RIFF parse, 64-sample non-overlapping frames, DFT at
+    bins 0–8 over an INTEGER Fourier basis (the d141 pattern), so
+    re/im are exact int64 and the oracle replays the transform;
+    ``is_peak`` marks each frame's dominant non-DC bin by exact
+    128-bit power compare (HUGEINT in SQL, arbitrary-precision ints in
+    the engine).  Completes the audio ladder: decode (d109/d119
+    resample) → features (this).  Zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.stft_frame_features(
+        multimodal.synth_pcm_wav(d, "doc_id"), "payload", "doc_id"
+    )

@@ -4202,6 +4202,107 @@ def resize_area(
         " block_sum long, pixel long",
     )
 
+def stft_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_len: int = 64,
+    hop: int = 64,
+    n_bins: int = 9,
+) -> DataFrame:
+    """Short-time Fourier features over PCM WAV — the audio
+    feature-extraction step (spectrogram frames) with NO audio/DSP
+    library: parse the RIFF container, frame the int16 samples
+    (``frame_len`` window, ``hop`` stride, tail dropped), and compute
+    per frame the DFT at bins 0..n_bins-1 — rectangular window, so
+    every quantity stays in the exact-integer domain.
+
+    Hash-certification trick (the d141 integer-basis pattern): the
+    Fourier basis is an INTEGER table Ck[t] = round_half_away(
+    cos(2*pi*k*t/frame_len) * 10^6) (resp. sin), so re/im are exact
+    int64 (|re| <= 1024 * 64 * 10^6 < 2^63) and an oracle replays
+    them.  ``is_peak`` marks each frame's dominant NON-DC bin by exact
+    integer power compare (re^2 + im^2 in arbitrary-precision Python /
+    HUGEINT SQL; ties break to the lowest bin).  Non-PCM / broken
+    containers skip.  Returns (id, frame_no, bin, re_scaled,
+    im_scaled, is_peak).  Scale: pure Arrow mapInPandas, zero
+    shuffles; frames x bins rows per file, independent of corpus
+    size."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        k = np.arange(n_bins).reshape(-1, 1).astype(np.float64)
+        t = np.arange(frame_len).reshape(1, -1).astype(np.float64)
+        ang = 2 * np.pi * k * t / frame_len
+        cos_t = np.cos(ang) * 1e6
+        sin_t = np.sin(ang) * 1e6
+        cos_i = (np.sign(cos_t) * np.floor(np.abs(cos_t) + 0.5)).astype(np.int64)
+        sin_i = (np.sign(sin_t) * np.floor(np.abs(sin_t) + 0.5)).astype(np.int64)
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, ch, bits, codec, data = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt " and clen >= 16:
+                    codec, ch, _, _, _, bits = struct.unpack(
+                        "<HHIIHH", b[pos + 8 : pos + 24]
+                    )
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + clen]
+                    if len(data) != clen:
+                        return None
+                pos += 8 + clen + (clen & 1)
+            if codec != 1 or ch != 1 or bits != 16 or data is None:
+                return None
+            return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                s = parse(bytes(buf))
+                if s is None or s.size < frame_len:
+                    continue
+                n_frames = (s.size - frame_len) // hop + 1
+                for f in range(n_frames):
+                    seg = s[f * hop : f * hop + frame_len]
+                    re = cos_i @ seg
+                    im = -(sin_i @ seg)
+                    # dominant non-DC bin via exact arbitrary-precision power
+                    powers = [
+                        int(re[b]) ** 2 + int(im[b]) ** 2
+                        for b in range(1, n_bins)
+                    ]
+                    peak = 1 + max(
+                        range(n_bins - 1), key=lambda j: (powers[j], -j)
+                    )
+                    for b in range(n_bins):
+                        rows.append(
+                            (
+                                int(i),
+                                f,
+                                b,
+                                int(re[b]),
+                                int(im[b]),
+                                1 if b == peak else 0,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_no", "bin", "re_scaled", "im_scaled", "is_peak"],
+            )
+
+    return df.mapInPandas(
+        feats,
+        f"{id_col} long, frame_no int, bin int, re_scaled long,"
+        " im_scaled long, is_peak int",
+    )
+
 
 def phash_64(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"

@@ -1352,3 +1352,38 @@ def test_resize_area_geometry_and_rounding(spark):
     assert out[(1, 0, 1, 0)] == (1018, 255)  # saturated block
     assert out[(1, 1, 1, 0)] == (7, 2)       # (7+2)//4 = 2 (half-up)
     assert out[(1, 0, 0, 1)] == (36, 9)      # constant channel
+
+
+def test_stft_pure_tone_peaks_at_its_bin(spark):
+    """d142 operator contract on a signal with a KNOWN spectrum: a pure
+    tone at exactly bin 3 of a 64-sample frame (3 cycles per frame) puts
+    its energy in bin 3 — is_peak lands there in every frame; DC of a
+    zero-mean tone is (near) zero; a hop < frame_len yields overlapping
+    frames."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    n, amp = 192, 1000
+    t = np.arange(n)
+    samples = np.round(amp * np.sin(2 * np.pi * 3 * t / 64)).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVEfmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    files = spark.createDataFrame(
+        pd.DataFrame([(1, wav), (2, b"RIFFbroken")], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    rows = multimodal.stft_frame_features(files).collect()
+    assert not any(r.doc_id == 2 for r in rows)  # broken container skips
+    frames = sorted({r.frame_no for r in rows})
+    assert frames == [0, 1, 2]  # 192 samples / 64 hop
+    peaks = {(r.frame_no): r.bin for r in rows if r.is_peak}
+    assert peaks == {0: 3, 1: 3, 2: 3}
+    # overlapping frames with hop=32: (192-64)//32 + 1 = 5 frames
+    overl = multimodal.stft_frame_features(files, hop=32).collect()
+    assert sorted({r.frame_no for r in overl}) == [0, 1, 2, 3, 4]
+    assert all(r.bin == 3 for r in overl if r.is_peak)
