@@ -6748,3 +6748,48 @@ def d142(spark, sf_dir):
     return multimodal.stft_frame_features(
         multimodal.synth_pcm_wav(d, "doc_id"), "payload", "doc_id"
     )
+
+
+@q(
+    "d145_kcore",
+    """WITH m AS (SELECT DISTINCT doc_id % 60 AS m FROM documents
+                  WHERE doc_id % 60 < 8)
+       SELECT m AS id, CAST(7 AS INT) AS core_degree FROM m""",
+)
+def d145(spark, sf_dir):
+    """Graph tier (r11): k-CORE decomposition (``graph.kcore``, k=4) —
+    the degeneracy peel that completes the graph family (CC, BFS,
+    Bellman–Ford, PageRank, triangles): delete sub-k vertices,
+    recompute, CASCADE to a fixed point.  The fixture graph (built
+    from doc_id residues, all 60 present at every SF) is engineered so
+    the cascade is the thing certified: an 8-clique (the true 4-core,
+    degree 7 inside), a 51-node chain that all peels in round one, a
+    bridge that temporarily inflates a clique member to degree 8, and
+    a TRAP vertex with initial degree 4 whose neighbors are chain
+    nodes — a one-round degree filter keeps the trap and reports the
+    bridged member at degree 8; only a true fixed-point peel matches
+    the oracle's analytic answer.  Distributed path pinned at
+    ``local_threshold=0`` in tests; edge set shrinks monotonically
+    round over round (see graph.kcore for the 100-TB posture)."""
+    from .. import graph
+
+    d = tables(spark, sf_dir)("documents")
+    m = d.select((F.col("doc_id") % 60).alias("m")).distinct()
+    mx, my = m.alias("x"), m.alias("y")
+    clique = (
+        mx.join(my, F.col("x.m") < F.col("y.m"))
+        .filter((F.col("x.m") < 8) & (F.col("y.m") < 8))
+        .select(F.col("x.m").alias("id_a"), F.col("y.m").alias("id_b"))
+    )
+    chain = (
+        m.filter((F.col("m") >= 8) & (F.col("m") <= 58))
+        .select(F.col("m").alias("id_a"), (F.col("m") + 1).alias("id_b"))
+    )
+    bridge = m.filter(F.col("m") == 0).select(
+        F.col("m").alias("id_a"), F.lit(8).cast("long").alias("id_b")
+    )
+    trap = m.filter((F.col("m") >= 8) & (F.col("m") <= 11)).select(
+        F.lit(100).cast("long").alias("id_a"), F.col("m").alias("id_b")
+    )
+    edges = clique.union(chain).union(bridge).union(trap)
+    return graph.kcore(edges, k=4)

@@ -575,3 +575,106 @@ def bfs_hops(
                 "eccentricity exceeds max_iter; raise it for this graph"
             )
     return state.select("id", F.col("hops").cast("int").alias("hops"))
+
+
+def kcore(
+    edges: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    k: int = 3,
+    max_iter: int = 50,
+    local_threshold: int = 100_000,
+) -> DataFrame:
+    """k-core decomposition (membership tier): the maximal subgraph in
+    which every vertex keeps degree >= k, computed by the standard
+    iterative peeling — delete all vertices below degree k, recompute,
+    repeat to a fixed point.  The degree test must CASCADE: a vertex
+    whose initial degree clears k can still die when its neighbors
+    peel (pinned in tests — a one-round degree filter is wrong).
+
+    Input is an undirected edge list; duplicate edges, reversed
+    duplicates, self-loops, and NULL endpoints are dropped on BOTH
+    execution paths (one contract — the shortest_paths/bfs advice
+    lesson).  Returns (id, core_degree int): the members of the k-core
+    with their degree INSIDE the core (>= k by construction); an empty
+    result means the graph has no k-core.
+
+    Scale shape: each round is one partial+final degree aggregate plus
+    two left-anti joins against the (bounded, usually tiny) victim
+    set; the EDGE SET ITSELF SHRINKS monotonically — the d137
+    large/small-star property — so late rounds touch a fraction of the
+    input; localCheckpoint per round keeps lineage O(1) and the
+    victim-set emptiness probe is the only driver round-trip.  Rounds
+    are bounded by the peeling depth (degeneracy ordering length), in
+    practice a handful; after ``max_iter`` rounds with a live victim
+    set it raises instead of returning a silently-non-maximal core.
+
+    ADAPTIVE: sub-``local_threshold`` edge tables peel driver-side
+    (identical cascade, identical raise contract);
+    ``local_threshold=0`` pins the distributed path."""
+    clean = edges.select(F.col(a), F.col(b)).filter(
+        F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(a) != F.col(b))
+    )
+    id_type = dict(edges.dtypes)[a]
+
+    if local_threshold > 0:
+        probe = clean.limit(local_threshold + 1).count()
+        if probe <= local_threshold:
+            adj: dict = {}
+            for r in clean.collect():
+                u, v = r[0], r[1]
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            for _ in range(max_iter):
+                victims = [u for u, nb in adj.items() if len(nb) < k]
+                if not victims:
+                    break
+                for u in victims:
+                    for v in adj.pop(u):
+                        if v in adj:
+                            adj[v].discard(u)
+            else:
+                if any(len(nb) < k for nb in adj.values()):
+                    raise RuntimeError(
+                        f"kcore did not converge in {max_iter} rounds — "
+                        "peeling depth exceeds max_iter; raise it for "
+                        "this graph"
+                    )
+            return edges.sparkSession.createDataFrame(
+                [(u, len(nb)) for u, nb in adj.items()],
+                f"id {id_type}, core_degree int",
+            )
+
+    from ._scratch import scratch_persist
+
+    e = scratch_persist(
+        clean.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .union(clean.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        .distinct(),
+        "kcore/edges",
+    )
+    for _ in range(max_iter):
+        deg = e.groupBy("s").agg(F.count("*").alias("__deg"))
+        victims = deg.filter(F.col("__deg") < k).select("s")
+        if victims.isEmpty():
+            break
+        # the victim set is bounded by this round's casualties — AQE
+        # broadcasts it; both anti-joins prune the SAME shrinking edge set
+        e = (
+            e.join(victims, "s", "left_anti")
+            .join(victims.withColumnRenamed("s", "d"), "d", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not e.groupBy("s").agg(F.count("*").alias("__deg")).filter(
+            F.col("__deg") < k
+        ).isEmpty():
+            raise RuntimeError(
+                f"kcore did not converge in {max_iter} rounds — peeling "
+                "depth exceeds max_iter; raise it for this graph"
+            )
+    return (
+        e.groupBy("s")
+        .agg(F.count("*").cast("int").alias("core_degree"))
+        .select(F.col("s").alias("id"), "core_degree")
+    )

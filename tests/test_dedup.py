@@ -451,3 +451,52 @@ def test_connected_components_star_long_chain_and_raise(spark):
         )
     with pytest.raises(ValueError, match="unknown"):
         dedup.connected_components(pairs, local_threshold=0, method="nope")
+
+
+def _kcore_fixture_edges(spark):
+    """5-clique + pendant chain + a trap vertex whose initial degree
+    clears k but whose neighbors peel — the cascade detector."""
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    trap = [(100, 10), (100, 11), (100, 12)]  # deg 3 >= k, all die
+    bridge = [(0, 10)]
+    dup_and_noise = [(1, 0), (2, 2), (None, 3)]  # reversed dup, loop, null
+    return spark.createDataFrame(
+        clique + chain + trap + bridge + dup_and_noise,
+        "id_a long, id_b long",
+    )
+
+
+def test_kcore_cascade_local_and_distributed_agree(spark):
+    from pandas_db_sdk_spark import graph
+
+    edges = _kcore_fixture_edges(spark)
+    expect = {i: 4 for i in range(5)}  # the 5-clique, degree 4 inside
+    for thr in (100_000, 0):  # local gate, then pinned distributed
+        got = {
+            r.id: r.core_degree
+            for r in graph.kcore(edges, k=3, local_threshold=thr).collect()
+        }
+        assert got == expect, (thr, got)
+
+
+def test_kcore_raise_contract_matches_across_paths(spark):
+    """max_iter=1 leaves the trap vertex alive after one round on this
+    graph — BOTH paths raise the same contract instead of returning a
+    non-maximal core."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import graph
+
+    edges = _kcore_fixture_edges(spark)
+    for thr in (100_000, 0):
+        with _pytest.raises(RuntimeError, match="did not converge in 1 rounds"):
+            graph.kcore(edges, k=3, max_iter=1, local_threshold=thr)
+
+
+def test_kcore_empty_core_is_empty_frame(spark):
+    from pandas_db_sdk_spark import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    assert graph.kcore(edges, k=3).count() == 0
+    assert graph.kcore(edges, k=3, local_threshold=0).count() == 0
