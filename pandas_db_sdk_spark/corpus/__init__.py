@@ -502,7 +502,10 @@ _R11_NEW = frozenset(
     """d134_duplicate_spans d134b_duplicate_span_guarantees
     d135_warc_cdx_index_fetch d136_politeness_schedule
     d137_connected_components_star
-    d130c_unigram_lm_encode d130d_unigram_encode_guarantees""".split()
+    d130c_unigram_lm_encode d130d_unigram_encode_guarantees
+    d138_c4_line_filter d139_line_dedup_corpus d140_temperature_mix
+    d141_image_phash d142_audio_stft d143_y4m_frame_sample
+    d144_image_resize_area d145_kcore d146_encoding_quality""".split()
 )
 
 

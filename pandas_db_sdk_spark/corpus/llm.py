@@ -6793,3 +6793,59 @@ def d145(spark, sf_dir):
     )
     edges = clique.union(chain).union(bridge).union(trap)
     return graph.kcore(edges, k=4)
+
+
+# d146: the fixture plants each damage family deterministically; the SQL
+# literal below is BUILT FROM text.MOJIBAKE_PATTERN so engine and oracle
+# count the same alternation (chr() calls keep the C1/FFFD bytes out of
+# the source text).
+_D146_SQL = """WITH s AS (SELECT doc_id, text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN repeat(' Caf\u00c3\u00a9', CAST(doc_id % 3 + 1 AS INT))
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' don\u00e2\u20ac\u2122t'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ' || chr(65533) ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' ' || chr(133) || 'ok'
+                 ELSE '' END AS text
+       FROM documents)
+       SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+              CAST(len(regexp_extract_all(text, chr(65533))) AS INT)
+                AS n_replacement,
+              CAST(len(regexp_extract_all(text, '{moji}')) AS INT)
+                AS n_mojibake,
+              CAST(len(regexp_extract_all(text, '[\\x{{80}}-\\x{{9f}}]'))
+                   AS INT) AS n_c1_controls,
+              (len(regexp_extract_all(text, chr(65533)))
+               + len(regexp_extract_all(text, '{moji}'))
+               + len(regexp_extract_all(text, '[\\x{{80}}-\\x{{9f}}]')))
+                > 0 AS is_suspect
+       FROM s""".format(moji=text.MOJIBAKE_PATTERN)
+
+
+@q("d146_encoding_quality", _D146_SQL)
+def d146(spark, sf_dir):
+    """Quality tier (r11): encoding-damage audit
+    (``text.encoding_quality``, the ftfy-style tell counter) — U+FFFD
+    replacement chars, classic UTF-8-as-cp1252 mojibake digraphs
+    (pattern shared VERBATIM with this oracle via
+    ``text.MOJIBAKE_PATTERN``), and C1 control characters; is_suspect
+    flags any hit.  The fixture plants each family deterministically
+    (repeat counts keyed on doc_id so counts exceed 1), the oracle
+    replants and recounts with RE2's \\x{{..}} class for the C1 range.
+    Pure regexp_count codegen, zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    idc = F.col("doc_id")
+    extra = F.concat(
+        F.when(
+            idc % 7 == 0,
+            F.repeat(F.lit(" Caf\u00c3\u00a9"), (idc % 3 + 1).cast("int")),
+        ).otherwise(F.lit("")),
+        F.when(idc % 11 == 0, F.lit(" don\u00e2\u20ac\u2122t")).otherwise(
+            F.lit("")
+        ),
+        F.when(idc % 13 == 0, F.lit(" \ufffd")).otherwise(F.lit("")),
+        F.when(idc % 17 == 0, F.lit(" \u0085ok")).otherwise(F.lit("")),
+    )
+    synth = d.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
+    return text.encoding_quality(synth, "doc_id", "text")

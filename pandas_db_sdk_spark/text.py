@@ -2629,3 +2629,45 @@ def temperature_mix_weights(
             F.round(qn / p, 6).alias("weight"),
         )
     )
+
+
+# Classic UTF-8-read-as-Latin-1/cp1252 digraph tells (the public ftfy
+# catalogue), shared verbatim with the d146 oracle so both sides count
+# the SAME alternation:
+MOJIBAKE_PATTERN = (
+    "\u00c3\u00a9|\u00c3\u00a8|\u00c3\u00a1|\u00c3\u00b3|"
+    "\u00c3\u00b1|\u00c3\u00bc|\u00e2\u20ac\u2122|"
+    "\u00e2\u20ac\u0153|\u00c2\u00b7|\u00c2\u00a0"
+)
+
+
+def encoding_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-damage audit (the ftfy-style tell counter) — the
+    data-cleaning pass that catches text decoded through the wrong
+    charset before it poisons tokenizers and dedup keys.  Three public,
+    well-known signal families:
+
+    * ``n_replacement`` — U+FFFD replacement characters (a decoder
+      already gave up),
+    * ``n_mojibake`` — classic UTF-8-read-as-Latin-1/cp1252 digraphs
+      (\u00c3\u00a9 "\u00c3©"-family, \u00e2\u20ac\u2122-family smart
+      quotes, \u00c2-prefixed punctuation),
+    * ``n_c1_controls`` — C1 control characters U+0080–U+009F (never
+      legitimate in clean text; the footprint of double-decoding).
+
+    ``is_suspect`` flags any document with a nonzero signal.  Counts are
+    non-overlapping regex matches — pure codegen (regexp_count), zero
+    shuffles, rides the scan of whatever pipeline stage precedes it."""
+    n_repl = F.regexp_count(F.col(text_col), F.lit("\ufffd"))
+    n_moji = F.regexp_count(F.col(text_col), F.lit(MOJIBAKE_PATTERN))
+    n_c1 = F.regexp_count(F.col(text_col), F.lit("[\u0080-\u009f]"))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        n_repl.cast("int").alias("n_replacement"),
+        n_moji.cast("int").alias("n_mojibake"),
+        n_c1.cast("int").alias("n_c1_controls"),
+        ((n_repl + n_moji + n_c1) > 0).alias("is_suspect"),
+    )

@@ -982,3 +982,38 @@ def test_round10_shuffle_budgets(spark, queries):
     # over DISTINCT signatures, member rejoin; never a cartesian
     plan = plan_of(queries["d117_image_near_dup_clusters"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_c4_line_filter_is_shuffle_free_scan_pipeline(spark, queries):
+    """d138: the whole C4 rule ladder must fuse into the scan stage —
+    zero exchanges, no window, no join (a page verdict is row-local)."""
+    plan = plan_of(queries["d138_c4_line_filter"](spark, SF))
+    assert _unique_exchanges(plan) == 0, plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_line_dedup_corpus_uses_partial_agg_not_window(spark, queries):
+    """d139: keep-first must be the PARTIAL-aggregable min(struct) shape —
+    a Window/row_number over the line key would funnel every replica of
+    a skewed line into one partition.  Budget: line-key agg + semi-join
+    re-key + doc reassembly (+1 slack for AQE variance)."""
+    plan = plan_of(queries["d139_line_dedup_corpus"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    shuffles = _unique_exchanges(
+        "\n".join(l for l in plan.splitlines() if "BroadcastExchange" not in l)
+    )
+    assert shuffles <= 3, plan  # line-key agg, doc reassembly, doc totals
+
+
+def test_media_feature_ops_are_zero_exchange_maps(spark, queries):
+    """d141/d142/d143/d144: pHash, STFT, Y4M frame-sampling and box
+    resize are pure Arrow mapInPandas pipelines — zero exchanges."""
+    for name in (
+        "d141_image_phash",
+        "d142_audio_stft",
+        "d143_y4m_frame_sample",
+        "d144_image_resize_area",
+    ):
+        plan = plan_of(queries[name](spark, SF))
+        assert _unique_exchanges(plan) == 0, (name, plan)

@@ -959,3 +959,24 @@ def test_temperature_mix_weights_family(spark):
     w3 = {r.lang: r for r in text.temperature_mix_weights(docs, "lang", 0.3).collect()}
     assert w3["yo"].weight > 1.0 > w3["en"].weight  # minority upsampled
     assert abs(w3["en"].sampled_frac + w3["yo"].sampled_frac - 1.0) < 1e-6
+
+
+def test_encoding_quality_signal_families(spark):
+    """d146 operator contract: each damage family counts independently,
+    clean text is not suspect, and counts are per-occurrence."""
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean ascii text"),
+            (2, "double tell Caf\u00c3\u00a9 and Caf\u00c3\u00a9 again"),
+            (3, "don\u00e2\u20ac\u2122t \u00e2\u20ac\u0153quoted"),
+            (4, "lost byte \ufffd here and \ufffd there"),
+            (5, "stray C1 \u0085control \u009dtwice"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.encoding_quality(docs).collect()}
+    assert not out[1].is_suspect and out[1].n_mojibake == 0
+    assert out[2].n_mojibake == 2 and out[2].is_suspect
+    assert out[3].n_mojibake == 2  # smart quote + open quote digraphs
+    assert out[4].n_replacement == 2 and out[4].n_c1_controls == 0
+    assert out[5].n_c1_controls == 2 and out[5].n_mojibake == 0
