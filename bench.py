@@ -103,6 +103,13 @@ def main() -> None:
         ("q36_image_clusters", "d117_image_near_dup_clusters"),
         ("q37_jpeg_restart", "d118_jpeg_restart_decode"),
         ("q38_sinc_resample", "d119_audio_resample_sinc"),
+        # round-11 additions: suffix-array duplicate spans (shingle-hash
+        # groupBy → span merge), corpus-wide line dedup (partial-agg
+        # keep-first), DCT pHash and framed STFT (integer-basis Arrow maps)
+        ("q39_duplicate_spans", "d134_duplicate_spans"),
+        ("q40_line_dedup", "d139_line_dedup_corpus"),
+        ("q41_image_phash", "d141_image_phash"),
+        ("q42_audio_stft", "d142_audio_stft"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay
