@@ -6849,3 +6849,69 @@ def d146(spark, sf_dir):
     )
     synth = d.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
     return text.encoding_quality(synth, "doc_id", "text")
+
+
+@q(
+    "d147_url_blocklist",
+    """WITH m AS (SELECT DISTINCT doc_id % 40 AS m FROM documents),
+       u AS (SELECT m, 'w' || m || '.' ||
+               CASE m % 5 WHEN 0 THEN 'ads.example.com'
+                          WHEN 1 THEN 'cdn.example.com'
+                          WHEN 2 THEN 'example.org'
+                          WHEN 3 THEN 'malware.bad'
+                          ELSE 'ok.net' END AS host
+             FROM m),
+       uu AS (SELECT m, host, 'https://' || host || '/p/' || m AS url FROM u),
+       bl(pattern, category) AS (VALUES
+         ('ads.example.com', 'ads'), ('example.com', 'tracking'),
+         ('bad', 'malware')),
+       sfx AS (SELECT url, host,
+                 array_to_string(
+                   string_split(host, '.')[i : len(string_split(host, '.'))],
+                   '.') AS suffix
+               FROM uu, LATERAL (
+                 SELECT unnest(
+                   range(1, len(string_split(host, '.')) + 1)) AS i)),
+       hit AS (SELECT url, pattern, category,
+                 row_number() OVER (PARTITION BY url
+                                    ORDER BY length(pattern) DESC) AS rn
+               FROM sfx JOIN bl ON sfx.suffix = bl.pattern)
+       SELECT uu.url, uu.host, h.pattern AS matched_pattern, h.category,
+              h.pattern IS NOT NULL AS blocked
+       FROM uu LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h USING (url)""",
+)
+def d147(spark, sf_dir):
+    """Web-crawl tier (r11): domain-BLOCKLIST filtering
+    (``text.url_blocklist_filter``) — category blocklists matched by
+    host SUFFIX with most-specific-wins (``w3.ads.example.com`` hits
+    both ``ads.example.com`` and ``example.com``; the longer pattern's
+    category wins — the fixture plants exactly that overlap, plus a
+    TLD-level rule and unlisted hosts).  Winner per URL is a
+    partial-aggregable max(struct) — never a window over the shared
+    suffix key, where ``com`` would funnel the whole frontier into one
+    partition.  Oracle replays host synthesis, suffix chain, and the
+    specificity rule."""
+    d = tables(spark, sf_dir)("documents")
+    m = d.select((F.col("doc_id") % 40).alias("m")).distinct()
+    pool = (
+        F.when(F.col("m") % 5 == 0, F.lit("ads.example.com"))
+        .when(F.col("m") % 5 == 1, F.lit("cdn.example.com"))
+        .when(F.col("m") % 5 == 2, F.lit("example.org"))
+        .when(F.col("m") % 5 == 3, F.lit("malware.bad"))
+        .otherwise(F.lit("ok.net"))
+    )
+    host = F.concat(F.lit("w"), F.col("m").cast("string"), F.lit("."), pool)
+    frontier = m.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("m").cast("string")
+        ).alias("url")
+    )
+    bl = spark.createDataFrame(
+        [
+            ("ads.example.com", "ads"),
+            ("example.com", "tracking"),
+            ("bad", "malware"),
+        ],
+        "pattern string, category string",
+    )
+    return text.url_blocklist_filter(frontier, bl)

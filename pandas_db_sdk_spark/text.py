@@ -2671,3 +2671,75 @@ def encoding_quality(
         n_c1.cast("int").alias("n_c1_controls"),
         ((n_repl + n_moji + n_c1) > 0).alias("is_suspect"),
     )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    pattern_col: str = "pattern",
+    category_col: str = "category",
+) -> DataFrame:
+    """Domain-blocklist URL filtering — the crawl-exclusion pass every
+    public web-corpus pipeline runs (category blocklists of adult /
+    malware / ad hosts, matched by HOST SUFFIX so ``ads.example.com``
+    blocks ``w3.ads.example.com``): extract the host (userinfo and port
+    stripped), explode its dot-suffix chain (bounded by the label
+    count, ~6), equi-join the blocklist on suffix equality, and keep
+    the MOST SPECIFIC (longest) matching pattern per URL.
+
+    Returns every input URL with (host, matched_pattern, category,
+    blocked) — an audit view; the kept frontier is
+    ``filter(~blocked)``.
+
+    Scale: the blocklist is rules-sized (AQE broadcasts it), the
+    suffix explode multiplies the frontier by its label count only,
+    and the winner per URL is a partial-aggregable max(struct) — one
+    frontier-keyed exchange, no window over the (skewed) suffix key."""
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(
+            u, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1
+        )
+    )
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    base = df.select(u.alias("url"), host.alias("host"))
+    exploded = base.select(
+        "url", F.explode(suffixes).alias("__suffix")
+    )
+    bl = blocklist.select(
+        F.col(pattern_col).alias("__pat"), F.col(category_col).alias("__cat")
+    )
+    hits = (
+        exploded.join(bl, exploded["__suffix"] == bl["__pat"])
+        .groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("__pat").alias("l"),
+                    F.col("__pat").alias("p"),
+                    F.col("__cat").alias("c"),
+                )
+            ).alias("__w")
+        )
+        .select(
+            F.col("url").alias("__hurl"),
+            F.col("__w.p").alias("matched_pattern"),
+            F.col("__w.c").alias("category"),
+        )
+    )
+    return (
+        base.join(hits, base["url"] == hits["__hurl"], "left")
+        .select(
+            "url",
+            "host",
+            "matched_pattern",
+            "category",
+            F.col("matched_pattern").isNotNull().alias("blocked"),
+        )
+    )

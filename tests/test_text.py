@@ -980,3 +980,31 @@ def test_encoding_quality_signal_families(spark):
     assert out[3].n_mojibake == 2  # smart quote + open quote digraphs
     assert out[4].n_replacement == 2 and out[4].n_c1_controls == 0
     assert out[5].n_c1_controls == 2 and out[5].n_mojibake == 0
+
+
+def test_url_blocklist_specificity_and_audit_rows(spark):
+    """d147 operator contract: most-specific suffix wins, TLD rules
+    match, unlisted hosts pass, userinfo/port strip before matching,
+    and every input URL appears in the audit output."""
+    urls = spark.createDataFrame(
+        [
+            ("https://w1.ads.example.com/x",),
+            ("https://user:pw@cdn.example.com:8443/y",),
+            ("https://clean.ok.net/z",),
+            ("https://phish.bad/q",),
+        ],
+        "url string",
+    )
+    bl = spark.createDataFrame(
+        [("ads.example.com", "ads"), ("example.com", "tracking"), ("bad", "malware")],
+        "pattern string, category string",
+    )
+    out = {r.url: r for r in text.url_blocklist_filter(urls, bl).collect()}
+    assert len(out) == 4
+    r = out["https://w1.ads.example.com/x"]
+    assert (r.matched_pattern, r.category, r.blocked) == ("ads.example.com", "ads", True)
+    r = out["https://user:pw@cdn.example.com:8443/y"]
+    assert r.host == "cdn.example.com"
+    assert (r.matched_pattern, r.category) == ("example.com", "tracking")
+    assert out["https://clean.ok.net/z"].blocked is False
+    assert out["https://phish.bad/q"].category == "malware"
