@@ -6915,3 +6915,66 @@ def d147(spark, sf_dir):
         "pattern string, category string",
     )
     return text.url_blocklist_filter(frontier, bl)
+
+
+@q(
+    "d148_lpa_communities",
+    """WITH m AS (SELECT DISTINCT doc_id % 30 AS m FROM documents),
+       raw(s, d) AS (
+         SELECT x.m, y.m FROM m x, m y
+         WHERE x.m < y.m AND x.m < 5 AND y.m < 5
+         UNION ALL
+         SELECT x.m, y.m FROM m x, m y
+         WHERE x.m < y.m AND x.m BETWEEN 10 AND 14 AND y.m BETWEEN 10 AND 14
+         UNION ALL
+         SELECT 4, 10
+         UNION ALL
+         SELECT x.m, x.m + 1 FROM m x WHERE x.m BETWEEN 20 AND 28),
+       e AS (SELECT s, d FROM raw UNION SELECT d, s FROM raw),
+       l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM e),
+       n1 AS (SELECT e.s, l.lbl, count(*) AS c
+              FROM e JOIN l0 l ON l.id = e.d GROUP BY 1, 2),
+       l1 AS (SELECT s AS id, lbl FROM (
+                SELECT s, lbl, row_number() OVER (
+                  PARTITION BY s ORDER BY c DESC, lbl ASC) AS rn
+                FROM n1) WHERE rn = 1),
+       n2 AS (SELECT e.s, l.lbl, count(*) AS c
+              FROM e JOIN l1 l ON l.id = e.d GROUP BY 1, 2),
+       l2 AS (SELECT s AS id, lbl FROM (
+                SELECT s, lbl, row_number() OVER (
+                  PARTITION BY s ORDER BY c DESC, lbl ASC) AS rn
+                FROM n2) WHERE rn = 1)
+       SELECT id, CAST(lbl AS BIGINT) AS community FROM l2""",
+)
+def d148(spark, sf_dir):
+    """Graph tier (r11): community detection by synchronous label
+    propagation (``graph.label_propagation_communities``, 2 rounds) —
+    deterministic LPA (most-frequent neighbor label, ties to the
+    smallest) certified by a ROUND-UNROLLED SQL replay (the d98c
+    precedent): the oracle recomputes each round's (node, label)
+    frequency table and argmax exactly, so the synchronous-update
+    semantics are the certified thing, not just the final partition.
+    Fixture: two 5-cliques joined by one bridge edge plus a 10-node
+    chain — cliques collapse onto their minimum label while the chain
+    stays locally striped at round 2 (labels still traveling)."""
+    from .. import graph
+
+    d = tables(spark, sf_dir)("documents")
+    m = d.select((F.col("doc_id") % 30).alias("m")).distinct()
+    mx, my = m.alias("x"), m.alias("y")
+    pairs = mx.join(my, F.col("x.m") < F.col("y.m"))
+    cliq_a = pairs.filter((F.col("x.m") < 5) & (F.col("y.m") < 5))
+    cliq_b = pairs.filter(
+        F.col("x.m").between(10, 14) & F.col("y.m").between(10, 14)
+    )
+    sel = lambda df_: df_.select(  # noqa: E731
+        F.col("x.m").alias("id_a"), F.col("y.m").alias("id_b")
+    )
+    bridge = m.filter(F.col("m") == 4).select(
+        F.col("m").alias("id_a"), F.lit(10).cast("long").alias("id_b")
+    )
+    chain = m.filter(F.col("m").between(20, 28)).select(
+        F.col("m").alias("id_a"), (F.col("m") + 1).alias("id_b")
+    )
+    edges = sel(cliq_a).union(sel(cliq_b)).union(bridge).union(chain)
+    return graph.label_propagation_communities(edges, rounds=2)

@@ -678,3 +678,61 @@ def kcore(
         .agg(F.count("*").cast("int").alias("core_degree"))
         .select(F.col("s").alias("id"), "core_degree")
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", rounds: int = 2
+) -> DataFrame:
+    """Community detection by synchronous label propagation (the
+    Raghavan-et-al LPA family): every node starts as its own label and
+    each round adopts the MOST FREQUENT label among its neighbors
+    (ties to the smallest label — fully deterministic, so the op is
+    oracle-replayable round by round).  FIXED round count by design:
+    synchronous LPA can oscillate on bipartite structures, so "run to
+    convergence" is not a well-defined distributed contract — callers
+    pick the horizon, and the certified semantics are exactly
+    ``rounds`` synchronous updates (the d98c unrolled-replay
+    precedent).
+
+    Input hygiene matches kcore/bfs: NULL endpoints and self-loops
+    drop, duplicates and reversed duplicates collapse.  Returns
+    (id, community) for every node that appears in an edge.
+
+    Scale: per round ONE label-lookup equi-join (labels are
+    node-sized, AQE picks broadcast vs shuffled-hash) + one
+    (node, label)-keyed partial+final count + one node-keyed
+    min(struct) argmax — no collect_list, so hub neighborhoods never
+    materialize; localCheckpoint per round keeps lineage O(1)."""
+    from ._scratch import scratch_persist
+
+    clean = edges.select(F.col(a), F.col(b)).filter(
+        F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(a) != F.col(b))
+    )
+    e = scratch_persist(
+        clean.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .union(clean.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        .distinct(),
+        "lpa/edges",
+    )
+    labels = (
+        e.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        nb = e.join(labels.withColumnRenamed("id", "d"), "d").select("s", "lbl")
+        cnt = nb.groupBy("s", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.groupBy("s")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                ).alias("__w")
+            )
+            .select(F.col("s").alias("id"), F.col("__w.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

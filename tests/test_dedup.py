@@ -500,3 +500,38 @@ def test_kcore_empty_core_is_empty_frame(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     assert graph.kcore(edges, k=3).count() == 0
     assert graph.kcore(edges, k=3, local_threshold=0).count() == 0
+
+
+def test_lpa_two_cliques_separate_communities(spark):
+    """d148 operator contract: after enough rounds two bridged cliques
+    settle on their own minimum labels; the tie rule is smallest label;
+    null/self-loop hygiene shared with kcore."""
+    from pandas_db_sdk_spark import graph
+
+    cliq_a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    cliq_b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    edges = spark.createDataFrame(
+        cliq_a + cliq_b + [(4, 10), (3, 3), (None, 1)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r.id: r.community
+        for r in graph.label_propagation_communities(edges, rounds=4).collect()
+    }
+    assert set(out) == set(range(5)) | set(range(10, 15))
+    assert {out[i] for i in range(5)} == {0}
+    assert {out[i] for i in range(10, 15)} == {10}
+
+
+def test_lpa_round_semantics_are_synchronous(spark):
+    """One round on a 3-path 1-2-3: ends adopt the middle's label, the
+    middle adopts the smaller end — the SYNCHRONOUS update (an async
+    sweep would let 2's new label leak into 3's update)."""
+    from pandas_db_sdk_spark import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r.id: r.community
+        for r in graph.label_propagation_communities(edges, rounds=1).collect()
+    }
+    assert out == {1: 2, 2: 1, 3: 2}
