@@ -6978,3 +6978,58 @@ def d148(spark, sf_dir):
     )
     edges = sel(cliq_a).union(sel(cliq_b)).union(bridge).union(chain)
     return graph.label_propagation_communities(edges, rounds=2)
+
+
+@q(
+    "d149_ts_similarity_search",
+    """WITH rev AS (SELECT c_nationkey AS nation,
+                CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS r
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+       q AS (SELECT day, r AS qr FROM rev WHERE nation = 0),
+       d AS (SELECT nation, count(*) AS n_common,
+               round(corr(r, qr), 6) AS rho
+             FROM rev JOIN q USING (day) GROUP BY 1)
+       SELECT CAST(nation AS BIGINT) AS nation,
+              CAST(n_common AS BIGINT) AS n_common, rho,
+              round(sqrt(greatest(2 * n_common * (1 - rho), 0)), 6)
+                AS znorm_dist
+       FROM d WHERE n_common >= 2 AND rho IS NOT NULL
+       ORDER BY znorm_dist ASC, nation ASC LIMIT 5""",
+)
+def d149(spark, sf_dir):
+    """Time-series tier (r11): SIMILARITY SEARCH over data series
+    (``timeseries.znorm_query_topk``) — the top-k most similar
+    per-nation daily-revenue series to nation 0's series under
+    z-normalized Euclidean distance, via the dist² = 2n(1−ρ) identity:
+    the whole search is one co-moment aggregate per series over the
+    broadcast query grid (never a series×series pair join), ρ rounded
+    6 dp before composition (c86 corr parity), TakeOrdered top-k.
+    Nation 0 itself certifies the identity's fixed point (dist 0,
+    ρ = 1).  The fact-table side: one customer broadcast join + one
+    (nation, day) DECIMAL-exact partial agg — at 100 TB the series
+    table stays calendar × entities-sized."""
+    from .. import timeseries
+
+    o = tables(spark, sf_dir)("orders")
+    c = tables(spark, sf_dir)("customer")
+    from ._util import dsum
+
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day"),
+        )
+        .agg(dsum("o_totalprice").alias("r"))
+    )
+    from .._scratch import scratch_persist
+
+    rev = scratch_persist(rev, "d149/nation_daily_revenue")
+    query = rev.filter(F.col("nation") == 0).select("day", "r")
+    return timeseries.znorm_query_topk(
+        rev, query, entity_col="nation", t_col="day", v_col="r", k=5
+    )

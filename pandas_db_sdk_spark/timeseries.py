@@ -708,3 +708,65 @@ def cusum_changepoint(
             ).alias("mean"),
         )
     )
+
+
+def znorm_query_topk(
+    series: DataFrame,
+    query: DataFrame,
+    entity_col: str = "entity",
+    t_col: str = "t",
+    v_col: str = "v",
+    k: int = 5,
+) -> DataFrame:
+    """Time-series similarity SEARCH (the pattern-query tier of the
+    distributed data-series literature — REPOSE/Odyssey's problem,
+    solved exactly for one query): find the k series most similar to a
+    query series under Z-NORMALIZED Euclidean distance, the standard
+    shape-matching metric (offset- and scale-invariant).
+
+    Uses the textbook identity dist² = 2·n·(1 − ρ) — z-normalized
+    Euclidean distance IS Pearson correlation — so the whole search is
+    ONE mergeable co-moment aggregate per series over the query-aligned
+    grid: join the (broadcast, series-length-sized) query on the time
+    key, per entity compute (n, corr), derive the distance.  ρ rounds
+    to 6 dp BEFORE the distance composition (the c86/c28b cross-engine
+    corr parity), so the result is oracle-exact.  Series with fewer
+    than 2 common points (or zero variance → NULL ρ) are excluded —
+    their z-norm is undefined.
+
+    Returns the top-k (entity, n_common, rho, znorm_dist), distance
+    ascending with entity tie-break — a TakeOrdered plan, no global
+    sort.  Scale: linear in the fact table (one partial+final agg per
+    entity); a million-series corpus needs no pair explosion because
+    the query side is ONE broadcast series; for many-query workloads
+    compose per query or block with PAA/SAX upstream."""
+    q = query.select(F.col(t_col).alias("__qt"), F.col(v_col).alias("__qv"))
+    j = series.join(F.broadcast(q), series[t_col] == q["__qt"])
+    # corr via try_divide(covar, sd*sd): identical co-moments, but a
+    # zero-variance (constant) series yields NULL instead of ANSI's
+    # DIVIDE_BY_ZERO raise inside corr — constants must DROP, not kill
+    # the search (pinned in tests)
+    rho = F.round(
+        F.try_divide(
+            F.covar_samp(v_col, "__qv"),
+            F.stddev_samp(v_col) * F.stddev_samp("__qv"),
+        ),
+        6,
+    )
+    agg = j.groupBy(entity_col).agg(
+        F.count("*").cast("long").alias("n_common"), rho.alias("rho")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.greatest(
+                2 * F.col("n_common") * (1 - F.col("rho")), F.lit(0.0)
+            )
+        ),
+        6,
+    )
+    return (
+        agg.filter((F.col("n_common") >= 2) & F.col("rho").isNotNull())
+        .select(entity_col, "n_common", "rho", dist.alias("znorm_dist"))
+        .orderBy(F.col("znorm_dist").asc(), F.col(entity_col).asc())
+        .limit(k)
+    )

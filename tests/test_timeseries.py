@@ -357,3 +357,38 @@ def test_cusum_changepoint_streams_empty_and_null_series(spark):
     assert timeseries.cusum_changepoint(empty, "t", "v").count() == 0
     nulls = spark.createDataFrame([(1, None), (2, None)], "t long, v double")
     assert timeseries.cusum_changepoint(nulls, "t", "v").count() == 0
+
+
+def test_znorm_query_topk_identity_and_invariance(spark):
+    """d149 operator contract: the query itself is its own nearest match
+    at distance 0 (rho 1); an affine transform of the query series
+    (2x + 100) is ALSO at distance 0 (z-norm scale/offset invariance);
+    an anti-correlated series lands at the maximum distance 2*sqrt(n);
+    sub-2-point overlaps and constant series (NULL rho) drop."""
+    from pandas_db_sdk_spark import timeseries
+
+    base = [(t, float(v)) for t, v in enumerate([1, 3, 2, 5, 4, 6, 5, 8])]
+    n = len(base)
+    rows = (
+        [("self", t, v) for t, v in base]
+        + [("affine", t, 2 * v + 100) for t, v in base]
+        + [("anti", t, -v) for t, v in base]
+        + [("short", 0, 1.0), ("short", 1, 2.0)]
+        + [("flat", t, 7.0) for t, v in base]
+        + [("lonely", 99, 1.0)]
+    )
+    series = spark.createDataFrame(rows, "entity string, t int, v double")
+    query = spark.createDataFrame(base, "t int, v double")
+    out = {
+        r.entity: r
+        for r in timeseries.znorm_query_topk(
+            series, query, "entity", "t", "v", k=10
+        ).collect()
+    }
+    assert "lonely" not in out  # 1 common point
+    assert "flat" not in out  # zero variance -> NULL rho
+    assert out["self"].znorm_dist == 0.0 and out["self"].rho == 1.0
+    assert out["affine"].znorm_dist == 0.0  # affine invariance
+    assert out["anti"].rho == -1.0
+    assert abs(out["anti"].znorm_dist - 2 * n**0.5) < 1e-6
+    assert out["short"].n_common == 2
