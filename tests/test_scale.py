@@ -693,3 +693,47 @@ def test_cc_and_bfs_hub_star_rounds_degree_independent(spark):
     # cache/AQE job-count jitter while still failing on ANY extra round
     assert abs(jobs[("cc", 1_000)] - jobs[("cc", 10_000)]) <= 2, jobs
     assert abs(jobs[("bfs", 1_000)] - jobs[("bfs", 10_000)]) <= 2, jobs
+
+
+def test_line_dedup_adversarial_boilerplate_skew(spark):
+    """d139 at adversarial skew: ONE line (the cookie banner) appears in
+    every document — 50k replicas of a single line key.  The
+    partial-aggregable keep-first must stay wall-clock-flat (each map
+    task contributes ONE candidate for the hot line, so the reduce side
+    sees ~n_partitions rows, not 50k) and the result must keep exactly
+    the globally-first replica.  A window/row_number plan would funnel
+    all 50k rows into one partition before ranking."""
+    import time
+
+    from pandas_db_sdk_spark import text
+
+    n_docs = 25_000
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    banner = F.lit("we value your privacy accept cookies")
+    lines = docs.select(
+        "doc_id", F.lit(0).alias("line_no"), banner.alias("line")
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            F.lit(1).alias("line_no"),
+            F.concat(F.lit("unique body "), F.col("doc_id").cast("string")).alias(
+                "line"
+            ),
+        )
+    )
+    t0 = time.time()
+    out = text.dedup_lines_corpus(lines, "doc_id", "line_no", "line")
+    agg = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_kept_lines").alias("kept"),
+        F.sum((F.col("n_kept_lines") == 2).cast("int")).alias("full_keepers"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+    # every doc survives; the banner survives ONCE (doc 0), bodies all stay
+    assert agg.docs == n_docs
+    assert agg.kept == n_docs + 1
+    assert agg.full_keepers == 1
+    first = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert first.n_kept_lines == 2 and first.dedup_text.startswith("we value")
+    # generous wall-clock guard: the hot key must not serialize the job
+    assert elapsed < 60, f"skewed line dedup took {elapsed:.1f}s"
