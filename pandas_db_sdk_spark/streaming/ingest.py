@@ -676,3 +676,145 @@ def stream_crawl_into_engine(
         prepare=prepare,
         on_admitted=on_admitted,
     )
+
+
+def stream_lines_dedup_into_engine(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    dataframe_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    version_prefix: str = "epoch_",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+    n_pfx: int = NEAR_BAND_PFX,
+):
+    """Streaming CORPUS-WIDE line dedup — ``text.dedup_lines_corpus``'s
+    continuous form (the CCNet/RefinedWeb boilerplate kill, run as docs
+    arrive): every distinct line lands exactly once ACROSS ALL
+    micro-batches, at its first-seen occurrence; later documents
+    reassemble from their surviving lines (zero-survivor docs land with
+    empty text — counted, not dropped, so retention stays auditable).
+
+    Cross-batch state is the engine dataset ``<name>/__seen_lines`` —
+    one (line_sha, line_pfx) row per line ever ADMITTED, PARTITIONED on
+    a hash prefix pre-scaled to the engine's ID-bucket width — so each
+    batch's membership probe statically prunes to the colliding
+    partition directories (the near-dup index discipline: scan volume
+    is the batch's hash slice, never the corpus).  Lines compare by
+    sha2-256 (the d01 content-key convention), so the shuffle and the
+    state both carry 64-hex keys, never line text.
+
+    Per micro-batch, under ONE epoch label with
+    ``overwrite_version=True`` (data and index versions travel
+    together, so a killed-and-replayed batch converges):
+
+    1. explode lines, key by sha2;
+    2. anti-join the pruned seen-line slice (cross-batch kill);
+    3. within-batch keep-first via the skew-safe partial-aggregable
+       ``min(struct(id, line_no))`` (never a window over the line key);
+    4. reassemble every batch doc; append the batch's newly-admitted
+       line keys to the index."""
+    from pyspark.sql import functions as F
+
+    from ..engine import DatasetNotFound
+
+    seen_name = f"{dataframe_name}/__seen_lines"
+    w = engine.id_bucket_width
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from .._scratch import scratch_persist
+
+        lines = scratch_persist(
+            batch_df.select(
+                F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), sep)).alias(
+                    "line_no", "line"
+                ),
+            ).withColumn("line_sha", F.sha2("line", 256)),
+            "stream_lines/batch_lines",
+        )
+        pfx_col = (
+            F.pmod(F.xxhash64("line_sha"), F.lit(n_pfx)).cast("long") * w
+        )
+        try:
+            pfx = sorted(
+                int(r.p)
+                for r in lines.select(pfx_col.alias("p")).distinct().collect()
+            )
+            dirs = [f"from_{v}_to_{v + w}" for v in pfx]
+            seen = (
+                engine.load(seen_name, drop_internal=False)
+                .filter(F.col("__p_line_pfx").isin(dirs))
+                .select("line_sha")
+            )
+            fresh = lines.join(seen, "line_sha", "left_anti")
+        except DatasetNotFound:
+            fresh = lines
+        winners = (
+            fresh.groupBy("line_sha")
+            .agg(F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("__w"))
+            .select(
+                F.col("line_sha").alias("__wsha"),
+                F.col(f"__w.{id_col}").alias("__wid"),
+                F.col("__w.line_no").alias("__wno"),
+            )
+        )
+        winners = scratch_persist(winners, "stream_lines/winners")
+        kept = fresh.join(
+            winners,
+            (fresh["line_sha"] == winners["__wsha"])
+            & (fresh[id_col] == winners["__wid"])
+            & (fresh["line_no"] == winners["__wno"]),
+            "left_semi",
+        )
+        totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+        rebuilt = kept.groupBy(id_col).agg(
+            F.count("*").alias("n_kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("line_no"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("dedup_text"),
+        )
+        out = totals.join(rebuilt, id_col, "left").select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept_lines"), F.lit(0))
+            .cast("long")
+            .alias("n_kept_lines"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+        label = f"{version_prefix}{epoch_id}"
+        engine.save(
+            out, dataframe_name, external_key=label, overwrite_version=True
+        )
+        engine.save(
+            winners.select(
+                F.col("__wsha").alias("line_sha"),
+                (
+                    F.pmod(F.xxhash64(F.col("__wsha")), F.lit(n_pfx)).cast(
+                        "long"
+                    )
+                    * w
+                ).alias("line_pfx"),
+            ),
+            seen_name,
+            columns_keys={"line_pfx": "ID"},
+            external_key=label,
+            overwrite_version=True,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -975,3 +975,61 @@ def test_stream_crawl_into_engine_gates_and_indexes(spark, tmp_path):
     # the landed frame carries the audit columns end to end
     cols = set(eng.load("crawl").columns)
     assert {"doc_id", "canonical_url", "text", "predicted_lang"} <= cols
+
+
+def test_stream_lines_dedup_matches_batch_twin(spark, tmp_path):
+    """Streaming corpus line dedup == the batch operator run over the
+    concatenated input (the house streaming-parity invariant): batch 2
+    repeats batch-1 lines (cross-batch kill), repeats its own lines
+    (within-batch keep-first), and contributes one all-repeated doc
+    (zero survivors, still lands). The seen-line index grows only by
+    admitted lines and carries 64-hex keys, never text."""
+    from pandas_db_sdk_spark import text as _text
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import stream_lines_dedup_into_engine
+
+    b1 = [
+        (1, "cookie banner\nalpha body one\ncookie banner"),
+        (2, "beta body two\ncookie banner"),
+    ]
+    b2 = [
+        (10, "cookie banner\ngamma body ten"),   # first line dies cross-batch
+        (11, "gamma body ten\ncookie banner"),   # all lines seen -> hollow
+        (12, "delta body twelve\ndelta body twelve"),  # within-batch repeat
+    ]
+    src = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_lines_dedup_into_engine(
+        stream, eng, "docs", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.dedup_text)
+        for r in eng.load("docs").collect()
+    }
+    # batch twin over the SAME doc order (doc_id ascending = arrival order)
+    all_docs = spark.createDataFrame(b1 + b2, schema)
+    from pyspark.sql import functions as F
+
+    lines = all_docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    )
+    want = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.dedup_text)
+        for r in _text.dedup_lines_corpus(lines).collect()
+    }
+    assert got == want, (got, want)
+    assert got[11] == (2, 0, "")  # the hollow doc landed
+    # index: one row per admitted distinct line, hex keys only
+    seen = eng.load("docs/__seen_lines").collect()
+    n_distinct_lines = lines.select("line").distinct().count()
+    assert len(seen) == n_distinct_lines
+    assert all(len(r.line_sha) == 64 for r in seen)
