@@ -7033,3 +7033,83 @@ def d149(spark, sf_dir):
     return timeseries.znorm_query_topk(
         rev, query, entity_col="nation", t_col="day", v_col="r", k=5
     )
+
+
+@q(
+    "d150_sax_blocking",
+    """WITH rev AS (SELECT c_nationkey AS nation,
+           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS week,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+       b AS (SELECT min(week) AS tmin, max(week) AS tmax FROM rev),
+       seg AS (SELECT nation,
+                 ((week - tmin) * 4) // (tmax - tmin + 1) AS s, r
+               FROM rev, b),
+       ps AS (SELECT nation, s, sum(r) AS sv, sum(r * r) AS svv
+              FROM seg GROUP BY 1, 2),
+       pn AS (SELECT nation, s, sv, svv,
+                ((s + 1) * (tmax - tmin + 1)) // 4
+                  - (s * (tmax - tmin + 1)) // 4 AS n
+              FROM ps, b),
+       pe AS (SELECT nation, sum(sv) AS tot, sum(svv) AS tot2,
+                     sum(n) AS w
+              FROM pn GROUP BY 1),
+       z AS (SELECT pn.nation, s,
+               round(CASE WHEN sqrt(greatest(
+                        tot2::DOUBLE / w - (tot::DOUBLE / w) * (tot::DOUBLE / w),
+                        0)) = 0 THEN NULL
+                 ELSE (sv::DOUBLE / n - tot::DOUBLE / w)
+                      / sqrt(greatest(
+                          tot2::DOUBLE / w
+                            - (tot::DOUBLE / w) * (tot::DOUBLE / w), 0))
+                 END, 4) AS paa
+             FROM pn JOIN pe ON pn.nation = pe.nation),
+       lt AS (SELECT nation, s,
+                CASE WHEN paa IS NULL THEN 'a'
+                     WHEN paa < -0.6745 THEN 'a'
+                     WHEN paa < 0.0 THEN 'b'
+                     WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS l
+              FROM z),
+       wd AS (SELECT nation, string_agg(l, '' ORDER BY s) AS sax_word
+              FROM lt GROUP BY 1)
+       SELECT CAST(nation AS BIGINT) AS nation, sax_word,
+              CAST(count(*) OVER (PARTITION BY sax_word) AS BIGINT)
+                AS bucket_size
+       FROM wd""",
+)
+def d150(spark, sf_dir):
+    """Time-series tier (r11): SAX BLOCKING (``timeseries.sax_words``)
+    — the all-pairs scale path d149's single-query search doesn't
+    need: z-normalize each per-nation weekly-revenue series against
+    the global calendar, PAA into 4 segments, quantize on the N(0,1)
+    breakpoints, and block on the 4-letter word — pair volume becomes
+    Σ bucket², the MinHash-band economics in shape space (verify tier
+    = d149's exact distance).  Parity levers: weekly sums stay
+    DECIMAL-exact through both aggregation levels (moment arithmetic
+    runs in double from exact totals), PAA rounds 4 dp before the
+    breakpoint compare, segment index/capacity use integer division.
+    A totally-inactive segment would drop from the word (documented;
+    the fixture calendar is dense at every SF)."""
+    from .. import timeseries
+
+    o = tables(spark, sf_dir)("orders")
+    c = tables(spark, sf_dir)("customer")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(
+                F.datediff(
+                    F.to_date("o_orderdate"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                / F.lit(7)
+            ).cast("long").alias("week"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("r")
+        )
+    )
+    return timeseries.sax_words(
+        rev, entity_col="nation", t_col="week", v_col="r", segments=4
+    )

@@ -770,3 +770,105 @@ def znorm_query_topk(
         .orderBy(F.col("znorm_dist").asc(), F.col(entity_col).asc())
         .limit(k)
     )
+
+
+def sax_words(
+    series: DataFrame,
+    entity_col: str = "entity",
+    t_col: str = "t",
+    v_col: str = "v",
+    segments: int = 4,
+) -> DataFrame:
+    """SAX blocking for ALL-PAIRS series similarity — the scale path
+    :func:`znorm_query_topk` (one query) doesn't need but a million×
+    million series search does (the iSAX family of the data-series
+    literature): z-normalize each series over the GLOBAL time grid
+    (absent points read as 0 — "no activity", so sparse and dense
+    series stay comparable), average into ``segments`` PAA segments,
+    quantize each segment mean against the standard N(0,1) breakpoints
+    for a 4-letter alphabet (−0.6745, 0, 0.6745), and emit the
+    concatenated SAX word.  Series with equal words are each other's
+    candidate neighbors: pair volume is Σ bucket², never corpus² —
+    exactly the MinHash-band economics, in shape space.
+
+    Returns (entity, sax_word, bucket_size).  Candidate pairs group on
+    ``sax_word``; the exact verify tier is ``znorm_query_topk``'s
+    distance on the survivors.
+
+    Cross-engine determinism: PAA means round to 4 dp BEFORE the
+    breakpoint compare (the c86 corr-parity discipline), and the global
+    grid bounds come from one broadcast min/max aggregate.  Scale: one
+    (entity, segment) partial agg + one entity agg + one word-count agg
+    — three exchanges, state entity-sized."""
+    ent, t, v = F.col(entity_col), F.col(t_col), F.col(v_col)
+    bounds = series.agg(
+        F.min(t).alias("__tmin"), F.max(t).alias("__tmax")
+    )
+    s = series.crossJoin(F.broadcast(bounds))
+    width = F.col("__tmax") - F.col("__tmin") + 1
+    seg = ((t - F.col("__tmin")) * segments / width).cast("int")
+    # per (entity, segment): sum of present values + the segment's POINT
+    # CAPACITY from the grid (absent points count as zeros in mean/sd)
+    seg_pts = (
+        ((F.col("__s") + 1) * width / segments).cast("long")
+        - (F.col("__s") * width / segments).cast("long")
+    )
+    per_seg = (
+        s.groupBy(ent.alias("__e"), seg.alias("__s"))
+        .agg(
+            F.sum(v).alias("__sv"),
+            F.sum(v * v).alias("__svv"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("__n", seg_pts)
+    )
+    per_ent = per_seg.groupBy("__e").agg(
+        F.sum("__sv").alias("__tot"),
+        F.sum("__svv").alias("__tot2"),
+        F.sum("__n").alias("__w"),
+    )
+    j = per_seg.join(per_ent, "__e")
+    # totals may arrive DECIMAL-exact (the caller's parity lever: decimal
+    # sums are associative, so partial aggregation order can't perturb
+    # them); all MOMENT arithmetic happens in double from the exact totals
+    mean = F.col("__tot").cast("double") / F.col("__w")
+    var = F.col("__tot2").cast("double") / F.col("__w") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    paa = F.round(
+        F.try_divide(
+            F.col("__sv").cast("double") / F.col("__n") - mean, sd
+        ),
+        4,
+    )
+    letter = (
+        F.when(paa.isNull(), F.lit("a"))  # flat series: all segments 'a'
+        .when(paa < -0.6745, F.lit("a"))
+        .when(paa < 0.0, F.lit("b"))
+        .when(paa < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    words = (
+        j.select(F.col("__e"), F.col("__s"), letter.alias("__l"))
+        .groupBy("__e")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__s"), F.col("__l")))
+                    ),
+                    lambda r: r["__l"],
+                ),
+                "",
+            ).alias("sax_word")
+        )
+    )
+    from pyspark.sql import Window
+
+    return words.select(
+        F.col("__e").alias(entity_col),
+        "sax_word",
+        F.count("*")
+        .over(Window.partitionBy("sax_word"))
+        .cast("long")
+        .alias("bucket_size"),
+    )

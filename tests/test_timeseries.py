@@ -392,3 +392,26 @@ def test_znorm_query_topk_identity_and_invariance(spark):
     assert out["anti"].rho == -1.0
     assert abs(out["anti"].znorm_dist - 2 * n**0.5) < 1e-6
     assert out["short"].n_common == 2
+
+
+def test_sax_words_known_shapes_block_together(spark):
+    """d150 operator contract on analytically-known shapes over a dense
+    0..39 grid: a rising ramp reads 'abcd', its affine twin (z-norm
+    invariance) blocks WITH it, the falling ramp reads 'dcba' in its own
+    bucket, and a flat series quantizes all-'a' (NULL z -> floor letter)."""
+    from pandas_db_sdk_spark import timeseries
+
+    rows = []
+    for t in range(40):
+        rows.append(("up", t, float(t)))
+        rows.append(("up2", t, 3.0 * t + 17.0))   # affine twin of 'up'
+        rows.append(("down", t, float(39 - t)))
+        rows.append(("flat", t, 5.0))
+    series = spark.createDataFrame(rows, "entity string, t int, v double")
+    out = {
+        r.entity: (r.sax_word, r.bucket_size)
+        for r in timeseries.sax_words(series, "entity", "t", "v").collect()
+    }
+    assert out["up"] == ("abcd", 2) and out["up2"] == ("abcd", 2)
+    assert out["down"] == ("dcba", 1)
+    assert out["flat"] == ("aaaa", 1)
