@@ -507,7 +507,8 @@ _R11_NEW = frozenset(
     d141_image_phash d142_audio_stft d143_y4m_frame_sample
     d144_image_resize_area d145_kcore d146_encoding_quality
     d147_url_blocklist d148_lpa_communities
-    d149_ts_similarity_search d150_sax_blocking""".split()
+    d149_ts_similarity_search d150_sax_blocking
+    d151_revisit_schedule""".split()
 )
 
 

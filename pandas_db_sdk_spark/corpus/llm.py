@@ -7113,3 +7113,68 @@ def d150(spark, sf_dir):
     return timeseries.sax_words(
         rev, entity_col="nation", t_col="week", v_col="r", segments=4
     )
+
+
+@q(
+    "d151_revisit_schedule",
+    """WITH m AS (SELECT DISTINCT doc_id % 20 AS m FROM documents),
+       fr AS (SELECT m, f.f AS f FROM m, range(0, 6) f(f)
+              WHERE f.f <= 2 + m % 4),
+       h AS (SELECT 'https://h' || (m % 4) || '.com/p/' || m AS url,
+                    1700000000 + f * 86400 AS fetch_ts,
+                    'sha' || (CASE m % 3 WHEN 0 THEN f
+                              WHEN 1 THEN f // 2 ELSE 0 END) AS content_sha
+             FROM fr),
+       c AS (SELECT url, fetch_ts,
+               CASE WHEN lag(content_sha) OVER (
+                      PARTITION BY url ORDER BY fetch_ts) IS NOT NULL
+                     AND content_sha <> lag(content_sha) OVER (
+                      PARTITION BY url ORDER BY fetch_ts)
+                    THEN 1 ELSE 0 END AS chg
+             FROM h),
+       a AS (SELECT url, count(*) AS n_fetches, sum(chg) AS n_changes,
+                    max(fetch_ts) - min(fetch_ts) AS span_s,
+                    max(fetch_ts) AS last_ts
+             FROM c GROUP BY 1),
+       i AS (SELECT url, n_fetches, n_changes, span_s, last_ts,
+               least(greatest(CASE WHEN span_s = 0 THEN 3600
+                    ELSE span_s // greatest(n_changes, 1) END, 3600),
+                     2592000) AS iv
+             FROM a)
+       SELECT url, CAST(n_fetches AS BIGINT) AS n_fetches,
+              CAST(n_changes AS BIGINT) AS n_changes,
+              CAST(span_s AS BIGINT) AS span_s,
+              CAST(iv AS BIGINT) AS revisit_interval_s,
+              CAST(last_ts + iv AS BIGINT) AS next_fetch_ts
+       FROM i""",
+)
+def d151(spark, sf_dir):
+    """Web-crawl tier (r11): adaptive REVISIT scheduling
+    (``text.revisit_schedule``, the freshness loop): per-URL change
+    frequency from the fetch history's digest transitions (window lag
+    compare), next fetch at last_ts + clamp(span/changes, 1 h, 30 d).
+    The fixture plants three behavior classes — changes-every-fetch
+    (earns the fast lane), changes-every-other, and never-changes
+    (backs off to its full observed span) — across varying history
+    lengths, and the oracle replays history, lag, and clamp exactly.
+    Closes the crawl loop: discover (d133) → schedule (d136) → fetch
+    (d116) → re-schedule (this)."""
+    d = tables(spark, sf_dir)("documents")
+    m = d.select((F.col("doc_id") % 20).alias("m")).distinct()
+    fr = m.select(
+        "m", F.explode(F.sequence(F.lit(0), 2 + F.col("m") % 4)).alias("f")
+    )
+    ver = (
+        F.when(F.col("m") % 3 == 0, F.col("f"))
+        .when(F.col("m") % 3 == 1, F.floor(F.col("f") / 2).cast("long"))
+        .otherwise(F.lit(0))
+    )
+    hist = fr.select(
+        F.concat(
+            F.lit("https://h"), (F.col("m") % 4).cast("string"),
+            F.lit(".com/p/"), F.col("m").cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("f") * 86400).alias("fetch_ts"),
+        F.concat(F.lit("sha"), ver.cast("string")).alias("content_sha"),
+    )
+    return text.revisit_schedule(hist)

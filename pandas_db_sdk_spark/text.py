@@ -2743,3 +2743,69 @@ def url_blocklist_filter(
             F.col("matched_pattern").isNotNull().alias("blocked"),
         )
     )
+
+
+def revisit_schedule(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    digest_col: str = "content_sha",
+    min_interval_s: int = 3600,
+    max_interval_s: int = 2_592_000,
+) -> DataFrame:
+    """Adaptive crawl REVISIT scheduling (the freshness tier — the
+    Cho/Garcia-Molina line of work, in its standard production form):
+    from each URL's fetch history, estimate how often the content
+    actually changes and schedule the next fetch proportionally —
+    fast-moving pages re-fetch near ``min_interval_s``, static pages
+    back off toward ``max_interval_s``.
+
+    Per URL over the (ts-ordered) history:
+
+    * ``n_fetches``, ``n_changes`` — a change is a fetch whose digest
+      differs from the PREVIOUS fetch's digest (lag compare);
+    * ``span_s`` — last_ts − first_ts;
+    * estimated change interval = span / max(n_changes, 1); a history
+      with no observed change uses the full span (we only know it's
+      AT LEAST that stable);
+    * ``next_fetch_ts`` = last_ts + clamp(estimate, min, max).
+
+    Single-fetch histories (span 0) schedule at ``min_interval_s`` —
+    a new URL must be re-observed once before it can earn backoff.
+
+    Scale: one URL-keyed re-key (window lag + final aggregate share
+    it); state is one row per URL.  The schedule exits partitioned by
+    URL hash — join it to the d136 politeness schedule for per-host
+    slot assignment."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    changed = (
+        F.lag(F.col(digest_col)).over(w).isNotNull()
+        & (F.col(digest_col) != F.lag(F.col(digest_col)).over(w))
+    ).cast("int")
+    hist = fetches.select(
+        F.col(url_col), F.col(ts_col).cast("long").alias("__ts"),
+        changed.alias("__chg"),
+    )
+    agg = hist.groupBy(url_col).agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("__chg").cast("long").alias("n_changes"),
+        F.min("__ts").alias("__first"),
+        F.max("__ts").alias("__last"),
+    )
+    span = F.col("__last") - F.col("__first")
+    est = F.when(span == 0, F.lit(min_interval_s)).otherwise(
+        F.floor(span / F.greatest(F.col("n_changes"), F.lit(1)))
+    )
+    interval = F.least(
+        F.greatest(est, F.lit(min_interval_s)), F.lit(max_interval_s)
+    ).cast("long")
+    return agg.select(
+        url_col,
+        "n_fetches",
+        "n_changes",
+        span.alias("span_s"),
+        interval.alias("revisit_interval_s"),
+        (F.col("__last") + interval).alias("next_fetch_ts"),
+    )

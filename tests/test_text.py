@@ -1008,3 +1008,30 @@ def test_url_blocklist_specificity_and_audit_rows(spark):
     assert (r.matched_pattern, r.category) == ("example.com", "tracking")
     assert out["https://clean.ok.net/z"].blocked is False
     assert out["https://phish.bad/q"].category == "malware"
+
+
+def test_revisit_schedule_change_classes_and_clamps(spark):
+    """d151 operator contract: per-URL change estimation and clamping —
+    a page changing every fetch earns span/(n-1); a never-changing page
+    backs off to its full span; a single-fetch URL schedules at the
+    1-hour floor; the 30-day ceiling clamps a long static span."""
+    day = 86400
+    rows = (
+        # changes every fetch: est = day
+        [("a", t * day, f"v{t}") for t in range(4)]
+        # never changes over 10 days: est = span = 10*day
+        + [("b", t * day, "same") for t in range(11)]
+        # single fetch: floor
+        + [("c", 0, "x")]
+        # static over 90 days: clamped to 30 days
+        + [("d", 0, "y"), ("d", 90 * day, "y")]
+    )
+    fetches = spark.createDataFrame(rows, "url string, fetch_ts long, content_sha string")
+    from pandas_db_sdk_spark import text as _t
+
+    out = {r.url: r for r in _t.revisit_schedule(fetches).collect()}
+    assert out["a"].n_changes == 3 and out["a"].revisit_interval_s == day
+    assert out["a"].next_fetch_ts == 3 * day + day
+    assert out["b"].n_changes == 0 and out["b"].revisit_interval_s == 10 * day
+    assert out["c"].revisit_interval_s == 3600 and out["c"].next_fetch_ts == 3600
+    assert out["d"].revisit_interval_s == 2_592_000  # 30-day ceiling
