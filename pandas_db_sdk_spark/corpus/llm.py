@@ -7178,3 +7178,96 @@ def d151(spark, sf_dir):
         F.concat(F.lit("sha"), ver.cast("string")).alias("content_sha"),
     )
     return text.revisit_schedule(hist)
+
+
+@q(
+    "d152_wet_conversion",
+    r"""WITH h AS (
+         SELECT doc_id,
+                '<html><head><title>doc ' || doc_id ||
+                '</title><script>var x=1;</script><style>.a{color:red}</style>' ||
+                '</head><body><nav><a href="/">home</a> | <a href="/all">all</a></nav>' ||
+                '<div class="main"><p>' || text || '</p></div>' ||
+                '<footer>(c) corpus ' || (doc_id % 7) || '</footer></body></html>' AS html,
+                'https://www.site' || (doc_id % 7) || '.com/Docs/' || (doc_id % 13)
+                  || '?a=' || (doc_id % 3) || '&b=' || (doc_id % 5) AS uri
+         FROM documents),
+       e AS (
+         SELECT doc_id, uri,
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
+                      '(?is)<footer[^>]*>.*?</footer>', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS extracted
+         FROM h)
+       SELECT doc_id, uri AS target_uri,
+              CAST(strlen(extracted) AS BIGINT) AS content_length,
+              sha256(extracted) AS text_sha,
+              CAST(1 AS INT) AS roundtrip_ok
+       FROM e""",
+)
+def d152(spark, sf_dir):
+    """Web-crawl tier (r11): WARC→WET CONVERSION — producing the other
+    real Common Crawl artifact (WET: WARC containers of
+    ``WARC-Type: conversion`` text/plain records).  The d112 chain
+    runs first (spec-valid WARC → length-driven parse → boilerplate
+    strip); then the WET record builds as PURE CODEGEN string concat
+    (exact Content-Length from octet_length, deterministic
+    sha256-derived record id), encodes to bytes, and RE-PARSES through
+    ``multimodal.parse_wet`` (the same length-driven walk) —
+    roundtrip_ok certifies byte-exact declared-vs-actual lengths and
+    text identity end to end.  The oracle replays the full extraction
+    (the d112 regexp chain), byte length, and sha256.  Zero shuffles
+    beyond one doc-keyed verify join."""
+    d = tables(spark, sf_dir)("documents")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit('</title><script>var x=1;</script><style>.a{color:red}</style>'),
+        F.lit('</head><body><nav><a href="/">home</a> | <a href="/all">all</a></nav>'),
+        F.lit('<div class="main"><p>'), F.col("text"),
+        F.lit("</p></div><footer>(c) corpus "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+    uri = F.concat(
+        F.lit("https://www.site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/Docs/"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("?a="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&b="), (F.col("doc_id") % 5).cast("string"),
+    )
+    files = multimodal.synth_warc(
+        d.select("doc_id", html.alias("html"), uri.alias("uri")),
+        "html", "uri", "doc_id",
+    )
+    parsed = multimodal.parse_warc(files, "payload", "doc_id")
+    txt = text.html_main_text(F.col("body"))
+    wet_str = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col("target_uri"),
+        F.lit("\r\nWARC-Record-ID: <urn:sha256:"), F.sha2(txt, 256),
+        F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(txt).cast("string"),
+        F.lit("\r\n\r\n"), txt, F.lit("\r\n\r\n"),
+    )
+    wet = parsed.select(
+        "doc_id",
+        F.encode(wet_str, "utf-8").alias("payload"),
+        txt.alias("__orig"),
+    )
+    rep = multimodal.parse_wet(wet.select("doc_id", "payload"), "payload", "doc_id")
+    return rep.join(wet.select("doc_id", "__orig"), "doc_id").select(
+        "doc_id",
+        "target_uri",
+        "content_length",
+        F.sha2("text", 256).alias("text_sha"),
+        (
+            (F.col("text") == F.col("__orig"))
+            & (F.octet_length("text") == F.col("content_length"))
+        ).cast("int").alias("roundtrip_ok"),
+    )

@@ -3505,6 +3505,63 @@ def _warc_records(i: int, uri: str, html: str) -> list:
     )
     return [info, resp]
 
+def parse_wet(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """WET parsing — the conversion-record sibling of :func:`parse_warc`
+    (Common Crawl ships crawl text as WET files: WARC/1.0 containers
+    whose records are ``WARC-Type: conversion`` with a text/plain block
+    of exactly Content-Length bytes).  Same length-driven record walk,
+    same skip-never-error contract; emits one row per conversion
+    record: (id, n_records, target_uri, content_length, text).  Gzip
+    payloads inflate member-by-member first.  Pure mapInPandas, zero
+    shuffles."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        inflate_members = _gz_inflate_members
+        records = _warc_split_records
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = bytes(buf)
+                    if raw[:2] == b"\x1f\x8b":
+                        raw = inflate_members(raw)
+                    recs = records(raw) if raw is not None else None
+                except Exception:
+                    recs = None
+                if not recs:
+                    continue
+                for headers, block in recs:
+                    try:
+                        if headers.get("warc-type") != "conversion":
+                            continue
+                        clen = headers.get("content-length")
+                        rows.append(
+                            (
+                                int(i),
+                                len(recs),
+                                headers.get("warc-target-uri"),
+                                int(clen) if clen is not None else None,
+                                block.decode("utf-8", "replace"),
+                            )
+                        )
+                    except Exception:
+                        continue
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_records", "target_uri", "content_length", "text",
+                ],
+            )
+
+    return df.mapInPandas(
+        parse,
+        f"{id_col} long, n_records int, target_uri string,"
+        " content_length long, text string",
+    )
+
 
 def synth_warc(
     df: DataFrame, html_col: str = "html", uri_col: str = "uri", id_col: str = "doc_id"

@@ -1387,3 +1387,36 @@ def test_stft_pure_tone_peaks_at_its_bin(spark):
     overl = multimodal.stft_frame_features(files, hop=32).collect()
     assert sorted({r.frame_no for r in overl}) == [0, 1, 2, 3, 4]
     assert all(r.bin == 3 for r in overl if r.is_peak)
+
+
+def test_parse_wet_roundtrip_and_poison(spark):
+    """d152 parser contract: a hand-built WET file with two conversion
+    records parses both with exact Content-Length blocks (bodies that
+    CONTAIN the record separator included — lengths are the only
+    authority); truncated files skip whole."""
+    import pandas as pd
+
+    def rec(uri, body: bytes) -> bytes:
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+            + uri.encode()
+            + b"\r\nContent-Length: "
+            + str(len(body)).encode()
+            + b"\r\n\r\n"
+        )
+        return hdr + body + b"\r\n\r\n"
+
+    tricky = b"line one\r\n\r\nstill the SAME record body"
+    wet = rec("https://a.com/1", b"hello world") + rec("https://a.com/2", tricky)
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, wet), (2, wet[: len(wet) - 10])], columns=["doc_id", "payload"]
+        ),
+        "doc_id long, payload binary",
+    )
+    rows = multimodal.parse_wet(files).collect()
+    assert not any(r.doc_id == 2 for r in rows)  # truncated file skips whole
+    got = {r.target_uri: r for r in rows if r.doc_id == 1}
+    assert got["https://a.com/1"].text == "hello world"
+    assert got["https://a.com/2"].text == tricky.decode()
+    assert all(r.n_records == 2 and r.content_length == len(r.text) for r in rows if r.doc_id == 1)
