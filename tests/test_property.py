@@ -898,3 +898,65 @@ def test_sinc_fir_is_linear(a, b):
         return ys
 
     assert (fir(xa + xb) == fir(xa) + fir(xb)).all()
+
+
+# --- round-11 line ops: differential vs a pure-python model -------------
+
+LINE_WORDS = st.sampled_from(["nav", "body", "cookie", "x", "unique"])
+LINE = st.lists(LINE_WORDS, min_size=0, max_size=4).map(" ".join)
+DOCS = st.lists(
+    st.lists(LINE, min_size=1, max_size=5), min_size=1, max_size=6
+)
+
+
+@given(docs=DOCS)
+@SETTINGS
+def test_dedup_lines_corpus_matches_python_model(spark, docs):
+    """d139 vs the obvious sequential model: walk docs in (doc, line)
+    order, keep a line only the first time it is ever seen."""
+    from pandas_db_sdk_spark import text as _t
+
+    rows = [
+        (d, i, ln)
+        for d, lines in enumerate(docs)
+        for i, ln in enumerate(lines)
+    ]
+    lines_df = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.dedup_text)
+        for r in _t.dedup_lines_corpus(lines_df).collect()
+    }
+    seen: set = set()
+    exp = {}
+    for d, lines in enumerate(docs):
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        exp[d] = (len(lines), len(kept), "\n".join(kept))
+    assert got == exp
+
+
+@given(docs=DOCS)
+@SETTINGS
+def test_c4_line_filter_is_idempotent(spark, docs):
+    """Running the C4 filter on its own kept output changes nothing —
+    every rule is closed over its own survivors (terminal punctuation,
+    word counts, and page tells are preserved by keeping whole lines)."""
+    from pandas_db_sdk_spark import text as _t
+
+    texts = [
+        (d, "\n".join(ln + "." for ln in lines) + "\nalpha beta gamma delta five.")
+        for d, lines in enumerate(docs)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    once = _t.c4_line_filter(df).filter("doc_kept").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = _t.c4_line_filter(once).filter("doc_kept").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    a = {(r.doc_id, r.text) for r in once.collect()}
+    b = {(r.doc_id, r.text) for r in twice.collect()}
+    assert a == b
