@@ -7271,3 +7271,59 @@ def d152(spark, sf_dir):
             & (F.octet_length("text") == F.col("content_length"))
         ).cast("int").alias("roundtrip_ok"),
     )
+
+
+@q(
+    "d153_anchor_text",
+    """WITH pages AS (SELECT doc_id % 7 AS h, doc_id % 50 AS p,
+                min(doc_id % 5) AS k, bool_or(doc_id % 3 = 0) AS hub
+         FROM documents GROUP BY 1, 2),
+       home AS (SELECT 'https://www.site' || h || '.com/' AS target,
+                       t.term, count(*) AS n
+                FROM pages, (VALUES ('home'), ('page')) t(term)
+                GROUP BY 1, 2),
+       cat AS (SELECT 'https://www.site' || h || '.com/cat/' || k AS target,
+                      t.term, count(*) AS n
+               FROM pages, LATERAL (
+                 SELECT unnest(['category', CAST(k AS VARCHAR)]) AS term)
+                 t
+               GROUP BY 1, 2),
+       hub AS (SELECT 'https://hub.example.com/x' AS target, t.term,
+                      count(*) AS n
+               FROM pages, (VALUES ('shared'), ('hub'), ('link')) t(term)
+               WHERE pages.hub GROUP BY 1, 2)
+       SELECT target, term, CAST(n AS BIGINT) AS n_linking_pages FROM home
+       UNION ALL SELECT target, term, CAST(n AS BIGINT) FROM cat
+       UNION ALL SELECT target, term, CAST(n AS BIGINT) FROM hub""",
+)
+def d153(spark, sf_dir):
+    """Web-graph tier (r11): ANCHOR-TEXT aggregation
+    (``text.anchor_text_terms``) — the link signal that describes the
+    TARGET page: per (target, term), the count of distinct linking
+    PAGES (per-page dedup first — the fixture repeats its nav link
+    twice per page, so the anti-spam normalization is the thing
+    certified, along with relative-href resolution against the
+    linking page's host and distinct doc_ids collapsing onto one URI).
+    Oracle replays the page group, link plan, and counts
+    arithmetically.  Shuffles carry (target, term) pairs only; hub
+    targets combine map-side."""
+    d = tables(spark, sf_dir)("documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    hub = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit('<a href="https://hub.example.com/x">Shared Hub Link</a>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home Page</a>'
+              '<a href="/">Home Page</a></nav><p>body</p>'),
+        F.lit('<a href="/cat/'), k, F.lit('">category '), k, F.lit("</a>"),
+        hub,
+        F.lit("</body></html>"),
+    )
+    uri = F.concat(
+        F.lit("https://www.site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p/"), (F.col("doc_id") % 50).cast("string"),
+    )
+    return text.anchor_text_terms(
+        d.select(uri.alias("uri"), html.alias("html")), "uri", "html"
+    )

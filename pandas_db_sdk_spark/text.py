@@ -2809,3 +2809,58 @@ def revisit_schedule(
         interval.alias("revisit_interval_s"),
         (F.col("__last") + interval).alias("next_fetch_ts"),
     )
+
+
+def anchor_text_terms(
+    pages: DataFrame,
+    uri_col: str = "uri",
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor-text aggregation — the classic web-graph signal (anchor
+    words describe the TARGET page better than its own text; search
+    engines and LLM-corpus builders both mine it): extract every
+    ``<a href>`` link with its anchor text, resolve relative hrefs
+    against the linking page's scheme+host, and aggregate per
+    (target, term) with the count of linking PAGES carrying that term
+    (per-page dedup first, so a nav bar repeated in one page counts
+    once — the standard anti-spam normalization).
+
+    Pure codegen extraction: one ``regexp_extract_all`` over anchor
+    tags + per-element extracts inside ``transform`` HOFs, one
+    explode, one distinct, one count — shuffles carry (target, term)
+    pairs, never HTML.  Scale: links-per-page-bounded explode; the
+    (target, term) aggregate is partial-aggregable, so hub targets
+    (everyone links the homepage) combine map-side."""
+    u = F.col(uri_col)
+    host = F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    tags = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'),
+        0,
+    )
+    href = F.regexp_extract("__tag", r'(?is)href="([^"]*)"', 1)
+    anchor = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract("__tag", r"(?is)>(.*?)</a>$", 1),
+                r"<[^>]+>|\s+",
+                " ",
+            )
+        )
+    )
+    target = F.when(
+        href.startswith("/"), F.concat(F.col("__host"), href)
+    ).otherwise(href)
+    links = (
+        pages.select(u.alias("__uri"), host.alias("__host"), F.explode(tags).alias("__tag"))
+        .select(
+            F.col("__uri"),
+            target.alias("target"),
+            F.explode(F.split(anchor, " ")).alias("term"),
+        )
+        .filter((F.col("term") != "") & (F.col("target") != ""))
+        .distinct()  # one vote per linking page per (target, term)
+    )
+    return links.groupBy("target", "term").agg(
+        F.count("*").cast("long").alias("n_linking_pages")
+    )

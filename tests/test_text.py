@@ -1035,3 +1035,32 @@ def test_revisit_schedule_change_classes_and_clamps(spark):
     assert out["b"].n_changes == 0 and out["b"].revisit_interval_s == 10 * day
     assert out["c"].revisit_interval_s == 3600 and out["c"].next_fetch_ts == 3600
     assert out["d"].revisit_interval_s == 2_592_000  # 30-day ceiling
+
+
+def test_anchor_text_terms_dedup_resolution_and_votes(spark):
+    """d153 operator contract: per-page dedup (a nav link repeated in
+    one page counts once), relative hrefs resolve against the linking
+    page's host, absolute hrefs pass through, inner tags strip from
+    anchors, and votes count distinct linking pages."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.com/1",
+                '<a href="/t">Great <b>Docs</b></a><a href="/t">Great Docs</a>',
+            ),
+            ("https://a.com/2", '<a href="/t">great docs</a>'),
+            ("https://b.com/x", '<a href="https://a.com/t">other words</a>'),
+        ],
+        "uri string, html string",
+    )
+    from pandas_db_sdk_spark import text as _t
+
+    out = {
+        (r.target, r.term): r.n_linking_pages
+        for r in _t.anchor_text_terms(pages).collect()
+    }
+    assert out[("https://a.com/t", "great")] == 2  # page 1 deduped, page 2
+    assert out[("https://a.com/t", "docs")] == 2   # inner <b> stripped
+    assert out[("https://a.com/t", "other")] == 1  # absolute href resolved
+    assert out[("https://a.com/t", "words")] == 1
+    assert len(out) == 4
