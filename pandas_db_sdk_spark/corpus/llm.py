@@ -7110,6 +7110,11 @@ def d150(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("r")
         )
     )
+    from .._scratch import scratch_persist
+
+    # the series table feeds sax_words' global-bounds agg AND its main
+    # pass — persist so the orders scan + join run once
+    rev = scratch_persist(rev, "d150/nation_weekly_revenue")
     return timeseries.sax_words(
         rev, entity_col="nation", t_col="week", v_col="r", segments=4
     )

@@ -612,8 +612,17 @@ def kcore(
     ADAPTIVE: sub-``local_threshold`` edge tables peel driver-side
     (identical cascade, identical raise contract);
     ``local_threshold=0`` pins the distributed path."""
-    clean = edges.select(F.col(a), F.col(b)).filter(
-        F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(a) != F.col(b))
+    from ._scratch import scratch_persist
+
+    # one materialization for probe, collect AND the distributed
+    # fall-through's edge doubling (the connected_components ADVICE-r10
+    # discipline: an unpersisted plan recomputes between the two actions
+    # and its row count can drift past the bound)
+    clean = scratch_persist(
+        edges.select(F.col(a), F.col(b)).filter(
+            F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(a) != F.col(b))
+        ),
+        "kcore/clean_edges",
     )
     id_type = dict(edges.dtypes)[a]
 
@@ -644,8 +653,6 @@ def kcore(
                 [(u, len(nb)) for u, nb in adj.items()],
                 f"id {id_type}, core_degree int",
             )
-
-    from ._scratch import scratch_persist
 
     e = scratch_persist(
         clean.select(F.col(a).alias("s"), F.col(b).alias("d"))

@@ -2552,6 +2552,12 @@ def dedup_lines_corpus(
     set joins back as a semi-filter keyed on (line, id, line_no), then
     one doc-keyed shuffle reassembles.  Line TEXT never rides a shuffle
     twice: the reassembly carries only surviving rows."""
+    from ._scratch import scratch_persist
+
+    # the exploded line table feeds three consumers (winner agg, the
+    # semi-join's probe side, per-doc totals) — persist so the upstream
+    # split/explode (at 100 TB, the corpus scan) runs once
+    lines = scratch_persist(lines, "dedup_lines_corpus/lines")
     lid, lno, lln = F.col(id_col), F.col(line_no_col), F.col(line_col)
     winners = (
         lines.groupBy(line_col)
