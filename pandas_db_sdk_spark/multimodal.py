@@ -4101,6 +4101,9 @@ def y4m_frame_sample(
     so downstream stages see 1/every_n of the bytes; pure Arrow
     mapInPandas, zero shuffles, embarrassingly parallel."""
 
+    if every_n < 1:
+        raise ValueError("y4m_frame_sample: every_n must be >= 1")
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -4212,6 +4215,9 @@ def resize_area(
     mapInPandas, zero shuffles; the resized frame is out_w*out_h/(w*h)
     of the input bytes — like frame sampling, a data valve."""
 
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize_area: output grid must be >= 1x1")
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -4285,6 +4291,13 @@ def stft_frame_features(
     im_scaled, is_peak).  Scale: pure Arrow mapInPandas, zero
     shuffles; frames x bins rows per file, independent of corpus
     size."""
+
+    if frame_len < 1 or hop < 1 or n_bins < 2 or n_bins > frame_len:
+        raise ValueError(
+            "stft_frame_features needs frame_len >= 1, hop >= 1 and "
+            "2 <= n_bins <= frame_len (bin 0 is DC; the peak needs a "
+            "non-DC bin to point at)"
+        )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct

@@ -2786,6 +2786,12 @@ def revisit_schedule(
     from pyspark.sql import Window
 
     w = Window.partitionBy(url_col).orderBy(ts_col)
+    # NULL-hygiene shared with the graph ops: a fetch row without a
+    # timestamp cannot order and would poison span/lag — drop it on the
+    # way in rather than letting min/max and lag disagree about it
+    fetches = fetches.filter(
+        F.col(ts_col).isNotNull() & F.col(url_col).isNotNull()
+    )
     changed = (
         F.lag(F.col(digest_col)).over(w).isNotNull()
         & (F.col(digest_col) != F.lag(F.col(digest_col)).over(w))

@@ -1420,3 +1420,23 @@ def test_parse_wet_roundtrip_and_poison(spark):
     assert got["https://a.com/1"].text == "hello world"
     assert got["https://a.com/2"].text == tricky.decode()
     assert all(r.n_records == 2 and r.content_length == len(r.text) for r in rows if r.doc_id == 1)
+
+
+def test_media_op_parameter_guards(spark):
+    """Degenerate parameters raise up front (never a mid-job
+    ZeroDivision/ValueError inside an executor): STFT bin/frame bounds,
+    frame-sampling stride, resize grid."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    frames = multimodal.synth_raw_rgb(docs, "doc_id")
+    wavs = multimodal.synth_pcm_wav(docs, "doc_id")
+    y4m = multimodal.synth_y4m(docs, "doc_id")
+    with _pytest.raises(ValueError, match="n_bins"):
+        multimodal.stft_frame_features(wavs, n_bins=1)
+    with _pytest.raises(ValueError, match="n_bins"):
+        multimodal.stft_frame_features(wavs, frame_len=8, n_bins=9)
+    with _pytest.raises(ValueError, match="every_n"):
+        multimodal.y4m_frame_sample(y4m, every_n=0)
+    with _pytest.raises(ValueError, match="output grid"):
+        multimodal.resize_area(frames, out_w=0)
