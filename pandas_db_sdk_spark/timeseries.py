@@ -736,7 +736,9 @@ def znorm_query_topk(
 
     Returns the top-k (entity, n_common, rho, znorm_dist), distance
     ascending with entity tie-break — a TakeOrdered plan, no global
-    sort.  Scale: linear in the fact table (one partial+final agg per
+    sort.  The query grid must be unique on the time key (a duplicate
+    t would double-join its point into every series' moments) —
+    pre-aggregate the query series if it isn't.  Scale: linear in the fact table (one partial+final agg per
     entity); a million-series corpus needs no pair explosion because
     the query side is ONE broadcast series; for many-query workloads
     compose per query or block with PAA/SAX upstream."""
