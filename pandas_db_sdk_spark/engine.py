@@ -1023,6 +1023,7 @@ class DataFrameEngine:
             "versions": versions,
             "total_rows": sum(v["n_rows"] for v in versions),
             "total_bytes": sum(v["n_bytes"] for v in versions),
+            "branched_from": ds.get("branched_from"),
         }
 
     # ---------------------------------------------------------------- compact
@@ -1499,6 +1500,73 @@ class DataFrameEngine:
                 entry["latest"] = entry["versions"][-1]
             self._write_manifest(manifest)
         return {"deleted_versions": doomed, "kept": len(ds["versions"]) - len(doomed)}
+
+    def branch_dataset(
+        self, source_name: str, branch_name: str
+    ) -> Dict[str, Any]:
+        """Fork a dataset into an independent BRANCH (the lakehouse
+        branching shape — Iceberg refs / Nessie — at warehouse level):
+        the branch starts with every committed version of the source and
+        then evolves independently — saves, retention, restore, and
+        deletion on either side never affect the other.
+
+        Zero-copy on a local/posix warehouse: version files HARDLINK
+        into the branch's own directory tree (same inodes, no data
+        bytes moved), which is what makes the isolation real — source
+        retention can delete its directory entries while the branch's
+        links keep the shared inodes alive (pinned in tests).  A
+        cross-device or object-store warehouse falls back to file copy
+        per file (the manifest-reference design an Iceberg-style
+        catalog would use instead is noted in the docstring body —
+        this engine keeps load()'s one-root contract).  The branch
+        entry records ``branched_from`` (source + fork point) so data
+        cards can show lineage.
+        """
+        src = self._dataset_entry(source_name)
+        existing = self._read_manifest()["datasets"].get(branch_name)
+        if existing is not None:
+            raise ValueError(f"dataset {branch_name!r} already exists")
+        dst_path = self._dataset_path(branch_name)
+        os.makedirs(dst_path, exist_ok=True)
+        for v in src["versions"]:
+            vdir = f"{VERSION_COL}={v}"
+            src_dir = os.path.join(src["path"], vdir)
+            for root, _dirs, files in os.walk(src_dir):
+                rel = os.path.relpath(root, src["path"])
+                os.makedirs(os.path.join(dst_path, rel), exist_ok=True)
+                for fn in files:
+                    s = os.path.join(root, fn)
+                    d = os.path.join(dst_path, rel, fn)
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            if branch_name in manifest["datasets"]:
+                raise ValueError(f"dataset {branch_name!r} already exists")
+            manifest["datasets"][branch_name] = {
+                "path": dst_path,
+                "columns_keys": src["columns_keys"],
+                "versions": list(src["versions"]),
+                "schema": src["schema"],
+                "provenance": dict(src.get("provenance", {})),
+                "latest": src.get("latest"),
+                "branched_from": {
+                    "source": source_name,
+                    "at_versions": [str(v) for v in src["versions"]],
+                },
+            }
+            if "constraints" in src:
+                manifest["datasets"][branch_name]["constraints"] = list(
+                    src["constraints"]
+                )
+            self._write_manifest(manifest)
+        return {
+            "dataframe_name": branch_name,
+            "branched_from": source_name,
+            "versions": [str(v) for v in src["versions"]],
+        }
 
     def delete_dataset(self, dataframe_name: str) -> Dict[str, Any]:
         """Drop a dataset: remove its data directory and catalog entry.

@@ -1752,3 +1752,53 @@ def test_load_incremental_version_filter_prunes_partitions(engine, spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "__version" in m.group(1), plan
+
+
+def test_branch_dataset_zero_copy_fork_and_isolation(spark, tmp_path):
+    """r11 branching contract: the branch starts with every source
+    version (load parity), then the two evolve independently — a save on
+    the branch never appears on main, and RETENTION ON MAIN cannot
+    corrupt the branch (hardlinked inodes outlive the source's directory
+    entries). Lineage is recorded; double-branch raises."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    eng.save(df1, "main/ds", external_key="v1")
+    eng.save(df2, "main/ds", external_key="v2")
+
+    info = eng.branch_dataset("main/ds", "exp/ds")
+    assert info["versions"] == ["v1", "v2"]
+
+    # load parity at the fork point, per version and latest
+    assert {r.id for r in eng.load("exp/ds", use_last=True).collect()} == {3}
+    assert {r.id for r in eng.load("exp/ds", external_key="v1").collect()} == {1, 2}
+
+    # divergence: branch save invisible on main and vice versa
+    eng.save(spark.createDataFrame([(9, "z")], "id long, v string"),
+             "exp/ds", external_key="v3")
+    eng.save(spark.createDataFrame([(7, "m")], "id long, v string"),
+             "main/ds", external_key="m3")
+    assert {r.id for r in eng.load("exp/ds", use_last=True).collect()} == {9}
+    assert {r.id for r in eng.load("main/ds", use_last=True).collect()} == {7}
+    # full-history reads diverge too: m3 only on main, v3 only on branch
+    assert {r.id for r in eng.load("exp/ds").collect()} == {1, 2, 3, 9}
+    assert {r.id for r in eng.load("main/ds").collect()} == {1, 2, 3, 7}
+    listing = eng.list_datasets()["dataframes"]
+    assert "v3" not in listing["main/ds"]["versions"]
+    assert "m3" not in listing["exp/ds"]["versions"]
+
+    # retention on main deletes its v1/v2 dirs; the branch still reads them
+    eng.retain_last("main/ds", 1)
+    assert {r.id for r in eng.load("exp/ds", external_key="v1").collect()} == {1, 2}
+    assert {r.id for r in eng.load("exp/ds", external_key="v2").collect()} == {3}
+
+    # lineage recorded; name collision refused
+    desc = eng.describe_dataset("exp/ds")
+    assert desc["branched_from"]["source"] == "main/ds"
+    assert eng.describe_dataset("main/ds")["branched_from"] is None
+    with _pytest.raises(ValueError, match="already exists"):
+        eng.branch_dataset("main/ds", "exp/ds")
