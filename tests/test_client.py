@@ -149,6 +149,7 @@ def test_example_scripts_run(spark):
         ("ann_serving", ("/root/testdata/sf0.001", tempfile.mkdtemp() + "/ix")),
         ("release_audit", ("/root/testdata/sf0.001", tempfile.mkdtemp())),
         ("crawl_pipeline", ("/root/testdata/sf0.001",)),
+        ("cleaning_ladder", ("/root/testdata/sf0.001",)),
     ):
         path = os.path.join(root, "examples", f"{name}.py")
         spec = importlib.util.spec_from_file_location(f"examples_{name}", path)
