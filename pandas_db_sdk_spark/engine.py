@@ -1568,6 +1568,91 @@ class DataFrameEngine:
             "versions": [str(v) for v in src["versions"]],
         }
 
+    def merge_branch(
+        self, branch_name: str, into_name: str
+    ) -> Dict[str, Any]:
+        """FAST-FORWARD a branch back into another dataset (the
+        complement of :func:`branch_dataset`): every version the branch
+        has that the target lacks is appended to the target, in the
+        branch's commit order — files hardlink across (zero-copy, same
+        contract as branching), the target's latest pointer moves to
+        the newest merged version, and provenance travels.
+
+        A version LABEL present on both sides is only skipped when it
+        is the SAME commit (identical file inventory — the shared
+        fork-point versions); a label collision with different content
+        raises listing the conflicts, because silently preferring
+        either side would rewrite committed history (resolve by
+        restoring one side under a new key first).  Schema merges
+        through the same evolution rule as append."""
+        src = self._dataset_entry(branch_name)
+        dst = self._dataset_entry(into_name)
+
+        def inventory(path: str, v) -> Dict[str, int]:
+            vdir = os.path.join(path, f"{VERSION_COL}={v}")
+            out: Dict[str, int] = {}
+            for root, _dirs, files in os.walk(vdir):
+                for fn in files:
+                    if fn.startswith((".", "_")):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, fn), vdir)
+                    out[rel] = os.path.getsize(os.path.join(root, fn))
+            return out
+
+        dst_versions = {str(v) for v in dst["versions"]}
+        to_merge, conflicts = [], []
+        for v in src["versions"]:
+            if str(v) not in dst_versions:
+                to_merge.append(str(v))
+            elif inventory(src["path"], v) != inventory(dst["path"], v):
+                conflicts.append(str(v))
+        if conflicts:
+            raise ValueError(
+                f"merge_branch: version label(s) {conflicts} exist on both "
+                f"{branch_name!r} and {into_name!r} with DIFFERENT content — "
+                "restore one side under a new key, then merge"
+            )
+        for v in to_merge:
+            vdir = f"{VERSION_COL}={v}"
+            src_dir = os.path.join(src["path"], vdir)
+            for root, _dirs, files in os.walk(src_dir):
+                rel = os.path.relpath(root, src["path"])
+                os.makedirs(os.path.join(dst["path"], rel), exist_ok=True)
+                for fn in files:
+                    s = os.path.join(root, fn)
+                    d = os.path.join(dst["path"], rel, fn)
+                    try:
+                        os.link(s, d)
+                    except FileExistsError:
+                        pass  # idempotent re-merge after a crash
+                    except OSError:
+                        shutil.copy2(s, d)
+        from pyspark.sql import types as T
+
+        with self._manifest_lock():
+            manifest = self._read_manifest()
+            entry = manifest["datasets"].get(into_name)
+            if entry is None:
+                raise DatasetNotFound(into_name)
+            src_entry = manifest["datasets"].get(branch_name) or src
+            entry["schema"] = self._merge_schema(
+                entry["schema"], T.StructType.fromJson(json.loads(src_entry["schema"]))
+            ).json()
+            for v in to_merge:
+                if v not in {str(x) for x in entry["versions"]}:
+                    entry["versions"].append(v)
+                prov = src_entry.get("provenance", {}).get(v)
+                if prov is not None:
+                    entry.setdefault("provenance", {})[v] = prov
+            if to_merge:
+                entry["latest"] = to_merge[-1]
+            self._write_manifest(manifest)
+        return {
+            "merged_versions": to_merge,
+            "into": into_name,
+            "from": branch_name,
+        }
+
     def delete_dataset(self, dataframe_name: str) -> Dict[str, Any]:
         """Drop a dataset: remove its data directory and catalog entry.
 

@@ -1802,3 +1802,33 @@ def test_branch_dataset_zero_copy_fork_and_isolation(spark, tmp_path):
     assert eng.describe_dataset("main/ds")["branched_from"] is None
     with _pytest.raises(ValueError, match="already exists"):
         eng.branch_dataset("main/ds", "exp/ds")
+
+
+def test_merge_branch_fast_forward_and_conflicts(spark, tmp_path):
+    """r11 branching round-trip: branch -> diverge -> merge back.
+    Branch-only versions fast-forward into main (order + latest +
+    provenance), shared fork-point labels are recognized as the same
+    commit and skipped, and a label collision with DIFFERENT content
+    refuses with the conflict listed."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(spark.createDataFrame([(1,)], "id long"), "m", external_key="v1")
+    eng.branch_dataset("m", "f")
+    eng.save(spark.createDataFrame([(2,)], "id long"), "f", external_key="v2")
+    eng.save(spark.createDataFrame([(3,)], "id long"), "f", external_key="v3")
+
+    out = eng.merge_branch("f", "m")
+    assert out["merged_versions"] == ["v2", "v3"]
+    assert {r.id for r in eng.load("m").collect()} == {1, 2, 3}
+    assert eng.load("m", use_last=True).collect()[0].id == 3
+    # idempotent: nothing left to merge, shared labels are same-commit
+    assert eng.merge_branch("f", "m")["merged_versions"] == []
+
+    # conflicting label: same key, different content on both sides
+    eng.save(spark.createDataFrame([(8,)], "id long"), "m", external_key="vX")
+    eng.save(spark.createDataFrame([(9,)], "id long"), "f", external_key="vX")
+    with _pytest.raises(ValueError, match="vX"):
+        eng.merge_branch("f", "m")
