@@ -1239,6 +1239,44 @@ class DataFrameEngine:
             ),
         }
 
+    def diff_branches(self, branch_name: str, other_name: str):
+        """What diverged between two datasets sharing history (the
+        branch-review read before :func:`merge_branch`): versions only
+        on each side, shared labels whose CONTENT differs (the
+        merge-blocking conflicts, detected by the same file-inventory
+        compare merge_branch uses), and the fork point recorded at
+        branch time.  Metadata-only — directory listings, no data
+        read."""
+        a = self._dataset_entry(branch_name)
+        b = self._dataset_entry(other_name)
+
+        def inventory(path: str, v) -> Dict[str, int]:
+            vdir = os.path.join(path, f"{VERSION_COL}={v}")
+            out: Dict[str, int] = {}
+            for root, _dirs, files in os.walk(vdir):
+                for fn in files:
+                    if fn.startswith((".", "_")):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, fn), vdir)
+                    out[rel] = os.path.getsize(os.path.join(root, fn))
+            return out
+
+        va = {str(v) for v in a["versions"]}
+        vb = {str(v) for v in b["versions"]}
+        conflicts = [
+            v
+            for v in sorted(va & vb)
+            if inventory(a["path"], v) != inventory(b["path"], v)
+        ]
+        return {
+            "branch": branch_name,
+            "other": other_name,
+            "only_on_branch": [str(v) for v in a["versions"] if str(v) not in vb],
+            "only_on_other": [str(v) for v in b["versions"] if str(v) not in va],
+            "conflicting_labels": conflicts,
+            "branched_from": a.get("branched_from"),
+        }
+
     def stream_changes(
         self,
         dataframe_name: str,

@@ -1832,3 +1832,19 @@ def test_merge_branch_fast_forward_and_conflicts(spark, tmp_path):
     eng.save(spark.createDataFrame([(9,)], "id long"), "f", external_key="vX")
     with _pytest.raises(ValueError, match="vX"):
         eng.merge_branch("f", "m")
+
+
+def test_diff_branches_reports_divergence_and_conflicts(spark, tmp_path):
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(spark.createDataFrame([(1,)], "id long"), "m", external_key="v1")
+    eng.branch_dataset("m", "f")
+    eng.save(spark.createDataFrame([(2,)], "id long"), "f", external_key="v2")
+    eng.save(spark.createDataFrame([(8,)], "id long"), "m", external_key="vX")
+    eng.save(spark.createDataFrame([(9,)], "id long"), "f", external_key="vX")
+    d = eng.diff_branches("f", "m")
+    assert d["only_on_branch"] == ["v2"]
+    assert d["only_on_other"] == []
+    assert d["conflicting_labels"] == ["vX"]
+    assert d["branched_from"]["source"] == "m"
