@@ -508,7 +508,8 @@ _R11_NEW = frozenset(
     d144_image_resize_area d145_kcore d146_encoding_quality
     d147_url_blocklist d148_lpa_communities
     d149_ts_similarity_search d150_sax_blocking
-    d151_revisit_schedule d152_wet_conversion d153_anchor_text""".split()
+    d151_revisit_schedule d152_wet_conversion d153_anchor_text
+    d154_image_dhash""".split()
 )
 
 

@@ -7332,3 +7332,41 @@ def d153(spark, sf_dir):
     return text.anchor_text_terms(
         d.select(uri.alias("uri"), html.alias("html")), "uri", "html"
     )
+
+
+@q(
+    "d154_image_dhash",
+    """WITH g AS (SELECT doc_id, x.x AS gx, y.y AS gy,
+                (x.x * 16) // 9 AS sx, (y.y * 16) // 8 AS sy
+           FROM documents, range(0, 9) x(x), range(0, 8) y(y)),
+       px AS (SELECT doc_id, gx, gy,
+                ((7*doc_id + 3*sx + 5*sy) % 256)
+              + ((7*doc_id + 3*sx + 5*sy + 11) % 256)
+              + ((7*doc_id + 3*sx + 5*sy + 22) % 256) AS gray
+              FROM g),
+       b AS (SELECT a.doc_id, a.gy AS y, a.gx AS x,
+               CASE WHEN a.gray > r.gray THEN 1 ELSE 0 END AS bit
+             FROM px a JOIN px r
+               ON r.doc_id = a.doc_id AND r.gy = a.gy AND r.gx = a.gx + 1
+             WHERE a.gx < 8)
+       SELECT doc_id, CAST(sum(bit) AS INT) AS n_ones,
+              CAST(sum(CASE WHEN 8*y + x < 32
+                       THEN bit * (1::BIGINT << (8*y + x)) ELSE 0 END)
+                   AS BIGINT) AS hash_lo,
+              CAST(sum(CASE WHEN 8*y + x >= 32
+                       THEN bit * (1::BIGINT << (8*y + x - 32)) ELSE 0 END)
+                   AS BIGINT) AS hash_hi
+       FROM b GROUP BY 1""",
+)
+def d154(spark, sf_dir):
+    """Multimodal tier (r11): difference-hash (``multimodal.dhash_64``)
+    completes the canonical perceptual trio (aHash d115 / pHash d141 /
+    dHash): 9x8 nearest-neighbor grid, bit = left-brighter-than-right
+    per row — integer-exact end to end, so the oracle replays grid
+    sampling and every comparison.  Gradient signs survive global
+    brightness shifts; Hamming clustering rides hamming_clusters like
+    the others.  Zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.dhash_64(
+        multimodal.synth_raw_rgb(d, "doc_id"), "payload", "doc_id"
+    )

@@ -4373,6 +4373,66 @@ def stft_frame_features(
         " im_scaled long, is_peak int",
     )
 
+def dhash_64(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Difference-hash (dHash) over decoded RGB frames — the third of
+    the canonical perceptual-hash trio (aHash :func:`ahash_64` = mean
+    threshold, pHash :func:`phash_64` = DCT median, dHash = horizontal
+    GRADIENT sign): sample the grayscale frame to a 9x8 grid and set
+    bit (8*y + x) when cell (x, y) is brighter than its right
+    neighbor (x+1, y) — 8 comparisons per row, 64 bits.  Gradients
+    survive global brightness shifts and are cheap enough for the
+    first-pass dedup sieve.
+
+    Exact-arithmetic discipline: grayscale is the unscaled channel sum
+    and the 9x8 grid is NEAREST-NEIGHBOR sampling at src = (i * w) // 9
+    (resp. (j * h) // 8) — pure integer ops, so the oracle replays
+    every comparison.  Emitted as the (n_ones, hash_lo, hash_hi)
+    layout shared by the trio; Hamming clustering rides
+    dedup.hamming_clusters.  Zero shuffles (mapInPandas)."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, w, h, buf in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf[payload_col]
+            ):
+                w, h = int(w), int(h)
+                if w < 9 or h < 8:
+                    continue
+                try:
+                    arr = (
+                        np.frombuffer(bytes(buf), dtype=np.uint8)
+                        .reshape(h, w, 3)
+                        .astype(np.int64)
+                    )
+                except ValueError:
+                    continue
+                gray = arr.sum(axis=2)
+                xs = (np.arange(9) * w) // 9
+                ys = (np.arange(8) * h) // 8
+                grid = gray[np.ix_(ys, xs)]  # 8 rows x 9 cols
+                bits = grid[:, :-1] > grid[:, 1:]
+                val = 0
+                for y in range(8):
+                    for x in range(8):
+                        if bits[y, x]:
+                            val |= 1 << (8 * y + x)
+                rows.append(
+                    (int(i), int(bits.sum()), int(val & 0xFFFFFFFF), int(val >> 32))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_ones", "hash_lo", "hash_hi"]
+            )
+
+    return df.mapInPandas(
+        hashes,
+        f"{id_col} long, n_ones int, hash_lo long, hash_hi long",
+    )
+
 
 def phash_64(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"

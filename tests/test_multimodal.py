@@ -1440,3 +1440,42 @@ def test_media_op_parameter_guards(spark):
         multimodal.y4m_frame_sample(y4m, every_n=0)
     with _pytest.raises(ValueError, match="output grid"):
         multimodal.resize_area(frames, out_w=0)
+
+
+def test_dhash_brightness_shift_invariance_and_edit_sensitivity(spark):
+    """d154 operator contract: a global +30 brightness shift (no
+    clipping) leaves every gradient sign — hence the hash — unchanged;
+    mirroring the frame horizontally changes it; sub-9x8 frames skip."""
+    import numpy as np
+    import pandas as pd
+
+    def frames(transform):
+        rows = []
+        for i in range(3):
+            y, x, c = np.meshgrid(
+                np.arange(16), np.arange(16), np.arange(3), indexing="ij"
+            )
+            arr = ((7 * i + 3 * x + 5 * y + 11 * c) % 101).astype(np.int64)
+            arr = transform(arr).astype(np.uint8)
+            rows.append((i, 16, 16, arr.tobytes()))
+        rows.append((99, 4, 4, b"\x00" * 48))  # too small -> skip
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "width", "height", "payload"]),
+            "doc_id long, width int, height int, payload binary",
+        )
+
+    base = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in multimodal.dhash_64(frames(lambda a: a)).collect()
+    }
+    assert 99 not in base and len(base) == 3
+    shifted = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in multimodal.dhash_64(frames(lambda a: a + 30)).collect()
+    }
+    assert base == shifted
+    mirrored = {
+        r.doc_id: (r.hash_lo, r.hash_hi)
+        for r in multimodal.dhash_64(frames(lambda a: a[:, ::-1, :].copy())).collect()
+    }
+    assert any(mirrored[i] != base[i] for i in base)
