@@ -1014,6 +1014,7 @@ def test_media_feature_ops_are_zero_exchange_maps(spark, queries):
         "d142_audio_stft",
         "d143_y4m_frame_sample",
         "d144_image_resize_area",
+        "d154_image_dhash",
     ):
         plan = plan_of(queries[name](spark, SF))
         assert _unique_exchanges(plan) == 0, (name, plan)
