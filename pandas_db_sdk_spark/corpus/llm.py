@@ -7370,3 +7370,69 @@ def d154(spark, sf_dir):
     return multimodal.dhash_64(
         multimodal.synth_raw_rgb(d, "doc_id"), "payload", "doc_id"
     )
+
+
+@q(
+    "d155_code_switch",
+    """WITH w AS (SELECT doc_id, string_split(text ||
+           CASE WHEN doc_id % 6 = 0
+                THEN ' el la que y en un por con una el la de que y en un'
+                ELSE '' END, ' ') AS w
+         FROM documents),
+       ln AS (SELECT doc_id, CAST((s - 1) // 8 AS INT) AS line_no,
+                list_transform(w[s : s + 7], t -> lower(t)) AS tk
+              FROM w, LATERAL (
+                SELECT unnest(range(1, greatest(len(w), 1) + 1, 8)) AS s)),
+       lex(lang, lx) AS (VALUES
+         ('de', ['der','die','und','das','von','zu','mit','ein','auf','ist']),
+         ('en', ['the','and','of','to','a','in','is','that','for','it']),
+         ('es', ['el','la','de','que','y','en','un','por','con','una']),
+         ('fr', ['le','la','de','et','les','des','un','une','du','est'])),
+       sc AS (SELECT doc_id, line_no, lex.lang,
+                round(len(list_filter(tk, t -> list_contains(lex.lx, t)))::DOUBLE
+                      / greatest(len(tk), 1), 6) AS s
+              FROM ln, lex),
+       pl AS (SELECT doc_id, line_no, lang FROM (
+                SELECT doc_id, line_no, lang,
+                  row_number() OVER (PARTITION BY doc_id, line_no
+                                     ORDER BY s DESC, lang DESC) AS rn
+                FROM sc) WHERE rn = 1),
+       cnt AS (SELECT doc_id, lang, count(*) AS c FROM pl GROUP BY 1, 2),
+       mj AS (SELECT doc_id, lang AS majority_lang FROM (
+                SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, lang DESC) AS rn
+                FROM cnt) WHERE rn = 1),
+       ag AS (SELECT pl.doc_id, count(*) AS n_lines,
+                sum(CASE WHEN pl.lang <> mj.majority_lang
+                    THEN 1 ELSE 0 END) AS n_sw
+              FROM pl JOIN mj ON pl.doc_id = mj.doc_id GROUP BY 1)
+       SELECT ag.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+              mj.majority_lang,
+              CAST(n_sw AS BIGINT) AS n_switch_lines,
+              round(n_sw::DOUBLE / n_lines, 6) AS switch_ratio
+       FROM ag JOIN mj ON ag.doc_id = mj.doc_id""",
+)
+def d155(spark, sf_dir):
+    """Multilingual tier (r11): CODE-SWITCH detection
+    (``text.code_switch_stats``) — per-LINE language ID (the d09
+    lexicons, scores, and (score, lang) argmax verbatim — the op
+    composes ``language_id`` over the line table), per-document
+    majority (count-desc/lang-desc tie), dissenting-line counts.  The
+    fixture plants a 16-word Spanish span in every sixth document —
+    long enough that at least one chunk-aligned window is fully
+    Spanish regardless of alignment, so those docs MUST report
+    nonzero switch lines.  The oracle replays lexicon scoring, both
+    argmaxes, and the ratios."""
+    d = tables(spark, sf_dir)("documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit(" el la que y en un por con una el la de que y en un"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.code_switch_stats(planted, "doc_id", "text")

@@ -2876,3 +2876,70 @@ def anchor_text_terms(
     return links.groupBy("target", "term").agg(
         F.count("*").cast("long").alias("n_linking_pages")
     )
+
+
+def code_switch_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 8,
+) -> DataFrame:
+    """Code-switch detection — the multilingual-corpus audit doc-level
+    language ID (d09) cannot express: a document whose LINES disagree
+    about their language (embedded quotes, boilerplate in another
+    locale, scraped bilingual pages) needs per-segment identification
+    before per-language routing/filtering.  Chunks the word stream into
+    ``words_per_line``-word lines, runs :func:`language_id` per line
+    (same lexicons, same rounded scores, same (score, lang) argmax
+    tie-break), takes the per-document MAJORITY line language
+    (count-desc, lang-desc tie-break), and reports how many lines
+    dissent.
+
+    Returns (id, n_lines, majority_lang, n_switch_lines,
+    switch_ratio).  Scale: the per-line scoring is pure codegen HOFs
+    (zero shuffle); two doc-keyed aggregates + one broadcast-sized
+    majority join re-key on the document — line text never shuffles."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(words_per_line))
+    lined = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.array_join(F.slice(toks, s, words_per_line), " "),
+            )
+        ).alias("line_no", "line"),
+    )
+    scored = language_id(lined, "line").select(
+        id_col, "line_no", F.col("predicted_lang").alias("__pl")
+    )
+    per_lang = scored.groupBy(id_col, "__pl").agg(F.count("*").alias("__c"))
+    majority = (
+        per_lang.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("__c"), F.col("__pl").alias("l"))
+            ).alias("__m")
+        )
+        .select(F.col(id_col).alias("__mid"), F.col("__m.l").alias("majority_lang"))
+    )
+    joined = scored.join(majority, scored[id_col] == majority["__mid"])
+    return (
+        joined.groupBy(id_col, "majority_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                (F.col("__pl") != F.col("majority_lang")).cast("long")
+            ).alias("n_switch_lines"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "majority_lang",
+            "n_switch_lines",
+            F.round(
+                F.col("n_switch_lines") / F.col("n_lines"), 6
+            ).alias("switch_ratio"),
+        )
+    )

@@ -1064,3 +1064,28 @@ def test_anchor_text_terms_dedup_resolution_and_votes(spark):
     assert out[("https://a.com/t", "other")] == 1  # absolute href resolved
     assert out[("https://a.com/t", "words")] == 1
     assert len(out) == 4
+
+
+def test_code_switch_stats_majority_and_dissent(spark):
+    """d155 operator contract: an all-English doc reports zero switch
+    lines; a doc with one fully-Spanish 8-word line reports exactly that
+    dissent; the planted-span guarantee (a 16-word foreign span always
+    yields >= 1 switch line whatever the chunk alignment) holds at every
+    offset."""
+    en8 = "the cat and the dog in the house"
+    es16 = "el la que y en un por con una el la de que y en un"
+    docs = [(1, " ".join([en8] * 3))]
+    # plant the span at every alignment offset 0..7
+    for off in range(8):
+        filler = " ".join(["the and of to a in is that".split()[i % 8] for i in range(off)])
+        body = (filler + " " if filler else "") + es16 + " " + " ".join([en8] * 4)
+        docs.append((10 + off, body))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from pandas_db_sdk_spark import text as _t
+
+    out = {r.doc_id: r for r in _t.code_switch_stats(df).collect()}
+    assert out[1].majority_lang == "en" and out[1].n_switch_lines == 0
+    for off in range(8):
+        r = out[10 + off]
+        assert r.majority_lang == "en" and r.n_switch_lines >= 1, (off, r)
+        assert 0 < r.switch_ratio < 1
