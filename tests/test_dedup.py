@@ -535,3 +535,22 @@ def test_lpa_round_semantics_are_synchronous(spark):
         for r in graph.label_propagation_communities(edges, rounds=1).collect()
     }
     assert out == {1: 2, 2: 1, 3: 2}
+
+
+def test_kcore_peeling_depth_budget_on_chain(spark):
+    """kcore's round budget is the graph's PEELING DEPTH, which is O(n)
+    on a path at k=2 (ends peel two per round) — the documented raise
+    contract must fire on a chain deeper than max_iter and succeed once
+    the budget covers it, on BOTH paths."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    for thr in (100_000, 0):
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            graph.kcore(chain, k=2, max_iter=5, local_threshold=thr)
+        # 41-node path: ends peel pairwise -> depth 20; budget 25 clears
+        assert graph.kcore(chain, k=2, max_iter=25, local_threshold=thr).count() == 0
