@@ -2714,7 +2714,14 @@ def url_blocklist_filter(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
         lambda i: F.array_join(F.slice(labels, i, n), "."),
     )
-    base = df.select(u.alias("url"), host.alias("host"))
+    from ._scratch import scratch_persist
+
+    # the slim (url, host) projection feeds the suffix explode AND the
+    # final audit join — persist so the (possibly expensive) frontier
+    # upstream scans once
+    base = scratch_persist(
+        df.select(u.alias("url"), host.alias("host")), "url_blocklist/base"
+    )
     exploded = base.select(
         "url", F.explode(suffixes).alias("__suffix")
     )
@@ -2911,8 +2918,16 @@ def code_switch_stats(
             )
         ).alias("line_no", "line"),
     )
-    scored = language_id(lined, "line").select(
-        id_col, "line_no", F.col("predicted_lang").alias("__pl")
+    from ._scratch import scratch_persist
+
+    # the slim per-line prediction feeds the per-language counts AND the
+    # dissent join — persist so the line scoring (a full corpus scan)
+    # runs once
+    scored = scratch_persist(
+        language_id(lined, "line").select(
+            id_col, "line_no", F.col("predicted_lang").alias("__pl")
+        ),
+        "code_switch/scored",
     )
     per_lang = scored.groupBy(id_col, "__pl").agg(F.count("*").alias("__c"))
     majority = (
