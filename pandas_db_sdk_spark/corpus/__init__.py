@@ -509,7 +509,7 @@ _R11_NEW = frozenset(
     d147_url_blocklist d148_lpa_communities
     d149_ts_similarity_search d150_sax_blocking
     d151_revisit_schedule d152_wet_conversion d153_anchor_text
-    d154_image_dhash d155_code_switch""".split()
+    d154_image_dhash d155_code_switch x42_cleaning_funnel""".split()
 )
 
 

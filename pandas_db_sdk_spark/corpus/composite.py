@@ -2193,3 +2193,140 @@ def x41(spark, sf_dir):
         )
         .select("s_name", "n_intervals", "covered_days", "span_days")
     )
+
+
+@q(
+    "x42_cleaning_funnel",
+    """WITH clean AS (
+         SELECT doc_id, text FROM documents
+         WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+           AND doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM clean),
+       ch AS (SELECT doc_id, (s - 1) // 8 AS i,
+                     array_to_string(w[s : s + 7], ' ') AS chunk
+              FROM w, LATERAL (
+                SELECT unnest(range(1, greatest(len(w), 1) + 1, 8)) AS s)),
+       ln AS (SELECT doc_id, i,
+                CASE (doc_id * 7 + i) % 4
+                  WHEN 0 THEN chunk || '.'
+                  WHEN 1 THEN chunk || '!'
+                  WHEN 2 THEN chunk
+                  ELSE 'javascript ' || chunk || '.' END AS line
+              FROM ch),
+       kept_ln AS (SELECT doc_id, i, line FROM ln
+              WHERE regexp_matches(line, '[.!?"]$')
+                AND len(string_split(line, ' ')) >= 5
+                AND NOT contains(lower(line), 'javascript')),
+       pages AS (SELECT doc_id, count(*) AS n_kept
+                 FROM kept_ln GROUP BY 1 HAVING count(*) >= 3),
+       surv_ln AS (SELECT k.doc_id, k.i, k.line FROM kept_ln k
+                   JOIN pages p ON p.doc_id = k.doc_id),
+       dd AS (SELECT doc_id, i, line,
+                row_number() OVER (PARTITION BY line
+                                   ORDER BY doc_id, i) AS rn
+              FROM surv_ln),
+       per_doc AS (SELECT p.doc_id,
+                     count(*) FILTER (WHERE dd.rn = 1) AS n_kept
+                   FROM pages p LEFT JOIN dd ON dd.doc_id = p.doc_id
+                   GROUP BY 1)
+       SELECT 'input' AS stage,
+              CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+       UNION ALL
+       SELECT 'encoding_clean', CAST((SELECT count(*) FROM clean) AS BIGINT)
+       UNION ALL
+       SELECT 'c4_kept', CAST((SELECT count(*) FROM pages) AS BIGINT)
+       UNION ALL
+       SELECT 'line_dedup_nonhollow',
+              CAST((SELECT count(*) FROM per_doc WHERE n_kept > 0) AS BIGINT)
+       UNION ALL
+       SELECT 'unique_lines',
+              CAST((SELECT coalesce(sum(n_kept), 0) FROM per_doc) AS BIGINT)""",
+)
+def x42(spark, sf_dir):
+    """Capstone composite (r11): the end-to-end CLEANING FUNNEL as ONE
+    certified program — the cleaning_ladder example's driver-checkable
+    twin: encoding audit (d146's planted damage gates every
+    7/11/13/17th doc out) -> C4 line/page rules (d138's decoration) ->
+    corpus-wide line dedup over the surviving lines (d139's keep-first)
+    — reported as stage containment counts, the retention-audit shape a
+    production pipeline dashboards.  Every stage reuses the CERTIFIED
+    operator (encoding_quality / c4_line_filter / dedup_lines_corpus)
+    unchanged; the oracle replays plants, rules, and the keep-first
+    window end to end.  All five counts compute in one job (tiny
+    single-row aggregates unioned)."""
+    from .. import text as _text
+
+    d = tables(spark, sf_dir)("documents")
+    idc = F.col("doc_id")
+    poison = F.concat(
+        F.when(idc % 7 == 0, F.lit(" Caf\u00c3\u00a9")).otherwise(F.lit("")),
+        F.when(idc % 11 == 0, F.lit(" don\u00e2\u20ac\u2122t")).otherwise(
+            F.lit("")
+        ),
+        F.when(idc % 13 == 0, F.lit(" \ufffd")).otherwise(F.lit("")),
+        F.when(idc % 17 == 0, F.lit(" \u0085ok")).otherwise(F.lit("")),
+    )
+    enc = _text.encoding_quality(
+        d.select("doc_id", F.concat(F.col("text"), poison).alias("text"))
+    )
+    clean = d.join(
+        enc.filter(~F.col("is_suspect")).select("doc_id"), "doc_id", "left_semi"
+    )
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(8)
+    )
+
+    def decorate(s):
+        chunk = F.array_join(F.slice(toks, s, 8), " ")
+        i = F.floor((s - 1) / 8).cast("long")
+        m = (F.col("doc_id") * 7 + i) % 4
+        return (
+            F.when(m == 0, F.concat(chunk, F.lit(".")))
+            .when(m == 1, F.concat(chunk, F.lit("!")))
+            .when(m == 2, chunk)
+            .otherwise(F.concat(F.lit("javascript "), chunk, F.lit(".")))
+        )
+
+    decorated = clean.select(
+        "doc_id",
+        F.array_join(F.transform(starts, decorate), "\n").alias("text"),
+    )
+    c4 = _text.c4_line_filter(decorated, "doc_id", "text")
+    kept = c4.filter(F.col("doc_kept")).select("doc_id", "clean_text")
+    lines = kept.select(
+        "doc_id",
+        F.posexplode(F.split("clean_text", "\n")).alias("line_no", "line"),
+    )
+    ded = _text.dedup_lines_corpus(lines, "doc_id", "line_no", "line")
+
+    out = (
+        d.agg(F.lit("input").alias("stage"), F.count("*").cast("long").alias("n"))
+        .unionAll(
+            clean.agg(
+                F.lit("encoding_clean").alias("stage"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+        .unionAll(
+            kept.agg(
+                F.lit("c4_kept").alias("stage"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+        .unionAll(
+            ded.filter(F.col("n_kept_lines") > 0).agg(
+                F.lit("line_dedup_nonhollow").alias("stage"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+        .unionAll(
+            ded.agg(
+                F.lit("unique_lines").alias("stage"),
+                F.coalesce(F.sum("n_kept_lines"), F.lit(0))
+                .cast("long")
+                .alias("n"),
+            )
+        )
+    )
+    return out
