@@ -311,6 +311,7 @@ def near_dup_probe(
     band_name: str,
     batch_bands: DataFrame,
     jaccard_threshold: float = 0.5,
+    exclude_version: Optional[str] = None,
 ) -> DataFrame:
     """sig_ids of batch docs whose EXACT shingle Jaccard reaches the
     threshold against any doc already in the persisted band index.
@@ -322,8 +323,15 @@ def near_dup_probe(
     corpus — the 100 TB fix for the probe re-scanning + re-band-hashing
     the full signature index every micro-batch. Raises DatasetNotFound
     when the index doesn't exist yet (first epoch).
+
+    ``exclude_version`` (the replay guard): a streaming caller passes
+    its CURRENT epoch label so a killed-and-replayed batch never probes
+    the index version its own first attempt committed — otherwise every
+    batch doc would match itself and be rejected on replay.
     """
     from pyspark.sql import functions as F
+
+    from ..engine import VERSION_COL
 
     w = engine.id_bucket_width
     pfx = sorted(
@@ -333,8 +341,11 @@ def near_dup_probe(
     # mirror of engine._derive_partition_cols' ID-bucket dir naming
     # (from_<lo>_to_<lo + width>); band_pfx is pre-scaled to the lo value
     dirs = [f"from_{v}_to_{v + w}" for v in pfx]
+    idx = engine.load(band_name, drop_internal=False)
+    if exclude_version is not None:
+        idx = idx.filter(F.col(VERSION_COL) != F.lit(exclude_version))
     idx = (
-        engine.load(band_name, drop_internal=False)
+        idx
         .filter(F.col("__p_band_pfx").isin(dirs))
         .select(
             F.col("sig_id").alias("cor_id"),
@@ -438,9 +449,11 @@ def stream_into_engine_near_dedup(
             ),
             "stream_near_dedup/batch_bands",
         )
+        label = f"{version_prefix}{epoch_id}"
         try:
             dup_ids = near_dup_probe(
-                engine, band_name, nb, jaccard_threshold=jaccard_threshold
+                engine, band_name, nb, jaccard_threshold=jaccard_threshold,
+                exclude_version=label,
             )
         except DatasetNotFound:
             dup_ids = None
@@ -451,7 +464,6 @@ def stream_into_engine_near_dedup(
             nb = nb.join(dup_ids, "sig_id", "left_anti")
         if out.isEmpty():
             return
-        label = f"{version_prefix}{epoch_id}"
         engine.save(
             out, dataframe_name,
             columns_keys=columns_keys, external_key=label,
@@ -630,7 +642,7 @@ def stream_crawl_into_engine(
     from pyspark.sql import functions as F
 
     from .. import pipeline as _pipeline
-    from ..engine import DatasetNotFound
+    from ..engine import VERSION_COL, DatasetNotFound
 
     url_name = f"{dataframe_name}/__seen_urls"
 
@@ -642,7 +654,17 @@ def stream_crawl_into_engine(
         )
         out = stages["gopher_kept"]
         try:
-            seen = engine.load(url_name).select("canonical_url")
+            # replay guard: exclude this epoch's own committed URL
+            # version so a killed-and-replayed batch recomputes from the
+            # pre-batch frontier state (same discipline as the line and
+            # band indexes)
+            seen = (
+                engine.load(url_name, drop_internal=False)
+                .filter(
+                    F.col(VERSION_COL) != F.lit(f"{version_prefix}{epoch_id}")
+                )
+                .select("canonical_url")
+            )
         except DatasetNotFound:
             seen = None
         if seen is not None:
@@ -715,10 +737,20 @@ def stream_lines_dedup_into_engine(
     3. within-batch keep-first via the skew-safe partial-aggregable
        ``min(struct(id, line_no))`` (never a window over the line key);
     4. reassemble every batch doc; append the batch's newly-admitted
-       line keys to the index."""
+       line keys to the index.
+
+    Replay safety: the membership probe EXCLUDES the current epoch's own
+    version label.  Without that, a batch killed after both engine.save
+    commits but before the streaming checkpoint commits would, on
+    replay, probe a seen index that already contains its own lines —
+    the anti-join would kill every line and ``overwrite_version`` would
+    rewrite the epoch as all-hollow docs plus an empty index version
+    (silent data loss).  Excluding the label makes replay recompute from
+    exactly the pre-batch state, so the rewrite reproduces the original
+    commit byte-for-byte."""
     from pyspark.sql import functions as F
 
-    from ..engine import DatasetNotFound
+    from ..engine import VERSION_COL, DatasetNotFound
 
     seen_name = f"{dataframe_name}/__seen_lines"
     w = engine.id_bucket_width
@@ -726,6 +758,7 @@ def stream_lines_dedup_into_engine(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        label = f"{version_prefix}{epoch_id}"
         from .._scratch import scratch_persist
 
         lines = scratch_persist(
@@ -748,6 +781,9 @@ def stream_lines_dedup_into_engine(
             dirs = [f"from_{v}_to_{v + w}" for v in pfx]
             seen = (
                 engine.load(seen_name, drop_internal=False)
+                # replay guard: never probe this epoch's own committed
+                # index version (see docstring)
+                .filter(F.col(VERSION_COL) != F.lit(label))
                 .filter(F.col("__p_line_pfx").isin(dirs))
                 .select("line_sha")
             )
@@ -792,7 +828,6 @@ def stream_lines_dedup_into_engine(
             .alias("n_kept_lines"),
             F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
         )
-        label = f"{version_prefix}{epoch_id}"
         engine.save(
             out, dataframe_name, external_key=label, overwrite_version=True
         )

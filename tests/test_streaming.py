@@ -1033,3 +1033,72 @@ def test_stream_lines_dedup_matches_batch_twin(spark, tmp_path):
     n_distinct_lines = lines.select("line").distinct().count()
     assert len(seen) == n_distinct_lines
     assert all(len(r.line_sha) == 64 for r in seen)
+
+
+def test_stream_lines_dedup_replay_after_commit_converges(spark, tmp_path):
+    """ADVICE r11 (high): a batch killed AFTER both engine.save commits
+    (data + seen-line index under the epoch label) but BEFORE the
+    streaming checkpoint commit must converge on replay.  Pre-fix, the
+    replayed batch probed a seen index already containing its own
+    epoch's lines, the anti-join killed every line, and
+    overwrite_version rewrote the epoch as all-hollow docs plus an
+    empty index version — silent data loss.  The crash is simulated by
+    deleting the checkpoint's last commit marker (saves committed,
+    checkpoint not), forcing Structured Streaming to re-run the batch
+    under the SAME epoch id."""
+    from pandas_db_sdk_spark import text as _text
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.streaming.ingest import stream_lines_dedup_into_engine
+    from pyspark.sql import functions as F
+
+    b1 = [(1, "cookie banner\nalpha body one")]
+    b2 = [
+        (10, "cookie banner\ngamma body ten"),
+        (11, "delta body eleven\ndelta body eleven"),
+    ]
+    src = str(tmp_path / "docs")
+    ck = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_lines_dedup_into_engine(stream, eng, "docs", checkpoint_dir=ck)
+        q.awaitTermination()
+
+    run()  # epochs 0 and 1 fully committed
+    # crash simulation: epoch 1's saves are durable, its checkpoint
+    # commit is not — the exact window the replay guard exists for
+    commits = sorted(os.listdir(os.path.join(ck, "commits")))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ck, "commits", last))
+    crc = os.path.join(ck, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # replays the last batch under the same epoch label
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.dedup_text)
+        for r in eng.load("docs").collect()
+    }
+    all_docs = spark.createDataFrame(b1 + b2, schema)
+    lines = all_docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    )
+    want = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.dedup_text)
+        for r in _text.dedup_lines_corpus(lines).collect()
+    }
+    assert got == want, (got, want)
+    # the replayed epoch kept its real survivors — no hollow rewrite
+    assert got[10] == (2, 1, "gamma body ten")
+    # index converged: one row per admitted distinct line, no empties
+    seen = eng.load("docs/__seen_lines").collect()
+    assert len(seen) == lines.select("line").distinct().count()
