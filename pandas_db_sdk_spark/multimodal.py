@@ -4298,6 +4298,14 @@ def stft_frame_features(
             "2 <= n_bins <= frame_len (bin 0 is DC; the peak needs a "
             "non-DC bin to point at)"
         )
+    # exact-int64 bound: |re| <= 32768 (int16) * 1e6 (basis scale) *
+    # frame_len must stay under 2^63 — beyond it numpy wraps silently
+    if frame_len > (2**63 - 1) // (32768 * 10**6):
+        raise ValueError(
+            "stft_frame_features: frame_len > 281474 overflows the "
+            "exact-int64 accumulator (|re| <= 32768 * 1e6 * frame_len); "
+            "use a shorter window"
+        )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -4449,14 +4457,18 @@ def phash_64(
 
     Exact-arithmetic discipline so the oracle can replay it: the DCT
     basis is an INTEGER cosine table C[k][i] = round_half_away(
-    cos(pi*(2i+1)*k / (2N)) * 10^6), all products and sums stay in
-    int64 (|coef| <= 765 * 256 * 10^12 < 2^63 for 16x16 frames), and
-    the median of an ODD count (63) is the exact middle element —
-    DuckDB's quantile_disc(0.5) — so no interpolation and no float
-    ever enters the comparison.  Emitted as two unsigned 32-bit halves
-    (hash_lo bits 0-31, hash_hi bits 32-63) + the AC popcount.  Frames
-    smaller than 8x8 skip.  Scale: pure Arrow mapInPandas, zero
-    shuffles; Hamming clustering rides dedup.hamming_clusters."""
+    cos(pi*(2i+1)*k / (2N)) * 10^6), and the median of an ODD count
+    (63) is the exact middle element — DuckDB's quantile_disc(0.5) —
+    so no interpolation and no float ever enters the comparison.
+    Products stay in int64 while the bound |coef| <= 765 * 10^12 * w*h
+    < 2^63 holds (w*h <= 12_056, e.g. any frame up to ~109x109); for
+    larger frames the second matmul switches to arbitrary-precision
+    Python ints (object dtype) — slower per frame but still exact, so
+    a 128x128 frame hashes correctly instead of silently wrapping.
+    Emitted as two unsigned 32-bit halves (hash_lo bits 0-31, hash_hi
+    bits 32-63) + the AC popcount.  Frames smaller than 8x8 skip.
+    Scale: pure Arrow mapInPandas, zero shuffles; Hamming clustering
+    rides dedup.hamming_clusters."""
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4466,6 +4478,10 @@ def phash_64(
             i = np.arange(n).reshape(1, -1).astype(np.float64)
             c = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * 1e6
             return (np.sign(c) * np.floor(np.abs(c) + 0.5)).astype(np.int64)
+
+        # |t1| <= 765e6 * w never overflows; |coef| <= 765e12 * w * h
+        # overflows int64 once w*h exceeds this bound
+        INT64_SAFE_PIXELS = (2**63 - 1) // (765 * 10**12)
 
         tables: dict = {}
         for pdf in batches:
@@ -4490,7 +4506,12 @@ def phash_64(
                 if h not in tables:
                     tables[h] = cos_table(h)
                 # coef[v][u] = sum_y sum_x gray[y][x] * Ch[v][y] * Cw[u][x]
-                coef = tables[h][:8, :] @ gray @ tables[w][:8, :].T
+                t1 = gray @ tables[w][:8, :].T  # h x 8, |.| <= 765e6*w
+                if w * h <= INT64_SAFE_PIXELS:
+                    coef = tables[h][:8, :] @ t1
+                else:
+                    # exact big-int path: 8 x h @ h x 8 = 64h Python ops
+                    coef = tables[h][:8, :].astype(object) @ t1.astype(object)
                 ac = np.delete(coef.ravel(), 0)  # drop DC at (v=0,u=0)
                 med = int(np.sort(ac)[31])  # exact middle of 63
                 val = 0

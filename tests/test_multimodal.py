@@ -1264,6 +1264,66 @@ def test_phash_affine_invariance_and_ahash_contrast_sensitivity(spark):
     assert all(edited[i] != base[i] for i in base)
 
 
+def test_phash_large_frame_exact_beyond_int64_bound(spark):
+    """ADVICE r11 (medium): frames past the 12_056-pixel provable-int64
+    bound must take the exact big-int path instead of silently
+    wrapping.  Two pins: (1) affine invariance (v' = 2v + 3) still
+    holds at 128x128 — the object path produces the same scale-free
+    comparisons; (2) on an adversarial 256x256 frame sign-aligned with
+    the (1,1) DCT basis cell — where the int64 computation PROVABLY
+    wraps (asserted in-test) — the operator's hash equals a pure-Python
+    arbitrary-precision replay of the documented definition."""
+    import numpy as np
+    import pandas as pd
+
+    def mk_df(n, arr):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(0, n, n, arr.astype(np.uint8).tobytes())],
+                columns=["doc_id", "width", "height", "payload"],
+            ),
+            "doc_id long, width int, height int, payload binary",
+        )
+
+    def table(size):
+        k = np.arange(size).reshape(-1, 1).astype(np.float64)
+        i = np.arange(size).reshape(1, -1).astype(np.float64)
+        cv = np.cos(np.pi * (2 * i + 1) * k / (2 * size)) * 1e6
+        return (np.sign(cv) * np.floor(np.abs(cv) + 0.5)).astype(np.int64)
+
+    # (1) affine invariance survives the object-path switch at 128x128
+    n = 128
+    y, x, c = np.meshgrid(np.arange(n), np.arange(n), np.arange(3), indexing="ij")
+    base_arr = ((3 * x + 5 * y + 11 * c) % 113).astype(np.int64)
+    got = multimodal.phash_64(mk_df(n, base_arr)).collect()[0]
+    affine = multimodal.phash_64(mk_df(n, 2 * base_arr + 3)).collect()[0]
+    assert (got.hash_lo, got.hash_hi) == (affine.hash_lo, affine.hash_hi)
+
+    # (2) adversarial 256x256: 255 where the (v=1,u=1) basis product is
+    # positive, 0 elsewhere, concentrating ~1.0e19 > 2^63 into coef[1,1]
+    n = 256
+    t = table(n)
+    pos = np.outer(t[1, :] > 0, t[1, :] > 0) | np.outer(t[1, :] < 0, t[1, :] < 0)
+    adv = np.repeat(np.where(pos, 255, 0)[:, :, None], 3, axis=2)
+    gray = adv.astype(object).sum(axis=2)
+    to = t.astype(object)
+    coef = to[:8, :] @ gray @ to[:8, :].T
+    # the fixture genuinely overflows: the wrapped int64 result differs
+    wrapped = t[:8, :] @ gray.astype(np.int64) @ t[:8, :].T
+    assert not np.array_equal(wrapped.astype(object), coef)
+    # pure-Python exact replay of the documented hash definition
+    ac = sorted(int(v) for v in np.delete(coef.ravel(), 0))
+    med = ac[31]
+    val = sum(
+        1 << (8 * v + u)
+        for v in range(8)
+        for u in range(8)
+        if (u or v) and int(coef[v, u]) > med
+    )
+    got = multimodal.phash_64(mk_df(n, adv)).collect()[0]
+    assert (got.hash_lo, got.hash_hi) == (val & 0xFFFFFFFF, val >> 32)
+
+
 def test_y4m_c420_parse_every_frame_and_poison_skip(spark):
     """d143 parser coverage the fixture's C444 path doesn't reach: C420
     chroma geometry (quarter-size planes), every_n=1 keeps all frames,
