@@ -7047,10 +7047,16 @@ def d149(spark, sf_dir):
                FROM rev, b),
        ps AS (SELECT nation, s, sum(r) AS sv, sum(r * r) AS svv
               FROM seg GROUP BY 1, 2),
+       grid AS (SELECT dn.nation, g.g AS s
+                FROM (SELECT DISTINCT nation FROM ps) dn, range(0, 4) g(g)),
+       psf AS (SELECT grid.nation, grid.s,
+                      coalesce(sv, 0) AS sv, coalesce(svv, 0) AS svv
+               FROM grid LEFT JOIN ps
+                 ON grid.nation = ps.nation AND grid.s = ps.s),
        pn AS (SELECT nation, s, sv, svv,
                 ((s + 1) * (tmax - tmin + 1)) // 4
                   - (s * (tmax - tmin + 1)) // 4 AS n
-              FROM ps, b),
+              FROM psf, b),
        pe AS (SELECT nation, sum(sv) AS tot, sum(svv) AS tot2,
                      sum(n) AS w
               FROM pn GROUP BY 1),
@@ -7088,8 +7094,9 @@ def d150(spark, sf_dir):
     DECIMAL-exact through both aggregation levels (moment arithmetic
     runs in double from exact totals), PAA rounds 4 dp before the
     breakpoint compare, segment index/capacity use integer division.
-    A totally-inactive segment would drop from the word (documented;
-    the fixture calendar is dense at every SF)."""
+    A totally-inactive segment zero-fills and still emits a letter
+    (ADVICE r11: words are always exactly ``segments`` letters), and
+    both engine and oracle replay the full per-entity segment grid."""
     from .. import timeseries
 
     o = tables(spark, sf_dir)("orders")

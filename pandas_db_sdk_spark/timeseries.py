@@ -736,13 +736,28 @@ def znorm_query_topk(
 
     Returns the top-k (entity, n_common, rho, znorm_dist), distance
     ascending with entity tie-break — a TakeOrdered plan, no global
-    sort.  The query grid must be unique on the time key (a duplicate
-    t would double-join its point into every series' moments) —
-    pre-aggregate the query series if it isn't.  Scale: linear in the fact table (one partial+final agg per
-    entity); a million-series corpus needs no pair explosion because
-    the query side is ONE broadcast series; for many-query workloads
-    compose per query or block with PAA/SAX upstream."""
+    sort.  The query grid must be UNIQUE on the time key (a duplicate
+    t would double-join its point into every series' moments and
+    silently skew every distance) — raises ValueError otherwise;
+    pre-aggregate the query series if it isn't.  The uniqueness probe
+    is one aggregate over the (tiny, broadcast-sized by contract)
+    query side only — never the corpus.  Scale: linear in the fact
+    table (one partial+final agg per entity); a million-series corpus
+    needs no pair explosion because the query side is ONE broadcast
+    series; for many-query workloads compose per query or block with
+    PAA/SAX upstream (:func:`sax_words`)."""
     q = query.select(F.col(t_col).alias("__qt"), F.col(v_col).alias("__qv"))
+    chk = q.agg(
+        F.count("*").alias("__n"),
+        F.count_distinct("__qt").alias("__nd"),
+    ).first()
+    if chk["__n"] != chk["__nd"]:
+        raise ValueError(
+            "znorm_query_topk: query time grid has duplicate "
+            f"{t_col!r} keys ({chk['__n']} rows, {chk['__nd']} distinct) "
+            "— a duplicate key double-joins into every series' moments; "
+            "pre-aggregate the query series first"
+        )
     j = series.join(F.broadcast(q), series[t_col] == q["__qt"])
     # corr via try_divide(covar, sd*sd): identical co-moments, but a
     # zero-variance (constant) series yields NULL instead of ANSI's
@@ -799,9 +814,13 @@ def sax_words(
 
     Cross-engine determinism: PAA means round to 4 dp BEFORE the
     breakpoint compare (the c86 corr-parity discipline), and the global
-    grid bounds come from one broadcast min/max aggregate.  Scale: one
-    (entity, segment) partial agg + one entity agg + one word-count agg
-    — three exchanges, state entity-sized."""
+    grid bounds come from one broadcast min/max aggregate.  Every
+    entity emits the FULL per-entity segment grid (a totally-inactive
+    segment z-scores from its zero-filled sums — ADVICE r11), so words
+    are always exactly ``segments`` letters and comparable across
+    buckets regardless of sparsity.  Scale: one (entity, segment)
+    partial agg + one entity-distinct grid join + one entity agg + one
+    word-count agg — all state entity-sized."""
     ent, t, v = F.col(entity_col), F.col(t_col), F.col(v_col)
     bounds = series.agg(
         F.min(t).alias("__tmin"), F.max(t).alias("__tmax")
@@ -815,12 +834,22 @@ def sax_words(
         ((F.col("__s") + 1) * width / segments).cast("long")
         - (F.col("__s") * width / segments).cast("long")
     )
+    present = s.groupBy(ent.alias("__e"), seg.alias("__s")).agg(
+        F.sum(v).alias("__sv"),
+        F.sum(v * v).alias("__svv"),
+    )
+    # full grid: entities x range(segments), sums coalesced to 0, so a
+    # sparse series still emits one letter per segment
+    grid = present.select("__e").distinct().select(
+        "__e",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(segments - 1).cast("int"))
+        ).alias("__s"),
+    )
     per_seg = (
-        s.groupBy(ent.alias("__e"), seg.alias("__s"))
-        .agg(
-            F.sum(v).alias("__sv"),
-            F.sum(v * v).alias("__svv"),
-        )
+        grid.join(present, ["__e", "__s"], "left")
+        .withColumn("__sv", F.coalesce(F.col("__sv"), F.lit(0)))
+        .withColumn("__svv", F.coalesce(F.col("__svv"), F.lit(0)))
         .crossJoin(F.broadcast(bounds))
         .withColumn("__n", seg_pts)
     )
@@ -838,7 +867,8 @@ def sax_words(
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     paa = F.round(
         F.try_divide(
-            F.col("__sv").cast("double") / F.col("__n") - mean, sd
+            F.try_divide(F.col("__sv").cast("double"), F.col("__n")) - mean,
+            sd,
         ),
         4,
     )

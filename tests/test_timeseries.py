@@ -415,3 +415,49 @@ def test_sax_words_known_shapes_block_together(spark):
     assert out["up"] == ("abcd", 2) and out["up2"] == ("abcd", 2)
     assert out["down"] == ("dcba", 1)
     assert out["flat"] == ("aaaa", 1)
+
+
+def test_znorm_query_topk_duplicate_time_key_raises(spark):
+    """VERDICT r11 #6: a non-unique query time grid must raise instead
+    of silently double-joining the duplicated point into every series'
+    co-moments."""
+    import pytest
+
+    from pandas_db_sdk_spark import timeseries
+
+    series = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(5)], "entity string, t int, v double"
+    )
+    dup_query = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (1, 3.0)], "t int, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        timeseries.znorm_query_topk(series, dup_query)
+    # the unique grid still works
+    ok = spark.createDataFrame([(0, 1.0), (1, 2.0)], "t int, v double")
+    assert timeseries.znorm_query_topk(series, ok).count() >= 1
+
+
+def test_sax_words_sparse_series_full_length_word(spark):
+    """ADVICE r11 (low): an entity with NO points in some segments must
+    still emit a word of exactly `segments` letters — absent segments
+    zero-fill and z-score against the entity's zero-padded grid — so
+    words stay comparable across buckets.  A burst-then-silent series
+    (big values only in segment 0 of a 0..39 grid shared with a dense
+    anchor) reads 'd' then the below-mean letter for the empty tail,
+    and every word in the output has the same length."""
+    from pandas_db_sdk_spark import timeseries
+
+    rows = [("dense", t, float(t)) for t in range(40)]
+    rows += [("burst", t, 100.0) for t in range(10)]  # segment 0 only
+    series = spark.createDataFrame(rows, "entity string, t int, v double")
+    out = {
+        r.entity: r.sax_word
+        for r in timeseries.sax_words(series, "entity", "t", "v").collect()
+    }
+    assert len(out["burst"]) == 4 and len(out["dense"]) == 4
+    # burst: mean = 100*10/40 = 25, var = 100^2*10/40 - 25^2 = 1875,
+    # sd ~ 43.3; segment 0 z = (100-25)/43.3 = 1.73 -> 'd'; empty
+    # segments z = (0-25)/43.3 = -0.577 (in [-0.6745, 0)) -> 'b'
+    assert out["burst"] == "dbbb"
+    assert out["dense"] == "abcd"
