@@ -2217,8 +2217,13 @@ def x41(spark, sf_dir):
               WHERE regexp_matches(line, '[.!?"]$')
                 AND len(string_split(line, ' ')) >= 5
                 AND NOT contains(lower(line), 'javascript')),
-       pages AS (SELECT doc_id, count(*) AS n_kept
-                 FROM kept_ln GROUP BY 1 HAVING count(*) >= 3),
+       dt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS dtext
+              FROM ln GROUP BY 1),
+       pages AS (SELECT k.doc_id, count(*) AS n_kept
+                 FROM kept_ln k JOIN dt ON dt.doc_id = k.doc_id
+                 WHERE NOT contains(lower(dt.dtext), 'lorem ipsum')
+                   AND NOT contains(dt.dtext, '{')
+                 GROUP BY 1 HAVING count(*) >= 3),
        surv_ln AS (SELECT k.doc_id, k.i, k.line FROM kept_ln k
                    JOIN pages p ON p.doc_id = k.doc_id),
        dd AS (SELECT doc_id, i, line,

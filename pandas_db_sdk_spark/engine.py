@@ -1577,6 +1577,8 @@ class DataFrameEngine:
                     d = os.path.join(dst_path, rel, fn)
                     try:
                         os.link(s, d)
+                    except FileExistsError:
+                        pass  # idempotent retry after a crash mid-link
                     except OSError:
                         shutil.copy2(s, d)
         with self._manifest_lock():

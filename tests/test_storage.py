@@ -1804,6 +1804,40 @@ def test_branch_dataset_zero_copy_fork_and_isolation(spark, tmp_path):
         eng.branch_dataset("main/ds", "exp/ds")
 
 
+def test_branch_dataset_retry_after_crash_mid_link(spark, tmp_path):
+    """ADVICE r11 (low): a retry after a crash between hardlinking and
+    the manifest commit must be idempotent — the first attempt's links
+    are already on disk (FileExistsError from os.link), and the old
+    OSError fallback's shutil.copy2 onto a path that is already a
+    hardlink of the source raised SameFileError, leaving orphan files
+    and a failed branch.  The crash is simulated by pre-linking part of
+    the source tree into the branch directory (exactly the on-disk
+    state a mid-branch crash leaves), then calling branch_dataset."""
+    import os
+
+    from pandas_db_sdk_spark.engine import VERSION_COL, DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        "m2", external_key="v1",
+    )
+    src = eng._dataset_path("m2")
+    dst = eng._dataset_path("f2")
+    # first attempt "crashed" after linking some files, before manifest
+    vdir = f"{VERSION_COL}=v1"
+    for root, _dirs, files in os.walk(os.path.join(src, vdir)):
+        rel = os.path.relpath(root, src)
+        os.makedirs(os.path.join(dst, rel), exist_ok=True)
+        for fn in files:
+            os.link(os.path.join(root, fn), os.path.join(dst, rel, fn))
+        break  # partial: only the top level of the version tree
+
+    info = eng.branch_dataset("m2", "f2")  # retry must succeed
+    assert info["versions"] == ["v1"]
+    assert {r.id for r in eng.load("f2").collect()} == {1, 2}
+
+
 def test_merge_branch_fast_forward_and_conflicts(spark, tmp_path):
     """r11 branching round-trip: branch -> diverge -> merge back.
     Branch-only versions fast-forward into main (order + latest +
