@@ -513,6 +513,41 @@ _R11_NEW = frozenset(
 )
 
 
+# Names driver-checked in CORRECTNESS_r11.json (round-11 window: the 22
+# r3 leftovers + the 14 deferred round-10 rows + the first 14 round-11
+# additions — 47 hash-green, 3 rows-only by design).  The 12 _R11_NEW
+# rows the window did NOT reach (d145–d155, x42) are round 12's stale
+# head (VERDICT r11 #1).
+_R11_VERIFIED = frozenset(
+    """c49_date_fns c50_math_fns c51_array_fns c52_map_struct c53_json
+    c54_hash c48b_regex_parts c48c_fuzzy_strings c49b_date_series
+    c50b_bitwise c51b_array_setops c52b_map_ops c50c_bucketize
+    c53b_variant c58_late_data_window c59_dedup_by_key
+    c60_stateful_running_max c66_resample c67_ffill c58b_interval_join
+    c68_interpolate d15_stratified_sample d118_jpeg_restart_decode
+    d119_audio_resample_sinc d120_png_adam7_decode
+    d121_jpeg_progressive_decode d122_png_palette_decode
+    d123_jpeg_progressive_sa_decode d126_jpeg_color_progressive_decode
+    d127_png_16bit_decode d128_jpeg_color_sa_decode d130_unigram_lm_vocab
+    d130b_unigram_lm_guarantees d131_robots_sitemap_discovery
+    d132_pca_embeddings d132b_pca_guarantees d134_duplicate_spans
+    d134b_duplicate_span_guarantees d136_politeness_schedule
+    d130c_unigram_lm_encode d130d_unigram_encode_guarantees
+    d137_connected_components_star d135_warc_cdx_index_fetch
+    d138_c4_line_filter d139_line_dedup_corpus d140_temperature_mix
+    d141_image_phash d143_y4m_frame_sample d144_image_resize_area
+    d142_audio_stft""".split()
+)
+
+
+# Queries ADDED in round 12 (never had a driver row).  They ride right
+# behind the 12-row r11 stale head so they certify THIS round; the
+# r4-stale block fills the remaining slots.
+_R12_NEW = frozenset(
+    """""".split()
+)
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -526,31 +561,33 @@ def _merged(attr):
 
 def all_queries():
     """Declaration order = driver-certification priority (the driver's
-    per-round correctness file caps at ~50 rows). Round-11 rotation
-    (VERDICT round-10 items #1/#2): the 23 rows still r3-checked lead
-    (the c48b–c54 scalar block, c58–c68 event-time/timeseries extras,
-    c28d, d15 — the r10 window's leftovers), then the 14 round-10
-    additions that deferred their slots (d118–d132b), then this round's
-    additions (so they certify immediately); the r4-stale block fills
-    any remaining slots, and everything else queues by ascending
-    freshness. Within each group, original module order is preserved
-    (stable sort). A name in no set is treated as newest (sorts with
-    _R11_NEW), so a forgotten registration can never starve the
-    backlog."""
+    per-round correctness file caps at ~50 rows). Round-12 rotation
+    (VERDICT round-11 items #1/#2): the 12 round-11 additions the r11
+    window did not reach lead (d145–d155, x42 — never had a driver
+    row), then this round's additions (so they certify immediately),
+    then the 49-row r4-stale block (the oldest rotation debt: c-suffix
+    variants, d23–d62, x09–x24) fills the remaining slots; the 50-row
+    r5 block queues right behind for round 13, and everything else by
+    ascending freshness. Within each group, original module order is
+    preserved (stable sort). A name in no set is treated as newest
+    (sorts with _R12_NEW), so a forgotten registration can never starve
+    the backlog."""
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-11 rotation: stalest-first re-certification budget.
+        # Round-12 rotation: stalest-first re-certification budget.
         # Membership is checked newest-round-first so a row re-certified
-        # later sorts by its LATEST check (e.g. the 28 r3 rows the r10
-        # window reached hit _R10_VERIFIED before _R03_VERIFIED and sort
-        # as fresh; the 23 it missed fall through to the stale head).
+        # later sorts by its LATEST check (e.g. the 38 _R11_NEW rows the
+        # r11 window reached hit _R11_VERIFIED before _R11_NEW and sort
+        # as fresh; the 12 it missed fall through to the stale head).
+        if name in _R12_NEW:
+            return 1  # this round's additions: certify immediately
+        if name in _R11_VERIFIED:
+            return 13
         if name in _R11_NEW:
-            return 2
+            return 0  # the 12-row r11 stale head: this window leads
         if name in _R10_VERIFIED:
             return 12
-        if name in _R10_NEW_DEFERRED:
-            return 1  # round-10 additions owed a first driver row
         if name in _R09_VERIFIED:
             return 11
         if name in _R08_VERIFIED:
@@ -560,14 +597,14 @@ def all_queries():
         if name in _R06_VERIFIED:
             return 8
         if name in _R05_VERIFIED:
-            return 7
+            return 3  # r5 block: round 13's backlog head
         if name in _R04_VERIFIED:
-            return 3  # r4 block: fills slots behind the new additions
+            return 2  # r4 block: fills this window behind the new rows
         if name in _R03_VERIFIED:
-            return 0  # the 23-row r3 stale head: this window leads
+            return 4  # safety: r3 rows in no newer set (none expected)
         if name in _R02_VERIFIED:
             return 4  # safety: r2 rows in no newer set (none expected)
-        return 2  # not in any set: newest, with the _R11_NEW group
+        return 1  # not in any set: newest, with the _R12_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
