@@ -179,13 +179,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()[0]
-    # The suite itself is mostly serial on the driver thread with bursts
-    # of parallel stages; a sustained 1-min loadavg beyond ~1.5x the
-    # shuffle-partition parallelism means a CONCURRENT sweep shared the
-    # box (the r7/r8 artifact).  Threshold chosen so a quiet-box run
-    # (observed loadavg 4-20) never flags and the 2455s oracle sweep
-    # (32 extra runnable threads) always does.
-    contended = max(load_start, load_end) > 40.0
+    # Contention flag (VERDICT r11 #3, superseding the r8 threshold):
+    # BENCH_r11 recorded a loadavg-12.6 run as 37.0 s while the
+    # quiet-box bracket best was 29.75 s — q19 alone swung 1.2→4.0 s.
+    # The suite's own steady-state footprint on a quiet box is a
+    # loadavg of ~2-6 (serial driver + stage bursts), so anything
+    # beyond nproc/4 means the box is sharing cycles and every
+    # iterative query's number is suspect.
+    nproc = os.cpu_count() or 32
+    contended = max(load_start, load_end) > nproc / 4
     # The driver's BENCH_r{N}.json records only the last ~2000 chars of
     # stdout (a TAIL capture): BENCH_r08 and r09 both lost the line's head
     # — the opening brace plus q1/q2's warm values — leaving parsed: null.
@@ -194,10 +196,58 @@ def main() -> None:
     # BENCH_LOCAL.jsonl only — summary totals stay), and (b) order the
     # warm per-query dict LAST so even a still-truncated tail preserves
     # the primary series end-to-end.
+    # Bracket best (VERDICT r11 #3): `value` is the best warm total
+    # across THIS code version's recorded runs (same git HEAD, same
+    # query set, same sf — earlier BENCH_LOCAL lines from other commits
+    # never qualify), so one loaded-box snapshot can't overstate the
+    # engine.  Per-run loadavg rides along so the record stays
+    # self-falsifying; this run's own total is always reported too.
+    here = os.path.dirname(os.path.abspath(__file__))
+    git_head = None
+    try:
+        import subprocess
+
+        git_head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=here,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        pass
+    bracket = [[total, round(max(load_start, load_end), 1)]]
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.jsonl")) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if (
+                    rec.get("git_head") == git_head
+                    and git_head is not None
+                    and rec.get("sf") == sf
+                    and set(rec.get("queries", {})) == set(timings)
+                ):
+                    bracket.append(
+                        [
+                            rec["value"],
+                            round(
+                                max(
+                                    rec.get("loadavg_start", 0),
+                                    rec.get("loadavg_end", 0),
+                                ),
+                                1,
+                            ),
+                        ]
+                    )
+    except OSError:
+        pass
+    best = min(b[0] for b in bracket)
     summary = {
         "metric": "headline_suite_warm_seconds",
-        "value": total,
+        "value": best,
         "unit": "sec",
+        "this_run_total": total,
+        "bracket": bracket[-8:],
         "median_total": round(sum(medians.values()), 3),
         "cold_total": round(sum(cold.values()), 3),
         "warm_reps": 4,
@@ -213,10 +263,14 @@ def main() -> None:
     # warm-min/median/cold series survives even when the driver's copy
     # truncates.  Best-effort: a read-only checkout must not break bench.
     full = dict(summary)
+    # the local record keeps THIS run's number (the bracket is derived,
+    # not stored, so later brackets never chain off earlier minima)
+    full["value"] = total
+    full.pop("bracket", None)
+    full["git_head"] = git_head
     full["queries_median"] = medians
     full["cold_queries"] = cold
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.jsonl"), "a") as fh:
             fh.write(json.dumps(full) + "\n")
     except OSError:
