@@ -544,7 +544,7 @@ _R11_VERIFIED = frozenset(
 # behind the 12-row r11 stale head so they certify THIS round; the
 # r4-stale block fills the remaining slots.
 _R12_NEW = frozenset(
-    """""".split()
+    """d156_audio_fingerprint d156b_audio_fp_guarantees""".split()
 )
 
 

@@ -7443,3 +7443,104 @@ def d155(spark, sf_dir):
         ).alias("text"),
     )
     return text.code_switch_stats(planted, "doc_id", "text")
+
+
+@q(
+    "d156_audio_fingerprint",
+    """WITH p AS (SELECT doc_id, 256 + doc_id % 64 AS n,
+                    1 + doc_id % 7 AS a, 3 + doc_id % 13 AS b
+            FROM documents),
+       tb AS (SELECT k.k AS k, t.t AS t,
+                CAST(CASE WHEN cos(2*pi()*k.k*t.t/64) >= 0
+                     THEN floor(cos(2*pi()*k.k*t.t/64)*1000000 + 0.5)
+                     ELSE -floor(-(cos(2*pi()*k.k*t.t/64))*1000000 + 0.5)
+                     END AS BIGINT) AS c,
+                CAST(CASE WHEN sin(2*pi()*k.k*t.t/64) >= 0
+                     THEN floor(sin(2*pi()*k.k*t.t/64)*1000000 + 0.5)
+                     ELSE -floor(-(sin(2*pi()*k.k*t.t/64))*1000000 + 0.5)
+                     END AS BIGINT) AS s
+              FROM range(0, 9) k(k), range(0, 64) t(t)),
+       fr AS (SELECT doc_id, a, b, f.f AS frame_no
+              FROM p, range(0, 5) f(f) WHERE f.f < n // 64),
+       sm AS (SELECT doc_id, a, b, frame_no, t.t AS t,
+                (a * (frame_no * 64 + t.t) * (frame_no * 64 + t.t)
+                 + b * (frame_no * 64 + t.t) + doc_id) % 2048 - 1024 AS sv
+              FROM fr, range(0, 64) t(t)),
+       dft AS (SELECT doc_id, frame_no, tb.k AS bin,
+                 CAST(sum(sv * tb.c) AS BIGINT) AS re,
+                 CAST(-sum(sv * tb.s) AS BIGINT) AS im
+               FROM sm JOIN tb ON tb.t = sm.t GROUP BY 1, 2, 3),
+       en AS (SELECT doc_id, frame_no, bin,
+                re::HUGEINT * re + im::HUGEINT * im AS e
+              FROM dft WHERE bin >= 1),
+       gr AS (SELECT lo.doc_id, lo.frame_no, lo.bin - 1 AS pr,
+                     lo.e - hi.e AS g
+              FROM en lo JOIN en hi
+                ON hi.doc_id = lo.doc_id AND hi.frame_no = lo.frame_no
+               AND hi.bin = lo.bin + 1),
+       dd AS (SELECT cur.doc_id, cur.frame_no, cur.pr,
+                CASE WHEN cur.g - prv.g > 0 THEN 1 ELSE 0 END AS bit
+              FROM gr cur JOIN gr prv
+                ON prv.doc_id = cur.doc_id AND prv.pr = cur.pr
+               AND prv.frame_no = cur.frame_no - 1),
+       fp AS (SELECT doc_id,
+                CAST(sum(CASE WHEN bit = 1
+                     THEN (1::BIGINT << (7 * (frame_no - 1) + pr))
+                     ELSE 0 END) AS BIGINT) AS val,
+                CAST(sum(bit) AS INT) AS ones
+              FROM dd GROUP BY 1)
+       SELECT p.doc_id, CAST(p.n // 64 AS BIGINT) AS n_frames,
+              coalesce(fp.ones, 0) AS n_ones,
+              CAST(coalesce(fp.val, 0) & 4294967295 AS BIGINT) AS fp_lo,
+              CAST(coalesce(fp.val, 0) >> 32 AS BIGINT) AS fp_hi
+       FROM p LEFT JOIN fp ON fp.doc_id = p.doc_id""",
+)
+def d156(spark, sf_dir):
+    """Media perceptual tier (r12): Chromaprint-style AUDIO fingerprint
+    (``multimodal.audio_fingerprint``) — the sound-side near-dup sieve
+    completing the perceptual family (pHash/dHash/aHash images, this
+    audio): integer-basis STFT band energies (the d142 machinery), bit
+    = sign of the frame-over-frame change of the adjacent-band energy
+    gradient (the double-difference filter), over the chirp fixture
+    (``synth_chirp_wav`` — quadratic phase, so the spectrum MOVES
+    between frames; the linear-ramp fixture is spectrally static and
+    fingerprints degenerate to zero on it).  Energies are
+    arbitrary-precision (HUGEINT in the oracle), so every bit is
+    exact; Hamming clustering rides dedup.hamming_clusters unchanged
+    (pinned in tests with volume-doubled and DC-offset copies).  The
+    oracle replays WAV samples, DFT, band energies, both differences,
+    and the bit packing end to end.  Zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.audio_fingerprint(
+        multimodal.synth_chirp_wav(d, "doc_id"), "payload", "doc_id"
+    )
+
+
+@q(
+    "d156b_audio_fp_guarantees",
+    """SELECT doc_id, CAST(1 AS INT) AS volume_invariant FROM documents""",
+)
+def d156b(spark, sf_dir):
+    """d156's certification twin: a volume-DOUBLED copy of every track
+    (same signal, gain 2 — every STFT energy scales by exactly 4, so
+    every double-difference sign is preserved) must fingerprint
+    IDENTICALLY to its original, per document.  The engine computes
+    both fleets and compares; the oracle states the invariant, making
+    the exact-arithmetic volume-invariance claim driver-checkable
+    (the d130d/d134b guarantee-twin pattern)."""
+    d = tables(spark, sf_dir)("documents")
+    base = multimodal.audio_fingerprint(
+        multimodal.synth_chirp_wav(d, "doc_id"), "payload", "doc_id"
+    )
+    loud = multimodal.audio_fingerprint(
+        multimodal.synth_chirp_wav(d, "doc_id", gain=2), "payload", "doc_id"
+    )
+    b, l = base.alias("b"), loud.alias("l")
+    return b.join(l, F.col("b.doc_id") == F.col("l.doc_id")).select(
+        F.col("b.doc_id").alias("doc_id"),
+        (
+            (F.col("b.fp_lo") == F.col("l.fp_lo"))
+            & (F.col("b.fp_hi") == F.col("l.fp_hi"))
+            & (F.col("b.n_ones") == F.col("l.n_ones"))
+        ).cast("int").alias("volume_invariant"),
+    )

@@ -2288,16 +2288,26 @@ def decode_jpeg_stats(
     )
 
 
-def synth_pcm_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_pcm_wav(
+    df: DataFrame, id_col: str = "doc_id", gain: int = 1, offset: int = 0
+) -> DataFrame:
     """Manufacture a REAL mono 16-bit PCM WAV per row — valid RIFF/WAVE
     with fmt and data chunks — whose samples derive from the id
     arithmetically: n = 256 + id%64 samples at 8000 Hz with
-    s(t) = ((a·t + b) mod 2048) − 1024, a = 3 + id%5, b = id mod 97.
-    The fixture generator for :func:`resample_pcm_stats`: an
-    engine-independent oracle can replay every sample, so the whole
-    parse→resample→aggregate chain hash-certifies with no audio
-    library. Arrow-batched mapInPandas, same contract as
-    ``synth_media_payload``."""
+    s(t) = gain·(((a·t + b) mod 2048) − 1024) + offset, a = 3 + id%5,
+    b = id mod 97 (defaults gain=1, offset=0 — the d109/d119/d142
+    fixture unchanged; gain/offset exist for the d156 fingerprint
+    invariance twins: a volume-shifted or DC-offset copy of the same
+    underlying signal).  The fixture generator for
+    :func:`resample_pcm_stats`: an engine-independent oracle can
+    replay every sample, so the whole parse→resample→aggregate chain
+    hash-certifies with no audio library. Arrow-batched mapInPandas,
+    same contract as ``synth_media_payload``."""
+    if not (-16 <= gain <= 16 and -1024 <= offset <= 1024):
+        raise ValueError(
+            "synth_pcm_wav: |gain| <= 16 and |offset| <= 1024 keep "
+            "gain*1024 + offset inside int16"
+        )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -2308,7 +2318,59 @@ def synth_pcm_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             n = 256 + i % 64
             a, b = 3 + i % 5, i % 97
             t = np.arange(n, dtype=np.int64)
-            samples = ((a * t + b) % 2048 - 1024).astype("<i2")
+            samples = (
+                gain * ((a * t + b) % 2048 - 1024) + offset
+            ).astype("<i2")
+            data = samples.tobytes()
+            sr, ch = 8000, 1
+            fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+            body = b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            body += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), wav(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def synth_chirp_wav(
+    df: DataFrame, id_col: str = "doc_id", gain: int = 1, offset: int = 0
+) -> DataFrame:
+    """Quadratic-phase CHIRP WAV fixture — the d156 fingerprint
+    generator.  :func:`synth_pcm_wav`'s linear ramp is spectrally
+    STATIC frame-over-frame (frame f+1 = frame f + a constant, which
+    moves only the DC bin), so every double-difference fingerprint
+    degenerates to zero; a chirp's instantaneous frequency grows with
+    t, so band energies move between frames and fingerprints are
+    discriminative (measured on the fixture: same-track copies at
+    Hamming 0, distinct tracks at 6-17).  Same RIFF container and
+    gain/offset contract as synth_pcm_wav; samples are
+    s(t) = gain·(((a·t² + b·t + id) mod 2048) − 1024) + offset with
+    a = 1 + id%7, b = 3 + id%13, n = 256 + id%64 — every term integer
+    and oracle-replayable."""
+    if not (-16 <= gain <= 16 and -1024 <= offset <= 1024):
+        raise ValueError(
+            "synth_chirp_wav: |gain| <= 16 and |offset| <= 1024 keep "
+            "gain*1024 + offset inside int16"
+        )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def wav(i: int) -> bytes:
+            n = 256 + i % 64
+            a, b = 1 + i % 7, 3 + i % 13
+            t = np.arange(n, dtype=np.int64)
+            samples = (
+                gain * ((a * t * t + b * t + i) % 2048 - 1024) + offset
+            ).astype("<i2")
             data = samples.tobytes()
             sr, ch = 8000, 1
             fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
@@ -4380,6 +4442,132 @@ def stft_frame_features(
         f"{id_col} long, frame_no int, bin int, re_scaled long,"
         " im_scaled long, is_peak int",
     )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_len: int = 64,
+    hop: int = 64,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Chromaprint-style AUDIO perceptual fingerprint (d156) — the
+    audio near-dup key completing the perceptual trio's media coverage
+    (pHash/dHash/aHash are image-side; this is the sound-side sieve):
+    STFT the PCM stream exactly as :func:`stft_frame_features` (same
+    integer Fourier basis, same RIFF walk), take per-frame BAND
+    energies E[f][b] = re² + im² at the non-DC bins 1..n_bands, and
+    set bit (n_bands-1)·(f-1) + p when the adjacent-band energy
+    gradient GROWS frame-over-frame:
+
+        (E[f][p+1] − E[f][p+2]) − (E[f−1][p+1] − E[f−1][p+2]) > 0
+
+    — Chromaprint's double-difference filter (sign of the time
+    derivative of the spectral gradient).  Energies and differences
+    are arbitrary-precision Python ints (HUGEINT in the oracle), so
+    the bits are exact.  Uniform volume change scales every energy by
+    c², preserving every sign — the fingerprint is EXACTLY
+    volume-invariant (pinned in tests); a small DC offset perturbs
+    only basis rounding residue, landing within small Hamming
+    distance.
+
+    Bits cap at 64: frames f = 1..min(n_frames−1, 63//(n_bands−1)).
+    Returns (id, n_frames, n_ones, fp_lo, fp_hi) — the (lo, hi)
+    32-bit-halves layout the Hamming tier shares, so near-dup
+    clustering rides ``dedup.hamming_clusters`` unchanged.  Files
+    shorter than one frame (or non-PCM) skip.  Scale: pure Arrow
+    mapInPandas, zero shuffles, one row per file."""
+    if frame_len < 1 or hop < 1 or n_bands < 2 or n_bands + 1 > frame_len:
+        raise ValueError(
+            "audio_fingerprint needs frame_len >= 1, hop >= 1 and "
+            "2 <= n_bands <= frame_len - 1 (bands are the non-DC bins "
+            "1..n_bands; the gradient needs two adjacent bands)"
+        )
+    if frame_len > (2**63 - 1) // (32768 * 10**6):
+        raise ValueError(
+            "audio_fingerprint: frame_len > 281474 overflows the "
+            "exact-int64 DFT accumulator; use a shorter window"
+        )
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        n_bins = n_bands + 1  # DC + bands
+        k = np.arange(n_bins).reshape(-1, 1).astype(np.float64)
+        t = np.arange(frame_len).reshape(1, -1).astype(np.float64)
+        ang = 2 * np.pi * k * t / frame_len
+        cos_t = np.cos(ang) * 1e6
+        sin_t = np.sin(ang) * 1e6
+        cos_i = (np.sign(cos_t) * np.floor(np.abs(cos_t) + 0.5)).astype(np.int64)
+        sin_i = (np.sign(sin_t) * np.floor(np.abs(sin_t) + 0.5)).astype(np.int64)
+        max_f = 63 // (n_bands - 1)  # double-diff frames that fit 64 bits
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, ch, bits, codec, data = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt " and clen >= 16:
+                    codec, ch, _, _, _, bits = struct.unpack(
+                        "<HHIIHH", b[pos + 8 : pos + 24]
+                    )
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + clen]
+                    if len(data) != clen:
+                        return None
+                pos += 8 + clen + (clen & 1)
+            if codec != 1 or ch != 1 or bits != 16 or data is None:
+                return None
+            return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                s = parse(bytes(buf))
+                if s is None or s.size < frame_len:
+                    continue
+                n_frames = (s.size - frame_len) // hop + 1
+                grads = []  # per frame: [E[b] - E[b+1] for adjacent bands]
+                for f in range(min(n_frames, max_f + 1)):
+                    seg = s[f * hop : f * hop + frame_len]
+                    re = cos_i @ seg
+                    im = -(sin_i @ seg)
+                    e = [
+                        int(re[b]) ** 2 + int(im[b]) ** 2
+                        for b in range(1, n_bins)
+                    ]
+                    grads.append(
+                        [e[p] - e[p + 1] for p in range(n_bands - 1)]
+                    )
+                val = 0
+                for f in range(1, len(grads)):
+                    for p in range(n_bands - 1):
+                        if grads[f][p] - grads[f - 1][p] > 0:
+                            val |= 1 << ((n_bands - 1) * (f - 1) + p)
+                rows.append(
+                    (
+                        int(i),
+                        int(n_frames),
+                        bin(val).count("1"),
+                        int(val & 0xFFFFFFFF),
+                        int(val >> 32),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "n_ones", "fp_lo", "fp_hi"],
+            )
+
+    return df.mapInPandas(
+        fps,
+        f"{id_col} long, n_frames long, n_ones int, fp_lo long, fp_hi long",
+    )
+
 
 def dhash_64(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"

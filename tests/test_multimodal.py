@@ -1539,3 +1539,68 @@ def test_dhash_brightness_shift_invariance_and_edit_sensitivity(spark):
         for r in multimodal.dhash_64(frames(lambda a: a[:, ::-1, :].copy())).collect()
     }
     assert any(mirrored[i] != base[i] for i in base)
+
+
+def test_audio_fingerprint_invariance_and_hamming_clustering(spark):
+    """d156 operator contract over the chirp fixture: (1) a
+    volume-doubled copy fingerprints IDENTICALLY (every energy scales
+    by 4, every double-difference sign survives); (2) a small
+    DC-offset copy also matches exactly (DC moves only bin 0 up to
+    basis-rounding residue) and CLUSTERS with its original through the
+    unchanged dedup.hamming_clusters tier, while every DIFFERENT track
+    stays out (measured pairwise distances 6-17 on the fixture vs
+    max_hamming=3); (3) a non-PCM payload and a too-short clip skip."""
+    from pandas_db_sdk_spark import dedup, multimodal
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    base = multimodal.audio_fingerprint(
+        multimodal.synth_chirp_wav(ids, "doc_id"), "payload", "doc_id"
+    ).toPandas().set_index("doc_id")
+    loud = multimodal.audio_fingerprint(
+        multimodal.synth_chirp_wav(ids, "doc_id", gain=2), "payload", "doc_id"
+    ).toPandas().set_index("doc_id")
+    assert (base["fp_lo"] == loud["fp_lo"]).all()
+    assert (base["fp_hi"] == loud["fp_hi"]).all()
+    assert (base["n_ones"] > 0).all()  # discriminative, not degenerate
+
+    # distinct tracks are far apart (the clustering separation margin)
+    fp = {
+        i: int(base.loc[i, "fp_lo"]) | (int(base.loc[i, "fp_hi"]) << 32)
+        for i in range(8)
+    }
+    import itertools
+
+    assert min(
+        bin(fp[a] ^ fp[b]).count("1")
+        for a, b in itertools.combinations(range(8), 2)
+    ) > 3
+
+    # clustering: original track 0 + its DC-offset copy (id 1000) group;
+    # tracks 1..7 must not join their cluster
+    fleet = multimodal.synth_chirp_wav(ids, "doc_id").unionAll(
+        multimodal.synth_chirp_wav(
+            spark.createDataFrame([(0,)], "doc_id long"), "doc_id", offset=7
+        ).select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    )
+    fps = multimodal.audio_fingerprint(fleet, "payload", "doc_id").select(
+        "doc_id", (F.col("fp_lo") + F.shiftleft(F.col("fp_hi"), 32)).alias("sig")
+    )
+    clusters = {
+        r.id: r.cluster
+        for r in dedup.hamming_clusters(fps, "doc_id", "sig").collect()
+    }
+    assert clusters.get(0) == clusters.get(1000) is not None
+    assert all(i not in clusters for i in range(1, 8))
+
+    # poison: junk bytes and a data-less container skip
+    import pandas as pd
+
+    poison = spark.createDataFrame(
+        pd.DataFrame(
+            [(50, b"not a riff"), (51, b"RIFF\x00\x00\x00\x00WAVE")],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    )
+    assert multimodal.audio_fingerprint(poison).count() == 0
