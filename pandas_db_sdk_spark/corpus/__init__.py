@@ -544,7 +544,8 @@ _R11_VERIFIED = frozenset(
 # behind the 12-row r11 stale head so they certify THIS round; the
 # r4-stale block fills the remaining slots.
 _R12_NEW = frozenset(
-    """d156_audio_fingerprint d156b_audio_fp_guarantees""".split()
+    """d156_audio_fingerprint d156b_audio_fp_guarantees
+    d157_ts_similarity_join d157b_ts_join_self_retrieval""".split()
 )
 
 

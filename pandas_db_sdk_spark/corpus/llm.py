@@ -7544,3 +7544,165 @@ def d156b(spark, sf_dir):
             & (F.col("b.n_ones") == F.col("l.n_ones"))
         ).cast("int").alias("volume_invariant"),
     )
+
+
+@q(
+    "d157_ts_similarity_join",
+    """WITH rev AS (SELECT c_nationkey AS nation,
+           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS week,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+       b AS (SELECT min(week) AS tmin, max(week) AS tmax FROM rev),
+       seg AS (SELECT nation,
+                 ((week - tmin) * 4) // (tmax - tmin + 1) AS s, r
+               FROM rev, b),
+       ps AS (SELECT nation, s, sum(r) AS sv, sum(r * r) AS svv
+              FROM seg GROUP BY 1, 2),
+       grid AS (SELECT dn.nation, g.g AS s
+                FROM (SELECT DISTINCT nation FROM ps) dn, range(0, 4) g(g)),
+       psf AS (SELECT grid.nation, grid.s,
+                      coalesce(sv, 0) AS sv, coalesce(svv, 0) AS svv
+               FROM grid LEFT JOIN ps
+                 ON grid.nation = ps.nation AND grid.s = ps.s),
+       pn AS (SELECT nation, s, sv, svv,
+                ((s + 1) * (tmax - tmin + 1)) // 4
+                  - (s * (tmax - tmin + 1)) // 4 AS n
+              FROM psf, b),
+       pe AS (SELECT nation, sum(sv) AS tot, sum(svv) AS tot2,
+                     sum(n) AS w
+              FROM pn GROUP BY 1),
+       z AS (SELECT pn.nation, s,
+               round(CASE WHEN sqrt(greatest(
+                        tot2::DOUBLE / w - (tot::DOUBLE / w) * (tot::DOUBLE / w),
+                        0)) = 0 THEN NULL
+                 ELSE (sv::DOUBLE / n - tot::DOUBLE / w)
+                      / sqrt(greatest(
+                          tot2::DOUBLE / w
+                            - (tot::DOUBLE / w) * (tot::DOUBLE / w), 0))
+                 END, 4) AS paa
+             FROM pn JOIN pe ON pn.nation = pe.nation),
+       lt AS (SELECT nation, s,
+                CASE WHEN paa IS NULL THEN 'a'
+                     WHEN paa < -0.6745 THEN 'a'
+                     WHEN paa < 0.0 THEN 'b'
+                     WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS l
+              FROM z),
+       wd AS (SELECT nation, string_agg(l, '' ORDER BY s) AS sax_word
+              FROM lt GROUP BY 1),
+       cand AS (SELECT qw.nation AS qid, cw.nation AS entity
+                FROM wd qw JOIN wd cw ON qw.sax_word = cw.sax_word
+                WHERE qw.nation IN (0, 1, 2)),
+       vr AS (SELECT c.qid, c.entity, count(*) AS n_common,
+                round(corr(ce.r::DOUBLE, qe.r::DOUBLE), 6) AS rho
+              FROM cand c
+              JOIN rev qe ON qe.nation = c.qid
+              JOIN rev ce ON ce.nation = c.entity AND ce.week = qe.week
+              GROUP BY 1, 2),
+       d AS (SELECT qid, entity, n_common, rho,
+               round(sqrt(greatest(2 * n_common * (1 - rho), 0)), 6) AS dist
+             FROM vr WHERE n_common >= 2 AND rho IS NOT NULL),
+       rk AS (SELECT qid, entity, n_common, rho, dist,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY dist ASC, entity ASC) AS rank
+              FROM d)
+       SELECT CAST(qid AS BIGINT) AS qid, CAST(entity AS BIGINT) AS entity,
+              CAST(n_common AS BIGINT) AS n_common, rho,
+              dist AS znorm_dist, CAST(rank AS INT) AS rank
+       FROM rk WHERE rank <= 3""",
+)
+def d157(spark, sf_dir):
+    """Time-series tier (r12): MULTI-QUERY similarity JOIN
+    (``timeseries.ts_similarity_join``) — the composition d149's
+    single-query contract and d150's SAX blocking exist for: block
+    queries AND corpus on the shared-grid SAX word (candidate volume
+    Σ_word q-bucket × c-bucket, never queries × corpus), znorm-verify
+    only within blocks (dist² = 2n(1−ρ), ρ rounded 6 dp), top-k per
+    query via WindowGroupLimit.  Queries here are nations 0-2's weekly
+    revenue series verbatim (self-retrieval anchors the answer: each
+    qid's rank 1 is itself at distance 0 — certified corpus-wide by
+    d157b); the oracle replays grid, PAA, quantization, word join,
+    co-moment verify, and ranking end to end."""
+    from .. import timeseries
+
+    o = tables(spark, sf_dir)("orders")
+    c = tables(spark, sf_dir)("customer")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(
+                F.datediff(
+                    F.to_date("o_orderdate"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                / F.lit(7)
+            ).cast("long").alias("week"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("r")
+        )
+    )
+    from .._scratch import scratch_persist
+
+    # the series table feeds the bounds agg, both SAX passes and the
+    # verify joins — persist so the orders scan + join run once
+    rev = scratch_persist(rev, "d157/nation_weekly_revenue")
+    q = rev.filter(F.col("nation") <= 2).select(
+        F.col("nation").alias("qid"), "week", "r"
+    )
+    return timeseries.ts_similarity_join(
+        rev, q, entity_col="nation", t_col="week", v_col="r",
+        qid_col="qid", segments=4, k=3,
+    ).withColumnRenamed("nation", "entity")
+
+
+@q(
+    "d157b_ts_join_self_retrieval",
+    """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS qid,
+              CAST(1 AS INT) AS self_retrieved
+       FROM customer""",
+)
+def d157b(spark, sf_dir):
+    """d157's certification twin — the self-retrieval guarantee the
+    blocked search inherits from exact blocking arithmetic: EVERY
+    nation's series, used verbatim as a query, shares its own SAX word
+    (same grid, same quantization), survives the verify at exactly
+    ρ = 1 / distance 0, and wins rank 1 (distance-then-entity order).
+    One guarantee row per nation; the oracle states the invariant
+    (the d156b pattern).  This is the recall floor the lossy blocking
+    still guarantees — the d02-style exact-dup anchor in shape space."""
+    from .. import timeseries
+
+    o = tables(spark, sf_dir)("orders")
+    c = tables(spark, sf_dir)("customer")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.floor(
+                F.datediff(
+                    F.to_date("o_orderdate"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                / F.lit(7)
+            ).cast("long").alias("week"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("r")
+        )
+    )
+    from .._scratch import scratch_persist
+
+    rev = scratch_persist(rev, "d157b/nation_weekly_revenue")
+    q = rev.select(F.col("nation").alias("qid"), "week", "r")
+    top1 = timeseries.ts_similarity_join(
+        rev, q, entity_col="nation", t_col="week", v_col="r",
+        qid_col="qid", segments=4, k=1,
+    )
+    return top1.select(
+        "qid",
+        (
+            (F.col("nation") == F.col("qid"))
+            & (F.col("znorm_dist") == F.lit(0.0))
+        ).cast("int").alias("self_retrieved"),
+    )

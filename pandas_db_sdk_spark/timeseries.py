@@ -821,10 +821,38 @@ def sax_words(
     buckets regardless of sparsity.  Scale: one (entity, segment)
     partial agg + one entity-distinct grid join + one entity agg + one
     word-count agg — all state entity-sized."""
-    ent, t, v = F.col(entity_col), F.col(t_col), F.col(v_col)
     bounds = series.agg(
-        F.min(t).alias("__tmin"), F.max(t).alias("__tmax")
+        F.min(F.col(t_col)).alias("__tmin"),
+        F.max(F.col(t_col)).alias("__tmax"),
     )
+    words = _sax_word_per_entity(
+        series, bounds, entity_col, t_col, v_col, segments
+    )
+    from pyspark.sql import Window
+
+    return words.select(
+        F.col("__e").alias(entity_col),
+        "sax_word",
+        F.count("*")
+        .over(Window.partitionBy("sax_word"))
+        .cast("long")
+        .alias("bucket_size"),
+    )
+
+
+def _sax_word_per_entity(
+    series: DataFrame,
+    bounds: DataFrame,
+    entity_col: str,
+    t_col: str,
+    v_col: str,
+    segments: int,
+) -> DataFrame:
+    """:func:`sax_words`' core on an EXTERNALLY supplied grid-bounds
+    frame (one row, __tmin/__tmax) — shared by :func:`ts_similarity_join`
+    so corpus and query sides quantize against the SAME grid (words
+    from different grids are not comparable).  Returns (__e, sax_word)."""
+    ent, t, v = F.col(entity_col), F.col(t_col), F.col(v_col)
     s = series.crossJoin(F.broadcast(bounds))
     width = F.col("__tmax") - F.col("__tmin") + 1
     seg = ((t - F.col("__tmin")) * segments / width).cast("int")
@@ -879,7 +907,7 @@ def sax_words(
         .when(paa < 0.6745, F.lit("c"))
         .otherwise(F.lit("d"))
     )
-    words = (
+    return (
         j.select(F.col("__e"), F.col("__s"), letter.alias("__l"))
         .groupBy("__e")
         .agg(
@@ -894,13 +922,120 @@ def sax_words(
             ).alias("sax_word")
         )
     )
+
+
+def ts_similarity_join(
+    series: DataFrame,
+    queries: DataFrame,
+    entity_col: str = "entity",
+    t_col: str = "t",
+    v_col: str = "v",
+    qid_col: str = "qid",
+    segments: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """MULTI-QUERY time-series similarity search (d157) — the composed
+    scale path :func:`znorm_query_topk` points at for many-query
+    workloads: SAX-block BOTH sides against one shared grid
+    (:func:`sax_words`' quantization — the d02 banding pattern in shape
+    space), then znorm-VERIFY only within blocks, then top-k per query.
+
+    Candidate volume is Σ_word (query-bucket × corpus-bucket), never
+    queries × corpus; each candidate pair verifies with the exact
+    dist² = 2n(1−ρ) identity over the pair's common time keys (ρ
+    rounds 6 dp before composition — the d149 parity discipline).
+    Blocking is LOSSY by design (a true neighbor in a different SAX
+    bucket is unseen — the d02/LSH recall trade); the self-retrieval
+    guarantee (a query identical to a corpus series always shares its
+    word and verifies at distance 0) is pinned by the d157b twin.
+
+    Returns (qid, entity, n_common, rho, znorm_dist, rank) with
+    rank = 1..k per query, distance ascending, entity tie-break.
+    Raises on a query side with duplicate (qid, t) keys — a duplicate
+    point double-joins into every candidate's moments (the
+    znorm_query_topk guard, grouped).
+
+    Scale: two SAX passes (entity-sized state) + one word equi-join +
+    two fact equi-joins + one partial+final co-moment agg per pair +
+    a per-query WindowGroupLimit (no global sort)."""
+    q_t, q_v = F.col(t_col), F.col(v_col)
+    chk = (
+        queries.groupBy(qid_col)
+        .agg(
+            (F.count("*") - F.count_distinct(q_t)).alias("__dups")
+        )
+        .filter(F.col("__dups") > 0)
+        .limit(1)
+        .collect()
+    )
+    if chk:
+        raise ValueError(
+            f"ts_similarity_join: query {chk[0][qid_col]!r} has duplicate "
+            f"{t_col!r} keys — pre-aggregate the query series first"
+        )
+    # one shared grid: words quantized on different grids don't compare
+    bounds = (
+        series.select(F.col(t_col).alias("__t"))
+        .unionAll(queries.select(q_t.alias("__t")))
+        .agg(F.min("__t").alias("__tmin"), F.max("__t").alias("__tmax"))
+    )
+    from ._scratch import scratch_persist
+
+    bounds = scratch_persist(bounds, "ts_similarity_join/bounds")
+    cw = _sax_word_per_entity(
+        series, bounds, entity_col, t_col, v_col, segments
+    ).select(F.col("__e").alias("__ce"), "sax_word")
+    qw = _sax_word_per_entity(
+        queries, bounds, qid_col, t_col, v_col, segments
+    ).select(F.col("__e").alias("__qe"), "sax_word")
+    cand = qw.join(cw, "sax_word").select("__qe", "__ce")
+    # verify: route each candidate pair's common grid through two
+    # equi-joins (query side first — queries are the small side)
+    qp = queries.select(
+        F.col(qid_col).alias("__qe"),
+        q_t.alias("__qt"),
+        q_v.cast("double").alias("__qv"),
+    )
+    cp = series.select(
+        F.col(entity_col).alias("__ce2"),
+        F.col(t_col).alias("__ct"),
+        F.col(v_col).cast("double").alias("__cv"),
+    )
+    j = cand.join(qp, "__qe").join(
+        cp, (F.col("__ce") == F.col("__ce2")) & (F.col("__qt") == F.col("__ct"))
+    )
+    rho = F.round(
+        F.try_divide(
+            F.covar_samp("__cv", "__qv"),
+            F.stddev_samp("__cv") * F.stddev_samp("__qv"),
+        ),
+        6,
+    )
+    agg = (
+        j.groupBy("__qe", "__ce")
+        .agg(F.count("*").cast("long").alias("n_common"), rho.alias("rho"))
+        .filter((F.col("n_common") >= 2) & F.col("rho").isNotNull())
+    )
+    dist = F.round(
+        F.sqrt(
+            F.greatest(2 * F.col("n_common") * (1 - F.col("rho")), F.lit(0.0))
+        ),
+        6,
+    )
     from pyspark.sql import Window
 
-    return words.select(
-        F.col("__e").alias(entity_col),
-        "sax_word",
-        F.count("*")
-        .over(Window.partitionBy("sax_word"))
-        .cast("long")
-        .alias("bucket_size"),
+    ranked = agg.select(
+        F.col("__qe").alias(qid_col),
+        F.col("__ce").alias(entity_col),
+        "n_common",
+        "rho",
+        dist.alias("znorm_dist"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(qid_col).orderBy(
+                F.col("znorm_dist").asc(), F.col(entity_col).asc()
+            )
+        ),
     )
+    return ranked.filter(F.col("rank") <= k)

@@ -461,3 +461,40 @@ def test_sax_words_sparse_series_full_length_word(spark):
     # segments z = (0-25)/43.3 = -0.577 (in [-0.6745, 0)) -> 'b'
     assert out["burst"] == "dbbb"
     assert out["dense"] == "abcd"
+
+
+def test_ts_similarity_join_blocks_verifies_and_guards(spark):
+    """d157 operator contract on the known-shape corpus: a query equal
+    to 'up' blocks into the 'abcd' bucket — candidates are exactly
+    {up, up2} (down/flat are in other buckets and are NEVER verified),
+    self-retrieval wins rank 1 at distance 0 with the affine twin at
+    rank 2 (also distance 0, entity tie-break), and a duplicate
+    (qid, t) key raises."""
+    import pytest
+
+    from pandas_db_sdk_spark import timeseries
+
+    rows = []
+    for t in range(40):
+        rows.append(("up", t, float(t)))
+        rows.append(("up2", t, 3.0 * t + 17.0))
+        rows.append(("down", t, float(39 - t)))
+        rows.append(("flat", t, 5.0))
+    series = spark.createDataFrame(rows, "entity string, t int, v double")
+    q = spark.createDataFrame(
+        [("q0", t, float(t)) for t in range(40)], "qid string, t int, v double"
+    )
+    out = timeseries.ts_similarity_join(
+        series, q, entity_col="entity", t_col="t", v_col="v",
+        qid_col="qid", segments=4, k=5,
+    ).collect()
+    got = {(r.qid, r.entity): (r.rank, r.znorm_dist) for r in out}
+    assert set(got) == {("q0", "up"), ("q0", "up2")}  # blocked, not scanned
+    assert got[("q0", "up")] == (1, 0.0)
+    assert got[("q0", "up2")] == (2, 0.0)  # z-norm affine invariance
+
+    dup = spark.createDataFrame(
+        [("q0", 0, 1.0), ("q0", 0, 2.0)], "qid string, t int, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        timeseries.ts_similarity_join(series, dup)
