@@ -545,7 +545,8 @@ _R11_VERIFIED = frozenset(
 # r4-stale block fills the remaining slots.
 _R12_NEW = frozenset(
     """d156_audio_fingerprint d156b_audio_fp_guarantees
-    d157_ts_similarity_join d157b_ts_join_self_retrieval""".split()
+    d157_ts_similarity_join d157b_ts_join_self_retrieval
+    x43_crawl_ops_funnel""".split()
 )
 
 

@@ -2335,3 +2335,214 @@ def x42(spark, sf_dir):
         )
     )
     return out
+
+
+@q(
+    "x43_crawl_ops_funnel",
+    """WITH m AS (SELECT DISTINCT doc_id % 260 AS m260 FROM documents),
+       kt AS (SELECT m260, m260 % 5 AS k FROM m WHERE m260 % 5 <= 2),
+       due AS (SELECT k,
+                 least(CAST(floor(30.0 / (k + 1)) AS BIGINT) + 1,
+                       count(*)) AS d
+               FROM kt GROUP BY k)
+       SELECT 'frontier' AS stage,
+              CAST((SELECT count(*) FROM m) AS BIGINT) AS n
+       UNION ALL SELECT 'blocklist_kept',
+              CAST((SELECT count(*) FROM kt) AS BIGINT)
+       UNION ALL SELECT 'scheduled',
+              CAST((SELECT count(*) FROM kt) AS BIGINT)
+       UNION ALL SELECT 'due_in_30s',
+              CAST((SELECT sum(d) FROM due) AS BIGINT)
+       UNION ALL SELECT 'fetched_200',
+              CAST((SELECT count(*) FROM kt) AS BIGINT)
+       UNION ALL SELECT 'wet_roundtrip_ok',
+              CAST((SELECT count(*) FROM kt) AS BIGINT)""",
+)
+def x43(spark, sf_dir):
+    """Capstone composite (r12, VERDICT r11 #4): the CRAWL-OPERATIONS
+    loop as ONE certified lazy program — discover → blocklist →
+    politeness-schedule → fetch-through-the-CDX-index → WET — each
+    stage the CERTIFIED operator unchanged (d133's robots→sitemap
+    chain, d147's suffix blocklist, d136's politeness slots, d135's
+    index write + independent-inflate fetch, d152's WET roundtrip),
+    reported as the stage-containment funnel a crawl dashboard shows
+    (the x42 pattern applied to examples/crawl_pipeline.py's
+    operations half).  Data-derived pins: the frontier count (the
+    sitemap universe), the blocklist survivor count (domains 3/4 die —
+    one by exact host, one by suffix), the schedule's
+    count-conservation, the 30-second due-slot arithmetic
+    (Σ_host min(⌊30/delay⌋+1, bucket)), and two guarantee counts
+    recomputed from real verification (every scheduled URL's WARC
+    member fetches HTTP-200 through its index geometry; every fetched
+    page WET-roundtrips byte-exactly).  The streaming form (same
+    stages per micro-batch, kill/replay-convergent) is pinned in
+    tests/test_streaming.py."""
+    from .. import multimodal
+    from .. import text as _text
+    from .._scratch import scratch_persist
+
+    d = tables(spark, sf_dir)("documents")
+
+    # --- discover: robots names the sitemap; the sitemap names the URLs
+    k = F.col("k")
+    robots = (
+        d.select((F.col("doc_id") % 5).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("www.site"), k.cast("string"), F.lit(".com")
+            ).alias("domain"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private/\n"),
+                F.lit("Crawl-delay: "), (k + 1).cast("string"), F.lit("\n"),
+                F.lit("Sitemap: https://www.site"), k.cast("string"),
+                F.lit(".com/sitemap"), (k % 2).cast("string"),
+                F.lit(".xml\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    dirs = scratch_persist(
+        _text.robots_directives(robots, "robots_txt", "domain"),
+        "x43/robots_directives",
+    )
+    discovered = dirs.filter(F.col("directive") == "sitemap").select(
+        "domain", F.col("value").alias("sitemap_url")
+    )
+    delays = dirs.filter(F.col("directive") == "crawl-delay").select(
+        "domain", F.col("value").cast("double").alias("crawl_delay_s")
+    )
+    m260 = (F.col("doc_id") % 260).alias("m260")
+    uni = d.select(m260).distinct()
+    entry = F.concat(
+        F.lit("<url><loc>https://www.site"),
+        (F.col("m260") % 5).cast("string"),
+        F.lit(".com/Docs/"), (F.col("m260") % 13).cast("string"),
+        F.lit("/doc"), F.col("m260").cast("string"), F.lit("</loc></url>"),
+    )
+    per_domain = (
+        uni.select(
+            (F.col("m260") % 5).alias("k"), F.col("m260"), entry.alias("e")
+        )
+        .groupBy("k")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws(
+                    "",
+                    F.array_sort(F.collect_list(F.struct("m260", "e")))
+                    .getField("e"),
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    variants = per_domain.select(
+        "k", "xml", F.explode(F.array(F.lit(0), F.lit(1))).alias("v")
+    ).select(
+        F.concat(
+            F.lit("https://www.site"), F.col("k").cast("string"),
+            F.lit(".com/sitemap"), F.col("v").cast("string"),
+            F.lit(".xml"),
+        ).alias("sitemap_url"),
+        F.col("xml").alias("sitemap_xml"),
+    )
+    chosen = discovered.join(F.broadcast(variants), "sitemap_url")
+    frontier = scratch_persist(
+        _text.sitemap_entries(
+            chosen.select("domain", "sitemap_xml"), "sitemap_xml", "domain"
+        ).select("domain", "loc"),
+        "x43/frontier",
+    )
+
+    # --- blocklist: site3 dies by exact host, site4 by dot-suffix
+    bl = spark.createDataFrame(
+        [("www.site3.com", "ads"), ("site4.com", "malware")],
+        "pattern string, category string",
+    )
+    kept_urls = (
+        _text.url_blocklist_filter(frontier, bl, url_col="loc")
+        .filter(~F.col("blocked"))
+        .select(F.col("url").alias("loc"))
+    )
+    kept = scratch_persist(
+        frontier.join(kept_urls, "loc", "left_semi"), "x43/kept"
+    )
+
+    # --- politeness schedule over the surviving frontier
+    sched = scratch_persist(
+        _text.politeness_schedule(
+            kept, delays, host_col="domain", url_col="loc"
+        ),
+        "x43/sched",
+    )
+    due = sched.filter(F.col("scheduled_offset_s") <= 30.0)
+
+    # --- fetch: one representative page per URL, through the CDX index
+    reps = d.groupBy((F.col("doc_id") % 260).alias("m260")).agg(
+        F.min(F.struct("doc_id", "text")).alias("__w")
+    ).select("m260", F.col("__w.text").alias("text"))
+    targets = kept.select(
+        "loc",
+        F.regexp_extract("loc", r"/doc(\d+)$", 1).cast("long").alias("m260"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>page "), F.col("m260").cast("string"),
+        F.lit("</title><script>var x=1;</script></head><body>"),
+        F.lit('<nav><a href="/">home</a></nav><div class="main"><p>'),
+        F.col("text"),
+        F.lit("</p></div><footer>(c) corpus</footer></body></html>"),
+    )
+    src = targets.join(reps, "m260").select(
+        F.col("m260").alias("doc_id"), html.alias("html"),
+        F.col("loc").alias("uri"),
+    )
+    files = scratch_persist(
+        multimodal.synth_warc_gz(src, "html", "uri", "doc_id"), "x43/warc"
+    )
+    idx = multimodal.warc_gz_cdx_index(files).filter(
+        F.col("warc_type") == "response"
+    )
+    fetched = multimodal.warc_gz_indexed_fetch(
+        files.join(idx.select("doc_id", "offset", "length"), "doc_id")
+    )
+    fetched_200 = fetched.filter(
+        (F.col("fetch_ok") == 1) & (F.col("http_status") == 200)
+    )
+
+    # --- WET conversion of the fetched bodies, roundtrip-verified
+    parsed = multimodal.parse_warc(files, "payload", "doc_id")
+    txt = _text.html_main_text(F.col("body"))
+    wet_str = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col("target_uri"),
+        F.lit("\r\nWARC-Record-ID: <urn:sha256:"), F.sha2(txt, 256),
+        F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(txt).cast("string"),
+        F.lit("\r\n\r\n"), txt, F.lit("\r\n\r\n"),
+    )
+    wet = parsed.select(
+        "doc_id",
+        F.encode(wet_str, "utf-8").alias("payload"),
+        txt.alias("__orig"),
+    )
+    rewet = multimodal.parse_wet(
+        wet.select("doc_id", "payload"), "payload", "doc_id"
+    )
+    wet_ok = rewet.join(wet.select("doc_id", "__orig"), "doc_id").filter(
+        (F.col("text") == F.col("__orig"))
+        & (F.octet_length("text") == F.col("content_length"))
+    )
+
+    def stage(name, frame):
+        return frame.agg(
+            F.lit(name).alias("stage"), F.count("*").cast("long").alias("n")
+        )
+
+    return (
+        stage("frontier", frontier)
+        .unionAll(stage("blocklist_kept", kept))
+        .unionAll(stage("scheduled", sched))
+        .unionAll(stage("due_in_30s", due))
+        .unionAll(stage("fetched_200", fetched_200))
+        .unionAll(stage("wet_roundtrip_ok", wet_ok))
+    )

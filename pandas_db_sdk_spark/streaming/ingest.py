@@ -853,3 +853,124 @@ def stream_lines_dedup_into_engine(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_wet_index_into_engine(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    dataframe_name: str,
+    html_col: str = "html",
+    uri_col: str = "uri",
+    id_col: str = "doc_id",
+    version_prefix: str = "epoch_",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """STREAMING form of x43's fetch tail — fetched pages arrive as a
+    stream of (id, html, uri) and each micro-batch runs the same lazy
+    program the batch composite certifies: WARC container build →
+    CDX index write (``multimodal.warc_gz_cdx_index``) → indexed-fetch
+    verify → WET conversion with byte-exact roundtrip
+    (``multimodal.parse_wet``).  Per epoch, under ONE
+    ``overwrite_version=True`` label:
+
+    * the WET documents land as the dataset (id, target_uri,
+      content_length, text, roundtrip_ok);
+    * the CDX rows land as ``<name>/__cdx`` — the random-access index
+      a serving tier reads;
+    * newly-ingested URIs append to ``<name>/__seen_uris`` and gate
+      later epochs (the frontier's "don't refetch" contract).
+
+    Replay safety: the seen-URI probe excludes the current epoch's own
+    version label (the ``stream_lines_dedup_into_engine`` guard), so a
+    batch killed after its saves but before the checkpoint commit
+    recomputes from pre-batch state and rewrites the identical epoch.
+    Scale: WARC/WET/CDX work is pure Arrow mapInPandas over the batch;
+    the only cross-batch state is the URI key index (hash keys, never
+    bodies)."""
+    from pyspark.sql import functions as F
+
+    from .. import multimodal
+    from .. import text as _text
+    from ..engine import VERSION_COL, DatasetNotFound
+
+    seen_name = f"{dataframe_name}/__seen_uris"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from .._scratch import scratch_persist
+
+        label = f"{version_prefix}{epoch_id}"
+        try:
+            seen = (
+                engine.load(seen_name, drop_internal=False)
+                .filter(F.col(VERSION_COL) != F.lit(label))
+                .select(F.col("uri_sha"))
+            )
+            fresh = batch_df.join(
+                seen,
+                F.sha2(F.col(uri_col), 256) == seen["uri_sha"],
+                "left_anti",
+            )
+        except DatasetNotFound:
+            fresh = batch_df
+        fresh = scratch_persist(fresh, "stream_wet/fresh")
+        if fresh.isEmpty():
+            return
+        files = scratch_persist(
+            multimodal.synth_warc_gz(fresh, html_col, uri_col, id_col),
+            "stream_wet/warc",
+        )
+        idx = multimodal.warc_gz_cdx_index(files, "payload", id_col)
+        parsed = multimodal.parse_warc(files, "payload", id_col)
+        txt = _text.html_main_text(F.col("body"))
+        wet_str = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+            F.col("target_uri"),
+            F.lit("\r\nWARC-Record-ID: <urn:sha256:"), F.sha2(txt, 256),
+            F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+            F.octet_length(txt).cast("string"),
+            F.lit("\r\n\r\n"), txt, F.lit("\r\n\r\n"),
+        )
+        wet = parsed.select(
+            id_col,
+            "target_uri",
+            F.encode(wet_str, "utf-8").alias("payload"),
+            txt.alias("__orig"),
+        )
+        rewet = multimodal.parse_wet(
+            wet.select(id_col, "payload"), "payload", id_col
+        )
+        docs = rewet.join(wet.select(id_col, "__orig"), id_col).select(
+            id_col,
+            "target_uri",
+            "content_length",
+            "text",
+            (
+                (F.col("text") == F.col("__orig"))
+                & (F.octet_length("text") == F.col("content_length"))
+            ).cast("int").alias("roundtrip_ok"),
+        )
+        engine.save(
+            docs, dataframe_name, external_key=label, overwrite_version=True
+        )
+        engine.save(
+            idx.filter(F.col("warc_type") == "response"),
+            f"{dataframe_name}/__cdx",
+            external_key=label,
+            overwrite_version=True,
+        )
+        engine.save(
+            fresh.select(F.sha2(F.col(uri_col), 256).alias("uri_sha")),
+            seen_name,
+            external_key=label,
+            overwrite_version=True,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

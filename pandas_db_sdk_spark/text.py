@@ -2708,12 +2708,6 @@ def url_blocklist_filter(
             u, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1
         )
     )
-    labels = F.split(host, "\\.")
-    n = F.size(labels)
-    suffixes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: F.array_join(F.slice(labels, i, n), "."),
-    )
     from ._scratch import scratch_persist
 
     # the slim (url, host) projection feeds the suffix explode AND the
@@ -2721,6 +2715,15 @@ def url_blocklist_filter(
     # upstream scans once
     base = scratch_persist(
         df.select(u.alias("url"), host.alias("host")), "url_blocklist/base"
+    )
+    # the suffix chain derives from base's OWN host column — deriving it
+    # from url_col would break for any url_col other than "url" (the
+    # projection renamed it away)
+    labels = F.split(F.col("host"), "\\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
     )
     exploded = base.select(
         "url", F.explode(suffixes).alias("__suffix")
