@@ -7706,3 +7706,48 @@ def d157b(spark, sf_dir):
             & (F.col("znorm_dist") == F.lit(0.0))
         ).cast("int").alias("self_retrieved"),
     )
+
+
+@q(
+    "d158_branch_lineage_card",
+    """WITH c AS (SELECT
+         sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS n3
+       FROM documents)
+       SELECT 'main' AS dataset, 'v1' AS version,
+              CAST(n0 AS BIGINT) AS n_rows,
+              CAST(NULL AS VARCHAR) AS branched_from,
+              CAST(0 AS INT) AS at_fork, CAST(0 AS INT) AS post_fork
+       FROM c
+       UNION ALL SELECT 'main', 'v2', CAST(n1 AS BIGINT), NULL, 0, 0 FROM c
+       UNION ALL SELECT 'main', 'm3', CAST(n3 AS BIGINT), NULL, 0, 0 FROM c
+       UNION ALL SELECT 'exp', 'v1', CAST(n0 AS BIGINT), 'main', 1, 0 FROM c
+       UNION ALL SELECT 'exp', 'v2', CAST(n1 AS BIGINT), 'main', 1, 0 FROM c
+       UNION ALL SELECT 'exp', 'b3', CAST(n2 AS BIGINT), 'main', 0, 1
+       FROM c""",
+)
+def d158(spark, sf_dir):
+    """Storage tier (r12, VERDICT r11 #8): the BRANCH LINEAGE CARD —
+    ``engine.branch_card``, the queryable face of the r11 branching
+    trio: per committed version, its row count plus its lineage
+    position (fork-inherited vs branch-grown, with the recorded fork
+    source).  The fixture builds a real two-branch warehouse from the
+    documents table (main commits v1/v2, forks to exp, then each side
+    diverges — m3 on main, b3 on exp) and unions both cards; the
+    oracle replays every count and lineage flag arithmetically.
+    Certifies that branching is not just storable but AUDITABLE — the
+    per-branch deltas a release review needs."""
+    import tempfile
+
+    from ..engine import DataFrameEngine
+
+    d = tables(spark, sf_dir)("documents")
+    eng = DataFrameEngine(spark, tempfile.mkdtemp(prefix="d158_wh_"))
+    eng.save(d.filter(F.col("doc_id") % 4 == 0), "main", external_key="v1")
+    eng.save(d.filter(F.col("doc_id") % 4 == 1), "main", external_key="v2")
+    eng.branch_dataset("main", "exp")
+    eng.save(d.filter(F.col("doc_id") % 4 == 2), "exp", external_key="b3")
+    eng.save(d.filter(F.col("doc_id") % 4 == 3), "main", external_key="m3")
+    return eng.branch_card("main").unionAll(eng.branch_card("exp"))

@@ -1277,6 +1277,44 @@ class DataFrameEngine:
             "branched_from": a.get("branched_from"),
         }
 
+    def branch_card(self, dataframe_name: str) -> DataFrame:
+        """Branch-aware DATA CARD (r12, VERDICT r11 #8) — the queryable
+        face of the branching trio (:func:`branch_dataset` /
+        :func:`merge_branch` / :func:`diff_branches`): one row per
+        committed version with its row count and its lineage position —
+        ``branched_from`` (the fork source recorded at branch time),
+        ``at_fork`` = 1 for versions shared with the fork point,
+        ``post_fork`` = 1 for versions this dataset grew AFTER forking
+        (both 0 for a dataset that is not a branch).  This is what a
+        release review reads: which versions are inherited history and
+        which are the branch's own work, sized.
+
+        Row counts come from per-version parquet metadata counts (count
+        aggregates push to footers — no data columns read); versions
+        are retention-bounded, so the loop is small by construction."""
+        ds = self._dataset_entry(dataframe_name)
+        bf = ds.get("branched_from") or {}
+        fork = {str(v) for v in bf.get("at_versions", [])}
+        is_branch = bool(bf)
+        rows = []
+        for v in ds["versions"]:
+            n = self.load(dataframe_name, external_key=v).count()
+            rows.append(
+                (
+                    dataframe_name,
+                    str(v),
+                    int(n),
+                    bf.get("source"),
+                    int(is_branch and str(v) in fork),
+                    int(is_branch and str(v) not in fork),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "dataset string, version string, n_rows long, "
+            "branched_from string, at_fork int, post_fork int",
+        )
+
     def stream_changes(
         self,
         dataframe_name: str,

@@ -1882,3 +1882,51 @@ def test_diff_branches_reports_divergence_and_conflicts(spark, tmp_path):
     assert d["only_on_other"] == []
     assert d["conflicting_labels"] == ["vX"]
     assert d["branched_from"]["source"] == "m"
+
+
+def test_branch_card_lineage_and_retention_deltas(spark, tmp_path):
+    """r12 branching trio queryability (VERDICT r11 #8): branch_card
+    labels fork-inherited versions at_fork=1, branch-grown versions
+    post_fork=1, non-branch datasets all-zero with NULL lineage; row
+    counts track each version; retention on main never perturbs the
+    branch's card (the hardlink isolation, now visible in the audit
+    surface)."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(
+        spark.createDataFrame([(i, "a") for i in range(4)], "id long, v string"),
+        "m", external_key="v1",
+    )
+    eng.save(
+        spark.createDataFrame([(9, "b")], "id long, v string"),
+        "m", external_key="v2",
+    )
+    eng.branch_dataset("m", "f")
+    eng.save(
+        spark.createDataFrame([(7, "c"), (8, "c")], "id long, v string"),
+        "f", external_key="b3",
+    )
+
+    card_m = {
+        r.version: (r.n_rows, r.branched_from, r.at_fork, r.post_fork)
+        for r in eng.branch_card("m").collect()
+    }
+    assert card_m == {"v1": (4, None, 0, 0), "v2": (1, None, 0, 0)}
+    card_f = {
+        r.version: (r.n_rows, r.branched_from, r.at_fork, r.post_fork)
+        for r in eng.branch_card("f").collect()
+    }
+    assert card_f == {
+        "v1": (4, "m", 1, 0),
+        "v2": (1, "m", 1, 0),
+        "b3": (2, "m", 0, 1),
+    }
+
+    # retention on main deletes its fork-point dirs; the branch card
+    # still counts them (hardlinked inodes survive)
+    eng.retain_last("m", 1)
+    card_f2 = {
+        r.version: r.n_rows for r in eng.branch_card("f").collect()
+    }
+    assert card_f2 == {"v1": 4, "v2": 1, "b3": 2}
