@@ -110,6 +110,14 @@ def main() -> None:
         ("q40_line_dedup", "d139_line_dedup_corpus"),
         ("q41_image_phash", "d141_image_phash"),
         ("q42_audio_stft", "d142_audio_stft"),
+        # round-12 additions: the chromaprint audio fingerprint (Arrow
+        # map, zero shuffles), the SAX-blocked multi-query time-series
+        # search (word join + co-moment verify + group limit), and the
+        # crawl-operations funnel (discovery -> blocklist -> schedule ->
+        # CDX fetch -> WET roundtrip as one program)
+        ("q43_audio_fingerprint", "d156_audio_fingerprint"),
+        ("q44_ts_similarity_join", "d157_ts_similarity_join"),
+        ("q45_crawl_ops_funnel", "x43_crawl_ops_funnel"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay

@@ -1018,3 +1018,24 @@ def test_media_feature_ops_are_zero_exchange_maps(spark, queries):
     ):
         plan = plan_of(queries[name](spark, SF))
         assert _unique_exchanges(plan) == 0, (name, plan)
+
+
+def test_round12_shuffle_budgets_and_shapes(spark, queries):
+    """Round-12 additions: d156 audio fingerprint is a pure Arrow
+    mapInPandas pipeline (zero exchanges); d157's multi-query search
+    carries no cartesian product and broadcasts the tiny query side at
+    the verify join; x43's funnel has no cartesian product either
+    (every cross join in its lineage is a broadcast 1-row bounds /
+    scalar frame); d158's card is driver-assembled metadata (trivially
+    planless — covered by storage tests)."""
+    plan = plan_of(queries["d156_audio_fingerprint"](spark, SF))
+    assert _unique_exchanges(plan) == 0, plan
+
+    p157 = plan_of(queries["d157_ts_similarity_join"](spark, SF))
+    assert "CartesianProduct" not in p157
+    assert "BroadcastHashJoin" in p157 or "BroadcastNestedLoopJoin" in p157
+    # top-k per query must be the rank-filter window, not a global sort
+    assert "Window" in p157
+
+    p43 = plan_of(queries["x43_crawl_ops_funnel"](spark, SF))
+    assert "CartesianProduct" not in p43
