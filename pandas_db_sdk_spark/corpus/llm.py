@@ -7751,3 +7751,73 @@ def d158(spark, sf_dir):
     eng.save(d.filter(F.col("doc_id") % 4 == 2), "exp", external_key="b3")
     eng.save(d.filter(F.col("doc_id") % 4 == 3), "main", external_key="m3")
     return eng.branch_card("main").unionAll(eng.branch_card("exp"))
+
+
+@q(
+    "d159_exif_extract",
+    """SELECT doc_id, CAST(1 AS INT) AS has_exif, 'II' AS byte_order,
+              'cam' || (doc_id % 7) AS make,
+              'm' || (doc_id % 13) AS model,
+              CAST(1 + doc_id % 8 AS INT) AS orientation,
+              '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                || ' 03:04:05' AS datetime
+       FROM documents""",
+)
+def d159(spark, sf_dir):
+    """Media metadata tier (r12): EXIF EXTRACTION
+    (``multimodal.exif_extract``) — the image-metadata parse every
+    crawl pipeline runs before shipping media (device identity, EXIF
+    timestamps — a PII surface): JPEG marker-segment walk, APP1
+    ``Exif\\0\\0`` discovery, TIFF container parse (byte order, IFD0
+    entry walk, data-area ASCII resolution).  The fixture
+    (``synth_jpeg_exif``) plants a deterministic little-endian IFD0 —
+    Make/Model/Orientation/DateTime all arithmetic in the id — so the
+    oracle replays every extracted field.  The redaction half is
+    ``exif_strip``, certified by d159b's byte-exact identity.  Zero
+    shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.exif_extract(
+        multimodal.synth_jpeg_exif(d, "doc_id"), "payload", "doc_id"
+    )
+
+
+@q(
+    "d159b_exif_strip_guarantees",
+    """SELECT doc_id, CAST(1 AS INT) AS strip_identity FROM documents""",
+)
+def d159b(spark, sf_dir):
+    """d159's redaction twin (the media analogue of d44's PII redact
+    guarantees): because ``synth_jpeg_exif`` INSERTS the APP1 segment
+    into ``synth_jpeg``'s byte stream, ``exif_strip`` must reproduce
+    the plain stream BYTE-EXACTLY (sha256 compare), report exactly one
+    stripped segment, and leave nothing a re-extraction can find.  One
+    guarantee row per document; the oracle states the invariant."""
+    d = tables(spark, sf_dir)("documents")
+    plain = multimodal.synth_jpeg(d, "doc_id").select(
+        "doc_id", F.sha2(F.col("payload"), 256).alias("__psha")
+    )
+    stripped = multimodal.exif_strip(
+        multimodal.synth_jpeg_exif(d, "doc_id"), "payload", "doc_id"
+    )
+    from .._scratch import scratch_persist
+
+    stripped = scratch_persist(stripped, "d159b/stripped")
+    residual = multimodal.exif_extract(
+        stripped.select("doc_id", "payload"), "payload", "doc_id"
+    ).select("doc_id", "has_exif")
+    return (
+        stripped.select(
+            "doc_id", F.sha2(F.col("payload"), 256).alias("__ssha"),
+            "n_stripped",
+        )
+        .join(plain, "doc_id")
+        .join(residual, "doc_id")
+        .select(
+            "doc_id",
+            (
+                (F.col("__ssha") == F.col("__psha"))
+                & (F.col("n_stripped") == 1)
+                & (F.col("has_exif") == 0)
+            ).cast("int").alias("strip_identity"),
+        )
+    )

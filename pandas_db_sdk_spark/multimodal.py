@@ -4789,3 +4789,205 @@ def ahash_64(
         hashes,
         f"{id_col} long, n_ones int, hash_lo long, hash_hi long",
     )
+
+
+def _exif_app1(i: int) -> bytes:
+    """The deterministic EXIF APP1 segment :func:`synth_jpeg_exif`
+    inserts: little-endian TIFF, one IFD0 with Make/Model/Orientation/
+    DateTime — every field an arithmetic function of the id so an
+    engine-independent oracle replays the extraction."""
+    import struct
+
+    make = f"cam{i % 7}\x00".encode()
+    model = f"m{i % 13}\x00".encode()
+    orientation = 1 + i % 8
+    dt = f"2024:01:{1 + i % 28:02d} 03:04:05\x00".encode()  # 20 bytes
+
+    # TIFF body: header (8) + count (2) + 4 entries (48) + next (4) = 62
+    data_off = 8 + 2 + 4 * 12 + 4
+    entries = b""
+    data = b""
+
+    def entry(tag, typ, cnt, payload):
+        nonlocal entries, data, data_off
+        if len(payload) <= 4:
+            entries += struct.pack("<HHI4s", tag, typ, cnt, payload.ljust(4, b"\x00"))
+        else:
+            entries += struct.pack("<HHII", tag, typ, cnt, data_off)
+            data += payload
+            data_off += len(payload)
+
+    entry(0x010F, 2, len(make), make)          # Make, ASCII
+    entry(0x0110, 2, len(model), model)        # Model, ASCII
+    entry(0x0112, 3, 1, struct.pack("<H", orientation))  # Orientation
+    entry(0x0132, 2, len(dt), dt)              # DateTime, ASCII
+    tiff = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 4)
+    tiff += entries + struct.pack("<I", 0) + data
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def synth_jpeg_exif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """:func:`synth_jpeg` with a deterministic EXIF APP1 segment
+    inserted right after SOI — the metadata-bearing fixture for the
+    d159 EXIF tier.  Because the segment is INSERTED into the plain
+    synth_jpeg byte stream, ``exif_strip ∘ synth_jpeg_exif`` must
+    reproduce ``synth_jpeg`` byte-exactly (the d159b guarantee)."""
+    plain = synth_jpeg(df, id_col)
+
+    def add(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(buf)
+                rows.append((int(i), b[:2] + _exif_app1(int(i)) + b[2:]))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return plain.mapInPandas(add, f"{id_col} long, payload binary")
+
+
+def _jpeg_segments(b: bytes):
+    """Walk JPEG marker segments up to SOS: yields (marker, start, end)
+    byte ranges, end exclusive.  Stops at SOS/EOI (entropy data follows,
+    which has no segment structure)."""
+    if b[:2] != b"\xff\xd8":
+        return
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return
+        marker = b[pos + 1]
+        if marker in (0xDA, 0xD9):  # SOS / EOI
+            return
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        yield marker, pos, pos + 2 + seg_len
+        pos += 2 + seg_len
+
+
+def exif_extract(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """EXIF metadata EXTRACTION (d159) — the media-metadata op every
+    crawl pipeline runs before shipping images (and the PII surface
+    the strip pass removes): walk the JPEG marker segments, find the
+    APP1 ``Exif\\0\\0`` payload, parse the TIFF container (byte order,
+    IFD0 entry walk, ASCII values resolved through their data-area
+    offsets) and emit the canonical identity fields: (id, has_exif,
+    byte_order, make, model, orientation, datetime).  Files without
+    EXIF emit has_exif = 0 with NULL fields — the audit view, never a
+    dropped row.  Broken containers skip per the codec-ladder
+    contract.  Scale: pure Arrow mapInPandas, zero shuffles."""
+    import struct
+
+    def parse_tiff(t: bytes):
+        if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+            return None
+        le = t[:2] == b"II"
+        e = "<" if le else ">"
+        (magic,) = struct.unpack(e + "H", t[2:4])
+        if magic != 42:
+            return None
+        (ifd,) = struct.unpack(e + "I", t[4:8])
+        if ifd + 2 > len(t):
+            return None
+        (n,) = struct.unpack(e + "H", t[ifd : ifd + 2])
+        out = {"byte_order": "II" if le else "MM"}
+        for j in range(n):
+            off = ifd + 2 + 12 * j
+            if off + 12 > len(t):
+                return out
+            tag, typ, cnt = struct.unpack(e + "HHI", t[off : off + 8])
+            raw = t[off + 8 : off + 12]
+            if typ == 2:  # ASCII
+                if cnt <= 4:
+                    val = raw[:cnt]
+                else:
+                    (doff,) = struct.unpack(e + "I", raw)
+                    val = t[doff : doff + cnt]
+                s = val.split(b"\x00", 1)[0].decode("ascii", "replace")
+                if tag == 0x010F:
+                    out["make"] = s
+                elif tag == 0x0110:
+                    out["model"] = s
+                elif tag == 0x0132:
+                    out["datetime"] = s
+            elif typ == 3 and tag == 0x0112:
+                (out["orientation"],) = struct.unpack(e + "H", raw[:2])
+        return out
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                if b[:2] != b"\xff\xd8":
+                    continue
+                meta = None
+                for marker, s, epos in _jpeg_segments(b):
+                    if marker == 0xE1 and b[s + 4 : s + 10] == b"Exif\x00\x00":
+                        meta = parse_tiff(b[s + 10 : epos])
+                        break
+                if meta is None:
+                    rows.append((int(i), 0, None, None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            int(i),
+                            1,
+                            meta.get("byte_order"),
+                            meta.get("make"),
+                            meta.get("model"),
+                            meta.get("orientation"),
+                            meta.get("datetime"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "has_exif", "byte_order", "make", "model",
+                    "orientation", "datetime",
+                ],
+            )
+
+    return df.mapInPandas(
+        extract,
+        f"{id_col} long, has_exif int, byte_order string, make string,"
+        " model string, orientation int, datetime string",
+    )
+
+
+def exif_strip(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """EXIF STRIP (d159's redaction half — the media twin of the text
+    tier's PII redact d44): remove every APP1 ``Exif\\0\\0`` segment
+    from the JPEG byte stream, leaving all other bytes untouched, so
+    image content (and every other segment) survives byte-exactly.
+    Returns (id, payload, n_stripped).  Scale: pure Arrow mapInPandas,
+    zero shuffles."""
+
+    def strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                if b[:2] != b"\xff\xd8":
+                    continue
+                cuts = [
+                    (s, e)
+                    for marker, s, e in _jpeg_segments(b)
+                    if marker == 0xE1 and b[s + 4 : s + 10] == b"Exif\x00\x00"
+                ]
+                out, pos = b"", 0
+                for s, e in cuts:
+                    out += b[pos:s]
+                    pos = e
+                out += b[pos:]
+                rows.append((int(i), out, len(cuts)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "payload", "n_stripped"]
+            )
+
+    return df.mapInPandas(
+        strip, f"{id_col} long, payload binary, n_stripped int"
+    )

@@ -1604,3 +1604,49 @@ def test_audio_fingerprint_invariance_and_hamming_clustering(spark):
         "doc_id long, payload binary",
     )
     assert multimodal.audio_fingerprint(poison).count() == 0
+
+
+def test_exif_parse_strip_and_poison(spark):
+    """d159 operator coverage the fixture path doesn't reach: a
+    big-endian (MM) TIFF parses with the same fields; a payload with
+    NO exif emits has_exif=0 nulls (audit row, not a drop); a non-JPEG
+    payload skips; strip leaves exif-less files untouched with
+    n_stripped=0; multiple APP1-Exif segments all strip."""
+    import struct
+
+    import pandas as pd
+
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    plain = bytes(multimodal.synth_jpeg(ids).collect()[0].payload)
+
+    # big-endian APP1 with just Orientation=6
+    tiff = b"MM" + struct.pack(">HI", 42, 8) + struct.pack(">H", 1)
+    tiff += struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">H", 6) + b"\x00\x00"
+    tiff += struct.pack(">I", 0)
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+    mm = plain[:2] + app1 + plain[2:]
+    double = plain[:2] + app1 + app1 + plain[2:]
+
+    frame = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, mm), (2, plain), (3, b"not a jpeg"), (4, double)],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in multimodal.exif_extract(frame).collect()}
+    assert set(got) == {1, 2, 4}  # non-JPEG skips
+    assert (got[1].byte_order, got[1].orientation) == ("MM", 6)
+    assert got[1].make is None  # absent tag stays NULL
+    assert got[2].has_exif == 0 and got[2].byte_order is None
+
+    stripped = {
+        r.doc_id: (bytes(r.payload), r.n_stripped)
+        for r in multimodal.exif_strip(frame).collect()
+    }
+    assert stripped[1] == (plain, 1)
+    assert stripped[2] == (plain, 0)  # untouched, not rewritten
+    assert stripped[4] == (plain, 2)  # every segment removed
