@@ -547,7 +547,8 @@ _R12_NEW = frozenset(
     """d156_audio_fingerprint d156b_audio_fp_guarantees
     d157_ts_similarity_join d157b_ts_join_self_retrieval
     x43_crawl_ops_funnel d158_branch_lineage_card
-    d159_exif_extract d159b_exif_strip_guarantees""".split()
+    d159_exif_extract d159b_exif_strip_guarantees
+    d156c_audio_near_dup_clusters""".split()
 )
 
 

@@ -7821,3 +7821,41 @@ def d159b(spark, sf_dir):
             ).cast("int").alias("strip_identity"),
         )
     )
+
+
+@q(
+    "d156c_audio_near_dup_clusters",
+    """WITH m AS (SELECT DISTINCT doc_id % 8 AS i FROM documents)
+       SELECT CAST(i AS BIGINT) AS id, CAST(i AS BIGINT) AS cluster,
+              CAST(2 AS BIGINT) AS cluster_size FROM m
+       UNION ALL
+       SELECT CAST(i + 1000 AS BIGINT), CAST(i AS BIGINT),
+              CAST(2 AS BIGINT) FROM m""",
+)
+def d156c(spark, sf_dir):
+    """d156's cluster-level certification (the audio twin of d117's
+    image near-dup clusters): a fleet of 8 distinct chirp tracks plus
+    one DC-offset copy of each (id + 1000, offset 7 — same signal up
+    to basis rounding residue) runs fingerprint →
+    ``dedup.hamming_clusters`` END TO END.  The fixture's measured
+    separation (copies at Hamming 0, distinct tracks at ≥ 6 vs the
+    max_hamming=3 band) makes the cluster answer analytic: exactly 8
+    two-member clusters, each labeled by its original's id, no
+    cross-track merges — which the oracle states arithmetically.
+    Certifies the banding + exact-collapse + connected-components
+    composition over the audio signature space, not just the
+    signature values."""
+    from .. import dedup
+
+    d = tables(spark, sf_dir)("documents")
+    ids = d.select((F.col("doc_id") % 8).alias("doc_id")).distinct()
+    fleet = multimodal.synth_chirp_wav(ids, "doc_id").unionAll(
+        multimodal.synth_chirp_wav(ids, "doc_id", offset=7).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "payload"
+        )
+    )
+    fps = multimodal.audio_fingerprint(fleet, "payload", "doc_id").select(
+        "doc_id",
+        (F.col("fp_lo") + F.shiftleft(F.col("fp_hi"), 32)).alias("sig"),
+    )
+    return dedup.hamming_clusters(fps, "doc_id", "sig", max_hamming=3)
