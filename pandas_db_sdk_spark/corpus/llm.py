@@ -7859,3 +7859,60 @@ def d156c(spark, sf_dir):
         (F.col("fp_lo") + F.shiftleft(F.col("fp_hi"), 32)).alias("sig"),
     )
     return dedup.hamming_clusters(fps, "doc_id", "sig", max_hamming=3)
+
+
+@q(
+    "d161_sft_loss_mask",
+    """WITH t AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents),
+       u AS (SELECT doc_id, w[i.i] AS tok, i.i AS pos,
+                    least(len(w), 8) AS np
+             FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i),
+       v AS (SELECT tok, row_number() OVER (ORDER BY tok) AS vid
+             FROM (SELECT DISTINCT tok FROM u)),
+       j AS (SELECT u.doc_id, u.pos, u.np, v.vid FROM u JOIN v USING (tok))
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN pos <= np THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_masked,
+              sha256(string_agg(vid::VARCHAR, ',' ORDER BY pos)) AS ids_sha,
+              sha256(string_agg(CASE WHEN pos <= np THEN '-100'
+                                     ELSE vid::VARCHAR END,
+                                ',' ORDER BY pos)) AS labels_sha
+       FROM j GROUP BY doc_id""",
+)
+def d161(spark, sf_dir):
+    """Training-data tier (r12): SFT LOSS-MASK prep
+    (``packing.sft_loss_mask``) — the (input_ids, labels) build between
+    cleaning and batching: per example, prompt tokens mask to -100 and
+    loss flows only through the response.  The fixture splits every
+    document at token 8 (prompt = head, response = tail); token ids
+    come from the corpus-derived vocabulary (dense rank over sorted
+    distinct tokens via ``scale.global_row_index`` — range-partitioned,
+    no single-task window), so the oracle replays every id, every mask
+    position, and the exact sequence shas.  Arrays project to
+    sha256(join(ids)) at the query boundary per the corpus discipline
+    (arrays never cross the compare)."""
+    from .. import packing
+
+    d = tables(spark, sf_dir)("documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    pairs = d.select(
+        "doc_id",
+        F.array_join(F.slice(w, 1, 8), " ").alias("prompt"),
+        F.array_join(
+            F.slice(w, 9, F.greatest(F.size(w) - 8, F.lit(0))), " "
+        ).alias("response"),
+    )
+    out = packing.sft_loss_mask(pairs, "doc_id", "prompt", "response")
+    to_str = lambda col: F.array_join(  # noqa: E731
+        F.transform(col, lambda x: x.cast("string")), ","
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        F.sha2(to_str(F.col("input_ids")), 256).alias("ids_sha"),
+        F.sha2(to_str(F.col("labels")), 256).alias("labels_sha"),
+    )

@@ -111,3 +111,86 @@ def pack_greedy(
         "__grp", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
     )
     return salted.groupBy("__grp").applyInPandas(pack_group, schema)
+
+
+def sft_loss_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    mask_label: int = -100,
+) -> DataFrame:
+    """SFT training-example prep (d161) — the (input_ids, labels) build
+    every supervised-finetuning pipeline runs after cleaning: tokenize
+    prompt + response (whitespace tokens; swap in the certified BPE /
+    unigram encoders for subword ids), id each token against a
+    CORPUS-DERIVED vocabulary (dense rank over the sorted distinct
+    tokens — deterministic, so an oracle replays every id), and emit
+    per example
+
+    * ``input_ids``  = prompt ids ++ response ids,
+    * ``labels``     = ``mask_label`` over every prompt position ++
+      response ids (loss flows only through the response — the SFT
+      masking convention),
+
+    plus the audit counts (n_tokens, n_masked).  Empty tokens from
+    repeated separators drop.
+
+    Scale: one posexplode + one vocabulary equi-join + one per-doc
+    ``collect_list(struct(pos, …))`` reassembly — per-doc state bounds
+    at document length (the packing tier's contract); the vocabulary
+    index uses ``scale.global_row_index`` (range-partitioned rank, no
+    single-task window), and the id join is a plain hash join that
+    AQE broadcasts while the vocab is small."""
+    from . import scale as _scale
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(
+                    F.concat(
+                        F.split(F.col(prompt_col), " "),
+                        F.split(F.col(response_col), " "),
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("__pos", "__tok"),
+            F.size(
+                F.filter(F.split(F.col(prompt_col), " "), lambda x: x != "")
+            ).alias("__n_prompt"),
+        )
+    )
+    from ._scratch import scratch_persist
+
+    toks = scratch_persist(toks, "sft_loss_mask/tokens")
+    vocab = _scale.global_row_index(
+        toks.select("__tok").distinct(), ["__tok"], index_col="__vid"
+    )
+    ided = toks.join(vocab, "__tok").select(
+        id_col,
+        "__pos",
+        F.col("__vid").cast("long").alias("__vid"),
+        (F.col("__pos") < F.col("__n_prompt")).alias("__masked"),
+    )
+    return (
+        ided.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("__masked").cast("long")).cast("long").alias("n_masked"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__vid", "__masked"))
+                ),
+                lambda s: s["__vid"],
+            ).alias("input_ids"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__vid", "__masked"))
+                ),
+                lambda s: F.when(s["__masked"], F.lit(mask_label)).otherwise(
+                    s["__vid"]
+                ),
+            ).alias("labels"),
+        )
+    )

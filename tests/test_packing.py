@@ -222,3 +222,31 @@ def test_waterfill_quota_invariants(spark):
     assert out.loc["d"].allocation == 50
     capped = out[out.allocation < out.n_docs]
     assert capped.allocation.nunique() == 1  # one shared water level
+
+
+def test_sft_loss_mask_arrays_and_edges(spark):
+    """d161 operator contract on hand-checkable pairs: labels are -100
+    exactly over prompt positions with response ids verbatim after,
+    input_ids line up with the sorted-vocab dense rank, an
+    empty-response example masks everything, and repeated separators
+    contribute no tokens."""
+    from pandas_db_sdk_spark import packing
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "b a", "c a"),
+            (2, "a", ""),          # empty response: all masked
+            (3, "c  c", "b"),      # double space: no empty token
+        ],
+        "doc_id long, prompt string, response string",
+    )
+    out = {
+        r.doc_id: r for r in packing.sft_loss_mask(pairs).collect()
+    }
+    # vocab sorted: a=1, b=2, c=3
+    assert list(out[1].input_ids) == [2, 1, 3, 1]
+    assert list(out[1].labels) == [-100, -100, 3, 1]
+    assert (out[1].n_tokens, out[1].n_masked) == (4, 2)
+    assert list(out[2].input_ids) == [1] and list(out[2].labels) == [-100]
+    assert list(out[3].input_ids) == [3, 3, 2]
+    assert list(out[3].labels) == [-100, -100, 2]
