@@ -959,25 +959,32 @@ def ts_similarity_join(
     two fact equi-joins + one partial+final co-moment agg per pair +
     a per-query WindowGroupLimit (no global sort)."""
     q_t, q_v = F.col(t_col), F.col(v_col)
-    chk = (
+    # ONE eager job over the (broadcast-small by contract) query side
+    # serves both the duplicate-key guard and the query-side grid
+    # bounds — the series side stays a lazy corpus aggregate
+    qstats = (
         queries.groupBy(qid_col)
         .agg(
-            (F.count("*") - F.count_distinct(q_t)).alias("__dups")
+            (F.count("*") - F.count_distinct(q_t)).alias("__dups"),
+            F.min(q_t).alias("__qmin"),
+            F.max(q_t).alias("__qmax"),
         )
-        .filter(F.col("__dups") > 0)
-        .limit(1)
         .collect()
     )
-    if chk:
+    if not qstats:
+        raise ValueError("ts_similarity_join: empty query side")
+    dup = next((r for r in qstats if r["__dups"] > 0), None)
+    if dup is not None:
         raise ValueError(
-            f"ts_similarity_join: query {chk[0][qid_col]!r} has duplicate "
+            f"ts_similarity_join: query {dup[qid_col]!r} has duplicate "
             f"{t_col!r} keys — pre-aggregate the query series first"
         )
+    qmin = min(r["__qmin"] for r in qstats)
+    qmax = max(r["__qmax"] for r in qstats)
     # one shared grid: words quantized on different grids don't compare
-    bounds = (
-        series.select(F.col(t_col).alias("__t"))
-        .unionAll(queries.select(q_t.alias("__t")))
-        .agg(F.min("__t").alias("__tmin"), F.max("__t").alias("__tmax"))
+    bounds = series.agg(
+        F.least(F.min(q_t), F.lit(qmin)).alias("__tmin"),
+        F.greatest(F.max(q_t), F.lit(qmax)).alias("__tmax"),
     )
     from ._scratch import scratch_persist
 
