@@ -116,6 +116,36 @@ def main(sf_dir: str) -> None:
         F.sum("n_out").alias("samples_out"),
     ).show()
 
+    print("== 5c. audio near-dup: chirp fingerprints + Hamming clusters ==")
+    from pandas_db_sdk_spark import dedup
+
+    small = docs.select((F.col("doc_id") % 8).alias("doc_id")).distinct()
+    fleet = multimodal.synth_chirp_wav(small, "doc_id").unionAll(
+        multimodal.synth_chirp_wav(small, "doc_id", gain=2).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "payload"
+        )
+    )
+    fps = multimodal.audio_fingerprint(fleet, "payload", "doc_id")
+    sigs = fps.select(
+        "doc_id",
+        (F.col("fp_lo") + F.shiftleft(F.col("fp_hi"), 32)).alias("sig"),
+    )
+    dedup.hamming_clusters(sigs, "doc_id", "sig").orderBy("cluster", "id").show(6)
+
+    print("== 5d. EXIF: extract device metadata, then strip it (media PII) ==")
+    exif_jpegs = multimodal.synth_jpeg_exif(docs.limit(50), "doc_id")
+    multimodal.exif_extract(exif_jpegs, "payload", "doc_id").groupBy(
+        "make"
+    ).agg(F.count("*").alias("files")).orderBy("make").show()
+    stripped = multimodal.exif_strip(exif_jpegs, "payload", "doc_id")
+    residual = multimodal.exif_extract(
+        stripped.select("doc_id", "payload"), "payload", "doc_id"
+    )
+    residual.agg(
+        F.count("*").alias("files"),
+        F.sum("has_exif").alias("residual_exif"),
+    ).show()
+
     print("== 6. WARC crawl ingestion: container -> HTTP -> main text ==")
     from pandas_db_sdk_spark import text
 
