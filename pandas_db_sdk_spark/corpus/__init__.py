@@ -548,7 +548,8 @@ _R12_NEW = frozenset(
     d157_ts_similarity_join d157b_ts_join_self_retrieval
     x43_crawl_ops_funnel d158_branch_lineage_card
     d159_exif_extract d159b_exif_strip_guarantees
-    d156c_audio_near_dup_clusters d161_sft_loss_mask""".split()
+    d156c_audio_near_dup_clusters d161_sft_loss_mask
+    d163_schema_evolution_card""".split()
 )
 
 

@@ -7916,3 +7916,36 @@ def d161(spark, sf_dir):
         F.sha2(to_str(F.col("input_ids")), 256).alias("ids_sha"),
         F.sha2(to_str(F.col("labels")), 256).alias("labels_sha"),
     )
+
+
+@q(
+    "d163_schema_evolution_card",
+    """SELECT 'ds' AS dataset, 'v1' AS version, CAST(2 AS INT) AS n_columns,
+              'doc_id,text' AS added, '' AS removed
+       FROM (SELECT 1) one
+       UNION ALL SELECT 'ds', 'v2', CAST(3 AS INT), 'lang', ''
+       FROM (SELECT 1) one
+       UNION ALL SELECT 'ds', 'v3', CAST(2 AS INT), 'n_chars', 'lang,text'
+       FROM (SELECT 1) one""",
+)
+def d163(spark, sf_dir):
+    """Storage tier (r12): SCHEMA-EVOLUTION CARD
+    (``engine.schema_history``) — per committed version, the
+    user-facing column count and the columns ADDED/REMOVED vs the
+    previous version, read from parquet footers only (no data pages).
+    The fixture commits three versions of the documents table with a
+    widening then a narrowing projection, so the card must show the
+    merge-visible history (v2 adds ``lang``, v3 drops ``lang,text``
+    and adds ``n_chars``); the oracle states it literally.  The
+    manifest's merged end-state schema alone cannot answer 'where did
+    this column enter' — this card can."""
+    import tempfile
+
+    from ..engine import DataFrameEngine
+
+    d = tables(spark, sf_dir)("documents")
+    eng = DataFrameEngine(spark, tempfile.mkdtemp(prefix="d163_wh_"))
+    eng.save(d.select("doc_id", "text"), "ds", external_key="v1")
+    eng.save(d.select("doc_id", "text", "lang"), "ds", external_key="v2")
+    eng.save(d.select("doc_id", "n_chars"), "ds", external_key="v3")
+    return eng.schema_history("ds")

@@ -1315,6 +1315,48 @@ class DataFrameEngine:
             "branched_from string, at_fork int, post_fork int",
         )
 
+    def schema_history(self, dataframe_name: str) -> DataFrame:
+        """SCHEMA-EVOLUTION CARD (r12) — the audit view of how a
+        dataset's shape changed version over version (the companion of
+        :func:`branch_card`'s row-count lineage): per committed
+        version, the column count plus the columns ADDED and REMOVED
+        relative to the previous version (comma-joined, sorted;
+        empty-string when unchanged).  The per-version schema is read
+        from each version directory's parquet FOOTERS only — no data
+        pages — and internal columns (``__p_*``, the version label)
+        are excluded, so the card shows the user-facing shape.
+
+        This is what append-time schema merge makes queryable: a
+        reviewer sees WHERE a column entered the history, not just the
+        merged end state the manifest stores."""
+        ds = self._dataset_entry(dataframe_name)
+        rows = []
+        prev: Optional[set] = None
+        for v in ds["versions"]:
+            vdir = os.path.join(ds["path"], f"{VERSION_COL}={v}")
+            cols = {
+                f.name
+                for f in self.spark.read.parquet(vdir).schema.fields
+                if not f.name.startswith("__p_") and f.name != VERSION_COL
+            }
+            added = sorted(cols - prev) if prev is not None else sorted(cols)
+            removed = sorted(prev - cols) if prev is not None else []
+            rows.append(
+                (
+                    dataframe_name,
+                    str(v),
+                    len(cols),
+                    ",".join(added),
+                    ",".join(removed),
+                )
+            )
+            prev = cols
+        return self.spark.createDataFrame(
+            rows,
+            "dataset string, version string, n_columns int, "
+            "added string, removed string",
+        )
+
     def stream_changes(
         self,
         dataframe_name: str,

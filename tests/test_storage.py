@@ -1930,3 +1930,42 @@ def test_branch_card_lineage_and_retention_deltas(spark, tmp_path):
         r.version: r.n_rows for r in eng.branch_card("f").collect()
     }
     assert card_f2 == {"v1": 4, "v2": 1, "b3": 2}
+
+
+def test_schema_history_tracks_adds_and_removes(spark, tmp_path):
+    """r12 schema-evolution card: per-version add/remove diffs from
+    parquet footers, internal columns excluded, first version reported
+    as all-added; partitioned datasets include their partition-source
+    columns but never the __p_* internals."""
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        "ds", external_key="v1",
+    )
+    eng.save(
+        spark.createDataFrame([(2, "b", 1.5)], "id long, v string, w double"),
+        "ds", external_key="v2",
+    )
+    eng.save(
+        spark.createDataFrame([(3, 2.5)], "id long, w double"),
+        "ds", external_key="v3",
+    )
+    got = {
+        r.version: (r.n_columns, r.added, r.removed)
+        for r in eng.schema_history("ds").collect()
+    }
+    assert got == {
+        "v1": (2, "id,v", ""),
+        "v2": (3, "w", ""),
+        "v3": (2, "", "v"),
+    }
+
+    # partitioned dataset: user columns only, no __p_* leakage
+    eng.save(
+        spark.createDataFrame([(1, 5)], "id long, b long"),
+        "pds", columns_keys={"b": "ID"}, external_key="p1",
+    )
+    row = eng.schema_history("pds").collect()[0]
+    assert row.added == "b,id" and "__p_" not in row.added
