@@ -110,14 +110,19 @@ def main() -> None:
         ("q40_line_dedup", "d139_line_dedup_corpus"),
         ("q41_image_phash", "d141_image_phash"),
         ("q42_audio_stft", "d142_audio_stft"),
-        # round-12 additions: the chromaprint audio fingerprint (Arrow
-        # map, zero shuffles), the SAX-blocked multi-query time-series
-        # search (word join + co-moment verify + group limit), and the
-        # crawl-operations funnel (discovery -> blocklist -> schedule ->
-        # CDX fetch -> WET roundtrip as one program)
+        # round-12 additions — the new ops that move real data volume at
+        # sf0.1: the chromaprint audio fingerprint (5000 WAVs through the
+        # integer STFT, Arrow map, zero shuffles), the SFT loss-mask prep
+        # (corpus-wide token explode + distributed vocab rank + id join +
+        # per-doc reassembly), and EXIF extraction (5000 JPEGs through
+        # the segment walk + TIFF parse). d157/x43 are deliberately NOT
+        # headline queries: their fixtures are entity-sized (25 series /
+        # 260 frontier URLs), so a timing would measure per-stage
+        # scheduling overhead, not operator throughput — they are covered
+        # by correctness oracles, plan-shape pins, and their own tests.
         ("q43_audio_fingerprint", "d156_audio_fingerprint"),
-        ("q44_ts_similarity_join", "d157_ts_similarity_join"),
-        ("q45_crawl_ops_funnel", "x43_crawl_ops_funnel"),
+        ("q44_sft_loss_mask", "d161_sft_loss_mask"),
+        ("q45_exif_extract", "d159_exif_extract"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay
