@@ -195,12 +195,13 @@ def main() -> None:
     # Contention flag (VERDICT r11 #3, superseding the r8 threshold):
     # BENCH_r11 recorded a loadavg-12.6 run as 37.0 s while the
     # quiet-box bracket best was 29.75 s — q19 alone swung 1.2→4.0 s.
-    # The suite's own steady-state footprint on a quiet box is a
-    # loadavg of ~2-6 (serial driver + stage bursts), so anything
-    # beyond nproc/4 means the box is sharing cycles and every
-    # iterative query's number is suspect.
+    # Only the START sample can indicate PRE-EXISTING contention: the
+    # suite's own Arrow-batched media queries keep 32 Python workers
+    # busy, so loadavg_end reflects the bench's own footprint (~20 on a
+    # quiet box) and would self-flag every run. A start beyond nproc/4
+    # means the box was already sharing cycles when q1 began.
     nproc = os.cpu_count() or 32
-    contended = max(load_start, load_end) > nproc / 4
+    contended = load_start > nproc / 4
     # The driver's BENCH_r{N}.json records only the last ~2000 chars of
     # stdout (a TAIL capture): BENCH_r08 and r09 both lost the line's head
     # — the opening brace plus q1/q2's warm values — leaving parsed: null.
