@@ -24,6 +24,10 @@ import time
 
 
 def main() -> None:
+    # Pre-existing box load, sampled BEFORE the session/warmup so the
+    # bench's own footprint (JVM startup, table caching, artifact
+    # builds) can't masquerade as contention.
+    load_start = os.getloadavg()[0]
     # Hot-table cache: the reference's working model keeps the fetched
     # dataset in pandas RAM (client.py:176); ours keeps the bench tables as
     # parallel in-memory relations. Also corrects for the test files
@@ -160,7 +164,6 @@ def main() -> None:
     # start and end; with local[32] on a 32-way box, a loadavg much above
     # the suite's own footprint means another sweep is running — flag it
     # so the BENCH record is self-falsifying.
-    load_start = os.getloadavg()[0]
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
