@@ -165,6 +165,20 @@ def main() -> None:
     # the suite's own footprint means another sweep is running — flag it
     # so the BENCH record is self-falsifying.
 
+    # Box-speed calibration (r12): the same suite on the SAME code has
+    # swung 29.75 s → 42+ s across sessions with zero guest-side load
+    # and zero steal — host-level throughput the guest cannot observe.
+    # Time a FIXED reference workload (pure JVM codegen sum over
+    # spark.range; no IO, no Python) so round-over-round comparisons
+    # can normalize: queries got faster only if query_time/calib_time
+    # fell.
+    calib = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr("sum(id % 7) as s").collect()
+        calib.append(time.perf_counter() - t0)
+    calib_jvm = round(min(calib), 3)
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -267,6 +281,7 @@ def main() -> None:
         "bracket": bracket[-8:],
         "median_total": round(sum(medians.values()), 3),
         "cold_total": round(sum(cold.values()), 3),
+        "calib_jvm_sec": calib_jvm,
         "warm_reps": 4,
         "contended": contended,
         "loadavg_start": round(load_start, 2),
