@@ -228,11 +228,15 @@ def main() -> None:
     # warm per-query dict LAST so even a still-truncated tail preserves
     # the primary series end-to-end.
     # Bracket best (VERDICT r11 #3): `value` is the best warm total
-    # across THIS code version's recorded runs (same git HEAD, same
-    # query set, same sf — earlier BENCH_LOCAL lines from other commits
-    # never qualify), so one loaded-box snapshot can't overstate the
-    # engine.  Per-run loadavg rides along so the record stays
-    # self-falsifying; this run's own total is always reported too.
+    # across THIS code version's recorded runs — same query set, same
+    # sf, and the row's git HEAD either equals the current HEAD or is
+    # an ancestor with NO engine/bench source diff since (so the
+    # driver's own record-keeping commits — PROGRESS/BENCH files —
+    # never orphan a same-code bracket, while any change under
+    # pandas_db_sdk_spark/ or bench.py invalidates older rows).  One
+    # loaded-box snapshot can't overstate the engine; per-run loadavg
+    # rides along so the record stays self-falsifying; this run's own
+    # total is always reported too.
     here = os.path.dirname(os.path.abspath(__file__))
     git_head = None
     try:
@@ -244,6 +248,30 @@ def main() -> None:
         ).stdout.strip() or None
     except Exception:
         pass
+
+    def same_engine_code(row_head) -> bool:
+        if not row_head or git_head is None:
+            return False
+        if row_head == git_head:
+            return True
+        try:
+            import subprocess
+
+            anc = subprocess.run(
+                ["git", "merge-base", "--is-ancestor", row_head, git_head],
+                cwd=here, capture_output=True, timeout=10,
+            )
+            if anc.returncode != 0:
+                return False
+            diff = subprocess.run(
+                ["git", "diff", "--quiet", row_head, git_head, "--",
+                 "pandas_db_sdk_spark", "bench.py", "__spark_entry__.py"],
+                cwd=here, capture_output=True, timeout=10,
+            )
+            return diff.returncode == 0
+        except Exception:
+            return False
+
     bracket = [[total, round(max(load_start, load_end), 1)]]
     try:
         with open(os.path.join(here, "BENCH_LOCAL.jsonl")) as fh:
@@ -253,8 +281,7 @@ def main() -> None:
                 except ValueError:
                     continue
                 if (
-                    rec.get("git_head") == git_head
-                    and git_head is not None
+                    same_engine_code(rec.get("git_head"))
                     and rec.get("sf") == sf
                     and set(rec.get("queries", {})) == set(timings)
                 ):
