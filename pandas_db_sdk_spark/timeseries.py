@@ -957,8 +957,19 @@ def ts_similarity_join(
 
     Scale: two SAX passes (entity-sized state) + one word equi-join +
     two fact equi-joins + one partial+final co-moment agg per pair +
-    a per-query WindowGroupLimit (no global sort)."""
+    a per-query WindowGroupLimit (no global sort).  Both inputs'
+    slim (key, t, v) projections are persisted internally — the corpus
+    side feeds three consumers (grid bounds, SAX pass, verify join)
+    and would otherwise re-run its upstream lineage three times."""
     q_t, q_v = F.col(t_col), F.col(v_col)
+    from ._scratch import scratch_persist
+
+    series = scratch_persist(
+        series.select(entity_col, t_col, v_col), "ts_similarity_join/series"
+    )
+    queries = scratch_persist(
+        queries.select(qid_col, t_col, v_col), "ts_similarity_join/queries"
+    )
     # ONE eager job over the (broadcast-small by contract) query side
     # serves both the duplicate-key guard and the query-side grid
     # bounds — the series side stays a lazy corpus aggregate
@@ -986,8 +997,6 @@ def ts_similarity_join(
         F.least(F.min(q_t), F.lit(qmin)).alias("__tmin"),
         F.greatest(F.max(q_t), F.lit(qmax)).alias("__tmax"),
     )
-    from ._scratch import scratch_persist
-
     bounds = scratch_persist(bounds, "ts_similarity_join/bounds")
     cw = _sax_word_per_entity(
         series, bounds, entity_col, t_col, v_col, segments
