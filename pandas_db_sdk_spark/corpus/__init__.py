@@ -553,6 +553,52 @@ _R12_NEW = frozenset(
 )
 
 
+# Names driver-checked in CORRECTNESS_r12.json (round-12 window: the 12-row
+# r11 stale head + all 11 round-12 additions + 27 rows of the r4-stale
+# block — 50/50 hash-green, the first all-hash window).  The 22 r4 rows the
+# window did NOT reach are round 13's stale head (VERDICT r12 #1).
+_R12_VERIFIED = frozenset(
+    """d145_kcore d146_encoding_quality d147_url_blocklist
+    d148_lpa_communities d149_ts_similarity_search d150_sax_blocking
+    d151_revisit_schedule d152_wet_conversion d153_anchor_text
+    d154_image_dhash d155_code_switch x42_cleaning_funnel
+    d156_audio_fingerprint d156b_audio_fp_guarantees
+    d157_ts_similarity_join d157b_ts_join_self_retrieval
+    d158_branch_lineage_card d159_exif_extract d159b_exif_strip_guarantees
+    d156c_audio_near_dup_clusters d161_sft_loss_mask
+    d163_schema_evolution_card x43_crawl_ops_funnel c11b_replace_values
+    c15d_combine_first c21c_asof_forward c12b_try_cast c02e_scan_xml
+    c02f_scan_text d07b_binary_file_source c15e_merge_indicator
+    c10b_duplicated_flag c31b_pivot_multi_agg c26b_approx_distinct_error
+    c29d_approx_quantile_error c31c_get_dummies c36b_diff
+    c44b_sample_invariants c44c_deterministic_sample c48d_string_fns2
+    c49c_calendar c50d_math_ext c51c_posexplode c57b_session_stats
+    d03e_dedup_by_embedding d17b_packing_invariants d23_gopher_quality
+    d24_domain_mix_weights d25_length_percentile_filter
+    d26_embedding_centroids""".split()
+)
+
+
+# Queries ADDED in round 13 (never had a driver row).  They ride right
+# behind the 22-row r4 stale head so they certify THIS round; the 50-row
+# r5-stale block fills the remaining slots (VERDICT r12 #1: burn the
+# ≤r6 tail oldest-first — r14 takes the r5 leftovers + the r6 block).
+_R13_NEW = frozenset(
+    """d164_dpo_pair_prep d164b_dpo_leakage_guarantees
+    d165_vad_segments d165b_vad_volume_invariance
+    d166_ivf_drift_card d167_video_near_dup
+    d167b_video_trim_guarantees d168_tokenizer_fertility
+    d169_replay_convergence""".split()
+)
+
+
+# Queries whose SEMANTICS changed in round 13 after an earlier driver
+# row (the _R05_RECHECK pattern): d156 grew the n_frames_used column
+# (the r12 ADVICE head-coverage fix), so its r12 row certifies the old
+# schema — it re-certifies with this round's additions.
+_R13_RECHECK = frozenset({"d156_audio_fingerprint"})
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -566,31 +612,31 @@ def _merged(attr):
 
 def all_queries():
     """Declaration order = driver-certification priority (the driver's
-    per-round correctness file caps at ~50 rows). Round-12 rotation
-    (VERDICT round-11 items #1/#2): the 12 round-11 additions the r11
-    window did not reach lead (d145–d155, x42 — never had a driver
-    row), then this round's additions (so they certify immediately),
-    then the 49-row r4-stale block (the oldest rotation debt: c-suffix
-    variants, d23–d62, x09–x24) fills the remaining slots; the 50-row
-    r5 block queues right behind for round 13, and everything else by
-    ascending freshness. Within each group, original module order is
-    preserved (stable sort). A name in no set is treated as newest
-    (sorts with _R12_NEW), so a forgotten registration can never starve
-    the backlog."""
+    per-round correctness file caps at ~50 rows). Round-13 rotation
+    (VERDICT round-12 item #1: burn the 93-row ≤r6 tail oldest-first):
+    the 22 r4-stale rows the r12 window did not reach lead (d03g, d27–
+    d32, x09–x24), then this round's additions (so they certify in
+    their debut round), then the 50-row r5-stale block fills the
+    remaining ~20 slots — its leftovers plus the 21-row r6 block are
+    round 14's backlog, after which no row is older than r7. Everything
+    else sorts by ascending freshness. Within each group, original
+    module order is preserved (stable sort). A name in no set is
+    treated as newest (sorts with _R13_NEW), so a forgotten
+    registration can never starve the backlog."""
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-12 rotation: stalest-first re-certification budget.
+        # Round-13 rotation: stalest-first re-certification budget.
         # Membership is checked newest-round-first so a row re-certified
-        # later sorts by its LATEST check (e.g. the 38 _R11_NEW rows the
-        # r11 window reached hit _R11_VERIFIED before _R11_NEW and sort
-        # as fresh; the 12 it missed fall through to the stale head).
-        if name in _R12_NEW:
-            return 1  # this round's additions: certify immediately
+        # later sorts by its LATEST check (e.g. the 27 r4-block rows the
+        # r12 window reached hit _R12_VERIFIED first and sort as fresh;
+        # the 22 it missed fall through to the r4 stale head).
+        if name in _R13_NEW or name in _R13_RECHECK:
+            return 1  # this round's additions + schema rechecks
+        if name in _R12_VERIFIED:
+            return 14
         if name in _R11_VERIFIED:
             return 13
-        if name in _R11_NEW:
-            return 0  # the 12-row r11 stale head: this window leads
         if name in _R10_VERIFIED:
             return 12
         if name in _R09_VERIFIED:
@@ -600,16 +646,16 @@ def all_queries():
         if name in _R07_VERIFIED:
             return 9
         if name in _R06_VERIFIED:
-            return 8
+            return 3  # r6 block: queues behind r5 for round 14
         if name in _R05_VERIFIED:
-            return 3  # r5 block: round 13's backlog head
+            return 2  # r5 block: fills this window behind the new rows
         if name in _R04_VERIFIED:
-            return 2  # r4 block: fills this window behind the new rows
+            return 0  # the 22-row r4 stale head: this window leads
         if name in _R03_VERIFIED:
             return 4  # safety: r3 rows in no newer set (none expected)
         if name in _R02_VERIFIED:
             return 4  # safety: r2 rows in no newer set (none expected)
-        return 1  # not in any set: newest, with the _R12_NEW group
+        return 1  # not in any set: newest, with the _R13_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}

@@ -7490,6 +7490,7 @@ def d155(spark, sf_dir):
                 CAST(sum(bit) AS INT) AS ones
               FROM dd GROUP BY 1)
        SELECT p.doc_id, CAST(p.n // 64 AS BIGINT) AS n_frames,
+              CAST(least(p.n // 64, 10) AS BIGINT) AS n_frames_used,
               coalesce(fp.ones, 0) AS n_ones,
               CAST(coalesce(fp.val, 0) & 4294967295 AS BIGINT) AS fp_lo,
               CAST(coalesce(fp.val, 0) >> 32 AS BIGINT) AS fp_hi
@@ -7507,9 +7508,12 @@ def d156(spark, sf_dir):
     fingerprints degenerate to zero on it).  Energies are
     arbitrary-precision (HUGEINT in the oracle), so every bit is
     exact; Hamming clustering rides dedup.hamming_clusters unchanged
-    (pinned in tests with volume-doubled and DC-offset copies).  The
-    oracle replays WAV samples, DFT, band energies, both differences,
-    and the bit packing end to end.  Zero shuffles."""
+    (pinned in tests with volume-doubled and DC-offset copies).
+    ``n_frames_used`` = min(n_frames, 63//(n_bands-1) + 1) = LEAST(n,
+    10) here surfaces the 64-bit head-coverage cap (r12 ADVICE) so
+    long-audio dedup can see when only the head was fingerprinted.
+    The oracle replays WAV samples, DFT, band energies, both
+    differences, and the bit packing end to end.  Zero shuffles."""
     d = tables(spark, sf_dir)("documents")
     return multimodal.audio_fingerprint(
         multimodal.synth_chirp_wav(d, "doc_id"), "payload", "doc_id"

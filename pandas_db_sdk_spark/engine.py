@@ -1658,7 +1658,21 @@ class DataFrameEngine:
                     try:
                         os.link(s, d)
                     except FileExistsError:
-                        pass  # idempotent retry after a crash mid-link
+                        # Idempotent retry after a crash — but a prior
+                        # attempt's copy2 fallback may have died mid-copy,
+                        # leaving a truncated dst.  Keep it only when it is
+                        # the same inode (a completed link) or byte-complete
+                        # (a completed copy); otherwise redo it.
+                        st_s, st_d = os.stat(s), os.stat(d)
+                        if not (
+                            os.path.samestat(st_s, st_d)
+                            or st_s.st_size == st_d.st_size
+                        ):
+                            os.unlink(d)
+                            try:
+                                os.link(s, d)
+                            except OSError:
+                                shutil.copy2(s, d)
                     except OSError:
                         shutil.copy2(s, d)
         with self._manifest_lock():

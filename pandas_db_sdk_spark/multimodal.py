@@ -4473,11 +4473,17 @@ def audio_fingerprint(
     distance.
 
     Bits cap at 64: frames f = 1..min(n_frames−1, 63//(n_bands−1)).
-    Returns (id, n_frames, n_ones, fp_lo, fp_hi) — the (lo, hi)
-    32-bit-halves layout the Hamming tier shares, so near-dup
-    clustering rides ``dedup.hamming_clusters`` unchanged.  Files
-    shorter than one frame (or non-PCM) skip.  Scale: pure Arrow
-    mapInPandas, zero shuffles, one row per file."""
+    Returns (id, n_frames, n_frames_used, n_ones, fp_lo, fp_hi) — the
+    (lo, hi) 32-bit-halves layout the Hamming tier shares, so near-dup
+    clustering rides ``dedup.hamming_clusters`` unchanged.
+    ``n_frames_used`` = min(n_frames, 63//(n_bands−1) + 1) is the
+    HEAD-COVERAGE signal (the r12 ADVICE fix): long tracks fingerprint
+    only their first n_frames_used frames, so two tracks sharing a
+    head collide at Hamming 0 even when their tails differ — dedup on
+    long audio must compare n_frames vs n_frames_used (or chunk tracks
+    to ≤ n_frames_used frames first) instead of trusting the 64-bit
+    signature alone.  Files shorter than one frame (or non-PCM) skip.
+    Scale: pure Arrow mapInPandas, zero shuffles, one row per file."""
     if frame_len < 1 or hop < 1 or n_bands < 2 or n_bands + 1 > frame_len:
         raise ValueError(
             "audio_fingerprint needs frame_len >= 1, hop >= 1 and "
@@ -4553,6 +4559,7 @@ def audio_fingerprint(
                     (
                         int(i),
                         int(n_frames),
+                        int(min(n_frames, max_f + 1)),
                         bin(val).count("1"),
                         int(val & 0xFFFFFFFF),
                         int(val >> 32),
@@ -4560,12 +4567,16 @@ def audio_fingerprint(
                 )
             yield pd.DataFrame(
                 rows,
-                columns=[id_col, "n_frames", "n_ones", "fp_lo", "fp_hi"],
+                columns=[
+                    id_col, "n_frames", "n_frames_used", "n_ones",
+                    "fp_lo", "fp_hi",
+                ],
             )
 
     return df.mapInPandas(
         fps,
-        f"{id_col} long, n_frames long, n_ones int, fp_lo long, fp_hi long",
+        f"{id_col} long, n_frames long, n_frames_used long, n_ones int,"
+        " fp_lo long, fp_hi long",
     )
 
 
@@ -4849,17 +4860,38 @@ def synth_jpeg_exif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _jpeg_segments(b: bytes):
     """Walk JPEG marker segments up to SOS: yields (marker, start, end)
     byte ranges, end exclusive.  Stops at SOS/EOI (entropy data follows,
-    which has no segment structure)."""
+    which has no segment structure).  Real-world tolerant (the r12
+    ADVICE fix): consecutive 0xFF FILL bytes between segments are legal
+    padding (ITU T.81 §B.1.1.2) and are skipped, and standalone markers
+    (TEM 0x01, RST0–7 0xD0–0xD7) carry no length field; a malformed
+    length (< 2) ends the walk instead of yielding garbage ranges —
+    callers then see the segments parsed so far (extract emits
+    has_exif=0, strip passes the payload through) rather than dropping
+    the row."""
     if b[:2] != b"\xff\xd8":
         return
     pos = 2
-    while pos + 4 <= len(b):
+    n = len(b)
+    while pos + 2 <= n:
         if b[pos] != 0xFF:
+            return
+        # skip 0xFF fill (padding) bytes: marker byte is the first
+        # non-0xFF after the run
+        while pos + 1 < n and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
             return
         marker = b[pos + 1]
         if marker in (0xDA, 0xD9):  # SOS / EOI
             return
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            pos += 2
+            continue
+        if pos + 4 > n:
+            return
         seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            return
         yield marker, pos, pos + 2 + seg_len
         pos += 2 + seg_len
 

@@ -972,26 +972,37 @@ def ts_similarity_join(
     )
     # ONE eager job over the (broadcast-small by contract) query side
     # serves both the duplicate-key guard and the query-side grid
-    # bounds — the series side stays a lazy corpus aggregate
-    qstats = (
-        queries.groupBy(qid_col)
-        .agg(
-            (F.count("*") - F.count_distinct(q_t)).alias("__dups"),
-            F.min(q_t).alias("__qmin"),
-            F.max(q_t).alias("__qmax"),
-        )
-        .collect()
+    # bounds — the series side stays a lazy corpus aggregate.  The
+    # collect is a SINGLE scalar row (never one row per qid — a large
+    # query side must not be able to OOM the driver); the offending
+    # qid for the duplicate message is fetched with limit(1) only on
+    # the error path.
+    per_qid = queries.groupBy(qid_col).agg(
+        (F.count("*") - F.count_distinct(q_t)).alias("__dups"),
+        F.min(q_t).alias("__qmin"),
+        F.max(q_t).alias("__qmax"),
     )
-    if not qstats:
+    qrow = per_qid.agg(
+        F.count("*").alias("__nq"),
+        F.sum("__dups").alias("__total_dups"),
+        F.min("__qmin").alias("__qmin"),
+        F.max("__qmax").alias("__qmax"),
+    ).collect()[0]
+    if qrow["__nq"] == 0:
         raise ValueError("ts_similarity_join: empty query side")
-    dup = next((r for r in qstats if r["__dups"] > 0), None)
-    if dup is not None:
+    if qrow["__total_dups"] and qrow["__total_dups"] > 0:
+        dup = (
+            per_qid.filter(F.col("__dups") > 0)
+            .select(qid_col)
+            .limit(1)
+            .collect()[0]
+        )
         raise ValueError(
             f"ts_similarity_join: query {dup[qid_col]!r} has duplicate "
             f"{t_col!r} keys — pre-aggregate the query series first"
         )
-    qmin = min(r["__qmin"] for r in qstats)
-    qmax = max(r["__qmax"] for r in qstats)
+    qmin = qrow["__qmin"]
+    qmax = qrow["__qmax"]
     # one shared grid: words quantized on different grids don't compare
     bounds = series.agg(
         F.least(F.min(q_t), F.lit(qmin)).alias("__tmin"),

@@ -1650,3 +1650,60 @@ def test_exif_parse_strip_and_poison(spark):
     assert stripped[1] == (plain, 1)
     assert stripped[2] == (plain, 0)  # untouched, not rewritten
     assert stripped[4] == (plain, 2)  # every segment removed
+
+
+def test_jpeg_segments_tolerate_fill_bytes_and_standalone_markers(spark):
+    """ADVICE r12 (low): real-world JPEGs may pad between segments with
+    0xFF fill bytes (ITU T.81 B.1.1.2) and may carry standalone markers
+    (TEM 0x01) that have no length field.  The segment walk must skip
+    both — extract still finds the EXIF, strip still removes it — and a
+    malformed segment length after SOI must yield has_exif=0 (extract) /
+    n_stripped=0 passthrough (strip), never a dropped row."""
+    import struct
+
+    import pandas as pd
+
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    plain = bytes(multimodal.synth_jpeg(ids).collect()[0].payload)
+
+    tiff = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", 1)
+    tiff += struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<H", 3) + b"\x00\x00"
+    tiff += struct.pack("<I", 0)
+    body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+
+    padded = plain[:2] + b"\xff\xff" + app1 + b"\xff" + plain[2:]
+    tem = plain[:2] + b"\xff\x01" + app1 + plain[2:]
+    badlen = plain[:2] + b"\xff\xe1\x00\x01"  # seg_len 1 < 2 after SOI
+
+    frame = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, padded), (2, tem), (3, badlen)],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in multimodal.exif_extract(frame).collect()}
+    assert set(got) == {1, 2, 3}  # nothing drops
+    assert (got[1].has_exif, got[1].orientation) == (1, 3)
+    assert (got[2].has_exif, got[2].orientation) == (1, 3)
+    assert got[3].has_exif == 0  # malformed after SOI: audit row
+
+    stripped = {
+        r.doc_id: (bytes(r.payload), r.n_stripped)
+        for r in multimodal.exif_strip(frame).collect()
+    }
+    assert stripped[3] == (badlen, 0)  # passthrough, not dropped
+    assert stripped[1][1] == 1 and stripped[2][1] == 1
+    # the stripped streams carry no EXIF any more (fill bytes may stay)
+    refres = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, stripped[i][0]) for i in (1, 2)],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    )
+    regot = {r.doc_id: r for r in multimodal.exif_extract(refres).collect()}
+    assert regot[1].has_exif == 0 and regot[2].has_exif == 0

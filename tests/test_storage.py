@@ -1838,6 +1838,44 @@ def test_branch_dataset_retry_after_crash_mid_link(spark, tmp_path):
     assert {r.id for r in eng.load("f2").collect()} == {1, 2}
 
 
+def test_branch_dataset_retry_replaces_truncated_copy(spark, tmp_path):
+    """ADVICE r12 (low): a prior attempt that fell back to shutil.copy2
+    (cross-device warehouse) and crashed MID-COPY leaves a truncated
+    destination file; the retry's os.link raises FileExistsError and
+    must NOT keep the short file — it verifies inode/size and redoes
+    the transfer."""
+    import os
+
+    from pandas_db_sdk_spark.engine import VERSION_COL, DataFrameEngine
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+    eng.save(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        "m3", external_key="v1",
+    )
+    src = eng._dataset_path("m3")
+    dst = eng._dataset_path("f3")
+    vdir = f"{VERSION_COL}=v1"
+    # simulate the crashed copy: every file exists at dst but truncated
+    for root, _dirs, files in os.walk(os.path.join(src, vdir)):
+        rel = os.path.relpath(root, src)
+        os.makedirs(os.path.join(dst, rel), exist_ok=True)
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as fh:
+                head = fh.read(max(1, os.path.getsize(fh.name) // 2))
+            with open(os.path.join(dst, rel, fn), "wb") as fh:
+                fh.write(head)
+
+    info = eng.branch_dataset("m3", "f3")  # retry must heal the files
+    assert info["versions"] == ["v1"]
+    assert {r.id for r in eng.load("f3").collect()} == {1, 2}
+    for root, _dirs, files in os.walk(os.path.join(src, vdir)):
+        rel = os.path.relpath(root, src)
+        for fn in files:
+            assert os.path.getsize(os.path.join(dst, rel, fn)) == \
+                os.path.getsize(os.path.join(root, fn))
+
+
 def test_merge_branch_fast_forward_and_conflicts(spark, tmp_path):
     """r11 branching round-trip: branch -> diverge -> merge back.
     Branch-only versions fast-forward into main (order + latest +
