@@ -7953,3 +7953,177 @@ def d163(spark, sf_dir):
     eng.save(d.select("doc_id", "text", "lang"), "ds", external_key="v2")
     eng.save(d.select("doc_id", "n_chars"), "ds", external_key="v3")
     return eng.schema_history("ds")
+
+
+@q(
+    "d164_dpo_pair_prep",
+    """WITH c AS (SELECT doc_id // 4 AS pid,
+                    array_to_string(
+                      (list_filter(string_split(text, ' '),
+                                   x -> x <> ''))[1:1], ' ') AS resp,
+                    CAST(doc_id % 7 AS DOUBLE) AS score
+            FROM documents),
+       rk AS (SELECT pid, resp, score,
+                row_number() OVER (PARTITION BY pid
+                                   ORDER BY score DESC, resp DESC) AS rhi,
+                row_number() OVER (PARTITION BY pid
+                                   ORDER BY score ASC, resp ASC) AS rlo
+              FROM c),
+       n AS (SELECT pid, count(*) AS nc FROM c GROUP BY 1),
+       hi AS (SELECT pid, resp AS chosen, score AS shi FROM rk WHERE rhi = 1),
+       lo AS (SELECT pid, resp AS rejected, score AS slo FROM rk WHERE rlo = 1),
+       p AS (SELECT n.pid, n.nc, hi.chosen, lo.rejected, shi, slo
+             FROM n JOIN hi ON n.pid = hi.pid JOIN lo ON n.pid = lo.pid
+             WHERE hi.chosen <> lo.rejected AND shi - slo >= 0.0),
+       ph AS (SELECT *, sha256(chosen || chr(31) || rejected) AS pair_sha
+              FROM p),
+       dd AS (SELECT *, row_number() OVER (PARTITION BY pair_sha
+                                           ORDER BY pid) AS rn FROM ph)
+       SELECT CAST(pid AS BIGINT) AS prompt_id,
+              CAST(nc AS BIGINT) AS n_candidates,
+              chosen, rejected,
+              round(shi, 6) AS score_chosen,
+              round(slo, 6) AS score_rejected,
+              round(shi - slo, 6) AS score_gap,
+              pair_sha
+       FROM dd WHERE rn = 1""",
+)
+def d164(spark, sf_dir):
+    """Training-data tier (r13): DPO PREFERENCE-PAIR prep
+    (``packing.dpo_pair_prep``) — the SFT tier's sibling (VERDICT r12
+    #2): d161 builds (input_ids, labels); a preference pipeline ships
+    (chosen, rejected) pairs.  The fixture derives a scored candidate
+    pool from documents (prompt = doc_id//4 — up to four candidates per
+    prompt; response = the doc's FIRST WORD, which collides across
+    prompts — 8-11 joint pairs dedup away at sf0.001/0.01, so the
+    keep-min path is non-vacuous — and ties within a prompt exercise
+    the degenerate-drop rule; score =
+    doc_id%7 — distinct within a prompt since four consecutive ints
+    can't collide mod 7).  Chosen/rejected = (score, response) argmax/
+    argmin with the deterministic text tie-break; degenerate prompts
+    (one candidate) drop; pairs dedup on sha256(chosen||0x1f||rejected)
+    keeping the smallest prompt.  The oracle replays ranking, gap,
+    joint hash, and keep-min dedup exactly.  Scale: two key shuffles
+    of one row per prompt; map-side-combinable aggregates."""
+    from .. import packing
+
+    d = tables(spark, sf_dir)("documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    cand = d.select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        F.array_join(F.slice(w, 1, 1), " ").alias("response"),
+        (F.col("doc_id") % 7).cast("double").alias("score"),
+    )
+    return packing.dpo_pair_prep(cand, "prompt_id", "response", "score")
+
+
+@q(
+    "d164b_dpo_leakage_guarantees",
+    """WITH c AS (SELECT doc_id // 4 AS pid,
+                    array_to_string(
+                      (list_filter(string_split(text, ' '),
+                                   x -> x <> ''))[1:1], ' ') AS resp,
+                    CAST(doc_id % 7 AS DOUBLE) AS score
+            FROM documents),
+       rk AS (SELECT pid, resp, score,
+                row_number() OVER (PARTITION BY pid
+                                   ORDER BY score DESC, resp DESC) AS rhi,
+                row_number() OVER (PARTITION BY pid
+                                   ORDER BY score ASC, resp ASC) AS rlo
+              FROM c),
+       hi AS (SELECT pid, resp AS chosen FROM rk WHERE rhi = 1),
+       lo AS (SELECT pid, resp AS rejected FROM rk WHERE rlo = 1),
+       p AS (SELECT hi.pid, chosen, rejected
+             FROM hi JOIN lo ON hi.pid = lo.pid
+             WHERE chosen <> rejected),
+       dd AS (SELECT pid, row_number() OVER (
+                PARTITION BY chosen || chr(31) || rejected
+                ORDER BY pid) AS rn FROM p),
+       keep AS (SELECT pid FROM dd WHERE rn = 1),
+       heads AS (SELECT doc_id // 4 AS hpid,
+                   array_to_string(
+                     (list_filter(string_split(text, ' '),
+                                  x -> x <> ''))[1:8], ' ') AS prompt
+                 FROM documents WHERE doc_id % 4 = 0),
+       pp AS (SELECT k.pid,
+                CASE WHEN k.pid % 5 = 0 AND k.pid > 0
+                     THEN k.pid - 1 ELSE k.pid END AS src
+              FROM keep k),
+       pt AS (SELECT pp.pid, h.prompt
+              FROM pp JOIN heads h ON h.hpid = pp.src),
+       sh AS (SELECT pid,
+                list_distinct([array_to_string(ws[i:i+2], ' ')
+                               FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)]) AS s
+              FROM (SELECT pid, string_split(prompt, ' ') AS ws FROM pt)),
+       tr AS (SELECT * FROM sh WHERE pid % 10 <> 0),
+       te AS (SELECT * FROM sh WHERE pid % 10 = 0),
+       leak AS (SELECT DISTINCT tr.pid FROM tr, te
+                WHERE len(list_intersect(tr.s, te.s))::DOUBLE
+                      / len(list_distinct(tr.s || te.s)) >= 0.5)
+       SELECT 'train_pairs_in' AS rule,
+              (SELECT CAST(count(*) AS BIGINT) FROM tr) AS val
+       UNION ALL
+       SELECT 'train_pairs_surviving',
+              CAST((SELECT count(*) FROM tr)
+                   - (SELECT count(*) FROM leak) AS BIGINT)
+       UNION ALL
+       SELECT 'leaky_survivor_pairs', CAST(0 AS BIGINT)""",
+)
+def d164b(spark, sf_dir):
+    """d164's certification twin (the d47b pattern at PAIR granularity
+    — VERDICT r12 #2's leakage-guarantee ask): a released preference
+    dataset must guarantee no eval prompt near-duplicates a train
+    prompt.  The fixture attaches a PROMPT TEXT to every d164 pair
+    (the first 8 words of the prompt group's head document), with a
+    deterministic PLANT: every fifth prompt reuses the PREVIOUS
+    group's head text, so eval prompt pid=10k is byte-identical to
+    train prompt pid=10k-1 — leaks genuinely straddle the pid%10
+    split (non-vacuous at sf0.001 and sf0.01).  Train pairs scrub via
+    the certified MinHash-LSH machinery
+    (``dedup.incremental_dedup_minhash`` on prompt text); the oracle
+    recomputes survivors from the EXACT 3-word-shingle Jaccard (LSH
+    recall is 100% on the fixture — planted leaks are identical
+    texts, which collide in every band); ``leaky_survivor_pairs`` is
+    an INDEPENDENT engine-side exact audit
+    (``dedup.cross_jaccard_pairs``, shingle equi-join, no cartesian)
+    that must be 0."""
+    d = tables(spark, sf_dir)("documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    cand = d.select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        F.array_join(F.slice(w, 1, 1), " ").alias("response"),
+        (F.col("doc_id") % 7).cast("double").alias("score"),
+    )
+    pairs = packing.dpo_pair_prep(cand, "prompt_id", "response", "score")
+    heads = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("hpid"),
+        F.array_join(F.slice(w, 1, 8), " ").alias("prompt"),
+    )
+    src = F.when(
+        (F.col("prompt_id") % 5 == 0) & (F.col("prompt_id") > 0),
+        F.col("prompt_id") - 1,
+    ).otherwise(F.col("prompt_id"))
+    pt = (
+        pairs.select("prompt_id", src.alias("__src"))
+        .join(heads, F.col("__src") == F.col("hpid"))
+        .select("prompt_id", "prompt")
+    )
+    train = pt.filter(F.col("prompt_id") % 10 != 0)
+    ev = pt.filter(F.col("prompt_id") % 10 == 0)
+    surv = dedup.incremental_dedup_minhash(
+        train, ev, "prompt_id", "prompt",
+        n_hashes=32, bands=8, jaccard_threshold=0.5,
+    )
+    audit = dedup.cross_jaccard_pairs(
+        surv, ev, "prompt_id", "prompt", shingle=3, threshold=0.5
+    )
+    r1 = train.agg(F.count("*").cast("long").alias("val")).select(
+        F.lit("train_pairs_in").alias("rule"), "val"
+    )
+    r2 = surv.agg(F.count("*").cast("long").alias("val")).select(
+        F.lit("train_pairs_surviving").alias("rule"), "val"
+    )
+    r3 = audit.agg(F.count("*").cast("long").alias("val")).select(
+        F.lit("leaky_survivor_pairs").alias("rule"), "val"
+    )
+    return r1.unionAll(r2).unionAll(r3)

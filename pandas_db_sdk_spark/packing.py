@@ -194,3 +194,100 @@ def sft_loss_mask(
             ).alias("labels"),
         )
     )
+
+
+def dpo_pair_prep(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    response_col: str = "response",
+    score_col: str = "score",
+    margin: float = 0.0,
+) -> DataFrame:
+    """DPO/RLHF PREFERENCE-PAIR construction (d164) — the SFT tier's
+    sibling (:func:`sft_loss_mask` builds (input_ids, labels); this
+    builds the (chosen, rejected) pairs direct-preference-optimization
+    trains on, from scored candidate responses):
+
+    * PAIR BY PROMPT KEY: per prompt, chosen = the candidate with the
+      highest (score, response) — the response tie-break makes equal
+      scores deterministic — rejected = the lowest.
+    * DEGENERATE PROMPTS DROP: a prompt whose candidates all tie
+      (chosen == rejected) or whose score gap is below ``margin``
+      carries no learnable preference signal.
+    * PAIR-LEVEL DEDUP on the JOINT content hash sha256(chosen ||
+      0x1f || rejected): the same response pair under many prompts is
+      one gradient direction, not many — keep the smallest prompt key
+      (deterministic).  Prompt-level near-dup LEAKAGE scrub across
+      train/eval is the d164b composition (``pipeline.hash_split`` +
+      ``dedup.incremental_dedup_minhash`` on the prompt text — the d47
+      machinery at pair granularity).
+
+    Returns (prompt, n_candidates, chosen, rejected, score_chosen,
+    score_rejected, score_gap, pair_sha), scores rounded 6 dp.
+
+    Scale: one groupBy(prompt) whose min/max aggregates are
+    partial-agg (map-side combine) friendly, then one groupBy(pair_sha)
+    keep-min — two key shuffles carrying one row per prompt, no window
+    over the corpus, no driver state.  Skew-safe: a viral prompt with
+    millions of candidates still combines map-side (max of structs is
+    associative)."""
+    s = F.col(score_col).cast("double")
+    per = (
+        df.select(
+            F.col(prompt_col), F.col(response_col).alias("__r"), s.alias("__s")
+        )
+        .groupBy(prompt_col)
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.max(F.struct(F.col("__s"), F.col("__r"))).alias("__hi"),
+            F.min(F.struct(F.col("__s"), F.col("__r"))).alias("__lo"),
+        )
+        .select(
+            prompt_col,
+            "n_candidates",
+            F.col("__hi.__r").alias("chosen"),
+            F.col("__lo.__r").alias("rejected"),
+            F.round(F.col("__hi.__s"), 6).alias("score_chosen"),
+            F.round(F.col("__lo.__s"), 6).alias("score_rejected"),
+            F.round(F.col("__hi.__s") - F.col("__lo.__s"), 6).alias(
+                "score_gap"
+            ),
+        )
+        .filter(
+            (F.col("chosen") != F.col("rejected"))
+            & (F.col("score_gap") >= F.lit(float(margin)))
+        )
+        .withColumn(
+            "pair_sha",
+            F.sha2(
+                F.concat(
+                    F.col("chosen"), F.lit("\x1f"), F.col("rejected")
+                ),
+                256,
+            ),
+        )
+    )
+    keep = per.groupBy("pair_sha").agg(
+        F.min_by(
+            F.struct(
+                prompt_col,
+                "n_candidates",
+                "chosen",
+                "rejected",
+                "score_chosen",
+                "score_rejected",
+                "score_gap",
+            ),
+            F.col(prompt_col),
+        ).alias("__row")
+    )
+    return keep.select(
+        F.col(f"__row.{prompt_col}").alias(prompt_col),
+        F.col("__row.n_candidates").alias("n_candidates"),
+        F.col("__row.chosen").alias("chosen"),
+        F.col("__row.rejected").alias("rejected"),
+        F.col("__row.score_chosen").alias("score_chosen"),
+        F.col("__row.score_rejected").alias("score_rejected"),
+        F.col("__row.score_gap").alias("score_gap"),
+        "pair_sha",
+    )

@@ -250,3 +250,45 @@ def test_sft_loss_mask_arrays_and_edges(spark):
     assert list(out[2].input_ids) == [1] and list(out[2].labels) == [-100]
     assert list(out[3].input_ids) == [3, 3, 2]
     assert list(out[3].labels) == [-100, -100, 2]
+
+
+def test_dpo_pair_prep_contract(spark):
+    """d164 operator contract on hand-checkable prompts: chosen/rejected
+    are the (score, response) argmax/argmin with the text tie-break,
+    degenerate prompts (single candidate, or all candidates identical)
+    drop, the margin gate drops low-gap prompts, and joint-pair dedup
+    keeps the smallest prompt key."""
+    from pandas_db_sdk_spark import packing
+
+    cand = spark.createDataFrame(
+        [
+            # prompt 1: clear winner/loser + middle candidate
+            (1, "great", 3.0), (1, "meh", 2.0), (1, "awful", 1.0),
+            # prompt 2: score tie broken by response text (z > a)
+            (2, "a", 5.0), (2, "z", 5.0), (2, "bad", 0.0),
+            # prompt 3: single candidate -> degenerate, drops
+            (3, "only", 4.0),
+            # prompt 4: all candidates identical -> chosen==rejected, drops
+            (4, "same", 2.0), (4, "same", 7.0),
+            # prompts 5 and 6: SAME (chosen, rejected) pair -> dedup keeps 5
+            (5, "good", 9.0), (5, "bad", 0.0),
+            (6, "good", 8.0), (6, "bad", 1.0),
+        ],
+        "prompt_id long, response string, score double",
+    )
+    out = {r.prompt_id: r for r in packing.dpo_pair_prep(cand).collect()}
+    assert set(out) == {1, 2, 5}
+    assert (out[1].chosen, out[1].rejected) == ("great", "awful")
+    assert (out[1].score_chosen, out[1].score_rejected) == (3.0, 1.0)
+    assert out[1].n_candidates == 3
+    assert (out[2].chosen, out[2].rejected) == ("z", "bad")  # text tie-break
+    assert out[5].score_gap == 9.0  # prompt 6's identical pair deduped away
+    assert out[5].pair_sha == out[5].pair_sha and len(out[5].pair_sha) == 64
+
+    # margin gate: prompts 5 (gap 9) and 6 (gap 7) survive a margin of 7,
+    # prompts 1 (gap 2) and 2 (gap 5) do not -- dedup then keeps 5 over 6
+    gated = {
+        r.prompt_id
+        for r in packing.dpo_pair_prep(cand, margin=7.0).collect()
+    }
+    assert gated == {5}
