@@ -8127,3 +8127,121 @@ def d164b(spark, sf_dir):
         F.lit("leaky_survivor_pairs").alias("rule"), "val"
     )
     return r1.unionAll(r2).unionAll(r3)
+
+
+@q(
+    "d165_vad_segments",
+    """WITH p AS (SELECT doc_id, 512 + (doc_id % 8) * 64 AS n,
+                    1 + doc_id % 7 AS a, 3 + doc_id % 13 AS b
+            FROM documents),
+       fr AS (SELECT doc_id, a, b, f.f AS frame_no
+              FROM p, range(0, 16) f(f) WHERE f.f < n // 64),
+       sm AS (SELECT doc_id, frame_no,
+                (frame_no + doc_id) % 4 AS cls,
+                frame_no * 64 + t.t AS gt, a, b
+              FROM fr, range(0, 64) t(t)),
+       sv AS (SELECT doc_id, frame_no,
+                CASE WHEN cls = 0 THEN (3 * gt + doc_id) % 16 - 8
+                     WHEN cls = 3 THEN (a*gt*gt + b*gt + doc_id) % 720 - 360
+                     ELSE (a*gt*gt + b*gt + doc_id) % 2048 - 1024
+                END AS s
+              FROM sm),
+       en AS (SELECT doc_id, frame_no, CAST(sum(s * s) AS BIGINT) AS e
+              FROM sv GROUP BY 1, 2),
+       pk AS (SELECT doc_id, max(e) AS peak FROM en GROUP BY 1),
+       ev AS (SELECT en.doc_id, frame_no, e,
+                CASE WHEN e * 4 >= peak THEN 1
+                     WHEN e * 16 < peak THEN 0
+                     ELSE NULL END AS event
+              FROM en JOIN pk ON en.doc_id = pk.doc_id),
+       st AS (SELECT doc_id, frame_no, e,
+                coalesce(last_value(event IGNORE NULLS) OVER (
+                  PARTITION BY doc_id ORDER BY frame_no
+                  ROWS UNBOUNDED PRECEDING), 0) AS state
+              FROM ev),
+       act AS (SELECT doc_id, frame_no, e,
+                 frame_no - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY frame_no) AS isl
+               FROM st WHERE state = 1),
+       seg AS (SELECT doc_id, isl, min(frame_no) AS f0,
+                      max(frame_no) AS f1, count(*) AS nf,
+                      CAST(sum(e) AS BIGINT) AS energy
+               FROM act GROUP BY 1, 2)
+       SELECT doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY f0)
+                   AS INT) AS seg_no,
+              CAST(f0 AS INT) AS f0, CAST(f1 AS INT) AS f1,
+              CAST(nf AS INT) AS n_frames, energy
+       FROM seg""",
+)
+def d165(spark, sf_dir):
+    """Audio tier (r13): VAD ENERGY SEGMENTATION
+    (``multimodal.vad_segments`` — VERDICT r12 #3): per-frame exact
+    integer energies, hysteresis thresholds RELATIVE to the file's
+    peak frame (open ≥ peak/4, close < peak/16, hold between), then
+    gaps-and-islands — the c57 session pattern applied inside the
+    sample array.  The fixture (``synth_speech_wav``) cycles
+    silence/loud/loud/medium blocks with a per-id phase, where the
+    MEDIUM class lands strictly inside the hysteresis dead band: a
+    medium block after speech extends the segment, after silence it
+    stays quiet — so the oracle's IGNORE-NULLS carry-forward replay
+    (the SQL form of the state machine) certifies the hysteresis rule
+    itself, not just thresholding.  Zero shuffles, one row per
+    emitted segment."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.vad_segments(
+        multimodal.synth_speech_wav(d, "doc_id"), "payload", "doc_id"
+    )
+
+
+@q(
+    "d165b_vad_volume_invariance",
+    """SELECT doc_id, CAST(1 AS INT) AS volume_invariant FROM documents""",
+)
+def d165b(spark, sf_dir):
+    """d165's certification twin (the d156b pattern): a volume-TRIPLED
+    copy of every track (gain 3 — every frame energy scales by exactly
+    9, multiplying BOTH sides of each rational threshold comparison)
+    must segment IDENTICALLY: same segment count, same (seg_no, f0,
+    f1) boundaries per document.  The engine segments both fleets and
+    compares boundary fingerprints; the oracle states the invariant,
+    making the exact-arithmetic claim driver-checkable.  (Energies
+    scale by 9 and are deliberately EXCLUDED from the fingerprint —
+    boundaries, not magnitudes, are the invariant.)"""
+    d = tables(spark, sf_dir)("documents")
+
+    def fp(gain):
+        segs = multimodal.vad_segments(
+            multimodal.synth_speech_wav(d, "doc_id", gain=gain),
+            "payload",
+            "doc_id",
+        )
+        return segs.groupBy("doc_id").agg(
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("seg_no", "f0", "f1")
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["seg_no"].cast("string"),
+                            s["f0"].cast("string"),
+                            s["f1"].cast("string"),
+                        ),
+                    ),
+                    ",",
+                ),
+                256,
+            ).alias("sig")
+        )
+
+    b, t = fp(1).alias("b"), fp(3).alias("t")
+    return b.join(t, F.col("b.doc_id") == F.col("t.doc_id")).select(
+        F.col("b.doc_id").alias("doc_id"),
+        (F.col("b.sig") == F.col("t.sig")).cast("int").alias(
+            "volume_invariant"
+        ),
+    )

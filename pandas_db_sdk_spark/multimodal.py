@@ -2388,6 +2388,170 @@ def synth_chirp_wav(
     return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
 
 
+def synth_speech_wav(
+    df: DataFrame, id_col: str = "doc_id", gain: int = 1
+) -> DataFrame:
+    """Speech-shaped WAV fixture for the VAD tier (d165): 64-sample
+    blocks cycle through four classes by ``(block + id) % 4`` —
+    SILENCE (class 0: ``(3t + id) mod 16 − 8``, amplitude ~8), LOUD
+    (classes 1-2: the chirp formula mod 2048, amplitude ~1024), and
+    MEDIUM (class 3: the chirp formula mod 720, amplitude ~360, whose
+    frame energy lands strictly BETWEEN the d165 open and close
+    thresholds, so only the hysteresis rule decides it).  The per-id
+    phase shift makes segment layouts differ across documents;
+    ``n = 512 + (id % 8)·64`` samples.  Same RIFF/gain contract as
+    :func:`synth_chirp_wav`; every term is integer and
+    oracle-replayable."""
+    if not -16 <= gain <= 16:
+        raise ValueError("synth_speech_wav: |gain| <= 16 keeps int16")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def wav(i: int) -> bytes:
+            n = 512 + (i % 8) * 64
+            a, b = 1 + i % 7, 3 + i % 13
+            t = np.arange(n, dtype=np.int64)
+            cls = (t // 64 + i) % 4
+            loud = (a * t * t + b * t + i) % 2048 - 1024
+            med = (a * t * t + b * t + i) % 720 - 360
+            sil = (3 * t + i) % 16 - 8
+            base = np.where(cls == 0, sil, np.where(cls == 3, med, loud))
+            samples = (gain * base).astype("<i2")
+            data = samples.tobytes()
+            sr, ch = 8000, 1
+            fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16)
+            body = b"WAVEfmt " + struct.pack("<I", 16) + fmt
+            body += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids = pdf[id_col].astype(int)
+            yield pd.DataFrame(
+                [(int(i), wav(int(i))) for i in ids],
+                columns=[id_col, "payload"],
+            )
+
+    return df.select(id_col).mapInPandas(build, f"{id_col} long, payload binary")
+
+
+def vad_segments(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_len: int = 64,
+    open_num: int = 1,
+    open_den: int = 4,
+    close_num: int = 1,
+    close_den: int = 16,
+) -> DataFrame:
+    """Voice-activity ENERGY SEGMENTATION (d165) — the segment-before-
+    transcribe step every training-data audio pipeline runs (VERDICT
+    r12 #3): per non-overlapping ``frame_len``-sample frame compute
+    the exact integer energy Σ s², then run a HYSTERESIS state
+    machine against thresholds RELATIVE to the file's peak frame
+    energy —
+
+    * OPEN  when  e · open_den  >= peak · open_num   (default e ≥ peak/4),
+    * CLOSE when  e · close_den <  peak · close_num  (default e < peak/16),
+    * otherwise HOLD the previous state (initial state: closed)
+
+    — and emit the active islands (the c57 gaps-and-islands session
+    pattern applied inside the sample array): (id, seg_no, f0, f1,
+    n_frames, energy), seg_no 1-based in time order, energy = Σ frame
+    energies over the segment.  Because both thresholds are ratios of
+    exact integers, a uniform volume change (gain g scales every
+    energy by exactly g²) multiplies BOTH sides of each comparison by
+    g² — segmentation is EXACTLY volume-invariant (the d165b twin).
+    Trailing samples short of a full frame are ignored; files without
+    one full frame (or non-PCM16-mono) skip.  Scale: pure Arrow
+    mapInPandas, zero shuffles, per-file state bounded by file
+    length."""
+    if frame_len < 1:
+        raise ValueError("vad_segments: frame_len must be >= 1")
+    if min(open_num, open_den, close_num, close_den) < 1:
+        raise ValueError("vad_segments: threshold ratios must be positive")
+    if close_num * open_den >= open_num * close_den:
+        raise ValueError(
+            "vad_segments: close threshold must be strictly below the "
+            "open threshold (hysteresis needs a dead band)"
+        )
+
+    def segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, ch, bits, codec, data = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt " and clen >= 16:
+                    codec, ch, _, _, _, bits = struct.unpack(
+                        "<HHIIHH", b[pos + 8 : pos + 24]
+                    )
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + clen]
+                    if len(data) != clen:
+                        return None
+                pos += 8 + clen + (clen & 1)
+            if codec != 1 or ch != 1 or bits != 16 or data is None:
+                return None
+            return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                s = parse(bytes(buf))
+                if s is None or s.size < frame_len:
+                    continue
+                nf = s.size // frame_len
+                e = (
+                    (s[: nf * frame_len] ** 2)
+                    .reshape(nf, frame_len)
+                    .sum(axis=1)
+                )
+                peak = int(e.max())
+                state, seg_no, f0 = 0, 0, None
+                acc = 0
+                for f in range(nf):
+                    ef = int(e[f])
+                    if ef * open_den >= peak * open_num:
+                        nxt = 1
+                    elif ef * close_den < peak * close_num:
+                        nxt = 0
+                    else:
+                        nxt = state
+                    if nxt and not state:
+                        f0, acc = f, 0
+                    if nxt:
+                        acc += ef
+                    if state and not nxt:
+                        seg_no += 1
+                        rows.append(
+                            (int(i), seg_no, f0, f - 1, f - f0, acc)
+                        )
+                    state = nxt
+                if state:
+                    seg_no += 1
+                    rows.append((int(i), seg_no, f0, nf - 1, nf - f0, acc))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "seg_no", "f0", "f1", "n_frames", "energy"],
+            )
+
+    return df.mapInPandas(
+        segs,
+        f"{id_col} long, seg_no int, f0 int, f1 int, n_frames int,"
+        " energy long",
+    )
+
+
 def _resample_scaled(s, up: int, down: int):
     """The multiplied-through rational linear resample: int64 sample
     vector → (j, y_scaled) int64 vectors with y_scaled[j] = up·s[i0] +

@@ -1707,3 +1707,73 @@ def test_jpeg_segments_tolerate_fill_bytes_and_standalone_markers(spark):
     )
     regot = {r.doc_id: r for r in multimodal.exif_extract(refres).collect()}
     assert regot[1].has_exif == 0 and regot[2].has_exif == 0
+
+
+def test_vad_segments_hysteresis_and_guards(spark):
+    """d165 operator contract on a hand-built WAV: frames are LOUD /
+    MEDIUM / SILENT with medium strictly inside the hysteresis dead
+    band, so medium extends a speech segment but never opens one; the
+    dead-band guard raises; poison payloads skip; gain scales energy
+    by g^2 but never moves a boundary."""
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import multimodal
+
+    def wav(frames):  # frames: list of per-64-sample amplitudes
+        samples = []
+        for amp in frames:
+            samples += [amp, -amp] * 32
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = b"WAVEfmt " + struct.pack("<I", 16) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # energies relative to peak (amp 1000): open >= 1/4 (amp 500),
+    # close < 1/16 (amp 250). amp 300 is the dead band.
+    #       sil   loud  med   sil   med   loud  loud  sil
+    amps = [10,   1000, 300,  10,   300,  1000, 1000, 10]
+    frame = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, wav(amps)), (2, b"RIFF not a wav")],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    )
+    segs = [
+        (r.seg_no, r.f0, r.f1, r.n_frames)
+        for r in multimodal.vad_segments(frame)
+        .orderBy("doc_id", "seg_no")
+        .collect()
+    ]
+    # medium at f2 extends segment 1; medium at f4 (after silence) stays
+    # closed; the final silence closes segment 2
+    assert segs == [(1, 1, 2, 2), (2, 5, 6, 2)]
+
+    tripled = [
+        (r.seg_no, r.f0, r.f1, r.n_frames, r.energy)
+        for r in multimodal.vad_segments(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [(1, wav([a * 3 for a in amps]))],
+                    columns=["doc_id", "payload"],
+                ),
+                "doc_id long, payload binary",
+            )
+        ).orderBy("seg_no").collect()
+    ]
+    base = [
+        (r.seg_no, r.f0, r.f1, r.n_frames, r.energy)
+        for r in multimodal.vad_segments(frame)
+        .orderBy("seg_no")
+        .collect()
+    ]
+    assert [t[:4] for t in tripled] == [b[:4] for b in base]
+    assert all(t[4] == 9 * b[4] for t, b in zip(tripled, base))
+
+    with _pytest.raises(ValueError, match="dead band"):
+        multimodal.vad_segments(frame, open_num=1, open_den=4,
+                                close_num=1, close_den=4)
