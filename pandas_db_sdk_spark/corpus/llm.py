@@ -8245,3 +8245,101 @@ def d165b(spark, sf_dir):
             "volume_invariant"
         ),
     )
+
+
+@q(
+    "d167_video_near_dup",
+    """WITH f AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+       v AS (SELECT doc_id AS vid, ff.f AS frame_no,
+                    ff.f AS src_f, doc_id AS src_id
+             FROM f, range(0, 6) ff(f) WHERE ff.f < nf
+             UNION ALL
+             SELECT doc_id + 1000000, ff.f - 1, ff.f, doc_id
+             FROM f, range(0, 6) ff(f)
+             WHERE ff.f < nf AND ff.f >= 1 AND doc_id % 4 = 0),
+       ys AS (SELECT vid, frame_no,
+                CAST(sum(((7*src_id + 3*x.x + 5*y.y + 13*src_f) % 256)
+                         * (x.x + 1) * (y.y + 2)) AS BIGINT) AS yps
+              FROM v, range(0, 16) x(x), range(0, 16) y(y)
+              GROUP BY vid, frame_no),
+       sh AS (SELECT vid, frame_no,
+                yps::VARCHAR || ':'
+                  || lead(yps) OVER (PARTITION BY vid
+                                     ORDER BY frame_no)::VARCHAR AS shingle
+              FROM ys),
+       shn AS (SELECT * FROM sh WHERE shingle IS NOT NULL),
+       pr AS (SELECT a.vid AS id_a, b.vid AS id_b,
+                     b.frame_no - a.frame_no AS off
+              FROM shn a JOIN shn b
+                ON a.shingle = b.shingle AND a.vid < b.vid)
+       SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared,
+              CAST(count(DISTINCT off) AS BIGINT) AS n_offsets,
+              CAST(min(off) AS BIGINT) AS offset
+       FROM pr GROUP BY 1, 2""",
+)
+def d167(spark, sf_dir):
+    """Video tier (r13): TEMPORAL NEAR-DUP
+    (``multimodal.video_shingle_near_dup`` — VERDICT r12 #5): frame-
+    hash SEQUENCES, shingled and equi-joined, catch the trimmed/
+    re-encoded duplicates single-frame hashing misses.  The fixture
+    unions every document's y4m stream with a TRIMMED COPY (first
+    frame dropped, id + 1e6) of every fourth one via
+    ``multimodal.y4m_trim`` — each copy must pair with its original
+    at one consistent offset of -1 (copy frame j = original frame
+    j+1, so original→copy offset is negative).  The synthetic plane
+    formula also makes videos 256 ids apart share content (7·Δid ≡ 0
+    mod 256), so genuine cross-video near-dups exist and are replayed
+    exactly — the oracle regenerates every frame checksum
+    arithmetically (the d143 pattern), shingles with the same lead
+    window, and re-joins.  Scale: Σ bucket² pair work, no cartesian."""
+    d = tables(spark, sf_dir)("documents")
+    originals = multimodal.synth_y4m(d, "doc_id")
+    copies = multimodal.y4m_trim(
+        multimodal.synth_y4m(d.filter(F.col("doc_id") % 4 == 0), "doc_id"),
+        "payload",
+        "doc_id",
+        start=1,
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "payload")
+    fleet = originals.unionAll(copies)
+    return multimodal.video_shingle_near_dup(fleet, "payload", "doc_id")
+
+
+@q(
+    "d167b_video_trim_guarantees",
+    """WITH f AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0)
+       SELECT CAST(doc_id AS BIGINT) AS id_a,
+              CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+              CAST(1 AS INT) AS pairs_with_original,
+              CAST(1 AS INT) AS single_offset,
+              CAST(-1 AS BIGINT) AS offset
+       FROM f""",
+)
+def d167b(spark, sf_dir):
+    """d167's certification twin (VERDICT r12 #5's 'trimmed copy
+    clusters with its original'): EVERY trimmed copy must appear in
+    the near-dup pair set with its own original, at exactly ONE
+    distinct alignment offset equal to -1 (the trim length, seen from
+    the original's frame numbering).  The engine filters the d167
+    pair set to (original, copy) identity pairs and asserts the
+    alignment; the oracle states the guarantee arithmetically — one
+    row per trimmed copy, unconditional."""
+    d = tables(spark, sf_dir)("documents")
+    originals = multimodal.synth_y4m(d, "doc_id")
+    copies = multimodal.y4m_trim(
+        multimodal.synth_y4m(d.filter(F.col("doc_id") % 4 == 0), "doc_id"),
+        "payload",
+        "doc_id",
+        start=1,
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "payload")
+    pairs = multimodal.video_shingle_near_dup(
+        originals.unionAll(copies), "payload", "doc_id"
+    )
+    return pairs.filter(
+        F.col("id_b") == F.col("id_a") + 1000000
+    ).select(
+        "id_a",
+        "id_b",
+        F.lit(1).cast("int").alias("pairs_with_original"),
+        (F.col("n_offsets") == 1).cast("int").alias("single_offset"),
+        "offset",
+    )

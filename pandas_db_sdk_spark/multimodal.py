@@ -5187,3 +5187,137 @@ def exif_strip(
     return df.mapInPandas(
         strip, f"{id_col} long, payload binary, n_stripped int"
     )
+
+
+def y4m_trim(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    start: int = 0,
+    count: int | None = None,
+) -> DataFrame:
+    """Y4M CLIP EXTRACTION — keep frames [start, start+count) of a
+    YUV4MPEG2 stream by byte-splicing the container (header + the
+    selected FRAME blobs verbatim; no plane decode, no re-encode), the
+    video twin of the audio tier's sample-range ops and the d167
+    trimmed-copy fixture generator.  ``count=None`` keeps everything
+    from ``start``.  Streams left with zero frames, or malformed
+    streams, skip (poison contract).  Scale: pure Arrow mapInPandas,
+    zero shuffles, output bytes <= input bytes."""
+    if start < 0 or (count is not None and count < 1):
+        raise ValueError("y4m_trim: start >= 0 and count >= 1 required")
+
+    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                nl = b.find(b"\n")
+                if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+                    continue
+                w = h = None
+                chroma = "420"
+                for tok in b[:nl].split(b" ")[1:]:
+                    if tok[:1] == b"W":
+                        w = int(tok[1:])
+                    elif tok[:1] == b"H":
+                        h = int(tok[1:])
+                    elif tok[:1] == b"C":
+                        chroma = tok[1:].decode("ascii", "replace")
+                if not w or not h:
+                    continue
+                if chroma.startswith("444"):
+                    csize = w * h
+                elif chroma.startswith("420"):
+                    csize = (w // 2) * (h // 2)
+                else:
+                    continue
+                frame_bytes = w * h + 2 * csize
+                frames = []  # (marker_start, data_end) byte ranges
+                pos = nl + 1
+                while pos < len(b):
+                    if b[pos : pos + 5] != b"FRAME":
+                        break
+                    fnl = b.find(b"\n", pos)
+                    if fnl < 0 or fnl + 1 + frame_bytes > len(b):
+                        break
+                    frames.append((pos, fnl + 1 + frame_bytes))
+                    pos = fnl + 1 + frame_bytes
+                stop = len(frames) if count is None else start + count
+                keep = frames[start:stop]
+                if not keep:
+                    continue
+                out = b[: nl + 1] + b"".join(b[s:e] for s, e in keep)
+                rows.append((int(i), out))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.mapInPandas(trim, f"{id_col} long, payload binary")
+
+
+def video_shingle_near_dup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    shingle_len: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """VIDEO TEMPORAL NEAR-DUP (d167 — VERDICT r12 #5): single-frame
+    hashing misses re-encoded/TRIMMED duplicates; this catches them by
+    matching frame-SEQUENCE n-grams.  Compose the certified pieces:
+    :func:`y4m_frame_sample` (every_n=1) emits the position-weighted
+    luma checksum per frame (the exact frame signature a transposed
+    or off-by-one parse cannot fake); consecutive ``shingle_len``
+    checksums concatenate into a SHINGLE (the d02 shingle idea in
+    time rather than token space); videos sharing a shingle pair up
+    via the shingle equi-join (candidate work Σ bucket², never
+    videos²); the aggregate verifies ALIGNMENT: n_shared matching
+    shingle occurrences, n_offsets distinct frame offsets, and the
+    minimum offset — a trimmed copy shows one consistent offset
+    (n_offsets=1) equal to the trim length.
+
+    Returns (id_a, id_b, n_shared, n_offsets, offset) with id_a <
+    id_b.  ``max_bucket_size`` is the d02-style frequency valve: a
+    degenerate shingle shared by more than this many frames (e.g. an
+    all-black frame pair in millions of videos) is dropped from
+    pairing rather than exploding Σ bucket².  Scale: one window per
+    video (lead over frame_no), one equi-join on the shingle, one
+    pair aggregate — no cartesian, no driver state."""
+    from pyspark.sql import Window
+
+    if shingle_len < 2:
+        raise ValueError("video_shingle_near_dup: shingle_len must be >= 2")
+    fs = y4m_frame_sample(df, payload_col, id_col, every_n=1).select(
+        F.col(id_col).alias("__vid"),
+        F.col("frame_no").alias("__f"),
+        "y_pos_sum",
+    )
+    w = Window.partitionBy("__vid").orderBy("__f")
+    parts = [F.col("y_pos_sum").cast("string")]
+    for k in range(1, shingle_len):
+        parts.append(F.lit(":"))
+        parts.append(F.lead("y_pos_sum", k).over(w).cast("string"))
+    sh = fs.select(
+        "__vid", "__f", F.concat(*parts).alias("__sh")
+    ).filter(F.col("__sh").isNotNull())
+    if max_bucket_size is not None:
+        ok = (
+            sh.groupBy("__sh")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("__sh")
+        )
+        sh = sh.join(ok, "__sh")
+    a = sh.select(
+        F.col("__vid").alias("id_a"), F.col("__f").alias("__fa"), "__sh"
+    )
+    b = sh.select(
+        F.col("__vid").alias("id_b"), F.col("__f").alias("__fb"), "__sh"
+    )
+    pairs = a.join(b, "__sh").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("long").alias("n_shared"),
+        F.count_distinct(F.col("__fb") - F.col("__fa"))
+        .cast("long")
+        .alias("n_offsets"),
+        F.min(F.col("__fb") - F.col("__fa")).cast("long").alias("offset"),
+    )

@@ -1777,3 +1777,66 @@ def test_vad_segments_hysteresis_and_guards(spark):
     with _pytest.raises(ValueError, match="dead band"):
         multimodal.vad_segments(frame, open_num=1, open_den=4,
                                 close_num=1, close_den=4)
+
+
+def test_y4m_trim_and_video_shingle_near_dup(spark):
+    """d167 operator contract: y4m_trim byte-splices frames [start,
+    start+count) (verified through y4m_frame_sample — same frame
+    content, renumbered), empty trims and poison skip; the near-dup
+    join pairs a trimmed copy with its original at one consistent
+    offset; the bucket valve drops degenerate shingles; shingle_len
+    guard raises."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(3,)], "doc_id long")  # 3 + 3%4 = 6 frames
+    full = multimodal.synth_y4m(ids, "doc_id")
+    clip = multimodal.y4m_trim(full, start=1, count=2)  # frames 1..2
+    got = (
+        multimodal.y4m_frame_sample(clip, every_n=1)
+        .orderBy("frame_no")
+        .collect()
+    )
+    ref = {
+        r.frame_no: r
+        for r in multimodal.y4m_frame_sample(full, every_n=1).collect()
+    }
+    assert [r.frame_no for r in got] == [0, 1]
+    assert got[0].y_pos_sum == ref[1].y_pos_sum  # clip frame 0 = src frame 1
+    assert got[1].y_pos_sum == ref[2].y_pos_sum
+    assert got[0].n_frames == 2
+
+    # start beyond the stream -> zero frames -> row skips; poison skips
+    assert multimodal.y4m_trim(full, start=99).count() == 0
+    import pandas as pd
+
+    poison = spark.createDataFrame(
+        pd.DataFrame([(9, b"MPEG nope")], columns=["doc_id", "payload"]),
+        "doc_id long, payload binary",
+    )
+    assert multimodal.y4m_trim(poison).count() == 0
+
+    # near-dup: original (id 3) + its 1-frame-trimmed copy (id 1003)
+    fleet = full.unionAll(
+        multimodal.y4m_trim(full, start=1).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "payload"
+        )
+    )
+    pairs = multimodal.video_shingle_near_dup(fleet).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # 6-frame original has 5 shingles, the 5-frame copy 4 -- all shared,
+    # all at copy_frame = original_frame - 1
+    assert (p.id_a, p.id_b, p.n_shared, p.n_offsets, p.offset) == (
+        3, 1003, 4, 1, -1,
+    )
+
+    # valve: max_bucket_size=1 kills every shared shingle (each appears
+    # twice across the fleet), so no pairs survive
+    assert (
+        multimodal.video_shingle_near_dup(fleet, max_bucket_size=1).count()
+        == 0
+    )
+    with _pytest.raises(ValueError, match="shingle_len"):
+        multimodal.video_shingle_near_dup(fleet, shingle_len=1)
