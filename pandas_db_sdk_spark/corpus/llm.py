@@ -8343,3 +8343,93 @@ def d167b(spark, sf_dir):
         (F.col("n_offsets") == 1).cast("int").alias("single_offset"),
         "offset",
     )
+
+
+@q(
+    "d168_tokenizer_fertility",
+    """WITH w AS (SELECT doc_id, string_split(text ||
+           CASE WHEN doc_id % 6 = 0
+                THEN ' el la que y en un por con una el la de que y en un'
+                ELSE '' END, ' ') AS w
+         FROM documents),
+       ln AS (SELECT doc_id, CAST((s - 1) // 8 AS INT) AS line_no,
+                list_transform(w[s : s + 7], t -> lower(t)) AS tk
+              FROM w, LATERAL (
+                SELECT unnest(range(1, greatest(len(w), 1) + 1, 8)) AS s)),
+       lex(lang, lx) AS (VALUES
+         ('de', ['der','die','und','das','von','zu','mit','ein','auf','ist']),
+         ('en', ['the','and','of','to','a','in','is','that','for','it']),
+         ('es', ['el','la','de','que','y','en','un','por','con','una']),
+         ('fr', ['le','la','de','et','les','des','un','une','du','est'])),
+       sc AS (SELECT doc_id, line_no, lex.lang,
+                round(len(list_filter(tk, t -> list_contains(lex.lx, t)))::DOUBLE
+                      / greatest(len(tk), 1), 6) AS s
+              FROM ln, lex),
+       pl AS (SELECT doc_id, line_no, lang FROM (
+                SELECT doc_id, line_no, lang,
+                  row_number() OVER (PARTITION BY doc_id, line_no
+                                     ORDER BY s DESC, lang DESC) AS rn
+                FROM sc) WHERE rn = 1),
+       cnt AS (SELECT doc_id, lang, count(*) AS c FROM pl GROUP BY 1, 2),
+       mj AS (SELECT doc_id, lang AS majority_lang FROM (
+                SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, lang DESC) AS rn
+                FROM cnt) WHERE rn = 1),
+       tk2 AS (SELECT doc_id, unnest(list_filter(w, x -> x <> '')) AS tok
+               FROM w),
+       vc AS (SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM tk2 GROUP BY 1
+                ORDER BY c DESC, tok LIMIT 200)),
+       sc2 AS (SELECT tk2.doc_id,
+                 CASE WHEN vc.tok IS NULL THEN length(tk2.tok)
+                      ELSE 1 END AS wp,
+                 CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END AS oov
+               FROM tk2 LEFT JOIN vc ON tk2.tok = vc.tok)
+       SELECT mj.majority_lang AS lang,
+              CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(oov) AS BIGINT) AS n_oov_words,
+              CAST(sum(wp) AS BIGINT) AS n_tokens,
+              round(sum(wp)::DOUBLE / count(*), 6) AS fertility,
+              round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate,
+              round(sum(CASE WHEN oov = 1 THEN wp ELSE 0 END)::DOUBLE
+                    / sum(wp), 6) AS char_fallback_rate
+       FROM sc2 s JOIN mj ON s.doc_id = mj.doc_id
+       GROUP BY 1""",
+)
+def d168(spark, sf_dir):
+    """Multilingual tier (r13): TOKENIZER FERTILITY data card
+    (``text.tokenizer_fertility_card`` — VERDICT r12 #6): per-language
+    tokens-per-word under a fixed corpus vocab, OOV rate, and the
+    character-fallback budget share — the card that shows which
+    languages a vocabulary budget starves.  Runs over the d155
+    code-switch fixture (Spanish spans planted into every sixth
+    document) with the language label taken from
+    ``text.code_switch_stats``' per-document MAJORITY line language —
+    the composition a real multilingual pipeline runs (predicted
+    language, not trusted metadata).  The oracle replays the full
+    d155 lexicon/argmax chain AND the d70 closed-form token costs
+    (top-200 vocab word = 1 token, OOV word = |word| char tokens)
+    end to end.  Scale: vocab TakeOrdered + broadcast membership
+    join + a few-row groupBy(lang)."""
+    d = tables(spark, sf_dir)("documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit(" el la que y en un por con una el la de que y en un"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    mj = text.code_switch_stats(planted, "doc_id", "text").select(
+        "doc_id", "majority_lang"
+    )
+    dd = planted.join(mj, "doc_id").select(
+        "doc_id", "text", F.col("majority_lang").alias("lang")
+    )
+    return text.tokenizer_fertility_card(
+        dd, "doc_id", "text", "lang", vocab_size=200
+    )

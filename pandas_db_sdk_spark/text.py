@@ -2961,3 +2961,76 @@ def code_switch_stats(
             ).alias("switch_ratio"),
         )
     )
+
+
+def tokenizer_fertility_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_size: int = 200,
+) -> DataFrame:
+    """TOKENIZER FERTILITY data card (d168 — VERDICT r12 #6): the
+    per-language audit every multilingual pipeline publishes before
+    committing to a vocabulary budget — under a FIXED corpus-derived
+    vocab (the :func:`wordpiece_token_counts` contract: top
+    ``vocab_size`` words + implicit single characters, so an in-vocab
+    word costs 1 token and an OOV word falls back to |word| character
+    tokens), report per language:
+
+    * ``fertility``          = tokens per word (the headline number),
+    * ``oov_rate``           = OOV words / words,
+    * ``char_fallback_rate`` = character-fallback tokens / all tokens
+      (the byte/char-fallback budget share — high values mean the
+      vocab starves that language),
+
+    plus the raw counts (n_docs, n_words, n_oov_words, n_tokens).
+    ``lang_col`` is caller-supplied: the table's own label, or a
+    prediction from :func:`language_id` / the per-line majority from
+    :func:`code_switch_stats` (the d168 fixture).
+
+    Scale: one explode+count for the vocab, a TakeOrdered top-N
+    (k-row driver merge), one broadcast membership join, one
+    groupBy(lang) — language cardinality is tiny, so the final
+    aggregate is a map-side-combined shuffle of a few rows."""
+    terms = df.select(
+        F.col(id_col).alias("__d"),
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("token"),
+    )
+    vocab = (
+        terms.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("__iv"))
+    )
+    scored = terms.join(F.broadcast(vocab), "token", "left").select(
+        "__d",
+        "lang",
+        F.when(F.col("__iv").isNotNull(), F.lit(1))
+        .otherwise(F.length("token"))
+        .alias("wp"),
+        F.col("__iv").isNull().cast("int").alias("oov"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count_distinct("__d").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("oov").cast("long").alias("n_oov_words"),
+        F.sum("wp").cast("long").alias("n_tokens"),
+        F.round(F.sum("wp").cast("double") / F.count("*"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.sum("oov").cast("double") / F.count("*"), 6).alias(
+            "oov_rate"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("oov") == 1, F.col("wp")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("wp"),
+            6,
+        ).alias("char_fallback_rate"),
+    )

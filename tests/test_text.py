@@ -1089,3 +1089,36 @@ def test_code_switch_stats_majority_and_dissent(spark):
         r = out[10 + off]
         assert r.majority_lang == "en" and r.n_switch_lines >= 1, (off, r)
         assert 0 < r.switch_ratio < 1
+
+
+def test_tokenizer_fertility_card_closed_form(spark):
+    """d168 operator contract on hand-checkable docs: with vocab_size=2
+    the two most frequent words cost 1 token each and every other word
+    falls back to |word| character tokens; fertility/oov/char-fallback
+    ratios follow the closed form per language."""
+    from pandas_db_sdk_spark import text
+
+    docs = spark.createDataFrame(
+        [
+            # 'aa' x3 and 'bb' x3 are the vocab; 'xyz' and 'qwerty' are OOV
+            (1, "aa bb xyz", "en"),
+            (2, "aa bb", "en"),
+            (3, "aa bb qwerty", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.lang: r
+        for r in text.tokenizer_fertility_card(
+            docs, vocab_size=2
+        ).collect()
+    }
+    en, es = out["en"], out["es"]
+    # en: 5 words, 1 oov (xyz -> 3 char tokens): tokens = 4*1 + 3 = 7
+    assert (en.n_docs, en.n_words, en.n_oov_words, en.n_tokens) == (2, 5, 1, 7)
+    assert en.fertility == round(7 / 5, 6)
+    assert en.oov_rate == round(1 / 5, 6)
+    assert en.char_fallback_rate == round(3 / 7, 6)
+    # es: 3 words, 1 oov (qwerty -> 6): tokens = 2 + 6 = 8
+    assert (es.n_docs, es.n_words, es.n_oov_words, es.n_tokens) == (1, 3, 1, 8)
+    assert es.char_fallback_rate == round(6 / 8, 6)
