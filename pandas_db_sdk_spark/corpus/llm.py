@@ -8433,3 +8433,67 @@ def d168(spark, sf_dir):
     return text.tokenizer_fertility_card(
         dd, "doc_id", "text", "lang", vocab_size=200
     )
+
+
+@q(
+    "d166_ivf_drift_card",
+    """WITH ref AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+       cent AS (SELECT r.label AS clabel, t.i,
+                  CAST(sum(CAST(r.embedding[t.i]::DOUBLE
+                                AS DECIMAL(28,10))) AS DOUBLE)
+                    / count(*) AS c
+                FROM ref r, range(1, 65) t(i) GROUP BY r.label, t.i),
+       dists AS (SELECT e.vec_id, c.clabel,
+                   CAST(sum(CAST((e.embedding[c.i]::DOUBLE - c.c)
+                                 * (e.embedding[c.i]::DOUBLE - c.c)
+                                 AS DECIMAL(28,10))) AS DOUBLE) AS dist
+                 FROM embeddings e, cent c GROUP BY e.vec_id, c.clabel),
+       asg AS (SELECT vec_id, clabel AS cell FROM (
+                 SELECT vec_id, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, clabel) AS rn
+                 FROM dists) WHERE rn = 1),
+       mn AS (SELECT a.cell, t.i,
+                CAST(sum(CAST(e.embedding[t.i]::DOUBLE
+                              AS DECIMAL(28,10))) AS DOUBLE)
+                  / count(*) AS m
+              FROM asg a, embeddings e, range(1, 65) t(i)
+              WHERE a.vec_id = e.vec_id GROUP BY a.cell, t.i),
+       dr AS (SELECT mn.cell,
+                round(sqrt(CAST(sum(CAST((m - c) * (m - c)
+                                         AS DECIMAL(28,10))) AS DOUBLE)),
+                      6) AS drift
+              FROM mn JOIN cent ON mn.cell = cent.clabel AND mn.i = cent.i
+              GROUP BY mn.cell),
+       nr AS (SELECT label AS cell, CAST(count(*) AS BIGINT) AS n_ref
+              FROM ref GROUP BY 1),
+       na AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_assigned
+              FROM asg GROUP BY 1)
+       SELECT nr.cell, nr.n_ref,
+              coalesce(na.n_assigned, 0) AS n_assigned, dr.drift,
+              CAST(CASE WHEN dr.drift > 0.13 THEN 1 ELSE 0 END AS INT)
+                  AS rebuild
+       FROM nr LEFT JOIN na ON nr.cell = na.cell
+               LEFT JOIN dr ON nr.cell = dr.cell""",
+)
+def d166(spark, sf_dir):
+    """ANN tier (r13): IVF CENTROID-DRIFT card
+    (``similarity.ivf_drift_card`` — VERDICT r12 #4): an incremental
+    index (``streaming.ingest.stream_embeddings_into_ivf``) routes new
+    vectors against centroids FROZEN at build time; this card is the
+    rebuild trigger: per cell, the L2 distance between the frozen
+    centroid and the running mean of everything now assigned to it.
+    The fixture freezes centroids on the even-vec_id HALF of the
+    embeddings table (the index-build snapshot) and assigns the FULL
+    table (the snapshot plus the 'streamed' odd half), so drift is
+    genuinely nonzero and the 0.13 threshold splits the cells at both
+    certification scales.  Exact-decimal means/distances keep every
+    number deterministic; the oracle replays centroids, the argmin
+    assignment, running means, and the drift norm end to end.  Scale:
+    one reference agg + one broadcast assignment + one (cell, pos)
+    agg — no driver state beyond the O(cells × dim) broadcast."""
+    e = tables(spark, sf_dir)("embeddings")
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    return similarity.ivf_drift_card(
+        ref, e, "label", "vec_id", "embedding", rebuild_threshold=0.13
+    )

@@ -906,15 +906,31 @@ def assign_nearest_centroid(
     squared differences are computed in double (bit-identical in any
     engine) and summed through the exact decimal accumulator, so the
     argmin is deterministic; ties break toward the smaller label."""
-    cent = (
-        label_centroids(emb, label_col, vec_col)
-        .groupBy(F.col("label").alias("clabel"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
-                lambda s: s.centroid,
-            ).alias("cvec")
-        )
+    return assign_to_centroid_table(
+        emb, label_centroids(emb, label_col, vec_col), id_col, vec_col
+    )
+
+
+def assign_to_centroid_table(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`assign_nearest_centroid` against an EXPLICIT centroid
+    table in :func:`label_centroids`' long form (label, pos, centroid)
+    — the form an INCREMENTAL index needs: the quantizer is FROZEN at
+    index-build time and new vectors route against it without
+    retraining (``streaming.ingest.stream_embeddings_into_ivf``'s
+    contract, and :func:`ivf_drift_card`'s reference frame).  Same
+    exact-decimal distance, same (dist, label) argmin tie-break, same
+    broadcast O(labels × dim) plan as the self-trained form (which
+    delegates here)."""
+    cent = centroids.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s.centroid,
+        ).alias("cvec")
     )
     v = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
     sq = F.zip_with(
@@ -933,6 +949,97 @@ def assign_nearest_centroid(
             id_col,
             F.col("clabel").alias("nearest_label"),
             F.round("dist", 6).alias("dist"),
+        )
+    )
+
+
+def ivf_drift_card(
+    reference: DataFrame,
+    vectors: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_threshold: float = 0.05,
+) -> DataFrame:
+    """IVF CENTROID-DRIFT card (d166 — VERDICT r12 #4): an incremental
+    ANN index assigns streamed vectors to cells FROZEN at build time;
+    as the distribution moves, cell means walk away from their
+    centroids and recall decays.  This card quantifies that: build
+    centroids from the ``reference`` snapshot (per ``cell_col``),
+    assign EVERY current vector to its nearest frozen centroid
+    (:func:`assign_to_centroid_table`), and per cell report
+
+    * ``n_ref``      — reference rows the cell was built from,
+    * ``n_assigned`` — vectors currently routed to the cell,
+    * ``drift``      — L2 distance between the frozen centroid and the
+      RUNNING MEAN of the vectors now assigned to it (rounded 6 dp;
+      NULL when the cell is empty),
+    * ``rebuild``    — 1 when drift exceeds ``rebuild_threshold``: the
+      retrain signal.
+
+    Exact-decimal means and distance composition keep every number
+    deterministic (the d26/d27 discipline).  Scale: one centroid agg
+    over the reference, one broadcast assignment pass, one (cell, pos)
+    agg over assignments — no driver state beyond the O(cells × dim)
+    broadcast."""
+    cent = label_centroids(reference, cell_col, vec_col)
+    assigned = assign_to_centroid_table(vectors, cent, id_col, vec_col)
+    av = (
+        vectors.select(
+            F.col(id_col),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .join(
+            assigned.select(
+                F.col(id_col), F.col("nearest_label").alias("cell")
+            ),
+            id_col,
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast(_CDEC)).cast("double") / F.count("*")
+            ).alias("m")
+        )
+    )
+    drift = (
+        av.join(
+            cent,
+            (av["cell"] == cent["label"]) & (av["pos"] == cent["pos"]),
+        )
+        .select(
+            "cell",
+            ((F.col("m") - F.col("centroid"))
+             * (F.col("m") - F.col("centroid"))).cast(_CDEC).alias("__d2"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.round(
+                F.sqrt(F.sum("__d2").cast("double")), 6
+            ).alias("drift")
+        )
+    )
+    n_ref = reference.groupBy(
+        F.col(cell_col).alias("cell")
+    ).agg(F.count("*").cast("long").alias("n_ref"))
+    n_asg = assigned.groupBy(
+        F.col("nearest_label").alias("cell")
+    ).agg(F.count("*").cast("long").alias("n_assigned"))
+    return (
+        n_ref.join(n_asg, "cell", "left")
+        .join(drift, "cell", "left")
+        .select(
+            "cell",
+            "n_ref",
+            F.coalesce(F.col("n_assigned"), F.lit(0).cast("long")).alias(
+                "n_assigned"
+            ),
+            "drift",
+            F.when(
+                F.col("drift") > F.lit(float(rebuild_threshold)), 1
+            ).otherwise(0).cast("int").alias("rebuild"),
         )
     )
 

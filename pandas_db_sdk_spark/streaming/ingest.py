@@ -974,3 +974,81 @@ def stream_wet_index_into_engine(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_embeddings_into_ivf(
+    stream: DataFrame,
+    engine: DataFrameEngine,
+    index_name: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version_prefix: str = "epoch_",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """INCREMENTAL IVF maintenance (VERDICT r12 #4): every micro-batch
+    of new embeddings routes against a FROZEN centroid table
+    (``similarity.assign_to_centroid_table`` — (label, pos, centroid)
+    long form; no retraining in the hot path: quantizers version with
+    the corpus) and lands in the engine dataset ``index_name`` as
+    (id, cell, dist) rows — the inverted-file membership the drift
+    card and cell-probed search read.
+
+    Replay guards (the r12 cross-batch-index class, both directions):
+
+    * a vec_id already committed by an EARLIER epoch is skipped
+      (at-least-once sources redeliver; the index must not grow
+      duplicate rows) — and the membership probe EXCLUDES the current
+      epoch's label, so a batch killed after its engine.save but
+      before the checkpoint commit does not anti-join itself into an
+      empty rewrite on replay;
+    * the replayed batch re-saves under the SAME epoch label with
+      ``overwrite_version=True``, so the index converges
+      byte-identically (pinned: stream-built index == the batch
+      assignment of the same vectors).
+
+    Centroid DRIFT — the rebuild trigger — is queried offline with
+    ``similarity.ivf_drift_card`` over the index snapshot vs the live
+    vectors.  Scale: assignment is one broadcast O(cells × dim) pass
+    per batch; the membership probe is an id anti-join against the
+    index (id-typed, never vectors)."""
+    from pyspark.sql import functions as F
+
+    from .. import similarity as _sim
+    from ..engine import VERSION_COL, DatasetNotFound
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        label = f"{version_prefix}{epoch_id}"
+        new = batch_df
+        try:
+            idx = engine.load(index_name, drop_internal=False)
+            seen = (
+                idx.filter(F.col(VERSION_COL) != F.lit(label))
+                .select(F.col(id_col))
+            )
+            new = new.join(seen, id_col, "left_anti")
+        except DatasetNotFound:
+            pass
+        if new.isEmpty():
+            return
+        assigned = _sim.assign_to_centroid_table(
+            new, centroids, id_col, vec_col
+        )
+        rows = assigned.select(
+            id_col,
+            F.col("nearest_label").alias("cell"),
+            "dist",
+        )
+        engine.save(
+            rows, index_name, external_key=label, overwrite_version=True
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1177,3 +1177,77 @@ def test_stream_wet_index_exactly_once_with_kill_replay(spark, tmp_path):
     assert key(docs2) == key(docs)
     assert len(idx2) == 7 and len(seen2) == 7
     assert all(r.roundtrip_ok == 1 for r in docs2)
+
+
+def test_stream_embeddings_into_ivf_batch_parity_and_replay(spark, tmp_path):
+    """d166's streaming half: vectors streamed in micro-batches against a
+    FROZEN centroid table build the same index as one batch assignment
+    of all vectors (batch parity); redelivered vec_ids are skipped (the
+    cross-batch membership guard); a batch killed after its engine.save
+    but before the checkpoint commit converges on replay (the r12 guard
+    class: the membership probe excludes its own epoch label)."""
+    import os
+
+    from pandas_db_sdk_spark import similarity
+    from pandas_db_sdk_spark.engine import DataFrameEngine
+    from pandas_db_sdk_spark.io import tables
+    from pandas_db_sdk_spark.streaming.ingest import stream_embeddings_into_ivf
+    from pyspark.sql import functions as F
+
+    e = tables(spark, "/root/testdata/sf0.001")("embeddings").limit(60)
+    ref = e.filter(F.col("vec_id") % 2 == 0)
+    cent = similarity.label_centroids(ref, "label", "embedding")
+    cent.cache().count()  # frozen quantizer: one materialization
+
+    # three micro-batches; batch 3 REDELIVERS half of batch 2's ids
+    rows = e.select("vec_id", "embedding").collect()
+    b1, b2 = rows[:20], rows[20:60]
+    redeliver = rows[30:40]
+    src = str(tmp_path / "vecs")
+    ck = str(tmp_path / "ckpt")
+    schema = e.select("vec_id", "embedding").schema
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(redeliver, schema).coalesce(1).write.mode("append").parquet(src)
+
+    eng = DataFrameEngine(spark, str(tmp_path / "wh"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_embeddings_into_ivf(
+            stream, eng, "ivf", cent, checkpoint_dir=ck
+        )
+        q.awaitTermination()
+
+    run()
+    got = {
+        r.vec_id: (r.cell, r.dist) for r in eng.load("ivf").collect()
+    }
+    want = {
+        r.vec_id: (r.nearest_label, r.dist)
+        for r in similarity.assign_to_centroid_table(
+            e, cent, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got == want  # batch parity AND no duplicate rows from redelivery
+    assert eng.load("ivf").count() == 60
+
+    # kill/replay: drop the last checkpoint commit marker -> the final
+    # batch re-runs under the same epoch label and must converge
+    commits = sorted(
+        c for c in os.listdir(os.path.join(ck, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    got2 = {
+        r.vec_id: (r.cell, r.dist) for r in eng.load("ivf").collect()
+    }
+    assert got2 == want
