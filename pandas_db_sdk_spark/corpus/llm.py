@@ -8497,3 +8497,117 @@ def d166(spark, sf_dir):
     return similarity.ivf_drift_card(
         ref, e, "label", "vec_id", "embedding", rebuild_threshold=0.13
     )
+
+
+@q(
+    "d169_replay_convergence",
+    """SELECT 'batch_twin_match' AS rule, CAST(1 AS BIGINT) AS val
+       UNION ALL
+       SELECT 'docs_landed',
+              (SELECT CAST(count(*) AS BIGINT) FROM documents
+               WHERE doc_id < 40)
+       UNION ALL
+       SELECT 'replay_hash_equal', CAST(1 AS BIGINT)""",
+)
+def d169(spark, sf_dir):
+    """Streaming tier (r13): REPLAY-CONVERGENCE guarantee as a
+    driver-checkable row (VERDICT r12 #7): the kill/replay contract the
+    pytest suite pins — a micro-batch killed after its engine.save
+    commits but before the streaming checkpoint commit must converge
+    when Structured Streaming re-runs it under the same epoch — made
+    certifiable: this query RUNS the corpus-line-dedup sink
+    (``streaming.ingest.stream_lines_dedup_into_engine``, the r12
+    guard class at ``streaming/ingest.py`` — membership probes exclude
+    their own epoch label; epochs overwrite their own versions) over a
+    40-document two-batch stream, FORCES a replay by deleting the last
+    checkpoint commit marker, re-runs, and emits
+
+    * ``docs_landed``       — rows in the final dataset (hollow docs
+      included — 40, the oracle's arithmetic),
+    * ``replay_hash_equal`` — sha256 of the sorted dataset before vs
+      after the forced replay (must be 1: byte-identical convergence),
+    * ``batch_twin_match``  — the converged dataset equals the BATCH
+      operator (``text.dedup_lines_corpus``) over the concatenated
+      input (the house streaming-parity invariant, must be 1).
+
+    The guarantee values are unconditional; the doc count is replayed
+    by the oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..engine import DataFrameEngine
+    from ..streaming.ingest import stream_lines_dedup_into_engine
+
+    d = tables(spark, sf_dir)("documents").filter(F.col("doc_id") < 40)
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.array_join(F.slice(w, 1, 4), " "),
+            F.array_join(F.slice(w, 5, 4), " "),
+        ).alias("text"),
+    )
+    base = tempfile.mkdtemp(prefix="d169_")
+    src, ck = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    schema = "doc_id long, text string"
+    docs.filter(F.col("doc_id") < 20).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") >= 20).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    eng = DataFrameEngine(spark, os.path.join(base, "wh"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_lines_dedup_into_engine(
+            stream, eng, "docs", checkpoint_dir=ck
+        )
+        q.awaitTermination()
+
+    def snap():
+        rows = sorted(
+            (r.doc_id, r.n_lines, r.n_kept_lines, r.dedup_text)
+            for r in eng.load("docs").collect()
+        )
+        return (
+            hashlib.sha256(repr(rows).encode()).hexdigest(),
+            len(rows),
+        )
+
+    run()
+    h1, _ = snap()
+    commits = sorted(
+        c
+        for c in os.listdir(os.path.join(ck, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # forced replay of the final epoch under the same label
+    h2, n2 = snap()
+
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_no", "line")
+    )
+    twin = sorted(
+        (r.doc_id, r.n_lines, r.n_kept_lines, r.dedup_text)
+        for r in text.dedup_lines_corpus(lines).collect()
+    )
+    ht = hashlib.sha256(repr(twin).encode()).hexdigest()
+    return spark.createDataFrame(
+        [
+            ("docs_landed", n2),
+            ("replay_hash_equal", 1 if h1 == h2 else 0),
+            ("batch_twin_match", 1 if h2 == ht else 0),
+        ],
+        "rule string, val long",
+    )
