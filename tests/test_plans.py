@@ -1039,3 +1039,26 @@ def test_round12_shuffle_budgets_and_shapes(spark, queries):
 
     p43 = plan_of(queries["x43_crawl_ops_funnel"](spark, SF))
     assert "CartesianProduct" not in p43
+
+
+def test_round13_shuffle_budgets_and_shapes(spark, queries):
+    """Round-13 additions: d164's pair prep is exactly two key
+    exchanges of prompt-sized rows (groupBy prompt + groupBy pair_sha)
+    with partial aggregation before each; d165 is a pure Arrow
+    mapInPandas pipeline (zero exchanges); d166 broadcasts the frozen
+    centroid table and carries no cartesian; d167's shingle join is an
+    equi-join (no cartesian), with frame features reduced before any
+    exchange."""
+    p164 = plan_of(queries["d164_dpo_pair_prep"](spark, SF))
+    assert "CartesianProduct" not in p164
+    assert "partial" in p164.lower(), p164  # map-side combine present
+
+    plan = plan_of(queries["d165_vad_segments"](spark, SF))
+    assert _unique_exchanges(plan) == 0, plan
+
+    p166 = plan_of(queries["d166_ivf_drift_card"](spark, SF))
+    assert "CartesianProduct" not in p166
+    assert "BroadcastHashJoin" in p166 or "BroadcastNestedLoopJoin" in p166
+
+    p167 = plan_of(queries["d167_video_near_dup"](spark, SF))
+    assert "CartesianProduct" not in p167
