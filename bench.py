@@ -127,6 +127,20 @@ def main() -> None:
         ("q43_audio_fingerprint", "d156_audio_fingerprint"),
         ("q44_sft_loss_mask", "d161_sft_loss_mask"),
         ("q45_exif_extract", "d159_exif_extract"),
+        # round-13 additions — the new ops that move real data volume at
+        # sf0.1: VAD segmentation (5000 WAVs through integer framing +
+        # hysteresis, Arrow map, zero shuffles), video temporal near-dup
+        # (6250 y4m streams through frame checksums + the shingle
+        # equi-join), the IVF drift card (full embeddings table through
+        # the broadcast assignment + per-cell means), and the tokenizer
+        # fertility card (corpus-wide token explode + vocab top-N +
+        # membership join). d164 is deliberately NOT a headline query
+        # (one row per 4-doc prompt group — entity-sized); d169 times
+        # the streaming harness, not an operator.
+        ("q46_vad_segments", "d165_vad_segments"),
+        ("q47_video_near_dup", "d167_video_near_dup"),
+        ("q48_ivf_drift", "d166_ivf_drift_card"),
+        ("q49_tokenizer_fertility", "d168_tokenizer_fertility"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay
