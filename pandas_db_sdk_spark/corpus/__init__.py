@@ -588,7 +588,8 @@ _R13_NEW = frozenset(
     d165_vad_segments d165b_vad_volume_invariance
     d166_ivf_drift_card d167_video_near_dup
     d167b_video_trim_guarantees d168_tokenizer_fertility
-    d169_replay_convergence""".split()
+    d169_replay_convergence d170_audio_chunk_fingerprints
+    d170b_chunk_fp_guarantees d171_vad_segment_extract""".split()
 )
 
 

@@ -8611,3 +8611,210 @@ def d169(spark, sf_dir):
         ],
         "rule string, val long",
     )
+
+
+@q(
+    "d170_audio_chunk_fingerprints",
+    """WITH p AS (SELECT doc_id, 1256 + doc_id % 64 AS n,
+                    1 + doc_id % 7 AS a, 3 + doc_id % 13 AS b
+            FROM documents),
+       tb AS (SELECT k.k AS k, t.t AS t,
+                CAST(CASE WHEN cos(2*pi()*k.k*t.t/64) >= 0
+                     THEN floor(cos(2*pi()*k.k*t.t/64)*1000000 + 0.5)
+                     ELSE -floor(-(cos(2*pi()*k.k*t.t/64))*1000000 + 0.5)
+                     END AS BIGINT) AS c,
+                CAST(CASE WHEN sin(2*pi()*k.k*t.t/64) >= 0
+                     THEN floor(sin(2*pi()*k.k*t.t/64)*1000000 + 0.5)
+                     ELSE -floor(-(sin(2*pi()*k.k*t.t/64))*1000000 + 0.5)
+                     END AS BIGINT) AS s
+              FROM range(0, 9) k(k), range(0, 64) t(t)),
+       fr AS (SELECT doc_id, a, b, f.f AS frame_no
+              FROM p, range(0, 21) f(f) WHERE f.f < n // 64),
+       sm AS (SELECT doc_id, a, b, frame_no, t.t AS t,
+                (a * (frame_no * 64 + t.t) * (frame_no * 64 + t.t)
+                 + b * (frame_no * 64 + t.t) + doc_id) % 2048 - 1024 AS sv
+              FROM fr, range(0, 64) t(t)),
+       dft AS (SELECT doc_id, frame_no, tb.k AS bin,
+                 CAST(sum(sv * tb.c) AS BIGINT) AS re,
+                 CAST(-sum(sv * tb.s) AS BIGINT) AS im
+               FROM sm JOIN tb ON tb.t = sm.t GROUP BY 1, 2, 3),
+       en AS (SELECT doc_id, frame_no, bin,
+                re::HUGEINT * re + im::HUGEINT * im AS e
+              FROM dft WHERE bin >= 1),
+       gr AS (SELECT lo.doc_id, lo.frame_no, lo.bin - 1 AS pr,
+                     lo.e - hi.e AS g
+              FROM en lo JOIN en hi
+                ON hi.doc_id = lo.doc_id AND hi.frame_no = lo.frame_no
+               AND hi.bin = lo.bin + 1),
+       dd AS (SELECT cur.doc_id, cur.frame_no // 10 AS chunk_no,
+                     cur.frame_no % 10 AS loc, cur.pr,
+                CASE WHEN cur.g - prv.g > 0 THEN 1 ELSE 0 END AS bit
+              FROM gr cur JOIN gr prv
+                ON prv.doc_id = cur.doc_id AND prv.pr = cur.pr
+               AND prv.frame_no = cur.frame_no - 1
+              WHERE cur.frame_no % 10 >= 1),
+       fp AS (SELECT doc_id, chunk_no,
+                CAST(sum(CASE WHEN bit = 1
+                     THEN (1::BIGINT << (7 * (loc - 1) + pr))
+                     ELSE 0 END) AS BIGINT) AS val,
+                CAST(sum(bit) AS INT) AS ones
+              FROM dd GROUP BY 1, 2),
+       ch AS (SELECT doc_id, frame_no // 10 AS chunk_no,
+                     count(*) AS used
+              FROM fr GROUP BY 1, 2)
+       SELECT ch.doc_id, CAST(ch.chunk_no AS BIGINT) AS chunk_no,
+              CAST(used AS BIGINT) AS n_frames_used,
+              coalesce(fp.ones, 0) AS n_ones,
+              CAST(coalesce(fp.val, 0) & 4294967295 AS BIGINT) AS fp_lo,
+              CAST(coalesce(fp.val, 0) >> 32 AS BIGINT) AS fp_hi
+       FROM ch LEFT JOIN fp
+         ON fp.doc_id = ch.doc_id AND fp.chunk_no = ch.chunk_no""",
+)
+def d170(spark, sf_dir):
+    """Audio tier (r13): CHUNKED fingerprints
+    (``multimodal.audio_chunk_fingerprints``) — the long-audio
+    completion of the r12 ADVICE head-coverage fix: d156's 64-bit
+    signature covers only the first 10 frames (``n_frames_used``);
+    this op fingerprints EVERY consecutive 10-frame chunk with the
+    same double-difference bits, so whole-track near-dup becomes
+    chunk-sequence matching (the video tier's shingle idea in audio
+    space).  The fixture lengthens the chirp to 19-20 frames
+    (``synth_chirp_wav(extra=1000)`` — past the cap, with a PARTIAL
+    second chunk on ~40% of tracks), and the oracle replays samples →
+    DFT → HUGEINT energies → per-chunk double differences → bit
+    packing, LEFT-JOINed so zero-bit chunks still emit.  Chunk 0 is
+    bit-identical to d156's head signature and Σ n_frames_used =
+    n_frames — both pinned by d170b.  Zero shuffles."""
+    d = tables(spark, sf_dir)("documents")
+    return multimodal.audio_chunk_fingerprints(
+        multimodal.synth_chirp_wav(d, "doc_id", extra=1000),
+        "payload",
+        "doc_id",
+    )
+
+
+@q(
+    "d170b_chunk_fp_guarantees",
+    """SELECT doc_id, CAST(1 AS INT) AS head_parity,
+              CAST(1 AS INT) AS coverage_complete
+       FROM documents""",
+)
+def d170b(spark, sf_dir):
+    """d170's certification twin: per track, (a) HEAD PARITY — chunk 0
+    of the chunked fingerprints is bit-identical (fp_lo, fp_hi,
+    n_ones) to ``audio_fingerprint``'s whole-track signature, which is
+    exactly the claim behind the r12 n_frames_used ADVICE fix (the
+    single signature IS the head chunk); (b) COMPLETE COVERAGE —
+    Σ n_frames_used over chunks equals the track's n_frames (chunks
+    partition the frame sequence; nothing beyond the cap is silently
+    dropped any more).  The engine computes both fleets and compares;
+    the oracle states the invariants."""
+    d = tables(spark, sf_dir)("documents")
+    long_wav = multimodal.synth_chirp_wav(d, "doc_id", extra=1000)
+    head = multimodal.audio_fingerprint(long_wav, "payload", "doc_id")
+    chunks = multimodal.audio_chunk_fingerprints(
+        long_wav, "payload", "doc_id"
+    )
+    c0 = chunks.filter(F.col("chunk_no") == 0).alias("c")
+    h = head.alias("h")
+    parity = c0.join(h, F.col("c.doc_id") == F.col("h.doc_id")).select(
+        F.col("c.doc_id").alias("doc_id"),
+        (
+            (F.col("c.fp_lo") == F.col("h.fp_lo"))
+            & (F.col("c.fp_hi") == F.col("h.fp_hi"))
+            & (F.col("c.n_ones") == F.col("h.n_ones"))
+        ).cast("int").alias("head_parity"),
+    )
+    cover = (
+        chunks.groupBy("doc_id")
+        .agg(F.sum("n_frames_used").alias("__cov"))
+        .join(head.select("doc_id", "n_frames"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("__cov") == F.col("n_frames")).cast("int").alias(
+                "coverage_complete"
+            ),
+        )
+    )
+    return parity.join(cover, "doc_id").select(
+        "doc_id", "head_parity", "coverage_complete"
+    )
+
+
+@q(
+    "d171_vad_segment_extract",
+    """WITH p AS (SELECT doc_id, 512 + (doc_id % 8) * 64 AS n,
+                    1 + doc_id % 7 AS a, 3 + doc_id % 13 AS b
+            FROM documents),
+       fr AS (SELECT doc_id, a, b, f.f AS frame_no
+              FROM p, range(0, 16) f(f) WHERE f.f < n // 64),
+       sm AS (SELECT doc_id, frame_no,
+                (frame_no + doc_id) % 4 AS cls,
+                frame_no * 64 + t.t AS gt, t.t AS tt, a, b
+              FROM fr, range(0, 64) t(t)),
+       sv AS (SELECT doc_id, frame_no, tt,
+                CASE WHEN cls = 0 THEN (3 * gt + doc_id) % 16 - 8
+                     WHEN cls = 3 THEN (a*gt*gt + b*gt + doc_id) % 720 - 360
+                     ELSE (a*gt*gt + b*gt + doc_id) % 2048 - 1024
+                END AS s
+              FROM sm),
+       en AS (SELECT doc_id, frame_no,
+                CAST(sum(s * s) AS BIGINT) AS e,
+                CAST(sum(s) AS BIGINT) AS ssum
+              FROM sv GROUP BY 1, 2),
+       pk AS (SELECT doc_id, max(e) AS peak FROM en GROUP BY 1),
+       ev AS (SELECT en.doc_id, frame_no, e, ssum,
+                CASE WHEN e * 4 >= peak THEN 1
+                     WHEN e * 16 < peak THEN 0
+                     ELSE NULL END AS event
+              FROM en JOIN pk ON en.doc_id = pk.doc_id),
+       st AS (SELECT doc_id, frame_no, e, ssum,
+                coalesce(last_value(event IGNORE NULLS) OVER (
+                  PARTITION BY doc_id ORDER BY frame_no
+                  ROWS UNBOUNDED PRECEDING), 0) AS state
+              FROM ev),
+       act AS (SELECT doc_id, frame_no, ssum,
+                 frame_no - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY frame_no) AS isl
+               FROM st WHERE state = 1),
+       sg AS (SELECT doc_id, isl, min(frame_no) AS f0,
+                     max(frame_no) AS f1,
+                     CAST(sum(ssum) AS BIGINT) AS sample_sum
+              FROM act GROUP BY 1, 2),
+       sgn AS (SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY f0) AS INT) AS seg_no,
+                 f0, f1, sample_sum
+               FROM sg)
+       SELECT sgn.doc_id, seg_no,
+              CAST((f1 - f0 + 1) * 64 AS INT) AS n_samples,
+              sample_sum,
+              CAST(fv.s AS INT) AS first_sample,
+              CAST(lv.s AS INT) AS last_sample
+       FROM sgn
+       JOIN sv fv ON fv.doc_id = sgn.doc_id AND fv.frame_no = sgn.f0
+                  AND fv.tt = 0
+       JOIN sv lv ON lv.doc_id = sgn.doc_id AND lv.frame_no = sgn.f1
+                  AND lv.tt = 63""",
+)
+def d171(spark, sf_dir):
+    """Audio tier (r13): VAD SEGMENT EXTRACTION
+    (``multimodal.wav_extract_segments``) — the step after d165 every
+    speech pipeline runs: each detected segment becomes its own
+    byte-valid WAV clip (header rebuilt around the sliced samples, no
+    re-encode — the audio twin of ``y4m_trim``), the unit a
+    transcription stage consumes.  The clip BYTES never cross the
+    compare; the emitted integer invariants do — n_samples,
+    sample_sum, first/last sample — and the oracle replays all four
+    from the synthesis formula through the full d165 state machine
+    (so a mis-sliced clip, an off-by-one frame bound, or a
+    byte-order bug cannot hash-match).  Scale: one segment-list
+    equi-join + one zero-shuffle Arrow map."""
+    d = tables(spark, sf_dir)("documents")
+    wavs = multimodal.synth_speech_wav(d, "doc_id")
+    segs = multimodal.vad_segments(wavs, "payload", "doc_id")
+    out = multimodal.wav_extract_segments(wavs, segs, "payload", "doc_id")
+    return out.select(
+        "doc_id", "seg_no", "n_samples", "sample_sum",
+        "first_sample", "last_sample",
+    )

@@ -2339,7 +2339,11 @@ def synth_pcm_wav(
 
 
 def synth_chirp_wav(
-    df: DataFrame, id_col: str = "doc_id", gain: int = 1, offset: int = 0
+    df: DataFrame,
+    id_col: str = "doc_id",
+    gain: int = 1,
+    offset: int = 0,
+    extra: int = 0,
 ) -> DataFrame:
     """Quadratic-phase CHIRP WAV fixture — the d156 fingerprint
     generator.  :func:`synth_pcm_wav`'s linear ramp is spectrally
@@ -2351,13 +2355,19 @@ def synth_chirp_wav(
     Hamming 0, distinct tracks at 6-17).  Same RIFF container and
     gain/offset contract as synth_pcm_wav; samples are
     s(t) = gain·(((a·t² + b·t + id) mod 2048) − 1024) + offset with
-    a = 1 + id%7, b = 3 + id%13, n = 256 + id%64 — every term integer
-    and oracle-replayable."""
+    a = 1 + id%7, b = 3 + id%13, n = 256 + id%64 + extra — every term
+    integer and oracle-replayable.  ``extra`` lengthens every track by
+    a constant sample count (the LONG-audio fixture for the d170
+    chunked-fingerprint tier: extra=1024 gives 20-21 frames, past the
+    64-bit head cap ``audio_fingerprint`` documents in
+    n_frames_used)."""
     if not (-16 <= gain <= 16 and -1024 <= offset <= 1024):
         raise ValueError(
             "synth_chirp_wav: |gain| <= 16 and |offset| <= 1024 keep "
             "gain*1024 + offset inside int16"
         )
+    if extra < 0:
+        raise ValueError("synth_chirp_wav: extra must be >= 0")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -2365,7 +2375,7 @@ def synth_chirp_wav(
         import numpy as np
 
         def wav(i: int) -> bytes:
-            n = 256 + i % 64
+            n = 256 + i % 64 + extra
             a, b = 1 + i % 7, 3 + i % 13
             t = np.arange(n, dtype=np.int64)
             samples = (
@@ -5320,4 +5330,232 @@ def video_shingle_near_dup(
         .cast("long")
         .alias("n_offsets"),
         F.min(F.col("__fb") - F.col("__fa")).cast("long").alias("offset"),
+    )
+
+
+def audio_chunk_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_len: int = 64,
+    hop: int = 64,
+    n_bands: int = 8,
+) -> DataFrame:
+    """CHUNKED audio fingerprints (d170) — the LONG-audio completion of
+    :func:`audio_fingerprint`'s documented head-coverage cap: a single
+    64-bit signature covers only the first ``63//(n_bands-1) + 1``
+    frames (``n_frames_used``), so long tracks sharing a head collide.
+    This op fingerprints EVERY consecutive chunk of that many frames
+    with the same double-difference bits (chunk 0 is bit-identical to
+    :func:`audio_fingerprint`'s signature — the d170b parity twin), so
+    whole-track near-dup becomes chunk-sequence matching: Hamming-band
+    each chunk, or shingle chunk signatures exactly like the video
+    tier (``video_shingle_near_dup``'s frame n-grams in audio space).
+
+    Returns (id, chunk_no, n_frames_used, n_ones, fp_lo, fp_hi) — one
+    row per chunk, Σ n_frames_used = n_frames (complete coverage, the
+    other half of the d170b twin).  Double-differences never cross a
+    chunk boundary (each chunk is self-contained, so a chunk-aligned
+    splice of two tracks preserves the untouched chunks' signatures).
+    Scale: pure Arrow mapInPandas, zero shuffles, rows = frames /
+    chunk_size per file."""
+    if frame_len < 1 or hop < 1 or n_bands < 2 or n_bands + 1 > frame_len:
+        raise ValueError(
+            "audio_chunk_fingerprints needs frame_len >= 1, hop >= 1 and "
+            "2 <= n_bands <= frame_len - 1"
+        )
+    if frame_len > (2**63 - 1) // (32768 * 10**6):
+        raise ValueError(
+            "audio_chunk_fingerprints: frame_len > 281474 overflows the "
+            "exact-int64 DFT accumulator; use a shorter window"
+        )
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        n_bins = n_bands + 1
+        k = np.arange(n_bins).reshape(-1, 1).astype(np.float64)
+        t = np.arange(frame_len).reshape(1, -1).astype(np.float64)
+        ang = 2 * np.pi * k * t / frame_len
+        cos_t = np.cos(ang) * 1e6
+        sin_t = np.sin(ang) * 1e6
+        cos_i = (np.sign(cos_t) * np.floor(np.abs(cos_t) + 0.5)).astype(np.int64)
+        sin_i = (np.sign(sin_t) * np.floor(np.abs(sin_t) + 0.5)).astype(np.int64)
+        chunk = 63 // (n_bands - 1) + 1  # frames per 64-bit signature
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, ch, bits, codec, data = 12, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt " and clen >= 16:
+                    codec, ch, _, _, _, bits = struct.unpack(
+                        "<HHIIHH", b[pos + 8 : pos + 24]
+                    )
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + clen]
+                    if len(data) != clen:
+                        return None
+                pos += 8 + clen + (clen & 1)
+            if codec != 1 or ch != 1 or bits != 16 or data is None:
+                return None
+            return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                s = parse(bytes(buf))
+                if s is None or s.size < frame_len:
+                    continue
+                n_frames = (s.size - frame_len) // hop + 1
+                grads = []
+                for f in range(n_frames):
+                    seg = s[f * hop : f * hop + frame_len]
+                    re = cos_i @ seg
+                    im = -(sin_i @ seg)
+                    e = [
+                        int(re[b]) ** 2 + int(im[b]) ** 2
+                        for b in range(1, n_bins)
+                    ]
+                    grads.append(
+                        [e[p] - e[p + 1] for p in range(n_bands - 1)]
+                    )
+                for c0 in range(0, n_frames, chunk):
+                    used = min(chunk, n_frames - c0)
+                    val = 0
+                    for fl in range(1, used):
+                        for p in range(n_bands - 1):
+                            if (
+                                grads[c0 + fl][p] - grads[c0 + fl - 1][p]
+                                > 0
+                            ):
+                                val |= 1 << ((n_bands - 1) * (fl - 1) + p)
+                    rows.append(
+                        (
+                            int(i),
+                            c0 // chunk,
+                            used,
+                            bin(val).count("1"),
+                            int(val & 0xFFFFFFFF),
+                            int(val >> 32),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "chunk_no", "n_frames_used", "n_ones",
+                    "fp_lo", "fp_hi",
+                ],
+            )
+
+    return df.mapInPandas(
+        fps,
+        f"{id_col} long, chunk_no long, n_frames_used long, n_ones int,"
+        " fp_lo long, fp_hi long",
+    )
+
+
+def wav_extract_segments(
+    df: DataFrame,
+    segments: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    seg_col: str = "seg_no",
+    f0_col: str = "f0",
+    f1_col: str = "f1",
+    frame_len: int = 64,
+) -> DataFrame:
+    """SEGMENT CLIP EXTRACTION (d171) — the step after
+    :func:`vad_segments`: materialize each detected speech segment as
+    its own byte-valid WAV (frames [f0, f1] → samples [f0·frame_len,
+    (f1+1)·frame_len)), the unit a transcription stage consumes.  The
+    container is rebuilt (canonical 44-byte PCM header at the source
+    sample rate) around the SLICED sample bytes — no resample, no
+    re-encode; the audio twin of :func:`y4m_trim`.
+
+    Returns (id, seg_no, payload, n_samples, sample_sum, first_sample,
+    last_sample) — the integer invariants make the slice
+    oracle-checkable without shipping bytes through the compare.
+    Rows whose payload is malformed, or whose frame range falls
+    outside the file, skip (poison contract).  Scale: one equi-join
+    of the segment list against payloads, then a zero-shuffle Arrow
+    map; output bytes <= input bytes."""
+
+    j = segments.select(
+        F.col(id_col),
+        F.col(seg_col).alias("__seg"),
+        F.col(f0_col).alias("__f0"),
+        F.col(f1_col).alias("__f1"),
+    ).join(df.select(id_col, payload_col), id_col)
+
+    def ext(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, ch, bits, codec, sr, data = 12, None, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt " and clen >= 16:
+                    codec, ch, sr, _, _, bits = struct.unpack(
+                        "<HHIIHH", b[pos + 8 : pos + 24]
+                    )
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + clen]
+                    if len(data) != clen:
+                        return None
+                pos += 8 + clen + (clen & 1)
+            if codec != 1 or ch != 1 or bits != 16 or data is None:
+                return None
+            return sr, np.frombuffer(data, dtype="<i2")
+
+        for pdf in batches:
+            rows = []
+            for i, seg, f0, f1, buf in zip(
+                pdf[id_col], pdf["__seg"], pdf["__f0"], pdf["__f1"],
+                pdf[payload_col],
+            ):
+                parsed = parse(bytes(buf))
+                if parsed is None:
+                    continue
+                sr, s = parsed
+                lo, hi = int(f0) * frame_len, (int(f1) + 1) * frame_len
+                if f0 < 0 or f1 < f0 or hi > s.size:
+                    continue
+                clip = s[lo:hi]
+                data = clip.astype("<i2").tobytes()
+                fmt = struct.pack(
+                    "<HHIIHH", 1, 1, sr, sr * 2, 2, 16
+                )
+                body = b"WAVEfmt " + struct.pack("<I", 16) + fmt
+                body += b"data" + struct.pack("<I", len(data)) + data
+                out = b"RIFF" + struct.pack("<I", len(body)) + body
+                c64 = clip.astype(np.int64)
+                rows.append(
+                    (
+                        int(i), int(seg), out, int(clip.size),
+                        int(c64.sum()), int(c64[0]), int(c64[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, seg_col, payload_col, "n_samples",
+                    "sample_sum", "first_sample", "last_sample",
+                ],
+            )
+
+    return j.mapInPandas(
+        ext,
+        f"{id_col} long, {seg_col} int, {payload_col} binary,"
+        " n_samples int, sample_sum long, first_sample int,"
+        " last_sample int",
     )

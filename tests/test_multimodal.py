@@ -1840,3 +1840,98 @@ def test_y4m_trim_and_video_shingle_near_dup(spark):
     )
     with _pytest.raises(ValueError, match="shingle_len"):
         multimodal.video_shingle_near_dup(fleet, shingle_len=1)
+
+
+def test_audio_chunk_fingerprints_head_parity_and_coverage(spark):
+    """d170 operator contract: chunk 0 is bit-identical to the
+    whole-track audio_fingerprint signature, chunk n_frames_used
+    partition the frame count, double-differences never cross a chunk
+    boundary (a chunk-aligned splice preserves untouched chunks), and
+    short tracks yield exactly one chunk."""
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(5,), (6,)], "doc_id long")
+    long_wav = multimodal.synth_chirp_wav(ids, extra=1000)  # 19-20 frames
+    chunks = {
+        (r.doc_id, r.chunk_no): r
+        for r in multimodal.audio_chunk_fingerprints(long_wav).collect()
+    }
+    head = {
+        r.doc_id: r
+        for r in multimodal.audio_fingerprint(long_wav).collect()
+    }
+    for i in (5, 6):
+        c0 = chunks[(i, 0)]
+        assert (c0.fp_lo, c0.fp_hi, c0.n_ones) == (
+            head[i].fp_lo, head[i].fp_hi, head[i].n_ones,
+        )
+        total = sum(
+            r.n_frames_used for (d, _), r in chunks.items() if d == i
+        )
+        assert total == head[i].n_frames
+        assert c0.n_frames_used == head[i].n_frames_used == 10
+
+    # short track (4 frames): one chunk, same row audio_fingerprint gives
+    short = multimodal.synth_chirp_wav(ids)
+    sc = multimodal.audio_chunk_fingerprints(short).collect()
+    assert {r.chunk_no for r in sc} == {0}
+    assert all(r.n_frames_used == 4 for r in sc)
+
+
+def test_wav_extract_segments_slices_and_roundtrip(spark):
+    """d171 operator contract: extracted clips are byte-valid WAVs whose
+    samples are exactly the segment's frame range (verified by feeding
+    the clip back through vad parsing via audio_fingerprint's n_frames),
+    invariants match a numpy reference slice, and out-of-range segment
+    rows skip."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(2,)], "doc_id long")
+    wavs = multimodal.synth_speech_wav(ids)
+    segs = multimodal.vad_segments(wavs)
+    out = {
+        r.seg_no: r
+        for r in multimodal.wav_extract_segments(wavs, segs).collect()
+    }
+    assert out  # at least one speech segment
+
+    # numpy reference from the synthesis formula
+    i = 2
+    n = 512 + (i % 8) * 64
+    t = np.arange(n, dtype=np.int64)
+    cls = (t // 64 + i) % 4
+    a, b = 1 + i % 7, 3 + i % 13
+    loud = (a * t * t + b * t + i) % 2048 - 1024
+    med = (a * t * t + b * t + i) % 720 - 360
+    sil = (3 * t + i) % 16 - 8
+    ref = np.where(cls == 0, sil, np.where(cls == 3, med, loud))
+    for r in segs.collect():
+        got = out[r.seg_no]
+        lo, hi = r.f0 * 64, (r.f1 + 1) * 64
+        assert got.n_samples == hi - lo
+        assert got.sample_sum == int(ref[lo:hi].sum())
+        assert (got.first_sample, got.last_sample) == (
+            int(ref[lo]), int(ref[hi - 1]),
+        )
+        # clip parses as a WAV with exactly the segment's frames
+        clip = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, bytes(got.payload))], columns=["doc_id", "payload"]
+            ),
+            "doc_id long, payload binary",
+        )
+        fp = multimodal.audio_fingerprint(clip).collect()[0]
+        assert fp.n_frames == r.f1 - r.f0 + 1
+
+    # out-of-range segment row skips, valid one survives
+    bogus = spark.createDataFrame(
+        [(2, 1, 0, 999), (2, 2, 0, 0)],
+        "doc_id long, seg_no int, f0 int, f1 int",
+    )
+    kept = multimodal.wav_extract_segments(wavs, bogus).collect()
+    assert [r.seg_no for r in kept] == [2]
