@@ -1062,3 +1062,14 @@ def test_round13_shuffle_budgets_and_shapes(spark, queries):
 
     p167 = plan_of(queries["d167_video_near_dup"](spark, SF))
     assert "CartesianProduct" not in p167
+
+    # d170 chunked fingerprints: same zero-exchange Arrow-map shape as
+    # d156 — chunking happens inside the per-file loop, no shuffle added.
+    p170 = plan_of(queries["d170_audio_chunk_fingerprints"](spark, SF))
+    assert _unique_exchanges(p170) == 0, p170
+
+    # d171 clip extraction: segment lists shuffle (id-keyed agg + join);
+    # the WAV payload column moves zero times before the slice and the
+    # join back to bytes is an equi-join, never a cartesian.
+    p171 = plan_of(queries["d171_vad_segment_extract"](spark, SF))
+    assert "CartesianProduct" not in p171
