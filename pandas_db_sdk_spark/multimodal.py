@@ -5306,9 +5306,19 @@ def video_shingle_near_dup(
     for k in range(1, shingle_len):
         parts.append(F.lit(":"))
         parts.append(F.lead("y_pos_sum", k).over(w).cast("string"))
-    sh = fs.select(
-        "__vid", "__f", F.concat(*parts).alias("__sh")
-    ).filter(F.col("__sh").isNotNull())
+    from ._scratch import scratch_persist
+
+    # The shingle table feeds BOTH sides of the self-join (and the
+    # frequency valve when enabled); without a persist each branch
+    # re-runs the y4m decode Arrow map + window over the raw payloads.
+    # Persist the SLIM projection (id, frame_no, shingle string) —
+    # payload bytes never enter the cache.
+    sh = scratch_persist(
+        fs.select(
+            "__vid", "__f", F.concat(*parts).alias("__sh")
+        ).filter(F.col("__sh").isNotNull()),
+        "video_shingle_near_dup.shingles",
+    )
     if max_bucket_size is not None:
         ok = (
             sh.groupBy("__sh")
