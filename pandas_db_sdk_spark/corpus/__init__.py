@@ -589,7 +589,8 @@ _R13_NEW = frozenset(
     d166_ivf_drift_card d167_video_near_dup
     d167b_video_trim_guarantees d168_tokenizer_fertility
     d169_replay_convergence d170_audio_chunk_fingerprints
-    d170b_chunk_fp_guarantees d171_vad_segment_extract""".split()
+    d170b_chunk_fp_guarantees d171_vad_segment_extract
+    d172_audio_chunk_near_dup""".split()
 )
 
 

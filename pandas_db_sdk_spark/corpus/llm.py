@@ -8818,3 +8818,49 @@ def d171(spark, sf_dir):
         "doc_id", "seg_no", "n_samples", "sample_sum",
         "first_sample", "last_sample",
     )
+
+
+@q(
+    "d172_audio_chunk_near_dup",
+    """WITH m AS (SELECT DISTINCT doc_id % 8 AS i FROM documents)
+       SELECT CAST(i AS BIGINT) AS id_a,
+              CAST(i + 1000 AS BIGINT) AS id_b,
+              CAST(1 AS BIGINT) AS n_shared,
+              CAST(1 AS BIGINT) AS n_offsets,
+              CAST(-1 AS BIGINT) AS offset,
+              CAST(0 AS INT) AS min_hamming
+       FROM m""",
+)
+def d172(spark, sf_dir):
+    """Audio tier (r13): WHOLE-TRACK NEAR-DUP for LONG audio
+    (``multimodal.audio_chunk_near_dup``) — the matcher that makes
+    d170's chunk signatures actionable: Hamming-band the CHUNK
+    signatures (``dedup.hamming_near_pairs`` pigeonhole banding over
+    the composite track<<20|chunk key) and alignment-verify per track
+    pair (n_shared / n_offsets / min offset / min_hamming — the d167
+    aggregate in audio space).  Fixture: 8 distinct long chirps (two
+    chunks each), a CHUNK-ALIGNED trimmed copy of each
+    (``wav_trim(start_sample=640)`` = drop exactly chunk 0, id+1000)
+    and a PHASE-SHIFTED copy (``start_sample=320``, half a frame,
+    id+2000).  Measured separation: aligned copies hit their original
+    at Hamming 0 (copy chunk 0 ≡ original chunk 1 bit-exactly —
+    sample values untouched, frame phase preserved); phase-shifted
+    copies land at ≥ 24 and every cross-track chunk pair > 6 vs the
+    max_hamming=2 band, so the answer is analytic: exactly 8 pairs
+    (i, i+1000) at one offset of -1, and the ABSENCE of any id+2000
+    row is part of the hash (frame-phase sensitivity certified, the
+    negative control).  Scale: zero-shuffle fingerprinting, banding
+    work Σ bucket² over chunk-band buckets, never tracks²."""
+    d = tables(spark, sf_dir)("documents")
+    ids = d.select((F.col("doc_id") % 8).alias("doc_id")).distinct()
+    orig = multimodal.synth_chirp_wav(ids, "doc_id", extra=1000)
+    aligned = multimodal.wav_trim(
+        orig, "payload", "doc_id", start_sample=640
+    ).select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    shifted = multimodal.wav_trim(
+        orig, "payload", "doc_id", start_sample=320
+    ).select((F.col("doc_id") + 2000).alias("doc_id"), "payload")
+    fleet = orig.unionAll(aligned).unionAll(shifted)
+    return multimodal.audio_chunk_near_dup(
+        fleet, "payload", "doc_id", max_hamming=2
+    )

@@ -5569,3 +5569,148 @@ def wav_extract_segments(
         " n_samples int, sample_sum long, first_sample int,"
         " last_sample int",
     )
+
+
+def wav_trim(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    start_sample: int = 0,
+    n_samples: int | None = None,
+) -> DataFrame:
+    """WAV TRIM (r13) — byte-splice clip extraction for audio, the
+    exact analog of :func:`y4m_trim` for the WAV container: drop the
+    first ``start_sample`` samples (and everything past
+    ``start_sample + n_samples`` when given) and rebuild the canonical
+    44-byte PCM header around the remaining bytes.  No resample, no
+    re-encode — sample VALUES are untouched, so any sample-aligned
+    downstream signature (a d170 chunk whose frames lie wholly inside
+    the kept range, at the same frame phase) is bit-identical.  The
+    trimmed-copy fixture generator for :func:`audio_chunk_near_dup`.
+
+    Rows with malformed payloads or a start past the end of the data
+    skip (poison contract).  Scale: zero-shuffle Arrow map, output
+    bytes <= input bytes."""
+    if start_sample < 0 or (n_samples is not None and n_samples < 1):
+        raise ValueError(
+            "wav_trim: start_sample must be >= 0 and n_samples >= 1"
+        )
+
+    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, ch, bits, codec, sr, data = 12, None, None, None, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                if cid == b"fmt " and clen >= 16:
+                    codec, ch, sr, _, _, bits = struct.unpack(
+                        "<HHIIHH", b[pos + 8 : pos + 24]
+                    )
+                elif cid == b"data":
+                    data = b[pos + 8 : pos + 8 + clen]
+                    if len(data) != clen:
+                        return None
+                pos += 8 + clen + (clen & 1)
+            if codec != 1 or ch != 1 or bits != 16 or data is None:
+                return None
+            return sr, np.frombuffer(data, dtype="<i2")
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                parsed = parse(bytes(buf))
+                if parsed is None:
+                    continue
+                sr, s = parsed
+                if start_sample >= s.size:
+                    continue
+                end = (
+                    s.size
+                    if n_samples is None
+                    else min(s.size, start_sample + n_samples)
+                )
+                data = s[start_sample:end].astype("<i2").tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+                body = b"WAVEfmt " + struct.pack("<I", 16) + fmt
+                body += b"data" + struct.pack("<I", len(data)) + data
+                rows.append(
+                    (int(i), b"RIFF" + struct.pack("<I", len(body)) + body)
+                )
+            yield pd.DataFrame(rows, columns=[id_col, payload_col])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        trim, f"{id_col} long, {payload_col} binary"
+    )
+
+
+def audio_chunk_near_dup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    max_bucket_size: int | None = None,
+    frame_len: int = 64,
+    hop: int = 64,
+    n_bands: int = 8,
+) -> DataFrame:
+    """WHOLE-TRACK audio near-dup for LONG audio (d172) — the matcher
+    :func:`audio_chunk_fingerprints` exists for: single-signature
+    matching (d156c) is blind past the 64-bit head cap, so a track
+    whose duplicate starts one chunk in (a chunk-aligned trim, a
+    spliced intro) never pairs.  Compose the certified pieces: chunk
+    fingerprints per track -> Hamming-band the CHUNK signatures with
+    :func:`dedup.hamming_near_pairs` (pigeonhole banding, equi-joins,
+    never tracks x tracks) -> aggregate matching chunks per track
+    pair with the d167 alignment verify: ``n_shared`` matching chunk
+    pairs, ``n_offsets`` distinct chunk offsets, the minimum offset,
+    and ``min_hamming`` (0 = some chunk matched bit-exactly).  A
+    trimmed copy shows one consistent negative offset; unrelated
+    tracks sharing a degenerate chunk (silence) are bounded by
+    ``max_bucket_size`` exactly as in d02.
+
+    Returns (id_a, id_b, n_shared, n_offsets, offset, min_hamming)
+    with id_a < id_b; same-track chunk self-matches are excluded.
+    Contract: ids are non-negative and < 2**43, tracks shorter than
+    2**20 chunks (the composite band key is id * 2**20 + chunk_no).
+    Scale: zero-shuffle fingerprinting, then banding work
+    proportional to sum(bucket^2) over chunk-band buckets."""
+    from . import dedup
+
+    cap = 1 << 20
+    fps = audio_chunk_fingerprints(
+        df, payload_col, id_col, frame_len=frame_len, hop=hop,
+        n_bands=n_bands,
+    )
+    sigs = fps.select(
+        (F.col(id_col) * cap + F.col("chunk_no")).alias("__cid"),
+        (F.col("fp_lo") + F.shiftleft(F.col("fp_hi"), 32)).alias("__sig"),
+    )
+    pairs = dedup.hamming_near_pairs(
+        sigs, "__cid", "__sig", max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+    # decompose with shifts/masks, not division: a float64 round-trip
+    # loses exactness above 2**53 and composite keys reach 2**63.
+    decomposed = pairs.select(
+        F.shiftright(F.col("id_a"), 20).alias("__ta"),
+        F.col("id_a").bitwiseAND(F.lit(cap - 1)).alias("__ca"),
+        F.shiftright(F.col("id_b"), 20).alias("__tb"),
+        F.col("id_b").bitwiseAND(F.lit(cap - 1)).alias("__cb"),
+        "hamming",
+    ).filter(F.col("__ta") < F.col("__tb"))
+    return decomposed.groupBy(
+        F.col("__ta").alias("id_a"), F.col("__tb").alias("id_b")
+    ).agg(
+        F.count("*").cast("long").alias("n_shared"),
+        F.count_distinct(F.col("__cb") - F.col("__ca"))
+        .cast("long")
+        .alias("n_offsets"),
+        F.min(F.col("__cb") - F.col("__ca")).cast("long").alias("offset"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+    )

@@ -1935,3 +1935,50 @@ def test_wav_extract_segments_slices_and_roundtrip(spark):
     )
     kept = multimodal.wav_extract_segments(wavs, bogus).collect()
     assert [r.seg_no for r in kept] == [2]
+
+
+def test_wav_trim_and_audio_chunk_near_dup(spark):
+    """d172 operator contract: a chunk-aligned trim pairs with its
+    original at one offset with a bit-exact chunk (min_hamming 0); a
+    half-frame phase shift breaks every chunk signature (no pair —
+    the negative control); wav_trim skips malformed payloads and
+    starts past the end, honors n_samples, and validates args."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    orig = multimodal.synth_chirp_wav(ids, extra=1000)
+
+    # n_samples cap: trimmed clip has exactly the requested samples
+    capped = multimodal.wav_trim(orig, start_sample=64, n_samples=128)
+    fp = multimodal.audio_fingerprint(capped).collect()
+    assert {r.n_frames for r in fp} == {2}
+
+    aligned = multimodal.wav_trim(orig, start_sample=640).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "payload"
+    )
+    shifted = multimodal.wav_trim(orig, start_sample=320).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "payload"
+    )
+    fleet = orig.unionAll(aligned).unionAll(shifted)
+    out = {
+        (r.id_a, r.id_b): r
+        for r in multimodal.audio_chunk_near_dup(fleet).collect()
+    }
+    assert set(out) == {(3, 1003), (4, 1004)}
+    for r in out.values():
+        assert (r.n_shared, r.n_offsets, r.offset, r.min_hamming) == (
+            1, 1, -1, 0,
+        )
+
+    # poison: malformed payload and start past the end both skip
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not a wav"))], "doc_id long, payload binary"
+    )
+    assert multimodal.wav_trim(bad).count() == 0
+    assert multimodal.wav_trim(orig, start_sample=10**9).count() == 0
+    with _pytest.raises(ValueError, match="start_sample"):
+        multimodal.wav_trim(orig, start_sample=-1)
+    with _pytest.raises(ValueError, match="n_samples"):
+        multimodal.wav_trim(orig, n_samples=0)

@@ -1073,3 +1073,8 @@ def test_round13_shuffle_budgets_and_shapes(spark, queries):
     # join back to bytes is an equi-join, never a cartesian.
     p171 = plan_of(queries["d171_vad_segment_extract"](spark, SF))
     assert "CartesianProduct" not in p171
+
+    # d172 whole-track near-dup: banding is pigeonhole equi-joins over
+    # chunk band keys — never tracks x tracks.
+    p172 = plan_of(queries["d172_audio_chunk_near_dup"](spark, SF))
+    assert "CartesianProduct" not in p172
