@@ -132,6 +132,26 @@ def main(sf_dir: str) -> None:
     )
     dedup.hamming_clusters(sigs, "doc_id", "sig").orderBy("cluster", "id").show(6)
 
+    print("== 5c2. LONG audio: chunked fingerprints catch a trimmed copy ==")
+    long_orig = multimodal.synth_chirp_wav(small, "doc_id", extra=1000)
+    long_fleet = long_orig.unionAll(
+        multimodal.wav_trim(long_orig, start_sample=640).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "payload"
+        )
+    )
+    multimodal.audio_chunk_near_dup(long_fleet, "payload", "doc_id").orderBy(
+        "id_a"
+    ).show(8)
+
+    print("== 5c3. VAD: speech/silence segmentation -> per-segment clips ==")
+    speech = multimodal.synth_speech_wav(small, "doc_id")
+    segs = multimodal.vad_segments(speech, "payload", "doc_id")
+    clips = multimodal.wav_extract_segments(speech, segs, "payload", "doc_id")
+    clips.agg(
+        F.count("*").alias("clips"),
+        F.sum("n_samples").alias("speech_samples"),
+    ).show()
+
     print("== 5d. EXIF: extract device metadata, then strip it (media PII) ==")
     exif_jpegs = multimodal.synth_jpeg_exif(docs.limit(50), "doc_id")
     multimodal.exif_extract(exif_jpegs, "payload", "doc_id").groupBy(
