@@ -224,6 +224,11 @@ def dpo_pair_prep(
 
     Returns (prompt, n_candidates, chosen, rejected, score_chosen,
     score_rejected, score_gap, pair_sha), scores rounded 6 dp.
+    Candidates with a NULL score or NULL response are excluded before
+    pairing (``n_candidates`` counts scored candidates) — they carry
+    no preference signal, and inside max/min-of-struct a null would
+    otherwise rank as the extremum and silently drop the prompt's
+    valid pair along with it.
 
     Scale: one groupBy(prompt) whose min/max aggregates are
     partial-agg (map-side combine) friendly, then one groupBy(pair_sha)
@@ -236,6 +241,12 @@ def dpo_pair_prep(
         df.select(
             F.col(prompt_col), F.col(response_col).alias("__r"), s.alias("__s")
         )
+        # Unscored / text-less candidates carry no preference signal and
+        # must not poison the prompt: a null score inside max(struct)
+        # ranks as the extremum, nulls score_gap, and the gap filter then
+        # silently drops the WHOLE prompt — including its valid pair.
+        # Filter them out; n_candidates counts scored candidates only.
+        .filter(F.col("__s").isNotNull() & F.col("__r").isNotNull())
         .groupBy(prompt_col)
         .agg(
             F.count("*").cast("long").alias("n_candidates"),

@@ -292,3 +292,21 @@ def test_dpo_pair_prep_contract(spark):
         for r in packing.dpo_pair_prep(cand, margin=7.0).collect()
     }
     assert gated == {5}
+
+    # a NULL-score or NULL-response candidate must not poison its prompt:
+    # pre-fix, max(struct) ranked the null as the extremum, score_gap went
+    # null, and the gap filter silently dropped the prompt's VALID pair
+    # (red before the r13 fix)
+    poisoned = spark.createDataFrame(
+        [
+            (1, "good", 5.0), (1, "bad", 1.0), (1, "unscored", None),
+            (2, None, 9.0), (2, "x", 4.0), (2, "y", 2.0),
+            (3, "lonely", 3.0), (3, "nul", None),  # degenerate after drop
+        ],
+        "prompt_id long, response string, score double",
+    )
+    out2 = {r.prompt_id: r for r in packing.dpo_pair_prep(poisoned).collect()}
+    assert set(out2) == {1, 2}
+    assert (out2[1].chosen, out2[1].rejected) == ("good", "bad")
+    assert out2[1].n_candidates == 2  # scored candidates only
+    assert (out2[2].chosen, out2[2].rejected) == ("x", "y")
