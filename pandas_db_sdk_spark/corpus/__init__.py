@@ -601,6 +601,53 @@ _R13_NEW = frozenset(
 _R13_RECHECK = frozenset({"d156_audio_fingerprint"})
 
 
+# Names driver-checked in CORRECTNESS_r13.json (round-13 window: the
+# 22-row r4 stale head + all 13 round-13 additions + the d156 recheck +
+# 14 stalest-tail rows — 48 hash-green, d31/d03g rows-only by design
+# with their certified twins).  The 36 r5 rows + 21 r6 rows the window
+# did NOT reach are round 14's stale head (VERDICT r13 #1).
+_R13_VERIFIED = frozenset(
+    """d27_nearest_centroid d28_similarity_histogram
+    d29_contamination_score d30_text_normalize d31_semantic_dedup
+    d03g_ann_ivf_pq d32_vocab_per_source x09_min_cost_supplier
+    x10_order_priority_check x11_forecast_revenue x12_nation_volume
+    x13_market_share x14_product_profit x16_customer_distribution
+    x17_top_supplier x18_small_quantity_revenue
+    x19_part_promotion_suppliers x20_waiting_suppliers
+    x21_dormant_customers x22_conversion_funnel x23_cohort_retention
+    x24_market_basket d156_audio_fingerprint d164_dpo_pair_prep
+    d164b_dpo_leakage_guarantees d165_vad_segments
+    d165b_vad_volume_invariance d167_video_near_dup
+    d167b_video_trim_guarantees d168_tokenizer_fertility
+    d166_ivf_drift_card d169_replay_convergence
+    d170_audio_chunk_fingerprints d170b_chunk_fp_guarantees
+    d171_vad_segment_extract d172_audio_chunk_near_dup c18_anti_join
+    c70_profile_table c71_skew_report c28d_freq_items
+    c73_group_regression c74_corr_matrix c75_weighted_median
+    c76_crosstab_margins c77_qcut c72_rolling_anomaly d33_token_truncate
+    d34_length_buckets d35_dup_rate_by_source d36_centroid_outliers""".split()
+)
+
+
+# Queries ADDED in round 14 (never had a driver row).  They ride right
+# behind the 36-row r5 stale head so they certify THIS round; the r6
+# block fills the remaining slots (VERDICT r13 #1: its ~14-row residue
+# clears in r15).
+_R14_NEW = frozenset(
+    """d173_audio_phase_robust_near_dup d174_rejection_sampling_prep
+    d174b_rejection_sampling_guarantees d175_video_rescale_near_dup
+    d176_multiturn_loss_mask d176b_multiturn_mask_guarantees""".split()
+)
+
+
+# Queries whose SEMANTICS changed in round 14 after an earlier driver
+# row (the _R05_RECHECK pattern): d169's convergence hash moved from a
+# driver-side collect+sha256 to a distributed per-row sha2 + order-
+# insensitive aggregate (VERDICT r13 #4), so the emitted hash VALUES
+# changed — its r13 row certifies the old hash discipline.
+_R14_RECHECK = frozenset({"d169_replay_convergence"})
+
+
 def _merged(attr):
     out = {}
     for m in _MODULES:
@@ -614,27 +661,31 @@ def _merged(attr):
 
 def all_queries():
     """Declaration order = driver-certification priority (the driver's
-    per-round correctness file caps at ~50 rows). Round-13 rotation
-    (VERDICT round-12 item #1: burn the 93-row ≤r6 tail oldest-first):
-    the 22 r4-stale rows the r12 window did not reach lead (d03g, d27–
-    d32, x09–x24), then this round's additions (so they certify in
-    their debut round), then the 50-row r5-stale block fills the
-    remaining ~20 slots — its leftovers plus the 21-row r6 block are
-    round 14's backlog, after which no row is older than r7. Everything
-    else sorts by ascending freshness. Within each group, original
-    module order is preserved (stable sort). A name in no set is
-    treated as newest (sorts with _R13_NEW), so a forgotten
-    registration can never starve the backlog."""
+    per-round correctness file caps at ~50 rows). Round-14 rotation
+    (VERDICT round-13 item #1: burn the 57-row ≤r6 tail oldest-first):
+    the 36 r5-stale rows lead (d37–d62, d02e, d03h, x25–x30), then this
+    round's additions + the d169 recheck (so they certify in their
+    debut round), then the 21-row r6 block fills the remaining ~7 slots
+    — its ~14-row residue is round 15's backlog, after which no row is
+    older than r7. Everything else sorts by ascending freshness. Within
+    each group, original module order is preserved (stable sort). A
+    name in no set is treated as newest (sorts with _R14_NEW), so a
+    forgotten registration can never starve the backlog."""
     out = _merged("QUERIES")
 
     def key(name):
-        # Round-13 rotation: stalest-first re-certification budget.
+        # Round-14 rotation: stalest-first re-certification budget.
         # Membership is checked newest-round-first so a row re-certified
-        # later sorts by its LATEST check (e.g. the 27 r4-block rows the
-        # r12 window reached hit _R12_VERIFIED first and sort as fresh;
-        # the 22 it missed fall through to the r4 stale head).
-        if name in _R13_NEW or name in _R13_RECHECK:
-            return 1  # this round's additions + schema rechecks
+        # later sorts by its LATEST check (e.g. the 14 stale-tail rows
+        # the r13 window reached hit _R13_VERIFIED first and sort as
+        # fresh; the r5/r6 rows it missed fall through to the stale
+        # head).  _R14_RECHECK is checked FIRST: d169 is in
+        # _R13_VERIFIED, but its r13 row certifies the old hash
+        # discipline.
+        if name in _R14_NEW or name in _R14_RECHECK:
+            return 1  # this round's additions + semantics rechecks
+        if name in _R13_VERIFIED:
+            return 15
         if name in _R12_VERIFIED:
             return 14
         if name in _R11_VERIFIED:
@@ -648,16 +699,16 @@ def all_queries():
         if name in _R07_VERIFIED:
             return 9
         if name in _R06_VERIFIED:
-            return 3  # r6 block: queues behind r5 for round 14
+            return 2  # r6 block: fills this window behind the new rows
         if name in _R05_VERIFIED:
-            return 2  # r5 block: fills this window behind the new rows
+            return 0  # the 36-row r5 stale head: this window leads
         if name in _R04_VERIFIED:
-            return 0  # the 22-row r4 stale head: this window leads
+            return 3  # safety: r4 rows in no newer set (none expected)
         if name in _R03_VERIFIED:
             return 4  # safety: r3 rows in no newer set (none expected)
         if name in _R02_VERIFIED:
             return 4  # safety: r2 rows in no newer set (none expected)
-        return 1  # not in any set: newest, with the _R13_NEW group
+        return 1  # not in any set: newest, with the _R14_NEW group
 
     names = sorted(out, key=key)
     return {n: out[n] for n in names}
