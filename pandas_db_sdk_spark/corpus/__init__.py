@@ -641,11 +641,12 @@ _R14_NEW = frozenset(
 
 
 # Queries whose SEMANTICS changed in round 14 after an earlier driver
-# row (the _R05_RECHECK pattern): d169's convergence hash moved from a
-# driver-side collect+sha256 to a distributed per-row sha2 + order-
-# insensitive aggregate (VERDICT r13 #4), so the emitted hash VALUES
-# changed — its r13 row certifies the old hash discipline.
-_R14_RECHECK = frozenset({"d169_replay_convergence"})
+# row (the _R05_RECHECK pattern): none — d169's convergence hash moved
+# from a driver-side collect+sha256 to a distributed per-row sha2 +
+# order-insensitive aggregate (VERDICT r13 #4), but its EMITTED values
+# (equality flags + count) are unchanged, so the r13 row still
+# certifies it and the slot goes to the stale r6 tail instead.
+_R14_RECHECK = frozenset()
 
 
 def _merged(attr):

@@ -1662,17 +1662,24 @@ class DataFrameEngine:
                         # attempt's copy2 fallback may have died mid-copy,
                         # leaving a truncated dst.  Keep it only when it is
                         # the same inode (a completed link) or byte-complete
-                        # (a completed copy); otherwise redo it.
-                        st_s, st_d = os.stat(s), os.stat(d)
-                        if not (
-                            os.path.samestat(st_s, st_d)
-                            or st_s.st_size == st_d.st_size
-                        ):
-                            os.unlink(d)
-                            try:
-                                os.link(s, d)
-                            except OSError:
-                                shutil.copy2(s, d)
+                        # (a completed copy — safe as an equality proxy
+                        # only because version files are immutable);
+                        # otherwise redo it.  dst may vanish between the
+                        # failed link and the stat (a concurrent retry's
+                        # unlink) — fall through to a plain copy then.
+                        try:
+                            st_s, st_d = os.stat(s), os.stat(d)
+                            if not (
+                                os.path.samestat(st_s, st_d)
+                                or st_s.st_size == st_d.st_size
+                            ):
+                                os.unlink(d)
+                                try:
+                                    os.link(s, d)
+                                except OSError:
+                                    shutil.copy2(s, d)
+                        except FileNotFoundError:
+                            shutil.copy2(s, d)
                     except OSError:
                         shutil.copy2(s, d)
         with self._manifest_lock():

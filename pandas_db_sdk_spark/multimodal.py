@@ -5676,10 +5676,12 @@ def audio_chunk_near_dup(
 
     Returns (id_a, id_b, n_shared, n_offsets, offset, min_hamming)
     with id_a < id_b; same-track chunk self-matches are excluded.
-    Contract: ids are non-negative and < 2**43, tracks shorter than
-    2**20 chunks (the composite band key is id * 2**20 + chunk_no).
-    Scale: zero-shuffle fingerprinting, then banding work
-    proportional to sum(bucket^2) over chunk-band buckets."""
+    Contract (ENFORCED — a violating row raises instead of silently
+    corrupting the band key): ids are non-negative and < 2**43, tracks
+    shorter than 2**20 chunks (the composite band key is
+    id * 2**20 + chunk_no).  Scale: zero-shuffle fingerprinting, then
+    banding work proportional to sum(bucket^2) over chunk-band
+    buckets."""
     from . import dedup
 
     cap = 1 << 20
@@ -5687,8 +5689,28 @@ def audio_chunk_near_dup(
         df, payload_col, id_col, frame_len=frame_len, hop=hop,
         n_bands=n_bands,
     )
+    # contract guard rides the key expression itself (no extra job, no
+    # separate aggregate pass): the ELSE branch of the CASE raises, so
+    # Catalyst cannot prune it and a violating id fails loudly
+    checked_key = F.when(
+        (F.col(id_col) >= 0)
+        & (F.col(id_col) < F.lit(1 << 43))
+        & (F.col("chunk_no") < F.lit(cap)),
+        F.col(id_col) * cap + F.col("chunk_no"),
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "audio_chunk_near_dup: composite-key contract violated "
+                "(%s=%s, chunk_no=%s; need 0 <= id < 2^43 and "
+                "chunk_no < 2^20)",
+                F.lit(id_col),
+                F.col(id_col),
+                F.col("chunk_no"),
+            )
+        )
+    )
     sigs = fps.select(
-        (F.col(id_col) * cap + F.col("chunk_no")).alias("__cid"),
+        checked_key.alias("__cid"),
         (F.col("fp_lo") + F.shiftleft(F.col("fp_hi"), 32)).alias("__sig"),
     )
     pairs = dedup.hamming_near_pairs(

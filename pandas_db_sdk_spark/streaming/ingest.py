@@ -999,7 +999,10 @@ def stream_embeddings_into_ivf(
 
     * a vec_id already committed by an EARLIER epoch is skipped
       (at-least-once sources redeliver; the index must not grow
-      duplicate rows) — and the membership probe EXCLUDES the current
+      duplicate rows), and duplicate vec_ids WITHIN one micro-batch
+      collapse to a deterministic keep-first (the lines-dedup sink's
+      skew-safe ``min(struct(vec))`` per id — never a window over the
+      id) before assignment — and the membership probe EXCLUDES the current
       epoch's label, so a batch killed after its engine.save but
       before the checkpoint commit does not anti-join itself into an
       empty rewrite on replay;
@@ -1022,7 +1025,15 @@ def stream_embeddings_into_ivf(
         if batch_df.isEmpty():
             return
         label = f"{version_prefix}{epoch_id}"
-        new = batch_df
+        # within-batch keep-first: duplicate ids in ONE micro-batch
+        # (at-least-once sources batch redeliveries together) must not
+        # land as duplicate index rows; min(struct) is partial-
+        # aggregable, so a hot id never serializes a window task
+        new = (
+            batch_df.groupBy(id_col)
+            .agg(F.min(F.struct(F.col(vec_col))).alias("__first"))
+            .select(id_col, F.col(f"__first.{vec_col}").alias(vec_col))
+        )
         try:
             idx = engine.load(index_name, drop_internal=False)
             seen = (

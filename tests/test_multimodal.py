@@ -1982,3 +1982,17 @@ def test_wav_trim_and_audio_chunk_near_dup(spark):
         multimodal.wav_trim(orig, start_sample=-1)
     with _pytest.raises(ValueError, match="n_samples"):
         multimodal.wav_trim(orig, n_samples=0)
+
+    # composite-key contract ENFORCED: an id >= 2^43 would silently
+    # corrupt the track<<20|chunk band key, so it raises instead
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    huge = orig.select(
+        (F.col("doc_id") + F.lit(1 << 43)).alias("doc_id"), "payload"
+    )
+    with _pytest.raises(
+        (SparkRuntimeException, Py4JJavaError),
+        match="composite-key contract",
+    ):
+        multimodal.audio_chunk_near_dup(huge).collect()

@@ -1199,9 +1199,11 @@ def test_stream_embeddings_into_ivf_batch_parity_and_replay(spark, tmp_path):
     cent = similarity.label_centroids(ref, "label", "embedding")
     cent.cache().count()  # frozen quantizer: one materialization
 
-    # three micro-batches; batch 3 REDELIVERS half of batch 2's ids
+    # three micro-batches; batch 3 REDELIVERS half of batch 2's ids and
+    # batch 1 carries WITHIN-batch duplicate ids (at-least-once sources
+    # batch redeliveries together) — neither may grow duplicate index rows
     rows = e.select("vec_id", "embedding").collect()
-    b1, b2 = rows[:20], rows[20:60]
+    b1, b2 = rows[:20] + rows[:5], rows[20:60]
     redeliver = rows[30:40]
     src = str(tmp_path / "vecs")
     ck = str(tmp_path / "ckpt")
