@@ -8901,3 +8901,62 @@ def d172(spark, sf_dir):
     return multimodal.audio_chunk_near_dup(
         fleet, "payload", "doc_id", max_hamming=2
     )
+
+
+@q(
+    "d173_audio_phase_robust_near_dup",
+    """WITH m AS (SELECT DISTINCT doc_id % 8 AS i FROM documents)
+       SELECT CAST(i AS BIGINT) AS id_a,
+              CAST(i + 1000 AS BIGINT) AS id_b,
+              CAST(4 AS BIGINT) AS n_shared,
+              CAST(1 AS BIGINT) AS n_offsets,
+              CAST(-10 AS BIGINT) AS offset,
+              CAST(0 AS INT) AS min_hamming
+       FROM m
+       UNION ALL
+       SELECT CAST(i AS BIGINT),
+              CAST(i + 2000 AS BIGINT),
+              CAST(CASE WHEN i IN (1, 5) THEN 11 ELSE 9 END AS BIGINT),
+              CAST(CASE WHEN i IN (1, 5) THEN 2 ELSE 1 END AS BIGINT),
+              CAST(-5 AS BIGINT), CAST(0 AS INT)
+       FROM m
+       UNION ALL
+       SELECT CAST(i + 1000 AS BIGINT), CAST(i + 2000 AS BIGINT),
+              CAST(4 AS BIGINT), CAST(1 AS BIGINT),
+              CAST(5 AS BIGINT), CAST(0 AS INT)
+       FROM m""",
+)
+def d173(spark, sf_dir):
+    """Audio tier (r14): PHASE-ROBUST whole-track near-dup
+    (``multimodal.audio_phase_robust_near_dup``) — VERDICT r13 #2:
+    promote d172's negative control into a capability.  The SAME
+    fleet as d172 (8 long chirps, a chunk-aligned trimmed copy
+    id+1000, a HALF-CHUNK-shifted copy id+2000), but chunk signatures
+    start at EVERY frame (``chunk_hop=1`` multi-phase probe), so the
+    shifted copy d172 certifiably MISSES becomes a POSITIVE match at
+    one consistent offset: (i, i+2000) pairs at offset -5 (5 frames,
+    in chunk_hop units) with min_hamming 0 — bit-exact chunk
+    signatures, no tolerance needed.  The aligned copy still pairs
+    (offset -10 here: chunk offsets are frame-granular now), and the
+    two copies pair with each other (+5).  Tracks 1 and 5 carry one
+    ADDITIONAL bit-identical chunk pair at a second offset (two
+    distinct 10-frame windows of the same chirp collide — the
+    signature-entropy bound made visible), deterministically encoded
+    in the oracle.  Short tail chunks (< 6 frames) are excluded from
+    banding — a 1-frame chunk is val=0 for every track, a universal
+    Hamming-0 collision the aligned layout never sees.  Scale:
+    zero-shuffle fingerprinting at chunk_size/chunk_hop × the aligned
+    row count, banding Σ bucket², never tracks²."""
+    d = tables(spark, sf_dir)("documents")
+    ids = d.select((F.col("doc_id") % 8).alias("doc_id")).distinct()
+    orig = multimodal.synth_chirp_wav(ids, "doc_id", extra=1000)
+    aligned = multimodal.wav_trim(
+        orig, "payload", "doc_id", start_sample=640
+    ).select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    shifted = multimodal.wav_trim(
+        orig, "payload", "doc_id", start_sample=320
+    ).select((F.col("doc_id") + 2000).alias("doc_id"), "payload")
+    fleet = orig.unionAll(aligned).unionAll(shifted)
+    return multimodal.audio_phase_robust_near_dup(
+        fleet, "payload", "doc_id", max_hamming=2
+    )

@@ -5350,6 +5350,7 @@ def audio_chunk_fingerprints(
     frame_len: int = 64,
     hop: int = 64,
     n_bands: int = 8,
+    chunk_hop: int | None = None,
 ) -> DataFrame:
     """CHUNKED audio fingerprints (d170) — the LONG-audio completion of
     :func:`audio_fingerprint`'s documented head-coverage cap: a single
@@ -5367,13 +5368,28 @@ def audio_chunk_fingerprints(
     other half of the d170b twin).  Double-differences never cross a
     chunk boundary (each chunk is self-contained, so a chunk-aligned
     splice of two tracks preserves the untouched chunks' signatures).
-    Scale: pure Arrow mapInPandas, zero shuffles, rows = frames /
-    chunk_size per file."""
+
+    ``chunk_hop`` (frames; default None = non-overlapping chunks, the
+    d170-certified layout) starts a chunk at EVERY ``chunk_hop``-th
+    frame — the MULTI-PHASE probe behind
+    :func:`audio_phase_robust_near_dup`: a copy trimmed by any whole
+    number of frames then shares bit-exact chunk signatures with its
+    original at one consistent phase, where the aligned-only layout is
+    blind to every non-chunk-multiple trim (d172's negative control).
+    ``chunk_no`` is then ``start_frame // chunk_hop`` and chunks
+    overlap, so Σ n_frames_used exceeds n_frames (the coverage
+    contract applies to the default layout only); rows scale by
+    chunk_size / chunk_hop.  Scale: pure Arrow mapInPandas, zero
+    shuffles, rows = frames / chunk_hop per file; the per-frame DFT is
+    ONE stacked integer matmul (frames × frame_len @ frame_len × bins,
+    exact int64)."""
     if frame_len < 1 or hop < 1 or n_bands < 2 or n_bands + 1 > frame_len:
         raise ValueError(
             "audio_chunk_fingerprints needs frame_len >= 1, hop >= 1 and "
             "2 <= n_bands <= frame_len - 1"
         )
+    if chunk_hop is not None and chunk_hop < 1:
+        raise ValueError("audio_chunk_fingerprints: chunk_hop must be >= 1")
     if frame_len > (2**63 - 1) // (32768 * 10**6):
         raise ValueError(
             "audio_chunk_fingerprints: frame_len > 281474 overflows the "
@@ -5415,6 +5431,8 @@ def audio_chunk_fingerprints(
                 return None
             return np.frombuffer(data, dtype="<i2").astype(np.int64)
 
+        step = chunk if chunk_hop is None else chunk_hop
+
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
@@ -5422,19 +5440,28 @@ def audio_chunk_fingerprints(
                 if s is None or s.size < frame_len:
                     continue
                 n_frames = (s.size - frame_len) // hop + 1
+                # stacked DFT: ONE (frames x frame_len) @ (frame_len x
+                # bins) integer matmul instead of a per-frame Python
+                # loop — int64 matmul is exact, so outputs are
+                # bit-identical; .tolist() lifts to Python ints because
+                # the energy SQUARES overflow int64 (the frame_len
+                # guard above bounds only the linear accumulator)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    s, frame_len
+                )[::hop]
+                re_m = (win @ cos_i.T).tolist()
+                im_m = (win @ (-sin_i.T)).tolist()
                 grads = []
                 for f in range(n_frames):
-                    seg = s[f * hop : f * hop + frame_len]
-                    re = cos_i @ seg
-                    im = -(sin_i @ seg)
+                    re, im = re_m[f], im_m[f]
                     e = [
-                        int(re[b]) ** 2 + int(im[b]) ** 2
+                        re[b] * re[b] + im[b] * im[b]
                         for b in range(1, n_bins)
                     ]
                     grads.append(
                         [e[p] - e[p + 1] for p in range(n_bands - 1)]
                     )
-                for c0 in range(0, n_frames, chunk):
+                for c0 in range(0, n_frames, step):
                     used = min(chunk, n_frames - c0)
                     val = 0
                     for fl in range(1, used):
@@ -5447,7 +5474,7 @@ def audio_chunk_fingerprints(
                     rows.append(
                         (
                             int(i),
-                            c0 // chunk,
+                            c0 // step,
                             used,
                             bin(val).count("1"),
                             int(val & 0xFFFFFFFF),
@@ -5682,13 +5709,30 @@ def audio_chunk_near_dup(
     id * 2**20 + chunk_no).  Scale: zero-shuffle fingerprinting, then
     banding work proportional to sum(bucket^2) over chunk-band
     buckets."""
-    from . import dedup
-
-    cap = 1 << 20
     fps = audio_chunk_fingerprints(
         df, payload_col, id_col, frame_len=frame_len, hop=hop,
         n_bands=n_bands,
     )
+    return _chunk_sig_near_dup(
+        fps, id_col, "audio_chunk_near_dup", max_hamming, max_bucket_size
+    )
+
+
+def _chunk_sig_near_dup(
+    fps: DataFrame,
+    id_col: str,
+    op_name: str,
+    max_hamming: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared tail of the chunk-signature near-dup family
+    (:func:`audio_chunk_near_dup`, :func:`audio_phase_robust_near_dup`):
+    composite-key the (id, chunk_no, fp_lo, fp_hi) rows, Hamming-band
+    the chunk signatures, decompose, and alignment-aggregate per track
+    pair."""
+    from . import dedup
+
+    cap = 1 << 20
     # contract guard rides the key expression itself (no extra job, no
     # separate aggregate pass): the ELSE branch of the CASE raises, so
     # Catalyst cannot prune it and a violating id fails loudly
@@ -5700,9 +5744,10 @@ def audio_chunk_near_dup(
     ).otherwise(
         F.raise_error(
             F.format_string(
-                "audio_chunk_near_dup: composite-key contract violated "
+                "%s: composite-key contract violated "
                 "(%s=%s, chunk_no=%s; need 0 <= id < 2^43 and "
                 "chunk_no < 2^20)",
+                F.lit(op_name),
                 F.lit(id_col),
                 F.col(id_col),
                 F.col("chunk_no"),
@@ -5735,4 +5780,61 @@ def audio_chunk_near_dup(
         .alias("n_offsets"),
         F.min(F.col("__cb") - F.col("__ca")).cast("long").alias("offset"),
         F.min("hamming").cast("int").alias("min_hamming"),
+    )
+
+
+def audio_phase_robust_near_dup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    max_bucket_size: int | None = None,
+    frame_len: int = 64,
+    hop: int = 64,
+    n_bands: int = 8,
+    chunk_hop: int = 1,
+    min_frames: int | None = None,
+) -> DataFrame:
+    """PHASE-ROBUST whole-track audio near-dup (d173) — promotes
+    d172's negative control into a capability: ``audio_chunk_near_dup``
+    matches only copies trimmed by a whole number of CHUNKS (its d172
+    fixture certifies that a half-chunk trim does NOT pair), but real
+    re-encodes are rarely chunk-aligned.  This variant fingerprints
+    chunks at EVERY ``chunk_hop``-th frame
+    (:func:`audio_chunk_fingerprints` with overlapping chunk starts),
+    so a copy trimmed by ANY multiple of ``hop`` samples shares
+    bit-exact chunk signatures with its original at one consistent
+    offset (in ``chunk_hop``-frame units).  Sub-frame trims remain out
+    of band at the default ``hop=frame_len``; lowering ``hop`` (e.g.
+    ``frame_len // 2``) halves the blind phase at proportional cost.
+
+    Chunks carrying fewer than ``min_frames`` frames (default
+    chunk_size // 2 + 1) are EXCLUDED from banding: a short tail chunk
+    packs too few double-difference bits to discriminate (a one-frame
+    chunk is val=0 for EVERY track — a universal Hamming-0 collision),
+    so overlapping tails would otherwise pair unrelated tracks.
+
+    Returns the :func:`audio_chunk_near_dup` schema (id_a, id_b,
+    n_shared, n_offsets, offset, min_hamming), offsets in
+    ``chunk_hop``-frame units.  Scale: zero-shuffle fingerprinting at
+    chunk_size/chunk_hop × the aligned row count, then banding work
+    Σ bucket² over chunk-band buckets — never tracks²; same
+    composite-key contract (enforced) and ``max_bucket_size`` valve as
+    the aligned matcher."""
+    if chunk_hop < 1:
+        raise ValueError("audio_phase_robust_near_dup: chunk_hop >= 1")
+    chunk = 63 // (n_bands - 1) + 1
+    lo = chunk // 2 + 1 if min_frames is None else min_frames
+    if not 2 <= lo <= chunk:
+        raise ValueError(
+            "audio_phase_robust_near_dup: min_frames must be in "
+            f"[2, {chunk}] (a 1-frame chunk has no double-differences)"
+        )
+    fps = audio_chunk_fingerprints(
+        df, payload_col, id_col, frame_len=frame_len, hop=hop,
+        n_bands=n_bands, chunk_hop=chunk_hop,
+    ).filter(F.col("n_frames_used") >= lo)
+    return _chunk_sig_near_dup(
+        fps, id_col, "audio_phase_robust_near_dup", max_hamming,
+        max_bucket_size,
     )

@@ -1996,3 +1996,39 @@ def test_wav_trim_and_audio_chunk_near_dup(spark):
         match="composite-key contract",
     ):
         multimodal.audio_chunk_near_dup(huge).collect()
+
+
+def test_audio_phase_robust_near_dup(spark):
+    """d173 operator contract: the half-chunk-shifted copy that
+    audio_chunk_near_dup certifiably MISSES (d172's negative control)
+    pairs with its original at ONE consistent frame-granular offset
+    with bit-exact chunks (min_hamming 0); the chunk-aligned copy
+    still pairs; short tail chunks are excluded from banding (no
+    universal val=0 collisions across unrelated tracks); min_frames
+    validates."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    orig = multimodal.synth_chirp_wav(ids, extra=1000)
+    shifted = multimodal.wav_trim(orig, start_sample=320).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "payload"
+    )
+    fleet = orig.unionAll(shifted)
+    out = {
+        (r.id_a, r.id_b): r
+        for r in multimodal.audio_phase_robust_near_dup(fleet).collect()
+    }
+    # ONLY the true copies pair — no cross-track row despite 2 tracks x
+    # ~10 overlapping chunk phases each (the min_frames guard at work)
+    assert set(out) == {(3, 2003), (4, 2004)}
+    for r in out.values():
+        assert (r.n_shared, r.n_offsets, r.offset, r.min_hamming) == (
+            9, 1, -5, 0,
+        )
+
+    with _pytest.raises(ValueError, match="min_frames"):
+        multimodal.audio_phase_robust_near_dup(fleet, min_frames=1)
+    with _pytest.raises(ValueError, match="chunk_hop"):
+        multimodal.audio_phase_robust_near_dup(fleet, chunk_hop=0)

@@ -1078,3 +1078,14 @@ def test_round13_shuffle_budgets_and_shapes(spark, queries):
     # chunk band keys — never tracks x tracks.
     p172 = plan_of(queries["d172_audio_chunk_near_dup"](spark, SF))
     assert "CartesianProduct" not in p172
+
+
+def test_round14_shuffle_budgets_and_shapes(spark, queries):
+    """Round-14 additions: d173's multi-phase banding keeps the d172
+    shape (pigeonhole equi-joins, never tracks x tracks) at chunk_hop x
+    the row count; d174's best-of-n prep is key exchanges of one row
+    per prompt with map-side combine; d175 rescale-invariant video
+    near-dup keeps the d167 equi-join shingle shape; d176 multi-turn
+    masking is explode + equi-joins, no cartesian."""
+    p173 = plan_of(queries["d173_audio_phase_robust_near_dup"](spark, SF))
+    assert "CartesianProduct" not in p173
