@@ -8960,3 +8960,124 @@ def d173(spark, sf_dir):
     return multimodal.audio_phase_robust_near_dup(
         fleet, "payload", "doc_id", max_hamming=2
     )
+
+
+@q(
+    "d174_rejection_sampling_prep",
+    """WITH c AS (SELECT doc_id // 4 AS prompt_id,
+             array_to_string(
+               (list_filter(string_split(text, ' '),
+                            x -> x <> ''))[1:2], ' ') AS response,
+             CAST(doc_id % 5 AS DOUBLE) AS score
+           FROM documents),
+       r AS (SELECT *, row_number() OVER (PARTITION BY prompt_id
+               ORDER BY score DESC, response DESC) AS rn FROM c),
+       g AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates,
+               round(avg(score), 6) AS score_mean,
+               round(stddev_samp(score), 6) AS score_std
+             FROM c GROUP BY 1)
+       SELECT g.prompt_id, g.n_candidates, r.response AS best_response,
+              round(r.score, 6) AS score_best, g.score_mean, g.score_std,
+              CAST(CASE WHEN r.score >= 3.0 THEN 1 ELSE 0 END AS INT)
+                AS kept
+       FROM g JOIN r ON r.prompt_id = g.prompt_id AND r.rn = 1""",
+)
+def d174(spark, sf_dir):
+    """RLHF-data tier (r14): REJECTION-SAMPLING / BEST-OF-N prep
+    (``packing.rejection_sampling_prep``) — VERDICT r13 #3, the DPO
+    tier's second sibling: keep the top-1-of-n response per prompt
+    (the d164 max-of-struct argmax, response tie-break) with a score
+    threshold as a KEPT FLAG (not a filter — reward-model analysis
+    reads the rejected prompts too) and the per-prompt score
+    distribution (n_candidates, mean, max, sample std).  Fixture:
+    4 scored candidates per prompt (score = doc_id mod 5 — four
+    consecutive ids are distinct mod 5, so the argmax is unique here;
+    ties are d174b's job), threshold 3.0 splits prompts by whether
+    their window of ids reaches a 3-or-4 score.  The oracle replays
+    the argmax via a window (independent derivation), the stats via
+    the group aggregate.  Scale: ONE groupBy(prompt), every aggregate
+    map-side combinable — strictly cheaper than d164's two shuffles;
+    viral prompts combine before the exchange."""
+    d = tables(spark, sf_dir)("documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    cand = d.select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        F.array_join(F.slice(w, 1, 2), " ").alias("response"),
+        (F.col("doc_id") % 5).cast("double").alias("score"),
+    )
+    return packing.rejection_sampling_prep(
+        cand, "prompt_id", "response", "score", score_threshold=3.0
+    )
+
+
+@q(
+    "d174b_rejection_sampling_guarantees",
+    """WITH c AS (SELECT doc_id // 4 AS prompt_id,
+             array_to_string(
+               (list_filter(string_split(text, ' '),
+                            x -> x <> ''))[1:2], ' ') AS response,
+             CAST(doc_id % 2 AS DOUBLE) AS score
+           FROM documents),
+       m AS (SELECT prompt_id, max(score) AS mx FROM c GROUP BY 1)
+       SELECT c.prompt_id,
+              CAST(count(*) FILTER (WHERE c.score = m.mx) AS BIGINT)
+                AS n_max_candidates,
+              CAST(1 AS INT) AS argmax_ok
+       FROM c JOIN m ON m.prompt_id = c.prompt_id
+       GROUP BY c.prompt_id""",
+)
+def d174b(spark, sf_dir):
+    """d174's certification twin (the d164 max-of-struct contract
+    re-pinned for best-of-n): with scores = doc_id mod 2, every
+    4-candidate prompt has TWO candidates tied at the max score, so
+    the argmax is decided by the deterministic response tie-break —
+    the twin derives the expected winner INDEPENDENTLY via a window
+    (row_number over score DESC, response DESC) and asserts the
+    aggregate path picked the same (response, score); the oracle
+    replays ``n_max_candidates`` (2 for full prompts — ties genuinely
+    present, non-vacuous) and states the invariant.  A
+    nondeterministic tie-break (e.g. first-seen under shuffle order)
+    would flip argmax_ok on some prompt at some partitioning."""
+    d = tables(spark, sf_dir)("documents")
+    wds = F.filter(F.split("text", " "), lambda x: x != "")
+    cand = d.select(
+        F.floor(F.col("doc_id") / 4).cast("long").alias("prompt_id"),
+        F.array_join(F.slice(wds, 1, 2), " ").alias("response"),
+        (F.col("doc_id") % 2).cast("double").alias("score"),
+    )
+    card = packing.rejection_sampling_prep(
+        cand, "prompt_id", "response", "score", score_threshold=1.0
+    )
+    win = Window.partitionBy("prompt_id").orderBy(
+        F.desc("score"), F.desc("response")
+    )
+    exp = (
+        cand.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "prompt_id",
+            F.col("response").alias("__exp_r"),
+            F.round(F.col("score"), 6).alias("__exp_s"),
+        )
+    )
+    nmax = (
+        cand.join(
+            cand.groupBy("prompt_id").agg(F.max("score").alias("__mx")),
+            "prompt_id",
+        )
+        .filter(F.col("score") == F.col("__mx"))
+        .groupBy("prompt_id")
+        .agg(F.count("*").cast("long").alias("n_max_candidates"))
+    )
+    return (
+        card.join(exp, "prompt_id")
+        .join(nmax, "prompt_id")
+        .select(
+            "prompt_id",
+            "n_max_candidates",
+            (
+                (F.col("best_response") == F.col("__exp_r"))
+                & (F.col("score_best") == F.col("__exp_s"))
+            ).cast("int").alias("argmax_ok"),
+        )
+    )

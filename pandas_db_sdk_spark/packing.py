@@ -302,3 +302,68 @@ def dpo_pair_prep(
         F.col("__row.score_gap").alias("score_gap"),
         "pair_sha",
     )
+
+
+def rejection_sampling_prep(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    response_col: str = "response",
+    score_col: str = "score",
+    score_threshold: float = 0.0,
+) -> DataFrame:
+    """REJECTION-SAMPLING / BEST-OF-N preparation (d174) — the DPO
+    tier's second sibling (VERDICT r13 #3): :func:`dpo_pair_prep`
+    builds (chosen, rejected) pairs; this keeps the TOP-1-OF-N
+    response per prompt with a score threshold plus the per-prompt
+    score distribution a reward-model analysis reads:
+
+    * BEST BY PROMPT KEY: best = the candidate with the highest
+      (score, response) — the d164 max-of-struct contract, so equal
+      scores tie-break deterministically on the response text (pinned
+      by the d174b twin against an independent window derivation).
+    * SCORE CARD: ``n_candidates`` (scored candidates), ``score_best``
+      / ``score_mean`` / ``score_std`` (sample std, NULL for
+      single-candidate prompts in both engines) — the temperature
+      diagnostics (a flat score distribution means the sampler is not
+      separating quality).
+    * KEPT FLAG, not a filter: ``kept = score_best >= threshold`` —
+      every prompt stays in the card so the analysis sees rejected
+      prompts too; the training set is ``filter(kept == 1)``.
+
+    NULL-scored / NULL-response candidates are excluded before
+    aggregation (the d164 contract: inside max-of-struct a null ranks
+    as the extremum and would silently displace the valid argmax).
+
+    Returns (prompt, n_candidates, best_response, score_best,
+    score_mean, score_std, kept), scores rounded 6 dp.
+
+    Scale: ONE groupBy(prompt) whose max-of-struct / count / avg /
+    stddev aggregates are all partial-agg (map-side combine) friendly
+    — one key shuffle carrying one row per prompt, strictly cheaper
+    than d164's two; a viral prompt with millions of candidates
+    combines map-side."""
+    s = F.col(score_col).cast("double")
+    return (
+        df.select(
+            F.col(prompt_col), F.col(response_col).alias("__r"), s.alias("__s")
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__r").isNotNull())
+        .groupBy(prompt_col)
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.max(F.struct(F.col("__s"), F.col("__r"))).alias("__hi"),
+            F.avg("__s").alias("__mean"),
+            F.stddev("__s").alias("__std"),
+        )
+        .select(
+            prompt_col,
+            "n_candidates",
+            F.col("__hi.__r").alias("best_response"),
+            F.round(F.col("__hi.__s"), 6).alias("score_best"),
+            F.round(F.col("__mean"), 6).alias("score_mean"),
+            F.round(F.col("__std"), 6).alias("score_std"),
+            (F.col("__hi.__s") >= F.lit(float(score_threshold)))
+            .cast("int")
+            .alias("kept"),
+        )
+    )

@@ -310,3 +310,39 @@ def test_dpo_pair_prep_contract(spark):
     assert (out2[1].chosen, out2[1].rejected) == ("good", "bad")
     assert out2[1].n_candidates == 2  # scored candidates only
     assert (out2[2].chosen, out2[2].rejected) == ("x", "y")
+
+
+def test_rejection_sampling_prep_contract(spark):
+    """d174 operator contract on hand-checkable prompts: best_response
+    is the (score, response) argmax with the text tie-break, kept is a
+    FLAG (below-threshold prompts stay in the card), score_std is the
+    sample std (NULL for single-candidate prompts), and NULL-scored /
+    NULL-response candidates are excluded before aggregation."""
+    from pandas_db_sdk_spark import packing
+
+    cand = spark.createDataFrame(
+        [
+            # prompt 1: clear winner, mean 2.0, std 1.0
+            (1, "great", 3.0), (1, "meh", 2.0), (1, "awful", 1.0),
+            # prompt 2: score tie broken by response text (z > a)
+            (2, "a", 5.0), (2, "z", 5.0),
+            # prompt 3: single candidate -> std NULL; below threshold
+            (3, "only", 1.0),
+            # prompt 4: null score + null response excluded, 1 survivor
+            (4, "good", 4.0), (4, "unscored", None), (4, None, 9.0),
+        ],
+        "prompt_id long, response string, score double",
+    )
+    out = {
+        r.prompt_id: r
+        for r in packing.rejection_sampling_prep(
+            cand, score_threshold=3.0
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # kept is a flag, nothing drops
+    assert (out[1].best_response, out[1].score_best) == ("great", 3.0)
+    assert (out[1].score_mean, out[1].score_std) == (2.0, 1.0)
+    assert (out[1].n_candidates, out[1].kept) == (3, 1)
+    assert out[2].best_response == "z"  # text tie-break at equal scores
+    assert (out[3].kept, out[3].score_std) == (0, None)
+    assert (out[4].best_response, out[4].n_candidates) == ("good", 1)

@@ -1089,3 +1089,8 @@ def test_round14_shuffle_budgets_and_shapes(spark, queries):
     masking is explode + equi-joins, no cartesian."""
     p173 = plan_of(queries["d173_audio_phase_robust_near_dup"](spark, SF))
     assert "CartesianProduct" not in p173
+
+    p174 = plan_of(queries["d174_rejection_sampling_prep"](spark, SF))
+    assert "CartesianProduct" not in p174
+    assert "partial" in p174.lower(), p174  # map-side combine present
+    assert _unique_exchanges(p174) == 1, p174  # ONE key shuffle
