@@ -9081,3 +9081,45 @@ def d174b(spark, sf_dir):
             ).cast("int").alias("argmax_ok"),
         )
     )
+
+
+@q(
+    "d175_video_rescale_near_dup",
+    """WITH m AS (SELECT DISTINCT doc_id % 8 AS i FROM documents)
+       SELECT CAST(i AS BIGINT) AS id_a,
+              CAST(i + 1000 AS BIGINT) AS id_b,
+              CAST(1 + i % 4 AS BIGINT) AS n_shared,
+              CAST(1 AS BIGINT) AS n_offsets,
+              CAST(-1 AS BIGINT) AS offset
+       FROM m""",
+)
+def d175(spark, sf_dir):
+    """Video tier (r14): RESOLUTION-INVARIANT temporal near-dup
+    (``multimodal.video_rescale_near_dup``) — VERDICT r13 #6: d167
+    matches exact luma checksums, so a re-encoded copy at a different
+    resolution NEVER pairs (the same blindness class d173 fixed in
+    audio; pinned in the unit test — d167 returns zero rows on this
+    very fleet).  The fix feeds d167's shingle machinery UNCHANGED a
+    ``y4m_frame_grid_sig`` signature instead: fixed 4×4 block-mean
+    gradient SIGNS per frame (the d141 pHash idea), proportional block
+    boundaries, so an area-rescaled copy aggregates the same source
+    regions and the signature is bit-identical.  Fixture: 8 textured
+    16×16 videos (``synth_textured_y4m`` — quadratic mod-256 pattern;
+    the linear d143 pattern degenerates every gradient sign to 1),
+    each copied by TRIM(1 frame) + AREA-RESCALE(×2 → 8×8, id+1000).
+    Every copy pairs with ONLY its original: n_shared = its
+    (3 + i%4) − 2 shingles, ONE offset of −1 (the trim), no
+    cross-track rows (36 frames → 36 distinct signatures).  Scale:
+    zero-shuffle signatures, shingle equi-join Σ bucket² with the d02
+    frequency valve, never videos²; at corpus scale pairs are
+    CANDIDATES for a pixel verify (24-bit signatures — LSH two-pass
+    economics)."""
+    d = tables(spark, sf_dir)("documents")
+    ids = d.select((F.col("doc_id") % 8).alias("doc_id")).distinct()
+    orig = multimodal.synth_textured_y4m(ids, "doc_id")
+    copy = multimodal.y4m_rescale_area(
+        multimodal.y4m_trim(orig, "payload", "doc_id", start=1),
+        "payload", "doc_id", factor=2,
+    ).select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    fleet = orig.unionAll(copy)
+    return multimodal.video_rescale_near_dup(fleet, "payload", "doc_id")

@@ -4314,6 +4314,54 @@ def synth_y4m(
     )
 
 
+def synth_textured_y4m(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 16,
+) -> DataFrame:
+    """TEXTURED YUV4MPEG2 fixture (the d175 generator) —
+    :func:`synth_y4m`'s plane pattern is LINEAR in (x, y), so every
+    4×4 block-mean gradient points the same way and the d175 grid
+    signature degenerates to one value for every frame of every video;
+    this variant uses a quadratic pattern whose mod-256 wraps vary the
+    gradient signs with position, frame, AND id:
+    ``Y(x,y,f) = (7·id + x² + 2·x·y + 3·y² + f·(x + 7·y + 13)) mod
+    256`` (U/V add 11/22) — every term integer, oracle-replayable.
+    ``3 + id % 4`` frames per stream, C444.  Arrow-batched
+    mapInPandas, zero shuffles."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        yy, xx = np.meshgrid(
+            np.arange(height), np.arange(width), indexing="ij"
+        )
+        quad = (xx * xx + 2 * xx * yy + 3 * yy * yy).astype(np.int64)
+        lin = (xx + 7 * yy + 13).astype(np.int64)
+        header = (
+            f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+        )
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                parts = [header]
+                for f in range(3 + i % 4):
+                    base = 7 * i + quad + f * lin
+                    parts.append(b"FRAME\n")
+                    for k in (0, 11, 22):
+                        parts.append(
+                            ((base + k) % 256).astype(np.uint8).tobytes()
+                        )
+                out.append((i, b"".join(parts)))
+            yield pd.DataFrame(out, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(
+        build, f"{id_col} long, payload binary"
+    )
+
+
 def y4m_frame_sample(
     df: DataFrame,
     payload_col: str = "payload",
@@ -5301,11 +5349,33 @@ def video_shingle_near_dup(
         F.col("frame_no").alias("__f"),
         "y_pos_sum",
     )
+    return _frame_sig_shingle_near_dup(
+        fs, "y_pos_sum", shingle_len, max_bucket_size,
+        "video_shingle_near_dup.shingles",
+    )
+
+
+def _frame_sig_shingle_near_dup(
+    fs: DataFrame,
+    sig_col: str,
+    shingle_len: int,
+    max_bucket_size: int | None,
+    tag: str,
+) -> DataFrame:
+    """Shared shingle tail of the video near-dup family
+    (:func:`video_shingle_near_dup`, :func:`video_rescale_near_dup`):
+    shingle consecutive per-frame signatures from (__vid, __f,
+    sig_col) rows, equi-join videos sharing a shingle, and
+    alignment-aggregate per pair."""
+    from pyspark.sql import Window
+
+    if shingle_len < 2:
+        raise ValueError("shingle_len must be >= 2")
     w = Window.partitionBy("__vid").orderBy("__f")
-    parts = [F.col("y_pos_sum").cast("string")]
+    parts = [F.col(sig_col).cast("string")]
     for k in range(1, shingle_len):
         parts.append(F.lit(":"))
-        parts.append(F.lead("y_pos_sum", k).over(w).cast("string"))
+        parts.append(F.lead(sig_col, k).over(w).cast("string"))
     from ._scratch import scratch_persist
 
     # The shingle table feeds BOTH sides of the self-join (and the
@@ -5317,7 +5387,7 @@ def video_shingle_near_dup(
         fs.select(
             "__vid", "__f", F.concat(*parts).alias("__sh")
         ).filter(F.col("__sh").isNotNull()),
-        "video_shingle_near_dup.shingles",
+        tag,
     )
     if max_bucket_size is not None:
         ok = (
@@ -5340,6 +5410,240 @@ def video_shingle_near_dup(
         .cast("long")
         .alias("n_offsets"),
         F.min(F.col("__fb") - F.col("__fa")).cast("long").alias("offset"),
+    )
+
+
+def _parse_y4m(b: bytes):
+    """Parse a YUV4MPEG2 stream into (w, h, csize, [frame data starts]).
+    Returns None on bad magic / missing geometry / unsupported chroma;
+    truncated or malformed frames stop the walk (prior frames kept) —
+    the house y4m poison contract."""
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        return None
+    w = h = None
+    chroma = "420"  # the spec default when no C tag
+    for tok in b[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            chroma = tok[1:].decode("ascii", "replace")
+    if not w or not h:
+        return None
+    if chroma.startswith("444"):
+        csize = w * h
+    elif chroma.startswith("420"):
+        csize = (w // 2) * (h // 2)
+    else:
+        return None
+    frame_bytes = w * h + 2 * csize
+    starts = []
+    pos = nl + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            break
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_bytes > len(b):
+            break
+        starts.append(fnl + 1)
+        pos = fnl + 1 + frame_bytes
+    return w, h, csize, starts
+
+
+def y4m_rescale_area(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    factor: int = 2,
+) -> DataFrame:
+    """Y4M AREA-AVERAGE DOWNSCALE by an integer factor — the video
+    twin of :func:`image_resize_area` (d144) and the d175
+    rescaled-copy fixture generator: every plane pixel of the output
+    is the rounded mean of its ``factor × factor`` source block,
+    ``floor((block_sum + factor²/2) / factor²)`` — integer-exact
+    round-half-up, oracle-replayable.  The container is rebuilt with
+    the scaled W/H tags; frame count, chroma layout, and frame order
+    are untouched.  Streams whose plane dimensions are not divisible
+    by ``factor`` skip (poison contract), as do malformed streams.
+    Scale: pure Arrow mapInPandas, zero shuffles, output bytes =
+    input bytes / factor²."""
+    if factor < 2:
+        raise ValueError("y4m_rescale_area: factor must be >= 2")
+
+    def rescale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        half = factor * factor // 2
+
+        def shrink(plane: "np.ndarray") -> bytes:
+            h, w = plane.shape
+            blocks = plane.reshape(
+                h // factor, factor, w // factor, factor
+            ).astype(np.int64)
+            sums = blocks.sum(axis=(1, 3))
+            return ((sums + half) // (factor * factor)).astype(
+                np.uint8
+            ).tobytes()
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                parsed = _parse_y4m(b)
+                if parsed is None:
+                    continue
+                w, h, csize, starts = parsed
+                cw = w if csize == w * h else w // 2
+                chh = h if csize == w * h else h // 2
+                if (
+                    w % factor or h % factor or cw % factor
+                    or chh % factor or not starts
+                ):
+                    continue
+                ctag = "444" if csize == w * h else "420"
+                parts = [
+                    (
+                        f"YUV4MPEG2 W{w // factor} H{h // factor} F25:1 "
+                        f"Ip A1:1 C{ctag}\n"
+                    ).encode()
+                ]
+                for start in starts:
+                    parts.append(b"FRAME\n")
+                    y = np.frombuffer(b, np.uint8, w * h, start).reshape(
+                        h, w
+                    )
+                    u = np.frombuffer(
+                        b, np.uint8, csize, start + w * h
+                    ).reshape(chh, cw)
+                    v = np.frombuffer(
+                        b, np.uint8, csize, start + w * h + csize
+                    ).reshape(chh, cw)
+                    parts.append(shrink(y))
+                    parts.append(shrink(u))
+                    parts.append(shrink(v))
+                rows.append((int(i), b"".join(parts)))
+            yield pd.DataFrame(rows, columns=[id_col, payload_col])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        rescale, f"{id_col} long, {payload_col} binary"
+    )
+
+
+def y4m_frame_grid_sig(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 4,
+) -> DataFrame:
+    """RESOLUTION-INVARIANT per-frame luma signature (the d175 frame
+    feature): divide each frame's Y plane into a fixed ``grid × grid``
+    block lattice and pack the SIGNS of adjacent block-mean gradients
+    — horizontal bits (right > left, row-major) then vertical bits
+    (below > above, column-major), 2·grid·(grid−1) bits total (24 for
+    grid=4) — the d141 image-pHash idea per frame.  Block boundaries
+    are PROPORTIONAL (block c spans [c·w/grid, (c+1)·w/grid)), so an
+    area-rescaled copy aggregates exactly the same source regions and
+    the gradient signs survive as long as true gradients beat the
+    per-pixel rounding bound (±0.5) — which exact luma checksums
+    (d167's ``y_pos_sum``) never do; equal block pixel counts within a
+    frame make sum comparisons equal mean comparisons, so the
+    signature is integer-exact at every resolution.  Frames whose
+    plane dimensions are not divisible by ``grid`` skip (the
+    proportional lattice would need fractional boundaries).
+
+    Returns (id, frame_no, n_frames, width, height, grid_sig).
+    Scale: pure Arrow mapInPandas, zero shuffles, one row per frame."""
+    if grid < 2:
+        raise ValueError("y4m_frame_grid_sig: grid must be >= 2")
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                parsed = _parse_y4m(b)
+                if parsed is None:
+                    continue
+                w, h, csize, starts = parsed
+                if w % grid or h % grid:
+                    continue
+                bh, bw = h // grid, w // grid
+                for f, start in enumerate(starts):
+                    y = np.frombuffer(b, np.uint8, w * h, start).reshape(
+                        h, w
+                    )
+                    sums = (
+                        y.reshape(grid, bh, grid, bw)
+                        .astype(np.int64)
+                        .sum(axis=(1, 3))
+                    )
+                    val = 0
+                    bit = 0
+                    for r in range(grid):
+                        for c in range(grid - 1):
+                            if sums[r, c + 1] > sums[r, c]:
+                                val |= 1 << bit
+                            bit += 1
+                    for c in range(grid):
+                        for r in range(grid - 1):
+                            if sums[r + 1, c] > sums[r, c]:
+                                val |= 1 << bit
+                            bit += 1
+                    rows.append(
+                        (int(i), f, len(starts), w, h, int(val))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_no", "n_frames", "width", "height",
+                    "grid_sig",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sig,
+        f"{id_col} long, frame_no long, n_frames long, width int,"
+        " height int, grid_sig long",
+    )
+
+
+def video_rescale_near_dup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    shingle_len: int = 2,
+    max_bucket_size: int | None = None,
+    grid: int = 4,
+) -> DataFrame:
+    """RESOLUTION-INVARIANT video temporal near-dup (d175 — VERDICT
+    r13 #6): :func:`video_shingle_near_dup` matches EXACT luma
+    checksums, so a re-encoded copy at a different resolution never
+    pairs (the same blindness class d173 fixed in audio).  This
+    variant feeds the SAME shingle machinery the
+    :func:`y4m_frame_grid_sig` downsampled-grid gradient signature —
+    invariant under area rescaling — so a rescaled (and/or trimmed)
+    copy pairs with its original at one consistent frame offset.
+
+    Returns the :func:`video_shingle_near_dup` schema (id_a, id_b,
+    n_shared, n_offsets, offset).  The grid signature carries
+    2·grid·(grid−1) bits (24 at the default), far less entropy than an
+    exact checksum — at corpus scale set ``max_bucket_size`` (the d02
+    frequency valve) and treat pairs as CANDIDATES for a pixel-level
+    verify, exactly the LSH two-pass economics.  Scale: zero-shuffle
+    signatures, one window per video, shingle equi-join Σ bucket²,
+    never videos²."""
+    fs = y4m_frame_grid_sig(df, payload_col, id_col, grid=grid).select(
+        F.col(id_col).alias("__vid"),
+        F.col("frame_no").alias("__f"),
+        "grid_sig",
+    )
+    return _frame_sig_shingle_near_dup(
+        fs, "grid_sig", shingle_len, max_bucket_size,
+        "video_rescale_near_dup.shingles",
     )
 
 

@@ -2032,3 +2032,63 @@ def test_audio_phase_robust_near_dup(spark):
         multimodal.audio_phase_robust_near_dup(fleet, min_frames=1)
     with _pytest.raises(ValueError, match="chunk_hop"):
         multimodal.audio_phase_robust_near_dup(fleet, chunk_hop=0)
+
+
+def test_video_rescale_near_dup_and_grid_sig(spark):
+    """d175 operator contract: an area-rescaled (and trimmed) copy
+    that video_shingle_near_dup certifiably MISSES (exact checksums —
+    zero rows on this fleet) pairs with its original at one consistent
+    offset under the grid-gradient signature; the signature is
+    bit-identical across resolutions; rescale validates args and skips
+    non-divisible/malformed streams."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    orig = multimodal.synth_textured_y4m(ids)
+    resc = multimodal.y4m_rescale_area(
+        multimodal.y4m_trim(orig, start=1), factor=2
+    )
+
+    # signature invariance: rescaled frame f == original frame f+1
+    so = {
+        (r.doc_id, r.frame_no): r.grid_sig
+        for r in multimodal.y4m_frame_grid_sig(orig).collect()
+    }
+    sc = {
+        (r.doc_id, r.frame_no): r.grid_sig
+        for r in multimodal.y4m_frame_grid_sig(resc).collect()
+    }
+    assert sc and all(sc[(i, f)] == so[(i, f + 1)] for (i, f) in sc)
+
+    copy = resc.select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    fleet = orig.unionAll(copy)
+    # the exact-checksum matcher is blind to the rescaled copy ...
+    assert multimodal.video_shingle_near_dup(fleet).count() == 0
+    # ... the grid-signature matcher pairs it at ONE offset
+    out = {
+        (r.id_a, r.id_b): r
+        for r in multimodal.video_rescale_near_dup(fleet).collect()
+    }
+    assert set(out) == {(2, 1002), (5, 1005)}
+    for (a, _), r in out.items():
+        assert (r.n_shared, r.n_offsets, r.offset) == (1 + a % 4, 1, -1)
+
+    # poison/validation: odd dimensions skip, bad magic skips
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            [(9, b"YUV4MPEG2 W15 H15 F25:1 Ip A1:1 C444\n"),
+             (10, b"not a y4m")],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    )
+    assert multimodal.y4m_rescale_area(bad).count() == 0
+    assert multimodal.y4m_frame_grid_sig(bad).count() == 0
+    with _pytest.raises(ValueError, match="factor"):
+        multimodal.y4m_rescale_area(orig, factor=1)
+    with _pytest.raises(ValueError, match="grid"):
+        multimodal.y4m_frame_grid_sig(orig, grid=1)

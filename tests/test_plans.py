@@ -1094,3 +1094,8 @@ def test_round14_shuffle_budgets_and_shapes(spark, queries):
     assert "CartesianProduct" not in p174
     assert "partial" in p174.lower(), p174  # map-side combine present
     assert _unique_exchanges(p174) == 1, p174  # ONE key shuffle
+
+    # d175 rescale-invariant video near-dup: the d167 shingle shape
+    # unchanged — equi-join on the shingle, never videos x videos.
+    p175 = plan_of(queries["d175_video_rescale_near_dup"](spark, SF))
+    assert "CartesianProduct" not in p175
