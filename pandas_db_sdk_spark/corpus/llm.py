@@ -9123,3 +9123,153 @@ def d175(spark, sf_dir):
     ).select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
     fleet = orig.unionAll(copy)
     return multimodal.video_rescale_near_dup(fleet, "payload", "doc_id")
+
+
+def _d176_conversations(spark, sf_dir):
+    """Shared d176/d176b fixture: role-segmented conversations from
+    documents — 6 turns per conversation (system, user, assistant,
+    user, assistant, user: assistant turns INTERLEAVED with masked
+    turns, the layout single-pair SFT cannot express), text = each
+    document's first 3 words."""
+    d = tables(spark, sf_dir)("documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    role = (
+        F.when(F.col("turn_no").isin(2, 4), F.lit("assistant"))
+        .when(F.col("turn_no") == 0, F.lit("system"))
+        .otherwise(F.lit("user"))
+    )
+    return d.select(
+        F.floor(F.col("doc_id") / 6).cast("long").alias("conv_id"),
+        (F.col("doc_id") % 6).cast("int").alias("turn_no"),
+        F.array_join(F.slice(w, 1, 3), " ").alias("text"),
+    ).withColumn("role", role)
+
+
+_D176_ORACLE_TOKENS = """
+    WITH c AS (SELECT doc_id // 6 AS conv_id, doc_id % 6 AS turn_no,
+                 array_to_string(
+                   (list_filter(string_split(text, ' '),
+                                x -> x <> ''))[1:3], ' ') AS txt,
+                 CASE WHEN doc_id % 6 IN (2, 4) THEN 'assistant'
+                      WHEN doc_id % 6 = 0 THEN 'system'
+                      ELSE 'user' END AS role
+               FROM documents),
+       t AS (SELECT conv_id, turn_no, role,
+                    list_filter(string_split(txt, ' '),
+                                x -> x <> '') AS w
+             FROM c),
+       u AS (SELECT conv_id, turn_no, role, w[i.i] AS tok, i.i AS pos
+             FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i),
+       v AS (SELECT tok, row_number() OVER (ORDER BY tok) AS vid
+             FROM (SELECT DISTINCT tok FROM u)),
+       j AS (SELECT u.conv_id, u.turn_no, u.pos, u.role, v.vid,
+                    CASE WHEN u.role <> 'assistant' THEN 1 ELSE 0 END
+                      AS msk
+             FROM u JOIN v USING (tok))
+"""
+
+
+@q(
+    "d176_multiturn_loss_mask",
+    _D176_ORACLE_TOKENS
+    + """
+       SELECT conv_id,
+              CAST(count(DISTINCT turn_no) AS BIGINT) AS n_turns,
+              CAST(count(DISTINCT CASE WHEN msk = 0 THEN turn_no END)
+                   AS BIGINT) AS n_train_turns,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(msk) AS BIGINT) AS n_masked,
+              sha256(string_agg(vid::VARCHAR, ','
+                                ORDER BY turn_no, pos)) AS ids_sha,
+              sha256(string_agg(CASE WHEN msk = 1 THEN '-100'
+                                     ELSE vid::VARCHAR END, ','
+                                ORDER BY turn_no, pos)) AS labels_sha
+       FROM j GROUP BY conv_id""",
+)
+def d176(spark, sf_dir):
+    """Training-data tier (r14): MULTI-TURN conversation loss masking
+    (``packing.multiturn_loss_mask``) — VERDICT r13 #7, d161's
+    multi-turn extension: SFT data is increasingly role-segmented
+    conversations, and the masking convention is 'train on assistant
+    turns only' — system/user/tool tokens mask to -100 WHEREVER they
+    fall in the sequence (d161 can only mask a prefix).  Fixture: 6
+    turns per conversation with assistant turns interleaved
+    (s,u,a,u,a,u); token ids from the corpus-derived vocabulary
+    (range-partitioned dense rank), so the oracle replays every id,
+    every mask position, and the exact sequence shas.  Arrays project
+    to sha256(join(ids)) at the query boundary per the corpus
+    discipline.  Scale: d161's exact shape — one posexplode, one
+    vocab equi-join, one per-conv reassembly bounded at conversation
+    length."""
+    convs = _d176_conversations(spark, sf_dir)
+    out = packing.multiturn_loss_mask(
+        convs, "conv_id", "turn_no", "role", "text"
+    )
+    to_str = lambda col: F.array_join(  # noqa: E731
+        F.transform(col, lambda x: x.cast("string")), ","
+    )
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_train_turns",
+        "n_tokens",
+        "n_masked",
+        F.sha2(to_str(F.col("input_ids")), 256).alias("ids_sha"),
+        F.sha2(to_str(F.col("labels")), 256).alias("labels_sha"),
+    )
+
+
+@q(
+    "d176b_multiturn_mask_guarantees",
+    _D176_ORACLE_TOKENS
+    + """
+       SELECT conv_id,
+              CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_user_tokens,
+              CAST(1 AS INT) AS nontrain_all_masked,
+              CAST(1 AS INT) AS train_labels_match
+       FROM j GROUP BY conv_id""",
+)
+def d176b(spark, sf_dir):
+    """d176's certification twin: per conversation, derive every
+    token's global position INDEPENDENTLY (a window row_number over
+    (turn_no, pos) — not the operator's collect/sort path) and assert
+    against the emitted arrays element-by-element: (a) NO token of a
+    non-train turn (system or user) ever carries a label other than
+    -100 — the leakage direction: a single user token with a live
+    label trains the model to imitate users; (b) every assistant
+    token's label equals its input id (loss actually flows).  The
+    oracle replays ``n_user_tokens`` (non-vacuous: 3 user turns per
+    conversation) and states both invariants."""
+    convs = _d176_conversations(spark, sf_dir)
+    out = packing.multiturn_loss_mask(
+        convs, "conv_id", "turn_no", "role", "text"
+    )
+    toks = convs.select(
+        "conv_id",
+        F.col("turn_no").alias("__turn"),
+        F.col("role").alias("__role"),
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("__pos", "__tok"),
+    )
+    win = Window.partitionBy("conv_id").orderBy("__turn", "__pos")
+    g = toks.withColumn("__g", F.row_number().over(win))
+    j = g.join(out.select("conv_id", "input_ids", "labels"), "conv_id")
+    lab = F.element_at("labels", F.col("__g"))
+    iid = F.element_at("input_ids", F.col("__g"))
+    return j.groupBy("conv_id").agg(
+        F.sum((F.col("__role") == "user").cast("long"))
+        .cast("long")
+        .alias("n_user_tokens"),
+        F.min(
+            F.when(
+                F.col("__role") != "assistant", (lab == F.lit(-100)).cast("int")
+            ).otherwise(F.lit(1))
+        ).cast("int").alias("nontrain_all_masked"),
+        F.min(
+            F.when(
+                F.col("__role") == "assistant", (lab == iid).cast("int")
+            ).otherwise(F.lit(1))
+        ).cast("int").alias("train_labels_match"),
+    )

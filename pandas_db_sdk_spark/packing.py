@@ -196,6 +196,89 @@ def sft_loss_mask(
     )
 
 
+def multiturn_loss_mask(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_no",
+    role_col: str = "role",
+    text_col: str = "text",
+    train_roles: tuple = ("assistant",),
+    mask_label: int = -100,
+) -> DataFrame:
+    """MULTI-TURN conversation loss-mask prep (d176 — VERDICT r13 #7):
+    :func:`sft_loss_mask` handles one (prompt, response) pair; modern
+    SFT data is role-segmented conversations.  Input is ONE ROW PER
+    TURN (conv, turn_no, role, text); per conversation this
+    concatenates the turns in ``turn_no`` order and emits
+
+    * ``input_ids`` = every turn's token ids, turn-major,
+    * ``labels``    = ``mask_label`` over every token of a turn whose
+      role is NOT in ``train_roles`` (system / user / tool turns carry
+      no loss), the token id otherwise — the multi-turn SFT masking
+      convention (train on assistant turns only, by default),
+
+    plus the audit counts (n_turns, n_train_turns — turns that
+    produced tokens — n_tokens, n_masked).  Token ids come from the
+    same corpus-derived vocabulary as :func:`sft_loss_mask` (dense
+    rank over sorted distinct tokens); an UNKNOWN role is masked —
+    the conservative default (never train on text a config typo let
+    through).  Empty tokens from repeated separators drop; turns with
+    no tokens contribute nothing.
+
+    Scale: same shape as d161 — one posexplode + one vocabulary
+    equi-join (AQE-broadcast while the vocab is small) + one per-conv
+    ``collect_list(struct(turn, pos, …))`` reassembly whose state
+    bounds at conversation length; the vocabulary index is
+    range-partitioned (``scale.global_row_index``), no single-task
+    window, no driver state."""
+    from . import scale as _scale
+
+    toks = df.select(
+        F.col(conv_col),
+        F.col(turn_col).alias("__turn"),
+        (~F.col(role_col).isin(*train_roles)).alias("__masked"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("__pos", "__tok"),
+    )
+    from ._scratch import scratch_persist
+
+    toks = scratch_persist(toks, "multiturn_loss_mask/tokens")
+    vocab = _scale.global_row_index(
+        toks.select("__tok").distinct(), ["__tok"], index_col="__vid"
+    )
+    ided = toks.join(vocab, "__tok").select(
+        conv_col,
+        "__turn",
+        "__pos",
+        F.col("__vid").cast("long").alias("__vid"),
+        "__masked",
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("__turn", "__pos", "__vid", "__masked"))
+    )
+    return (
+        ided.groupBy(conv_col)
+        .agg(
+            F.count_distinct("__turn").cast("long").alias("n_turns"),
+            F.count_distinct(
+                F.when(~F.col("__masked"), F.col("__turn"))
+            ).cast("long").alias("n_train_turns"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("__masked").cast("long")).cast("long").alias(
+                "n_masked"
+            ),
+            F.transform(arr, lambda s: s["__vid"]).alias("input_ids"),
+            F.transform(
+                arr,
+                lambda s: F.when(
+                    s["__masked"], F.lit(mask_label)
+                ).otherwise(s["__vid"]),
+            ).alias("labels"),
+        )
+    )
+
+
 def dpo_pair_prep(
     df: DataFrame,
     prompt_col: str = "prompt_id",

@@ -346,3 +346,44 @@ def test_rejection_sampling_prep_contract(spark):
     assert out[2].best_response == "z"  # text tie-break at equal scores
     assert (out[3].kept, out[3].score_std) == (0, None)
     assert (out[4].best_response, out[4].n_candidates) == ("good", 1)
+
+
+def test_multiturn_loss_mask_contract(spark):
+    """d176 operator contract on a hand-checkable conversation: labels
+    mask every non-assistant token wherever it falls (not just a
+    prefix), assistant labels equal their input ids, an UNKNOWN role
+    masks (conservative default), empty turns contribute nothing, and
+    turn order (not row order) drives the sequence."""
+    from pandas_db_sdk_spark import packing
+
+    convs = spark.createDataFrame(
+        [
+            # conversation 1, rows deliberately out of turn order
+            (1, 2, "assistant", "bb cc"),
+            (1, 0, "system", "aa"),
+            (1, 3, "user", "dd"),
+            (1, 4, "assistant", "aa dd"),
+            (1, 1, "user", "cc"),
+            # conversation 2: unknown role masks; empty turn drops
+            (2, 0, "tool", "aa bb"),
+            (2, 1, "assistant", "dd"),
+            (2, 2, "user", ""),
+        ],
+        "conv_id long, turn_no int, role string, text string",
+    )
+    out = {
+        r.conv_id: r
+        for r in packing.multiturn_loss_mask(convs).collect()
+    }
+    # vocab is the dense rank over sorted distinct tokens:
+    # aa=1 bb=2 cc=3 dd=4
+    r1 = out[1]
+    assert (r1.n_turns, r1.n_train_turns) == (5, 2)
+    assert (r1.n_tokens, r1.n_masked) == (7, 3)
+    # turn-major order: aa | cc | bb cc | dd | aa dd
+    assert r1.input_ids == [1, 3, 2, 3, 4, 1, 4]
+    assert r1.labels == [-100, -100, 2, 3, -100, 1, 4]
+    r2 = out[2]
+    assert (r2.n_turns, r2.n_train_turns) == (2, 1)  # empty turn gone
+    assert r2.input_ids == [1, 2, 4]
+    assert r2.labels == [-100, -100, 4]  # unknown role 'tool' masked

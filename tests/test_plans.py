@@ -1099,3 +1099,8 @@ def test_round14_shuffle_budgets_and_shapes(spark, queries):
     # unchanged — equi-join on the shingle, never videos x videos.
     p175 = plan_of(queries["d175_video_rescale_near_dup"](spark, SF))
     assert "CartesianProduct" not in p175
+
+    # d176 multi-turn masking: d161's shape — posexplode + vocab
+    # equi-join + per-conv reassembly, no cartesian, no corpus window.
+    p176 = plan_of(queries["d176_multiturn_loss_mask"](spark, SF))
+    assert "CartesianProduct" not in p176
