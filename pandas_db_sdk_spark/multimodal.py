@@ -2527,29 +2527,39 @@ def vad_segments(
                     .sum(axis=1)
                 )
                 peak = int(e.max())
-                state, seg_no, f0 = 0, 0, None
-                acc = 0
-                for f in range(nf):
-                    ef = int(e[f])
-                    if ef * open_den >= peak * open_num:
-                        nxt = 1
-                    elif ef * close_den < peak * close_num:
-                        nxt = 0
-                    else:
-                        nxt = state
-                    if nxt and not state:
-                        f0, acc = f, 0
-                    if nxt:
-                        acc += ef
-                    if state and not nxt:
-                        seg_no += 1
-                        rows.append(
-                            (int(i), seg_no, f0, f - 1, f - f0, acc)
+                # vectorized hysteresis (VERDICT r13 #5): the two
+                # threshold masks are mutually exclusive (the dead-band
+                # validation guarantees open implies not-close), so the
+                # state at frame f is the most recent non-hold event —
+                # a forward-fill via running max of event indices.
+                # int64 is exact here: e <= 32768^2 * frame_len and the
+                # ratio factors are small integers.
+                ev = np.where(
+                    e * open_den >= peak * open_num,
+                    1,
+                    np.where(e * close_den < peak * close_num, 0, -1),
+                )
+                idx = np.where(ev >= 0, np.arange(nf), -1)
+                np.maximum.accumulate(idx, out=idx)
+                state = np.where(idx >= 0, ev[np.maximum(idx, 0)], 0)
+                # islands of state==1 (the c57 gaps-and-islands shape,
+                # vectorized): starts/ends from the state delta, exact
+                # per-segment energy from one prefix sum
+                d = np.diff(np.concatenate(([0], state, [0])))
+                starts = np.where(d == 1)[0]
+                ends = np.where(d == -1)[0]  # exclusive
+                csum = np.concatenate(([0], np.cumsum(e)))
+                for seg_no, (a, b) in enumerate(zip(starts, ends), 1):
+                    rows.append(
+                        (
+                            int(i),
+                            seg_no,
+                            int(a),
+                            int(b - 1),
+                            int(b - a),
+                            int(csum[b] - csum[a]),
                         )
-                    state = nxt
-                if state:
-                    seg_no += 1
-                    rows.append((int(i), seg_no, f0, nf - 1, nf - f0, acc))
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "seg_no", "f0", "f1", "n_frames", "energy"],
