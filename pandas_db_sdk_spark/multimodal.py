@@ -5381,6 +5381,7 @@ def _frame_sig_shingle_near_dup(
 
     if shingle_len < 2:
         raise ValueError("shingle_len must be >= 2")
+    _warn_unvalved(tag.split(".")[0], max_bucket_size)
     w = Window.partitionBy("__vid").orderBy("__f")
     parts = [F.col(sig_col).cast("string")]
     for k in range(1, shingle_len):
@@ -5421,6 +5422,25 @@ def _frame_sig_shingle_near_dup(
         .alias("n_offsets"),
         F.min(F.col("__fb") - F.col("__fa")).cast("long").alias("offset"),
     )
+
+
+def _warn_unvalved(op_name: str, max_bucket_size: int | None) -> None:
+    """One-line guard rail for the banded near-dup family (r13 VERDICT
+    'what's wrong' #4): with ``max_bucket_size=None`` a degenerate
+    signature/shingle shared by k items costs k² join work — fine on a
+    bounded fleet, quadratic on a corpus with silence/black frames.
+    Correctness is unaffected, so this warns instead of defaulting to
+    a valve (a silent default would change certified answers)."""
+    if max_bucket_size is None:
+        import warnings
+
+        warnings.warn(
+            f"{op_name}: max_bucket_size=None — a degenerate signature "
+            "shared by k items costs k^2 candidate work; set the valve "
+            "for corpus-scale runs (pairs beyond it are dropped, see "
+            "SCALE.md)",
+            stacklevel=3,
+        )
 
 
 def _parse_y4m(b: bytes):
@@ -6046,6 +6066,7 @@ def _chunk_sig_near_dup(
     pair."""
     from . import dedup
 
+    _warn_unvalved(op_name, max_bucket_size)
     cap = 1 << 20
     # contract guard rides the key expression itself (no extra job, no
     # separate aggregate pass): the ELSE branch of the CASE raises, so
