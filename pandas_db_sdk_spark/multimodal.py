@@ -4641,13 +4641,19 @@ def stft_frame_features(
                 if s is None or s.size < frame_len:
                     continue
                 n_frames = (s.size - frame_len) // hop + 1
+                # stacked DFT (one int64 matmul, exact — bit-identical
+                # to the per-frame loop it replaces; see
+                # audio_chunk_fingerprints)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    s, frame_len
+                )[::hop]
+                re_m = (win @ cos_i.T).tolist()
+                im_m = (win @ (-sin_i.T)).tolist()
                 for f in range(n_frames):
-                    seg = s[f * hop : f * hop + frame_len]
-                    re = cos_i @ seg
-                    im = -(sin_i @ seg)
+                    re, im = re_m[f], im_m[f]
                     # dominant non-DC bin via exact arbitrary-precision power
                     powers = [
-                        int(re[b]) ** 2 + int(im[b]) ** 2
+                        re[b] * re[b] + im[b] * im[b]
                         for b in range(1, n_bins)
                     ]
                     peak = 1 + max(
@@ -4659,8 +4665,8 @@ def stft_frame_features(
                                 int(i),
                                 f,
                                 b,
-                                int(re[b]),
-                                int(im[b]),
+                                re[b],
+                                im[b],
                                 1 if b == peak else 0,
                             )
                         )
@@ -4770,13 +4776,20 @@ def audio_fingerprint(
                 if s is None or s.size < frame_len:
                     continue
                 n_frames = (s.size - frame_len) // hop + 1
+                nf_used = min(n_frames, max_f + 1)
+                # stacked DFT (one int64 matmul, exact — bit-identical
+                # to the per-frame loop it replaces; see
+                # audio_chunk_fingerprints)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    s, frame_len
+                )[::hop][:nf_used]
+                re_m = (win @ cos_i.T).tolist()
+                im_m = (win @ (-sin_i.T)).tolist()
                 grads = []  # per frame: [E[b] - E[b+1] for adjacent bands]
-                for f in range(min(n_frames, max_f + 1)):
-                    seg = s[f * hop : f * hop + frame_len]
-                    re = cos_i @ seg
-                    im = -(sin_i @ seg)
+                for f in range(nf_used):
+                    re, im = re_m[f], im_m[f]
                     e = [
-                        int(re[b]) ** 2 + int(im[b]) ** 2
+                        re[b] * re[b] + im[b] * im[b]
                         for b in range(1, n_bins)
                     ]
                     grads.append(
