@@ -141,6 +141,17 @@ def main() -> None:
         ("q47_video_near_dup", "d167_video_near_dup"),
         ("q48_ivf_drift", "d166_ivf_drift_card"),
         ("q49_tokenizer_fertility", "d168_tokenizer_fertility"),
+        # round-14 additions: phase-robust audio near-dup (multi-phase
+        # chunk signatures through the Hamming-band equi-join — the
+        # heaviest r14 shape), rejection-sampling prep (two one-row-per-
+        # prompt shuffles over the candidate table), resolution-invariant
+        # video near-dup (grid-gradient frame signatures through the
+        # shingle machinery), and multi-turn loss masking (posexplode +
+        # segment join over synthetic conversations).
+        ("q50_audio_phase_near_dup", "d173_audio_phase_robust_near_dup"),
+        ("q51_rejection_sampling", "d174_rejection_sampling_prep"),
+        ("q52_video_rescale_near_dup", "d175_video_rescale_near_dup"),
+        ("q53_multiturn_loss_mask", "d176_multiturn_loss_mask"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay
