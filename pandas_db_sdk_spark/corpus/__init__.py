@@ -636,7 +636,8 @@ _R13_VERIFIED = frozenset(
 _R14_NEW = frozenset(
     """d173_audio_phase_robust_near_dup d174_rejection_sampling_prep
     d174b_rejection_sampling_guarantees d175_video_rescale_near_dup
-    d176_multiturn_loss_mask d176b_multiturn_mask_guarantees""".split()
+    d176_multiturn_loss_mask d176b_multiturn_mask_guarantees
+    d177_video_fps_near_dup d177b_fps_tick_guarantees""".split()
 )
 
 

@@ -9273,3 +9273,108 @@ def d176b(spark, sf_dir):
             ).otherwise(F.lit(1))
         ).cast("int").alias("train_labels_match"),
     )
+
+
+def _d177_fleet(spark, sf_dir):
+    """Shared d177/d177b fixture: 8 textured 25fps videos long enough
+    for whole-second tick spans (21 + 5·(id%4) frames — 5 + id%4
+    ticks at tick_hz=5), each with a DIVISIBLE frame-rate copy
+    (``y4m_decimate`` every_n=5 → F25:5, id+1000: keeps source frames
+    0,5,10,… at their original timestamps) and a PHASE-SHIFTED
+    decimation negative control (trim 2 frames THEN decimate, id+2000:
+    keeps source frames 2,7,12,… — every tick now shows a frame no
+    tick of the original ever shows)."""
+    d = tables(spark, sf_dir)("documents")
+    ids = d.select((F.col("doc_id") % 8).alias("doc_id")).distinct()
+    orig = multimodal.synth_textured_y4m(
+        ids, "doc_id", n_frames_base=21, n_frames_step=5
+    )
+    copy = multimodal.y4m_decimate(
+        orig, "payload", "doc_id", every_n=5
+    ).select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    neg = multimodal.y4m_decimate(
+        multimodal.y4m_trim(orig, "payload", "doc_id", start=2),
+        "payload", "doc_id", every_n=5,
+    ).select((F.col("doc_id") + 2000).alias("doc_id"), "payload")
+    return orig, copy, neg
+
+
+@q(
+    "d177_video_fps_near_dup",
+    """WITH m AS (SELECT DISTINCT doc_id % 8 AS i FROM documents)
+       SELECT CAST(i AS BIGINT) AS id_a,
+              CAST(i + 1000 AS BIGINT) AS id_b,
+              CAST(4 + i % 4 AS BIGINT) AS n_shared,
+              CAST(1 AS BIGINT) AS n_offsets,
+              CAST(0 AS BIGINT) AS offset
+       FROM m""",
+)
+def d177(spark, sf_dir):
+    """Video tier (r14): FRAME-RATE-INVARIANT temporal near-dup
+    (``multimodal.video_fps_near_dup``) — the blindness-promotion
+    step d175 took for resolution, applied to time: d167/d175 shingle
+    frame-INDEXED signatures, so a 25fps master decimated to 5fps (the
+    most common re-encode after rescaling) never pairs — its frame n
+    shows different content.  The fix anchors the d175 grid signature
+    to WALL-CLOCK ticks read through the stream's own F tag
+    (``y4m_tick_grid_sig``): tick k samples the frame on screen at
+    k/tick_hz seconds, so both encodes emit identical tick sequences
+    and the SAME shingle machinery pairs them at one consistent tick
+    offset.  Fixture (``_d177_fleet``): every divisible 5fps copy
+    pairs with ONLY its original — n_shared = its (5 + i%4) − 1 tick
+    shingles, ONE offset of 0 — and the phase-shifted decimation
+    (frames 2,7,12,…: every tick shows a frame no original tick
+    shows) pairs with NOTHING, pinning that tick anchoring, not id
+    adjacency, drives the match.  Scale: zero-shuffle signatures, one
+    window per video, shingle equi-join Σ bucket² with the d02
+    frequency valve, never videos²."""
+    orig, copy, neg = _d177_fleet(spark, sf_dir)
+    fleet = orig.unionAll(copy).unionAll(neg)
+    return multimodal.video_fps_near_dup(fleet, "payload", "doc_id")
+
+
+@q(
+    "d177b_fps_tick_guarantees",
+    """WITH m AS (SELECT DISTINCT doc_id % 8 AS i FROM documents)
+       SELECT CAST(i AS BIGINT) AS doc_id,
+              CAST(5 + i % 4 AS BIGINT) AS n_ticks,
+              CAST(5 + i % 4 AS BIGINT) AS n_copy_ticks,
+              CAST(5 + i % 4 AS BIGINT) AS n_sig_match,
+              CAST(1 AS INT) AS all_ticks_match
+       FROM m""",
+)
+def d177b(spark, sf_dir):
+    """d177's certification twin — ELEMENT-WISE tick bit-identity,
+    stronger than the pair-level n_shared d177 emits: join the
+    original's tick signatures with its 5fps copy's on (id, tick) and
+    assert every tick exists on both sides (the decimated stream
+    spans the same wall-clock range: ceil(n·5/25) = ceil((n/5)·25/5)
+    ticks) and every signature matches bit-for-bit (tick k reads
+    source frame 5k on BOTH sides — the F-tag arithmetic, not frame
+    luck).  The oracle replays n_ticks = 5 + i%4 per video and states
+    the invariant; one missed tick or one flipped gradient bit breaks
+    the hash."""
+    orig, copy, _neg = _d177_fleet(spark, sf_dir)
+    o = multimodal.y4m_tick_grid_sig(orig, "payload", "doc_id").select(
+        "doc_id", "tick", F.col("grid_sig").alias("__so")
+    )
+    c = multimodal.y4m_tick_grid_sig(copy, "payload", "doc_id").select(
+        (F.col("doc_id") - 1000).alias("doc_id"),
+        "tick",
+        F.col("grid_sig").alias("__sc"),
+    )
+    j = o.join(c, ["doc_id", "tick"], "full_outer")
+    return j.groupBy("doc_id").agg(
+        F.count("__so").cast("long").alias("n_ticks"),
+        F.count("__sc").cast("long").alias("n_copy_ticks"),
+        F.sum(
+            (F.col("__so") == F.col("__sc")).cast("long")
+        ).cast("long").alias("n_sig_match"),
+        F.min(
+            (
+                F.col("__so").isNotNull()
+                & F.col("__sc").isNotNull()
+                & (F.col("__so") == F.col("__sc"))
+            ).cast("int")
+        ).cast("int").alias("all_ticks_match"),
+    )

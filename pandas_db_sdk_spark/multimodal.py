@@ -4329,6 +4329,8 @@ def synth_textured_y4m(
     id_col: str = "doc_id",
     width: int = 16,
     height: int = 16,
+    n_frames_base: int = 3,
+    n_frames_step: int = 1,
 ) -> DataFrame:
     """TEXTURED YUV4MPEG2 fixture (the d175 generator) —
     :func:`synth_y4m`'s plane pattern is LINEAR in (x, y), so every
@@ -4338,8 +4340,10 @@ def synth_textured_y4m(
     gradient signs with position, frame, AND id:
     ``Y(x,y,f) = (7·id + x² + 2·x·y + 3·y² + f·(x + 7·y + 13)) mod
     256`` (U/V add 11/22) — every term integer, oracle-replayable.
-    ``3 + id % 4`` frames per stream, C444.  Arrow-batched
-    mapInPandas, zero shuffles."""
+    ``n_frames_base + (id % 4) * n_frames_step`` frames per stream
+    (defaults reproduce the d175 fleet byte-for-byte; the d177 fleet
+    uses 21 + 5·(id%4) so tick sampling at F25:1 spans 5 + id%4
+    whole ticks), C444.  Arrow-batched mapInPandas, zero shuffles."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4357,7 +4361,7 @@ def synth_textured_y4m(
             for i in pdf[id_col]:
                 i = int(i)
                 parts = [header]
-                for f in range(3 + i % 4):
+                for f in range(n_frames_base + (i % 4) * n_frames_step):
                     base = 7 * i + quad + f * lin
                     parts.append(b"FRAME\n")
                     for k in (0, 11, 22):
@@ -5574,6 +5578,29 @@ def y4m_rescale_area(
     )
 
 
+def _pack_gradient_signs(sums, grid: int) -> int:
+    """Pack the SIGNS of adjacent block-sum gradients into an int —
+    horizontal bits (right > left, row-major) then vertical bits
+    (below > above, column-major), 2·grid·(grid−1) bits total.  The
+    shared bit layout of :func:`y4m_frame_grid_sig` and
+    :func:`y4m_tick_grid_sig`; equal block pixel counts make sum
+    comparisons equal mean comparisons, so the result is
+    integer-exact at every resolution."""
+    val = 0
+    bit = 0
+    for r in range(grid):
+        for c in range(grid - 1):
+            if sums[r, c + 1] > sums[r, c]:
+                val |= 1 << bit
+            bit += 1
+    for c in range(grid):
+        for r in range(grid - 1):
+            if sums[r + 1, c] > sums[r, c]:
+                val |= 1 << bit
+            bit += 1
+    return int(val)
+
+
 def y4m_frame_grid_sig(
     df: DataFrame,
     payload_col: str = "payload",
@@ -5624,20 +5651,11 @@ def y4m_frame_grid_sig(
                         .astype(np.int64)
                         .sum(axis=(1, 3))
                     )
-                    val = 0
-                    bit = 0
-                    for r in range(grid):
-                        for c in range(grid - 1):
-                            if sums[r, c + 1] > sums[r, c]:
-                                val |= 1 << bit
-                            bit += 1
-                    for c in range(grid):
-                        for r in range(grid - 1):
-                            if sums[r + 1, c] > sums[r, c]:
-                                val |= 1 << bit
-                            bit += 1
                     rows.append(
-                        (int(i), f, len(starts), w, h, int(val))
+                        (
+                            int(i), f, len(starts), w, h,
+                            _pack_gradient_signs(sums, grid),
+                        )
                     )
             yield pd.DataFrame(
                 rows,
@@ -5687,6 +5705,204 @@ def video_rescale_near_dup(
     return _frame_sig_shingle_near_dup(
         fs, "grid_sig", shingle_len, max_bucket_size,
         "video_rescale_near_dup.shingles",
+    )
+
+
+def _parse_y4m_fps(b: bytes):
+    """Read the YUV4MPEG2 F (frame rate) header tag → (num, den) or
+    None when absent/malformed.  The spec writes the rate as
+    ``F<num>:<den>`` (e.g. F25:1, F30000:1001); streams without it
+    carry no timebase, so the fps-anchored ops skip them (poison
+    contract)."""
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        return None
+    for tok in b[:nl].split(b" ")[1:]:
+        if tok[:1] == b"F":
+            try:
+                num, den = tok[1:].split(b":")
+                num, den = int(num), int(den)
+            except ValueError:
+                return None
+            return (num, den) if num > 0 and den > 0 else None
+    return None
+
+
+def y4m_decimate(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 2,
+) -> DataFrame:
+    """Y4M TEMPORAL DECIMATION — keep every ``every_n``-th frame
+    (0, n, 2n, …) by byte-splicing the container and rewrite the F
+    tag's denominator (``F25:1`` → ``F25:5`` at every_n=5) so the
+    retained frames keep their ORIGINAL timestamps — the frame-rate
+    twin of :func:`y4m_rescale_area` and the d177 re-encoded-copy
+    fixture generator.  Streams without an F tag, or malformed
+    streams, skip (poison contract).  Scale: pure Arrow mapInPandas,
+    zero shuffles, output bytes <= input bytes."""
+    if every_n < 1:
+        raise ValueError("y4m_decimate: every_n must be >= 1")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                parsed = _parse_y4m(b)
+                fps = _parse_y4m_fps(b)
+                if parsed is None or fps is None:
+                    continue
+                w, h, csize, starts = parsed
+                if not starts:
+                    continue
+                nl = b.find(b"\n")
+                num, den = fps
+                toks = [
+                    b"F%d:%d" % (num, den * every_n)
+                    if tok[:1] == b"F"
+                    else tok
+                    for tok in b[:nl].split(b" ")
+                ]
+                frame_bytes = w * h + 2 * csize
+                # each frame blob runs from its FRAME marker to data
+                # end; the marker begins at the previous data end (or
+                # the header newline for frame 0)
+                marker = [nl + 1] + [s + frame_bytes for s in starts[:-1]]
+                keep = list(range(0, len(starts), every_n))
+                out = b" ".join(toks) + b"\n" + b"".join(
+                    b[marker[f] : starts[f] + frame_bytes] for f in keep
+                )
+                rows.append((int(i), out))
+            yield pd.DataFrame(rows, columns=[id_col, "payload"])
+
+    return df.mapInPandas(dec, f"{id_col} long, payload binary")
+
+
+def y4m_tick_grid_sig(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    tick_hz: int = 5,
+    grid: int = 4,
+) -> DataFrame:
+    """TIME-ANCHORED resolution-invariant frame signature (the d177
+    frame feature): sample the stream at fixed WALL-CLOCK ticks
+    (t = k / tick_hz seconds) instead of frame indices — tick k reads
+    the frame on screen at that instant, index ⌊t·fps⌋ =
+    (k·num) // (den·tick_hz) from the stream's own F tag — and emit
+    the :func:`y4m_frame_grid_sig` block-gradient signature of that
+    frame.  Two encodes of the same content at DIFFERENT frame rates
+    sample the same instants, so their tick signatures agree wherever
+    the displayed frames agree (exactly, when one rate divides the
+    other and ticks land on retained frames); frame-indexed
+    signatures (d167/d175) can never pair them.  Streams without an
+    F tag skip (poison contract); frames whose plane dimensions are
+    not divisible by ``grid`` skip as in :func:`y4m_frame_grid_sig`.
+
+    Returns (id, tick, n_ticks, fps_num, fps_den, grid_sig) — one row
+    per tick, ticks 0..⌈n_frames·den·tick_hz/num⌉−1.  Scale: pure
+    Arrow mapInPandas, zero shuffles, ≤ one decoded frame resident
+    per tick."""
+    if tick_hz < 1:
+        raise ValueError("y4m_tick_grid_sig: tick_hz must be >= 1")
+    if grid < 2:
+        raise ValueError("y4m_tick_grid_sig: grid must be >= 2")
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                parsed = _parse_y4m(b)
+                fps = _parse_y4m_fps(b)
+                if parsed is None or fps is None:
+                    continue
+                w, h, csize, starts = parsed
+                if w % grid or h % grid or not starts:
+                    continue
+                num, den = fps
+                bh, bw = h // grid, w // grid
+                # ticks whose displayed frame exists: frame index
+                # (k*num) // (den*tick_hz) < n_frames
+                n_ticks = -(-len(starts) * den * tick_hz // num)
+                for k in range(n_ticks):
+                    f = k * num // (den * tick_hz)
+                    y = np.frombuffer(
+                        b, np.uint8, w * h, starts[f]
+                    ).reshape(h, w)
+                    sums = (
+                        y.reshape(grid, bh, grid, bw)
+                        .astype(np.int64)
+                        .sum(axis=(1, 3))
+                    )
+                    rows.append(
+                        (
+                            int(i), k, n_ticks, num, den,
+                            _pack_gradient_signs(sums, grid),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "tick", "n_ticks", "fps_num", "fps_den",
+                    "grid_sig",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sig,
+        f"{id_col} long, tick long, n_ticks long, fps_num int,"
+        " fps_den int, grid_sig long",
+    )
+
+
+def video_fps_near_dup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    shingle_len: int = 2,
+    max_bucket_size: int | None = None,
+    grid: int = 4,
+    tick_hz: int = 5,
+) -> DataFrame:
+    """FRAME-RATE-INVARIANT video temporal near-dup (d177 — the same
+    blindness-promotion step d175 took for resolution):
+    :func:`video_shingle_near_dup` and :func:`video_rescale_near_dup`
+    shingle FRAME-INDEXED signatures, so a re-encode at a different
+    frame rate (a 25fps master decimated to 5fps for preview, the
+    most common video re-encode after rescaling) never pairs — its
+    frame n shows different content.  This variant feeds the SAME
+    shingle machinery the :func:`y4m_tick_grid_sig` TIME-anchored
+    signature: tick k reads whatever frame is on screen at
+    t = k/tick_hz seconds via the stream's own F tag, so two encodes
+    of the same content at different rates (and/or resolutions — the
+    grid signature is the d175 one) emit identical tick sequences and
+    pair at one consistent TICK offset.  Ticks that fall between
+    retained frames sample the nearest earlier frame, so
+    non-divisible rate pairs match only where gradient signs survive
+    the sub-tick sampling skew — divisible decimations (the fixture)
+    match exactly.
+
+    Returns the :func:`video_shingle_near_dup` schema (id_a, id_b,
+    n_shared, n_offsets, offset) with offsets measured in TICKS.
+    Scale: zero-shuffle signatures, one window per video, shingle
+    equi-join Σ bucket² with the d02 frequency valve, never videos²;
+    at corpus scale pairs are CANDIDATES for a pixel verify (24-bit
+    signatures — LSH two-pass economics)."""
+    fs = y4m_tick_grid_sig(
+        df, payload_col, id_col, tick_hz=tick_hz, grid=grid
+    ).select(
+        F.col(id_col).alias("__vid"),
+        F.col("tick").alias("__f"),
+        "grid_sig",
+    )
+    return _frame_sig_shingle_near_dup(
+        fs, "grid_sig", shingle_len, max_bucket_size,
+        "video_fps_near_dup.shingles",
     )
 
 

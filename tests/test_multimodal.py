@@ -2092,3 +2092,71 @@ def test_video_rescale_near_dup_and_grid_sig(spark):
         multimodal.y4m_rescale_area(orig, factor=1)
     with _pytest.raises(ValueError, match="grid"):
         multimodal.y4m_frame_grid_sig(orig, grid=1)
+
+
+def test_video_fps_near_dup_and_tick_sig(spark):
+    """d177 operator contract: a divisible frame-rate copy
+    (y4m_decimate every_n=5, F25:1 -> F25:5) that
+    video_rescale_near_dup certifiably MISSES (frame-indexed
+    signatures — zero rows on this fleet) pairs with its original at
+    one consistent TICK offset under the time-anchored signature;
+    tick signatures are bit-identical across frame rates; decimate
+    rewrites the F tag and skips streams without one; validation
+    guards raise."""
+    import pytest as _pytest
+
+    from pandas_db_sdk_spark import multimodal
+
+    ids = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    orig = multimodal.synth_textured_y4m(
+        ids, n_frames_base=21, n_frames_step=5
+    )
+    dec = multimodal.y4m_decimate(orig, every_n=5)
+
+    # the F tag rewrite preserves timestamps: F25:1 -> F25:5
+    for r in dec.collect():
+        head = bytes(r.payload).split(b"\n", 1)[0]
+        assert b"F25:5" in head.split(b" ")
+    # tick bit-identity: every tick of the copy equals the original's
+    so = {
+        (r.doc_id, r.tick): r.grid_sig
+        for r in multimodal.y4m_tick_grid_sig(orig).collect()
+    }
+    sc = {
+        (r.doc_id, r.tick): r.grid_sig
+        for r in multimodal.y4m_tick_grid_sig(dec).collect()
+    }
+    assert sc and set(sc) == set(so)
+    assert all(sc[k] == so[k] for k in sc)
+
+    copy = dec.select((F.col("doc_id") + 1000).alias("doc_id"), "payload")
+    fleet = orig.unionAll(copy)
+    # the frame-indexed matcher is blind to the frame-rate copy ...
+    assert multimodal.video_rescale_near_dup(fleet).count() == 0
+    # ... the tick-anchored matcher pairs it at ONE zero offset
+    out = {
+        (r.id_a, r.id_b): r
+        for r in multimodal.video_fps_near_dup(fleet).collect()
+    }
+    assert set(out) == {(2, 1002), (5, 1005)}
+    for (a, _), r in out.items():
+        assert (r.n_shared, r.n_offsets, r.offset) == (4 + a % 4, 1, 0)
+
+    # poison: a stream without an F tag skips both fps-anchored ops
+    import pandas as pd
+
+    nofps = spark.createDataFrame(
+        pd.DataFrame(
+            [(9, b"YUV4MPEG2 W4 H4 C444\n" + b"FRAME\n" + b"\x00" * 48)],
+            columns=["doc_id", "payload"],
+        ),
+        "doc_id long, payload binary",
+    )
+    assert multimodal.y4m_decimate(nofps).count() == 0
+    assert multimodal.y4m_tick_grid_sig(nofps).count() == 0
+    with _pytest.raises(ValueError, match="every_n"):
+        multimodal.y4m_decimate(orig, every_n=0)
+    with _pytest.raises(ValueError, match="tick_hz"):
+        multimodal.y4m_tick_grid_sig(orig, tick_hz=0)
+    with _pytest.raises(ValueError, match="grid"):
+        multimodal.y4m_tick_grid_sig(orig, grid=1)

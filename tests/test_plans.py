@@ -1104,3 +1104,9 @@ def test_round14_shuffle_budgets_and_shapes(spark, queries):
     # equi-join + per-conv reassembly, no cartesian, no corpus window.
     p176 = plan_of(queries["d176_multiturn_loss_mask"](spark, SF))
     assert "CartesianProduct" not in p176
+
+    # d177 fps-invariant video near-dup: the d167/d175 shingle shape
+    # with tick-anchored signatures — equi-join on the shingle, never
+    # videos x videos.
+    p177 = plan_of(queries["d177_video_fps_near_dup"](spark, SF))
+    assert "CartesianProduct" not in p177
