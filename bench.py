@@ -152,6 +152,10 @@ def main() -> None:
         ("q51_rejection_sampling", "d174_rejection_sampling_prep"),
         ("q52_video_rescale_near_dup", "d175_video_rescale_near_dup"),
         ("q53_multiturn_loss_mask", "d176_multiturn_loss_mask"),
+        # fps-invariant video near-dup: the long-form textured fleet (24
+        # streams, 21-41 frames each) through tick sampling + the
+        # shingle equi-join.
+        ("q54_video_fps_near_dup", "d177_video_fps_near_dup"),
     ]
 
     # Warm the JVM and populate the hot-table cache so q1 doesn't pay
