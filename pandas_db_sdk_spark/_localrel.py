@@ -1,0 +1,75 @@
+"""LocalRelation builder for small driver-built row lists.
+
+``spark.createDataFrame(rows, schema)`` on a plain Python list goes through
+``sc.parallelize(rows)``: the rows are pickled into ``defaultParallelism``
+partitions and EVERY downstream evaluation of the frame launches that many
+Python-worker tasks just to unpickle a handful of rows.  Iterative operators
+that return driver-built result tables (BPE merge tables, GD weight traces,
+graph fixpoint outputs, report frames) pay that cost once per plan branch
+that scans them — measured at 0.4–1.0 s per scan on local[32] for a
+60-row table, times four branches in a report union (guide §4: eliminate
+the JVM↔Python boundary).
+
+``local_rows_df`` builds the same frame through the Arrow fast path
+instead, which lands as a ``LocalRelation`` (``LocalTableScan`` in the
+physical plan): rows live in the JVM, scans launch no Python workers, and
+the relation carries exact size statistics, so broadcast planning sees the
+true (tiny) size instead of an unknown-RDD estimate.  Rows must be plain
+scalars / lists (the only shapes our call sites produce); anything the
+Arrow converter rejects falls back to the classic path unchanged.
+
+NaN caveat (why the fallback exists and call sites must not pass NaN in
+double columns): the Arrow conversion treats float NaN like NULL, while
+the pickled path keeps it a NaN value.  Every converted call site builds
+its doubles from finite Python arithmetic; the DuckDB-oracle suite pins
+the results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def local_rows_df(spark: SparkSession, rows, schema: str | StructType) -> DataFrame:
+    """Build a DataFrame from a small driver-side ``rows`` list as a JVM
+    ``LocalRelation`` (Arrow path; no Python-worker scan tasks), falling
+    back to ``spark.createDataFrame(rows, schema)`` when conversion is
+    not possible."""
+    try:
+        import pandas as pd
+
+        parsed = (
+            StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        )
+        names = [f.name for f in parsed.fields]
+        data = [tuple(r) for r in rows]
+        if not data:
+            # zero rows would bypass the Arrow path (Scan ExistingRDD over
+            # an empty pickled RDD — still one task per core slot to
+            # evaluate); an all-NULL dummy row + limit(0) constant-folds
+            # to an empty LocalRelation instead
+            dummy = local_rows_df(spark, [tuple([None] * len(names))], parsed)
+            return dummy.limit(0)
+        # object dtype keeps ints exact and None as None; the Arrow
+        # converter casts each column to the declared field type.
+        # (columns= alone mislabels an empty frame's dtypes, so build
+        # per-column object Series explicitly.)
+        pdf = pd.DataFrame(
+            {
+                n: pd.Series([r[i] for r in data], dtype=object)
+                for i, n in enumerate(names)
+            },
+            columns=names,
+        )
+        out = spark.createDataFrame(pdf, schema=parsed)
+        # the Arrow path lands as LocalRelation only when the session
+        # config allows it; a silent non-Arrow fallback inside
+        # createDataFrame(pandas) would run rows through NumPy dtype
+        # coercion we have not audited — detect and use the classic
+        # list path instead
+        if "LocalTableScan" not in out._jdf.queryExecution().executedPlan().toString():
+            raise ValueError("arrow local-relation path unavailable")
+        return out
+    except Exception:
+        return spark.createDataFrame(rows, schema)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ._util import davg, registry, tables
+from .._localrel import local_rows_df
 
 QUERIES, ORACLE, q = registry()
 
@@ -2455,7 +2456,7 @@ def x43(spark, sf_dir):
     )
 
     # --- blocklist: site3 dies by exact host, site4 by dot-suffix
-    bl = spark.createDataFrame(
+    bl = local_rows_df(spark,
         [("www.site3.com", "ads"), ("site4.com", "malware")],
         "pattern string, category string",
     )

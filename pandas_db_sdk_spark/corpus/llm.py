@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from .. import dedup, multimodal, packing, pipeline, similarity, text
 from ._util import registry, tables
+from .._localrel import local_rows_df
 
 QUERIES, ORACLE, q = registry()
 
@@ -1412,7 +1413,7 @@ def d18b(spark, sf_dir):
         ("below_quality_gate", below_gate),
         ("multi_doc_bins_over_budget", over_budget),
     ]
-    return spark.createDataFrame(rows, "rule string, val long")
+    return local_rows_df(spark, rows, "rule string, val long")
 
 
 @q(
@@ -2362,7 +2363,7 @@ def d31b(spark, sf_dir):
         # them now instead of leaking a generation per invocation
         iso.unpersist(False)
         kept.unpersist(False)
-    return spark.createDataFrame(
+    return local_rows_df(spark,
         [
             ("isolated_docs", n_iso),
             ("isolated_removed", n_iso_removed),
@@ -2615,7 +2616,7 @@ def d72(spark, sf_dir):
     pairs = dedup.ngram_jaccard_consecutive(d, "doc_id", "text", n=3).select(
         F.col("ngram_jaccard").alias("j")
     )
-    grid = spark.createDataFrame(
+    grid = local_rows_df(spark,
         [(4, 8), (8, 4), (16, 2), (32, 1)], "bands int, rpb int"
     )
     p = 1.0 - F.pow(1.0 - F.pow(F.col("j"), F.col("rpb")), F.col("bands"))
@@ -2873,7 +2874,7 @@ def d66b(spark, sf_dir):
     )
     rows = sel.collect()  # k rows — bounded by construction
     first = next(r.neighbor_id for r in rows if r.rank_selected == 1)
-    return spark.createDataFrame(
+    return local_rows_df(spark,
         [
             ("first_pick_is_argmax_relevance", int(first)),
             ("n_selected", len(rows)),
@@ -5286,7 +5287,7 @@ def d116(spark, sf_dir):
         ("stage_escapees", escapees),
         ("doc_conservation_violations", conservation),
     ]
-    return spark.createDataFrame(rows, "rule string, val long")
+    return local_rows_df(spark, rows, "rule string, val long")
 
 
 @q("d118_jpeg_restart_decode", _JPEG_GRAY_ORACLE)
@@ -5773,7 +5774,7 @@ def d130b(spark, sf_dir):
         ("char_coverage_missing", missing),
         ("pieces_not_substring", not_sub),
     ]
-    return spark.createDataFrame(rows, "rule string, val long")
+    return local_rows_df(spark, rows, "rule string, val long")
 
 
 @q(
@@ -5912,7 +5913,7 @@ def d132b(spark, sf_dir):
         ("eigval_order_violations", order_viol),
         ("explained_exceeds_trace", exceeds),
     ]
-    return spark.createDataFrame(rows, "rule string, val long")
+    return local_rows_df(spark, rows, "rule string, val long")
 
 
 @q(
@@ -6291,7 +6292,7 @@ def d130d(spark, sf_dir):
         ("mass_violations", int(agg["mass_viol"])),
         ("estep_parity_gap", abs(int(agg["doc_pieces"]) - int(type_pieces))),
     ]
-    return spark.createDataFrame(rows, "rule string, val long")
+    return local_rows_df(spark, rows, "rule string, val long")
 
 
 @q(
@@ -6906,7 +6907,7 @@ def d147(spark, sf_dir):
             F.lit("https://"), host, F.lit("/p/"), F.col("m").cast("string")
         ).alias("url")
     )
-    bl = spark.createDataFrame(
+    bl = local_rows_df(spark,
         [
             ("ads.example.com", "ads"),
             ("example.com", "tracking"),
@@ -8638,7 +8639,7 @@ def d169(spark, sf_dir):
             F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
         )
         ht = dhash(text.dedup_lines_corpus(lines))
-        return spark.createDataFrame(
+        return local_rows_df(spark,
             [
                 ("docs_landed", n2),
                 ("replay_hash_equal", 1 if h1 == h2 else 0),

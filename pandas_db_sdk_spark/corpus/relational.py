@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ._util import artifacts_dir, dsum, registry, tables
+from .._localrel import local_rows_df
 
 QUERIES, ORACLE, q = registry()
 
@@ -417,7 +418,8 @@ def c20(spark, sf_dir):
     """C20: theta/range join — broadcast nested loop against a tiny band table.
     At scale the band table is always the broadcast side."""
     o = tables(spark, sf_dir)("orders")
-    bands = spark.createDataFrame(
+    bands = local_rows_df(
+        spark,
         [("tiny", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("big", 200000.0, 1000000.0)],
         "band string, lo double, hi double",
     )

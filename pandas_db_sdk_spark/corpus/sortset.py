@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ._util import registry, tables
+from .._localrel import local_rows_df
 
 QUERIES, ORACLE, q = registry()
 
@@ -269,7 +270,7 @@ def c44b(spark, sf_dir):
         ("size_within_5_sigma", within),
         ("oversampled_keys", oversampled),
     ]
-    return spark.createDataFrame(rows, "rule string, val long")
+    return local_rows_df(spark, rows, "rule string, val long")
 
 
 @q(

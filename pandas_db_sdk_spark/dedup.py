@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._scratch import scratch_persist
+from ._localrel import local_rows_df
 
 
 def exact_dedup(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
@@ -472,7 +473,7 @@ def connected_components(
         if probe <= local_threshold:
             rows = proj.collect()
             if not rows:
-                return pairs.sparkSession.createDataFrame(
+                return local_rows_df(pairs.sparkSession,
                     [], f"id {id_type}, cluster {id_type}"
                 )
             parent: dict = {}
@@ -490,7 +491,7 @@ def connected_components(
                 if a != b:
                     parent[max(a, b)] = min(a, b)
             out = [(x, find(x)) for x in {v for r in rows for v in (r[0], r[1])}]
-            return pairs.sparkSession.createDataFrame(
+            return local_rows_df(pairs.sparkSession,
                 out, f"id {id_type}, cluster {id_type}"
             )
         src = proj  # past the gate: reuse the persisted projection
@@ -524,7 +525,7 @@ def connected_components(
         # entirely (a clean corpus hits exactly this path — without the
         # short-circuit it still pays one full round of joins,
         # checkpoints, and convergence counts on empty frames)
-        return pairs.sparkSession.createDataFrame(
+        return local_rows_df(pairs.sparkSession,
             [], f"id {id_type}, cluster {id_type}"
         )
     labels = (

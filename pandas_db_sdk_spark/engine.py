@@ -47,6 +47,7 @@ except ImportError:  # non-POSIX: degrade to unlocked (single-writer) mode
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ._localrel import local_rows_df
 
 VERSION_COL = "__version"
 KEY_TYPES = ("Date", "ID")
@@ -858,7 +859,7 @@ class DataFrameEngine:
                     keep.append(f)
         schema = self._full_schema(ds)
         if not keep:
-            df = self.spark.createDataFrame([], schema)
+            df = local_rows_df(self.spark, [], schema)
         else:
             df = (
                 self.spark.read.schema(schema)
@@ -1120,7 +1121,7 @@ class DataFrameEngine:
         versions = [str(v) for v in ds["versions"]]
         if not versions:
             raise DatasetNotFound(f"{dataframe_name!r} has no committed versions")
-        vindex = self.spark.createDataFrame(
+        vindex = local_rows_df(self.spark,
             [(v, i) for i, v in enumerate(versions)], f"{VERSION_COL} string, __vi int"
         )
         df = self.load(dataframe_name, drop_internal=False)
@@ -1309,7 +1310,7 @@ class DataFrameEngine:
                     int(is_branch and str(v) not in fork),
                 )
             )
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark,
             rows,
             "dataset string, version string, n_rows long, "
             "branched_from string, at_fork int, post_fork int",
@@ -1351,7 +1352,7 @@ class DataFrameEngine:
                 )
             )
             prev = cols
-        return self.spark.createDataFrame(
+        return local_rows_df(self.spark,
             rows,
             "dataset string, version string, n_columns int, "
             "added string, removed string",

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ._localrel import local_rows_df
 
 # Exact accumulation type for rank mass: per-node neighbor sums are
 # order-dependent in double; routing every contribution through decimal
@@ -210,7 +211,7 @@ def hierarchy_depth(
             out = [(x, 0) for x in roots_l] + [
                 (x, depth[x]) for x in (r[0] for r in rows) if x in depth
             ]
-            return parents.sparkSession.createDataFrame(
+            return local_rows_df(parents.sparkSession,
                 out, f"id {dict(parents.dtypes)[id_col]}, depth int"
             )
 
@@ -431,7 +432,7 @@ def shortest_paths(
             dist = _local_frontier_relax(
                 edge_rows, seed_ids, max_iter, None, "shortest_paths"
             )
-            return edges.sparkSession.createDataFrame(
+            return local_rows_df(edges.sparkSession,
                 list(dist.items()), f"id {dict(edges.dtypes)[a]}, dist long"
             )
 
@@ -526,7 +527,7 @@ def bfs_hops(
             dist = _local_frontier_relax(
                 edge_rows, seed_ids, max_iter, 1, "bfs_hops"
             )
-            return edges.sparkSession.createDataFrame(
+            return local_rows_df(edges.sparkSession,
                 list(dist.items()), f"id {dict(edges.dtypes)[a]}, hops int"
             )
 
@@ -649,7 +650,7 @@ def kcore(
                         "peeling depth exceeds max_iter; raise it for "
                         "this graph"
                     )
-            return edges.sparkSession.createDataFrame(
+            return local_rows_df(edges.sparkSession,
                 [(u, len(nb)) for u, nb in adj.items()],
                 f"id {id_type}, core_degree int",
             )

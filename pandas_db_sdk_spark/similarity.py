@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import _scratch
+from ._localrel import local_rows_df
 
 
 def _double_literal(x) -> str:
@@ -152,10 +153,10 @@ def ivf_nprobe_recall_sweep(
             range(n_cells), key=lambda c: (bin(p ^ c).count("1"), c)
         )
         rank_rows += [(p, c, r + 1) for r, c in enumerate(order)]
-    ranktab = spark.createDataFrame(
+    ranktab = local_rows_df(spark,
         rank_rows, "qpat int, cell int, prank int"
     )
-    gridf = spark.createDataFrame([(int(g),) for g in grid], "nprobe int")
+    gridf = local_rows_df(spark, [(int(g),) for g in grid], "nprobe int")
 
     gt = cosine_topk_bruteforce(queries, corpus, query_id, corpus_id, vec_col, k)
     hits = (
@@ -780,7 +781,7 @@ def _pq_lut(
                 for c, pd_ in enumerate(d):
                     lut_rows.append((r[0], s, c, float(pd_)))
         return F.broadcast(
-            spark.createDataFrame(lut_rows, "query_id long, s int, code int, pd double")
+            local_rows_df(spark, lut_rows, "query_id long, s int, code int, pd double")
         )
 
     cb_rows = [
@@ -788,7 +789,7 @@ def _pq_lut(
         for s in range(m)
         for c in range(books[s].shape[0])
     ]
-    cb_tbl = spark.createDataFrame(cb_rows, "s int, code int, cvec array<double>")
+    cb_tbl = local_rows_df(spark, cb_rows, "s int, code int, cvec array<double>")
     qv = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -1487,7 +1488,7 @@ def mmr_select(
     ).select("neighbor_id", "cos", vec_col)
     rows = vecs.collect()  # bounded by n_candidates — the tier contract
     if not rows:
-        return query.sparkSession.createDataFrame(
+        return local_rows_df(query.sparkSession,
             [], "rank_selected int, neighbor_id long, relevance double, mmr_score double"
         )
     ids = [r["neighbor_id"] for r in rows]
@@ -1511,7 +1512,7 @@ def mmr_select(
         selected.append(best)
         remaining.remove(best)
         out.append((rank, ids[best], float(rel[best]), float(best_score[0])))
-    return query.sparkSession.createDataFrame(
+    return local_rows_df(query.sparkSession,
         out, "rank_selected int, neighbor_id long, relevance double, mmr_score double"
     )
 

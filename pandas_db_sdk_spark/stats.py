@@ -14,6 +14,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ._localrel import local_rows_df
 
 __all__ = [
     "group_regression",
@@ -454,7 +455,7 @@ def logistic_regression_gd(
         + [f"w_{c} double" for c in feature_cols]
         + ["accuracy double", "n long"]
     )
-    return spark.createDataFrame(rows, cols)
+    return local_rows_df(spark, rows, cols)
 
 
 def softmax_regression_gd(
@@ -559,4 +560,4 @@ def softmax_regression_gd(
         names.append(f"w_c{c}_bias double")
         names.extend(f"w_c{c}_{col} double" for col in feature_cols)
     names += ["accuracy double", "n long"]
-    return spark.createDataFrame(rows, ", ".join(names))
+    return local_rows_df(spark, rows, ", ".join(names))

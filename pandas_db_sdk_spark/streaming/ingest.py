@@ -17,6 +17,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 
 from ..engine import DataFrameEngine
+from .._localrel import local_rows_df
 
 
 def stream_into_engine(
@@ -575,7 +576,7 @@ def drift_monitor_into_engine(
             ca += pb
             cb += pr
             ks = max(ks, abs(ca - cb))
-        alarm = spark.createDataFrame(
+        alarm = local_rows_df(spark,
             [
                 (
                     int(epoch_id),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ._localrel import local_rows_df
 
 # Tiny per-language function-word lexicons for the n-gram/stopword heuristic.
 # Deliberately small: the point is the distributed scoring shape, not lexicon
@@ -1347,6 +1348,77 @@ def kneser_ney_bigram(
     )
 
 
+def _sql_str(s: str) -> str:
+    """A Spark SQL string literal for ARBITRARY ``s``: every UTF-16 code
+    unit is written as a ``\\uXXXX`` escape, so quotes, backslashes,
+    control characters and astral-plane symbols (surrogate pairs) all
+    round-trip without any quoting rules to get wrong.  Exists so the
+    iterative BPE loop can hand each round's rewrite to ``F.expr`` as ONE
+    server-side parse instead of hundreds of py4j Column calls (guide §1.2
+    step 2 — the loop's per-round cost is driver-side, not cluster-side)."""
+    units: list[int] = []
+    for ch in s:
+        o = ord(ch)
+        if o > 0xFFFF:
+            o -= 0x10000
+            units.append(0xD800 + (o >> 10))
+            units.append(0xDC00 + (o & 0x3FF))
+        else:
+            units.append(o)
+    return "'" + "".join("\\u%04X" % u for u in units) + "'"
+
+
+_BPE_INIT_SQL = (
+    "struct(cast(array() as array<string>) AS out, "
+    "CAST(NULL AS STRING) AS pend)"
+)
+_BPE_FINISH_SQL = (
+    "acc -> CASE WHEN acc.pend IS NULL THEN acc.out "
+    "ELSE array_append(acc.out, acc.pend) END"
+)
+
+
+def _bpe_rewrite_sql(child_sql: str, a: str, b: str) -> str:
+    """SQL-text form of :func:`bpe_rewrite_expr` over ``child_sql`` (a SQL
+    expression producing array<string>) — parses to the identical
+    CaseWhen/aggregate tree (the equivalence is pinned by
+    ``test_bpe_rewrite_sql_matches_column_path``)."""
+    pa, pb, pm = _sql_str(a), _sql_str(b), _sql_str(a + b)
+    step = (
+        "(acc, x) -> CASE "
+        "WHEN acc.pend IS NULL THEN struct(acc.out AS out, x AS pend) "
+        f"WHEN acc.pend = {pa} AND x = {pb} THEN "
+        f"struct(array_append(acc.out, {pm}) AS out, "
+        "CAST(NULL AS STRING) AS pend) "
+        "ELSE struct(array_append(acc.out, acc.pend) AS out, x AS pend) END"
+    )
+    return (
+        f"aggregate({child_sql}, {_BPE_INIT_SQL}, {step}, {_BPE_FINISH_SQL})"
+    )
+
+
+def _bpe_rewrite_multi_sql(child_sql: str, rules) -> str:
+    """SQL-text form of :func:`bpe_rewrite_multi_expr` (same equivalence
+    contract as :func:`_bpe_rewrite_sql`; batch must be symbol-disjoint,
+    enforced by the caller exactly as for the Column form)."""
+    sep = "\x1f"
+    entries = ", ".join(
+        f"{_sql_str(a + sep + b)}, {_sql_str(a + b)}" for a, b in rules
+    )
+    lookup = f"try_element_at(map({entries}), concat(acc.pend, {_sql_str(sep)}, x))"
+    step = (
+        "(acc, x) -> CASE "
+        "WHEN acc.pend IS NULL THEN struct(acc.out AS out, x AS pend) "
+        f"WHEN {lookup} IS NOT NULL THEN "
+        f"struct(array_append(acc.out, {lookup}) AS out, "
+        "CAST(NULL AS STRING) AS pend) "
+        "ELSE struct(array_append(acc.out, acc.pend) AS out, x AS pend) END"
+    )
+    return (
+        f"aggregate({child_sql}, {_BPE_INIT_SQL}, {step}, {_BPE_FINISH_SQL})"
+    )
+
+
 def bpe_rewrite_expr(syms_col, a: str, b: str):
     """The greedy left-to-right non-overlapping BPE merge of adjacent
     (a, b) into a+b over a symbol array, as a whole-stage-codegen
@@ -1423,26 +1495,33 @@ def bpe_merges(
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
+    # eager=False: the checkpoint truncates lineage immediately (the plan
+    # becomes a LogicalRDD) but materializes as a side effect of the NEXT
+    # round's candidate collect — one Spark job per round instead of two
+    # (guide §1.2: remove per-iteration passes before tuning inside them)
     state = wf.select(
         "f", F.expr("filter(split(w, ''), x -> x != '')").alias("syms")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     spark = df.sparkSession
     merges = []
+    # loop-invariant Column trees built ONCE: unresolved Columns bind to
+    # whichever round's state they are selected from, and each py4j call
+    # saved is driver wall-time off every round
+    pair_explode = F.explode(
+        F.arrays_zip(
+            F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))).alias("a"),
+            F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))).alias("b"),
+        )
+    ).alias("__p")
+    pair_cols = [F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), F.col("f")]
+    cnt_desc = [F.col("cnt").desc(), F.col("a"), F.col("b")]
     for rank in range(1, n_merges + 1):
-        pairs = state.select(
-            "f",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))).alias("a"),
-                    F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))).alias("b"),
-                )
-            ).alias("__p"),
-        ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), "f")
+        pairs = state.select("f", pair_explode).select(*pair_cols)
         top = (
             pairs.groupBy("a", "b")
             .agg(F.sum("f").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "a", "b")
+            .orderBy(*cnt_desc)
             .limit(1)
             .collect()
         )
@@ -1450,11 +1529,12 @@ def bpe_merges(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((rank, a, b, a + b, cnt))
+        # one F.expr parse per round instead of ~40 py4j Column calls
         state = state.select(
-            "f", bpe_rewrite_expr(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+            "f", F.expr(_bpe_rewrite_sql("syms", a, b)).alias("syms")
+        ).localCheckpoint(eager=False)
 
-    return spark.createDataFrame(
+    return local_rows_df(spark,
         merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
     )
 
@@ -1564,9 +1644,16 @@ def bpe_merges_batched(
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
+    # eager=False + observe: each round runs ONE Spark action (the
+    # candidate collect), which simultaneously materializes the lazily
+    # checkpointed state AND reports its token mass Σ f·|syms| through a
+    # CollectMetrics node — the separate per-round checkpoint job and
+    # mass() aggregate job are gone (guide §1.2: remove per-iteration
+    # passes first). Round N's mass_after is observed by round N+1's
+    # collect; only the final round pays an explicit mass() job.
     state = wf.select(
         "f", F.expr("filter(split(w, ''), x -> x != '')").alias("syms")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     spark = df.sparkSession
 
@@ -1576,33 +1663,52 @@ def bpe_merges_batched(
             or 0
         )
 
+    from pyspark.sql import Observation
+
     merges = []
     rounds = []
     rank, rnd = 0, 0
-    mass_before = mass(state)
+    pending = None  # rounds row of the PREVIOUS round, awaiting mass_after
+    # loop-invariant Column trees built once (see bpe_merges)
+    mass_expr = F.sum(F.col("f") * F.size("syms")).cast("long").alias("m")
+    pair_explode = F.explode(
+        F.arrays_zip(
+            F.slice(
+                "syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))
+            ).alias("a"),
+            F.slice(
+                "syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))
+            ).alias("b"),
+        )
+    ).alias("__p")
+    pair_cols = [F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), F.col("f")]
+    cnt_desc = [F.col("cnt").desc(), F.col("a"), F.col("b")]
     while rank < n_merges:
         rnd += 1
         want = n_merges - rank
-        pairs = state.select(
-            "f",
-            F.explode(
-                F.arrays_zip(
-                    F.slice(
-                        "syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))
-                    ).alias("a"),
-                    F.slice(
-                        "syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))
-                    ).alias("b"),
-                )
-            ).alias("__p"),
-        ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), "f")
+        obs = Observation()
+        pairs = (
+            state.observe(obs, mass_expr)
+            .select("f", pair_explode)
+            .select(*pair_cols)
+        )
         cand = (
             pairs.groupBy("a", "b")
             .agg(F.sum("f").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "a", "b")
+            .orderBy(*cnt_desc)
             .limit(candidate_factor * min(batch, want))
             .collect()
         )
+        try:
+            mass_before = int(obs.get["m"] or 0)
+        except Exception:
+            # degenerate rounds (e.g. every word already one symbol) can
+            # optimize the CollectMetrics node away — fall back to the
+            # explicit 1-row aggregate for exactly those rounds
+            mass_before = mass(state)
+        if pending is not None:
+            rounds.append(pending + (mass_before,))
+            pending = None
         if not cand:
             break
         used: set = set()
@@ -1622,31 +1728,33 @@ def bpe_merges_batched(
             merges.append((rank, rnd, a, b, a + b, cnt))
         state = state.select(
             "f",
-            bpe_rewrite_multi_expr(
-                F.col("syms"), [(a, b) for a, b, _ in admitted]
+            F.expr(
+                _bpe_rewrite_multi_sql(
+                    "syms", [(a, b) for a, b, _ in admitted]
+                )
             ).alias("syms"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # round N's mass_after doubles as round N+1's mass_before —
-        # one 1-row aggregate per round, not two
-        mass_after = mass(state)
-        rounds.append(
-            (
-                rnd,
-                len(admitted),
-                admitted[0][2],
-                sum(c for _, _, c in admitted),
-                mass_before,
-                mass_after,
-            )
+        # observed by the next collect; resolved above or after the loop
+        pending = (
+            rnd,
+            len(admitted),
+            admitted[0][2],
+            sum(c for _, _, c in admitted),
+            mass_before,
         )
-        mass_before = mass_after
 
-    merges_df = spark.createDataFrame(
+    if pending is not None:
+        # the last admitted round never saw a following collect — one
+        # explicit 1-row aggregate resolves its mass_after
+        rounds.append(pending + (mass(state),))
+
+    merges_df = local_rows_df(spark,
         merges,
         "rank int, round int, sym_a string, sym_b string, merged string, "
         "pair_count long",
     )
-    rounds_df = spark.createDataFrame(
+    rounds_df = local_rows_df(spark,
         rounds,
         "round int, n_rules int, head_count long, batch_count_sum long, "
         "mass_before long, mass_after long",
@@ -1690,9 +1798,12 @@ def bpe_encode_stats(
         .groupBy("g", "w")
         .agg(F.count("*").alias("f"))
     )
-    syms = F.expr("filter(split(w, ''), x -> x != '')")
+    # the whole merge chain as ONE server-side parse: k nested rewrites
+    # composed as SQL text, not k rounds of py4j Column construction
+    syms_sql = "filter(split(w, ''), x -> x != '')"
     for a, b in rules:
-        syms = bpe_rewrite_expr(syms, a, b)
+        syms_sql = _bpe_rewrite_sql(syms_sql, a, b)
+    syms = F.expr(syms_sql)
     enc = wf.select("g", "f", F.length("w").alias("nc"), F.size(syms).alias("nt"))
     return enc.groupBy(F.col("g").alias(group_col)).agg(
         F.count("*").cast("long").alias("n_words"),
@@ -2304,11 +2415,11 @@ def unigram_lm_vocab(
     ranked = sorted(
         inventory.items(), key=lambda kv: (-kv[1], kv[0])
     )
-    pieces = spark.createDataFrame(
+    pieces = local_rows_df(spark,
         [(p, c, i + 1) for i, (p, c) in enumerate(ranked)],
         "piece string, count long, rank int",
     )
-    rounds_df = spark.createDataFrame(
+    rounds_df = local_rows_df(spark,
         rounds,
         "round int, n_pieces int, total_pieces long, token_mass long, "
         "neg_loglik double",

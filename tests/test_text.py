@@ -455,6 +455,48 @@ def test_bpe_merges_batched_first_rule_and_invariants(spark):
         assert a1 == rest[-2]
 
 
+def test_bpe_rewrite_sql_matches_column_path(spark):
+    """The r14 optimization builds each round's rewrite as ONE SQL string
+    (text._bpe_rewrite_sql / _bpe_rewrite_multi_sql) instead of a py4j
+    Column tree; this pins the two construction paths to identical
+    results — including symbols that stress the literal escaping (quotes,
+    backslash, the chr(31) map separator, newlines, astral-plane chars)."""
+    from pandas_db_sdk_spark import text
+
+    nasty = ["a'b", 'a"b', "a\\b", "\x1f", "\u00e9", "\U0001d518", "a\nb"]
+    words = ["ababa", "aaab"] + [x + y for x in nasty for y in nasty[:3]]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    syms = F.expr("filter(split(w, ''), x -> x != '')")
+    for a, b in [("a", "b"), ("'", '"'), ("\x1f", "\\")]:
+        col_form = df.select(
+            "w", text.bpe_rewrite_expr(syms, a, b).alias("out")
+        )
+        sql_form = df.select(
+            "w",
+            F.expr(
+                text._bpe_rewrite_sql("filter(split(w, ''), x -> x != '')", a, b)
+            ).alias("out"),
+        )
+        assert {r.w: r.out for r in col_form.collect()} == {
+            r.w: r.out for r in sql_form.collect()
+        }
+    rules = [("a", "b"), ("'", '"')]
+    col_multi = df.select(
+        "w", text.bpe_rewrite_multi_expr(syms, rules).alias("out")
+    )
+    sql_multi = df.select(
+        "w",
+        F.expr(
+            text._bpe_rewrite_multi_sql(
+                "filter(split(w, ''), x -> x != '')", rules
+            )
+        ).alias("out"),
+    )
+    assert {r.w: r.out for r in col_multi.collect()} == {
+        r.w: r.out for r in sql_multi.collect()
+    }
+
+
 def test_bpe_merges_batched_exhausts_gracefully(spark):
     """Asking for more merges than the vocabulary supports stops when no
     pairs remain instead of looping."""
