@@ -335,7 +335,7 @@ def _cc_star_fixpoint(src: DataFrame, id_type: str, max_iter: int) -> DataFrame:
             F.least("id_a", "id_b").alias("v"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if edges.isEmpty():
         return ids.select("id", F.col("id").alias("cluster"))
@@ -367,7 +367,7 @@ def _cc_star_fixpoint(src: DataFrame, id_type: str, max_iter: int) -> DataFrame:
             .union(joined.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         edges = small
         # star-ness: no vertex is both a satellite (u side) and a root
@@ -532,7 +532,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # convergence probe: labels only ever DECREASE, so the label total is
     # strictly monotone and "sum unchanged" == "nothing relabeled" — one
@@ -574,7 +574,7 @@ def connected_components(
                     F.col("cluster"), F.coalesce("__cc", F.col("cluster"))
                 ).alias("cluster"),
             )
-        new = new.localCheckpoint()
+        new = new.localCheckpoint(eager=False)
         new_sum = _label_sum(new)
         labels = new
         if new_sum == prev_sum:
@@ -668,8 +668,13 @@ def simhash_near_pairs(
     beyond 7 the bands get narrower than 8 bits and bucket collision rates
     explode, so that's a hard error rather than a silent slowdown.
     """
+    # slim (id, simhash) persisted before the band self-join: both join
+    # sides otherwise recompute the corpus-wide simhash aggregate (guide
+    # §2.4 — one exchange, reused; 16 bytes/row, text never cached)
     return hamming_near_pairs(
-        simhash(df, id_col, text_col),
+        scratch_persist(
+            simhash(df, id_col, text_col), "dedup/simhash_near_pairs/sig"
+        ),
         id_col,
         "simhash",
         max_hamming=max_hamming,
@@ -702,6 +707,11 @@ def hamming_near_pairs(
     base, extra = divmod(64, n_bands)
     widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
+    # NOTE: both sides of the band self-join below re-evaluate sig_df.
+    # Callers whose signatures are not already cached (the audio/video
+    # chunk tiers, SimHash) persist their slim projection FIRST —
+    # hamming_clusters feeds an already-cached reps frame, so persisting
+    # here again would only add a per-construction plan canonicalization.
     sig = sig_df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"))
     bands = sig.select(
         "__id",

@@ -50,7 +50,7 @@ def pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:
         e = e.union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-    e = e.distinct().localCheckpoint(eager=True)
+    e = e.distinct().localCheckpoint(eager=False)
 
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
     # every endpoint is a node: in the directed case pure SINKS have no
@@ -62,7 +62,7 @@ def pagerank(
         e.select(F.col("s").alias("id"))
         .union(e.select(F.col("d").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
 
@@ -87,7 +87,7 @@ def pagerank(
                     F.lit(base) + F.lit(damping) * F.coalesce("m", F.lit(0.0)), 12
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -225,7 +225,7 @@ def hierarchy_depth(
             F.col(parent_col).alias("anc"),
             F.lit(1).alias("d"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         t = state.select(
@@ -241,7 +241,7 @@ def hierarchy_depth(
                 (F.col("d") + F.coalesce("t_d", F.lit(0))).alias("d"),
                 F.col("t_id").isNotNull().alias("__moved"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         moved = jumped.filter(F.col("__moved")).limit(1).count()
         state = jumped.drop("__moved")
@@ -452,7 +452,7 @@ def shortest_paths(
         seeds.select(F.col(seed_col).alias("id"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = state
     for _ in range(max_iter):
@@ -472,7 +472,7 @@ def shortest_paths(
             .unionByName(relaxed.withColumn("__old", F.lit(None).cast("long")))
             .groupBy("id")
             .agg(F.min("dist").alias("dist"), F.min("__old").alias("__old"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = merged.filter(
             F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
@@ -544,7 +544,7 @@ def bfs_hops(
         seeds.select(F.col(seed_col).alias("id"))
         .distinct()
         .withColumn("hops", F.lit(0))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = state
     for _ in range(max_iter):
@@ -563,7 +563,7 @@ def bfs_hops(
             .unionByName(reached.withColumn("__old", F.lit(None).cast("int")))
             .groupBy("id")
             .agg(F.min("hops").alias("hops"), F.min("__old").alias("__old"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = merged.filter(
             F.col("__old").isNull() | (F.col("hops") < F.col("__old"))
@@ -671,7 +671,7 @@ def kcore(
         e = (
             e.join(victims, "s", "left_anti")
             .join(victims.withColumnRenamed("s", "d"), "d", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     else:
         if not e.groupBy("s").agg(F.count("*").alias("__deg")).filter(
@@ -726,7 +726,7 @@ def label_propagation_communities(
         e.select(F.col("s").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         nb = e.join(labels.withColumnRenamed("id", "d"), "d").select("s", "lbl")
@@ -741,6 +741,6 @@ def label_propagation_communities(
                 ).alias("__w")
             )
             .select(F.col("s").alias("id"), F.col("__w.l").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select("id", F.col("lbl").alias("community"))

@@ -6318,9 +6318,20 @@ def _chunk_sig_near_dup(
             )
         )
     )
-    sigs = fps.select(
-        checked_key.alias("__cid"),
-        (F.col("fp_lo") + F.shiftleft(F.col("fp_hi"), 32)).alias("__sig"),
+    from ._scratch import scratch_persist
+
+    # slim (composite key, signature) projection persisted before the
+    # band self-join: both join sides otherwise re-evaluate the ENTIRE
+    # decode→fingerprint Python-map chain, twice (measured as 12
+    # MapInPandas nodes in d173's plan). 16 bytes/row, audio bytes never
+    # cached; the slot pool bounds it to one generation (the d167
+    # slim-shingle discipline, guide §5).
+    sigs = scratch_persist(
+        fps.select(
+            checked_key.alias("__cid"),
+            (F.col("fp_lo") + F.shiftleft(F.col("fp_hi"), 32)).alias("__sig"),
+        ),
+        "multimodal/chunk_sig_near_dup/sigs",
     )
     pairs = dedup.hamming_near_pairs(
         sigs, "__cid", "__sig", max_hamming=max_hamming,
