@@ -8436,8 +8436,16 @@ def d168(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    mj = text.code_switch_stats(planted, "doc_id", "text").select(
-        "doc_id", "majority_lang"
+    from .._scratch import scratch_persist
+
+    # the (doc_id, majority_lang) label table is joined back for BOTH
+    # fertility passes (vocab build + scoring) — persist the slim 2-column
+    # frame so the code_switch majority aggregates run once per build
+    mj = scratch_persist(
+        text.code_switch_stats(planted, "doc_id", "text").select(
+            "doc_id", "majority_lang"
+        ),
+        "d168/majority_lang",
     )
     dd = planted.join(mj, "doc_id").select(
         "doc_id", "text", F.col("majority_lang").alias("lang")

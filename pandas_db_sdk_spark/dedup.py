@@ -65,23 +65,31 @@ def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, size: int) -> 
     from the first moment. At 100 TB the explode output is the largest
     intermediate of the whole dedup pipeline, so its row width matters most.
     """
-    tokens = F.split(F.col(text_col), " ")
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
-    n = F.size(F.col("__th"))
-    starts = F.sequence(F.lit(1), F.greatest(n - size + 1, F.lit(1)))
-    sh = F.array_distinct(
-        F.transform(
-            starts,
-            # try_element_at: docs shorter than the shingle width yield one
-            # degenerate shingle of the available tokens (xxhash64 skips the
-            # NULLs) instead of an out-of-bounds error.
-            lambda i: F.xxhash64(*[F.try_element_at(F.col("__th"), i + j) for j in range(size)]),
-        )
+    # two server-side parses instead of ~100 py4j Column calls; the
+    # try_element_at form means docs shorter than the shingle width yield
+    # one degenerate shingle of the available tokens (xxhash64 skips the
+    # NULLs) instead of an out-of-bounds error.
+    args = ", ".join(f"try_element_at(__th, i + {j})" for j in range(size))
+    return df.selectExpr(
+        f"`{id_col}` AS __id",
+        f"transform(split(`{text_col}`, ' '), t -> xxhash64(t)) AS __th",
+    ).selectExpr(
+        "__id",
+        f"explode(array_distinct(transform("
+        f"sequence(1, greatest(size(__th) - {size} + 1, 1)),"
+        f" i -> xxhash64({args})))) AS __h",
     )
-    return (
-        df.select(F.col(id_col).alias("__id"), th.alias("__th"))
-        .select("__id", F.explode(sh).alias("__h"))
-    )
+
+
+def _min_hash_exprs(n_hashes: int):
+    """The n_hashes ``min(xxhash64(i, __h))`` aggregate Columns, each built
+    as ONE server-side parse — the seed literal stays an INT (as
+    ``F.lit(i)`` was), so the hash family is byte-identical; construction
+    drops from ~5 py4j calls per member to 1 (guide §1.2 step 2: the
+    signature aggregate is rebuilt on every query construction)."""
+    return [
+        F.expr(f"min(xxhash64({i}, __h)) AS __mh{i}") for i in range(n_hashes)
+    ]
 
 
 def minhash_signatures_with_sets(
@@ -99,10 +107,9 @@ def minhash_signatures_with_sets(
     times, with the same min-wise independence.
     """
     exploded = _shingle_hash_rows(df, id_col, text_col, shingle)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__mh{i}") for i in range(n_hashes)
-    ]
-    return exploded.groupBy("__id").agg(*mins, F.collect_set("__h").alias("__shset"))
+    return exploded.groupBy("__id").agg(
+        *_min_hash_exprs(n_hashes), F.collect_set("__h").alias("__shset")
+    )
 
 
 def _minhash_signature_agg(
@@ -112,10 +119,7 @@ def _minhash_signature_agg(
     per-document sets are never materialized corpus-wide; minhash_lsh_pairs
     computes them in a second pass restricted to candidate-surviving docs."""
     exploded = _shingle_hash_rows(df, id_col, text_col, shingle)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__mh{i}") for i in range(n_hashes)
-    ]
-    return exploded.groupBy("__id").agg(*mins)
+    return exploded.groupBy("__id").agg(*_min_hash_exprs(n_hashes))
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle: int = 3) -> DataFrame:
@@ -200,11 +204,14 @@ def minhash_lsh_pairs(
     )
     # Band keys are pure column arithmetic over the __mh columns (bands and
     # rows are plan-time constants) — stays in whole-stage codegen.
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"__mh{b * rows + r}") for r in range(rows)])
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64(%d, %s)"
+            % (b, ", ".join(f"__mh{b * rows + r}" for r in range(rows)))
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     band_entries = agg.select(
         "__id", F.posexplode(band_keys).alias("band_idx", "band_key")
@@ -1132,11 +1139,15 @@ def edit_distance_pairs(
         .agg(F.collect_set("s").alias("ss"))
         .filter(F.size("ss") > 1)
     )
-    pairs = buckets.select(
+    pairs = buckets.selectExpr("array_sort(ss) AS ss").select(
         F.explode(
             F.expr(
-                "flatten(transform(array_sort(ss), (a, i) -> "
-                "transform(slice(array_sort(ss), i + 2, size(ss)), "
+                # ss is pre-sorted ONCE above: the in-bucket pair explode
+                # runs the O(k log k) sort once per bucket instead of once
+                # per outer element (guide §1.2 step 2 — this HOF is the
+                # CPU-bound stage of the operator)
+                "flatten(transform(ss, (a, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
                 "b -> struct(a AS name_a, b AS name_b))))"
             )
         ).alias("p")

@@ -110,7 +110,18 @@ def pack_greedy(
     salted = df.select(id_col, tokens_col).withColumn(
         "__grp", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
     )
-    return salted.groupBy("__grp").applyInPandas(pack_group, schema)
+    # explicit width: the packing stage's output is small in BYTES, so AQE
+    # coalesces it to one partition — which serializes every group's
+    # pandas conversion + FFD through ONE Python worker. A user-specified
+    # repartition pins one task per core and the groupBy reuses the
+    # exchange (the d53 edit-distance precedent; guide §2.5 — group
+    # assignment and bin layout are unchanged, only placement)
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        salted.repartition(width, "__grp")
+        .groupBy("__grp")
+        .applyInPandas(pack_group, schema)
+    )
 
 
 def sft_loss_mask(

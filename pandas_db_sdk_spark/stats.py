@@ -258,32 +258,46 @@ def ks_two_sample(
         .groupBy(F.col(value_col).alias("v"), g.alias("__g"))
         .agg(F.count("*").alias("c"))
     )
-    # bounded collect: at most 3 rows fetched, purely to validate arity
-    labels = [
-        r["__g"]
-        for r in per_value.select("__g").distinct().orderBy("__g").limit(3).collect()
-    ]
+    # ONE label-cardinality aggregate yields the arity check AND the two
+    # sample sizes (previously a distinct-labels collect plus a separate
+    # totals aggregate + broadcast crossJoin): the collect is bounded at
+    # 3 rows, n1/n2 become plan literals, and one whole pass over the
+    # per-value counts disappears (guide §1.2 step 1)
+    lab_rows = (
+        per_value.groupBy("__g")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy("__g")
+        .limit(3)
+        .collect()
+    )
+    labels = [r["__g"] for r in lab_rows]
     if len(labels) != 2:
         raise ValueError(f"ks_two_sample needs exactly 2 groups, got {labels}")
+    n1, n2 = int(lab_rows[0]["n"]), int(lab_rows[1]["n"])
     wide = per_value.groupBy("v").agg(
         F.sum(F.when(F.col("__g") == labels[0], F.col("c")).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("__g") == labels[1], F.col("c")).otherwise(0)).alias("c2"),
     )
     cum = global_cumsum(wide, ["v"], {"a1": "c1", "a2": "c2"})
-    totals = wide.agg(
-        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
-    )
-    d = cum.crossJoin(F.broadcast(totals)).select(
-        "v",
-        "n1",
-        "n2",
-        F.round(
-            F.abs(
-                F.col("a1").cast("double") / F.col("n1")
-                - F.col("a2").cast("double") / F.col("n2")
-            ),
-            ndigits + 3,
-        ).alias("__d"),
+    from ._scratch import scratch_persist
+
+    # the ECDF-difference frame feeds BOTH the sup aggregate and the
+    # argmin filter join — persist the value-domain-sized frame once
+    # instead of re-running the cumsum windows + offsets join per branch
+    d = scratch_persist(
+        cum.select(
+            "v",
+            F.lit(n1).cast("long").alias("n1"),
+            F.lit(n2).cast("long").alias("n2"),
+            F.round(
+                F.abs(
+                    F.col("a1").cast("double") / F.lit(n1).cast("long")
+                    - F.col("a2").cast("double") / F.lit(n2).cast("long")
+                ),
+                ndigits + 3,
+            ).alias("__d"),
+        ),
+        "stats/ks_two_sample/d",
     )
     top = d.agg(F.max("__d").alias("__dmax"))
     return (

@@ -48,25 +48,28 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     One pass, no shuffle: per-row array intersection against broadcast-free
     literal arrays.
     """
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    out = df
-    for lang, lex in LANG_LEXICONS.items():
-        hits = F.size(
-            F.filter(toks, lambda t: t.isin(*lex))  # noqa: B023
+    # two server-side parses instead of ~700 py4j Column calls (guide
+    # §1.2 step 2: this scorer sits inside per-line loops like
+    # code_switch_stats, so construction cost is paid per query build);
+    # size(toks) == size(split(...)) since transform preserves length
+    tc = f"`{text_col}`"
+    toks = f"transform(split({tc}, ' '), t -> lower(t))"
+    denom = f"greatest(size(split({tc}, ' ')), 1)"
+    score_cols = [
+        (
+            f"round(cast(size(filter({toks}, t -> t IN "
+            f"({', '.join(_sql_str(w) for w in lex)}))) as double)"
+            f" / {denom}, 6) AS score_{lang}"
         )
-        out = out.withColumn(
-            f"score_{lang}",
-            F.round(hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6),
-        )
-    scores = F.array(
-        *[
-            F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("l"))
-            for lang in sorted(LANG_LEXICONS)
-        ]
-    )
+        for lang, lex in LANG_LEXICONS.items()
+    ]
+    out = df.selectExpr("*", *score_cols)
     # array_max on struct: ordered by (score, lang) — deterministic tie-break.
-    best = F.array_max(scores)
-    return out.withColumn("predicted_lang", best.getField("l"))
+    structs = ", ".join(
+        f"struct(score_{lang} AS s, {_sql_str(lang)} AS l)"
+        for lang in sorted(LANG_LEXICONS)
+    )
+    return out.selectExpr("*", f"array_max(array({structs})).l AS predicted_lang")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
