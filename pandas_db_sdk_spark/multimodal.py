@@ -4638,8 +4638,9 @@ def stft_frame_features(
                 return None
             return np.frombuffer(data, dtype="<i2").astype(np.int64)
 
+        bin_idx = np.arange(n_bins, dtype=np.int32)
         for pdf in batches:
-            rows = []
+            cid, cf, cb, cre, cim, cpk = [], [], [], [], [], []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
                 s = parse(bytes(buf))
                 if s is None or s.size < frame_len:
@@ -4651,32 +4652,43 @@ def stft_frame_features(
                 win = np.lib.stride_tricks.sliding_window_view(
                     s, frame_len
                 )[::hop]
-                re_m = (win @ cos_i.T).tolist()
-                im_m = (win @ (-sin_i.T)).tolist()
-                for f in range(n_frames):
-                    re, im = re_m[f], im_m[f]
-                    # dominant non-DC bin via exact arbitrary-precision power
-                    powers = [
-                        re[b] * re[b] + im[b] * im[b]
-                        for b in range(1, n_bins)
-                    ]
-                    peak = 1 + max(
-                        range(n_bins - 1), key=lambda j: (powers[j], -j)
-                    )
-                    for b in range(n_bins):
-                        rows.append(
-                            (
-                                int(i),
-                                f,
-                                b,
-                                re[b],
-                                im[b],
-                                1 if b == peak else 0,
-                            )
-                        )
+                re_m = win @ cos_i.T
+                im_m = win @ (-sin_i.T)
+                # dominant non-DC bin via exact arbitrary-precision power:
+                # object dtype lifts to Python ints (re² overflows int64),
+                # and np.argmax's first-max rule IS the lowest-bin
+                # tie-break the tuple-key max used to implement
+                po = re_m[:, 1:].astype(object)
+                qo = im_m[:, 1:].astype(object)
+                peaks = 1 + np.argmax(po * po + qo * qo, axis=1).astype(
+                    np.int32
+                )
+                # vectorized row assembly (one row per frame × bin): the
+                # per-element Python tuple building dominated this map
+                cid.append(np.full(n_frames * n_bins, int(i), dtype=np.int64))
+                cf.append(np.repeat(np.arange(n_frames, dtype=np.int32), n_bins))
+                cb.append(np.tile(bin_idx, n_frames))
+                cre.append(re_m.ravel())
+                cim.append(im_m.ravel())
+                cpk.append(
+                    (np.tile(bin_idx, n_frames) == np.repeat(peaks, n_bins))
+                    .astype(np.int32)
+                )
+
+            def cat(parts, dt):
+                return (
+                    np.concatenate(parts) if parts else np.array([], dtype=dt)
+                )
+
             yield pd.DataFrame(
-                rows,
-                columns=[id_col, "frame_no", "bin", "re_scaled", "im_scaled", "is_peak"],
+                {
+                    id_col: cat(cid, np.int64),
+                    "frame_no": cat(cf, np.int32),
+                    "bin": cat(cb, np.int32),
+                    "re_scaled": cat(cre, np.int64),
+                    "im_scaled": cat(cim, np.int64),
+                    "is_peak": cat(cpk, np.int32),
+                }
             )
 
     return df.mapInPandas(

@@ -14,7 +14,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from ._localrel import local_rows_df
+from ._localrel import local_rows_df, sql_literal as _sql_str
 
 __all__ = [
     "group_regression",
@@ -93,38 +93,39 @@ def corr_matrix(
     k(k-1)/2 output rows) — vs calling ``corr`` per pair, which re-scans
     per coefficient.
     """
-    aggs = [F.count("*").cast("decimal(10,0)").alias("n")]
+    # k² expressions built as TWO server-side parses instead of ~1,700
+    # py4j Column calls (guide §1.2 step 2); identical casts/rounding, so
+    # every coefficient is bit-identical to the Column-built form
+    aggs = ["CAST(count(*) AS DECIMAL(10,0)) AS n"]
     for c in cols:
-        v = F.col(c).cast("decimal(14,4)")
-        aggs.append(F.sum(v).cast("decimal(18,4)").alias(f"s_{c}"))
-        aggs.append(F.sum(v * v).cast("decimal(27,8)").alias(f"ss_{c}"))
+        v = f"CAST(`{c}` AS DECIMAL(14,4))"
+        aggs.append(f"CAST(sum({v}) AS DECIMAL(18,4)) AS `s_{c}`")
+        aggs.append(f"CAST(sum({v} * {v}) AS DECIMAL(27,8)) AS `ss_{c}`")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     for a, b in pairs:
-        va = F.col(a).cast("decimal(14,4)")
-        vb = F.col(b).cast("decimal(14,4)")
-        aggs.append(F.sum(va * vb).cast("decimal(27,8)").alias(f"sp_{a}_{b}"))
-    m = df.agg(*aggs)
+        va = f"CAST(`{a}` AS DECIMAL(14,4))"
+        vb = f"CAST(`{b}` AS DECIMAL(14,4))"
+        aggs.append(f"CAST(sum({va} * {vb}) AS DECIMAL(27,8)) AS `sp_{a}_{b}`")
+    m = df.agg(*[F.expr(e) for e in aggs])
 
-    def corr_expr(a: str, b: str):
-        n = F.col("n")
-        num = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
-            "double"
-        )
-        da = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
-        db = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+    def corr_sql(a: str, b: str) -> str:
+        num = f"CAST(n * `sp_{a}_{b}` - `s_{a}` * `s_{b}` AS DOUBLE)"
+        da = f"CAST(n * `ss_{a}` - `s_{a}` * `s_{a}` AS DOUBLE)"
+        db = f"CAST(n * `ss_{b}` - `s_{b}` * `s_{b}` AS DOUBLE)"
         # a zero-variance column makes the coefficient undefined — NULL, not
-        # an engine-dependent div-by-zero artifact
-        return F.round(F.when(da * db > 0, num / F.sqrt(da * db)), ndigits) + F.lit(
-            0.0  # canonical zero: round() preserves IEEE sign of -0.0
+        # an engine-dependent div-by-zero artifact; `+ 0.0` canonicalizes
+        # round()'s preserved IEEE -0.0
+        return (
+            f"round(CASE WHEN {da} * {db} > 0 THEN {num} / sqrt({da} * {db}) "
+            f"END, {ndigits}) + 0.0d"
         )
 
-    rows = [
-        F.struct(
-            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr_expr(a, b).alias("corr")
-        )
+    rows = ", ".join(
+        f"struct({_sql_str(a)} AS col_a, {_sql_str(b)} AS col_b, "
+        f"{corr_sql(a, b)} AS corr)"
         for a, b in pairs
-    ]
-    return m.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    )
+    return m.select(F.expr(f"explode(array({rows}))").alias("r")).select("r.*")
 
 
 def weighted_median(

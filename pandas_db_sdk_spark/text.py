@@ -1351,24 +1351,7 @@ def kneser_ney_bigram(
     )
 
 
-def _sql_str(s: str) -> str:
-    """A Spark SQL string literal for ARBITRARY ``s``: every UTF-16 code
-    unit is written as a ``\\uXXXX`` escape, so quotes, backslashes,
-    control characters and astral-plane symbols (surrogate pairs) all
-    round-trip without any quoting rules to get wrong.  Exists so the
-    iterative BPE loop can hand each round's rewrite to ``F.expr`` as ONE
-    server-side parse instead of hundreds of py4j Column calls (guide §1.2
-    step 2 — the loop's per-round cost is driver-side, not cluster-side)."""
-    units: list[int] = []
-    for ch in s:
-        o = ord(ch)
-        if o > 0xFFFF:
-            o -= 0x10000
-            units.append(0xD800 + (o >> 10))
-            units.append(0xDC00 + (o & 0x3FF))
-        else:
-            units.append(o)
-    return "'" + "".join("\\u%04X" % u for u in units) + "'"
+from ._localrel import sql_literal as _sql_str  # noqa: E402 — shared literal builder
 
 
 _BPE_INIT_SQL = (
