@@ -36,6 +36,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # core count this run executes at (master local[$SPARK_GRAFT_CPUS],
+    # session.py) — recorded per BENCH_LOCAL row and required to match
+    # for bracket membership (VERDICT r14 #6)
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
 
     from pandas_db_sdk_spark import get_spark
     from pandas_db_sdk_spark.corpus import all_queries
@@ -211,6 +215,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
+    first_warm: dict[str, float] = {}
     for label, name in headline:
         # settle the JVM between queries: GC pauses from the previous
         # query's garbage shouldn't be billed to this one
@@ -230,9 +235,16 @@ def main() -> None:
         # BENCH_r01-r05 and because it is the noise-robust floor)
         ws = sorted(warms)
         medians[label] = round((ws[1] + ws[2]) / 2, 3)
+        # first-warm (VERDICT r14 #7): rep-1 warm time, BEFORE any
+        # scratch-persist slot populated by the cold rep can be confused
+        # with steady-state — makes the cross-rep cache effect of
+        # _scratch.py visible and per-invocation cost falsifiable.
+        # stderr + BENCH_LOCAL only; the stdout contract is unchanged.
+        first_warm[label] = round(warms[0], 3)
         print(
             f"# {label} ({name}): {n} rows, warm min {timings[label]}s "
-            f"median {medians[label]}s (cold {cold[label]}s)",
+            f"median {medians[label]}s (first {first_warm[label]}s, "
+            f"cold {cold[label]}s)",
             file=sys.stderr,
         )
 
@@ -313,6 +325,12 @@ def main() -> None:
                     same_engine_code(rec.get("git_head"))
                     and rec.get("sf") == sf
                     and set(rec.get("queries", {})) == set(timings)
+                    # bracket rows must match THIS run's core count
+                    # (VERDICT r14 #6: the driver's c8 sweep appended a
+                    # 31.73 s row that a 32-core bracket would otherwise
+                    # adopt as its `value`); rows predating the field
+                    # don't qualify.
+                    and rec.get("cpus") == n_cpus
                 ):
                     bracket.append(
                         [
@@ -338,6 +356,7 @@ def main() -> None:
         "median_total": round(sum(medians.values()), 3),
         "cold_total": round(sum(cold.values()), 3),
         "calib_jvm_sec": calib_jvm,
+        "cpus": n_cpus,
         "warm_reps": 4,
         "contended": contended,
         "loadavg_start": round(load_start, 2),
@@ -356,8 +375,10 @@ def main() -> None:
     full["value"] = total
     full.pop("bracket", None)
     full["git_head"] = git_head
+    full["cpus"] = n_cpus
     full["queries_median"] = medians
     full["cold_queries"] = cold
+    full["queries_first_warm"] = first_warm
     try:
         with open(os.path.join(here, "BENCH_LOCAL.jsonl"), "a") as fh:
             fh.write(json.dumps(full) + "\n")
