@@ -18,11 +18,13 @@ true (tiny) size instead of an unknown-RDD estimate.  Rows must be plain
 scalars / lists (the only shapes our call sites produce); anything the
 Arrow converter rejects falls back to the classic path unchanged.
 
-NaN caveat (why the fallback exists and call sites must not pass NaN in
-double columns): the Arrow conversion treats float NaN like NULL, while
-the pickled path keeps it a NaN value.  Every converted call site builds
-its doubles from finite Python arithmetic; the DuckDB-oracle suite pins
-the results bit-for-bit.
+NaN caveat (why the pre-scan below exists): the Arrow conversion treats
+float NaN like NULL, while the pickled path keeps it a NaN value.  The
+converted call sites build their doubles from finite Python arithmetic,
+but divergent numeric paths (gradient-descent weight traces, distance
+scores) CAN legitimately produce NaN — those rows take the classic path
+so the value survives (ADVICE r14: enforce the caveat in code, not by
+call-site convention).
 """
 
 from __future__ import annotations
@@ -31,11 +33,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def _has_nan(data) -> bool:
+    """True when any cell (scalar or one level of list/tuple — the only
+    shapes our call sites produce) is a float NaN, which the Arrow
+    LocalRelation path would silently turn into NULL."""
+    for r in data:
+        for v in r:
+            if isinstance(v, float):
+                if v != v:
+                    return True
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if isinstance(x, float) and x != x:
+                        return True
+    return False
+
+
 def local_rows_df(spark: SparkSession, rows, schema: str | StructType) -> DataFrame:
     """Build a DataFrame from a small driver-side ``rows`` list as a JVM
     ``LocalRelation`` (Arrow path; no Python-worker scan tasks), falling
     back to ``spark.createDataFrame(rows, schema)`` when conversion is
-    not possible."""
+    not possible or would change values (float NaN)."""
     try:
         import pandas as pd
 
@@ -44,6 +62,8 @@ def local_rows_df(spark: SparkSession, rows, schema: str | StructType) -> DataFr
         )
         names = [f.name for f in parsed.fields]
         data = [tuple(r) for r in rows]
+        if _has_nan(data):
+            raise ValueError("float NaN would become NULL on the Arrow path")
         if not data:
             # zero rows would bypass the Arrow path (Scan ExistingRDD over
             # an empty pickled RDD — still one task per core slot to
@@ -73,6 +93,43 @@ def local_rows_df(spark: SparkSession, rows, schema: str | StructType) -> DataFr
         return out
     except Exception:
         return spark.createDataFrame(rows, schema)
+
+
+def sql_ident(name: str) -> str:
+    """A backtick-quoted Spark SQL identifier for ARBITRARY ``name``:
+    embedded backticks are doubled, so a column name containing `` ` ``
+    parses as itself instead of erroring or injecting expression text
+    (ADVICE r14 — the F.col path these interpolations replaced handled
+    arbitrary names)."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+# applicationIds whose parser conf has been checked this process — the
+# check is one py4j conf read; caching keeps per-query-build cost at zero
+_UNICODE_LITERALS_OK: set = set()
+
+
+def require_unicode_literals(spark: SparkSession) -> None:
+    """Fail loudly when ``spark.sql.parser.escapedStringLiterals`` is true
+    (the legacy parser mode): :func:`sql_literal` writes every code unit
+    as a ``\\uXXXX`` escape, which that mode parses as RAW backslash text
+    — wrong merge rules / labels with no error (ADVICE r14).  Call sites
+    that hand ``sql_literal`` output to ``F.expr``/``selectExpr`` invoke
+    this first."""
+    app = spark.sparkContext.applicationId
+    if app in _UNICODE_LITERALS_OK:
+        return
+    try:
+        v = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    except Exception:
+        v = "false"
+    if str(v).lower() == "true":
+        raise ValueError(
+            "spark.sql.parser.escapedStringLiterals=true (legacy parser "
+            "mode) silently mis-parses the \\uXXXX string literals this "
+            "engine builds; unset it or set it to false"
+        )
+    _UNICODE_LITERALS_OK.add(app)
 
 
 def sql_literal(s: str) -> str:

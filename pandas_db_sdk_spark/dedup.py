@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._scratch import scratch_persist
-from ._localrel import local_rows_df
+from ._localrel import local_rows_df, sql_ident as _sql_ident
 
 
 def exact_dedup(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
@@ -71,8 +71,9 @@ def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, size: int) -> 
     # NULLs) instead of an out-of-bounds error.
     args = ", ".join(f"try_element_at(__th, i + {j})" for j in range(size))
     return df.selectExpr(
-        f"`{id_col}` AS __id",
-        f"transform(split(`{text_col}`, ' '), t -> xxhash64(t)) AS __th",
+        f"{_sql_ident(id_col)} AS __id",
+        f"transform(split({_sql_ident(text_col)}, ' '), t -> xxhash64(t))"
+        " AS __th",
     ).selectExpr(
         "__id",
         f"explode(array_distinct(transform("

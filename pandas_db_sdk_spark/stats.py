@@ -14,7 +14,12 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from ._localrel import local_rows_df, sql_literal as _sql_str
+from ._localrel import (
+    local_rows_df,
+    require_unicode_literals as _require_unicode_literals,
+    sql_ident as _sql_ident,
+    sql_literal as _sql_str,
+)
 
 __all__ = [
     "group_regression",
@@ -95,23 +100,30 @@ def corr_matrix(
     """
     # k² expressions built as TWO server-side parses instead of ~1,700
     # py4j Column calls (guide §1.2 step 2); identical casts/rounding, so
-    # every coefficient is bit-identical to the Column-built form
+    # every coefficient is bit-identical to the Column-built form.
+    # Identifiers go through sql_ident (backtick-escaped, ADVICE r14).
+    _require_unicode_literals(df.sparkSession)
+    _bi = _sql_ident
     aggs = ["CAST(count(*) AS DECIMAL(10,0)) AS n"]
     for c in cols:
-        v = f"CAST(`{c}` AS DECIMAL(14,4))"
-        aggs.append(f"CAST(sum({v}) AS DECIMAL(18,4)) AS `s_{c}`")
-        aggs.append(f"CAST(sum({v} * {v}) AS DECIMAL(27,8)) AS `ss_{c}`")
+        v = f"CAST({_bi(c)} AS DECIMAL(14,4))"
+        aggs.append(f"CAST(sum({v}) AS DECIMAL(18,4)) AS {_bi(f's_{c}')}")
+        aggs.append(f"CAST(sum({v} * {v}) AS DECIMAL(27,8)) AS {_bi(f'ss_{c}')}")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     for a, b in pairs:
-        va = f"CAST(`{a}` AS DECIMAL(14,4))"
-        vb = f"CAST(`{b}` AS DECIMAL(14,4))"
-        aggs.append(f"CAST(sum({va} * {vb}) AS DECIMAL(27,8)) AS `sp_{a}_{b}`")
+        va = f"CAST({_bi(a)} AS DECIMAL(14,4))"
+        vb = f"CAST({_bi(b)} AS DECIMAL(14,4))"
+        aggs.append(
+            f"CAST(sum({va} * {vb}) AS DECIMAL(27,8)) AS {_bi(f'sp_{a}_{b}')}"
+        )
     m = df.agg(*[F.expr(e) for e in aggs])
 
     def corr_sql(a: str, b: str) -> str:
-        num = f"CAST(n * `sp_{a}_{b}` - `s_{a}` * `s_{b}` AS DOUBLE)"
-        da = f"CAST(n * `ss_{a}` - `s_{a}` * `s_{a}` AS DOUBLE)"
-        db = f"CAST(n * `ss_{b}` - `s_{b}` * `s_{b}` AS DOUBLE)"
+        sp, sa, sb = _bi(f"sp_{a}_{b}"), _bi(f"s_{a}"), _bi(f"s_{b}")
+        ssa, ssb = _bi(f"ss_{a}"), _bi(f"ss_{b}")
+        num = f"CAST(n * {sp} - {sa} * {sb} AS DOUBLE)"
+        da = f"CAST(n * {ssa} - {sa} * {sa} AS DOUBLE)"
+        db = f"CAST(n * {ssb} - {sb} * {sb} AS DOUBLE)"
         # a zero-variance column makes the coefficient undefined — NULL, not
         # an engine-dependent div-by-zero artifact; `+ 0.0` canonicalizes
         # round()'s preserved IEEE -0.0

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ._localrel import local_rows_df
+from ._localrel import (
+    local_rows_df,
+    require_unicode_literals as _require_unicode_literals,
+    sql_ident as _sql_ident,
+)
 
 # Tiny per-language function-word lexicons for the n-gram/stopword heuristic.
 # Deliberately small: the point is the distributed scoring shape, not lexicon
@@ -52,7 +56,8 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # §1.2 step 2: this scorer sits inside per-line loops like
     # code_switch_stats, so construction cost is paid per query build);
     # size(toks) == size(split(...)) since transform preserves length
-    tc = f"`{text_col}`"
+    _require_unicode_literals(df.sparkSession)
+    tc = _sql_ident(text_col)
     toks = f"transform(split({tc}, ' '), t -> lower(t))"
     denom = f"greatest(size(split({tc}, ' ')), 1)"
     score_cols = [
@@ -1475,6 +1480,7 @@ def bpe_merges(
     raw character pairs (the d98b twin); later iterations depend on the
     mutated symbol state only an iterative engine can hold.
     """
+    _require_unicode_literals(df.sparkSession)
     wf = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.length("w") > 0)
@@ -1624,6 +1630,7 @@ def bpe_merges_batched(
                 mass_after bigint) — one row per round, driver-built
                 (row count = round count, trivially bounded).
     """
+    _require_unicode_literals(df.sparkSession)
     wf = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.length("w") > 0)
@@ -1688,9 +1695,12 @@ def bpe_merges_batched(
         try:
             mass_before = int(obs.get["m"] or 0)
         except Exception:
-            # degenerate rounds (e.g. every word already one symbol) can
-            # optimize the CollectMetrics node away — fall back to the
-            # explicit 1-row aggregate for exactly those rounds
+            # guarded path (ADVICE r14): obs.get BLOCKS until the
+            # CollectMetrics node reports, so a node truly absent from
+            # the executed plan would hang, not raise — what this catches
+            # is metric-surfacing failures (a NULL metric row that resists
+            # int(), a re-used Observation). The explicit 1-row aggregate
+            # recomputes the same Σ f·|syms| exactly.
             mass_before = mass(state)
         if pending is not None:
             rounds.append(pending + (mass_before,))
