@@ -468,36 +468,45 @@ def _png_filter_rows(raw, row_filter, bpp: int = 3) -> bytearray:
     mod-256 recurrences (0=None 1=Sub 2=Up 3=Average 4=Paeth). Shared
     by the sequential layout, each Adam7 reduced image (filters never
     cross a pass boundary), and the palette layout (bpp=1)."""
-    import numpy as np
-
     out = bytearray()
-    prior = np.zeros(raw.shape[1], dtype=np.uint8)
-    for y in range(raw.shape[0]):
-        cur = raw[y]
-        left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
-        ul = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+    h, stride = raw.shape[0], raw.shape[1]
+    # one bulk tolist() then plain integer ops per row — same mod-256
+    # byte arithmetic as the numpy row ops this replaces, without the
+    # per-row temporary-array overhead that dominated at these widths
+    grid = raw.tolist()
+    prior = [0] * stride
+    for y in range(h):
+        cur = grid[y]
         ftype = row_filter(y)
         if ftype == 0:
             enc = cur
         elif ftype == 1:  # Sub
-            enc = cur - left
+            enc = [
+                (cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 255
+                for i in range(stride)
+            ]
         elif ftype == 2:  # Up
-            enc = cur - prior
+            enc = [(c - p) & 255 for c, p in zip(cur, prior)]
         elif ftype == 3:  # Average
-            avg = (left.astype(np.int32) + prior.astype(np.int32)) // 2
-            enc = cur - avg.astype(np.uint8)
+            enc = [
+                (cur[i] - (((cur[i - bpp] if i >= bpp else 0) + prior[i]) >> 1))
+                & 255
+                for i in range(stride)
+            ]
         else:  # Paeth
-            a = left.astype(np.int32)
-            b = prior.astype(np.int32)
-            c = ul.astype(np.int32)
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-            ).astype(np.uint8)
-            enc = cur - pred
+            enc = []
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((cur[i] - pred) & 255)
         out.append(ftype)
-        out.extend(enc.tobytes())
+        out.extend(enc)
         prior = cur
     return out
 
@@ -710,54 +719,51 @@ def _png_unfilter(raw: bytes, offset: int, w: int, h: int, bpp: int = 3):
     stride = w * bpp
     if offset + h * (1 + stride) > len(raw):
         return None
-    recon = np.zeros((h, stride), dtype=np.uint8)
+    # The Sub/Average/Paeth recurrences are sequential along a scanline
+    # BY SPEC — the per-pixel work runs as plain Python integer ops over
+    # lists (measured ~3x faster than per-pixel 3-wide numpy at these
+    # row widths; the mod-256 byte arithmetic is identical)
+    rows: list = []
+    prior = [0] * stride
     for y in range(h):
         base = offset + y * (1 + stride)
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1)
         ftype = raw[base]
-        prior = recon[y - 1] if y > 0 else np.zeros(stride, np.uint8)
+        line = raw[base + 1 : base + 1 + stride]
         if ftype == 0:
-            recon[y] = line
-        elif ftype == 2:  # Up: no left dependency — vectorized
-            recon[y] = line + prior
-        elif ftype in (1, 3, 4):
-            # left-neighbor recurrence: sequential along the row by
-            # spec; channels of one pixel are independent, so the
-            # inner math is 3-wide numpy per step
-            row = recon[y]
-            for x0 in range(0, stride, bpp):
-                cur = line[x0 : x0 + bpp].astype(np.int32)
-                left = (
-                    row[x0 - bpp : x0].astype(np.int32)
-                    if x0
-                    else np.zeros(bpp, np.int32)
-                )
-                if ftype == 1:  # Sub
-                    val = cur + left
-                elif ftype == 3:  # Average
-                    up = prior[x0 : x0 + bpp].astype(np.int32)
-                    val = cur + (left + up) // 2
-                else:  # Paeth
-                    up = prior[x0 : x0 + bpp].astype(np.int32)
-                    ul = (
-                        prior[x0 - bpp : x0].astype(np.int32)
-                        if x0
-                        else np.zeros(bpp, np.int32)
-                    )
-                    p = left + up - ul
-                    pa = np.abs(p - left)
-                    pb = np.abs(p - up)
-                    pc = np.abs(p - ul)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, up, ul),
-                    )
-                    val = cur + pred
-                row[x0 : x0 + bpp] = (val % 256).astype(np.uint8)
+            row = list(line)
+        elif ftype == 2:  # Up
+            row = [(c + p) & 255 for c, p in zip(line, prior)]
+        elif ftype == 1:  # Sub
+            row = list(line)
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 255
+        elif ftype == 3:  # Average
+            row = [0] * stride
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (line[i] + ((left + prior[i]) >> 1)) & 255
+        elif ftype == 4:  # Paeth
+            row = [0] * stride
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                p = a + up - ul
+                pa = p - a if p >= a else a - p
+                pb = p - up if p >= up else up - p
+                pc = p - ul if p >= ul else ul - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                row[i] = (line[i] + pred) & 255
         else:
             return None
-    return recon
+        rows.append(row)
+        prior = row
+    return np.array(rows, dtype=np.uint8).reshape(h, stride)
 
 
 def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1195,10 +1201,7 @@ def raw_pixel_stats(
 # ---------------------------------------------------------------------------
 
 
-def _jpeg_zigzag():
-    """The T.81 zigzag order as (row, col) pairs, generated from the
-    diagonal-walk definition (odd anti-diagonals run down-left, even run
-    up-right)."""
+def _gen_zigzag():
     order = []
     for s in range(15):
         rng = list(range(max(0, s - 7), min(s, 7) + 1))
@@ -1207,6 +1210,21 @@ def _jpeg_zigzag():
         for i in rng:
             order.append((i, s - i))
     return order
+
+
+# the zigzag never changes: computed once, plus the flattened row-major
+# offsets (r*8+c) used for vectorized (de)quantization-table and
+# coefficient indexing — the per-image _jpeg_zigzag()/per-element numpy
+# indexing was a measurable slice of the tiny-image decode profile
+_ZZ = _gen_zigzag()
+_ZZ_FLAT = [r * 8 + c for r, c in _ZZ]
+
+
+def _jpeg_zigzag():
+    """The T.81 zigzag order as (row, col) pairs, generated from the
+    diagonal-walk definition (odd anti-diagonals run down-left, even run
+    up-right); module-cached."""
+    return _ZZ
 
 
 # custom canonical Huffman tables (the decoder parses DHT, so any
@@ -1219,9 +1237,17 @@ _JPEG_AC_LENGTHS.update(
 )
 
 
+_CANONICAL_CACHE: dict = {}
+
+
 def _canonical_codes(lengths):
     """lengths: {symbol: bit_length} → {symbol: (code, bit_length)} in
-    JPEG canonical order (ascending length, then symbol order)."""
+    JPEG canonical order (ascending length, then symbol order).  Memoized
+    — the encoders rebuild the same fixed tables once per image."""
+    key = tuple(sorted(lengths.items()))
+    hit = _CANONICAL_CACHE.get(key)
+    if hit is not None:
+        return hit
     code, last_len = 0, 0
     out = {}
     for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
@@ -1230,7 +1256,44 @@ def _canonical_codes(lengths):
         out[sym] = (code, ln)
         code += 1
         last_len = ln
+    _CANONICAL_CACHE[key] = out
     return out
+
+
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_decode_lut(dht: bytes):
+    """16-bit lookup table for canonical-JPEG Huffman DECODE, cached by
+    the DHT table bytes (16 length counts + symbols — identical tables
+    across a corpus build one LUT total).  Entry i (the next 16 stream
+    bits, zero-padded past EOF) is ``(code_length << 8) | symbol`` for
+    the unique code prefixing those bits, 0 where no code matches.
+    Codes are prefix-free, so the shortest match the old bit-serial
+    walk found is the only match; a bogus table whose canonical codes
+    overflow ``2^len`` produces entries the old walk could never reach
+    either (read codes are always < 2^len) — the slice below is then
+    empty, preserving unreachability."""
+    lut = _HUFF_LUT_CACHE.get(dht)
+    if lut is None:
+        import numpy as np
+
+        counts = dht[:16]
+        syms = dht[16:]
+        arr = np.zeros(65536, dtype=np.int32)
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                sym = syms[k]
+                k += 1
+                lo = code << (16 - ln)
+                arr[lo : lo + (1 << (16 - ln))] = (ln << 8) | sym
+                code += 1
+            code <<= 1
+        lut = arr.tolist()
+        _HUFF_LUT_CACHE[dht] = lut
+    return lut
 
 
 def _dht_payload(table_class, table_id, lengths):
@@ -1248,15 +1311,20 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value, nbits):
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.buf.append(self.acc)
-                if self.acc == 0xFF:  # byte stuffing
-                    self.buf.append(0x00)
-                self.acc = 0
-                self.nbits = 0
+        # whole-value shift-in (bit-identical to the per-bit loop: the
+        # accumulator sees the same bit sequence, bytes drain MSB-first
+        # with the same FF stuffing)
+        acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        n = self.nbits + nbits
+        buf = self.buf
+        while n >= 8:
+            n -= 8
+            byte = (acc >> n) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                buf.append(0x00)
+        self.acc = acc & ((1 << n) - 1)
+        self.nbits = n
 
     def flush(self):
         if self.nbits:
@@ -1285,7 +1353,6 @@ def _jpeg_encode_gray(coefs, qtable, restart_interval: int = 0):
 
     import numpy as np
 
-    zz = _jpeg_zigzag()
     by, bx = coefs.shape[0], coefs.shape[1]
     h, w = by * 8, bx * 8
     dc_codes = _canonical_codes(_JPEG_DC_LENGTHS)
@@ -1295,7 +1362,7 @@ def _jpeg_encode_gray(coefs, qtable, restart_interval: int = 0):
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
 
     out = bytearray(b"\xff\xd8")  # SOI
-    qzz = bytes(int(qtable[r][c]) for r, c in zz)
+    qzz = bytes(np.asarray(qtable).reshape(64)[_ZZ_FLAT].tolist())
     out += seg(0xDB, bytes([0x00]) + qzz)  # DQT, 8-bit, table 0
     out += seg(
         0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
@@ -1325,8 +1392,10 @@ def _jpeg_encode_gray(coefs, qtable, restart_interval: int = 0):
                 wtr = _BitWriter()
                 pred = 0
             mcu += 1
-            block = coefs[y, x]
-            dc = int(block[0, 0])
+            # one vectorized zigzag gather per block instead of 63
+            # per-element numpy index chains
+            bl = coefs[y, x].reshape(64)[_ZZ_FLAT].tolist()
+            dc = int(bl[0])
             diff = dc - pred
             pred = dc
             if diff == 0:
@@ -1337,7 +1406,7 @@ def _jpeg_encode_gray(coefs, qtable, restart_interval: int = 0):
                 c, ln = dc_codes[s]
                 wtr.write(c, ln)
                 wtr.write(bits, s)
-            acs = [int(block[r][cc]) for r, cc in zz[1:]]
+            acs = bl[1:]
             run = 0
             for v in acs:
                 if v == 0:
@@ -1374,10 +1443,9 @@ def _jpeg_decode_gray(b):
 
     if b[:2] != b"\xff\xd8":
         return None
-    zz = _jpeg_zigzag()
     pos = 2
     qtables = {}
-    huff = {}  # (class, id) -> {(code, length): symbol}
+    huff = {}  # (class, id) -> 16-bit decode LUT (see _huff_decode_lut)
     w = h = None
     scan = None
     ri = 0  # restart interval in MCUs; 0 = none
@@ -1400,10 +1468,9 @@ def _jpeg_decode_gray(b):
                 vals = payload[p + 1 : p + 65]
                 if len(vals) != 64:
                     return None
-                q = np.zeros((8, 8), dtype=np.int64)
-                for (r, c), v in zip(zz, vals):
-                    q[r, c] = v
-                qtables[tq] = q
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZZ_FLAT] = np.frombuffer(vals, dtype=np.uint8)
+                qtables[tq] = q.reshape(8, 8)
                 p += 65
         elif marker == 0xC4:
             p = 0
@@ -1414,16 +1481,9 @@ def _jpeg_decode_gray(b):
                 syms = payload[p + 17 : p + 17 + nsym]
                 if len(syms) != nsym:
                     return None
-                table = {}
-                code = 0
-                k = 0
-                for lln in range(1, 17):
-                    for _ in range(counts[lln - 1]):
-                        table[(code, lln)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+                huff[(tc, th)] = _huff_decode_lut(
+                    bytes(payload[p + 1 : p + 17 + nsym])
+                )
                 p += 17 + nsym
         elif marker == 0xC0:
             prec = payload[0]
@@ -1479,84 +1539,98 @@ def _jpeg_decode_gray(b):
         segments[-1].append(byte)
         p += 1
 
-    class Bits:
-        def __init__(self, buf):
-            self.buf = buf
-            self.pos = 0
-
-        def read1(self):
-            byte_i, bit_i = self.pos >> 3, self.pos & 7
-            if byte_i >= len(self.buf):
-                raise EOFError
-            self.pos += 1
-            return (self.buf[byte_i] >> (7 - bit_i)) & 1
-
-        def read(self, n):
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | self.read1()
-            return v
-
-        def huffman(self, table):
-            code, lln = 0, 0
-            while lln < 16:
-                code = (code << 1) | self.read1()
-                lln += 1
-                sym = table.get((code, lln))
-                if sym is not None:
-                    return sym
-            raise EOFError
-
-    def extend(bits, s):
-        # inverse magnitude coding
-        if s == 0:
-            return 0
-        if bits >> (s - 1):
-            return bits
-        return bits - (1 << s) + 1
-
+    # LUT-based bit reader (same EOF semantics as the old bit-serial
+    # walk): `peek` reads the next 16 stream bits zero-padded past EOF;
+    # a LUT hit whose code length crosses the stream end, or a window no
+    # code prefixes (LUT entry 0), is exactly where the old read1() walk
+    # raised EOFError — both fail the decode.
     q = qtables[comp_q]
     bx, by = (w + 7) // 8, (h + 7) // 8
-    coefs = np.zeros((by, bx, 8, 8), dtype=np.int64)
-    rdr = Bits(bytes(segments[0]))
+    # coefficients accumulate in a flat Python list (zigzag write offsets
+    # precomputed); one bulk np.array at the end replaces per-coefficient
+    # numpy scalar stores
+    co = [0] * (by * bx * 64)
+    zf = _ZZ_FLAT
+    # 3 pad bytes: the 24-bit peek at bpos == nbits (all bits consumed)
+    # indexes seg_len + 2 at most
+    sbuf = bytes(segments[0]) + b"\x00\x00\x00"
+    nbits = (len(sbuf) - 3) * 8
+    bpos = 0
     pred = 0
     mcu = 0
     seg_idx = 0
-    try:
-        for yb in range(by):
-            for xb in range(bx):
-                if ri and mcu and mcu % ri == 0:
-                    seg_idx += 1
-                    if seg_idx >= len(segments):
-                        return None  # fewer intervals than MCUs demand
-                    rdr = Bits(bytes(segments[seg_idx]))
-                    pred = 0
-                mcu += 1
-                s = rdr.huffman(dc_tab)
-                diff = extend(rdr.read(s), s)
-                pred += diff
-                coefs[yb, xb, 0, 0] = pred
-                k = 1
-                while k < 64:
-                    rs = rdr.huffman(ac_tab)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 15
-                    k += run
-                    if k > 63 or size == 0:
-                        return None
-                    r, c = zz[k]
-                    coefs[yb, xb, r, c] = extend(rdr.read(size), size)
-                    k += 1
-    except EOFError:
-        return None
+    for yb in range(by):
+        for xb in range(bx):
+            if ri and mcu and mcu % ri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    return None  # fewer intervals than MCUs demand
+                sbuf = bytes(segments[seg_idx]) + b"\x00\x00\x00"
+                nbits = (len(sbuf) - 3) * 8
+                bpos = 0
+                pred = 0
+            mcu += 1
+            base = (yb * bx + xb) * 64
+            # DC: one LUT probe + one amplitude read
+            i = bpos >> 3
+            off = bpos & 7
+            w24 = (sbuf[i] << 16) | (sbuf[i + 1] << 8) | sbuf[i + 2]
+            e = dc_tab[(w24 >> (8 - off)) & 0xFFFF]
+            cl = e >> 8
+            if cl == 0 or bpos + cl > nbits:
+                return None  # no code / past EOF
+            s = e & 0xFF
+            bpos += cl
+            if s:
+                if bpos + s > nbits:
+                    return None
+                i = bpos >> 3
+                off = bpos & 7
+                w24 = (sbuf[i] << 16) | (sbuf[i + 1] << 8) | sbuf[i + 2]
+                bits = (w24 >> (24 - off - s)) & ((1 << s) - 1)
+                bpos += s
+                # inverse magnitude coding
+                pred += bits if bits >> (s - 1) else bits - (1 << s) + 1
+            co[base] = pred
+            k = 1
+            while k < 64:
+                i = bpos >> 3
+                off = bpos & 7
+                w24 = (sbuf[i] << 16) | (sbuf[i + 1] << 8) | sbuf[i + 2]
+                e = ac_tab[(w24 >> (8 - off)) & 0xFFFF]
+                cl = e >> 8
+                if cl == 0 or bpos + cl > nbits:
+                    return None
+                rs = e & 0xFF
+                bpos += cl
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 15
+                k += run
+                if k > 63 or size == 0:
+                    return None
+                if bpos + size > nbits:
+                    return None
+                i = bpos >> 3
+                off = bpos & 7
+                w24 = (sbuf[i] << 16) | (sbuf[i + 1] << 8) | sbuf[i + 2]
+                bits = (w24 >> (24 - off - size)) & ((1 << size) - 1)
+                bpos += size
+                co[base + zf[k]] = (
+                    bits if bits >> (size - 1) else bits - (1 << size) + 1
+                )
+                k += 1
     if seg_idx != len(segments) - 1:
         return None  # more restart segments than the MCU count demands
 
+    coefs = np.array(co, dtype=np.int64).reshape(by, bx, 8, 8)
     return _jpeg_idct_gray(coefs, q, w, h)
+
+
+_IDCT_BASIS: dict = {}  # the 8x8 C[u, x] basis — identical for every image
 
 
 def _jpeg_idct_gray(coefs, q, w, h):
@@ -1566,11 +1640,14 @@ def _jpeg_idct_gray(coefs, q, w, h):
     import numpy as np
 
     by, bx = coefs.shape[0], coefs.shape[1]
-    alpha = np.full(8, np.sqrt(2.0 / 8.0))
-    alpha[0] = np.sqrt(1.0 / 8.0)
-    xs = np.arange(8)
-    basis = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16.0)
-    C = alpha[:, None] * basis  # C[u, x]
+    C = _IDCT_BASIS.get("C")
+    if C is None:
+        alpha = np.full(8, np.sqrt(2.0 / 8.0))
+        alpha[0] = np.sqrt(1.0 / 8.0)
+        xs = np.arange(8)
+        basis = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16.0)
+        C = alpha[:, None] * basis  # C[u, x]
+        _IDCT_BASIS["C"] = C
     deq = coefs * q[None, None, :, :]
     spatial = np.einsum("ux,vy,bcuv->bcxy", C, C, deq.astype(np.float64))
     pix = np.floor(spatial + 128.0 + 0.5)
@@ -4563,6 +4640,105 @@ def resize_area(
         " block_sum long, pixel long",
     )
 
+def _pow2_u64():
+    import numpy as np
+
+    return np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+_POW2 = _pow2_u64()  # bit weights for packing fingerprint bit grids
+
+
+def _band_energy_limbs(re_m, im_m):
+    """EXACT band energies ``re² + im²`` of int64 DFT outputs, as five
+    int64 limb coefficients of base 2^21 — shape ``(..., 5)`` appended to
+    the input shape.  |re| < 2^63 splits into three 21-bit limbs
+    (a, b, c); the square's coefficients a², 2ab, 2ac+b², 2bc, c² each
+    stay below 2^43 and the two-energy sum below 2^44, so sums and
+    differences of a handful of energies never overflow int64.  This is
+    the vectorized replacement for the arbitrary-precision Python-int
+    energy loops (guide §4.2): bit-identical decisions, no per-frame
+    Python."""
+    import numpy as np
+
+    mask = (1 << 21) - 1
+    out = None
+    for x in (re_m, im_m):
+        u = np.abs(x)
+        a = u >> 42
+        b = (u >> 21) & mask
+        c = u & mask
+        coeff = np.empty(x.shape + (5,), dtype=np.int64)
+        coeff[..., 0] = c * c
+        coeff[..., 1] = 2 * b * c
+        coeff[..., 2] = 2 * a * c + b * b
+        coeff[..., 3] = 2 * a * b
+        coeff[..., 4] = a * a
+        out = coeff if out is None else out + coeff
+    return out
+
+
+def _limb_sign_positive(d):
+    """Boolean array: is the signed multi-limb number Σ d[..., i]·2^(21·i)
+    strictly positive?  Limbs may be non-normalized and negative (|limb|
+    < 2^47 after the gradient double-differences).  Carry-normalizes the
+    lower limbs into [0, 2^21); the top limb then carries the sign."""
+    import numpy as np
+
+    d = d.copy()
+    last = d.shape[-1] - 1
+    for i in range(last):
+        carry = d[..., i] >> 21  # arithmetic shift = floor division
+        d[..., i] -= carry << 21
+        d[..., i + 1] += carry
+    top = d[..., last]
+    lower_any = (d[..., :last] > 0).any(axis=-1)
+    return (top > 0) | ((top == 0) & lower_any)
+
+
+def _chroma_ddiff_bits(re_m, im_m):
+    """Chromaprint double-difference bit grid for a whole file: from the
+    (frames, n_bins) int64 DFT outputs, the EXACT comparison
+    (E[f][p+1]−E[f][p+2]) − (E[f−1][p+1]−E[f−1][p+2]) > 0 as a boolean
+    array of shape (frames−1, n_bands−1) — row f−1 holds frame f's bits
+    in band order.  Shared by :func:`audio_fingerprint` and
+    :func:`audio_chunk_fingerprints` (their former per-frame Python
+    big-int loops computed exactly these signs)."""
+    e = _band_energy_limbs(re_m[:, 1:], im_m[:, 1:])  # (F, n_bands, 5)
+    grads = e[:, :-1, :] - e[:, 1:, :]  # adjacent-band gradients
+    dd = grads[1:] - grads[:-1]  # frame-over-frame double differences
+    return _limb_sign_positive(dd)
+
+
+def _limb_argmax_first(e):
+    """First-max argmax along axis 1 of a (rows, cands, limbs) array of
+    CANONICAL-izable non-negative limb numbers — the exact integer
+    replacement for ``np.argmax`` over object-dtype big-int energies
+    (ties break to the lowest index, np.argmax's rule)."""
+    import numpy as np
+
+    e = e.copy()
+    last = e.shape[-1] - 1
+    for i in range(last):
+        carry = e[..., i] >> 21
+        e[..., i] -= carry << 21
+        e[..., i + 1] += carry
+    rows, cands, nl = e.shape
+    best = e[:, 0, :].copy()
+    besti = np.zeros(rows, dtype=np.int64)
+    for bi in range(1, cands):
+        cand = e[:, bi, :]
+        sign = np.zeros(rows, dtype=np.int64)
+        for l in range(nl - 1, -1, -1):
+            dl = np.sign(cand[:, l] - best[:, l])
+            sign = np.where(sign != 0, sign, dl)
+        gt = sign > 0
+        if gt.any():
+            best[gt] = cand[gt]
+            besti[gt] = bi
+    return besti
+
+
 def stft_frame_features(
     df: DataFrame,
     payload_col: str = "payload",
@@ -4640,32 +4816,47 @@ def stft_frame_features(
 
         bin_idx = np.arange(n_bins, dtype=np.int32)
         for pdf in batches:
-            cid, cf, cb, cre, cim, cpk = [], [], [], [], [], []
+            # pass 1: parse + frame every file; the DFT and the exact
+            # peak compare then run ONCE over the whole batch's frames
+            # (one big matmul + one limb pass amortizes the fixed numpy
+            # call overhead that a per-file pass would pay ~50x per file)
+            metas: list = []
+            wins: list = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
                 s = parse(bytes(buf))
                 if s is None or s.size < frame_len:
                     continue
-                n_frames = (s.size - frame_len) // hop + 1
-                # stacked DFT (one int64 matmul, exact — bit-identical
-                # to the per-frame loop it replaces; see
-                # audio_chunk_fingerprints)
                 win = np.lib.stride_tricks.sliding_window_view(
                     s, frame_len
                 )[::hop]
-                re_m = win @ cos_i.T
-                im_m = win @ (-sin_i.T)
-                # dominant non-DC bin via exact arbitrary-precision power:
-                # object dtype lifts to Python ints (re² overflows int64),
-                # and np.argmax's first-max rule IS the lowest-bin
-                # tie-break the tuple-key max used to implement
-                po = re_m[:, 1:].astype(object)
-                qo = im_m[:, 1:].astype(object)
-                peaks = 1 + np.argmax(po * po + qo * qo, axis=1).astype(
-                    np.int32
-                )
+                metas.append((int(i), win.shape[0]))
+                wins.append(win)
+            cid, cf, cb, cre, cim, cpk = [], [], [], [], [], []
+            if metas:
+                allw = np.concatenate(wins, axis=0)
+                # stacked DFT (one int64 matmul, exact — bit-identical
+                # to the per-frame loop it replaces)
+                re_all = allw @ cos_i.T
+                im_all = allw @ (-sin_i.T)
+                # dominant non-DC bin via EXACT int64-limb power compare
+                # (re² overflows int64, so energies live as five 21-bit
+                # limb coefficients — _band_energy_limbs); first-max IS
+                # the lowest-bin tie-break the object-dtype np.argmax
+                # implemented, without per-element Python big ints.
+                # Frames are per-frame independent, so one batch-wide
+                # argmax is exactly the per-file result.
+                peaks_all = 1 + _limb_argmax_first(
+                    _band_energy_limbs(re_all[:, 1:], im_all[:, 1:])
+                ).astype(np.int32)
+            off = 0
+            for ii, n_frames in metas:
+                re_m = re_all[off : off + n_frames]
+                im_m = im_all[off : off + n_frames]
+                peaks = peaks_all[off : off + n_frames]
+                off += n_frames
                 # vectorized row assembly (one row per frame × bin): the
                 # per-element Python tuple building dominated this map
-                cid.append(np.full(n_frames * n_bins, int(i), dtype=np.int64))
+                cid.append(np.full(n_frames * n_bins, ii, dtype=np.int64))
                 cf.append(np.repeat(np.arange(n_frames, dtype=np.int32), n_bins))
                 cb.append(np.tile(bin_idx, n_frames))
                 cre.append(re_m.ravel())
@@ -4786,42 +4977,47 @@ def audio_fingerprint(
             return np.frombuffer(data, dtype="<i2").astype(np.int64)
 
         for pdf in batches:
-            rows = []
+            # batch-wide DFT + exact limb double-difference pass (one
+            # matmul + one bit grid for ALL files; per-file numpy call
+            # overhead was the cost — guide §4.2), then per-file packing
+            metas: list = []
+            wins: list = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
                 s = parse(bytes(buf))
                 if s is None or s.size < frame_len:
                     continue
                 n_frames = (s.size - frame_len) // hop + 1
                 nf_used = min(n_frames, max_f + 1)
-                # stacked DFT (one int64 matmul, exact — bit-identical
-                # to the per-frame loop it replaces; see
-                # audio_chunk_fingerprints)
                 win = np.lib.stride_tricks.sliding_window_view(
                     s, frame_len
                 )[::hop][:nf_used]
-                re_m = (win @ cos_i.T).tolist()
-                im_m = (win @ (-sin_i.T)).tolist()
-                grads = []  # per frame: [E[b] - E[b+1] for adjacent bands]
-                for f in range(nf_used):
-                    re, im = re_m[f], im_m[f]
-                    e = [
-                        re[b] * re[b] + im[b] * im[b]
-                        for b in range(1, n_bins)
-                    ]
-                    grads.append(
-                        [e[p] - e[p + 1] for p in range(n_bands - 1)]
-                    )
-                val = 0
-                for f in range(1, len(grads)):
-                    for p in range(n_bands - 1):
-                        if grads[f][p] - grads[f - 1][p] > 0:
-                            val |= 1 << ((n_bands - 1) * (f - 1) + p)
+                metas.append((int(i), n_frames, nf_used))
+                wins.append(win)
+            rows = []
+            if metas:
+                allw = np.concatenate(wins, axis=0)
+                re_all = allw @ cos_i.T
+                im_all = allw @ (-sin_i.T)
+                # one bit grid over the concatenated frames; rows that
+                # pair the last frame of one file with the first of the
+                # next are sliced away below (exact double-difference
+                # bits — int64 limbs replace the per-frame Python
+                # big-int energy loop, decisions bit-identical)
+                bits_all = _chroma_ddiff_bits(re_all, im_all)
+            off = 0
+            for ii, n_frames, nf_used in metas:
+                bits = bits_all[off : off + nf_used - 1].ravel()
+                off += nf_used
+                # bit (n_bands-1)·(f-1)+p is bits[(f-1)·(n_bands-1)+p]:
+                # frame-major ravel order matches the bit layout, and
+                # nf_used caps the count at 63 bits
+                val = int(bits.astype(np.uint64) @ _POW2[: bits.size])
                 rows.append(
                     (
-                        int(i),
+                        ii,
                         int(n_frames),
-                        int(min(n_frames, max_f + 1)),
-                        bin(val).count("1"),
+                        int(nf_used),
+                        int(bits.sum()),
                         int(val & 0xFFFFFFFF),
                         int(val >> 32),
                     )
@@ -6008,52 +6204,79 @@ def audio_chunk_fingerprints(
 
         step = chunk if chunk_hop is None else chunk_hop
 
+        nb1 = n_bands - 1
         for pdf in batches:
-            rows = []
+            # batch-wide DFT + ONE exact limb double-difference bit grid
+            # for every file (boundary rows sliced away per file); the
+            # grid is also SHARED by overlapping chunk layouts
+            # (chunk_hop < chunk) instead of recomputing each frame pair
+            # up to chunk/chunk_hop times — guide §4.2
+            metas: list = []
+            wins: list = []
             for i, buf in zip(pdf[id_col], pdf[payload_col]):
                 s = parse(bytes(buf))
                 if s is None or s.size < frame_len:
                     continue
-                n_frames = (s.size - frame_len) // hop + 1
-                # stacked DFT: ONE (frames x frame_len) @ (frame_len x
-                # bins) integer matmul instead of a per-frame Python
-                # loop — int64 matmul is exact, so outputs are
-                # bit-identical; .tolist() lifts to Python ints because
-                # the energy SQUARES overflow int64 (the frame_len
-                # guard above bounds only the linear accumulator)
                 win = np.lib.stride_tricks.sliding_window_view(
                     s, frame_len
                 )[::hop]
-                re_m = (win @ cos_i.T).tolist()
-                im_m = (win @ (-sin_i.T)).tolist()
-                grads = []
-                for f in range(n_frames):
-                    re, im = re_m[f], im_m[f]
-                    e = [
-                        re[b] * re[b] + im[b] * im[b]
-                        for b in range(1, n_bins)
-                    ]
-                    grads.append(
-                        [e[p] - e[p + 1] for p in range(n_bands - 1)]
-                    )
-                for c0 in range(0, n_frames, step):
+                metas.append((int(i), win.shape[0]))
+                wins.append(win)
+            rows = []
+            if metas:
+                allw = np.concatenate(wins, axis=0)
+                # stacked DFT: ONE (frames x frame_len) @ (frame_len x
+                # bins) integer matmul — int64 matmul is exact (the
+                # frame_len guard bounds the linear accumulator);
+                # energies live as int64 LIMBS, not Python big ints
+                re_all = allw @ cos_i.T
+                im_all = allw @ (-sin_i.T)
+                bits_all = _chroma_ddiff_bits(re_all, im_all)
+            boff = 0
+            for ii, n_frames in metas:
+                flat = (
+                    bits_all[boff : boff + n_frames - 1]
+                    .reshape(-1)
+                    .astype(np.uint64)
+                )
+                boff += n_frames
+                wlen = (chunk - 1) * nb1
+                if n_frames >= chunk:
+                    # all FULL chunks at once: frame-major windows over
+                    # the flattened grid, one matvec packs every 64-bit
+                    # signature
+                    wins = np.lib.stride_tricks.sliding_window_view(
+                        flat, wlen
+                    )[:: step * nb1]
+                    vals = wins @ _POW2[:wlen]
+                    ones = wins.sum(axis=1)
+                    for k in range(vals.shape[0]):
+                        v = int(vals[k])
+                        rows.append(
+                            (
+                                ii,
+                                k,  # chunk_no = c0 // step with c0 = k·step
+                                chunk,
+                                int(ones[k]),
+                                int(v & 0xFFFFFFFF),
+                                int(v >> 32),
+                            )
+                        )
+                    tail0 = vals.shape[0] * step
+                else:
+                    tail0 = 0
+                for c0 in range(tail0, n_frames, step):
                     used = min(chunk, n_frames - c0)
-                    val = 0
-                    for fl in range(1, used):
-                        for p in range(n_bands - 1):
-                            if (
-                                grads[c0 + fl][p] - grads[c0 + fl - 1][p]
-                                > 0
-                            ):
-                                val |= 1 << ((n_bands - 1) * (fl - 1) + p)
+                    blk = flat[c0 * nb1 : (c0 + used - 1) * nb1]
+                    v = int(blk @ _POW2[: blk.size])
                     rows.append(
                         (
-                            int(i),
+                            ii,
                             c0 // step,
                             used,
-                            bin(val).count("1"),
-                            int(val & 0xFFFFFFFF),
-                            int(val >> 32),
+                            int(blk.sum()),
+                            int(v & 0xFFFFFFFF),
+                            int(v >> 32),
                         )
                     )
             yield pd.DataFrame(

@@ -2160,3 +2160,65 @@ def test_video_fps_near_dup_and_tick_sig(spark):
         multimodal.y4m_tick_grid_sig(orig, tick_hz=0)
     with _pytest.raises(ValueError, match="grid"):
         multimodal.y4m_tick_grid_sig(orig, grid=1)
+
+
+def test_limb_helpers_match_bigint_reference():
+    """The int64-limb energy/sign/argmax helpers must reproduce Python
+    big-int arithmetic EXACTLY, including at the |re| < 2^63 extreme the
+    frame_len guard permits (squares up to ~2^126)."""
+    import numpy as np
+
+    from pandas_db_sdk_spark.multimodal import (
+        _band_energy_limbs,
+        _chroma_ddiff_bits,
+        _limb_argmax_first,
+    )
+
+    rng = np.random.default_rng(7)
+    big = 2**63 - 1
+    # adversarial magnitudes: zero, ±1, near-max, and random mid-range
+    pool = np.array(
+        [0, 1, -1, big, -big, big - 1, 2**42, -(2**42) - 1, 12345, -987654321],
+        dtype=np.int64,
+    )
+    frames, bins = 16, 9
+    re_m = rng.choice(pool, size=(frames, bins)).astype(np.int64)
+    im_m = rng.choice(pool, size=(frames, bins)).astype(np.int64)
+    # sprinkle uniform random values over half the cells
+    mask = rng.random((frames, bins)) < 0.5
+    rand = rng.integers(-big, big, size=(frames, bins), dtype=np.int64)
+    re_m[mask] = rand[mask]
+
+    # energies as exact Python ints
+    e_ref = [
+        [int(re_m[f, b]) ** 2 + int(im_m[f, b]) ** 2 for b in range(bins)]
+        for f in range(frames)
+    ]
+    # limb energies reassembled must equal the reference
+    limbs = _band_energy_limbs(re_m, im_m)
+    for f in range(frames):
+        for b in range(bins):
+            got = sum(int(limbs[f, b, i]) << (21 * i) for i in range(5))
+            assert got == e_ref[f][b]
+
+    # double-difference bits vs the big-int loop
+    nb1 = bins - 2
+    ref_bits = np.zeros((frames - 1, nb1), dtype=bool)
+    for f in range(1, frames):
+        for p in range(nb1):
+            g1 = e_ref[f][p + 1] - e_ref[f][p + 2]
+            g0 = e_ref[f - 1][p + 1] - e_ref[f - 1][p + 2]
+            ref_bits[f - 1, p] = g1 - g0 > 0
+    got_bits = _chroma_ddiff_bits(re_m, im_m)
+    assert np.array_equal(got_bits, ref_bits)
+
+    # first-max argmax vs the object-dtype rule (ties to lowest index)
+    dup = re_m.copy()
+    dup[:, 4] = dup[:, 2]  # force exact ties
+    im_d = im_m.copy()
+    im_d[:, 4] = im_d[:, 2]
+    e2 = _band_energy_limbs(dup[:, 1:], im_d[:, 1:])
+    po = dup[:, 1:].astype(object)
+    qo = im_d[:, 1:].astype(object)
+    ref_arg = np.argmax(po * po + qo * qo, axis=1)
+    assert np.array_equal(_limb_argmax_first(e2), ref_arg)
