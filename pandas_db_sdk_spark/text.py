@@ -1369,6 +1369,14 @@ _BPE_FINISH_SQL = (
 )
 
 
+# lineage-truncation cadence for the BPE training loops: rounds between
+# two truncations chain this many narrow rewrite projections (fused by
+# codegen into one pass over the vocabulary-sized state), trading ≤ M−1
+# extra per-row rewrite evaluations for one fewer plan→RDD planning stall
+# per round. The corpus scan is always materialized exactly once.
+_BPE_CKPT_EVERY = 8
+
+
 def _bpe_rewrite_sql(child_sql: str, a: str, b: str) -> str:
     """SQL-text form of :func:`bpe_rewrite_expr` over ``child_sql`` (a SQL
     expression producing array<string>) — parses to the identical
@@ -1508,6 +1516,7 @@ def bpe_merges(
     ).alias("__p")
     pair_cols = [F.col("__p.a").alias("a"), F.col("__p.b").alias("b"), F.col("f")]
     cnt_desc = [F.col("cnt").desc(), F.col("a"), F.col("b")]
+    depth = 0  # rewrite projections since the last lineage truncation
     for rank in range(1, n_merges + 1):
         pairs = state.select("f", pair_explode).select(*pair_cols)
         top = (
@@ -1524,7 +1533,20 @@ def bpe_merges(
         # one F.expr parse per round instead of ~40 py4j Column calls
         state = state.select(
             "f", F.expr(_bpe_rewrite_sql("syms", a, b)).alias("syms")
-        ).localCheckpoint(eager=False)
+        )
+        depth += 1
+        # checkpoint every _BPE_CKPT_EVERY rounds, not every round: even
+        # a LAZY localCheckpoint pays ~35 ms of synchronous driver-side
+        # query planning per call (plan → RDD conversion analyzes and
+        # physically plans the frame), the dominant slice of the round
+        # floor. Un-truncated rounds chain ≤ M narrow projections, which
+        # WholeStageCodegen fuses into the next collect's single pass —
+        # extra per-row rewrite evaluations (≤ M−1), never extra scans
+        # or shuffles; the corpus is still read exactly once (the wf
+        # checkpoint above). Skipped when no rounds remain.
+        if depth >= _BPE_CKPT_EVERY and rank < n_merges:
+            state = state.localCheckpoint(eager=False)
+            depth = 0
 
     return local_rows_df(spark,
         merges, "rank int, sym_a string, sym_b string, merged string, pair_count long"
@@ -1661,6 +1683,7 @@ def bpe_merges_batched(
     merges = []
     rounds = []
     rank, rnd = 0, 0
+    depth = 0  # rewrite projections since the last lineage truncation
     pending = None  # rounds row of the PREVIOUS round, awaiting mass_after
     # loop-invariant Column trees built once (see bpe_merges)
     mass_expr = F.sum(F.col("f") * F.size("syms")).cast("long").alias("m")
@@ -1729,7 +1752,14 @@ def bpe_merges_batched(
                     "syms", [(a, b) for a, b, _ in admitted]
                 )
             ).alias("syms"),
-        ).localCheckpoint(eager=False)
+        )
+        depth += 1
+        # deferred lineage truncation (see bpe_merges / _BPE_CKPT_EVERY):
+        # a lazy localCheckpoint still plans synchronously on the driver;
+        # chained rewrite projections fuse into the next collect instead
+        if depth >= _BPE_CKPT_EVERY and rank < n_merges:
+            state = state.localCheckpoint(eager=False)
+            depth = 0
         # round N's mass_after doubles as round N+1's mass_before —
         # observed by the next collect; resolved above or after the loop
         pending = (
