@@ -66,9 +66,52 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+@pytest.fixture(scope="module")
+def prefetched(spark, request):
+    """Every SELECTED query's Spark result, computed CONCURRENTLY up
+    front (guide §2.6: actions are only sequential because the driver
+    calls them sequentially — N independent read-only jobs overlap their
+    scheduling latency, which dominates at sf0.01). Assertions stay
+    per-test and UNCHANGED; a prefetch exception is re-computed serially
+    inside the owning test, so failure attribution and strictness are
+    identical to the serial sweep. Only the names pytest actually
+    collected are computed, so ``-k``-subset iteration stays fast."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    wanted = set()
+    for item in request.session.items:
+        callspec = getattr(item, "callspec", None)
+        if callspec is not None and "name" in callspec.params:
+            wanted.add(callspec.params["name"])
+    wanted &= set(QUERIES)
+
+    def compute(name):
+        try:
+            return QUERIES[name](spark, SF_ORACLE).toPandas()
+        except Exception as exc:  # pragma: no cover - retried in-test
+            return exc
+
+    def compute_rows_only(name):
+        try:
+            df = QUERIES[name](spark, SF_ORACLE)
+            return (len(df.columns), df.count())
+        except Exception as exc:  # pragma: no cover - retried in-test
+            return exc
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {
+            n: pool.submit(compute if n in ORACLES else compute_rows_only, n)
+            for n in sorted(wanted)
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_match(name, spark, duck):
-    spark_pdf = QUERIES[name](spark, SF_ORACLE).toPandas()
+def test_oracle_match(name, spark, duck, prefetched):
+    spark_pdf = prefetched.get(name)
+    if spark_pdf is None or isinstance(spark_pdf, Exception):
+        # serial in-test recompute: deterministic failure attribution
+        spark_pdf = QUERIES[name](spark, SF_ORACLE).toPandas()
     oracle_pdf = duck.execute(ORACLES[name]).df()
 
     assert len(spark_pdf) == len(oracle_pdf), (
@@ -96,9 +139,12 @@ def test_oracle_match(name, spark, duck):
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only(name, spark):
-    df = QUERIES[name](spark, SF_ORACLE)
-    assert len(df.columns) > 0
-    n = df.count()
+def test_rows_only(name, spark, prefetched):
+    got = prefetched.get(name)
+    if got is None or isinstance(got, Exception):
+        df = QUERIES[name](spark, SF_ORACLE)
+        got = (len(df.columns), df.count())
+    ncols, n = got
+    assert ncols > 0
     if name not in EMPTY_OK:
         assert n > 0, f"{name}: rows-only query produced an empty frame"
